@@ -1,0 +1,200 @@
+"""PQL AST node definitions.
+
+Mirrors the node inventory of the reference parser
+(``/root/reference/parser/ast.go``) as Python dataclasses.  Every node
+carries a :class:`~pql_spark.lexer.Span` so the compiler can recover the
+original source text — PQL names unnamed extend/summarize columns by the
+expression's source text (pql.go:404-406, 424-426).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .lexer import Span
+
+# ---------------------------------------------------------------- expressions
+
+
+@dataclass
+class Expr:
+    span: Span = field(kw_only=True)
+
+    def source(self, text: str) -> str:
+        return self.span.text(text)
+
+
+@dataclass
+class NumberLit(Expr):
+    text: str  # normalized decimal text
+
+    @property
+    def is_float(self) -> bool:
+        return any(c in self.text for c in ".eE")
+
+
+@dataclass
+class StringLit(Expr):
+    value: str
+
+
+@dataclass
+class Ident(Expr):
+    """A (possibly dotted) identifier. ``parts`` holds each dotted segment;
+    ``quoted[i]`` records whether segment i was backtick-quoted (quoted
+    segments never resolve as let-bindings or builtins, pql.go:615-635)."""
+
+    parts: list[str]
+    quoted: list[bool]
+
+    @property
+    def name(self) -> str:
+        return ".".join(self.parts)
+
+    @property
+    def simple(self) -> bool:
+        return len(self.parts) == 1
+
+
+@dataclass
+class UnaryExpr(Expr):
+    op: str  # '+' | '-'
+    operand: Expr
+
+
+@dataclass
+class BinaryExpr(Expr):
+    op: str  # == != =~ !~ < <= > >= + - * / % and or
+    lhs: Expr
+    rhs: Expr
+
+
+@dataclass
+class InExpr(Expr):
+    lhs: Expr
+    items: list[Expr]
+
+
+@dataclass
+class IndexExpr(Expr):
+    base: Expr
+    index: Expr
+
+
+@dataclass
+class CallExpr(Expr):
+    func: str
+    args: list[Expr]
+
+
+# ------------------------------------------------------------------ operators
+
+
+@dataclass
+class Node:
+    span: Span = field(kw_only=True)
+
+
+@dataclass
+class ColSpec(Node):
+    """``Name = Expr`` | bare ``Name`` (identity) | bare ``Expr``
+    (named by source text)."""
+
+    name: str | None
+    expr: Expr | None
+
+
+@dataclass
+class SortTerm(Node):
+    expr: Expr
+    asc: bool
+    nulls_first: bool
+
+
+@dataclass
+class Op(Node):
+    pass
+
+
+@dataclass
+class CountOp(Op):
+    pass
+
+
+@dataclass
+class WhereOp(Op):
+    predicate: Expr
+
+
+@dataclass
+class SortOp(Op):
+    terms: list[SortTerm]
+
+
+@dataclass
+class TakeOp(Op):
+    count: Expr
+
+
+@dataclass
+class TopOp(Op):
+    count: Expr
+    term: SortTerm
+
+
+@dataclass
+class ProjectOp(Op):
+    cols: list[ColSpec]
+
+
+@dataclass
+class ExtendOp(Op):
+    cols: list[ColSpec]
+
+
+@dataclass
+class SummarizeOp(Op):
+    aggs: list[ColSpec]
+    keys: list[ColSpec]
+
+
+@dataclass
+class JoinOp(Op):
+    flavor: str  # inner | innerunique | leftouter (parser.go:742-746)
+    right: "TabularExpr"
+    conditions: list[Expr]
+
+
+@dataclass
+class AsOp(Op):
+    name: str
+
+
+@dataclass
+class RenderOp(Op):
+    chart: str
+    props: list[tuple[str, Expr]]
+
+
+# ----------------------------------------------------------------- statements
+
+
+@dataclass
+class TableRef(Node):
+    name: str
+    quoted: bool = False
+
+
+@dataclass
+class TabularExpr(Node):
+    source: TableRef
+    operators: list[Op]
+
+
+@dataclass
+class LetStatement(Node):
+    name: str
+    expr: Expr
+
+
+Statement = TabularExpr | LetStatement

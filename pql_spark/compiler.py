@@ -1,0 +1,414 @@
+"""PQL AST → PySpark DataFrame compiler.
+
+This is where our design diverges from the reference on purpose: the
+reference compiles PQL to a SQL *string* with WITH-CTE plumbing
+(``splitQueries``, pql.go:129-267) because its execution engine is a
+separate SQL database.  Ours compiles each pipeline operator directly to a
+DataFrame transformation and lets Catalyst analyze/optimize/plan — the CTE
+machinery disappears entirely, and predicate pushdown, column pruning,
+join-strategy selection (broadcast vs sort-merge via AQE) and top-k
+(``TakeOrderedAndProject``) come from the optimizer.
+
+Semantics parity notes (file:line into /root/reference):
+  - column naming rules: count → ``count()`` (pql.go:466); unnamed
+    extend/summarize columns named by expression source text
+    (pql.go:404-406, 424-426, 438-441); join duplicates → ``$right.<col>``
+    (JoinInner golden output header).
+  - join flavors inner/innerunique/leftouter only (parser.go:742-746);
+    innerunique dedups the whole left relation (pql.go:201-214).
+  - join equi-conditions emit raw ``==`` (no null-coalesce) when both
+    sides are referenced, mirroring pql.go:673-691 — this is also what
+    keeps Catalyst's equi-join detection working (a coalesce() wrapper
+    would force a nested-loop join).
+  - ``let`` bindings are scalar-only and resolved by substitution
+    (pql.go:57-72, 604-610); compile-time ``params`` substitute
+    identifiers (pql.go:25-30).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import functions as pf
+from .ast_nodes import (
+    AsOp,
+    BinaryExpr,
+    CallExpr,
+    ColSpec,
+    CountOp,
+    Expr,
+    ExtendOp,
+    Ident,
+    IndexExpr,
+    InExpr,
+    JoinOp,
+    LetStatement,
+    NumberLit,
+    Op,
+    ProjectOp,
+    RenderOp,
+    SortOp,
+    SortTerm,
+    Statement,
+    StringLit,
+    SummarizeOp,
+    TabularExpr,
+    TakeOp,
+    TopOp,
+    UnaryExpr,
+    WhereOp,
+)
+from .lexer import Span
+from .parser import ParseError, QueryError
+
+Resolver = Callable[[str], DataFrame]
+
+_BUILTIN_IDENTS = {"true": True, "false": False}  # pql.go:557-561
+
+
+def _q(name: str) -> str:
+    """Backtick-escape a column/alias name for F.col()."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+@dataclass
+class _JoinEnv:
+    """Scope inside a join's ON conditions: ``$left``/``$right``
+    qualifiers plus bare-name resolution against either input."""
+
+    left_alias: str
+    right_alias: str
+    left_cols: list[str]
+    right_cols: list[str]
+
+    def resolve(self, parts: list[str], span: Span) -> tuple[Column, str | None]:
+        """Returns (column, side) where side ∈ {'left','right',None}."""
+        if parts[0] == "$left":
+            return F.col(f"{_q(self.left_alias)}.{_q('.'.join(parts[1:]))}"), "left"
+        if parts[0] == "$right":
+            return (
+                F.col(f"{_q(self.right_alias)}.{_q('.'.join(parts[1:]))}"),
+                "right",
+            )
+        name = ".".join(parts)
+        if name in self.left_cols:
+            return F.col(f"{_q(self.left_alias)}.{_q(name)}"), "left"
+        if name in self.right_cols:
+            return F.col(f"{_q(self.right_alias)}.{_q(name)}"), "right"
+        raise ParseError(
+            f"column {name!r} not found on either side of join", span
+        )
+
+
+@dataclass
+class _Env:
+    df: DataFrame | None
+    join: _JoinEnv | None = None
+
+
+@dataclass
+class Compiler:
+    source: str
+    resolver: Resolver
+    params: dict[str, object] = field(default_factory=dict)
+    lets: dict[str, Expr] = field(default_factory=dict)
+    bindings: dict[str, DataFrame] = field(default_factory=dict)
+    _alias_counter: int = 0
+
+    # ------------------------------------------------------------ statements
+
+    def compile_statements(self, statements: list[Statement]) -> DataFrame:
+        tabular: TabularExpr | None = None
+        for stmt in statements:
+            if isinstance(stmt, LetStatement):
+                if tabular is None:  # lets after the query are skipped
+                    self.lets[stmt.name] = stmt.expr  # (pql.go:58-62)
+            elif tabular is not None:
+                raise QueryError(
+                    self.source,
+                    [ParseError("batch queries not supported", stmt.span)],
+                )  # pql.go:48-55
+            else:
+                tabular = stmt
+        if tabular is None:
+            raise QueryError(
+                self.source,
+                [ParseError("expected a tabular expression", Span(0, 0))],
+            )
+        try:
+            return self.compile_tabular(tabular)
+        except ParseError as e:
+            raise QueryError(self.source, [e]) from None
+
+    def compile_tabular(self, expr: TabularExpr) -> DataFrame:
+        df = self._resolve_table(expr.source.name, expr.source.span)
+        for op in expr.operators:
+            df = self._apply(df, op)
+        return df
+
+    def _resolve_table(self, name: str, span: Span) -> DataFrame:
+        if name in self.bindings:  # `as` bindings shadow the catalog
+            return self.bindings[name]
+        try:
+            return self.resolver(name)
+        except Exception as e:  # noqa: BLE001 — surface as compile error
+            raise ParseError(f"unknown table {name!r}: {e}", span) from None
+
+    # ------------------------------------------------------------- operators
+
+    def _apply(self, df: DataFrame, op: Op) -> DataFrame:
+        env = _Env(df=df)
+        if isinstance(op, CountOp):
+            # stays a DataFrame (not .count()) so the pipe can continue;
+            # output column literally named "count()" (pql.go:465-467)
+            return df.agg(F.count(F.lit(1)).alias("count()"))
+        if isinstance(op, WhereOp):
+            return df.filter(self.compile_expr(op.predicate, env))
+        if isinstance(op, SortOp):
+            return df.orderBy(*[self._sort_col(t, env) for t in op.terms])
+        if isinstance(op, TakeOp):
+            return df.limit(self._const_int(op.count))
+        if isinstance(op, TopOp):
+            # sort+limit desugar (pql.go:167-185); Catalyst plans
+            # TakeOrderedAndProject — top-k without a total sort
+            return df.orderBy(self._sort_col(op.term, env)).limit(
+                self._const_int(op.count)
+            )
+        if isinstance(op, ProjectOp):
+            return df.select(*self._compile_cols(op.cols, env))
+        if isinstance(op, ExtendOp):
+            # SELECT *, expr AS name — keeps all existing columns and
+            # appends (duplicates allowed, matching pql.go:388-409)
+            return df.select("*", *self._compile_cols(op.cols, env))
+        if isinstance(op, SummarizeOp):
+            return self._summarize(df, op, env)
+        if isinstance(op, JoinOp):
+            return self._join(df, op)
+        if isinstance(op, AsOp):
+            self.bindings[op.name] = df
+            return df
+        if isinstance(op, RenderOp):
+            cols = [F.lit(op.chart).alias("render_type")]
+            for key, value in op.props:
+                cols.append(
+                    self.compile_expr(value, env).alias(f"render_prop_{key}")
+                )
+            return df.select("*", *cols)
+        raise ParseError(f"unsupported operator {type(op).__name__}", op.span)
+
+    def _compile_cols(self, cols: list[ColSpec], env: _Env) -> list[Column]:
+        return [
+            self.compile_expr(c.expr, env).alias(self._col_name(c)) for c in cols
+        ]
+
+    def _col_name(self, spec: ColSpec) -> str:
+        if spec.name is not None:
+            return spec.name
+        # unnamed column is named by its expression source text
+        # (pql.go:404-406, 424-426, 438-441)
+        return spec.expr.span.text(self.source)
+
+    def _sort_col(self, term: SortTerm, env: _Env) -> Column:
+        c = self.compile_expr(term.expr, env)
+        if term.asc:
+            return c.asc_nulls_first() if term.nulls_first else c.asc_nulls_last()
+        return c.desc_nulls_first() if term.nulls_first else c.desc_nulls_last()
+
+    def _summarize(self, df: DataFrame, op: SummarizeOp, env: _Env) -> DataFrame:
+        # group keys are projected first, then aggregates (pql.go:410-457)
+        keys = self._compile_cols(op.keys, env)
+        aggs = self._compile_cols(op.aggs, env)
+        if not aggs:
+            # `summarize by K` ⇒ distinct over the keys
+            # (SummarizeBy golden: SELECT K ... GROUP BY K)
+            return df.select(*keys).distinct()
+        if not keys:
+            return df.agg(*aggs)
+        return df.groupBy(*keys).agg(*aggs)
+
+    def _join(self, left: DataFrame, op: JoinOp) -> DataFrame:
+        right = self.compile_tabular(op.right)
+        if op.flavor == "innerunique":
+            # reference dedups the whole left relation — SELECT DISTINCT *
+            # (pql.go:201-214); match the reference, not KQL
+            left = left.distinct()
+        how = "left" if op.flavor == "leftouter" else "inner"
+        n = self._alias_counter
+        self._alias_counter += 1
+        la, ra = f"__pql_l{n}", f"__pql_r{n}"
+        jenv = _Env(
+            df=None,
+            join=_JoinEnv(
+                left_alias=la,
+                right_alias=ra,
+                left_cols=left.columns,
+                right_cols=right.columns,
+            ),
+        )
+        conds = [self._join_condition(c, jenv) for c in op.conditions]
+        cond = conds[0] if conds else F.lit(True)  # empty ⇒ ON true
+        for c in conds[1:]:
+            cond = cond & c
+        joined = left.alias(la).join(right.alias(ra), cond, how)
+        # output keeps both sides; duplicate right-side columns renamed to
+        # $right.<col> (JoinInner golden header: State,$right.State,…)
+        left_set = set(left.columns)
+        out = [F.col(f"{_q(la)}.{_q(c)}").alias(c) for c in left.columns]
+        for c in right.columns:
+            name = f"$right.{c}" if c in left_set else c
+            out.append(F.col(f"{_q(ra)}.{_q(c)}").alias(name))
+        return joined.select(*out)
+
+    def _join_condition(self, cond: Expr, env: _Env) -> Column:
+        # bare identifier K ⇒ $left.K == $right.K (pql.go:326-346);
+        # raw == keeps Catalyst equi-join detection intact
+        if isinstance(cond, Ident):
+            lcol, _ = env.join.resolve(["$left", *cond.parts], cond.span)
+            rcol, _ = env.join.resolve(["$right", *cond.parts], cond.span)
+            return lcol == rcol
+        return self.compile_expr(cond, env)
+
+    # ----------------------------------------------------------- expressions
+
+    def compile_expr(self, expr: Expr, env: _Env) -> Column:
+        if isinstance(expr, NumberLit):
+            return F.lit(float(expr.text) if expr.is_float else int(expr.text))
+        if isinstance(expr, StringLit):
+            return F.lit(expr.value)
+        if isinstance(expr, Ident):
+            return self._ident(expr, env)
+        if isinstance(expr, UnaryExpr):
+            operand = self.compile_expr(expr.operand, env)
+            return -operand if expr.op == "-" else operand
+        if isinstance(expr, BinaryExpr):
+            return self._binary(expr, env)
+        if isinstance(expr, InExpr):
+            lhs = self.compile_expr(expr.lhs, env)
+            items = [self.compile_expr(i, env) for i in expr.items]
+            # literal-list IN — not null-coalesced (pql.go:747-760);
+            # compiles to Catalyst In, pushdown-able to parquet
+            return lhs.isin(*items)
+        if isinstance(expr, IndexExpr):
+            base = self.compile_expr(expr.base, env)
+            index = self.compile_expr(expr.index, env)
+            # works for maps and 1-based arrays, matching ClickHouse
+            # (SURVEY §7.5.6); missing map key ⇒ NULL (Spark-idiomatic)
+            return F.element_at(base, index)
+        if isinstance(expr, CallExpr):
+            args = [self.compile_expr(a, env) for a in expr.args]
+            return pf.compile_call(expr.func, args, expr.span)
+        raise ParseError(
+            f"unsupported expression {type(expr).__name__}", expr.span
+        )
+
+    def _binary(self, expr: BinaryExpr, env: _Env) -> Column:
+        op = expr.op
+        in_join = env.join is not None
+        if op in ("==", "!=") and in_join:
+            # inside join ON: drop the coalesce wrapper when the comparison
+            # references both sides (pql.go:673-691) so Spark sees a plain
+            # equi-join key
+            sides = set()
+            self._collect_sides(expr, env, sides)
+            if {"left", "right"} <= sides:
+                lhs = self.compile_expr(expr.lhs, env)
+                rhs = self.compile_expr(expr.rhs, env)
+                return lhs == rhs if op == "==" else lhs != rhs
+        lhs = self.compile_expr(expr.lhs, env)
+        rhs = self.compile_expr(expr.rhs, env)
+        if op == "==":
+            return pf.null_safe_eq(lhs, rhs)
+        if op == "!=":
+            return pf.null_safe_ne(lhs, rhs)
+        if op == "=~":
+            return pf.ci_eq(lhs, rhs)
+        if op == "!~":
+            return pf.ci_ne(lhs, rhs)
+        if op == "<":
+            return lhs < rhs
+        if op == "<=":
+            return lhs <= rhs
+        if op == ">":
+            return lhs > rhs
+        if op == ">=":
+            return lhs >= rhs
+        if op == "+":
+            return lhs + rhs
+        if op == "-":
+            return lhs - rhs
+        if op == "*":
+            return lhs * rhs
+        if op == "/":
+            return lhs / rhs
+        if op == "%":
+            return lhs % rhs
+        if op == "and":
+            return lhs & rhs
+        if op == "or":
+            return lhs | rhs
+        raise ParseError(f"unsupported operator {op!r}", expr.span)
+
+    def _collect_sides(self, expr: Expr, env: _Env, out: set[str]) -> None:
+        if isinstance(expr, Ident):
+            try:
+                _, side = env.join.resolve(expr.parts, expr.span)
+            except ParseError:
+                side = None
+            if side:
+                out.add(side)
+            return
+        for child in getattr(expr, "__dict__", {}).values():
+            if isinstance(child, Expr):
+                self._collect_sides(child, env, out)
+            elif isinstance(child, list):
+                for item in child:
+                    if isinstance(item, Expr):
+                        self._collect_sides(item, env, out)
+
+    def _ident(self, expr: Ident, env: _Env) -> Column:
+        if expr.simple and not expr.quoted[0]:
+            name = expr.parts[0]
+            # scope resolution order mirrors pql.go:604-610:
+            # params, then lets, then builtins, then columns
+            if name in self.params:
+                return F.lit(self.params[name])
+            if name in self.lets:
+                return self.compile_expr(self.lets[name], env)
+            if name in _BUILTIN_IDENTS:
+                return F.lit(_BUILTIN_IDENTS[name])
+            if name == "null":
+                return F.lit(None)
+        if env.join is not None:
+            col, _ = env.join.resolve(expr.parts, expr.span)
+            return col
+        name = expr.name
+        if env.df is not None and name in env.df.columns:
+            return env.df[name]
+        # fall through: dotted struct-field path or late-bound column —
+        # Catalyst resolves (or errors) at analysis time, matching the
+        # reference's engine-deferred identifier resolution
+        return F.col(".".join(_q(p) for p in expr.parts))
+
+    # -------------------------------------------------------------- helpers
+
+    def _const_int(self, expr: Expr) -> int:
+        """Evaluate a take/top row count to a Python int (integer literal,
+        let-binding, or parameter; parser.go:419-435)."""
+        if isinstance(expr, NumberLit) and not expr.is_float:
+            return int(expr.text)
+        if isinstance(expr, UnaryExpr):
+            v = self._const_int(expr.operand)
+            return -v if expr.op == "-" else v
+        if isinstance(expr, Ident) and expr.simple and not expr.quoted[0]:
+            name = expr.parts[0]
+            if name in self.params:
+                return int(self.params[name])  # type: ignore[arg-type]
+            if name in self.lets:
+                return self._const_int(self.lets[name])
+        raise ParseError(
+            "row count must evaluate to an integer constant", expr.span
+        )

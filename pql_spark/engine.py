@@ -1,0 +1,77 @@
+"""Public API: compile and run PQL on Spark.
+
+Mirrors the reference's two entry points (``pql.Compile`` / ``parser.Parse``,
+pql.go:18-30) with a Spark-native result: ``PqlEngine.query(text)`` returns
+a lazy DataFrame — Catalyst plans it, nothing executes until an action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import Compiler, Resolver
+from .parser import parse
+
+__all__ = ["PqlEngine", "compile_pql", "parse"]
+
+
+class PqlEngine:
+    """Compile PQL pipelines to Spark DataFrames.
+
+    ``resolver`` maps table names to DataFrames: a dict, a callable, or
+    None (falls back to ``spark.table`` — temp views / catalog tables).
+    ``params`` mirrors the reference's ``CompileOptions.Parameters``
+    (pql.go:25-30): identifiers substituted at compile time, bound here as
+    typed literal values.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        resolver: Resolver | Mapping[str, DataFrame] | None = None,
+        params: Mapping[str, object] | None = None,
+    ):
+        self.spark = spark
+        self._resolver = _as_resolver(spark, resolver)
+        self._params = dict(params or {})
+
+    def query(
+        self, text: str, params: Mapping[str, object] | None = None
+    ) -> DataFrame:
+        """Parse + compile one PQL query; returns a lazy DataFrame."""
+        merged = dict(self._params)
+        if params:
+            merged.update(params)
+        return compile_pql(text, self._resolver, merged)
+
+
+def _as_resolver(
+    spark: SparkSession,
+    resolver: Resolver | Mapping[str, DataFrame] | None,
+) -> Resolver:
+    if resolver is None:
+        return spark.table
+    if callable(resolver):
+        return resolver
+    mapping = dict(resolver)
+
+    def lookup(name: str) -> DataFrame:
+        if name not in mapping:
+            raise KeyError(name)
+        return mapping[name]
+
+    return lookup
+
+
+def compile_pql(
+    text: str,
+    resolver: Resolver,
+    params: Mapping[str, object] | None = None,
+) -> DataFrame:
+    statements = parse(text)
+    compiler = Compiler(
+        source=text, resolver=resolver, params=dict(params or {})
+    )
+    return compiler.compile_statements(statements)

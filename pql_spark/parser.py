@@ -1,0 +1,620 @@
+"""PQL recursive-descent parser.
+
+Parses the operator surface of the reference grammar
+(``/root/reference/parser/parser.go``): 11 tabular operators (+ aliases),
+precedence-climbing expressions (parser.go:888-1007), and ``let``
+statements.  Like the reference, each ``|``-separated pipeline segment is
+parsed by an isolated sub-parser so one bad operator doesn't cascade, and
+all errors are accumulated with line:col positions
+(parser.go:1221-1279, 1368-1418).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .ast_nodes import (
+    AsOp,
+    BinaryExpr,
+    CallExpr,
+    ColSpec,
+    CountOp,
+    Expr,
+    ExtendOp,
+    Ident,
+    IndexExpr,
+    InExpr,
+    JoinOp,
+    LetStatement,
+    NumberLit,
+    Op,
+    ProjectOp,
+    RenderOp,
+    SortOp,
+    SortTerm,
+    Statement,
+    StringLit,
+    SummarizeOp,
+    TableRef,
+    TabularExpr,
+    TakeOp,
+    TopOp,
+    UnaryExpr,
+    WhereOp,
+)
+from .lexer import LexError, Span, Token, TokenKind, scan
+
+
+@dataclass
+class ParseError(Exception):
+    message: str
+    span: Span
+
+    def __str__(self) -> str:
+        return self.message
+
+
+def _line_col(source: str, offset: int) -> tuple[int, int]:
+    line = source.count("\n", 0, offset) + 1
+    nl = source.rfind("\n", 0, offset)
+    col = offset - nl
+    return line, col
+
+
+class QueryError(ValueError):
+    """Accumulated parse/compile errors with line:col positions
+    (multi-error reporting, parser.go:1368-1418)."""
+
+    def __init__(self, source: str, errors: list[ParseError]):
+        self.errors = errors
+        msgs = []
+        for e in errors:
+            line, col = _line_col(source, e.span.start)
+            msgs.append(f"{line}:{col}: {e.message}")
+        super().__init__("; ".join(msgs))
+
+
+# binary operator precedence, high → low (parser.go:991-1007)
+_PRECEDENCE = {
+    TokenKind.STAR: 4,
+    TokenKind.SLASH: 4,
+    TokenKind.MOD: 4,
+    TokenKind.PLUS: 3,
+    TokenKind.MINUS: 3,
+    TokenKind.EQ: 2,
+    TokenKind.NE: 2,
+    TokenKind.CI_EQ: 2,
+    TokenKind.CI_NE: 2,
+    TokenKind.LT: 2,
+    TokenKind.LE: 2,
+    TokenKind.GT: 2,
+    TokenKind.GE: 2,
+    TokenKind.IN: 2,
+    TokenKind.AND: 1,
+    TokenKind.OR: 0,
+}
+
+_BINOP_TEXT = {
+    TokenKind.STAR: "*",
+    TokenKind.SLASH: "/",
+    TokenKind.MOD: "%",
+    TokenKind.PLUS: "+",
+    TokenKind.MINUS: "-",
+    TokenKind.EQ: "==",
+    TokenKind.NE: "!=",
+    TokenKind.CI_EQ: "=~",
+    TokenKind.CI_NE: "!~",
+    TokenKind.LT: "<",
+    TokenKind.LE: "<=",
+    TokenKind.GT: ">",
+    TokenKind.GE: ">=",
+    TokenKind.AND: "and",
+    TokenKind.OR: "or",
+}
+
+# operator aliases (parser.go:182-199)
+_OP_ALIASES = {"filter": "where", "order": "sort", "limit": "take"}
+
+_JOIN_FLAVORS = {"inner", "innerunique", "leftouter"}  # parser.go:742-746
+
+
+def parse(source: str) -> list[Statement]:
+    """Parse PQL source into statements. Raises QueryError on any failure."""
+    try:
+        tokens = scan(source)
+    except LexError as e:
+        raise QueryError(source, [ParseError(e.message, e.span)]) from None
+    statements: list[Statement] = []
+    errors: list[ParseError] = []
+    for group in _split_on(tokens, TokenKind.SEMI):
+        if not group:
+            continue
+        try:
+            statements.append(_parse_statement(group, source))
+        except ParseError as e:
+            errors.append(e)
+    if errors:
+        raise QueryError(source, errors)
+    if not statements:
+        raise QueryError(
+            source, [ParseError("empty query", Span(0, len(source)))]
+        )
+    return statements
+
+
+def _split_on(tokens: list[Token], kind: TokenKind) -> list[list[Token]]:
+    """Split a token list on top-level occurrences of ``kind`` (depth
+    tracked across () and [])."""
+    groups: list[list[Token]] = [[]]
+    depth = 0
+    for tok in tokens:
+        if tok.kind in (TokenKind.LPAREN, TokenKind.LBRACKET):
+            depth += 1
+        elif tok.kind in (TokenKind.RPAREN, TokenKind.RBRACKET):
+            depth -= 1
+        if depth == 0 and tok.kind is kind:
+            groups.append([])
+        else:
+            groups[-1].append(tok)
+    return groups
+
+
+def _parse_statement(tokens: list[Token], source: str) -> Statement:
+    first = tokens[0]
+    if first.kind is TokenKind.IDENT and first.value == "let":
+        return _parse_let(tokens, source)
+    return _parse_tabular(tokens, source)
+
+
+def _parse_let(tokens: list[Token], source: str) -> LetStatement:
+    p = _P(tokens, source)
+    kw = p.expect_ident("let")
+    name = p.expect(TokenKind.IDENT, "let binding name")
+    p.expect(TokenKind.ASSIGN, "'='")
+    expr = p.parse_expr()
+    p.expect_end()
+    return LetStatement(
+        name=name.value, expr=expr, span=Span(kw.span.start, expr.span.end)
+    )
+
+
+def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
+    segments = _split_on(tokens, TokenKind.PIPE)
+    errors: list[ParseError] = []
+    src_seg = segments[0]
+    if not src_seg:
+        raise ParseError("expected table name", Span(0, 0))
+    p = _P(src_seg, source)
+    tok = p.take()
+    if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected table name", tok.span)
+    table = TableRef(
+        name=tok.value, quoted=tok.kind is TokenKind.QIDENT, span=tok.span
+    )
+    try:
+        p.expect_end()
+    except ParseError as e:
+        errors.append(e)
+    ops: list[Op] = []
+    for seg in segments[1:]:
+        if not seg:
+            errors.append(ParseError("empty pipeline segment", table.span))
+            continue
+        try:
+            ops.append(_parse_operator(_P(seg, source)))
+        except ParseError as e:
+            errors.append(e)
+    if errors:
+        raise errors[0] if len(errors) == 1 else _merge(errors, source)
+    end = ops[-1].span.end if ops else table.span.end
+    return TabularExpr(
+        source=table, operators=ops, span=Span(table.span.start, end)
+    )
+
+
+def _merge(errors: list[ParseError], source: str) -> ParseError:
+    msgs = []
+    for e in errors:
+        line, col = _line_col(source, e.span.start)
+        msgs.append(f"{line}:{col}: {e.message}")
+    return ParseError("; ".join(msgs), errors[0].span)
+
+
+def _parse_operator(p: "_P") -> Op:
+    tok = p.take()
+    if tok.kind is not TokenKind.IDENT:
+        raise ParseError("expected operator name", tok.span)
+    name = _OP_ALIASES.get(tok.value, tok.value)
+    fn = _OPERATORS.get(name)
+    if fn is None:
+        raise ParseError(f"unknown operator {tok.value!r}", tok.span)
+    op = fn(p, tok)
+    p.expect_end()
+    return op
+
+
+# --------------------------------------------------------------- sub-parsers
+
+
+class _P:
+    """Token cursor over one isolated segment."""
+
+    def __init__(self, tokens: list[Token], source: str):
+        self.tokens = tokens
+        self.source = source
+        self.i = 0
+
+    # -- cursor primitives
+
+    def peek(self, offset: int = 0) -> Token | None:
+        j = self.i + offset
+        return self.tokens[j] if j < len(self.tokens) else None
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.tokens)
+
+    def take(self) -> Token:
+        if self.at_end():
+            raise ParseError("unexpected end of input", self._end_span())
+        tok = self.tokens[self.i]
+        self.i += 1
+        return tok
+
+    def _end_span(self) -> Span:
+        if self.tokens:
+            last = self.tokens[-1].span
+            return Span(last.end, last.end)
+        return Span(0, 0)
+
+    def expect(self, kind: TokenKind, what: str) -> Token:
+        tok = self.peek()
+        if tok is None or tok.kind is not kind:
+            span = tok.span if tok else self._end_span()
+            got = tok.kind.value if tok else "end of input"
+            raise ParseError(f"expected {what}, got {got}", span)
+        return self.take()
+
+    def expect_ident(self, word: str | None = None) -> Token:
+        tok = self.expect(TokenKind.IDENT, word or "identifier")
+        if word is not None and tok.value != word:
+            raise ParseError(f"expected {word!r}, got {tok.value!r}", tok.span)
+        return tok
+
+    def expect_end(self) -> None:
+        if not self.at_end():
+            tok = self.tokens[self.i]
+            raise ParseError(f"unexpected {tok.value!r}", tok.span)
+
+    def match_word(self, *words: str) -> Token | None:
+        tok = self.peek()
+        if tok is not None and tok.kind is TokenKind.IDENT and tok.value in words:
+            return self.take()
+        return None
+
+    def match(self, kind: TokenKind) -> Token | None:
+        tok = self.peek()
+        if tok is not None and tok.kind is kind:
+            return self.take()
+        return None
+
+    # -- expressions (precedence climbing, parser.go:888-1007)
+
+    def parse_expr(self, min_prec: int = 0) -> Expr:
+        lhs = self.parse_unary()
+        while True:
+            tok = self.peek()
+            if tok is None:
+                return lhs
+            prec = _PRECEDENCE.get(tok.kind)
+            if prec is None or prec < min_prec:
+                return lhs
+            self.take()
+            if tok.kind is TokenKind.IN:
+                lhs = self._parse_in(lhs)
+                continue
+            rhs = self.parse_expr(prec + 1)
+            lhs = BinaryExpr(
+                op=_BINOP_TEXT[tok.kind],
+                lhs=lhs,
+                rhs=rhs,
+                span=Span(lhs.span.start, rhs.span.end),
+            )
+
+    def _parse_in(self, lhs: Expr) -> Expr:
+        """``x in (a, b, …)`` — literal list, no subqueries
+        (parser.go:912-956)."""
+        self.expect(TokenKind.LPAREN, "'(' after 'in'")
+        items: list[Expr] = []
+        while True:
+            items.append(self.parse_expr())
+            if self.match(TokenKind.COMMA):
+                if self.peek() is not None and self.peek().kind is TokenKind.RPAREN:
+                    break  # trailing comma
+                continue
+            break
+        rp = self.expect(TokenKind.RPAREN, "')'")
+        return InExpr(lhs=lhs, items=items, span=Span(lhs.span.start, rp.span.end))
+
+    def parse_unary(self) -> Expr:
+        tok = self.peek()
+        if tok is not None and tok.kind in (TokenKind.PLUS, TokenKind.MINUS):
+            self.take()
+            operand = self.parse_unary()
+            return UnaryExpr(
+                op=tok.value,
+                operand=operand,
+                span=Span(tok.span.start, operand.span.end),
+            )
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Expr:
+        expr = self.parse_primary()
+        while True:
+            tok = self.peek()
+            if tok is not None and tok.kind is TokenKind.LBRACKET:
+                self.take()
+                index = self.parse_expr()
+                rb = self.expect(TokenKind.RBRACKET, "']'")
+                expr = IndexExpr(
+                    base=expr, index=index, span=Span(expr.span.start, rb.span.end)
+                )
+                continue
+            return expr
+
+    def parse_primary(self) -> Expr:
+        tok = self.take()
+        if tok.kind is TokenKind.NUMBER:
+            return NumberLit(text=tok.value, span=tok.span)
+        if tok.kind is TokenKind.STRING:
+            return StringLit(value=tok.value, span=tok.span)
+        if tok.kind is TokenKind.LPAREN:
+            inner = self.parse_expr()
+            self.expect(TokenKind.RPAREN, "')'")
+            return inner  # parens unwrapped (pql.go:593-600)
+        if tok.kind in (TokenKind.IDENT, TokenKind.QIDENT):
+            nxt = self.peek()
+            if (
+                tok.kind is TokenKind.IDENT
+                and nxt is not None
+                and nxt.kind is TokenKind.LPAREN
+            ):
+                return self._parse_call(tok)
+            return self._parse_qualified(tok)
+        raise ParseError(f"unexpected {tok.value!r} in expression", tok.span)
+
+    def _parse_call(self, fn: Token) -> Expr:
+        self.expect(TokenKind.LPAREN, "'('")
+        args: list[Expr] = []
+        if self.peek() is not None and self.peek().kind is not TokenKind.RPAREN:
+            while True:
+                args.append(self.parse_expr())
+                if self.match(TokenKind.COMMA):
+                    if (
+                        self.peek() is not None
+                        and self.peek().kind is TokenKind.RPAREN
+                    ):
+                        break
+                    continue
+                break
+        rp = self.expect(TokenKind.RPAREN, "')'")
+        return CallExpr(
+            func=fn.value, args=args, span=Span(fn.span.start, rp.span.end)
+        )
+
+    def _parse_qualified(self, first: Token) -> Ident:
+        parts = [first.value]
+        quoted = [first.kind is TokenKind.QIDENT]
+        end = first.span.end
+        while self.peek() is not None and self.peek().kind is TokenKind.DOT:
+            self.take()
+            nxt = self.take()
+            if nxt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected identifier after '.'", nxt.span)
+            parts.append(nxt.value)
+            quoted.append(nxt.kind is TokenKind.QIDENT)
+            end = nxt.span.end
+        return Ident(parts=parts, quoted=quoted, span=Span(first.span.start, end))
+
+    # -- column specs ([Name =] Expr)
+
+    def parse_colspec(self, require_expr: bool) -> ColSpec:
+        """``Name = Expr`` | bare Name (identity, require_expr=False) |
+        bare Expr (named by source text)."""
+        tok = self.peek()
+        if (
+            tok is not None
+            and tok.kind in (TokenKind.IDENT, TokenKind.QIDENT)
+            and self.peek(1) is not None
+            and self.peek(1).kind is TokenKind.ASSIGN
+        ):
+            name_tok = self.take()
+            self.take()  # '='
+            expr = self.parse_expr()
+            return ColSpec(
+                name=name_tok.value,
+                expr=expr,
+                span=Span(name_tok.span.start, expr.span.end),
+            )
+        expr = self.parse_expr()
+        if isinstance(expr, Ident) and not require_expr:
+            return ColSpec(name=expr.name, expr=expr, span=expr.span)
+        return ColSpec(name=None, expr=expr, span=expr.span)
+
+    def parse_colspec_list(self, require_expr: bool = False) -> list[ColSpec]:
+        cols = [self.parse_colspec(require_expr)]
+        while self.match(TokenKind.COMMA):
+            cols.append(self.parse_colspec(require_expr))
+        return cols
+
+    # -- sort terms (parser.go:309-376)
+
+    def parse_sort_term(self) -> SortTerm:
+        expr = self.parse_expr()
+        asc = False  # default: desc (parser.go:309-376)
+        nulls_first = False  # default for desc: nulls last
+        end = expr.span.end
+        d = self.match_word("asc", "desc")
+        if d is not None:
+            asc = d.value == "asc"
+            nulls_first = asc  # asc implies nulls first
+            end = d.span.end
+        n = self.match_word("nulls")
+        if n is not None:
+            which = self.take()
+            if which.kind is not TokenKind.IDENT or which.value not in (
+                "first",
+                "last",
+            ):
+                raise ParseError("expected 'first' or 'last'", which.span)
+            nulls_first = which.value == "first"
+            end = which.span.end
+        return SortTerm(
+            expr=expr, asc=asc, nulls_first=nulls_first,
+            span=Span(expr.span.start, end),
+        )
+
+
+# ------------------------------------------------------------- operator fns
+
+
+def _op_count(p: _P, kw: Token) -> Op:
+    return CountOp(span=kw.span)
+
+
+def _op_where(p: _P, kw: Token) -> Op:
+    pred = p.parse_expr()
+    return WhereOp(predicate=pred, span=Span(kw.span.start, pred.span.end))
+
+
+def _op_sort(p: _P, kw: Token) -> Op:
+    p.expect(TokenKind.BY, "'by'")
+    terms = [p.parse_sort_term()]
+    while p.match(TokenKind.COMMA):
+        terms.append(p.parse_sort_term())
+    return SortOp(terms=terms, span=Span(kw.span.start, terms[-1].span.end))
+
+
+def _op_take(p: _P, kw: Token) -> Op:
+    count = p.parse_expr()
+    if isinstance(count, NumberLit) and count.is_float:
+        raise ParseError("take count must be an integer", count.span)
+    return TakeOp(count=count, span=Span(kw.span.start, count.span.end))
+
+
+def _op_top(p: _P, kw: Token) -> Op:
+    count = p.parse_expr()
+    if isinstance(count, NumberLit) and count.is_float:
+        raise ParseError("top count must be an integer", count.span)
+    p.expect(TokenKind.BY, "'by'")
+    term = p.parse_sort_term()
+    return TopOp(count=count, term=term, span=Span(kw.span.start, term.span.end))
+
+
+def _op_project(p: _P, kw: Token) -> Op:
+    cols = p.parse_colspec_list(require_expr=False)
+    return ProjectOp(cols=cols, span=Span(kw.span.start, cols[-1].span.end))
+
+
+def _op_extend(p: _P, kw: Token) -> Op:
+    cols = p.parse_colspec_list(require_expr=True)
+    return ExtendOp(cols=cols, span=Span(kw.span.start, cols[-1].span.end))
+
+
+def _op_summarize(p: _P, kw: Token) -> Op:
+    aggs: list[ColSpec] = []
+    keys: list[ColSpec] = []
+    if not p.at_end() and p.peek().kind is not TokenKind.BY:
+        aggs = p.parse_colspec_list(require_expr=True)
+    if p.match(TokenKind.BY):
+        keys = p.parse_colspec_list(require_expr=False)
+    if not aggs and not keys:
+        raise ParseError("summarize requires aggregates or 'by' keys", kw.span)
+    end = (keys[-1] if keys else aggs[-1]).span.end
+    return SummarizeOp(aggs=aggs, keys=keys, span=Span(kw.span.start, end))
+
+
+def _op_join(p: _P, kw: Token) -> Op:
+    flavor = "innerunique"  # default (parser.go:748-844)
+    if p.match_word("kind"):
+        p.expect(TokenKind.ASSIGN, "'='")
+        f = p.expect(TokenKind.IDENT, "join flavor")
+        if f.value not in _JOIN_FLAVORS:
+            raise ParseError(
+                f"unsupported join flavor {f.value!r} "
+                "(supported: inner, innerunique, leftouter)",
+                f.span,
+            )
+        flavor = f.value
+    p.expect(TokenKind.LPAREN, "'(' before join right side")
+    # capture tokens of the nested tabular expression up to balanced ')'
+    depth = 1
+    inner: list[Token] = []
+    while True:
+        tok = p.take()
+        if tok.kind is TokenKind.LPAREN:
+            depth += 1
+        elif tok.kind is TokenKind.RPAREN:
+            depth -= 1
+            if depth == 0:
+                break
+        inner.append(tok)
+    right = _parse_tabular(inner, p.source)
+    on = p.expect(TokenKind.IDENT, "'on'")
+    if on.value != "on":
+        raise ParseError(f"expected 'on', got {on.value!r}", on.span)
+    conditions = [p.parse_expr()]
+    while p.match(TokenKind.COMMA):
+        conditions.append(p.parse_expr())
+    return JoinOp(
+        flavor=flavor,
+        right=right,
+        conditions=conditions,
+        span=Span(kw.span.start, conditions[-1].span.end),
+    )
+
+
+def _op_as(p: _P, kw: Token) -> Op:
+    name = p.take()
+    if name.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected name after 'as'", name.span)
+    return AsOp(name=name.value, span=Span(kw.span.start, name.span.end))
+
+
+def _op_render(p: _P, kw: Token) -> Op:
+    chart = p.expect(TokenKind.IDENT, "chart type")
+    props: list[tuple[str, Expr]] = []
+    end = chart.span.end
+    if p.match_word("with"):
+        p.expect(TokenKind.LPAREN, "'('")
+        while True:
+            name = p.take()
+            if name.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected property name", name.span)
+            p.expect(TokenKind.ASSIGN, "'='")
+            value = p.parse_expr()
+            props.append((name.value, value))
+            if p.match(TokenKind.COMMA):
+                if p.peek() is not None and p.peek().kind is TokenKind.RPAREN:
+                    break
+                continue
+            break
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        end = rp.span.end
+    return RenderOp(
+        chart=chart.value, props=props, span=Span(kw.span.start, end)
+    )
+
+
+_OPERATORS = {
+    "count": _op_count,
+    "where": _op_where,
+    "sort": _op_sort,
+    "take": _op_take,
+    "top": _op_top,
+    "project": _op_project,
+    "extend": _op_extend,
+    "summarize": _op_summarize,
+    "join": _op_join,
+    "as": _op_as,
+    "render": _op_render,
+}

@@ -1,0 +1,95 @@
+"""Session construction and table catalogs.
+
+Scale notes: the session defaults enable AQE (runtime re-planning,
+skew-join splitting, partition coalescing) and Arrow for any pandas
+interchange.  ``spark.sql.shuffle.partitions`` is a *default* sized for
+local runs; on a real cluster it should be ~2-3× total cores or left to
+AQE's coalescing with a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def build_session(
+    app_name: str = "pql_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """SparkSession tuned for analytics at scale.
+
+    AQE handles runtime partition coalescing and skew-join splitting —
+    the same knobs that matter at 100 TB, exercised locally.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(cpus, 8)),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_sf_dir(
+    spark: SparkSession, sf_dir: str | os.PathLike
+) -> dict[str, DataFrame]:
+    """Load every ``<table>.parquet`` in a scale-factor directory into a
+    name→DataFrame catalog (the driver's synthetic TPC-H-ish tables)."""
+    catalog: dict[str, DataFrame] = {}
+    for path in sorted(Path(sf_dir).glob("*.parquet")):
+        catalog[path.stem] = spark.read.parquet(str(path))
+    return catalog
+
+
+def parquet_catalog(spark: SparkSession, sf_dir: str | os.PathLike):
+    """Resolver callable for PqlEngine over a parquet directory (lazy —
+    each table is read on first reference so filters/pruning push into
+    the scan of only the tables a query touches)."""
+    base = Path(sf_dir)
+    cache: dict[str, DataFrame] = {}
+
+    def resolve(name: str) -> DataFrame:
+        if name not in cache:
+            path = base / f"{name}.parquet"
+            if not path.exists():
+                raise KeyError(f"no parquet table {name!r} under {base}")
+            cache[name] = spark.read.parquet(str(path))
+        return cache[name]
+
+    return resolve
+
+
+def register_views(spark: SparkSession, sf_dir: str | os.PathLike) -> None:
+    """Register the sf directory's tables as temp views (for spark.sql)."""
+    for name, df in load_sf_dir(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
