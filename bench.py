@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries from ``__spark_entry__``
+on one scale-factor directory and prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+Each query is timed end-to-end (plan build + execute + collect to the
+driver).  The session is warmed with one trivial action first so JVM
+startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pql_spark.sources import build_session  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+
+    spark = build_session("pql_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm up JVM
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            times[name] = float("nan")
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"bench: {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t == t), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

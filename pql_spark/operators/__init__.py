@@ -1,0 +1,47 @@
+"""Large-scale data-pipeline operators (beyond the reference surface).
+
+The reference (runreveal/pql) stops at the query language; these are the
+operations a 100 TB training-data pipeline needs on top: deduplication,
+similarity search, text analysis, and multimodal column plumbing.  Every
+operator here is built from JVM-side ``pyspark.sql.functions`` (higher-
+order array functions, md5/xxhash64, regexp) so the hot path never leaves
+whole-stage codegen — no row-at-a-time Python.
+"""
+
+from .dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+from .similarity import cosine_topk, lsh_bucket_topk, pairwise_topk
+from .text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "cosine_topk",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_dup_pairs",
+    "language_id",
+    "lsh_bucket_topk",
+    "minhash_dup_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "pairwise_topk",
+    "quality_score",
+    "simhash",
+    "simhash_dedup",
+    "token_stats",
+    "tokens",
+    "word_shingles",
+]

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same results contract:
+
+- :func:`cosine_topk` — brute-force scan: per-row dot product in
+  Catalyst (zip_with + aggregate), top-k via orderBy+limit which plans
+  ``TakeOrderedAndProject`` (per-partition heap + driver merge, no total
+  sort).  Embarrassingly parallel; at 100 TB this is one scan, no
+  shuffle, and is the exactness baseline.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH: bucket vectors by
+  sign bits (narrow transform, computed once and reusable as a
+  partition/bucket key), probe only buckets within ``probe_hamming`` of
+  the query's bucket — the scan shrinks by ~2^planes/Σ(probed) while
+  recall stays high for near-neighbors.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    q = F.lit(query_vec).cast("array<double>")
+    qnorm = math.sqrt(sum(x * x for x in query_vec))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    key_col: str | None = None,
+) -> DataFrame:
+    """For each vector, its k nearest neighbors (brute-force within
+    ``key_col`` groups when given — the IVF pattern: partition by a
+    coarse key, search within the cell)."""
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col(id_col),
+        *([F.col(key_col)] if key_col else []),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    if key_col:
+        cond = cond & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id"),
+        F.col(f"b.{id_col}").alias("neighbor"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("id", "rank")
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG → N(0,1) via
+    Box-Muller) — stable across sessions, no numpy dependency."""
+    out: list[list[float]] = []
+    state = seed
+    def rnd() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return state / float(1 << 63)
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            u1 = max(rnd(), 1e-12)
+            u2 = rnd()
+            row.append(
+                math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            )
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id (long) for a vector against fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.lit(plane).cast("array<double>")
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only LSH buckets within ``probe_hamming``
+    bits of the query's bucket, then exact cosine within the candidates.
+
+    With 8 planes and 1-probe this touches ~(1+8)/256 ≈ 3.5% of rows.
+    The bucket column is a deterministic function of the vector, so at
+    scale it can be precomputed and used as a partition key — the probe
+    becomes partition pruning on the scan.
+    """
+    hp = hyperplanes(len(query_vec), planes, seed)
+    qbucket = 0
+    for j, plane in enumerate(hp):
+        if sum(px * qx for px, qx in zip(plane, query_vec)) >= 0:
+            qbucket |= 1 << j
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << j) for j in range(planes)]
+    # (probe_hamming > 1 would extend combinatorially; 1 is the sweet spot)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), hp).alias("bucket"),
+    ).filter(F.col("bucket").isin(probes))
+    return cosine_topk(bucketed, query_vec, k, vec_col, id_col)

@@ -1,0 +1,152 @@
+"""Text-analysis operators: tokenization, language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is Catalyst expressions (split/regexp/higher-order array
+functions) — at 100 TB these run inside whole-stage codegen with zero
+Python on the executor path, scale linearly with input partitions, and
+involve no shuffle (narrow, per-row transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenizer: words, numbers, or single punctuation marks —
+# the shape GPT-style byte-pair pre-tokenizers split on.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "im"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "los", "de", "y", "que", "es", "en", "un", "por"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def _norm(text: Column) -> Column:
+    """Lowercase and collapse whitespace — the canonical text form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace word tokens of normalized text (array<string>)."""
+    return F.split(_norm(text), " ")
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-word shingles (array<string>).
+
+    Built from sequence+transform+slice — pure Catalyst, no UDF.  For a
+    doc with < k words, the whole doc is the single shingle.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n <= F.lit(k), F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts: whitespace words and BPE-ish regex
+    tokens (a cheap proxy for LLM token counts)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text)).alias("n_words"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias(
+            "n_tokens"
+        ),
+        F.length(text).alias("n_chars_measured"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality: length band, punctuation ratio,
+    stopword ratio, mean word length — the standard pretraining-corpus
+    filters (C4/Gopher-style rules), all as Catalyst expressions."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    en_stop = F.lit(list(STOPWORDS["en"])).cast("array<string>")
+    stop_ratio = F.size(F.array_intersect(toks, en_stop)) / n_words
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    mean_word_len = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n_words
+    )
+    length_ok = (n_words >= 10) & (n_words <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-overlap language heuristic.
+
+    Scores each candidate language by stopword-hit ratio over the token
+    set and picks the argmax (ties broken by language code order so the
+    result is deterministic).  A real deployment would swap in fastText
+    via a Pandas UDF; the operator shape (narrow projection, no shuffle)
+    stays the same.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scored = []
+    for lang in sorted(STOPWORDS):
+        wl = F.lit(list(STOPWORDS[lang])).cast("array<string>")
+        score = F.size(F.array_intersect(toks, wl)) / F.size(
+            F.array_union(toks, wl)
+        )
+        # fixed-width "score|lang" string: max() over these is argmax by
+        # (score, lang) in ANY engine — keeps the SQL oracle byte-identical
+        scored.append(
+            F.format_string("%012.6f|%s", F.round(score, 6), F.lit(lang))
+        )
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return df.select(
+        F.col(id_col),
+        F.substring_index(best, "|", -1).alias("lang_pred"),
+        F.split(best, r"\|")[0].cast("double").alias("lang_score"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic content fingerprints of the normalized text:
+    full-text md5 plus a head-shingle key (first 8 words) for
+    prefix-duplicate detection."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    return df.select(
+        F.col(id_col),
+        F.md5(_norm(text)).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("head_key"),
+    )

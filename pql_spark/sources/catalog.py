@@ -13,6 +13,7 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TPCH_TABLES = (
     "region",
@@ -51,6 +52,9 @@ def build_session(
             str(shuffle_partitions or max(cpus, 8)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (unsupported by Spark) reads as long;
+        # _read_parquet casts it back to a (microsecond) timestamp
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -60,6 +64,34 @@ def build_session(
     return builder.getOrCreate()
 
 
+def _nanos_ts_columns(path: Path) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (read by Spark as
+    long under ``nanosAsLong``); detected from the parquet footer."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(str(path))
+    except Exception:  # noqa: BLE001 — footer probe is best-effort
+        return []
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def _read_parquet(spark: SparkSession, path: Path) -> DataFrame:
+    """Read one parquet table, restoring nanosecond-timestamp columns
+    (landed as long nanos) to proper timestamps (microsecond precision —
+    Spark's native unit; sub-microsecond bits are truncated)."""
+    df = spark.read.parquet(str(path))
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
 def load_sf_dir(
     spark: SparkSession, sf_dir: str | os.PathLike
 ) -> dict[str, DataFrame]:
@@ -67,7 +99,7 @@ def load_sf_dir(
     name→DataFrame catalog (the driver's synthetic TPC-H-ish tables)."""
     catalog: dict[str, DataFrame] = {}
     for path in sorted(Path(sf_dir).glob("*.parquet")):
-        catalog[path.stem] = spark.read.parquet(str(path))
+        catalog[path.stem] = _read_parquet(spark, path)
     return catalog
 
 
@@ -83,7 +115,7 @@ def parquet_catalog(spark: SparkSession, sf_dir: str | os.PathLike):
             path = base / f"{name}.parquet"
             if not path.exists():
                 raise KeyError(f"no parquet table {name!r} under {base}")
-            cache[name] = spark.read.parquet(str(path))
+            cache[name] = _read_parquet(spark, path)
         return cache[name]
 
     return resolve
