@@ -513,6 +513,49 @@ _DEDUP_EXACT_ORACLE = """
 SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents
 """
 
+# 6-hour tumbling windows; Spark aligns windows to the unix epoch, so the
+# oracle reproduces bucketing with integer epoch arithmetic (engine-neutral)
+_STREAM_WINDOWED_ORACLE = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600)
+            AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600)
+            AS TIMESTAMP) AS window_end,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# session windows (gap 2h): gaps-and-islands; session_end = last event + gap
+_STREAM_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 2 HOUR AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id, sess_id
+"""
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
 
 # ------------------------------------------------------------ query builders
 
@@ -612,6 +655,70 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 6h tumbling-window agg, drained via availableNow; the
+    returned (batch) DataFrame is the stream's final state."""
+    from pql_spark.streaming import (
+        run_available_now,
+        stream_parquet_table,
+        windowed_agg,
+    )
+
+    stream = windowed_agg(
+        stream_parquet_table(spark, sf_dir, "events"),
+        window="6 hours",
+        aggs={
+            "n": F.count(F.lit(1)),
+            # decimal sum: exact in any engine, so the 4-digit rounding is
+            # deterministic (float sums differ across summation orders)
+            "sum_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            ).cast("double"),
+        },
+    )
+    rows = run_available_now(stream, "update")
+    return spark.createDataFrame(rows, stream.schema)
+
+
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.streaming import (
+        run_available_now,
+        sessionize,
+        stream_parquet_table,
+    )
+
+    stream = sessionize(stream_parquet_table(spark, sf_dir, "events"),
+                        gap="2 hours")
+    rows = run_available_now(stream, "complete")
+    return spark.createDataFrame(rows, stream.schema).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.streaming import (
+        run_available_now,
+        stateful_user_counts,
+        stream_parquet_table,
+    )
+
+    stream = stateful_user_counts(stream_parquet_table(spark, sf_dir, "events"))
+    rows = run_available_now(stream, "update")
+    # keep the LAST emitted row per user (running totals; one availableNow
+    # pass may emit once per micro-batch)
+    final: dict[int, tuple] = {}
+    for r in rows:
+        final[r.user_id] = (r.user_id, r.n_events, round(r.total_value, 4))
+    return spark.createDataFrame(
+        sorted(final.values()),
+        "user_id long, n_events long, total_value double",
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -649,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lsh_topk": _q_lsh_topk,  # approximate — rows-only check
             "op_knn_grouped": _q_knn,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
+            "op_stream_windowed": _q_stream_windowed,
+            "op_stream_sessionize": _q_stream_sessionize,
+            "op_stream_stateful": _q_stream_stateful,
         }
     )
     return out
@@ -669,6 +779,9 @@ def oracle_sql() -> dict[str, str]:
             "op_embedding_dups": _COSINE_PAIRS_ORACLE,
             "op_cosine_topk": _TOPK_ORACLE,
             "op_knn_grouped": _KNN_ORACLE,
+            "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
+            "op_stream_sessionize": _STREAM_SESSION_ORACLE,
+            "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

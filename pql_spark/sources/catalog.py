@@ -86,9 +86,8 @@ def _read_parquet(spark: SparkSession, path: Path) -> DataFrame:
     Spark's native unit; sub-microsecond bits are truncated)."""
     df = spark.read.parquet(str(path))
     for c in _nanos_ts_columns(path):
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # integer `div` — float division would round 1e18-scale nanos
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

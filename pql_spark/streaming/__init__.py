@@ -1,0 +1,29 @@
+"""Structured Streaming surface.
+
+The reference (runreveal/pql) is batch-only — its language has no
+watermarks, windows, or state (SURVEY.md §2.5).  This module is the
+beyond-reference streaming tier: the same PQL compiler runs against
+``readStream`` sources (stateless operators stream as-is; aggregations
+become continuous windowed aggs), plus the stateful building blocks a
+security/analytics pipeline needs — tumbling/sliding windows, session
+windows, and a custom per-key stateful operator via
+``applyInPandasWithState``.
+"""
+
+from .pipeline import (
+    pql_stream,
+    run_available_now,
+    sessionize,
+    stream_parquet_table,
+    stateful_user_counts,
+    windowed_agg,
+)
+
+__all__ = [
+    "pql_stream",
+    "run_available_now",
+    "sessionize",
+    "stream_parquet_table",
+    "stateful_user_counts",
+    "windowed_agg",
+]

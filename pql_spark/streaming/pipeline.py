@@ -1,0 +1,221 @@
+"""Streaming pipeline building blocks.
+
+Scale design: every operator here is a standard Structured Streaming
+shape — incremental state in the state store, watermark-bounded (state
+is evicted once the watermark passes), shuffle only on the grouping
+keys.  On a cluster the same code runs continuously from Kafka/files;
+tests drive it with ``trigger(availableNow=True)`` over the synthetic
+``events`` parquet and a memory sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from pathlib import Path
+from typing import Any
+from uuid import uuid4
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_parquet_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over one of the synthetic parquet tables.
+
+    The schema is taken from a batch read of the same path (streaming
+    file sources require an explicit schema).  Nanosecond timestamp
+    columns get the same long→timestamp restore as the batch catalog.
+    """
+    from pql_spark.sources.catalog import _nanos_ts_columns
+
+    path = Path(sf_dir) / f"{name}.parquet"
+    schema = spark.read.parquet(str(path)).schema
+    stream_dir = path
+    if path.is_file():
+        # the streaming file source requires a directory; expose a
+        # single-file table through a symlink dir (zero copy)
+        import tempfile
+
+        stream_dir = Path(tempfile.mkdtemp(prefix=f"pql_stream_{name}_"))
+        (stream_dir / path.name).symlink_to(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(str(stream_dir))
+    for c in _nanos_ts_columns(path):
+        # integer `div` — float division would round 1e18-scale nanos
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 day",
+    keys: Iterable[str] = ("event_type",),
+    aggs: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation.
+
+    State per (window, keys) lives in the state store and is dropped
+    once the watermark passes the window end — bounded memory no matter
+    how long the stream runs.
+    """
+    aggs = aggs or {
+        "n": F.count(F.lit(1)),
+        "avg_value": F.avg("value"),
+    }
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows: events for one key within ``gap`` of each other
+    merge into one session (built-in ``session_window`` — incremental
+    merge in the state store, no custom state code)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_STATEFUL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("batch_events", T.LongType()),
+    ]
+)
+
+_STATEFUL_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_user_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: running per-user totals via
+    ``applyInPandasWithState``.
+
+    The canonical shape for state Spark's built-ins can't express
+    (custom eviction, conditional alerts, model state): per-key state is
+    a tuple in the state store, each micro-batch's rows arrive as Arrow
+    batches, and the update function merges them — Python runs once per
+    key per batch, not per row.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "batch_events": [batch_n],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_STATEFUL_OUT,
+        stateStructType=_STATEFUL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def pql_stream(
+    spark: SparkSession,
+    pql_text: str,
+    resolver,
+) -> DataFrame:
+    """Compile a PQL query against streaming sources.
+
+    The compiler is source-agnostic: ``where``/``project``/``extend``/
+    ``summarize`` produce valid streaming plans (aggregations run in
+    update/complete mode); ``sort``/``take``/``top`` are rejected by
+    Spark's unsupported-operation check, matching Structured Streaming
+    semantics.
+    """
+    from pql_spark import PqlEngine
+
+    return PqlEngine(spark, resolver=resolver).query(pql_text)
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "update"
+) -> list:
+    """Drain a streaming DataFrame through a memory sink with
+    ``availableNow`` (process-everything-then-stop) and return the
+    collected rows — the batch-equivalence harness used by tests."""
+    name = f"mem_{uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    df.sparkSession.catalog.dropTempView(name)
+    return out

@@ -1,0 +1,226 @@
+"""Unit tests for the beyond-reference data-pipeline operators
+(dedup, similarity, text analysis, multimodal plumbing) on small
+hand-constructed frames with known answers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pql_spark.operators import (
+    cosine_topk,
+    dedup_exact,
+    doc_fingerprint,
+    embedding_dup_pairs,
+    language_id,
+    lsh_bucket_topk,
+    minhash_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    pairwise_topk,
+    quality_score,
+    simhash,
+    simhash_dedup,
+    token_stats,
+    word_shingles,
+)
+from pql_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different text about spark and scale"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, "a", [1.0, 0.0, 0.0]),
+        (1, "a", [0.9, 0.1, 0.0]),
+        (2, "a", [0.0, 1.0, 0.0]),
+        (3, "b", [0.0, 0.0, 1.0]),
+        (4, "b", [0.0, 0.1, 0.9]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs, subset=["text"])
+    assert out.count() == 3
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signature(docs, num_perm=16, shingle_k=2)
+    row = sig.filter(F.col("doc_id") == 1).head()
+    assert len(row.minhash) == 16
+    # identical text ⇒ identical signature
+    row4 = sig.filter(F.col("doc_id") == 4).head()
+    assert list(row.minhash) == list(row4.minhash)
+
+
+def test_minhash_dup_pairs(docs):
+    pairs = minhash_dup_pairs(
+        docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found  # exact dup: jaccard 1.0
+    assert (1, 2) in found  # near dup (one word appended)
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+
+
+def test_ngram_jaccard_exact_value(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.1).collect()
+    }
+    assert pairs[(1, 4)] == pytest.approx(1.0)
+    # doc1: 8 distinct 2-shingles; doc2 adds "dog today" ⇒ 8/9
+    assert pairs[(1, 2)] == pytest.approx(8 / 9)
+
+
+def test_simhash_properties(docs):
+    out = {r.doc_id: list(r.simhash) for r in simhash(docs, bits=32).collect()}
+    assert len(out[1]) == 32 and set(out[1]) <= {0, 1}
+    assert out[1] == out[4]  # identical text, identical fingerprint
+    ham_12 = sum(a != b for a, b in zip(out[1], out[2]))
+    ham_13 = sum(a != b for a, b in zip(out[1], out[3]))
+    assert ham_12 < ham_13  # near-dup closer than unrelated text
+
+
+def test_simhash_dedup(docs):
+    kept = simhash_dedup(docs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 4 not in ids and 1 in ids  # min-id representative survives
+    assert len(ids) == 3
+
+
+def test_embedding_dup_pairs(vecs):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 1), (3, 4)}
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert pairs[(0, 1)] == pytest.approx(expected)
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_cosine_topk(vecs):
+    out = cosine_topk(vecs, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [0, 1]
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_lsh_bucket_topk_contains_self(vecs):
+    out = lsh_bucket_topk(vecs, [1.0, 0.0, 0.0], k=3, planes=4).collect()
+    assert out and out[0].vec_id == 0  # exact match always in own bucket
+
+
+def test_pairwise_topk_grouped(vecs):
+    out = pairwise_topk(vecs, k=1, key_col="label").collect()
+    best = {r.id: r.neighbor for r in out}
+    assert best[0] == 1 and best[1] == 0  # mutual NN within label a
+    assert best[3] == 4 and best[4] == 3  # within label b
+    assert all(r.rank == 1 for r in out)
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only three words")], "id long, text string")
+    row = df.select(word_shingles(F.col("text"), 5).alias("s")).head()
+    assert list(row.s) == ["only three words"]  # doc shorter than k
+
+
+def test_token_stats(docs):
+    row = token_stats(docs).filter(F.col("doc_id") == 1).head()
+    assert row.n_words == 9
+    assert row.n_tokens == 9  # no punctuation ⇒ same as words
+    assert row.n_chars_measured == len(
+        "the quick brown fox jumps over the lazy dog"
+    )
+
+
+def test_quality_score_bounds(docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog in a house that is for it"),
+        (2, "der Hund und die Katze ist ein Tier mit im Haus nicht"),
+        (3, "el perro y la casa es en un los de que por"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es"}
+
+
+def test_doc_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert out[1] == out[2]  # case/whitespace-insensitive
+    assert out[1] != out[3]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_roundtrip(spark):
+    media = M.synthesize_media(spark, n=8, kind="image", payload_bytes=256)
+    feats = M.extract_features(media, dim=4)
+    rows = feats.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_bytes == 256
+        assert len(r.feature) == 4
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    # determinism: same media_id ⇒ same feature
+    again = M.extract_features(
+        M.synthesize_media(spark, n=8, kind="image", payload_bytes=256), dim=4
+    ).collect()
+    assert {r.media_id: list(r.feature) for r in rows} == {
+        r.media_id: list(r.feature) for r in again
+    }
+
+
+def test_multimodal_real_decoder_stub(spark):
+    media = M.synthesize_media(spark, n=2)
+    feats = M.extract_features(media, decoder="real")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        feats.collect()
+
+
+def test_frame_sample_plan(spark):
+    rows = [
+        (1, "video", b"x", {"width": 1, "height": 1, "duration_ms": 2500,
+                            "codec": "fake"}),
+        (2, "image", b"y", {"width": 1, "height": 1, "duration_ms": 0,
+                            "codec": "fake"}),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.frame_sample_plan(df, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts_ms) for r in out} == {
+        (1, 0), (1, 1000), (1, 2000)
+    }

@@ -1,0 +1,135 @@
+"""Streaming tests: every streaming operator is checked for
+batch-equivalence — drain the stream with availableNow into a memory
+sink and compare against the same computation on the batch DataFrame."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pql_spark.sources import parquet_catalog
+from pql_spark.streaming import (
+    pql_stream,
+    run_available_now,
+    sessionize,
+    stream_parquet_table,
+    stateful_user_counts,
+    windowed_agg,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    if not SF_SMOKE.is_dir():
+        pytest.skip(f"testdata not available at {SF_SMOKE}")
+    return stream_parquet_table(spark, str(SF_SMOKE), "events")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    if not SF_SMOKE.is_dir():
+        pytest.skip(f"testdata not available at {SF_SMOKE}")
+    return parquet_catalog(spark, str(SF_SMOKE))("events")
+
+
+def _as_set(rows):
+    return {tuple(r) for r in rows}
+
+
+def test_windowed_agg_matches_batch(events_stream, events_batch):
+    streamed = run_available_now(
+        windowed_agg(events_stream, window="6 hours"), "update"
+    )
+    batch = (
+        events_batch.groupBy(
+            F.window("ts", "6 hours").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+        .collect()
+    )
+    assert _as_set(streamed) == _as_set(batch)
+    assert len(streamed) > 0
+
+
+def test_sessionize_matches_batch_session_window(events_stream, events_batch):
+    # session-window aggregation supports append/complete only; complete
+    # emits every finalized-or-open session, which is the batch answer
+    streamed = run_available_now(
+        sessionize(events_stream, gap="2 hours"), "complete"
+    )
+    batch = (
+        events_batch.groupBy(
+            F.session_window("ts", "2 hours").alias("sess"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    assert _as_set(streamed) == _as_set(batch)
+    assert len(streamed) > 0
+
+
+def test_stateful_user_counts(events_stream, events_batch):
+    streamed = run_available_now(stateful_user_counts(events_stream), "update")
+    # one availableNow pass may split into several micro-batches; the
+    # LAST emitted row per user carries the final running totals
+    final = {}
+    for r in streamed:
+        final[r.user_id] = (r.n_events, round(r.total_value, 4))
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_pql_on_stream_stateless(spark, events_stream, events_batch):
+    q = 'events | where value > 90 | project event_id, event_type, value'
+    streamed = run_available_now(
+        pql_stream(spark, q, lambda name: events_stream), "append"
+    )
+    batch = (
+        events_batch.filter(F.col("value") > 90)
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_pql_on_stream_aggregation(spark, events_stream, events_batch):
+    q = "events | summarize n = count() by event_type"
+    streamed = run_available_now(
+        pql_stream(spark, q, lambda name: events_stream), "complete"
+    )
+    batch = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_pql_sort_rejected_on_stream(spark, events_stream):
+    from pyspark.errors import AnalysisException
+
+    q = "events | sort by value"
+    df = pql_stream(spark, q, lambda name: events_stream)
+    with pytest.raises(AnalysisException):
+        run_available_now(df, "append")
