@@ -71,6 +71,22 @@ def test_minhash_signature_shape(docs):
     assert list(row.minhash) == list(row4.minhash)
 
 
+def test_minhash_impls_agree(docs):
+    """The Arrow-batched numpy kernel and the pure-Catalyst expression
+    path must produce bit-identical signatures."""
+    fast = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(docs, num_perm=16, shingle_k=2).collect()
+    }
+    ref = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(
+            docs, num_perm=16, shingle_k=2, impl="catalyst"
+        ).collect()
+    }
+    assert fast == ref
+
+
 def test_minhash_dup_pairs(docs):
     pairs = minhash_dup_pairs(
         docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5
