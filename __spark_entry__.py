@@ -277,6 +277,46 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM embeddings
         """,
     ),
+    # extend: appended computed column, then filtered/projected
+    "pql_extend": (
+        """
+        events
+        | extend vk = value * 2
+        | where vk > 190
+        | project event_id, vk
+        """,
+        """
+        SELECT event_id, value * 2 AS vk
+        FROM events WHERE value * 2 > 190
+        """,
+    ),
+    # passthrough function into Spark's registry (JSON extraction);
+    # the oracle uses DuckDB's equivalent — results must agree
+    "pql_json_props": (
+        """
+        events
+        | extend k = get_json_object(props, "$.k")
+        | summarize n = count() by k
+        | sort by k asc
+        """,
+        """
+        SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+        FROM events GROUP BY k ORDER BY k
+        """,
+    ),
+    # unnamed aggregates are named by their source text (pql.go:424-426)
+    "pql_sourcetext_name": (
+        """
+        events
+        | summarize min(value), max(value) by event_type
+        | sort by event_type asc
+        """,
+        """
+        SELECT event_type,
+               min(value) AS "min(value)", max(value) AS "max(value)"
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """
