@@ -1,0 +1,100 @@
+"""Physical-plan quality gates.
+
+At 100 TB the difference between a good and bad plan is the job: these
+tests pin the optimizations that must not regress — parquet predicate
+pushdown, column pruning, top-k via TakeOrderedAndProject, broadcast
+joins for small dimensions, and equi-join preservation for innerunique
+(a coalesce-wrapped join key would force BroadcastNestedLoopJoin,
+SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pql_spark import PqlEngine
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_catalog):
+    return PqlEngine(spark, resolver=sf_catalog)
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan(df) -> str:
+    df.collect()  # finalize AQE
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet(engine):
+    df = engine.query(
+        'lineitem | where l_quantity > 45 | project l_orderkey, l_quantity'
+    )
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+
+
+def test_in_list_pushed_to_parquet(engine):
+    df = engine.query(
+        'events | where event_type in ("click", "purchase") | project event_id'
+    )
+    plan = formatted_plan(df)
+    assert "In(event_type" in plan
+
+
+def test_column_pruning(engine):
+    df = engine.query("lineitem | project l_orderkey, l_quantity")
+    plan = formatted_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_top_plans_take_ordered(engine):
+    plan = formatted_plan(engine.query("orders | top 5 by o_totalprice"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_small_dim_join_broadcasts(engine):
+    df = engine.query(
+        "orders | join kind=inner (customer) on o_custkey == c_custkey"
+        " | summarize n = count() by c_mktsegment"
+    )
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_innerunique_stays_equi_join(engine):
+    """The join key must compile to raw equality (not the null-safe
+    coalesce wrapper) so Catalyst plans a hash join, mirroring the
+    reference's own ON-clause special case (pql.go:673-691)."""
+    df = engine.query(
+        "lineitem | project l_orderkey"
+        " | join kind=innerunique (orders) on l_orderkey == o_orderkey"
+        " | summarize n = count() by o_orderstatus"
+    )
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_null_safe_eq_still_pushdownable_stays_jvm(engine):
+    """where with == compiles to coalesce(=, false) — no Python UDFs
+    anywhere in the plan (whole-stage codegen keeps running)."""
+    df = engine.query('events | where event_type == "click" | count')
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation(engine):
+    """summarize must plan partial (map-side) + final HashAggregate —
+    the shuffle carries pre-aggregated rows, not raw data."""
+    df = engine.query("lineitem | summarize n = count() by l_returnflag")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
