@@ -140,6 +140,44 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY o_orderstatus
         """,
     ),
+    # TPC-H Q14-style: fact-fact join + conditional aggregation (iff)
+    "pql_promo_revenue": (
+        """
+        lineitem
+        | where l_shipdate >= "1995-09-01" and l_shipdate < "1995-10-01"
+        | join kind=inner (part) on l_partkey == p_partkey
+        | summarize promo = round(sum(iff(startswith(p_type, "PROMO"),
+                                          l_extendedprice * (1 - l_discount),
+                                          0.0)), 2),
+                    total = round(sum(l_extendedprice * (1 - l_discount)), 2)
+        """,
+        """
+        SELECT round(sum(CASE WHEN coalesce(starts_with(p_type, 'PROMO'),
+                                            FALSE)
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2) AS promo,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+        """,
+    ),
+    # three-way join chain through the dimension hierarchy
+    "pql_3way_join": (
+        """
+        customer
+        | join kind=inner (nation) on c_nationkey == n_nationkey
+        | join kind=inner (region) on n_regionkey == r_regionkey
+        | summarize n = count(), bal = round(sum(c_acctbal), 2) by r_name
+        | sort by r_name asc
+        """,
+        """
+        SELECT r_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ),
     # scalar function rewrites: iff / strcat / tolower
     "pql_iff_strcat": (
         """
