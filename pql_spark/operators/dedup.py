@@ -262,6 +262,15 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
+    # exact-result pruning: a gram in only ONE doc joins with nothing —
+    # drop df=1 grams (typically most of the index) before the self-join
+    alive = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") >= 2)
+        .select("gram")
+    )
+    inv = inv.join(alive, "gram")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
