@@ -355,6 +355,24 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # bin() extension: epoch-aligned time bucketing in a group key (the
+    # batch twin of streaming windows)
+    "pql_bin_hourly": (
+        """
+        events
+        | where event_type == "purchase"
+        | summarize n = count() by hour = bin(ts, "6 hours")
+        | sort by hour asc
+        """,
+        """
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600)
+                    AS TIMESTAMP) AS hour,
+               count(*) AS n
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY hour ORDER BY hour
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

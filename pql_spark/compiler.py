@@ -300,7 +300,9 @@ class Compiler:
             return F.element_at(base, index)
         if isinstance(expr, CallExpr):
             args = [self.compile_expr(a, env) for a in expr.args]
-            return pf.compile_call(expr.func, args, expr.span)
+            return pf.compile_call(
+                expr.func, args, expr.span, ast_args=expr.args
+            )
         raise ParseError(
             f"unsupported expression {type(expr).__name__}", expr.span
         )

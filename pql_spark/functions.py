@@ -54,14 +54,72 @@ def _check_argc(name: str, args: list, n_min: int, n_max: int, span: Span):
         )
 
 
-def compile_call(name: str, args: list[Column], span: Span) -> Column:
+_DURATION_UNITS = {
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+}
+
+
+def _duration_usec(text: str, span: Span) -> int:
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", text)
+    if not m or m.group(2).lower() not in _DURATION_UNITS:
+        raise ParseError(
+            f"bin(): bad duration {text!r} (want e.g. '15 minutes', '1h')",
+            span,
+        )
+    return int(m.group(1)) * _DURATION_UNITS[m.group(2).lower()] * 1_000_000
+
+
+def bin_fn(value: Column, size: Column, lit_duration: str | None,
+           span: Span) -> Column:
+    """KQL-style ``bin(value, roundTo)`` — floor to a multiple.
+
+    EXTENSION: not in the reference's rewritten registry (it would pass
+    through to an engine without it, README:82-85).  Implemented here as
+    the windowing entry point SURVEY §2.5 calls for: with a duration
+    string it floors timestamps to epoch-aligned buckets (the batch twin
+    of ``F.window``), so ``summarize … by bin(ts, "1 hour")`` works on
+    batch AND streaming inputs; with numbers it floors to numeric
+    multiples.
+    """
+    if lit_duration is not None:
+        usec = _duration_usec(lit_duration, span)
+        return F.timestamp_micros(
+            F.floor(F.unix_micros(value) / F.lit(usec)).cast("long")
+            * F.lit(usec)
+        )
+    return F.floor(value / size) * size
+
+
+def compile_call(
+    name: str,
+    args: list[Column],
+    span: Span,
+    ast_args: list | None = None,
+) -> Column:
     """Compile a scalar/aggregate function call.
 
     Known functions are rewritten per the reference registry; unknown names
     pass through to Spark's function registry (Catalyst-resolved at analysis
     time, matching the reference's engine-deferred late binding).
+    ``ast_args`` (the unparsed argument nodes) lets literal-dependent
+    rewrites like ``bin`` see their arguments' source form.
     """
     lname = name.lower()
+    if lname == "bin":
+        _check_argc(name, args, 2, 2, span)
+        from .ast_nodes import StringLit
+
+        lit = (
+            ast_args[1].value
+            if ast_args is not None and isinstance(ast_args[1], StringLit)
+            else None
+        )
+        return bin_fn(args[0], args[1], lit, span)
     if lname == "not":
         _check_argc(name, args, 1, 1, span)
         return ~args[0]

@@ -126,6 +126,40 @@ def test_pql_on_stream_aggregation(spark, events_stream, events_batch):
     assert _as_set(streamed) == _as_set(batch)
 
 
+def test_pql_bin_windowed_on_stream(spark, events_stream, events_batch):
+    """PQL time-bucketed aggregation over a stream: bin() gives the
+    same epoch-aligned buckets as a batch groupBy."""
+    q = 'events | summarize n = count() by h = bin(ts, "12 hours")'
+    streamed = run_available_now(
+        pql_stream(spark, q, lambda name: events_stream), "complete"
+    )
+    batch = (
+        events_batch.groupBy(
+            F.timestamp_micros(
+                (F.floor(F.unix_micros("ts") / (43200 * 1_000_000))).cast(
+                    "long"
+                )
+                * (43200 * 1_000_000)
+            ).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_bin_numeric(spark, events_batch):
+    from pql_spark import PqlEngine
+
+    df = PqlEngine(spark, resolver=lambda n: events_batch).query(
+        "events | summarize n = count() by b = bin(value, 25) | sort by b asc"
+    )
+    rows = df.collect()
+    assert rows and all(r.b % 25 == 0 for r in rows)  # floor to multiples
+    assert [r.b for r in rows] == sorted(r.b for r in rows)
+    assert sum(r.n for r in rows) == events_batch.count()
+
+
 def test_pql_sort_rejected_on_stream(spark, events_stream):
     from pyspark.errors import AnalysisException
 
