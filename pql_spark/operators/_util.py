@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def rebalance(df: DataFrame) -> DataFrame:
@@ -19,3 +20,34 @@ def rebalance(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to extreme key skew.
+
+    When one join-key value dominates (the classic SIEM/user-activity
+    hot key), a plain hash join puts that key's entire partition on one
+    task.  AQE's skew-join splitting handles moderate skew; for the
+    pathological case this spreads the LEFT side over ``salt``
+    sub-partitions (deterministic hash of the whole row) and replicates
+    the matching RIGHT rows to every sub-partition, so the hot key runs
+    on ``salt`` tasks instead of one.  Result is exactly the plain
+    join's (verified by tests); cost is ``salt``× replication of the
+    right side — use with a small-to-medium right side.
+    """
+    if how not in ("inner", "left", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt))
+    )
+    salt_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = salt_l.join(salt_r, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -12,10 +12,13 @@ from .catalog import (
     parquet_catalog,
     register_views,
 )
+from .sinks import write_bucketed, write_partitioned
 
 __all__ = [
     "build_session",
     "load_sf_dir",
     "parquet_catalog",
     "register_views",
+    "write_bucketed",
+    "write_partitioned",
 ]
