@@ -205,17 +205,26 @@ def run_available_now(
     ``availableNow`` (process-everything-then-stop) and return the
     collected rows — the batch-equivalence harness used by tests."""
     name = f"mem_{uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = df.sparkSession
+    # state-store partition count is fixed at query start from this conf;
+    # a short availableNow drain doesn't need a wide state store, and
+    # every extra partition is per-micro-batch task overhead
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.awaitTermination(300)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
     df.sparkSession.catalog.dropTempView(name)
     return out
