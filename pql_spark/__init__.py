@@ -9,6 +9,13 @@ analysis, multimodal plumbing) the reference does not have.
 
 from .engine import PqlEngine, compile_pql, parse
 from .parser import QueryError
+from .sql_backend import compile_to_sql
 
-__all__ = ["PqlEngine", "compile_pql", "parse", "QueryError"]
+__all__ = [
+    "PqlEngine",
+    "compile_pql",
+    "compile_to_sql",
+    "parse",
+    "QueryError",
+]
 __version__ = "0.1.0"

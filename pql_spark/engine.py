@@ -46,6 +46,21 @@ class PqlEngine:
             merged.update(params)
         return compile_pql(text, self._resolver, merged)
 
+    def to_sql(
+        self, text: str, params: Mapping[str, object] | None = None
+    ) -> str:
+        """Compile to a Spark SQL string (the reference's Compile API
+        shape, pql.go:18-30); run it with ``spark.sql`` against the same
+        tables registered as views."""
+        from .sql_backend import compile_to_sql
+
+        merged = dict(self._params)
+        if params:
+            merged.update(params)
+        return compile_to_sql(
+            text, lambda n: self._resolver(n).columns, merged
+        )
+
 
 def _as_resolver(
     spark: SparkSession,

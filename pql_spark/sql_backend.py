@@ -1,0 +1,431 @@
+"""PQL → Spark SQL text backend.
+
+The reference's public API is ``Compile(pql) -> SQL string``
+(pql.go:18-30); this module is that API for the Spark dialect, so a user
+of the reference can keep their compile-to-SQL workflow:
+``spark.sql(compile_to_sql(text, columns))``.
+
+Unlike the reference we do NOT need its subquery-splitting machinery
+(splitQueries/canAttachSort, pql.go:129-304): each operator simply wraps
+the previous stage in a subselect and Catalyst's CollapseProject /
+EliminateSubqueryAliases flattens the nesting — the optimizer does the
+fusion the reference does with string surgery.
+
+Semantics match the DataFrame compiler exactly (same null-safe ``==``,
+naming rules, join duplicate renaming); ``tests/test_sql_backend.py``
+asserts result equality between both backends on the driver queries and
+the golden corpus.
+
+Schema knowledge: SQL text can't introspect, so the caller provides
+per-table column lists (needed to expand ``*`` at joins and rename
+right-side duplicates to ``$right.<col>``, JoinInner golden).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from .ast_nodes import (
+    AsOp,
+    BinaryExpr,
+    CallExpr,
+    ColSpec,
+    CountOp,
+    Expr,
+    ExtendOp,
+    Ident,
+    InExpr,
+    IndexExpr,
+    JoinOp,
+    LetStatement,
+    NumberLit,
+    ProjectOp,
+    RenderOp,
+    SortOp,
+    SortTerm,
+    StringLit,
+    SummarizeOp,
+    TabularExpr,
+    TakeOp,
+    TopOp,
+    UnaryExpr,
+    WhereOp,
+)
+from .functions import _DURATION_UNITS, _duration_usec
+from .lexer import Span
+from .parser import ParseError, QueryError, parse
+
+__all__ = ["compile_to_sql"]
+
+ColumnsOf = Callable[[str], Sequence[str]]
+
+# binary-op precedence for minimal parenthesization (parser.go:991-1007)
+_PREC = {
+    "or": 0, "and": 1,
+    "==": 2, "!=": 2, "=~": 2, "!~": 2,
+    "<": 2, "<=": 2, ">": 2, ">=": 2,
+    "+": 3, "-": 3,
+    "*": 4, "/": 4, "%": 4,
+}
+
+
+def _q(name: str) -> str:
+    """Backtick-quote one identifier segment (Spark dialect)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qs(s: str) -> str:
+    """Single-quote a string literal with backslash escaping."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _lit(value: object) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, str):
+        return _qs(value)
+    raise TypeError(f"cannot bind parameter of type {type(value).__name__}")
+
+
+class _SqlEmitter:
+    def __init__(
+        self,
+        source_text: str,
+        columns_of: ColumnsOf,
+        params: Mapping[str, object],
+    ):
+        self.text = source_text
+        self.columns_of = columns_of
+        self.scope: dict[str, str] = {k: _lit(v) for k, v in params.items()}
+        self.bound: dict[str, tuple[str, list[str]]] = {}  # `as` bindings
+        self.join_sides: tuple[list[str], list[str]] | None = None
+
+    # ------------------------------------------------------------ pipeline
+
+    def emit_query(self, expr: TabularExpr) -> tuple[str, list[str]]:
+        name = expr.source.name
+        if name in self.bound:
+            sql, cols = self.bound[name]
+        else:
+            cols = list(self.columns_of(name))
+            sql = f"SELECT * FROM {_q(name)}"
+        for op in expr.operators:
+            sql, cols = self.emit_op(op, sql, cols)
+        return sql, cols
+
+    def emit_op(
+        self, op, sql: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        inner = f"({sql})"
+        if isinstance(op, WhereOp):
+            pred = self.expr(op.predicate)
+            return f"SELECT * FROM {inner} WHERE {pred}", cols
+        if isinstance(op, CountOp):
+            return f"SELECT count(1) AS {_q('count()')} FROM {inner}", [
+                "count()"
+            ]
+        if isinstance(op, SortOp):
+            terms = ", ".join(self.sort_term(t) for t in op.terms)
+            return f"SELECT * FROM {inner} ORDER BY {terms}", cols
+        if isinstance(op, TakeOp):
+            return f"SELECT * FROM {inner} LIMIT {self.expr(op.count)}", cols
+        if isinstance(op, TopOp):
+            return (
+                f"SELECT * FROM {inner} ORDER BY {self.sort_term(op.term)}"
+                f" LIMIT {self.expr(op.count)}",
+                cols,
+            )
+        if isinstance(op, ProjectOp):
+            items, names = [], []
+            for c in op.cols:
+                name, item = self.col_spec(c)
+                items.append(item)
+                names.append(name)
+            return f"SELECT {', '.join(items)} FROM {inner}", names
+        if isinstance(op, ExtendOp):
+            out = list(cols)
+            items = [_q(c) for c in cols]
+            for c in op.cols:
+                name, item = self.col_spec(c)
+                if name in out:  # in-place replacement (withColumn rule)
+                    items[out.index(name)] = item
+                else:
+                    out.append(name)
+                    items.append(item)
+            return f"SELECT {', '.join(items)} FROM {inner}", out
+        if isinstance(op, SummarizeOp):
+            keys, aggs, names = [], [], []
+            for c in op.keys:
+                name, item = self.col_spec(c)
+                keys.append((name, item))
+                names.append(name)
+            for c in op.aggs:
+                name, item = self.col_spec(c)
+                aggs.append(item)
+                names.append(name)
+            key_items = [item for _, item in keys]
+            if not aggs:  # `summarize by K` ⇒ distinct keys
+                return (
+                    f"SELECT DISTINCT {', '.join(key_items)} FROM {inner}",
+                    names,
+                )
+            select = ", ".join(key_items + aggs)
+            group = ""
+            if keys:
+                group = " GROUP BY " + ", ".join(
+                    _q(name) for name, _ in keys
+                )
+            return f"SELECT {select} FROM {inner}{group}", names
+        if isinstance(op, JoinOp):
+            return self.emit_join(op, sql, cols)
+        if isinstance(op, AsOp):
+            self.bound[op.name] = (sql, list(cols))
+            return sql, cols
+        if isinstance(op, RenderOp):
+            extras = [f"{_qs(op.chart)} AS {_q('render_type')}"]
+            out = [*cols, "render_type"]
+            for key, value in op.props:
+                extras.append(f"{self.expr(value)} AS {_q(f'render_prop_{key}')}")
+                out.append(f"render_prop_{key}")
+            return f"SELECT *, {', '.join(extras)} FROM {inner}", out
+        raise ParseError(
+            f"SQL backend: unsupported operator {type(op).__name__}", op.span
+        )
+
+    def emit_join(
+        self, op: JoinOp, left_sql: str, left_cols: list[str]
+    ) -> tuple[str, list[str]]:
+        right_sql, right_cols = self.emit_query(op.right)
+        if op.flavor == "innerunique":  # dedup whole left (pql.go:201-214)
+            left_sql = f"SELECT DISTINCT * FROM ({left_sql})"
+        kind = "LEFT JOIN" if op.flavor == "leftouter" else "JOIN"
+        self.join_sides = (left_cols, right_cols)
+        try:
+            conds = [self.join_condition(c) for c in op.conditions]
+        finally:
+            self.join_sides = None
+        on = " AND ".join(f"({c})" for c in conds) if conds else "TRUE"
+        out_items, out_names = [], []
+        for c in left_cols:
+            out_items.append(f"{_q('$left')}.{_q(c)} AS {_q(c)}")
+            out_names.append(c)
+        for c in right_cols:
+            name = f"$right.{c}" if c in left_cols else c
+            out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
+            out_names.append(name)
+        sql = (
+            f"SELECT {', '.join(out_items)} FROM ({left_sql}) AS {_q('$left')}"
+            f" {kind} ({right_sql}) AS {_q('$right')} ON {on}"
+        )
+        return sql, out_names
+
+    def join_condition(self, cond: Expr) -> str:
+        if isinstance(cond, Ident) and cond.simple:
+            # bare `on K` sugar ⇒ $left.K == $right.K (pql.go:326-346)
+            k = _q(cond.parts[0])
+            return f"{_q('$left')}.{k} = {_q('$right')}.{k}"
+        return self.expr(cond)
+
+    def sort_term(self, term: SortTerm) -> str:
+        direction = "ASC" if term.asc else "DESC"
+        nulls = "NULLS FIRST" if term.nulls_first else "NULLS LAST"
+        return f"{self.expr(term.expr)} {direction} {nulls}"
+
+    def col_spec(self, spec: ColSpec) -> tuple[str, str]:
+        """Returns (output name, SELECT item) per the naming rules:
+        Name=Expr | bare Name (identity) | bare Expr (source text)."""
+        if spec.name is not None and spec.expr is not None:
+            return spec.name, f"{self.expr(spec.expr)} AS {_q(spec.name)}"
+        if spec.name is not None:
+            return spec.name, _q(spec.name)
+        name = spec.expr.source(self.text).strip()
+        return name, f"{self.expr(spec.expr)} AS {_q(name)}"
+
+    # ---------------------------------------------------------- expressions
+
+    def expr(self, e: Expr, parent_prec: int = -1) -> str:
+        if isinstance(e, NumberLit):
+            return e.text
+        if isinstance(e, StringLit):
+            return _qs(e.value)
+        if isinstance(e, Ident):
+            return self.ident(e)
+        if isinstance(e, UnaryExpr):
+            inner = self.expr(e.operand, 5)
+            return f"{e.op}{inner}" if e.op == "-" else inner
+        if isinstance(e, BinaryExpr):
+            return self.binary(e, parent_prec)
+        if isinstance(e, InExpr):
+            items = ", ".join(self.expr(i) for i in e.items)
+            return f"{self.expr(e.lhs, 2)} IN ({items})"
+        if isinstance(e, IndexExpr):
+            return (
+                f"element_at({self.expr(e.base)}, {self.expr(e.index)})"
+            )
+        if isinstance(e, CallExpr):
+            return self.call(e)
+        raise ParseError(
+            f"SQL backend: unsupported expression {type(e).__name__}", e.span
+        )
+
+    def ident(self, e: Ident) -> str:
+        if e.simple and not e.quoted[0]:
+            name = e.parts[0]
+            if name in ("true", "false", "null"):
+                return name.upper()
+            if name in self.scope:
+                return self.scope[name]
+        return ".".join(_q(p) for p in e.parts)
+
+    def _references_both_sides(self, e: Expr) -> bool:
+        if self.join_sides is None:
+            return False
+        left_cols, right_cols = self.join_sides
+        seen = {"left": False, "right": False}
+
+        def walk(node: Expr) -> None:
+            if isinstance(node, Ident):
+                head = node.parts[0]
+                if head == "$left":
+                    seen["left"] = True
+                elif head == "$right":
+                    seen["right"] = True
+                elif node.simple:
+                    if node.parts[0] in left_cols:
+                        seen["left"] = True
+                    if node.parts[0] in right_cols:
+                        seen["right"] = True
+            for attr in ("lhs", "rhs", "operand", "base", "index"):
+                child = getattr(node, attr, None)
+                if isinstance(child, Expr):
+                    walk(child)
+            for child in getattr(node, "items", []) or []:
+                walk(child)
+            for child in getattr(node, "args", []) or []:
+                walk(child)
+
+        walk(e)
+        return seen["left"] and seen["right"]
+
+    def binary(self, e: BinaryExpr, parent_prec: int) -> str:
+        op = e.op
+        if op in ("==", "!="):
+            sql_op = "=" if op == "==" else "<>"
+            lhs, rhs = self.expr(e.lhs, 2), self.expr(e.rhs, 2)
+            if self._references_both_sides(e):
+                # raw equality inside join ON so Catalyst keeps the
+                # equi-join key (pql.go:673-691, SURVEY §4)
+                return f"{lhs} {sql_op} {rhs}"
+            return f"coalesce({lhs} {sql_op} {rhs}, FALSE)"
+        if op in ("=~", "!~"):
+            sql_op = "=" if op == "=~" else "<>"
+            return (
+                f"lower({self.expr(e.lhs)}) {sql_op} lower({self.expr(e.rhs)})"
+            )
+        prec = _PREC[op]
+        sql_op = op.upper() if op in ("and", "or") else op
+        out = (
+            f"{self.expr(e.lhs, prec)} {sql_op} {self.expr(e.rhs, prec + 1)}"
+        )
+        return f"({out})" if prec < parent_prec else out
+
+    def call(self, e: CallExpr) -> str:
+        name = e.func.lower()
+        args = e.args
+
+        def argc(n_min: int, n_max: int) -> None:
+            if not (n_min <= len(args) <= n_max):
+                want = (
+                    str(n_min) if n_min == n_max else f"{n_min}..{n_max}"
+                )
+                raise ParseError(
+                    f"{e.func}() takes {want} argument(s), got {len(args)}",
+                    e.span,
+                )
+
+        if name == "not":
+            argc(1, 1)
+            return f"NOT ({self.expr(args[0])})"
+        if name == "now":
+            argc(0, 0)
+            return "current_timestamp()"
+        if name == "isnull":
+            argc(1, 1)
+            return f"(({self.expr(args[0])}) IS NULL)"
+        if name == "isnotnull":
+            argc(1, 1)
+            return f"(({self.expr(args[0])}) IS NOT NULL)"
+        if name == "strcat":
+            if not args:
+                raise ParseError("strcat() takes at least 1 argument", e.span)
+            return f"concat({', '.join(self.expr(a) for a in args)})"
+        if name == "count":
+            argc(0, 0)
+            return "count(1)"
+        if name == "countif":
+            argc(1, 1)
+            return f"count(CASE WHEN {self.expr(args[0])} THEN 1 END)"
+        if name in ("iff", "iif"):
+            argc(3, 3)
+            return (
+                f"CASE WHEN coalesce({self.expr(args[0])}, FALSE)"
+                f" THEN {self.expr(args[1])} ELSE {self.expr(args[2])} END"
+            )
+        if name == "tolower":
+            argc(1, 1)
+            return f"lower({self.expr(args[0])})"
+        if name == "toupper":
+            argc(1, 1)
+            return f"upper({self.expr(args[0])})"
+        if name == "bin":
+            argc(2, 2)
+            if isinstance(args[1], StringLit):
+                usec = _duration_usec(args[1].value, e.span)
+                x = self.expr(args[0])
+                return (
+                    f"timestamp_micros(CAST(floor(unix_micros({x}) /"
+                    f" {usec}) AS BIGINT) * {usec})"
+                )
+            return (
+                f"(floor({self.expr(args[0], 4)} / {self.expr(args[1], 5)})"
+                f" * {self.expr(args[1], 5)})"
+            )
+        # passthrough (pql.go:770-787)
+        return f"{e.func}({', '.join(self.expr(a) for a in args)})"
+
+
+def compile_to_sql(
+    text: str,
+    columns: Mapping[str, Sequence[str]] | ColumnsOf,
+    params: Mapping[str, object] | None = None,
+) -> str:
+    """Compile one PQL query to a Spark SQL string.
+
+    ``columns`` supplies each referenced table's column list (mapping or
+    callable) — required to expand ``*`` at joins and reproduce the
+    ``$right.<col>`` duplicate-naming rule.
+    """
+    columns_of: ColumnsOf = (
+        columns if callable(columns) else lambda n: columns[n]
+    )
+    statements = parse(text)
+    tabular = [s for s in statements if isinstance(s, TabularExpr)]
+    if not tabular:
+        raise QueryError(text, [ParseError("no tabular query", Span(0, 0))])
+    if len(tabular) > 1:
+        raise QueryError(
+            text,
+            [ParseError("batch queries not supported", tabular[1].span)],
+        )
+    emitter = _SqlEmitter(text, columns_of, dict(params or {}))
+    for stmt in statements:
+        if stmt is tabular[0]:
+            break  # lets after the query are skipped (pql.go:58-62)
+        if isinstance(stmt, LetStatement):
+            emitter.scope[stmt.name] = emitter.expr(stmt.expr)
+    sql, _ = emitter.emit_query(tabular[0])
+    return sql

@@ -1,0 +1,76 @@
+"""SQL-backend equivalence: ``compile_to_sql`` + ``spark.sql`` must
+produce the same rows as the DataFrame compiler for the same PQL — on
+the driver contract's PQL queries and on the reference golden corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from pql_spark import PqlEngine, compile_to_sql
+
+from .conftest import REFERENCE_TESTDATA, SF_SMOKE
+from .test_goldens import _golden_cases, _load_params
+
+GOLDENS_DIR = REFERENCE_TESTDATA / "Goldens"
+
+SF_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+@pytest.fixture(scope="module")
+def sf_views(spark, sf_catalog):
+    for name in SF_TABLES:
+        sf_catalog(name).createOrReplaceTempView(name)
+    yield sf_catalog
+    for name in SF_TABLES:
+        spark.catalog.dropTempView(name)
+
+
+def _entry_pql_cases():
+    import __spark_entry__ as entrymod
+
+    return sorted(entrymod.PQL_QUERIES)
+
+
+@pytest.mark.skipif(not SF_SMOKE.is_dir(), reason="no testdata")
+@pytest.mark.parametrize("name", _entry_pql_cases())
+def test_sql_backend_matches_dataframe_backend(spark, sf_views, name):
+    import __spark_entry__ as entrymod
+
+    text = entrymod.PQL_QUERIES[name][0]
+    engine = PqlEngine(spark, resolver=sf_views)
+    df_rows = _rows(engine.query(text))
+    sql = compile_to_sql(text, lambda n: sf_views(n).columns)
+    sql_rows = _rows(spark.sql(sql))
+    assert sql_rows == df_rows
+
+
+@pytest.mark.skipif(not GOLDENS_DIR.is_dir(), reason="no reference goldens")
+@pytest.mark.parametrize("case", _golden_cases())
+def test_sql_backend_matches_on_goldens(spark, fixture_tables, case):
+    case_dir = GOLDENS_DIR / case
+    text = (case_dir / "input.pql").read_text()
+    params = _load_params(case_dir)
+    # temp-view names cannot contain spaces; those goldens are covered by
+    # the DataFrame-backend golden tests
+    needed = [n for n in fixture_tables if n in text]
+    if any(" " in n for n in needed):
+        pytest.skip("table name not representable as a temp view")
+    if "now()" in text:
+        pytest.skip("wall-clock-dependent output (now())")
+    for name, df in fixture_tables.items():
+        if " " not in name:
+            df.createOrReplaceTempView(name)
+    engine = PqlEngine(spark, resolver=dict(fixture_tables))
+    df_rows = _rows(engine.query(text, params=params))
+    sql = compile_to_sql(
+        text, lambda n: fixture_tables[n].columns, params=params
+    )
+    sql_rows = _rows(spark.sql(sql))
+    assert sql_rows == df_rows, sql
