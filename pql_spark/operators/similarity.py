@@ -58,34 +58,89 @@ def pairwise_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     key_col: str | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
-    """For each vector, its k nearest neighbors (brute-force within
-    ``key_col`` groups when given — the IVF pattern: partition by a
-    coarse key, search within the cell)."""
-    from pyspark.sql import Window
+    """For each vector, its k nearest neighbors by cosine (brute-force
+    within ``key_col`` groups when given — the IVF pattern: partition by
+    a coarse key, search within the cell).
 
-    v = df.select(
-        F.col(id_col),
-        *([F.col(key_col)] if key_col else []),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
-    if key_col:
-        cond = cond & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    scored = a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias("id"),
-        F.col(f"b.{id_col}").alias("neighbor"),
-        cos.alias("cosine"),
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor").asc()
-    )
+    ``impl="pandas"`` (default): one Arrow batch per group, the whole
+    cell's similarity matrix is a single BLAS matmul, top-k via argsort
+    — each cell is one task, cells run in parallel across the cluster.
+    ``impl="catalyst"``: pure-expression pairwise join + window rank
+    (no Python workers), kept as the reference implementation.
+    Ordering contract (both impls): cosine desc, neighbor id asc.
+    """
+    if impl == "catalyst":
+        from pyspark.sql import Window
+
+        v = df.select(
+            F.col(id_col),
+            *([F.col(key_col)] if key_col else []),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        a, b = v.alias("a"), v.alias("b")
+        cond = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        if key_col:
+            cond = cond & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+        cos = _dot(F.col("a.v"), F.col("b.v")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        scored = a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id"),
+            F.col(f"b.{id_col}").alias("neighbor"),
+            cos.alias("cosine"),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("id", "rank")
+        )
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        out_id, out_nb, out_cos, out_rank = [], [], [], []
+        for i in range(len(ids)):
+            # cosine desc, neighbor id asc; lexsort's last key is primary
+            order = np.lexsort((ids, -sims[i]))
+            order = order[order != i][:k]
+            out_id.extend([ids[i]] * len(order))
+            out_nb.extend(ids[order])
+            out_cos.extend(sims[i, order])
+            out_rank.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {
+                "id": out_id,
+                "neighbor": out_nb,
+                "cosine": out_cos,
+                "rank": out_rank,
+            }
+        )
+
+    grouping = [key_col] if key_col else [F.lit(0).alias("__cell")]
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        df.select(
+            F.col(id_col), F.col(vec_col),
+            *([F.col(key_col)] if key_col else []),
+        )
+        .groupBy(*grouping)
+        .applyInPandas(
+            kernel, "id long, neighbor long, cosine double, rank int"
+        )
         .orderBy("id", "rank")
     )
 

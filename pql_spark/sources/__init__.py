@@ -8,6 +8,7 @@ loaders that register parquet/CSV directories as catalogs.
 
 from .catalog import (
     build_session,
+    file_catalog,
     load_sf_dir,
     parquet_catalog,
     register_views,
@@ -16,6 +17,7 @@ from .sinks import write_bucketed, write_partitioned
 
 __all__ = [
     "build_session",
+    "file_catalog",
     "load_sf_dir",
     "parquet_catalog",
     "register_views",

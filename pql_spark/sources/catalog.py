@@ -124,3 +124,45 @@ def register_views(spark: SparkSession, sf_dir: str | os.PathLike) -> None:
     """Register the sf directory's tables as temp views (for spark.sql)."""
     for name, df in load_sf_dir(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+_FORMAT_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "inferSchema": "true"},
+    "json": {},
+    "parquet": {},
+}
+
+
+def file_catalog(
+    spark: SparkSession,
+    base_dir: str | os.PathLike,
+    fmt: str = "parquet",
+    **options: str,
+):
+    """Resolver callable over ``<base_dir>/<name>.<fmt>`` files of any
+    Spark-readable format (the reference's test harness exposes CSV and
+    JSON files as tables the same way, clickhouse_test.go:64-78).
+
+    CSV defaults to header+inferSchema; pass explicit reader options to
+    override (at scale, always pass an explicit ``schema`` option —
+    inference scans the data twice).
+    """
+    if fmt not in _FORMAT_DEFAULTS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if fmt == "parquet" and not options:
+        return parquet_catalog(spark, base_dir)
+    base = Path(base_dir)
+    opts = {**_FORMAT_DEFAULTS[fmt], **options}
+    cache: dict[str, DataFrame] = {}
+
+    def resolve(name: str) -> DataFrame:
+        if name not in cache:
+            path = base / f"{name}.{fmt}"
+            if not path.exists():
+                raise KeyError(f"no {fmt} table {name!r} under {base}")
+            cache[name] = spark.read.options(**opts).format(fmt).load(
+                str(path)
+            )
+        return cache[name]
+
+    return resolve

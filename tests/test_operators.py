@@ -157,6 +157,27 @@ def test_pairwise_topk_grouped(vecs):
     assert all(r.rank == 1 for r in out)
 
 
+def test_pairwise_topk_impls_agree(vecs):
+    fast = [
+        (r.id, r.neighbor, r.rank, round(r.cosine, 9))
+        for r in pairwise_topk(vecs, k=2, key_col="label").collect()
+    ]
+    ref = [
+        (r.id, r.neighbor, r.rank, round(r.cosine, 9))
+        for r in pairwise_topk(
+            vecs, k=2, key_col="label", impl="catalyst"
+        ).collect()
+    ]
+    assert fast == ref
+
+
+def test_pairwise_topk_single_cell(vecs):
+    out = pairwise_topk(vecs, k=1).collect()  # no key: one cell
+    assert {r.id for r in out} == {0, 1, 2, 3, 4}
+    best = {r.id: r.neighbor for r in out}
+    assert best[0] == 1
+
+
 # ------------------------------------------------------------------ text
 
 
