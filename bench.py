@@ -29,7 +29,12 @@ def main() -> int:
 
     spark = build_session("pql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()  # warm up JVM
+    # Warm fixed machinery once (JIT/codegen infra, parquet reader
+    # classes, shuffle system, Python/Arrow workers) on the 5-row region
+    # table so per-query timings measure the queries, not class loading.
+    warm = spark.read.parquet(str(Path(sf_dir) / "region.parquet"))
+    warm.groupBy("r_name").count().collect()
+    warm.mapInPandas(lambda it: it, warm.schema).count()
 
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -73,9 +73,12 @@ def minhash_signature(
     num_perm: int = 64,
     shingle_k: int = 5,
     impl: str = "pandas",
+    include_shingles: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature (array<long>, length num_perm) over
     distinct k-word shingles.  Narrow transform — no shuffle.
+    ``include_shingles=False`` drops the shingle arrays from the output
+    (skips their Arrow round-trip when the caller re-derives them).
 
     ``impl="pandas"`` (default): shingling stays in Catalyst (so text
     normalization is identical to every other text operator), then an
@@ -117,9 +120,10 @@ def minhash_signature(
             ),
             lambda s: s.m,
         )
-        return shingled.select(
+        out = shingled.select(
             F.col(id_col), mins.alias("minhash"), F.col("shingles")
         )
+        return out if include_shingles else out.drop("shingles")
     if impl != "pandas":
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -145,18 +149,15 @@ def minhash_signature(
                     dtype=np.int64,
                 )[None, :]
                 sigs.append(((a_vec * h + b_vec) % _P).min(axis=1))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "minhash": sigs,
-                    "shingles": pdf["shingles"],
-                }
-            )
+            out = {id_col: pdf[id_col], "minhash": sigs}
+            if include_shingles:
+                out["shingles"] = pdf["shingles"]
+            yield pd.DataFrame(out)
 
-    return shingled.mapInPandas(
-        kernel,
-        f"{id_col} long, minhash array<long>, shingles array<string>",
-    )
+    schema = f"{id_col} long, minhash array<long>"
+    if include_shingles:
+        schema += ", shingles array<string>"
+    return shingled.mapInPandas(kernel, schema)
 
 
 def minhash_dup_pairs(
@@ -177,7 +178,9 @@ def minhash_dup_pairs(
     """
     rows = num_perm // bands
     df = rebalance(df)
-    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
+    sig = minhash_signature(
+        df, text_col, id_col, num_perm, shingle_k, include_shingles=False
+    )
     # band join on (id, band, bhash) ONLY — the heavy shingle arrays are
     # joined back after pair-dedup, so the candidate shuffle moves ~40
     # bytes/row instead of the full shingle sets (16× per doc)
