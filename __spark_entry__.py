@@ -652,6 +652,29 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """
 
+# as-of join: every event picks up the most recent signup value <= ts
+# for its user (DuckDB's native ASOF JOIN is the oracle)
+_ASOF_ORACLE = """
+WITH s AS (SELECT user_id, ts, value AS sv FROM events
+           WHERE event_type = 'signup')
+SELECT e.event_id, e.user_id, round(s.sv, 4) AS sv
+FROM events e ASOF LEFT JOIN s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+# range join: clicks landing inside [purchase, purchase + 2h) windows
+# of the same user
+_RANGE_JOIN_ORACLE = """
+WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id
+FROM c JOIN p
+  ON c.user_id = p.user_id AND p.lo <= c.ts AND c.ts <= p.hi
+"""
+
 
 # ------------------------------------------------------------ query builders
 
@@ -815,6 +838,37 @@ def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import asof_join
+
+    events = _cat(spark, sf_dir)("events")
+    left = events.select("event_id", "user_id", "ts")
+    right = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id", F.round("sv", 4).alias("sv")
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import range_join
+
+    events = _cat(spark, sf_dir)("events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = range_join(clicks, purchases, by="user_id", bucket="2 hours")
+    return out.select("click_id", "purchase_id")
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -855,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sessionize": _q_stream_sessionize,
             "op_stream_stateful": _q_stream_stateful,
+            "op_asof_join": _q_asof,
+            "op_range_join": _q_range_join,
         }
     )
     return out
@@ -878,6 +934,8 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
+            "op_asof_join": _ASOF_ORACLE,
+            "op_range_join": _RANGE_JOIN_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

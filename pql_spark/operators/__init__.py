@@ -18,6 +18,7 @@ from .dedup import (
     simhash_dedup,
 )
 from .similarity import cosine_topk, lsh_bucket_topk, pairwise_topk
+from .temporal import asof_join, range_join
 from .text import (
     doc_fingerprint,
     language_id,
@@ -28,6 +29,7 @@ from .text import (
 )
 
 __all__ = [
+    "asof_join",
     "cosine_topk",
     "dedup_exact",
     "doc_fingerprint",
@@ -39,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pairwise_topk",
     "quality_score",
+    "range_join",
     "simhash",
     "simhash_dedup",
     "token_stats",
