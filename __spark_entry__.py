@@ -652,6 +652,21 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """
 
+# KMV distinct sketch: deterministic (md5-ordered), so the approximate
+# estimate itself is exactly reproducible by the oracle
+_KMV_ORACLE = """
+WITH h AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS h
+           FROM events),
+k AS (SELECT h FROM h ORDER BY h ASC LIMIT 64)
+SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+            ELSE round(63.0 * 4294967296.0 / max(h), 4) END AS estimate,
+       max(h) AS kth_min,
+       count(*)::INT AS n_sketch
+FROM k
+"""
+
 # as-of join: every event picks up the most recent signup value <= ts
 # for its user (DuckDB's native ASOF JOIN is the oracle)
 _ASOF_ORACLE = """
@@ -869,6 +884,35 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "purchase_id")
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.streaming import (
+        run_available_now,
+        stream_interval_join,
+        stream_parquet_table,
+    )
+
+    events = stream_parquet_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = stream_interval_join(clicks, purchases, within="2 hours").select(
+        "click_id", "purchase_id"
+    )
+    rows = run_available_now(joined, "append")
+    return spark.createDataFrame(rows, "click_id long, purchase_id long")
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import kmv_distinct
+
+    return kmv_distinct(
+        _cat(spark, sf_dir)("events"), col="user_id", k=64
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -911,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_stream_stateful": _q_stream_stateful,
             "op_asof_join": _q_asof,
             "op_range_join": _q_range_join,
+            "op_stream_interval_join": _q_stream_interval_join,
+            "op_kmv_distinct": _q_kmv_distinct,
         }
     )
     return out
@@ -936,6 +982,10 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             "op_asof_join": _ASOF_ORACLE,
             "op_range_join": _RANGE_JOIN_ORACLE,
+            # stream-stream interval join produces the same pairs as the
+            # batch range join over the identical window
+            "op_stream_interval_join": _RANGE_JOIN_ORACLE,
+            "op_kmv_distinct": _KMV_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

@@ -11,6 +11,7 @@ whole-stage codegen — no row-at-a-time Python.
 from .dedup import (
     dedup_exact,
     embedding_dup_pairs,
+    kmv_distinct,
     minhash_dup_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -34,6 +35,7 @@ __all__ = [
     "dedup_exact",
     "doc_fingerprint",
     "embedding_dup_pairs",
+    "kmv_distinct",
     "language_id",
     "lsh_bucket_topk",
     "minhash_dup_pairs",

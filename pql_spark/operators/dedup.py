@@ -66,6 +66,43 @@ def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
 
 
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256, id_suffix: str = ""
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch.
+
+    Keeps the k smallest md5-derived hash values of the column — a
+    mergeable, fixed-size sketch whose estimator is
+    ``(k-1) * 2^32 / h_(k)`` (Bar-Yossef et al.).  Unlike HLL registers,
+    the sketch is a DETERMINISTIC function of the value set, so a SQL
+    oracle reproduces the estimate bit-for-bit — an exactly-testable
+    approximate-distinct operator.
+
+    Plan: distinct on the hashed value (map-side partial dedup) then
+    top-k ascending via ``TakeOrderedAndProject`` — no total sort, one
+    shuffle, O(k) result.  Returns one row: (estimate double, kth_min
+    long, n_sketch int).
+    """
+    hashed = df.select(
+        _md5_hash32(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    kmin = hashed.orderBy(F.col("h").asc()).limit(k)
+    cnt = F.count(F.lit(1))
+    return kmin.agg(
+        # sketch not full ⇒ it holds every distinct value: exact count
+        F.when(cnt < k, cnt.cast("double"))
+        .otherwise(
+            F.round(
+                (F.lit(float(k - 1)) * F.lit(float(1 << 32))) / F.max("h"),
+                4,
+            )
+        )
+        .alias("estimate"),
+        F.max("h").alias("kth_min"),
+        cnt.cast("int").alias("n_sketch"),
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -14,6 +14,7 @@ from .pipeline import (
     pql_stream,
     run_available_now,
     sessionize,
+    stream_interval_join,
     stream_parquet_table,
     stateful_user_counts,
     windowed_agg,
@@ -23,6 +24,7 @@ __all__ = [
     "pql_stream",
     "run_available_now",
     "sessionize",
+    "stream_interval_join",
     "stream_parquet_table",
     "stateful_user_counts",
     "windowed_agg",

@@ -180,6 +180,37 @@ def stateful_user_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    within: str = "2 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join: left events matching right events of
+    the same key within ``[right.ts, right.ts + within]``.
+
+    The canonical two-stream correlation (click↔purchase, alert↔flow):
+    both sides are watermarked and the join carries an event-time range
+    constraint, so each side buffers only ``within + watermark`` of
+    state — bounded memory on unbounded streams.  Batch-equivalent to
+    :func:`pql_spark.operators.temporal.range_join` over the same
+    window (asserted in tests and by the driver oracle).
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col(f"l.{ts_col}") >= F.col(f"r.{ts_col}"))
+        & (
+            F.col(f"l.{ts_col}")
+            <= F.col(f"r.{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def pql_stream(
     spark: SparkSession,
     pql_text: str,

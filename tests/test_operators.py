@@ -26,6 +26,7 @@ from pql_spark.operators import (
     token_stats,
     word_shingles,
 )
+from pql_spark.operators import kmv_distinct
 from pql_spark.operators import multimodal as M
 
 
@@ -133,6 +134,29 @@ def test_embedding_dup_pairs(vecs):
     assert set(pairs) == {(0, 1), (3, 4)}
     expected = 0.9 / math.sqrt(0.81 + 0.01)
     assert pairs[(0, 1)] == pytest.approx(expected)
+
+
+def test_kmv_distinct_exact_when_small(spark):
+    df = spark.range(40).select((F.col("id") % 10).alias("v"))
+    row = kmv_distinct(df, "v", k=64).head()
+    assert row.estimate == 10.0  # sketch not full ⇒ exact
+    assert row.n_sketch == 10
+
+
+def test_kmv_distinct_estimates_within_bound(spark):
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=512).head()
+    assert row.n_sketch == 512
+    # KMV std error ≈ 1/sqrt(k-2) ≈ 4.4%; allow 3 sigma
+    assert abs(row.estimate - n) / n < 0.14
+
+
+def test_kmv_distinct_deterministic(spark):
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    a = kmv_distinct(df, "v", k=128).head()
+    b = kmv_distinct(df.orderBy(F.rand(7)), "v", k=128).head()
+    assert (a.estimate, a.kth_min) == (b.estimate, b.kth_min)
 
 
 # ------------------------------------------------------------ similarity

@@ -160,6 +160,44 @@ def test_bin_numeric(spark, events_batch):
     assert sum(r.n for r in rows) == events_batch.count()
 
 
+def test_stream_interval_join_matches_batch_range_join(
+    spark, events_stream, events_batch
+):
+    from pql_spark.operators import range_join
+    from pql_spark.streaming import stream_interval_join
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        return clicks, purchases
+
+    s_clicks, s_purch = split(events_stream)
+    streamed = run_available_now(
+        stream_interval_join(s_clicks, s_purch, within="2 hours").select(
+            "click_id", "purchase_id"
+        ),
+        "append",
+    )
+    b_clicks, b_purch = split(events_batch)
+    batch = range_join(
+        b_clicks,
+        b_purch.select(
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+            "purchase_id",
+        ),
+        by="user_id",
+        bucket="2 hours",
+    ).select("click_id", "purchase_id")
+    assert _as_set(streamed) == _as_set(batch.collect())
+    assert len(streamed) > 0
+
+
 def test_pql_sort_rejected_on_stream(spark, events_stream):
     from pyspark.errors import AnalysisException
 
