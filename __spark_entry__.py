@@ -652,6 +652,26 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """
 
+# winnowing (MOSS) fingerprints, k=5-gram hashes, window w=4; compared
+# as a per-doc digest over the sorted selected hashes
+_WINNOW_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS words FROM documents),
+g AS (SELECT doc_id,
+        [('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 8))::BIGINT
+         FOR i IN range(1, greatest(len(words) - 5 + 1, 1) + 1)] AS grams
+      FROM t),
+m AS (SELECT doc_id,
+        list_sort(list_distinct(
+          [list_min(grams[i:i+3])
+           FOR i IN range(1, greatest(len(grams) - 4 + 1, 1) + 1)])) AS fps
+      FROM g)
+SELECT doc_id, len(fps) AS n_fp,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM m
+"""
+
 # KMV distinct sketch: deterministic (md5-ordered), so the approximate
 # estimate itself is exactly reproducible by the oracle
 _KMV_ORACLE = """
@@ -905,6 +925,19 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "click_id long, purchase_id long")
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.md5(
+            F.concat_ws(",", F.col("fingerprints").cast("array<string>"))
+        ).alias("fp_digest"),
+    )
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import kmv_distinct
 
@@ -957,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_range_join": _q_range_join,
             "op_stream_interval_join": _q_stream_interval_join,
             "op_kmv_distinct": _q_kmv_distinct,
+            "op_winnow_fingerprints": _q_winnow,
         }
     )
     return out
@@ -986,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
             # batch range join over the identical window
             "op_stream_interval_join": _RANGE_JOIN_ORACLE,
             "op_kmv_distinct": _KMV_ORACLE,
+            "op_winnow_fingerprints": _WINNOW_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

@@ -26,6 +26,7 @@ from .text import (
     quality_score,
     token_stats,
     tokens,
+    winnow_fingerprints,
     word_shingles,
 )
 
@@ -48,5 +49,6 @@ __all__ = [
     "simhash_dedup",
     "token_stats",
     "tokens",
+    "winnow_fingerprints",
     "word_shingles",
 ]

@@ -150,3 +150,62 @@ def doc_fingerprint(
         F.md5(_norm(text)).alias("fingerprint"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("head_key"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-gram of words, slide a window of ``w``
+    hashes, keep each window's minimum — guaranteeing any shared
+    substring of ≥ w+k-1 words leaves at least one common fingerprint,
+    with ~2/(w+1) of the hashes retained.
+
+    Plan: the k-gram hash array is computed ONCE per document, exploded
+    to (doc, pos, hash) rows, and the sliding minima run as a JVM
+    window frame over pos — one shuffle on the doc id, no re-hashing.
+    (A pure nested-higher-order-function formulation re-evaluates the
+    gram array inside every window lambda — O(m·w) md5 calls — because
+    Catalyst inlines the subexpression through collapsed projections.)
+    Output: (id, fingerprints array<long> — sorted distinct selected
+    hashes).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k) + F.lit(1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "h")
+    )
+    over_doc = Window.partitionBy(id_col)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    scored = exploded.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.count(F.lit(1)).over(over_doc).alias("m"),
+        F.min("h").over(frame).alias("win_min"),
+    )
+    # windows of exactly w hashes; a doc with fewer than w grams yields
+    # its single whole-array minimum (pos 0's shrunken frame)
+    selected = scored.filter(
+        (F.col("pos") <= F.col("m") - w) | (F.col("pos") == 0)
+    )
+    return selected.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("win_min")).alias("fingerprints")
+    )

@@ -237,6 +237,34 @@ def test_language_id(spark):
     assert out == {1: "en", 2: "de", 3: "es"}
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of ≥ w+k-1 words
+    share at least one fingerprint."""
+    from pql_spark.operators import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"unrelated prefix words here {shared} and a suffix"),
+        (2, f"{shared} totally different continuation of text stream"),
+        (3, "no overlap at all with anything else whatsoever in here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df, k=5, w=4).collect()
+    }
+    assert fps[1] & fps[2]  # shared 10-word substring ≥ w+k-1 = 8
+    assert not (fps[1] & fps[3])
+
+
+def test_winnow_short_doc(spark):
+    from pql_spark.operators import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    row = winnow_fingerprints(df, k=5, w=4).head()
+    assert len(row.fingerprints) == 1  # whole doc is the single gram
+
+
 def test_doc_fingerprint_normalization(spark):
     rows = [(1, "Hello   World"), (2, "hello world"), (3, "other text")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
