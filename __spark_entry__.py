@@ -355,6 +355,23 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # exact interpolated percentiles via passthrough (Spark `percentile`
+    # == DuckDB `quantile_cont`, both linear interpolation)
+    "pql_percentiles": (
+        """
+        events
+        | summarize p50 = round(percentile(value, 0.5), 4),
+                    p95 = round(percentile(value, 0.95), 4)
+            by event_type
+        | sort by event_type asc
+        """,
+        """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # bin() extension: epoch-aligned time bucketing in a group key (the
     # batch twin of streaming windows)
     "pql_bin_hourly": (

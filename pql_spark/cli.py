@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
         help="print the optimized plan instead of executing",
     )
     ap.add_argument(
+        "--sql",
+        action="store_true",
+        help="print compiled Spark SQL instead of executing (the "
+        "reference CLI's output mode)",
+    )
+    ap.add_argument(
         "--limit", type=int, default=20, help="max rows to print (default 20)"
     )
     args = ap.parse_args(argv)
@@ -59,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
                 # reference CLI's behavior (main.go:84-95)
                 parse(";".join([*prelude, stmt]) + ";")
                 prelude.append(stmt)
+                continue
+            if args.sql:
+                print(engine.to_sql(full))
                 continue
             df = engine.query(full)
         except QueryError as err:
