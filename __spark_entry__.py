@@ -669,6 +669,23 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """
 
+# deterministic hash sampling + stratified rates + split assignment
+_SAMPLING_ORACLE = """
+WITH b AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS bucket,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT AS sbucket
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN sbucket < CAST(0.2 * 4294967296 AS BIGINT)
+            THEN 'test' ELSE 'train' END AS split
+FROM b
+WHERE bucket < CASE WHEN lang = 'en'
+                    THEN CAST(0.5 * 4294967296 AS BIGINT)
+                    ELSE CAST(0.9 * 4294967296 AS BIGINT) END
+"""
+
 # winnowing (MOSS) fingerprints, k=5-gram hashes, window w=4; compared
 # as a per-doc digest over the sorted selected hashes
 _WINNOW_ORACLE = """
@@ -942,6 +959,17 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "click_id long, purchase_id long")
 
 
+def _q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import stratified_hash_sample, train_test_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sampled = stratified_hash_sample(
+        docs, key="doc_id", strata_col="lang",
+        rates={"en": 0.5}, default_rate=0.9,
+    )
+    return train_test_split(sampled, key="doc_id", test_rate=0.2)
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import winnow_fingerprints
 
@@ -1008,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_stream_interval_join": _q_stream_interval_join,
             "op_kmv_distinct": _q_kmv_distinct,
             "op_winnow_fingerprints": _q_winnow,
+            "op_sampling_split": _q_sampling,
         }
     )
     return out
@@ -1038,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_interval_join": _RANGE_JOIN_ORACLE,
             "op_kmv_distinct": _KMV_ORACLE,
             "op_winnow_fingerprints": _WINNOW_ORACLE,
+            "op_sampling_split": _SAMPLING_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

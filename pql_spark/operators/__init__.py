@@ -18,6 +18,12 @@ from .dedup import (
     simhash,
     simhash_dedup,
 )
+from .sampling import (
+    deterministic_shuffle,
+    hash_sample,
+    stratified_hash_sample,
+    train_test_split,
+)
 from .similarity import cosine_topk, lsh_bucket_topk, pairwise_topk
 from .temporal import asof_join, range_join
 from .text import (
@@ -34,8 +40,10 @@ __all__ = [
     "asof_join",
     "cosine_topk",
     "dedup_exact",
+    "deterministic_shuffle",
     "doc_fingerprint",
     "embedding_dup_pairs",
+    "hash_sample",
     "kmv_distinct",
     "language_id",
     "lsh_bucket_topk",
@@ -47,7 +55,9 @@ __all__ = [
     "range_join",
     "simhash",
     "simhash_dedup",
+    "stratified_hash_sample",
     "token_stats",
+    "train_test_split",
     "tokens",
     "winnow_fingerprints",
     "word_shingles",

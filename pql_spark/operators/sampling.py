@@ -1,0 +1,95 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning and non-reproducible
+across runs/engines; these operators decide membership from a hash of a
+stable key instead — the same row lands in the same sample/split on any
+cluster size, any engine, any day.  That determinism is what makes
+train/test contamination checks and incremental re-runs possible at
+100 TB, and it makes every operator here exactly verifiable by a SQL
+oracle.
+
+All membership tests are single narrow projections (md5 → bucket →
+compare): no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bucket space for rate comparisons; ~4.3e9 buckets ⇒ rate granularity 2e-10
+_SPACE = float(1 << 32)
+
+
+def _bucket(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from a key column.
+    Matches ``('0x'||substr(md5(salt||CAST(x AS VARCHAR)),1,8))::BIGINT``
+    in an ANSI-SQL oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash.
+
+    Reproducible: the same keys are kept on every run; a row's fate
+    never depends on partitioning.  ``salt`` decorrelates independent
+    samples over the same keys.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_bucket(F.col(key), salt) < int(rate * _SPACE))
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    test_rate: float = 0.1,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic 'train'/'test' column keyed on ``key``.
+
+    All rows with the same key land in the same split — the property
+    that prevents near-duplicate leakage across splits when ``key`` is
+    a content fingerprint (pair with ``doc_fingerprint`` /
+    ``minhash_dup_pairs`` cluster ids).
+    """
+    is_test = _bucket(F.col(key), salt) < int(test_rate * _SPACE)
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
+    keep all 'pt') — the language/source rebalancing step of corpus
+    construction, as one narrow filter."""
+    bucket = _bucket(F.col(key), salt)
+    threshold = F.lit(int(default_rate * _SPACE))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _SPACE))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: str, seed: str = "0"
+) -> DataFrame:
+    """Total order by keyed hash — a reproducible global shuffle for
+    training-order randomization.  One range-partitioned sort; change
+    ``seed`` for a fresh permutation."""
+    return df.orderBy(_bucket(F.col(key), seed).asc(), F.col(key).asc())
