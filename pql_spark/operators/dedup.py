@@ -302,27 +302,34 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
-    # exact-result pruning: a gram in only ONE doc joins with nothing —
-    # drop df=1 grams (typically most of the index) before the self-join
-    alive = (
-        inv.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df_cnt"))
-        .filter(F.col("df_cnt") >= 2)
-        .select("gram")
+    # group the posting list per gram and emit id pairs map-side: ONE
+    # shuffle on gram + one on the pair, vs a two-sided self-join; df=1
+    # grams (typically most of the index) emit nothing.  NOTE: a
+    # pathologically hot gram (posting list of d docs) materializes
+    # d(d-1)/2 pairs in one task — for corpora where a gram can exceed
+    # ~10⁴ docs, cap or drop such grams (they carry no near-dup signal).
+    postings = inv.groupBy("gram").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
-    inv = inv.join(alive, "gram")
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.size(F.col("ids"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
