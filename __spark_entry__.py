@@ -991,6 +991,21 @@ def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (each stage oracle-checked on its own
+    driver entry; the composition is a rows-only check)."""
+    from pql_spark.pipelines import curate_corpus
+
+    out = curate_corpus(
+        _docs(spark, sf_dir),
+        min_quality=0.5,
+        langs=None,
+        near_dup_threshold=0.8,
+        test_rate=0.1,
+    )
+    return out.select("doc_id", "lang_pred", "split").orderBy("doc_id")
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -1037,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_kmv_distinct": _q_kmv_distinct,
             "op_winnow_fingerprints": _q_winnow,
             "op_sampling_split": _q_sampling,
+            "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
     return out

@@ -1,0 +1,80 @@
+"""End-to-end pipeline compositions.
+
+``curate_corpus`` is the canonical training-data pipeline the individual
+operators exist for: quality filter → language filter → exact dedup →
+MinHash near-dup removal → deterministic content-keyed train/test split.
+Every stage is one of this package's operators, composed lazily — the
+whole pipeline is a single Spark job graph, so Catalyst sees (and
+optimizes) it end to end, and it scales exactly as its stages do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.dedup import minhash_dup_pairs
+from .operators.sampling import train_test_split
+from .operators.text import doc_fingerprint, language_id, quality_score
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.75,
+    langs: Sequence[str] | None = ("en",),
+    near_dup_threshold: float = 0.85,
+    test_rate: float = 0.05,
+) -> DataFrame:
+    """Curate a raw document table into a deduplicated, split corpus.
+
+    Returns the surviving rows of ``docs`` with three appended columns:
+    ``quality``, ``lang_pred``, and ``split`` ('train'/'test').
+
+    Stage-by-stage (each narrow or one-shuffle):
+    1. quality ≥ ``min_quality`` (C4/Gopher-style heuristics);
+    2. predicted language ∈ ``langs`` (skipped when ``langs`` is None);
+    3. exact dedup on the normalized-text fingerprint (min-id survivor);
+    4. near-dup removal: MinHash+LSH pairs at ``near_dup_threshold``;
+       the higher id of each pair is dropped (transitive chains collapse
+       to their minimum id over repeated pairs);
+    5. train/test split keyed on the CONTENT fingerprint, not the id —
+       re-ingesting the same text can never land it in the other split.
+    """
+    quality = quality_score(docs, text_col, id_col).select(
+        id_col, "quality"
+    )
+    lang = language_id(docs, text_col, id_col).select(id_col, "lang_pred")
+    fp = doc_fingerprint(docs, text_col, id_col).select(
+        id_col, "fingerprint"
+    )
+
+    kept = (
+        docs.join(quality, id_col)
+        .join(lang, id_col)
+        .join(fp, id_col)
+        .filter(F.col("quality") >= min_quality)
+    )
+    if langs is not None:
+        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+
+    # exact dedup: one survivor (min id) per identical normalized text
+    survivors = kept.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col)
+    )
+    kept = kept.join(survivors, [id_col, "fingerprint"])
+
+    # near-dup removal: drop the higher id of every similar pair
+    pairs = minhash_dup_pairs(
+        kept, text_col=text_col, id_col=id_col,
+        threshold=near_dup_threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = kept.join(losers, id_col, "left_anti")
+
+    return train_test_split(
+        kept, key="fingerprint", test_rate=test_rate
+    ).drop("fingerprint")
