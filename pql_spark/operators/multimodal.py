@@ -81,7 +81,11 @@ def synthesize_media(
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # ≥16 rows per partition: each partition is one Arrow batch through
+    # the Python worker, so over-splitting tiny tables just multiplies
+    # per-task/worker overhead
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:

@@ -242,20 +242,31 @@ def run_available_now(
     # every extra partition is per-micro-batch task overhead
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    # a transient drain doesn't need a durable checkpoint; keep the
+    # state store's many tiny files in memory when a tmpfs exists
+    shm = Path("/dev/shm")
+    if shm.is_dir():
+        writer = writer.option(
+            "checkpointLocation", str(shm / f"pql_ckpt_{name}")
         )
+    try:
+        q = writer.start()
         try:
             q.awaitTermination(300)
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if shm.is_dir():
+            import shutil
+
+            shutil.rmtree(shm / f"pql_ckpt_{name}", ignore_errors=True)
     out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
     df.sparkSession.catalog.dropTempView(name)
     return out
