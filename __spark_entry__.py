@@ -355,6 +355,50 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # extension operators (KQL-style; the reference rejects these)
+    "pql_distinct_op": (
+        "events | distinct event_type | sort by event_type asc",
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    ),
+    "pql_union_op": (
+        """
+        events
+        | where value > 99 | project event_id, event_type
+        | union (events | where value < 1 | project event_id, event_type)
+        """,
+        """
+        SELECT event_id, event_type FROM events WHERE value > 99
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE value < 1
+        """,
+    ),
+    "pql_project_away": (
+        """
+        events
+        | project-away props, ts, value
+        | sort by event_id asc
+        """,
+        """
+        SELECT event_id, user_id, event_type FROM events
+        ORDER BY event_id
+        """,
+    ),
+    "pql_mv_expand": (
+        """
+        embeddings
+        | where vec_id < 3
+        | mv-expand v = embedding
+        | summarize n = count(), s = round(sum(double(v)), 4) by vec_id
+        | sort by vec_id asc
+        """,
+        """
+        SELECT vec_id, count(*) AS n,
+               round(sum(CAST(u.v AS DOUBLE)), 4) AS s
+        FROM embeddings, unnest(embedding) AS u(v)
+        WHERE vec_id < 3
+        GROUP BY vec_id ORDER BY vec_id
+        """,
+    ),
     # exact interpolated percentiles via passthrough (Spark `percentile`
     # == DuckDB `quantile_cont`, both linear interpolation)
     "pql_percentiles": (

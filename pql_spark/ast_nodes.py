@@ -170,6 +170,39 @@ class AsOp(Op):
     name: str
 
 
+# ---- extension operators (KQL-inspired; the reference parser rejects
+# ---- these, so no existing reference query changes meaning)
+
+
+@dataclass
+class DistinctOp(Op):
+    """``distinct *`` (cols empty) or ``distinct C1, C2``."""
+
+    cols: list[ColSpec]
+
+
+@dataclass
+class UnionOp(Op):
+    """``union Table2, (T3 | where …)`` — bag union by column name."""
+
+    others: list["TabularExpr"]
+
+
+@dataclass
+class ProjectAwayOp(Op):
+    """``project-away C1, C2`` — drop the listed columns."""
+
+    names: list[str]
+
+
+@dataclass
+class MvExpandOp(Op):
+    """``mv-expand Col`` (explode in place) or ``mv-expand name = expr``
+    (append exploded column)."""
+
+    col: ColSpec
+
+
 @dataclass
 class RenderOp(Op):
     chart: str

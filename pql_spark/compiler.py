@@ -40,6 +40,7 @@ from .ast_nodes import (
     CallExpr,
     ColSpec,
     CountOp,
+    DistinctOp,
     Expr,
     ExtendOp,
     Ident,
@@ -47,9 +48,12 @@ from .ast_nodes import (
     InExpr,
     JoinOp,
     LetStatement,
+    MvExpandOp,
     NumberLit,
     Op,
+    ProjectAwayOp,
     ProjectOp,
+    UnionOp,
     RenderOp,
     SortOp,
     SortTerm,
@@ -198,6 +202,38 @@ class Compiler:
                     self.compile_expr(value, env).alias(f"render_prop_{key}")
                 )
             return df.select("*", *cols)
+        # ---- extension operators (rejected by the reference parser)
+        if isinstance(op, DistinctOp):
+            if not op.cols:  # distinct *
+                return df.distinct()
+            return df.select(*self._compile_cols(op.cols, env)).distinct()
+        if isinstance(op, UnionOp):
+            # bag union by column name; missing columns null-filled
+            for other in op.others:
+                df = df.unionByName(
+                    self.compile_tabular(other), allowMissingColumns=True
+                )
+            return df
+        if isinstance(op, ProjectAwayOp):
+            missing = [n for n in op.names if n not in df.columns]
+            if missing:
+                raise ParseError(
+                    f"project-away: unknown column(s) {missing}", op.span
+                )
+            return df.drop(*op.names)
+        if isinstance(op, MvExpandOp):
+            # explode drops null/empty collections (KQL default)
+            name = self._col_name(op.col)
+            exploded = F.explode(self.compile_expr(op.col.expr, env))
+            if op.col.name is not None and op.col.name in df.columns:
+                # bare column form: replace in place, keep position
+                return df.select(
+                    *[
+                        exploded.alias(name) if c == name else F.col(_q(c))
+                        for c in df.columns
+                    ]
+                )
+            return df.select("*", exploded.alias(name))
         raise ParseError(f"unsupported operator {type(op).__name__}", op.span)
 
     def _compile_cols(self, cols: list[ColSpec], env: _Env) -> list[Column]:

@@ -19,6 +19,7 @@ from .ast_nodes import (
     CallExpr,
     ColSpec,
     CountOp,
+    DistinctOp,
     Expr,
     ExtendOp,
     Ident,
@@ -26,11 +27,14 @@ from .ast_nodes import (
     InExpr,
     JoinOp,
     LetStatement,
+    MvExpandOp,
     NumberLit,
     Op,
+    ProjectAwayOp,
     ProjectOp,
     RenderOp,
     SortOp,
+    UnionOp,
     SortTerm,
     Statement,
     StringLit,
@@ -225,6 +229,19 @@ def _parse_operator(p: "_P") -> Op:
     if tok.kind is not TokenKind.IDENT:
         raise ParseError("expected operator name", tok.span)
     name = _OP_ALIASES.get(tok.value, tok.value)
+    # hyphenated extension operators (project-away, mv-expand): the
+    # lexer yields IDENT MINUS IDENT
+    nxt, nxt2 = p.peek(), p.peek(1)
+    if (
+        nxt is not None
+        and nxt.kind is TokenKind.MINUS
+        and nxt2 is not None
+        and nxt2.kind is TokenKind.IDENT
+        and f"{name}-{nxt2.value}" in _OPERATORS
+    ):
+        p.take()
+        suffix = p.take()
+        name = f"{name}-{suffix.value}"
     fn = _OPERATORS.get(name)
     if fn is None:
         raise ParseError(f"unknown operator {tok.value!r}", tok.span)
@@ -605,8 +622,81 @@ def _op_render(p: _P, kw: Token) -> Op:
     )
 
 
+def _op_distinct(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``distinct *`` | ``distinct C1, C2`` (KQL distinct;
+    the reference rejects the operator, parser.go:175-250)."""
+    star = p.match(TokenKind.STAR)
+    if star is not None:
+        return DistinctOp(cols=[], span=Span(kw.span.start, star.span.end))
+    cols = p.parse_colspec_list()
+    return DistinctOp(cols=cols, span=Span(kw.span.start, cols[-1].span.end))
+
+
+def _op_union(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``union T2, (T3 | where …), …`` — bag union by column
+    name (KQL union; unimplemented in the reference)."""
+    others: list[TabularExpr] = []
+    while True:
+        if p.match(TokenKind.LPAREN):
+            depth = 1
+            inner: list[Token] = []
+            while True:
+                tok = p.take()
+                if tok.kind is TokenKind.LPAREN:
+                    depth += 1
+                elif tok.kind is TokenKind.RPAREN:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                inner.append(tok)
+            others.append(_parse_tabular(inner, p.source))
+        else:
+            tok = p.take()
+            if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected table name or '('", tok.span)
+            ref = TableRef(
+                name=tok.value,
+                quoted=tok.kind is TokenKind.QIDENT,
+                span=tok.span,
+            )
+            others.append(
+                TabularExpr(source=ref, operators=[], span=tok.span)
+            )
+        if not p.match(TokenKind.COMMA):
+            break
+    return UnionOp(
+        others=others, span=Span(kw.span.start, others[-1].span.end)
+    )
+
+
+def _op_project_away(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``project-away C1, C2`` — drop columns (KQL)."""
+    names = []
+    end = kw.span.end
+    while True:
+        tok = p.take()
+        if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected column name", tok.span)
+        names.append(tok.value)
+        end = tok.span.end
+        if not p.match(TokenKind.COMMA):
+            break
+    return ProjectAwayOp(names=names, span=Span(kw.span.start, end))
+
+
+def _op_mv_expand(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``mv-expand Col`` | ``mv-expand name = expr`` —
+    explode an array/map column to rows (KQL mv-expand)."""
+    col = p.parse_colspec(require_expr=False)
+    return MvExpandOp(col=col, span=Span(kw.span.start, col.span.end))
+
+
 _OPERATORS = {
     "count": _op_count,
+    "distinct": _op_distinct,
+    "union": _op_union,
+    "project-away": _op_project_away,
+    "mv-expand": _op_mv_expand,
     "where": _op_where,
     "sort": _op_sort,
     "take": _op_take,

@@ -31,6 +31,7 @@ from .ast_nodes import (
     CallExpr,
     ColSpec,
     CountOp,
+    DistinctOp,
     Expr,
     ExtendOp,
     Ident,
@@ -38,8 +39,11 @@ from .ast_nodes import (
     IndexExpr,
     JoinOp,
     LetStatement,
+    MvExpandOp,
     NumberLit,
+    ProjectAwayOp,
     ProjectOp,
+    UnionOp,
     RenderOp,
     SortOp,
     SortTerm,
@@ -185,6 +189,53 @@ class _SqlEmitter:
         if isinstance(op, AsOp):
             self.bound[op.name] = (sql, list(cols))
             return sql, cols
+        if isinstance(op, DistinctOp):
+            if not op.cols:
+                return f"SELECT DISTINCT * FROM {inner}", cols
+            items, names = [], []
+            for c in op.cols:
+                name, item = self.col_spec(c)
+                items.append(item)
+                names.append(name)
+            return f"SELECT DISTINCT {', '.join(items)} FROM {inner}", names
+        if isinstance(op, UnionOp):
+            branches = [(sql, cols)]
+            for other in op.others:
+                branches.append(self.emit_query(other))
+            merged: list[str] = []
+            for _, bc in branches:
+                for c in bc:
+                    if c not in merged:
+                        merged.append(c)
+            selects = []
+            for bsql, bc in branches:
+                items = ", ".join(
+                    f"{_q(c)} AS {_q(c)}" if c in bc else f"NULL AS {_q(c)}"
+                    for c in merged
+                )
+                selects.append(f"SELECT {items} FROM ({bsql})")
+            return " UNION ALL ".join(selects), merged
+        if isinstance(op, ProjectAwayOp):
+            missing = [n for n in op.names if n not in cols]
+            if missing:
+                raise ParseError(
+                    f"project-away: unknown column(s) {missing}", op.span
+                )
+            keep = [c for c in cols if c not in op.names]
+            items = ", ".join(_q(c) for c in keep)
+            return f"SELECT {items} FROM {inner}", keep
+        if isinstance(op, MvExpandOp):
+            name, _ = self.col_spec(op.col)
+            item = f"explode({self.expr(op.col.expr)}) AS {_q(name)}"
+            if op.col.name is not None and op.col.name in cols:
+                items = [
+                    item if c == name else _q(c) for c in cols
+                ]
+                return f"SELECT {', '.join(items)} FROM {inner}", cols
+            return (
+                f"SELECT *, {item} FROM {inner}",
+                [*cols, name],
+            )
         if isinstance(op, RenderOp):
             extras = [f"{_qs(op.chart)} AS {_q('render_type')}"]
             out = [*cols, "render_type"]

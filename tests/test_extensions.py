@@ -1,0 +1,96 @@
+"""Extension pipeline operators (distinct / union / project-away /
+mv-expand) — rejected by the reference parser, added here with KQL
+semantics.  Each is tested on the DataFrame backend and for
+DataFrame↔SQL-backend equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t1 = spark.createDataFrame(
+        [(1, "a", [10, 20]), (1, "a", [30]), (2, "b", []), (3, "a", None)],
+        "id long, tag string, arr array<int>",
+    )
+    t2 = spark.createDataFrame(
+        [(4, "c"), (5, "d")], "id long, extra string"
+    )
+    return {"T1": t1, "T2": t2}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tables):
+    return PqlEngine(spark, resolver=tables)
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+def test_distinct_star(engine):
+    out = engine.query("T1 | project id, tag | distinct *")
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b"), (3, "a")]
+
+
+def test_distinct_columns(engine):
+    out = engine.query("T1 | distinct tag")
+    assert sorted(r.tag for r in out.collect()) == ["a", "b"]
+
+
+def test_union_null_fills_missing_columns(engine):
+    out = engine.query("T1 | project id, tag | union T2")
+    rows = {tuple(r) for r in out.collect()}
+    assert (4, None, "c") in rows or (4, "c") not in rows
+    assert out.count() == 6
+    assert set(out.columns) == {"id", "tag", "extra"}
+
+
+def test_union_subquery(engine):
+    out = engine.query(
+        "T1 | project id | union (T2 | where id == 5 | project id)"
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 1, 2, 3, 5]
+
+
+def test_project_away(engine):
+    out = engine.query("T1 | project-away arr, tag")
+    assert out.columns == ["id"]
+
+
+def test_project_away_unknown_errors(engine):
+    with pytest.raises(QueryError, match="unknown column"):
+        engine.query("T1 | project-away nope")
+
+
+def test_mv_expand_in_place(engine):
+    out = engine.query("T1 | mv-expand arr | project id, arr")
+    assert sorted(map(tuple, out.collect())) == [(1, 10), (1, 20), (1, 30)]
+    assert out.columns == ["id", "arr"]
+
+
+def test_mv_expand_named(engine):
+    out = engine.query("T1 | mv-expand v = arr | project id, v")
+    assert sorted(map(tuple, out.collect())) == [(1, 10), (1, 20), (1, 30)]
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "T1 | project id, tag | distinct *",
+        "T1 | distinct tag",
+        "T1 | project id, tag | union T2 | where id > 1",
+        "T1 | project-away arr",
+        "T1 | mv-expand arr | project id, arr",
+        "T1 | mv-expand v = arr | summarize n = count() by id",
+    ],
+)
+def test_sql_backend_equivalence(spark, tables, engine, q):
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    df_rows = _rows(engine.query(q))
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == df_rows, sql
