@@ -381,9 +381,11 @@ class Compiler:
         if op == "*":
             return lhs * rhs
         if op == "/":
-            return lhs / rhs
+            # NULL on zero divisor (matches DuckDB and non-ANSI engines;
+            # ClickHouse throws — engine-deferred semantics, our call)
+            return F.try_divide(lhs, rhs)
         if op == "%":
-            return lhs % rhs
+            return F.try_mod(lhs, rhs)
         if op == "and":
             return lhs & rhs
         if op == "or":

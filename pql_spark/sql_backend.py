@@ -377,6 +377,10 @@ class _SqlEmitter:
             return (
                 f"lower({self.expr(e.lhs)}) {sql_op} lower({self.expr(e.rhs)})"
             )
+        if op in ("/", "%"):
+            # NULL on zero divisor, same as the DataFrame backend
+            fn = "try_divide" if op == "/" else "try_mod"
+            return f"{fn}({self.expr(e.lhs)}, {self.expr(e.rhs)})"
         prec = _PREC[op]
         sql_op = op.upper() if op in ("and", "or") else op
         out = (
