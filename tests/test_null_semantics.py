@@ -61,6 +61,55 @@ def _norm(v):
     return v
 
 
+STR_DOMAIN = [None, "", "A", "a", "b"]
+# NOTE: unicode special-casing (ß→SS vs ẞ) diverges between JVM and
+# DuckDB collations and is intentionally out of scope here.
+
+STR_CASES = [
+    # strcat emits NULL-propagating concatenation (the reference's `||`,
+    # pql.go:922-943) — NOT DuckDB's NULL-skipping concat()
+    ("strcat(a, b)", "a || b"),
+    ('strcat(a, "-", b)', "a || '-' || b"),
+    ("tolower(a)", "lower(a)"),
+    ("toupper(a)", "upper(a)"),
+    ("a =~ b", "lower(a) = lower(b)"),
+    ("a !~ b", "lower(a) <> lower(b)"),
+    ("a == b", "coalesce(a = b, FALSE)"),
+    ("isnull(a)", "a IS NULL"),
+    ('iff(a == "", "empty", a)',
+     "CASE WHEN coalesce(a = '', FALSE) THEN 'empty' ELSE a END"),
+]
+
+
+@pytest.fixture(scope="module")
+def str_pairs(spark):
+    rows = [
+        (i, a, b)
+        for i, (a, b) in enumerate(
+            (a, b) for a in STR_DOMAIN for b in STR_DOMAIN
+        )
+    ]
+    return rows, spark.createDataFrame(rows, "i long, a string, b string")
+
+
+@pytest.mark.parametrize("pql_expr,sql_expr", STR_CASES)
+def test_string_truth_table_matches_duckdb(spark, str_pairs, pql_expr, sql_expr):
+    rows, df = str_pairs
+    engine = PqlEngine(spark, resolver=lambda n: df)
+    got = {
+        r.i: _norm(r.v)
+        for r in engine.query(f"t | project i, v = {pql_expr}").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        i: _norm(v)
+        for i, v in con.execute(f"SELECT i, {sql_expr} AS v FROM t").fetchall()
+    }
+    assert got == want, f"{pql_expr!r} truth table diverges"
+
+
 @pytest.mark.parametrize("pql_expr,sql_expr", CASES)
 def test_truth_table_matches_duckdb(spark, pairs, pql_expr, sql_expr):
     rows, df = pairs
