@@ -29,10 +29,15 @@ def asof_join(
     by: str | None = None,
     right_on: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` (per ``by`` key when given) — pandas
-    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, left-outer flavor.
+    """For each left row, attach the nearest right row at-or-before
+    (``direction="backward"``, ``right.ts <= left.ts`` — pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` default) or at-or-after
+    (``direction="forward"``) per ``by`` key; left-outer flavor.
+    ``tolerance`` (e.g. ``"15 minutes"``) voids matches further than
+    that gap — the matched columns become NULL.
 
     Plan shape: tag + unionByName + window(last over unbounded
     preceding) + filter.  One shuffle on (by, ts); no nested loop; state
@@ -40,6 +45,8 @@ def asof_join(
     profile as any keyed window — and with both inputs bucketed on
     ``by`` the shuffle disappears too.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction!r}")
     right_on = right_on or on
     lcols = left.columns
     rcols = [c for c in right.columns if c != right_on and c != by]
@@ -49,6 +56,7 @@ def asof_join(
         *([F.col(by)] if by else []),
         F.col(right_on).alias(on),
         F.lit(0).alias("__src"),
+        F.col(right_on).alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
     )
     tagged_l = left.select(
@@ -57,31 +65,49 @@ def asof_join(
         F.lit(1).alias("__src"),
         *[F.col(c) for c in lcols if c != on and c != by],
     )
+    tagged_l = tagged_l.withColumn("__r_ts", F.lit(None))
     for c in rcols:
         tagged_l = tagged_l.withColumn(f"__r_{c}", F.lit(None))
     unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=True)
 
-    # right rows sort BEFORE left rows at equal ts (__src 0 < 1), so a
-    # same-timestamp right row is visible to the left row (<= semantics)
+    # backward: ascending scan, right rows sort BEFORE left at equal ts
+    # (__src 0 < 1) so a same-timestamp right row is visible (<=).
+    # forward: the mirror image — descending scan, right still first.
+    order = (
+        [F.col(on).asc(), F.col("__src").asc()]
+        if direction == "backward"
+        else [F.col(on).desc(), F.col("__src").asc()]
+    )
     w = (
         Window.partitionBy(*([by] if by else []))
-        .orderBy(F.col(on).asc(), F.col("__src").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = ["__r_ts", *[f"__r_{c}" for c in rcols]]
     filled = unioned.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True)
-            .over(w)
-            .alias(f"__f_{c}")
-            for c in rcols
+            F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in fill_cols
         ],
     )
+    in_tolerance = F.lit(True)
+    if tolerance is not None:
+        gap = (
+            F.col(on) - F.col("__f___r_ts")
+            if direction == "backward"
+            else F.col("__f___r_ts") - F.col(on)
+        )
+        in_tolerance = gap <= F.expr(f"INTERVAL {tolerance}")
     out = filled.filter(F.col("__src") == 1).select(
         *([F.col(by)] if by else []),
         F.col(on),
         *[F.col(c) for c in lcols if c != on and c != by],
-        *[F.col(f"__f_{c}").alias(out_names[c]) for c in rcols],
+        *[
+            F.when(in_tolerance, F.col(f"__f___r_{c}"))
+            .alias(out_names[c])
+            for c in rcols
+        ],
     )
     return out
 

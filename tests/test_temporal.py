@@ -65,6 +65,43 @@ def test_asof_join_suffixes_collisions(spark, trades):
     assert "qty_r" in out.columns
 
 
+def test_asof_join_forward(trades, quotes):
+    out = {
+        r.qty: r.px
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", direction="forward"
+        ).collect()
+    }
+    # earliest quote at-or-after each trade
+    assert out == {
+        100: 10.0,  # 8:00 → next quote 9:00
+        101: 10.0,  # exactly at 9:00 (>= semantics)
+        102: 11.0,  # 10:00 → next quote 11:00
+        103: None,  # after last quote
+        104: None,  # B has no quote after 10:30
+        105: None,
+    }
+
+
+def test_asof_join_tolerance(trades, quotes):
+    out = {
+        r.qty: r.px
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", tolerance="30 minutes"
+        ).collect()
+    }
+    # matches further than 30 min are voided (trade 103 at 12:00 is 1h
+    # after the 11:00 quote; trade 104 at 10:30 is exactly 30 min after)
+    assert out == {
+        100: None,
+        101: 10.0,
+        102: None,
+        103: None,
+        104: 20.0,
+        105: None,
+    }
+
+
 def test_asof_join_no_nested_loop(trades, quotes):
     plan = (
         asof_join(trades, quotes, on="ts", by="sym")
