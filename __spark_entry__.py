@@ -1027,6 +1027,24 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.streaming import (
+        run_available_now,
+        stream_dedup,
+        stream_parquet_table,
+    )
+
+    events = stream_parquet_table(spark, sf_dir, "events")
+    dup = events.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+    deduped = stream_dedup(
+        dup.select("event_id", "ts", "user_id"), subset=["event_id"]
+    ).select("event_id", "user_id")
+    rows = run_available_now(deduped, "append")
+    return spark.createDataFrame(rows, "event_id long, user_id long")
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import kmv_distinct
 
@@ -1093,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_asof_join": _q_asof,
             "op_range_join": _q_range_join,
             "op_stream_interval_join": _q_stream_interval_join,
+            "op_stream_dedup": _q_stream_dedup,
             "op_kmv_distinct": _q_kmv_distinct,
             "op_winnow_fingerprints": _q_winnow,
             "op_sampling_split": _q_sampling,
@@ -1125,6 +1144,9 @@ def oracle_sql() -> dict[str, str]:
             # stream-stream interval join produces the same pairs as the
             # batch range join over the identical window
             "op_stream_interval_join": _RANGE_JOIN_ORACLE,
+            "op_stream_dedup": (
+                "SELECT DISTINCT event_id, user_id FROM events"
+            ),
             "op_kmv_distinct": _KMV_ORACLE,
             "op_winnow_fingerprints": _WINNOW_ORACLE,
             "op_sampling_split": _SAMPLING_ORACLE,

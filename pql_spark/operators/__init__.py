@@ -10,6 +10,7 @@ whole-stage codegen — no row-at-a-time Python.
 
 from .dedup import (
     dedup_exact,
+    dedup_incremental,
     embedding_dup_pairs,
     kmv_distinct,
     minhash_dup_pairs,
@@ -40,6 +41,7 @@ __all__ = [
     "asof_join",
     "cosine_topk",
     "dedup_exact",
+    "dedup_incremental",
     "deterministic_shuffle",
     "doc_fingerprint",
     "embedding_dup_pairs",

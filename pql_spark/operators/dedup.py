@@ -66,6 +66,23 @@ def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    key: str = "fingerprint",
+) -> DataFrame:
+    """Incremental dedup: rows of ``batch`` whose ``key`` is NOT in the
+    ``seen`` set (e.g. fingerprints of previously ingested corpus).
+
+    A left-anti join — at 100 TB, with ``seen`` bucketed on ``key`` and
+    the batch fingerprinted with :func:`pql_spark.operators.text.
+    doc_fingerprint`, each incremental ingest touches only the new
+    partition plus a co-located probe of the store; re-ingesting the
+    full corpus is never needed.
+    """
+    return batch.join(seen.select(key).distinct(), key, "left_anti")
+
+
 def kmv_distinct(
     df: DataFrame, col: str, k: int = 256, id_suffix: str = ""
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from .pipeline import (
     pql_stream,
     run_available_now,
     sessionize,
+    stream_dedup,
     stream_interval_join,
     stream_parquet_table,
     stateful_user_counts,
@@ -24,6 +25,7 @@ __all__ = [
     "pql_stream",
     "run_available_now",
     "sessionize",
+    "stream_dedup",
     "stream_interval_join",
     "stream_parquet_table",
     "stateful_user_counts",

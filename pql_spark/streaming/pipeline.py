@@ -180,6 +180,23 @@ def stateful_user_counts(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    subset: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key seen within the
+    watermark horizon.
+
+    ``dropDuplicates`` on a stream is stateful — one state entry per
+    distinct key, evicted when the watermark passes — so memory is
+    bounded by keys-per-horizon, not stream length.  The streaming twin
+    of :func:`pql_spark.operators.dedup.dedup_exact`.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicates(subset)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

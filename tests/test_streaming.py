@@ -198,6 +198,36 @@ def test_stream_interval_join_matches_batch_range_join(
     assert len(streamed) > 0
 
 
+def test_stream_dedup_matches_batch_distinct(spark, events_stream, events_batch):
+    from pql_spark.streaming import stream_dedup
+
+    # duplicate every row (explode a 2-element array), then dedup on the
+    # full identifying key — the stream must recover the original rows
+    dup = events_stream.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+    streamed = run_available_now(
+        stream_dedup(
+            dup.select("event_id", "ts", "user_id"),
+            subset=["event_id"],
+        ),
+        "append",
+    )
+    batch = events_batch.select("event_id", "ts", "user_id").distinct()
+    assert _as_set(streamed) == _as_set(batch.collect())
+
+
+def test_dedup_incremental_anti_join(spark):
+    from pql_spark.operators import dedup_incremental
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, fingerprint string"
+    )
+    seen = spark.createDataFrame([("a",), ("c",)], "fingerprint string")
+    out = dedup_incremental(batch, seen)
+    assert [r.id for r in out.collect()] == [2]
+
+
 def test_pql_sort_rejected_on_stream(spark, events_stream):
     from pyspark.errors import AnalysisException
 
