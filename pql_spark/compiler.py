@@ -185,9 +185,20 @@ class Compiler:
         if isinstance(op, ProjectOp):
             return df.select(*self._compile_cols(op.cols, env))
         if isinstance(op, ExtendOp):
-            # SELECT *, expr AS name — keeps all existing columns and
-            # appends (duplicates allowed, matching pql.go:388-409)
-            return df.select("*", *self._compile_cols(op.cols, env))
+            # keeps all existing columns and appends; a column whose name
+            # already exists is REPLACED in place (KQL extend semantics —
+            # the reference's `SELECT *, expr AS name` relies on the
+            # engine tolerating duplicate names, which Spark does not:
+            # any later reference would be AMBIGUOUS_REFERENCE)
+            existing = list(df.columns)
+            items = {c: F.col(_q(c)) for c in existing}
+            order = list(existing)
+            for spec in op.cols:
+                name = self._col_name(spec)
+                items[name] = self.compile_expr(spec.expr, env).alias(name)
+                if name not in order:
+                    order.append(name)
+            return df.select(*[items[c] for c in order])
         if isinstance(op, SummarizeOp):
             return self._summarize(df, op, env)
         if isinstance(op, JoinOp):

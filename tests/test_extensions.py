@@ -56,6 +56,14 @@ def test_union_subquery(engine):
     assert sorted(r.id for r in out.collect()) == [1, 1, 2, 3, 5]
 
 
+def test_extend_overwrites_in_place(engine):
+    """extend with an existing name replaces the column (KQL semantics)
+    instead of creating an ambiguous duplicate."""
+    out = engine.query('T1 | extend tag = "x" | project id, tag')
+    assert out.columns == ["id", "tag"]
+    assert all(r.tag == "x" for r in out.collect())
+
+
 def test_project_away(engine):
     out = engine.query("T1 | project-away arr, tag")
     assert out.columns == ["id"]
