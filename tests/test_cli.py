@@ -33,6 +33,28 @@ def test_cli_executes_with_let_prelude():
 
 
 @pytest.mark.skipif(not SF_SMOKE.is_dir(), reason="no testdata")
+def test_cli_sql_mode_prints_compiled_sql():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pql_spark.cli",
+            "--tables",
+            str(SF_SMOKE),
+            "--sql",
+            "-c",
+            "lineitem | where l_quantity > 40 | count",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SELECT count(1) AS `count()`" in proc.stdout
+    assert "`l_quantity` > 40" in proc.stdout
+
+
+@pytest.mark.skipif(not SF_SMOKE.is_dir(), reason="no testdata")
 def test_cli_reports_parse_errors():
     proc = subprocess.run(
         [
