@@ -2,10 +2,17 @@
 
 The reference (runreveal/pql) stops at the query language; these are the
 operations a 100 TB training-data pipeline needs on top: deduplication,
-similarity search, text analysis, and multimodal column plumbing.  Every
-operator here is built from JVM-side ``pyspark.sql.functions`` (higher-
-order array functions, md5/xxhash64, regexp) so the hot path never leaves
-whole-stage codegen — no row-at-a-time Python.
+similarity search, temporal joins, text analysis, deterministic
+sampling, sketches, and multimodal column plumbing.
+
+Execution policy: operators are JVM-side ``pyspark.sql.functions``
+expressions (whole-stage codegen, no Python) wherever Catalyst expresses
+the computation efficiently; dense arithmetic that would run as
+interpreted higher-order-function lambdas (minhash permutations, cosine
+matrices, kNN cells) instead runs in Arrow-batched numpy kernels via
+``mapInPandas``/``applyInPandas`` — vectorized batches, never
+row-at-a-time Python.  md5 is the hash everywhere a SQL oracle must
+reproduce results bit-for-bit across engines.
 """
 
 from .dedup import (
