@@ -83,9 +83,18 @@ def _nanos_ts_columns(path: Path) -> list[str]:
 def _read_parquet(spark: SparkSession, path: Path) -> DataFrame:
     """Read one parquet table, restoring nanosecond-timestamp columns
     (landed as long nanos) to proper timestamps (microsecond precision —
-    Spark's native unit; sub-microsecond bits are truncated)."""
+    Spark's native unit; sub-microsecond bits are truncated).
+
+    Sets ``nanosAsLong`` on the session when needed — callers may hand
+    us a session that was not built by :func:`build_session` (it is a
+    runtime-settable SQL conf), and without it the read throws
+    ``PARQUET_TYPE_ILLEGAL``.
+    """
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(str(path))
-    for c in _nanos_ts_columns(path):
+    for c in nanos_cols:
         # integer `div` — float division would round 1e18-scale nanos
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df

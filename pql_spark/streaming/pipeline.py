@@ -37,6 +37,8 @@ def stream_parquet_table(
     from pql_spark.sources.catalog import _nanos_ts_columns
 
     path = Path(sf_dir) / f"{name}.parquet"
+    if _nanos_ts_columns(path):  # see sources.catalog._read_parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(str(path)).schema
     stream_dir = path
     if path.is_file():
