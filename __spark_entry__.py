@@ -765,6 +765,76 @@ SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
 FROM k
 """
 
+def _grams_sql(words: str, n: int) -> str:
+    """DuckDB expression mirroring operators.text.word_grams (ALL grams,
+    with multiplicity — no list_distinct)."""
+    return (
+        f"CASE WHEN len({words}) <= {n} "
+        f"THEN [array_to_string({words}, ' ')] "
+        f"ELSE [array_to_string(({words})[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len({words}) - {n} + 2)] END"
+    )
+
+
+_REP_TOP_N = 2
+_REP_DUP_N = 3
+
+_REPETITION_ORACLE = f"""
+WITH lc AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents)
+  GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+             / sum(c) AS dup_line_frac,
+         CAST(coalesce(sum(c * length(line)) FILTER (WHERE c > 1), 0)
+              AS DOUBLE)
+             / greatest(sum(c * length(line)), 1) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),
+base AS (SELECT doc_id, length({_NORM}) AS n_chars FROM documents),
+tc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_grams_sql(_WORDS, _REP_TOP_N)}) AS g
+        FROM documents)
+  GROUP BY doc_id, g
+),
+top_stats AS (
+  SELECT doc_id,
+         CAST(substr(top, 1, 10) AS BIGINT) AS top_cnt,
+         length(top) - 11 AS top_len
+  FROM (SELECT doc_id,
+               max(lpad(c::VARCHAR, 10, '0') || '|' || g) AS top
+        FROM tc GROUP BY doc_id)
+),
+dc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_grams_sql(_WORDS, _REP_DUP_N)}) AS g
+        FROM documents)
+  GROUP BY doc_id, g
+),
+dup_stats AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(c * length(g)) FILTER (WHERE c > 1), 0)
+              AS DOUBLE)
+             / sum(c * length(g)) AS dup_ngram_frac
+  FROM dc GROUP BY doc_id
+)
+SELECT base.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       CAST(top_cnt * top_len AS DOUBLE) / greatest(n_chars, 1)
+           AS top_ngram_frac,
+       dup_ngram_frac
+FROM base
+JOIN line_stats USING (doc_id)
+JOIN top_stats USING (doc_id)
+JOIN dup_stats USING (doc_id)
+"""
+
+
 # as-of join: every event picks up the most recent signup value <= ts
 # for its user (DuckDB's native ASOF JOIN is the oracle)
 _ASOF_ORACLE = """
@@ -885,6 +955,12 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_stats(
+        _docs(spark, sf_dir), top_n=_REP_TOP_N, dup_n=_REP_DUP_N
+    )
 
 
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_token_stats": _q_token_stats,
             "op_quality": _q_quality,
             "op_langid": _q_langid,
+            "op_repetition": _q_repetition,
             "op_ngram_jaccard": _q_ngram,
             "op_minhash_dups": _q_minhash,
             "op_simhash": _q_simhash,
@@ -1130,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
             "op_token_stats": _TOKEN_STATS_ORACLE,
             "op_quality": _QUALITY_ORACLE,
             "op_langid": _langid_oracle(),
+            "op_repetition": _REPETITION_ORACLE,
             "op_ngram_jaccard": _NGRAM_ORACLE,
             "op_minhash_dups": _minhash_oracle(),
             "op_simhash": _simhash_oracle(),

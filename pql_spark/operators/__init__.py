@@ -38,9 +38,11 @@ from .text import (
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
     tokens,
     winnow_fingerprints,
+    word_grams,
     word_shingles,
 )
 
@@ -62,6 +64,7 @@ __all__ = [
     "pairwise_topk",
     "quality_score",
     "range_join",
+    "repetition_stats",
     "simhash",
     "simhash_dedup",
     "stratified_hash_sample",
@@ -69,5 +72,6 @@ __all__ = [
     "train_test_split",
     "tokens",
     "winnow_fingerprints",
+    "word_grams",
     "word_shingles",
 ]

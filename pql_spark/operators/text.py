@@ -54,6 +54,129 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def word_grams(text: Column, n: int = 2) -> Column:
+    """ALL n-word grams of normalized text, with multiplicity
+    (array<string>) — unlike :func:`word_shingles`, repeats are kept,
+    which is the point for repetition analysis.  A doc with fewer than
+    ``n`` words yields the whole doc as its single gram."""
+    toks = tokens(text)
+    m = F.size(toks)
+    return F.when(m <= F.lit(n), F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(n) + F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): documents dominated by repeated
+    lines or n-grams are boilerplate/spam and get filtered before
+    pretraining.
+
+    Per document:
+      - ``n_lines``            — raw line count (split on newline)
+      - ``dup_line_frac``      — fraction of lines that are repeats
+      - ``dup_line_char_frac`` — fraction of line chars in repeated lines
+      - ``top_ngram_frac``     — chars covered by the single most frequent
+                                 ``top_n``-gram / normalized text chars
+      - ``dup_ngram_frac``     — fraction of ``dup_n``-gram chars in grams
+                                 occurring more than once
+
+    Plan shape: three explode → partial-aggregated groupBys keyed by
+    (doc, line|gram) — per-document keys, so cardinality ~ corpus token
+    count, map-side combine does most of the work, and skew is bounded
+    by the largest single document.  The three branches then join on the
+    doc id (co-partitioned post-aggregate).  No Python, no O(doc²).
+    The most-frequent-gram argmax uses the fixed-width ``count|gram``
+    string max (same trick as :func:`language_id`) so ties break
+    deterministically in any engine.
+    """
+    text = F.col(text_col)
+    c = F.col("c")
+
+    base = df.select(
+        F.col(id_col), F.length(_norm(text)).alias("n_chars")
+    )
+
+    line_cnt = (
+        df.select(F.col(id_col), F.explode(F.split(text, "\n")).alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_chars = F.coalesce(
+        F.sum(F.when(c > 1, c * F.length("line"))), F.lit(0)
+    )
+    line_stats = line_cnt.groupBy(id_col).agg(
+        F.sum(c).alias("n_lines"),
+        (F.coalesce(F.sum(F.when(c > 1, c)), F.lit(0)) / F.sum(c)).alias(
+            "dup_line_frac"
+        ),
+        (
+            dup_chars
+            / F.greatest(F.sum(c * F.length("line")), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )
+
+    top_cnt = (
+        df.select(F.col(id_col), F.explode(word_grams(text, top_n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_stats = (
+        top_cnt.groupBy(id_col)
+        .agg(
+            F.max(
+                F.concat(
+                    F.lpad(c.cast("string"), 10, "0"), F.lit("|"), F.col("g")
+                )
+            ).alias("top")
+        )
+        .select(
+            F.col(id_col),
+            F.substring("top", 1, 10).cast("long").alias("top_cnt"),
+            (F.length("top") - 11).alias("top_len"),
+        )
+    )
+
+    dup_cnt = (
+        df.select(F.col(id_col), F.explode(word_grams(text, dup_n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_stats = dup_cnt.groupBy(id_col).agg(
+        (
+            F.coalesce(F.sum(F.when(c > 1, c * F.length("g"))), F.lit(0))
+            / F.sum(c * F.length("g"))
+        ).alias("dup_ngram_frac")
+    )
+
+    return (
+        base.join(line_stats, id_col)
+        .join(top_stats, id_col)
+        .join(dup_stats, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_lines"),
+            F.col("dup_line_frac"),
+            F.col("dup_line_char_frac"),
+            (
+                F.col("top_cnt")
+                * F.col("top_len")
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("top_ngram_frac"),
+            F.col("dup_ngram_frac"),
+        )
+    )
+
+
 def token_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -21,9 +21,11 @@ from pql_spark.operators import (
     ngram_jaccard_pairs,
     pairwise_topk,
     quality_score,
+    repetition_stats,
     simhash,
     simhash_dedup,
     token_stats,
+    word_grams,
     word_shingles,
 )
 from pql_spark.operators import kmv_distinct
@@ -224,6 +226,43 @@ def test_quality_score_bounds(docs):
     for r in quality_score(docs).collect():
         assert 0.0 <= r.quality <= 1.0
         assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_word_grams_keeps_multiplicity(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "id long, text string")
+    row = df.select(word_grams(F.col("text"), 2).alias("g")).head()
+    assert list(row.g) == ["a b", "b a", "a b", "b a"]
+
+
+def test_repetition_stats_lines(spark):
+    rows = [
+        (1, "same line\nsame line\nother line\nsame line"),
+        (2, "a\nb\nc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_frac == pytest.approx(3 / 4)  # 3 copies of 'same line'
+    assert r1.dup_line_char_frac == pytest.approx(27 / 37)
+    r2 = out[2]
+    assert r2.dup_line_frac == 0.0
+    assert r2.dup_line_char_frac == 0.0
+
+
+def test_repetition_stats_ngrams(spark):
+    # 'spam spam spam spam' — one distinct 2-gram 'spam spam' occurring
+    # 3 times covering 9*3=27 chars of 19 normalized chars (overlap can
+    # push the Gopher ratio past 1; that's the published definition)
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ fully")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_ngram_frac == pytest.approx(27 / 19)
+    assert out[1].dup_ngram_frac == 1.0  # every 3-gram is 'spam spam spam'
+    assert out[2].dup_ngram_frac == 0.0
+    assert 0 < out[2].top_ngram_frac < 1
 
 
 def test_language_id(spark):
