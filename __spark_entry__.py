@@ -835,6 +835,20 @@ JOIN dup_stats USING (doc_id)
 """
 
 
+_DECON_N = 5
+
+_DECON_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql('words', _DECON_N)} AS sh FROM docs),
+bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh
+          WHERE doc_id % 17 = 0),
+cg AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bench USING (gram))
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 # as-of join: every event picks up the most recent signup value <= ts
 # for its user (DuckDB's native ASOF JOIN is the oracle)
 _ASOF_ORACLE = """
@@ -955,6 +969,14 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return D.decontaminate(docs, bench, gram_n=_DECON_N).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_quality": _q_quality,
             "op_langid": _q_langid,
             "op_repetition": _q_repetition,
+            "op_decontaminate": _q_decontaminate,
             "op_ngram_jaccard": _q_ngram,
             "op_minhash_dups": _q_minhash,
             "op_simhash": _q_simhash,
@@ -1208,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
             "op_quality": _QUALITY_ORACLE,
             "op_langid": _langid_oracle(),
             "op_repetition": _REPETITION_ORACLE,
+            "op_decontaminate": _DECON_ORACLE,
             "op_ngram_jaccard": _NGRAM_ORACLE,
             "op_minhash_dups": _minhash_oracle(),
             "op_simhash": _simhash_oracle(),

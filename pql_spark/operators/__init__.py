@@ -16,6 +16,8 @@ reproduce results bit-for-bit across engines.
 """
 
 from .dedup import (
+    contamination_report,
+    decontaminate,
     dedup_exact,
     dedup_incremental,
     embedding_dup_pairs,
@@ -49,6 +51,8 @@ from .text import (
 __all__ = [
     "asof_join",
     "cosine_topk",
+    "contamination_report",
+    "decontaminate",
     "dedup_exact",
     "dedup_incremental",
     "deterministic_shuffle",

@@ -83,6 +83,66 @@ def dedup_incremental(
     return batch.join(seen.select(key).distinct(), key, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 13,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-document benchmark contamination: (id, n_hits) where n_hits is
+    the number of DISTINCT ``gram_n``-word n-grams the document shares
+    with the benchmark set (GPT-3 appendix C–style train/test overlap).
+
+    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus —
+    distinct-reduce it and **broadcast** it, so the corpus side is one
+    narrow explode + broadcast hash semi-probe + per-doc count, with the
+    only shuffle keyed by doc id for the count.  Set ``broadcast=False``
+    to fall back to a shuffle join when the benchmark itself is huge.
+    """
+    bench = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), gram_n)).alias("gram")
+    ).distinct()
+    if broadcast:
+        bench = F.broadcast(bench)
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), gram_n)).alias("gram"),
+    )
+    return (
+        grams.join(bench, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 13,
+    min_hits: int = 1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_hits`` distinct
+    ``gram_n``-word n-grams with ``benchmark`` (dataset decontamination —
+    the standard pre-training hygiene step so eval benchmarks don't leak
+    into training data).
+
+    ``corpus`` minus the :func:`contamination_report` ids via a left-anti
+    join on the doc id.  The contaminated-id set is small (hits only), so
+    AQE turns the anti-join into a broadcast probe — the full corpus is
+    never shuffled.
+    """
+    hits = contamination_report(
+        corpus, benchmark, text_col, id_col, gram_n, broadcast
+    )
+    flagged = hits.filter(F.col("n_hits") >= min_hits).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def kmv_distinct(
     df: DataFrame, col: str, k: int = 256, id_suffix: str = ""
 ) -> DataFrame:

@@ -138,6 +138,49 @@ def test_embedding_dup_pairs(vecs):
     assert pairs[(0, 1)] == pytest.approx(expected)
 
 
+def test_decontaminate_removes_overlap(spark):
+    from pql_spark.operators import contamination_report, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words in this one"),
+            (3, "prefix alpha beta gamma delta epsilon suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    clean = decontaminate(corpus, bench, gram_n=5)
+    assert {r.doc_id for r in clean.collect()} == {2}
+    report = {
+        r.doc_id: r.n_hits
+        for r in contamination_report(corpus, bench, gram_n=5).collect()
+    }
+    assert report == {1: 1, 3: 1}
+    # min_hits above the overlap keeps everything
+    assert decontaminate(corpus, bench, gram_n=5, min_hits=2).count() == 3
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from pql_spark.operators import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e")], "doc_id long, text string"
+    )
+    plan = (
+        contamination_report(corpus, bench, gram_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_kmv_distinct_exact_when_small(spark):
     df = spark.range(40).select((F.col("id") % 10).alias("v"))
     row = kmv_distinct(df, "v", k=64).head()
