@@ -937,6 +937,12 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(emb, qv, k=10, planes=8, probe_hamming=1)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_topk(_emb(spark, sf_dir), k=3, key_col="label")
 
@@ -1203,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_embedding_dups": _q_cosine_pairs,
             "op_cosine_topk": _q_cosine_topk,
             "op_lsh_topk": _q_lsh_topk,  # approximate — rows-only check
+            "op_ivf_topk": _q_ivf_topk,  # approximate — rows-only check
             "op_knn_grouped": _q_knn,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
             "op_stream_windowed": _q_stream_windowed,

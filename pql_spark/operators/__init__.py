@@ -34,7 +34,14 @@ from .sampling import (
     stratified_hash_sample,
     train_test_split,
 )
-from .similarity import cosine_topk, lsh_bucket_topk, pairwise_topk
+from .similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_bucket_topk,
+    pairwise_topk,
+    train_centroids,
+)
 from .temporal import asof_join, range_join
 from .text import (
     doc_fingerprint,
@@ -59,6 +66,8 @@ __all__ = [
     "doc_fingerprint",
     "embedding_dup_pairs",
     "hash_sample",
+    "ivf_assign",
+    "ivf_topk",
     "kmv_distinct",
     "language_id",
     "lsh_bucket_topk",
@@ -73,6 +82,7 @@ __all__ = [
     "simhash_dedup",
     "stratified_hash_sample",
     "token_stats",
+    "train_centroids",
     "train_test_split",
     "tokens",
     "winnow_fingerprints",

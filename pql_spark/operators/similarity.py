@@ -145,6 +145,122 @@ def pairwise_topk(
     )
 
 
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd's on the unit sphere,
+    cosine objective) over a bounded driver-side sample — the training
+    half of an IVF index (Sivic/Zisserman "Video Google"-style coarse
+    quantizer; same scheme as FAISS ``IndexIVFFlat``'s coarse stage).
+
+    Determinism (so an index rebuilt tomorrow routes identically): the
+    sample is the first ``sample_size`` vectors in id order (a bounded
+    ``TakeOrderedAndProject`` collect, NOT a random sample), init takes
+    evenly spaced sample points, argmax ties pick the lowest cell, empty
+    cells keep their previous centroid.  Training cost is independent of
+    corpus size; only assignment (a narrow map) is distributed.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = len(x)
+    cents = x[np.linspace(0, n - 1, n_centroids).astype(int)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 1e-12:
+                    cents[j] = c / nrm
+    return [[float(v) for v in row] for row in cents]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Append the nearest-centroid cell id (argmax cosine against the
+    trained centroids) — narrow, no shuffle, pure Catalyst.
+
+    At 100 TB the cell id is the IVF partition key: write the corpus
+    bucketed/partitioned by it, and a query's nprobe cells become
+    partition pruning on the scan (see :func:`ivf_topk`).
+    """
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(v, F.lit(c).cast("array<double>"))
+                    / (
+                        nrm
+                        * F.lit(
+                            math.sqrt(sum(x * x for x in c)) or 1.0
+                        )
+                    )
+                ).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(cell_col, F.array_max(scored).getField("c"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+) -> DataFrame:
+    """IVF approximate top-k: rank the trained cells by query-centroid
+    cosine (driver-side, tiny), scan only the best ``nprobe`` cells,
+    exact cosine within the candidates.
+
+    Scan fraction ≈ nprobe/n_centroids of the corpus (data-adaptive,
+    unlike the data-oblivious hyperplanes of :func:`lsh_bucket_topk`).
+    With ``nprobe == n_centroids`` this degrades gracefully to the exact
+    brute-force result.  Pass pretrained ``centroids`` to skip training
+    (the production path: train once, reuse per query).
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            df, n_centroids, vec_col, id_col, sample_size
+        )
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def score(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-score(centroids[i]), i)
+    )
+    probes = order[:nprobe]
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    cand = assigned.filter(F.col("cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG → N(0,1) via
     Box-Muller) — stable across sessions, no numpy dependency."""

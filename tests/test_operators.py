@@ -240,6 +240,44 @@ def test_pairwise_topk_impls_agree(vecs):
     assert fast == ref
 
 
+def test_ivf_full_probe_equals_brute_force(sf_catalog):
+    from pql_spark.operators import ivf_topk
+
+    emb = sf_catalog("embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = cosine_topk(emb, qv, k=10).collect()
+    approx = ivf_topk(emb, qv, k=10, n_centroids=4, nprobe=4).collect()
+    assert [(r.vec_id, round(r.cosine, 9)) for r in exact] == [
+        (r.vec_id, round(r.cosine, 9)) for r in approx
+    ]
+
+
+def test_ivf_partial_probe_recall_and_determinism(sf_catalog):
+    from pql_spark.operators import ivf_topk
+
+    emb = sf_catalog("embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+    run1 = ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3).collect()
+    run2 = ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+    got = {r.vec_id for r in run1}
+    assert len(got & exact) / len(exact) >= 0.6  # clustered data → recall
+
+
+def test_train_centroids_deterministic_and_unit_norm(sf_catalog):
+    import math
+
+    from pql_spark.operators import train_centroids
+
+    emb = sf_catalog("embeddings")
+    c1 = train_centroids(emb, n_centroids=4, sample_size=64)
+    c2 = train_centroids(emb, n_centroids=4, sample_size=64)
+    assert c1 == c2
+    for row in c1:
+        assert math.isclose(sum(x * x for x in row), 1.0, rel_tol=1e-9)
+
+
 def test_pairwise_topk_single_cell(vecs):
     out = pairwise_topk(vecs, k=1).collect()  # no key: one cell
     assert {r.id for r in out} == {0, 1, 2, 3, 4}
