@@ -399,6 +399,54 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY vec_id ORDER BY vec_id
         """,
     ),
+    "pql_lookup": (
+        """
+        orders
+        | project o_orderkey, custkey = o_custkey, o_totalprice
+        | lookup (customer | project custkey = c_custkey, c_mktsegment)
+            on custkey
+        | summarize n = count(), total = round(sum(o_totalprice), 2)
+            by c_mktsegment
+        | sort by c_mktsegment asc
+        """,
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST
+        """,
+    ),
+    "pql_parse_op": (
+        """
+        documents
+        | parse source with "src" srcnum
+        | summarize n = count() by srcnum
+        | sort by srcnum asc
+        """,
+        r"""
+        SELECT regexp_extract(source, '^src(.*)$', 1) AS srcnum,
+               count(*) AS n
+        FROM documents GROUP BY srcnum ORDER BY srcnum
+        """,
+    ),
+    "pql_search_op": (
+        """
+        documents
+        | project doc_id, lang, source, text
+        | search "spark"
+        | summarize n = count() by lang
+        | sort by lang asc
+        """,
+        """
+        SELECT lang, count(*) AS n FROM documents
+        WHERE coalesce(
+            contains(lower(CAST(doc_id AS VARCHAR)), 'spark')
+            OR contains(lower(lang), 'spark')
+            OR contains(lower(source), 'spark')
+            OR contains(lower(text), 'spark'), FALSE)
+        GROUP BY lang ORDER BY lang
+        """,
+    ),
     # exact interpolated percentiles via passthrough (Spark `percentile`
     # == DuckDB `quantile_cont`, both linear interpolation)
     "pql_percentiles": (

@@ -204,6 +204,38 @@ class MvExpandOp(Op):
 
 
 @dataclass
+class LookupOp(Op):
+    """``lookup [kind=leftouter|inner] (Dim) on K1, K2`` — dimension-table
+    join: the right side is BROADCAST, and the shared key columns appear
+    once in the output (KQL lookup semantics; keys must be bare
+    identifiers present on both sides)."""
+
+    flavor: str  # leftouter (default) | inner
+    right: "TabularExpr"
+    keys: list[Ident]
+
+
+@dataclass
+class ParseOp(Op):
+    """``parse Expr with "lit" Name "lit2" Name2 …`` — extract substrings
+    between literal delimiters into new columns (KQL parse, simple mode).
+    ``segments`` alternates string literals and capture names in pattern
+    order; a row that doesn't match yields empty strings."""
+
+    source_expr: Expr
+    segments: list["StringLit | Ident"]
+
+
+@dataclass
+class SearchOp(Op):
+    """``search "term"`` — keep rows where ANY column's string form
+    contains the term, case-insensitively (KQL search scoped to the
+    current pipeline input)."""
+
+    term: str
+
+
+@dataclass
 class RenderOp(Op):
     chart: str
     props: list[tuple[str, Expr]]

@@ -48,11 +48,14 @@ from .ast_nodes import (
     InExpr,
     JoinOp,
     LetStatement,
+    LookupOp,
     MvExpandOp,
     NumberLit,
     Op,
+    ParseOp,
     ProjectAwayOp,
     ProjectOp,
+    SearchOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -245,7 +248,64 @@ class Compiler:
                     ]
                 )
             return df.select("*", exploded.alias(name))
+        if isinstance(op, LookupOp):
+            return self._lookup(df, op)
+        if isinstance(op, ParseOp):
+            regex, names = pf.build_parse_regex(op.segments)
+            src = self.compile_expr(op.source_expr, env)
+            items = {c: F.col(_q(c)) for c in df.columns}
+            order = list(df.columns)
+            for gi, name in enumerate(names, start=1):
+                items[name] = F.regexp_extract(src, regex, gi).alias(name)
+                if name not in order:
+                    order.append(name)
+            return df.select(*[items[c] for c in order])
+        if isinstance(op, SearchOp):
+            term = op.term.lower()
+            pred = None
+            for c in df.columns:
+                hit = F.lower(F.col(_q(c)).cast("string")).contains(
+                    F.lit(term)
+                )
+                pred = hit if pred is None else (pred | hit)
+            return df.filter(F.coalesce(pred, F.lit(False)))
         raise ParseError(f"unsupported operator {type(op).__name__}", op.span)
+
+    def _lookup(self, left: DataFrame, op: LookupOp) -> DataFrame:
+        """Broadcast dimension join (KQL lookup): right side is small by
+        contract, so it ships to every executor and the probe is a
+        narrow map over the fact table — no shuffle of the left side at
+        any scale.  Shared key columns appear once (from the left)."""
+        right = self.compile_tabular(op.right)
+        keys = [k.parts[0] for k in op.keys]
+        for ident, k in zip(op.keys, keys):
+            if k not in left.columns:
+                raise ParseError(
+                    f"lookup key {k!r} not found on left side", ident.span
+                )
+            if k not in right.columns:
+                raise ParseError(
+                    f"lookup key {k!r} not found in lookup table", ident.span
+                )
+        how = "left" if op.flavor == "leftouter" else "inner"
+        n = self._alias_counter
+        self._alias_counter += 1
+        la, ra = f"__pql_l{n}", f"__pql_r{n}"
+        cond = None
+        for k in keys:
+            eq = F.col(f"{_q(la)}.{_q(k)}") == F.col(f"{_q(ra)}.{_q(k)}")
+            cond = eq if cond is None else (cond & eq)
+        joined = left.alias(la).join(
+            F.broadcast(right.alias(ra)), cond, how
+        )
+        left_set = set(left.columns)
+        out = [F.col(f"{_q(la)}.{_q(c)}").alias(c) for c in left.columns]
+        for c in right.columns:
+            if c in keys:
+                continue  # key appears once, from the left
+            name = f"$right.{c}" if c in left_set else c
+            out.append(F.col(f"{_q(ra)}.{_q(c)}").alias(name))
+        return joined.select(*out)
 
     def _compile_cols(self, cols: list[ColSpec], env: _Env) -> list[Column]:
         return [

@@ -95,6 +95,41 @@ def bin_fn(value: Column, size: Column, lit_duration: str | None,
     return F.floor(value / size) * size
 
 
+# regex-special chars escaped for the `parse` operator's generated
+# pattern — a conservative set valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracles); notably space is NOT escaped (RE2 rejects unknown
+# escapes)
+_RE_SPECIAL = set(".^$*+?()[]{}|\\")
+
+
+def build_parse_regex(segments) -> tuple[str, list[str]]:
+    """Build the extraction regex for ``parse Expr with …`` (KQL simple
+    mode) from alternating literal/capture segments.
+
+    Anchored at the start (KQL simple mode matches from the beginning);
+    intermediate captures are lazy ``(.*?)``, a trailing capture is
+    greedy-to-end ``(.*)$``.  Returns (regex, capture names in group
+    order).  Both backends embed the SAME string, so Spark and the SQL
+    oracle extract identically.
+    """
+    from .ast_nodes import Ident
+
+    parts = ["^"]
+    names: list[str] = []
+    for i, seg in enumerate(segments):
+        if isinstance(seg, Ident):
+            names.append(seg.parts[0])
+            last = i == len(segments) - 1
+            parts.append("(.*)$" if last else "(.*?)")
+        else:
+            parts.append(
+                "".join(
+                    "\\" + c if c in _RE_SPECIAL else c for c in seg.value
+                )
+            )
+    return "".join(parts), names
+
+
 def compile_call(
     name: str,
     args: list[Column],

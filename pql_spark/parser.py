@@ -27,12 +27,15 @@ from .ast_nodes import (
     InExpr,
     JoinOp,
     LetStatement,
+    LookupOp,
     MvExpandOp,
     NumberLit,
     Op,
+    ParseOp,
     ProjectAwayOp,
     ProjectOp,
     RenderOp,
+    SearchOp,
     SortOp,
     UnionOp,
     SortTerm,
@@ -691,8 +694,103 @@ def _op_mv_expand(p: _P, kw: Token) -> Op:
     return MvExpandOp(col=col, span=Span(kw.span.start, col.span.end))
 
 
+def _op_lookup(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``lookup [kind=leftouter|inner] (Dim) on K1, K2`` —
+    broadcast dimension join, shared key columns appear once (KQL
+    lookup; the reference rejects the operator)."""
+    flavor = "leftouter"
+    if p.match_word("kind"):
+        p.expect(TokenKind.ASSIGN, "'='")
+        f = p.expect(TokenKind.IDENT, "lookup flavor")
+        if f.value not in ("leftouter", "inner"):
+            raise ParseError(
+                f"unsupported lookup flavor {f.value!r} "
+                "(supported: leftouter, inner)",
+                f.span,
+            )
+        flavor = f.value
+    p.expect(TokenKind.LPAREN, "'(' before lookup table")
+    depth = 1
+    inner: list[Token] = []
+    while True:
+        tok = p.take()
+        if tok.kind is TokenKind.LPAREN:
+            depth += 1
+        elif tok.kind is TokenKind.RPAREN:
+            depth -= 1
+            if depth == 0:
+                break
+        inner.append(tok)
+    right = _parse_tabular(inner, p.source)
+    on = p.expect(TokenKind.IDENT, "'on'")
+    if on.value != "on":
+        raise ParseError(f"expected 'on', got {on.value!r}", on.span)
+    keys: list[Ident] = []
+    while True:
+        expr = p.parse_expr()
+        if not isinstance(expr, Ident) or not expr.simple:
+            raise ParseError(
+                "lookup keys must be bare column names", expr.span
+            )
+        keys.append(expr)
+        if not p.match(TokenKind.COMMA):
+            break
+    return LookupOp(
+        flavor=flavor,
+        right=right,
+        keys=keys,
+        span=Span(kw.span.start, keys[-1].span.end),
+    )
+
+
+def _op_parse(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``parse Expr with "lit" Name "lit2" Name2 …`` —
+    extract substrings between literal delimiters (KQL parse, simple
+    mode)."""
+    source_expr = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'with'")
+    if w.value != "with":
+        raise ParseError(f"expected 'with', got {w.value!r}", w.span)
+    segments: list[StringLit | Ident] = []
+    end = w.span.end
+    while p.peek() is not None:
+        tok = p.take()
+        if tok.kind is TokenKind.STRING:
+            segments.append(StringLit(value=tok.value, span=tok.span))
+        elif tok.kind in (TokenKind.IDENT, TokenKind.QIDENT):
+            segments.append(
+                Ident(
+                    parts=[tok.value],
+                    quoted=[tok.kind is TokenKind.QIDENT],
+                    span=tok.span,
+                )
+            )
+        else:
+            raise ParseError(
+                "expected string literal or capture name", tok.span
+            )
+        end = tok.span.end
+    if not any(isinstance(s, Ident) for s in segments):
+        raise ParseError("parse pattern needs at least one capture", kw.span)
+    return ParseOp(
+        source_expr=source_expr,
+        segments=segments,
+        span=Span(kw.span.start, end),
+    )
+
+
+def _op_search(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``search "term"`` — any-column case-insensitive
+    substring filter (KQL search scoped to the pipeline input)."""
+    tok = p.expect(TokenKind.STRING, "search term string")
+    return SearchOp(term=tok.value, span=Span(kw.span.start, tok.span.end))
+
+
 _OPERATORS = {
     "count": _op_count,
+    "lookup": _op_lookup,
+    "parse": _op_parse,
+    "search": _op_search,
     "distinct": _op_distinct,
     "union": _op_union,
     "project-away": _op_project_away,

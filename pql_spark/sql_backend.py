@@ -39,10 +39,13 @@ from .ast_nodes import (
     IndexExpr,
     JoinOp,
     LetStatement,
+    LookupOp,
     MvExpandOp,
     NumberLit,
+    ParseOp,
     ProjectAwayOp,
     ProjectOp,
+    SearchOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -55,7 +58,7 @@ from .ast_nodes import (
     UnaryExpr,
     WhereOp,
 )
-from .functions import _DURATION_UNITS, _duration_usec
+from .functions import _DURATION_UNITS, _duration_usec, build_parse_regex
 from .lexer import Span
 from .parser import ParseError, QueryError, parse
 
@@ -243,9 +246,71 @@ class _SqlEmitter:
                 extras.append(f"{self.expr(value)} AS {_q(f'render_prop_{key}')}")
                 out.append(f"render_prop_{key}")
             return f"SELECT *, {', '.join(extras)} FROM {inner}", out
+        if isinstance(op, LookupOp):
+            return self.emit_lookup(op, sql, cols)
+        if isinstance(op, ParseOp):
+            regex, names = build_parse_regex(op.segments)
+            src = self.expr(op.source_expr)
+            out = list(cols)
+            items = [_q(c) for c in cols]
+            for gi, name in enumerate(names, start=1):
+                item = (
+                    f"regexp_extract({src}, {_qs(regex)}, {gi}) AS {_q(name)}"
+                )
+                if name in out:
+                    items[out.index(name)] = item
+                else:
+                    out.append(name)
+                    items.append(item)
+            return f"SELECT {', '.join(items)} FROM {inner}", out
+        if isinstance(op, SearchOp):
+            term = _qs(op.term.lower())
+            hits = " OR ".join(
+                f"contains(lower(CAST({_q(c)} AS STRING)), {term})"
+                for c in cols
+            )
+            return (
+                f"SELECT * FROM {inner} WHERE coalesce({hits}, FALSE)",
+                cols,
+            )
         raise ParseError(
             f"SQL backend: unsupported operator {type(op).__name__}", op.span
         )
+
+    def emit_lookup(
+        self, op: LookupOp, left_sql: str, left_cols: list[str]
+    ) -> tuple[str, list[str]]:
+        right_sql, right_cols = self.emit_query(op.right)
+        keys = [k.parts[0] for k in op.keys]
+        for ident, k in zip(op.keys, keys):
+            if k not in left_cols:
+                raise ParseError(
+                    f"lookup key {k!r} not found on left side", ident.span
+                )
+            if k not in right_cols:
+                raise ParseError(
+                    f"lookup key {k!r} not found in lookup table", ident.span
+                )
+        kind = "LEFT JOIN" if op.flavor == "leftouter" else "JOIN"
+        on = " AND ".join(
+            f"{_q('$left')}.{_q(k)} = {_q('$right')}.{_q(k)}" for k in keys
+        )
+        out_items, out_names = [], []
+        for c in left_cols:
+            out_items.append(f"{_q('$left')}.{_q(c)} AS {_q(c)}")
+            out_names.append(c)
+        for c in right_cols:
+            if c in keys:
+                continue  # key appears once, from the left
+            name = f"$right.{c}" if c in left_cols else c
+            out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
+            out_names.append(name)
+        sql = (
+            f"SELECT /*+ BROADCAST({_q('$right')}) */ {', '.join(out_items)}"
+            f" FROM ({left_sql}) AS {_q('$left')}"
+            f" {kind} ({right_sql}) AS {_q('$right')} ON {on}"
+        )
+        return sql, out_names
 
     def emit_join(
         self, op: JoinOp, left_sql: str, left_cols: list[str]

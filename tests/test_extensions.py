@@ -85,6 +85,67 @@ def test_mv_expand_named(engine):
     assert sorted(map(tuple, out.collect())) == [(1, 10), (1, 20), (1, 30)]
 
 
+def test_lookup_broadcasts_and_dedups_key(spark, engine):
+    out = engine.query(
+        "T1 | lookup (T2 | extend tag2 = extra) on id | sort by id asc"
+    )
+    # leftouter default: all left rows kept, key column appears ONCE
+    assert out.columns == ["id", "tag", "arr", "extra", "tag2"]
+    assert out.count() == 4
+    assert all(r.extra is None for r in out.collect())  # no id overlap
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lookup_inner_and_dup_rename(engine):
+    out = engine.query(
+        'T1 | extend extra = "x" | lookup kind=inner (T2) on id'
+    )
+    assert out.count() == 0  # no matching ids
+    assert "$right.extra" in out.columns  # non-key dup renamed
+
+
+def test_lookup_key_validation(engine):
+    with pytest.raises(QueryError, match="not found"):
+        engine.query("T1 | lookup (T2) on nosuch")
+
+
+def test_parse_extracts_between_literals(spark, engine):
+    t = spark.createDataFrame(
+        [(1, "user=alice;age=30"), (2, "user=bob;age=41"), (3, "garbage")],
+        "id long, raw string",
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = eng.query('T | parse raw with "user=" u ";age=" a')
+    rows = {r.id: (r.u, r.a) for r in out.collect()}
+    assert rows[1] == ("alice", "30")
+    assert rows[2] == ("bob", "41")
+    assert rows[3] == ("", "")  # no match ⇒ empty strings
+    assert out.columns == ["id", "raw", "u", "a"]
+    # SQL backend emits the same regex and result
+    t.createOrReplaceTempView("T")
+    sql = compile_to_sql('T | parse raw with "user=" u ";age=" a', {"T": t.columns})
+    assert _rows(spark.sql(sql)) == _rows(out)
+
+
+def test_parse_leading_capture_and_regex_chars(spark):
+    t = spark.createDataFrame(
+        [(1, "a.b|x.y")], "id long, raw string"
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = eng.query('T | parse raw with l "|" r')
+    row = out.head()
+    assert (row.l, row.r) == ("a.b", "x.y")
+
+
+def test_search_any_column_case_insensitive(engine):
+    out = engine.query('T1 | search "A"')
+    assert sorted(r.id for r in out.collect()) == [1, 1, 3]  # tag 'a'
+    assert engine.query('T1 | search "zzz"').count() == 0
+    # numeric columns are searched through their string form
+    assert engine.query('T1 | search "2"').count() >= 1
+
+
 @pytest.mark.parametrize(
     "q",
     [
@@ -94,6 +155,9 @@ def test_mv_expand_named(engine):
         "T1 | project-away arr",
         "T1 | mv-expand arr | project id, arr",
         "T1 | mv-expand v = arr | summarize n = count() by id",
+        "T1 | lookup (T2 | extend tag2 = extra) on id",
+        "T1 | lookup kind=inner (T2) on id",
+        'T1 | search "a"',
     ],
 )
 def test_sql_backend_equivalence(spark, tables, engine, q):
