@@ -447,6 +447,30 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY lang ORDER BY lang
         """,
     ),
+    "pql_serialize_window": (
+        """
+        events
+        | sort by ts asc, event_id asc
+        | serialize by user_id
+        | extend rn = row_number(), pv = prev(value), nv = next(value, 1, 0.0)
+        | where rn <= 3
+        | project user_id, event_id, rn,
+                  pv = round(pv, 4), nv = round(nv, 4)
+        """,
+        """
+        WITH w AS (
+          SELECT user_id, event_id,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 lag(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+                 coalesce(lead(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS nv
+          FROM events)
+        SELECT user_id, event_id, rn, round(pv, 4) AS pv, round(nv, 4) AS nv
+        FROM w WHERE rn <= 3
+        """,
+    ),
     # exact interpolated percentiles via passthrough (Spark `percentile`
     # == DuckDB `quantile_cont`, both linear interpolation)
     "pql_percentiles": (

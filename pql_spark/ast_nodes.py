@@ -204,6 +204,17 @@ class MvExpandOp(Op):
 
 
 @dataclass
+class SerializeOp(Op):
+    """``serialize [by P1, P2]`` — fix the window order for
+    ``row_number()``/``prev()``/``next()`` from the nearest preceding
+    ``sort``.  ``by`` partitions the window (our scale extension: a
+    partitioned window shuffles once on the keys instead of collapsing
+    to a single total-order task)."""
+
+    by: list[Ident]
+
+
+@dataclass
 class LookupOp(Op):
     """``lookup [kind=leftouter|inner] (Dim) on K1, K2`` — dimension-table
     join: the right side is BROADCAST, and the shared key columns appear

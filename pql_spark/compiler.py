@@ -56,6 +56,7 @@ from .ast_nodes import (
     ProjectAwayOp,
     ProjectOp,
     SearchOp,
+    SerializeOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -125,6 +126,9 @@ class Compiler:
     lets: dict[str, Expr] = field(default_factory=dict)
     bindings: dict[str, DataFrame] = field(default_factory=dict)
     _alias_counter: int = 0
+    # window state for serialize/row_number/prev/next (per pipeline)
+    _last_sort: list[SortTerm] | None = None
+    _window: tuple[list[str], list[SortTerm]] | None = None
 
     # ------------------------------------------------------------ statements
 
@@ -152,9 +156,14 @@ class Compiler:
             raise QueryError(self.source, [e]) from None
 
     def compile_tabular(self, expr: TabularExpr) -> DataFrame:
-        df = self._resolve_table(expr.source.name, expr.source.span)
-        for op in expr.operators:
-            df = self._apply(df, op)
+        saved = (self._last_sort, self._window)
+        self._last_sort, self._window = None, None
+        try:
+            df = self._resolve_table(expr.source.name, expr.source.span)
+            for op in expr.operators:
+                df = self._apply(df, op)
+        finally:
+            self._last_sort, self._window = saved
         return df
 
     def _resolve_table(self, name: str, span: Span) -> DataFrame:
@@ -176,12 +185,14 @@ class Compiler:
         if isinstance(op, WhereOp):
             return df.filter(self.compile_expr(op.predicate, env))
         if isinstance(op, SortOp):
+            self._last_sort = op.terms
             return df.orderBy(*[self._sort_col(t, env) for t in op.terms])
         if isinstance(op, TakeOp):
             return df.limit(self._const_int(op.count))
         if isinstance(op, TopOp):
             # sort+limit desugar (pql.go:167-185); Catalyst plans
             # TakeOrderedAndProject — top-k without a total sort
+            self._last_sort = [op.term]
             return df.orderBy(self._sort_col(op.term, env)).limit(
                 self._const_int(op.count)
             )
@@ -248,6 +259,21 @@ class Compiler:
                     ]
                 )
             return df.select("*", exploded.alias(name))
+        if isinstance(op, SerializeOp):
+            if self._last_sort is None:
+                raise ParseError(
+                    "serialize requires a preceding sort (a distributed "
+                    "engine has no inherent row order to serialize)",
+                    op.span,
+                )
+            for ident in op.by:
+                if ident.parts[0] not in df.columns:
+                    raise ParseError(
+                        f"serialize by: unknown column {ident.parts[0]!r}",
+                        ident.span,
+                    )
+            self._window = ([i.parts[0] for i in op.by], self._last_sort)
+            return df
         if isinstance(op, LookupOp):
             return self._lookup(df, op)
         if isinstance(op, ParseOp):
@@ -406,6 +432,8 @@ class Compiler:
             # (SURVEY §7.5.6); missing map key ⇒ NULL (Spark-idiomatic)
             return F.element_at(base, index)
         if isinstance(expr, CallExpr):
+            if expr.func in ("row_number", "prev", "next"):
+                return self._window_call(expr, env)
             args = [self.compile_expr(a, env) for a in expr.args]
             return pf.compile_call(
                 expr.func, args, expr.span, ast_args=expr.args
@@ -413,6 +441,45 @@ class Compiler:
         raise ParseError(
             f"unsupported expression {type(expr).__name__}", expr.span
         )
+
+    def _window_call(self, expr: CallExpr, env: _Env) -> Column:
+        """``row_number()`` / ``prev(c[, n[, default]])`` /
+        ``next(c[, n[, default]])`` over the serialize window.  A
+        partitioned window (``serialize by K``) shuffles once on K; the
+        unpartitioned form is a total order — correct but single-task,
+        use ``by`` at scale."""
+        from pyspark.sql import Window
+
+        if self._window is None:
+            raise ParseError(
+                f"{expr.func}() requires a preceding 'serialize'",
+                expr.span,
+            )
+        part, terms = self._window
+        base = (
+            Window.partitionBy(*[F.col(_q(p)) for p in part])
+            if part
+            else Window.partitionBy()
+        )
+        w = base.orderBy(*[self._sort_col(t, env) for t in terms])
+        args = expr.args
+        if expr.func == "row_number":
+            if args:
+                raise ParseError("row_number() takes no arguments", expr.span)
+            # long, matching BIGINT row_number in ANSI engines
+            return F.row_number().over(w).cast("long")
+        if not 1 <= len(args) <= 3:
+            raise ParseError(
+                f"{expr.func}() takes 1..3 arguments, got {len(args)}",
+                expr.span,
+            )
+        col = self.compile_expr(args[0], env)
+        n = self._const_int(args[1]) if len(args) >= 2 else 1
+        fn = F.lag if expr.func == "prev" else F.lead
+        out = fn(col, n).over(w)
+        if len(args) == 3:
+            out = F.coalesce(out, self.compile_expr(args[2], env))
+        return out
 
     def _binary(self, expr: BinaryExpr, env: _Env) -> Column:
         op = expr.op

@@ -36,6 +36,7 @@ from .ast_nodes import (
     ProjectOp,
     RenderOp,
     SearchOp,
+    SerializeOp,
     SortOp,
     UnionOp,
     SortTerm,
@@ -779,6 +780,30 @@ def _op_parse(p: _P, kw: Token) -> Op:
     )
 
 
+def _op_serialize(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``serialize [by P1, P2]`` — mark the preceding sort's
+    order as the window order for row_number()/prev()/next() (KQL
+    serialize; ``by`` adds window partitioning for scale)."""
+    by: list[Ident] = []
+    end = kw.span.end
+    if p.match(TokenKind.BY):
+        while True:
+            tok = p.take()
+            if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected partition column name", tok.span)
+            by.append(
+                Ident(
+                    parts=[tok.value],
+                    quoted=[tok.kind is TokenKind.QIDENT],
+                    span=tok.span,
+                )
+            )
+            end = tok.span.end
+            if not p.match(TokenKind.COMMA):
+                break
+    return SerializeOp(by=by, span=Span(kw.span.start, end))
+
+
 def _op_search(p: _P, kw: Token) -> Op:
     """EXTENSION: ``search "term"`` — any-column case-insensitive
     substring filter (KQL search scoped to the pipeline input)."""
@@ -791,6 +816,7 @@ _OPERATORS = {
     "lookup": _op_lookup,
     "parse": _op_parse,
     "search": _op_search,
+    "serialize": _op_serialize,
     "distinct": _op_distinct,
     "union": _op_union,
     "project-away": _op_project_away,

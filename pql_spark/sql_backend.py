@@ -46,6 +46,7 @@ from .ast_nodes import (
     ProjectAwayOp,
     ProjectOp,
     SearchOp,
+    SerializeOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -110,18 +111,26 @@ class _SqlEmitter:
         self.scope: dict[str, str] = {k: _lit(v) for k, v in params.items()}
         self.bound: dict[str, tuple[str, list[str]]] = {}  # `as` bindings
         self.join_sides: tuple[list[str], list[str]] | None = None
+        # window state for serialize/row_number/prev/next
+        self.last_sort: list[SortTerm] | None = None
+        self.window: tuple[list[str], list[SortTerm]] | None = None
 
     # ------------------------------------------------------------ pipeline
 
     def emit_query(self, expr: TabularExpr) -> tuple[str, list[str]]:
-        name = expr.source.name
-        if name in self.bound:
-            sql, cols = self.bound[name]
-        else:
-            cols = list(self.columns_of(name))
-            sql = f"SELECT * FROM {_q(name)}"
-        for op in expr.operators:
-            sql, cols = self.emit_op(op, sql, cols)
+        saved = (self.last_sort, self.window)
+        self.last_sort, self.window = None, None
+        try:
+            name = expr.source.name
+            if name in self.bound:
+                sql, cols = self.bound[name]
+            else:
+                cols = list(self.columns_of(name))
+                sql = f"SELECT * FROM {_q(name)}"
+            for op in expr.operators:
+                sql, cols = self.emit_op(op, sql, cols)
+        finally:
+            self.last_sort, self.window = saved
         return sql, cols
 
     def emit_op(
@@ -136,11 +145,13 @@ class _SqlEmitter:
                 "count()"
             ]
         if isinstance(op, SortOp):
+            self.last_sort = op.terms
             terms = ", ".join(self.sort_term(t) for t in op.terms)
             return f"SELECT * FROM {inner} ORDER BY {terms}", cols
         if isinstance(op, TakeOp):
             return f"SELECT * FROM {inner} LIMIT {self.expr(op.count)}", cols
         if isinstance(op, TopOp):
+            self.last_sort = [op.term]
             return (
                 f"SELECT * FROM {inner} ORDER BY {self.sort_term(op.term)}"
                 f" LIMIT {self.expr(op.count)}",
@@ -246,6 +257,21 @@ class _SqlEmitter:
                 extras.append(f"{self.expr(value)} AS {_q(f'render_prop_{key}')}")
                 out.append(f"render_prop_{key}")
             return f"SELECT *, {', '.join(extras)} FROM {inner}", out
+        if isinstance(op, SerializeOp):
+            if self.last_sort is None:
+                raise ParseError(
+                    "serialize requires a preceding sort (a distributed "
+                    "engine has no inherent row order to serialize)",
+                    op.span,
+                )
+            for ident in op.by:
+                if ident.parts[0] not in cols:
+                    raise ParseError(
+                        f"serialize by: unknown column {ident.parts[0]!r}",
+                        ident.span,
+                    )
+            self.window = ([i.parts[0] for i in op.by], self.last_sort)
+            return sql, cols
         if isinstance(op, LookupOp):
             return self.emit_lookup(op, sql, cols)
         if isinstance(op, ParseOp):
@@ -467,6 +493,31 @@ class _SqlEmitter:
                     e.span,
                 )
 
+        if name in ("row_number", "prev", "next"):
+            if self.window is None:
+                raise ParseError(
+                    f"{e.func}() requires a preceding 'serialize'", e.span
+                )
+            part, terms = self.window
+            over = []
+            if part:
+                over.append(
+                    "PARTITION BY " + ", ".join(_q(p) for p in part)
+                )
+            over.append(
+                "ORDER BY " + ", ".join(self.sort_term(t) for t in terms)
+            )
+            spec = " ".join(over)
+            if name == "row_number":
+                argc(0, 0)
+                return f"CAST(row_number() OVER ({spec}) AS BIGINT)"
+            argc(1, 3)
+            fn = "lag" if name == "prev" else "lead"
+            n = self.expr(args[1]) if len(args) >= 2 else "1"
+            base = f"{fn}({self.expr(args[0])}, {n}) OVER ({spec})"
+            if len(args) == 3:
+                return f"coalesce({base}, {self.expr(args[2])})"
+            return base
         if name == "not":
             argc(1, 1)
             return f"NOT ({self.expr(args[0])})"

@@ -146,6 +146,41 @@ def test_search_any_column_case_insensitive(engine):
     assert engine.query('T1 | search "2"').count() >= 1
 
 
+def test_serialize_row_number_prev_next(spark):
+    t = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 5, 9.0)],
+        "grp long, seq long, v double",
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = eng.query(
+        "T | sort by seq asc | serialize by grp"
+        " | extend rn = row_number(), pv = prev(v), nv = next(v, 1, -1.0)"
+    )
+    rows = {(r.grp, r.seq): (r.rn, r.pv, r.nv) for r in out.collect()}
+    assert rows[(1, 10)] == (1, None, 2.0)
+    assert rows[(1, 20)] == (2, 1.0, 3.0)
+    assert rows[(1, 30)] == (3, 2.0, -1.0)  # next default at partition end
+    assert rows[(2, 5)] == (1, None, -1.0)
+
+
+def test_serialize_global_window(spark):
+    t = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "k long, s string"
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = eng.query(
+        "T | sort by k desc | serialize | extend rn = row_number()"
+    )
+    assert {(r.k, r.rn) for r in out.collect()} == {(3, 1), (2, 2), (1, 3)}
+
+
+def test_serialize_requires_sort_and_serialize(engine):
+    with pytest.raises(QueryError, match="preceding sort"):
+        engine.query("T1 | serialize | extend rn = row_number()")
+    with pytest.raises(QueryError, match="preceding 'serialize'"):
+        engine.query("T1 | sort by id asc | extend rn = row_number()")
+
+
 @pytest.mark.parametrize(
     "q",
     [
@@ -158,6 +193,10 @@ def test_search_any_column_case_insensitive(engine):
         "T1 | lookup (T2 | extend tag2 = extra) on id",
         "T1 | lookup kind=inner (T2) on id",
         'T1 | search "a"',
+        "T1 | sort by id asc, tag asc | serialize"
+        " | extend rn = row_number() | project id, rn",
+        "T1 | sort by id asc | serialize by tag"
+        " | extend rn = row_number(), p = prev(id) | project id, tag, rn, p",
     ],
 )
 def test_sql_backend_equivalence(spark, tables, engine, q):
