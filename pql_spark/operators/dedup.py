@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ._util import rebalance
-from .text import tokens, word_shingles
+from .text import shingle_rows, tokens, word_shingles
 
 # prime just under 2^29: with 32-bit base hashes, a*h + b stays < 2^61 —
 # no int64 overflow in Spark OR in a BIGINT-only SQL oracle
@@ -101,15 +101,14 @@ def contamination_report(
     only shuffle keyed by doc id for the count.  Set ``broadcast=False``
     to fall back to a shuffle join when the benchmark itself is huge.
     """
-    bench = benchmark.select(
-        F.explode(word_shingles(F.col(text_col), gram_n)).alias("gram")
-    ).distinct()
+    bench = (
+        shingle_rows(benchmark, text_col, id_col, gram_n)
+        .select("gram")
+        .distinct()
+    )
     if broadcast:
         bench = F.broadcast(bench)
-    grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), gram_n)).alias("gram"),
-    )
+    grams = shingle_rows(corpus, text_col, id_col, gram_n)
     return (
         grams.join(bench, "gram", "left_semi")
         .groupBy(id_col)
@@ -194,19 +193,44 @@ def minhash_signature(
     ``include_shingles=False`` drops the shingle arrays from the output
     (skips their Arrow round-trip when the caller re-derives them).
 
-    ``impl="pandas"`` (default): shingling stays in Catalyst (so text
-    normalization is identical to every other text operator), then an
-    Arrow-batched kernel does md5 + the (a·h+b) mod P permutation mins as
-    one numpy matrix op per document — the arithmetic is ~50× faster
-    than evaluating interpreted higher-order-function lambdas per
-    element.  md5 over UTF-8 bytes is engine-independent, so results are
-    bit-identical to the ``impl="catalyst"`` pure-expression path (kept
-    as the no-Python reference implementation and for environments where
-    Python workers are undesirable).
+    ``impl="agg"`` (default): shingles are built as exploded ROWS
+    (:func:`pql_spark.operators.text.shingle_rows` — avoids the
+    HOF-lambda re-evaluation trap), each row is md5-hashed once, and the
+    signature is one groupBy(id) with ``num_perm`` ``min((a·h+b) mod P)``
+    aggregates — all JVM, map-side partial aggregation, no Python
+    workers at all.  Does not support ``include_shingles``.
+
+    ``impl="pandas"``: shingling stays in Catalyst, then an
+    Arrow-batched kernel does md5 + the permutation mins as one numpy
+    matrix op per document — kept for the multimodal-style pipelines
+    that already pay the Arrow round trip.  md5 over UTF-8 bytes is
+    engine-independent, so all three impls are bit-identical
+    (``impl="catalyst"`` is the pure-expression reference
+    implementation).
     """
+    params = _perm_params(num_perm)
+
+    if impl == "agg":
+        if include_shingles:
+            raise ValueError("impl='agg' does not return shingle arrays")
+        rows = shingle_rows(df, text_col, id_col, shingle_k)
+        hashed = rows.select(
+            F.col(id_col), _md5_hash32(F.col("gram")).alias("h")
+        )
+        mins = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+        sig = hashed.groupBy(id_col).agg(*mins)
+        return sig.select(
+            F.col(id_col),
+            F.array(*[f"m{i}" for i in range(num_perm)]).alias("minhash"),
+        )
+
     sh = word_shingles(F.col(text_col), shingle_k)
     shingled = df.select(F.col(id_col), sh.alias("shingles"))
-    params = _perm_params(num_perm)
 
     if impl == "catalyst":
         hashed = F.transform(F.col("shingles"), _md5_hash32)
@@ -289,11 +313,17 @@ def minhash_dup_pairs(
     any band hash become candidates; candidates are verified with exact
     shingle-set Jaccard ≥ threshold.  Returns (id_a, id_b, jaccard) with
     id_a < id_b.
+
+    Everything runs JVM-side: the ``agg`` signature impl (one groupBy),
+    a banded self-join on ~40 bytes/row, and a rows-based exact verify
+    (|A∩B| counted by joining the candidate pairs back to the shingle
+    rows — no shingle ARRAYS are ever shuffled).
     """
     rows = num_perm // bands
     df = rebalance(df)
     sig = minhash_signature(
-        df, text_col, id_col, num_perm, shingle_k, include_shingles=False
+        df, text_col, id_col, num_perm, shingle_k,
+        impl="agg", include_shingles=False,
     )
     # band join on (id, band, bhash) ONLY — the heavy shingle arrays are
     # joined back after pair-dedup, so the candidate shuffle moves ~40
@@ -334,24 +364,30 @@ def minhash_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_df = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
-    verified = cand.join(
-        sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        verified.select(
-            "id_a",
-            "id_b",
-            (inter / union).alias("jaccard"),
+    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # |A∩B| per candidate pair by joining the pair list back to the
+    # shingle rows (cand is small → broadcast; grams co-shuffle once)
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), F.col("gram"))
+        .join(cand, "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("gram")),
+            ["id_b", "gram"],
         )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    # zero-intersection candidates never reach `inter`, but they can't
+    # pass any threshold > 0
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -373,12 +409,8 @@ def ngram_jaccard_pairs(
     the MinHash path.
     """
     df = rebalance(df)
-    sh = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
+    inv = shingle_rows(df, text_col, id_col, shingle_k)
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # group the posting list per gram and emit id pairs map-side: ONE
     # shuffle on gram + one on the pair, vs a two-sided self-join; df=1
     # grams (typically most of the index) emit nothing.  NOTE: a

@@ -54,6 +54,49 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """DISTINCT k-word shingles as (id, gram) ROWS — the fast,
+    explode-first twin of :func:`word_shingles`.
+
+    Why not just explode ``word_shingles``: building grams inside an
+    array-HOF lambda re-evaluates the tokenization per element (Catalyst
+    can't common-subexpression-eliminate into interpreted lambdas —
+    measured 4× slower).  Here tokens are exploded ONCE and each gram is
+    a ``concat_ws`` of ``lead()``s over the per-doc window; ``concat_ws``
+    skips NULL leads, which reproduces the whole-doc-gram rule for docs
+    shorter than k.  The distinct is a (id, gram)-keyed aggregate with
+    map-side partial dedup.  Gram VALUES are identical to
+    ``word_shingles``, so SQL oracles are interchangeable.
+    """
+    from pyspark.sql import Window
+
+    tk = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    m = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, k)
+    ]
+    keep = (F.col("pos") <= F.col("m") - k) | (F.col("pos") == 0)
+    return (
+        tk.select(
+            F.col(id_col),
+            F.col("pos"),
+            m.alias("m"),
+            F.concat_ws(" ", *gram_parts).alias("gram"),
+        )
+        .filter(keep)
+        .select(F.col(id_col), F.col("gram"))
+        .dropDuplicates([id_col, "gram"])
+    )
+
+
 def word_grams(text: Column, n: int = 2) -> Column:
     """ALL n-word grams of normalized text, with multiplicity
     (array<string>) — unlike :func:`word_shingles`, repeats are kept,
@@ -90,11 +133,13 @@ def repetition_stats(
       - ``dup_ngram_frac``     — fraction of ``dup_n``-gram chars in grams
                                  occurring more than once
 
-    Plan shape: three explode → partial-aggregated groupBys keyed by
-    (doc, line|gram) — per-document keys, so cardinality ~ corpus token
-    count, map-side combine does most of the work, and skew is bounded
-    by the largest single document.  The three branches then join on the
-    doc id (co-partitioned post-aggregate).  No Python, no O(doc²).
+    Plan shape: two explode → partial-aggregated groupBy branches keyed
+    by (doc, line) and (doc, n, gram) — both gram sizes ride ONE
+    explode, tagged by n.  Keys are per-document, so cardinality ~
+    corpus token count, map-side combine does most of the work, and
+    skew is bounded by the largest single document.  The branches then
+    join on the doc id (co-partitioned post-aggregate).  No Python, no
+    O(doc²).
     The most-frequent-gram argmax uses the fixed-width ``count|gram``
     string max (same trick as :func:`language_id`) so ties break
     deterministically in any engine.
@@ -125,43 +170,84 @@ def repetition_stats(
         ).alias("dup_line_char_frac"),
     )
 
-    top_cnt = (
-        df.select(F.col(id_col), F.explode(word_grams(text, top_n)).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # both gram sizes from ONE token explode + window leads — building
+    # grams inside array HOF lambdas re-evaluates the tokenization per
+    # element (Catalyst can't CSE into interpreted lambdas; measured 4×
+    # slower), so tokens are exploded once and each gram is a concat of
+    # `lead()`s over the per-doc window.  Same per-(doc, n, gram) counts
+    # as materializing ``word_grams``, so the oracle is unchanged.
+    from pyspark.sql import Window
+
+    tk = df.select(F.col(id_col), F.posexplode(tokens(text)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    max_lead = max(top_n, dup_n) - 1
+    leads = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"l{i}") for i in range(1, max_lead + 1)
+    ]
+    m = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+
+    def gram_struct(n: int) -> Column:
+        # concat_ws skips NULL leads, which reproduces word_grams'
+        # whole-doc gram for docs shorter than n; rows past the last
+        # full gram are masked to NULL and filtered below
+        keep = (F.col("pos") <= F.col("m") - n) | (F.col("pos") == 0)
+        gram = F.concat_ws(" ", *[F.col(c) for c in _gram_cols(n)])
+        return F.when(
+            keep, F.struct(F.lit(n).alias("n"), gram.alias("g"))
+        )
+
+    def _gram_cols(n: int) -> list[str]:
+        return ["tok"] + [f"l{i}" for i in range(1, n)]
+
+    sizes = sorted({top_n, dup_n})
+    grams = (
+        tk.select(F.col(id_col), F.col("pos"), m.alias("m"), *leads)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.array(*[gram_struct(n) for n in sizes]),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("t"),
+        )
+        .select(F.col(id_col), F.col("t.n").alias("n"), F.col("t.g").alias("g"))
     )
-    top_stats = (
-        top_cnt.groupBy(id_col)
+    gram_cnt = grams.groupBy(id_col, "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is_top, is_dup = F.col("n") == top_n, F.col("n") == dup_n
+    gram_stats = (
+        gram_cnt.groupBy(id_col)
         .agg(
             F.max(
-                F.concat(
-                    F.lpad(c.cast("string"), 10, "0"), F.lit("|"), F.col("g")
+                F.when(
+                    is_top,
+                    F.concat(
+                        F.lpad(c.cast("string"), 10, "0"),
+                        F.lit("|"),
+                        F.col("g"),
+                    ),
                 )
-            ).alias("top")
+            ).alias("top"),
+            F.coalesce(
+                F.sum(F.when(is_dup & (c > 1), c * F.length("g"))), F.lit(0)
+            ).alias("dup_gram_chars"),
+            F.sum(F.when(is_dup, c * F.length("g"))).alias("tot_gram_chars"),
         )
         .select(
             F.col(id_col),
             F.substring("top", 1, 10).cast("long").alias("top_cnt"),
             (F.length("top") - 11).alias("top_len"),
+            (F.col("dup_gram_chars") / F.col("tot_gram_chars")).alias(
+                "dup_ngram_frac"
+            ),
         )
-    )
-
-    dup_cnt = (
-        df.select(F.col(id_col), F.explode(word_grams(text, dup_n)).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    dup_stats = dup_cnt.groupBy(id_col).agg(
-        (
-            F.coalesce(F.sum(F.when(c > 1, c * F.length("g"))), F.lit(0))
-            / F.sum(c * F.length("g"))
-        ).alias("dup_ngram_frac")
     )
 
     return (
         base.join(line_stats, id_col)
-        .join(top_stats, id_col)
-        .join(dup_stats, id_col)
+        .join(gram_stats, id_col)
         .select(
             F.col(id_col),
             F.col("n_lines"),

@@ -88,6 +88,14 @@ def test_minhash_impls_agree(docs):
         ).collect()
     }
     assert fast == ref
+    agg = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(
+            docs, num_perm=16, shingle_k=2, impl="agg",
+            include_shingles=False,
+        ).collect()
+    }
+    assert agg == ref
 
 
 def test_minhash_dup_pairs(docs):
