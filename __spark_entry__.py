@@ -447,6 +447,27 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY lang ORDER BY lang
         """,
     ),
+    "pql_string_preds": (
+        """
+        documents
+        | where text contains "SPARK" or source startswith "SRC1"
+            or source endswith "9"
+        | extend hastable = iff(text has "Table", 1, 0)
+        | summarize n = count(), n_has = sum(hastable) by lang
+        | sort by lang asc
+        """,
+        """
+        SELECT lang, count(*) AS n,
+               CAST(sum(CASE WHEN list_contains(
+                   string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                   'table') THEN 1 ELSE 0 END) AS BIGINT) AS n_has
+        FROM documents
+        WHERE contains(lower(text), 'spark')
+           OR starts_with(lower(source), 'src1')
+           OR ends_with(lower(source), '9')
+        GROUP BY lang ORDER BY lang
+        """,
+    ),
     "pql_serialize_window": (
         """
         events

@@ -528,6 +528,25 @@ class Compiler:
             return lhs & rhs
         if op == "or":
             return lhs | rhs
+        # KQL string predicates (extension): *_cs = case-sensitive; the
+        # bare forms fold case like KQL.  `has` is whole-term match over
+        # alphanumeric runs (KQL term semantics, deterministic in SQL)
+        if op in ("contains", "contains_cs"):
+            if op == "contains":
+                lhs, rhs = F.lower(lhs), F.lower(rhs)
+            return lhs.contains(rhs)
+        if op in ("startswith", "startswith_cs"):
+            if op == "startswith":
+                lhs, rhs = F.lower(lhs), F.lower(rhs)
+            return lhs.startswith(rhs)
+        if op in ("endswith", "endswith_cs"):
+            if op == "endswith":
+                lhs, rhs = F.lower(lhs), F.lower(rhs)
+            return lhs.endswith(rhs)
+        if op in ("has", "has_cs"):
+            if op == "has":
+                lhs, rhs = F.lower(lhs), F.lower(rhs)
+            return F.array_contains(F.split(lhs, r"[^a-zA-Z0-9]+"), rhs)
         raise ParseError(f"unsupported operator {op!r}", expr.span)
 
     def _collect_sides(self, expr: Expr, env: _Env, out: set[str]) -> None:

@@ -161,6 +161,19 @@ def compile_call(
     if lname == "now":
         _check_argc(name, args, 0, 0, span)
         return F.current_timestamp()
+    if lname == "ago":
+        # EXTENSION (KQL): ago("1h") == now() - 1h; literal timespan only
+        _check_argc(name, args, 1, 1, span)
+        from .ast_nodes import StringLit
+
+        if ast_args is None or not isinstance(ast_args[0], StringLit):
+            raise ParseError(
+                'ago() takes a timespan string literal, e.g. ago("1h")', span
+            )
+        usec = _duration_usec(ast_args[0].value, span)
+        return F.current_timestamp() - F.expr(
+            f"INTERVAL {usec} MICROSECOND"
+        )
     if lname == "isnull":
         _check_argc(name, args, 1, 1, span)
         return args[0].isNull()

@@ -120,6 +120,15 @@ _BINOP_TEXT = {
     TokenKind.OR: "or",
 }
 
+# EXTENSION: KQL string-predicate word operators (comparison precedence;
+# the reference has no word-shaped binary operators)
+_WORD_OPS = {
+    "contains", "contains_cs",
+    "startswith", "startswith_cs",
+    "endswith", "endswith_cs",
+    "has", "has_cs",
+}
+
 # operator aliases (parser.go:182-199)
 _OP_ALIASES = {"filter": "where", "order": "sort", "limit": "take"}
 
@@ -326,8 +335,14 @@ class _P:
             tok = self.peek()
             if tok is None:
                 return lhs
-            prec = _PRECEDENCE.get(tok.kind)
-            if prec is None or prec < min_prec:
+            if tok.kind is TokenKind.IDENT and tok.value in _WORD_OPS:
+                prec, op_text = 2, tok.value
+            else:
+                prec = _PRECEDENCE.get(tok.kind)
+                if prec is None:
+                    return lhs
+                op_text = None
+            if prec < min_prec:
                 return lhs
             self.take()
             if tok.kind is TokenKind.IN:
@@ -335,7 +350,7 @@ class _P:
                 continue
             rhs = self.parse_expr(prec + 1)
             lhs = BinaryExpr(
-                op=_BINOP_TEXT[tok.kind],
+                op=op_text or _BINOP_TEXT[tok.kind],
                 lhs=lhs,
                 rhs=rhs,
                 span=Span(lhs.span.start, rhs.span.end),

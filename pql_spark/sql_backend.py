@@ -72,8 +72,21 @@ _PREC = {
     "or": 0, "and": 1,
     "==": 2, "!=": 2, "=~": 2, "!~": 2,
     "<": 2, "<=": 2, ">": 2, ">=": 2,
+    "contains": 2, "contains_cs": 2,
+    "startswith": 2, "startswith_cs": 2,
+    "endswith": 2, "endswith_cs": 2,
+    "has": 2, "has_cs": 2,
     "+": 3, "-": 3,
     "*": 4, "/": 4, "%": 4,
+}
+
+# KQL string predicates → SQL function templates (l, r pre-lowered for
+# the case-insensitive bare forms)
+_STRING_PRED_SQL = {
+    "contains": "contains({l}, {r})",
+    "startswith": "startswith({l}, {r})",
+    "endswith": "endswith({l}, {r})",
+    "has": "array_contains(split({l}, '[^a-zA-Z0-9]+'), {r})",
 }
 
 
@@ -472,6 +485,12 @@ class _SqlEmitter:
             # NULL on zero divisor, same as the DataFrame backend
             fn = "try_divide" if op == "/" else "try_mod"
             return f"{fn}({self.expr(e.lhs)}, {self.expr(e.rhs)})"
+        base_op = op.removesuffix("_cs")
+        if base_op in _STRING_PRED_SQL:
+            lhs, rhs = self.expr(e.lhs), self.expr(e.rhs)
+            if op == base_op:  # bare form folds case (KQL)
+                lhs, rhs = f"lower({lhs})", f"lower({rhs})"
+            return _STRING_PRED_SQL[base_op].format(l=lhs, r=rhs)
         prec = _PREC[op]
         sql_op = op.upper() if op in ("and", "or") else op
         out = (
@@ -524,6 +543,15 @@ class _SqlEmitter:
         if name == "now":
             argc(0, 0)
             return "current_timestamp()"
+        if name == "ago":
+            argc(1, 1)
+            if not isinstance(args[0], StringLit):
+                raise ParseError(
+                    'ago() takes a timespan string literal, e.g. ago("1h")',
+                    e.span,
+                )
+            usec = _duration_usec(args[0].value, e.span)
+            return f"(current_timestamp() - INTERVAL {usec} MICROSECOND)"
         if name == "isnull":
             argc(1, 1)
             return f"(({self.expr(args[0])}) IS NULL)"

@@ -181,6 +181,45 @@ def test_serialize_requires_sort_and_serialize(engine):
         engine.query("T1 | sort by id asc | extend rn = row_number()")
 
 
+def test_string_predicate_operators(spark):
+    t = spark.createDataFrame(
+        [
+            (1, "The Quick Brown Fox"),
+            (2, "quickest runner"),
+            (3, "slow"),
+            (4, None),
+        ],
+        "id long, s string",
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+
+    def ids(q):
+        return sorted(r.id for r in eng.query(q).collect())
+
+    assert ids('T | where s contains "QUICK"') == [1, 2]
+    assert ids('T | where s contains_cs "Quick"') == [1]
+    assert ids('T | where s startswith "the quick"') == [1]
+    assert ids('T | where s startswith_cs "quick"') == [2]
+    assert ids('T | where s endswith "FOX"') == [1]
+    assert ids('T | where s has "quick"') == [1]  # whole term only
+    assert ids('T | where s has "quickest"') == [2]
+    assert ids('T | where s has_cs "Quick"') == [1]
+    # precedence: word ops bind like comparisons
+    assert ids('T | where s has "quick" and id < 2') == [1]
+
+
+def test_ago_function(spark):
+    t = spark.createDataFrame([(1,)], "id long")
+    eng = PqlEngine(spark, resolver={"T": t})
+    row = eng.query(
+        'T | project d = now() - ago("2h"), z = now() - ago("0s")'
+    ).head()
+    assert abs(row.d.total_seconds() - 7200) < 5
+    assert abs(row.z.total_seconds()) < 5
+    with pytest.raises(QueryError, match="timespan string literal"):
+        eng.query("T | project x = ago(id)")
+
+
 @pytest.mark.parametrize(
     "q",
     [
@@ -197,6 +236,8 @@ def test_serialize_requires_sort_and_serialize(engine):
         " | extend rn = row_number() | project id, rn",
         "T1 | sort by id asc | serialize by tag"
         " | extend rn = row_number(), p = prev(id) | project id, tag, rn, p",
+        'T1 | where tag contains "A" or tag endswith_cs "b"',
+        'T1 | extend h = iff(tag has "a", 1, 0) | project id, h',
     ],
 )
 def test_sql_backend_equivalence(spark, tables, engine, q):
