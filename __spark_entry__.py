@@ -942,6 +942,77 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
+# synthetic PII injected per doc so the scrub has deterministic work
+_PII_SUFFIX_SPARK = (
+    " mail user{id}@example.com ip 10.0.0.{m} ssn 123-45-6789"
+    " card 4111111111111111"
+)
+_PII_SQL_TEXT = (
+    "text || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || ' ssn 123-45-6789 card 4111111111111111'"
+)
+
+
+def _redact_oracle() -> str:
+    from pql_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}', 0)) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {_PII_SQL_TEXT} AS t FROM documents)
+SELECT doc_id, {red} AS redacted,
+       {counts}
+FROM p
+"""
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 16, 4
+_CHUNK_S = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+c AS (SELECT doc_id, words,
+             unnest(range(0,
+               greatest(ceil((len(words) - {_CHUNK_SIZE})::DOUBLE
+                             / {_CHUNK_S})::INT, 0) + 1)) AS chunk_id
+      FROM docs)
+SELECT doc_id, chunk_id,
+       array_to_string(
+         words[chunk_id*{_CHUNK_S}+1 : chunk_id*{_CHUNK_S}+{_CHUNK_SIZE}],
+         ' ') AS chunk_text,
+       len(words[chunk_id*{_CHUNK_S}+1 : chunk_id*{_CHUNK_S}+{_CHUNK_SIZE}])
+           AS n_tokens
+FROM c
+"""
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 4
+
+_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n
+           FROM documents),
+s AS (SELECT doc_id, n,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {_PACK_SHARDS} AS INT) AS shard
+      FROM t),
+w AS (SELECT doc_id, shard, n,
+             sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+SELECT doc_id, shard,
+       CAST(cum - n AS BIGINT) AS offset,
+       CAST(floor((cum - n)::DOUBLE / {_PACK_BUDGET}) AS BIGINT) AS seq
+FROM w
+"""
+
+
 # as-of join: every event picks up the most recent signup value <= ts
 # for its user (DuckDB's native ASOF JOIN is the oracle)
 _ASOF_ORACLE = """
@@ -1075,6 +1146,38 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     return D.decontaminate(docs, bench, gram_n=_DECON_N).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ssn 123-45-6789 card 4111111111111111"),
+        ).alias("text"),
+    )
+    return X.redact_pii(docs)
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import pack_sequences
+
+    stats = X.token_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return pack_sequences(
+        stats, budget=_PACK_BUDGET, shards=_PACK_SHARDS
     )
 
 
@@ -1296,6 +1399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_langid": _q_langid,
             "op_repetition": _q_repetition,
             "op_decontaminate": _q_decontaminate,
+            "op_redact_pii": _q_redact_pii,
+            "op_chunk_documents": _q_chunk_documents,
+            "op_pack_sequences": _q_pack_sequences,
             "op_ngram_jaccard": _q_ngram,
             "op_minhash_dups": _q_minhash,
             "op_simhash": _q_simhash,
@@ -1332,6 +1438,9 @@ def oracle_sql() -> dict[str, str]:
             "op_langid": _langid_oracle(),
             "op_repetition": _REPETITION_ORACLE,
             "op_decontaminate": _DECON_ORACLE,
+            "op_redact_pii": _redact_oracle(),
+            "op_chunk_documents": _CHUNK_ORACLE,
+            "op_pack_sequences": _PACK_ORACLE,
             "op_ngram_jaccard": _NGRAM_ORACLE,
             "op_minhash_dups": _minhash_oracle(),
             "op_simhash": _simhash_oracle(),

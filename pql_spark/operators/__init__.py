@@ -31,6 +31,7 @@ from .dedup import (
 from .sampling import (
     deterministic_shuffle,
     hash_sample,
+    pack_sequences,
     stratified_hash_sample,
     train_test_split,
 )
@@ -44,10 +45,13 @@ from .similarity import (
 )
 from .temporal import asof_join, range_join
 from .text import (
+    chunk_documents,
     doc_fingerprint,
     language_id,
     quality_score,
+    redact_pii,
     repetition_stats,
+    shingle_rows,
     token_stats,
     tokens,
     winnow_fingerprints,
@@ -57,6 +61,7 @@ from .text import (
 
 __all__ = [
     "asof_join",
+    "chunk_documents",
     "cosine_topk",
     "contamination_report",
     "decontaminate",
@@ -74,10 +79,13 @@ __all__ = [
     "minhash_dup_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
+    "pack_sequences",
     "pairwise_topk",
     "quality_score",
     "range_join",
+    "redact_pii",
     "repetition_stats",
+    "shingle_rows",
     "simhash",
     "simhash_dedup",
     "stratified_hash_sample",

@@ -86,6 +86,53 @@ def stratified_hash_sample(
     return df.filter(bucket < threshold)
 
 
+def pack_sequences(
+    df: DataFrame,
+    length_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    shards: int = 0,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    concatenation order — the "concat then cut every ``budget`` tokens"
+    packing used to build pretraining batches.
+
+    Documents are laid out in deterministic id order; each gets its
+    running token offset and the sequence index its FIRST token falls in
+    (a doc may straddle a boundary — the loader splits it, standard for
+    causal-LM packing).  Output: id, offset (within shard), seq (global
+    sequence index), plus the shard.
+
+    Scale: a single global running sum would be one task.  ``shards > 0``
+    hash-partitions documents first (md5 of the id — deterministic,
+    engine-reproducible) and packs per shard in parallel — exactly how
+    production pipelines shard packing — with sequence indices made
+    globally unique via (shard, within-shard seq).
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        (_bucket(F.col(id_col)) % shards).cast("int")
+        if shards > 0
+        else F.lit(0).cast("int")
+    )
+    base = df.select(
+        F.col(id_col), F.col(length_col).alias("n"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n").over(w)
+    return base.select(
+        F.col(id_col),
+        F.col("shard"),
+        (cum - F.col("n")).alias("offset"),
+        F.floor((cum - F.col("n")) / budget).cast("long").alias("seq"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key: str, seed: str = "0"
 ) -> DataFrame:

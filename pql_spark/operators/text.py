@@ -361,6 +361,111 @@ def doc_fingerprint(
     )
 
 
+# PII patterns, ordered (earlier rules run first so e.g. SSNs aren't
+# half-eaten by the digit-run rule).  Conservative syntax only: no
+# lookarounds, so the SAME strings run under Java regex (Spark) and RE2
+# (DuckDB oracles).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("card", r"\b\d{13,16}\b", "<CARD>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, SSNs, phone numbers,
+    long card-like digit runs) with typed placeholder tokens, and count
+    matches per category — the standard pre-training scrub pass.
+
+    Narrow per-row ``regexp_replace`` chain: no shuffle, whole-stage
+    codegen, linear scan.  Counts are taken BEFORE any replacement so
+    categories don't see each other's placeholders; replacement applies
+    the rules in :data:`PII_PATTERNS` order.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        F.col(id_col), redacted.alias("redacted"), *counts
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into ``chunk_size``-token chunks with ``overlap``
+    tokens of context carry-over (stride = chunk_size - overlap) — the
+    standard long-document preprocessing for embedding/retrieval and
+    fixed-window training.
+
+    Chunk starts are 0, s, 2s, … with the LAST start clamped to
+    ``ceil((n - chunk_size)/s)·s`` so the tail chunk reaches the end
+    without emitting an all-overlap runt; a doc with ≤ chunk_size tokens
+    is one chunk.
+
+    Plan: tokens exploded once; each token computes its member-chunk
+    range arithmetically and explodes a tiny int sequence (no string
+    slicing in lambdas — see :func:`shingle_rows` for why); chunks
+    reassemble with one groupBy(id, chunk) over sorted (pos, token)
+    structs.  Work is O(tokens × chunks-per-token), chunks-per-token ≤
+    ceil(chunk_size/s).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    s = chunk_size - overlap
+    tk = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    p = F.col("pos")
+    c_last = F.greatest(
+        F.lit(0),
+        F.floor((n - chunk_size + s - 1) / s).cast("int"),
+    )
+    c_min = F.greatest(
+        F.lit(0),
+        F.floor((p - chunk_size + s) / s).cast("int"),  # ceil((p-cs+1)/s)
+    )
+    c_max = F.least(F.col("c_last"), F.floor(p / s).cast("int"))
+    member = (
+        tk.select(F.col(id_col), p, F.col("tok"), c_last.alias("c_last"))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.col("tok"),
+            F.explode(F.sequence(c_min, c_max)).alias("chunk_id"),
+        )
+    )
+    assembled = member.groupBy(id_col, "chunk_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+        ).alias("toks")
+    )
+    return assembled.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(
+            " ", F.transform(F.col("toks"), lambda x: x.tok)
+        ).alias("chunk_text"),
+        F.size("toks").alias("n_tokens"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

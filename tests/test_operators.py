@@ -354,6 +354,72 @@ def test_repetition_stats_ngrams(spark):
     assert 0 < out[2].top_ngram_frac < 1
 
 
+def test_redact_pii(spark):
+    from pql_spark.operators import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org and c@d.io, ip 192.168.0.1"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 card 4111111111111111"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted == "mail <EMAIL> and <EMAIL>, ip <IP>"
+    assert (out[1].n_email, out[1].n_ip) == (2, 1)
+    assert out[2].redacted == "ssn <SSN> phone <PHONE> card <CARD>"
+    assert (out[2].n_ssn, out[2].n_phone, out[2].n_card) == (1, 1, 1)
+    assert out[3].redacted == "clean text"
+    assert out[3].n_email == 0
+
+
+def test_chunk_documents(spark):
+    from pql_spark.operators import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    chunks = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens) for r in out
+    }
+    # stride 3, n=10 → starts 0,3,6 and a tail start ceil(6/3)=2... c_last=2
+    assert chunks[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert chunks[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert chunks[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in chunks
+    assert chunks[(2, 0)] == ("short doc", 2)  # ≤ chunk_size → one chunk
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert chunks[(1, 0)][0].split()[-1:] == chunks[(1, 1)][0].split()[:1]
+
+
+def test_pack_sequences(spark):
+    from pql_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 300) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, budget=1000).collect()}
+    # single shard: offsets 0,300,...; doc 3 starts at 900 (seq 0), doc 4
+    # at 1200 (seq 1)
+    assert out[0].offset == 0 and out[0].seq == 0
+    assert out[3].offset == 900 and out[3].seq == 0
+    assert out[4].offset == 1200 and out[4].seq == 1
+    sharded = pack_sequences(df, budget=1000, shards=3).collect()
+    assert {r.shard for r in sharded} <= {0, 1, 2}
+    # within each shard offsets are the cumsum in id order
+    for s in {r.shard for r in sharded}:
+        rows = sorted(
+            (r for r in sharded if r.shard == s), key=lambda r: r.doc_id
+        )
+        expect = 0
+        for r in rows:
+            assert r.offset == expect
+            expect += 300
+
+
 def test_language_id(spark):
     rows = [
         (1, "the cat and the dog in a house that is for it"),
