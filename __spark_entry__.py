@@ -447,6 +447,51 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY lang ORDER BY lang
         """,
     ),
+    "pql_sample_op": (
+        """
+        documents
+        | sample 0.3 by doc_id
+        | summarize n = count() by lang
+        | sort by lang asc
+        """,
+        f"""
+        SELECT lang, count(*) AS n FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < {int(0.3 * (1 << 32))}
+        GROUP BY lang ORDER BY lang
+        """,
+    ),
+    "pql_top_hitters": (
+        "events | top-hitters 5 of event_type",
+        """
+        SELECT event_type, count(*) AS hitters FROM events
+        GROUP BY event_type ORDER BY hitters DESC, event_type LIMIT 5
+        """,
+    ),
+    "pql_project_ops": (
+        """
+        orders
+        | project-rename key = o_orderkey, price = o_totalprice
+        | project-keep key, price, o_orderpriority
+        | project-reorder price, key
+        | sort by price desc, key asc
+        | take 10
+        """,
+        """
+        SELECT o_totalprice AS price, o_orderkey AS key, o_orderpriority
+        FROM orders ORDER BY price DESC, key LIMIT 10
+        """,
+    ),
+    "pql_getschema": (
+        "documents | getschema",
+        """
+        SELECT * FROM (VALUES
+          ('doc_id', 0, 'bigint'), ('text', 1, 'string'),
+          ('lang', 2, 'string'), ('source', 3, 'string'),
+          ('n_chars', 4, 'bigint'))
+        AS t(ColumnName, ColumnOrdinal, DataType)
+        """,
+    ),
     "pql_string_preds": (
         """
         documents

@@ -204,6 +204,54 @@ class MvExpandOp(Op):
 
 
 @dataclass
+class SampleOp(Op):
+    """``sample <rate> by <Key>`` — DETERMINISTIC hash sample (diverges
+    from KQL's random ``sample`` on purpose: reproducibility is the
+    point; see operators.sampling)."""
+
+    rate: float
+    key: Ident
+
+
+@dataclass
+class TopHittersOp(Op):
+    """``top-hitters N of Col [by SumExpr]`` — exact heavy hitters:
+    group by Col, count rows (or sum SumExpr), top N descending."""
+
+    count: Expr
+    col: Ident
+    by: Expr | None
+
+
+@dataclass
+class ProjectRenameOp(Op):
+    """``project-rename New = Old, …`` — rename in place."""
+
+    renames: list[tuple[str, str]]  # (new, old)
+
+
+@dataclass
+class ProjectKeepOp(Op):
+    """``project-keep C1, C2`` — keep listed columns in table order."""
+
+    names: list[str]
+
+
+@dataclass
+class ProjectReorderOp(Op):
+    """``project-reorder C1, C2`` — listed columns first, rest keep
+    their original order."""
+
+    names: list[str]
+
+
+@dataclass
+class GetSchemaOp(Op):
+    """``getschema`` — one row per column: name, ordinal, type
+    (DataFrame backend only; SQL text has no schema introspection)."""
+
+
+@dataclass
 class SerializeOp(Op):
     """``serialize [by P1, P2]`` — fix the window order for
     ``row_number()``/``prev()``/``next()`` from the nearest preceding

@@ -43,6 +43,7 @@ from .ast_nodes import (
     DistinctOp,
     Expr,
     ExtendOp,
+    GetSchemaOp,
     Ident,
     IndexExpr,
     InExpr,
@@ -54,9 +55,14 @@ from .ast_nodes import (
     Op,
     ParseOp,
     ProjectAwayOp,
+    ProjectKeepOp,
     ProjectOp,
+    ProjectRenameOp,
+    ProjectReorderOp,
+    SampleOp,
     SearchOp,
     SerializeOp,
+    TopHittersOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -259,6 +265,74 @@ class Compiler:
                     ]
                 )
             return df.select("*", exploded.alias(name))
+        if isinstance(op, SampleOp):
+            from .operators.sampling import _SPACE, _bucket
+
+            key = op.key.parts[0]
+            if key not in df.columns:
+                raise ParseError(f"sample by: unknown column {key!r}", op.span)
+            # deterministic md5-bucket membership — narrow, pushdown-able,
+            # identical row set on any cluster/engine
+            return df.filter(
+                _bucket(F.col(_q(key))) < int(op.rate * _SPACE)
+            )
+        if isinstance(op, TopHittersOp):
+            key = F.col(_q(op.col.parts[0]))
+            measure = (
+                F.sum(self.compile_expr(op.by, env))
+                if op.by is not None
+                else F.count(F.lit(1))
+            )
+            return (
+                df.groupBy(key.alias(op.col.parts[0]))
+                .agg(measure.alias("hitters"))
+                .orderBy(
+                    F.col("hitters").desc(),
+                    F.col(_q(op.col.parts[0])).asc(),
+                )
+                .limit(self._const_int(op.count))
+            )
+        if isinstance(op, ProjectRenameOp):
+            mapping = {}
+            for new, old in op.renames:
+                if old not in df.columns:
+                    raise ParseError(
+                        f"project-rename: unknown column {old!r}", op.span
+                    )
+                mapping[old] = new
+            return df.select(
+                *[
+                    F.col(_q(c)).alias(mapping.get(c, c))
+                    for c in df.columns
+                ]
+            )
+        if isinstance(op, ProjectKeepOp):
+            missing = [n for n in op.names if n not in df.columns]
+            if missing:
+                raise ParseError(
+                    f"project-keep: unknown column(s) {missing}", op.span
+                )
+            keep = set(op.names)
+            return df.select(
+                *[F.col(_q(c)) for c in df.columns if c in keep]
+            )
+        if isinstance(op, ProjectReorderOp):
+            missing = [n for n in op.names if n not in df.columns]
+            if missing:
+                raise ParseError(
+                    f"project-reorder: unknown column(s) {missing}", op.span
+                )
+            first = list(op.names)
+            rest = [c for c in df.columns if c not in set(first)]
+            return df.select(*[F.col(_q(c)) for c in first + rest])
+        if isinstance(op, GetSchemaOp):
+            rows = [
+                (f.name, i, f.dataType.simpleString())
+                for i, f in enumerate(df.schema.fields)
+            ]
+            return df.sparkSession.createDataFrame(
+                rows, "ColumnName string, ColumnOrdinal long, DataType string"
+            )
         if isinstance(op, SerializeOp):
             if self._last_sort is None:
                 raise ParseError(

@@ -25,6 +25,7 @@ from .ast_nodes import (
     Ident,
     IndexExpr,
     InExpr,
+    GetSchemaOp,
     JoinOp,
     LetStatement,
     LookupOp,
@@ -33,11 +34,16 @@ from .ast_nodes import (
     Op,
     ParseOp,
     ProjectAwayOp,
+    ProjectKeepOp,
     ProjectOp,
+    ProjectRenameOp,
+    ProjectReorderOp,
     RenderOp,
+    SampleOp,
     SearchOp,
     SerializeOp,
     SortOp,
+    TopHittersOp,
     UnionOp,
     SortTerm,
     Statement,
@@ -795,6 +801,102 @@ def _op_parse(p: _P, kw: Token) -> Op:
     )
 
 
+def _op_sample(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``sample <rate> by <Key>`` — deterministic hash
+    sample (reproducible, unlike KQL's random sample)."""
+    rate_tok = p.expect(TokenKind.NUMBER, "sample rate")
+    rate = float(rate_tok.value)
+    if not 0.0 <= rate <= 1.0:
+        raise ParseError("sample rate must be in [0, 1]", rate_tok.span)
+    p.expect(TokenKind.BY, "'by'")
+    key_tok = p.take()
+    if key_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected sample key column", key_tok.span)
+    key = Ident(
+        parts=[key_tok.value],
+        quoted=[key_tok.kind is TokenKind.QIDENT],
+        span=key_tok.span,
+    )
+    return SampleOp(
+        rate=rate, key=key, span=Span(kw.span.start, key_tok.span.end)
+    )
+
+
+def _op_top_hitters(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``top-hitters N of Col [by SumExpr]`` — exact heavy
+    hitters (KQL's is approximate; exactness is verifiable)."""
+    count = p.parse_expr()
+    of = p.expect(TokenKind.IDENT, "'of'")
+    if of.value != "of":
+        raise ParseError(f"expected 'of', got {of.value!r}", of.span)
+    col_tok = p.take()
+    if col_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected column name", col_tok.span)
+    col = Ident(
+        parts=[col_tok.value],
+        quoted=[col_tok.kind is TokenKind.QIDENT],
+        span=col_tok.span,
+    )
+    by = None
+    end = col_tok.span.end
+    if p.match(TokenKind.BY):
+        by = p.parse_expr()
+        end = by.span.end
+    return TopHittersOp(
+        count=count, col=col, by=by, span=Span(kw.span.start, end)
+    )
+
+
+def _op_project_rename(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``project-rename New = Old, …`` (KQL)."""
+    renames: list[tuple[str, str]] = []
+    end = kw.span.end
+    while True:
+        new = p.take()
+        if new.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected new column name", new.span)
+        p.expect(TokenKind.ASSIGN, "'='")
+        old = p.take()
+        if old.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected existing column name", old.span)
+        renames.append((new.value, old.value))
+        end = old.span.end
+        if not p.match(TokenKind.COMMA):
+            break
+    return ProjectRenameOp(renames=renames, span=Span(kw.span.start, end))
+
+
+def _names_list(p: _P, kw: Token) -> tuple[list[str], int]:
+    names = []
+    end = kw.span.end
+    while True:
+        tok = p.take()
+        if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected column name", tok.span)
+        names.append(tok.value)
+        end = tok.span.end
+        if not p.match(TokenKind.COMMA):
+            break
+    return names, end
+
+
+def _op_project_keep(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``project-keep C1, C2`` (KQL)."""
+    names, end = _names_list(p, kw)
+    return ProjectKeepOp(names=names, span=Span(kw.span.start, end))
+
+
+def _op_project_reorder(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``project-reorder C1, C2`` (KQL)."""
+    names, end = _names_list(p, kw)
+    return ProjectReorderOp(names=names, span=Span(kw.span.start, end))
+
+
+def _op_getschema(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``getschema`` (KQL) — schema as rows."""
+    return GetSchemaOp(span=kw.span)
+
+
 def _op_serialize(p: _P, kw: Token) -> Op:
     """EXTENSION: ``serialize [by P1, P2]`` — mark the preceding sort's
     order as the window order for row_number()/prev()/next() (KQL
@@ -832,6 +934,12 @@ _OPERATORS = {
     "parse": _op_parse,
     "search": _op_search,
     "serialize": _op_serialize,
+    "sample": _op_sample,
+    "top-hitters": _op_top_hitters,
+    "project-rename": _op_project_rename,
+    "project-keep": _op_project_keep,
+    "project-reorder": _op_project_reorder,
+    "getschema": _op_getschema,
     "distinct": _op_distinct,
     "union": _op_union,
     "project-away": _op_project_away,

@@ -34,6 +34,7 @@ from .ast_nodes import (
     DistinctOp,
     Expr,
     ExtendOp,
+    GetSchemaOp,
     Ident,
     InExpr,
     IndexExpr,
@@ -44,9 +45,14 @@ from .ast_nodes import (
     NumberLit,
     ParseOp,
     ProjectAwayOp,
+    ProjectKeepOp,
     ProjectOp,
+    ProjectRenameOp,
+    ProjectReorderOp,
+    SampleOp,
     SearchOp,
     SerializeOp,
+    TopHittersOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -270,6 +276,72 @@ class _SqlEmitter:
                 extras.append(f"{self.expr(value)} AS {_q(f'render_prop_{key}')}")
                 out.append(f"render_prop_{key}")
             return f"SELECT *, {', '.join(extras)} FROM {inner}", out
+        if isinstance(op, SampleOp):
+            key = op.key.parts[0]
+            if key not in cols:
+                raise ParseError(f"sample by: unknown column {key!r}", op.span)
+            cutoff = int(op.rate * float(1 << 32))
+            pred = (
+                f"CAST(conv(substring(md5(CAST({_q(key)} AS STRING)), 1, 8),"
+                f" 16, 10) AS BIGINT) < {cutoff}"
+            )
+            return f"SELECT * FROM {inner} WHERE {pred}", cols
+        if isinstance(op, TopHittersOp):
+            key = _q(op.col.parts[0])
+            measure = (
+                f"sum({self.expr(op.by)})"
+                if op.by is not None
+                else "count(1)"
+            )
+            return (
+                f"SELECT {key}, {measure} AS {_q('hitters')} FROM {inner}"
+                f" GROUP BY {key}"
+                f" ORDER BY {_q('hitters')} DESC, {key} ASC"
+                f" LIMIT {self.expr(op.count)}",
+                [op.col.parts[0], "hitters"],
+            )
+        if isinstance(op, ProjectRenameOp):
+            mapping = {}
+            for new, old in op.renames:
+                if old not in cols:
+                    raise ParseError(
+                        f"project-rename: unknown column {old!r}", op.span
+                    )
+                mapping[old] = new
+            out = [mapping.get(c, c) for c in cols]
+            items = ", ".join(
+                f"{_q(c)} AS {_q(mapping.get(c, c))}" for c in cols
+            )
+            return f"SELECT {items} FROM {inner}", out
+        if isinstance(op, ProjectKeepOp):
+            missing = [n for n in op.names if n not in cols]
+            if missing:
+                raise ParseError(
+                    f"project-keep: unknown column(s) {missing}", op.span
+                )
+            keep = [c for c in cols if c in set(op.names)]
+            return (
+                f"SELECT {', '.join(_q(c) for c in keep)} FROM {inner}",
+                keep,
+            )
+        if isinstance(op, ProjectReorderOp):
+            missing = [n for n in op.names if n not in cols]
+            if missing:
+                raise ParseError(
+                    f"project-reorder: unknown column(s) {missing}", op.span
+                )
+            first = list(op.names)
+            ordered = first + [c for c in cols if c not in set(first)]
+            return (
+                f"SELECT {', '.join(_q(c) for c in ordered)} FROM {inner}",
+                ordered,
+            )
+        if isinstance(op, GetSchemaOp):
+            raise ParseError(
+                "getschema requires schema introspection — use the "
+                "DataFrame backend",
+                op.span,
+            )
         if isinstance(op, SerializeOp):
             if self.last_sort is None:
                 raise ParseError(

@@ -208,6 +208,51 @@ def test_string_predicate_operators(spark):
     assert ids('T | where s has "quick" and id < 2') == [1]
 
 
+def test_sample_deterministic(engine):
+    a = sorted(r.id for r in engine.query("T1 | sample 0.5 by id").collect())
+    b = sorted(r.id for r in engine.query("T1 | sample 0.5 by id").collect())
+    assert a == b  # same keys every run
+    assert engine.query("T1 | sample 1 by id").count() == 4
+    assert engine.query("T1 | sample 0 by id").count() == 0
+    with pytest.raises(QueryError, match="rate"):
+        engine.query("T1 | sample 1.5 by id")
+
+
+def test_top_hitters(spark):
+    t = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("c", 1), ("b", 1)],
+        "k string, v long",
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = [tuple(r) for r in eng.query("T | top-hitters 2 of k").collect()]
+    assert out == [("a", 2), ("b", 2)]  # ties break by key asc
+    out = [
+        tuple(r) for r in eng.query("T | top-hitters 1 of k by v").collect()
+    ]
+    assert out == [("b", 11)]
+
+
+def test_project_rename_keep_reorder(engine):
+    out = engine.query(
+        "T1 | project-rename ident = id | project-keep ident, tag"
+        " | project-reorder tag"
+    )
+    assert out.columns == ["tag", "ident"]
+    with pytest.raises(QueryError, match="unknown column"):
+        engine.query("T1 | project-rename x = nosuch")
+    with pytest.raises(QueryError, match="unknown column"):
+        engine.query("T1 | project-keep nosuch")
+
+
+def test_getschema(engine):
+    rows = [tuple(r) for r in engine.query("T1 | getschema").collect()]
+    assert rows == [
+        ("id", 0, "bigint"),
+        ("tag", 1, "string"),
+        ("arr", 2, "array<int>"),
+    ]
+
+
 def test_ago_function(spark):
     t = spark.createDataFrame([(1,)], "id long")
     eng = PqlEngine(spark, resolver={"T": t})
@@ -238,6 +283,10 @@ def test_ago_function(spark):
         " | extend rn = row_number(), p = prev(id) | project id, tag, rn, p",
         'T1 | where tag contains "A" or tag endswith_cs "b"',
         'T1 | extend h = iff(tag has "a", 1, 0) | project id, h',
+        "T1 | sample 0.7 by id | project id",
+        "T1 | top-hitters 2 of tag",
+        "T1 | project-rename ident = id | project-keep ident, tag"
+        " | project-reorder tag",
     ],
 )
 def test_sql_backend_equivalence(spark, tables, engine, q):
