@@ -447,6 +447,26 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY lang ORDER BY lang
         """,
     ),
+    "pql_datatable": (
+        """
+        datatable (k: long, grp: string, w: real)
+            [1, "a", 1.5, 2, "b", 2.5, 3, "a", 4.0, 4, "b", null]
+        | where w >= 0
+        | summarize n = count(), s = round(sum(w), 4) by grp
+        | sort by grp asc
+        """,
+        """
+        SELECT grp, count(*) AS n, round(sum(w), 4) AS s
+        FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'a', 4.0),
+                     (4, 'b', CAST(NULL AS DOUBLE))) AS t(k, grp, w)
+        WHERE w >= 0
+        GROUP BY grp ORDER BY grp
+        """,
+    ),
+    "pql_print": (
+        'print x = 1 + 1, y = strcat("a", "b"), z = iff(3 > 2, "yes", "no")',
+        "SELECT 2 AS x, 'ab' AS y, 'yes' AS z",
+    ),
     "pql_sample_op": (
         """
         documents

@@ -310,8 +310,19 @@ class TableRef(Node):
 
 
 @dataclass
+class DatatableSource(Node):
+    """EXTENSION: ``datatable (c1: long, c2: string) [1, "a", 2, "b"]``
+    — inline literal table (KQL datatable; row-major flat value list).
+    ``print x = expr`` compiles to an empty-schema DatatableSource with
+    one row plus a ProjectOp."""
+
+    schema: list[tuple[str, str]]  # (name, pql type name)
+    values: list[Expr]
+
+
+@dataclass
 class TabularExpr(Node):
-    source: TableRef
+    source: "TableRef | DatatableSource"
     operators: list[Op]
 
 

@@ -40,6 +40,7 @@ from .ast_nodes import (
     CallExpr,
     ColSpec,
     CountOp,
+    DatatableSource,
     DistinctOp,
     Expr,
     ExtendOp,
@@ -165,12 +166,66 @@ class Compiler:
         saved = (self._last_sort, self._window)
         self._last_sort, self._window = None, None
         try:
-            df = self._resolve_table(expr.source.name, expr.source.span)
+            if isinstance(expr.source, DatatableSource):
+                df = self._datatable(expr.source)
+            else:
+                df = self._resolve_table(expr.source.name, expr.source.span)
             for op in expr.operators:
                 df = self._apply(df, op)
         finally:
             self._last_sort, self._window = saved
         return df
+
+    def _datatable(self, src: DatatableSource) -> DataFrame:
+        """Inline literal table (``datatable``/``print``): rows built
+        driver-side from literal expressions — inherently tiny, so a
+        local relation (Catalyst folds it; broadcast-join fodder)."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ParseError(
+                "datatable/print requires an active SparkSession", src.span
+            )
+        if not src.schema:  # print: one empty row to project over
+            return spark.range(1).select()
+        from .parser import _DATATABLE_TYPES
+
+        ncols = len(src.schema)
+        rows = [
+            tuple(
+                self._py_literal(v, src.schema[i % ncols][1])
+                for i, v in enumerate(src.values[r : r + ncols])
+            )
+            for r in range(0, len(src.values), ncols)
+        ]
+        schema = ", ".join(
+            f"`{name}` {_DATATABLE_TYPES[ty]}" for name, ty in src.schema
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def _py_literal(self, expr: Expr, ty: str) -> object:
+        if isinstance(expr, NumberLit):
+            v = float(expr.text) if expr.is_float else int(expr.text)
+            return float(v) if ty in ("real", "double") else v
+        if isinstance(expr, StringLit):
+            if ty in ("datetime", "timestamp"):
+                from datetime import datetime
+
+                return datetime.fromisoformat(expr.value)
+            return expr.value
+        if isinstance(expr, UnaryExpr):
+            v = self._py_literal(expr.operand, ty)
+            return -v if expr.op == "-" else v  # type: ignore[operator]
+        if isinstance(expr, Ident) and expr.simple and not expr.quoted[0]:
+            name = expr.parts[0]
+            if name in _BUILTIN_IDENTS:
+                return _BUILTIN_IDENTS[name]
+            if name == "null":
+                return None
+        raise ParseError(
+            "datatable values must be literals", expr.span
+        )
 
     def _resolve_table(self, name: str, span: Span) -> DataFrame:
         if name in self.bindings:  # `as` bindings shadow the catalog

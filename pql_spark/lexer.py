@@ -34,6 +34,9 @@ class TokenKind(enum.Enum):
     DOT = "."
     COMMA = ","
     SEMI = ";"
+    # EXTENSION: ':' for datatable schema annotations (the reference
+    # lexer rejects ':', so no reference query is affected)
+    COLON = ":"
     LPAREN = "("
     RPAREN = ")"
     LBRACKET = "["
@@ -90,6 +93,7 @@ _SINGLE = {
     "|": TokenKind.PIPE,
     ",": TokenKind.COMMA,
     ";": TokenKind.SEMI,
+    ":": TokenKind.COLON,
     "(": TokenKind.LPAREN,
     ")": TokenKind.RPAREN,
     "[": TokenKind.LBRACKET,

@@ -19,6 +19,7 @@ from .ast_nodes import (
     CallExpr,
     ColSpec,
     CountOp,
+    DatatableSource,
     DistinctOp,
     Expr,
     ExtendOp,
@@ -186,7 +187,99 @@ def _parse_statement(tokens: list[Token], source: str) -> Statement:
     first = tokens[0]
     if first.kind is TokenKind.IDENT and first.value == "let":
         return _parse_let(tokens, source)
+    if first.kind is TokenKind.IDENT and first.value == "print":
+        return _parse_print(tokens, source)
     return _parse_tabular(tokens, source)
+
+
+def _parse_print(tokens: list[Token], source: str) -> TabularExpr:
+    """EXTENSION: ``print [name =] expr, …`` — one-row result (KQL
+    print); compiles as a project over a single empty row."""
+    segments = _split_on(tokens, TokenKind.PIPE)
+    p = _P(segments[0], source)
+    kw = p.take()  # 'print'
+    cols = p.parse_colspec_list()
+    p.expect_end()
+    src = DatatableSource(
+        schema=[], values=[], span=kw.span
+    )
+    ops: list[Op] = [
+        ProjectOp(cols=cols, span=Span(kw.span.start, cols[-1].span.end))
+    ]
+    errors: list[ParseError] = []
+    for seg in segments[1:]:
+        if not seg:
+            errors.append(ParseError("empty pipeline segment", kw.span))
+            continue
+        try:
+            ops.append(_parse_operator(_P(seg, source)))
+        except ParseError as e:
+            errors.append(e)
+    if errors:
+        raise errors[0] if len(errors) == 1 else _merge(errors, source)
+    return TabularExpr(
+        source=src, operators=ops, span=Span(kw.span.start, ops[-1].span.end)
+    )
+
+
+# PQL/KQL type name → Spark SQL type for datatable schemas
+_DATATABLE_TYPES = {
+    "long": "bigint",
+    "int": "int",
+    "real": "double",
+    "double": "double",
+    "string": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "timestamp": "timestamp",
+}
+
+
+def _parse_datatable(p: _P, kw: Token) -> DatatableSource:
+    """``datatable (c1: long, c2: string) [v, v, …]`` — row-major flat
+    literal list, like KQL."""
+    p.expect(TokenKind.LPAREN, "'('")
+    schema: list[tuple[str, str]] = []
+    while True:
+        name = p.take()
+        if name.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected column name", name.span)
+        p.expect(TokenKind.COLON, "':'")
+        ty = p.expect(TokenKind.IDENT, "type name")
+        if ty.value not in _DATATABLE_TYPES:
+            raise ParseError(
+                f"unknown datatable type {ty.value!r} (supported: "
+                f"{', '.join(sorted(_DATATABLE_TYPES))})",
+                ty.span,
+            )
+        schema.append((name.value, ty.value))
+        if not p.match(TokenKind.COMMA):
+            break
+    p.expect(TokenKind.RPAREN, "')'")
+    lb = p.expect(TokenKind.LBRACKET, "'['")
+    values: list[Expr] = []
+    if p.peek() is not None and p.peek().kind is not TokenKind.RBRACKET:
+        while True:
+            values.append(p.parse_expr())
+            if p.match(TokenKind.COMMA):
+                if (
+                    p.peek() is not None
+                    and p.peek().kind is TokenKind.RBRACKET
+                ):
+                    break  # trailing comma
+                continue
+            break
+    rb = p.expect(TokenKind.RBRACKET, "']'")
+    if len(values) % len(schema) != 0:
+        raise ParseError(
+            f"datatable value count {len(values)} is not a multiple of "
+            f"the {len(schema)}-column schema",
+            Span(lb.span.start, rb.span.end),
+        )
+    return DatatableSource(
+        schema=schema, values=values, span=Span(kw.span.start, rb.span.end)
+    )
 
 
 def _parse_let(tokens: list[Token], source: str) -> LetStatement:
@@ -211,9 +304,13 @@ def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
     tok = p.take()
     if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
         raise ParseError("expected table name", tok.span)
-    table = TableRef(
-        name=tok.value, quoted=tok.kind is TokenKind.QIDENT, span=tok.span
-    )
+    table: TableRef | DatatableSource
+    if tok.kind is TokenKind.IDENT and tok.value == "datatable":
+        table = _parse_datatable(p, tok)
+    else:
+        table = TableRef(
+            name=tok.value, quoted=tok.kind is TokenKind.QIDENT, span=tok.span
+        )
     try:
         p.expect_end()
     except ParseError as e:

@@ -31,6 +31,7 @@ from .ast_nodes import (
     CallExpr,
     ColSpec,
     CountOp,
+    DatatableSource,
     DistinctOp,
     Expr,
     ExtendOp,
@@ -140,17 +141,50 @@ class _SqlEmitter:
         saved = (self.last_sort, self.window)
         self.last_sort, self.window = None, None
         try:
-            name = expr.source.name
-            if name in self.bound:
-                sql, cols = self.bound[name]
+            if isinstance(expr.source, DatatableSource):
+                sql, cols = self.emit_datatable(expr.source)
             else:
-                cols = list(self.columns_of(name))
-                sql = f"SELECT * FROM {_q(name)}"
+                name = expr.source.name
+                if name in self.bound:
+                    sql, cols = self.bound[name]
+                else:
+                    cols = list(self.columns_of(name))
+                    sql = f"SELECT * FROM {_q(name)}"
             for op in expr.operators:
                 sql, cols = self.emit_op(op, sql, cols)
         finally:
             self.last_sort, self.window = saved
         return sql, cols
+
+    def emit_datatable(
+        self, src: DatatableSource
+    ) -> tuple[str, list[str]]:
+        from .parser import _DATATABLE_TYPES
+
+        if not src.schema:  # print: one empty row
+            return "SELECT 1 AS __print_row", []
+        names = [n for n, _ in src.schema]
+        types = [_DATATABLE_TYPES[t] for _, t in src.schema]
+        ncols = len(names)
+        if not src.values:
+            items = ", ".join(
+                f"CAST(NULL AS {t}) AS {_q(n)}"
+                for n, t in zip(names, types)
+            )
+            return f"SELECT {items} WHERE FALSE", names
+        rows = []
+        for r in range(0, len(src.values), ncols):
+            cells = [
+                f"CAST({self.expr(v)} AS {types[i]})"
+                for i, v in enumerate(src.values[r : r + ncols])
+            ]
+            rows.append("(" + ", ".join(cells) + ")")
+        alias = ", ".join(_q(n) for n in names)
+        return (
+            f"SELECT * FROM (VALUES {', '.join(rows)})"
+            f" AS __dt({alias})",
+            names,
+        )
 
     def emit_op(
         self, op, sql: str, cols: list[str]

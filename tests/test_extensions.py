@@ -253,6 +253,48 @@ def test_getschema(engine):
     ]
 
 
+def test_datatable_inline_source(spark):
+    eng = PqlEngine(spark, resolver={})
+    out = eng.query(
+        'datatable (k: long, s: string, f: real, b: bool, t: datetime)'
+        ' [1, "x", 1.5, true, "2024-01-02T03:04:05",'
+        '  2, null, -0.5, false, "2024-06-07T08:09:10"]'
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "string", "double", "boolean", "timestamp"
+    ]
+    rows = out.collect()
+    assert rows[0].k == 1 and rows[0].s == "x" and rows[0].b is True
+    assert rows[1].s is None and rows[1].f == -0.5
+    assert rows[0].t.year == 2024
+    # value count must tile the schema
+    with pytest.raises(QueryError, match="multiple"):
+        eng.query("datatable (k: long, s: string) [1]")
+    with pytest.raises(QueryError, match="unknown datatable type"):
+        eng.query("datatable (k: blob) [1]")
+    # empty table parses and is empty
+    assert eng.query("datatable (k: long) []").count() == 0
+
+
+def test_print_statement(spark):
+    eng = PqlEngine(spark, resolver={})
+    row = eng.query('print x = 1 + 1, strcat("a", "b")').head()
+    assert row.x == 2
+    assert row['strcat("a", "b")'] == "ab"  # source-text naming
+    # print pipes like any tabular expression
+    assert eng.query("print v = 5 | extend d = v * 2").head().d == 10
+
+
+def test_datatable_as_join_side(spark):
+    eng = PqlEngine(spark, resolver={})
+    out = eng.query(
+        'datatable (k: long, n: long) [1, 10, 2, 20, 1, 30]'
+        ' | lookup (datatable (k: long, v: string) [1, "one", 2, "two"]) on k'
+        ' | summarize s = sum(n) by v | sort by v asc'
+    )
+    assert [tuple(r) for r in out.collect()] == [("one", 40), ("two", 20)]
+
+
 def test_ago_function(spark):
     t = spark.createDataFrame([(1,)], "id long")
     eng = PqlEngine(spark, resolver={"T": t})

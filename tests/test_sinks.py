@@ -65,6 +65,30 @@ def test_partitioned_write_prunes(spark, tmp_path):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_ivf_cells_as_partition_keys_prune(spark, tmp_path, sf_catalog):
+    """The IVF scale path: persist the corpus partitioned by the trained
+    cell id, and an nprobe query's cell filter becomes partition pruning
+    at the scan — the nprobe/n_centroids scan-fraction claim made real
+    in the physical plan."""
+    from pql_spark.operators import ivf_assign, train_centroids
+    from pql_spark.sources.sinks import write_partitioned
+
+    emb = sf_catalog("embeddings")
+    cents = train_centroids(emb, n_centroids=4, sample_size=128)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf")
+    write_partitioned(assigned, path, partition_by=["cell"])
+    back = spark.read.parquet(path).filter(F.col("cell").isin([0, 2]))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell#" in plan.split(
+        "PartitionFilters"
+    )[1][:160]
+    # pruned read returns exactly the rows assigned to the probed cells
+    expect = assigned.filter(F.col("cell").isin([0, 2])).count()
+    assert back.count() == expect > 0
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be a pure physical rewrite: identical result rows,
     including duplicate multiplicity, on a heavily skewed key."""

@@ -46,7 +46,7 @@ def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
     out = sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
     )
     return sorted_cols, out
 
