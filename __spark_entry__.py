@@ -1423,12 +1423,17 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver entry; the composition is a rows-only check)."""
     from pql_spark.pipelines import curate_corpus
 
+    docs = _docs(spark, sf_dir)
     out = curate_corpus(
-        _docs(spark, sf_dir),
+        docs,
         min_quality=0.5,
         langs=None,
         near_dup_threshold=0.8,
         test_rate=0.1,
+        max_dup_ngram_frac=0.98,
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        decontaminate_gram_n=13,
+        redact=True,
     )
     return out.select("doc_id", "lang_pred", "split").orderBy("doc_id")
 

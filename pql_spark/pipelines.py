@@ -15,9 +15,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.dedup import minhash_dup_pairs
+from .operators.dedup import decontaminate, minhash_dup_pairs
 from .operators.sampling import train_test_split
-from .operators.text import doc_fingerprint, language_id, quality_score
+from .operators.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    redact_pii,
+    repetition_stats,
+)
 
 
 def curate_corpus(
@@ -28,20 +34,32 @@ def curate_corpus(
     langs: Sequence[str] | None = ("en",),
     near_dup_threshold: float = 0.85,
     test_rate: float = 0.05,
+    max_dup_ngram_frac: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_gram_n: int = 13,
+    redact: bool = False,
 ) -> DataFrame:
     """Curate a raw document table into a deduplicated, split corpus.
 
     Returns the surviving rows of ``docs`` with three appended columns:
-    ``quality``, ``lang_pred``, and ``split`` ('train'/'test').
+    ``quality``, ``lang_pred``, and ``split`` ('train'/'test'); with
+    ``redact=True`` the text column is PII-scrubbed in place.
 
     Stage-by-stage (each narrow or one-shuffle):
     1. quality ≥ ``min_quality`` (C4/Gopher-style heuristics);
     2. predicted language ∈ ``langs`` (skipped when ``langs`` is None);
-    3. exact dedup on the normalized-text fingerprint (min-id survivor);
-    4. near-dup removal: MinHash+LSH pairs at ``near_dup_threshold``;
+    3. repetition filter: drop docs whose duplicate-``n``-gram char
+       fraction exceeds ``max_dup_ngram_frac`` (Gopher rule; skipped
+       when None);
+    4. exact dedup on the normalized-text fingerprint (min-id survivor);
+    5. near-dup removal: MinHash+LSH pairs at ``near_dup_threshold``;
        the higher id of each pair is dropped (transitive chains collapse
        to their minimum id over repeated pairs);
-    5. train/test split keyed on the CONTENT fingerprint, not the id —
+    6. benchmark decontamination: drop docs sharing any
+       ``decontaminate_gram_n``-gram with ``benchmark`` (skipped when
+       None);
+    7. optional PII redaction of the surviving text;
+    8. train/test split keyed on the CONTENT fingerprint, not the id —
        re-ingesting the same text can never land it in the other split.
     """
     quality = quality_score(docs, text_col, id_col).select(
@@ -61,6 +79,16 @@ def curate_corpus(
     if langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
 
+    if max_dup_ngram_frac is not None:
+        rep = repetition_stats(docs, text_col, id_col).select(
+            id_col, "dup_ngram_frac"
+        )
+        kept = (
+            kept.join(rep, id_col)
+            .filter(F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+            .drop("dup_ngram_frac")
+        )
+
     # exact dedup: one survivor (min id) per identical normalized text
     survivors = kept.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col)
@@ -74,6 +102,21 @@ def curate_corpus(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = kept.join(losers, id_col, "left_anti")
+
+    if benchmark is not None:
+        kept = decontaminate(
+            kept, benchmark, text_col, id_col, gram_n=decontaminate_gram_n
+        )
+
+    if redact:
+        scrubbed = redact_pii(kept, text_col, id_col).select(
+            id_col, "redacted"
+        )
+        kept = (
+            kept.join(scrubbed, id_col)
+            .withColumn(text_col, F.col("redacted"))
+            .drop("redacted")
+        )
 
     return train_test_split(
         kept, key="fingerprint", test_rate=test_rate

@@ -38,7 +38,7 @@ def bool_expr(draw, depth=0):
     if depth >= 2:
         cmp = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
         return f"({draw(num_expr(2))} {cmp} {draw(num_expr(2))})"
-    kind = draw(st.integers(0, 4))
+    kind = draw(st.integers(0, 5))
     if kind == 0:
         cmp = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
         return f"({draw(num_expr(depth + 1))} {cmp} {draw(num_expr(depth + 1))})"
@@ -50,6 +50,13 @@ def bool_expr(draw, depth=0):
         lhs = draw(bool_expr(depth + 1))
         rhs = draw(bool_expr(depth + 1))
         return f"({lhs} {draw(st.sampled_from(['and', 'or']))} {rhs})"
+    if kind == 4:
+        word = draw(
+            st.sampled_from(
+                ["contains", "startswith", "endswith", "has", "contains_cs"]
+            )
+        )
+        return f'(s {word} "{draw(st.sampled_from(["x", "y", "X"]))}")'
     return f"({draw(st.sampled_from(NUM_COLS))} in (0, 1, 2))"
 
 
@@ -60,7 +67,9 @@ def pipeline(draw):
         segs.append(f"where {draw(bool_expr())}")
     if draw(st.booleans()):
         segs.append(f"extend e = {draw(num_expr())}")
-    shape = draw(st.integers(0, 3))
+    if draw(st.booleans()):
+        segs.append(f"sample 0.{draw(st.integers(1, 9))} by a")
+    shape = draw(st.integers(0, 6))
     if shape == 0:
         segs.append(
             f"summarize n = count(), m = sum({draw(st.sampled_from(NUM_COLS))})"
@@ -70,7 +79,17 @@ def pipeline(draw):
         segs.append(f"project s, v = {draw(num_expr())}")
     elif shape == 2:
         segs.append("distinct s, a")
-    # shape 3: leave the row set as-is
+    elif shape == 3:
+        segs.append("project-rename x = a, y = b | project-keep s, x, y"
+                    " | project-reorder y")
+    elif shape == 4:
+        segs.append("top-hitters 3 of s")
+    elif shape == 5:
+        segs.append(
+            "sort by a asc, b asc, s asc | serialize"
+            " | extend rn = row_number(), p = prev(a) | project s, rn, p"
+        )
+    # shape 6: leave the row set as-is
     if draw(st.booleans()):
         segs.append("count")
     return " | ".join(segs)

@@ -57,6 +57,31 @@ def test_curate_corpus_split_is_content_keyed(spark, raw_docs):
     assert s1 == s2
 
 
+def test_curate_corpus_new_stages(spark, raw_docs):
+    # repetition filter: doc 4 is 'word' x40 — dup 3-gram frac ~1
+    out = curate_corpus(
+        raw_docs,
+        near_dup_threshold=0.5,
+        max_dup_ngram_frac=0.5,
+    )
+    assert {r.doc_id for r in out.collect()} == {1}
+    # decontamination: a benchmark sharing doc 1's opening 13-gram
+    bench = spark.createDataFrame(
+        [(900, GOOD)], "doc_id long, text string"
+    )
+    out = curate_corpus(
+        raw_docs, near_dup_threshold=0.5, benchmark=bench
+    )
+    assert {r.doc_id for r in out.collect()} == {4}
+    # redaction rewrites the surviving text in place
+    pii = spark.createDataFrame(
+        [(10, GOOD + " reach me at a.b@x.org please thanks")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(pii, near_dup_threshold=0.5, redact=True)
+    assert "<EMAIL>" in out.head().text
+
+
 def test_curate_corpus_no_lang_filter(raw_docs):
     out = curate_corpus(
         raw_docs, langs=None, near_dup_threshold=0.5, min_quality=0.5
