@@ -15,7 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.dedup import decontaminate, minhash_dup_pairs
+from .operators.dedup import minhash_dup_pairs
 from .operators.sampling import train_test_split
 from .operators.text import (
     doc_fingerprint,
@@ -57,7 +57,8 @@ def curate_corpus(
        to their minimum id over repeated pairs);
     6. benchmark decontamination: drop docs sharing any
        ``decontaminate_gram_n``-gram with ``benchmark`` (skipped when
-       None);
+       None; folded into one combined drop-list with the near-dup ids
+       so the corpus is anti-joined once);
     7. optional PII redaction of the surviving text;
     8. train/test split keyed on the CONTENT fingerprint, not the id —
        re-ingesting the same text can never land it in the other split.
@@ -95,18 +96,32 @@ def curate_corpus(
     )
     kept = kept.join(survivors, [id_col, "fingerprint"])
 
+    # `kept` is re-read by minhash (signature + exact verify), the
+    # decontamination scan, the drop anti-join, redaction, and the final
+    # split — persist it ONCE so the filter/join DAG above runs once.
+    # The expensive branches (minhash, contamination) are then reduced
+    # to TINY id drop-lists which are persisted too; without that, every
+    # downstream consumer would re-run the whole minhash pipeline
+    # through the anti-join's lineage (measured 22-38s vs ~9s at sf0.1).
+    kept = kept.persist()
+
     # near-dup removal: drop the higher id of every similar pair
     pairs = minhash_dup_pairs(
         kept, text_col=text_col, id_col=id_col,
         threshold=near_dup_threshold,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    kept = kept.join(losers, id_col, "left_anti")
+    drops = pairs.select(F.col("id_b").alias(id_col))
 
     if benchmark is not None:
-        kept = decontaminate(
+        from .operators.dedup import contamination_report
+
+        contaminated = contamination_report(
             kept, benchmark, text_col, id_col, gram_n=decontaminate_gram_n
-        )
+        ).select(id_col)
+        drops = drops.unionByName(contaminated)
+
+    drops = drops.distinct().persist()
+    kept = kept.join(drops, id_col, "left_anti")
 
     if redact:
         scrubbed = redact_pii(kept, text_col, id_col).select(
