@@ -447,6 +447,72 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY lang ORDER BY lang
         """,
     ),
+    "pql_make_series": (
+        """
+        events
+        | make-series n = count() default = 0,
+                      s = round(sum(value), 2) default = 0.0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | sort by event_type asc
+        """,
+        """
+        WITH f AS (SELECT event_type, ts, value FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-31'),
+        g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n, round(sum(value), 2) AS s
+              FROM f GROUP BY 1, 2),
+        m AS (SELECT event_type,
+                     map_from_entries(list(row(i, n))) AS mn,
+                     map_from_entries(list(row(i, s))) AS ms
+              FROM g GROUP BY event_type)
+        SELECT event_type,
+          [coalesce(mn[j][1], 0) FOR j IN range(0, 30)] AS n,
+          [CAST(coalesce(ms[j][1], 0.0) AS DOUBLE)
+               FOR j IN range(0, 30)] AS s,
+          [TIMESTAMP '2024-01-01' + to_microseconds(j * 86400000000)
+               FOR j IN range(0, 30)] AS ts
+        FROM m ORDER BY event_type
+        """,
+    ),
+    "pql_range_source": (
+        """
+        range x from 1 to 1000 step 7
+        | extend sq = x * x
+        | summarize n = count(), s = sum(x), ssq = sum(sq)
+        """,
+        """
+        SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS ssq
+        FROM (SELECT unnest(generate_series(1, 1000, 7)) AS x)
+        """,
+    ),
+    "pql_agg_family": (
+        """
+        events
+        | summarize users = dcount(user_id),
+                    hot = countif(value > 90),
+                    hot_users = dcountif(user_id, value > 90),
+                    s = round(sumif(value, value > 90), 2),
+                    mn = round(minif(value, value > 90), 4),
+                    mx = round(maxif(value, value > 90), 4)
+            by event_type
+        | sort by event_type asc
+        """,
+        """
+        SELECT event_type,
+               count(DISTINCT user_id) AS users,
+               count(CASE WHEN value > 90 THEN 1 END) AS hot,
+               count(DISTINCT CASE WHEN value > 90 THEN user_id END)
+                   AS hot_users,
+               round(sum(CASE WHEN value > 90 THEN value END), 2) AS s,
+               round(min(CASE WHEN value > 90 THEN value END), 4) AS mn,
+               round(max(CASE WHEN value > 90 THEN value END), 4) AS mx
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     "pql_datatable": (
         """
         datatable (k: long, grp: string, w: real)

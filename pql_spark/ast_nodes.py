@@ -252,6 +252,30 @@ class GetSchemaOp(Op):
 
 
 @dataclass
+class SeriesSpec(Node):
+    """One series in ``make-series``: ``[Name =] Agg() [default = Lit]``."""
+
+    col: ColSpec
+    default: Expr | None
+
+
+@dataclass
+class MakeSeriesOp(Op):
+    """``make-series [Name=]Agg [default=Lit], … on TsCol from X to Y
+    step S [by Keys]`` — per-key dense time/number series as arrays
+    (KQL make-series).  ``step`` is a number or a timespan string
+    literal; bins cover [from, to) and empty bins fill with the
+    series' default (null if omitted)."""
+
+    series: list[SeriesSpec]
+    on: Ident
+    start: Expr
+    stop: Expr
+    step: Expr
+    keys: list[ColSpec]
+
+
+@dataclass
 class SerializeOp(Op):
     """``serialize [by P1, P2]`` — fix the window order for
     ``row_number()``/``prev()``/``next()`` from the nearest preceding
@@ -321,8 +345,20 @@ class DatatableSource(Node):
 
 
 @dataclass
+class RangeSource(Node):
+    """EXTENSION: ``range x from 1 to 100 step 5`` — integer sequence
+    source (KQL range operator; bounds inclusive).  Compiles to
+    ``spark.range`` (distributed), not an in-memory array."""
+
+    name: str
+    start: Expr
+    stop: Expr
+    step: Expr
+
+
+@dataclass
 class TabularExpr(Node):
-    source: "TableRef | DatatableSource"
+    source: "TableRef | DatatableSource | RangeSource"
     operators: list[Op]
 
 

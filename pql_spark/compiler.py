@@ -51,6 +51,7 @@ from .ast_nodes import (
     JoinOp,
     LetStatement,
     LookupOp,
+    MakeSeriesOp,
     MvExpandOp,
     NumberLit,
     Op,
@@ -60,6 +61,7 @@ from .ast_nodes import (
     ProjectOp,
     ProjectRenameOp,
     ProjectReorderOp,
+    RangeSource,
     SampleOp,
     SearchOp,
     SerializeOp,
@@ -168,6 +170,8 @@ class Compiler:
         try:
             if isinstance(expr.source, DatatableSource):
                 df = self._datatable(expr.source)
+            elif isinstance(expr.source, RangeSource):
+                df = self._range_source(expr.source)
             else:
                 df = self._resolve_table(expr.source.name, expr.source.span)
             for op in expr.operators:
@@ -203,6 +207,27 @@ class Compiler:
             f"`{name}` {_DATATABLE_TYPES[ty]}" for name, ty in src.schema
         )
         return spark.createDataFrame(rows, schema)
+
+    def _range_source(self, src: RangeSource) -> DataFrame:
+        """``range x from a to b step s`` → ``spark.range`` — a
+        distributed sequence (parallelized over the cluster), not an
+        in-memory array; bounds inclusive like KQL."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ParseError(
+                "range requires an active SparkSession", src.span
+            )
+        start = self._const_int(src.start)
+        stop = self._const_int(src.stop)
+        step = self._const_int(src.step)
+        if step == 0:
+            raise ParseError("range step must be non-zero", src.step.span)
+        end = stop + (1 if step > 0 else -1)
+        return spark.range(start, end, step).select(
+            F.col("id").alias(src.name)
+        )
 
     def _py_literal(self, expr: Expr, ty: str) -> object:
         if isinstance(expr, NumberLit):
@@ -320,6 +345,8 @@ class Compiler:
                     ]
                 )
             return df.select("*", exploded.alias(name))
+        if isinstance(op, MakeSeriesOp):
+            return self._make_series(df, op, env)
         if isinstance(op, SampleOp):
             from .operators.sampling import _SPACE, _bucket
 
@@ -425,6 +452,88 @@ class Compiler:
                 pred = hit if pred is None else (pred | hit)
             return df.filter(F.coalesce(pred, F.lit(False)))
         raise ParseError(f"unsupported operator {type(op).__name__}", op.span)
+
+    def _make_series(
+        self, df: DataFrame, op: MakeSeriesOp, env: _Env
+    ) -> DataFrame:
+        """``make-series``: bin → grouped aggregate → per-key dense
+        arrays.  Two shuffles (bin-level agg with map-side combine, then
+        key-level assembly); series length is (to-from)/step regardless
+        of input size, so the arrays are bounded by the query, not the
+        data.  Empty bins fill with each series' default (null if
+        omitted).  from/to/step must be constant expressions."""
+        from .functions import _duration_usec
+
+        on = F.col(_q(op.on.parts[0]))
+        if isinstance(op.step, StringLit):  # timespan step → time axis
+            usec = _duration_usec(op.step.value, op.step.span)
+            fr_ts = self.compile_expr(op.start, env).cast("timestamp")
+            to_ts = self.compile_expr(op.stop, env).cast("timestamp")
+            fr_us = F.unix_micros(fr_ts)
+            bin_i = F.floor((F.unix_micros(on) - fr_us) / usec).cast("long")
+            nbins = F.ceil(
+                (F.unix_micros(to_ts) - fr_us) / F.lit(usec)
+            ).cast("int")
+
+            def axis(j: Column) -> Column:
+                return F.timestamp_micros(
+                    (fr_us + j * F.lit(usec)).cast("long")
+                )
+
+            lo, hi = fr_ts, to_ts
+        else:
+            step = self.compile_expr(op.step, env)
+            fr = self.compile_expr(op.start, env)
+            to = self.compile_expr(op.stop, env)
+            bin_i = F.floor((on - fr) / step).cast("long")
+            nbins = F.ceil((to - fr) / step).cast("int")
+
+            def axis(j: Column) -> Column:
+                return fr + j * step
+
+            lo, hi = fr, to
+
+        filt = df.filter((on >= lo) & (on < hi))
+        keys = self._compile_cols(op.keys, env)
+        key_names = [self._col_name(c) for c in op.keys]
+        aggs = [
+            self.compile_expr(s.col.expr, env).alias(f"__v{i}")
+            for i, s in enumerate(op.series)
+        ]
+        grouped = filt.groupBy(*keys, bin_i.alias("__bin")).agg(*aggs)
+        maps = [
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__bin"), F.col(f"__v{i}")))
+            ).alias(f"__m{i}")
+            for i in range(len(op.series))
+        ]
+        if key_names:
+            assembled = grouped.groupBy(
+                *[F.col(_q(k)) for k in key_names]
+            ).agg(*maps)
+        else:
+            assembled = grouped.agg(*maps)
+        seq = F.sequence(F.lit(0), nbins.cast("long") - 1)
+
+        def fill(m_name: str, default: Column):
+            return lambda j: F.coalesce(
+                F.element_at(F.col(m_name), j), default
+            )
+
+        out = [F.col(_q(k)) for k in key_names]
+        for i, s in enumerate(op.series):
+            default = (
+                self.compile_expr(s.default, env)
+                if s.default is not None
+                else F.lit(None)
+            )
+            out.append(
+                F.transform(seq, fill(f"__m{i}", default)).alias(
+                    self._col_name(s.col)
+                )
+            )
+        out.append(F.transform(seq, axis).alias(op.on.parts[0]))
+        return assembled.select(*out)
 
     def _lookup(self, left: DataFrame, op: LookupOp) -> DataFrame:
         """Broadcast dimension join (KQL lookup): right side is small by

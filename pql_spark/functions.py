@@ -191,6 +191,20 @@ def compile_call(
         _check_argc(name, args, 1, 1, span)
         # count() FILTER (WHERE pred) — rows where pred is NULL/false excluded
         return F.count(F.when(args[0], F.lit(1)))
+    # EXTENSION (KQL aggregate family): dcount is EXACT here (KQL's is
+    # an approximation — exactness keeps it oracle-verifiable; use
+    # passthrough approx_count_distinct for the sketch behavior)
+    if lname == "dcount":
+        _check_argc(name, args, 1, 1, span)
+        return F.count_distinct(args[0])
+    if lname == "dcountif":
+        _check_argc(name, args, 2, 2, span)
+        return F.count_distinct(F.when(args[1], args[0]))
+    if lname in ("sumif", "avgif", "minif", "maxif"):
+        _check_argc(name, args, 2, 2, span)
+        agg = {"sumif": F.sum, "avgif": F.avg, "minif": F.min,
+               "maxif": F.max}[lname]
+        return agg(F.when(args[1], args[0]))
     if lname in ("iff", "iif"):
         _check_argc(name, args, 3, 3, span)
         return iff(args[0], args[1], args[2])

@@ -30,6 +30,7 @@ from .ast_nodes import (
     JoinOp,
     LetStatement,
     LookupOp,
+    MakeSeriesOp,
     MvExpandOp,
     NumberLit,
     Op,
@@ -39,10 +40,12 @@ from .ast_nodes import (
     ProjectOp,
     ProjectRenameOp,
     ProjectReorderOp,
+    RangeSource,
     RenderOp,
     SampleOp,
     SearchOp,
     SerializeOp,
+    SeriesSpec,
     SortOp,
     TopHittersOp,
     UnionOp,
@@ -236,6 +239,30 @@ _DATATABLE_TYPES = {
 }
 
 
+def _parse_range(p: _P, kw: Token) -> RangeSource:
+    """``range x from 1 to 100 step 5`` — inclusive integer sequence."""
+    name = p.take()
+    w = p.expect(TokenKind.IDENT, "'from'")
+    if w.value != "from":
+        raise ParseError(f"expected 'from', got {w.value!r}", w.span)
+    start = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'to'")
+    if w.value != "to":
+        raise ParseError(f"expected 'to', got {w.value!r}", w.span)
+    stop = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'step'")
+    if w.value != "step":
+        raise ParseError(f"expected 'step', got {w.value!r}", w.span)
+    step = p.parse_expr()
+    return RangeSource(
+        name=name.value,
+        start=start,
+        stop=stop,
+        step=step,
+        span=Span(kw.span.start, step.span.end),
+    )
+
+
 def _parse_datatable(p: _P, kw: Token) -> DatatableSource:
     """``datatable (c1: long, c2: string) [v, v, …]`` — row-major flat
     literal list, like KQL."""
@@ -304,9 +331,19 @@ def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
     tok = p.take()
     if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
         raise ParseError("expected table name", tok.span)
-    table: TableRef | DatatableSource
+    table: TableRef | DatatableSource | RangeSource
     if tok.kind is TokenKind.IDENT and tok.value == "datatable":
         table = _parse_datatable(p, tok)
+    elif (
+        tok.kind is TokenKind.IDENT
+        and tok.value == "range"
+        and p.peek() is not None
+        and p.peek().kind in (TokenKind.IDENT, TokenKind.QIDENT)
+        and p.peek(1) is not None
+        and p.peek(1).kind is TokenKind.IDENT
+        and p.peek(1).value == "from"
+    ):  # `range x from …` — otherwise `range` is a plain table name
+        table = _parse_range(p, tok)
     else:
         table = TableRef(
             name=tok.value, quoted=tok.kind is TokenKind.QIDENT, span=tok.span
@@ -994,6 +1031,64 @@ def _op_getschema(p: _P, kw: Token) -> Op:
     return GetSchemaOp(span=kw.span)
 
 
+def _op_make_series(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``make-series [n=]agg [default=lit], … on Ts from A
+    to B step S [by K1, K2]`` (KQL make-series)."""
+    series: list[SeriesSpec] = []
+    while True:
+        col = p.parse_colspec(require_expr=True)
+        default = None
+        end = col.span.end
+        if p.match_word("default"):
+            p.expect(TokenKind.ASSIGN, "'='")
+            default = p.parse_expr()
+            end = default.span.end
+        series.append(
+            SeriesSpec(
+                col=col, default=default, span=Span(col.span.start, end)
+            )
+        )
+        if not p.match(TokenKind.COMMA):
+            break
+    on = p.expect(TokenKind.IDENT, "'on'")
+    if on.value != "on":
+        raise ParseError(f"expected 'on', got {on.value!r}", on.span)
+    ts = p.take()
+    if ts.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected axis column name", ts.span)
+    on_col = Ident(
+        parts=[ts.value],
+        quoted=[ts.kind is TokenKind.QIDENT],
+        span=ts.span,
+    )
+    w = p.expect(TokenKind.IDENT, "'from'")
+    if w.value != "from":
+        raise ParseError(f"expected 'from', got {w.value!r}", w.span)
+    start = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'to'")
+    if w.value != "to":
+        raise ParseError(f"expected 'to', got {w.value!r}", w.span)
+    stop = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'step'")
+    if w.value != "step":
+        raise ParseError(f"expected 'step', got {w.value!r}", w.span)
+    step = p.parse_expr()
+    keys: list[ColSpec] = []
+    end = step.span.end
+    if p.match(TokenKind.BY):
+        keys = p.parse_colspec_list()
+        end = keys[-1].span.end
+    return MakeSeriesOp(
+        series=series,
+        on=on_col,
+        start=start,
+        stop=stop,
+        step=step,
+        keys=keys,
+        span=Span(kw.span.start, end),
+    )
+
+
 def _op_serialize(p: _P, kw: Token) -> Op:
     """EXTENSION: ``serialize [by P1, P2]`` — mark the preceding sort's
     order as the window order for row_number()/prev()/next() (KQL
@@ -1037,6 +1132,7 @@ _OPERATORS = {
     "project-keep": _op_project_keep,
     "project-reorder": _op_project_reorder,
     "getschema": _op_getschema,
+    "make-series": _op_make_series,
     "distinct": _op_distinct,
     "union": _op_union,
     "project-away": _op_project_away,

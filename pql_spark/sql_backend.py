@@ -42,6 +42,7 @@ from .ast_nodes import (
     JoinOp,
     LetStatement,
     LookupOp,
+    MakeSeriesOp,
     MvExpandOp,
     NumberLit,
     ParseOp,
@@ -50,6 +51,7 @@ from .ast_nodes import (
     ProjectOp,
     ProjectRenameOp,
     ProjectReorderOp,
+    RangeSource,
     SampleOp,
     SearchOp,
     SerializeOp,
@@ -143,6 +145,18 @@ class _SqlEmitter:
         try:
             if isinstance(expr.source, DatatableSource):
                 sql, cols = self.emit_datatable(expr.source)
+            elif isinstance(expr.source, RangeSource):
+                src = expr.source
+                step = self.expr(src.step)
+                # bounds inclusive (KQL); Spark's range() TVF end is
+                # exclusive — widen by one step-sign
+                sql = (
+                    f"SELECT id AS {_q(src.name)} FROM range("
+                    f"{self.expr(src.start)}, {self.expr(src.stop)}"
+                    f" + (CASE WHEN ({step}) > 0 THEN 1 ELSE -1 END),"
+                    f" {step})"
+                )
+                cols = [src.name]
             else:
                 name = expr.source.name
                 if name in self.bound:
@@ -310,6 +324,8 @@ class _SqlEmitter:
                 extras.append(f"{self.expr(value)} AS {_q(f'render_prop_{key}')}")
                 out.append(f"render_prop_{key}")
             return f"SELECT *, {', '.join(extras)} FROM {inner}", out
+        if isinstance(op, MakeSeriesOp):
+            return self.emit_make_series(op, sql, cols)
         if isinstance(op, SampleOp):
             key = op.key.parts[0]
             if key not in cols:
@@ -421,6 +437,83 @@ class _SqlEmitter:
         raise ParseError(
             f"SQL backend: unsupported operator {type(op).__name__}", op.span
         )
+
+    def emit_make_series(
+        self, op: MakeSeriesOp, sql: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        on = _q(op.on.parts[0])
+        if isinstance(op.step, StringLit):
+            usec = _duration_usec(op.step.value, op.step.span)
+            fr = f"CAST({self.expr(op.start)} AS TIMESTAMP)"
+            to = f"CAST({self.expr(op.stop)} AS TIMESTAMP)"
+            bin_i = (
+                f"CAST(floor((unix_micros({on}) - unix_micros({fr}))"
+                f" / {usec}) AS BIGINT)"
+            )
+            nbins = (
+                f"CAST(ceil((unix_micros({to}) - unix_micros({fr}))"
+                f" / {usec}) AS INT)"
+            )
+            axis = (
+                f"timestamp_micros(CAST(unix_micros({fr}) + j * {usec}"
+                f" AS BIGINT))"
+            )
+        else:
+            step = self.expr(op.step, 5)
+            fr = f"({self.expr(op.start)})"
+            to = f"({self.expr(op.stop)})"
+            bin_i = f"CAST(floor(({on} - {fr}) / {step}) AS BIGINT)"
+            nbins = f"CAST(ceil(({to} - {fr}) / {step}) AS INT)"
+            axis = f"({fr} + j * {step})"
+        filt = (
+            f"SELECT * FROM ({sql}) WHERE {on} >= {fr} AND {on} < {to}"
+        )
+        key_items, key_names = [], []
+        for c in op.keys:
+            name, item = self.col_spec(c)
+            key_items.append(item)
+            key_names.append(name)
+        agg_items = [
+            f"{self.expr(s.col.expr)} AS {_q(f'__v{i}')}"
+            for i, s in enumerate(op.series)
+        ]
+        g_select = ", ".join(
+            key_items + [f"{bin_i} AS {_q('__bin')}"] + agg_items
+        )
+        group_cols = [_q(n) for n in key_names] + [_q("__bin")]
+        g = (
+            f"SELECT {g_select} FROM ({filt})"
+            f" GROUP BY {', '.join(group_cols)}"
+        )
+        map_items = [
+            f"map_from_entries(collect_list(struct({_q('__bin')},"
+            f" {_q(f'__v{i}')}))) AS {_q(f'__m{i}')}"
+            for i in range(len(op.series))
+        ]
+        m_select = ", ".join([_q(n) for n in key_names] + map_items)
+        m = f"SELECT {m_select} FROM ({g})"
+        if key_names:
+            m += f" GROUP BY {', '.join(_q(n) for n in key_names)}"
+        seq = f"sequence(0, CAST({nbins} AS BIGINT) - 1)"
+        out_items = [_q(n) for n in key_names]
+        out_names = list(key_names)
+        for i, s in enumerate(op.series):
+            name = (
+                s.col.name
+                if s.col.name is not None
+                else s.col.expr.source(self.text).strip()
+            )
+            default = (
+                self.expr(s.default) if s.default is not None else "NULL"
+            )
+            out_items.append(
+                f"transform({seq}, j -> coalesce(element_at("
+                f"{_q(f'__m{i}')}, j), {default})) AS {_q(name)}"
+            )
+            out_names.append(name)
+        out_items.append(f"transform({seq}, j -> {axis}) AS {on}")
+        out_names.append(op.on.parts[0])
+        return f"SELECT {', '.join(out_items)} FROM ({m})", out_names
 
     def emit_lookup(
         self, op: LookupOp, left_sql: str, left_cols: list[str]
@@ -674,6 +767,22 @@ class _SqlEmitter:
         if name == "countif":
             argc(1, 1)
             return f"count(CASE WHEN {self.expr(args[0])} THEN 1 END)"
+        if name == "dcount":
+            argc(1, 1)
+            return f"count(DISTINCT {self.expr(args[0])})"
+        if name == "dcountif":
+            argc(2, 2)
+            return (
+                f"count(DISTINCT CASE WHEN {self.expr(args[1])}"
+                f" THEN {self.expr(args[0])} END)"
+            )
+        if name in ("sumif", "avgif", "minif", "maxif"):
+            argc(2, 2)
+            fn = name[:3]
+            return (
+                f"{fn}(CASE WHEN {self.expr(args[1])}"
+                f" THEN {self.expr(args[0])} END)"
+            )
         if name in ("iff", "iif"):
             argc(3, 3)
             return (

@@ -295,6 +295,71 @@ def test_datatable_as_join_side(spark):
     assert [tuple(r) for r in out.collect()] == [("one", 40), ("two", 20)]
 
 
+def test_range_source(spark):
+    eng = PqlEngine(spark, resolver={})
+    assert [r.x for r in eng.query(
+        "range x from 1 to 10 step 3 | sort by x asc"
+    ).collect()] == [1, 4, 7, 10]
+    assert [r.x for r in eng.query(
+        "range x from 5 to 1 step -2 | sort by x desc"
+    ).collect()] == [5, 3, 1]
+    with pytest.raises(QueryError, match="non-zero"):
+        eng.query("range x from 1 to 5 step 0")
+
+
+def test_make_series_numeric_axis(spark):
+    eng = PqlEngine(spark, resolver={})
+    out = eng.query(
+        "range x from 0 to 9 step 1"
+        " | make-series n = count() default = 0,"
+        "               s = sum(x) on x from 0 to 10 step 4"
+    ).head()
+    assert list(out.n) == [4, 4, 2]
+    assert list(out.s) == [0 + 1 + 2 + 3, 4 + 5 + 6 + 7, 8 + 9]
+    assert list(out.x) == [0, 4, 8]
+
+
+def test_make_series_time_axis_with_gaps(spark):
+    t = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1.0),
+         ("a", "2024-01-03 05:00:00", 2.0),
+         ("b", "2024-01-02 00:00:00", 9.0)],
+        "k string, ts_s string, v double",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = {r.k: r for r in eng.query(
+        'T | make-series total = sum(v) default = 0.0 on ts'
+        ' from "2024-01-01" to "2024-01-05" step "1d" by k'
+    ).collect()}
+    assert list(out["a"].total) == [1.0, 0.0, 2.0, 0.0]  # gap filled
+    assert list(out["b"].total) == [0.0, 9.0, 0.0, 0.0]
+    assert [x.day for x in out["a"].ts] == [1, 2, 3, 4]
+    # null fill when default omitted
+    out2 = eng.query(
+        'T | make-series m = max(v) on ts'
+        ' from "2024-01-01" to "2024-01-03" step "1d" by k'
+    ).collect()
+    by_k = {r.k: list(r.m) for r in out2}
+    assert by_k["b"] == [None, 9.0]
+
+
+def test_agg_family(spark):
+    t = spark.createDataFrame(
+        [(1, 5.0), (1, 15.0), (2, 25.0), (2, 25.0), (3, None)],
+        "u long, v double",
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    r = eng.query(
+        "T | summarize users = dcount(u), big = countif(v > 10),"
+        " big_users = dcountif(u, v > 10), s = sumif(v, v > 10),"
+        " a = avgif(v, v > 10), mn = minif(v, v > 10),"
+        " mx = maxif(v, v > 10)"
+    ).head()
+    assert (r.users, r.big, r.big_users) == (3, 3, 2)
+    assert (r.s, r.mn, r.mx) == (65.0, 15.0, 25.0)
+    assert abs(r.a - 65.0 / 3) < 1e-9
+
+
 def test_ago_function(spark):
     t = spark.createDataFrame([(1,)], "id long")
     eng = PqlEngine(spark, resolver={"T": t})
