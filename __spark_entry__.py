@@ -478,6 +478,40 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM m ORDER BY event_type
         """,
     ),
+    "pql_series_fns": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend total = series_sum(n), peak = series_max(n),
+                 ma = series_moving_avg(n, 7)
+        | project event_type, total, peak, ma
+        | sort by event_type asc
+        """,
+        """
+        WITH g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01'
+                AND ts < TIMESTAMP '2024-01-31'
+              GROUP BY 1, 2),
+        m AS (SELECT event_type,
+                     map_from_entries(list(row(i, n))) AS mn
+              FROM g GROUP BY event_type),
+        s AS (SELECT event_type,
+                     [coalesce(mn[j][1], 0) FOR j IN range(0, 30)] AS n
+              FROM m)
+        SELECT event_type,
+               CAST(list_sum(n) AS DOUBLE) AS total,
+               list_max(n) AS peak,
+               [list_avg(n[greatest(1, i - 6):i])
+                    FOR i IN range(1, 31)] AS ma
+        FROM s ORDER BY event_type
+        """,
+    ),
     "pql_range_source": (
         """
         range x from 1 to 1000 step 7

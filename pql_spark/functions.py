@@ -205,6 +205,57 @@ def compile_call(
         agg = {"sumif": F.sum, "avgif": F.avg, "minif": F.min,
                "maxif": F.max}[lname]
         return agg(F.when(args[1], args[0]))
+    # EXTENSION (KQL series_* over array columns — the make-series
+    # companions).  All-double arithmetic; element-only lambdas, so no
+    # HOF re-evaluation hazard (the array is a plain column reference).
+    if lname == "series_sum":
+        _check_argc(name, args, 1, 1, span)
+        return F.aggregate(
+            args[0], F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+    if lname == "series_avg":
+        _check_argc(name, args, 1, 1, span)
+        total = F.aggregate(
+            args[0], F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+        return F.when(F.size(args[0]) > 0, total / F.size(args[0]))
+    if lname == "series_min":
+        _check_argc(name, args, 1, 1, span)
+        return F.array_min(args[0])
+    if lname == "series_max":
+        _check_argc(name, args, 1, 1, span)
+        return F.array_max(args[0])
+    if lname == "series_moving_avg":
+        # trailing-window mean: out[i] = avg(arr[max(0, i-k+1) .. i])
+        _check_argc(name, args, 2, 2, span)
+        from .ast_nodes import NumberLit
+
+        if (
+            ast_args is None
+            or not isinstance(ast_args[1], NumberLit)
+            or ast_args[1].is_float
+        ):
+            raise ParseError(
+                "series_moving_avg() window must be an integer literal",
+                span,
+            )
+        k = int(ast_args[1].text)
+        if k < 1:
+            raise ParseError("window must be >= 1", span)
+        arr = args[0]
+
+        def mean_at(i: Column) -> Column:
+            window = F.slice(
+                arr,
+                F.greatest(F.lit(1), i - (k - 1)),
+                F.least(i, F.lit(k)),
+            )
+            total = F.aggregate(
+                window, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            return total / F.size(window)
+
+        return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
     if lname in ("iff", "iif"):
         _check_argc(name, args, 3, 3, span)
         return iff(args[0], args[1], args[2])

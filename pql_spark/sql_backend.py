@@ -783,6 +783,44 @@ class _SqlEmitter:
                 f"{fn}(CASE WHEN {self.expr(args[1])}"
                 f" THEN {self.expr(args[0])} END)"
             )
+        if name == "series_sum":
+            argc(1, 1)
+            a = self.expr(args[0])
+            return (
+                f"aggregate({a}, 0.0D, (acc, x) ->"
+                f" acc + CAST(x AS DOUBLE))"
+            )
+        if name == "series_avg":
+            argc(1, 1)
+            a = self.expr(args[0])
+            return (
+                f"(CASE WHEN size({a}) > 0 THEN"
+                f" aggregate({a}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))"
+                f" / size({a}) END)"
+            )
+        if name == "series_min":
+            argc(1, 1)
+            return f"array_min({self.expr(args[0])})"
+        if name == "series_max":
+            argc(1, 1)
+            return f"array_max({self.expr(args[0])})"
+        if name == "series_moving_avg":
+            argc(2, 2)
+            if not isinstance(args[1], NumberLit) or args[1].is_float:
+                raise ParseError(
+                    "series_moving_avg() window must be an integer literal",
+                    e.span,
+                )
+            k = int(args[1].text)
+            a = self.expr(args[0])
+            win = (
+                f"slice({a}, greatest(1, i - {k - 1}), least(i, {k}))"
+            )
+            return (
+                f"transform(sequence(1, size({a})), i ->"
+                f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
+                f" DOUBLE)) / size({win}))"
+            )
         if name in ("iff", "iif"):
             argc(3, 3)
             return (

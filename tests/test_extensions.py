@@ -343,6 +343,23 @@ def test_make_series_time_axis_with_gaps(spark):
     assert by_k["b"] == [None, 9.0]
 
 
+def test_series_functions(spark):
+    eng = PqlEngine(spark, resolver={})
+    r = eng.query(
+        'datatable (k: string) ["a"] | extend arr = array(2, 4, 6)'
+        " | extend s = series_sum(arr), a = series_avg(arr),"
+        " mn = series_min(arr), mx = series_max(arr),"
+        " ma = series_moving_avg(arr, 2)"
+    ).head()
+    assert (r.s, r.a, r.mn, r.mx) == (12.0, 4.0, 2, 6)
+    assert list(r.ma) == [2.0, 3.0, 5.0]
+    with pytest.raises(QueryError, match="integer literal"):
+        eng.query(
+            'datatable (k: string) ["a"]'
+            " | extend m = series_moving_avg(array(1), k)"
+        )
+
+
 def test_agg_family(spark):
     t = spark.createDataFrame(
         [(1, 5.0), (1, 15.0), (2, 25.0), (2, 25.0), (3, None)],
