@@ -183,9 +183,11 @@ class DistinctOp(Op):
 
 @dataclass
 class UnionOp(Op):
-    """``union Table2, (T3 | where …)`` — bag union by column name."""
+    """``union [withsource = Col] Table2, (T3 | where …)`` — bag union
+    by column name; ``withsource`` appends the originating table name."""
 
     others: list["TabularExpr"]
+    withsource: str | None = None
 
 
 @dataclass

@@ -73,6 +73,7 @@ from .ast_nodes import (
     Statement,
     StringLit,
     SummarizeOp,
+    TableRef,
     TabularExpr,
     TakeOp,
     TopOp,
@@ -320,10 +321,19 @@ class Compiler:
             return df.select(*self._compile_cols(op.cols, env)).distinct()
         if isinstance(op, UnionOp):
             # bag union by column name; missing columns null-filled
+            ws = op.withsource
+            if ws is not None:  # provenance column per branch
+                df = df.withColumn(ws, F.lit(""))
             for other in op.others:
-                df = df.unionByName(
-                    self.compile_tabular(other), allowMissingColumns=True
-                )
+                branch = self.compile_tabular(other)
+                if ws is not None:
+                    name = (
+                        other.source.name
+                        if isinstance(other.source, TableRef)
+                        else ""
+                    )
+                    branch = branch.withColumn(ws, F.lit(name))
+                df = df.unionByName(branch, allowMissingColumns=True)
             return df
         if isinstance(op, ProjectAwayOp):
             missing = [n for n in op.names if n not in df.columns]

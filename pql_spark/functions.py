@@ -225,6 +225,26 @@ def compile_call(
     if lname == "series_max":
         _check_argc(name, args, 1, 1, span)
         return F.array_max(args[0])
+    if lname == "series_fill_const":
+        _check_argc(name, args, 2, 2, span)
+        fill = args[1]
+        return F.transform(args[0], lambda x: F.coalesce(x, fill))
+    if lname == "series_fill_forward":
+        # carry the last non-null value forward; leading nulls stay null
+        _check_argc(name, args, 1, 1, span)
+        return F.aggregate(
+            args[0],
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(
+                        x.cast("double"),
+                        F.try_element_at(acc, F.lit(-1)),
+                    )
+                ),
+            ),
+        )
     if lname == "series_moving_avg":
         # trailing-window mean: out[i] = avg(arr[max(0, i-k+1) .. i])
         _check_argc(name, args, 2, 2, span)

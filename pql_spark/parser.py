@@ -792,8 +792,18 @@ def _op_distinct(p: _P, kw: Token) -> Op:
 
 
 def _op_union(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``union T2, (T3 | where …), …`` — bag union by column
-    name (KQL union; unimplemented in the reference)."""
+    """EXTENSION: ``union [withsource = Col] T2, (T3 | where …), …`` —
+    bag union by column name (KQL union; unimplemented in the
+    reference).  ``withsource`` appends a provenance column holding
+    each row's originating table name ('' for the piped-in left input
+    and parenthesized subqueries)."""
+    withsource = None
+    if p.match_word("withsource"):
+        p.expect(TokenKind.ASSIGN, "'='")
+        ws = p.take()
+        if ws.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected column name", ws.span)
+        withsource = ws.value
     others: list[TabularExpr] = []
     while True:
         if p.match(TokenKind.LPAREN):
@@ -824,7 +834,9 @@ def _op_union(p: _P, kw: Token) -> Op:
         if not p.match(TokenKind.COMMA):
             break
     return UnionOp(
-        others=others, span=Span(kw.span.start, others[-1].span.end)
+        others=others,
+        withsource=withsource,
+        span=Span(kw.span.start, others[-1].span.end),
     )
 
 

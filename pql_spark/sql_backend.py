@@ -62,6 +62,7 @@ from .ast_nodes import (
     SortTerm,
     StringLit,
     SummarizeOp,
+    TableRef,
     TabularExpr,
     TakeOp,
     TopOp,
@@ -280,21 +281,35 @@ class _SqlEmitter:
                 names.append(name)
             return f"SELECT DISTINCT {', '.join(items)} FROM {inner}", names
         if isinstance(op, UnionOp):
-            branches = [(sql, cols)]
+            branches = [(sql, cols, "")]
             for other in op.others:
-                branches.append(self.emit_query(other))
-            merged: list[str] = []
-            for _, bc in branches:
+                bsql, bc = self.emit_query(other)
+                name = (
+                    other.source.name
+                    if isinstance(other.source, TableRef)
+                    else ""
+                )
+                branches.append((bsql, bc, name))
+            # column order matches the DataFrame backend: left columns,
+            # then the provenance column, then branch-only columns
+            merged: list[str] = list(cols)
+            if op.withsource is not None and op.withsource not in merged:
+                merged.append(op.withsource)
+            for _, bc, _n in branches[1:]:
                 for c in bc:
                     if c not in merged:
                         merged.append(c)
             selects = []
-            for bsql, bc in branches:
-                items = ", ".join(
-                    f"{_q(c)} AS {_q(c)}" if c in bc else f"NULL AS {_q(c)}"
-                    for c in merged
-                )
-                selects.append(f"SELECT {items} FROM ({bsql})")
+            for bsql, bc, name in branches:
+                items = []
+                for c in merged:
+                    if op.withsource is not None and c == op.withsource:
+                        items.append(f"{_qs(name)} AS {_q(c)}")
+                    elif c in bc:
+                        items.append(f"{_q(c)} AS {_q(c)}")
+                    else:
+                        items.append(f"NULL AS {_q(c)}")
+                selects.append(f"SELECT {', '.join(items)} FROM ({bsql})")
             return " UNION ALL ".join(selects), merged
         if isinstance(op, ProjectAwayOp):
             missing = [n for n in op.names if n not in cols]
@@ -804,6 +819,20 @@ class _SqlEmitter:
         if name == "series_max":
             argc(1, 1)
             return f"array_max({self.expr(args[0])})"
+        if name == "series_fill_const":
+            argc(2, 2)
+            return (
+                f"transform({self.expr(args[0])}, x ->"
+                f" coalesce(x, {self.expr(args[1])}))"
+            )
+        if name == "series_fill_forward":
+            argc(1, 1)
+            return (
+                f"aggregate({self.expr(args[0])},"
+                f" CAST(array() AS ARRAY<DOUBLE>), (acc, x) ->"
+                f" concat(acc, array(coalesce(CAST(x AS DOUBLE),"
+                f" try_element_at(acc, -1)))))"
+            )
         if name == "series_moving_avg":
             argc(2, 2)
             if not isinstance(args[1], NumberLit) or args[1].is_float:

@@ -343,6 +343,27 @@ def test_make_series_time_axis_with_gaps(spark):
     assert by_k["b"] == [None, 9.0]
 
 
+def test_union_withsource(engine):
+    out = engine.query(
+        "T1 | project id | union withsource = origin T2 | sort by id asc"
+    )
+    rows = {r.id: r.origin for r in out.collect()}
+    assert rows[1] == "" and rows[4] == "T2"
+    assert out.columns == ["id", "origin", "extra"]
+
+
+def test_series_fill(spark):
+    eng = PqlEngine(spark, resolver={})
+    r = eng.query(
+        'datatable (k: string) ["a"]'
+        " | extend arr = array(null, 2, null, 5)"
+        " | extend ff = series_fill_forward(arr),"
+        " fc = series_fill_const(arr, 0)"
+    ).head()
+    assert list(r.ff) == [None, 2.0, 2.0, 5.0]  # leading null stays
+    assert list(r.fc) == [0, 2, 0, 5]
+
+
 def test_series_functions(spark):
     eng = PqlEngine(spark, resolver={})
     r = eng.query(
@@ -408,6 +429,7 @@ def test_ago_function(spark):
         'T1 | where tag contains "A" or tag endswith_cs "b"',
         'T1 | extend h = iff(tag has "a", 1, 0) | project id, h',
         "T1 | sample 0.7 by id | project id",
+        "T1 | project id, tag | union withsource = origin T2",
         "T1 | top-hitters 2 of tag",
         "T1 | project-rename ident = id | project-keep ident, tag"
         " | project-reorder tag",
