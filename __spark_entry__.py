@@ -478,6 +478,28 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM m ORDER BY event_type
         """,
     ),
+    "pql_pivot": (
+        """
+        events
+        | project user_id, event_type
+        | evaluate pivot(event_type)
+        | sort by user_id asc
+        """,
+        """
+        SELECT user_id,
+               nullif(count(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                   AS click,
+               nullif(count(CASE WHEN event_type = 'error' THEN 1 END), 0)
+                   AS error,
+               nullif(count(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                   AS purchase,
+               nullif(count(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+                   AS signup,
+               nullif(count(CASE WHEN event_type = 'view' THEN 1 END), 0)
+                   AS view
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
     "pql_series_fns": (
         """
         events

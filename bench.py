@@ -30,11 +30,17 @@ def main() -> int:
     spark = build_session("pql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm fixed machinery once (JIT/codegen infra, parquet reader
-    # classes, shuffle system, Python/Arrow workers) on the 5-row region
-    # table so per-query timings measure the queries, not class loading.
+    # classes, shuffle system, Python/Arrow workers) so per-query
+    # timings measure the queries, not class loading.  The Python-worker
+    # warmup runs one task per core: each executor thread forks its own
+    # python daemon that imports pandas/numpy (~1 s each, all at once
+    # when cold — this used to land on the first wide mapInPandas query).
     warm = spark.read.parquet(str(Path(sf_dir) / "region.parquet"))
     warm.groupBy("r_name").count().collect()
-    warm.mapInPandas(lambda it: it, warm.schema).count()
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores, 1, cores).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -248,6 +248,17 @@ class ProjectReorderOp(Op):
 
 
 @dataclass
+class PivotOp(Op):
+    """``evaluate pivot(PivotCol [, AggCall])`` — rotate distinct values
+    of PivotCol into columns (KQL pivot plugin); remaining columns are
+    the group keys; default aggregate is ``count()``.  DataFrame backend
+    only (the output schema is data-dependent)."""
+
+    col: Ident
+    agg: Expr | None
+
+
+@dataclass
 class GetSchemaOp(Op):
     """``getschema`` — one row per column: name, ordinal, type
     (DataFrame backend only; SQL text has no schema introspection)."""

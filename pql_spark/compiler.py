@@ -56,6 +56,7 @@ from .ast_nodes import (
     NumberLit,
     Op,
     ParseOp,
+    PivotOp,
     ProjectAwayOp,
     ProjectKeepOp,
     ProjectOp,
@@ -417,6 +418,43 @@ class Compiler:
             first = list(op.names)
             rest = [c for c in df.columns if c not in set(first)]
             return df.select(*[F.col(_q(c)) for c in first + rest])
+        if isinstance(op, PivotOp):
+            pcol = op.col.parts[0]
+            if pcol not in df.columns:
+                raise ParseError(
+                    f"pivot: unknown column {pcol!r}", op.col.span
+                )
+            # group keys = every remaining column EXCEPT the aggregate's
+            # inputs (KQL pivot semantics)
+            agg_refs: set[str] = set()
+
+            def walk(node: Expr) -> None:
+                if isinstance(node, Ident) and node.simple:
+                    agg_refs.add(node.parts[0])
+                for child in getattr(node, "__dict__", {}).values():
+                    if isinstance(child, Expr):
+                        walk(child)
+                    elif isinstance(child, list):
+                        for item in child:
+                            if isinstance(item, Expr):
+                                walk(item)
+
+            if op.agg is not None:
+                walk(op.agg)
+            keys = [
+                c for c in df.columns if c != pcol and c not in agg_refs
+            ]
+            agg = (
+                self.compile_expr(op.agg, env)
+                if op.agg is not None
+                else F.count(F.lit(1))
+            )
+            # Spark infers + SORTS the distinct pivot values, so the
+            # output column order is deterministic.  groupBy().pivot()
+            # plans two-phase partial aggregation like any groupBy.
+            return df.groupBy(*[F.col(_q(k)) for k in keys]).pivot(
+                pcol
+            ).agg(agg)
         if isinstance(op, GetSchemaOp):
             rows = [
                 (f.name, i, f.dataType.simpleString())

@@ -35,6 +35,7 @@ from .ast_nodes import (
     NumberLit,
     Op,
     ParseOp,
+    PivotOp,
     ProjectAwayOp,
     ProjectKeepOp,
     ProjectOp,
@@ -1038,6 +1039,33 @@ def _op_project_reorder(p: _P, kw: Token) -> Op:
     return ProjectReorderOp(names=names, span=Span(kw.span.start, end))
 
 
+def _op_evaluate(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``evaluate pivot(PivotCol [, AggCall])`` — the KQL
+    plugin entry point; only the pivot plugin is implemented."""
+    plugin = p.expect(TokenKind.IDENT, "plugin name")
+    if plugin.value != "pivot":
+        raise ParseError(
+            f"unknown evaluate plugin {plugin.value!r} (supported: pivot)",
+            plugin.span,
+        )
+    p.expect(TokenKind.LPAREN, "'('")
+    col_tok = p.take()
+    if col_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected pivot column name", col_tok.span)
+    col = Ident(
+        parts=[col_tok.value],
+        quoted=[col_tok.kind is TokenKind.QIDENT],
+        span=col_tok.span,
+    )
+    agg = None
+    if p.match(TokenKind.COMMA):
+        agg = p.parse_expr()
+    rp = p.expect(TokenKind.RPAREN, "')'")
+    return PivotOp(
+        col=col, agg=agg, span=Span(kw.span.start, rp.span.end)
+    )
+
+
 def _op_getschema(p: _P, kw: Token) -> Op:
     """EXTENSION: ``getschema`` (KQL) — schema as rows."""
     return GetSchemaOp(span=kw.span)
@@ -1145,6 +1173,7 @@ _OPERATORS = {
     "project-reorder": _op_project_reorder,
     "getschema": _op_getschema,
     "make-series": _op_make_series,
+    "evaluate": _op_evaluate,
     "distinct": _op_distinct,
     "union": _op_union,
     "project-away": _op_project_away,

@@ -46,6 +46,7 @@ from .ast_nodes import (
     MvExpandOp,
     NumberLit,
     ParseOp,
+    PivotOp,
     ProjectAwayOp,
     ProjectKeepOp,
     ProjectOp,
@@ -405,6 +406,12 @@ class _SqlEmitter:
             raise ParseError(
                 "getschema requires schema introspection — use the "
                 "DataFrame backend",
+                op.span,
+            )
+        if isinstance(op, PivotOp):
+            raise ParseError(
+                "evaluate pivot's output schema is data-dependent — "
+                "use the DataFrame backend",
                 op.span,
             )
         if isinstance(op, SerializeOp):
@@ -908,5 +915,8 @@ def compile_to_sql(
             break  # lets after the query are skipped (pql.go:58-62)
         if isinstance(stmt, LetStatement):
             emitter.scope[stmt.name] = emitter.expr(stmt.expr)
-    sql, _ = emitter.emit_query(tabular[0])
+    try:
+        sql, _ = emitter.emit_query(tabular[0])
+    except ParseError as e:
+        raise QueryError(text, [e]) from None
     return sql

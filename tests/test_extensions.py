@@ -343,6 +343,31 @@ def test_make_series_time_axis_with_gaps(spark):
     assert by_k["b"] == [None, 9.0]
 
 
+def test_evaluate_pivot(spark):
+    t = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 5.0), (2, "a", 7.0)],
+        "k long, p string, v double",
+    )
+    eng = PqlEngine(spark, resolver={"T": t})
+    out = {
+        r.k: r
+        for r in eng.query(
+            "T | project k, p | evaluate pivot(p)"
+        ).collect()
+    }
+    assert out[1].a == 1 and out[1].b == 1
+    assert out[2].a == 2 and out[2].b is None  # empty cell → null
+    out = {
+        r.k: r
+        for r in eng.query("T | evaluate pivot(p, sum(v))").collect()
+    }
+    assert out[2].a == 12.0
+    with pytest.raises(QueryError, match="unknown evaluate plugin"):
+        eng.query("T | evaluate bag_unpack(p)")
+    with pytest.raises(QueryError, match="DataFrame backend"):
+        compile_to_sql("T | evaluate pivot(p)", {"T": ["k", "p", "v"]})
+
+
 def test_union_withsource(engine):
     out = engine.query(
         "T1 | project id | union withsource = origin T2 | sort by id asc"
