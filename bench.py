@@ -54,6 +54,9 @@ def main() -> int:
             continue
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"bench: {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        # drop any persisted state a pipeline left behind so later
+        # queries aren't timed under another query's cache pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t == t), 3)
     print(

@@ -56,7 +56,11 @@ def build_session(
         # _read_parquet casts it back to a (microsecond) timestamp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs driver + every executor thread in ONE JVM:
+        # size it for cores × concurrent task memory, not a driver's
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g")
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
