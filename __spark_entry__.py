@@ -534,6 +534,60 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM s ORDER BY event_type
         """,
     ),
+    "pql_series_fill": (
+        """
+        events
+        | where value > 250
+        | make-series v = min(value)
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend lin = series_fill_linear(v),
+                 ff = series_fill_forward(v),
+                 fc = series_fill_const(v, 0.0)
+        | project event_type, lin, ff, fc
+        | sort by event_type asc
+        """,
+        """
+        WITH g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     min(value) AS v
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01'
+                AND ts < TIMESTAMP '2024-01-31'
+                AND value > 250
+              GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, j.i, g.v
+              FROM (SELECT DISTINCT event_type FROM g) t
+              CROSS JOIN (SELECT unnest(range(0, 30)) AS i) j
+              LEFT JOIN g ON g.event_type = t.event_type AND g.i = j.i),
+        w AS (SELECT event_type, i, v,
+                last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY event_type ORDER BY i) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY i) AS pi,
+                first_value(v IGNORE NULLS) OVER
+                  (PARTITION BY event_type ORDER BY i ROWS BETWEEN
+                   CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY i ROWS BETWEEN
+                   CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+              FROM grid),
+        f AS (SELECT event_type, i,
+                CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NULL THEN nv
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + (nv - pv) * (i - pi) / (ni - pi) END AS lin,
+                coalesce(v, pv) AS ff,
+                coalesce(v, 0.0) AS fc
+              FROM w)
+        SELECT event_type,
+               list(lin ORDER BY i) AS lin,
+               list(ff ORDER BY i) AS ff,
+               list(fc ORDER BY i) AS fc
+        FROM f GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     "pql_range_source": (
         """
         range x from 1 to 1000 step 7

@@ -245,6 +245,60 @@ def compile_call(
                 ),
             ),
         )
+    if lname == "series_fill_linear":
+        # null runs interpolated between their non-null neighbors;
+        # leading/trailing runs take the nearest non-null value
+        # (all-null arrays stay all-null).  One O(n) aggregate pass —
+        # acc = (filled prefix, pending-null count, last value); the
+        # lambdas touch only acc/x/k, so there is no outer-expression
+        # re-evaluation hazard.
+        _check_argc(name, args, 1, 1, span)
+
+        def _run(pend: Column) -> Column:
+            return F.when(
+                pend > 0, F.sequence(F.lit(1), pend)
+            ).otherwise(F.array().cast("array<int>"))
+
+        def step(acc: Column, x: Column) -> Column:
+            xd = x.cast("double")
+            interp = F.transform(
+                _run(acc["pend"]),
+                # k/(pend+1) mirrors (i-pi)/(ni-pi) — keep the same
+                # *k-then-/ order as the SQL oracle for bit equality
+                lambda k: F.coalesce(
+                    acc["last"]
+                    + (xd - acc["last"]) * k / (acc["pend"] + 1),
+                    xd,  # leading run: nearest value
+                ),
+            )
+            return F.when(
+                xd.isNotNull(),
+                F.struct(
+                    F.concat(acc["out"], interp, F.array(xd)).alias("out"),
+                    F.lit(0).alias("pend"),
+                    xd.alias("last"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["out"].alias("out"),
+                    (acc["pend"] + 1).alias("pend"),
+                    acc["last"].alias("last"),
+                )
+            )
+
+        return F.aggregate(
+            args[0],
+            F.struct(
+                F.array().cast("array<double>").alias("out"),
+                F.lit(0).alias("pend"),
+                F.lit(None).cast("double").alias("last"),
+            ),
+            step,
+            lambda acc: F.concat(
+                acc["out"],
+                F.transform(_run(acc["pend"]), lambda k: acc["last"]),
+            ),
+        )
     if lname == "series_moving_avg":
         # trailing-window mean: out[i] = avg(arr[max(0, i-k+1) .. i])
         _check_argc(name, args, 2, 2, span)

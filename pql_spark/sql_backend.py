@@ -840,6 +840,30 @@ class _SqlEmitter:
                 f" concat(acc, array(coalesce(CAST(x AS DOUBLE),"
                 f" try_element_at(acc, -1)))))"
             )
+        if name == "series_fill_linear":
+            argc(1, 1)
+            a = self.expr(args[0])
+            run = (
+                "CASE WHEN {p} > 0 THEN sequence(1, {p})"
+                " ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+            return (
+                f"aggregate({a},"
+                " named_struct('out', CAST(array() AS ARRAY<DOUBLE>),"
+                " 'pend', 0, 'last', CAST(NULL AS DOUBLE)),"
+                " (acc, x) -> CASE WHEN CAST(x AS DOUBLE) IS NOT NULL THEN"
+                " named_struct('out', concat(acc.out, transform("
+                + run.format(p="acc.pend")
+                + ", k -> coalesce(acc.last + (CAST(x AS DOUBLE) - acc.last)"
+                " * k / (acc.pend + 1), CAST(x AS DOUBLE))),"
+                " array(CAST(x AS DOUBLE))), 'pend', 0,"
+                " 'last', CAST(x AS DOUBLE))"
+                " ELSE named_struct('out', acc.out, 'pend', acc.pend + 1,"
+                " 'last', acc.last) END,"
+                " acc -> concat(acc.out, transform("
+                + run.format(p="acc.pend")
+                + ", k -> acc.last)))"
+            )
         if name == "series_moving_avg":
             argc(2, 2)
             if not isinstance(args[1], NumberLit) or args[1].is_float:

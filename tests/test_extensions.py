@@ -389,6 +389,21 @@ def test_series_fill(spark):
     assert list(r.fc) == [0, 2, 0, 5]
 
 
+def test_series_fill_linear(spark):
+    eng = PqlEngine(spark, resolver={})
+    r = eng.query(
+        'datatable (k: string) ["a"]'
+        " | extend a = series_fill_linear(array(null, 2, null, null, 8, null)),"
+        " b = series_fill_linear(array(1, 4)),"
+        " c = series_fill_linear(array(null, null))"
+    ).head()
+    # leading run -> nearest value; interior run -> linear interpolation;
+    # trailing run -> nearest value
+    assert list(r.a) == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
+    assert list(r.b) == [1.0, 4.0]
+    assert list(r.c) == [None, None]
+
+
 def test_series_functions(spark):
     eng = PqlEngine(spark, resolver={})
     r = eng.query(
