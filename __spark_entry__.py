@@ -588,6 +588,24 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM f GROUP BY event_type ORDER BY event_type
         """,
     ),
+    "pql_mv_apply": (
+        """
+        orders
+        | summarize ks = sort_array(collect_list(o_orderkey)) by o_custkey
+        | mv-apply k = ks on (where k % 2 == 0
+                              | summarize n_even = count(), mx = max(k))
+        | sort by o_custkey asc
+        """,
+        """
+        WITH g AS (SELECT o_custkey,
+                          list(o_orderkey ORDER BY o_orderkey) AS ks
+                   FROM orders GROUP BY o_custkey),
+        f AS (SELECT o_custkey, ks, u.k AS k FROM g, unnest(g.ks) AS u(k)
+              WHERE k % 2 = 0)
+        SELECT o_custkey, ks, count(*) AS n_even, max(k) AS mx
+        FROM f GROUP BY o_custkey, ks ORDER BY o_custkey
+        """,
+    ),
     "pql_range_source": (
         """
         range x from 1 to 1000 step 7

@@ -206,6 +206,18 @@ class MvExpandOp(Op):
 
 
 @dataclass
+class MvApplyOp(Op):
+    """``mv-apply Name [= Expr], … on ( op | op | … )`` — expand array
+    column(s) element-wise per record (zip to the longest, null-padded),
+    run the parenthesized operator chain on each record's subtable, and
+    return the union of the per-record results (KQL mv-apply; the
+    reference parser rejects the operator)."""
+
+    cols: list[ColSpec]
+    ops: list[Op]
+
+
+@dataclass
 class SampleOp(Op):
     """``sample <rate> by <Key>`` — DETERMINISTIC hash sample (diverges
     from KQL's random ``sample`` on purpose: reproducibility is the

@@ -52,6 +52,7 @@ from .ast_nodes import (
     LetStatement,
     LookupOp,
     MakeSeriesOp,
+    MvApplyOp,
     MvExpandOp,
     NumberLit,
     Op,
@@ -343,6 +344,8 @@ class Compiler:
                     f"project-away: unknown column(s) {missing}", op.span
                 )
             return df.drop(*op.names)
+        if isinstance(op, MvApplyOp):
+            return self._mv_apply(df, op, env)
         if isinstance(op, MvExpandOp):
             # explode drops null/empty collections (KQL default)
             name = self._col_name(op.col)
@@ -648,6 +651,123 @@ class Compiler:
         if not keys:
             return df.agg(*aggs)
         return df.groupBy(*keys).agg(*aggs)
+
+    def _mv_apply(self, df: DataFrame, op: MvApplyOp, env: _Env) -> DataFrame:
+        """KQL mv-apply: expand array column(s) per record, run the inner
+        operator chain on each record's subtable, union the results.
+
+        Distributed plan: a synthetic record id + ONE explode over an
+        index sequence; a per-record ``summarize`` becomes a groupBy on
+        the id (record-constant columns carried with ``first``), and
+        per-record ``sort``+``take``/``top`` become a rank window.  No
+        driver-side iteration and no join-back — the single linear
+        lineage keeps the nondeterministic id self-consistent."""
+        from pyspark.sql import Window
+
+        ROW, IDX = "__mv_row", "__mv_idx"
+        names = [self._col_name(c) for c in op.cols]
+        arrs = [self.compile_expr(c.expr, env) for c in op.cols]
+        # expand to the longest array (KQL zip semantics, null-padded);
+        # null/empty collections drop the record (mv-expand default)
+        sizes = [F.size(a) for a in arrs]
+        n = sizes[0] if len(sizes) == 1 else F.greatest(*sizes)
+        keyed = df.select(
+            "*", F.monotonically_increasing_id().alias(ROW)
+        )
+        expl = keyed.select(
+            "*",
+            F.explode(
+                F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1)))
+            ).alias(IDX),
+        )
+        elems = {
+            name: F.try_element_at(arr, F.col(IDX) + F.lit(1)).alias(name)
+            for name, arr in zip(names, arrs)
+        }
+        order = list(df.columns)
+        for name in names:
+            if name not in order:
+                order.append(name)
+        cur = expl.select(
+            *[elems[c] if c in elems else F.col(_q(c)) for c in order],
+            F.col(ROW),
+            F.col(IDX),
+        )
+        # columns constant per record — what an inner summarize carries
+        record_cols = [c for c in order if c not in names]
+        pend_sort: list[SortTerm] | None = None
+        for iop in op.ops:
+            ienv = _Env(df=cur)
+            if isinstance(iop, (WhereOp, ExtendOp)):
+                cur = self._apply(cur, iop)
+            elif isinstance(iop, ProjectOp):
+                cols = self._compile_cols(iop.cols, ienv)
+                cur = cur.select(*cols, F.col(ROW), *(
+                    [F.col(IDX)] if IDX in cur.columns else []
+                ))
+            elif isinstance(iop, SortOp):
+                pend_sort = iop.terms
+            elif isinstance(iop, (TakeOp, TopOp)):
+                terms = [iop.term] if isinstance(iop, TopOp) else pend_sort
+                if terms:
+                    order_cols = [self._sort_col(t, ienv) for t in terms]
+                elif IDX in cur.columns:
+                    order_cols = [F.col(IDX)]  # element order
+                else:
+                    raise ParseError(
+                        "mv-apply: take after summarize needs a "
+                        "preceding sort",
+                        iop.span,
+                    )
+                w = Window.partitionBy(ROW).orderBy(*order_cols)
+                cur = (
+                    cur.withColumn("__mv_rn", F.row_number().over(w))
+                    .filter(F.col("__mv_rn") <= self._const_int(iop.count))
+                    .drop("__mv_rn")
+                )
+                pend_sort = None
+            elif isinstance(iop, SummarizeOp):
+                keys = self._compile_cols(iop.keys, ienv)
+                aggs = self._compile_cols(iop.aggs, ienv)
+                key_names = [self._col_name(s) for s in iop.keys]
+                agg_names = [self._col_name(s) for s in iop.aggs]
+                carried = [
+                    c
+                    for c in record_cols
+                    if c in cur.columns
+                    and c not in key_names
+                    and c not in agg_names
+                ]
+                firsts = [
+                    F.first(F.col(_q(c))).alias(c) for c in carried
+                ]
+                grouped = cur.groupBy(F.col(ROW), *keys).agg(
+                    *firsts, *aggs
+                ) if (firsts or aggs) else cur.select(
+                    F.col(ROW), *keys
+                ).distinct()
+                # record columns first, then keys, then aggregates
+                cur = grouped.select(
+                    *[F.col(_q(c)) for c in carried],
+                    *[F.col(_q(c)) for c in key_names],
+                    *[F.col(_q(c)) for c in agg_names],
+                    F.col(ROW),
+                )
+                record_cols = carried
+                pend_sort = None
+            else:
+                raise ParseError(
+                    "mv-apply: unsupported operator in subquery "
+                    "(use where/extend/project/sort/take/top/summarize)",
+                    iop.span,
+                )
+        if pend_sort is not None:
+            # trailing per-record sort: make it observable by ordering
+            # the union by (record, sort keys) — cheap, window-free
+            cur = cur.orderBy(
+                F.col(ROW), *[self._sort_col(t, _Env(df=cur)) for t in pend_sort]
+            )
+        return cur.drop(ROW, IDX)
 
     def _join(self, left: DataFrame, op: JoinOp) -> DataFrame:
         right = self.compile_tabular(op.right)

@@ -31,6 +31,7 @@ from .ast_nodes import (
     LetStatement,
     LookupOp,
     MakeSeriesOp,
+    MvApplyOp,
     MvExpandOp,
     NumberLit,
     Op,
@@ -863,6 +864,47 @@ def _op_mv_expand(p: _P, kw: Token) -> Op:
     return MvExpandOp(col=col, span=Span(kw.span.start, col.span.end))
 
 
+def _op_mv_apply(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``mv-apply Name [= Expr], … on ( op | op | … )`` —
+    per-record subquery over expanded array elements (KQL mv-apply).
+    Supported inner operators: where, extend, project, sort, take, top,
+    summarize."""
+    cols = [p.parse_colspec(require_expr=False)]
+    while p.match(TokenKind.COMMA):
+        cols.append(p.parse_colspec(require_expr=False))
+    if p.match_word("on") is None:
+        nxt = p.peek()
+        raise ParseError(
+            "expected 'on ( … )'", nxt.span if nxt else cols[-1].span
+        )
+    if not p.match(TokenKind.LPAREN):
+        nxt = p.peek()
+        raise ParseError(
+            "expected '(' after 'on'", nxt.span if nxt else cols[-1].span
+        )
+    inner: list[Token] = []
+    depth = 1
+    end = kw.span.end
+    while True:
+        tok = p.take()
+        if tok.kind is TokenKind.LPAREN:
+            depth += 1
+        elif tok.kind is TokenKind.RPAREN:
+            depth -= 1
+            if depth == 0:
+                end = tok.span.end
+                break
+        inner.append(tok)
+    ops: list[Op] = []
+    for seg in _split_on(inner, TokenKind.PIPE):
+        if not seg:
+            raise ParseError("empty mv-apply subquery segment", kw.span)
+        ops.append(_parse_operator(_P(seg, p.source)))
+    if not ops:
+        raise ParseError("mv-apply subquery is empty", kw.span)
+    return MvApplyOp(cols=cols, ops=ops, span=Span(kw.span.start, end))
+
+
 def _op_lookup(p: _P, kw: Token) -> Op:
     """EXTENSION: ``lookup [kind=leftouter|inner] (Dim) on K1, K2`` —
     broadcast dimension join, shared key columns appear once (KQL
@@ -1177,6 +1219,7 @@ _OPERATORS = {
     "distinct": _op_distinct,
     "union": _op_union,
     "project-away": _op_project_away,
+    "mv-apply": _op_mv_apply,
     "mv-expand": _op_mv_expand,
     "where": _op_where,
     "sort": _op_sort,

@@ -43,6 +43,7 @@ from .ast_nodes import (
     LetStatement,
     LookupOp,
     MakeSeriesOp,
+    MvApplyOp,
     MvExpandOp,
     NumberLit,
     ParseOp,
@@ -405,6 +406,12 @@ class _SqlEmitter:
         if isinstance(op, GetSchemaOp):
             raise ParseError(
                 "getschema requires schema introspection — use the "
+                "DataFrame backend",
+                op.span,
+            )
+        if isinstance(op, MvApplyOp):
+            raise ParseError(
+                "mv-apply's per-record subquery requires the "
                 "DataFrame backend",
                 op.span,
             )

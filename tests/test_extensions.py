@@ -85,6 +85,87 @@ def test_mv_expand_named(engine):
     assert sorted(map(tuple, out.collect())) == [(1, 10), (1, 20), (1, 30)]
 
 
+def test_mv_apply_filter(engine):
+    # filter-only subquery: union of the filtered subtables
+    out = engine.query(
+        "T1 | mv-apply v = arr on (where v >= 20) | project id, tag, v"
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, "a", 20), (1, "a", 30)]
+
+
+def test_mv_apply_summarize_carries_record_cols(engine):
+    out = engine.query(
+        "T1 | mv-apply v = arr on (summarize n = count(), s = sum(v))"
+    )
+    # empty/null arrays drop the record; arr (named form) is carried
+    assert out.columns == ["id", "tag", "arr", "n", "s"]
+    rows = sorted(((r.id, list(r.arr), r.n, r.s) for r in out.collect()))
+    assert rows == [(1, [10, 20], 2, 30), (1, [30], 1, 30)]
+
+
+def test_mv_apply_bare_consumes_column(engine):
+    out = engine.query(
+        "T1 | mv-apply arr on (summarize mx = max(arr))"
+    )
+    # bare form: arr holds the element in the subtable and is consumed
+    assert out.columns == ["id", "tag", "mx"]
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 20),
+        (1, "a", 30),
+    ]
+
+
+def test_mv_apply_sort_take_per_record(spark):
+    eng = PqlEngine(spark, resolver={})
+    out = eng.query(
+        'datatable (k: string) ["a", "b"]'
+        ' | extend arr = iff(k == "a", array(3, 1, 2), array(9, 7))'
+        " | mv-apply x = arr on (sort by x asc | take 2)"
+        " | project k, x"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", 1),
+        ("a", 2),
+        ("b", 7),
+        ("b", 9),
+    ]
+
+
+def test_mv_apply_top_and_extend(spark):
+    eng = PqlEngine(spark, resolver={})
+    out = eng.query(
+        'datatable (k: string) ["a"]'
+        " | extend arr = array(5, 1, 4)"
+        " | mv-apply x = arr on (extend y = x * 10 | top 1 by y asc)"
+        " | project k, x, y"
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", 1, 10)]
+
+
+def test_mv_apply_zip_pads_to_longest(spark):
+    eng = PqlEngine(spark, resolver={})
+    out = eng.query(
+        'datatable (k: string) ["a"]'
+        " | extend a1 = array(1, 2, 3), a2 = array(10, 20)"
+        " | mv-apply x = a1, y = a2 on (where x > 0)"
+        " | project x, y"
+    )
+    assert sorted(
+        ((r.x, r.y) for r in out.collect()), key=str
+    ) == [(1, 10), (2, 20), (3, None)]
+
+
+def test_mv_apply_errors(engine):
+    with pytest.raises(QueryError, match="expected 'on"):
+        engine.query("T1 | mv-apply arr")
+    with pytest.raises(QueryError, match="unsupported operator"):
+        engine.query("T1 | mv-apply arr on (distinct arr)")
+    with pytest.raises(QueryError, match="DataFrame backend"):
+        compile_to_sql(
+            "T1 | mv-apply arr on (where arr > 1)", {"T1": ["arr"]}
+        )
+
+
 def test_lookup_broadcasts_and_dedups_key(spark, engine):
     out = engine.query(
         "T1 | lookup (T2 | extend tag2 = extra) on id | sort by id asc"
