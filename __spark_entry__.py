@@ -606,6 +606,27 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM f GROUP BY o_custkey, ks ORDER BY o_custkey
         """,
     ),
+    "pql_top_nested": (
+        """
+        events
+        | top-nested 3 of event_type by n = count(),
+          top-nested 2 of user_id by m = count()
+        | sort by event_type asc, user_id asc
+        """,
+        """
+        WITH l1 AS (SELECT event_type, count(*) AS n
+                    FROM events GROUP BY 1),
+        s1 AS (SELECT * FROM l1 ORDER BY n DESC, event_type LIMIT 3),
+        l2 AS (SELECT event_type, user_id, count(*) AS m
+               FROM events GROUP BY 1, 2),
+        j AS (SELECT s1.event_type, s1.n, l2.user_id, l2.m,
+                     row_number() OVER (PARTITION BY s1.event_type
+                                        ORDER BY l2.m DESC, l2.user_id) AS rn
+              FROM s1 JOIN l2 USING (event_type))
+        SELECT event_type, n, user_id, m FROM j WHERE rn <= 2
+        ORDER BY event_type, user_id
+        """,
+    ),
     "pql_range_source": (
         """
         range x from 1 to 1000 step 7

@@ -206,6 +206,28 @@ class MvExpandOp(Op):
 
 
 @dataclass
+class TopNestedLevel:
+    """One ``top-nested [N] of Key by Agg [asc|desc]`` level."""
+
+    count: "Expr | None"  # None ⇒ keep every key value
+    key: ColSpec
+    agg: ColSpec
+    asc: bool
+    span: Span
+
+
+@dataclass
+class TopNestedOp(Op):
+    """``top-nested N1 of K1 by A1, top-nested N2 of K2 by A2, …`` —
+    hierarchical top-k: level i ranks Ki values by Ai *within* each
+    surviving combination of K1…K(i-1) (KQL top-nested; the reference
+    rejects the operator).  Ties break by key ascending so results are
+    deterministic."""
+
+    levels: list[TopNestedLevel]
+
+
+@dataclass
 class MvApplyOp(Op):
     """``mv-apply Name [= Expr], … on ( op | op | … )`` — expand array
     column(s) element-wise per record (zip to the longest, null-padded),

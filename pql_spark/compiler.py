@@ -72,6 +72,7 @@ from .ast_nodes import (
     RenderOp,
     SortOp,
     SortTerm,
+    TopNestedOp,
     Statement,
     StringLit,
     SummarizeOp,
@@ -346,6 +347,8 @@ class Compiler:
             return df.drop(*op.names)
         if isinstance(op, MvApplyOp):
             return self._mv_apply(df, op, env)
+        if isinstance(op, TopNestedOp):
+            return self._top_nested(df, op, env)
         if isinstance(op, MvExpandOp):
             # explode drops null/empty collections (KQL default)
             name = self._col_name(op.col)
@@ -651,6 +654,59 @@ class Compiler:
         if not keys:
             return df.agg(*aggs)
         return df.groupBy(*keys).agg(*aggs)
+
+    def _top_nested(self, df: DataFrame, op: TopNestedOp, env: _Env) -> DataFrame:
+        """KQL top-nested: level i ranks Ki values by aggregate Ai within
+        each surviving K1…K(i-1) combination.
+
+        Scale plan: each level is ONE shuffled groupBy over the source
+        (partial aggregation map-side), then a join against the previous
+        level's survivors — which is at most prod(N1…N(i-1)) rows, so it
+        is always broadcast.  Level 1's top-k is orderBy+limit
+        (TakeOrderedAndProject); deeper levels use a rank window over the
+        small joined frame.  Ties break by key ascending → deterministic."""
+        from pyspark.sql import Window
+
+        key_names: list[str] = []
+        out_names: list[str] = []
+        sel: DataFrame | None = None
+        for lvl in op.levels:
+            kname = self._col_name(lvl.key)
+            aname = self._col_name(lvl.agg)
+            for name in (kname, aname):
+                if name in out_names:
+                    raise ParseError(
+                        f"top-nested: duplicate output column {name!r} — "
+                        "name the key/aggregate (Name = expr)",
+                        lvl.span,
+                    )
+            kcol = self.compile_expr(lvl.key.expr, env).alias(kname)
+            acol = self.compile_expr(lvl.agg.expr, env).alias(aname)
+            prev_keys = [F.col(_q(n)) for n in key_names]
+            grouped = df.groupBy(*prev_keys, kcol).agg(acol)
+            if sel is not None:
+                grouped = grouped.join(
+                    F.broadcast(sel), on=key_names, how="inner"
+                )
+            order = [
+                F.col(_q(aname)).asc() if lvl.asc else F.col(_q(aname)).desc(),
+                F.col(_q(kname)).asc(),
+            ]
+            if lvl.count is not None:
+                n = self._const_int(lvl.count)
+                if key_names:
+                    w = Window.partitionBy(*prev_keys).orderBy(*order)
+                    grouped = (
+                        grouped.withColumn("__tn_rn", F.row_number().over(w))
+                        .filter(F.col("__tn_rn") <= n)
+                        .drop("__tn_rn")
+                    )
+                else:
+                    grouped = grouped.orderBy(*order).limit(n)
+            key_names.append(kname)
+            out_names.extend((kname, aname))
+            sel = grouped
+        return sel.select(*[F.col(_q(n)) for n in out_names])
 
     def _mv_apply(self, df: DataFrame, op: MvApplyOp, env: _Env) -> DataFrame:
         """KQL mv-apply: expand array column(s) per record, run the inner

@@ -50,6 +50,8 @@ from .ast_nodes import (
     SeriesSpec,
     SortOp,
     TopHittersOp,
+    TopNestedLevel,
+    TopNestedOp,
     UnionOp,
     SortTerm,
     Statement,
@@ -864,6 +866,53 @@ def _op_mv_expand(p: _P, kw: Token) -> Op:
     return MvExpandOp(col=col, span=Span(kw.span.start, col.span.end))
 
 
+def _op_top_nested(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``top-nested N1 of K1 by A1 [asc|desc],
+    top-nested N2 of K2 by A2, …`` — hierarchical top-k
+    (KQL top-nested).  ``top-nested of K by A`` keeps every key value."""
+    levels: list[TopNestedLevel] = []
+    end = kw.span.end
+    while True:
+        count: Expr | None = None
+        nxt = p.peek()
+        if nxt is None:
+            raise ParseError("expected 'of'", Span(end, end))
+        start = nxt.span.start
+        if not (nxt.kind is TokenKind.IDENT and nxt.value == "of"):
+            count = p.parse_expr()
+        w = p.take()
+        if w.kind is not TokenKind.IDENT or w.value != "of":
+            raise ParseError("expected 'of'", w.span)
+        key = p.parse_colspec(require_expr=False)
+        p.expect(TokenKind.BY, "'by'")
+        agg = p.parse_colspec(require_expr=False)
+        asc = False
+        d = p.match_word("asc", "desc")
+        if d is not None:
+            asc = d.value == "asc"
+        end = d.span.end if d is not None else agg.span.end
+        levels.append(
+            TopNestedLevel(
+                count=count,
+                key=key,
+                agg=agg,
+                asc=asc,
+                span=Span(start, end),
+            )
+        )
+        if not p.match(TokenKind.COMMA):
+            break
+        # each further level repeats the operator keyword
+        t = p.take()
+        if t.kind is not TokenKind.IDENT or t.value != "top":
+            raise ParseError("expected 'top-nested'", t.span)
+        p.expect(TokenKind.MINUS, "'-'")
+        t = p.take()
+        if t.kind is not TokenKind.IDENT or t.value != "nested":
+            raise ParseError("expected 'top-nested'", t.span)
+    return TopNestedOp(levels=levels, span=Span(kw.span.start, end))
+
+
 def _op_mv_apply(p: _P, kw: Token) -> Op:
     """EXTENSION: ``mv-apply Name [= Expr], … on ( op | op | … )`` —
     per-record subquery over expanded array elements (KQL mv-apply).
@@ -1220,6 +1269,7 @@ _OPERATORS = {
     "union": _op_union,
     "project-away": _op_project_away,
     "mv-apply": _op_mv_apply,
+    "top-nested": _op_top_nested,
     "mv-expand": _op_mv_expand,
     "where": _op_where,
     "sort": _op_sort,

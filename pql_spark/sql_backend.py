@@ -58,6 +58,7 @@ from .ast_nodes import (
     SearchOp,
     SerializeOp,
     TopHittersOp,
+    TopNestedOp,
     UnionOp,
     RenderOp,
     SortOp,
@@ -406,6 +407,12 @@ class _SqlEmitter:
         if isinstance(op, GetSchemaOp):
             raise ParseError(
                 "getschema requires schema introspection — use the "
+                "DataFrame backend",
+                op.span,
+            )
+        if isinstance(op, TopNestedOp):
+            raise ParseError(
+                "top-nested's level-wise rank windows require the "
                 "DataFrame backend",
                 op.span,
             )

@@ -166,6 +166,62 @@ def test_mv_apply_errors(engine):
         )
 
 
+@pytest.fixture(scope="module")
+def tn_engine(spark):
+    t = spark.createDataFrame(
+        [
+            ("a", "x", 1), ("a", "x", 1), ("a", "y", 1),
+            ("b", "x", 1), ("b", "z", 1),
+            ("c", "z", 1),
+        ],
+        "g string, u string, v int",
+    )
+    return PqlEngine(spark, resolver={"T": t})
+
+
+def test_top_nested_two_levels(tn_engine):
+    out = tn_engine.query(
+        "T | top-nested 2 of g by n = count(),"
+        "    top-nested 1 of u by m = count()"
+    )
+    assert out.columns == ["g", "n", "u", "m"]
+    rows = sorted(map(tuple, out.collect()))
+    # level 1: a (3 rows), b (2 rows); level 2: the top user per group
+    assert rows == [("a", 3, "x", 2), ("b", 2, "x", 1)]
+
+
+def test_top_nested_no_count_keeps_all(tn_engine):
+    out = tn_engine.query(
+        "T | top-nested of g by n = count(),"
+        "    top-nested 1 of u by m = count()"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [("a", 3, "x", 2), ("b", 2, "x", 1), ("c", 1, "z", 1)]
+
+
+def test_top_nested_asc_and_ties(tn_engine):
+    # asc: smallest first; b and c tie at … no — b=2, c=1; ties on u
+    # within b (x=1, z=1) break by key asc → x
+    out = tn_engine.query(
+        "T | top-nested 2 of g by n = count() asc,"
+        "    top-nested 1 of u by m = count()"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [("b", 2, "x", 1), ("c", 1, "z", 1)]
+
+
+def test_top_nested_duplicate_name_errors(tn_engine):
+    with pytest.raises(QueryError, match="duplicate output column"):
+        tn_engine.query(
+            "T | top-nested 2 of g by count(),"
+            "    top-nested 1 of u by count()"
+        )
+    with pytest.raises(QueryError, match="DataFrame backend"):
+        compile_to_sql(
+            "T | top-nested 2 of g by n = count()", {"T": ["g"]}
+        )
+
+
 def test_lookup_broadcasts_and_dedups_key(spark, engine):
     out = engine.query(
         "T1 | lookup (T2 | extend tag2 = extra) on id | sort by id asc"
