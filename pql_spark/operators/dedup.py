@@ -298,6 +298,78 @@ def minhash_signature(
     return shingled.mapInPandas(kernel, schema)
 
 
+def _bucket_pairs(buckets: DataFrame, cap: int | None) -> DataFrame:
+    """Candidate (id_a, id_b) pairs emitted map-side from bucket posting
+    lists (column ``ids``: sorted array of doc ids).
+
+    ``cap=None``: every bucket contributes all |b|·(|b|-1)/2 pairs with
+    id_a < id_b.  With a cap, oversized buckets fall back to a STAR
+    (min-id paired with each other member): O(|b|) pairs that keep the
+    cluster connected for downstream grouping without the quadratic
+    blow-up a boilerplate-heavy corpus hits at scale (one 10⁶-doc
+    bucket = 5·10¹¹ pairs materialized in a single task).  Star pairs
+    are still exact-verified by the caller, so precision is unchanged;
+    only pair-recall *inside* oversized buckets drops — cluster
+    membership does not.
+    """
+    ids = F.col("ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    emit = all_pairs
+    if cap is not None:
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids) - 1),
+            lambda y: F.struct(
+                F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        emit = F.when(F.size(ids) <= F.lit(cap), all_pairs).otherwise(star)
+    return buckets.select(F.explode(emit).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+
+
+def _verify_jaccard(
+    sh: DataFrame, cand: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs, rows-based.
+
+    |A∩B| is counted by joining the pair list back to the (id, gram)
+    rows — no shingle ARRAYS are ever shuffled, and zero-intersection
+    candidates simply never reach the aggregate (they can't pass any
+    threshold > 0).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), F.col("gram"))
+        .join(cand, "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("gram")),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -306,6 +378,7 @@ def minhash_dup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -315,9 +388,21 @@ def minhash_dup_pairs(
     id_a < id_b.
 
     Everything runs JVM-side: the ``agg`` signature impl (one groupBy),
-    a banded self-join on ~40 bytes/row, and a rows-based exact verify
-    (|A∩B| counted by joining the candidate pairs back to the shingle
-    rows — no shingle ARRAYS are ever shuffled).
+    then candidate generation as ONE shuffle — groupBy(band, bhash) on
+    ~40 bytes/row with pairs emitted map-side from each bucket's sorted
+    id list (vs. a two-sided self-join, which shuffles the banded rows
+    twice and sort-merges).  Exact verify is rows-based
+    (:func:`_verify_jaccard`).
+
+    ``max_bucket`` bounds the quadratic pair emission for oversized
+    buckets (typically exact-dup / boilerplate clusters, which a band
+    hash captures wholesale): those fall back to star pairs — see
+    :func:`_bucket_pairs`.  Default None keeps exact LSH semantics so
+    SQL oracles can mirror candidate generation verbatim.  Note the
+    per-bucket id LIST still materializes during the aggregate (8 bytes
+    per doc — fine to ~10⁷ dups per bucket); corpora beyond that should
+    run :func:`dedup_exact` first, which removes exact-dup mega-buckets
+    at the source.
     """
     rows = num_perm // bands
     df = rebalance(df)
@@ -325,7 +410,7 @@ def minhash_dup_pairs(
         df, text_col, id_col, num_perm, shingle_k,
         impl="agg", include_shingles=False,
     )
-    # band join on (id, band, bhash) ONLY — the heavy shingle arrays are
+    # band key on (id, band, bhash) ONLY — the heavy shingle arrays are
     # joined back after pair-dedup, so the candidate shuffle moves ~40
     # bytes/row instead of the full shingle sets (16× per doc)
     banded = sig.select(
@@ -348,49 +433,16 @@ def minhash_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            "inner",
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = _bucket_pairs(buckets, max_bucket).dropDuplicates(
+        ["id_a", "id_b"]
     )
     sh = shingle_rows(df, text_col, id_col, shingle_k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # |A∩B| per candidate pair by joining the pair list back to the
-    # shingle rows (cand is small → broadcast; grams co-shuffle once)
-    inter = (
-        sh.select(F.col(id_col).alias("id_a"), F.col("gram"))
-        .join(cand, "id_a")
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("gram")),
-            ["id_b", "gram"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_inter") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
-    )
-    # zero-intersection candidates never reach `inter`, but they can't
-    # pass any threshold > 0
-    return (
-        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    return _verify_jaccard(sh, cand, id_col, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -399,45 +451,43 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted index.
 
-    Explode distinct shingles → self-join on shingle (only docs sharing
-    ≥1 shingle ever meet — the inverted-index trick that bounds the join
-    away from n²) → |A∩B| by groupBy pair → Jaccard from per-doc sizes.
-    Fully SQL-expressible, so it doubles as the oracle-checkable twin of
-    the MinHash path.
+    Explode distinct shingles → group the posting list per gram → emit
+    id pairs map-side (only docs sharing ≥1 shingle ever meet — the
+    inverted-index trick that bounds the join away from n²) → |A∩B| by
+    groupBy pair → Jaccard from per-doc sizes.  ONE shuffle on gram +
+    one on the pair, vs a two-sided self-join; singleton grams
+    (typically most of the index) emit nothing.  Fully SQL-expressible,
+    so it doubles as the oracle-checkable twin of the MinHash path.
+
+    ``max_posting`` drops grams whose posting list exceeds the cap from
+    candidate generation — a pathologically hot gram (a boilerplate
+    phrase in d docs) otherwise materializes d(d-1)/2 pairs in one
+    task.  Unlike a MinHash band bucket, a hot GRAM carries no near-dup
+    signal (it's a stop-phrase), so dropping beats star-chaining here.
+    Capped mode can no longer count |A∩B| from the pair multiset, so it
+    switches to the rows-based exact verify — surviving pairs keep
+    their exact Jaccard; only pairs whose EVERY shared gram is hot are
+    missed.  Default None keeps the one-pass exact path.
     """
     df = rebalance(df)
     inv = shingle_rows(df, text_col, id_col, shingle_k)
-    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # group the posting list per gram and emit id pairs map-side: ONE
-    # shuffle on gram + one on the pair, vs a two-sided self-join; df=1
-    # grams (typically most of the index) emit nothing.  NOTE: a
-    # pathologically hot gram (posting list of d docs) materializes
-    # d(d-1)/2 pairs in one task — for corpora where a gram can exceed
-    # ~10⁴ docs, cap or drop such grams (they carry no near-dup signal).
     postings = inv.groupBy("gram").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
-    pairs = postings.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.size(F.col("ids"))
-                        ),
-                        lambda y: F.struct(
-                            x.alias("id_a"), y.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    inter = pairs.groupBy("id_a", "id_b").agg(
+    if max_posting is not None:
+        capped = postings.filter(F.size("ids").between(2, max_posting))
+        cand = _bucket_pairs(capped, None).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        return _verify_jaccard(inv, cand, id_col, threshold)
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # uncapped: each shared gram contributes exactly one pair row, so
+    # the pair multiset count IS |A∩B| — no second pass over the grams
+    inter = _bucket_pairs(postings, None).groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")

@@ -110,6 +110,75 @@ def test_minhash_dup_pairs(docs):
         assert r.id_a < r.id_b
 
 
+def test_minhash_dup_pairs_max_bucket_star(spark):
+    """A bucket of d identical docs emits d-1 star pairs under the cap
+    instead of d(d-1)/2 — and every star pair is exact-verified at
+    jaccard 1.0, keeping the dup cluster connected."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(10)]
+    rows.append((99, "completely different text about spark and scale"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dup_pairs(
+        df, num_perm=32, bands=16, shingle_k=2, threshold=0.5,
+        max_bucket=5,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # star: min id 0 paired with each of 1..9, nothing quadratic
+    assert found == {(0, i) for i in range(1, 10)}
+    assert all(r.jaccard == pytest.approx(1.0) for r in pairs)
+
+
+def test_minhash_dup_pairs_cap_not_triggered(docs):
+    """A cap larger than every bucket must reproduce exact results."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in minhash_dup_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_dup_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5,
+            max_bucket=1000,
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_ngram_jaccard_max_posting(spark):
+    """Hot grams (boilerplate shared by every doc) are dropped from
+    candidate generation, but surviving pairs keep their EXACT jaccard
+    — verified against the uncapped path."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"the quick brown fox {boiler}"),
+        (2, f"the quick brown fox today {boiler}"),
+        (3, f"unrelated spark scale text {boiler}"),
+        (4, f"another totally distinct document {boiler}"),
+        (5, f"fifth doc with its own words {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, shingle_k=2, threshold=0.3).collect()
+    }
+    # cap of 4: grams shared by all 5 docs (the boilerplate) are dropped
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, shingle_k=2, threshold=0.3, max_posting=4
+        ).collect()
+    }
+    # (1,2) share non-boilerplate grams → survives with identical jaccard
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == pytest.approx(exact[(1, 2)])
+    # every capped pair exists in exact with the same value (no false
+    # positives, no jaccard drift)
+    for k, v in capped.items():
+        assert exact[k] == pytest.approx(v)
+
+
 def test_ngram_jaccard_exact_value(docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
