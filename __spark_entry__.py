@@ -983,6 +983,22 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT 20
 """
 
+# rounding is floor(x/scale + 0.5) in BOTH engines (numpy half-even vs
+# SQL half-away makes round() non-portable); all arithmetic is IEEE
+# double, so qvec/qscale are bit-identical
+_QUANTIZE_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+s AS (SELECT vec_id, v,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS qscale
+      FROM m)
+SELECT vec_id,
+       list_transform(v, x -> floor(x / qscale + 0.5)::TINYINT) AS qvec,
+       qscale
+FROM s
+"""
+
 _KNN_ORACLE = """
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
@@ -1387,6 +1403,20 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
 
 
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_embeddings(_emb(spark, sf_dir)).select(
+        "vec_id", "qvec", "qscale"
+    )
+
+
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    # int8 prefilter + exact re-rank: equals brute-force top-k, so it
+    # shares the exact-cosine oracle
+    return S.quantized_topk(emb, qv, k=20)
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_topk(_emb(spark, sf_dir), k=3, key_col="label")
 
@@ -1692,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_simhash": _q_simhash,
             "op_embedding_dups": _q_cosine_pairs,
             "op_cosine_topk": _q_cosine_topk,
+            "op_quantize_embeddings": _q_quantize,
+            "op_quantized_topk": _q_quantized_topk,
             "op_lsh_topk": _q_lsh_topk,  # approximate — rows-only check
             "op_ivf_topk": _q_ivf_topk,  # approximate — rows-only check
             "op_knn_grouped": _q_knn,
@@ -1731,6 +1763,8 @@ def oracle_sql() -> dict[str, str]:
             "op_simhash": _simhash_oracle(),
             "op_embedding_dups": _COSINE_PAIRS_ORACLE,
             "op_cosine_topk": _TOPK_ORACLE,
+            "op_quantize_embeddings": _QUANTIZE_ORACLE,
+            "op_quantized_topk": _TOPK_ORACLE,
             "op_knn_grouped": _KNN_ORACLE,
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,

@@ -41,6 +41,8 @@ from .similarity import (
     ivf_topk,
     lsh_bucket_topk,
     pairwise_topk,
+    quantize_embeddings,
+    quantized_topk,
     train_centroids,
 )
 from .temporal import asof_join, range_join
@@ -82,6 +84,8 @@ __all__ = [
     "pack_sequences",
     "pairwise_topk",
     "quality_score",
+    "quantize_embeddings",
+    "quantized_topk",
     "range_join",
     "redact_pii",
     "repetition_stats",

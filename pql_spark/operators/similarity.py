@@ -261,6 +261,142 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _q8(x: float, scale: float) -> int:
+    """floor(x/scale + 0.5) — the shared rounding rule (see
+    :func:`quantize_embeddings`)."""
+    return int(math.floor(x / scale + 0.5))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    impl: str = "pandas",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: adds ``qvec``
+    (array<tinyint>, values in [-127, 127]) and ``qscale`` (double,
+    ``max|v| / 127``) so ``v[i] ≈ qvec[i] * qscale``.
+
+    This is the STORAGE half of the quantized search pattern: written
+    once as a compact column, the corpus scan for similarity search
+    reads 1/8th the bytes of float64 (1/4 of float32) and downstream
+    dot products run on integers.  Rounding is ``floor(x/scale + 0.5)``
+    — ties resolve identically in numpy, Catalyst, and ANSI-SQL
+    oracles, unlike round() (numpy half-even vs SQL half-away).
+
+    ``impl="pandas"`` (default): Arrow-batched numpy kernel, one
+    vectorized pass per batch.  ``impl="catalyst"``: pure-expression
+    twin kept as the bit-equality reference — note its per-element
+    lambda re-evaluates the ``max|v|`` reduction (Catalyst doesn't CSE
+    into interpreted HOF lambdas), making it O(d²) per row; don't use
+    it in the hot path.
+    """
+    if impl == "catalyst":
+        v = F.col(vec_col)
+        amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        qvec = F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        )
+        return df.withColumn("qvec", qvec).withColumn("qscale", scale)
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, ByteType, DoubleType, StructField, StructType,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            amax = np.abs(mat).max(axis=1)
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            q = np.floor(mat / scale[:, None] + 0.5).astype(np.int8)
+            pdf = pdf.copy()
+            pdf["qvec"] = list(q)
+            pdf["qscale"] = scale
+            yield pdf
+
+    # fresh StructType — StructType.add MUTATES, and df.schema returns
+    # the DataFrame's own (cached) schema object
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("qvec", ArrayType(ByteType())),
+            StructField("qscale", DoubleType()),
+        ]
+    )
+    return df.mapInPandas(kernel, schema)
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int = 4,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Top-k by cosine via int8-quantized prefilter + exact re-rank.
+
+    Stage 1 ranks the corpus by the integer-arithmetic proxy
+    ``dot_int(qvec, q) / sqrt(dot_int(qvec, qvec))`` (per-vector scales
+    and the query norm are rank-invariant constants) and keeps the best
+    ``rerank·k`` rows via ``TakeOrderedAndProject`` — per-partition
+    heap, no shuffle of the corpus.  Stage 2 computes EXACT float
+    cosine on just those candidates and returns the final top-k, so
+    output equals :func:`cosine_topk` whenever the true top-k survives
+    the (over-fetched) prefilter — with 8-bit precision and the default
+    4× over-fetch the proxy's rank error would need to exceed 3k
+    places, far beyond its ~1e-2 score error.
+
+    At scale the corpus scan touches only the int8 column (8× fewer
+    bytes than float64); pre-quantized inputs (``qvec``/``qscale``
+    already present, e.g. via :func:`quantize_embeddings` at ingest)
+    skip stage-1 quantization entirely.
+    """
+    if "qvec" not in df.columns:
+        df = quantize_embeddings(df, vec_col, impl=impl)
+    m = max((abs(x) for x in query_vec), default=0.0)
+    qs = m / 127.0 if m > 0 else 1.0
+    qq = [_q8(x, qs) for x in query_vec]
+    qlit = F.lit(qq).cast("array<long>")
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), qlit, lambda x, y: x.cast("long") * y
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    self_int = F.aggregate(
+        F.transform(
+            F.col("qvec"), lambda x: x.cast("long") * x.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # ANSI mode: guard the zero-vector division (NULL sorts last desc)
+    qscore = F.when(
+        self_int > 0,
+        dot_int.cast("double") / F.sqrt(self_int.cast("double")),
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), qscore.alias("qscore"))
+        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG → N(0,1) via
     Box-Muller) — stable across sessions, no numpy dependency."""

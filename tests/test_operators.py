@@ -290,6 +290,55 @@ def test_cosine_topk(vecs):
     assert out[0].cosine == pytest.approx(1.0)
 
 
+def test_quantize_embeddings_roundtrip(vecs):
+    from pql_spark.operators import quantize_embeddings
+
+    out = quantize_embeddings(vecs).collect()
+    for r in out:
+        assert len(r.qvec) == len(r.embedding)
+        for q, x in zip(r.qvec, r.embedding):
+            assert -127 <= q <= 127
+            # dequantized value within half a quantization step
+            assert abs(q * r.qscale - x) <= r.qscale / 2 + 1e-12
+
+
+def test_quantize_impls_agree(vecs):
+    from pql_spark.operators import quantize_embeddings
+
+    fast = {
+        r.vec_id: (list(r.qvec), round(r.qscale, 12))
+        for r in quantize_embeddings(vecs).collect()
+    }
+    ref = {
+        r.vec_id: (list(r.qvec), round(r.qscale, 12))
+        for r in quantize_embeddings(vecs, impl="catalyst").collect()
+    }
+    assert fast == ref
+
+
+def test_quantized_topk_matches_exact(vecs):
+    from pql_spark.operators import quantized_topk
+
+    exact = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in cosine_topk(vecs, [0.9, 0.1, 0.0], k=3).collect()
+    ]
+    approx = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in quantized_topk(vecs, [0.9, 0.1, 0.0], k=3, rerank=2).collect()
+    ]
+    assert approx == exact
+
+
+def test_quantized_topk_prequantized_input(vecs):
+    from pql_spark.operators import quantize_embeddings, quantized_topk
+
+    pre = quantize_embeddings(vecs)
+    out = quantized_topk(pre, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [0, 1]
+    assert out[0].cosine == pytest.approx(1.0)
+
+
 def test_lsh_bucket_topk_contains_self(vecs):
     out = lsh_bucket_topk(vecs, [1.0, 0.0, 0.0], k=3, planes=4).collect()
     assert out and out[0].vec_id == 0  # exact match always in own bucket
