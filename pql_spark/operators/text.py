@@ -280,11 +280,17 @@ def token_stats(
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Heuristic document quality: length band, punctuation ratio,
     stopword ratio, mean word length — the standard pretraining-corpus
-    filters (C4/Gopher-style rules), all as Catalyst expressions."""
+    filters (C4/Gopher-style rules), all as Catalyst expressions.
+
+    ``append=True`` keeps every input column and adds the metrics —
+    a narrow projection, so pipeline stages CHAIN instead of computing
+    (id, metric) then self-joining back (each such join is a full-table
+    shuffle at scale)."""
     text = F.col(text_col)
     toks = tokens(text)
     n_words = F.size(toks)
@@ -305,18 +311,21 @@ def quality_score(
         + F.when(stop_ratio > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(punct_ratio < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        F.col(id_col),
+    cols = [
         n_words.alias("n_words"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_word_len.alias("mean_word_len"),
         score.alias("quality"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def language_id(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Stopword-overlap language heuristic.
 
@@ -339,26 +348,31 @@ def language_id(
             F.format_string("%012.6f|%s", F.round(score, 6), F.lit(lang))
         )
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    return df.select(
-        F.col(id_col),
+    cols = [
         F.substring_index(best, "|", -1).alias("lang_pred"),
         F.split(best, r"\|")[0].cast("double").alias("lang_score"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def doc_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Deterministic content fingerprints of the normalized text:
     full-text md5 plus a head-shingle key (first 8 words) for
     prefix-duplicate detection."""
     text = F.col(text_col)
     toks = tokens(text)
-    return df.select(
-        F.col(id_col),
+    cols = [
         F.md5(_norm(text)).alias("fingerprint"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("head_key"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 # PII patterns, ordered (earlier rules run first so e.g. SSNs aren't

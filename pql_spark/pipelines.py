@@ -63,25 +63,29 @@ def curate_corpus(
     8. train/test split keyed on the CONTENT fingerprint, not the id —
        re-ingesting the same text can never land it in the other split.
     """
-    quality = quality_score(docs, text_col, id_col).select(
-        id_col, "quality"
-    )
-    lang = language_id(docs, text_col, id_col).select(id_col, "lang_pred")
-    fp = doc_fingerprint(docs, text_col, id_col).select(
-        id_col, "fingerprint"
-    )
-
-    kept = (
-        docs.join(quality, id_col)
-        .join(lang, id_col)
-        .join(fp, id_col)
-        .filter(F.col("quality") >= min_quality)
-    )
+    # quality / language / fingerprint are all narrow per-row
+    # expressions: CHAIN them as appended columns (zero shuffles) rather
+    # than computing (id, metric) tables and self-joining back — three
+    # full-table shuffles saved, and the filters still push into the
+    # single projection over the scan
+    kept = doc_fingerprint(
+        language_id(
+            quality_score(docs, text_col, id_col, append=True),
+            text_col, id_col, append=True,
+        ),
+        text_col, id_col, append=True,
+    ).drop(
+        "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
+        "lang_score", "head_key",
+    ).filter(F.col("quality") >= min_quality)
     if langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
 
     if max_dup_ngram_frac is not None:
-        rep = repetition_stats(docs, text_col, id_col).select(
+        # computed over `kept`, not `docs`: the repetition scan (explode
+        # + window, the one genuinely-shuffling stage here) only pays
+        # for rows that survived the narrow filters above
+        rep = repetition_stats(kept, text_col, id_col).select(
             id_col, "dup_ngram_frac"
         )
         kept = (
