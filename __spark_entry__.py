@@ -140,6 +140,102 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY o_orderstatus
         """,
     ),
+    # EXTENSION join flavors (reference rejects these, SURVEY §2.3):
+    # leftsemi — keep customers having a big order; left columns only
+    "pql_join_leftsemi": (
+        """
+        customer
+        | join kind=leftsemi (orders | where o_totalprice > 250000)
+            on c_custkey == o_custkey
+        | summarize n = count() by c_mktsegment
+        | sort by c_mktsegment asc
+        """,
+        """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_totalprice > 250000
+                        AND o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    ),
+    # leftanti — customers with no high-value orders
+    "pql_join_leftanti": (
+        """
+        customer
+        | join kind=leftanti (orders | where o_totalprice > 200000)
+            on c_custkey == o_custkey
+        | summarize n = count() by c_nationkey
+        | sort by c_nationkey asc
+        """,
+        """
+        SELECT c_nationkey, count(*) AS n
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_totalprice > 200000
+                            AND o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """,
+    ),
+    # rightouter — per-customer order counts, customers preserved
+    "pql_join_rightouter": (
+        """
+        orders
+        | summarize n_orders = count() by o_custkey
+        | join kind=rightouter (customer) on o_custkey == c_custkey
+        | project c_custkey, n_orders = coalesce(n_orders, 0)
+        """,
+        """
+        SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+        FROM (SELECT o_custkey, count(*) AS n_orders
+              FROM orders GROUP BY o_custkey) o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        """,
+    ),
+    # fullouter — nation-level customer/supplier counts, both preserved
+    "pql_join_fullouter": (
+        """
+        customer
+        | summarize c_n = count() by c_nationkey
+        | join kind=fullouter (
+            supplier | summarize s_n = count() by s_nationkey
+          ) on c_nationkey == s_nationkey
+        | project k = coalesce(c_nationkey, s_nationkey),
+                  c_n = coalesce(c_n, 0), s_n = coalesce(s_n, 0)
+        | sort by k asc
+        """,
+        """
+        SELECT coalesce(c_nationkey, s_nationkey) AS k,
+               coalesce(c_n, 0) AS c_n, coalesce(s_n, 0) AS s_n
+        FROM (SELECT c_nationkey, count(*) AS c_n
+              FROM customer GROUP BY c_nationkey) c
+        FULL JOIN (SELECT s_nationkey, count(*) AS s_n
+                   FROM supplier GROUP BY s_nationkey) s
+          ON c_nationkey = s_nationkey
+        ORDER BY k
+        """,
+    ),
+    # rightsemi / rightanti — right side drives, right columns out
+    "pql_join_rightsemi": (
+        """
+        orders
+        | where o_orderpriority == "1-URGENT"
+        | join kind=rightsemi (customer) on o_custkey == c_custkey
+        | summarize n = count() by c_mktsegment
+        | sort by c_mktsegment asc
+        """,
+        """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderpriority = '1-URGENT'
+                        AND o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    ),
     # TPC-H Q14-style: fact-fact join + conditional aggregation (iff)
     "pql_promo_revenue": (
         """

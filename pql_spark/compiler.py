@@ -831,7 +831,19 @@ class Compiler:
             # reference dedups the whole left relation — SELECT DISTINCT *
             # (pql.go:201-214); match the reference, not KQL
             left = left.distinct()
-        how = "left" if op.flavor == "leftouter" else "inner"
+        # extension flavors beyond the reference's three (SURVEY §2.3):
+        # semi/anti keep one side's columns only; right* swap which side
+        # drives — all map 1:1 onto Spark join types, so Catalyst still
+        # plans broadcast-hash/sort-merge equi-joins for every flavor.
+        how = {
+            "leftouter": "left",
+            "rightouter": "right",
+            "fullouter": "full",
+            "leftsemi": "semi",
+            "leftanti": "anti",
+            "rightsemi": "semi",
+            "rightanti": "anti",
+        }.get(op.flavor, "inner")
         n = self._alias_counter
         self._alias_counter += 1
         la, ra = f"__pql_l{n}", f"__pql_r{n}"
@@ -848,7 +860,12 @@ class Compiler:
         cond = conds[0] if conds else F.lit(True)  # empty ⇒ ON true
         for c in conds[1:]:
             cond = cond & c
+        if op.flavor in ("rightsemi", "rightanti"):
+            # right side drives: output is the right relation's columns
+            return right.alias(ra).join(left.alias(la), cond, how)
         joined = left.alias(la).join(right.alias(ra), cond, how)
+        if op.flavor in ("leftsemi", "leftanti"):
+            return joined  # semi/anti already project left columns only
         # output keeps both sides; duplicate right-side columns renamed to
         # $right.<col> (JoinInner golden header: State,$right.State,…)
         left_set = set(left.columns)

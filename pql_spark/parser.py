@@ -146,7 +146,20 @@ _WORD_OPS = {
 # operator aliases (parser.go:182-199)
 _OP_ALIASES = {"filter": "where", "order": "sort", "limit": "take"}
 
-_JOIN_FLAVORS = {"inner", "innerunique", "leftouter"}  # parser.go:742-746
+# reference flavors (parser.go:742-746) plus EXTENSION: the full KQL
+# flavor set the reference rejects (SURVEY §2.3) — Spark supports all of
+# them natively via the join `how=` parameter.
+_JOIN_FLAVORS = {
+    "inner", "innerunique", "leftouter",
+    "rightouter", "fullouter",
+    "leftsemi", "rightsemi", "leftanti", "rightanti",
+}
+# KQL alias spellings, normalized at parse time
+_JOIN_FLAVOR_ALIASES = {
+    "anti": "leftanti",
+    "leftantisemi": "leftanti",
+    "rightantisemi": "rightanti",
+}
 
 
 def parse(source: str) -> list[Statement]:
@@ -718,13 +731,13 @@ def _op_join(p: _P, kw: Token) -> Op:
     if p.match_word("kind"):
         p.expect(TokenKind.ASSIGN, "'='")
         f = p.expect(TokenKind.IDENT, "join flavor")
-        if f.value not in _JOIN_FLAVORS:
+        flavor = _JOIN_FLAVOR_ALIASES.get(f.value, f.value)
+        if flavor not in _JOIN_FLAVORS:
             raise ParseError(
                 f"unsupported join flavor {f.value!r} "
-                "(supported: inner, innerunique, leftouter)",
+                f"(supported: {', '.join(sorted(_JOIN_FLAVORS))})",
                 f.span,
             )
-        flavor = f.value
     p.expect(TokenKind.LPAREN, "'(' before join right side")
     # capture tokens of the nested tabular expression up to balanced ')'
     depth = 1

@@ -592,13 +592,36 @@ class _SqlEmitter:
         right_sql, right_cols = self.emit_query(op.right)
         if op.flavor == "innerunique":  # dedup whole left (pql.go:201-214)
             left_sql = f"SELECT DISTINCT * FROM ({left_sql})"
-        kind = "LEFT JOIN" if op.flavor == "leftouter" else "JOIN"
+        kind = {
+            "leftouter": "LEFT JOIN",
+            "rightouter": "RIGHT JOIN",
+            "fullouter": "FULL JOIN",
+            "leftsemi": "LEFT SEMI JOIN",
+            "leftanti": "LEFT ANTI JOIN",
+            "rightsemi": "LEFT SEMI JOIN",  # sides swapped below
+            "rightanti": "LEFT ANTI JOIN",
+        }.get(op.flavor, "JOIN")
         self.join_sides = (left_cols, right_cols)
         try:
             conds = [self.join_condition(c) for c in op.conditions]
         finally:
             self.join_sides = None
         on = " AND ".join(f"({c})" for c in conds) if conds else "TRUE"
+        if op.flavor in ("rightsemi", "rightanti"):
+            # right side drives: emit with relation order swapped; alias
+            # names keep their $left/$right meaning for the ON clause
+            sql = (
+                f"SELECT {_q('$right')}.* FROM ({right_sql}) AS"
+                f" {_q('$right')} {kind} ({left_sql}) AS {_q('$left')}"
+                f" ON {on}"
+            )
+            return sql, right_cols
+        if op.flavor in ("leftsemi", "leftanti"):
+            sql = (
+                f"SELECT {_q('$left')}.* FROM ({left_sql}) AS {_q('$left')}"
+                f" {kind} ({right_sql}) AS {_q('$right')} ON {on}"
+            )
+            return sql, left_cols
         out_items, out_names = [], []
         for c in left_cols:
             out_items.append(f"{_q('$left')}.{_q(c)} AS {_q(c)}")

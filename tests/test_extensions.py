@@ -618,3 +618,93 @@ def test_sql_backend_equivalence(spark, tables, engine, q):
     df_rows = _rows(engine.query(q))
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == df_rows, sql
+
+
+# ---------------------------------------------------------- join flavors
+
+
+@pytest.fixture(scope="module")
+def join_tables(spark):
+    left = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y2"), (3, "z")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(2, "r2"), (3, "r3"), (3, "r3b"), (4, "r4")], "k long, rv string"
+    )
+    return {"L": left, "R": right}
+
+
+@pytest.fixture(scope="module")
+def join_engine(spark, join_tables):
+    return PqlEngine(spark, resolver=join_tables)
+
+
+def test_join_leftsemi(join_engine):
+    out = join_engine.query("L | join kind=leftsemi (R) on k")
+    assert out.columns == ["k", "lv"]
+    assert _rows(out) == [(2, "y"), (2, "y2"), (3, "z")]
+
+
+def test_join_leftanti(join_engine):
+    out = join_engine.query("L | join kind=leftanti (R) on k")
+    assert out.columns == ["k", "lv"]
+    assert _rows(out) == [(1, "x")]
+
+
+def test_join_anti_alias(join_engine):
+    out = join_engine.query("L | join kind=anti (R) on k")
+    assert _rows(out) == [(1, "x")]
+
+
+def test_join_rightsemi(join_engine):
+    out = join_engine.query("L | join kind=rightsemi (R) on k")
+    assert out.columns == ["k", "rv"]
+    assert _rows(out) == [(2, "r2"), (3, "r3"), (3, "r3b")]
+
+
+def test_join_rightanti(join_engine):
+    out = join_engine.query("L | join kind=rightanti (R) on k")
+    assert _rows(out) == [(4, "r4")]
+
+
+def test_join_rightouter(join_engine):
+    out = join_engine.query("L | join kind=rightouter (R) on k")
+    assert out.columns == ["k", "lv", "$right.k", "rv"]
+    ks = sorted(r["$right.k"] for r in out.collect())
+    assert ks == [2, 2, 3, 3, 4]  # k=2 matches two left rows
+    assert any(r.k is None for r in out.collect())  # unmatched right row
+
+
+def test_join_fullouter(join_engine):
+    out = join_engine.query("L | join kind=fullouter (R) on k")
+    rows = out.collect()
+    # k=2: 2 left x 1 right = 2; k=3: 1 x 2 = 2; k=1 left-only = 1;
+    # k=4 right-only = 1  → 6 rows
+    assert len(rows) == 6
+    assert any(r.k is None for r in rows)  # right-only
+    assert any(r["$right.k"] is None for r in rows)  # left-only
+
+
+def test_join_unknown_flavor_still_rejected(join_engine):
+    with pytest.raises(QueryError, match="unsupported join flavor"):
+        join_engine.query("L | join kind=bogus (R) on k")
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "L | join kind=leftsemi (R) on k",
+        "L | join kind=leftanti (R) on k",
+        "L | join kind=rightsemi (R) on k",
+        "L | join kind=rightanti (R) on k",
+        "L | join kind=rightouter (R) on k",
+        "L | join kind=fullouter (R) on k",
+        'L | join kind=leftsemi (R | where rv != "r3") on k',
+    ],
+)
+def test_join_flavor_backend_equivalence(spark, join_tables, join_engine, q):
+    for name, df in join_tables.items():
+        df.createOrReplaceTempView(name)
+    df_rows = _rows(join_engine.query(q))
+    sql = compile_to_sql(q, lambda n: join_tables[n].columns)
+    assert _rows(spark.sql(sql)) == df_rows, sql
