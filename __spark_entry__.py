@@ -868,6 +868,99 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM w WHERE rn <= 3
         """,
     ),
+    # EXTENSION KQL string/scalar function family (SURVEY §2.6)
+    "pql_string_fns": (
+        """
+        nation
+        | project n_nationkey,
+                  a = strlen(n_name),
+                  b = substring(n_name, 0, 3),
+                  c = indexof(n_name, "A"),
+                  d = tostring(n_nationkey),
+                  e = strcat_delim("-", n_name, tostring(n_nationkey)),
+                  f = extract("^(..)", 1, n_name),
+                  g = strcmp(n_name, "JAPAN"),
+                  h = countof(n_name, "A")
+        | sort by n_nationkey asc
+        """,
+        """
+        SELECT n_nationkey,
+               length(n_name) AS a,
+               substr(n_name, 1, 3) AS b,
+               strpos(n_name, 'A') - 1 AS c,
+               CAST(n_nationkey AS VARCHAR) AS d,
+               concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS e,
+               regexp_extract(n_name, '^(..)', 1) AS f,
+               CASE WHEN n_name < 'JAPAN' THEN -1
+                    WHEN n_name > 'JAPAN' THEN 1 ELSE 0 END AS g,
+               CAST((length(n_name) - length(replace(n_name, 'A', '')))
+                    AS BIGINT) AS h
+        FROM nation ORDER BY n_nationkey
+        """,
+    ),
+    # EXTENSION KQL datetime function family
+    "pql_datetime_fns": (
+        """
+        events
+        | where event_id < 3000
+        | project event_id,
+                  d = startofday(ts),
+                  m = startofmonth(ts),
+                  w = dayofweek(ts),
+                  mo = getmonth(ts),
+                  nx = datetime_add("day", 1, ts),
+                  hrs = datetime_diff("hour", ts, startofday(ts))
+        | sort by event_id asc
+        """,
+        """
+        SELECT event_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+               CAST(dayofweek(ts) AS INT) AS w,
+               CAST(month(ts) AS INT) AS mo,
+               ts + INTERVAL 1 DAY AS nx,
+               CAST(date_diff('hour', date_trunc('day', ts), ts)
+                    AS BIGINT) AS hrs
+        FROM events WHERE event_id < 3000 ORDER BY event_id
+        """,
+    ),
+    # EXTENSION KQL aggregate family: arg_max/arg_min/make_set/stdev
+    "pql_arg_agg": (
+        """
+        orders
+        | summarize k_max = arg_max(o_totalprice, o_orderkey),
+                    k_min = arg_min(o_totalprice, o_orderkey),
+                    pr = make_set(o_orderpriority),
+                    sd = round(stdev(o_totalprice), 2)
+            by o_orderstatus
+        | sort by o_orderstatus asc
+        """,
+        """
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, o_totalprice) AS k_max,
+               arg_min(o_orderkey, o_totalprice) AS k_min,
+               list_sort(list(DISTINCT o_orderpriority)) AS pr,
+               round(stddev_samp(o_totalprice), 2) AS sd
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    ),
+    # EXTENSION case() bucketing
+    "pql_case_fn": (
+        """
+        lineitem
+        | summarize n = count()
+            by b = case(l_quantity < 10, "small",
+                        l_quantity < 30, "mid", "large")
+        | sort by b asc
+        """,
+        """
+        SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'large' END AS b,
+               count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY b
+        """,
+    ),
     # exact interpolated percentiles via passthrough (Spark `percentile`
     # == DuckDB `quantile_cont`, both linear interpolation)
     "pql_percentiles": (

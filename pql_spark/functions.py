@@ -102,6 +102,63 @@ def bin_fn(value: Column, size: Column, lit_duration: str | None,
 _RE_SPECIAL = set(".^$*+?()[]{}|\\")
 
 
+def escape_regex(text: str) -> str:
+    """Escape a literal string for embedding in a Java-regex AND
+    RE2-portable pattern (same escaping rule as the `parse` operator)."""
+    return "".join("\\" + c if c in _RE_SPECIAL else c for c in text)
+
+
+# EXTENSION (KQL scalar surface): 1:1 renames onto Spark builtins with
+# identical argument order and semantics.  Shared by both backends — the
+# DataFrame compiler calls ``F.call_function(target, …)``, the SQL
+# backend emits ``target(…)`` — so the two stay equivalent by
+# construction.  None of these shadow a reference-rewritten function.
+KQL_RENAMES: dict[str, str] = {
+    "strlen": "length",
+    "strrev": "reverse",
+    "replace_string": "replace",          # literal replace (Spark 3.5+)
+    "replace_regex": "regexp_replace",
+    "format_datetime": "date_format",
+    "unixtime_seconds_todatetime": "timestamp_seconds",
+    "unixtime_milliseconds_todatetime": "timestamp_millis",
+    "unixtime_microseconds_todatetime": "timestamp_micros",
+    "array_length": "size",               # size(NULL) ⇒ NULL, matching KQL
+    "array_concat": "concat",
+    "array_reverse": "reverse",
+    "pack_array": "array",
+    "bag_pack": "map",                    # property bag ≈ Spark map
+    "todynamic": "parse_json",            # Spark 4 VARIANT
+    "take_any": "any_value",
+    "stdev": "stddev_samp",
+    "stdevp": "stddev_pop",
+    "variancep": "var_pop",
+    "monthofyear": "month",
+    "getmonth": "month",
+    "getyear": "year",
+    "hourofday": "hour",
+}
+
+# datetime_add/datetime_diff units accepted by Spark's timestampadd/diff
+_DT_PARTS = {
+    "year", "quarter", "month", "week", "day",
+    "hour", "minute", "second", "millisecond", "microsecond",
+}
+
+
+def _lit_str(name: str, ast_args: list | None, i: int, span: Span,
+             what: str = "string literal") -> str:
+    """Require argument *i* to be a string literal; return its value."""
+    from .ast_nodes import StringLit
+
+    if ast_args is None or i >= len(ast_args) or not isinstance(
+        ast_args[i], StringLit
+    ):
+        raise ParseError(
+            f"{name}() argument {i + 1} must be a {what}", span
+        )
+    return ast_args[i].value
+
+
 def build_parse_regex(segments) -> tuple[str, list[str]]:
     """Build the extraction regex for ``parse Expr with …`` (KQL simple
     mode) from alternating literal/capture segments.
@@ -339,6 +396,230 @@ def compile_call(
     if lname == "toupper":
         _check_argc(name, args, 1, 1, span)
         return F.upper(args[0])
+    # ---- EXTENSION (KQL scalar/aggregate surface beyond the reference;
+    # README:82-85 passes unknowns to the engine — these ARE the engine
+    # functions here, all Catalyst-native, no Python UDFs).
+    if lname in KQL_RENAMES:
+        return F.call_function(KQL_RENAMES[lname], *args)
+    if lname == "substring":
+        # KQL substring(source, start[, length]) — 0-based start
+        _check_argc(name, args, 2, 3, span)
+        length = args[2] if len(args) == 3 else F.lit(2147483647)
+        return F.substring(args[0], args[1] + F.lit(1), length)
+    if lname == "split":
+        # KQL split(source, delimiter[, index]) — PLAIN-string delimiter
+        # (not regex), 0-based index selects one element
+        _check_argc(name, args, 2, 3, span)
+        delim = _lit_str(name, ast_args, 1, span)
+        parts = F.split(args[0], escape_regex(delim))
+        if len(args) == 3:
+            return F.try_element_at(parts, args[2] + F.lit(1))
+        return parts
+    if lname == "indexof":
+        # 0-based; -1 when absent (instr is 1-based, 0 when absent)
+        _check_argc(name, args, 2, 2, span)
+        return F.instr(args[0], args[1]) - F.lit(1)
+    if lname == "countof":
+        # plain-substring occurrence count
+        _check_argc(name, args, 2, 2, span)
+        s, sub = args[0], args[1]
+        return (
+            (F.length(s) - F.length(F.replace(s, sub, F.lit(""))))
+            / F.length(sub)
+        ).cast("long")
+    if lname == "extract":
+        # KQL extract(regex, captureGroup, source); no match ⇒ "" like
+        # Spark regexp_extract
+        _check_argc(name, args, 3, 3, span)
+        from .ast_nodes import NumberLit
+
+        regex = _lit_str(name, ast_args, 0, span, "regex string literal")
+        if not isinstance(ast_args[1], NumberLit) or ast_args[1].is_float:
+            raise ParseError(
+                "extract() capture group must be an integer literal", span
+            )
+        return F.regexp_extract(args[2], regex, int(ast_args[1].text))
+    if lname == "extract_all":
+        # KQL extract_all(regex, source) — all matches of capture group 1
+        # (group 0, the whole match, when the pattern has no groups)
+        _check_argc(name, args, 2, 2, span)
+        regex = _lit_str(name, ast_args, 0, span, "regex string literal")
+        group = 1 if "(" in regex.replace("(?:", "") else 0
+        return F.regexp_extract_all(args[1], F.lit(regex), F.lit(group))
+    if lname in ("trim", "trim_start", "trim_end") and len(args) == 2:
+        # KQL trim(regex, source): strip leading/trailing regex matches.
+        # 1-arg trim falls through to Spark's whitespace trim.
+        regex = _lit_str(name, ast_args, 0, span, "regex string literal")
+        pats = {
+            "trim": f"^(?:{regex})+|(?:{regex})+$",
+            "trim_start": f"^(?:{regex})+",
+            "trim_end": f"(?:{regex})+$",
+        }
+        return F.regexp_replace(args[1], pats[lname], "")
+    if lname == "strcat_delim":
+        # nulls become empty strings but KEEP their delimiter (unlike
+        # bare concat_ws, which drops null slots entirely)
+        if len(args) < 2:
+            raise ParseError(
+                "strcat_delim() takes at least 2 arguments", span
+            )
+        delim = _lit_str(name, ast_args, 0, span)
+        return F.concat_ws(
+            delim,
+            *[F.coalesce(a.cast("string"), F.lit("")) for a in args[1:]],
+        )
+    if lname == "strcmp":
+        _check_argc(name, args, 2, 2, span)
+        a, b = args
+        return (
+            F.when(a < b, F.lit(-1))
+            .when(a > b, F.lit(1))
+            .when(a == b, F.lit(0))
+        )
+    if lname == "tohex":
+        _check_argc(name, args, 1, 1, span)
+        return F.lower(F.hex(args[0]))
+    if lname == "hash":
+        # deterministic 64-bit xxhash; optional modulus (non-negative)
+        _check_argc(name, args, 1, 2, span)
+        h = F.xxhash64(args[0])
+        return F.pmod(h, args[1]) if len(args) == 2 else h
+    if lname == "base64_encode_tostring":
+        _check_argc(name, args, 1, 1, span)
+        return F.base64(args[0].cast("binary"))
+    if lname == "base64_decode_tostring":
+        _check_argc(name, args, 1, 1, span)
+        return F.unbase64(args[0]).cast("string")
+    if lname == "isempty":
+        # true for NULL or empty string (KQL)
+        _check_argc(name, args, 1, 1, span)
+        return F.coalesce(args[0].cast("string") == "", F.lit(True))
+    if lname == "isnotempty":
+        _check_argc(name, args, 1, 1, span)
+        return F.coalesce(args[0].cast("string") != "", F.lit(False))
+    if lname == "isfinite":
+        _check_argc(name, args, 1, 1, span)
+        x = args[0].cast("double")
+        return F.coalesce(
+            ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))), F.lit(False)
+        )
+    if lname == "case":
+        # case(pred1, val1, …, predN, valN, else) — conditions
+        # null-coalesced to FALSE like iff (pql.go:990-994)
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ParseError(
+                "case() takes pred1, val1, …, predN, valN, else "
+                "(an odd number of arguments, at least 3)",
+                span,
+            )
+        out = F.when(F.coalesce(args[0], F.lit(False)), args[1])
+        for i in range(2, len(args) - 1, 2):
+            out = out.when(F.coalesce(args[i], F.lit(False)), args[i + 1])
+        return out.otherwise(args[-1])
+    if lname in ("toint", "tolong", "todouble", "toreal", "tobool",
+                 "toboolean", "todatetime"):
+        _check_argc(name, args, 1, 1, span)
+        target = {
+            "toint": "int", "tolong": "long", "todouble": "double",
+            "toreal": "double", "tobool": "boolean",
+            "toboolean": "boolean", "todatetime": "timestamp",
+        }[lname]
+        return args[0].try_cast(target)  # unparseable ⇒ NULL (KQL)
+    if lname == "tostring":
+        # KQL tostring(null) == "" — coalesce after cast
+        _check_argc(name, args, 1, 1, span)
+        return F.coalesce(args[0].cast("string"), F.lit(""))
+    if lname in ("startofday", "startofmonth", "startofyear"):
+        _check_argc(name, args, 1, 1, span)
+        unit = lname.removeprefix("startof")
+        return F.date_trunc(unit, args[0])
+    if lname == "startofweek":
+        # KQL weeks start Sunday (Spark date_trunc weeks start Monday)
+        _check_argc(name, args, 1, 1, span)
+        z = F.lit(0)
+        return F.date_trunc("day", args[0]) - F.make_interval(
+            z, z, z, F.dayofweek(args[0]) - F.lit(1)
+        )
+    if lname in ("endofday", "endofmonth", "endofyear"):
+        # last representable microsecond of the period
+        _check_argc(name, args, 1, 1, span)
+        unit = lname.removeprefix("endof")
+        start = F.date_trunc(unit, args[0])
+        z = F.lit(0)
+        nxt = {
+            "day": F.make_interval(z, z, z, F.lit(1)),
+            "month": F.make_interval(z, F.lit(1)),
+            "year": F.make_interval(F.lit(1)),
+        }[unit]
+        return start + nxt - F.expr("INTERVAL 1 MICROSECOND")
+    if lname == "datetime_add":
+        _check_argc(name, args, 3, 3, span)
+        part = _lit_str(name, ast_args, 0, span, "datetime-part literal")
+        if part.lower() not in _DT_PARTS:
+            raise ParseError(f"bad datetime part {part!r}", span)
+        return F.timestamp_add(part.upper(), args[1], args[2])
+    if lname == "datetime_diff":
+        # KQL: datetime_diff(part, later, earlier) == later - earlier
+        _check_argc(name, args, 3, 3, span)
+        part = _lit_str(name, ast_args, 0, span, "datetime-part literal")
+        if part.lower() not in _DT_PARTS:
+            raise ParseError(f"bad datetime part {part!r}", span)
+        return F.timestamp_diff(part.upper(), args[2], args[1])
+    if lname == "dayofweek":
+        # KQL: integer days since Sunday (0-6); Spark dayofweek is 1-7
+        _check_argc(name, args, 1, 1, span)
+        return F.dayofweek(args[0]) - F.lit(1)
+    if lname == "array_index_of":
+        # 0-based; -1 when absent (array_position is 1-based, 0 absent)
+        _check_argc(name, args, 2, 2, span)
+        return F.array_position(args[0], args[1]) - F.lit(1)
+    if lname == "array_slice":
+        # KQL: 0-based, both ends inclusive
+        _check_argc(name, args, 3, 3, span)
+        return F.slice(
+            args[0], args[1] + F.lit(1), args[2] - args[1] + F.lit(1)
+        )
+    if lname == "array_sort_asc":
+        _check_argc(name, args, 1, 1, span)
+        return F.sort_array(args[0])
+    if lname == "array_sort_desc":
+        _check_argc(name, args, 1, 1, span)
+        return F.sort_array(args[0], asc=False)
+    if lname in ("arg_max", "arg_min"):
+        # arg_max(maximized_expr, returned_expr) — Spark max_by has the
+        # argument order reversed
+        _check_argc(name, args, 2, 2, span)
+        fn = F.max_by if lname == "arg_max" else F.min_by
+        return fn(args[1], args[0])
+    if lname in ("make_list", "make_set", "make_list_if", "make_set_if"):
+        # deterministic refinement of KQL's unspecified order: results
+        # are sorted (and deduplicated for make_set) so they are
+        # oracle-verifiable and stable across shuffles/retries
+        base = 2 if lname.endswith("_if") else 1
+        _check_argc(name, args, base, base, span)
+        x = F.when(args[1], args[0]) if lname.endswith("_if") else args[0]
+        collected = F.collect_list(x)
+        if lname.startswith("make_set"):
+            collected = F.array_distinct(collected)
+        return F.sort_array(collected)
+    if lname == "percentiles":
+        # percentiles(col, p1, …, pN) on the KQL 0-100 scale; EXACT
+        # interpolated (KQL's is approximate) ⇒ array<double>
+        if len(args) < 2:
+            raise ParseError(
+                "percentiles() takes a column and at least one "
+                "percentile", span
+            )
+        from .ast_nodes import NumberLit
+
+        for a in (ast_args or [])[1:]:
+            if not isinstance(a, NumberLit):
+                raise ParseError(
+                    "percentiles() percentile args must be numeric "
+                    "literals", span
+                )
+        ps = F.array(*[(a / F.lit(100.0)) for a in args[1:]])
+        return F.percentile(args[0], ps)
     # passthrough: resolve against Spark's builtin/UDF registry at analysis
     # time (JVM-side expression — no Python round trip)
     return F.call_function(name, *args)

@@ -72,7 +72,14 @@ from .ast_nodes import (
     UnaryExpr,
     WhereOp,
 )
-from .functions import _DURATION_UNITS, _duration_usec, build_parse_regex
+from .functions import (
+    _DT_PARTS,
+    _DURATION_UNITS,
+    _duration_usec,
+    KQL_RENAMES,
+    build_parse_regex,
+    escape_regex,
+)
 from .lexer import Span
 from .parser import ParseError, QueryError, parse
 
@@ -662,7 +669,10 @@ class _SqlEmitter:
 
     def expr(self, e: Expr, parent_prec: int = -1) -> str:
         if isinstance(e, NumberLit):
-            return e.text
+            # float literals get the D suffix so Spark SQL types them
+            # DOUBLE like the DataFrame backend's F.lit(float), not
+            # DECIMAL (matters for strictly-typed fns: array_position…)
+            return f"{e.text}D" if e.is_float else e.text
         if isinstance(e, StringLit):
             return _qs(e.value)
         if isinstance(e, Ident):
@@ -943,6 +953,251 @@ class _SqlEmitter:
                 f"(floor({self.expr(args[0], 4)} / {self.expr(args[1], 5)})"
                 f" * {self.expr(args[1], 5)})"
             )
+        # ---- EXTENSION (KQL scalar/aggregate surface) — text twins of
+        # the DataFrame compiler's rewrites in functions.compile_call;
+        # kept in the same order for side-by-side review.
+        if name in KQL_RENAMES:
+            target = KQL_RENAMES[name]
+            return f"{target}({', '.join(self.expr(a) for a in args)})"
+
+        def lit_str(i: int, what: str = "string literal") -> str:
+            if i >= len(args) or not isinstance(args[i], StringLit):
+                raise ParseError(
+                    f"{e.func}() argument {i + 1} must be a {what}",
+                    e.span,
+                )
+            return args[i].value
+
+        if name == "substring":
+            argc(2, 3)
+            length = self.expr(args[2]) if len(args) == 3 else "2147483647"
+            return (
+                f"substring({self.expr(args[0])},"
+                f" ({self.expr(args[1])}) + 1, {length})"
+            )
+        if name == "split":
+            argc(2, 3)
+            delim = _qs(escape_regex(lit_str(1)))
+            parts = f"split({self.expr(args[0])}, {delim})"
+            if len(args) == 3:
+                return (
+                    f"try_element_at({parts}, ({self.expr(args[2])}) + 1)"
+                )
+            return parts
+        if name == "indexof":
+            argc(2, 2)
+            return (
+                f"(instr({self.expr(args[0])}, {self.expr(args[1])}) - 1)"
+            )
+        if name == "countof":
+            argc(2, 2)
+            s, sub = self.expr(args[0]), self.expr(args[1])
+            return (
+                f"CAST((length({s}) - length(replace({s}, {sub}, '')))"
+                f" / length({sub}) AS BIGINT)"
+            )
+        if name == "extract":
+            argc(3, 3)
+            regex = lit_str(0, "regex string literal")
+            if not isinstance(args[1], NumberLit) or args[1].is_float:
+                raise ParseError(
+                    "extract() capture group must be an integer literal",
+                    e.span,
+                )
+            return (
+                f"regexp_extract({self.expr(args[2])},"
+                f" {_qs(regex)}, {int(args[1].text)})"
+            )
+        if name == "extract_all":
+            argc(2, 2)
+            regex = lit_str(0, "regex string literal")
+            group = 1 if "(" in regex.replace("(?:", "") else 0
+            return (
+                f"regexp_extract_all({self.expr(args[1])},"
+                f" {_qs(regex)}, {group})"
+            )
+        if name in ("trim", "trim_start", "trim_end") and len(args) == 2:
+            regex = lit_str(0, "regex string literal")
+            pats = {
+                "trim": f"^(?:{regex})+|(?:{regex})+$",
+                "trim_start": f"^(?:{regex})+",
+                "trim_end": f"(?:{regex})+$",
+            }
+            return (
+                f"regexp_replace({self.expr(args[1])},"
+                f" {_qs(pats[name])}, '')"
+            )
+        if name == "strcat_delim":
+            if len(args) < 2:
+                raise ParseError(
+                    "strcat_delim() takes at least 2 arguments", e.span
+                )
+            delim = _qs(lit_str(0))
+            items = ", ".join(
+                f"coalesce(CAST({self.expr(a)} AS STRING), '')"
+                for a in args[1:]
+            )
+            return f"concat_ws({delim}, {items})"
+        if name == "strcmp":
+            argc(2, 2)
+            a, b = self.expr(args[0]), self.expr(args[1])
+            return (
+                f"CASE WHEN {a} < {b} THEN -1 WHEN {a} > {b} THEN 1"
+                f" WHEN {a} = {b} THEN 0 END"
+            )
+        if name == "tohex":
+            argc(1, 1)
+            return f"lower(hex({self.expr(args[0])}))"
+        if name == "hash":
+            argc(1, 2)
+            h = f"xxhash64({self.expr(args[0])})"
+            if len(args) == 2:
+                return f"pmod({h}, {self.expr(args[1])})"
+            return h
+        if name == "base64_encode_tostring":
+            argc(1, 1)
+            return f"base64(CAST({self.expr(args[0])} AS BINARY))"
+        if name == "base64_decode_tostring":
+            argc(1, 1)
+            return f"CAST(unbase64({self.expr(args[0])}) AS STRING)"
+        if name == "isempty":
+            argc(1, 1)
+            return (
+                f"coalesce(CAST({self.expr(args[0])} AS STRING) = '',"
+                " TRUE)"
+            )
+        if name == "isnotempty":
+            argc(1, 1)
+            return (
+                f"coalesce(CAST({self.expr(args[0])} AS STRING) <> '',"
+                " FALSE)"
+            )
+        if name == "isfinite":
+            argc(1, 1)
+            x = f"CAST({self.expr(args[0])} AS DOUBLE)"
+            return (
+                f"coalesce(NOT isnan({x}) AND abs({x}) <"
+                " CAST('Infinity' AS DOUBLE), FALSE)"
+            )
+        if name == "case":
+            if len(args) < 3 or len(args) % 2 == 0:
+                raise ParseError(
+                    "case() takes pred1, val1, …, predN, valN, else "
+                    "(an odd number of arguments, at least 3)",
+                    e.span,
+                )
+            whens = " ".join(
+                f"WHEN coalesce({self.expr(args[i])}, FALSE)"
+                f" THEN {self.expr(args[i + 1])}"
+                for i in range(0, len(args) - 1, 2)
+            )
+            return f"CASE {whens} ELSE {self.expr(args[-1])} END"
+        if name in ("toint", "tolong", "todouble", "toreal", "tobool",
+                    "toboolean", "todatetime"):
+            argc(1, 1)
+            target = {
+                "toint": "INT", "tolong": "BIGINT", "todouble": "DOUBLE",
+                "toreal": "DOUBLE", "tobool": "BOOLEAN",
+                "toboolean": "BOOLEAN", "todatetime": "TIMESTAMP",
+            }[name]
+            return f"TRY_CAST({self.expr(args[0])} AS {target})"
+        if name == "tostring":
+            argc(1, 1)
+            return f"coalesce(CAST({self.expr(args[0])} AS STRING), '')"
+        if name in ("startofday", "startofmonth", "startofyear"):
+            argc(1, 1)
+            unit = name.removeprefix("startof").upper()
+            return f"date_trunc('{unit}', {self.expr(args[0])})"
+        if name == "startofweek":
+            argc(1, 1)
+            x = self.expr(args[0])
+            return (
+                f"(date_trunc('DAY', {x}) - make_interval(0, 0, 0,"
+                f" dayofweek({x}) - 1, 0, 0, 0))"
+            )
+        if name in ("endofday", "endofmonth", "endofyear"):
+            argc(1, 1)
+            unit = name.removeprefix("endof")
+            x = self.expr(args[0])
+            nxt = {
+                "day": "make_interval(0, 0, 0, 1, 0, 0, 0)",
+                "month": "make_interval(0, 1, 0, 0, 0, 0, 0)",
+                "year": "make_interval(1, 0, 0, 0, 0, 0, 0)",
+            }[unit]
+            return (
+                f"(date_trunc('{unit.upper()}', {x}) + {nxt}"
+                " - INTERVAL 1 MICROSECOND)"
+            )
+        if name in ("datetime_add", "datetime_diff"):
+            argc(3, 3)
+            part = lit_str(0, "datetime-part literal")
+            if part.lower() not in _DT_PARTS:
+                raise ParseError(f"bad datetime part {part!r}", e.span)
+            if name == "datetime_add":
+                return (
+                    f"timestampadd({part.upper()}, {self.expr(args[1])},"
+                    f" {self.expr(args[2])})"
+                )
+            return (
+                f"timestampdiff({part.upper()}, {self.expr(args[2])},"
+                f" {self.expr(args[1])})"
+            )
+        if name == "dayofweek":
+            argc(1, 1)
+            return f"(dayofweek({self.expr(args[0])}) - 1)"
+        if name == "array_index_of":
+            argc(2, 2)
+            return (
+                f"(array_position({self.expr(args[0])},"
+                f" {self.expr(args[1])}) - 1)"
+            )
+        if name == "array_slice":
+            argc(3, 3)
+            a = self.expr(args[0])
+            lo, hi = self.expr(args[1]), self.expr(args[2])
+            return f"slice({a}, ({lo}) + 1, ({hi}) - ({lo}) + 1)"
+        if name == "array_sort_asc":
+            argc(1, 1)
+            return f"sort_array({self.expr(args[0])})"
+        if name == "array_sort_desc":
+            argc(1, 1)
+            return f"sort_array({self.expr(args[0])}, false)"
+        if name in ("arg_max", "arg_min"):
+            argc(2, 2)
+            fn = "max_by" if name == "arg_max" else "min_by"
+            return (
+                f"{fn}({self.expr(args[1])}, {self.expr(args[0])})"
+            )
+        if name in ("make_list", "make_set", "make_list_if",
+                    "make_set_if"):
+            base = 2 if name.endswith("_if") else 1
+            argc(base, base)
+            x = (
+                f"CASE WHEN {self.expr(args[1])} THEN"
+                f" {self.expr(args[0])} END"
+                if name.endswith("_if")
+                else self.expr(args[0])
+            )
+            collected = f"collect_list({x})"
+            if name.startswith("make_set"):
+                collected = f"array_distinct({collected})"
+            return f"sort_array({collected})"
+        if name == "percentiles":
+            if len(args) < 2:
+                raise ParseError(
+                    "percentiles() takes a column and at least one "
+                    "percentile", e.span,
+                )
+            for a in args[1:]:
+                if not isinstance(a, NumberLit):
+                    raise ParseError(
+                        "percentiles() percentile args must be numeric "
+                        "literals", e.span,
+                    )
+            ps = ", ".join(
+                f"{self.expr(a)} / 100.0D" for a in args[1:]
+            )
+            return f"percentile({self.expr(args[0])}, array({ps}))"
         # passthrough (pql.go:770-787)
         return f"{e.func}({', '.join(self.expr(a) for a in args)})"
 

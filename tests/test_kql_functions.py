@@ -1,0 +1,251 @@
+"""EXTENSION KQL scalar/aggregate functions (SURVEY §2.6 beyond the
+reference's 11 rewritten functions): string, conversion, datetime,
+array, and aggregate families — DataFrame-backend semantics plus
+DataFrame↔SQL-backend equivalence.  All Catalyst-native (no UDFs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = spark.createDataFrame(
+        [
+            (1, "Hello World", "2024-03-15 13:45:30", [3.0, 1.0, 2.0], 10.0),
+            (2, "  pad  ", "2024-01-01 00:00:00", [5.0, 4.0], 20.0),
+            (3, None, "2023-12-31 23:59:59", [], None),
+            (4, "a,b,c,b", "2024-06-09 06:00:00", None, 40.0),
+        ],
+        "id long, s string, ts_str string, arr array<double>, v double",
+    ).selectExpr(
+        "id", "s", "ts_str", "CAST(ts_str AS TIMESTAMP) AS ts", "arr", "v"
+    )
+    return {"T": t}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tables):
+    return PqlEngine(spark, resolver=tables)
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+def _one(engine, expr):
+    return engine.query(f"T | where id == 1 | project x = {expr}").head().x
+
+
+def test_string_functions(engine):
+    assert _one(engine, "strlen(s)") == 11
+    assert _one(engine, "strrev(s)") == "dlroW olleH"
+    assert _one(engine, 'substring(s, 6)') == "World"
+    assert _one(engine, "substring(s, 0, 5)") == "Hello"
+    assert _one(engine, 'split(s, " ")') == ["Hello", "World"]
+    assert _one(engine, 'split(s, " ", 1)') == "World"
+    assert _one(engine, 'indexof(s, "World")') == 6
+    assert _one(engine, 'indexof(s, "zzz")') == -1
+    assert _one(engine, 'countof(s, "l")') == 3
+    assert _one(engine, 'replace_string(s, "World", "there")') == (
+        "Hello there"
+    )
+    assert _one(engine, 'replace_regex(s, "[aeiou]", "_")') == "H_ll_ W_rld"
+    assert _one(engine, r'extract("(\\w+)$", 1, s)') == "World"
+    assert _one(engine, r'extract_all("(l+)", s)') == ["ll", "l"]
+    assert _one(engine, 'trim("[Hd]", s)') == "ello Worl"
+    assert _one(engine, 'trim_start("He", s)') == "llo World"
+    assert _one(engine, 'trim_end("ld", s)') == "Hello Wor"
+    assert _one(engine, 'strcat_delim("-", "a", "b", "c")') == "a-b-c"
+    assert _one(engine, 'strcmp("a", "b")') == -1
+    assert _one(engine, 'strcmp("b", "a")') == 1
+    assert _one(engine, 'strcmp("a", "a")') == 0
+    assert _one(engine, "tohex(255)") == "ff"
+    assert _one(engine, 'base64_encode_tostring("hi")') == "aGk="
+    assert _one(engine, 'base64_decode_tostring("aGk=")') == "hi"
+
+
+def test_strcat_delim_null_keeps_slot(engine):
+    # null → empty string but the delimiter stays (unlike raw concat_ws)
+    out = engine.query(
+        'T | where id == 3 | project x = strcat_delim("-", "a", s, "b")'
+    )
+    assert out.head().x == "a--b"
+
+
+def test_empty_and_finite_predicates(engine):
+    rows = engine.query(
+        "T | project id, e = isempty(s), ne = isnotempty(s)"
+    ).collect()
+    by_id = {r.id: (r.e, r.ne) for r in rows}
+    assert by_id[1] == (False, True)
+    assert by_id[3] == (True, False)  # NULL is empty
+    assert _one(engine, "isfinite(1.5)") is True
+    assert _one(engine, "isfinite(1.0 / 0.0)") is False
+    assert _one(engine, "isfinite(v - v)") is True
+
+
+def test_conversions(engine):
+    assert _one(engine, 'toint("42")') == 42
+    assert _one(engine, 'toint("x")') is None  # unparseable ⇒ NULL
+    assert _one(engine, 'tolong("9999999999")') == 9999999999
+    assert _one(engine, 'todouble("2.5")') == 2.5
+    assert _one(engine, 'tobool("true")') is True
+    assert _one(engine, "tostring(42)") == "42"
+    assert _one(engine, 'todatetime("2024-01-02 03:04:05")') == dt.datetime(
+        2024, 1, 2, 3, 4, 5
+    )
+
+
+def test_tostring_null_is_empty(engine):
+    out = engine.query("T | where id == 3 | project x = tostring(s)")
+    assert out.head().x == ""
+
+
+def test_case_function(engine):
+    out = engine.query(
+        "T | project id, c = case(v < 15, \"low\", v < 30, \"mid\","
+        ' "high")'
+    )
+    by_id = {r.id: r.c for r in out.collect()}
+    # id=3 has v NULL: both conditions null→FALSE ⇒ else branch
+    assert by_id == {1: "low", 2: "mid", 3: "high", 4: "high"}
+
+
+def test_case_arity_errors(engine):
+    with pytest.raises(QueryError, match="odd number"):
+        engine.query("T | project c = case(v < 15, 1)")
+
+
+def test_datetime_functions(engine):
+    assert _one(engine, "startofday(ts)") == dt.datetime(2024, 3, 15)
+    assert _one(engine, "startofmonth(ts)") == dt.datetime(2024, 3, 1)
+    assert _one(engine, "startofyear(ts)") == dt.datetime(2024, 1, 1)
+    # 2024-03-15 is a Friday; week starts Sunday 2024-03-10 (KQL)
+    assert _one(engine, "startofweek(ts)") == dt.datetime(2024, 3, 10)
+    assert _one(engine, "endofday(ts)") == dt.datetime(
+        2024, 3, 15, 23, 59, 59, 999999
+    )
+    assert _one(engine, "endofmonth(ts)") == dt.datetime(
+        2024, 3, 31, 23, 59, 59, 999999
+    )
+    assert _one(engine, 'datetime_add("day", 10, ts)') == dt.datetime(
+        2024, 3, 25, 13, 45, 30
+    )
+    assert (
+        _one(engine, 'datetime_diff("hour", ts, startofday(ts))') == 13
+    )
+    assert _one(engine, "dayofweek(ts)") == 5  # Friday, 0=Sunday
+    assert _one(engine, "getyear(ts)") == 2024
+    assert _one(engine, "getmonth(ts)") == 3
+    assert _one(engine, "hourofday(ts)") == 13
+    assert _one(engine, 'format_datetime(ts, "yyyy/MM/dd")') == (
+        "2024/03/15"
+    )
+    assert _one(engine, "unixtime_seconds_todatetime(86400)") == (
+        dt.datetime(1970, 1, 2)
+    )
+
+
+def test_array_functions(engine):
+    assert _one(engine, "array_length(arr)") == 3
+    assert _one(engine, "array_sort_asc(arr)") == [1.0, 2.0, 3.0]
+    assert _one(engine, "array_sort_desc(arr)") == [3.0, 2.0, 1.0]
+    assert _one(engine, "array_index_of(arr, 1.0)") == 1
+    assert _one(engine, "array_index_of(arr, 9.0)") == -1
+    assert _one(engine, "array_slice(arr, 0, 1)") == [3.0, 1.0]
+    assert _one(engine, "array_concat(arr, pack_array(9.0))") == [
+        3.0, 1.0, 2.0, 9.0,
+    ]
+    assert _one(engine, "array_reverse(arr)") == [2.0, 1.0, 3.0]
+    # NULL array ⇒ NULL length (KQL), not -1
+    out = engine.query("T | where id == 4 | project x = array_length(arr)")
+    assert out.head().x is None
+
+
+def test_hash_function(engine):
+    h1 = _one(engine, "hash(s)")
+    assert isinstance(h1, int)
+    assert _one(engine, "hash(s, 100)") == h1 % 100 if h1 >= 0 else True
+    m = _one(engine, "hash(s, 100)")
+    assert 0 <= m < 100
+
+
+def test_aggregates(engine):
+    row = engine.query(
+        "T | summarize mx = arg_max(v, id), mn = arg_min(v, id),"
+        " lst = make_list(v), st = make_set(s),"
+        " lo = make_list_if(id, v >= 20), p = percentiles(v, 50, 100),"
+        " sd = round(stdev(v), 4), av = take_any(v)"
+    ).head()
+    assert row.mx == 4 and row.mn == 1
+    assert row.lst == [10.0, 20.0, 40.0]  # sorted, nulls dropped
+    assert row.lo == [2, 4]
+    assert row.p == [20.0, 40.0]
+    assert row.sd == round(15.275252316519467, 4)
+    assert row.av in (10.0, 20.0, 40.0)
+
+
+def test_argc_errors(engine):
+    # (renames like strlen() defer arity errors to Spark analysis, the
+    # same engine-deferred policy the reference uses for passthroughs)
+    for q, msg in [
+        ("T | project x = substring(s)", "argument"),
+        ('T | project x = datetime_add("eon", 1, ts)', "datetime part"),
+        ("T | project x = percentiles(v)", "at least one"),
+        ('T | project x = split(s, id)', "string literal"),
+    ]:
+        with pytest.raises(QueryError):
+            engine.query(q)
+
+
+EQUIV_QUERIES = [
+    'T | project id, a = strlen(s), b = substring(s, 1, 4),'
+    ' c = indexof(s, "l"), d = countof(s, "l")',
+    'T | project id, a = split(s, " "), b = split(s, " ", 0)',
+    'T | project id, a = replace_string(s, "l", "L"),'
+    r' b = extract("(\\w+)", 1, s), c = extract_all("(l+)", s)',
+    'T | project id, a = trim("[ ]", s), b = trim_start("[ ]", s),'
+    ' c = trim_end("[ ]", s)',
+    'T | project id, a = strcat_delim(",", s, "z", tostring(id))',
+    'T | project id, a = strcmp(s, "Hello"), b = tohex(id),'
+    " c = hash(s), d = hash(s, 7)",
+    "T | project id, a = base64_encode_tostring(s),"
+    " b = base64_decode_tostring(base64_encode_tostring(s))",
+    "T | project id, a = isempty(s), b = isnotempty(s),"
+    " c = isfinite(v), d = tostring(v)",
+    "T | project id, a = toint(ts_str), b = todouble(v),"
+    " c = todatetime(ts_str)",
+    'T | project id, c = case(v < 15, "low", v < 30, "mid", "high")',
+    "T | project id, a = startofday(ts), b = startofweek(ts),"
+    " c = startofmonth(ts), d = startofyear(ts)",
+    "T | project id, a = endofday(ts), b = endofmonth(ts),"
+    " c = endofyear(ts)",
+    'T | project id, a = datetime_add("hour", 3, ts),'
+    ' b = datetime_diff("day", ts, startofyear(ts)), c = dayofweek(ts)',
+    'T | project id, a = format_datetime(ts, "yyyy-MM-dd HH"),'
+    " b = getyear(ts), c = getmonth(ts), d = hourofday(ts)",
+    "T | project id, a = array_length(arr), b = array_sort_asc(arr),"
+    " c = array_sort_desc(arr), d = array_index_of(arr, 2.0)",
+    "T | project id, a = array_slice(arr, 0, 1),"
+    " b = array_concat(arr, pack_array(7.0)), c = array_reverse(arr)",
+    "T | summarize mx = arg_max(v, id), mn = arg_min(v, s),"
+    " lst = make_list(v), st = make_set(v)",
+    "T | summarize a = make_set_if(s, v > 10),"
+    " b = make_list_if(id, isnotnull(s))",
+    "T | summarize p = percentiles(v, 25, 50, 75), sd = stdev(v),"
+    " sp = stdevp(v), vp = variancep(v) by b = id % 2",
+]
+
+
+@pytest.mark.parametrize("q", EQUIV_QUERIES)
+def test_sql_backend_equivalence(spark, tables, engine, q):
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    df_rows = _rows(engine.query(q))
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == df_rows, sql
