@@ -199,10 +199,18 @@ class ProjectAwayOp(Op):
 
 @dataclass
 class MvExpandOp(Op):
-    """``mv-expand Col`` (explode in place) or ``mv-expand name = expr``
-    (append exploded column)."""
+    """``mv-expand Col[, Col2, …]`` (explode in place) or
+    ``mv-expand name = expr`` (append exploded column).
 
-    col: ColSpec
+    Multiple columns follow KQL zip semantics: all arrays expand in
+    lock-step to the longest one, null-padded (not a cross product).
+    """
+
+    cols: list[ColSpec]
+
+    @property
+    def col(self) -> ColSpec:  # single-column convenience accessor
+        return self.cols[0]
 
 
 @dataclass

@@ -197,20 +197,17 @@ class Compiler:
             )
         if not src.schema:  # print: one empty row to project over
             return spark.range(1).select()
-        from .parser import _DATATABLE_TYPES
+        # emit a VALUES SQL literal and let Catalyst build a
+        # LocalRelation: `createDataFrame(rows)` would round-trip
+        # through a Python RDD (`applySchemaToPythonRDD`) — a real
+        # distributed scan with Python-worker startup on every run —
+        # while a LocalRelation constant-folds, prunes, and feeds
+        # broadcast joins for free
+        from .sql_backend import _SqlEmitter
 
-        ncols = len(src.schema)
-        rows = [
-            tuple(
-                self._py_literal(v, src.schema[i % ncols][1])
-                for i, v in enumerate(src.values[r : r + ncols])
-            )
-            for r in range(0, len(src.values), ncols)
-        ]
-        schema = ", ".join(
-            f"`{name}` {_DATATABLE_TYPES[ty]}" for name, ty in src.schema
-        )
-        return spark.createDataFrame(rows, schema)
+        emitter = _SqlEmitter(self.source, lambda name: [], {})
+        sql, _ = emitter.emit_datatable(src)
+        return spark.sql(sql)
 
     def _range_source(self, src: RangeSource) -> DataFrame:
         """``range x from a to b step s`` → ``spark.range`` — a
@@ -350,6 +347,8 @@ class Compiler:
         if isinstance(op, TopNestedOp):
             return self._top_nested(df, op, env)
         if isinstance(op, MvExpandOp):
+            if len(op.cols) > 1:
+                return self._mv_expand_zip(df, op, env)
             # explode drops null/empty collections (KQL default)
             name = self._col_name(op.col)
             exploded = F.explode(self.compile_expr(op.col.expr, env))
@@ -707,6 +706,38 @@ class Compiler:
             out_names.extend((kname, aname))
             sel = grouped
         return sel.select(*[F.col(_q(n)) for n in out_names])
+
+    def _mv_expand_zip(
+        self, df: DataFrame, op: MvExpandOp, env: _Env
+    ) -> DataFrame:
+        """Multi-column mv-expand: one explode over an index sequence,
+        then ``try_element_at`` per array — zip-to-longest with null
+        padding, exactly one pass, no cross product.  Rows whose arrays
+        are all null/empty are dropped (KQL mv-expand default)."""
+        IDX = "__mvx_idx"
+        names = [self._col_name(c) for c in op.cols]
+        arrs = [self.compile_expr(c.expr, env) for c in op.cols]
+        sizes = [F.size(a) for a in arrs]
+        n = sizes[0] if len(sizes) == 1 else F.greatest(*sizes)
+        # guard: sequence(0, -1) would count DOWN; null sequence → explode
+        # drops the record instead
+        expl = df.select(
+            "*",
+            F.explode(
+                F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1)))
+            ).alias(IDX),
+        )
+        elems = {
+            name: F.try_element_at(arr, F.col(IDX) + F.lit(1)).alias(name)
+            for name, arr in zip(names, arrs)
+        }
+        order = list(df.columns)
+        for name in names:
+            if name not in order:
+                order.append(name)
+        return expl.select(
+            *[elems[c] if c in elems else F.col(_q(c)) for c in order]
+        )
 
     def _mv_apply(self, df: DataFrame, op: MvApplyOp, env: _Env) -> DataFrame:
         """KQL mv-apply: expand array column(s) per record, run the inner

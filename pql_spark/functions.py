@@ -456,6 +456,11 @@ def compile_call(
             "trim_end": f"(?:{regex})+$",
         }
         return F.regexp_replace(args[1], pats[lname], "")
+    if lname == "strcat_array":
+        # KQL strcat_array(arr, delim) — join array elements to a string
+        _check_argc(name, args, 2, 2, span)
+        delim = _lit_str(name, ast_args, 1, span)
+        return F.concat_ws(delim, args[0].cast("array<string>"))
     if lname == "strcat_delim":
         # nulls become empty strings but KEEP their delimiter (unlike
         # bare concat_ws, which drops null slots entirely)

@@ -873,10 +873,13 @@ def _op_project_away(p: _P, kw: Token) -> Op:
 
 
 def _op_mv_expand(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``mv-expand Col`` | ``mv-expand name = expr`` —
-    explode an array/map column to rows (KQL mv-expand)."""
-    col = p.parse_colspec(require_expr=False)
-    return MvExpandOp(col=col, span=Span(kw.span.start, col.span.end))
+    """EXTENSION: ``mv-expand Col[, Col2, …]`` | ``mv-expand name = expr``
+    — explode array/map column(s) to rows (KQL mv-expand; multiple
+    columns zip to the longest array, null-padded)."""
+    cols = [p.parse_colspec(require_expr=False)]
+    while p.match(TokenKind.COMMA):
+        cols.append(p.parse_colspec(require_expr=False))
+    return MvExpandOp(cols=cols, span=Span(kw.span.start, cols[-1].span.end))
 
 
 def _op_top_nested(p: _P, kw: Token) -> Op:

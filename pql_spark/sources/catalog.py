@@ -55,6 +55,10 @@ def build_session(
         # parquet TIMESTAMP(NANOS) (unsupported by Spark) reads as long;
         # _read_parquet casts it back to a (microsecond) timestamp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without tz otherwise read as TIMESTAMP_NTZ,
+        # which unix_micros/window/watermark reject; with a UTC session
+        # the LTZ reading is value-identical to the naive oracle's
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode runs driver + every executor thread in ONE JVM:
         # size it for cores × concurrent task memory, not a driver's
@@ -84,6 +88,35 @@ def _nanos_ts_columns(path: Path) -> list[str]:
     ]
 
 
+def _force_utc_ltz(spark: SparkSession) -> None:
+    """Make parquet timestamps land as TIMESTAMP (LTZ) under a UTC
+    session, regardless of who built the session.
+
+    The driver hands us its own SparkSession; Spark 4 defaults
+    ``inferTimestampNTZ`` on, so naive parquet timestamps read as
+    TIMESTAMP_NTZ — a type ``unix_micros``/``window``/``withWatermark``
+    reject.  Both confs are runtime-settable SQL confs; with the session
+    pinned to UTC the LTZ micros equal the naive wall-clock micros, so
+    results match a naive-timestamp oracle (DuckDB) exactly.
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _cast_ntz(df: DataFrame) -> DataFrame:
+    """Belt-and-braces: cast any TIMESTAMP_NTZ column to TIMESTAMP (a
+    pure wall-clock reinterpretation under a UTC session)."""
+    from pyspark.sql import types as T
+
+    ntz = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _read_parquet(spark: SparkSession, path: Path) -> DataFrame:
     """Read one parquet table, restoring nanosecond-timestamp columns
     (landed as long nanos) to proper timestamps (microsecond precision —
@@ -97,11 +130,12 @@ def _read_parquet(spark: SparkSession, path: Path) -> DataFrame:
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _force_utc_ltz(spark)
     df = spark.read.parquet(str(path))
     for c in nanos_cols:
         # integer `div` — float division would round 1e18-scale nanos
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return _cast_ntz(df)
 
 
 def load_sf_dir(

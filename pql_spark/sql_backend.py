@@ -331,6 +331,8 @@ class _SqlEmitter:
             items = ", ".join(_q(c) for c in keep)
             return f"SELECT {items} FROM {inner}", keep
         if isinstance(op, MvExpandOp):
+            if len(op.cols) > 1:
+                return self._emit_mv_expand_zip(op, inner, cols)
             name, _ = self.col_spec(op.col)
             item = f"explode({self.expr(op.col.expr)}) AS {_q(name)}"
             if op.col.name is not None and op.col.name in cols:
@@ -480,6 +482,33 @@ class _SqlEmitter:
         raise ParseError(
             f"SQL backend: unsupported operator {type(op).__name__}", op.span
         )
+
+    def _emit_mv_expand_zip(
+        self, op: MvExpandOp, inner: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        """Multi-column mv-expand: explode one index sequence sized to
+        the longest array, then ``try_element_at`` per array (zip-to-
+        longest, null-padded — mirrors the DataFrame compiler)."""
+        specs = [self.col_spec(c) for c in op.cols]
+        exprs = [self.expr(c.expr) for c in op.cols]
+        sizes = [f"size({e})" for e in exprs]
+        n = sizes[0] if len(sizes) == 1 else f"greatest({', '.join(sizes)})"
+        # CASE guard: sequence(0, -1) counts down; NULL → explode drops row
+        mid = (
+            f"SELECT *, explode(CASE WHEN {n} > 0 THEN"
+            f" sequence(0, {n} - 1) END) AS __mvx_idx FROM ({inner})"
+        )
+        names = [name for name, _ in specs]
+        elems = {
+            name: f"try_element_at({e}, __mvx_idx + 1) AS {_q(name)}"
+            for (name, _), e in zip(specs, exprs)
+        }
+        order = list(cols)
+        for name in names:
+            if name not in order:
+                order.append(name)
+        items = ", ".join(elems.get(c, _q(c)) for c in order)
+        return f"SELECT {items} FROM ({mid})", order
 
     def emit_make_series(
         self, op: MakeSeriesOp, sql: str, cols: list[str]
@@ -1026,6 +1055,13 @@ class _SqlEmitter:
             return (
                 f"regexp_replace({self.expr(args[1])},"
                 f" {_qs(pats[name])}, '')"
+            )
+        if name == "strcat_array":
+            argc(2, 2)
+            delim = _qs(lit_str(1))
+            return (
+                f"concat_ws({delim}, CAST({self.expr(args[0])}"
+                f" AS ARRAY<STRING>))"
             )
         if name == "strcat_delim":
             if len(args) < 2:

@@ -34,11 +34,12 @@ def stream_parquet_table(
     file sources require an explicit schema).  Nanosecond timestamp
     columns get the same long→timestamp restore as the batch catalog.
     """
-    from pql_spark.sources.catalog import _nanos_ts_columns
+    from pql_spark.sources.catalog import _force_utc_ltz, _nanos_ts_columns
 
     path = Path(sf_dir) / f"{name}.parquet"
     if _nanos_ts_columns(path):  # see sources.catalog._read_parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _force_utc_ltz(spark)  # naive parquet ts → TIMESTAMP, not NTZ
     schema = spark.read.parquet(str(path)).schema
     stream_dir = path
     if path.is_file():

@@ -85,6 +85,23 @@ def test_mv_expand_named(engine):
     assert sorted(map(tuple, out.collect())) == [(1, 10), (1, 20), (1, 30)]
 
 
+def test_mv_expand_multi_zip(engine, spark):
+    # multiple columns zip to the LONGEST array, null-padded (KQL)
+    eng = PqlEngine(
+        spark,
+        resolver={
+            "Z": spark.createDataFrame(
+                [(1, [10, 20, 30], ["a"]), (2, [], None)],
+                "id long, xs array<int>, ys array<string>",
+            )
+        },
+    )
+    out = eng.query("Z | mv-expand xs, ys | project id, xs, ys")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 10, "a"), (1, 20, None), (1, 30, None)
+    ]  # id=2: all arrays empty/null → record dropped
+
+
 def test_mv_apply_filter(engine):
     # filter-only subquery: union of the filtered subtables
     out = engine.query(
@@ -596,6 +613,7 @@ def test_ago_function(spark):
         "T1 | project-away arr",
         "T1 | mv-expand arr | project id, arr",
         "T1 | mv-expand v = arr | summarize n = count() by id",
+        "T1 | mv-expand a = arr, b = arr | project id, a, b",
         "T1 | lookup (T2 | extend tag2 = extra) on id",
         "T1 | lookup kind=inner (T2) on id",
         'T1 | search "a"',

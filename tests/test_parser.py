@@ -151,8 +151,10 @@ def test_join_explicit():
 
 
 def test_join_bad_flavor():
+    # rightouter etc. are EXTENSION flavors here (the reference rejects
+    # them, parser.go:742-746); only unknown kinds error
     with pytest.raises(QueryError):
-        parse("L | join kind=rightouter (R) on K")
+        parse("L | join kind=bogus (R) on K")
 
 
 def test_in_expr():

@@ -37,8 +37,13 @@ def _norm_cell(v):
         return round(v, 6)
     if isinstance(v, bool):
         return int(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        # the driver's pandas row-sort raises on unhashable cells — an
+        # array/map/struct in a final output is a guaranteed driver FAIL
+        raise TypeError(
+            f"non-scalar cell in output ({type(v).__name__}): driver "
+            "hash-compare cannot sort it"
+        )
     return v
 
 
