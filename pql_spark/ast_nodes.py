@@ -71,8 +71,25 @@ class BinaryExpr(Expr):
 
 @dataclass
 class InExpr(Expr):
+    """``x in (…)`` plus the EXTENSION in-family word operators:
+    ``!in`` (negated), ``in~``/``!in~`` (case-insensitive), and
+    ``has_any``/``has_all`` (term match over any/all of the listed
+    terms).  ``op`` is the surface spelling."""
+
     lhs: Expr
     items: list[Expr]
+    op: str = "in"
+
+
+@dataclass
+class BetweenExpr(Expr):
+    """EXTENSION: ``x between (lo .. hi)`` / ``x !between (lo .. hi)``
+    — inclusive range predicate (KQL between)."""
+
+    lhs: Expr
+    lo: Expr
+    hi: Expr
+    negated: bool = False
 
 
 @dataclass

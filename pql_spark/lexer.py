@@ -55,6 +55,8 @@ class TokenKind(enum.Enum):
     MOD = "%"
     CI_EQ = "=~"
     CI_NE = "!~"
+    # EXTENSION: range separator for `between (lo .. hi)` (KQL)
+    DOTDOT = ".."
 
 
 @dataclass(frozen=True)
@@ -134,6 +136,11 @@ def scan(source: str) -> list[Token]:
             while i < n and _is_ident_char(source[i]):
                 i += 1
             text = source[start:i]
+            # EXTENSION: `in~` — case-insensitive in-family word op
+            if text == "in" and i < n and source[i] == "~":
+                i += 1
+                tokens.append(Token(TokenKind.IDENT, Span(start, i), "in~"))
+                continue
             kind = _KEYWORDS.get(text, TokenKind.IDENT)
             tokens.append(Token(kind, Span(start, i), text))
             continue

@@ -63,38 +63,42 @@ def shingle_rows(
     """DISTINCT k-word shingles as (id, gram) ROWS — the fast,
     explode-first twin of :func:`word_shingles`.
 
-    Why not just explode ``word_shingles``: building grams inside an
-    array-HOF lambda re-evaluates the tokenization per element (Catalyst
-    can't common-subexpression-eliminate into interpreted lambdas —
-    measured 4× slower).  Here tokens are exploded ONCE and each gram is
-    a ``concat_ws`` of ``lead()``s over the per-doc window; ``concat_ws``
-    skips NULL leads, which reproduces the whole-doc-gram rule for docs
-    shorter than k.  The distinct is a (id, gram)-keyed aggregate with
-    map-side partial dedup.  Gram VALUES are identical to
-    ``word_shingles``, so SQL oracles are interchangeable.
-    """
-    from pyspark.sql import Window
+    Shape: project the token array, then build grams with an array HOF
+    and explode — ZERO shuffles (the per-doc ``array_distinct`` replaces
+    a (id, gram) dropDuplicates aggregate).  An earlier version used
+    posexplode + ``lead()`` windows, which costs a shuffle + sort + a
+    dedup shuffle; this one beats it ~2× at sf0.1 and is narrow at any
+    scale.
 
-    tk = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    HOF-inlining caveat: Catalyst's CollapseProject will inline the
+    tokenization INTO the lambda when projections collapse, re-running
+    the regex split per reference.  :func:`rebalance` after the token
+    projection inserts an exchange exactly when the input is
+    under-partitioned (the local/single-file case), which doubles as a
+    materialization barrier; on a well-partitioned cluster input the
+    collapse costs ~2× tokenization but stays shuffle-free — still far
+    cheaper than the window variant's two shuffles.  Gram VALUES are
+    identical to :func:`word_shingles`, so SQL oracles are
+    interchangeable.
+    """
+    from ._util import rebalance
+
+    tk = rebalance(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    m = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    gram_parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, k)
-    ]
-    keep = (F.col("pos") <= F.col("m") - k) | (F.col("pos") == 0)
-    return (
-        tk.select(
-            F.col(id_col),
-            F.col("pos"),
-            m.alias("m"),
-            F.concat_ws(" ", *gram_parts).alias("gram"),
+    toks = F.col("__toks")
+    n = F.size(toks)
+    grams = F.when(
+        n <= F.lit(k), F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
         )
-        .filter(keep)
-        .select(F.col(id_col), F.col("gram"))
-        .dropDuplicates([id_col, "gram"])
     )
+    return tk.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def word_grams(text: Column, n: int = 2) -> Column:
@@ -493,18 +497,24 @@ def winnow_fingerprints(
     substring of ≥ w+k-1 words leaves at least one common fingerprint,
     with ~2/(w+1) of the hashes retained.
 
-    Plan: the k-gram hash array is computed ONCE per document, exploded
-    to (doc, pos, hash) rows, and the sliding minima run as a JVM
-    window frame over pos — one shuffle on the doc id, no re-hashing.
-    (A pure nested-higher-order-function formulation re-evaluates the
-    gram array inside every window lambda — O(m·w) md5 calls — because
-    Catalyst inlines the subexpression through collapsed projections.)
+    Plan: fully array-native and NARROW — no shuffle at all.  The token
+    array materializes behind a :func:`rebalance` exchange (single-file
+    local inputs) and the k-gram hash array behind a one-element
+    ``explode`` Generate; both are CollapseProject barriers, without
+    which Catalyst inlines the md5 transform into the sliding-min
+    lambda and re-hashes the whole gram array per window position
+    (O(m·w) → O(m²) md5 calls).  An earlier version exploded to rows
+    and ran window-frame minima — correct, but it paid a shuffle + sort
+    + a collect_set shuffle; per-doc array work needs neither.
     Output: (id, fingerprints array<long> — sorted distinct selected
     hashes).
     """
-    from pyspark.sql import Window
+    from ._util import rebalance
 
-    toks = tokens(F.col(text_col))
+    tk = rebalance(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k) + F.lit(1), F.lit(1))),
@@ -514,26 +524,22 @@ def winnow_fingerprints(
             10,
         ).cast("long"),
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "h")
+    hashed = tk.select(
+        F.col(id_col), F.explode(F.array(grams)).alias("__hs")
     )
-    over_doc = Window.partitionBy(id_col)
-    frame = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    scored = exploded.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.count(F.lit(1)).over(over_doc).alias("m"),
-        F.min("h").over(frame).alias("win_min"),
-    )
+    hs = F.col("__hs")
+    m = F.size(hs)
     # windows of exactly w hashes; a doc with fewer than w grams yields
-    # its single whole-array minimum (pos 0's shrunken frame)
-    selected = scored.filter(
-        (F.col("pos") <= F.col("m") - w) | (F.col("pos") == 0)
+    # its single whole-array minimum
+    mins = F.when(
+        m <= F.lit(w), F.array(F.array_min(hs))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(w) + F.lit(1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
     )
-    return selected.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("win_min")).alias("fingerprints")
+    return hashed.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
     )
