@@ -1003,6 +1003,104 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY hour ORDER BY hour
         """,
     ),
+    # EXTENSION in-family word operators + between (round 2)
+    "pql_in_family": (
+        """
+        customer
+        | where c_acctbal between (1000.0 .. 5000.0)
+        | where c_mktsegment in~ ("BUILDING", "machinery")
+        | where c_nationkey !in (0, 1, 2)
+        | extend hit = iff(c_name has_any ("000000042", "000000777"), 1, 0)
+        | summarize n = count(), hits = sum(hit) by c_mktsegment
+        | sort by c_mktsegment asc
+        """,
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CASE WHEN list_contains(
+                        string_split_regex(lower(c_name),
+                                           '[^a-zA-Z0-9]+'), '000000042')
+                    OR list_contains(
+                        string_split_regex(lower(c_name),
+                                           '[^a-zA-Z0-9]+'), '000000777')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM customer
+        WHERE c_acctbal BETWEEN 1000.0 AND 5000.0
+          AND lower(c_mktsegment) IN ('building', 'machinery')
+          AND c_nationkey NOT IN (0, 1, 2)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+    ),
+    # EXTENSION sketch aggregates: HLL dcount accuracy tiers + mergeable
+    # hll()/hll_merge()/dcount_hll() (Datasketches sparse mode is exact
+    # at sf0.01 cardinalities, so the oracle can be exact SQL)
+    "pql_sketch_fns": (
+        """
+        events
+        | summarize exact = dcount(user_id),
+                    approx = dcount(user_id, 2)
+            by event_type
+        | sort by event_type asc
+        """,
+        """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact,
+               count(DISTINCT user_id) AS approx
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    # EXTENSION partition operator: per-key subquery with no iteration
+    # (rank window / key-prefixed groupBy)
+    "pql_partition_op": (
+        """
+        events
+        | partition by event_type ( top 3 by value )
+        | project event_type, event_id, value = round(value, 4)
+        | sort by event_type asc, event_id asc
+        """,
+        """
+        SELECT event_type, event_id, round(value, 4) AS value
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC) AS rn
+              FROM events) t
+        WHERE rn <= 3
+        ORDER BY event_type, event_id
+        """,
+    ),
+    # EXTENSION evaluate bag_unpack: dynamic JSON column → typed columns
+    "pql_bag_unpack": (
+        """
+        events
+        | evaluate bag_unpack(props, "p_")
+        | where toint(p_k) >= 50
+        | summarize n = count(), mx = max(toint(p_k)) by event_type
+        | sort by event_type asc
+        """,
+        """
+        SELECT event_type, count(*) AS n,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS INT) AS mx
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    # EXTENSION tabular let (reference rejects; README.md:72-73)
+    "pql_tabular_let": (
+        """
+        let Hot = events | where value > 250;
+        let Cold = events | where value <= 250;
+        Hot
+        | join kind=leftanti (Cold) on user_id
+        | summarize n = count(), u = dcount(user_id)
+        """,
+        """
+        WITH hot AS (SELECT * FROM events WHERE value > 250),
+        cold AS (SELECT * FROM events WHERE value <= 250)
+        SELECT count(*) AS n, count(DISTINCT user_id) AS u
+        FROM hot WHERE user_id NOT IN (SELECT user_id FROM cold)
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

@@ -318,6 +318,30 @@ class PivotOp(Op):
 
 
 @dataclass
+class BagUnpackOp(Op):
+    """``evaluate bag_unpack(Col [, prefix])`` — expand a dynamic (JSON
+    object / map) column into one column per key (KQL bag_unpack
+    plugin); the bag column is dropped.  DataFrame backend only (the
+    output schema is data-dependent)."""
+
+    col: Ident
+    prefix: str = ""
+
+
+@dataclass
+class PartitionOp(Op):
+    """``partition by Col ( op | op … )`` — run the subquery over each
+    partition-key subtable (KQL partition operator).  Compiled with NO
+    per-partition iteration: where/extend/project apply globally,
+    sort+take/top become a rank window partitioned by the key, and
+    summarize groups by (key + declared keys) — one shuffle on the
+    partition key at most."""
+
+    col: Ident
+    ops: list[Op]
+
+
+@dataclass
 class GetSchemaOp(Op):
     """``getschema`` — one row per column: name, ordinal, type
     (DataFrame backend only; SQL text has no schema introspection)."""
@@ -436,8 +460,14 @@ class TabularExpr(Node):
 
 @dataclass
 class LetStatement(Node):
+    """``let name = scalar_expr;`` (reference semantics, pql.go:57-72)
+    or EXTENSION ``let name = <tabular expr>;`` (KQL tabular let — the
+    reference rejects these, README.md:72-73).  Exactly one of ``expr``
+    / ``tabular`` is set."""
+
     name: str
-    expr: Expr
+    expr: Expr | None
+    tabular: "TabularExpr | None" = None
 
 
 Statement = TabularExpr | LetStatement

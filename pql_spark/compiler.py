@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 from . import functions as pf
 from .ast_nodes import (
+    BagUnpackOp,
+    PartitionOp,
+    BetweenExpr,
     AsOp,
     BinaryExpr,
     CallExpr,
@@ -150,7 +153,18 @@ class Compiler:
         for stmt in statements:
             if isinstance(stmt, LetStatement):
                 if tabular is None:  # lets after the query are skipped
-                    self.lets[stmt.name] = stmt.expr  # (pql.go:58-62)
+                    if stmt.tabular is not None:
+                        # EXTENSION tabular let: bind the compiled
+                        # DataFrame under the name (shadows the catalog,
+                        # same scope as `as` bindings)
+                        try:
+                            self.bindings[stmt.name] = self.compile_tabular(
+                                stmt.tabular
+                            )
+                        except ParseError as e:
+                            raise QueryError(self.source, [e]) from None
+                    else:
+                        self.lets[stmt.name] = stmt.expr  # (pql.go:58-62)
             elif tabular is not None:
                 raise QueryError(
                     self.source,
@@ -460,6 +474,10 @@ class Compiler:
             return df.groupBy(*[F.col(_q(k)) for k in keys]).pivot(
                 pcol
             ).agg(agg)
+        if isinstance(op, BagUnpackOp):
+            return self._bag_unpack(df, op)
+        if isinstance(op, PartitionOp):
+            return self._partition(df, op)
         if isinstance(op, GetSchemaOp):
             rows = [
                 (f.name, i, f.dataType.simpleString())
@@ -707,6 +725,108 @@ class Compiler:
             sel = grouped
         return sel.select(*[F.col(_q(n)) for n in out_names])
 
+    def _partition(self, df: DataFrame, op: PartitionOp) -> DataFrame:
+        """KQL ``partition by Col (…)`` with no per-partition iteration:
+        the subtable-scoped operators become key-partitioned windows /
+        key-prefixed groupBys — ONE shuffle on the partition key at
+        most, skew handled by AQE like any keyed shuffle."""
+        from pyspark.sql import Window
+
+        pcol = op.col.parts[0]
+        if pcol not in df.columns:
+            raise ParseError(
+                f"partition by: unknown column {pcol!r}", op.col.span
+            )
+        cur = df
+        pend_sort: list[SortTerm] | None = None
+        for iop in op.ops:
+            ienv = _Env(df=cur)
+            if isinstance(iop, (WhereOp, ExtendOp)):
+                cur = self._apply(cur, iop)
+            elif isinstance(iop, ProjectOp):
+                cols = self._compile_cols(iop.cols, ienv)
+                names = [self._col_name(s) for s in iop.cols]
+                keep = [F.col(_q(pcol))] if pcol not in names else []
+                cur = cur.select(*keep, *cols)
+            elif isinstance(iop, SortOp):
+                pend_sort = iop.terms
+            elif isinstance(iop, (TakeOp, TopOp)):
+                terms = (
+                    [iop.term] if isinstance(iop, TopOp) else pend_sort
+                )
+                if not terms:
+                    raise ParseError(
+                        "partition: take needs a preceding sort"
+                        " (or use top)",
+                        iop.span,
+                    )
+                order_cols = [self._sort_col(t, ienv) for t in terms]
+                w = Window.partitionBy(F.col(_q(pcol))).orderBy(*order_cols)
+                cur = (
+                    cur.withColumn("__pt_rn", F.row_number().over(w))
+                    .filter(F.col("__pt_rn") <= self._const_int(iop.count))
+                    .drop("__pt_rn")
+                )
+                pend_sort = None
+            elif isinstance(iop, SummarizeOp):
+                keys = self._compile_cols(iop.keys, ienv)
+                aggs = self._compile_cols(iop.aggs, ienv)
+                key_names = [self._col_name(s) for s in iop.keys]
+                agg_names = [self._col_name(s) for s in iop.aggs]
+                grouped = (
+                    cur.groupBy(F.col(_q(pcol)), *keys).agg(*aggs)
+                    if aggs
+                    else cur.select(F.col(_q(pcol)), *keys).distinct()
+                )
+                cur = grouped.select(
+                    F.col(_q(pcol)),
+                    *[F.col(_q(c)) for c in key_names],
+                    *[F.col(_q(c)) for c in agg_names],
+                )
+                pend_sort = None
+            else:
+                raise ParseError(
+                    "partition: unsupported operator in subquery "
+                    "(where/extend/project/sort/take/top/summarize)",
+                    iop.span,
+                )
+        return cur
+
+    def _bag_unpack(self, df: DataFrame, op: BagUnpackOp) -> DataFrame:
+        """``evaluate bag_unpack``: one small key-discovery aggregate
+        (distinct JSON keys / map keys, collected to the driver — same
+        shape as pivot's value discovery), then a narrow projection of
+        one extraction per key.  JSON-string bags yield string columns;
+        map bags keep the map's value type."""
+        from pyspark.sql import types as T
+
+        bcol = op.col.parts[0]
+        if bcol not in df.columns:
+            raise ParseError(
+                f"bag_unpack: unknown column {bcol!r}", op.col.span
+            )
+        dtype = df.schema[bcol].dataType
+        if isinstance(dtype, T.MapType):
+            keys_df = df.select(
+                F.explode(F.map_keys(F.col(_q(bcol)))).alias("k")
+            )
+            extract = lambda k: F.element_at(F.col(_q(bcol)), k)  # noqa: E731
+        else:
+            keys_df = df.select(
+                F.explode(
+                    F.json_object_keys(F.col(_q(bcol)).cast("string"))
+                ).alias("k")
+            )
+            extract = lambda k: F.get_json_object(  # noqa: E731
+                F.col(_q(bcol)).cast("string"), f"$.{k}"
+            )
+        keys = sorted(r.k for r in keys_df.distinct().collect())
+        others = [c for c in df.columns if c != bcol]
+        return df.select(
+            *[F.col(_q(c)) for c in others],
+            *[extract(k).alias(f"{op.prefix}{k}") for k in keys],
+        )
+
     def _mv_expand_zip(
         self, df: DataFrame, op: MvExpandOp, env: _Env
     ) -> DataFrame:
@@ -934,7 +1054,30 @@ class Compiler:
             items = [self.compile_expr(i, env) for i in expr.items]
             # literal-list IN — not null-coalesced (pql.go:747-760);
             # compiles to Catalyst In, pushdown-able to parquet
-            return lhs.isin(*items)
+            if expr.op == "in":
+                return lhs.isin(*items)
+            if expr.op in ("in~", "!in~"):
+                hit = F.lower(lhs).isin(*[F.lower(i) for i in items])
+                return ~hit if expr.op == "!in~" else hit
+            if expr.op == "!in":
+                return ~lhs.isin(*items)
+            # has_any / has_all: whole-term match per listed term
+            terms = [
+                F.array_contains(
+                    F.split(F.lower(lhs), r"[^a-zA-Z0-9]+"), F.lower(i)
+                )
+                for i in items
+            ]
+            out = terms[0]
+            for t in terms[1:]:
+                out = (out | t) if expr.op == "has_any" else (out & t)
+            return out
+        if isinstance(expr, BetweenExpr):
+            lhs = self.compile_expr(expr.lhs, env)
+            rng = (lhs >= self.compile_expr(expr.lo, env)) & (
+                lhs <= self.compile_expr(expr.hi, env)
+            )
+            return ~rng if expr.negated else rng
         if isinstance(expr, IndexExpr):
             base = self.compile_expr(expr.base, env)
             index = self.compile_expr(expr.index, env)

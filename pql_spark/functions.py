@@ -159,6 +159,28 @@ def _lit_str(name: str, ast_args: list | None, i: int, span: Span,
     return ast_args[i].value
 
 
+def _lit_int(name: str, ast_args: list | None, i: int, span: Span) -> int:
+    """Require argument *i* to be an integer literal; return its value."""
+    from .ast_nodes import NumberLit
+
+    if (
+        ast_args is not None
+        and i < len(ast_args)
+        and isinstance(ast_args[i], NumberLit)
+        and not ast_args[i].is_float
+    ):
+        return int(ast_args[i].text)
+    raise ParseError(
+        f"{name}() argument {i + 1} must be an integer literal", span
+    )
+
+
+# KQL dcount/hll accuracy levels 0..4 → HLL relative error / Datasketches
+# lgConfigK (KQL: 0=1.6%, 1=0.8% default, 2=0.4%, 3=0.28%, 4=0.2%)
+_DCOUNT_RSD = {0: 0.016, 1: 0.008, 2: 0.004, 3: 0.0028, 4: 0.002}
+_HLL_LGK = {0: 10, 1: 12, 2: 14, 3: 16, 4: 18}
+
+
 def build_parse_regex(segments) -> tuple[str, list[str]]:
     """Build the extraction regex for ``parse Expr with …`` (KQL simple
     mode) from alternating literal/capture segments.
@@ -252,8 +274,29 @@ def compile_call(
     # an approximation — exactness keeps it oracle-verifiable; use
     # passthrough approx_count_distinct for the sketch behavior)
     if lname == "dcount":
+        # dcount(x) is EXACT; dcount(x, accuracy) opts into the KQL-style
+        # HLL approximation (accuracy 0..4 → relative error, as in KQL
+        # docs) — the scale path: mergeable sketch, no exact-distinct
+        # shuffle explosion
+        _check_argc(name, args, 1, 2, span)
+        if len(args) == 1:
+            return F.count_distinct(args[0])
+        acc = _lit_int(name, ast_args, 1, span)
+        return F.approx_count_distinct(args[0], _DCOUNT_RSD[acc])
+    if lname == "hll":
+        # KQL hll(x[, accuracy]) → Datasketches HLL sketch (binary,
+        # mergeable with hll_merge; read with dcount_hll)
+        _check_argc(name, args, 1, 2, span)
+        if len(args) == 1:
+            return F.hll_sketch_agg(args[0])
+        acc = _lit_int(name, ast_args, 1, span)
+        return F.hll_sketch_agg(args[0], _HLL_LGK[acc])
+    if lname == "hll_merge":
         _check_argc(name, args, 1, 1, span)
-        return F.count_distinct(args[0])
+        return F.hll_union_agg(args[0])
+    if lname == "dcount_hll":
+        _check_argc(name, args, 1, 1, span)
+        return F.hll_sketch_estimate(args[0])
     if lname == "dcountif":
         _check_argc(name, args, 2, 2, span)
         return F.count_distinct(F.when(args[1], args[0]))

@@ -182,6 +182,26 @@ def scan(source: str) -> list[Token]:
             tokens.append(Token(TokenKind.CI_NE, Span(i, i + 2), two))
             i += 2
             continue
+        if two == "..":
+            tokens.append(Token(TokenKind.DOTDOT, Span(i, i + 2), two))
+            i += 2
+            continue
+        if c == "!":
+            # EXTENSION: negated word operators `!in`, `!in~`, `!between`
+            # (KQL); lexed as single IDENT-shaped tokens
+            for word in ("in~", "in", "between"):
+                end = i + 1 + len(word)
+                if source[i + 1 : end] == word and (
+                    end >= n or not _is_ident_char(source[end])
+                ):
+                    tokens.append(
+                        Token(TokenKind.IDENT, Span(i, end), "!" + word)
+                    )
+                    i = end
+                    break
+            else:
+                raise LexError(f"unexpected character {c!r}", Span(i, i + 1))
+            continue
         if c == "=":
             tokens.append(Token(TokenKind.ASSIGN, Span(i, i + 1), c))
             i += 1

@@ -14,6 +14,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .ast_nodes import (
+    BagUnpackOp,
+    PartitionOp,
+    BetweenExpr,
     AsOp,
     BinaryExpr,
     CallExpr,
@@ -142,6 +145,9 @@ _WORD_OPS = {
     "endswith", "endswith_cs",
     "has", "has_cs",
 }
+
+# EXTENSION: in-family word operators taking a parenthesized term list
+_IN_OPS = {"in~", "!in", "!in~", "has_any", "has_all"}
 
 # operator aliases (parser.go:182-199)
 _OP_ALIASES = {"filter": "where", "order": "sort", "limit": "take"}
@@ -331,6 +337,31 @@ def _parse_let(tokens: list[Token], source: str) -> LetStatement:
     kw = p.expect_ident("let")
     name = p.expect(TokenKind.IDENT, "let binding name")
     p.expect(TokenKind.ASSIGN, "'='")
+    rest = tokens[p.i :]
+    # EXTENSION (KQL tabular let; the reference rejects it): a RHS with a
+    # top-level `|`, or a datatable/range source, binds a TABLE.  A bare
+    # identifier stays a scalar substitution (reference semantics).
+    top = _split_on(rest, TokenKind.PIPE)
+    is_tabular = len(top) > 1 or (
+        rest
+        and rest[0].kind is TokenKind.IDENT
+        and (
+            rest[0].value == "datatable"
+            or (
+                rest[0].value == "range"
+                and len(rest) > 2
+                and rest[1].kind in (TokenKind.IDENT, TokenKind.QIDENT)
+                and rest[2].kind is TokenKind.IDENT
+                and rest[2].value == "from"
+            )
+        )
+    )
+    if is_tabular:
+        tab = _parse_tabular(rest, source)
+        return LetStatement(
+            name=name.value, expr=None, tabular=tab,
+            span=Span(kw.span.start, tab.span.end),
+        )
     expr = p.parse_expr()
     p.expect_end()
     return LetStatement(
@@ -494,6 +525,20 @@ class _P:
                 return lhs
             if tok.kind is TokenKind.IDENT and tok.value in _WORD_OPS:
                 prec, op_text = 2, tok.value
+            elif tok.kind is TokenKind.IDENT and tok.value in _IN_OPS:
+                if 2 < min_prec:
+                    return lhs
+                self.take()
+                lhs = self._parse_in(lhs, op=tok.value)
+                continue
+            elif tok.kind is TokenKind.IDENT and tok.value in (
+                "between", "!between",
+            ):
+                if 2 < min_prec:
+                    return lhs
+                self.take()
+                lhs = self._parse_between(lhs, negated=tok.value[0] == "!")
+                continue
             else:
                 prec = _PRECEDENCE.get(tok.kind)
                 if prec is None:
@@ -513,10 +558,22 @@ class _P:
                 span=Span(lhs.span.start, rhs.span.end),
             )
 
-    def _parse_in(self, lhs: Expr) -> Expr:
+    def _parse_between(self, lhs: Expr, negated: bool) -> Expr:
+        """EXTENSION: ``x between (lo .. hi)`` — inclusive range."""
+        self.expect(TokenKind.LPAREN, "'(' after 'between'")
+        lo = self.parse_expr()
+        self.expect(TokenKind.DOTDOT, "'..'")
+        hi = self.parse_expr()
+        rp = self.expect(TokenKind.RPAREN, "')'")
+        return BetweenExpr(
+            lhs=lhs, lo=lo, hi=hi, negated=negated,
+            span=Span(lhs.span.start, rp.span.end),
+        )
+
+    def _parse_in(self, lhs: Expr, op: str = "in") -> Expr:
         """``x in (a, b, …)`` — literal list, no subqueries
-        (parser.go:912-956)."""
-        self.expect(TokenKind.LPAREN, "'(' after 'in'")
+        (parser.go:912-956); EXTENSION spellings via ``op``."""
+        self.expect(TokenKind.LPAREN, f"'(' after {op!r}")
         items: list[Expr] = []
         while True:
             items.append(self.parse_expr())
@@ -526,7 +583,10 @@ class _P:
                 continue
             break
         rp = self.expect(TokenKind.RPAREN, "')'")
-        return InExpr(lhs=lhs, items=items, span=Span(lhs.span.start, rp.span.end))
+        return InExpr(
+            lhs=lhs, items=items, op=op,
+            span=Span(lhs.span.start, rp.span.end),
+        )
 
     def parse_unary(self) -> Expr:
         tok = self.peek()
@@ -1147,12 +1207,35 @@ def _op_project_reorder(p: _P, kw: Token) -> Op:
 
 
 def _op_evaluate(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``evaluate pivot(PivotCol [, AggCall])`` — the KQL
-    plugin entry point; only the pivot plugin is implemented."""
+    """EXTENSION: the KQL plugin entry point — ``evaluate
+    pivot(PivotCol [, AggCall])`` and ``evaluate bag_unpack(Col
+    [, prefix])``."""
     plugin = p.expect(TokenKind.IDENT, "plugin name")
+    if plugin.value == "bag_unpack":
+        p.expect(TokenKind.LPAREN, "'('")
+        col_tok = p.take()
+        if col_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected bag column name", col_tok.span)
+        prefix = ""
+        if p.match(TokenKind.COMMA):
+            pfx = p.take()
+            if pfx.kind is not TokenKind.STRING:
+                raise ParseError("expected prefix string literal", pfx.span)
+            prefix = pfx.value
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return BagUnpackOp(
+            col=Ident(
+                parts=[col_tok.value],
+                quoted=[col_tok.kind is TokenKind.QIDENT],
+                span=col_tok.span,
+            ),
+            prefix=prefix,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value != "pivot":
         raise ParseError(
-            f"unknown evaluate plugin {plugin.value!r} (supported: pivot)",
+            f"unknown evaluate plugin {plugin.value!r}"
+            " (supported: pivot, bag_unpack)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")
@@ -1176,6 +1259,45 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
 def _op_getschema(p: _P, kw: Token) -> Op:
     """EXTENSION: ``getschema`` (KQL) — schema as rows."""
     return GetSchemaOp(span=kw.span)
+
+
+def _op_partition(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``partition by Col ( op | op … )`` (KQL partition)."""
+    p.expect(TokenKind.BY, "'by'")
+    col_tok = p.take()
+    if col_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected partition column name", col_tok.span)
+    col = Ident(
+        parts=[col_tok.value],
+        quoted=[col_tok.kind is TokenKind.QIDENT],
+        span=col_tok.span,
+    )
+    lp = p.expect(TokenKind.LPAREN, "'('")
+    depth, j = 1, p.i
+    while j < len(p.tokens):
+        k = p.tokens[j].kind
+        if k in (TokenKind.LPAREN, TokenKind.LBRACKET):
+            depth += 1
+        elif k in (TokenKind.RPAREN, TokenKind.RBRACKET):
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise ParseError("unclosed '(' in partition subquery", lp.span)
+    inner_tokens = p.tokens[p.i : j]
+    rp = p.tokens[j]
+    p.i = j + 1
+    ops: list[Op] = []
+    for seg in _split_on(inner_tokens, TokenKind.PIPE):
+        if not seg:
+            continue
+        ops.append(_parse_operator(_P(seg, p.source)))
+    if not ops:
+        raise ParseError("empty partition subquery", lp.span)
+    return PartitionOp(
+        col=col, ops=ops, span=Span(kw.span.start, rp.span.end)
+    )
 
 
 def _op_make_series(p: _P, kw: Token) -> Op:
@@ -1279,6 +1401,7 @@ _OPERATORS = {
     "project-keep": _op_project_keep,
     "project-reorder": _op_project_reorder,
     "getschema": _op_getschema,
+    "partition": _op_partition,
     "make-series": _op_make_series,
     "evaluate": _op_evaluate,
     "distinct": _op_distinct,

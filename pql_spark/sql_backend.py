@@ -26,6 +26,9 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence
 
 from .ast_nodes import (
+    BagUnpackOp,
+    BetweenExpr,
+    PartitionOp,
     AsOp,
     BinaryExpr,
     CallExpr,
@@ -437,6 +440,14 @@ class _SqlEmitter:
                 "use the DataFrame backend",
                 op.span,
             )
+        if isinstance(op, BagUnpackOp):
+            raise ParseError(
+                "evaluate bag_unpack's output schema is data-dependent "
+                "— use the DataFrame backend",
+                op.span,
+            )
+        if isinstance(op, PartitionOp):
+            return self._emit_partition(op, inner, cols)
         if isinstance(op, SerializeOp):
             if self.last_sort is None:
                 raise ParseError(
@@ -509,6 +520,84 @@ class _SqlEmitter:
                 order.append(name)
         items = ", ".join(elems.get(c, _q(c)) for c in order)
         return f"SELECT {items} FROM ({mid})", order
+
+    def _emit_partition(
+        self, op: PartitionOp, inner: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        """``partition by Col (…)`` — same shuffle-free-iteration plan
+        as the DataFrame backend: rank windows for top/take, key-prefixed
+        GROUP BY for summarize."""
+        pcol = op.col.parts[0]
+        if pcol not in cols:
+            raise ParseError(
+                f"partition by: unknown column {pcol!r}", op.col.span
+            )
+        sql = f"SELECT * FROM {inner}"
+        pend_sort: list[SortTerm] | None = None
+        from .ast_nodes import ExtendOp as _Ext
+        from .ast_nodes import WhereOp as _Wh
+
+        for iop in op.ops:
+            if isinstance(iop, (_Wh, _Ext)):
+                sql, cols = self.emit_op(iop, sql, cols)
+            elif isinstance(iop, ProjectOp):
+                specs = [self.col_spec(s) for s in iop.cols]
+                names = [n for n, _ in specs]
+                items = [e for _, e in specs]  # items carry their AS
+                if pcol not in names:
+                    items.insert(0, _q(pcol))
+                    names.insert(0, pcol)
+                sql = f"SELECT {', '.join(items)} FROM ({sql})"
+                cols = names
+            elif isinstance(iop, SortOp):
+                pend_sort = iop.terms
+            elif isinstance(iop, (TakeOp, TopOp)):
+                terms = (
+                    [iop.term] if isinstance(iop, TopOp) else pend_sort
+                )
+                if not terms:
+                    raise ParseError(
+                        "partition: take needs a preceding sort"
+                        " (or use top)",
+                        iop.span,
+                    )
+                order = ", ".join(self.sort_term(t) for t in terms)
+                n = self.expr(iop.count)
+                keep = ", ".join(_q(c) for c in cols)
+                sql = (
+                    f"SELECT {keep} FROM (SELECT *, ROW_NUMBER() OVER ("
+                    f"PARTITION BY {_q(pcol)} ORDER BY {order})"
+                    f" AS __pt_rn FROM ({sql})) WHERE __pt_rn <= {n}"
+                )
+                pend_sort = None
+            elif isinstance(iop, SummarizeOp):
+                kspecs = [self.col_spec(s) for s in iop.keys]
+                aspecs = [self.col_spec(s) for s in iop.aggs]
+                items = (
+                    [_q(pcol)]
+                    + [e for _, e in kspecs]  # items carry their AS
+                    + [e for _, e in aspecs]
+                )
+                # group by output aliases (Spark resolves select aliases
+                # in GROUP BY)
+                group = ", ".join(
+                    [_q(pcol)] + [_q(n) for n, _ in kspecs]
+                )
+                sql = (
+                    f"SELECT {', '.join(items)} FROM ({sql})"
+                    f" GROUP BY {group}"
+                )
+                cols = [pcol] + [n for n, _ in kspecs] + [
+                    n for n, _ in aspecs
+                ]
+                pend_sort = None
+            else:
+                raise ParseError(
+                    "partition: unsupported operator in subquery "
+                    "(where/extend/project/sort/take/top/summarize)",
+                    iop.span,
+                )
+        return sql, cols
 
     def emit_make_series(
         self, op: MakeSeriesOp, sql: str, cols: list[str]
@@ -712,8 +801,31 @@ class _SqlEmitter:
         if isinstance(e, BinaryExpr):
             return self.binary(e, parent_prec)
         if isinstance(e, InExpr):
-            items = ", ".join(self.expr(i) for i in e.items)
-            return f"{self.expr(e.lhs, 2)} IN ({items})"
+            lhs = self.expr(e.lhs, 2)
+            if e.op in ("in", "!in"):
+                items = ", ".join(self.expr(i) for i in e.items)
+                kw = "IN" if e.op == "in" else "NOT IN"
+                return f"{lhs} {kw} ({items})"
+            if e.op in ("in~", "!in~"):
+                items = ", ".join(
+                    f"lower({self.expr(i)})" for i in e.items
+                )
+                kw = "IN" if e.op == "in~" else "NOT IN"
+                return f"lower({lhs}) {kw} ({items})"
+            # has_any / has_all over whole-term matches
+            terms = [
+                "array_contains(split(lower({l}), '[^a-zA-Z0-9]+'),"
+                " lower({r}))".format(l=lhs, r=self.expr(i))
+                for i in e.items
+            ]
+            glue = " OR " if e.op == "has_any" else " AND "
+            return "(" + glue.join(terms) + ")"
+        if isinstance(e, BetweenExpr):
+            pred = (
+                f"{self.expr(e.lhs, 2)} BETWEEN {self.expr(e.lo, 3)}"
+                f" AND {self.expr(e.hi, 3)}"
+            )
+            return f"(NOT ({pred}))" if e.negated else f"({pred})"
         if isinstance(e, IndexExpr):
             return (
                 f"element_at({self.expr(e.base)}, {self.expr(e.index)})"
@@ -809,6 +921,15 @@ class _SqlEmitter:
                     e.span,
                 )
 
+        def lit_int(i: int) -> int:
+            a = args[i]
+            if isinstance(a, NumberLit) and not a.is_float:
+                return int(a.text)
+            raise ParseError(
+                f"{e.func}() argument {i + 1} must be an integer literal",
+                e.span,
+            )
+
         if name in ("row_number", "prev", "next"):
             if self.window is None:
                 raise ParseError(
@@ -866,8 +987,32 @@ class _SqlEmitter:
             argc(1, 1)
             return f"count(CASE WHEN {self.expr(args[0])} THEN 1 END)"
         if name == "dcount":
+            argc(1, 2)
+            if len(args) == 1:
+                return f"count(DISTINCT {self.expr(args[0])})"
+            from .functions import _DCOUNT_RSD
+
+            acc = lit_int(1)
+            return (
+                f"approx_count_distinct({self.expr(args[0])},"
+                f" {_DCOUNT_RSD[acc]})"
+            )
+        if name == "hll":
+            argc(1, 2)
+            from .functions import _HLL_LGK
+
+            if len(args) == 1:
+                return f"hll_sketch_agg({self.expr(args[0])})"
+            return (
+                f"hll_sketch_agg({self.expr(args[0])},"
+                f" {_HLL_LGK[lit_int(1)]})"
+            )
+        if name == "hll_merge":
             argc(1, 1)
-            return f"count(DISTINCT {self.expr(args[0])})"
+            return f"hll_union_agg({self.expr(args[0])})"
+        if name == "dcount_hll":
+            argc(1, 1)
+            return f"hll_sketch_estimate({self.expr(args[0])})"
         if name == "dcountif":
             argc(2, 2)
             return (
@@ -1266,7 +1411,12 @@ def compile_to_sql(
         if stmt is tabular[0]:
             break  # lets after the query are skipped (pql.go:58-62)
         if isinstance(stmt, LetStatement):
-            emitter.scope[stmt.name] = emitter.expr(stmt.expr)
+            if stmt.tabular is not None:
+                # EXTENSION tabular let → named subquery binding (same
+                # mechanism as `as`)
+                emitter.bound[stmt.name] = emitter.emit_query(stmt.tabular)
+            else:
+                emitter.scope[stmt.name] = emitter.expr(stmt.expr)
     try:
         sql, _ = emitter.emit_query(tabular[0])
     except ParseError as e:

@@ -517,7 +517,7 @@ def test_evaluate_pivot(spark):
     }
     assert out[2].a == 12.0
     with pytest.raises(QueryError, match="unknown evaluate plugin"):
-        eng.query("T | evaluate bag_unpack(p)")
+        eng.query("T | evaluate narrow(p)")
     with pytest.raises(QueryError, match="DataFrame backend"):
         compile_to_sql("T | evaluate pivot(p)", {"T": ["k", "p", "v"]})
 
@@ -726,3 +726,76 @@ def test_join_flavor_backend_equivalence(spark, join_tables, join_engine, q):
     df_rows = _rows(join_engine.query(q))
     sql = compile_to_sql(q, lambda n: join_tables[n].columns)
     assert _rows(spark.sql(sql)) == df_rows, sql
+
+
+# ------------------------------------------------- round-2 extensions
+
+
+def test_tabular_let(engine, spark):
+    out = engine.query(
+        "let Odd = T1 | where id % 2 == 1; Odd | summarize n = count()"
+    )
+    assert out.head().n == 3
+    # tabular let usable as a join right side
+    out2 = engine.query(
+        "let Dim = T2 | extend tag2 = extra;"
+        "T1 | lookup (Dim) on id | project id, tag2"
+    )
+    assert out2.columns == ["id", "tag2"]
+
+
+def test_tabular_let_datatable(engine):
+    out = engine.query(
+        "let D = datatable (a: long, b: string) [1, \"x\", 2, \"y\"];"
+        "D | summarize s = sum(a)"
+    )
+    assert out.head().s == 3
+
+
+def test_bag_unpack_json(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [(1, '{"x": 1, "y": "a"}'), (2, '{"x": 2}')], "id long, bag string"
+    )
+    eng = PqlEngine(spark, resolver={"B": df})
+    out = eng.query("B | evaluate bag_unpack(bag)")
+    assert out.columns == ["id", "x", "y"]
+    rows = {r.id: (r.x, r.y) for r in out.collect()}
+    assert rows == {1: ("1", "a"), 2: ("2", None)}
+    pre = eng.query('B | evaluate bag_unpack(bag, "p_")')
+    assert pre.columns == ["id", "p_x", "p_y"]
+
+
+def test_bag_unpack_map(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.sql("SELECT 1 AS id, map('k1', 10, 'k2', 20) AS mp")
+    eng = PqlEngine(spark, resolver={"M": df})
+    out = eng.query("M | evaluate bag_unpack(mp)")
+    assert out.columns == ["id", "k1", "k2"]
+    assert tuple(out.head()) == (1, 10, 20)
+
+
+def test_partition_top(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 8)], "g string, v long"
+    )
+    eng = PqlEngine(spark, resolver={"P": df})
+    out = eng.query("P | partition by g ( top 1 by v )")
+    assert sorted(map(tuple, out.collect())) == [("a", 3), ("b", 9)]
+    out2 = eng.query(
+        "P | partition by g ( where v > 1 | summarize n = count() )"
+    )
+    assert sorted(map(tuple, out2.collect())) == [("a", 2), ("b", 2)]
+
+
+def test_partition_take_requires_sort(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    eng = PqlEngine(spark, resolver={"P": df})
+    with pytest.raises(QueryError, match="needs a preceding sort"):
+        eng.query("P | partition by g ( take 2 )")

@@ -249,3 +249,63 @@ def test_sql_backend_equivalence(spark, tables, engine, q):
     df_rows = _rows(engine.query(q))
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == df_rows, sql
+
+
+# ---------------------------------------------------------------- extensions
+# in-family word operators, between, and sketch aggregates (round 2)
+
+
+def test_in_family_ops(engine):
+    def ids(pred):
+        return sorted(
+            r.id for r in engine.query(f"T | where {pred} | project id")
+            .collect()
+        )
+
+    assert ids("id between (2 .. 3)") == [2, 3]
+    assert ids("id !between (2 .. 3)") == [1, 4]
+    assert ids('s in~ ("HELLO WORLD", "A,B,C,B")') == [1, 4]
+    assert ids("id !in (1, 2)") == [3, 4]
+    assert ids('s !in~ ("HELLO WORLD")') == [2, 4]  # null s drops out
+    assert ids('s has_any ("hello", "pad")') == [1, 2]
+    assert ids('s has_all ("hello", "world")') == [1]
+    assert ids('s has_all ("hello", "zzz")') == []
+
+
+def test_dcount_accuracy_and_hll(engine):
+    row = engine.query(
+        "T | summarize a = dcount(id, 1), e = dcount_hll(hll(id))"
+    ).head()
+    # sparse-mode HLL is exact at tiny cardinalities
+    assert row.a == 4 and row.e == 4
+    merged = engine.query(
+        "T | summarize s = hll(id) by b = id % 2"
+        " | summarize t = dcount_hll(hll_merge(s))"
+    ).head()
+    assert merged.t == 4
+
+
+def test_dcount_accuracy_validation(engine):
+    with pytest.raises(QueryError):
+        engine.query("T | summarize a = dcount(id, v)")  # non-literal
+
+
+EXTRA_EQUIV = [
+    "T | where id between (2 .. 3) | project id",
+    "T | where id !between (2 .. 3) | project id",
+    'T | where s in~ ("HELLO WORLD") | project id',
+    "T | where id !in (1, 2) | project id",
+    'T | where s has_any ("hello", "pad") | project id',
+    'T | where s has_all ("hello", "world") | project id',
+    "T | summarize a = dcount(id, 1)",
+    "T | summarize e = dcount_hll(hll(id))",
+]
+
+
+@pytest.mark.parametrize("q", EXTRA_EQUIV)
+def test_sql_backend_equivalence_extra(spark, tables, engine, q):
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    df_rows = _rows(engine.query(q))
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == df_rows, sql

@@ -47,6 +47,7 @@ def test_sql_backend_matches_dataframe_backend(spark, sf_views, name):
     if (
         "getschema" in text
         or "evaluate pivot" in text
+        or "evaluate bag_unpack" in text
         or "mv-apply" in text
         or "top-nested" in text
     ):
