@@ -441,6 +441,22 @@ class DatatableSource(Node):
 
 
 @dataclass
+class ExternalDataSource(Node):
+    """EXTENSION: ``externaldata (c1: long, c2: string) ["uri", …]
+    with (format="csv", header="true", …)`` — read external files with
+    an explicit schema (KQL externaldata).  Compiles to
+    ``spark.read.format(...).schema(...).load(uris)`` — a real
+    distributed scan (split planning, pushdown, pruning); the explicit
+    schema skips inference's extra pass over the data.  Formats:
+    any Spark DataSource (csv/json/parquet/text/orc…); options pass
+    through to the reader.  DataFrame backend only."""
+
+    schema: list[tuple[str, str]]  # (name, pql type name)
+    uris: list[str]
+    options: list[tuple[str, str]]
+
+
+@dataclass
 class RangeSource(Node):
     """EXTENSION: ``range x from 1 to 100 step 5`` — integer sequence
     source (KQL range operator; bounds inclusive).  Compiles to

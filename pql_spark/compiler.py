@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from . import functions as pf
 from .ast_nodes import (
     BagUnpackOp,
+    ExternalDataSource,
     PartitionOp,
     BetweenExpr,
     AsOp,
@@ -188,6 +189,8 @@ class Compiler:
         try:
             if isinstance(expr.source, DatatableSource):
                 df = self._datatable(expr.source)
+            elif isinstance(expr.source, ExternalDataSource):
+                df = self._externaldata(expr.source)
             elif isinstance(expr.source, RangeSource):
                 df = self._range_source(expr.source)
             else:
@@ -222,6 +225,30 @@ class Compiler:
         emitter = _SqlEmitter(self.source, lambda name: [], {})
         sql, _ = emitter.emit_datatable(src)
         return spark.sql(sql)
+
+    def _externaldata(self, src: ExternalDataSource) -> DataFrame:
+        """``externaldata``: a real distributed file scan with an
+        explicit schema (no inference pass); format/options pass through
+        to the Spark reader, so pushdown/pruning behave like any other
+        ``spark.read`` source."""
+        from pyspark.sql import SparkSession
+
+        from .parser import _DATATABLE_TYPES
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ParseError(
+                "externaldata requires an active SparkSession", src.span
+            )
+        opts = dict(src.options)
+        fmt = opts.pop("format", "csv")
+        schema = ", ".join(
+            f"`{n}` {_DATATABLE_TYPES[t]}" for n, t in src.schema
+        )
+        return (
+            spark.read.format(fmt).schema(schema).options(**opts)
+            .load(list(src.uris))
+        )
 
     def _range_source(self, src: RangeSource) -> DataFrame:
         """``range x from a to b step s`` → ``spark.range`` — a
@@ -1085,7 +1112,10 @@ class Compiler:
             # (SURVEY §7.5.6); missing map key ⇒ NULL (Spark-idiomatic)
             return F.element_at(base, index)
         if isinstance(expr, CallExpr):
-            if expr.func in ("row_number", "prev", "next"):
+            if expr.func in (
+                "row_number", "prev", "next",
+                "row_cumsum", "row_rank_dense", "row_rank_min",
+            ):
                 return self._window_call(expr, env)
             args = [self.compile_expr(a, env) for a in expr.args]
             return pf.compile_call(
@@ -1121,6 +1151,20 @@ class Compiler:
                 raise ParseError("row_number() takes no arguments", expr.span)
             # long, matching BIGINT row_number in ANSI engines
             return F.row_number().over(w).cast("long")
+        if expr.func in ("row_rank_dense", "row_rank_min"):
+            if len(args) != 1:
+                raise ParseError(
+                    f"{expr.func}() takes 1 argument", expr.span
+                )
+            # KQL ranks by the TERM's order, not the serialize order
+            rw = base.orderBy(self.compile_expr(args[0], env))
+            fn = F.dense_rank if expr.func == "row_rank_dense" else F.rank
+            return fn().over(rw).cast("long")
+        if expr.func == "row_cumsum":
+            if len(args) != 1:
+                raise ParseError("row_cumsum() takes 1 argument", expr.span)
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return F.sum(self.compile_expr(args[0], env)).over(frame)
         if not 1 <= len(args) <= 3:
             raise ParseError(
                 f"{expr.func}() takes 1..3 arguments, got {len(args)}",

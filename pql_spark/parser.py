@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    ExternalDataSource,
     PartitionOp,
     BetweenExpr,
     AsOp,
@@ -286,6 +287,57 @@ def _parse_range(p: _P, kw: Token) -> RangeSource:
     )
 
 
+def _parse_externaldata(p: _P, kw: Token) -> ExternalDataSource:
+    """``externaldata (c: type, …) ["uri", …] with (k="v", …)`` (KQL)."""
+    p.expect(TokenKind.LPAREN, "'('")
+    schema: list[tuple[str, str]] = []
+    while True:
+        name = p.take()
+        if name.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected column name", name.span)
+        p.expect(TokenKind.COLON, "':'")
+        ty = p.expect(TokenKind.IDENT, "type name")
+        if ty.value not in _DATATABLE_TYPES:
+            raise ParseError(
+                f"unknown externaldata type {ty.value!r} (supported: "
+                f"{', '.join(sorted(_DATATABLE_TYPES))})",
+                ty.span,
+            )
+        schema.append((name.value, ty.value))
+        if not p.match(TokenKind.COMMA):
+            break
+    p.expect(TokenKind.RPAREN, "')'")
+    p.expect(TokenKind.LBRACKET, "'['")
+    uris: list[str] = []
+    while True:
+        u = p.take()
+        if u.kind is not TokenKind.STRING:
+            raise ParseError("expected URI string literal", u.span)
+        uris.append(u.value)
+        if not p.match(TokenKind.COMMA):
+            break
+    rb = p.expect(TokenKind.RBRACKET, "']'")
+    options: list[tuple[str, str]] = []
+    end = rb.span.end
+    if p.match_word("with"):
+        p.expect(TokenKind.LPAREN, "'('")
+        while True:
+            k = p.expect(TokenKind.IDENT, "option name")
+            p.expect(TokenKind.ASSIGN, "'='")
+            v = p.take()
+            if v.kind is not TokenKind.STRING:
+                raise ParseError("expected option string literal", v.span)
+            options.append((k.value, v.value))
+            if not p.match(TokenKind.COMMA):
+                break
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        end = rp.span.end
+    return ExternalDataSource(
+        schema=schema, uris=uris, options=options,
+        span=Span(kw.span.start, end),
+    )
+
+
 def _parse_datatable(p: _P, kw: Token) -> DatatableSource:
     """``datatable (c1: long, c2: string) [v, v, …]`` — row-major flat
     literal list, like KQL."""
@@ -346,7 +398,7 @@ def _parse_let(tokens: list[Token], source: str) -> LetStatement:
         rest
         and rest[0].kind is TokenKind.IDENT
         and (
-            rest[0].value == "datatable"
+            rest[0].value in ("datatable", "externaldata")
             or (
                 rest[0].value == "range"
                 and len(rest) > 2
@@ -379,9 +431,11 @@ def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
     tok = p.take()
     if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
         raise ParseError("expected table name", tok.span)
-    table: TableRef | DatatableSource | RangeSource
+    table: TableRef | DatatableSource | RangeSource | ExternalDataSource
     if tok.kind is TokenKind.IDENT and tok.value == "datatable":
         table = _parse_datatable(p, tok)
+    elif tok.kind is TokenKind.IDENT and tok.value == "externaldata":
+        table = _parse_externaldata(p, tok)
     elif (
         tok.kind is TokenKind.IDENT
         and tok.value == "range"

@@ -27,6 +27,7 @@ from collections.abc import Callable, Mapping, Sequence
 
 from .ast_nodes import (
     BagUnpackOp,
+    ExternalDataSource,
     BetweenExpr,
     PartitionOp,
     AsOp,
@@ -159,6 +160,11 @@ class _SqlEmitter:
         try:
             if isinstance(expr.source, DatatableSource):
                 sql, cols = self.emit_datatable(expr.source)
+            elif isinstance(expr.source, ExternalDataSource):
+                raise ParseError(
+                    "externaldata requires the DataFrame backend",
+                    expr.source.span,
+                )
             elif isinstance(expr.source, RangeSource):
                 src = expr.source
                 step = self.expr(src.step)
@@ -930,7 +936,10 @@ class _SqlEmitter:
                 e.span,
             )
 
-        if name in ("row_number", "prev", "next"):
+        if name in (
+            "row_number", "prev", "next",
+            "row_cumsum", "row_rank_dense", "row_rank_min",
+        ):
             if self.window is None:
                 raise ParseError(
                     f"{e.func}() requires a preceding 'serialize'", e.span
@@ -948,6 +957,22 @@ class _SqlEmitter:
             if name == "row_number":
                 argc(0, 0)
                 return f"CAST(row_number() OVER ({spec}) AS BIGINT)"
+            if name in ("row_rank_dense", "row_rank_min"):
+                argc(1, 1)
+                # KQL ranks by the TERM's order, not the serialize order
+                rspec = " ".join(
+                    (["PARTITION BY " + ", ".join(_q(p) for p in part)]
+                     if part else [])
+                    + [f"ORDER BY {self.expr(args[0])}"]
+                )
+                fn = "dense_rank" if name == "row_rank_dense" else "rank"
+                return f"CAST({fn}() OVER ({rspec}) AS BIGINT)"
+            if name == "row_cumsum":
+                argc(1, 1)
+                return (
+                    f"sum({self.expr(args[0])}) OVER ({spec} ROWS BETWEEN"
+                    " UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
             argc(1, 3)
             fn = "lag" if name == "prev" else "lead"
             n = self.expr(args[1]) if len(args) >= 2 else "1"

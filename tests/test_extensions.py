@@ -799,3 +799,51 @@ def test_partition_take_requires_sort(spark):
     eng = PqlEngine(spark, resolver={"P": df})
     with pytest.raises(QueryError, match="needs a preceding sort"):
         eng.query("P | partition by g ( take 2 )")
+
+
+def test_externaldata_csv(spark, tmp_path):
+    from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,v\n1,alpha,1.5\n2,beta,2.5\n")
+    eng = PqlEngine(spark, resolver={})
+    q = (
+        f'externaldata (id: long, name: string, v: real) ["{p}"]'
+        ' with (format="csv", header="true")'
+        " | where v > 2 | project id, name"
+    )
+    assert [tuple(r) for r in eng.query(q).collect()] == [(2, "beta")]
+    with pytest.raises(QueryError, match="DataFrame backend"):
+        compile_to_sql(q, {})
+
+
+def test_externaldata_json_multi_uri(spark, tmp_path):
+    from pql_spark import PqlEngine
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text('{"id": 1}\n')
+    b.write_text('{"id": 2}\n')
+    eng = PqlEngine(spark, resolver={})
+    q = f'externaldata (id: long) ["{a}", "{b}"] with (format="json") | sort by id asc'
+    assert [r.id for r in eng.query(q).collect()] == [1, 2]
+
+
+def test_row_cumsum_and_ranks(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 5)], "g string, v long"
+    )
+    eng = PqlEngine(spark, resolver={"W": df})
+    out = eng.query(
+        "W | sort by v asc | serialize by g"
+        " | extend cs = row_cumsum(v), rd = row_rank_dense(v),"
+        "          rm = row_rank_min(v)"
+        " | project g, v, cs, rd, rm"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        ("a", 1, 1, 1, 1), ("a", 2, 3, 2, 2), ("a", 2, 5, 2, 2),
+        ("b", 5, 5, 1, 1),
+    ]
