@@ -175,10 +175,9 @@ def _lit_int(name: str, ast_args: list | None, i: int, span: Span) -> int:
     )
 
 
-# KQL dcount/hll accuracy levels 0..4 → HLL relative error / Datasketches
-# lgConfigK (KQL: 0=1.6%, 1=0.8% default, 2=0.4%, 3=0.28%, 4=0.2%)
-_DCOUNT_RSD = {0: 0.016, 1: 0.008, 2: 0.004, 3: 0.0028, 4: 0.002}
-_HLL_LGK = {0: 10, 1: 12, 2: 14, 3: 16, 4: 18}
+# KQL dcount/hll accuracy levels 0..4 → Datasketches lgConfigK; relative
+# error 1.04/√2^lgk ≈ 1.6 / 0.8 / 0.4 / 0.28 / 0.2 % — KQL's exact tiers
+_HLL_LGK = {0: 12, 1: 14, 2: 16, 3: 17, 4: 18}
 
 
 def build_parse_regex(segments) -> tuple[str, list[str]]:
@@ -277,12 +276,18 @@ def compile_call(
         # dcount(x) is EXACT; dcount(x, accuracy) opts into the KQL-style
         # HLL approximation (accuracy 0..4 → relative error, as in KQL
         # docs) — the scale path: mergeable sketch, no exact-distinct
-        # shuffle explosion
+        # shuffle explosion.  Datasketches HLL (hll_sketch_agg), NOT
+        # approx_count_distinct: Spark's HLL++ allocates dense register
+        # arrays per group and is ~45× slower at tight rsd (measured
+        # 5.5s vs 0.12s at sf0.1); the lgK ladder lands on KQL's error
+        # tiers exactly (1.04/√2^lgk: 1.6/0.8/0.4/0.28/0.2 %)
         _check_argc(name, args, 1, 2, span)
         if len(args) == 1:
             return F.count_distinct(args[0])
         acc = _lit_int(name, ast_args, 1, span)
-        return F.approx_count_distinct(args[0], _DCOUNT_RSD[acc])
+        return F.hll_sketch_estimate(
+            F.hll_sketch_agg(args[0], _HLL_LGK[acc])
+        )
     if lname == "hll":
         # KQL hll(x[, accuracy]) → Datasketches HLL sketch (binary,
         # mergeable with hll_merge; read with dcount_hll)

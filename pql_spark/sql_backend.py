@@ -1015,12 +1015,12 @@ class _SqlEmitter:
             argc(1, 2)
             if len(args) == 1:
                 return f"count(DISTINCT {self.expr(args[0])})"
-            from .functions import _DCOUNT_RSD
+            from .functions import _HLL_LGK
 
             acc = lit_int(1)
             return (
-                f"approx_count_distinct({self.expr(args[0])},"
-                f" {_DCOUNT_RSD[acc]})"
+                f"hll_sketch_estimate(hll_sketch_agg("
+                f"{self.expr(args[0])}, {_HLL_LGK[acc]}))"
             )
         if name == "hll":
             argc(1, 2)
