@@ -1101,6 +1101,25 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM hot WHERE user_id NOT IN (SELECT user_id FROM cold)
         """,
     ),
+    # EXTENSION scan operator: ordered funnel matching (predicates in
+    # Catalyst, tiny automaton in an Arrow kernel).  The sequential
+    # single-active-match semantics are a genuinely iterative algorithm
+    # (a DuckDB list_reduce twin proved NONDETERMINISTIC under parallel
+    # aggregation) → no SQL oracle; rows-only check here, semantics
+    # pinned by hand-computed unit tests (test_extensions.py::test_scan*)
+    # and a python-reference automaton comparison.
+    "pql_scan_funnel": (
+        """
+        events
+        | scan by user_id order by ts asc, event_id asc with (
+            step viewed: event_type == "view";
+            step clicked: event_type == "click";
+            step bought: event_type == "purchase";
+          )
+        | summarize funnels = count() / 3, users = dcount(user_id)
+        """,
+        None,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """
@@ -2085,7 +2104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {name: sql for name, (_, sql) in PQL_QUERIES.items()}
+    # None oracle ⇒ genuinely non-SQL-expressible (iterative/stateful)
+    # → omitted; the driver records a rows-only check for those
+    out = {
+        name: sql
+        for name, (_, sql) in PQL_QUERIES.items()
+        if sql is not None
+    }
     out.update(
         {
             "op_dedup_exact": _DEDUP_EXACT_ORACLE,

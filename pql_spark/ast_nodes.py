@@ -329,6 +329,27 @@ class BagUnpackOp(Op):
 
 
 @dataclass
+class ScanOp(Op):
+    """EXTENSION: ``scan [by K1, K2] [order by T …] with (step s1: pred;
+    step s2: pred; …)`` — ordered sequence matching (simplified KQL scan
+    / funnel detection).  Per key group, rows are scanned in order; a
+    row matching the next pending step advances the active match, and a
+    completed match emits its rows with ``match_id`` (long, per group)
+    and ``step`` (string) columns appended, then matching restarts.
+    Rows outside completed matches are dropped.
+
+    Execution: step predicates are evaluated as Catalyst boolean columns
+    (JVM/codegen); only the tiny linear automaton over those booleans
+    runs in an Arrow-batched ``applyInPandas`` kernel — one shuffle on
+    the group keys.  DataFrame backend only.
+    """
+
+    by: list[Ident]
+    order: list[SortTerm]
+    steps: list[tuple[str, Expr]]
+
+
+@dataclass
 class PartitionOp(Op):
     """``partition by Col ( op | op … )`` — run the subquery over each
     partition-key subtable (KQL partition operator).  Compiled with NO

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from . import functions as pf
 from .ast_nodes import (
     BagUnpackOp,
+    ScanOp,
     ExternalDataSource,
     PartitionOp,
     BetweenExpr,
@@ -505,6 +506,8 @@ class Compiler:
             return self._bag_unpack(df, op)
         if isinstance(op, PartitionOp):
             return self._partition(df, op)
+        if isinstance(op, ScanOp):
+            return self._scan(df, op)
         if isinstance(op, GetSchemaOp):
             rows = [
                 (f.name, i, f.dataType.simpleString())
@@ -751,6 +754,103 @@ class Compiler:
             out_names.extend((kname, aname))
             sel = grouped
         return sel.select(*[F.col(_q(n)) for n in out_names])
+
+    def _scan(self, df: DataFrame, op: ScanOp) -> DataFrame:
+        """Simplified KQL ``scan``: funnel/sequence matching.
+
+        The step predicates are ordinary Catalyst boolean expressions —
+        evaluated JVM-side with whole-stage codegen BEFORE any Python is
+        involved — so the Arrow-batched ``applyInPandas`` kernel only
+        runs a linear automaton over per-group boolean arrays (numpy).
+        One shuffle on the group keys; group order is restored inside
+        the kernel with a stable sort on the scan's order terms, so the
+        result is deterministic on any partitioning.
+        """
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        if not op.order:
+            if self._last_sort is None:
+                raise ParseError(
+                    "scan needs 'order by' (inline or a preceding sort)",
+                    op.span,
+                )
+            order_terms = self._last_sort
+        else:
+            order_terms = op.order
+        env = _Env(df=df)
+        by_names = [i.parts[0] for i in op.by]
+        for b in by_names:
+            if b not in df.columns:
+                raise ParseError(
+                    f"scan by: unknown column {b!r}", op.span
+                )
+        # order terms must be plain columns (the kernel re-sorts the
+        # pandas frame by NAME); computed terms can be extended first
+        order_names: list[str] = []
+        ascending: list[bool] = []
+        for t in order_terms:
+            if not (isinstance(t.expr, Ident) and t.expr.simple):
+                raise ParseError(
+                    "scan order-by terms must be plain columns",
+                    t.expr.span,
+                )
+            order_names.append(t.expr.parts[0])
+            ascending.append(t.asc)
+        k = len(op.steps)
+        names = [n for n, _ in op.steps]
+        preds = [
+            self.compile_expr(e, env).cast("boolean").alias(f"__scan_p{i}")
+            for i, (_, e) in enumerate(op.steps)
+        ]
+        work = df.select("*", *preds)
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("match_id", T.LongType()),
+                T.StructField("step", T.StringType()),
+            ]
+        )
+        drop_cols = [f"__scan_p{i}" for i in range(k)]
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                order_names, ascending=ascending, kind="mergesort"
+            )
+            flags = [
+                pdf[c].fillna(False).to_numpy() for c in drop_cols
+            ]
+            pos, match_id = 0, 0
+            pending: list[tuple[int, str]] = []
+            out_idx: list[int] = []
+            out_mid: list[int] = []
+            out_step: list[str] = []
+            for r in range(len(pdf)):
+                if pos < k and flags[pos][r]:
+                    pending.append((r, names[pos]))
+                    pos += 1
+                    if pos == k:
+                        for rr, st in pending:
+                            out_idx.append(rr)
+                            out_mid.append(match_id)
+                            out_step.append(st)
+                        match_id += 1
+                        pos, pending = 0, []
+            base = pdf.drop(columns=drop_cols)
+            res = base.iloc[out_idx].copy()
+            res["match_id"] = pd.array(out_mid, dtype="int64")
+            res["step"] = out_step
+            return res
+
+        if by_names:
+            grouped = work.groupBy(*[F.col(_q(b)) for b in by_names])
+        else:
+            # single global sequence: one group (single task — fine for
+            # small post-filter inputs; use `by` at scale)
+            grouped = work.groupBy(F.lit(1).alias("__scan_g"))
+        out = grouped.applyInPandas(kernel, out_schema)
+        return out
 
     def _partition(self, df: DataFrame, op: PartitionOp) -> DataFrame:
         """KQL ``partition by Col (…)`` with no per-partition iteration:

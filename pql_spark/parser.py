@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    ScanOp,
     ExternalDataSource,
     PartitionOp,
     BetweenExpr,
@@ -1315,6 +1316,57 @@ def _op_getschema(p: _P, kw: Token) -> Op:
     return GetSchemaOp(span=kw.span)
 
 
+def _op_scan(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``scan [by K…] [order by T…] with (step n: pred; …)``
+    (simplified KQL scan — ordered funnel/sequence matching)."""
+    by: list[Ident] = []
+    order: list[SortTerm] = []
+    if p.match(TokenKind.BY):
+        while True:
+            tok = p.take()
+            if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected group column name", tok.span)
+            by.append(
+                Ident(
+                    parts=[tok.value],
+                    quoted=[tok.kind is TokenKind.QIDENT],
+                    span=tok.span,
+                )
+            )
+            if not p.match(TokenKind.COMMA):
+                break
+    if p.match_word("order"):
+        p.expect(TokenKind.BY, "'by'")
+        while True:
+            order.append(p.parse_sort_term())
+            if not p.match(TokenKind.COMMA):
+                break
+    w = p.expect(TokenKind.IDENT, "'with'")
+    if w.value != "with":
+        raise ParseError("expected 'with'", w.span)
+    p.expect(TokenKind.LPAREN, "'('")
+    steps: list[tuple[str, Expr]] = []
+    while True:
+        s = p.take()
+        if not (s.kind is TokenKind.IDENT and s.value == "step"):
+            raise ParseError("expected 'step'", s.span)
+        name = p.expect(TokenKind.IDENT, "step name")
+        p.expect(TokenKind.COLON, "':'")
+        pred = p.parse_expr()
+        steps.append((name.value, pred))
+        if not p.match(TokenKind.SEMI):
+            break
+        if p.peek() is not None and p.peek().kind is TokenKind.RPAREN:
+            break  # trailing semicolon
+    rp = p.expect(TokenKind.RPAREN, "')'")
+    if not steps:
+        raise ParseError("scan needs at least one step", kw.span)
+    return ScanOp(
+        by=by, order=order, steps=steps,
+        span=Span(kw.span.start, rp.span.end),
+    )
+
+
 def _op_partition(p: _P, kw: Token) -> Op:
     """EXTENSION: ``partition by Col ( op | op … )`` (KQL partition)."""
     p.expect(TokenKind.BY, "'by'")
@@ -1455,6 +1507,7 @@ _OPERATORS = {
     "project-keep": _op_project_keep,
     "project-reorder": _op_project_reorder,
     "getschema": _op_getschema,
+    "scan": _op_scan,
     "partition": _op_partition,
     "make-series": _op_make_series,
     "evaluate": _op_evaluate,

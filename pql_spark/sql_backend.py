@@ -27,6 +27,7 @@ from collections.abc import Callable, Mapping, Sequence
 
 from .ast_nodes import (
     BagUnpackOp,
+    ScanOp,
     ExternalDataSource,
     BetweenExpr,
     PartitionOp,
@@ -454,6 +455,12 @@ class _SqlEmitter:
             )
         if isinstance(op, PartitionOp):
             return self._emit_partition(op, inner, cols)
+        if isinstance(op, ScanOp):
+            raise ParseError(
+                "scan's sequential automaton requires the DataFrame"
+                " backend",
+                op.span,
+            )
         if isinstance(op, SerializeOp):
             if self.last_sort is None:
                 raise ParseError(

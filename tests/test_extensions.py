@@ -847,3 +847,56 @@ def test_row_cumsum_and_ranks(spark):
         ("a", 1, 1, 1, 1), ("a", 2, 3, 2, 2), ("a", 2, 5, 2, 2),
         ("b", 5, 5, 1, 1),
     ]
+
+
+def test_scan_funnel(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view"), (1, 2, "view"), (1, 3, "click"), (1, 4, "buy"),
+            (1, 5, "click"), (1, 6, "buy"),
+            (2, 1, "click"), (2, 2, "buy"),  # no view → no match
+        ],
+        "uid long, t long, e string",
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    out = eng.query(
+        """E | scan by uid order by t asc with (
+             step v: e == "view"; step c: e == "click"; step b: e == "buy")
+           | project uid, match_id, step, t"""
+    )
+    rows = sorted(map(tuple, out.collect()))
+    # one complete match for uid 1: view@1, click@3, buy@4 (greedy,
+    # restart after completion → second view@2 is ignored mid-match)
+    assert rows == [(1, 0, "b", 4), (1, 0, "c", 3), (1, 0, "v", 1)]
+
+
+def test_scan_multiple_matches_and_order(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [(1, i, e) for i, e in enumerate(["a", "b", "a", "x", "b", "a"])],
+        "uid long, t long, e string",
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    out = eng.query(
+        'E | scan by uid order by t asc with (step s1: e == "a";'
+        ' step s2: e == "b") | project match_id, step, t'
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(0, "s1", 0), (0, "s2", 1), (1, "s1", 2), (1, "s2", 4)]
+
+
+def test_scan_requires_order(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame([(1, 1, "a")], "uid long, t long, e string")
+    eng = PqlEngine(spark, resolver={"E": df})
+    with pytest.raises(QueryError, match="order by"):
+        eng.query('E | scan by uid with (step s: e == "a")')
+    # preceding sort supplies the order
+    out = eng.query(
+        'E | sort by t asc | scan by uid with (step s: e == "a")'
+    )
+    assert out.count() == 1
