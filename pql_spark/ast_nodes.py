@@ -180,6 +180,10 @@ class JoinOp(Op):
     flavor: str  # inner | innerunique | leftouter (parser.go:742-746)
     right: "TabularExpr"
     conditions: list[Expr]
+    # EXTENSION: KQL `hint.strategy` — physical-strategy hint mapped to
+    # Spark join hints (broadcast / shuffle_hash / shuffle_merge /
+    # shuffle_replicate_nl); None ⇒ let Catalyst/AQE choose
+    strategy: str | None = None
 
 
 @dataclass

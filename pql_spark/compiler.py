@@ -1105,6 +1105,18 @@ class Compiler:
 
     def _join(self, left: DataFrame, op: JoinOp) -> DataFrame:
         right = self.compile_tabular(op.right)
+        if op.strategy is not None:
+            # KQL hint.strategy → Spark join hint on the right side:
+            # broadcast skips the shuffle entirely (small dims);
+            # shuffle/shuffle_merge force hash/sort-merge when AQE's
+            # stats-based choice would misfire (e.g. badly estimated
+            # UDF-derived inputs).  Hints survive Catalyst verbatim.
+            hint = {
+                "broadcast": "broadcast",
+                "shuffle": "shuffle_hash",
+                "shuffle_merge": "merge",
+            }[op.strategy]
+            right = right.hint(hint)
         if op.flavor == "innerunique":
             # reference dedups the whole left relation — SELECT DISTINCT *
             # (pql.go:201-214); match the reference, not KQL

@@ -162,6 +162,10 @@ _JOIN_FLAVORS = {
     "rightouter", "fullouter",
     "leftsemi", "rightsemi", "leftanti", "rightanti",
 }
+# EXTENSION join physical-strategy hints (KQL hint.strategy) → Spark
+# join hints; `shuffle` = KQL's shufflekey analog (hash-partitioned)
+_JOIN_STRATEGIES = {"broadcast", "shuffle", "shuffle_merge"}
+
 # KQL alias spellings, normalized at parse time
 _JOIN_FLAVOR_ALIASES = {
     "anti": "leftanti",
@@ -843,16 +847,47 @@ def _op_summarize(p: _P, kw: Token) -> Op:
 
 def _op_join(p: _P, kw: Token) -> Op:
     flavor = "innerunique"  # default (parser.go:748-844)
-    if p.match_word("kind"):
-        p.expect(TokenKind.ASSIGN, "'='")
-        f = p.expect(TokenKind.IDENT, "join flavor")
-        flavor = _JOIN_FLAVOR_ALIASES.get(f.value, f.value)
-        if flavor not in _JOIN_FLAVORS:
-            raise ParseError(
-                f"unsupported join flavor {f.value!r} "
-                f"(supported: {', '.join(sorted(_JOIN_FLAVORS))})",
-                f.span,
-            )
+    strategy: str | None = None
+    while True:
+        if p.match_word("kind"):
+            p.expect(TokenKind.ASSIGN, "'='")
+            f = p.expect(TokenKind.IDENT, "join flavor")
+            flavor = _JOIN_FLAVOR_ALIASES.get(f.value, f.value)
+            if flavor not in _JOIN_FLAVORS:
+                raise ParseError(
+                    f"unsupported join flavor {f.value!r} "
+                    f"(supported: {', '.join(sorted(_JOIN_FLAVORS))})",
+                    f.span,
+                )
+            continue
+        # EXTENSION: KQL physical hint `hint.strategy = broadcast|shuffle`
+        nxt = p.peek()
+        if (
+            nxt is not None
+            and nxt.kind is TokenKind.IDENT
+            and nxt.value == "hint"
+            and p.peek(1) is not None
+            and p.peek(1).kind is TokenKind.DOT
+        ):
+            p.take(); p.take()
+            prop = p.expect(TokenKind.IDENT, "hint name")
+            if prop.value != "strategy":
+                raise ParseError(
+                    f"unsupported join hint {prop.value!r}"
+                    " (supported: strategy)",
+                    prop.span,
+                )
+            p.expect(TokenKind.ASSIGN, "'='")
+            sv = p.expect(TokenKind.IDENT, "strategy name")
+            if sv.value not in _JOIN_STRATEGIES:
+                raise ParseError(
+                    f"unsupported join strategy {sv.value!r} (supported: "
+                    f"{', '.join(sorted(_JOIN_STRATEGIES))})",
+                    sv.span,
+                )
+            strategy = sv.value
+            continue
+        break
     p.expect(TokenKind.LPAREN, "'(' before join right side")
     # capture tokens of the nested tabular expression up to balanced ')'
     depth = 1
@@ -877,6 +912,7 @@ def _op_join(p: _P, kw: Token) -> Op:
         flavor=flavor,
         right=right,
         conditions=conditions,
+        strategy=strategy,
         span=Span(kw.span.start, conditions[-1].span.end),
     )
 

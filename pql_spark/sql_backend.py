@@ -728,6 +728,18 @@ class _SqlEmitter:
         self, op: JoinOp, left_sql: str, left_cols: list[str]
     ) -> tuple[str, list[str]]:
         right_sql, right_cols = self.emit_query(op.right)
+        if op.strategy is not None:
+            # KQL hint.strategy → Spark SQL join hint on the right
+            # alias (hints pass through Catalyst verbatim)
+            hint = {
+                "broadcast": "BROADCAST",
+                "shuffle": "SHUFFLE_HASH",
+                "shuffle_merge": "MERGE",
+            }[op.strategy]
+            right_sql = (
+                f"SELECT /*+ {hint}(__pql_hinted) */ * FROM"
+                f" ({right_sql}) AS __pql_hinted"
+            )
         if op.flavor == "innerunique":  # dedup whole left (pql.go:201-214)
             left_sql = f"SELECT DISTINCT * FROM ({left_sql})"
         kind = {

@@ -900,3 +900,36 @@ def test_scan_requires_order(spark):
         'E | sort by t asc | scan by uid with (step s: e == "a")'
     )
     assert out.count() == 1
+
+
+def test_join_strategy_hints(spark):
+    from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(0, 10).selectExpr("id AS k", "id AS w")
+    eng = PqlEngine(spark, resolver={"L": left, "R": right})
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = eng.query(
+            "L | join kind=inner hint.strategy=broadcast (R) on k | count"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        df2 = eng.query(
+            "L | join kind=inner hint.strategy=shuffle_merge (R) on k"
+            " | count"
+        )
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan2
+        assert df.head()["count()"] == df2.head()["count()"] == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    with pytest.raises(QueryError, match="unsupported join strategy"):
+        eng.query("L | join hint.strategy=nested (R) on k")
+    # SQL backend carries the hint too
+    sql = compile_to_sql(
+        "L | join kind=inner hint.strategy=broadcast (R) on k",
+        {"L": ["k", "v"], "R": ["k", "w"]},
+    )
+    assert "/*+ BROADCAST" in sql
