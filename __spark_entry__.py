@@ -2037,9 +2037,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
     # reference PQL surface (§2 operators + core semantics)
-    "pql_q1_pricing", "pql_count", "pql_top", "pql_sort_take",
+    "pql_q1_pricing", "pql_count", "pql_top",
     "pql_join_inner", "pql_join_leftouter", "pql_join_innerunique",
-    "pql_join_leftanti", "pql_join_fullouter",
+    "pql_in_family", "pql_partition_op", "pql_sketch_fns",
     "pql_predicates", "pql_null_semantics", "pql_let_arith", "pql_in",
     "pql_summarize_by", "pql_as_selfjoin", "pql_render", "pql_index",
     "pql_extend", "pql_json_props", "pql_distinct_op", "pql_union_op",
