@@ -1120,6 +1120,27 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         """,
         None,
     ),
+    # EXTENSION sample-distinct + toscalar scalar subquery
+    "pql_sample_distinct": (
+        """
+        let cut = toscalar(events | summarize avg(value));
+        events
+        | sample-distinct 5 of user_id
+        | where value > cut
+        | summarize n = count(), u = dcount(user_id)
+        """,
+        f"""
+        WITH vals AS (
+          SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+          ORDER BY ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT, user_id
+          LIMIT 5)
+        SELECT count(*) AS n, count(DISTINCT user_id) AS u
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM vals)
+          AND value > (SELECT avg(value) FROM events)
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

@@ -93,6 +93,17 @@ class BetweenExpr(Expr):
 
 
 @dataclass
+class ToScalarExpr(Expr):
+    """EXTENSION: ``toscalar(<tabular expr>)`` — the first column of the
+    first row of a subquery, usable anywhere a scalar fits (KQL
+    toscalar).  Evaluated EAGERLY at compile time (one driver-side
+    ``head()`` action) and inlined as a literal — so downstream filters
+    using it still push down to the scan."""
+
+    tab: "TabularExpr"
+
+
+@dataclass
 class IndexExpr(Expr):
     base: Expr
     index: Expr
@@ -276,6 +287,18 @@ class SampleOp(Op):
 
     rate: float
     key: Ident
+
+
+@dataclass
+class SampleDistinctOp(Op):
+    """``sample-distinct <N> of <Col>`` — keep rows whose Col is among N
+    DETERMINISTICALLY chosen distinct values (lowest md5 hash — KQL's
+    sample-distinct is random; determinism keeps it reproducible and
+    oracle-checkable).  Plan: distinct → hash-rank top-N (a tiny
+    TakeOrdered on distinct values) → broadcast semi-join back."""
+
+    count: Expr
+    col: Ident
 
 
 @dataclass

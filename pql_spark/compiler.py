@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from . import functions as pf
 from .ast_nodes import (
     BagUnpackOp,
+    ToScalarExpr,
+    SampleDistinctOp,
     ScanOp,
     ExternalDataSource,
     PartitionOp,
@@ -405,6 +407,25 @@ class Compiler:
             return df.select("*", exploded.alias(name))
         if isinstance(op, MakeSeriesOp):
             return self._make_series(df, op, env)
+        if isinstance(op, SampleDistinctOp):
+            from .operators.sampling import _bucket
+
+            col = op.col.parts[0]
+            if col not in df.columns:
+                raise ParseError(
+                    f"sample-distinct: unknown column {col!r}", op.span
+                )
+            n = self._const_int(op.count)
+            # distinct → md5-rank top-N (TakeOrdered over the tiny
+            # distinct set) → broadcast semi-join back; deterministic on
+            # any cluster, no full-table shuffle
+            vals = (
+                df.select(F.col(_q(col)))
+                .distinct()
+                .orderBy(_bucket(F.col(_q(col))), F.col(_q(col)))
+                .limit(n)
+            )
+            return df.join(F.broadcast(vals), col, "left_semi")
         if isinstance(op, SampleOp):
             from .operators.sampling import _SPACE, _bucket
 
@@ -1217,6 +1238,23 @@ class Compiler:
                 lhs <= self.compile_expr(expr.hi, env)
             )
             return ~rng if expr.negated else rng
+        if isinstance(expr, ToScalarExpr):
+            sub = self.compile_tabular(expr.tab)
+            head = sub.head()
+            value = head[0] if head is not None else None
+            if value is not None and not isinstance(
+                value, (int, float, str, bool, bytes)
+            ):
+                # timestamps/arrays: lit() handles datetime + lists
+                try:
+                    return F.lit(value)
+                except Exception as e:  # noqa: BLE001
+                    raise ParseError(
+                        f"toscalar: unsupported scalar type"
+                        f" {type(value).__name__}: {e}",
+                        expr.span,
+                    ) from None
+            return F.lit(value)
         if isinstance(expr, IndexExpr):
             base = self.compile_expr(expr.base, env)
             index = self.compile_expr(expr.index, env)

@@ -15,6 +15,8 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    ToScalarExpr,
+    SampleDistinctOp,
     ScanOp,
     ExternalDataSource,
     PartitionOp,
@@ -690,9 +692,30 @@ class _P:
                 and nxt is not None
                 and nxt.kind is TokenKind.LPAREN
             ):
+                if tok.value == "toscalar":
+                    return self._parse_toscalar(tok)
                 return self._parse_call(tok)
             return self._parse_qualified(tok)
         raise ParseError(f"unexpected {tok.value!r} in expression", tok.span)
+
+    def _parse_toscalar(self, kw: Token) -> Expr:
+        """``toscalar( <tabular expr> )`` — capture the balanced token
+        run and parse it as a nested pipeline."""
+        self.expect(TokenKind.LPAREN, "'('")
+        depth, inner = 1, []
+        while True:
+            tok = self.take()
+            if tok.kind is TokenKind.LPAREN:
+                depth += 1
+            elif tok.kind is TokenKind.RPAREN:
+                depth -= 1
+                if depth == 0:
+                    break
+            inner.append(tok)
+        tab = _parse_tabular(inner, self.source)
+        return ToScalarExpr(
+            tab=tab, span=Span(kw.span.start, tok.span.end)
+        )
 
     def _parse_call(self, fn: Token) -> Expr:
         self.expect(TokenKind.LPAREN, "'('")
@@ -1206,6 +1229,26 @@ def _op_parse(p: _P, kw: Token) -> Op:
     )
 
 
+def _op_sample_distinct(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``sample-distinct N of Col`` — N deterministic
+    distinct values of Col (lowest md5 hash), rows filtered to them."""
+    count = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'of'")
+    if w.value != "of":
+        raise ParseError("expected 'of'", w.span)
+    col_tok = p.take()
+    if col_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError("expected column name", col_tok.span)
+    col = Ident(
+        parts=[col_tok.value],
+        quoted=[col_tok.kind is TokenKind.QIDENT],
+        span=col_tok.span,
+    )
+    return SampleDistinctOp(
+        count=count, col=col, span=Span(kw.span.start, col_tok.span.end)
+    )
+
+
 def _op_sample(p: _P, kw: Token) -> Op:
     """EXTENSION: ``sample <rate> by <Key>`` — deterministic hash
     sample (reproducible, unlike KQL's random sample)."""
@@ -1538,6 +1581,7 @@ _OPERATORS = {
     "search": _op_search,
     "serialize": _op_serialize,
     "sample": _op_sample,
+    "sample-distinct": _op_sample_distinct,
     "top-hitters": _op_top_hitters,
     "project-rename": _op_project_rename,
     "project-keep": _op_project_keep,

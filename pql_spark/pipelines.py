@@ -109,9 +109,14 @@ def curate_corpus(
     # through the anti-join's lineage (measured 22-38s vs ~9s at sf0.1).
     kept = kept.persist()
 
-    # near-dup removal: drop the higher id of every similar pair
+    # near-dup removal: drop the higher id of every similar pair.
+    # 32 perms / 8 bands (r=4) halve the signature work vs the 64/16
+    # default while keeping ~98.5% pair recall at s=0.8 — the curation
+    # trade (the detector's exactness lives in the verify stage either
+    # way; only candidate recall changes)
     pairs = minhash_dup_pairs(
         kept, text_col=text_col, id_col=id_col,
+        num_perm=32, bands=8,
         threshold=near_dup_threshold,
     )
     drops = pairs.select(F.col("id_b").alias(id_col))

@@ -27,6 +27,8 @@ from collections.abc import Callable, Mapping, Sequence
 
 from .ast_nodes import (
     BagUnpackOp,
+    ToScalarExpr,
+    SampleDistinctOp,
     ScanOp,
     ExternalDataSource,
     BetweenExpr,
@@ -363,6 +365,21 @@ class _SqlEmitter:
             return f"SELECT *, {', '.join(extras)} FROM {inner}", out
         if isinstance(op, MakeSeriesOp):
             return self.emit_make_series(op, sql, cols)
+        if isinstance(op, SampleDistinctOp):
+            col = _q(op.col.parts[0])
+            n = self.expr(op.count)
+            bucket = (
+                f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 8),"
+                f" 16, 10) AS BIGINT)"
+            )
+            sub = (
+                f"SELECT {col} FROM (SELECT DISTINCT {col} FROM {inner})"
+                f" ORDER BY {bucket}, {col} LIMIT {n}"
+            )
+            return (
+                f"SELECT * FROM {inner} WHERE {col} IN ({sub})",
+                cols,
+            )
         if isinstance(op, SampleOp):
             key = op.key.parts[0]
             if key not in cols:
@@ -851,6 +868,12 @@ class _SqlEmitter:
                 f" AND {self.expr(e.hi, 3)}"
             )
             return f"(NOT ({pred}))" if e.negated else f"({pred})"
+        if isinstance(e, ToScalarExpr):
+            sub_sql, sub_cols = self.emit_query(e.tab)
+            first = _q(sub_cols[0]) if sub_cols else "*"
+            return (
+                f"(SELECT {first} FROM ({sub_sql}) LIMIT 1)"
+            )
         if isinstance(e, IndexExpr):
             return (
                 f"element_at({self.expr(e.base)}, {self.expr(e.index)})"

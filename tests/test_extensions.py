@@ -933,3 +933,54 @@ def test_join_strategy_hints(spark):
         {"L": ["k", "v"], "R": ["k", "w"]},
     )
     assert "/*+ BROADCAST" in sql
+
+
+def test_sample_distinct(spark):
+    from pql_spark import PqlEngine, compile_to_sql
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id long, g long"
+    )
+    eng = PqlEngine(spark, resolver={"S": df})
+    out = eng.query("S | sample-distinct 3 of g | summarize u = dcount(g)")
+    assert out.head().u == 3
+    # deterministic: same values every run
+    a = sorted(
+        r.g for r in eng.query("S | sample-distinct 3 of g | distinct g")
+        .collect()
+    )
+    b = sorted(
+        r.g for r in eng.query("S | sample-distinct 3 of g | distinct g")
+        .collect()
+    )
+    assert a == b and len(a) == 3
+    df.createOrReplaceTempView("S")
+    sql = compile_to_sql(
+        "S | sample-distinct 3 of g | distinct g", {"S": ["id", "g"]}
+    )
+    c = sorted(r.g for r in spark.sql(sql).collect())
+    assert c == a
+
+
+def test_toscalar(spark):
+    from pql_spark import PqlEngine, compile_to_sql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    eng = PqlEngine(spark, resolver={"T": df})
+    out = eng.query(
+        "T | where v > toscalar(T | summarize avg(v)) | project id"
+    )
+    assert [r.id for r in out.collect()] == [3]
+    # let-bound scalar subquery
+    out2 = eng.query(
+        "let m = toscalar(T | summarize max(v)); T | where v == m | count"
+    )
+    assert out2.head()["count()"] == 1
+    df.createOrReplaceTempView("T")
+    sql = compile_to_sql(
+        "T | where v > toscalar(T | summarize avg(v)) | project id",
+        {"T": ["id", "v"]},
+    )
+    assert [r.id for r in spark.sql(sql).collect()] == [3]
