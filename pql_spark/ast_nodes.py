@@ -523,6 +523,18 @@ class TabularExpr(Node):
 
 
 @dataclass
+class FuncDef(Node):
+    """EXTENSION: a let-bound scalar function
+    ``let f = (x: long, y: string) { <expr> };`` (KQL stored function,
+    scalar-expression body).  Calls inline the body with arguments
+    substituted — zero runtime dispatch, the inlined expression fuses
+    into codegen like any other."""
+
+    params: list[tuple[str, str | None]]  # (name, declared type or None)
+    body: "Expr"
+
+
+@dataclass
 class LetStatement(Node):
     """``let name = scalar_expr;`` (reference semantics, pql.go:57-72)
     or EXTENSION ``let name = <tabular expr>;`` (KQL tabular let — the
@@ -532,6 +544,7 @@ class LetStatement(Node):
     name: str
     expr: Expr | None
     tabular: "TabularExpr | None" = None
+    func: "FuncDef | None" = None
 
 
 Statement = TabularExpr | LetStatement

@@ -136,6 +136,8 @@ class _JoinEnv:
 class _Env:
     df: DataFrame | None
     join: _JoinEnv | None = None
+    # let-function parameter bindings (innermost call inlining scope)
+    locals: "dict[str, Column] | None" = None
 
 
 @dataclass
@@ -144,6 +146,8 @@ class Compiler:
     resolver: Resolver
     params: dict[str, object] = field(default_factory=dict)
     lets: dict[str, Expr] = field(default_factory=dict)
+    let_funcs: dict = field(default_factory=dict)  # name -> FuncDef
+    _inlining: set = field(default_factory=set)  # recursion guard
     bindings: dict[str, DataFrame] = field(default_factory=dict)
     _alias_counter: int = 0
     # window state for serialize/row_number/prev/next (per pipeline)
@@ -157,7 +161,10 @@ class Compiler:
         for stmt in statements:
             if isinstance(stmt, LetStatement):
                 if tabular is None:  # lets after the query are skipped
-                    if stmt.tabular is not None:
+                    if stmt.func is not None:
+                        # EXTENSION stored function: inlined at call sites
+                        self.let_funcs[stmt.name] = stmt.func
+                    elif stmt.tabular is not None:
                         # EXTENSION tabular let: bind the compiled
                         # DataFrame under the name (shadows the catalog,
                         # same scope as `as` bindings)
@@ -1262,6 +1269,38 @@ class Compiler:
             # (SURVEY §7.5.6); missing map key ⇒ NULL (Spark-idiomatic)
             return F.element_at(base, index)
         if isinstance(expr, CallExpr):
+            if expr.func in self.let_funcs:
+                if expr.func in self._inlining:
+                    raise ParseError(
+                        f"recursive let-function {expr.func!r}"
+                        " is not supported",
+                        expr.span,
+                    )
+                fd = self.let_funcs[expr.func]
+                if len(expr.args) != len(fd.params):
+                    raise ParseError(
+                        f"{expr.func}() takes {len(fd.params)}"
+                        f" argument(s), got {len(expr.args)}",
+                        expr.span,
+                    )
+                from .parser import _DATATABLE_TYPES
+
+                bound: dict[str, Column] = {}
+                for (pname, ptype), arg in zip(fd.params, expr.args):
+                    c = self.compile_expr(arg, env)
+                    if ptype is not None:
+                        c = c.cast(_DATATABLE_TYPES[ptype])
+                    bound[pname] = c
+                # inline the body with parameters bound — a pure
+                # expression-tree substitution, fused into codegen
+                self._inlining.add(expr.func)
+                try:
+                    return self.compile_expr(
+                        fd.body,
+                        _Env(df=env.df, join=env.join, locals=bound),
+                    )
+                finally:
+                    self._inlining.discard(expr.func)
             if expr.func in (
                 "row_number", "prev", "next",
                 "row_cumsum", "row_rank_dense", "row_rank_min",
@@ -1416,8 +1455,10 @@ class Compiler:
     def _ident(self, expr: Ident, env: _Env) -> Column:
         if expr.simple and not expr.quoted[0]:
             name = expr.parts[0]
-            # scope resolution order mirrors pql.go:604-610:
-            # params, then lets, then builtins, then columns
+            # scope resolution order mirrors pql.go:604-610: function
+            # parameters (innermost), then params, lets, builtins, columns
+            if env.locals is not None and name in env.locals:
+                return env.locals[name]
             if name in self.params:
                 return F.lit(self.params[name])
             if name in self.lets:

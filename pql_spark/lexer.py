@@ -55,6 +55,9 @@ class TokenKind(enum.Enum):
     MOD = "%"
     CI_EQ = "=~"
     CI_NE = "!~"
+    # EXTENSION: braces for let-function bodies `let f = (x: long) { … }`
+    LBRACE = "{"
+    RBRACE = "}"
     # EXTENSION: range separator for `between (lo .. hi)` (KQL)
     DOTDOT = ".."
 
@@ -100,6 +103,8 @@ _SINGLE = {
     ")": TokenKind.RPAREN,
     "[": TokenKind.LBRACKET,
     "]": TokenKind.RBRACKET,
+    "{": TokenKind.LBRACE,
+    "}": TokenKind.RBRACE,
     "+": TokenKind.PLUS,
     "-": TokenKind.MINUS,
     "*": TokenKind.STAR,

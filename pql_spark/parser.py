@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    FuncDef,
     ToScalarExpr,
     SampleDistinctOp,
     ScanOp,
@@ -397,6 +398,24 @@ def _parse_let(tokens: list[Token], source: str) -> LetStatement:
     name = p.expect(TokenKind.IDENT, "let binding name")
     p.expect(TokenKind.ASSIGN, "'='")
     rest = tokens[p.i :]
+    # EXTENSION (KQL stored function): `let f = (x: long, …) { expr };`
+    # — `(params…) {` after `=` is unambiguous (a parenthesized scalar
+    # expression is never followed by `{`)
+    if rest and rest[0].kind is TokenKind.LPAREN:
+        depth = 0
+        for j, t in enumerate(rest):
+            if t.kind is TokenKind.LPAREN:
+                depth += 1
+            elif t.kind is TokenKind.RPAREN:
+                depth -= 1
+                if depth == 0:
+                    break
+        if (
+            depth == 0
+            and j + 1 < len(rest)
+            and rest[j + 1].kind is TokenKind.LBRACE
+        ):
+            return _parse_let_func(p, kw, name)
     # EXTENSION (KQL tabular let; the reference rejects it): a RHS with a
     # top-level `|`, or a datatable/range source, binds a TABLE.  A bare
     # identifier stays a scalar substitution (reference semantics).
@@ -425,6 +444,41 @@ def _parse_let(tokens: list[Token], source: str) -> LetStatement:
     p.expect_end()
     return LetStatement(
         name=name.value, expr=expr, span=Span(kw.span.start, expr.span.end)
+    )
+
+
+def _parse_let_func(p: _P, kw: Token, name: Token) -> LetStatement:
+    """``let f = (x: long[, …]) { <scalar expr> };`` — parse the param
+    list and brace-delimited body."""
+    p.expect(TokenKind.LPAREN, "'('")
+    params: list[tuple[str, str | None]] = []
+    if p.peek() is not None and p.peek().kind is not TokenKind.RPAREN:
+        while True:
+            pn = p.take()
+            if pn.kind is not TokenKind.IDENT:
+                raise ParseError("expected parameter name", pn.span)
+            ty: str | None = None
+            if p.match(TokenKind.COLON):
+                tt = p.expect(TokenKind.IDENT, "type name")
+                if tt.value not in _DATATABLE_TYPES:
+                    raise ParseError(
+                        f"unknown parameter type {tt.value!r}", tt.span
+                    )
+                ty = tt.value
+            params.append((pn.value, ty))
+            if not p.match(TokenKind.COMMA):
+                break
+    p.expect(TokenKind.RPAREN, "')'")
+    p.expect(TokenKind.LBRACE, "'{'")
+    body = p.parse_expr()
+    rb = p.expect(TokenKind.RBRACE, "'}'")
+    p.expect_end()
+    fd = FuncDef(
+        params=params, body=body, span=Span(kw.span.start, rb.span.end)
+    )
+    return LetStatement(
+        name=name.value, expr=None, func=fd,
+        span=Span(kw.span.start, rb.span.end),
     )
 
 

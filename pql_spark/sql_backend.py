@@ -150,6 +150,8 @@ class _SqlEmitter:
         self.columns_of = columns_of
         self.scope: dict[str, str] = {k: _lit(v) for k, v in params.items()}
         self.bound: dict[str, tuple[str, list[str]]] = {}  # `as` bindings
+        self.let_funcs: dict = {}  # name -> FuncDef (inlined at calls)
+        self._inlining: set = set()  # recursion guard
         self.join_sides: tuple[list[str], list[str]] | None = None
         # window state for serialize/row_number/prev/next
         self.last_sort: list[SortTerm] | None = None
@@ -958,6 +960,33 @@ class _SqlEmitter:
     def call(self, e: CallExpr) -> str:
         name = e.func.lower()
         args = e.args
+        if e.func in self.let_funcs:
+            if e.func in self._inlining:
+                raise ParseError(
+                    f"recursive let-function {e.func!r} is not supported",
+                    e.span,
+                )
+            fd = self.let_funcs[e.func]
+            if len(args) != len(fd.params):
+                raise ParseError(
+                    f"{e.func}() takes {len(fd.params)} argument(s),"
+                    f" got {len(args)}",
+                    e.span,
+                )
+            from .parser import _DATATABLE_TYPES
+
+            saved = dict(self.scope)
+            self._inlining.add(e.func)
+            try:
+                for (pname, ptype), a in zip(fd.params, args):
+                    sql = self.expr(a)
+                    if ptype is not None:
+                        sql = f"CAST({sql} AS {_DATATABLE_TYPES[ptype]})"
+                    self.scope[pname] = sql
+                return f"({self.expr(fd.body)})"
+            finally:
+                self.scope = saved
+                self._inlining.discard(e.func)
 
         def argc(n_min: int, n_max: int) -> None:
             if not (n_min <= len(args) <= n_max):
@@ -1478,7 +1507,9 @@ def compile_to_sql(
         if stmt is tabular[0]:
             break  # lets after the query are skipped (pql.go:58-62)
         if isinstance(stmt, LetStatement):
-            if stmt.tabular is not None:
+            if stmt.func is not None:
+                emitter.let_funcs[stmt.name] = stmt.func
+            elif stmt.tabular is not None:
                 # EXTENSION tabular let → named subquery binding (same
                 # mechanism as `as`)
                 emitter.bound[stmt.name] = emitter.emit_query(stmt.tabular)

@@ -984,3 +984,29 @@ def test_toscalar(spark):
         {"T": ["id", "v"]},
     )
     assert [r.id for r in spark.sql(sql).collect()] == [3]
+
+
+def test_let_functions(spark):
+    from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    eng = PqlEngine(spark, resolver={"T": df})
+    q = (
+        "let dbl = (x: long) { x * 2 };"
+        'let label = (x: long, s: string)'
+        ' { strcat(s, "-", tostring(dbl(x))) };'
+        "T | extend y = dbl(id), lab = label(id, s) | project id, y, lab"
+    )
+    rows = sorted(map(tuple, eng.query(q).collect()))
+    assert rows == [(1, 2, "a-2"), (2, 4, "b-4")]
+    df.createOrReplaceTempView("T")
+    rows2 = sorted(
+        map(tuple, spark.sql(
+            compile_to_sql(q, {"T": ["id", "s"]})
+        ).collect())
+    )
+    assert rows2 == rows
+    with pytest.raises(QueryError, match="argument"):
+        eng.query("let f = (x: long) { x }; T | extend y = f(id, id)")
+    with pytest.raises(QueryError, match="recursive"):
+        eng.query("let f = (x: long) { f(x) }; T | extend y = f(id)")
