@@ -1141,6 +1141,26 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
           AND value > (SELECT avg(value) FROM events)
         """,
     ),
+    # EXTENSION stored let-functions (inlined, typed params)
+    "pql_let_fn": (
+        """
+        let tier = (v: real) { case(v < 100.0, "low",
+                                    v < 250.0, "mid", "high") };
+        let pair = (a: string, b: string) { strcat(a, ":", b) };
+        events
+        | summarize n = count()
+            by k = pair(event_type, tier(value))
+        | sort by k asc
+        """,
+        """
+        SELECT event_type || ':' ||
+               CASE WHEN value < 100.0 THEN 'low'
+                    WHEN value < 250.0 THEN 'mid'
+                    ELSE 'high' END AS k,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY k
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """
