@@ -1141,6 +1141,46 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
           AND value > (SELECT avg(value) FROM events)
         """,
     ),
+    # EXTENSION series_outliers: per-bin z-score anomaly detection over
+    # make-series arrays, flattened to scalar rows via mv-expand zip
+    "pql_series_outliers": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend z = series_outliers(n)
+        | mv-expand n, z, ts
+        | project event_type, ts, n, z = round(z, 4)
+        | sort by event_type asc, ts asc
+        """,
+        """
+        WITH f AS (SELECT event_type, ts FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-31'),
+        g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n
+              FROM f GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, j.i, coalesce(g.n, 0) AS n
+                 FROM (SELECT DISTINCT event_type FROM f) t
+                 CROSS JOIN (SELECT unnest(range(0, 30)) AS i) j
+                 LEFT JOIN g ON g.event_type = t.event_type
+                            AND g.i = j.i),
+        s AS (SELECT event_type, i, n,
+                     avg(n) OVER (PARTITION BY event_type) AS m,
+                     stddev_pop(n) OVER (PARTITION BY event_type) AS sd
+              FROM grid)
+        SELECT event_type,
+               TIMESTAMP '2024-01-01' + to_microseconds(i * 86400000000)
+                   AS ts,
+               n,
+               round(CASE WHEN sd > 0 THEN (n - m) / sd ELSE 0.0 END, 4)
+                   AS z
+        FROM s ORDER BY event_type, ts
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """

@@ -313,6 +313,33 @@ def compile_call(
     # EXTENSION (KQL series_* over array columns — the make-series
     # companions).  All-double arithmetic; element-only lambdas, so no
     # HOF re-evaluation hazard (the array is a plain column reference).
+    if lname == "series_outliers":
+        # per-element population z-scores over the series (simplified
+        # KQL series_outliers: flags |z| spikes; zero-variance series →
+        # all-zero).  The mean/std subtrees are re-evaluated per element
+        # (no CSE into interpreted lambdas) — fine for make-series
+        # arrays, whose length is the bin count, not the row count.
+        _check_argc(name, args, 1, 1, span)
+        arr = args[0]
+        n = F.size(arr).cast("double")
+        mean = F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ) / n
+        var = (
+            F.aggregate(
+                arr,
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (x.cast("double") - mean) * (x.cast("double") - mean),
+            )
+            / n
+        )
+        std = F.sqrt(var)
+        return F.transform(
+            arr,
+            lambda x: F.when(std > 0.0, (x.cast("double") - mean) / std)
+            .otherwise(F.lit(0.0)),
+        )
     if lname == "series_sum":
         _check_argc(name, args, 1, 1, span)
         return F.aggregate(

@@ -1122,6 +1122,23 @@ class _SqlEmitter:
                 f"{fn}(CASE WHEN {self.expr(args[1])}"
                 f" THEN {self.expr(args[0])} END)"
             )
+        if name == "series_outliers":
+            argc(1, 1)
+            a = self.expr(args[0])
+            mean = (
+                f"(aggregate({a}, 0.0D, (acc, x) ->"
+                f" acc + CAST(x AS DOUBLE)) / size({a}))"
+            )
+            std = (
+                f"sqrt(aggregate({a}, 0.0D, (acc, x) ->"
+                f" acc + (CAST(x AS DOUBLE) - {mean})"
+                f" * (CAST(x AS DOUBLE) - {mean})) / size({a}))"
+            )
+            return (
+                f"transform({a}, x -> CASE WHEN {std} > 0.0D THEN"
+                f" (CAST(x AS DOUBLE) - {mean}) / {std}"
+                f" ELSE 0.0D END)"
+            )
         if name == "series_sum":
             argc(1, 1)
             a = self.expr(args[0])

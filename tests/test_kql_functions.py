@@ -309,3 +309,20 @@ def test_sql_backend_equivalence_extra(spark, tables, engine, q):
     df_rows = _rows(engine.query(q))
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == df_rows, sql
+
+
+def test_series_outliers(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 10.0]), (2, [5.0, 5.0]), (3, [])],
+        "id long, arr array<double>",
+    )
+    eng = PqlEngine(spark, resolver={"S": df})
+    out = {
+        r.id: r.z
+        for r in eng.query("S | extend z = series_outliers(arr)").collect()
+    }
+    assert [round(v, 4) for v in out[1]] == [-0.5774, -0.5774, -0.5774, 1.7321]
+    assert out[2] == [0.0, 0.0]  # zero variance
+    assert out[3] == []
