@@ -97,6 +97,11 @@ Resolver = Callable[[str], DataFrame]
 
 _BUILTIN_IDENTS = {"true": True, "false": False}  # pql.go:557-561
 
+# bag_unpack key-discovery guardrail: the distinct key set is collected
+# to the driver (like pivot value discovery) — bounded so adversarial
+# high-cardinality bags error instead of OOMing the driver
+BAG_UNPACK_MAX_KEYS = 1000
+
 
 def _q(name: str) -> str:
     """Backtick-escape a column/alias name for F.col()."""
@@ -153,6 +158,9 @@ class Compiler:
     # window state for serialize/row_number/prev/next (per pipeline)
     _last_sort: list[SortTerm] | None = None
     _window: tuple[list[str], list[SortTerm]] | None = None
+    # toscalar(...) memo: source span → evaluated value; repeated
+    # references (e.g. a let bound to toscalar) trigger ONE Spark action
+    _toscalar_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------ statements
 
@@ -401,8 +409,34 @@ class Compiler:
             if len(op.cols) > 1:
                 return self._mv_expand_zip(df, op, env)
             # explode drops null/empty collections (KQL default)
+            from pyspark.sql import types as T
+
             name = self._col_name(op.col)
-            exploded = F.explode(self.compile_expr(op.col.expr, env))
+            expr = self.compile_expr(op.col.expr, env)
+            dtype = df.select(expr.alias("__p")).schema[0].dataType
+            if isinstance(dtype, T.MapType):
+                # KQL bag semantics: one row per property, the cell is a
+                # single-entry bag (explode(map) alone yields two
+                # columns, which can't replace the source column)
+                E = "__mv_entry"
+                mid = df.select(
+                    "*", F.explode(F.map_entries(expr)).alias(E)
+                )
+                single = F.create_map(
+                    F.col(f"{E}.key"), F.col(f"{E}.value")
+                )
+                if op.col.name is not None and op.col.name in df.columns:
+                    return mid.select(
+                        *[
+                            single.alias(name) if c == name else F.col(_q(c))
+                            for c in df.columns
+                        ]
+                    )
+                return mid.select(
+                    *[F.col(_q(c)) for c in df.columns],
+                    single.alias(name),
+                )
+            exploded = F.explode(expr)
             if op.col.name is not None and op.col.name in df.columns:
                 # bare column form: replace in place, keep position
                 return df.select(
@@ -826,6 +860,18 @@ class Compiler:
                 )
             order_names.append(t.expr.parts[0])
             ascending.append(t.asc)
+        for n in order_names:
+            if n not in df.columns:
+                raise ParseError(
+                    f"scan order by: unknown column {n!r}", op.span
+                )
+        for rc in ("match_id", "step"):
+            if rc in df.columns:
+                raise ParseError(
+                    f"scan: input already has a {rc!r} column (scan"
+                    " appends match_id and step)",
+                    op.span,
+                )
         k = len(op.steps)
         names = [n for n, _ in op.steps]
         preds = [
@@ -876,6 +922,14 @@ class Compiler:
         else:
             # single global sequence: one group (single task — fine for
             # small post-filter inputs; use `by` at scale)
+            import warnings
+
+            warnings.warn(
+                "scan without 'by' funnels the whole input through a"
+                " single task — add 'by <key>' for distributed"
+                " sequence matching at scale",
+                stacklevel=2,
+            )
             grouped = work.groupBy(F.lit(1).alias("__scan_g"))
         out = grouped.applyInPandas(kernel, out_schema)
         return out
@@ -945,6 +999,15 @@ class Compiler:
                     "(where/extend/project/sort/take/top/summarize)",
                     iop.span,
                 )
+        if pend_sort is not None:
+            # a trailing sort (no take/top after it) has no per-partition
+            # meaning in a distributed result — refuse rather than drop
+            raise ParseError(
+                "partition: sort is only supported when followed by"
+                " take/top (per-partition order has no standalone"
+                " result ordering)",
+                pend_sort[0].expr.span,
+            )
         return cur
 
     def _bag_unpack(self, df: DataFrame, op: BagUnpackOp) -> DataFrame:
@@ -975,7 +1038,20 @@ class Compiler:
             extract = lambda k: F.get_json_object(  # noqa: E731
                 F.col(_q(bcol)).cast("string"), f"$.{k}"
             )
-        keys = sorted(r.k for r in keys_df.distinct().collect())
+        # cap key discovery: a config-like bag has tens of keys; an
+        # adversarial/high-cardinality bag would otherwise stream an
+        # unbounded distinct set to the driver
+        discovered = (
+            keys_df.distinct().limit(BAG_UNPACK_MAX_KEYS + 1).collect()
+        )
+        if len(discovered) > BAG_UNPACK_MAX_KEYS:
+            raise ParseError(
+                f"bag_unpack: more than {BAG_UNPACK_MAX_KEYS} distinct"
+                f" keys in {bcol!r} — refusing to widen the schema"
+                " (filter or project the bag first)",
+                op.col.span,
+            )
+        keys = sorted(r.k for r in discovered)
         others = [c for c in df.columns if c != bcol]
         return df.select(
             *[F.col(_q(c)) for c in others],
@@ -989,9 +1065,25 @@ class Compiler:
         then ``try_element_at`` per array — zip-to-longest with null
         padding, exactly one pass, no cross product.  Rows whose arrays
         are all null/empty are dropped (KQL mv-expand default)."""
+        from pyspark.sql import types as T
+
         IDX = "__mvx_idx"
         names = [self._col_name(c) for c in op.cols]
         arrs = [self.compile_expr(c.expr, env) for c in op.cols]
+        # maps would silently turn the positional try_element_at into a
+        # key lookup on integer keys — reject (single-column mv-expand
+        # handles maps by exploding entries)
+        probe = df.select(
+            *[a.alias(f"__t{i}") for i, a in enumerate(arrs)]
+        ).schema
+        for fld, c in zip(probe.fields, op.cols):
+            if not isinstance(fld.dataType, T.ArrayType):
+                raise ParseError(
+                    "mv-expand with multiple columns requires array"
+                    f" values, got {fld.dataType.simpleString()}"
+                    " (expand map columns one at a time)",
+                    c.expr.span,
+                )
         sizes = [F.size(a) for a in arrs]
         n = sizes[0] if len(sizes) == 1 else F.greatest(*sizes)
         # guard: sequence(0, -1) would count DOWN; null sequence → explode
@@ -1246,9 +1338,14 @@ class Compiler:
             )
             return ~rng if expr.negated else rng
         if isinstance(expr, ToScalarExpr):
-            sub = self.compile_tabular(expr.tab)
-            head = sub.head()
-            value = head[0] if head is not None else None
+            key = (expr.span.start, expr.span.end)
+            if key in self._toscalar_cache:
+                value = self._toscalar_cache[key]
+            else:
+                sub = self.compile_tabular(expr.tab)
+                head = sub.head()
+                value = head[0] if head is not None else None
+                self._toscalar_cache[key] = value
             if value is not None and not isinstance(
                 value, (int, float, str, bool, bytes)
             ):

@@ -180,6 +180,15 @@ def _lit_int(name: str, ast_args: list | None, i: int, span: Span) -> int:
 _HLL_LGK = {0: 12, 1: 14, 2: 16, 3: 17, 4: 18}
 
 
+def hll_lgk(name: str, acc: int, span: Span) -> int:
+    """Validated accuracy→lgConfigK lookup shared by both backends."""
+    if acc not in _HLL_LGK:
+        raise ParseError(
+            f"{name}() accuracy must be an integer 0..4, got {acc}", span
+        )
+    return _HLL_LGK[acc]
+
+
 def build_parse_regex(segments) -> tuple[str, list[str]]:
     """Build the extraction regex for ``parse Expr with …`` (KQL simple
     mode) from alternating literal/capture segments.
@@ -286,7 +295,7 @@ def compile_call(
             return F.count_distinct(args[0])
         acc = _lit_int(name, ast_args, 1, span)
         return F.hll_sketch_estimate(
-            F.hll_sketch_agg(args[0], _HLL_LGK[acc])
+            F.hll_sketch_agg(args[0], hll_lgk(name, acc, span))
         )
     if lname == "hll":
         # KQL hll(x[, accuracy]) → Datasketches HLL sketch (binary,
@@ -295,7 +304,7 @@ def compile_call(
         if len(args) == 1:
             return F.hll_sketch_agg(args[0])
         acc = _lit_int(name, ast_args, 1, span)
-        return F.hll_sketch_agg(args[0], _HLL_LGK[acc])
+        return F.hll_sketch_agg(args[0], hll_lgk(name, acc, span))
     if lname == "hll_merge":
         _check_argc(name, args, 1, 1, span)
         return F.hll_union_agg(args[0])

@@ -542,8 +542,15 @@ class _SqlEmitter:
             f" sequence(0, {n} - 1) END) AS __mvx_idx FROM ({inner})"
         )
         names = [name for name, _ in specs]
+        # slice(e, 1, size(e)) is an identity for arrays but a type
+        # error for maps — surfaces map inputs at analysis time instead
+        # of silently key-looking-up integer indexes (no schema is
+        # available in the text backend to reject earlier)
         elems = {
-            name: f"try_element_at({e}, __mvx_idx + 1) AS {_q(name)}"
+            name: (
+                f"try_element_at(slice({e}, 1, size({e})),"
+                f" __mvx_idx + 1) AS {_q(name)}"
+            )
             for (name, _), e in zip(specs, exprs)
         }
         order = list(cols)
@@ -629,6 +636,13 @@ class _SqlEmitter:
                     "(where/extend/project/sort/take/top/summarize)",
                     iop.span,
                 )
+        if pend_sort is not None:
+            raise ParseError(
+                "partition: sort is only supported when followed by"
+                " take/top (per-partition order has no standalone"
+                " result ordering)",
+                pend_sort[0].expr.span,
+            )
         return sql, cols
 
     def emit_make_series(
@@ -1086,22 +1100,22 @@ class _SqlEmitter:
             argc(1, 2)
             if len(args) == 1:
                 return f"count(DISTINCT {self.expr(args[0])})"
-            from .functions import _HLL_LGK
+            from .functions import hll_lgk
 
             acc = lit_int(1)
             return (
                 f"hll_sketch_estimate(hll_sketch_agg("
-                f"{self.expr(args[0])}, {_HLL_LGK[acc]}))"
+                f"{self.expr(args[0])}, {hll_lgk(name, acc, e.span)}))"
             )
         if name == "hll":
             argc(1, 2)
-            from .functions import _HLL_LGK
+            from .functions import hll_lgk
 
             if len(args) == 1:
                 return f"hll_sketch_agg({self.expr(args[0])})"
             return (
                 f"hll_sketch_agg({self.expr(args[0])},"
-                f" {_HLL_LGK[lit_int(1)]})"
+                f" {hll_lgk(name, lit_int(1), e.span)})"
             )
         if name == "hll_merge":
             argc(1, 1)

@@ -1010,3 +1010,137 @@ def test_let_functions(spark):
         eng.query("let f = (x: long) { x }; T | extend y = f(id, id)")
     with pytest.raises(QueryError, match="recursive"):
         eng.query("let f = (x: long) { f(x) }; T | extend y = f(id)")
+
+
+# ------------------------------------------------------- round-3 guardrails
+
+
+def test_dcount_accuracy_validated(spark):
+    from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+    df = spark.createDataFrame([(1,)], "v long")
+    eng = PqlEngine(spark, resolver={"T": df})
+    with pytest.raises(QueryError, match="accuracy must be.*0..4"):
+        eng.query("T | summarize d = dcount(v, 7)")
+    with pytest.raises(QueryError, match="accuracy must be.*0..4"):
+        eng.query("T | summarize h = hll(v, 9)")
+    with pytest.raises(QueryError, match="accuracy must be.*0..4"):
+        compile_to_sql("T | summarize d = dcount(v, 7)", {"T": ["v"]})
+    with pytest.raises(QueryError, match="accuracy must be.*0..4"):
+        compile_to_sql("T | summarize h = hll(v, 9)", {"T": ["v"]})
+
+
+def test_partition_trailing_sort_rejected(spark):
+    from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    eng = PqlEngine(spark, resolver={"P": df})
+    with pytest.raises(QueryError, match="followed by take/top"):
+        eng.query("P | partition by g ( sort by v asc )")
+    with pytest.raises(QueryError, match="followed by take/top"):
+        compile_to_sql(
+            "P | partition by g ( where v > 0 | sort by v asc )",
+            {"P": ["g", "v"]},
+        )
+    # sort + take inside partition still works
+    out = eng.query("P | partition by g ( sort by v asc | take 1 )")
+    assert out.count() == 1
+
+
+def test_scan_order_column_validated(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame([(1, 1, "a")], "uid long, t long, e string")
+    eng = PqlEngine(spark, resolver={"E": df})
+    with pytest.raises(QueryError, match="unknown column 'nope'"):
+        eng.query(
+            'E | scan by uid order by nope asc with (step s: e == "a")'
+        )
+
+
+def test_scan_output_collision_rejected(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0)], "uid long, t long, e string, match_id long"
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    with pytest.raises(QueryError, match="match_id"):
+        eng.query('E | scan by uid order by t asc with (step s: e == "a")')
+
+
+def test_scan_without_by_warns(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame([(1, "a")], "t long, e string")
+    eng = PqlEngine(spark, resolver={"E": df})
+    with pytest.warns(UserWarning, match="single task"):
+        out = eng.query(
+            'E | scan order by t asc with (step s: e == "a")'
+        )
+    assert out.count() == 1
+
+
+def test_mv_expand_multi_map_rejected(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.sql(
+        "SELECT 1 AS id, map('a', 1) AS mp, array(1, 2) AS ar"
+    )
+    eng = PqlEngine(spark, resolver={"M": df})
+    with pytest.raises(QueryError, match="requires array"):
+        eng.query("M | mv-expand mp, ar")
+    # single-column map expansion still supported
+    assert eng.query("M | mv-expand mp").count() == 1
+
+
+def test_bag_unpack_key_cap(spark, monkeypatch):
+    import pql_spark.compiler as C
+    from pql_spark import PqlEngine, QueryError
+
+    monkeypatch.setattr(C, "BAG_UNPACK_MAX_KEYS", 3)
+    rows = [(i, '{"k%d": 1}' % i) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, bag string")
+    eng = PqlEngine(spark, resolver={"B": df})
+    with pytest.raises(QueryError, match="more than 3 distinct keys"):
+        eng.query("B | evaluate bag_unpack(bag)")
+
+
+def test_toscalar_memoized(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame([(1, 5), (2, 9)], "id long, v long")
+    cls = type(df)
+    calls = {"n": 0}
+    orig = cls.head
+
+    def counted(self, *a, **k):
+        if not a and not k:  # head() recurses into head(1) internally
+            calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "head", counted)
+    eng = PqlEngine(spark, resolver={"T": df})
+    out = eng.query(
+        "let m = toscalar(T | summarize max(v));"
+        " T | where v == m | extend hi = m | project id, hi"
+    )
+    # the let is referenced twice but the subquery ran once
+    assert calls["n"] == 1
+    assert [tuple(r) for r in out.collect()] == [(2, 9)]
+
+
+def test_mv_expand_single_map_entries(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.sql("SELECT 1 AS id, map('a', 1, 'b', 2) AS mp")
+    eng = PqlEngine(spark, resolver={"M": df})
+    out = eng.query("M | mv-expand mp")
+    rows = sorted(((r.id, dict(r.mp)) for r in out.collect()), key=repr)
+    assert rows == [(1, {"a": 1}), (1, {"b": 2})]
+    # named form appends a new single-entry-bag column
+    out2 = eng.query("M | mv-expand e = mp | extend v = e['b']")
+    vals = sorted(r.v for r in out2.collect() if r.v is not None)
+    assert vals == [2]
