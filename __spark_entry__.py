@@ -1102,12 +1102,17 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         """,
     ),
     # EXTENSION scan operator: ordered funnel matching (predicates in
-    # Catalyst, tiny automaton in an Arrow kernel).  The sequential
-    # single-active-match semantics are a genuinely iterative algorithm
-    # (a DuckDB list_reduce twin proved NONDETERMINISTIC under parallel
-    # aggregation) → no SQL oracle; rows-only check here, semantics
-    # pinned by hand-computed unit tests (test_extensions.py::test_scan*)
-    # and a python-reference automaton comparison.
+    # Catalyst, tiny automaton in an Arrow kernel).  The DuckDB twin
+    # runs the same greedy automaton as a sequential left fold:
+    # list_reduce over per-user event lists built with an ORDER BY
+    # aggregate.  State encoding: state = 4*completed + pos; an event
+    # advances iff its step index equals pos; completing step 2 rolls
+    # pos to 0 and increments the match count.  (An earlier twin that
+    # put the CASE inside the ordered list() aggregate mis-evaluated
+    # under parallel grouped aggregation in DuckDB 1.0 — pre-computing
+    # the step index in a subquery and filtering to step events first
+    # is stable; verified against a python reference automaton over 5
+    # repeated runs at sf0.01 and sf0.1.)
     "pql_scan_funnel": (
         """
         events
@@ -1118,7 +1123,31 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
           )
         | summarize funnels = count() / 3, users = dcount(user_id)
         """,
-        None,
+        """
+        WITH per_user AS (
+          SELECT user_id,
+                 list_reduce(
+                   list_concat([CAST(0 AS BIGINT)],
+                               list(s ORDER BY ts, event_id)),
+                   (acc, x) -> CASE WHEN x = acc % 4
+                                    THEN CASE WHEN acc % 4 = 2
+                                         THEN (acc // 4 + 1) * 4
+                                         ELSE acc + 1 END
+                                    ELSE acc END
+                 ) // 4 AS n_matches
+          FROM (SELECT user_id, ts, event_id,
+                       CAST(CASE event_type WHEN 'view' THEN 0
+                            WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+                            ELSE -1 END AS BIGINT) AS s
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase'))
+          GROUP BY user_id
+        )
+        SELECT CAST(SUM(n_matches) AS DOUBLE) AS funnels,
+               CAST(COUNT(*) FILTER (WHERE n_matches > 0) AS BIGINT)
+                 AS users
+        FROM per_user
+        """,
     ),
     # EXTENSION sample-distinct + toscalar scalar subquery
     "pql_sample_distinct": (
@@ -2117,24 +2146,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # reference PQL surface (§2 operators + core semantics)
-    "pql_q1_pricing", "pql_count", "pql_top",
-    "pql_join_inner", "pql_join_leftouter", "pql_join_innerunique",
-    "pql_in_family", "pql_partition_op", "pql_sketch_fns",
-    "pql_predicates", "pql_null_semantics", "pql_let_arith", "pql_in",
-    "pql_summarize_by", "pql_as_selfjoin", "pql_render", "pql_index",
-    "pql_extend", "pql_json_props", "pql_distinct_op", "pql_union_op",
-    "pql_project_away", "pql_lookup", "pql_parse_op", "pql_search_op",
-    "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
-    "pql_top_nested", "pql_range_source", "pql_agg_family",
-    "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_bin_hourly", "pql_arg_agg",
-    # beyond-reference pipeline operators (dedup / similarity / text /
-    # temporal / streaming / sketches)
-    "op_dedup_exact", "op_minhash_dups", "op_simhash",
-    "op_ngram_jaccard", "op_embedding_dups", "op_cosine_topk",
-    "op_langid", "op_quality", "op_token_stats", "op_asof_join",
-    "op_range_join", "op_stream_windowed", "op_kmv_distinct",
+    # Round-3 rotation: every query that had never been inside the
+    # driver's 50-slot correctness window in rounds 1-2 goes FIRST so
+    # the whole declared surface accumulates driver-hashed evidence
+    # (VERDICT r2 "next round" item 1).  pql_scan_funnel now carries a
+    # full hash oracle (deterministic list_reduce automaton twin).
+    "pql_string_fns", "pql_datetime_fns", "pql_case_fn",
+    "pql_percentiles", "pql_bag_unpack", "pql_tabular_let",
+    "pql_scan_funnel", "pql_sample_distinct", "pql_series_outliers",
+    "pql_let_fn", "pql_events_daily",
+    "op_fingerprint", "op_repetition", "op_decontaminate",
+    "op_redact_pii", "op_chunk_documents", "op_pack_sequences",
+    "op_quantize_embeddings", "op_quantized_topk", "op_lsh_topk",
+    "op_ivf_topk", "op_knn_grouped", "op_multimodal_features",
+    "op_stream_sessionize", "op_stream_stateful",
+    "op_stream_interval_join", "op_stream_dedup",
+    "op_winnow_fingerprints", "op_sampling_split", "op_curate_corpus",
+    # core regression anchors (stayed green in r1+r2; keep a
+    # representative slice of every family under continuous check)
+    "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",
+    "pql_summarize_by", "pql_make_series", "pql_partition_op",
+    "pql_sketch_fns", "op_minhash_dups", "op_embedding_dups",
+    "op_asof_join", "op_kmv_distinct", "op_stream_windowed",
 ]
 
 
