@@ -21,6 +21,7 @@ from .dedup import (
     dedup_exact,
     dedup_incremental,
     embedding_dup_pairs,
+    embedding_dup_pairs_broadcast,
     kmv_distinct,
     minhash_dup_pairs,
     minhash_signature,
@@ -72,6 +73,7 @@ __all__ = [
     "deterministic_shuffle",
     "doc_fingerprint",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_broadcast",
     "hash_sample",
     "ivf_assign",
     "ivf_topk",

@@ -10,9 +10,12 @@ Scale design (the point of these, vs. the naive O(n²) all-pairs):
   is Σ|bucket|² instead of n²; verification runs only on candidates.
 - SimHash: 64-bit fingerprint per row (narrow), exact-match dedup is a
   groupBy; near-match joins on rotated prefix blocks.
-- embedding near-dup: LSH-style hyperplane bucketing bounds the join the
-  same way (see similarity.py); the brute-force variant here is the
-  correctness baseline.
+- embedding near-dup: the default is a fully distributed block
+  Gram-matrix matmul (exact, nothing collected to the driver, per-task
+  tiles bounded by the block size); LSH-style hyperplane bucketing
+  (see similarity.py) bounds the cost further when approximate recall
+  is acceptable, and a broadcast variant exists for explicitly-small
+  sides.
 
 All hashes derive from md5 (deterministic across runs/engines — lets a
 SQL oracle reproduce results exactly), arithmetic stays in Catalyst.
@@ -565,20 +568,97 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold, exact.
+    """Embedding near-duplicate pairs: cosine ≥ threshold, exact,
+    fully distributed — the default entry point.
 
-    Broadcast-matmul design (the vectorized Pandas-UDF scale path): one
-    side is collected to an (n, d) float64 matrix and broadcast to
+    Block Gram-matrix design: rows are hashed into ``n_blocks`` blocks;
+    every unordered block pair (ba ≤ bb) becomes one task group whose
+    Arrow kernel runs ONE BLAS matmul between the two blocks' matrices
+    (upper triangle on the diagonal groups).  Nothing is collected to
+    the driver; per-task memory is bounded by (n/n_blocks)² similarity
+    tiles, and the replication cost is (n_blocks+1)/2 × the input —
+    pick n_blocks ≈ √(cluster cores) so every core gets a tile.  The
+    total work is inherently O(n²) because the result is exact; for
+    corpus-scale near-dup where approximate recall is acceptable, use
+    :func:`pql_spark.operators.similarity.lsh_bucket_topk`-style
+    hyperplane bucketing instead (candidates only within buckets).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).withColumn("__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba int, bb int",
+    )
+    side_a = base.join(
+        F.broadcast(pairs), base["__blk"].cast("int") == pairs["ba"]
+    ).select("ba", "bb", F.lit(0).alias("__side"), id_col, vec_col)
+    side_b = base.join(
+        F.broadcast(pairs),
+        (base["__blk"].cast("int") == pairs["bb"]) & (pairs["ba"] != pairs["bb"]),
+    ).select("ba", "bb", F.lit(1).alias("__side"), id_col, vec_col)
+    work = side_a.unionByName(side_b)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a_pdf = pdf[pdf["__side"] == 0]
+        a_ids = a_pdf[id_col].to_numpy(dtype=np.int64)
+        if not len(a_ids):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf[vec_col]])
+        a_n = np.sqrt((a * a).sum(axis=1))
+        if ba == bb:
+            b_ids, b, b_n = a_ids, a, a_n
+        else:
+            b_pdf = pdf[pdf["__side"] == 1]
+            b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
+            if not len(b_ids):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            b = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]]
+            )
+            b_n = np.sqrt((b * b).sum(axis=1))
+        sims = (a @ b.T) / np.outer(a_n, b_n)
+        hit = sims >= threshold
+        if ba == bb:
+            # strict upper triangle: no self-pairs, no double count
+            hit &= a_ids[:, None] < b_ids[None, :]
+        # off-diagonal blocks are disjoint id sets — every unordered row
+        # pair appears in exactly one group; normalize to (lo, hi)
+        ii, jj = np.nonzero(hit)
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]})
+
+    return (
+        work.groupBy("ba", "bb")
+        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_dup_pairs_broadcast(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via driver-collect + broadcast.
+
+    One side is collected to an (n, d) float64 matrix and broadcast to
     executors — the same "one side fits in memory" contract as a Spark
     broadcast join — and the other side streams through ``mapInPandas``
     in Arrow batches, each batch doing a single BLAS matmul against the
-    broadcast side.  ~1000× the per-pair throughput of an expression-tree
-    dot product, and embarrassingly parallel over input partitions.
-
-    When neither side fits, bucket first (hyperplane LSH, see
-    :func:`pql_spark.operators.similarity.lsh_bucket`) and apply this
-    within buckets.
+    broadcast side.  Zero shuffles, but the collected side must fit on
+    the driver: use only when that is explicitly known (e.g. a
+    reference/blocklist set).  :func:`embedding_dup_pairs` is the
+    distributed default.
     """
     import numpy as np
     import pandas as pd

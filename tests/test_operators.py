@@ -625,3 +625,25 @@ def test_frame_sample_plan(spark):
     assert {(r.media_id, r.frame_ts_ms) for r in out} == {
         (1, 0), (1, 1000), (1, 2000)
     }
+
+
+def test_embedding_dup_pairs_blocked_equals_broadcast(spark):
+    """The distributed block-Gram path must reproduce the broadcast
+    brute-force pairs exactly — any block assignment, any n_blocks."""
+    from pql_spark.operators import embedding_dup_pairs_broadcast
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs_broadcast(emb, threshold=0.8).collect()
+    }
+    for nb in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_dup_pairs(
+                emb, threshold=0.8, n_blocks=nb
+            ).collect()
+        }
+        assert set(got) == set(want), f"n_blocks={nb}"
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=1e-12), f"n_blocks={nb}"
