@@ -1780,6 +1780,68 @@ def _pql(text: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# multi-output (facet/fork) queries: one gated entry per output table
+_FACET_QUERY = """
+events
+| where value > 10
+| facet by event_type with (
+    summarize spend = sum(value) by user_id
+    | top 5 by spend
+  )
+"""
+
+_FORK_QUERY = """
+events
+| fork hot = ( where value > 250 | summarize n = count(), m = max(value) )
+       daily = ( summarize n = count() by day = bin(ts, "1 day")
+                 | sort by day asc )
+"""
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = PqlEngine(spark, resolver=_cat(spark, sf_dir))
+    return eng.query(_FACET_QUERY)["event_type"]
+
+
+def _q_facet_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = PqlEngine(spark, resolver=_cat(spark, sf_dir))
+    return eng.query(_FACET_QUERY)["main"]
+
+
+def _q_fork_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = PqlEngine(spark, resolver=_cat(spark, sf_dir))
+    return eng.query(_FORK_QUERY)["hot"]
+
+
+def _q_fork_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = PqlEngine(spark, resolver=_cat(spark, sf_dir))
+    return eng.query(_FORK_QUERY)["daily"]
+
+
+_FACET_COUNTS_ORACLE = """
+SELECT event_type, count(*) AS count_
+FROM events WHERE value > 10 GROUP BY event_type
+"""
+
+_FACET_MAIN_ORACLE = """
+SELECT user_id, sum(value) AS spend
+FROM events WHERE value > 10 GROUP BY user_id
+ORDER BY spend DESC LIMIT 5
+"""
+
+_FORK_HOT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n, max(value) AS m
+FROM events WHERE value > 250
+"""
+
+_FORK_DAILY_ORACLE = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400)
+            AS TIMESTAMP) AS day,
+       count(*) AS n
+FROM events GROUP BY day ORDER BY day
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir)("documents")
 
@@ -2162,6 +2224,9 @@ _CHECK_FIRST = [
     "op_stream_sessionize", "op_stream_stateful",
     "op_stream_interval_join", "op_stream_dedup",
     "op_winnow_fingerprints", "op_sampling_split", "op_curate_corpus",
+    # round-3 additions (multi-output facet/fork — one entry per output)
+    "pql_facet_counts", "pql_facet_main", "pql_fork_hot",
+    "pql_fork_daily",
     # core regression anchors (stayed green in r1+r2; keep a
     # representative slice of every family under continuous check)
     "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",
@@ -2177,6 +2242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(
         {
+            "pql_facet_counts": _q_facet_counts,
+            "pql_facet_main": _q_facet_main,
+            "pql_fork_hot": _q_fork_hot,
+            "pql_fork_daily": _q_fork_daily,
             "op_dedup_exact": _q_dedup_exact,
             "op_fingerprint": _q_fingerprint,
             "op_token_stats": _q_token_stats,
@@ -2227,6 +2296,10 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(
         {
+            "pql_facet_counts": _FACET_COUNTS_ORACLE,
+            "pql_facet_main": _FACET_MAIN_ORACLE,
+            "pql_fork_hot": _FORK_HOT_ORACLE,
+            "pql_fork_daily": _FORK_DAILY_ORACLE,
             "op_dedup_exact": _DEDUP_EXACT_ORACLE,
             "op_fingerprint": _FINGERPRINT_ORACLE,
             "op_token_stats": _TOKEN_STATS_ORACLE,

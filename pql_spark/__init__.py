@@ -7,14 +7,16 @@ large-scale data-pipeline operators (dedup, similarity search, text
 analysis, multimodal plumbing) the reference does not have.
 """
 
-from .engine import PqlEngine, compile_pql, parse
+from .engine import MultiResult, PqlEngine, compile_pql, parse
 from .parser import QueryError
-from .sql_backend import compile_to_sql
+from .sql_backend import compile_to_sql, compile_to_sql_multi
 
 __all__ = [
+    "MultiResult",
     "PqlEngine",
     "compile_pql",
     "compile_to_sql",
+    "compile_to_sql_multi",
     "parse",
     "QueryError",
 ]

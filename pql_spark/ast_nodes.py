@@ -280,6 +280,37 @@ class MvApplyOp(Op):
 
 
 @dataclass
+class FacetOp(Op):
+    """``facet by C1, C2 [with ( op | op | … )]`` — MULTI-OUTPUT: one
+    value-frequency table per faceted column (``C, count_``), plus, when
+    ``with`` is given, a ``main`` table that is the parenthesized
+    operator chain applied to the input (KQL facet; the reference
+    parser rejects the operator).  Must be the final operator."""
+
+    by: list[Ident]
+    with_ops: list[Op]
+
+
+@dataclass
+class ForkBranch:
+    """One ``[Name =] ( op | op | … )`` fork branch."""
+
+    name: "str | None"
+    ops: list[Op]
+    span: Span
+
+
+@dataclass
+class ForkOp(Op):
+    """``fork [N1 =] ( … ) [N2 =] ( … ) …`` — MULTI-OUTPUT: run each
+    parenthesized operator chain over the same input, one output table
+    per branch (KQL fork).  Unnamed branches are auto-named
+    ``fork_<i>``.  Must be the final operator."""
+
+    branches: list[ForkBranch]
+
+
+@dataclass
 class SampleOp(Op):
     """``sample <rate> by <Key>`` — DETERMINISTIC hash sample (diverges
     from KQL's random ``sample`` on purpose: reproducibility is the

@@ -51,6 +51,8 @@ from .ast_nodes import (
     DistinctOp,
     Expr,
     ExtendOp,
+    FacetOp,
+    ForkOp,
     GetSchemaOp,
     Ident,
     IndexExpr,
@@ -101,6 +103,21 @@ _BUILTIN_IDENTS = {"true": True, "false": False}  # pql.go:557-561
 # to the driver (like pivot value discovery) — bounded so adversarial
 # high-cardinality bags error instead of OOMing the driver
 BAG_UNPACK_MAX_KEYS = 1000
+
+
+class MultiResult(dict):
+    """Ordered ``name → DataFrame`` mapping returned by multi-output
+    operators (``facet`` / ``fork``).
+
+    Each entry is an independent lazy DataFrame over the same compiled
+    input plan.  Collecting several outputs re-executes the shared
+    prefix once per action (Spark has no cross-action plan sharing) —
+    callers iterating every output should ``.persist()`` the input
+    first, or write outputs in one ``foreachBatch``.
+    """
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"MultiResult({list(self)})"
 
 
 def _q(name: str) -> str:
@@ -197,11 +214,13 @@ class Compiler:
                 [ParseError("expected a tabular expression", Span(0, 0))],
             )
         try:
-            return self.compile_tabular(tabular)
+            return self.compile_tabular(tabular, allow_multi=True)
         except ParseError as e:
             raise QueryError(self.source, [e]) from None
 
-    def compile_tabular(self, expr: TabularExpr) -> DataFrame:
+    def compile_tabular(
+        self, expr: TabularExpr, allow_multi: bool = False
+    ) -> DataFrame:
         saved = (self._last_sort, self._window)
         self._last_sort, self._window = None, None
         try:
@@ -213,11 +232,72 @@ class Compiler:
                 df = self._range_source(expr.source)
             else:
                 df = self._resolve_table(expr.source.name, expr.source.span)
-            for op in expr.operators:
+            for i, op in enumerate(expr.operators):
+                if isinstance(op, (FacetOp, ForkOp)):
+                    name = "facet" if isinstance(op, FacetOp) else "fork"
+                    if not allow_multi:
+                        raise ParseError(
+                            f"{name} is only allowed at the top level of"
+                            " the query (not in subqueries/join sides)",
+                            op.span,
+                        )
+                    if i != len(expr.operators) - 1:
+                        raise ParseError(
+                            f"{name} must be the final operator", op.span
+                        )
+                    if isinstance(op, FacetOp):
+                        return self._facet(df, op)
+                    return self._fork(df, op)
                 df = self._apply(df, op)
         finally:
             self._last_sort, self._window = saved
         return df
+
+    def _facet(self, df: DataFrame, op: FacetOp) -> "MultiResult":
+        """``facet by``: one count-by table per faceted column — each a
+        plain partial+final hash aggregate over the shared input plan —
+        plus the ``with`` pipe's result as the ``main`` table."""
+        out = MultiResult()
+        if op.with_ops:
+            cur = df
+            for iop in op.with_ops:
+                cur = self._apply(cur, iop)
+            out["main"] = cur
+        for ident in op.by:
+            c = ident.parts[0]
+            if c not in df.columns:
+                raise ParseError(
+                    f"facet by: unknown column {c!r}", ident.span
+                )
+            if c in out:
+                raise ParseError(
+                    f"facet by: duplicate output table {c!r}", ident.span
+                )
+            out[c] = df.groupBy(F.col(_q(c))).agg(
+                F.count(F.lit(1)).alias("count_")
+            )
+        return out
+
+    def _fork(self, df: DataFrame, op: ForkOp) -> "MultiResult":
+        """``fork``: each branch's operator chain applied to the same
+        input plan, one output table per branch."""
+        out = MultiResult()
+        for i, br in enumerate(op.branches):
+            name = br.name or f"fork_{i}"
+            if name in out:
+                raise ParseError(
+                    f"fork: duplicate branch name {name!r}", br.span
+                )
+            saved = (self._last_sort, self._window)
+            self._last_sort, self._window = None, None
+            try:
+                cur = df
+                for iop in br.ops:
+                    cur = self._apply(cur, iop)
+            finally:
+                self._last_sort, self._window = saved
+            out[name] = cur
+        return out
 
     def _datatable(self, src: DatatableSource) -> DataFrame:
         """Inline literal table (``datatable``/``print``): rows built

@@ -11,10 +11,10 @@ from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .compiler import Compiler, Resolver
+from .compiler import Compiler, MultiResult, Resolver
 from .parser import parse
 
-__all__ = ["PqlEngine", "compile_pql", "parse"]
+__all__ = ["MultiResult", "PqlEngine", "compile_pql", "parse"]
 
 
 class PqlEngine:
@@ -58,6 +58,21 @@ class PqlEngine:
         if params:
             merged.update(params)
         return compile_to_sql(
+            text, lambda n: self._resolver(n).columns, merged
+        )
+
+    def to_sql_multi(
+        self, text: str, params: Mapping[str, object] | None = None
+    ) -> dict[str, str]:
+        """Compile a multi-output (``facet``/``fork``) query to one
+        Spark SQL string per output table; single-output queries come
+        back as ``{"main": sql}``."""
+        from .sql_backend import compile_to_sql_multi
+
+        merged = dict(self._params)
+        if params:
+            merged.update(params)
+        return compile_to_sql_multi(
             text, lambda n: self._resolver(n).columns, merged
         )
 

@@ -15,6 +15,9 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    FacetOp,
+    ForkBranch,
+    ForkOp,
     FuncDef,
     ToScalarExpr,
     SampleDistinctOp,
@@ -1198,6 +1201,92 @@ def _op_mv_apply(p: _P, kw: Token) -> Op:
     return MvApplyOp(cols=cols, ops=ops, span=Span(kw.span.start, end))
 
 
+def _capture_paren_ops(p: _P, what: str, open_span: Span) -> list[Op]:
+    """Capture tokens up to the matching ``)`` (the ``(`` is already
+    consumed) and parse each ``|``-segment as one operator — the same
+    isolated-sub-parser shape the reference uses per pipe segment
+    (parser/parser.go:1221-1279)."""
+    inner: list[Token] = []
+    depth = 1
+    while True:
+        tok = p.take()
+        if tok.kind is TokenKind.LPAREN:
+            depth += 1
+        elif tok.kind is TokenKind.RPAREN:
+            depth -= 1
+            if depth == 0:
+                break
+        inner.append(tok)
+    ops: list[Op] = []
+    for seg in _split_on(inner, TokenKind.PIPE):
+        if not seg:
+            raise ParseError(f"empty {what} subquery segment", open_span)
+        ops.append(_parse_operator(_P(seg, p.source)))
+    if not ops:
+        raise ParseError(f"{what} subquery is empty", open_span)
+    return ops
+
+
+def _op_facet(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``facet by C1, C2 [with ( op | … )]`` — multi-output
+    value-frequency tables (KQL facet; the reference rejects it)."""
+    p.expect(TokenKind.BY, "'by'")
+    by: list[Ident] = []
+    end = kw.span.end
+    while True:
+        tok = p.take()
+        if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected facet column name", tok.span)
+        by.append(
+            Ident(
+                parts=[tok.value],
+                quoted=[tok.kind is TokenKind.QIDENT],
+                span=tok.span,
+            )
+        )
+        end = tok.span.end
+        if not p.match(TokenKind.COMMA):
+            break
+    with_ops: list[Op] = []
+    w = p.match_word("with")
+    if w is not None:
+        lp = p.expect(TokenKind.LPAREN, "'(' after 'with'")
+        with_ops = _capture_paren_ops(p, "facet with", lp.span)
+        end = p.tokens[p.i - 1].span.end
+    p.expect_end()
+    return FacetOp(by=by, with_ops=with_ops, span=Span(kw.span.start, end))
+
+
+def _op_fork(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``fork [Name =] ( op | … ) [Name2 =] ( … ) …`` —
+    multi-output branches over the same input (KQL fork)."""
+    branches: list[ForkBranch] = []
+    end = kw.span.end
+    while not p.at_end():
+        start_tok = p.peek()
+        name: str | None = None
+        if (
+            start_tok.kind in (TokenKind.IDENT, TokenKind.QIDENT)
+            and p.peek(1) is not None
+            and p.peek(1).kind is TokenKind.ASSIGN
+        ):
+            name = p.take().value
+            p.take()  # '='
+        lp = p.expect(TokenKind.LPAREN, "'(' opening a fork branch")
+        ops = _capture_paren_ops(p, "fork", lp.span)
+        end = p.tokens[p.i - 1].span.end
+        branches.append(
+            ForkBranch(
+                name=name, ops=ops, span=Span(start_tok.span.start, end)
+            )
+        )
+    if not branches:
+        raise ParseError(
+            "fork needs at least one '(...)' branch", kw.span
+        )
+    return ForkOp(branches=branches, span=Span(kw.span.start, end))
+
+
 def _op_lookup(p: _P, kw: Token) -> Op:
     """EXTENSION: ``lookup [kind=leftouter|inner] (Dim) on K1, K2`` —
     broadcast dimension join, shared key columns appear once (KQL
@@ -1630,6 +1719,8 @@ def _op_search(p: _P, kw: Token) -> Op:
 
 _OPERATORS = {
     "count": _op_count,
+    "facet": _op_facet,
+    "fork": _op_fork,
     "lookup": _op_lookup,
     "parse": _op_parse,
     "search": _op_search,

@@ -26,6 +26,8 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence
 
 from .ast_nodes import (
+    FacetOp,
+    ForkOp,
     BagUnpackOp,
     ToScalarExpr,
     SampleDistinctOp,
@@ -1510,17 +1512,11 @@ class _SqlEmitter:
         return f"{e.func}({', '.join(self.expr(a) for a in args)})"
 
 
-def compile_to_sql(
+def _prepare_emitter(
     text: str,
     columns: Mapping[str, Sequence[str]] | ColumnsOf,
-    params: Mapping[str, object] | None = None,
-) -> str:
-    """Compile one PQL query to a Spark SQL string.
-
-    ``columns`` supplies each referenced table's column list (mapping or
-    callable) — required to expand ``*`` at joins and reproduce the
-    ``$right.<col>`` duplicate-naming rule.
-    """
+    params: Mapping[str, object] | None,
+) -> tuple[_SqlEmitter, TabularExpr]:
     columns_of: ColumnsOf = (
         columns if callable(columns) else lambda n: columns[n]
     )
@@ -1546,8 +1542,100 @@ def compile_to_sql(
                 emitter.bound[stmt.name] = emitter.emit_query(stmt.tabular)
             else:
                 emitter.scope[stmt.name] = emitter.expr(stmt.expr)
+    return emitter, tabular[0]
+
+
+def compile_to_sql(
+    text: str,
+    columns: Mapping[str, Sequence[str]] | ColumnsOf,
+    params: Mapping[str, object] | None = None,
+) -> str:
+    """Compile one PQL query to a Spark SQL string.
+
+    ``columns`` supplies each referenced table's column list (mapping or
+    callable) — required to expand ``*`` at joins and reproduce the
+    ``$right.<col>`` duplicate-naming rule.
+    """
+    emitter, expr = _prepare_emitter(text, columns, params)
+    if expr.operators and isinstance(
+        expr.operators[-1], (FacetOp, ForkOp)
+    ):
+        raise QueryError(
+            text,
+            [
+                ParseError(
+                    "multi-output query (facet/fork): use"
+                    " compile_to_sql_multi",
+                    expr.operators[-1].span,
+                )
+            ],
+        )
     try:
-        sql, _ = emitter.emit_query(tabular[0])
+        sql, _ = emitter.emit_query(expr)
     except ParseError as e:
         raise QueryError(text, [e]) from None
     return sql
+
+
+def compile_to_sql_multi(
+    text: str,
+    columns: Mapping[str, Sequence[str]] | ColumnsOf,
+    params: Mapping[str, object] | None = None,
+) -> dict[str, str]:
+    """Compile a multi-output (``facet``/``fork``) PQL query to one
+    Spark SQL string per output table (same names as the DataFrame
+    backend's ``MultiResult``).  Single-output queries come back as
+    ``{"main": sql}``."""
+    emitter, expr = _prepare_emitter(text, columns, params)
+    last = expr.operators[-1] if expr.operators else None
+    try:
+        if not isinstance(last, (FacetOp, ForkOp)):
+            sql, _ = emitter.emit_query(expr)
+            return {"main": sql}
+        base = TabularExpr(
+            source=expr.source,
+            operators=expr.operators[:-1],
+            span=expr.span,
+        )
+        base_sql, base_cols = emitter.emit_query(base)
+        out: dict[str, str] = {}
+        if isinstance(last, FacetOp):
+            if last.with_ops:
+                sql, cols = base_sql, list(base_cols)
+                for op in last.with_ops:
+                    sql, cols = emitter.emit_op(op, sql, cols)
+                out["main"] = sql
+            for ident in last.by:
+                c = ident.parts[0]
+                if c not in base_cols:
+                    raise ParseError(
+                        f"facet by: unknown column {c!r}", ident.span
+                    )
+                if c in out:
+                    raise ParseError(
+                        f"facet by: duplicate output table {c!r}",
+                        ident.span,
+                    )
+                out[c] = (
+                    f"SELECT {_q(c)}, count(1) AS count_ FROM"
+                    f" ({base_sql}) GROUP BY {_q(c)}"
+                )
+        else:
+            for i, br in enumerate(last.branches):
+                name = br.name or f"fork_{i}"
+                if name in out:
+                    raise ParseError(
+                        f"fork: duplicate branch name {name!r}", br.span
+                    )
+                saved = (emitter.last_sort, emitter.window)
+                emitter.last_sort, emitter.window = None, None
+                try:
+                    sql, cols = base_sql, list(base_cols)
+                    for op in br.ops:
+                        sql, cols = emitter.emit_op(op, sql, cols)
+                finally:
+                    emitter.last_sort, emitter.window = saved
+                out[name] = sql
+        return out
+    except ParseError as e:
+        raise QueryError(text, [e]) from None

@@ -1144,3 +1144,98 @@ def test_mv_expand_single_map_entries(spark):
     out2 = eng.query("M | mv-expand e = mp | extend v = e['b']")
     vals = sorted(r.v for r in out2.collect() if r.v is not None)
     assert vals == [2]
+
+
+# ------------------------------------------------------------ facet / fork
+
+
+@pytest.fixture(scope="module")
+def _ff_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", "x", 10.0),
+            (2, "a", "y", 20.0),
+            (3, "b", "x", 30.0),
+            (4, "b", "x", None),
+            (5, None, "y", 50.0),
+        ],
+        "id long, kind string, grp string, v double",
+    )
+
+
+def test_facet_outputs_match_summarize(spark, _ff_df):
+    from pql_spark import MultiResult, PqlEngine
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    res = eng.query("T | facet by kind, grp")
+    assert isinstance(res, MultiResult)
+    assert list(res) == ["kind", "grp"]
+    for col in ("kind", "grp"):
+        want = sorted(
+            map(tuple, eng.query(
+                f"T | summarize count_ = count() by {col}"
+            ).collect()),
+            key=repr,
+        )
+        got = sorted(map(tuple, res[col].collect()), key=repr)
+        assert got == want, col
+
+
+def test_facet_with_pipe_is_main(spark, _ff_df):
+    from pql_spark import PqlEngine
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    res = eng.query(
+        "T | facet by kind with ( where v > 15 | summarize n = count() )"
+    )
+    assert list(res) == ["main", "kind"]
+    assert res["main"].collect()[0].n == 3
+
+
+def test_fork_branches(spark, _ff_df):
+    from pql_spark import PqlEngine
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    res = eng.query(
+        "T | fork big = ( where v >= 20 | count )"
+        " ( summarize m = max(v) by grp | sort by grp asc )"
+    )
+    assert list(res) == ["big", "fork_1"]
+    assert res["big"].collect()[0]["count()"] == 3
+    assert [tuple(r) for r in res["fork_1"].collect()] == [
+        ("x", 30.0), ("y", 50.0)
+    ]
+
+
+def test_facet_fork_sql_backend_equivalence(spark, _ff_df):
+    from pql_spark import PqlEngine
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    _ff_df.createOrReplaceTempView("T")
+    for q in (
+        "T | facet by kind, grp with ( summarize m = avg(v) by kind )",
+        "T | fork a = ( where v > 10 | project id, v ) ( count )",
+    ):
+        res = eng.query(q)
+        sqls = eng.to_sql_multi(q)
+        assert list(sqls) == list(res)
+        for name in res:
+            a = sorted(map(tuple, res[name].collect()), key=repr)
+            b = sorted(map(tuple, spark.sql(sqls[name]).collect()), key=repr)
+            assert a == b, (q, name)
+
+
+def test_facet_fork_errors(spark, _ff_df):
+    from pql_spark import PqlEngine, QueryError
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    with pytest.raises(QueryError, match="final operator"):
+        eng.query("T | facet by kind | count")
+    with pytest.raises(QueryError, match="top level"):
+        eng.query("T | join kind=inner (T | fork a = ( count )) on id")
+    with pytest.raises(QueryError, match="unknown column"):
+        eng.query("T | facet by nope")
+    with pytest.raises(QueryError, match="duplicate branch"):
+        eng.query("T | fork a = ( count ) a = ( count )")
+    with pytest.raises(QueryError, match="at least one"):
+        eng.query("T | fork")
