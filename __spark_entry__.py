@@ -1210,6 +1210,115 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM s ORDER BY event_type, ts
         """,
     ),
+    # EXTENSION series_decompose: additive trend/seasonal/residual
+    # decomposition over make-series arrays (period-7 daily series).
+    # Oracle reproduces the arithmetic with window SQL: edge-truncated
+    # centered MA(7) trend, per-phase detrended means centered by the
+    # partition mean, residual = n - trend - seasonal.
+    "pql_series_decompose": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend d = series_decompose(n, 7)
+        | mv-expand ts, b = d.baseline, t = d.trend, r = d.residual
+        | project event_type, ts, b = round(b, 4), t = round(t, 4),
+                  r = round(r, 4)
+        | sort by event_type asc, ts asc
+        """,
+        """
+        WITH f AS (SELECT event_type, ts FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-31'),
+        g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n
+              FROM f GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, j.i,
+                        CAST(coalesce(g.n, 0) AS DOUBLE) AS n
+                 FROM (SELECT DISTINCT event_type FROM f) t
+                 CROSS JOIN (SELECT unnest(range(0, 30)) AS i) j
+                 LEFT JOIN g ON g.event_type = t.event_type
+                            AND g.i = j.i),
+        tr AS (SELECT event_type, i, n,
+                      avg(n) OVER (PARTITION BY event_type ORDER BY i
+                                   ROWS BETWEEN 3 PRECEDING
+                                   AND 3 FOLLOWING) AS trend
+               FROM grid),
+        ph AS (SELECT *, avg(n - trend) OVER
+                           (PARTITION BY event_type, i % 7) AS sraw
+               FROM tr),
+        c AS (SELECT *, sraw - avg(sraw) OVER
+                          (PARTITION BY event_type) AS seasonal
+              FROM ph)
+        SELECT event_type,
+               TIMESTAMP '2024-01-01' + to_microseconds(i * 86400000000)
+                   AS ts,
+               round(trend + seasonal, 4) AS b,
+               round(trend, 4) AS t,
+               round(n - trend - seasonal, 4) AS r
+        FROM c ORDER BY event_type, ts
+        """,
+    ),
+    # EXTENSION series_decompose_anomalies: ±1 flags on residual
+    # population z-scores past the threshold
+    "pql_series_decompose_anomalies": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend d = series_decompose_anomalies(n, 7, 2.0)
+        | mv-expand ts, flag = d.ad_flag, sc = d.ad_score
+        | project event_type, ts, flag, sc = round(sc, 4)
+        | sort by event_type asc, ts asc
+        """,
+        """
+        WITH f AS (SELECT event_type, ts FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-31'),
+        g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n
+              FROM f GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, j.i,
+                        CAST(coalesce(g.n, 0) AS DOUBLE) AS n
+                 FROM (SELECT DISTINCT event_type FROM f) t
+                 CROSS JOIN (SELECT unnest(range(0, 30)) AS i) j
+                 LEFT JOIN g ON g.event_type = t.event_type
+                            AND g.i = j.i),
+        tr AS (SELECT event_type, i, n,
+                      avg(n) OVER (PARTITION BY event_type ORDER BY i
+                                   ROWS BETWEEN 3 PRECEDING
+                                   AND 3 FOLLOWING) AS trend
+               FROM grid),
+        ph AS (SELECT *, avg(n - trend) OVER
+                           (PARTITION BY event_type, i % 7) AS sraw
+               FROM tr),
+        c AS (SELECT *, n - trend
+                        - (sraw - avg(sraw) OVER
+                             (PARTITION BY event_type)) AS resid
+              FROM ph),
+        z AS (SELECT *,
+                     avg(resid) OVER (PARTITION BY event_type) AS rm,
+                     stddev_pop(resid) OVER (PARTITION BY event_type)
+                         AS rs
+              FROM c)
+        SELECT event_type,
+               TIMESTAMP '2024-01-01' + to_microseconds(i * 86400000000)
+                   AS ts,
+               CAST(CASE WHEN rs > 0 AND (resid - rm) / rs >= 2.0 THEN 1
+                         WHEN rs > 0 AND (resid - rm) / rs <= -2.0
+                           THEN -1
+                         ELSE 0 END AS BIGINT) AS flag,
+               round(CASE WHEN rs > 0 THEN (resid - rm) / rs
+                          ELSE 0.0 END, 4) AS sc
+        FROM z ORDER BY event_type, ts
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """
@@ -2226,7 +2335,8 @@ _CHECK_FIRST = [
     "op_winnow_fingerprints", "op_sampling_split", "op_curate_corpus",
     # round-3 additions (multi-output facet/fork — one entry per output)
     "pql_facet_counts", "pql_facet_main", "pql_fork_hot",
-    "pql_fork_daily",
+    "pql_fork_daily", "pql_series_decompose",
+    "pql_series_decompose_anomalies",
     # core regression anchors (stayed green in r1+r2; keep a
     # representative slice of every family under continuous check)
     "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",

@@ -471,6 +471,152 @@ def compile_call(
             return total / F.size(window)
 
         return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
+    if lname in ("series_decompose", "series_decompose_anomalies"):
+        # Simplified KQL series_decompose: classic ADDITIVE decomposition
+        # with an explicit integer period (KQL's autodetect/lowess is
+        # replaced by deterministic, oracle-checkable arithmetic):
+        #   trend    = edge-truncated centered moving average, window p
+        #   seasonal = per-phase mean of (series - trend), centered so
+        #              mean(seasonal) == 0 over the array
+        #   baseline = trend + seasonal;  residual = series - baseline
+        # Returns a STRUCT of arrays (use `extend d = …` then
+        # `d.baseline` etc. / mv-expand).  All element-lambda work is
+        # O(bins·p) per row — bin-count-sized, never row-count-sized.
+        # series_decompose_anomalies(arr, p[, threshold]) scores the
+        # residual with population z (like series_outliers) and flags
+        # ±1 where |z| ≥ threshold (default 1.5): struct(ad_flag,
+        # ad_score, baseline).
+        anomalies = lname == "series_decompose_anomalies"
+        _check_argc(name, args, 2, 3 if anomalies else 2, span)
+        p = _lit_int(name, ast_args, 1, span)
+        if p < 1:
+            raise ParseError(f"{name}() period must be >= 1", span)
+        threshold = 1.5
+        if anomalies and len(args) == 3:
+            from .ast_nodes import NumberLit
+
+            t_ast = ast_args[2] if ast_args is not None else None
+            if not isinstance(t_ast, NumberLit):
+                raise ParseError(
+                    f"{name}() threshold must be a number literal", span
+                )
+            threshold = float(t_ast.text)
+        lo, hi = (p - 1) // 2, p // 2
+
+        def _bind(col: Column, f) -> Column:
+            # let-binding via a singleton-array lambda: each chained
+            # intermediate (trend, detrend, …) appears ONCE in the
+            # expression tree as a lambda VARIABLE instead of being
+            # re-inlined at every use — without this the tree grows
+            # exponentially (a naive build hit >1 MiB task binaries and
+            # minutes of analysis time for the anomalies variant)
+            return F.element_at(F.transform(F.array(col), f), 1)
+
+        def _mean(a: Column) -> Column:
+            return (
+                F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(a)
+            )
+
+        def _trend(ad: Column) -> Column:
+            n = F.size(ad)
+
+            def trend_at(i: Column) -> Column:
+                start = F.greatest(F.lit(1), i - lo)
+                window = F.slice(
+                    ad, start, F.least(i + hi, n) - start + F.lit(1)
+                )
+                return _mean(window)
+
+            return F.transform(F.sequence(F.lit(1), n), trend_at)
+
+        def _psums(det: Column) -> Column:
+            # per-phase means of the detrended series (0-based phase)
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(p - 1)),
+                lambda q: _mean(
+                    F.filter(det, lambda _x, j: (j % p) == q)
+                ),
+            )
+
+        def _seasonal(ps: Column, n: Column) -> Column:
+            seq = F.sequence(F.lit(1), n)
+            raw = F.transform(
+                seq,
+                lambda i: F.element_at(ps, ((i - 1) % p + 1).cast("int")),
+            )
+            return _bind(raw, lambda r: _bind(
+                _mean(r), lambda sm: F.transform(r, lambda x: x - sm)
+            ))
+
+        def decompose(arr: Column, finish) -> Column:
+            """finish(arrd, trend, seasonal, baseline, residual)."""
+            return _bind(
+                F.transform(arr, lambda x: x.cast("double")),
+                lambda ad: _bind(_trend(ad), lambda tr: _bind(
+                    _psums(F.zip_with(ad, tr, lambda x, t: x - t)),
+                    lambda ps: _bind(
+                        _seasonal(ps, F.size(ad)),
+                        lambda seas: _bind(
+                            F.zip_with(tr, seas, lambda t, s: t + s),
+                            lambda base: _bind(
+                                F.zip_with(ad, base, lambda x, b: x - b),
+                                lambda resid: finish(
+                                    ad, tr, seas, base, resid
+                                ),
+                            ),
+                        ),
+                    ),
+                )),
+            )
+
+        if not anomalies:
+            return decompose(
+                args[0],
+                lambda ad, tr, seas, base, resid: F.struct(
+                    base.alias("baseline"),
+                    seas.alias("seasonal"),
+                    tr.alias("trend"),
+                    resid.alias("residual"),
+                ),
+            )
+
+        def finish(ad, tr, seas, base, resid):
+            def with_stats(rm: Column, rs: Column) -> Column:
+                score = F.transform(
+                    resid,
+                    lambda x: F.when(rs > 0.0, (x - rm) / rs).otherwise(
+                        F.lit(0.0)
+                    ),
+                )
+                return _bind(
+                    score,
+                    lambda sc: F.struct(
+                        F.transform(
+                            sc,
+                            lambda z: F.when(z >= threshold, F.lit(1))
+                            .when(z <= -threshold, F.lit(-1))
+                            .otherwise(F.lit(0))
+                            .cast("long"),
+                        ).alias("ad_flag"),
+                        sc.alias("ad_score"),
+                        base.alias("baseline"),
+                    ),
+                )
+
+            return _bind(_mean(resid), lambda rm: _bind(
+                F.sqrt(
+                    F.aggregate(
+                        resid,
+                        F.lit(0.0),
+                        lambda acc, x: acc + (x - rm) * (x - rm),
+                    )
+                    / F.size(resid)
+                ),
+                lambda rs: with_stats(rm, rs),
+            ))
+
+        return decompose(args[0], finish)
     if lname in ("iff", "iif"):
         _check_argc(name, args, 3, 3, span)
         return iff(args[0], args[1], args[2])

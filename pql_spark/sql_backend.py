@@ -1231,6 +1231,135 @@ class _SqlEmitter:
                 f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
                 f" DOUBLE)) / size({win}))"
             )
+        if name in ("series_decompose", "series_decompose_anomalies"):
+            # twin of the DataFrame build (functions.py) including its
+            # let-binding-via-singleton-array trick, so both backends
+            # produce byte-identical expression semantics without
+            # exponential text duplication
+            anomalies = name == "series_decompose_anomalies"
+            argc(2, 3 if anomalies else 2)
+            if not isinstance(args[1], NumberLit) or args[1].is_float:
+                raise ParseError(
+                    f"{name}() period must be an integer literal", e.span
+                )
+            p = int(args[1].text)
+            if p < 1:
+                raise ParseError(f"{name}() period must be >= 1", e.span)
+            threshold = 1.5
+            if anomalies and len(args) == 3:
+                if not isinstance(args[2], NumberLit):
+                    raise ParseError(
+                        f"{name}() threshold must be a number literal",
+                        e.span,
+                    )
+                threshold = float(args[2].text)
+            lo, hi = (p - 1) // 2, p // 2
+
+            def bind(x: str, v: str, body: str) -> str:
+                return f"element_at(transform(array({x}), {v} -> {body}), 1)"
+
+            def mean(a: str) -> str:
+                return (
+                    f"(aggregate({a}, 0.0D, (acc, x) -> acc + x)"
+                    f" / size({a}))"
+                )
+
+            a0 = self.expr(args[0])
+            ad = "__sd_ad"
+            win = (
+                f"slice({ad}, greatest(1, __i - {lo}),"
+                f" least(__i + {hi}, size({ad}))"
+                f" - greatest(1, __i - {lo}) + 1)"
+            )
+            trend = (
+                f"transform(sequence(1, size({ad})), __i -> {mean(win)})"
+            )
+            psums = (
+                f"transform(sequence(0, {p - 1}), __q ->"
+                f" {mean(f'filter(__sd_de, (__x, __j) -> (__j % {p}) == __q)')})"
+            )
+            raw = (
+                f"transform(sequence(1, size({ad})), __i ->"
+                f" element_at(__sd_ps, CAST((__i - 1) % {p} + 1 AS INT)))"
+            )
+            seasonal = bind(
+                raw,
+                "__sd_raw",
+                bind(
+                    mean("__sd_raw"),
+                    "__sd_sm",
+                    "transform(__sd_raw, x -> x - __sd_sm)",
+                ),
+            )
+            if not anomalies:
+                final = (
+                    "named_struct("
+                    "'baseline', __sd_ba, 'seasonal', __sd_se,"
+                    " 'trend', __sd_tr, 'residual', __sd_re)"
+                )
+            else:
+                score = (
+                    "transform(__sd_re, x -> CASE WHEN __sd_rs > 0.0D"
+                    " THEN (x - __sd_rm) / __sd_rs ELSE 0.0D END)"
+                )
+                flags = (
+                    f"transform(__sd_sc, z -> CAST(CASE"
+                    f" WHEN z >= {threshold!r}D THEN 1"
+                    f" WHEN z <= {-threshold!r}D THEN -1"
+                    f" ELSE 0 END AS BIGINT))"
+                )
+                rstd = (
+                    "sqrt(aggregate(__sd_re, 0.0D, (acc, x) ->"
+                    " acc + (x - __sd_rm) * (x - __sd_rm))"
+                    " / size(__sd_re))"
+                )
+                final = bind(
+                    mean("__sd_re"),
+                    "__sd_rm",
+                    bind(
+                        rstd,
+                        "__sd_rs",
+                        bind(
+                            score,
+                            "__sd_sc",
+                            "named_struct('ad_flag', "
+                            + flags
+                            + ", 'ad_score', __sd_sc,"
+                            " 'baseline', __sd_ba)",
+                        ),
+                    ),
+                )
+            return bind(
+                f"transform({a0}, x -> CAST(x AS DOUBLE))",
+                ad,
+                bind(
+                    trend,
+                    "__sd_tr",
+                    bind(
+                        f"zip_with({ad}, __sd_tr, (x, t) -> x - t)",
+                        "__sd_de",
+                        bind(
+                            psums,
+                            "__sd_ps",
+                            bind(
+                                seasonal,
+                                "__sd_se",
+                                bind(
+                                    "zip_with(__sd_tr, __sd_se,"
+                                    " (t, s) -> t + s)",
+                                    "__sd_ba",
+                                    bind(
+                                        f"zip_with({ad}, __sd_ba,"
+                                        " (x, b) -> x - b)",
+                                        "__sd_re",
+                                        final,
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            )
         if name in ("iff", "iif"):
             argc(3, 3)
             return (

@@ -326,3 +326,84 @@ def test_series_outliers(spark):
     assert [round(v, 4) for v in out[1]] == [-0.5774, -0.5774, -0.5774, 1.7321]
     assert out[2] == [0.0, 0.0]  # zero variance
     assert out[3] == []
+
+
+# ------------------------------------------------- series_decompose
+
+
+def test_series_decompose_matches_numpy(spark):
+    import numpy as np
+
+    from pql_spark import PqlEngine
+
+    vals = [
+        float(10 + 0.5 * i + [0, 2, 4, 1, -1, -3, -2][i % 7]
+              + (30 if i == 20 else 0))
+        for i in range(28)
+    ]
+    df = spark.createDataFrame([(1, vals)], "k long, s array<double>")
+    eng = PqlEngine(spark, resolver={"T": df})
+    out = eng.query(
+        "T | extend d = series_decompose(s, 7) | project k, d"
+    ).collect()[0].d
+    a = np.array(vals)
+    n, p = len(a), 7
+    lo, hi = (p - 1) // 2, p // 2
+    trend = np.array(
+        [a[max(0, i - lo):min(i + hi, n - 1) + 1].mean() for i in range(n)]
+    )
+    det = a - trend
+    ph = np.array([det[q::p].mean() for q in range(p)])
+    sraw = np.array([ph[i % p] for i in range(n)])
+    seasonal = sraw - sraw.mean()
+    baseline = trend + seasonal
+    assert np.allclose(np.array(out.trend), trend, atol=1e-9)
+    assert np.allclose(np.array(out.seasonal), seasonal, atol=1e-9)
+    assert np.allclose(np.array(out.baseline), baseline, atol=1e-9)
+    assert np.allclose(np.array(out.residual), a - baseline, atol=1e-9)
+
+    an = eng.query(
+        "T | extend d = series_decompose_anomalies(s, 7, 2.5)"
+        " | project k, d"
+    ).collect()[0].d
+    resid = a - baseline
+    z = (resid - resid.mean()) / resid.std()
+    assert [i for i, f in enumerate(an.ad_flag) if f] == [20]
+    assert np.allclose(np.array(an.ad_score), z, atol=1e-9)
+
+
+def test_series_decompose_backends_agree(spark):
+    from pql_spark import PqlEngine
+
+    vals = [float((i * 7919) % 13 + (i % 5)) for i in range(30)]
+    df = spark.createDataFrame([(1, vals)], "k long, s array<double>")
+    df.createOrReplaceTempView("SD_T")
+    eng = PqlEngine(spark, resolver={"SD_T": df})
+    for q in (
+        "SD_T | extend d = series_decompose(s, 5)"
+        " | mv-expand b = d.baseline, r = d.residual | project k, b, r",
+        "SD_T | extend d = series_decompose_anomalies(s, 5)"
+        " | mv-expand f = d.ad_flag, sc = d.ad_score | project k, f, sc",
+    ):
+        a = sorted(map(tuple, eng.query(q).collect()), key=repr)
+        b = sorted(map(tuple, spark.sql(eng.to_sql(q)).collect()), key=repr)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            for u, v in zip(x, y):
+                if isinstance(u, float):
+                    assert abs(u - v) < 1e-9
+                else:
+                    assert u == v
+
+
+def test_series_decompose_errors(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "k long, s array<double>")
+    eng = PqlEngine(spark, resolver={"T": df})
+    with pytest.raises(QueryError, match="integer literal"):
+        eng.query("T | extend d = series_decompose(s, 1.5)")
+    with pytest.raises(QueryError, match=">= 1"):
+        eng.query("T | extend d = series_decompose(s, 0)")
+    with pytest.raises(QueryError, match="number literal"):
+        eng.query("T | extend d = series_decompose_anomalies(s, 2, k)")
