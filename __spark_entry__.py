@@ -1951,6 +1951,43 @@ FROM events GROUP BY day ORDER BY day
 """
 
 
+def _q_stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming foreachBatch upsert sink: drain per-user counts into a
+    parquet target (one current row per key), read the files back."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pql_spark.streaming import (
+        stream_parquet_table,
+        stream_upsert_to_parquet,
+    )
+
+    events = stream_parquet_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    root = Path(tempfile.mkdtemp(prefix="pql_sink_"))
+    try:
+        stream_upsert_to_parquet(
+            agg, str(root / "by_user"), keys=["user_id"],
+            checkpoint=str(root / "ckpt"),
+        )
+        out = spark.read.parquet(str(root / "by_user"))
+        # materialize before the temp dir disappears
+        rows = out.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema).orderBy("user_id")
+
+
+_STREAM_SINK_ORACLE = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir)("documents")
 
@@ -2336,7 +2373,7 @@ _CHECK_FIRST = [
     # round-3 additions (multi-output facet/fork — one entry per output)
     "pql_facet_counts", "pql_facet_main", "pql_fork_hot",
     "pql_fork_daily", "pql_series_decompose",
-    "pql_series_decompose_anomalies",
+    "pql_series_decompose_anomalies", "op_stream_sink_upsert",
     # core regression anchors (stayed green in r1+r2; keep a
     # representative slice of every family under continuous check)
     "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",
@@ -2378,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_knn_grouped": _q_knn,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
             "op_stream_windowed": _q_stream_windowed,
+            "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_stream_sessionize": _q_stream_sessionize,
             "op_stream_stateful": _q_stream_stateful,
             "op_asof_join": _q_asof,
@@ -2429,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
             "op_quantized_topk": _TOPK_ORACLE,
             "op_knn_grouped": _KNN_ORACLE,
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
+            "op_stream_sink_upsert": _STREAM_SINK_ORACLE,
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             "op_asof_join": _ASOF_ORACLE,

@@ -17,8 +17,10 @@ from .pipeline import (
     stream_dedup,
     stream_interval_join,
     stream_parquet_table,
+    stream_upsert_to_parquet,
     stateful_user_counts,
     windowed_agg,
+    write_stream_parquet,
 )
 
 __all__ = [
@@ -28,6 +30,8 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_parquet_table",
+    "stream_upsert_to_parquet",
     "stateful_user_counts",
     "windowed_agg",
+    "write_stream_parquet",
 ]

@@ -290,3 +290,135 @@ def run_available_now(
     out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
     df.sparkSession.catalog.dropTempView(name)
     return out
+
+
+# ------------------------------------------------------------------ sinks
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    partition_by: Iterable[str] | None = None,
+    available_now: bool = True,
+    await_seconds: int | None = 300,
+):
+    """``writeStream`` → parquet files (append mode — the only mode the
+    file sink supports; windowed aggregations must carry a watermark so
+    finalized windows can be appended).
+
+    ``partition_by`` gives hive-style directory partitioning, the same
+    layout the batch sinks use — downstream readers get partition
+    pruning on those columns.  ``checkpoint`` defaults to a sibling
+    ``<path>_ckpt`` directory: with a durable checkpoint the sink is
+    exactly-once across restarts (file-sink manifest + WAL).  With
+    ``available_now`` the call drains everything currently readable and
+    returns after termination; pass ``available_now=False`` for a
+    continuously running query (returns the live StreamingQuery).
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{path.rstrip('/')}_ckpt",
+        )
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if not available_now:
+        return writer.start()
+    writer = writer.trigger(availableNow=True)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = writer.start()
+        try:
+            q.awaitTermination(await_seconds)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return q
+
+
+def stream_upsert_to_parquet(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str | None = None,
+    await_seconds: int | None = 300,
+):
+    """``foreachBatch`` upsert: merge each micro-batch into a parquet
+    target by key — the update-mode companion to the append-only file
+    sink (e.g. keep one current row per user/window while the stream
+    runs).
+
+    Each batch: drop in-batch duplicate keys (last write wins within a
+    batch is not defined by Spark — rows are deduped deterministically
+    by keeping the max over the non-key columns' struct), anti-join the
+    existing target on the keys, union the new rows, and atomically
+    swap the target directory.  Plain parquet has no transaction log,
+    so the swap is directory-rename atomicity (fine for a single
+    writer); on a real lakehouse swap this helper's body for
+    ``MERGE INTO`` on Delta/Iceberg — the foreachBatch wiring is
+    identical.
+    """
+    import shutil
+
+    target = Path(path)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        others = [c for c in batch_df.columns if c not in keys]
+        dedup = (
+            batch_df.groupBy(*[F.col(k) for k in keys])
+            .agg(
+                F.max(F.struct(*[F.col(c) for c in others])).alias("__v")
+            )
+            .select(*keys, "__v.*")
+            if others
+            else batch_df.dropDuplicates(keys)
+        )
+        if target.exists():
+            cur = spark.read.parquet(str(target))
+            merged = cur.join(
+                F.broadcast(dedup.select(*keys).distinct()),
+                keys,
+                "left_anti",
+            ).unionByName(dedup)
+        else:
+            merged = dedup
+        tmp = target.with_name(target.name + f".__tmp{batch_id}")
+        merged.write.mode("overwrite").parquet(str(tmp))
+        if target.exists():
+            shutil.rmtree(target)
+        tmp.rename(target)
+
+    writer = (
+        df.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{str(target).rstrip('/')}_ckpt",
+        )
+        .trigger(availableNow=True)
+    )
+    # an availableNow drain doesn't need a wide state store (see
+    # run_available_now); the conf is fixed at query start
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = writer.start()
+        try:
+            q.awaitTermination(await_seconds)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return q

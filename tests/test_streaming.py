@@ -235,3 +235,68 @@ def test_pql_sort_rejected_on_stream(spark, events_stream):
     df = pql_stream(spark, q, lambda name: events_stream)
     with pytest.raises(AnalysisException):
         run_available_now(df, "append")
+
+
+def test_write_stream_parquet_matches_batch(
+    tmp_path, spark, events_stream, events_batch
+):
+    """Append-mode parquet sink: finalized watermarked windows read
+    back from the files equal the batch aggregation (the watermark has
+    passed every window once the bounded input is drained)."""
+    from pql_spark.streaming import write_stream_parquet
+
+    out = tmp_path / "windows"
+    write_stream_parquet(
+        windowed_agg(events_stream, window="6 hours", watermark="1 second"),
+        str(out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = spark.read.parquet(str(out)).collect()
+    batch = (
+        events_batch.groupBy(
+            F.window("ts", "6 hours").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+        .collect()
+    )
+    # append emits only windows the final watermark passed; on bounded
+    # input that is all but the last open window per key
+    got_set, batch_set = _as_set(got), _as_set(batch)
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) - len(
+        {r["event_type"] for r in batch}
+    )
+    assert len(got_set) > 0
+
+
+def test_stream_upsert_to_parquet(tmp_path, spark, events_stream, events_batch):
+    """foreachBatch upsert: one current row per key after the drain,
+    equal to the batch per-key aggregate."""
+    from pql_spark.streaming import stream_upsert_to_parquet
+
+    agg = (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = tmp_path / "by_user"
+    stream_upsert_to_parquet(
+        agg, str(out), keys=["user_id"], checkpoint=str(tmp_path / "ck2")
+    )
+    got = {
+        (r.user_id, r.n) for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
