@@ -1988,6 +1988,53 @@ SELECT user_id, count(*) AS n FROM events GROUP BY user_id
 """
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: distributed PNG decode (pure-stdlib codec) +
+    block-mean featurization over deterministic synthetic PNGs."""
+    media = M.synthesize_png_media(spark, n=64)
+    feats = M.extract_features(media, dim=16, decoder="png")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("feature")[0].cast("double"), 4).alias("f0"),
+        F.round(
+            F.expr(
+                "aggregate(transform(feature, x -> CAST(x AS DOUBLE)),"
+                " 0D, (a, x) -> a + x)"
+            ),
+            4,
+        ).alias("fsum"),
+    ).orderBy("media_id")
+
+
+def _png_decode_oracle() -> str:
+    """Driver-side reference: the same synth→encode→decode→featurize
+    math run locally (numpy + the stdlib codec), emitted as a VALUES
+    table — the distributed kernel must reproduce it exactly."""
+    import numpy as np
+
+    from pql_spark.operators._png import decode_png, encode_png
+    from pql_spark.operators.multimodal import image_feature, synth_image
+
+    rows = []
+    for k in range(64):
+        payload = encode_png(synth_image(k))
+        feats = [
+            float(np.float32(v))
+            for v in image_feature(decode_png(payload), 16)
+        ]
+        rows.append(
+            f"(CAST({k} AS BIGINT), CAST({len(payload)} AS BIGINT),"
+            f" CAST({round(feats[0], 4)!r} AS DOUBLE),"
+            f" CAST({round(sum(feats), 4)!r} AS DOUBLE))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, n_bytes, f0, fsum)"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir)("documents")
 
@@ -2374,6 +2421,7 @@ _CHECK_FIRST = [
     "pql_facet_counts", "pql_facet_main", "pql_fork_hot",
     "pql_fork_daily", "pql_series_decompose",
     "pql_series_decompose_anomalies", "op_stream_sink_upsert",
+    "op_multimodal_decode",
     # core regression anchors (stayed green in r1+r2; keep a
     # representative slice of every family under continuous check)
     "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",
@@ -2416,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
+            "op_multimodal_decode": _q_multimodal_decode,
             "op_stream_sessionize": _q_stream_sessionize,
             "op_stream_stateful": _q_stream_stateful,
             "op_asof_join": _q_asof,
@@ -2468,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
             "op_knn_grouped": _KNN_ORACLE,
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
             "op_stream_sink_upsert": _STREAM_SINK_ORACLE,
+            "op_multimodal_decode": _png_decode_oracle(),
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             "op_asof_join": _ASOF_ORACLE,

@@ -1,12 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The codec libraries (Pillow, librosa, ffmpeg) are NOT in this container,
-so the decode kernels are stubbed: ``decoder="fake"`` produces
-deterministic hash-derived features (testable end-to-end); ``decoder=
-"real"`` raises NotImplementedError at the exact point a codec call
-would go.  Everything Spark-side — schema, batch iteration, partition
-sizing, UDF signatures — is real and tested.
+Decoders:
+
+- ``decoder="png"`` — a REAL codec path: payloads are decoded with the
+  pure-stdlib PNG codec (``operators/_png.py``, zlib + numpy; 8-bit
+  grey/RGB/RGBA, all five scanline filters) and featurized as a
+  grid-of-block-means intensity vector.  ``synthesize_png_media``
+  produces deterministic real PNG payloads to drive it.
+- ``decoder="fake"`` — hash-derived features for arbitrary opaque
+  payloads (exercises the plumbing with no format assumptions).
+- ``decoder="real"`` — marks where Pillow/librosa/ffmpeg calls belong
+  for formats beyond PNG (JPEG/audio/video); those libraries are NOT in
+  this container, so it raises NotImplementedError at the exact call
+  site.
+
+Everything Spark-side — schema, batch iteration, partition sizing, UDF
+signatures — is real and tested on every path.
 
 Scale notes: media blobs are large; the iterator-of-batches mapInPandas
 form never materializes a whole partition, so executor memory is bounded
@@ -88,6 +98,74 @@ def synthesize_media(
     return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_image(k: int, width: int = 48, height: int = 32):
+    """Deterministic id-seeded test image: RGB gradient × sinusoid."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = (xx * 255 // max(width - 1, 1) + 7 * k) % 256
+    g = (yy * 255 // max(height - 1, 1) + 13 * k) % 256
+    b = (127.5 + 127.5 * np.sin((xx + yy) / 6.0 + k)).astype(
+        np.int64
+    ) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synthesize_png_media(
+    spark, n: int = 64, width: int = 48, height: int = 32
+) -> DataFrame:
+    """Deterministic REAL-PNG media table: each payload is a valid
+    8-bit RGB PNG (pure-stdlib encoder) of an id-seeded gradient ×
+    sinusoid pattern — decodable by any PNG library, not just ours."""
+    from ._png import encode_png
+
+    def gen(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                rows.append(
+                    {
+                        "media_id": k,
+                        "kind": "image",
+                        "payload": encode_png(
+                            synth_image(k, width, height)
+                        ),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": 0,
+                            "codec": "png",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def image_feature(img, dim: int = 16) -> list[float]:
+    """Grid-of-block-means intensity feature: greyscale the image, tile
+    it into ceil(√dim)² near-equal blocks (row-major), take the first
+    ``dim`` block means / 255.  Deterministic, codec-independent — the
+    same reference math runs driver-side in oracles/tests."""
+    import math
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    g = math.ceil(math.sqrt(dim))
+    out: list[float] = []
+    rows = np.array_split(a, g, axis=0)
+    for band in rows:
+        for block in np.array_split(band, g, axis=1):
+            out.append(float(block.mean()) / 255.0)
+    return out[:dim]
+
+
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic pseudo-feature from the payload hash (stands in for
     a real encoder's embedding)."""
@@ -105,27 +183,39 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract media payloads in Arrow batches.
 
-    ``decoder="real"`` marks where Pillow/librosa/ffmpeg calls belong —
-    unavailable in this container, so it raises.
+    ``decoder="png"`` is a real decode (stdlib PNG codec → block-mean
+    intensity feature); ``decoder="real"`` marks where Pillow/librosa/
+    ffmpeg calls belong for other formats — unavailable in this
+    container, so it raises.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "png", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "png":
+            from ._png import decode_png
+
+            def feat(p) -> list[float]:
+                return image_feature(decode_png(bytes(p)), dim)
+
+        else:
+
+            def feat(p) -> list[float]:
+                return _fake_feature(bytes(p), dim)
+
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
                     "codec libraries (Pillow/librosa/ffmpeg) are not "
-                    "available in this environment; use decoder='fake'"
+                    "available in this environment; use decoder='png' "
+                    "for PNG payloads or decoder='fake'"
                 )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "feature": pdf["payload"].map(
-                        lambda p: _fake_feature(bytes(p), dim)
-                    ),
+                    "feature": pdf["payload"].map(feat),
                 }
             )
 
