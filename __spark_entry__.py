@@ -1319,6 +1319,107 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM z ORDER BY event_type, ts
         """,
     ),
+    # EXTENSION series_stats + series_fit_line over make-series arrays;
+    # the oracle uses DuckDB's regression aggregates (regr_slope/
+    # regr_intercept/regr_r2 ≡ OLS against the bin index) and a window
+    # min for the first-occurrence min index
+    "pql_series_stats_fit": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend st = series_stats(n), fl = series_fit_line(n)
+        | project event_type, mn = st.min, mni = st.min_idx,
+                  mx = st.max, av = round(st.avg, 4),
+                  sd = round(st.stdev, 4), slope = round(fl.slope, 4),
+                  icpt = round(fl.interception, 4),
+                  rsq = round(fl.rsquare, 4)
+        | sort by event_type asc
+        """,
+        """
+        WITH f AS (SELECT event_type, ts FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-31'),
+        g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n
+              FROM f GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, j.i,
+                        CAST(coalesce(g.n, 0) AS DOUBLE) AS n
+                 FROM (SELECT DISTINCT event_type FROM f) t
+                 CROSS JOIN (SELECT unnest(range(0, 30)) AS i) j
+                 LEFT JOIN g ON g.event_type = t.event_type
+                            AND g.i = j.i),
+        s AS (SELECT *, min(n) OVER (PARTITION BY event_type) AS mn_w
+              FROM grid)
+        SELECT event_type,
+               min(n) AS mn,
+               min(CASE WHEN n = mn_w THEN i END) AS mni,
+               max(n) AS mx,
+               round(avg(n), 4) AS av,
+               round(stddev_samp(n), 4) AS sd,
+               round(regr_slope(n, i), 4) AS slope,
+               round(regr_intercept(n, i), 4) AS icpt,
+               round(regr_r2(n, i), 4) AS rsq
+        FROM s GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    # EXTENSION union kind=inner (common columns only) + withsource
+    "pql_union_inner": (
+        """
+        events
+        | project user_id, value
+        | union kind=inner withsource=src
+            (events | project user_id, event_type)
+        | summarize n = count(), u = dcount(user_id) by src
+        | sort by src asc
+        """,
+        """
+        SELECT src, count(*) AS n, count(DISTINCT user_id) AS u
+        FROM (SELECT user_id, '' AS src FROM events
+              UNION ALL SELECT user_id, 'events' FROM events)
+        GROUP BY src ORDER BY src
+        """,
+    ),
+    # EXTENSION mv-expand with_itemindex (0-based element position)
+    "pql_mv_itemindex": (
+        """
+        events
+        | where value > 300
+        | extend arr = pack_array(value, value * 2.0, value * 3.0)
+        | mv-expand with_itemindex = idx v = arr
+        | project event_id, idx, v = round(v, 4)
+        | sort by event_id asc, idx asc
+        """,
+        """
+        SELECT event_id, CAST(j.i AS INT) AS idx,
+               round(value * (j.i + 1), 4) AS v
+        FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS i) j
+        WHERE value > 300 ORDER BY event_id, j.i
+        """,
+    ),
+    # EXTENSION KQL bitwise function family
+    "pql_binary_fns": (
+        """
+        events
+        | where value > 300
+        | project event_id,
+            a = binary_and(event_id, 255), o = binary_or(event_id, 16),
+            x = binary_xor(event_id, 5), n = binary_not(event_id),
+            sl = binary_shift_left(event_id, 3),
+            sr = binary_shift_right(event_id, 2)
+        | sort by event_id asc
+        """,
+        """
+        SELECT event_id,
+               event_id & 255 AS a, event_id | 16 AS o,
+               xor(event_id, 5) AS x, ~event_id AS n,
+               event_id << 3 AS sl, event_id >> 2 AS sr
+        FROM events WHERE value > 300 ORDER BY event_id
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """
@@ -2422,12 +2523,13 @@ _CHECK_FIRST = [
     "pql_fork_daily", "pql_series_decompose",
     "pql_series_decompose_anomalies", "op_stream_sink_upsert",
     "op_multimodal_decode",
+    "pql_series_stats_fit", "pql_union_inner", "pql_mv_itemindex",
+    "pql_binary_fns",
     # core regression anchors (stayed green in r1+r2; keep a
     # representative slice of every family under continuous check)
     "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",
-    "pql_summarize_by", "pql_make_series", "pql_partition_op",
-    "pql_sketch_fns", "op_minhash_dups", "op_embedding_dups",
-    "op_asof_join", "op_kmv_distinct", "op_stream_windowed",
+    "pql_summarize_by", "pql_make_series", "op_minhash_dups",
+    "op_embedding_dups", "op_asof_join",
 ]
 
 

@@ -215,11 +215,15 @@ class DistinctOp(Op):
 
 @dataclass
 class UnionOp(Op):
-    """``union [withsource = Col] Table2, (T3 | where …)`` — bag union
-    by column name; ``withsource`` appends the originating table name."""
+    """``union [kind=inner|outer] [withsource = Col] Table2, (T3 | …)``
+    — bag union by column name; ``withsource`` appends the originating
+    table name.  ``outer`` (default) keeps every column null-filling
+    gaps; ``inner`` keeps only columns common to every branch (KQL
+    union kinds)."""
 
     others: list["TabularExpr"]
     withsource: str | None = None
+    kind: str = "outer"
 
 
 @dataclass
@@ -236,9 +240,12 @@ class MvExpandOp(Op):
 
     Multiple columns follow KQL zip semantics: all arrays expand in
     lock-step to the longest one, null-padded (not a cross product).
+    ``with_itemindex = Idx`` appends the 0-based element index as a
+    column named Idx (placed after the original columns).
     """
 
     cols: list[ColSpec]
+    itemindex: str | None = None
 
     @property
     def col(self) -> ColSpec:  # single-column convenience accessor

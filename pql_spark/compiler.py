@@ -459,10 +459,13 @@ class Compiler:
                 return df.distinct()
             return df.select(*self._compile_cols(op.cols, env)).distinct()
         if isinstance(op, UnionOp):
-            # bag union by column name; missing columns null-filled
+            # bag union by column name; kind=outer (default) null-fills
+            # missing columns, kind=inner keeps only the columns every
+            # branch shares (KQL union kinds)
             ws = op.withsource
             if ws is not None:  # provenance column per branch
                 df = df.withColumn(ws, F.lit(""))
+            branches = []
             for other in op.others:
                 branch = self.compile_tabular(other)
                 if ws is not None:
@@ -472,6 +475,23 @@ class Compiler:
                         else ""
                     )
                     branch = branch.withColumn(ws, F.lit(name))
+                branches.append(branch)
+            if op.kind == "inner":
+                common = [
+                    c
+                    for c in df.columns
+                    if all(c in b.columns for b in branches)
+                ]
+                if not common:
+                    raise ParseError(
+                        "union kind=inner: no common columns", op.span
+                    )
+                df = df.select(*[F.col(_q(c)) for c in common])
+                branches = [
+                    b.select(*[F.col(_q(c)) for c in common])
+                    for b in branches
+                ]
+            for branch in branches:
                 df = df.unionByName(branch, allowMissingColumns=True)
             return df
         if isinstance(op, ProjectAwayOp):
@@ -486,9 +506,17 @@ class Compiler:
         if isinstance(op, TopNestedOp):
             return self._top_nested(df, op, env)
         if isinstance(op, MvExpandOp):
+            idx = op.itemindex
+            if idx is not None and idx in df.columns:
+                raise ParseError(
+                    f"mv-expand with_itemindex: column {idx!r} already"
+                    " exists",
+                    op.span,
+                )
             if len(op.cols) > 1:
                 return self._mv_expand_zip(df, op, env)
-            # explode drops null/empty collections (KQL default)
+            # explode drops null/empty collections (KQL default);
+            # with_itemindex → posexplode (0-based element position)
             from pyspark.sql import types as T
 
             name = self._col_name(op.col)
@@ -499,22 +527,45 @@ class Compiler:
                 # single-entry bag (explode(map) alone yields two
                 # columns, which can't replace the source column)
                 E = "__mv_entry"
-                mid = df.select(
-                    "*", F.explode(F.map_entries(expr)).alias(E)
+                gen = (
+                    F.explode(F.map_entries(expr)).alias(E)
+                    if idx is None
+                    else F.posexplode(F.map_entries(expr)).alias(idx, E)
                 )
+                mid = df.select("*", gen)
                 single = F.create_map(
                     F.col(f"{E}.key"), F.col(f"{E}.value")
                 )
+                order = list(df.columns) + ([idx] if idx else [])
                 if op.col.name is not None and op.col.name in df.columns:
                     return mid.select(
                         *[
                             single.alias(name) if c == name else F.col(_q(c))
-                            for c in df.columns
+                            for c in order
+                        ]
+                    )
+                return mid.select(
+                    *[F.col(_q(c)) for c in order],
+                    single.alias(name),
+                )
+            if idx is not None:
+                V = "__mv_val"
+                mid = df.select(
+                    "*", F.posexplode(expr).alias(idx, V)
+                )
+                if op.col.name is not None and op.col.name in df.columns:
+                    order = list(df.columns) + [idx]
+                    return mid.select(
+                        *[
+                            F.col(V).alias(name) if c == name
+                            else F.col(_q(c))
+                            for c in order
                         ]
                     )
                 return mid.select(
                     *[F.col(_q(c)) for c in df.columns],
-                    single.alias(name),
+                    idx,
+                    F.col(V).alias(name),
                 )
             exploded = F.explode(expr)
             if op.col.name is not None and op.col.name in df.columns:
@@ -1179,6 +1230,9 @@ class Compiler:
             for name, arr in zip(names, arrs)
         }
         order = list(df.columns)
+        if op.itemindex is not None:
+            order.append(op.itemindex)
+            elems[op.itemindex] = F.col(IDX).alias(op.itemindex)
         for name in names:
             if name not in order:
                 order.append(name)

@@ -159,6 +159,24 @@ def _lit_str(name: str, ast_args: list | None, i: int, span: Span,
     return ast_args[i].value
 
 
+def _let_bind(col: "Column", f) -> "Column":
+    """Let-binding via a singleton-array lambda: the bound value appears
+    ONCE in the expression tree as a lambda VARIABLE instead of being
+    re-inlined at every use.  Without this, chained array expressions
+    (series_decompose, series_fit_line) duplicate subtrees
+    exponentially — a naive series_decompose_anomalies build hit >1 MiB
+    task binaries and minutes of Catalyst analysis time."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
+def _arr_mean(a: "Column") -> "Column":
+    """Left-fold mean of a double array (matches the SQL twins'
+    summation order bit-for-bit)."""
+    return (
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / F.size(a)
+    )
+
+
 def _lit_int(name: str, ast_args: list | None, i: int, span: Span) -> int:
     """Require argument *i* to be an integer literal; return its value."""
     from .ast_nodes import NumberLit
@@ -471,6 +489,154 @@ def compile_call(
             return total / F.size(window)
 
         return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
+    if lname in ("binary_and", "binary_or", "binary_xor"):
+        # KQL bitwise family over integer values
+        _check_argc(name, args, 2, 2, span)
+        a, b = args[0].cast("long"), args[1].cast("long")
+        if lname == "binary_and":
+            return a.bitwiseAND(b)
+        if lname == "binary_or":
+            return a.bitwiseOR(b)
+        return a.bitwiseXOR(b)
+    if lname == "binary_not":
+        _check_argc(name, args, 1, 1, span)
+        return F.bitwise_not(args[0].cast("long"))
+    if lname in ("binary_shift_left", "binary_shift_right"):
+        _check_argc(name, args, 2, 2, span)
+        k = _lit_int(name, ast_args, 1, span)
+        fn = (
+            F.shiftleft if lname == "binary_shift_left" else F.shiftright
+        )
+        return fn(args[0].cast("long"), k)
+    if lname == "series_stats":
+        # KQL series_stats(arr) → struct(min, min_idx, max, max_idx,
+        # avg, stdev, variance); indices are 0-based first occurrences;
+        # variance/stdev are SAMPLE statistics (n-1), null when n < 2
+        _check_argc(name, args, 1, 1, span)
+
+        def stats(ad: Column) -> Column:
+            n = F.size(ad)
+
+            def with_avg(av: Column) -> Column:
+                var = F.when(
+                    n > 1,
+                    F.aggregate(
+                        ad,
+                        F.lit(0.0),
+                        lambda acc, x: acc + (x - av) * (x - av),
+                    )
+                    / (n - F.lit(1)).cast("double"),
+                )
+                return _let_bind(
+                    var,
+                    lambda v: F.struct(
+                        F.array_min(ad).alias("min"),
+                        (
+                            F.array_position(ad, F.array_min(ad))
+                            - F.lit(1)
+                        ).alias("min_idx"),
+                        F.array_max(ad).alias("max"),
+                        (
+                            F.array_position(ad, F.array_max(ad))
+                            - F.lit(1)
+                        ).alias("max_idx"),
+                        av.alias("avg"),
+                        F.sqrt(v).alias("stdev"),
+                        v.alias("variance"),
+                    ),
+                )
+
+            return _let_bind(_arr_mean(ad), with_avg)
+
+        return _let_bind(
+            F.transform(args[0], lambda x: x.cast("double")), stats
+        )
+    if lname == "series_fit_line":
+        # KQL series_fit_line(arr) → struct(rsquare, slope, variance,
+        # rvariance, interception, line_fit): ordinary least squares
+        # against x = 0..n-1; variance/rvariance are sample statistics;
+        # rsquare = 1 - rvariance/variance (1.0 for a zero-variance
+        # series — the flat fit is exact)
+        _check_argc(name, args, 1, 1, span)
+
+        def fit(ad: Column) -> Column:
+            n = F.size(ad).cast("double")
+            xmean = (n - 1) / F.lit(2.0)
+            # Σ(x-x̄)² for x=0..n-1 is n(n²-1)/12, closed form
+            sxx = n * (n * n - 1) / F.lit(12.0)
+
+            def with_ymean(ym: Column) -> Column:
+                sxy = F.aggregate(
+                    F.zip_with(
+                        ad,
+                        F.sequence(F.lit(0), F.size(ad) - 1),
+                        lambda y, i: (i.cast("double") - xmean)
+                        * (y - ym),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                slope = F.when(sxx > 0, sxy / sxx).otherwise(F.lit(0.0))
+
+                def with_slope(sl: Column) -> Column:
+                    interception = ym - sl * xmean
+                    line = F.transform(
+                        F.sequence(F.lit(0), F.size(ad) - 1),
+                        lambda i: interception + sl * i.cast("double"),
+                    )
+
+                    def with_line(lf: Column) -> Column:
+                        var = F.when(
+                            n > 1,
+                            F.aggregate(
+                                ad,
+                                F.lit(0.0),
+                                lambda acc, x: acc
+                                + (x - ym) * (x - ym),
+                            )
+                            / (n - 1),
+                        )
+                        rvar = F.when(
+                            n > 1,
+                            F.aggregate(
+                                F.zip_with(
+                                    ad, lf, lambda y, p: y - p
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x * x,
+                            )
+                            / (n - 1),
+                        )
+                        return _let_bind(
+                            var,
+                            lambda v: _let_bind(
+                                rvar,
+                                lambda rv: F.struct(
+                                    F.when(v > 0, 1.0 - rv / v)
+                                    .otherwise(
+                                        F.when(
+                                            v.isNotNull(), F.lit(1.0)
+                                        )
+                                    )
+                                    .alias("rsquare"),
+                                    sl.alias("slope"),
+                                    v.alias("variance"),
+                                    rv.alias("rvariance"),
+                                    interception.alias("interception"),
+                                    lf.alias("line_fit"),
+                                ),
+                            ),
+                        )
+
+                    return _let_bind(line, with_line)
+
+                return _let_bind(slope, with_slope)
+
+            return _let_bind(_arr_mean(ad), with_ymean)
+
+        return _let_bind(
+            F.transform(args[0], lambda x: x.cast("double")), fit
+        )
     if lname in ("series_decompose", "series_decompose_anomalies"):
         # Simplified KQL series_decompose: classic ADDITIVE decomposition
         # with an explicit integer period (KQL's autodetect/lowess is
@@ -502,21 +668,7 @@ def compile_call(
                 )
             threshold = float(t_ast.text)
         lo, hi = (p - 1) // 2, p // 2
-
-        def _bind(col: Column, f) -> Column:
-            # let-binding via a singleton-array lambda: each chained
-            # intermediate (trend, detrend, …) appears ONCE in the
-            # expression tree as a lambda VARIABLE instead of being
-            # re-inlined at every use — without this the tree grows
-            # exponentially (a naive build hit >1 MiB task binaries and
-            # minutes of analysis time for the anomalies variant)
-            return F.element_at(F.transform(F.array(col), f), 1)
-
-        def _mean(a: Column) -> Column:
-            return (
-                F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
-                / F.size(a)
-            )
+        _bind, _mean = _let_bind, _arr_mean
 
         def _trend(ad: Column) -> Column:
             n = F.size(ad)

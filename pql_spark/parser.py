@@ -1046,12 +1046,26 @@ def _op_union(p: _P, kw: Token) -> Op:
     each row's originating table name ('' for the piped-in left input
     and parenthesized subqueries)."""
     withsource = None
-    if p.match_word("withsource"):
-        p.expect(TokenKind.ASSIGN, "'='")
-        ws = p.take()
-        if ws.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
-            raise ParseError("expected column name", ws.span)
-        withsource = ws.value
+    kind = "outer"
+    while True:
+        if p.match_word("kind"):
+            p.expect(TokenKind.ASSIGN, "'='")
+            k = p.take()
+            if k.kind is not TokenKind.IDENT or k.value not in (
+                "inner", "outer"
+            ):
+                raise ParseError(
+                    "union kind must be inner or outer", k.span
+                )
+            kind = k.value
+        elif p.match_word("withsource"):
+            p.expect(TokenKind.ASSIGN, "'='")
+            ws = p.take()
+            if ws.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected column name", ws.span)
+            withsource = ws.value
+        else:
+            break
     others: list[TabularExpr] = []
     while True:
         if p.match(TokenKind.LPAREN):
@@ -1084,6 +1098,7 @@ def _op_union(p: _P, kw: Token) -> Op:
     return UnionOp(
         others=others,
         withsource=withsource,
+        kind=kind,
         span=Span(kw.span.start, others[-1].span.end),
     )
 
@@ -1104,13 +1119,25 @@ def _op_project_away(p: _P, kw: Token) -> Op:
 
 
 def _op_mv_expand(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``mv-expand Col[, Col2, …]`` | ``mv-expand name = expr``
-    — explode array/map column(s) to rows (KQL mv-expand; multiple
-    columns zip to the longest array, null-padded)."""
+    """EXTENSION: ``mv-expand [with_itemindex = Idx] Col[, Col2, …]`` |
+    ``mv-expand name = expr`` — explode array/map column(s) to rows
+    (KQL mv-expand; multiple columns zip to the longest array,
+    null-padded; ``with_itemindex`` appends the element index)."""
+    itemindex = None
+    if p.match_word("with_itemindex"):
+        p.expect(TokenKind.ASSIGN, "'='")
+        idx = p.take()
+        if idx.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected index column name", idx.span)
+        itemindex = idx.value
     cols = [p.parse_colspec(require_expr=False)]
     while p.match(TokenKind.COMMA):
         cols.append(p.parse_colspec(require_expr=False))
-    return MvExpandOp(cols=cols, span=Span(kw.span.start, cols[-1].span.end))
+    return MvExpandOp(
+        cols=cols,
+        itemindex=itemindex,
+        span=Span(kw.span.start, cols[-1].span.end),
+    )
 
 
 def _op_top_nested(p: _P, kw: Token) -> Op:

@@ -318,13 +318,30 @@ class _SqlEmitter:
                 branches.append((bsql, bc, name))
             # column order matches the DataFrame backend: left columns,
             # then the provenance column, then branch-only columns
-            merged: list[str] = list(cols)
-            if op.withsource is not None and op.withsource not in merged:
-                merged.append(op.withsource)
-            for _, bc, _n in branches[1:]:
-                for c in bc:
-                    if c not in merged:
-                        merged.append(c)
+            # (kind=inner instead keeps only columns every branch has)
+            if op.kind == "inner":
+                merged = [
+                    c
+                    for c in cols
+                    if all(c in bc for _, bc, _n in branches[1:])
+                ]
+                if op.withsource is not None:
+                    merged.append(op.withsource)
+                if not merged:
+                    raise ParseError(
+                        "union kind=inner: no common columns", op.span
+                    )
+            else:
+                merged = list(cols)
+                if (
+                    op.withsource is not None
+                    and op.withsource not in merged
+                ):
+                    merged.append(op.withsource)
+                for _, bc, _n in branches[1:]:
+                    for c in bc:
+                        if c not in merged:
+                            merged.append(c)
             selects = []
             for bsql, bc, name in branches:
                 items = []
@@ -350,6 +367,35 @@ class _SqlEmitter:
             if len(op.cols) > 1:
                 return self._emit_mv_expand_zip(op, inner, cols)
             name, _ = self.col_spec(op.col)
+            idx = op.itemindex
+            if idx is not None:
+                if idx in cols:
+                    raise ParseError(
+                        f"mv-expand with_itemindex: column {idx!r}"
+                        " already exists",
+                        op.span,
+                    )
+                gen = (
+                    f"posexplode({self.expr(op.col.expr)})"
+                    f" AS ({_q(idx)}, __mv_val)"
+                )
+                mid = f"SELECT *, {gen} FROM {inner}"
+                if op.col.name is not None and op.col.name in cols:
+                    order = [*cols, idx]
+                    items = [
+                        f"__mv_val AS {_q(name)}" if c == name else _q(c)
+                        for c in order
+                    ]
+                    return (
+                        f"SELECT {', '.join(items)} FROM ({mid})",
+                        order,
+                    )
+                order = [*cols, idx, name]
+                items = [
+                    f"__mv_val AS {_q(name)}" if c == name else _q(c)
+                    for c in order
+                ]
+                return f"SELECT {', '.join(items)} FROM ({mid})", order
             item = f"explode({self.expr(op.col.expr)}) AS {_q(name)}"
             if op.col.name is not None and op.col.name in cols:
                 items = [
@@ -556,6 +602,15 @@ class _SqlEmitter:
             for (name, _), e in zip(specs, exprs)
         }
         order = list(cols)
+        if op.itemindex is not None:
+            if op.itemindex in cols:
+                raise ParseError(
+                    f"mv-expand with_itemindex: column"
+                    f" {op.itemindex!r} already exists",
+                    op.span,
+                )
+            order.append(op.itemindex)
+            elems[op.itemindex] = f"__mvx_idx AS {_q(op.itemindex)}"
         for name in names:
             if name not in order:
                 order.append(name)
@@ -1230,6 +1285,135 @@ class _SqlEmitter:
                 f"transform(sequence(1, size({a})), i ->"
                 f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
                 f" DOUBLE)) / size({win}))"
+            )
+        if name in ("binary_and", "binary_or", "binary_xor"):
+            argc(2, 2)
+            sym = {"binary_and": "&", "binary_or": "|",
+                   "binary_xor": "^"}[name]
+            return (
+                f"(CAST({self.expr(args[0])} AS BIGINT) {sym}"
+                f" CAST({self.expr(args[1])} AS BIGINT))"
+            )
+        if name == "binary_not":
+            argc(1, 1)
+            return f"(~CAST({self.expr(args[0])} AS BIGINT))"
+        if name in ("binary_shift_left", "binary_shift_right"):
+            argc(2, 2)
+            if not isinstance(args[1], NumberLit) or args[1].is_float:
+                raise ParseError(
+                    f"{name}() argument 2 must be an integer literal",
+                    e.span,
+                )
+            fn = (
+                "shiftleft" if name == "binary_shift_left"
+                else "shiftright"
+            )
+            return (
+                f"{fn}(CAST({self.expr(args[0])} AS BIGINT),"
+                f" {int(args[1].text)})"
+            )
+        if name == "series_stats":
+            argc(1, 1)
+
+            def bind(x: str, v: str, body: str) -> str:
+                return f"element_at(transform(array({x}), {v} -> {body}), 1)"
+
+            a0 = self.expr(args[0])
+            mean = (
+                "(aggregate(__ss_a, 0.0D, (acc, x) -> acc + x)"
+                " / size(__ss_a))"
+            )
+            var = (
+                "CASE WHEN size(__ss_a) > 1 THEN"
+                " aggregate(__ss_a, 0.0D, (acc, x) ->"
+                " acc + (x - __ss_av) * (x - __ss_av))"
+                " / CAST(size(__ss_a) - 1 AS DOUBLE) END"
+            )
+            final = (
+                "named_struct("
+                "'min', array_min(__ss_a),"
+                " 'min_idx', array_position(__ss_a, array_min(__ss_a))"
+                " - 1,"
+                " 'max', array_max(__ss_a),"
+                " 'max_idx', array_position(__ss_a, array_max(__ss_a))"
+                " - 1,"
+                " 'avg', __ss_av,"
+                " 'stdev', sqrt(__ss_v),"
+                " 'variance', __ss_v)"
+            )
+            return bind(
+                f"transform({a0}, x -> CAST(x AS DOUBLE))",
+                "__ss_a",
+                bind(mean, "__ss_av", bind(var, "__ss_v", final)),
+            )
+        if name == "series_fit_line":
+            argc(1, 1)
+
+            def bind(x: str, v: str, body: str) -> str:
+                return f"element_at(transform(array({x}), {v} -> {body}), 1)"
+
+            a0 = self.expr(args[0])
+            n = "CAST(size(__sf_a) AS DOUBLE)"
+            xmean = f"(({n} - 1) / 2.0D)"
+            sxx = f"({n} * ({n} * {n} - 1) / 12.0D)"
+            mean = (
+                "(aggregate(__sf_a, 0.0D, (acc, x) -> acc + x)"
+                f" / size(__sf_a))"
+            )
+            sxy = (
+                "aggregate(zip_with(__sf_a,"
+                " sequence(0, size(__sf_a) - 1),"
+                f" (y, i) -> (CAST(i AS DOUBLE) - {xmean})"
+                " * (y - __sf_ym)), 0.0D, (acc, x) -> acc + x)"
+            )
+            slope = (
+                f"CASE WHEN {sxx} > 0.0D THEN {sxy} / {sxx}"
+                " ELSE 0.0D END"
+            )
+            inter = f"(__sf_ym - __sf_sl * {xmean})"
+            line = (
+                "transform(sequence(0, size(__sf_a) - 1),"
+                f" i -> {inter} + __sf_sl * CAST(i AS DOUBLE))"
+            )
+            var = (
+                f"CASE WHEN {n} > 1.0D THEN"
+                " aggregate(__sf_a, 0.0D, (acc, x) ->"
+                " acc + (x - __sf_ym) * (x - __sf_ym))"
+                f" / ({n} - 1) END"
+            )
+            rvar = (
+                f"CASE WHEN {n} > 1.0D THEN"
+                " aggregate(zip_with(__sf_a, __sf_lf, (y, p) -> y - p),"
+                " 0.0D, (acc, x) -> acc + x * x)"
+                f" / ({n} - 1) END"
+            )
+            final = (
+                "named_struct("
+                "'rsquare', CASE WHEN __sf_v > 0.0D"
+                " THEN 1.0D - __sf_rv / __sf_v"
+                " ELSE CASE WHEN __sf_v IS NOT NULL THEN 1.0D END END,"
+                " 'slope', __sf_sl,"
+                " 'variance', __sf_v,"
+                " 'rvariance', __sf_rv,"
+                f" 'interception', {inter},"
+                " 'line_fit', __sf_lf)"
+            )
+            return bind(
+                f"transform({a0}, x -> CAST(x AS DOUBLE))",
+                "__sf_a",
+                bind(
+                    mean,
+                    "__sf_ym",
+                    bind(
+                        slope,
+                        "__sf_sl",
+                        bind(
+                            line,
+                            "__sf_lf",
+                            bind(var, "__sf_v", bind(rvar, "__sf_rv", final)),
+                        ),
+                    ),
+                ),
             )
         if name in ("series_decompose", "series_decompose_anomalies"):
             # twin of the DataFrame build (functions.py) including its

@@ -1239,3 +1239,96 @@ def test_facet_fork_errors(spark, _ff_df):
         eng.query("T | fork a = ( count ) a = ( count )")
     with pytest.raises(QueryError, match="at least one"):
         eng.query("T | fork")
+
+
+# ---------------------------------------- union kinds / itemindex / series
+
+
+def test_union_kinds(spark, _ff_df):
+    from pql_spark import PqlEngine
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    inner = eng.query("T | union kind=inner (T | project id, extra = 1)")
+    assert inner.columns == ["id"]
+    assert inner.count() == 10
+    outer = eng.query("T | union kind=outer (T | project id, extra = 1)")
+    assert outer.columns == ["id", "kind", "grp", "v", "extra"]
+    ws = eng.query(
+        "T | project id | union kind=inner withsource=src"
+        " (T | project id, extra = 1)"
+    )
+    assert ws.columns == ["id", "src"]
+    with pytest.raises(Exception, match="no common columns"):
+        eng.query("T | project v | union kind=inner (T | project id)")
+
+
+def test_mv_expand_with_itemindex(spark, _ff_df):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [(1, [10.0, 20.0], ["a", "b", "c"])],
+        "id long, xs array<double>, ys array<string>",
+    )
+    eng = PqlEngine(spark, resolver={"T": df})
+    one = eng.query("T | mv-expand with_itemindex = i xs | project id, i, xs")
+    assert [tuple(r) for r in one.collect()] == [(1, 0, 10.0), (1, 1, 20.0)]
+    zipped = eng.query(
+        "T | mv-expand with_itemindex = i xs, ys | project i, xs, ys"
+    )
+    assert [tuple(r) for r in zipped.collect()] == [
+        (0, 10.0, "a"), (1, 20.0, "b"), (2, None, "c")
+    ]
+    with pytest.raises(QueryError, match="already exists"):
+        eng.query("T | mv-expand with_itemindex = id xs")
+
+
+def test_new_functions_backend_equivalence(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 7.0, 1.0, 9.0]), (2, [5.0, 5.0, 5.0, 5.0])],
+        "k long, s array<double>",
+    )
+    df.createOrReplaceTempView("NEQ_T")
+    eng = PqlEngine(spark, resolver={"NEQ_T": df})
+    for q in (
+        "NEQ_T | project a = binary_and(12, 10), o = binary_or(12, 10),"
+        " x = binary_xor(12, 10), n = binary_not(0),"
+        " sl = binary_shift_left(3, 4), sr = binary_shift_right(-16, 2)",
+        "NEQ_T | extend d = series_stats(s) | project k, mn = d.min,"
+        " mi = d.min_idx, mx = d.max, xi = d.max_idx,"
+        " av = round(d.avg, 6), sd = round(d.stdev, 6)",
+        "NEQ_T | extend d = series_fit_line(s)"
+        " | mv-expand lf = d.line_fit"
+        " | project k, sl = round(d.slope, 6), rs = round(d.rsquare, 6),"
+        " lf = round(lf, 6)",
+        "NEQ_T | mv-expand with_itemindex = i v = s | project k, i, v",
+    ):
+        a = sorted(map(tuple, eng.query(q).collect()), key=repr)
+        b = sorted(map(tuple, spark.sql(eng.to_sql(q)).collect()), key=repr)
+        assert a == b, q
+
+
+def test_series_fit_line_numpy_reference(spark):
+    import numpy as np
+
+    from pql_spark import PqlEngine
+
+    vals = [float((i * 13) % 7 + 0.3 * i) for i in range(20)]
+    df = spark.createDataFrame([(1, vals)], "k long, s array<double>")
+    eng = PqlEngine(spark, resolver={"T": df})
+    d = eng.query(
+        "T | extend d = series_fit_line(s) | project k, d"
+    ).collect()[0].d
+    a = np.array(vals)
+    x = np.arange(len(a))
+    slope, inter = np.polyfit(x, a, 1)
+    fit = inter + slope * x
+    var = a.var(ddof=1)
+    rvar = ((a - fit) ** 2).sum() / (len(a) - 1)
+    assert abs(d.slope - slope) < 1e-9
+    assert abs(d.interception - inter) < 1e-9
+    assert abs(d.variance - var) < 1e-9
+    assert abs(d.rvariance - rvar) < 1e-9
+    assert abs(d.rsquare - (1 - rvar / var)) < 1e-9
+    assert np.allclose(d.line_fit, fit, atol=1e-9)

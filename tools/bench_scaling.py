@@ -1,0 +1,104 @@
+"""Scaling study: sf0.1 vs 10x (".scratch/sf1", tools/gen_scale.py).
+
+For each selected query, times the Spark implementation AND its DuckDB
+oracle at both scales (best of 2) and prints one JSON document.  The
+point: Spark's fixed per-query overhead (~0.2-0.5 s of stage/codegen
+floor) dominates sub-second queries at sf0.1 — as data grows 10x the
+spark/duck ratio should compress toward (or past) 1x, showing the
+asymptotic plans are right.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pql_spark.sources import build_session  # noqa: E402
+
+QUERIES = [
+    "pql_q1_pricing", "pql_scan_funnel", "op_minhash_dups",
+    "op_ngram_jaccard", "op_simhash", "op_winnow_fingerprints",
+    "op_embedding_dups", "op_asof_join", "op_kmv_distinct", "op_langid",
+]
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def time_best2(fn) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.is_dir():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{p}/*.parquet')"
+            )
+        elif p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def main() -> int:
+    repo = Path(__file__).resolve().parent.parent
+    dirs = {"sf0.1": "/root/testdata/sf0.1",
+            "sf1": str(repo / ".scratch" / "sf1")}
+    spark = build_session("pql_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm as bench.py does
+    spark.read.parquet(dirs["sf0.1"] + "/region.parquet").count()
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores, 1, cores).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict[str, float] = {}
+        for sf, d in dirs.items():
+            row[f"spark_{sf}"] = time_best2(
+                lambda: queries[name](spark, d).collect()
+            )
+            if name in oracles:
+                con = duck_con(d)
+                row[f"duck_{sf}"] = time_best2(
+                    lambda: con.execute(oracles[name]).fetchall()
+                )
+                con.close()
+        if "duck_sf0.1" in row:
+            row["ratio_sf0.1"] = round(
+                row["spark_sf0.1"] / max(row["duck_sf0.1"], 1e-9), 2
+            )
+            row["ratio_sf1"] = round(
+                row["spark_sf1"] / max(row["duck_sf1"], 1e-9), 2
+            )
+        out[name] = row
+        print(name, row, flush=True)
+    print(json.dumps({"queries": out}, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
