@@ -1420,6 +1420,30 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM events WHERE value > 300 ORDER BY event_id
         """,
     ),
+    # EXTENSION materialize() tabular let + evaluate narrow()
+    "pql_narrow": (
+        """
+        let m = materialize(events | where value > 300);
+        m
+        | project event_id, event_type
+        | sort by event_id asc
+        | evaluate narrow()
+        | sort by Row asc, Column asc
+        """,
+        """
+        WITH f AS (SELECT event_id, event_type,
+                          CAST(row_number() OVER (ORDER BY event_id) - 1
+                               AS BIGINT) AS r
+                   FROM events WHERE value > 300)
+        SELECT r AS "Row", c.col AS "Column",
+               CASE c.col WHEN 'event_id'
+                    THEN CAST(event_id AS VARCHAR)
+                    ELSE event_type END AS "Value"
+        FROM f CROSS JOIN
+             (SELECT unnest(['event_id', 'event_type']) AS col) c
+        ORDER BY "Row", "Column"
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """

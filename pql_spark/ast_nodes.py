@@ -428,6 +428,16 @@ class PartitionOp(Op):
 
 
 @dataclass
+class NarrowOp(Op):
+    """``evaluate narrow()`` — unpivot every column to rows of
+    (Row, Column, Value-as-string) (KQL narrow plugin).  Requires a
+    preceding ``sort``/``serialize`` so the 0-based Row index is
+    deterministic; the global row numbering runs in ONE task — narrow
+    is a presentation/debugging operator for small results, not a
+    scale path (use mv-expand/summarize for bulk reshaping)."""
+
+
+@dataclass
 class GetSchemaOp(Op):
     """``getschema`` — one row per column: name, ordinal, type
     (DataFrame backend only; SQL text has no schema introspection)."""
@@ -583,6 +593,10 @@ class LetStatement(Node):
     expr: Expr | None
     tabular: "TabularExpr | None" = None
     func: "FuncDef | None" = None
+    # EXTENSION: `let m = materialize(<tabular>);` — persist the bound
+    # DataFrame so N references compute the shared prefix once (KQL
+    # materialize(); Spark .persist())
+    materialize: bool = False
 
 
 Statement = TabularExpr | LetStatement

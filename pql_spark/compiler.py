@@ -52,6 +52,7 @@ from .ast_nodes import (
     Expr,
     ExtendOp,
     FacetOp,
+    NarrowOp,
     ForkOp,
     GetSchemaOp,
     Ident,
@@ -192,11 +193,15 @@ class Compiler:
                     elif stmt.tabular is not None:
                         # EXTENSION tabular let: bind the compiled
                         # DataFrame under the name (shadows the catalog,
-                        # same scope as `as` bindings)
+                        # same scope as `as` bindings).  materialize()
+                        # persists the bound plan so N downstream
+                        # references compute the shared prefix once —
+                        # Spark's MEMORY_AND_DISK cache, evicted lazily
                         try:
-                            self.bindings[stmt.name] = self.compile_tabular(
-                                stmt.tabular
-                            )
+                            bound = self.compile_tabular(stmt.tabular)
+                            if stmt.materialize:
+                                bound = bound.persist()
+                            self.bindings[stmt.name] = bound
                         except ParseError as e:
                             raise QueryError(self.source, [e]) from None
                     else:
@@ -709,6 +714,40 @@ class Compiler:
             return df.sparkSession.createDataFrame(
                 rows, "ColumnName string, ColumnOrdinal long, DataType string"
             )
+        if isinstance(op, NarrowOp):
+            from pyspark.sql import Window
+
+            if self._last_sort is None:
+                raise ParseError(
+                    "evaluate narrow() requires a preceding sort — a"
+                    " distributed engine has no inherent row order for"
+                    " the Row index",
+                    op.span,
+                )
+            order_cols = [
+                self._sort_col(t, env) for t in self._last_sort
+            ]
+            # global row numbering = ONE task; narrow is a presentation
+            # operator for small results (see NarrowOp docstring)
+            numbered = df.withColumn(
+                "Row",
+                F.row_number().over(Window.orderBy(*order_cols))
+                - F.lit(1),
+            )
+            pairs = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("Column"),
+                            F.col(_q(c)).cast("string").alias("Value"),
+                        )
+                        for c in df.columns
+                    ]
+                )
+            ).alias("__nw")
+            return numbered.select(
+                F.col("Row").cast("long").alias("Row"), pairs
+            ).select("Row", "__nw.Column", "__nw.Value")
         if isinstance(op, SerializeOp):
             if self._last_sort is None:
                 raise ParseError(

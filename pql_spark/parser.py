@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    NarrowOp,
     FacetOp,
     ForkBranch,
     ForkOp,
@@ -419,6 +420,20 @@ def _parse_let(tokens: list[Token], source: str) -> LetStatement:
             and rest[j + 1].kind is TokenKind.LBRACE
         ):
             return _parse_let_func(p, kw, name)
+    # EXTENSION (KQL materialize): `let m = materialize(<tabular>);`
+    # strips the wrapper and marks the binding for persistence
+    if (
+        len(rest) >= 3
+        and rest[0].kind is TokenKind.IDENT
+        and rest[0].value == "materialize"
+        and rest[1].kind is TokenKind.LPAREN
+        and rest[-1].kind is TokenKind.RPAREN
+    ):
+        tab = _parse_tabular(rest[2:-1], source)
+        return LetStatement(
+            name=name.value, expr=None, tabular=tab, materialize=True,
+            span=Span(kw.span.start, rest[-1].span.end),
+        )
     # EXTENSION (KQL tabular let; the reference rejects it): a RHS with a
     # top-level `|`, or a datatable/range source, binds a TABLE.  A bare
     # identifier stays a scalar substitution (reference semantics).
@@ -1515,6 +1530,10 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
     pivot(PivotCol [, AggCall])`` and ``evaluate bag_unpack(Col
     [, prefix])``."""
     plugin = p.expect(TokenKind.IDENT, "plugin name")
+    if plugin.value == "narrow":
+        p.expect(TokenKind.LPAREN, "'('")
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return NarrowOp(span=Span(kw.span.start, rp.span.end))
     if plugin.value == "bag_unpack":
         p.expect(TokenKind.LPAREN, "'('")
         col_tok = p.take()

@@ -27,6 +27,7 @@ from collections.abc import Callable, Mapping, Sequence
 
 from .ast_nodes import (
     FacetOp,
+    NarrowOp,
     ForkOp,
     BagUnpackOp,
     ToScalarExpr,
@@ -489,6 +490,29 @@ class _SqlEmitter:
             return (
                 f"SELECT {', '.join(_q(c) for c in ordered)} FROM {inner}",
                 ordered,
+            )
+        if isinstance(op, NarrowOp):
+            if self.last_sort is None:
+                raise ParseError(
+                    "evaluate narrow() requires a preceding sort — a"
+                    " distributed engine has no inherent row order for"
+                    " the Row index",
+                    op.span,
+                )
+            order = ", ".join(
+                self.sort_term(t) for t in self.last_sort
+            )
+            pairs = ", ".join(
+                f"{_qs(c)}, CAST({_q(c)} AS STRING)" for c in cols
+            )
+            mid = (
+                f"SELECT CAST(row_number() OVER (ORDER BY {order}) - 1"
+                f" AS BIGINT) AS Row, * FROM {inner}"
+            )
+            return (
+                f"SELECT Row, stack({len(cols)}, {pairs})"
+                f" AS (Column, Value) FROM ({mid})",
+                ["Row", "Column", "Value"],
             )
         if isinstance(op, GetSchemaOp):
             raise ParseError(

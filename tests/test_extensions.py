@@ -1332,3 +1332,50 @@ def test_series_fit_line_numpy_reference(spark):
     assert abs(d.rvariance - rvar) < 1e-9
     assert abs(d.rsquare - (1 - rvar / var)) < 1e-9
     assert np.allclose(d.line_fit, fit, atol=1e-9)
+
+
+def test_materialize_let(spark, _ff_df):
+    from pql_spark import PqlEngine
+    from pql_spark.compiler import Compiler
+    from pql_spark.parser import parse as pql_parse
+
+    eng = PqlEngine(spark, resolver={"T": _ff_df})
+    q = (
+        "let m = materialize(T | where v >= 20);"
+        " m | join kind=inner (m) on id | count"
+    )
+    assert eng.query(q).collect()[0]["count()"] == 3
+    # the binding is actually persisted
+    src = "let m = materialize(T | where v >= 20); m | count"
+    comp = Compiler(
+        source=src, resolver=lambda n: _ff_df, params={}
+    )
+    comp.compile_statements(pql_parse(src))
+    try:
+        assert comp.bindings["m"].storageLevel.useMemory
+    finally:
+        comp.bindings["m"].unpersist()
+    # SQL backend accepts it as a plain tabular let (no cache in text)
+    sql = eng.to_sql(q)
+    _ff_df.createOrReplaceTempView("T")
+    assert spark.sql(sql).collect()[0]["count()"] == 3
+
+
+def test_evaluate_narrow(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [(2, "b", None), (1, "a", 5.0)], "id long, s string, v double"
+    )
+    df.createOrReplaceTempView("NARROW_T")
+    eng = PqlEngine(spark, resolver={"NARROW_T": df})
+    q = "NARROW_T | sort by id asc | evaluate narrow()"
+    rows = [tuple(r) for r in eng.query(q).collect()]
+    assert rows == [
+        (0, "id", "1"), (0, "s", "a"), (0, "v", "5.0"),
+        (1, "id", "2"), (1, "s", "b"), (1, "v", None),
+    ]
+    sql_rows = [tuple(r) for r in spark.sql(eng.to_sql(q)).collect()]
+    assert sorted(rows, key=repr) == sorted(sql_rows, key=repr)
+    with pytest.raises(QueryError, match="preceding sort"):
+        eng.query("NARROW_T | evaluate narrow()")
