@@ -1558,7 +1558,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
     if plugin.value != "pivot":
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
-            " (supported: pivot, bag_unpack)",
+            " (supported: pivot, bag_unpack, narrow)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -517,7 +517,7 @@ def test_evaluate_pivot(spark):
     }
     assert out[2].a == 12.0
     with pytest.raises(QueryError, match="unknown evaluate plugin"):
-        eng.query("T | evaluate narrow(p)")
+        eng.query("T | evaluate no_such_plugin(p)")
     with pytest.raises(QueryError, match="DataFrame backend"):
         compile_to_sql("T | evaluate pivot(p)", {"T": ["k", "p", "v"]})
 
