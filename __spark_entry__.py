@@ -2113,6 +2113,87 @@ SELECT user_id, count(*) AS n FROM events GROUP BY user_id
 """
 
 
+def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH near-dup candidates over a document stream
+    (availableNow drain — single batch, so first-seen == min-id and a
+    SQL twin can reproduce the buckets exactly)."""
+    from pql_spark.streaming import run_available_now, stream_near_dup
+
+    # capped input: the gate checks bucket/state semantics, not bulk
+    # throughput (BENCH_SCALING covers the batch LSH path at scale)
+    base = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 1000
+    )
+    dups = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    docs = base.unionByName(dups)
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp(prefix="pql_neardup_"))
+    docs.toPandas().to_parquet(d / "docs.parquet", index=False)
+    stream = spark.readStream.schema(docs.schema).parquet(str(d))
+    rows = run_available_now(stream_near_dup(stream), "update")
+    out = spark.createDataFrame(
+        rows, "doc_id long, band int, dup_of long"
+    )
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.min("dup_of").alias("dup_min"),
+            F.count(F.lit(1)).alias("nbands"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stream_near_dup_oracle(num_perm: int = 64, bands: int = 16,
+                            k: int = 5) -> str:
+    """Bucket twin of the streaming LSH near-dup: same signatures and
+    band hashes as _minhash_oracle, flagged = every non-min id per
+    occupied bucket."""
+    rows = num_perm // bands
+    params = D._perm_params(num_perm)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {D._P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bhash := md5(array_to_string([{ms}], ',')))".format(
+            i=i,
+            ms=", ".join(
+                f"m{j}::VARCHAR" for j in range(i * rows, (i + 1) * rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+  FROM documents WHERE doc_id < 50
+),
+docs AS (SELECT doc_id, {_WORDS} AS words FROM base),
+sh AS (SELECT doc_id, {_shingles_sql('words', k)} AS sh FROM docs),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+hashed AS (SELECT doc_id,
+    ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sig),
+b2 AS (SELECT doc_id, bk.band AS band, bk.bhash AS bhash FROM bands),
+kept AS (SELECT doc_id, band, bhash,
+                min(doc_id) OVER (PARTITION BY band, bhash) AS keeper
+         FROM b2)
+SELECT doc_id, min(keeper) AS dup_min,
+       CAST(count(*) AS BIGINT) AS nbands
+FROM kept WHERE doc_id > keeper
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path: distributed PNG decode (pure-stdlib codec) +
     block-mean featurization over deterministic synthetic PNGs."""
@@ -2591,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,
+            "op_stream_near_dup": _q_stream_near_dup,
             "op_stream_sessionize": _q_stream_sessionize,
             "op_stream_stateful": _q_stream_stateful,
             "op_asof_join": _q_asof,
@@ -2644,6 +2726,7 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
             "op_stream_sink_upsert": _STREAM_SINK_ORACLE,
             "op_multimodal_decode": _png_decode_oracle(),
+            "op_stream_near_dup": _stream_near_dup_oracle(),
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             "op_asof_join": _ASOF_ORACLE,

@@ -373,6 +373,37 @@ def _verify_jaccard(
     )
 
 
+def band_signature(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Explode a ``minhash`` signature column into (id, band, bhash)
+    rows — md5 over each band's slice, the shared LSH banding used by
+    the batch pair generator and the streaming near-dup operator
+    (identical hashes, so their buckets agree).  Narrow (no shuffle)."""
+    rows = num_perm // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(
+                                    "minhash", i * rows + 1, rows
+                                ).cast("array<string>"),
+                            )
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -416,26 +447,7 @@ def minhash_dup_pairs(
     # band key on (id, band, bhash) ONLY — the heavy shingle arrays are
     # joined back after pair-dedup, so the candidate shuffle moves ~40
     # bytes/row instead of the full shingle sets (16× per doc)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", F.slice("minhash", i * rows + 1, rows).cast(
-                                    "array<string>"
-                                )
-                            )
-                        ).alias("bhash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bhash")
+    banded = band_signature(sig, id_col, num_perm, bands)
     buckets = (
         banded.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

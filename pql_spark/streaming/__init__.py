@@ -16,6 +16,7 @@ from .pipeline import (
     sessionize,
     stream_dedup,
     stream_interval_join,
+    stream_near_dup,
     stream_parquet_table,
     stream_upsert_to_parquet,
     stateful_user_counts,
@@ -29,6 +30,7 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stream_interval_join",
+    "stream_near_dup",
     "stream_parquet_table",
     "stream_upsert_to_parquet",
     "stateful_user_counts",

@@ -422,3 +422,81 @@ def stream_upsert_to_parquet(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
+
+
+def stream_near_dup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-duplicate detection over a document
+    stream: emits (doc_id, band, dup_of) whenever a new document lands
+    in an LSH band bucket already occupied by an earlier document.
+
+    Plan: the narrow Arrow minhash kernel (no aggregation — streaming-
+    safe) → the same band hashing as the batch pair generator
+    (:func:`pql_spark.operators.dedup.band_signature`, so stream and
+    batch buckets agree bit-for-bit) → ONE stateful groupBy on
+    (band, bhash) where the state is the bucket's keeper id.  Within a
+    micro-batch the lowest id wins; across batches the stored keeper
+    wins — first-seen semantics.  A doc is a near-dup CANDIDATE if it
+    appears in the output for any band; exact-Jaccard verification (or
+    a drop-list join) belongs in the consumer's ``foreachBatch``.
+
+    State is one id per occupied bucket — bounded by corpus bucket
+    count, not stream length; for long-running streams wire a timeout
+    eviction (GroupStateTimeout) matched to the dedup horizon.
+    """
+    from pql_spark.operators.dedup import band_signature, minhash_signature
+
+    sig = minhash_signature(
+        docs, text_col, id_col, num_perm, shingle_k,
+        impl="pandas", include_shingles=False,
+    )
+    banded = band_signature(sig, id_col, num_perm, bands)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("dup_of", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("keeper", T.LongType())])
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf[id_col])
+        ids.sort()
+        (keeper,) = state.get if state.exists else (None,)
+        if keeper is None:
+            keeper, dups = ids[0], ids[1:]
+        else:
+            dups = ids
+        state.update((keeper,))
+        if not dups:
+            return
+        yield pd.DataFrame(
+            {
+                id_col: dups,
+                "band": [band] * len(dups),
+                "dup_of": [keeper] * len(dups),
+            }
+        )
+
+    return banded.groupBy("band", "bhash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

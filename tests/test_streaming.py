@@ -300,3 +300,56 @@ def test_stream_upsert_to_parquet(tmp_path, spark, events_stream, events_batch):
         .collect()
     }
     assert got == want
+
+
+def test_stream_near_dup_matches_batch_buckets(tmp_path, spark):
+    """Streaming LSH near-dup candidates equal the batch band-bucket
+    computation, including keeper state carried ACROSS micro-batches
+    (docs split into two files, one file per trigger, lower ids
+    first so first-seen == min-id)."""
+    from pql_spark.operators.dedup import band_signature, minhash_signature
+    from pql_spark.streaming import run_available_now, stream_near_dup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    docs = base.unionByName(dups)
+    # two ordered files → two micro-batches (originals, then dups)
+    d = tmp_path / "docs"
+    d.mkdir()
+    base.toPandas().to_parquet(d / "a.parquet", index=False)
+    dups.toPandas().to_parquet(d / "b.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = run_available_now(stream_near_dup(stream), "update")
+    flagged = {r.doc_id for r in got}
+    groups = {(r.doc_id, r.dup_of) for r in got}
+
+    sig = minhash_signature(
+        docs, impl="pandas", include_shingles=False
+    )
+    buckets = (
+        band_signature(sig, "doc_id", 64, 16)
+        .groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    want_flagged = set()
+    want_groups = set()
+    for r in buckets:
+        keeper = r.ids[0]
+        for other in r.ids[1:]:
+            want_flagged.add(other)
+            want_groups.add((other, keeper))
+    assert flagged == want_flagged
+    assert groups == want_groups
+    assert len(flagged) >= 30  # every injected near-dup is caught
