@@ -1444,6 +1444,60 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY "Row", "Column"
         """,
     ),
+    # EXTENSION KQL IPv4 family + negated string predicates +
+    # matches regex (SIEM surface); oracle computes the same masks in
+    # DuckDB over the same inline rows
+    "pql_ipv4_fns": (
+        """
+        datatable (id: long, ip: string) [
+            1, "10.1.2.3",    2, "172.16.5.1", 3, "172.32.0.1",
+            4, "192.168.1.77", 5, "8.8.8.8",   6, "999.1.1.1",
+            7, "not-an-ip"
+        ]
+        | where ip !contains "bogus" and ip matches regex "^[0-9.]+$"
+        | project id, pl = parse_ipv4(ip),
+            priv = ipv4_is_private(ip),
+            inr = ipv4_is_in_range(ip, "10.0.0.0/8"),
+            c24 = ipv4_compare(ip, "10.1.2.99", 24),
+            fmt = format_ipv4(ip)
+        | sort by id asc
+        """,
+        """
+        WITH t(id, ip) AS (VALUES
+            (1, '10.1.2.3'), (2, '172.16.5.1'), (3, '172.32.0.1'),
+            (4, '192.168.1.77'), (5, '8.8.8.8'), (6, '999.1.1.1'),
+            (7, 'not-an-ip')),
+        f AS (SELECT * FROM t
+              WHERE NOT contains(lower(ip), 'bogus')
+                AND regexp_matches(ip, '^[0-9.]+$')),
+        p AS (SELECT id, ip, string_split(ip, '.') AS o FROM f),
+        v AS (SELECT id, ip,
+                     CASE WHEN len(o) = 4
+                       AND TRY_CAST(o[1] AS BIGINT) BETWEEN 0 AND 255
+                       AND TRY_CAST(o[2] AS BIGINT) BETWEEN 0 AND 255
+                       AND TRY_CAST(o[3] AS BIGINT) BETWEEN 0 AND 255
+                       AND TRY_CAST(o[4] AS BIGINT) BETWEEN 0 AND 255
+                     THEN ((TRY_CAST(o[1] AS BIGINT) * 256
+                            + TRY_CAST(o[2] AS BIGINT)) * 256
+                           + TRY_CAST(o[3] AS BIGINT)) * 256
+                          + TRY_CAST(o[4] AS BIGINT) END AS pl
+              FROM p)
+        SELECT CAST(id AS BIGINT) AS id, pl,
+               (pl // 16777216 = 10 OR pl // 1048576 = 2753
+                OR pl // 65536 = 49320) AS priv,
+               (pl // 16777216 = 10) AS inr,
+               CAST(CASE WHEN pl IS NULL THEN NULL
+                    WHEN pl // 256 < 655618 THEN -1
+                    WHEN pl // 256 > 655618 THEN 1 ELSE 0 END
+                    AS BIGINT) AS c24,
+               CASE WHEN pl IS NOT NULL THEN
+                 CAST(pl // 16777216 AS VARCHAR) || '.' ||
+                 CAST((pl // 65536) % 256 AS VARCHAR) || '.' ||
+                 CAST((pl // 256) % 256 AS VARCHAR) || '.' ||
+                 CAST(pl % 256 AS VARCHAR) END AS fmt
+        FROM v ORDER BY id
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """

@@ -1687,22 +1687,35 @@ class Compiler:
         # KQL string predicates (extension): *_cs = case-sensitive; the
         # bare forms fold case like KQL.  `has` is whole-term match over
         # alphanumeric runs (KQL term semantics, deterministic in SQL)
-        if op in ("contains", "contains_cs"):
-            if op == "contains":
-                lhs, rhs = F.lower(lhs), F.lower(rhs)
-            return lhs.contains(rhs)
-        if op in ("startswith", "startswith_cs"):
-            if op == "startswith":
-                lhs, rhs = F.lower(lhs), F.lower(rhs)
-            return lhs.startswith(rhs)
-        if op in ("endswith", "endswith_cs"):
-            if op == "endswith":
-                lhs, rhs = F.lower(lhs), F.lower(rhs)
-            return lhs.endswith(rhs)
-        if op in ("has", "has_cs"):
-            if op == "has":
-                lhs, rhs = F.lower(lhs), F.lower(rhs)
-            return F.array_contains(F.split(lhs, r"[^a-zA-Z0-9]+"), rhs)
+        if op == "matches regex":
+            # KQL `matches regex` — case-sensitive Java-regex match
+            return F.regexp_like(lhs, rhs)
+
+        def string_pred(base: str) -> Column:
+            l, r = lhs, rhs
+            if not base.endswith("_cs"):  # bare forms fold case (KQL)
+                l, r = F.lower(l), F.lower(r)
+            root = base.removesuffix("_cs")
+            if root == "contains":
+                return l.contains(r)
+            if root == "startswith":
+                return l.startswith(r)
+            if root == "endswith":
+                return l.endswith(r)
+            # `has` is whole-term match over alphanumeric runs (KQL
+            # term semantics, deterministic in SQL)
+            return F.array_contains(F.split(l, r"[^a-zA-Z0-9]+"), r)
+
+        base = op.lstrip("!")
+        if base in (
+            "contains", "contains_cs", "startswith", "startswith_cs",
+            "endswith", "endswith_cs", "has", "has_cs",
+        ):
+            pos = string_pred(base)
+            # negated forms are NOT(positive) — like the positive forms
+            # (and unlike ==/!=) these are not null-coalesced, so NULL
+            # text yields NULL
+            return ~pos if op.startswith("!") else pos
         raise ParseError(f"unsupported operator {op!r}", expr.span)
 
     def _collect_sides(self, expr: Expr, env: _Env, out: set[str]) -> None:

@@ -489,6 +489,91 @@ def compile_call(
             return total / F.size(window)
 
         return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
+    if lname == "extractjson":
+        # KQL extractjson(jsonPath, dataSource) — note the swapped
+        # argument order vs Spark's get_json_object(doc, path)
+        _check_argc(name, args, 2, 2, span)
+        return F.call_function("get_json_object", args[1], args[0])
+    if lname in (
+        "ipv4_compare", "ipv4_is_in_range", "ipv4_is_private",
+        "format_ipv4", "parse_ipv4",
+    ):
+        # KQL IPv4 family (the reference's SIEM domain): all Catalyst
+        # expressions — dotted-quad → uint32 with NULL on malformed
+        # input, prefix masks as right-shifts
+        def ip_long(c: Column) -> Column:
+            parts = F.split(c, r"\.")
+            octs = [
+                F.try_element_at(parts, F.lit(i + 1)).try_cast("long")
+                for i in range(4)
+            ]
+            valid = (F.size(parts) == 4)
+            for o in octs:
+                valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+            val = ((octs[0] * 256 + octs[1]) * 256 + octs[2]) * 256 + octs[3]
+            return F.when(valid, val)
+
+        def masked(v: Column, prefix: Column) -> Column:
+            # dynamic right-shift via 2^k division (shiftright* takes a
+            # literal bit count only); v < 2^32 is exact in double
+            shift = (F.lit(32) - prefix).cast("double")
+            return F.when(
+                (prefix >= 0) & (prefix <= 32),
+                F.floor(v / F.pow(F.lit(2.0), shift)).cast("long"),
+            )
+
+        if lname == "parse_ipv4":
+            _check_argc(name, args, 1, 1, span)
+            return ip_long(args[0])
+        if lname == "format_ipv4":
+            _check_argc(name, args, 1, 1, span)
+            return _let_bind(
+                ip_long(args[0]),
+                lambda v: F.when(
+                    v.isNotNull(),  # concat_ws would fold NULL to ''
+                    F.concat_ws(
+                        ".",
+                        (v / 16777216).cast("long").cast("string"),
+                        F.pmod((v / 65536).cast("long"), F.lit(256))
+                        .cast("string"),
+                        F.pmod((v / 256).cast("long"), F.lit(256))
+                        .cast("string"),
+                        F.pmod(v, F.lit(256)).cast("string"),
+                    ),
+                ),
+            )
+        if lname == "ipv4_compare":
+            _check_argc(name, args, 2, 3, span)
+            prefix = (
+                args[2].try_cast("long") if len(args) == 3 else F.lit(32)
+            )
+            a = masked(ip_long(args[0]), prefix)
+            b = masked(ip_long(args[1]), prefix)
+            return (
+                F.when(a < b, F.lit(-1))
+                .when(a > b, F.lit(1))
+                .when(a == b, F.lit(0))
+                .cast("long")
+            )
+        if lname == "ipv4_is_in_range":
+            _check_argc(name, args, 2, 2, span)
+            rng = F.split(args[1], "/")
+            base = ip_long(F.try_element_at(rng, F.lit(1)))
+            prefix = F.coalesce(
+                F.try_element_at(rng, F.lit(2)).try_cast("long"),
+                F.lit(32),
+            )
+            return masked(ip_long(args[0]), prefix) == masked(
+                base, prefix
+            )
+        # ipv4_is_private: RFC1918 — 10/8, 172.16/12, 192.168/16
+        _check_argc(name, args, 1, 1, span)
+        v = ip_long(args[0])
+        return (
+            (F.shiftrightunsigned(v, 24) == 10)
+            | (F.shiftrightunsigned(v, 20) == (172 * 16 + 1))
+            | (F.shiftrightunsigned(v, 16) == (192 * 256 + 168))
+        )
     if lname in ("binary_and", "binary_or", "binary_xor"):
         # KQL bitwise family over integer values
         _check_argc(name, args, 2, 2, span)

@@ -192,9 +192,17 @@ def scan(source: str) -> list[Token]:
             i += 2
             continue
         if c == "!":
-            # EXTENSION: negated word operators `!in`, `!in~`, `!between`
-            # (KQL); lexed as single IDENT-shaped tokens
-            for word in ("in~", "in", "between"):
+            # EXTENSION: negated word operators `!in`, `!in~`,
+            # `!between`, and the negated string predicates
+            # (`!contains`, `!has_cs`, …) — lexed as single
+            # IDENT-shaped tokens.  Longest match first.
+            for word in (
+                "in~", "in", "between",
+                "contains_cs", "contains",
+                "startswith_cs", "startswith",
+                "endswith_cs", "endswith",
+                "has_cs", "has",
+            ):
                 end = i + 1 + len(word)
                 if source[i + 1 : end] == word and (
                     end >= n or not _is_ident_char(source[end])

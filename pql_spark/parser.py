@@ -149,10 +149,10 @@ _BINOP_TEXT = {
 # EXTENSION: KQL string-predicate word operators (comparison precedence;
 # the reference has no word-shaped binary operators)
 _WORD_OPS = {
-    "contains", "contains_cs",
-    "startswith", "startswith_cs",
-    "endswith", "endswith_cs",
-    "has", "has_cs",
+    "contains", "contains_cs", "!contains", "!contains_cs",
+    "startswith", "startswith_cs", "!startswith", "!startswith_cs",
+    "endswith", "endswith_cs", "!endswith", "!endswith_cs",
+    "has", "has_cs", "!has", "!has_cs",
 }
 
 # EXTENSION: in-family word operators taking a parenthesized term list
@@ -658,6 +658,17 @@ class _P:
                 return lhs
             if tok.kind is TokenKind.IDENT and tok.value in _WORD_OPS:
                 prec, op_text = 2, tok.value
+            elif (
+                tok.kind is TokenKind.IDENT
+                and tok.value == "matches"
+                and self.peek(1) is not None
+                and self.peek(1).kind is TokenKind.IDENT
+                and self.peek(1).value == "regex"
+            ):
+                # KQL `x matches regex "pat"` — case-sensitive RE match
+                prec, op_text = 2, "matches regex"
+                if prec >= min_prec:
+                    self.take()  # consume 'matches'; 'regex' below
             elif tok.kind is TokenKind.IDENT and tok.value in _IN_OPS:
                 if 2 < min_prec:
                     return lhs

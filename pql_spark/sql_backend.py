@@ -103,9 +103,13 @@ _PREC = {
     "==": 2, "!=": 2, "=~": 2, "!~": 2,
     "<": 2, "<=": 2, ">": 2, ">=": 2,
     "contains": 2, "contains_cs": 2,
+    "!contains": 2, "!contains_cs": 2,
     "startswith": 2, "startswith_cs": 2,
+    "!startswith": 2, "!startswith_cs": 2,
     "endswith": 2, "endswith_cs": 2,
-    "has": 2, "has_cs": 2,
+    "!endswith": 2, "!endswith_cs": 2,
+    "has": 2, "has_cs": 2, "!has": 2, "!has_cs": 2,
+    "matches regex": 2,
     "+": 3, "-": 3,
     "*": 4, "/": 4, "%": 4,
 }
@@ -1039,12 +1043,17 @@ class _SqlEmitter:
             # NULL on zero divisor, same as the DataFrame backend
             fn = "try_divide" if op == "/" else "try_mod"
             return f"{fn}({self.expr(e.lhs)}, {self.expr(e.rhs)})"
-        base_op = op.removesuffix("_cs")
+        if op == "matches regex":
+            return f"({self.expr(e.lhs)} RLIKE {self.expr(e.rhs)})"
+        neg = op.startswith("!")
+        stripped = op.lstrip("!")
+        base_op = stripped.removesuffix("_cs")
         if base_op in _STRING_PRED_SQL:
             lhs, rhs = self.expr(e.lhs), self.expr(e.rhs)
-            if op == base_op:  # bare form folds case (KQL)
+            if stripped == base_op:  # bare form folds case (KQL)
                 lhs, rhs = f"lower({lhs})", f"lower({rhs})"
-            return _STRING_PRED_SQL[base_op].format(l=lhs, r=rhs)
+            out = _STRING_PRED_SQL[base_op].format(l=lhs, r=rhs)
+            return f"(NOT {out})" if neg else out
         prec = _PREC[op]
         sql_op = op.upper() if op in ("and", "or") else op
         out = (
@@ -1309,6 +1318,103 @@ class _SqlEmitter:
                 f"transform(sequence(1, size({a})), i ->"
                 f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
                 f" DOUBLE)) / size({win}))"
+            )
+        if name == "extractjson":
+            argc(2, 2)
+            return (
+                f"get_json_object({self.expr(args[1])},"
+                f" {self.expr(args[0])})"
+            )
+        if name in (
+            "ipv4_compare", "ipv4_is_in_range", "ipv4_is_private",
+            "format_ipv4", "parse_ipv4",
+        ):
+            def ip_long(c: str) -> str:
+                octs = [
+                    f"TRY_CAST(try_element_at(split({c}, '\\\\.'),"
+                    f" {i + 1}) AS BIGINT)"
+                    for i in range(4)
+                ]
+                valid = f"size(split({c}, '\\\\.')) = 4" + "".join(
+                    f" AND {o} BETWEEN 0 AND 255" for o in octs
+                )
+                val = (
+                    f"((({octs[0]} * 256 + {octs[1]}) * 256 +"
+                    f" {octs[2]}) * 256 + {octs[3]})"
+                )
+                return f"(CASE WHEN {valid} THEN {val} END)"
+
+            def bound(c: str, v: str) -> str:
+                # let-bind the (long) ip value so the octet parse isn't
+                # re-emitted at every use
+                return f"element_at(transform(array({c}), {v} -> {v}), 1)"
+
+            def masked(v: str, prefix: str) -> str:
+                return (
+                    f"(CASE WHEN ({prefix}) BETWEEN 0 AND 32 THEN"
+                    f" CAST(floor({v} / power(2.0D, 32 - ({prefix})))"
+                    f" AS BIGINT) END)"
+                )
+
+            if name == "parse_ipv4":
+                argc(1, 1)
+                return ip_long(self.expr(args[0]))
+            if name == "format_ipv4":
+                argc(1, 1)
+                v = "__ip_v"
+                inner = (
+                    f"CASE WHEN {v} IS NOT NULL THEN concat_ws('.',"
+                    f" CAST(CAST({v} / 16777216 AS BIGINT) AS STRING),"
+                    f" CAST(pmod(CAST({v} / 65536 AS BIGINT), 256)"
+                    " AS STRING),"
+                    f" CAST(pmod(CAST({v} / 256 AS BIGINT), 256)"
+                    " AS STRING),"
+                    f" CAST(pmod({v}, 256) AS STRING)) END"
+                )
+                return (
+                    "element_at(transform(array("
+                    + ip_long(self.expr(args[0]))
+                    + f"), {v} -> {inner}), 1)"
+                )
+            if name == "ipv4_compare":
+                argc(2, 3)
+                prefix = (
+                    f"TRY_CAST({self.expr(args[2])} AS BIGINT)"
+                    if len(args) == 3
+                    else "32"
+                )
+                a = masked(ip_long(self.expr(args[0])), prefix)
+                b = masked(ip_long(self.expr(args[1])), prefix)
+                return (
+                    "element_at(transform(array(named_struct("
+                    f"'a', {a}, 'b', {b})), __ipc ->"
+                    " CAST(CASE WHEN __ipc.a < __ipc.b THEN -1"
+                    " WHEN __ipc.a > __ipc.b THEN 1"
+                    " WHEN __ipc.a = __ipc.b THEN 0 END AS BIGINT)), 1)"
+                )
+            if name == "ipv4_is_in_range":
+                argc(2, 2)
+                r = self.expr(args[1])
+                base = ip_long(f"try_element_at(split({r}, '/'), 1)")
+                prefix = (
+                    f"coalesce(TRY_CAST(try_element_at(split({r}, '/'),"
+                    " 2) AS BIGINT), 32)"
+                )
+                return (
+                    f"({masked(ip_long(self.expr(args[0])), prefix)}"
+                    f" = {masked(base, prefix)})"
+                )
+            argc(1, 1)  # ipv4_is_private
+            v = "__ip_v"
+            inner = (
+                f"(shiftrightunsigned({v}, 24) = 10"
+                f" OR shiftrightunsigned({v}, 20) = 2753"
+                f" OR shiftrightunsigned({v}, 16) = 49320)"
+            )
+            return (
+                "element_at(transform(array("
+                + ip_long(self.expr(args[0]))
+                + f"), {v} -> {inner}), 1)"
             )
         if name in ("binary_and", "binary_or", "binary_xor"):
             argc(2, 2)

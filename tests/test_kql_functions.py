@@ -407,3 +407,41 @@ def test_series_decompose_errors(spark):
         eng.query("T | extend d = series_decompose(s, 0)")
     with pytest.raises(QueryError, match="number literal"):
         eng.query("T | extend d = series_decompose_anomalies(s, 2, k)")
+
+
+def test_ipv4_family_and_matches_regex(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "172.16.5.1"), (3, "172.32.0.1"),
+         (4, "192.168.1.77"), (5, "8.8.8.8"), (6, "999.1.1.1"),
+         (7, None), (8, "not-an-ip")],
+        "id long, ip string",
+    )
+    df.createOrReplaceTempView("IP_T")
+    eng = PqlEngine(spark, resolver={"IP_T": df})
+    q = (
+        'IP_T | project id, pl = parse_ipv4(ip),'
+        ' priv = ipv4_is_private(ip),'
+        ' inr = ipv4_is_in_range(ip, "10.0.0.0/8"),'
+        ' cmp = ipv4_compare(ip, "10.1.2.3"),'
+        ' c24 = ipv4_compare(ip, "10.1.2.99", 24),'
+        ' fmt = format_ipv4(ip),'
+        ' mr = ip matches regex "^10\\\\.",'
+        ' nc = ip !contains "16",'
+        ' ej = extractjson("$.a", "{\\"a\\": 5}")'
+        " | sort by id asc"
+    )
+    rows = [tuple(r) for r in eng.query(q).collect()]
+    sql_rows = [tuple(r) for r in spark.sql(eng.to_sql(q)).collect()]
+    assert rows == sql_rows
+    r = {x[0]: x for x in rows}
+    assert r[1][1] == 167838211 and r[1][2] is True and r[1][3] is True
+    assert r[1][4] == 0 and r[1][5] == 0 and r[1][6] == "10.1.2.3"
+    assert r[2][2] is True and r[3][2] is False and r[4][2] is True
+    assert r[5][2] is False and r[5][4] == -1
+    assert r[6][1] is None and r[6][6] is None  # malformed octet
+    assert r[8][1] is None  # not numeric
+    assert r[1][7] is True and r[5][7] is False
+    assert r[2][8] is False and r[5][8] is True
+    assert r[1][9] == "5"
