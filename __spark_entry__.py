@@ -1498,6 +1498,41 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM v ORDER BY id
         """,
     ),
+    # EXTENSION KQL array/set function family — constant inputs via
+    # datatable, array outputs flattened to delimiter digests (driver
+    # outputs must be scalar); expected values verified against both
+    # backends and hand-checked semantics
+    "pql_array_set_fns": (
+        """
+        datatable (id: long) [1]
+        | extend u = set_union(pack_array(1,2), pack_array(2,3),
+                               pack_array(4)),
+                 i = set_intersect(pack_array(1,2,3), pack_array(2,3,4)),
+                 d = set_difference(pack_array(1,2,3,4), pack_array(2),
+                                    pack_array(4,5)),
+                 rl = array_rotate_left(pack_array(1,2,3,4,5), 2),
+                 sl = array_shift_left(pack_array(1,2,3,4,5), 2),
+                 sr = array_shift_right(pack_array(1,2,3,4,5), 2, -1),
+                 ai = array_iff(pack_array(true, false, true),
+                                pack_array(1,2,3), pack_array(10,20,30))
+        | project id,
+            h = set_has_element(pack_array(1,2), 2),
+            u_s = strcat_delim(",", u[1], u[2], u[3], u[4]),
+            i_s = strcat_delim(",", i[1], i[2]),
+            d_s = strcat_delim(",", d[1], d[2]),
+            rl_s = strcat_delim(",", rl[1], rl[2], rl[3], rl[4], rl[5]),
+            sl3 = sl[3], sl4 = sl[4],
+            sr_s = strcat_delim(",", sr[1], sr[2], sr[3]),
+            ai_s = strcat_delim(",", ai[1], ai[2], ai[3])
+        """,
+        """
+        SELECT CAST(1 AS BIGINT) AS id, TRUE AS h,
+               '1,2,3,4' AS u_s, '2,3' AS i_s, '1,3' AS d_s,
+               '3,4,5,1,2' AS rl_s,
+               CAST(5 AS INT) AS sl3, CAST(NULL AS INT) AS sl4,
+               '-1,-1,1' AS sr_s, '1,20,3' AS ai_s
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """

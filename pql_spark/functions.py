@@ -489,6 +489,101 @@ def compile_call(
             return total / F.size(window)
 
         return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
+    if lname in ("set_union", "set_intersect", "set_difference"):
+        # KQL set family over arrays: variadic, results deduplicated.
+        # set_difference(a, b, c) = distinct elements of a not in b∪c.
+        if len(args) < 2:
+            raise ParseError(
+                f"{name}() takes at least 2 arguments", span
+            )
+        if lname == "set_union":
+            out = args[0]
+            for a in args[1:]:
+                out = F.array_union(out, a)
+            return out
+        if lname == "set_intersect":
+            out = args[0]
+            for a in args[1:]:
+                out = F.array_intersect(out, a)
+            return F.array_distinct(out)
+        rest = args[1]
+        for a in args[2:]:
+            rest = F.array_union(rest, a)
+        return F.array_distinct(F.array_except(args[0], rest))
+    if lname == "set_has_element":
+        _check_argc(name, args, 2, 2, span)
+        return F.array_contains(args[0], args[1])
+    if lname in ("array_rotate_left", "array_rotate_right"):
+        # rotate by n (mod length); negative n rotates the other way
+        _check_argc(name, args, 2, 2, span)
+        n = args[1].cast("int")
+        if lname == "array_rotate_right":
+            n = -n
+        return _let_bind(
+            args[0],
+            lambda a: _let_bind(
+                F.pmod(n, F.size(a)),
+                lambda k: F.when(
+                    F.size(a) > 0,
+                    F.concat(
+                        F.slice(a, k + 1, F.size(a) - k),
+                        F.slice(a, F.lit(1), k),
+                    ),
+                ).otherwise(a),
+            ),
+        )
+    if lname in ("array_shift_left", "array_shift_right"):
+        # shift by n, vacated slots filled with `fill` (default null);
+        # negative n shifts the other way (KQL semantics)
+        _check_argc(name, args, 2, 3, span)
+        fill = (
+            args[2]
+            if len(args) == 3
+            else F.lit(None)
+        )
+        n = args[1].cast("int")
+        if lname == "array_shift_right":
+            n = -n
+
+        def shift(a: Column) -> Column:
+            size = F.size(a)
+            pad = lambda k: F.array_repeat(  # noqa: E731
+                fill, F.least(k, size).cast("int")
+            )
+            return _let_bind(
+                F.least(F.greatest(n, -size), size),
+                lambda k: F.when(
+                    k >= 0,
+                    F.concat(F.slice(a, k + 1, size - k), pad(k)),
+                ).otherwise(
+                    F.concat(pad(-k), F.slice(a, F.lit(1), size + k))
+                ),
+            )
+
+        return _let_bind(args[0], shift)
+    if lname == "array_iff":
+        # element-wise conditional over three equal-length arrays;
+        # null/short conditions yield null elements (KQL array_iff)
+        _check_argc(name, args, 3, 3, span)
+        cond, t, f = args
+
+        def pick(c: Column, tv: Column, fv: Column) -> Column:
+            return F.when(c, tv).when(~c, fv)
+
+        return _let_bind(
+            t,
+            lambda tv: _let_bind(
+                f,
+                lambda fv: F.transform(
+                    cond,
+                    lambda c, i: pick(
+                        c.cast("boolean"),
+                        F.try_element_at(tv, i + 1),
+                        F.try_element_at(fv, i + 1),
+                    ),
+                ),
+            ),
+        )
     if lname == "extractjson":
         # KQL extractjson(jsonPath, dataSource) — note the swapped
         # argument order vs Spark's get_json_object(doc, path)

@@ -1319,6 +1319,84 @@ class _SqlEmitter:
                 f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
                 f" DOUBLE)) / size({win}))"
             )
+        if name in ("set_union", "set_intersect", "set_difference"):
+            if len(args) < 2:
+                raise ParseError(
+                    f"{name}() takes at least 2 arguments", e.span
+                )
+            parts = [self.expr(a) for a in args]
+            if name == "set_union":
+                out = parts[0]
+                for a in parts[1:]:
+                    out = f"array_union({out}, {a})"
+                return out
+            if name == "set_intersect":
+                out = parts[0]
+                for a in parts[1:]:
+                    out = f"array_intersect({out}, {a})"
+                return f"array_distinct({out})"
+            rest = parts[1]
+            for a in parts[2:]:
+                rest = f"array_union({rest}, {a})"
+            return f"array_distinct(array_except({parts[0]}, {rest}))"
+        if name == "set_has_element":
+            argc(2, 2)
+            return (
+                f"array_contains({self.expr(args[0])},"
+                f" {self.expr(args[1])})"
+            )
+        if name in ("array_rotate_left", "array_rotate_right"):
+            argc(2, 2)
+            n = f"CAST({self.expr(args[1])} AS INT)"
+            if name == "array_rotate_right":
+                n = f"(-{n})"
+            body = (
+                "element_at(transform(array(pmod({n}, size(__ar_a))),"
+                " __ar_k -> CASE WHEN size(__ar_a) > 0 THEN"
+                " concat(slice(__ar_a, __ar_k + 1, size(__ar_a) - __ar_k),"
+                " slice(__ar_a, 1, __ar_k)) ELSE __ar_a END), 1)"
+            ).format(n=n)
+            return (
+                f"element_at(transform(array({self.expr(args[0])}),"
+                f" __ar_a -> {body}), 1)"
+            )
+        if name in ("array_shift_left", "array_shift_right"):
+            argc(2, 3)
+            fill = self.expr(args[2]) if len(args) == 3 else "NULL"
+            n = f"CAST({self.expr(args[1])} AS INT)"
+            if name == "array_shift_right":
+                n = f"(-{n})"
+            pad = (
+                f"array_repeat({fill},"
+                " CAST(least({k}, size(__as_a)) AS INT))"
+            )
+            body = (
+                "element_at(transform(array("
+                f"least(greatest({n}, -size(__as_a)), size(__as_a))),"
+                " __as_k -> CASE WHEN __as_k >= 0 THEN"
+                " concat(slice(__as_a, __as_k + 1, size(__as_a) - __as_k), "
+                + pad.format(k="__as_k")
+                + ") ELSE concat("
+                + pad.format(k="(-__as_k)")
+                + ", slice(__as_a, 1, size(__as_a) + __as_k)) END), 1)"
+            )
+            return (
+                f"element_at(transform(array({self.expr(args[0])}),"
+                f" __as_a -> {body}), 1)"
+            )
+        if name == "array_iff":
+            argc(3, 3)
+            cond = self.expr(args[0])
+            t, f = self.expr(args[1]), self.expr(args[2])
+            return (
+                f"element_at(transform(array({t}), __ai_t ->"
+                f" element_at(transform(array({f}), __ai_f ->"
+                f" transform({cond}, (__ai_c, __ai_i) ->"
+                " CASE WHEN CAST(__ai_c AS BOOLEAN) THEN"
+                " try_element_at(__ai_t, __ai_i + 1)"
+                " WHEN NOT CAST(__ai_c AS BOOLEAN) THEN"
+                " try_element_at(__ai_f, __ai_i + 1) END)), 1)), 1)"
+            )
         if name == "extractjson":
             argc(2, 2)
             return (

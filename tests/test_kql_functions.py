@@ -445,3 +445,34 @@ def test_ipv4_family_and_matches_regex(spark):
     assert r[1][7] is True and r[5][7] is False
     assert r[2][8] is False and r[5][8] is True
     assert r[1][9] == "5"
+
+
+def test_array_set_family(spark):
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame([(1,)], "id long")
+    df.createOrReplaceTempView("AS_T")
+    eng = PqlEngine(spark, resolver={"AS_T": df})
+    q = (
+        "AS_T | project"
+        " u = set_union(pack_array(1,2), pack_array(2,3), pack_array(4)),"
+        " i = set_intersect(pack_array(1,2,3), pack_array(2,3,4)),"
+        " d = set_difference(pack_array(1,2,3,4), pack_array(2),"
+        " pack_array(4,5)),"
+        " h = set_has_element(pack_array(1,2), 2),"
+        " rl = array_rotate_left(pack_array(1,2,3,4,5), 2),"
+        " rr = array_rotate_right(pack_array(1,2,3,4,5), 1),"
+        " sl = array_shift_left(pack_array(1,2,3,4,5), 2),"
+        " sr = array_shift_right(pack_array(1,2,3,4,5), 2, -1),"
+        " ai = array_iff(pack_array(true, false, true),"
+        " pack_array(1,2,3), pack_array(10,20,30))"
+    )
+    r = eng.query(q).collect()[0]
+    assert r.u == [1, 2, 3, 4] and r.i == [2, 3] and r.d == [1, 3]
+    assert r.h is True
+    assert r.rl == [3, 4, 5, 1, 2] and r.rr == [5, 1, 2, 3, 4]
+    assert r.sl == [3, 4, 5, None, None] and r.sr == [-1, -1, 1, 2, 3]
+    assert r.ai == [1, 20, 3]
+    a = [tuple(x) for x in eng.query(q).collect()]
+    b = [tuple(x) for x in spark.sql(eng.to_sql(q)).collect()]
+    assert a == b
