@@ -499,6 +499,10 @@ class ParseOp(Op):
 
     source_expr: Expr
     segments: list["StringLit | Ident"]
+    # EXTENSION: `parse kind=regex` treats the string segments as raw
+    # regex fragments instead of escaped literals (KQL parse kinds;
+    # default "simple")
+    kind: str = "simple"
 
 
 @dataclass

@@ -766,7 +766,7 @@ class Compiler:
         if isinstance(op, LookupOp):
             return self._lookup(df, op)
         if isinstance(op, ParseOp):
-            regex, names = pf.build_parse_regex(op.segments)
+            regex, names = pf.build_parse_regex(op.segments, op.kind)
             src = self.compile_expr(op.source_expr, env)
             items = {c: F.col(_q(c)) for c in df.columns}
             order = list(df.columns)

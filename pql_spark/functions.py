@@ -207,7 +207,7 @@ def hll_lgk(name: str, acc: int, span: Span) -> int:
     return _HLL_LGK[acc]
 
 
-def build_parse_regex(segments) -> tuple[str, list[str]]:
+def build_parse_regex(segments, kind: str = "simple") -> tuple[str, list[str]]:
     """Build the extraction regex for ``parse Expr with …`` (KQL simple
     mode) from alternating literal/capture segments.
 
@@ -226,6 +226,8 @@ def build_parse_regex(segments) -> tuple[str, list[str]]:
             names.append(seg.parts[0])
             last = i == len(segments) - 1
             parts.append("(.*)$" if last else "(.*?)")
+        elif kind == "regex":
+            parts.append(seg.value)  # raw regex fragment
         else:
             parts.append(
                 "".join(

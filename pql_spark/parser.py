@@ -1390,9 +1390,26 @@ def _op_lookup(p: _P, kw: Token) -> Op:
 
 
 def _op_parse(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``parse Expr with "lit" Name "lit2" Name2 …`` —
-    extract substrings between literal delimiters (KQL parse, simple
-    mode)."""
+    """EXTENSION: ``parse [kind=simple|regex] Expr with "lit" Name …``
+    — extract substrings between delimiters (KQL parse; kind=regex
+    treats the string segments as raw regex fragments)."""
+    kind = "simple"
+    if (
+        p.peek() is not None
+        and p.peek().kind is TokenKind.IDENT
+        and p.peek().value == "kind"
+        and p.peek(1) is not None
+        and p.peek(1).kind is TokenKind.ASSIGN
+    ):
+        p.take(); p.take()
+        k = p.take()
+        if k.kind is not TokenKind.IDENT or k.value not in (
+            "simple", "regex"
+        ):
+            raise ParseError(
+                "parse kind must be simple or regex", k.span
+            )
+        kind = k.value
     source_expr = p.parse_expr()
     w = p.expect(TokenKind.IDENT, "'with'")
     if w.value != "with":
@@ -1421,6 +1438,7 @@ def _op_parse(p: _P, kw: Token) -> Op:
     return ParseOp(
         source_expr=source_expr,
         segments=segments,
+        kind=kind,
         span=Span(kw.span.start, end),
     )
 

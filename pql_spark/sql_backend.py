@@ -574,7 +574,7 @@ class _SqlEmitter:
         if isinstance(op, LookupOp):
             return self.emit_lookup(op, sql, cols)
         if isinstance(op, ParseOp):
-            regex, names = build_parse_regex(op.segments)
+            regex, names = build_parse_regex(op.segments, op.kind)
             src = self.expr(op.source_expr)
             out = list(cols)
             items = [_q(c) for c in cols]

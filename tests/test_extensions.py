@@ -1379,3 +1379,23 @@ def test_evaluate_narrow(spark):
     assert sorted(rows, key=repr) == sorted(sql_rows, key=repr)
     with pytest.raises(QueryError, match="preceding sort"):
         eng.query("NARROW_T | evaluate narrow()")
+
+
+def test_parse_kind_regex(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [(1, "GET /api/users/42?q=1 HTTP/1.1"), (2, "POST /login HTTP/2")],
+        "id long, line string",
+    )
+    df.createOrReplaceTempView("PR_T")
+    eng = PqlEngine(spark, resolver={"PR_T": df})
+    q = (
+        'PR_T | parse kind=regex line with "^[A-Z]+\\\\s+" path'
+        ' "\\\\s+HTTP/" ver "$" | project id, path, ver'
+    )
+    a = [tuple(r) for r in eng.query(q).collect()]
+    assert a == [(1, "/api/users/42?q=1", "1.1"), (2, "/login", "2")]
+    assert a == [tuple(r) for r in spark.sql(eng.to_sql(q)).collect()]
+    with pytest.raises(QueryError, match="simple or regex"):
+        eng.query('PR_T | parse kind=bogus line with "x" y')
