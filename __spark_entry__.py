@@ -2283,6 +2283,67 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# series_fit_2lines gate: constant synthetic series (slope change at
+# index 12) via datatable; oracle = independent numpy OLS reference
+_FIT2_VALS = [round(i + 0.1 * ((i * 7) % 3), 4) for i in range(12)] + [
+    round(11 - 1.5 * i + 0.1 * ((i * 5) % 3), 4) for i in range(1, 11)
+]
+
+
+def _q_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = ", ".join(repr(v) for v in _FIT2_VALS)
+    q = f"""
+    datatable (k: long) [1]
+    | extend d = series_fit_2lines(pack_array({vals}))
+    | mv-expand with_itemindex = i lf = d.line_fit
+    | project k, rsq = round(d.rsquare, 4), si = d.split_idx,
+              v = round(d.variance, 4), rv = round(d.rvariance, 4),
+              i, lf = round(lf, 4)
+    | sort by i asc
+    """
+    return PqlEngine(spark, resolver=_cat(spark, sf_dir)).query(q)
+
+
+def _fit2_oracle() -> str:
+    import numpy as np
+
+    a = np.array(_FIT2_VALS, dtype=np.float64)
+    n = len(a)
+
+    def ssres(seg):
+        m = len(seg)
+        x = np.arange(m, dtype=np.float64)
+        sl, ic = np.polyfit(x, seg, 1)
+        return float(((seg - (ic + sl * x)) ** 2).sum())
+
+    costs = [ssres(a[:k]) + ssres(a[k:]) for k in range(2, n - 1)]
+    k = int(np.argmin(costs)) + 2
+    ssr = min(costs)
+    sstot = float(((a - a.mean()) ** 2).sum())
+    sl1, ic1 = np.polyfit(np.arange(k, dtype=np.float64), a[:k], 1)
+    sl2, ic2 = np.polyfit(
+        np.arange(n - k, dtype=np.float64), a[k:], 1
+    )
+    fit = list(ic1 + sl1 * np.arange(k)) + list(
+        ic2 + sl2 * np.arange(n - k)
+    )
+    rsq = round(1 - ssr / sstot, 4)
+    v = round(sstot / (n - 1), 4)
+    rv = round(ssr / (n - 1), 4)
+    rows = ", ".join(
+        f"(CAST(1 AS BIGINT), CAST({rsq!r} AS DOUBLE),"
+        f" CAST({k} AS BIGINT), CAST({v!r} AS DOUBLE),"
+        f" CAST({rv!r} AS DOUBLE), CAST({i} AS INT),"
+        f" CAST({round(float(f), 4)!r} AS DOUBLE))"
+        for i, f in enumerate(fit)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(k, rsq, si, v, rv, i, lf) ORDER BY i"
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path: distributed PNG decode (pure-stdlib codec) +
     block-mean featurization over deterministic synthetic PNGs."""
@@ -2762,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,
             "op_stream_near_dup": _q_stream_near_dup,
+            "pql_series_fit_2lines": _q_fit_2lines,
             "op_stream_sessionize": _q_stream_sessionize,
             "op_stream_stateful": _q_stream_stateful,
             "op_asof_join": _q_asof,
@@ -2816,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_sink_upsert": _STREAM_SINK_ORACLE,
             "op_multimodal_decode": _png_decode_oracle(),
             "op_stream_near_dup": _stream_near_dup_oracle(),
+            "pql_series_fit_2lines": _fit2_oracle(),
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             "op_asof_join": _ASOF_ORACLE,

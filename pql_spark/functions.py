@@ -819,6 +819,112 @@ def compile_call(
         return _let_bind(
             F.transform(args[0], lambda x: x.cast("double")), fit
         )
+    if lname == "series_fit_2lines":
+        # KQL series_fit_2lines(arr): best single change-point split
+        # into two independent OLS segments (each ≥ 2 points).  Returns
+        # struct(rsquare, split_idx, variance, rvariance, line_fit):
+        # split_idx = 0-based first index of the right segment;
+        # variance/rvariance are sample statistics; rsquare computed
+        # against the total sum of squares.  O(bins²) slice+fold work
+        # per row — bin-count-sized, never row-count-sized.
+        _check_argc(name, args, 1, 1, span)
+
+        def seg_ssres(seg: Column) -> Column:
+            # closed-form OLS residual SS for local x = 0..m-1:
+            # SSres = SStot - Sxy²/Sxx with Sxx = m(m²-1)/12
+            m = F.size(seg).cast("double")
+            sy = F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x)
+            sy2 = F.aggregate(
+                seg, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            sxy0 = F.aggregate(
+                F.zip_with(
+                    seg,
+                    F.sequence(F.lit(0), F.size(seg) - 1),
+                    lambda y, i: i.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sxy = sxy0 - (m - 1) / F.lit(2.0) * sy
+            sxx = m * (m * m - 1) / F.lit(12.0)
+            sstot = sy2 - sy * sy / m
+            return F.when(sxx > 0, sstot - sxy * sxy / sxx).otherwise(
+                sstot
+            )
+
+        def seg_fit(seg: Column) -> Column:
+            m = F.size(seg).cast("double")
+            sy = F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x)
+            sxy0 = F.aggregate(
+                F.zip_with(
+                    seg,
+                    F.sequence(F.lit(0), F.size(seg) - 1),
+                    lambda y, i: i.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sxy = sxy0 - (m - 1) / F.lit(2.0) * sy
+            sxx = m * (m * m - 1) / F.lit(12.0)
+            slope = F.when(sxx > 0, sxy / sxx).otherwise(F.lit(0.0))
+            return _let_bind(
+                slope,
+                lambda sl: _let_bind(
+                    sy / m - sl * (m - 1) / F.lit(2.0),
+                    lambda ic: F.transform(
+                        F.sequence(F.lit(0), F.size(seg) - 1),
+                        lambda i: ic + sl * i.cast("double"),
+                    ),
+                ),
+            )
+
+        def fit2(ad: Column) -> Column:
+            n = F.size(ad)
+            # candidate left sizes k = 2..n-2
+            costs = F.transform(
+                F.sequence(F.lit(2), n - 2),
+                lambda k: seg_ssres(F.slice(ad, 1, k))
+                + seg_ssres(F.slice(ad, k + 1, n - k)),
+            )
+
+            def with_best(best: Column) -> Column:
+                k = best + F.lit(1)  # left size (first min is at pos-1+2)
+                line = F.concat(
+                    seg_fit(F.slice(ad, 1, k)),
+                    seg_fit(F.slice(ad, k + 1, n - k)),
+                )
+                sy = F.aggregate(
+                    ad, F.lit(0.0), lambda acc, x: acc + x
+                )
+                sy2 = F.aggregate(
+                    ad, F.lit(0.0), lambda acc, x: acc + x * x
+                )
+                nn = n.cast("double")
+                sstot = sy2 - sy * sy / nn
+                ssres = F.element_at(costs, best.cast("int"))
+                return F.struct(
+                    F.when(sstot > 0, 1.0 - ssres / sstot)
+                    .otherwise(F.lit(1.0))
+                    .alias("rsquare"),
+                    k.cast("long").alias("split_idx"),
+                    F.when(nn > 1, sstot / (nn - 1)).alias("variance"),
+                    F.when(nn > 1, ssres / (nn - 1)).alias("rvariance"),
+                    line.alias("line_fit"),
+                )
+
+            # first index (1-based) of the min cost → left size k = pos+1
+            return _let_bind(
+                F.array_position(costs, F.array_min(costs)).cast(
+                    "long"
+                ),
+                with_best,
+            )
+
+        return _let_bind(
+            F.transform(args[0], lambda x: x.cast("double")),
+            lambda ad: F.when(F.size(ad) >= 4, fit2(ad)),
+        )
     if lname in ("series_decompose", "series_decompose_anomalies"):
         # Simplified KQL series_decompose: classic ADDITIVE decomposition
         # with an explicit integer period (KQL's autodetect/lowess is

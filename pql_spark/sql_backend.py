@@ -1623,6 +1623,113 @@ class _SqlEmitter:
                     ),
                 ),
             )
+        if name == "series_fit_2lines":
+            argc(1, 1)
+
+            def bind(x: str, v: str, body: str) -> str:
+                return f"element_at(transform(array({x}), {v} -> {body}), 1)"
+
+            def m_of(s: str) -> str:
+                return f"CAST(size({s}) AS DOUBLE)"
+
+            def sy_of(s: str) -> str:
+                return f"aggregate({s}, 0.0D, (acc, x) -> acc + x)"
+
+            def sxy_of(s: str) -> str:
+                sxy0 = (
+                    f"aggregate(zip_with({s},"
+                    f" sequence(0, size({s}) - 1),"
+                    " (y, i) -> CAST(i AS DOUBLE) * y), 0.0D,"
+                    " (acc, x) -> acc + x)"
+                )
+                return (
+                    f"({sxy0} - ({m_of(s)} - 1) / 2.0D * {sy_of(s)})"
+                )
+
+            def sxx_of(s: str) -> str:
+                m = m_of(s)
+                return f"({m} * ({m} * {m} - 1) / 12.0D)"
+
+            def ssres_of(s: str) -> str:
+                sstot = (
+                    f"(aggregate({s}, 0.0D, (acc, x) -> acc + x * x)"
+                    f" - {sy_of(s)} * {sy_of(s)} / {m_of(s)})"
+                )
+                return (
+                    f"(CASE WHEN {sxx_of(s)} > 0.0D THEN {sstot}"
+                    f" - {sxy_of(s)} * {sxy_of(s)} / {sxx_of(s)}"
+                    f" ELSE {sstot} END)"
+                )
+
+            def fit_of(s: str, kv: str) -> str:
+                slope = (
+                    f"CASE WHEN {sxx_of(s)} > 0.0D THEN"
+                    f" {sxy_of(s)} / {sxx_of(s)} ELSE 0.0D END"
+                )
+                return bind(
+                    slope,
+                    f"__f2_sl{kv}",
+                    bind(
+                        f"{sy_of(s)} / {m_of(s)} - __f2_sl{kv}"
+                        f" * ({m_of(s)} - 1) / 2.0D",
+                        f"__f2_ic{kv}",
+                        f"transform(sequence(0, size({s}) - 1),"
+                        f" i -> __f2_ic{kv} + __f2_sl{kv}"
+                        " * CAST(i AS DOUBLE))",
+                    ),
+                )
+
+            a0 = self.expr(args[0])
+            left = "slice(__f2_a, 1, __f2_k)"
+            right = "slice(__f2_a, __f2_k + 1, size(__f2_a) - __f2_k)"
+            costs = (
+                "transform(sequence(2, size(__f2_a) - 2), __f2_k ->"
+                f" {ssres_of(left)} + {ssres_of(right)})"
+            )
+            kl = "slice(__f2_a, 1, __f2_b + 1)"
+            kr = (
+                "slice(__f2_a, __f2_b + 2,"
+                " size(__f2_a) - (__f2_b + 1))"
+            )
+            nn = "CAST(size(__f2_a) AS DOUBLE)"
+            sstot_all = (
+                "(aggregate(__f2_a, 0.0D, (acc, x) -> acc + x * x)"
+                f" - {sy_of('__f2_a')} * {sy_of('__f2_a')} / {nn})"
+            )
+            final = bind(
+                sstot_all,
+                "__f2_t",
+                bind(
+                    "element_at(__f2_c, CAST(__f2_b AS INT))",
+                    "__f2_r",
+                    "named_struct("
+                    "'rsquare', CASE WHEN __f2_t > 0.0D THEN"
+                    " 1.0D - __f2_r / __f2_t ELSE 1.0D END,"
+                    " 'split_idx', CAST(__f2_b + 1 AS BIGINT),"
+                    f" 'variance', CASE WHEN {nn} > 1.0D THEN"
+                    f" __f2_t / ({nn} - 1) END,"
+                    f" 'rvariance', CASE WHEN {nn} > 1.0D THEN"
+                    f" __f2_r / ({nn} - 1) END,"
+                    f" 'line_fit', concat({fit_of(kl, 'l')},"
+                    f" {fit_of(kr, 'r')}))",
+                ),
+            )
+            return bind(
+                f"transform({a0}, x -> CAST(x AS DOUBLE))",
+                "__f2_a",
+                "CASE WHEN size(__f2_a) >= 4 THEN "
+                + bind(
+                    costs,
+                    "__f2_c",
+                    bind(
+                        "CAST(array_position(__f2_c,"
+                        " array_min(__f2_c)) AS BIGINT)",
+                        "__f2_b",
+                        final,
+                    ),
+                )
+                + " END",
+            )
         if name in ("series_decompose", "series_decompose_anomalies"):
             # twin of the DataFrame build (functions.py) including its
             # let-binding-via-singleton-array trick, so both backends

@@ -476,3 +476,49 @@ def test_array_set_family(spark):
     a = [tuple(x) for x in eng.query(q).collect()]
     b = [tuple(x) for x in spark.sql(eng.to_sql(q)).collect()]
     assert a == b
+
+
+def test_series_fit_2lines_numpy_reference(spark):
+    import numpy as np
+
+    from pql_spark import PqlEngine
+
+    vals = [float(i + 0.1 * ((i * 7) % 3)) for i in range(10)] + [
+        float(9 - 2 * i + 0.1 * ((i * 5) % 3)) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame([(1, vals)], "k long, s array<double>")
+    df.createOrReplaceTempView("F2_T")
+    eng = PqlEngine(spark, resolver={"F2_T": df})
+    d = eng.query(
+        "F2_T | extend d = series_fit_2lines(s) | project k, d"
+    ).collect()[0].d
+    a = np.array(vals)
+    n = len(a)
+
+    def ssres(seg):
+        x = np.arange(len(seg))
+        sl, ic = np.polyfit(x, seg, 1)
+        return ((seg - (ic + sl * x)) ** 2).sum()
+
+    costs = [ssres(a[:k]) + ssres(a[k:]) for k in range(2, n - 1)]
+    kbest = int(np.argmin(costs)) + 2
+    sstot = ((a - a.mean()) ** 2).sum()
+    assert d.split_idx == kbest
+    assert abs(d.rsquare - (1 - min(costs) / sstot)) < 1e-9
+    assert abs(d.variance - sstot / (n - 1)) < 1e-9
+    assert abs(d.rvariance - min(costs) / (n - 1)) < 1e-9
+    # too-short input → null struct
+    short = eng.query(
+        "F2_T | extend d = series_fit_2lines(pack_array(1.0, 2.0, 3.0))"
+        " | project d"
+    ).collect()[0].d
+    assert short is None
+    # backend equivalence
+    q = (
+        "F2_T | extend d = series_fit_2lines(s) | mv-expand lf = d.line_fit"
+        " | project k, rsq = round(d.rsquare, 6), si = d.split_idx,"
+        " lf = round(lf, 6)"
+    )
+    x = sorted(map(tuple, eng.query(q).collect()), key=repr)
+    y = sorted(map(tuple, spark.sql(eng.to_sql(q)).collect()), key=repr)
+    assert x == y
