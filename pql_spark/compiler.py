@@ -1576,6 +1576,26 @@ class Compiler:
                 "row_cumsum", "row_rank_dense", "row_rank_min",
             ):
                 return self._window_call(expr, env)
+            if expr.func.lower() == "pack_all":
+                # KQL pack_all(): a bag of every current column — needs
+                # the schema, so handled here rather than functions.py;
+                # values are cast to string to unify the map value type
+                # (document: a string-valued bag).  DataFrame backend
+                # only (the SQL emitter has no column context inside
+                # expressions).
+                if expr.args:
+                    raise ParseError(
+                        "pack_all() takes no arguments", expr.span
+                    )
+                if env.df is None:
+                    raise ParseError(
+                        "pack_all() needs a table context", expr.span
+                    )
+                pairs: list[Column] = []
+                for c in env.df.columns:
+                    pairs.append(F.lit(c))
+                    pairs.append(F.col(_q(c)).cast("string"))
+                return F.create_map(*pairs)
             args = [self.compile_expr(a, env) for a in expr.args]
             return pf.compile_call(
                 expr.func, args, expr.span, ast_args=expr.args

@@ -127,6 +127,7 @@ KQL_RENAMES: dict[str, str] = {
     "array_reverse": "reverse",
     "pack_array": "array",
     "bag_pack": "map",                    # property bag ≈ Spark map
+    "bag_keys": "map_keys",
     "todynamic": "parse_json",            # Spark 4 VARIANT
     "take_any": "any_value",
     "stdev": "stddev_samp",
@@ -512,6 +513,19 @@ def compile_call(
         for a in args[2:]:
             rest = F.array_union(rest, a)
         return F.array_distinct(F.array_except(args[0], rest))
+    if lname == "bag_merge":
+        # KQL bag_merge(b1, b2, …): union of keys, FIRST bag wins on
+        # conflicts — map_zip_with(m1, m2, coalesce) folded left
+        if len(args) < 2:
+            raise ParseError(
+                f"{name}() takes at least 2 arguments", span
+            )
+        out = args[0]
+        for m in args[1:]:
+            out = F.map_zip_with(
+                out, m, lambda _k, v1, v2: F.coalesce(v1, v2)
+            )
+        return out
     if lname == "set_has_element":
         _check_argc(name, args, 2, 2, span)
         return F.array_contains(args[0], args[1])

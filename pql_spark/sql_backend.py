@@ -1339,6 +1339,18 @@ class _SqlEmitter:
             for a in parts[2:]:
                 rest = f"array_union({rest}, {a})"
             return f"array_distinct(array_except({parts[0]}, {rest}))"
+        if name == "bag_merge":
+            if len(args) < 2:
+                raise ParseError(
+                    f"{name}() takes at least 2 arguments", e.span
+                )
+            out = self.expr(args[0])
+            for m in args[1:]:
+                out = (
+                    f"map_zip_with({out}, {self.expr(m)},"
+                    " (k, v1, v2) -> coalesce(v1, v2))"
+                )
+            return out
         if name == "set_has_element":
             argc(2, 2)
             return (

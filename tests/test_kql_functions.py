@@ -522,3 +522,25 @@ def test_series_fit_2lines_numpy_reference(spark):
     x = sorted(map(tuple, eng.query(q).collect()), key=repr)
     y = sorted(map(tuple, spark.sql(eng.to_sql(q)).collect()), key=repr)
     assert x == y
+
+
+def test_bag_functions(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame([(1, "a", 2.5)], "id long, s string, v double")
+    df.createOrReplaceTempView("BAG_T")
+    eng = PqlEngine(spark, resolver={"BAG_T": df})
+    r = eng.query(
+        'BAG_T | extend b = pack_all()'
+        ' | project id, k = b["s"], n = array_length(bag_keys(b))'
+    ).collect()[0]
+    assert (r.id, r.k, r.n) == (1, "a", 3)
+    q = (
+        'BAG_T | project m = bag_merge(bag_pack("a", 1, "b", 2),'
+        ' bag_pack("b", 99, "c", 3))'
+    )
+    got = dict(eng.query(q).collect()[0].m)
+    assert got == {"a": 1, "b": 2, "c": 3}  # first bag wins on "b"
+    assert dict(spark.sql(eng.to_sql(q)).collect()[0].m) == got
+    with pytest.raises(QueryError, match="no arguments"):
+        eng.query("BAG_T | extend b = pack_all(id)")
