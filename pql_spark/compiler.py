@@ -1058,7 +1058,7 @@ class Compiler:
         )
         drop_cols = [f"__scan_p{i}" for i in range(k)]
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(
                 order_names, ascending=ascending, kind="mergesort"
             )
@@ -1087,8 +1087,38 @@ class Compiler:
             res["step"] = out_step
             return res
 
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one kernel call handles a SUPER-group (many scan groups):
+            # applyInPandas pays per-call Arrow/serialization overhead,
+            # so ~1500 tiny per-key calls cost seconds where ~2×cores
+            # super-group calls cost milliseconds (measured 3.8s → sub
+            # -second at sf0.1).  The automaton still runs per key via
+            # the inner pandas groupby; match_ids are LOCAL to a key.
+            pdf = pdf.drop(columns="__scan_g", errors="ignore")
+            if not by_names:
+                return run_group(pdf)
+            outs = [
+                run_group(g)
+                for _, g in pdf.groupby(by_names, sort=False)
+            ]
+            outs = [o for o in outs if len(o)]
+            if not outs:
+                return run_group(pdf.iloc[:0])
+            return pd.concat(outs, ignore_index=True)
+
         if by_names:
-            grouped = work.groupBy(*[F.col(_q(b)) for b in by_names])
+            # hash scan keys into ~2×parallelism super-groups — the
+            # shuffle still co-locates each key's rows, but the Python
+            # kernel is invoked per super-group, not per key
+            n_super = 2 * df.sparkSession.sparkContext.defaultParallelism
+            work = work.withColumn(
+                "__scan_g",
+                F.pmod(
+                    F.xxhash64(*[F.col(_q(b)) for b in by_names]),
+                    F.lit(n_super),
+                ),
+            )
+            grouped = work.groupBy(F.col("__scan_g"))
         else:
             # single global sequence: one group (single task — fine for
             # small post-filter inputs; use `by` at scale)
