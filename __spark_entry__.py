@@ -1533,6 +1533,25 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                '-1,-1,1' AS sr_s, '1,20,3' AS ai_s
         """,
     ),
+    # EXTENSION top-nested `with others =` bucket
+    "pql_top_nested_others": (
+        """
+        events
+        | top-nested 3 of event_type with others = "OTHER"
+            by n = count()
+        | sort by event_type asc
+        """,
+        """
+        WITH g AS (SELECT event_type, count(*) AS n
+                   FROM events GROUP BY event_type),
+        r AS (SELECT *, row_number() OVER
+                          (ORDER BY n DESC, event_type) AS rn FROM g),
+        b AS (SELECT CASE WHEN rn <= 3 THEN event_type
+                     ELSE 'OTHER' END AS event_type, n FROM r)
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+        FROM b GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # EXTENSION stored let-functions (inlined, typed params)
     "pql_let_fn": (
         """

@@ -261,6 +261,9 @@ class TopNestedLevel:
     agg: ColSpec
     asc: bool
     span: Span
+    # EXTENSION: `with others = "label"` — non-surviving keys bucket
+    # into one label row per parent combination (KQL top-nested others)
+    others: "str | None" = None
 
 
 @dataclass

@@ -949,6 +949,36 @@ class Compiler:
         key_names: list[str] = []
         out_names: list[str] = []
         sel: DataFrame | None = None
+        has_others = any(lvl.others is not None for lvl in op.levels)
+        # with-others levels bucket NON-surviving keys into one label
+        # row per parent, so the source rows must carry the (possibly
+        # relabeled) key columns — a row-level frame `cur`; without
+        # others the cheaper aggregate-only flow below is used
+        cur = df
+
+        def topk(grouped: DataFrame, lvl, kname, aname) -> DataFrame:
+            order = [
+                F.col(_q(aname)).asc()
+                if lvl.asc
+                else F.col(_q(aname)).desc(),
+                F.col(_q(kname)).asc(),
+            ]
+            if lvl.count is None:
+                return grouped
+            n = self._const_int(lvl.count)
+            if key_names:
+                w = Window.partitionBy(
+                    *[F.col(_q(p)) for p in key_names]
+                ).orderBy(*order)
+                return (
+                    grouped.withColumn(
+                        "__tn_rn", F.row_number().over(w)
+                    )
+                    .filter(F.col("__tn_rn") <= n)
+                    .drop("__tn_rn")
+                )
+            return grouped.orderBy(*order).limit(n)
+
         for lvl in op.levels:
             kname = self._col_name(lvl.key)
             aname = self._col_name(lvl.agg)
@@ -959,32 +989,78 @@ class Compiler:
                         "name the key/aggregate (Name = expr)",
                         lvl.span,
                     )
-            kcol = self.compile_expr(lvl.key.expr, env).alias(kname)
-            acol = self.compile_expr(lvl.agg.expr, env).alias(aname)
+            acol = self.compile_expr(lvl.agg.expr, _Env(df=cur)).alias(
+                aname
+            )
             prev_keys = [F.col(_q(n)) for n in key_names]
-            grouped = df.groupBy(*prev_keys, kcol).agg(acol)
-            if sel is not None:
-                grouped = grouped.join(
-                    F.broadcast(sel), on=key_names, how="inner"
-                )
-            order = [
-                F.col(_q(aname)).asc() if lvl.asc else F.col(_q(aname)).desc(),
-                F.col(_q(kname)).asc(),
-            ]
-            if lvl.count is not None:
-                n = self._const_int(lvl.count)
-                if key_names:
-                    w = Window.partitionBy(*prev_keys).orderBy(*order)
-                    grouped = (
-                        grouped.withColumn("__tn_rn", F.row_number().over(w))
-                        .filter(F.col("__tn_rn") <= n)
-                        .drop("__tn_rn")
+            if not has_others:
+                kcol = self.compile_expr(lvl.key.expr, env).alias(kname)
+                grouped = df.groupBy(*prev_keys, kcol).agg(acol)
+                if sel is not None:
+                    grouped = grouped.join(
+                        F.broadcast(sel), on=key_names, how="inner"
+                    )
+                sel = topk(grouped, lvl, kname, aname)
+            else:
+                # materialize this level's key on the row frame (extend
+                # semantics: replace in place if the name exists)
+                kcol = self.compile_expr(
+                    lvl.key.expr, _Env(df=cur)
+                ).alias(kname)
+                if kname in cur.columns:
+                    cur = cur.select(
+                        *[
+                            kcol if c == kname else F.col(_q(c))
+                            for c in cur.columns
+                        ]
                     )
                 else:
-                    grouped = grouped.orderBy(*order).limit(n)
+                    cur = cur.select("*", kcol)
+                grouped = cur.groupBy(
+                    *prev_keys, F.col(_q(kname))
+                ).agg(acol)
+                if sel is not None:
+                    grouped = grouped.join(
+                        F.broadcast(sel), on=key_names, how="inner"
+                    )
+                survivors = topk(grouped, lvl, kname, aname)
+                if lvl.others is None:
+                    sel = survivors
+                else:
+                    # relabel non-surviving keys, then re-aggregate so
+                    # the label row carries the aggregate of the rest;
+                    # deeper levels nest inside the label bucket too
+                    marks = F.broadcast(
+                        survivors.select(
+                            *[F.col(_q(n)) for n in key_names],
+                            F.col(_q(kname)),
+                        ).withColumn("__tn_m", F.lit(True))
+                    )
+                    cur = cur.join(
+                        marks, on=[*key_names, kname], how="left"
+                    )
+                    cur = cur.withColumn(
+                        kname,
+                        F.when(
+                            F.col("__tn_m"), F.col(_q(kname))
+                        ).otherwise(F.lit(lvl.others)),
+                    ).drop("__tn_m")
+                    regrouped = cur.groupBy(
+                        *prev_keys, F.col(_q(kname))
+                    ).agg(
+                        self.compile_expr(
+                            lvl.agg.expr, _Env(df=cur)
+                        ).alias(aname)
+                    )
+                    if sel is not None:
+                        regrouped = regrouped.join(
+                            F.broadcast(sel),
+                            on=key_names,
+                            how="inner",
+                        )
+                    sel = regrouped
             key_names.append(kname)
             out_names.extend((kname, aname))
-            sel = grouped
         return sel.select(*[F.col(_q(n)) for n in out_names])
 
     def _scan(self, df: DataFrame, op: ScanOp) -> DataFrame:

@@ -1184,6 +1184,14 @@ def _op_top_nested(p: _P, kw: Token) -> Op:
         if w.kind is not TokenKind.IDENT or w.value != "of":
             raise ParseError("expected 'of'", w.span)
         key = p.parse_colspec(require_expr=False)
+        others = None
+        if p.match_word("with"):
+            w = p.take()
+            if w.kind is not TokenKind.IDENT or w.value != "others":
+                raise ParseError("expected 'others'", w.span)
+            p.expect(TokenKind.ASSIGN, "'='")
+            lbl = p.expect(TokenKind.STRING, "others label string")
+            others = lbl.value
         p.expect(TokenKind.BY, "'by'")
         agg = p.parse_colspec(require_expr=False)
         asc = False
@@ -1197,6 +1205,7 @@ def _op_top_nested(p: _P, kw: Token) -> Op:
                 key=key,
                 agg=agg,
                 asc=asc,
+                others=others,
                 span=Span(start, end),
             )
         )

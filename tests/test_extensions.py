@@ -1399,3 +1399,40 @@ def test_parse_kind_regex(spark):
     assert a == [tuple(r) for r in spark.sql(eng.to_sql(q)).collect()]
     with pytest.raises(QueryError, match="simple or regex"):
         eng.query('PR_T | parse kind=bogus line with "x" y')
+
+
+def test_top_nested_with_others(spark):
+    from pql_spark import PqlEngine
+
+    rows = [("a", "x", 10), ("a", "y", 5), ("a", "z", 1), ("b", "x", 8),
+            ("c", "q", 3), ("c", "r", 2), ("d", "s", 1)]
+    df = spark.createDataFrame(rows, "cat string, sub string, v long")
+    eng = PqlEngine(spark, resolver={"TN_T": df})
+    q = (
+        'TN_T | top-nested 2 of cat with others = "OTHER" by s1 = sum(v),'
+        ' top-nested 1 of sub with others = "rest" by s2 = sum(v)'
+    )
+    out = set(map(tuple, eng.query(q).collect()))
+    # top-2 cats a(16), b(8); OTHER = c(5)+d(1) = 6; within each parent
+    # the top sub plus a "rest" bucket (absent when nothing remains)
+    assert out == {
+        ("a", 16, "x", 10), ("a", 16, "rest", 6),
+        ("b", 8, "x", 8),
+        ("OTHER", 6, "q", 3), ("OTHER", 6, "rest", 3),
+    }
+    # mixing an others level with a plain level
+    q2 = (
+        'TN_T | top-nested 2 of cat with others = "OTHER" by s1 = sum(v),'
+        " top-nested 1 of sub by s2 = sum(v)"
+    )
+    out2 = set(map(tuple, eng.query(q2).collect()))
+    assert out2 == {
+        ("a", 16, "x", 10), ("b", 8, "x", 8), ("OTHER", 6, "q", 3),
+    }
+    # without others: unchanged original flow
+    q3 = (
+        "TN_T | top-nested 2 of cat by s1 = sum(v),"
+        " top-nested 1 of sub by s2 = sum(v)"
+    )
+    out3 = set(map(tuple, eng.query(q3).collect()))
+    assert out3 == {("a", 16, "x", 10), ("b", 8, "x", 8)}
