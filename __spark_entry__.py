@@ -2776,11 +2776,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-3 rotation: every query that had never been inside the
-    # driver's 50-slot correctness window in rounds 1-2 goes FIRST so
-    # the whole declared surface accumulates driver-hashed evidence
-    # (VERDICT r2 "next round" item 1).  pql_scan_funnel now carries a
-    # full hash oracle (deterministic list_reduce automaton twin).
+    # Round-3 rotation: every query never hash-checked in rounds 1-2
+    # goes FIRST (VERDICT r2 item 1) …
     "pql_string_fns", "pql_datetime_fns", "pql_case_fn",
     "pql_percentiles", "pql_bag_unpack", "pql_tabular_let",
     "pql_scan_funnel", "pql_sample_distinct", "pql_series_outliers",
@@ -2792,18 +2789,17 @@ _CHECK_FIRST = [
     "op_stream_sessionize", "op_stream_stateful",
     "op_stream_interval_join", "op_stream_dedup",
     "op_winnow_fingerprints", "op_sampling_split", "op_curate_corpus",
-    # round-3 additions (multi-output facet/fork — one entry per output)
+    # … then every round-3 addition (all with fresh local-oracle
+    # evidence, none driver-hashed yet) …
     "pql_facet_counts", "pql_facet_main", "pql_fork_hot",
     "pql_fork_daily", "pql_series_decompose",
     "pql_series_decompose_anomalies", "op_stream_sink_upsert",
-    "op_multimodal_decode",
-    "pql_series_stats_fit", "pql_union_inner", "pql_mv_itemindex",
-    "pql_binary_fns",
-    # core regression anchors (stayed green in r1+r2; keep a
-    # representative slice of every family under continuous check)
-    "pql_q1_pricing", "pql_join_inner", "pql_null_semantics",
-    "pql_summarize_by", "pql_make_series", "op_minhash_dups",
-    "op_embedding_dups", "op_asof_join",
+    "op_multimodal_decode", "pql_series_stats_fit", "pql_union_inner",
+    "pql_mv_itemindex", "pql_binary_fns", "op_stream_near_dup",
+    "pql_series_fit_2lines", "pql_ipv4_fns", "pql_array_set_fns",
+    "pql_narrow", "pql_top_nested_others",
+    # … and two core anchors for continuity
+    "pql_q1_pricing", "op_minhash_dups",
 ]
 
 
