@@ -492,6 +492,40 @@ def compile_call(
             return total / F.size(window)
 
         return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
+    if lname in ("geo_distance_2points", "geo_point_in_circle"):
+        # KQL geo family (simplified): great-circle distance via the
+        # haversine formula on a mean-radius sphere (6371008.8 m) —
+        # documented divergence from KQL's WGS84 geodesic (<0.5% for
+        # typical distances).  Invalid coordinates → NULL.
+        n_args = 4 if lname == "geo_distance_2points" else 5
+        _check_argc(name, args, n_args, n_args, span)
+
+        def rad(c: Column) -> Column:
+            return F.radians(c.cast("double"))
+
+        def valid(lon: Column, lat: Column) -> Column:
+            return (
+                (lon.cast("double") >= -180)
+                & (lon.cast("double") <= 180)
+                & (lat.cast("double") >= -90)
+                & (lat.cast("double") <= 90)
+            )
+
+        lon1, lat1, lon2, lat2 = args[0], args[1], args[2], args[3]
+        dlat = rad(lat2) - rad(lat1)
+        dlon = rad(lon2) - rad(lon1)
+        h = (
+            F.pow(F.sin(dlat / 2), 2)
+            + F.cos(rad(lat1)) * F.cos(rad(lat2))
+            * F.pow(F.sin(dlon / 2), 2)
+        )
+        dist = F.lit(2.0 * 6371008.8) * F.asin(
+            F.least(F.lit(1.0), F.sqrt(h))
+        )
+        dist = F.when(valid(lon1, lat1) & valid(lon2, lat2), dist)
+        if lname == "geo_distance_2points":
+            return dist
+        return dist <= args[4].cast("double")
     if lname in ("set_union", "set_intersect", "set_difference"):
         # KQL set family over arrays: variadic, results deduplicated.
         # set_difference(a, b, c) = distinct elements of a not in b∪c.

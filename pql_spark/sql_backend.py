@@ -1319,6 +1319,30 @@ class _SqlEmitter:
                 f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
                 f" DOUBLE)) / size({win}))"
             )
+        if name in ("geo_distance_2points", "geo_point_in_circle"):
+            n_args = 4 if name == "geo_distance_2points" else 5
+            argc(n_args, n_args)
+            lon1, lat1, lon2, lat2 = (
+                f"CAST({self.expr(a)} AS DOUBLE)" for a in args[:4]
+            )
+            h = (
+                f"(pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+                f" + cos(radians({lat1})) * cos(radians({lat2}))"
+                f" * pow(sin((radians({lon2}) - radians({lon1})) / 2),"
+                " 2))"
+            )
+            ok = (
+                f"({lon1} BETWEEN -180 AND 180 AND {lat1} BETWEEN -90"
+                f" AND 90 AND {lon2} BETWEEN -180 AND 180 AND {lat2}"
+                " BETWEEN -90 AND 90)"
+            )
+            dist = (
+                f"(CASE WHEN {ok} THEN 2.0D * 6371008.8D"
+                f" * asin(least(1.0D, sqrt({h}))) END)"
+            )
+            if name == "geo_distance_2points":
+                return dist
+            return f"({dist} <= CAST({self.expr(args[4])} AS DOUBLE))"
         if name in ("set_union", "set_intersect", "set_difference"):
             if len(args) < 2:
                 raise ParseError(

@@ -544,3 +544,36 @@ def test_bag_functions(spark):
     assert dict(spark.sql(eng.to_sql(q)).collect()[0].m) == got
     with pytest.raises(QueryError, match="no arguments"):
         eng.query("BAG_T | extend b = pack_all(id)")
+
+
+def test_geo_functions(spark):
+    import math
+
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame([(1,)], "id long")
+    df.createOrReplaceTempView("GEO_T")
+    eng = PqlEngine(spark, resolver={"GEO_T": df})
+    q = (
+        "GEO_T | project"
+        " d = geo_distance_2points(-122.4194, 37.7749, -74.0060, 40.7128),"
+        " inc = geo_point_in_circle(-122.41, 37.77, -122.4194, 37.7749,"
+        " 2000.0),"
+        " outc = geo_point_in_circle(-74.0, 40.7, -122.4194, 37.7749,"
+        " 2000.0),"
+        " bad = geo_distance_2points(999.0, 0.0, 0.0, 0.0)"
+    )
+    r = eng.query(q).collect()[0]
+    lat1, lon1, lat2, lon2 = map(
+        math.radians, (37.7749, -122.4194, 40.7128, -74.0060)
+    )
+    h = (
+        math.sin((lat2 - lat1) / 2) ** 2
+        + math.cos(lat1) * math.cos(lat2)
+        * math.sin((lon2 - lon1) / 2) ** 2
+    )
+    ref = 2 * 6371008.8 * math.asin(min(1, math.sqrt(h)))
+    assert abs(r.d - ref) < 1e-6
+    assert r.inc is True and r.outc is False and r.bad is None
+    b = spark.sql(eng.to_sql(q)).collect()[0]
+    assert abs(b.d - r.d) < 1e-6 and b.inc is True and b.bad is None
