@@ -11,6 +11,7 @@ windows, and a custom per-key stateful operator via
 """
 
 from .pipeline import (
+    curate_stream,
     pql_stream,
     run_available_now,
     sessionize,
@@ -25,6 +26,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "curate_stream",
     "pql_stream",
     "run_available_now",
     "sessionize",

@@ -500,3 +500,96 @@ def stream_near_dup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def curate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.75,
+    langs: Iterable[str] | None = ("en",),
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Incremental corpus curation — the streaming twin of
+    ``pipelines.curate_corpus``'s filter+near-dup core, composed from
+    this module's pieces with parquet files as the stage bus (the
+    Kappa-architecture shape: each stage is an independently
+    restartable streaming query with its own checkpoint):
+
+    1. quality + language filters (narrow Catalyst expressions — they
+       stream as-is) → append parquet sink ``<work>/kept``;
+    2. :func:`stream_near_dup` over the kept files as a stream —
+       MinHash-LSH keeper state flags each doc that lands in an
+       occupied band bucket — appended to ``<work>/dups`` via
+       foreachBatch (the file sink proper only takes append-mode
+       queries, and stateful flags arrive in update mode);
+    3. returns the batch view: kept docs minus flagged ids.
+
+    Re-running after new files land in ``docs_dir`` processes ONLY the
+    new files (checkpointed file-source offsets) and the keeper state
+    persists, so previously seen content flags new near-duplicates —
+    incremental curation without recomputing the corpus.
+    """
+    from pql_spark.operators.text import language_id, quality_score
+
+    work = Path(work_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    raw = spark.readStream.schema(schema).parquet(docs_dir)
+    cols = [c for c in raw.columns]
+    scored = quality_score(raw, text_col, id_col, append=True)
+    scored = language_id(scored, text_col, id_col, append=True)
+    kept = scored.filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        kept = kept.filter(F.col("lang_pred").isin(*langs))
+    write_stream_parquet(
+        kept.select(*cols),
+        str(work / "kept"),
+        checkpoint=str(work / "ckpt_kept"),
+    )
+
+    kept_path = work / "kept"
+    if not any(kept_path.glob("*.parquet")):
+        # nothing survived the filters — empty corpus
+        return spark.createDataFrame([], schema)
+    kept_stream = spark.readStream.schema(schema).parquet(
+        str(kept_path)
+    )
+    flags = stream_near_dup(
+        kept_stream, text_col, id_col, num_perm, bands, shingle_k
+    )
+    dups_path = work / "dups"
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.columns:
+            batch_df.select(id_col).distinct().write.mode(
+                "append"
+            ).parquet(str(dups_path))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            flags.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(work / "ckpt_dups"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    kept_batch = spark.read.parquet(str(kept_path))
+    if dups_path.exists():
+        dup_ids = spark.read.parquet(str(dups_path)).distinct()
+        kept_batch = kept_batch.join(
+            F.broadcast(dup_ids), on=id_col, how="left_anti"
+        )
+    return kept_batch

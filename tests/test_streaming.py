@@ -353,3 +353,57 @@ def test_stream_near_dup_matches_batch_buckets(tmp_path, spark):
     assert flagged == want_flagged
     assert groups == want_groups
     assert len(flagged) >= 30  # every injected near-dup is caught
+
+
+def test_curate_stream_matches_batch(tmp_path, spark):
+    """Composed incremental curation: filters + LSH near-dup over two
+    incremental runs equals the batch computation over all files, and
+    the second run flags new dups against FIRST-run keeper state."""
+    from pql_spark.operators.dedup import band_signature, minhash_signature
+    from pql_spark.operators.text import language_id, quality_score
+    from pql_spark.streaming import curate_stream
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    base.toPandas().to_parquet(src / "a.parquet", index=False)
+
+    work = tmp_path / "work"
+    kept1 = curate_stream(spark, str(src), str(work), langs=None)
+    n1 = kept1.count()
+    # second run: only the new file is processed; near-dups of run-1
+    # docs must be flagged by the persisted keeper state
+    dups.toPandas().to_parquet(src / "b.parquet", index=False)
+    kept2 = curate_stream(spark, str(src), str(work), langs=None)
+    got = {r.doc_id for r in kept2.select("doc_id").collect()}
+
+    # batch reference over ALL docs: same filters, drop any doc whose
+    # band bucket contains a lower id
+    all_docs = base.unionByName(dups)
+    f = quality_score(all_docs, append=True).filter(
+        F.col("quality") >= 0.75
+    ).select("doc_id", "text")
+    sig = minhash_signature(f, impl="pandas", include_shingles=False)
+    buckets = (
+        band_signature(sig, "doc_id", 64, 16)
+        .groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    flagged = set()
+    for r in buckets:
+        flagged.update(r.ids[1:])
+    want = {r.doc_id for r in f.select("doc_id").collect()} - flagged
+    assert got == want
+    assert n1 >= len(
+        {r.doc_id for r in f.filter(F.col("doc_id") < 100000).collect()}
+    ) - len(flagged)
+    # every injected near-duplicate was caught across runs
+    assert not any(d >= 100000 and (d - 100000) in want for d in got)
