@@ -128,6 +128,7 @@ KQL_RENAMES: dict[str, str] = {
     "pack_array": "array",
     "bag_pack": "map",                    # property bag ≈ Spark map
     "bag_keys": "map_keys",
+    "strcat_array": "array_join",      # strcat_array(arr, delim)
     "todynamic": "parse_json",            # Spark 4 VARIANT
     "take_any": "any_value",
     "stdev": "stddev_samp",
@@ -370,7 +371,7 @@ def compile_call(
             lambda x: F.when(std > 0.0, (x.cast("double") - mean) / std)
             .otherwise(F.lit(0.0)),
         )
-    if lname == "series_sum":
+    if lname in ("series_sum", "array_sum"):
         _check_argc(name, args, 1, 1, span)
         return F.aggregate(
             args[0], F.lit(0.0), lambda acc, x: acc + x.cast("double")

@@ -1243,7 +1243,7 @@ class _SqlEmitter:
                 f" (CAST(x AS DOUBLE) - {mean}) / {std}"
                 f" ELSE 0.0D END)"
             )
-        if name == "series_sum":
+        if name in ("series_sum", "array_sum"):
             argc(1, 1)
             a = self.expr(args[0])
             return (
