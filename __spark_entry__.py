@@ -2240,10 +2240,15 @@ def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
+    import shutil
+
     d = Path(tempfile.mkdtemp(prefix="pql_neardup_"))
-    docs.toPandas().to_parquet(d / "docs.parquet", index=False)
-    stream = spark.readStream.schema(docs.schema).parquet(str(d))
-    rows = run_available_now(stream_near_dup(stream), "update")
+    try:
+        docs.toPandas().to_parquet(d / "docs.parquet", index=False)
+        stream = spark.readStream.schema(docs.schema).parquet(str(d))
+        rows = run_available_now(stream_near_dup(stream), "update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     out = spark.createDataFrame(
         rows, "doc_id long, band int, dup_of long"
     )
