@@ -98,3 +98,45 @@ def test_partial_aggregation(engine):
     df = engine.query("lineitem | summarize n = count() by l_returnflag")
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_facet_tables_use_partial_aggregation(engine):
+    res = engine.query("events | facet by event_type")
+    plan = formatted_plan(res["event_type"])
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    # the count table reads only the faceted column
+    assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_union_inner_prunes_to_common_columns(engine):
+    df = engine.query(
+        "events | project user_id, value"
+        " | union kind=inner (events | project user_id, event_type)"
+        " | summarize n = count() by user_id"
+    )
+    plan = formatted_plan(df)
+    # both scans read ONLY user_id (+ the branch's own projection input)
+    assert "ReadSchema: struct<user_id:bigint>" in plan
+
+
+def test_blocked_embedding_dedup_plan(spark, sf_catalog):
+    """The distributed embedding dedup must be a shuffle + grouped-map
+    plan over a pruned scan — no driver-side collect feeding it."""
+    from pql_spark.operators.dedup import embedding_dup_pairs
+
+    emb = sf_catalog("embeddings")
+    df = embedding_dup_pairs(emb, threshold=0.9, n_blocks=4)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # the block-pair kernel
+    # scan pruned to the two needed columns
+    assert "vec_id" in plan and "embedding" in plan
+    assert "meta" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_top_nested_others_broadcasts_survivors(engine):
+    df = engine.query(
+        'events | top-nested 2 of event_type with others = "OTHER"'
+        " by n = count()"
+    )
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
