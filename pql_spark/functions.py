@@ -138,6 +138,9 @@ KQL_RENAMES: dict[str, str] = {
     "getmonth": "month",
     "getyear": "year",
     "hourofday": "hour",
+    # tz conversions — 1:1 arg order (value, tz)
+    "datetime_utc_to_local": "from_utc_timestamp",
+    "datetime_local_to_utc": "to_utc_timestamp",
 }
 
 # datetime_add/datetime_diff units accepted by Spark's timestampadd/diff
