@@ -121,6 +121,32 @@ class MultiResult(dict):
         return f"MultiResult({list(self)})"
 
 
+def _expand_col_patterns(
+    names: list[str], columns: list[str], what: str, span
+) -> list[str]:
+    """Expand ``tmp*``-style glob patterns against the current schema
+    (KQL wildcard column specs).  Exact names must exist; a pattern
+    matching nothing is silently empty."""
+    import fnmatch
+
+    out: list[str] = []
+    missing: list[str] = []
+    for n in names:
+        if "*" in n:
+            out.extend(
+                c
+                for c in columns
+                if fnmatch.fnmatchcase(c, n) and c not in out
+            )
+        elif n not in columns:
+            missing.append(n)
+        elif n not in out:
+            out.append(n)
+    if missing:
+        raise ParseError(f"{what}: unknown column(s) {missing}", span)
+    return out
+
+
 def _q(name: str) -> str:
     """Backtick-escape a column/alias name for F.col()."""
     return "`" + name.replace("`", "``") + "`"
@@ -500,12 +526,10 @@ class Compiler:
                 df = df.unionByName(branch, allowMissingColumns=True)
             return df
         if isinstance(op, ProjectAwayOp):
-            missing = [n for n in op.names if n not in df.columns]
-            if missing:
-                raise ParseError(
-                    f"project-away: unknown column(s) {missing}", op.span
-                )
-            return df.drop(*op.names)
+            drop = _expand_col_patterns(
+                op.names, df.columns, "project-away", op.span
+            )
+            return df.drop(*drop)
         if isinstance(op, MvApplyOp):
             return self._mv_apply(df, op, env)
         if isinstance(op, TopNestedOp):
@@ -645,12 +669,11 @@ class Compiler:
                 ]
             )
         if isinstance(op, ProjectKeepOp):
-            missing = [n for n in op.names if n not in df.columns]
-            if missing:
-                raise ParseError(
-                    f"project-keep: unknown column(s) {missing}", op.span
+            keep = set(
+                _expand_col_patterns(
+                    op.names, df.columns, "project-keep", op.span
                 )
-            keep = set(op.names)
+            )
             return df.select(
                 *[F.col(_q(c)) for c in df.columns if c in keep]
             )

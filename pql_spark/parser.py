@@ -1130,17 +1130,9 @@ def _op_union(p: _P, kw: Token) -> Op:
 
 
 def _op_project_away(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``project-away C1, C2`` — drop columns (KQL)."""
-    names = []
-    end = kw.span.end
-    while True:
-        tok = p.take()
-        if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
-            raise ParseError("expected column name", tok.span)
-        names.append(tok.value)
-        end = tok.span.end
-        if not p.match(TokenKind.COMMA):
-            break
+    """EXTENSION: ``project-away C1, tmp*`` — drop columns; glob
+    patterns match by name (KQL wildcard specs)."""
+    names, end = _names_list(p, kw, wildcards=True)
     return ProjectAwayOp(names=names, span=Span(kw.span.start, end))
 
 
@@ -1537,23 +1529,49 @@ def _op_project_rename(p: _P, kw: Token) -> Op:
     return ProjectRenameOp(renames=renames, span=Span(kw.span.start, end))
 
 
-def _names_list(p: _P, kw: Token) -> tuple[list[str], int]:
+def _names_list(
+    p: _P, kw: Token, wildcards: bool = False
+) -> tuple[list[str], int]:
+    """Comma-separated column names; with ``wildcards`` adjacent
+    IDENT/STAR tokens fuse into glob patterns (``tmp*``, ``*_id``)."""
     names = []
     end = kw.span.end
     while True:
         tok = p.take()
-        if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        ok_kinds = (TokenKind.IDENT, TokenKind.QIDENT)
+        if wildcards and tok.kind is TokenKind.STAR:
+            pass
+        elif tok.kind not in ok_kinds:
             raise ParseError("expected column name", tok.span)
-        names.append(tok.value)
+        pattern = tok.value
         end = tok.span.end
+        if wildcards and tok.kind is not TokenKind.QIDENT:
+            while True:
+                nxt = p.peek()
+                if (
+                    nxt is not None
+                    and nxt.kind in (TokenKind.IDENT, TokenKind.STAR)
+                    and nxt.span.start == end  # adjacent, no whitespace
+                ):
+                    p.take()
+                    pattern += nxt.value
+                    end = nxt.span.end
+                else:
+                    break
+        if pattern == "*" and wildcards:
+            raise ParseError(
+                "bare '*' is not a column pattern", tok.span
+            )
+        names.append(pattern)
         if not p.match(TokenKind.COMMA):
             break
     return names, end
 
 
 def _op_project_keep(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``project-keep C1, C2`` (KQL)."""
-    names, end = _names_list(p, kw)
+    """EXTENSION: ``project-keep C1, tmp*`` — glob patterns match by
+    name (KQL wildcard specs)."""
+    names, end = _names_list(p, kw, wildcards=True)
     return ProjectKeepOp(names=names, span=Span(kw.span.start, end))
 
 

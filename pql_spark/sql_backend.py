@@ -360,12 +360,14 @@ class _SqlEmitter:
                 selects.append(f"SELECT {', '.join(items)} FROM ({bsql})")
             return " UNION ALL ".join(selects), merged
         if isinstance(op, ProjectAwayOp):
-            missing = [n for n in op.names if n not in cols]
-            if missing:
-                raise ParseError(
-                    f"project-away: unknown column(s) {missing}", op.span
+            from .compiler import _expand_col_patterns
+
+            drop = set(
+                _expand_col_patterns(
+                    op.names, cols, "project-away", op.span
                 )
-            keep = [c for c in cols if c not in op.names]
+            )
+            keep = [c for c in cols if c not in drop]
             items = ", ".join(_q(c) for c in keep)
             return f"SELECT {items} FROM {inner}", keep
         if isinstance(op, MvExpandOp):
@@ -473,12 +475,14 @@ class _SqlEmitter:
             )
             return f"SELECT {items} FROM {inner}", out
         if isinstance(op, ProjectKeepOp):
-            missing = [n for n in op.names if n not in cols]
-            if missing:
-                raise ParseError(
-                    f"project-keep: unknown column(s) {missing}", op.span
+            from .compiler import _expand_col_patterns
+
+            keep_set = set(
+                _expand_col_patterns(
+                    op.names, cols, "project-keep", op.span
                 )
-            keep = [c for c in cols if c in set(op.names)]
+            )
+            keep = [c for c in cols if c in keep_set]
             return (
                 f"SELECT {', '.join(_q(c) for c in keep)} FROM {inner}",
                 keep,

@@ -1436,3 +1436,25 @@ def test_top_nested_with_others(spark):
     )
     out3 = set(map(tuple, eng.query(q3).collect()))
     assert out3 == {("a", 16, "x", 10), ("b", 8, "x", 8)}
+
+
+def test_project_away_keep_wildcards(spark):
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, "x")], "id long, tmp_a long, tmp_b long, name string"
+    )
+    df.createOrReplaceTempView("WC_T")
+    eng = PqlEngine(spark, resolver={"WC_T": df})
+    for q, want in [
+        ("WC_T | project-away tmp*", ["id", "name"]),
+        ("WC_T | project-keep *_a, id", ["id", "tmp_a"]),
+        ("WC_T | project-away *name", ["id", "tmp_a", "tmp_b"]),
+        ("WC_T | project-away zz*", ["id", "tmp_a", "tmp_b", "name"]),
+    ]:
+        assert eng.query(q).columns == want, q
+        assert spark.sql(eng.to_sql(q)).columns == want, q
+    with pytest.raises(QueryError, match="not a column pattern"):
+        eng.query("WC_T | project-away *")
+    with pytest.raises(QueryError, match="unknown column"):
+        eng.query("WC_T | project-away nope")
