@@ -1003,6 +1003,28 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY hour ORDER BY hour
         """,
     ),
+    # EXTENSION bare timespan literals (1h/3h/1d → day-time intervals)
+    # + datetime() literals: native timestamp arithmetic, epoch-aligned
+    # bin with a bare timespan (round 3)
+    "pql_timespan_lit": (
+        """
+        events
+        | where ts >= datetime(2024-01-02)
+            and ts < datetime(2024-01-02) + 1d
+        | summarize n = count(), v = round(sum(value), 3)
+            by h = bin(ts, 3h)
+        | sort by h asc
+        """,
+        """
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 10800) * 10800)
+                    AS TIMESTAMP) AS h,
+               count(*) AS n, round(sum(value), 3) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02'
+          AND ts < TIMESTAMP '2024-01-02' + INTERVAL 1 DAY
+        GROUP BY h ORDER BY h
+        """,
+    ),
     # EXTENSION in-family word operators + between (round 2)
     "pql_in_family": (
         """

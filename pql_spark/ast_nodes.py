@@ -39,6 +39,24 @@ class StringLit(Expr):
 
 
 @dataclass
+class TimespanLit(Expr):
+    """EXTENSION (KQL): bare timespan literal ``1h`` / ``30m`` / ``1.5d``.
+    Normalized to total microseconds at lex time; compiles to a Spark
+    day-time interval (``make_dt_interval``)."""
+
+    microseconds: int
+
+
+@dataclass
+class DatetimeLit(Expr):
+    """EXTENSION (KQL): ``datetime(2024-01-01 12:00:00)`` literal.  The
+    raw text between the parens is validated/normalized to an ISO
+    timestamp string at parse time; compiles to a TIMESTAMP literal."""
+
+    value: str  # canonical "YYYY-MM-DD HH:MM:SS[.ffffff]"
+
+
+@dataclass
 class Ident(Expr):
     """A (possibly dotted) identifier. ``parts`` holds each dotted segment;
     ``quoted[i]`` records whether segment i was backtick-quoted (quoted

@@ -85,6 +85,8 @@ from .ast_nodes import (
     TopNestedOp,
     Statement,
     StringLit,
+    TimespanLit,
+    DatetimeLit,
     SummarizeOp,
     TableRef,
     TabularExpr,
@@ -821,8 +823,13 @@ class Compiler:
         from .functions import _duration_usec
 
         on = F.col(_q(op.on.parts[0]))
-        if isinstance(op.step, StringLit):  # timespan step → time axis
-            usec = _duration_usec(op.step.value, op.step.span)
+        if isinstance(op.step, (StringLit, TimespanLit)):
+            # timespan step → time axis
+            usec = (
+                op.step.microseconds
+                if isinstance(op.step, TimespanLit)
+                else _duration_usec(op.step.value, op.step.span)
+            )
             fr_ts = self.compile_expr(op.start, env).cast("timestamp")
             to_ts = self.compile_expr(op.stop, env).cast("timestamp")
             fr_us = F.unix_micros(fr_ts)
@@ -1603,6 +1610,10 @@ class Compiler:
             return F.lit(float(expr.text) if expr.is_float else int(expr.text))
         if isinstance(expr, StringLit):
             return F.lit(expr.value)
+        if isinstance(expr, TimespanLit):
+            return pf.timespan_interval(expr.microseconds)
+        if isinstance(expr, DatetimeLit):
+            return F.lit(expr.value).cast("timestamp")
         if isinstance(expr, Ident):
             return self._ident(expr, env)
         if isinstance(expr, UnaryExpr):

@@ -74,6 +74,14 @@ def _duration_usec(text: str, span: Span) -> int:
     return int(m.group(1)) * _DURATION_UNITS[m.group(2).lower()] * 1_000_000
 
 
+def timespan_interval(usec: int) -> Column:
+    """A Spark day-time interval of ``usec`` microseconds (the compiled
+    form of a bare timespan literal like ``1h``).  Constant-folded by
+    Catalyst; arithmetic with timestamps and interval comparisons are
+    native."""
+    return F.expr(f"INTERVAL {usec} MICROSECOND")
+
+
 def bin_fn(value: Column, size: Column, lit_duration: str | None,
            span: Span) -> Column:
     """KQL-style ``bin(value, roundTo)`` — floor to a multiple.
@@ -87,7 +95,11 @@ def bin_fn(value: Column, size: Column, lit_duration: str | None,
     multiples.
     """
     if lit_duration is not None:
-        usec = _duration_usec(lit_duration, span)
+        usec = (
+            lit_duration
+            if isinstance(lit_duration, int)
+            else _duration_usec(lit_duration, span)
+        )
         return F.timestamp_micros(
             F.floor(F.unix_micros(value) / F.lit(usec)).cast("long")
             * F.lit(usec)
@@ -259,13 +271,14 @@ def compile_call(
     lname = name.lower()
     if lname == "bin":
         _check_argc(name, args, 2, 2, span)
-        from .ast_nodes import StringLit
+        from .ast_nodes import StringLit, TimespanLit
 
-        lit = (
-            ast_args[1].value
-            if ast_args is not None and isinstance(ast_args[1], StringLit)
-            else None
-        )
+        lit: str | int | None = None
+        if ast_args is not None:
+            if isinstance(ast_args[1], StringLit):
+                lit = ast_args[1].value
+            elif isinstance(ast_args[1], TimespanLit):
+                lit = ast_args[1].microseconds
         return bin_fn(args[0], args[1], lit, span)
     if lname == "not":
         _check_argc(name, args, 1, 1, span)
@@ -274,18 +287,19 @@ def compile_call(
         _check_argc(name, args, 0, 0, span)
         return F.current_timestamp()
     if lname == "ago":
-        # EXTENSION (KQL): ago("1h") == now() - 1h; literal timespan only
+        # EXTENSION (KQL): ago(1h) / ago("1h") == now() - 1h
         _check_argc(name, args, 1, 1, span)
-        from .ast_nodes import StringLit
+        from .ast_nodes import StringLit, TimespanLit
 
-        if ast_args is None or not isinstance(ast_args[0], StringLit):
+        if ast_args is not None and isinstance(ast_args[0], TimespanLit):
+            usec = ast_args[0].microseconds
+        elif ast_args is not None and isinstance(ast_args[0], StringLit):
+            usec = _duration_usec(ast_args[0].value, span)
+        else:
             raise ParseError(
-                'ago() takes a timespan string literal, e.g. ago("1h")', span
+                "ago() takes a timespan literal, e.g. ago(1h)", span
             )
-        usec = _duration_usec(ast_args[0].value, span)
-        return F.current_timestamp() - F.expr(
-            f"INTERVAL {usec} MICROSECOND"
-        )
+        return F.current_timestamp() - timespan_interval(usec)
     if lname == "isnull":
         _check_argc(name, args, 1, 1, span)
         return args[0].isNull()

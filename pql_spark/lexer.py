@@ -60,6 +60,9 @@ class TokenKind(enum.Enum):
     RBRACE = "}"
     # EXTENSION: range separator for `between (lo .. hi)` (KQL)
     DOTDOT = ".."
+    # EXTENSION: bare timespan literals `1h`, `30m`, `1.5d` (KQL);
+    # value is normalized to total microseconds as decimal text
+    TIMESPAN = "timespan"
 
 
 @dataclass(frozen=True)
@@ -243,9 +246,43 @@ def scan(source: str) -> list[Token]:
     return tokens
 
 
+# EXTENSION (KQL timespan literals): unit suffix → microseconds.  KQL's
+# surface units; `tick` (100 ns) is excluded because Spark day-time
+# intervals bottom out at microsecond precision.
+_TIMESPAN_UNITS = {
+    "d": 86_400_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+    "h": 3_600_000_000,
+    "hr": 3_600_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "m": 60_000_000,
+    "min": 60_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "s": 1_000_000,
+    "sec": 1_000_000,
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "ms": 1_000,
+    "milli": 1_000,
+    "millis": 1_000,
+    "millisecond": 1_000,
+    "milliseconds": 1_000,
+    "microsecond": 1,
+    "microseconds": 1,
+}
+
+
 def _scan_number(source: str, i: int) -> tuple[Token, int]:
     """Numbers: decimal int/float, exponent, 0x hex (normalized to decimal,
-    lex.go:448-480); leading zeros stripped (lex.go:576-586)."""
+    lex.go:448-480); leading zeros stripped (lex.go:576-586).
+
+    EXTENSION: a decimal (non-exponent) number immediately followed by a
+    timespan unit suffix (`1h`, `30m`, `1.5d`) lexes as one TIMESPAN
+    token — previously `1h` was NUMBER + IDENT, a parse error in every
+    expression context, so no reference query changes meaning."""
     n = len(source)
     start = i
     if source[i] == "0" and i + 1 < n and source[i + 1] in ("x", "X"):
@@ -276,6 +313,27 @@ def _scan_number(source: str, i: int) -> tuple[Token, int]:
             while j < n and source[j].isdigit():
                 j += 1
     text = source[start:j]
+    # timespan suffix? (only on plain decimal/float forms — a trailing
+    # ident run that exactly matches a unit name)
+    if j < n and _is_ident_start(source[j]) and source[j] != "$":
+        k = j
+        while k < n and _is_ident_char(source[k]):
+            k += 1
+        unit = source[j:k]
+        if unit in _TIMESPAN_UNITS:
+            from decimal import Decimal
+
+            usec = Decimal(text) * _TIMESPAN_UNITS[unit]
+            if usec != usec.to_integral_value():
+                raise LexError(
+                    f"timespan literal {source[start:k]!r} is below"
+                    " microsecond precision",
+                    Span(start, k),
+                )
+            return (
+                Token(TokenKind.TIMESPAN, Span(start, k), str(int(usec))),
+                k,
+            )
     if not is_float:
         # strip leading zeros, keep at least one digit
         text = text.lstrip("0") or "0"

@@ -68,6 +68,8 @@ from .ast_nodes import (
     SortTerm,
     Statement,
     StringLit,
+    TimespanLit,
+    DatetimeLit,
     SummarizeOp,
     TableRef,
     TabularExpr,
@@ -762,6 +764,8 @@ class _P:
         tok = self.take()
         if tok.kind is TokenKind.NUMBER:
             return NumberLit(text=tok.value, span=tok.span)
+        if tok.kind is TokenKind.TIMESPAN:
+            return TimespanLit(microseconds=int(tok.value), span=tok.span)
         if tok.kind is TokenKind.STRING:
             return StringLit(value=tok.value, span=tok.span)
         if tok.kind is TokenKind.LPAREN:
@@ -777,6 +781,8 @@ class _P:
             ):
                 if tok.value == "toscalar":
                     return self._parse_toscalar(tok)
+                if tok.value == "datetime":
+                    return self._parse_datetime(tok)
                 return self._parse_call(tok)
             return self._parse_qualified(tok)
         raise ParseError(f"unexpected {tok.value!r} in expression", tok.span)
@@ -798,6 +804,47 @@ class _P:
         tab = _parse_tabular(inner, self.source)
         return ToScalarExpr(
             tab=tab, span=Span(kw.span.start, tok.span.end)
+        )
+
+    def _parse_datetime(self, kw: Token) -> Expr:
+        """EXTENSION (KQL): ``datetime(2024-01-01 12:00:00)`` — the text
+        between the parens is raw (unquoted) and validated as an ISO
+        timestamp; a quoted string is accepted too."""
+        import datetime as _dt
+
+        lp = self.expect(TokenKind.LPAREN, "'('")
+        # raw capture: everything up to the matching ')' in the SOURCE
+        depth, j = 1, lp.span.end
+        while j < len(self.source):
+            c = self.source[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ParseError("unterminated datetime(…) literal", kw.span)
+        raw = self.source[lp.span.end : j].strip().strip("'\"")
+        # skip the consumed tokens
+        while True:
+            tok = self.take()
+            if tok.kind is TokenKind.RPAREN and tok.span.start >= j:
+                break
+        try:
+            iso = raw.replace("T", " ").replace("Z", "")
+            val = _dt.datetime.fromisoformat(iso)
+        except ValueError:
+            raise ParseError(
+                f"datetime(): cannot parse {raw!r} as an ISO timestamp",
+                Span(kw.span.start, tok.span.end),
+            )
+        canon = val.strftime("%Y-%m-%d %H:%M:%S") + (
+            f".{val.microsecond:06d}" if val.microsecond else ""
+        )
+        return DatetimeLit(
+            value=canon, span=Span(kw.span.start, tok.span.end)
         )
 
     def _parse_call(self, fn: Token) -> Expr:

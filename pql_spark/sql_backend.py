@@ -74,6 +74,8 @@ from .ast_nodes import (
     SortOp,
     SortTerm,
     StringLit,
+    TimespanLit,
+    DatetimeLit,
     SummarizeOp,
     TableRef,
     TabularExpr,
@@ -738,8 +740,12 @@ class _SqlEmitter:
         self, op: MakeSeriesOp, sql: str, cols: list[str]
     ) -> tuple[str, list[str]]:
         on = _q(op.on.parts[0])
-        if isinstance(op.step, StringLit):
-            usec = _duration_usec(op.step.value, op.step.span)
+        if isinstance(op.step, (StringLit, TimespanLit)):
+            usec = (
+                op.step.microseconds
+                if isinstance(op.step, TimespanLit)
+                else _duration_usec(op.step.value, op.step.span)
+            )
             fr = f"CAST({self.expr(op.start)} AS TIMESTAMP)"
             to = f"CAST({self.expr(op.stop)} AS TIMESTAMP)"
             bin_i = (
@@ -940,6 +946,10 @@ class _SqlEmitter:
             return f"{e.text}D" if e.is_float else e.text
         if isinstance(e, StringLit):
             return _qs(e.value)
+        if isinstance(e, TimespanLit):
+            return f"INTERVAL {e.microseconds} MICROSECOND"
+        if isinstance(e, DatetimeLit):
+            return f"TIMESTAMP {_qs(e.value)}"
         if isinstance(e, Ident):
             return self.ident(e)
         if isinstance(e, UnaryExpr):
@@ -1167,12 +1177,14 @@ class _SqlEmitter:
             return "current_timestamp()"
         if name == "ago":
             argc(1, 1)
-            if not isinstance(args[0], StringLit):
+            if isinstance(args[0], TimespanLit):
+                usec = args[0].microseconds
+            elif isinstance(args[0], StringLit):
+                usec = _duration_usec(args[0].value, e.span)
+            else:
                 raise ParseError(
-                    'ago() takes a timespan string literal, e.g. ago("1h")',
-                    e.span,
+                    "ago() takes a timespan literal, e.g. ago(1h)", e.span
                 )
-            usec = _duration_usec(args[0].value, e.span)
             return f"(current_timestamp() - INTERVAL {usec} MICROSECOND)"
         if name == "isnull":
             argc(1, 1)
@@ -1913,8 +1925,12 @@ class _SqlEmitter:
             return f"upper({self.expr(args[0])})"
         if name == "bin":
             argc(2, 2)
-            if isinstance(args[1], StringLit):
-                usec = _duration_usec(args[1].value, e.span)
+            if isinstance(args[1], (StringLit, TimespanLit)):
+                usec = (
+                    args[1].microseconds
+                    if isinstance(args[1], TimespanLit)
+                    else _duration_usec(args[1].value, e.span)
+                )
                 x = self.expr(args[0])
                 return (
                     f"timestamp_micros(CAST(floor(unix_micros({x}) /"
