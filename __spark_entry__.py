@@ -1003,6 +1003,45 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY hour ORDER BY hour
         """,
     ),
+    # EXTENSION KQL IPv6 family: canonicalization, prefix masks, range
+    # membership — pure Catalyst 32-nibble hex algebra (round 3).  The
+    # oracle is a VALUES twin precomputed with Python's stdlib
+    # `ipaddress` module (an independent reference implementation).
+    "pql_ipv6_fns": (
+        """
+        datatable(id: long, ip: string) [
+            1, "::1",
+            2, "fe80::85d:e82c:9446:7994",
+            3, "192.168.255.255",
+            4, "2001:DB8:0:0:0:0:1:1",
+            5, "::ffff:10.1.2.3",
+            6, "1::8",
+            7, "bogus",
+        ]
+        | project id, c = parse_ipv6(ip),
+            m = parse_ipv6_mask(ip, 64),
+            inr = ipv6_is_in_range(ip, "fe80::/10"),
+            v4m = ipv4_is_match(ip, "192.168.0.9/16")
+        | sort by id asc
+        """,
+        """
+        SELECT * FROM (VALUES
+          (1, '0000:0000:0000:0000:0000:0000:0000:0001',
+              '0000:0000:0000:0000:0000:0000:0000:0000', FALSE, NULL),
+          (2, 'fe80:0000:0000:0000:085d:e82c:9446:7994',
+              'fe80:0000:0000:0000:0000:0000:0000:0000', TRUE, NULL),
+          (3, '0000:0000:0000:0000:0000:ffff:c0a8:ffff',
+              '0000:0000:0000:0000:0000:0000:0000:0000', FALSE, TRUE),
+          (4, '2001:0db8:0000:0000:0000:0000:0001:0001',
+              '2001:0db8:0000:0000:0000:0000:0000:0000', FALSE, NULL),
+          (5, '0000:0000:0000:0000:0000:ffff:0a01:0203',
+              '0000:0000:0000:0000:0000:0000:0000:0000', FALSE, NULL),
+          (6, '0001:0000:0000:0000:0000:0000:0000:0008',
+              '0001:0000:0000:0000:0000:0000:0000:0000', FALSE, NULL),
+          (7, NULL, NULL, NULL, NULL)
+        ) AS t(id, c, m, inr, v4m) ORDER BY id
+        """,
+    ),
     # EXTENSION bare timespan literals (1h/3h/1d → day-time intervals)
     # + datetime() literals: native timestamp arithmetic, epoch-aligned
     # bin with a bare timespan (round 3)

@@ -254,6 +254,288 @@ def build_parse_regex(segments, kind: str = "simple") -> tuple[str, list[str]]:
     return "".join(parts), names
 
 
+# ------------------------------------------------------------ IPv6 family
+#
+# KQL IPv6 functions (SIEM surface, like the IPv4 family above them in
+# compile_call) — implemented as pure Catalyst expressions over a
+# 32-nibble lowercase hex representation.  Key property: lexicographic
+# order on fixed-width lowercase hex equals numeric order ('0'..'9' <
+# 'a'..'f' in ASCII), so 128-bit compares need no big-int arithmetic.
+# IPv4 inputs canonicalize to the ::ffff:a.b.c.d mapped form, matching
+# KQL's parse_ipv6("192.168.255.255") == "0000:…:ffff:c0a8:ffff".
+
+
+def _ipv4_long(c: Column) -> Column:
+    """Dotted-quad → uint32-as-long; NULL on malformed input."""
+    parts = F.split(c, r"\.")
+    octs = [
+        F.try_element_at(parts, F.lit(i + 1)).try_cast("long")
+        for i in range(4)
+    ]
+    valid = F.size(parts) == 4
+    for o in octs:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    # reject non-numeric garbage that try_cast maps to NULL already and
+    # forms like "1.2.3.04x" (try_cast NULL) — covered by isNotNull
+    val = ((octs[0] * 256 + octs[1]) * 256 + octs[2]) * 256 + octs[3]
+    return F.when(valid, val)
+
+
+def _ipv6_hex32(c: Column) -> Column:
+    """Canonical 32-char lowercase hex (no colons) of an IPv6 or IPv4
+    string; NULL on malformed input.  Handles `::` compression and an
+    embedded IPv4 tail (`::ffff:1.2.3.4`).
+
+    Every intermediate (folded string, `::`-split, left/right groups,
+    final group array) is let-bound: without the bindings this
+    expression multiplies into multi-MiB task binaries (same failure
+    mode the series functions hit — see ``_let_bind``)."""
+
+    def build(s: Column) -> Column:
+        is_v4 = s.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+        v4hex = F.concat(
+            F.lit("00000000000000000000ffff"),
+            F.lpad(F.lower(F.hex(_ipv4_long(s))), 8, "0"),
+        )
+
+        # v6 path: fold an embedded IPv4 tail into two hex groups first
+        def with_tv(tv: Column) -> Column:
+            return F.concat(
+                F.regexp_replace(s, r"[^:]*$", ""),
+                F.lpad(F.lower(F.hex((tv / 65536).cast("long"))), 4, "0"),
+                F.lit(":"),
+                F.lpad(F.lower(F.hex(F.pmod(tv, F.lit(65536)))), 4, "0"),
+            )
+
+        folded = _let_bind(
+            _ipv4_long(F.substring_index(s, ":", -1)), with_tv
+        )
+        s1 = F.when(s.contains("."), folded).otherwise(s)
+
+        def with_x(x: Column) -> Column:
+            def with_t(t: Column) -> Column:
+                # an empty SIDE of '::' means zero groups, but an empty
+                # group INSIDE a side (':::', '1:::2') must stay and
+                # fail the per-group regex — don't filter empties
+                empty = F.array().cast("array<string>")
+
+                def side(sx: Column) -> Column:
+                    return F.when(sx == "", empty).otherwise(
+                        F.split(sx, ":", -1)
+                    )
+
+                left = side(F.element_at(t, 1))
+                right = side(
+                    F.coalesce(F.try_element_at(t, F.lit(2)), F.lit(""))
+                )
+
+                def with_lr(lr: Column) -> Column:
+                    mid = (
+                        F.lit(8)
+                        - F.size(lr.getField("l"))
+                        - F.size(lr.getField("r"))
+                    )
+                    has_dc = F.size(t) == 2
+                    groups = F.when(
+                        # '::' must stand for >=1 zero group
+                        has_dc & (mid >= 1),
+                        F.concat(
+                            lr.getField("l"),
+                            F.array_repeat(F.lit("0"), mid.cast("int")),
+                            lr.getField("r"),
+                        ),
+                    ).when(~has_dc, F.split(x, ":", -1))
+
+                    def with_g(g: Column) -> Column:
+                        ok = (F.size(g) == 8) & F.forall(
+                            g, lambda e: e.rlike("^[0-9a-f]{1,4}$")
+                        )
+                        hx = F.array_join(
+                            F.transform(
+                                g, lambda e: F.lpad(e, 4, "0")
+                            ),
+                            "",
+                        )
+                        return F.when(ok, hx)
+
+                    return _let_bind(groups, with_g)
+
+                return _let_bind(
+                    F.struct(left.alias("l"), right.alias("r")), with_lr
+                )
+
+            return _let_bind(F.split(x, "::", -1), with_t)
+
+        return F.when(is_v4, v4hex).when(~is_v4, _let_bind(s1, with_x))
+
+    return _let_bind(F.lower(F.trim(c)), build)
+
+
+def _ipv6_mask_hex(hex32: Column, prefix: Column) -> Column:
+    """Zero out all bits past ``prefix`` (0..128) of a 32-nibble hex
+    string.  Nibble-level transform — 32 elements of work, no UDF.
+    Both inputs are let-bound (the prefix is referenced per nibble)."""
+
+    def mask(hp: Column) -> Column:
+        h, p = hp.getField("h"), hp.getField("p")
+
+        def nib(i: Column) -> Column:
+            kept = F.greatest(F.least(p - 4 * i, F.lit(4)), F.lit(0))
+            v = F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int")
+            scale = F.pow(F.lit(2.0), (F.lit(4) - kept).cast("double"))
+            m = (F.floor(v / scale) * scale).cast("int")
+            return F.lower(F.conv(m.cast("string"), 10, 16))
+
+        # h NOT NULL guard: array_join silently drops null elements, so
+        # masking a NULL canon would yield '' instead of NULL
+        return F.when(
+            (p >= 0) & (p <= 128) & h.isNotNull(),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(31)), nib), ""
+            ),
+        )
+
+    return _let_bind(
+        F.struct(hex32.alias("h"), prefix.cast("long").alias("p")), mask
+    )
+
+
+def _hex32_colons(hex32: Column) -> Column:
+    """32-nibble hex → canonical colon-separated form."""
+    return _let_bind(
+        hex32,
+        lambda h: F.when(
+            h.isNotNull(),
+            F.concat_ws(
+                ":",
+                *[F.substring(h, g * 4 + 1, 4) for g in range(8)],
+            ),
+        ),
+    )
+
+
+def _slash_addr(c: Column) -> Column:
+    return F.element_at(F.split(c, "/", -1), 1)
+
+
+def _slash_prefix(c: Column, default: int) -> Column:
+    return F.coalesce(
+        F.try_element_at(F.split(c, "/", -1), F.lit(2)).try_cast("long"),
+        F.lit(default),
+    )
+
+
+def _range_prefix6(c: Column) -> Column:
+    """Effective 128-bit prefix of a `/p`-suffixed address in an IPv6
+    context.  IPv4-notation addresses ('10.0.0.0/8') apply the prefix
+    to the v4 part of the ::ffff-mapped form — bit offset 96 — matching
+    KQL's mixed-notation semantics; default /32 → /128."""
+    suf = F.try_element_at(F.split(c, "/", -1), F.lit(2)).try_cast("long")
+    is4 = _slash_addr(c).rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    return F.when(
+        is4,
+        F.lit(96) + F.least(F.coalesce(suf, F.lit(32)), F.lit(32)),
+    ).otherwise(F.coalesce(suf, F.lit(128)))
+
+
+def _ipv6_family(
+    lname: str, name: str, args: list[Column], span: Span
+) -> Column:
+    if lname == "parse_ipv6":
+        _check_argc(name, args, 1, 1, span)
+        return _hex32_colons(_ipv6_hex32(args[0]))
+    if lname == "parse_ipv6_mask":
+        _check_argc(name, args, 2, 2, span)
+        return _hex32_colons(
+            _ipv6_mask_hex(_ipv6_hex32(args[0]), args[1].cast("long"))
+        )
+    if lname == "ipv6_compare":
+        _check_argc(name, args, 2, 3, span)
+        prefix = args[2].cast("long") if len(args) == 3 else F.lit(128)
+        pair = F.struct(
+            _ipv6_mask_hex(_ipv6_hex32(args[0]), prefix).alias("a"),
+            _ipv6_mask_hex(_ipv6_hex32(args[1]), prefix).alias("b"),
+        )
+        return _let_bind(
+            pair,
+            lambda p: F.when(
+                p.getField("a") < p.getField("b"), F.lit(-1)
+            )
+            .when(p.getField("a") > p.getField("b"), F.lit(1))
+            .when(p.getField("a") == p.getField("b"), F.lit(0))
+            .cast("long"),
+        )
+    if lname == "ipv6_is_match":
+        # both sides may carry a /prefix suffix; effective prefix is the
+        # minimum of the suffixes and the optional third argument (KQL)
+        _check_argc(name, args, 2, 3, span)
+        parg = args[2].cast("long") if len(args) == 3 else F.lit(128)
+        prefix = F.least(
+            _range_prefix6(args[0]), _range_prefix6(args[1]), parg
+        )
+        a = _ipv6_mask_hex(_ipv6_hex32(_slash_addr(args[0])), prefix)
+        b = _ipv6_mask_hex(_ipv6_hex32(_slash_addr(args[1])), prefix)
+        return a == b
+    if lname in ("ipv6_is_in_range", "ipv6_is_in_any_range"):
+        hi = 99 if lname == "ipv6_is_in_any_range" else 2
+        _check_argc(name, args, 2, hi, span)
+        ip = _ipv6_hex32(args[0])
+
+        def in_rng(iph: Column, rng: Column) -> Column:
+            prefix = _range_prefix6(rng)
+            return _ipv6_mask_hex(iph, prefix) == _ipv6_mask_hex(
+                _ipv6_hex32(_slash_addr(rng)), prefix
+            )
+
+        def fold(ipb: Column) -> Column:
+            out = in_rng(ipb, args[1])
+            for r in args[2:]:
+                out = out | in_rng(ipb, r)
+            return out
+
+        return _let_bind(ip, fold)
+    if lname == "ipv4_is_match":
+        _check_argc(name, args, 2, 3, span)
+        parg = args[2].cast("long") if len(args) == 3 else F.lit(32)
+        prefix = F.least(
+            _slash_prefix(args[0], 32), _slash_prefix(args[1], 32), parg
+        )
+        shift = (F.lit(32) - prefix).cast("double")
+
+        def m(c: Column) -> Column:
+            return F.when(
+                (prefix >= 0) & (prefix <= 32),
+                F.floor(
+                    _ipv4_long(_slash_addr(c)) / F.pow(F.lit(2.0), shift)
+                ).cast("long"),
+            )
+
+        return m(args[0]) == m(args[1])
+    # ipv4_is_in_any_range
+    _check_argc(name, args, 2, 99, span)
+    ipl = _ipv4_long(args[0])
+
+    def v4_rng(ipv: Column, rng: Column) -> Column:
+        prefix = _slash_prefix(rng, 32)
+        shift = (F.lit(32) - prefix).cast("double")
+
+        def m(v: Column) -> Column:
+            return F.when(
+                (prefix >= 0) & (prefix <= 32),
+                F.floor(v / F.pow(F.lit(2.0), shift)).cast("long"),
+            )
+
+        return m(ipv) == m(_ipv4_long(_slash_addr(rng)))
+
+    def v4fold(ipb: Column) -> Column:
+        out = v4_rng(ipb, args[1])
+        for r in args[2:]:
+            out = out | v4_rng(ipb, r)
+        return out
+
+    return _let_bind(ipl, v4fold)
+
+
 def compile_call(
     name: str,
     args: list[Column],
@@ -737,6 +1019,12 @@ def compile_call(
             | (F.shiftrightunsigned(v, 20) == (172 * 16 + 1))
             | (F.shiftrightunsigned(v, 16) == (192 * 256 + 168))
         )
+    if lname in (
+        "parse_ipv6", "parse_ipv6_mask", "ipv6_compare", "ipv6_is_match",
+        "ipv6_is_in_range", "ipv6_is_in_any_range",
+        "ipv4_is_match", "ipv4_is_in_any_range",
+    ):
+        return _ipv6_family(lname, name, args, span)
     if lname in ("binary_and", "binary_or", "binary_xor"):
         # KQL bitwise family over integer values
         _check_argc(name, args, 2, 2, span)

@@ -1546,6 +1546,270 @@ class _SqlEmitter:
                 + ip_long(self.expr(args[0]))
                 + f"), {v} -> {inner}), 1)"
             )
+        if name in (
+            "parse_ipv6", "parse_ipv6_mask", "ipv6_compare",
+            "ipv6_is_match", "ipv6_is_in_range", "ipv6_is_in_any_range",
+            "ipv4_is_match", "ipv4_is_in_any_range",
+        ):
+            # text twins of functions._ipv6_family — same 32-nibble
+            # lowercase-hex algebra, same let-binding shape
+            def ip_long(c: str) -> str:
+                octs = [
+                    f"TRY_CAST(try_element_at(split({c}, '\\\\.'),"
+                    f" {i + 1}) AS BIGINT)"
+                    for i in range(4)
+                ]
+                valid = f"size(split({c}, '\\\\.')) = 4" + "".join(
+                    f" AND {o} BETWEEN 0 AND 255" for o in octs
+                )
+                val = (
+                    f"((({octs[0]} * 256 + {octs[1]}) * 256 +"
+                    f" {octs[2]}) * 256 + {octs[3]})"
+                )
+                return f"(CASE WHEN {valid} THEN {val} END)"
+
+            def let(val: str, var: str, body: str) -> str:
+                return (
+                    f"element_at(transform(array({val}),"
+                    f" {var} -> {body}), 1)"
+                )
+
+            def hex32(sx: str) -> str:
+                s = "__i6s"
+                v4re = "'^[0-9]{1,3}(\\\\.[0-9]{1,3}){3}$'"
+                v4hex = (
+                    "concat('00000000000000000000ffff',"
+                    f" lpad(lower(hex({ip_long(s)})), 8, '0'))"
+                )
+                tv = "__i6tv"
+                folded = let(
+                    ip_long(f"substring_index({s}, ':', -1)"),
+                    tv,
+                    f"concat(regexp_replace({s}, '[^:]*$', ''),"
+                    f" lpad(lower(hex(CAST({tv} / 65536 AS BIGINT))),"
+                    " 4, '0'), ':',"
+                    f" lpad(lower(hex(pmod({tv}, 65536))), 4, '0'))",
+                )
+                s1 = (
+                    f"(CASE WHEN instr({s}, '.') > 0 THEN {folded}"
+                    f" ELSE {s} END)"
+                )
+                x, t, lr, g = "__i6x", "__i6t", "__i6lr", "__i6g"
+
+                # empty SIDE of '::' → zero groups; empty group INSIDE
+                # a side must stay and fail the per-group regex
+                def sidearr(sx: str) -> str:
+                    return (
+                        f"(CASE WHEN {sx} = '' THEN"
+                        " CAST(array() AS ARRAY<STRING>)"
+                        f" ELSE split({sx}, ':', -1) END)"
+                    )
+
+                left = sidearr(f"element_at({t}, 1)")
+                right = sidearr(f"coalesce(try_element_at({t}, 2), '')")
+                mid = f"(8 - size({lr}.l) - size({lr}.r))"
+                groups = (
+                    f"(CASE WHEN size({t}) = 2 AND {mid} >= 1 THEN"
+                    f" concat({lr}.l, array_repeat('0',"
+                    f" CAST({mid} AS INT)), {lr}.r)"
+                    f" WHEN size({t}) != 2 THEN split({x}, ':', -1)"
+                    " END)"
+                )
+                ok = (
+                    f"(size({g}) = 8 AND forall({g},"
+                    + " __e -> __e rlike '^[0-9a-f]{1,4}$'))"
+                )
+                hx = (
+                    f"array_join(transform({g},"
+                    " __e -> lpad(__e, 4, '0')), '')"
+                )
+                v6 = let(
+                    f"split({x}, '::', -1)",
+                    t,
+                    let(
+                        f"named_struct('l', {left}, 'r', {right})",
+                        lr,
+                        let(groups, g,
+                            f"(CASE WHEN {ok} THEN {hx} END)"),
+                    ),
+                )
+                body = (
+                    f"(CASE WHEN rlike({s}, {v4re}) THEN {v4hex}"
+                    f" WHEN NOT rlike({s}, {v4re}) THEN"
+                    f" {let(s1, x, v6)} END)"
+                )
+                return let(f"lower(trim({sx}))", s, body)
+
+            def mask(hx: str, prefix: str) -> str:
+                m, i = "__i6m", "__i6i"
+                kept = (
+                    f"greatest(least({m}.p - 4 * {i}, 4), 0)"
+                )
+                scale = (
+                    f"power(2.0D, CAST(4 - {kept} AS DOUBLE))"
+                )
+                nib = (
+                    "lower(conv(CAST(CAST(floor("
+                    f"conv(substring({m}.h, {i} + 1, 1), 16, 10)"
+                    f" / {scale}) * {scale} AS INT) AS STRING),"
+                    " 10, 16))"
+                )
+                body = (
+                    f"(CASE WHEN {m}.p BETWEEN 0 AND 128"
+                    f" AND {m}.h IS NOT NULL THEN"
+                    f" array_join(transform(sequence(0, 31),"
+                    f" {i} -> {nib}), '') END)"
+                )
+                return let(
+                    f"named_struct('h', {hx}, 'p', {prefix})", m, body
+                )
+
+            def colons(hx: str) -> str:
+                h = "__i6h"
+                parts = ", ".join(
+                    f"substring({h}, {g * 4 + 1}, 4)" for g in range(8)
+                )
+                return let(
+                    hx,
+                    h,
+                    f"(CASE WHEN {h} IS NOT NULL THEN"
+                    f" concat_ws(':', {parts}) END)",
+                )
+
+            def slash_addr(c: str) -> str:
+                return f"element_at(split({c}, '/', -1), 1)"
+
+            def slash_prefix(c: str, d: int) -> str:
+                return (
+                    f"coalesce(TRY_CAST(try_element_at(split({c}, '/',"
+                    f" -1), 2) AS BIGINT), {d})"
+                )
+
+            def range_prefix6(c: str) -> str:
+                # v4-notation ranges apply the prefix to the v4 part of
+                # the ::ffff-mapped form (bit offset 96), default /32
+                suf = (
+                    f"TRY_CAST(try_element_at(split({c}, '/', -1), 2)"
+                    " AS BIGINT)"
+                )
+                v4re = "'^[0-9]{1,3}(\\\\.[0-9]{1,3}){3}$'"
+                return (
+                    f"(CASE WHEN rlike({slash_addr(c)}, {v4re}) THEN"
+                    f" 96 + least(coalesce({suf}, 32), 32)"
+                    f" ELSE coalesce({suf}, 128) END)"
+                )
+
+            if name == "parse_ipv6":
+                argc(1, 1)
+                return colons(hex32(self.expr(args[0])))
+            if name == "parse_ipv6_mask":
+                argc(2, 2)
+                return colons(
+                    mask(
+                        hex32(self.expr(args[0])),
+                        f"CAST({self.expr(args[1])} AS BIGINT)",
+                    )
+                )
+            if name == "ipv6_compare":
+                argc(2, 3)
+                prefix = (
+                    f"CAST({self.expr(args[2])} AS BIGINT)"
+                    if len(args) == 3
+                    else "128"
+                )
+                a = mask(hex32(self.expr(args[0])), prefix)
+                b = mask(hex32(self.expr(args[1])), prefix)
+                return (
+                    "element_at(transform(array(named_struct("
+                    f"'a', {a}, 'b', {b})), __i6c ->"
+                    " CAST(CASE WHEN __i6c.a < __i6c.b THEN -1"
+                    " WHEN __i6c.a > __i6c.b THEN 1"
+                    " WHEN __i6c.a = __i6c.b THEN 0 END AS BIGINT)), 1)"
+                )
+            if name == "ipv6_is_match":
+                argc(2, 3)
+                parg = (
+                    f"CAST({self.expr(args[2])} AS BIGINT)"
+                    if len(args) == 3
+                    else "128"
+                )
+                a_sql, b_sql = self.expr(args[0]), self.expr(args[1])
+                prefix = (
+                    f"least({range_prefix6(a_sql)},"
+                    f" {range_prefix6(b_sql)}, {parg})"
+                )
+                pv = "__i6p"
+                a = mask(hex32(slash_addr(a_sql)), pv)
+                b = mask(hex32(slash_addr(b_sql)), pv)
+                return let(prefix, pv, f"({a} = {b})")
+            if name in ("ipv6_is_in_range", "ipv6_is_in_any_range"):
+                argc(2, 99 if name == "ipv6_is_in_any_range" else 2)
+                ipv = "__i6ip"
+
+                def in_rng(rng_sql: str) -> str:
+                    pv = "__i6rp"
+                    r = mask(hex32(slash_addr(rng_sql)), pv)
+                    return let(
+                        range_prefix6(rng_sql),
+                        pv,
+                        f"({mask(ipv, pv)} = {r})",
+                    )
+
+                terms = " OR ".join(
+                    in_rng(self.expr(a)) for a in args[1:]
+                )
+                return let(
+                    hex32(self.expr(args[0])), ipv, f"({terms})"
+                )
+            if name == "ipv4_is_match":
+                argc(2, 3)
+                parg = (
+                    f"CAST({self.expr(args[2])} AS BIGINT)"
+                    if len(args) == 3
+                    else "32"
+                )
+                a_sql, b_sql = self.expr(args[0]), self.expr(args[1])
+                prefix = (
+                    f"least({slash_prefix(a_sql, 32)},"
+                    f" {slash_prefix(b_sql, 32)}, {parg})"
+                )
+                pv = "__i4p"
+
+                def m4(c: str) -> str:
+                    return (
+                        f"(CASE WHEN {pv} BETWEEN 0 AND 32 THEN"
+                        f" CAST(floor({ip_long(slash_addr(c))} /"
+                        f" power(2.0D, 32 - {pv})) AS BIGINT) END)"
+                    )
+
+                return let(
+                    prefix, pv, f"({m4(a_sql)} = {m4(b_sql)})"
+                )
+            # ipv4_is_in_any_range
+            argc(2, 99)
+            ipv = "__i4ip"
+
+            def v4_rng(rng_sql: str) -> str:
+                pv = "__i4rp"
+                base = ip_long(slash_addr(rng_sql))
+
+                def m(v: str) -> str:
+                    return (
+                        f"(CASE WHEN {pv} BETWEEN 0 AND 32 THEN"
+                        f" CAST(floor({v} / power(2.0D, 32 - {pv}))"
+                        " AS BIGINT) END)"
+                    )
+
+                return let(
+                    slash_prefix(rng_sql, 32),
+                    pv,
+                    f"({m(ipv)} = {m(base)})",
+                )
+
+            terms = " OR ".join(v4_rng(self.expr(a)) for a in args[1:])
+            return let(
+                ip_long(self.expr(args[0])), ipv, f"({terms})"
+            )
         if name in ("binary_and", "binary_or", "binary_xor"):
             argc(2, 2)
             sym = {"binary_and": "&", "binary_or": "|",
