@@ -525,6 +525,25 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM documents GROUP BY srcnum ORDER BY srcnum
         """,
     ),
+    # EXTENSION parse-kv (delimited key-value extraction with typed
+    # casts) + parse-where (pattern-matching row filter) — round 3
+    "pql_parse_kv": (
+        """
+        events
+        | extend kv = strcat("type=", event_type, ";uid=",
+                             tostring(user_id))
+        | parse-kv kv as (type, uid: long)
+        | where isnotnull(uid)
+        | parse-where type with "pur" rest
+        | summarize n = count(), u = dcount(uid) by type, rest
+        | sort by type asc
+        """,
+        """
+        SELECT 'purchase' AS type, 'chase' AS rest, count(*) AS n,
+               count(DISTINCT user_id) AS u
+        FROM events WHERE event_type = 'purchase'
+        """,
+    ),
     "pql_search_op": (
         """
         documents
@@ -968,13 +987,13 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM lineitem GROUP BY 1 ORDER BY b
         """,
     ),
-    # exact interpolated percentiles via passthrough (Spark `percentile`
-    # == DuckDB `quantile_cont`, both linear interpolation)
+    # exact interpolated percentiles, KQL 0-100 scale (Spark
+    # `percentile` == DuckDB `quantile_cont`, both linear interpolation)
     "pql_percentiles": (
         """
         events
-        | summarize p50 = round(percentile(value, 0.5), 4),
-                    p95 = round(percentile(value, 0.95), 4)
+        | summarize p50 = round(percentile(value, 50), 4),
+                    p95 = round(percentile(value, 95), 4)
             by event_type
         | sort by event_type asc
         """,
@@ -1001,6 +1020,74 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY hour ORDER BY hour
+        """,
+    ),
+    # EXTENSION weighted percentiles (Spark percentile frequency arg ==
+    # DuckDB quantile_cont over the unnest-expanded multiset) + bitwise
+    # aggregates (round 3)
+    "pql_weighted_aggs": (
+        """
+        events
+        | extend w = toint(user_id % 3 + 1)
+        | summarize pw = round(percentilew(value, w, 50), 4),
+                    ba = binary_all_and(user_id),
+                    bo = binary_all_or(user_id),
+                    bx = binary_all_xor(user_id)
+            by event_type
+        | sort by event_type asc
+        """,
+        """
+        WITH base AS (
+          SELECT event_type, value, user_id,
+                 CAST(user_id % 3 + 1 AS INT) AS w
+          FROM events
+        ),
+        rep AS (
+          SELECT event_type, value FROM base, unnest(range(base.w))
+        ),
+        p AS (
+          SELECT event_type, round(quantile_cont(value, 0.5), 4) AS pw
+          FROM rep GROUP BY event_type
+        ),
+        b AS (
+          SELECT event_type, bit_and(user_id) AS ba,
+                 bit_or(user_id) AS bo, bit_xor(user_id) AS bx
+          FROM base GROUP BY event_type
+        )
+        SELECT p.event_type, p.pw, b.ba, b.bo, b.bx
+        FROM p JOIN b USING (event_type) ORDER BY event_type
+        """,
+    ),
+    # EXTENSION parse_url/parse_urlquery + totimespan — VALUES oracle
+    # precomputed with Python's urllib.parse / manual math (round 3)
+    "pql_url_fns": (
+        """
+        datatable(id: long, url: string, dur: string) [
+            1, "https://user:pw@example.com:8080/a/b?x=1&y=2#frag",
+               "01:30:00",
+            2, "http://example.org/path?q=hello", "1.00:00:30.5",
+            3, "not a url", "bogus",
+        ]
+        | extend u = parse_url(url)
+        | project id, scheme = u.Scheme, host = u.Host, port = u.Port,
+            path = u.Path, frag = u.Fragment,
+            q1 = u.QueryParameters["q"],
+            secs = unix_micros(datetime(1970-01-01) + totimespan(dur))
+                   / 1000000.0
+        | sort by id asc
+        """,
+        """
+        SELECT id, scheme, host, port, path, frag, q1,
+               CAST(secs AS DOUBLE) AS secs
+        FROM (VALUES
+          (1, 'https', 'example.com', '8080', '/a/b', 'frag', NULL,
+           5400.0),
+          (2, 'http', 'example.org', '', '/path', '', 'hello', 86430.5),
+          -- invalid URL: try_parse_url parts are NULL; the coalesced
+          -- Port/Fragment fields surface as empty strings
+          (3, NULL, NULL, '', NULL, '', NULL, NULL)
+        ) AS t(id, scheme, host, port, path, frag, q1, secs)
+        ORDER BY id
         """,
     ),
     # EXTENSION KQL IPv6 family: canonicalization, prefix masks, range

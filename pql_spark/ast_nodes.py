@@ -264,6 +264,9 @@ class MvExpandOp(Op):
 
     cols: list[ColSpec]
     itemindex: str | None = None
+    # EXTENSION: per-column `to typeof(T)` element casts (Spark SQL
+    # type names, parallel to ``cols``; None = no cast)
+    types: list[str | None] | None = None
 
     @property
     def col(self) -> ColSpec:  # single-column convenience accessor
@@ -524,6 +527,23 @@ class ParseOp(Op):
     # regex fragments instead of escaped literals (KQL parse kinds;
     # default "simple")
     kind: str = "simple"
+    # EXTENSION: `parse-where` — drop rows whose source doesn't match
+    # the pattern instead of extracting empty strings (KQL parse-where)
+    where_mode: bool = False
+
+
+@dataclass
+class ParseKvOp(Op):
+    """``parse-kv Expr as (k1 [: type], …) [with (pair_delimiter="…",
+    kv_delimiter="…")]`` — extract delimited key-value pairs into
+    columns (KQL parse-kv, simplified: regex-free ``str_to_map``
+    split).  Missing keys yield NULL; optional per-key try_cast."""
+
+    source_expr: Expr
+    keys: list[str]
+    types: list[str | None]
+    pair_delim: str = ";"
+    kv_delim: str = "="
 
 
 @dataclass

@@ -67,6 +67,7 @@ from .ast_nodes import (
     NumberLit,
     Op,
     ParseOp,
+    ParseKvOp,
     PivotOp,
     ProjectAwayOp,
     ProjectKeepOp,
@@ -537,6 +538,30 @@ class Compiler:
         if isinstance(op, TopNestedOp):
             return self._top_nested(df, op, env)
         if isinstance(op, MvExpandOp):
+            out = self._mv_expand(df, op, env)
+            # EXTENSION: `to typeof(T)` element casts (try_cast — bad
+            # elements become NULL, KQL-style)
+            if op.types and any(op.types):
+                casts = {
+                    self._col_name(c): ty
+                    for c, ty in zip(op.cols, op.types)
+                    if ty
+                }
+                out = out.select(
+                    *[
+                        F.col(_q(c)).try_cast(casts[c]).alias(c)
+                        if c in casts
+                        else F.col(_q(c))
+                        for c in out.columns
+                    ]
+                )
+            return out
+        if isinstance(op, MakeSeriesOp):
+            return self._make_series(df, op, env)
+        return self._apply_tail(df, op, env)
+
+    def _mv_expand(self, df: DataFrame, op: MvExpandOp, env: _Env):
+        if True:
             idx = op.itemindex
             if idx is not None and idx in df.columns:
                 raise ParseError(
@@ -608,8 +633,8 @@ class Compiler:
                     ]
                 )
             return df.select("*", exploded.alias(name))
-        if isinstance(op, MakeSeriesOp):
-            return self._make_series(df, op, env)
+
+    def _apply_tail(self, df: DataFrame, op: Op, env: _Env) -> DataFrame:
         if isinstance(op, SampleDistinctOp):
             from .operators.sampling import _bucket
 
@@ -793,6 +818,10 @@ class Compiler:
         if isinstance(op, ParseOp):
             regex, names = pf.build_parse_regex(op.segments, op.kind)
             src = self.compile_expr(op.source_expr, env)
+            if op.where_mode:
+                # parse-where: non-matching rows are dropped (NULL
+                # sources too — rlike is NULL there, filter removes)
+                df = df.filter(src.rlike(regex))
             items = {c: F.col(_q(c)) for c in df.columns}
             order = list(df.columns)
             for gi, name in enumerate(names, start=1):
@@ -800,6 +829,26 @@ class Compiler:
                 if name not in order:
                     order.append(name)
             return df.select(*[items[c] for c in order])
+        if isinstance(op, ParseKvOp):
+            src = self.compile_expr(op.source_expr, env)
+            items = {c: F.col(_q(c)) for c in df.columns}
+            order = list(df.columns)
+            M = "__pkv_map"
+            # str_to_map delimiters are regexes — escape the literals
+            mapped = F.str_to_map(
+                src,
+                F.lit(pf.escape_regex(op.pair_delim)),
+                F.lit(pf.escape_regex(op.kv_delim)),
+            )
+            mid = df.select("*", mapped.alias(M))
+            for name, ty in zip(op.keys, op.types):
+                val = F.element_at(F.col(M), F.lit(name))
+                if ty is not None and ty != "string":
+                    val = val.try_cast(ty)
+                items[name] = val.alias(name)
+                if name not in order:
+                    order.append(name)
+            return mid.select(*[items[c] for c in order])
         if isinstance(op, SearchOp):
             term = op.term.lower()
             pred = None

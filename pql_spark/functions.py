@@ -1019,6 +1019,117 @@ def compile_call(
             | (F.shiftrightunsigned(v, 20) == (172 * 16 + 1))
             | (F.shiftrightunsigned(v, 16) == (192 * 256 + 168))
         )
+    if lname == "parse_url":
+        # KQL parse_url → struct {Scheme, Host, Port, Path, Username,
+        # Password, Fragment, QueryParameters(map)} — Spark parse_url
+        # per part (KQL's "Query Parameters" key is spelled
+        # QueryParameters here so it stays a plain struct field)
+        _check_argc(name, args, 1, 1, span)
+
+        def build_url(s: Column) -> Column:
+            userinfo = F.split(
+                F.coalesce(
+                    F.try_parse_url(s, F.lit("USERINFO")), F.lit("")
+                ),
+                ":",
+                -1,
+            )
+            return F.struct(
+                F.try_parse_url(s, F.lit("PROTOCOL")).alias("Scheme"),
+                F.try_parse_url(s, F.lit("HOST")).alias("Host"),
+                F.regexp_extract(
+                    F.coalesce(
+                        F.try_parse_url(s, F.lit("AUTHORITY")), F.lit("")
+                    ),
+                    ":([0-9]+)$",
+                    1,
+                ).alias("Port"),
+                F.try_parse_url(s, F.lit("PATH")).alias("Path"),
+                F.coalesce(
+                    F.element_at(userinfo, 1), F.lit("")
+                ).alias("Username"),
+                F.coalesce(
+                    F.try_element_at(userinfo, F.lit(2)), F.lit("")
+                ).alias("Password"),
+                F.coalesce(
+                    F.try_parse_url(s, F.lit("REF")), F.lit("")
+                ).alias("Fragment"),
+                F.str_to_map(
+                    F.coalesce(
+                        F.try_parse_url(s, F.lit("QUERY")), F.lit("")
+                    ),
+                    F.lit("&"),
+                    F.lit("="),
+                ).alias("QueryParameters"),
+            )
+
+        return _let_bind(args[0], build_url)
+    if lname == "parse_urlquery":
+        # KQL parse_urlquery → query-parameter map (simplified: the map
+        # directly, not nested under a "Query Parameters" key)
+        _check_argc(name, args, 1, 1, span)
+        return F.str_to_map(
+            F.regexp_replace(args[0], r"^\?", ""),
+            F.lit("&"),
+            F.lit("="),
+        )
+    if lname == "totimespan":
+        # KQL totimespan: '[d.]hh:mm:ss[.fff]' strings or a timespan
+        # literal; malformed → NULL
+        _check_argc(name, args, 1, 1, span)
+        from .ast_nodes import TimespanLit
+
+        if ast_args is not None and isinstance(ast_args[0], TimespanLit):
+            return args[0]
+
+        def build_ts(s: Column) -> Column:
+            full = s.rlike(
+                r"^(\d+\.)?\d{1,2}:\d{1,2}:\d{1,2}(\.\d+)?$"
+            )
+            d = F.coalesce(
+                F.regexp_extract(s, r"^(\d+)\.", 1).try_cast("long"),
+                F.lit(0),
+            )
+            hh = F.regexp_extract(
+                s, r"^(?:\d+\.)?(\d{1,2}):", 1
+            ).try_cast("long")
+            mm = F.regexp_extract(s, r":(\d{1,2}):", 1).try_cast("long")
+            ss = F.regexp_extract(
+                s, r":(\d{1,2}(?:\.\d+)?)$", 1
+            ).try_cast("decimal(18,6)")
+            return F.when(
+                full, F.make_dt_interval(d, hh, mm, ss)
+            )
+
+        return _let_bind(args[0].cast("string"), build_ts)
+    if lname in ("make_bag", "make_bag_if"):
+        # KQL make_bag: merge map/bag values across the group
+        # (first-wins on duplicate keys; key order follows input order,
+        # nondeterministic across partitions like KQL's)
+        _check_argc(
+            name, args, 1 if lname == "make_bag" else 2,
+            1 if lname == "make_bag" else 2, span,
+        )
+        x = args[0] if lname == "make_bag" else F.when(args[1], args[0])
+        entries = F.flatten(F.collect_list(F.map_entries(x)))
+
+        def merge(es: Column) -> Column:
+            return F.map_from_entries(
+                F.aggregate(
+                    es,
+                    F.slice(es, 1, 0),  # empty, same entry type
+                    lambda acc, en: F.when(
+                        F.exists(
+                            acc,
+                            lambda a: a.getField("key")
+                            == en.getField("key"),
+                        ),
+                        acc,
+                    ).otherwise(F.concat(acc, F.array(en))),
+                )
+            )
+
+        return _let_bind(entries, merge)
     if lname in (
         "parse_ipv6", "parse_ipv6_mask", "ipv6_compare", "ipv6_is_match",
         "ipv6_is_in_range", "ipv6_is_in_any_range",
@@ -1649,6 +1760,35 @@ def compile_call(
                 )
         ps = F.array(*[(a / F.lit(100.0)) for a in args[1:]])
         return F.percentile(args[0], ps)
+    if lname == "percentile":
+        # KQL percentile(col, p) — p on the 0-100 scale like the rest
+        # of the percentiles family; EXACT interpolated
+        _check_argc(name, args, 2, 2, span)
+        return F.percentile(args[0], args[1] / F.lit(100.0))
+    if lname in ("percentilew", "percentilesw"):
+        # weighted percentiles: percentilew(col, weight, p),
+        # percentilesw(col, weight, p1, …) — weight is an integer
+        # frequency (Spark percentile's frequency argument)
+        if len(args) < 3:
+            raise ParseError(
+                f"{name}() takes a column, a weight, and at least one"
+                " percentile", span
+            )
+        freq = args[1].cast("long")
+        if lname == "percentilew":
+            _check_argc(name, args, 3, 3, span)
+            return F.percentile(args[0], args[2] / F.lit(100.0), freq)
+        ps = F.array(*[(a / F.lit(100.0)) for a in args[2:]])
+        return F.percentile(args[0], ps, freq)
+    if lname in ("binary_all_and", "binary_all_or", "binary_all_xor"):
+        # KQL bitwise aggregates → Spark bit_and/bit_or/bit_xor
+        _check_argc(name, args, 1, 1, span)
+        target = {
+            "binary_all_and": "bit_and",
+            "binary_all_or": "bit_or",
+            "binary_all_xor": "bit_xor",
+        }[lname]
+        return F.call_function(target, args[0].cast("long"))
     # passthrough: resolve against Spark's builtin/UDF registry at analysis
     # time (JVM-side expression — no Python round trip)
     return F.call_function(name, *args)

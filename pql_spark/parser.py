@@ -48,6 +48,7 @@ from .ast_nodes import (
     NumberLit,
     Op,
     ParseOp,
+    ParseKvOp,
     PivotOp,
     ProjectAwayOp,
     ProjectKeepOp,
@@ -1195,12 +1196,37 @@ def _op_mv_expand(p: _P, kw: Token) -> Op:
         if idx.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
             raise ParseError("expected index column name", idx.span)
         itemindex = idx.value
-    cols = [p.parse_colspec(require_expr=False)]
+
+    def one() -> tuple[ColSpec, str | None]:
+        spec = p.parse_colspec(require_expr=False)
+        ty = None
+        # EXTENSION: `Col to typeof(long)` element cast (KQL mv-expand)
+        if p.match_word("to"):
+            w = p.expect(TokenKind.IDENT, "'typeof'")
+            if w.value != "typeof":
+                raise ParseError("expected 'typeof'", w.span)
+            p.expect(TokenKind.LPAREN, "'('")
+            t = p.expect(TokenKind.IDENT, "type name")
+            if t.value not in _DATATABLE_TYPES:
+                raise ParseError(
+                    f"unknown type {t.value!r} in typeof()", t.span
+                )
+            ty = _DATATABLE_TYPES[t.value]
+            p.expect(TokenKind.RPAREN, "')'")
+        return spec, ty
+
+    cols, types = [], []
+    spec, ty = one()
+    cols.append(spec)
+    types.append(ty)
     while p.match(TokenKind.COMMA):
-        cols.append(p.parse_colspec(require_expr=False))
+        spec, ty = one()
+        cols.append(spec)
+        types.append(ty)
     return MvExpandOp(
         cols=cols,
         itemindex=itemindex,
+        types=types,
         span=Span(kw.span.start, cols[-1].span.end),
     )
 
@@ -1487,6 +1513,71 @@ def _op_parse(p: _P, kw: Token) -> Op:
         source_expr=source_expr,
         segments=segments,
         kind=kind,
+        span=Span(kw.span.start, end),
+    )
+
+
+def _op_parse_where(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``parse-where`` — like ``parse`` but rows whose
+    source doesn't match the pattern are dropped (KQL parse-where)."""
+    op = _op_parse(p, kw)
+    op.where_mode = True
+    return op
+
+
+def _op_parse_kv(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``parse-kv Expr as (k1[: type], …) [with
+    (pair_delimiter="…", kv_delimiter="…")]`` (KQL parse-kv,
+    delimiter mode)."""
+    source_expr = p.parse_expr()
+    w = p.expect(TokenKind.IDENT, "'as'")
+    if w.value != "as":
+        raise ParseError(f"expected 'as', got {w.value!r}", w.span)
+    p.expect(TokenKind.LPAREN, "'('")
+    keys: list[str] = []
+    types: list[str | None] = []
+    while True:
+        k = p.take()
+        if k.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected key name", k.span)
+        keys.append(k.value)
+        ty = None
+        if p.match(TokenKind.COLON):
+            t = p.expect(TokenKind.IDENT, "type name")
+            if t.value not in _DATATABLE_TYPES:
+                raise ParseError(f"unknown type {t.value!r}", t.span)
+            ty = _DATATABLE_TYPES[t.value]
+        types.append(ty)
+        if not p.match(TokenKind.COMMA):
+            break
+    rp = p.expect(TokenKind.RPAREN, "')'")
+    end = rp.span.end
+    pair_delim, kv_delim = ";", "="
+    if p.match_word("with"):
+        p.expect(TokenKind.LPAREN, "'('")
+        while True:
+            prop = p.expect(TokenKind.IDENT, "property name")
+            if prop.value not in ("pair_delimiter", "kv_delimiter"):
+                raise ParseError(
+                    "parse-kv supports pair_delimiter and kv_delimiter",
+                    prop.span,
+                )
+            p.expect(TokenKind.ASSIGN, "'='")
+            v = p.expect(TokenKind.STRING, "delimiter string")
+            if prop.value == "pair_delimiter":
+                pair_delim = v.value
+            else:
+                kv_delim = v.value
+            if not p.match(TokenKind.COMMA):
+                break
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        end = rp.span.end
+    return ParseKvOp(
+        source_expr=source_expr,
+        keys=keys,
+        types=types,
+        pair_delim=pair_delim,
+        kv_delim=kv_delim,
         span=Span(kw.span.start, end),
     )
 
@@ -1872,6 +1963,8 @@ _OPERATORS = {
     "fork": _op_fork,
     "lookup": _op_lookup,
     "parse": _op_parse,
+    "parse-where": _op_parse_where,
+    "parse-kv": _op_parse_kv,
     "search": _op_search,
     "serialize": _op_serialize,
     "sample": _op_sample,

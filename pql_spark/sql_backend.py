@@ -56,7 +56,9 @@ from .ast_nodes import (
     MvApplyOp,
     MvExpandOp,
     NumberLit,
+    Op,
     ParseOp,
+    ParseKvOp,
     PivotOp,
     ProjectAwayOp,
     ProjectKeepOp,
@@ -373,6 +375,32 @@ class _SqlEmitter:
             items = ", ".join(_q(c) for c in keep)
             return f"SELECT {items} FROM {inner}", keep
         if isinstance(op, MvExpandOp):
+            res_sql, res_cols = self._emit_mv_expand_core(
+                op, inner, cols
+            )
+            # EXTENSION: `to typeof(T)` element casts
+            if op.types and any(op.types):
+                casts = {
+                    self.col_spec(c)[0]: ty
+                    for c, ty in zip(op.cols, op.types)
+                    if ty
+                }
+                items = [
+                    f"TRY_CAST({_q(c)} AS {casts[c].upper()}) AS {_q(c)}"
+                    if c in casts
+                    else _q(c)
+                    for c in res_cols
+                ]
+                res_sql = (
+                    f"SELECT {', '.join(items)} FROM ({res_sql})"
+                )
+            return res_sql, res_cols
+        return self._emit_tail(op, sql, inner, cols)
+
+    def _emit_mv_expand_core(
+        self, op: MvExpandOp, inner: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        if True:
             if len(op.cols) > 1:
                 return self._emit_mv_expand_zip(op, inner, cols)
             name, _ = self.col_spec(op.col)
@@ -415,6 +443,10 @@ class _SqlEmitter:
                 f"SELECT *, {item} FROM {inner}",
                 [*cols, name],
             )
+
+    def _emit_tail(
+        self, op: Op, sql: str, inner: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
         if isinstance(op, RenderOp):
             extras = [f"{_qs(op.chart)} AS {_q('render_type')}"]
             out = [*cols, "render_type"]
@@ -588,6 +620,33 @@ class _SqlEmitter:
                 item = (
                     f"regexp_extract({src}, {_qs(regex)}, {gi}) AS {_q(name)}"
                 )
+                if name in out:
+                    items[out.index(name)] = item
+                else:
+                    out.append(name)
+                    items.append(item)
+            where = (
+                f" WHERE rlike({src}, {_qs(regex)})"
+                if op.where_mode
+                else ""
+            )
+            return (
+                f"SELECT {', '.join(items)} FROM {inner}{where}",
+                out,
+            )
+        if isinstance(op, ParseKvOp):
+            src = self.expr(op.source_expr)
+            mapped = (
+                f"str_to_map({src}, {_qs(escape_regex(op.pair_delim))},"
+                f" {_qs(escape_regex(op.kv_delim))})"
+            )
+            out = list(cols)
+            items = [_q(c) for c in cols]
+            for name, ty in zip(op.keys, op.types):
+                val = f"try_element_at({mapped}, {_qs(name)})"
+                if ty is not None and ty != "string":
+                    val = f"TRY_CAST({val} AS {ty.upper()})"
+                item = f"{val} AS {_q(name)}"
                 if name in out:
                     items[out.index(name)] = item
                 else:
@@ -1546,6 +1605,86 @@ class _SqlEmitter:
                 + ip_long(self.expr(args[0]))
                 + f"), {v} -> {inner}), 1)"
             )
+        if name == "parse_url":
+            argc(1, 1)
+            u = "__urlv"
+            ui = f"split(coalesce(try_parse_url({u}, 'USERINFO'), ''), ':', -1)"
+            body = (
+                "named_struct("
+                f"'Scheme', try_parse_url({u}, 'PROTOCOL'),"
+                f" 'Host', try_parse_url({u}, 'HOST'),"
+                f" 'Port', regexp_extract(coalesce(try_parse_url({u},"
+                " 'AUTHORITY'), ''), ':([0-9]+)$', 1),"
+                f" 'Path', try_parse_url({u}, 'PATH'),"
+                f" 'Username', coalesce(element_at({ui}, 1), ''),"
+                f" 'Password', coalesce(try_element_at({ui}, 2), ''),"
+                f" 'Fragment', coalesce(try_parse_url({u}, 'REF'), ''),"
+                f" 'QueryParameters', str_to_map(coalesce(try_parse_url({u},"
+                " 'QUERY'), ''), '&', '='))"
+            )
+            return (
+                f"element_at(transform(array({self.expr(args[0])}),"
+                f" {u} -> {body}), 1)"
+            )
+        if name == "parse_urlquery":
+            argc(1, 1)
+            return (
+                f"str_to_map(regexp_replace({self.expr(args[0])},"
+                " '^\\\\?', ''), '&', '=')"
+            )
+        if name == "totimespan":
+            argc(1, 1)
+            if isinstance(args[0], TimespanLit):
+                return self.expr(args[0])
+            s = "__tsv"
+            full = (
+                f"rlike({s}, "
+                + r"'^(\\d+\\.)?\\d{1,2}:\\d{1,2}:\\d{1,2}(\\.\\d+)?$')"
+            )
+            d = (
+                f"coalesce(TRY_CAST(regexp_extract({s}, "
+                + r"'^(\\d+)\\.', 1) AS BIGINT), 0)"
+            )
+            hh = (
+                f"TRY_CAST(regexp_extract({s}, "
+                + r"'^(?:\\d+\\.)?(\\d{1,2}):', 1) AS BIGINT)"
+            )
+            mm = (
+                f"TRY_CAST(regexp_extract({s}, "
+                + r"':(\\d{1,2}):', 1) AS BIGINT)"
+            )
+            ss = (
+                f"TRY_CAST(regexp_extract({s}, "
+                + r"':(\\d{1,2}(?:\\.\\d+)?)$', 1) AS DECIMAL(18, 6))"
+            )
+            body = (
+                f"(CASE WHEN {full} THEN"
+                f" make_dt_interval({d}, {hh}, {mm}, {ss}) END)"
+            )
+            return (
+                "element_at(transform(array("
+                f"CAST({self.expr(args[0])} AS STRING)),"
+                f" {s} -> {body}), 1)"
+            )
+        if name in ("make_bag", "make_bag_if"):
+            argc(1 if name == "make_bag" else 2,
+                 1 if name == "make_bag" else 2)
+            x = self.expr(args[0])
+            if name == "make_bag_if":
+                x = (
+                    f"(CASE WHEN {self.expr(args[1])} THEN {x} END)"
+                )
+            es = "__bagv"
+            body = (
+                f"map_from_entries(aggregate({es}, slice({es}, 1, 0),"
+                " (__acc, __en) -> CASE WHEN exists(__acc,"
+                " __a -> __a.key = __en.key) THEN __acc"
+                " ELSE concat(__acc, array(__en)) END))"
+            )
+            return (
+                "element_at(transform(array(flatten(collect_list("
+                f"map_entries({x})))), {es} -> {body}), 1)"
+            )
         if name in (
             "parse_ipv6", "parse_ipv6_mask", "ipv6_compare",
             "ipv6_is_match", "ipv6_is_in_range", "ipv6_is_in_any_range",
@@ -2456,6 +2595,39 @@ class _SqlEmitter:
                 f"{self.expr(a)} / 100.0D" for a in args[1:]
             )
             return f"percentile({self.expr(args[0])}, array({ps}))"
+        if name == "percentile":
+            argc(2, 2)
+            return (
+                f"percentile({self.expr(args[0])},"
+                f" {self.expr(args[1], 4)} / 100.0D)"
+            )
+        if name in ("percentilew", "percentilesw"):
+            if len(args) < 3:
+                raise ParseError(
+                    f"{e.func}() takes a column, a weight, and at least"
+                    " one percentile", e.span,
+                )
+            freq = f"CAST({self.expr(args[1])} AS BIGINT)"
+            if name == "percentilew":
+                argc(3, 3)
+                return (
+                    f"percentile({self.expr(args[0])},"
+                    f" {self.expr(args[2], 4)} / 100.0D, {freq})"
+                )
+            ps = ", ".join(
+                f"{self.expr(a)} / 100.0D" for a in args[2:]
+            )
+            return (
+                f"percentile({self.expr(args[0])}, array({ps}), {freq})"
+            )
+        if name in ("binary_all_and", "binary_all_or", "binary_all_xor"):
+            argc(1, 1)
+            target = {
+                "binary_all_and": "bit_and",
+                "binary_all_or": "bit_or",
+                "binary_all_xor": "bit_xor",
+            }[name]
+            return f"{target}(CAST({self.expr(args[0])} AS BIGINT))"
         # passthrough (pql.go:770-787)
         return f"{e.func}({', '.join(self.expr(a) for a in args)})"
 

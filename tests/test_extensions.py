@@ -600,7 +600,7 @@ def test_ago_function(spark):
     ).head()
     assert abs(row.d.total_seconds() - 7200) < 5
     assert abs(row.z.total_seconds()) < 5
-    with pytest.raises(QueryError, match="timespan string literal"):
+    with pytest.raises(QueryError, match="timespan literal"):
         eng.query("T | project x = ago(id)")
 
 
