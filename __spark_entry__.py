@@ -1720,6 +1720,85 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM events GROUP BY 1 ORDER BY k
         """,
     ),
+    # EXTENSION round-4 scalar batch: max_of/min_of, bin_at,
+    # format_bytes, datetime_part, week_of_year, translate, sha256,
+    # regex countof, parse_version — all Catalyst-native
+    "pql_scalar_fns2": (
+        """
+        events
+        | where value > 300
+        | project event_id,
+            mx = max_of(value, 400.0), mn = min_of(value, 400.0),
+            b = bin_at(value, 50, 10),
+            fb = format_bytes(value * 1024, 1),
+            hr = datetime_part("hour", ts),
+            wk = week_of_year(ts),
+            tr = translate("aeiou", "AEIOU", event_type),
+            h = hash_sha256(event_type),
+            co = countof(event_type, "[aeiou]", "regex"),
+            pv = parse_version(strcat(tostring(event_id % 5), ".",
+                                      tostring(event_id % 7)))
+        | sort by event_id asc
+        """,
+        """
+        SELECT event_id,
+               greatest(value, 400.0) AS mx, least(value, 400.0) AS mn,
+               CAST(floor((value - 10) / 50) AS BIGINT) * 50 + 10 AS b,
+               CAST(round(value * 1024 / 1024.0, 1) AS VARCHAR)
+                   || ' KB' AS fb,
+               CAST(date_part('hour', ts) AS BIGINT) AS hr,
+               CAST(weekofyear(ts) AS BIGINT) AS wk,
+               translate(event_type, 'aeiou', 'AEIOU') AS tr,
+               sha256(event_type) AS h,
+               CAST(len(regexp_extract_all(event_type, '[aeiou]'))
+                    AS BIGINT) AS co,
+               concat_ws('.',
+                   lpad(CAST(event_id % 5 AS VARCHAR), 8, '0'),
+                   lpad(CAST(event_id % 7 AS VARCHAR), 8, '0'),
+                   '00000000', '00000000') AS pv
+        FROM events WHERE value > 300 ORDER BY event_id
+        """,
+    ),
+    # EXTENSION element-wise series math + vector helpers over real
+    # embedding arrays (the ANN/embedding-pipeline scalar toolkit)
+    "pql_series_vector": (
+        """
+        embeddings
+        | where vec_id < 200
+        | project vec_id,
+            dot = series_dot_product(embedding, embedding),
+            mag = series_magnitude(embedding),
+            sadd = series_sum(series_add(embedding, embedding)),
+            mxa = series_max(series_abs(embedding)),
+            nneg = series_sum(series_less(embedding,
+                series_subtract(embedding, embedding)))
+        | sort by vec_id asc
+        """,
+        """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(x AS DOUBLE)) AS a
+          FROM embeddings WHERE vec_id < 200
+        )
+        SELECT vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(a, x -> x * x)),
+                   (acc, x) -> acc + x) AS dot,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(a, x -> x * x)),
+                   (acc, x) -> acc + x)) AS mag,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(a, x -> x + x)),
+                   (acc, x) -> acc + x) AS sadd,
+               list_max(list_transform(a, x -> abs(x))) AS mxa,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(a,
+                       x -> CAST(x < x - x AS DOUBLE))),
+                   (acc, x) -> acc + x) AS nneg
+        FROM e ORDER BY vec_id
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

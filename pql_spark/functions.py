@@ -153,6 +153,13 @@ KQL_RENAMES: dict[str, str] = {
     # tz conversions — 1:1 arg order (value, tz)
     "datetime_utc_to_local": "from_utc_timestamp",
     "datetime_local_to_utc": "to_utc_timestamp",
+    "week_of_year": "weekofyear",
+    "new_guid": "uuid",                   # nondeterministic, like KQL
+    "repeat": "array_repeat",             # repeat(value, count) → array
+    "gettype": "typeof",                  # Spark type names, documented
+    "string_size": "octet_length",        # KQL string_size = UTF-8 bytes
+    "hash_sha1": "sha1",
+    "hash_md5": "md5",
 }
 
 # datetime_add/datetime_diff units accepted by Spark's timestampadd/diff
@@ -191,6 +198,67 @@ def _arr_mean(a: "Column") -> "Column":
     summation order bit-for-bit)."""
     return (
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / F.size(a)
+    )
+
+
+def parse_ts_format(pattern: str) -> list[tuple[str, str]]:
+    """Split a format_timespan pattern into ('tok', run) / ('lit', text)
+    segments — token chars are d/h/H/m/s/f runs; shared by both
+    backends so Spark and the SQL text render identically."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch in "dhHmsf":
+            j = i
+            while j < len(pattern) and pattern[j] == ch:
+                j += 1
+            out.append(("tok", pattern[i:j]))
+            i = j
+        else:
+            j = i
+            while j < len(pattern) and pattern[j] not in "dhHmsf":
+                j += 1
+            out.append(("lit", pattern[i:j]))
+            i = j
+    return out
+
+
+# element-wise series operator families (shared names; SQL twins build
+# the same zip_with/transform HOF text)
+_SERIES_BINOPS = {
+    "series_add": lambda x, y: x + y,
+    "series_subtract": lambda x, y: x - y,
+    "series_multiply": lambda x, y: x * y,
+    "series_divide": lambda x, y: F.try_divide(x, y),
+    "series_pow": lambda x, y: F.pow(x, y),
+    "series_greater": lambda x, y: x > y,
+    "series_greater_equals": lambda x, y: x >= y,
+    "series_less": lambda x, y: x < y,
+    "series_less_equals": lambda x, y: x <= y,
+    "series_equals": lambda x, y: x == y,
+    "series_not_equals": lambda x, y: x != y,
+}
+_SERIES_UNOPS = {
+    "series_abs": F.abs,
+    "series_exp": F.exp,
+    "series_log": F.log,
+    "series_sign": F.signum,
+    "series_sqrt": F.sqrt,
+    "series_floor": F.floor,
+    "series_ceiling": F.ceil,
+}
+
+
+def _series_dot(a: "Column", b: "Column") -> "Column":
+    """Σ aᵢ·bᵢ with null elements contributing 0 (zip-to-longest)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
     )
 
 
@@ -792,6 +860,343 @@ def compile_call(
             return total / F.size(window)
 
         return F.transform(F.sequence(F.lit(1), F.size(arr)), mean_at)
+    if lname in ("max_of", "min_of"):
+        # KQL max_of/min_of: variadic scalar max/min, nulls ignored
+        # (greatest/least skip NULLs in Spark ≥3.4? they return NULL if
+        # any input is NULL pre-3.0; Spark's greatest ignores NULLs)
+        if len(args) < 2:
+            raise ParseError(f"{name}() takes at least 2 arguments", span)
+        return (F.greatest if lname == "max_of" else F.least)(*args)
+    if lname == "bin_at":
+        # bin_at(value, binSize, fixedPoint) — buckets aligned to
+        # fixedPoint instead of the epoch
+        _check_argc(name, args, 3, 3, span)
+        from .ast_nodes import StringLit, TimespanLit
+
+        lit: int | None = None
+        if ast_args is not None:
+            if isinstance(ast_args[1], StringLit):
+                lit = _duration_usec(ast_args[1].value, span)
+            elif isinstance(ast_args[1], TimespanLit):
+                lit = ast_args[1].microseconds
+        if lit is not None:
+            fp = F.unix_micros(args[2])
+            return F.timestamp_micros(
+                F.floor((F.unix_micros(args[0]) - fp) / F.lit(lit))
+                .cast("long") * F.lit(lit) + fp
+            )
+        return (
+            F.floor((args[0] - args[2]) / args[1]) * args[1] + args[2]
+        )
+    if lname == "rand":
+        # rand() uniform [0,1); rand(n) uniform integer 0..n-1 —
+        # nondeterministic by nature (no fixed seed, like KQL)
+        _check_argc(name, args, 0, 1, span)
+        if len(args) == 1:
+            return F.floor(F.rand() * args[0]).cast("long")
+        return F.rand()
+    if lname == "range" and (ast_args is None or len(args) in (2, 3)):
+        # scalar range(start, stop[, step]) → inclusive array
+        _check_argc(name, args, 2, 3, span)
+        return F.sequence(*args)
+    if lname == "zip":
+        # KQL zip: element-wise zip of N arrays into an array of
+        # N-element arrays; zip-to-longest with null padding
+        if len(args) < 2:
+            raise ParseError("zip() takes at least 2 arrays", span)
+
+        def zipped(arrs: Column) -> Column:
+            n = F.array_max(F.transform(arrs, F.size))
+            return F.when(
+                n > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.transform(
+                        arrs, lambda a: F.try_element_at(a, i)
+                    ),
+                ),
+            )
+
+        return _let_bind(F.array(*args), zipped)
+    if lname == "array_split":
+        # array_split(arr, index | [i1, i2, …]) → array of subarrays
+        # split BEFORE each 0-based index; negative indices count from
+        # the end (KQL semantics)
+        _check_argc(name, args, 2, 2, span)
+        from .ast_nodes import NumberLit
+
+        idx_arr = (
+            F.array(args[1])
+            if ast_args is not None
+            and isinstance(ast_args[1], NumberLit)
+            else args[1]
+        )
+
+        def split_at(arr: Column) -> Column:
+            def with_pts(pts: Column) -> Column:
+                return F.transform(
+                    F.sequence(F.lit(1), F.size(pts) - 1),
+                    lambda i: F.slice(
+                        arr,
+                        F.element_at(pts, i) + 1,
+                        F.element_at(pts, i + 1)
+                        - F.element_at(pts, i),
+                    ),
+                )
+
+            norm = F.transform(
+                idx_arr,
+                lambda i: F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.size(arr),
+                        F.when(i < 0, F.size(arr) + i).otherwise(i)
+                        .cast("int"),
+                    ),
+                ),
+            )
+            pts = F.concat(
+                F.array(F.lit(0)), norm, F.array(F.size(arr))
+            )
+            return _let_bind(pts, with_pts)
+
+        return _let_bind(args[0], split_at)
+    if lname == "isinf":
+        _check_argc(name, args, 1, 1, span)
+        x = args[0].cast("double")
+        return F.coalesce(
+            (x == F.lit(float("inf"))) | (x == F.lit(float("-inf"))),
+            F.lit(False),
+        )
+    if lname == "isascii":
+        _check_argc(name, args, 1, 1, span)
+        return F.coalesce(
+            args[0].rlike("^[\\x00-\\x7F]*$"), F.lit(False)
+        )
+    if lname == "translate":
+        # KQL arg order (searchList, replacementList, text)
+        _check_argc(name, args, 3, 3, span)
+        return F.call_function("translate", args[2], args[0], args[1])
+    if lname == "hash_sha256":
+        _check_argc(name, args, 1, 1, span)
+        return F.sha2(args[0].cast("string"), 256)
+    if lname == "url_encode_component":
+        # like url_encode but %20 for space (RFC 3986 component form)
+        _check_argc(name, args, 1, 1, span)
+        return F.replace(
+            F.call_function("url_encode", args[0]),
+            F.lit("+"), F.lit("%20"),
+        )
+    if lname == "todecimal":
+        _check_argc(name, args, 1, 1, span)
+        return args[0].try_cast("decimal(38,18)")
+    if lname == "endofweek":
+        _check_argc(name, args, 1, 1, span)
+        x = args[0]
+        start = F.date_trunc("DAY", x) - F.make_interval(
+            days=F.dayofweek(x) - 1
+        )
+        return (
+            start + F.make_interval(days=F.lit(7))
+            - F.expr("INTERVAL 1 MICROSECOND")
+        )
+    if lname == "datetime_part":
+        # datetime_part("part", dt) → integer component
+        _check_argc(name, args, 2, 2, span)
+        part = _lit_str(name, ast_args, 0, span, "part literal").lower()
+        simple = {
+            "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+            "week_of_year": "WEEK", "day": "DAY",
+            "dayofyear": "DOY", "hour": "HOUR", "minute": "MINUTE",
+        }
+        if part in simple:
+            return F.call_function(
+                "date_part", F.lit(simple[part]), args[1]
+            ).cast("long")
+        usec = F.unix_micros(args[1])
+        if part == "second":
+            return F.floor(
+                F.call_function("date_part", F.lit("SECOND"), args[1])
+            ).cast("long")
+        if part == "millisecond":
+            return F.pmod(F.floor(usec / 1000), F.lit(1000)).cast("long")
+        if part == "microsecond":
+            return F.pmod(usec, F.lit(1000000)).cast("long")
+        if part == "nanosecond":
+            return (F.pmod(usec, F.lit(1000000)) * 1000).cast("long")
+        raise ParseError(
+            f"datetime_part(): unsupported part {part!r}", span
+        )
+    if lname == "format_bytes":
+        # format_bytes(size[, precision[, units]]): auto unit ladder;
+        # precision 0 (default) renders an integer
+        _check_argc(name, args, 1, 3, span)
+        prec = (
+            _lit_int(name, ast_args, 1, span) if len(args) >= 2 else 0
+        )
+        units = ["Bytes", "KB", "MB", "GB", "TB", "PB", "EB"]
+        x = args[0].cast("double")
+
+        def render(v: Column) -> Column:
+            r = F.round(v, prec)
+            return (
+                r.cast("long").cast("string") if prec == 0
+                else r.cast("string")
+            )
+
+        if len(args) == 3:
+            unit = _lit_str(name, ast_args, 2, span, "units literal")
+            if unit not in units:
+                raise ParseError(
+                    f"format_bytes(): unknown unit {unit!r}", span
+                )
+            k = units.index(unit)
+            return F.concat(
+                render(x / F.lit(float(1024 ** k))), F.lit(" " + unit)
+            )
+        out = F.concat(render(x), F.lit(" Bytes"))
+        for k in range(1, len(units)):
+            out = F.when(
+                x >= F.lit(float(1024 ** k)),
+                F.concat(
+                    render(x / F.lit(float(1024 ** k))),
+                    F.lit(" " + units[k]),
+                ),
+            ).otherwise(out)
+        return out
+    if lname == "format_timespan":
+        # format_timespan(ts, pattern) — pattern is a literal with
+        # d/h/m/s/f token runs; everything else copies verbatim
+        _check_argc(name, args, 2, 2, span)
+        pattern = _lit_str(name, ast_args, 1, span, "format literal")
+        itv = args[0]
+
+        def part(unit: str) -> Column:
+            return F.call_function(
+                "date_part", F.lit(unit), itv
+            )
+
+        pieces: list[Column] = []
+        for kind, text in parse_ts_format(pattern):
+            if kind == "lit":
+                pieces.append(F.lit(text))
+                continue
+            ch, n = text[0], len(text)
+            if ch == "d":
+                v = part("DAY").cast("long")
+            elif ch in ("h", "H"):
+                v = part("HOUR").cast("long")
+            elif ch == "m":
+                v = part("MINUTE").cast("long")
+            elif ch == "s":
+                v = F.floor(part("SECOND")).cast("long")
+            else:  # f — fraction digits
+                frac = part("SECOND") - F.floor(part("SECOND"))
+                pieces.append(
+                    F.lpad(
+                        F.floor(frac * F.lit(10 ** n)).cast("string"),
+                        n, "0",
+                    )
+                )
+                continue
+            pieces.append(
+                F.lpad(v.cast("string"), n, "0") if n > 1
+                else v.cast("string")
+            )
+        return F.concat(*pieces)
+    if lname == "parse_version":
+        # canonical zero-padded "0000000A.0000000B.0000000C.0000000D"
+        # string — lexicographically comparable like KQL's parse_version
+        _check_argc(name, args, 1, 1, span)
+
+        def build(s: Column) -> Column:
+            parts = F.split(s, r"\.")
+            ok = (
+                s.rlike(r"^\d+(\.\d+){0,3}$")
+                & (F.size(parts) <= 4)
+            )
+            comps = [
+                F.lpad(
+                    F.coalesce(
+                        F.try_element_at(parts, F.lit(i + 1)),
+                        F.lit("0"),
+                    ),
+                    8, "0",
+                )
+                for i in range(4)
+            ]
+            return F.when(ok, F.concat_ws(".", *comps))
+
+        return _let_bind(args[0].cast("string"), build)
+    if lname == "parse_path":
+        # struct of path components (RootPath/DirectoryPath/
+        # DirectoryName/Filename/Extension), both / and \ separators
+        _check_argc(name, args, 1, 1, span)
+
+        def build(p: Column) -> Column:
+            norm = F.replace(p, F.lit("\\"), F.lit("/"))
+            dirpath = F.regexp_extract(norm, r"^(.*)/[^/]*$", 1)
+            return F.struct(
+                F.regexp_extract(norm, r"^((?:[A-Za-z]:)?/)", 1)
+                .alias("RootPath"),
+                dirpath.alias("DirectoryPath"),
+                F.regexp_extract(dirpath, r"([^/]+)$", 1)
+                .alias("DirectoryName"),
+                F.regexp_extract(norm, r"([^/]*)$", 1).alias("Filename"),
+                F.regexp_extract(norm, r"\.([^./]+)$", 1)
+                .alias("Extension"),
+            )
+
+        return _let_bind(args[0].cast("string"), build)
+    if lname in _SERIES_BINOPS:
+        # element-wise series arithmetic/comparison: zip-to-longest,
+        # null elements propagate NULL (KQL yields null there too)
+        _check_argc(name, args, 2, 2, span)
+        op = _SERIES_BINOPS[lname]
+        return F.zip_with(
+            args[0], args[1],
+            lambda x, y: op(x.cast("double"), y.cast("double")),
+        )
+    if lname in _SERIES_UNOPS:
+        _check_argc(name, args, 1, 1, span)
+        op = _SERIES_UNOPS[lname]
+        return F.transform(args[0], lambda x: op(x.cast("double")))
+    if lname == "series_dot_product":
+        _check_argc(name, args, 2, 2, span)
+        return _series_dot(args[0], args[1])
+    if lname == "series_magnitude":
+        _check_argc(name, args, 1, 1, span)
+        return _let_bind(args[0], lambda a: F.sqrt(_series_dot(a, a)))
+    if lname == "series_cosine_similarity":
+        _check_argc(name, args, 2, 2, span)
+
+        def cos(ab: Column) -> Column:
+            a, b = ab["a"], ab["b"]
+            denom = F.sqrt(_series_dot(a, a)) * F.sqrt(_series_dot(b, b))
+            return F.when(denom > 0, _series_dot(a, b) / denom)
+
+        return _let_bind(
+            F.struct(args[0].alias("a"), args[1].alias("b")), cos
+        )
+    if lname == "series_pearson_correlation":
+        _check_argc(name, args, 2, 2, span)
+
+        def corr(ab: Column) -> Column:
+            a, b = ab["a"], ab["b"]
+            n = F.least(F.size(a), F.size(b)).cast("double")
+            sx = _series_dot(a, F.transform(a, lambda x: F.lit(1.0)))
+            sy = _series_dot(b, F.transform(b, lambda x: F.lit(1.0)))
+            sxx = _series_dot(a, a)
+            syy = _series_dot(b, b)
+            sxy = _series_dot(a, b)
+            denom = F.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+            return F.when(denom > 0, (n * sxy - sx * sy) / denom)
+
+        return _let_bind(
+            F.struct(args[0].alias("a"), args[1].alias("b")), corr
+        )
     if lname in ("geo_distance_2points", "geo_point_in_circle"):
         # KQL geo family (simplified): great-circle distance via the
         # haversine formula on a mean-radius sphere (6371008.8 m) —
@@ -1555,13 +1960,32 @@ def compile_call(
         _check_argc(name, args, 2, 2, span)
         return F.instr(args[0], args[1]) - F.lit(1)
     if lname == "countof":
-        # plain-substring occurrence count
-        _check_argc(name, args, 2, 2, span)
+        # plain-substring occurrence count; countof(s, x, "regex")
+        # counts non-overlapping regex matches (KQL kind argument)
+        _check_argc(name, args, 2, 3, span)
         s, sub = args[0], args[1]
+        if len(args) == 3:
+            kind = _lit_str(name, ast_args, 2, span, "kind literal")
+            if kind not in ("normal", "regex"):
+                raise ParseError(
+                    "countof() kind must be 'normal' or 'regex'", span
+                )
+            if kind == "regex":
+                regex = _lit_str(
+                    name, ast_args, 1, span, "regex string literal"
+                )
+                return F.size(
+                    F.regexp_extract_all(s, F.lit(regex), F.lit(0))
+                ).cast("long")
         return (
             (F.length(s) - F.length(F.replace(s, sub, F.lit(""))))
             / F.length(sub)
         ).cast("long")
+    if lname == "indexof_regex":
+        # 0-based first regex match position; -1 when absent
+        _check_argc(name, args, 2, 2, span)
+        return (F.call_function("regexp_instr", args[0], args[1])
+                - F.lit(1)).cast("long")
     if lname == "extract":
         # KQL extract(regex, captureGroup, source); no match ⇒ "" like
         # Spark regexp_extract

@@ -94,6 +94,30 @@ from .functions import (
     build_parse_regex,
     escape_regex,
 )
+
+# text twins of functions._SERIES_BINOPS / _SERIES_UNOPS
+_SQL_SERIES_BINOPS = {
+    "series_add": lambda x, y: f"({x} + {y})",
+    "series_subtract": lambda x, y: f"({x} - {y})",
+    "series_multiply": lambda x, y: f"({x} * {y})",
+    "series_divide": lambda x, y: f"try_divide({x}, {y})",
+    "series_pow": lambda x, y: f"power({x}, {y})",
+    "series_greater": lambda x, y: f"({x} > {y})",
+    "series_greater_equals": lambda x, y: f"({x} >= {y})",
+    "series_less": lambda x, y: f"({x} < {y})",
+    "series_less_equals": lambda x, y: f"({x} <= {y})",
+    "series_equals": lambda x, y: f"({x} = {y})",
+    "series_not_equals": lambda x, y: f"({x} <> {y})",
+}
+_SQL_SERIES_UNOPS = {
+    "series_abs": "abs",
+    "series_exp": "exp",
+    "series_log": "ln",
+    "series_sign": "signum",
+    "series_sqrt": "sqrt",
+    "series_floor": "floor",
+    "series_ceiling": "ceil",
+}
 from .lexer import Span
 from .parser import ParseError, QueryError, parse
 
@@ -1394,6 +1418,317 @@ class _SqlEmitter:
                 f" aggregate({win}, 0.0D, (acc, x) -> acc + CAST(x AS"
                 f" DOUBLE)) / size({win}))"
             )
+        def lit_str0(i: int, what: str = "string literal") -> str:
+            if i >= len(args) or not isinstance(args[i], StringLit):
+                raise ParseError(
+                    f"{e.func}() argument {i + 1} must be a {what}",
+                    e.span,
+                )
+            return args[i].value
+
+        if name in ("max_of", "min_of"):
+            if len(args) < 2:
+                raise ParseError(
+                    f"{e.func}() takes at least 2 arguments", e.span
+                )
+            fn = "greatest" if name == "max_of" else "least"
+            return f"{fn}({', '.join(self.expr(a) for a in args)})"
+        if name == "bin_at":
+            argc(3, 3)
+            if isinstance(args[1], (StringLit, TimespanLit)):
+                usec = (
+                    args[1].microseconds
+                    if isinstance(args[1], TimespanLit)
+                    else _duration_usec(args[1].value, e.span)
+                )
+                x, fp = self.expr(args[0]), self.expr(args[2])
+                return (
+                    f"timestamp_micros(CAST(floor((unix_micros({x})"
+                    f" - unix_micros({fp})) / {usec}) AS BIGINT)"
+                    f" * {usec} + unix_micros({fp}))"
+                )
+            x = self.expr(args[0], 4)
+            sz = self.expr(args[1], 5)
+            fp = self.expr(args[2], 4)
+            return f"(floor(({x} - {fp}) / {sz}) * {sz} + {fp})"
+        if name == "rand":
+            argc(0, 1)
+            if len(args) == 1:
+                return (
+                    f"CAST(floor(rand() * {self.expr(args[0], 5)})"
+                    " AS BIGINT)"
+                )
+            return "rand()"
+        if name == "range" and len(args) in (2, 3):
+            return f"sequence({', '.join(self.expr(a) for a in args)})"
+        if name == "zip":
+            if len(args) < 2:
+                raise ParseError("zip() takes at least 2 arrays", e.span)
+            arrs = f"array({', '.join(self.expr(a) for a in args)})"
+            return (
+                f"element_at(transform(array({arrs}), __z_as ->"
+                " CASE WHEN array_max(transform(__z_as, __z_a ->"
+                " size(__z_a))) > 0 THEN"
+                " transform(sequence(1, array_max(transform(__z_as,"
+                " __z_a -> size(__z_a)))), __z_i -> transform(__z_as,"
+                " __z_a -> try_element_at(__z_a, __z_i))) END), 1)"
+            )
+        if name == "array_split":
+            argc(2, 2)
+            idx = (
+                f"array({self.expr(args[1])})"
+                if isinstance(args[1], NumberLit)
+                else self.expr(args[1])
+            )
+            norm = (
+                "transform({idx}, __s_i -> greatest(0, least("
+                "size(__s_a), CAST(CASE WHEN __s_i < 0 THEN"
+                " size(__s_a) + __s_i ELSE __s_i END AS INT))))"
+            ).format(idx=idx)
+            return (
+                f"element_at(transform(array({self.expr(args[0])}),"
+                " __s_a -> element_at(transform(array(concat("
+                f"array(0), {norm}, array(size(__s_a)))), __s_p ->"
+                " transform(sequence(1, size(__s_p) - 1), __s_k ->"
+                " slice(__s_a, element_at(__s_p, __s_k) + 1,"
+                " element_at(__s_p, __s_k + 1)"
+                " - element_at(__s_p, __s_k)))), 1)), 1)"
+            )
+        if name == "isinf":
+            argc(1, 1)
+            x = f"CAST({self.expr(args[0])} AS DOUBLE)"
+            return (
+                f"coalesce({x} = double('Infinity') OR"
+                f" {x} = double('-Infinity'), FALSE)"
+            )
+        if name == "isascii":
+            argc(1, 1)
+            return (
+                f"coalesce({self.expr(args[0])} rlike"
+                " '^[\\\\x00-\\\\x7F]*$', FALSE)"
+            )
+        if name == "translate":
+            argc(3, 3)
+            return (
+                f"translate({self.expr(args[2])}, {self.expr(args[0])},"
+                f" {self.expr(args[1])})"
+            )
+        if name == "hash_sha256":
+            argc(1, 1)
+            return f"sha2(CAST({self.expr(args[0])} AS STRING), 256)"
+        if name == "url_encode_component":
+            argc(1, 1)
+            return (
+                f"replace(url_encode({self.expr(args[0])}), '+', '%20')"
+            )
+        if name == "todecimal":
+            argc(1, 1)
+            return f"TRY_CAST({self.expr(args[0])} AS DECIMAL(38,18))"
+        if name == "endofweek":
+            argc(1, 1)
+            x = self.expr(args[0])
+            return (
+                f"(date_trunc('DAY', {x}) - make_interval(0, 0, 0,"
+                f" dayofweek({x}) - 1, 0, 0, 0)"
+                " + make_interval(0, 0, 0, 7, 0, 0, 0)"
+                " - INTERVAL 1 MICROSECOND)"
+            )
+        if name == "datetime_part":
+            argc(2, 2)
+            part = lit_str0(0, "part literal").lower()
+            x = self.expr(args[1])
+            simple = {
+                "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+                "week_of_year": "WEEK", "day": "DAY",
+                "dayofyear": "DOY", "hour": "HOUR", "minute": "MINUTE",
+            }
+            if part in simple:
+                return (
+                    f"CAST(date_part('{simple[part]}', {x}) AS BIGINT)"
+                )
+            if part == "second":
+                return (
+                    f"CAST(floor(date_part('SECOND', {x})) AS BIGINT)"
+                )
+            if part == "millisecond":
+                return (
+                    f"CAST(pmod(floor(unix_micros({x}) / 1000), 1000)"
+                    " AS BIGINT)"
+                )
+            if part == "microsecond":
+                return f"CAST(pmod(unix_micros({x}), 1000000) AS BIGINT)"
+            if part == "nanosecond":
+                return (
+                    f"CAST(pmod(unix_micros({x}), 1000000) * 1000"
+                    " AS BIGINT)"
+                )
+            raise ParseError(
+                f"datetime_part(): unsupported part {part!r}", e.span
+            )
+        if name == "format_bytes":
+            argc(1, 3)
+            prec = lit_int(1) if len(args) >= 2 else 0
+            units = ["Bytes", "KB", "MB", "GB", "TB", "PB", "EB"]
+            x = f"CAST({self.expr(args[0])} AS DOUBLE)"
+
+            def render(v: str) -> str:
+                r = f"round({v}, {prec})"
+                return (
+                    f"CAST(CAST({r} AS BIGINT) AS STRING)"
+                    if prec == 0 else f"CAST({r} AS STRING)"
+                )
+
+            if len(args) == 3:
+                unit = lit_str0(2, "units literal")
+                if unit not in units:
+                    raise ParseError(
+                        f"format_bytes(): unknown unit {unit!r}", e.span
+                    )
+                k = units.index(unit)
+                return (
+                    f"concat({render(f'{x} / {float(1024 ** k)!r}D')},"
+                    f" ' {unit}')"
+                )
+            out = f"concat({render(x)}, ' Bytes')"
+            for k in range(1, len(units)):
+                thr = f"{float(1024 ** k)!r}D"
+                out = (
+                    f"CASE WHEN {x} >= {thr} THEN"
+                    f" concat({render(f'{x} / {thr}')},"
+                    f" ' {units[k]}') ELSE {out} END"
+                )
+            return out
+        if name == "format_timespan":
+            argc(2, 2)
+            pattern = lit_str0(1, "format literal")
+            from .functions import parse_ts_format
+
+            itv = self.expr(args[0])
+            pieces: list[str] = []
+            for kind, text in parse_ts_format(pattern):
+                if kind == "lit":
+                    esc = text.replace("'", "''")
+                    pieces.append(f"'{esc}'")
+                    continue
+                ch, n = text[0], len(text)
+                if ch == "f":
+                    frac = (
+                        f"(date_part('SECOND', {itv})"
+                        f" - floor(date_part('SECOND', {itv})))"
+                    )
+                    pieces.append(
+                        f"lpad(CAST(CAST(floor({frac} * {10 ** n})"
+                        f" AS BIGINT) AS STRING), {n}, '0')"
+                    )
+                    continue
+                unit = {
+                    "d": "DAY", "h": "HOUR", "H": "HOUR",
+                    "m": "MINUTE", "s": "SECOND",
+                }[ch]
+                v = f"CAST(floor(date_part('{unit}', {itv})) AS BIGINT)"
+                s = f"CAST({v} AS STRING)"
+                pieces.append(
+                    f"lpad({s}, {n}, '0')" if n > 1 else s
+                )
+            return f"concat({', '.join(pieces)})"
+        if name == "parse_version":
+            argc(1, 1)
+            comp = ", ".join(
+                "lpad(coalesce(try_element_at(split(__pv_s,"
+                f" '\\\\.'), {i + 1}), '0'), 8, '0')"
+                for i in range(4)
+            )
+            return (
+                "element_at(transform(array(CAST("
+                f"{self.expr(args[0])} AS STRING)), __pv_s ->"
+                " CASE WHEN __pv_s rlike '^\\\\d+(\\\\.\\\\d+){0,3}$'"
+                " AND size(split(__pv_s, '\\\\.')) <= 4 THEN"
+                f" concat_ws('.', {comp}) END), 1)"
+            )
+        if name == "parse_path":
+            argc(1, 1)
+            return (
+                "element_at(transform(array(replace(CAST("
+                f"{self.expr(args[0])} AS STRING), '\\\\', '/')),"
+                " __pp_s -> named_struct("
+                "'RootPath', regexp_extract(__pp_s,"
+                " '^((?:[A-Za-z]:)?/)', 1),"
+                "'DirectoryPath', regexp_extract(__pp_s,"
+                " '^(.*)/[^/]*$', 1),"
+                "'DirectoryName', regexp_extract(regexp_extract(__pp_s,"
+                " '^(.*)/[^/]*$', 1), '([^/]+)$', 1),"
+                "'Filename', regexp_extract(__pp_s, '([^/]*)$', 1),"
+                "'Extension', regexp_extract(__pp_s,"
+                " '\\\\.([^./]+)$', 1))), 1)"
+            )
+        if name in _SQL_SERIES_BINOPS:
+            argc(2, 2)
+            op = _SQL_SERIES_BINOPS[name]
+            return (
+                f"zip_with({self.expr(args[0])}, {self.expr(args[1])},"
+                f" (__e_x, __e_y) -> {op('CAST(__e_x AS DOUBLE)', 'CAST(__e_y AS DOUBLE)')})"
+            )
+        if name in _SQL_SERIES_UNOPS:
+            argc(1, 1)
+            fn = _SQL_SERIES_UNOPS[name]
+            return (
+                f"transform({self.expr(args[0])}, __e_x ->"
+                f" {fn}(CAST(__e_x AS DOUBLE)))"
+            )
+        if name in (
+            "series_dot_product", "series_magnitude",
+            "series_cosine_similarity", "series_pearson_correlation",
+        ):
+            argc(1 if name == "series_magnitude" else 2,
+                 1 if name == "series_magnitude" else 2)
+
+            def dot(a: str, b: str) -> str:
+                return (
+                    f"aggregate(zip_with({a}, {b}, (__d_x, __d_y) ->"
+                    " CAST(__d_x AS DOUBLE) * CAST(__d_y AS DOUBLE)),"
+                    " 0.0D, (__d_acc, __d_v) ->"
+                    " __d_acc + coalesce(__d_v, 0.0D))"
+                )
+
+            if name == "series_dot_product":
+                return dot(self.expr(args[0]), self.expr(args[1]))
+            if name == "series_magnitude":
+                return (
+                    "element_at(transform(array("
+                    f"{self.expr(args[0])}), __m_a ->"
+                    f" sqrt({dot('__m_a', '__m_a')})), 1)"
+                )
+            pair = (
+                f"array(named_struct('a', {self.expr(args[0])},"
+                f" 'b', {self.expr(args[1])}))"
+            )
+            if name == "series_cosine_similarity":
+                denom = (
+                    f"(sqrt({dot('__c_p.a', '__c_p.a')})"
+                    f" * sqrt({dot('__c_p.b', '__c_p.b')}))"
+                )
+                return (
+                    f"element_at(transform({pair}, __c_p ->"
+                    f" CASE WHEN {denom} > 0 THEN"
+                    f" {dot('__c_p.a', '__c_p.b')} / {denom} END), 1)"
+                )
+            n = "CAST(least(size(__c_p.a), size(__c_p.b)) AS DOUBLE)"
+            ones_a = "transform(__c_p.a, __o_x -> 1.0D)"
+            ones_b = "transform(__c_p.b, __o_x -> 1.0D)"
+            sx = dot("__c_p.a", ones_a)
+            sy = dot("__c_p.b", ones_b)
+            sxx = dot("__c_p.a", "__c_p.a")
+            syy = dot("__c_p.b", "__c_p.b")
+            sxy = dot("__c_p.a", "__c_p.b")
+            denom = (
+                f"sqrt(({n} * {sxx} - {sx} * {sx})"
+                f" * ({n} * {syy} - {sy} * {sy}))"
+            )
+            return (
+                f"element_at(transform({pair}, __c_p ->"
+                f" CASE WHEN {denom} > 0 THEN"
+                f" ({n} * {sxy} - {sx} * {sy}) / {denom} END), 1)"
+            )
         if name in ("geo_distance_2points", "geo_point_in_circle"):
             n_args = 4 if name == "geo_distance_2points" else 5
             argc(n_args, n_args)
@@ -2380,11 +2715,31 @@ class _SqlEmitter:
                 f"(instr({self.expr(args[0])}, {self.expr(args[1])}) - 1)"
             )
         if name == "countof":
-            argc(2, 2)
+            argc(2, 3)
             s, sub = self.expr(args[0]), self.expr(args[1])
+            if len(args) == 3:
+                kind = lit_str(2, "kind literal")
+                if kind not in ("normal", "regex"):
+                    raise ParseError(
+                        "countof() kind must be 'normal' or 'regex'",
+                        e.span,
+                    )
+                if kind == "regex":
+                    regex = lit_str(1, "regex string literal")
+                    rq = regex.replace("'", "''")
+                    return (
+                        f"CAST(size(regexp_extract_all({s}, '{rq}', 0))"
+                        " AS BIGINT)"
+                    )
             return (
                 f"CAST((length({s}) - length(replace({s}, {sub}, '')))"
                 f" / length({sub}) AS BIGINT)"
+            )
+        if name == "indexof_regex":
+            argc(2, 2)
+            return (
+                f"CAST(regexp_instr({self.expr(args[0])},"
+                f" {self.expr(args[1])}) - 1 AS BIGINT)"
             )
         if name == "extract":
             argc(3, 3)
