@@ -1799,6 +1799,111 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM e ORDER BY vec_id
         """,
     ),
+    # EXTENSION `find in (…) where …` multi-table source (desugars to
+    # extend-provenance + outer union + filter — both backends free)
+    "pql_find_op": (
+        """
+        find in (customer, supplier)
+            where c_nationkey == 3 or s_nationkey == 3
+            project source_, c_name, s_name
+        | sort by source_ asc, c_name asc, s_name asc
+        """,
+        """
+        WITH u AS (
+          SELECT 'customer' AS source_, c_name,
+                 CAST(NULL AS VARCHAR) AS s_name,
+                 c_nationkey, CAST(NULL AS INTEGER) AS s_nationkey
+          FROM customer
+          UNION ALL
+          SELECT 'supplier', NULL, s_name, NULL, s_nationkey
+          FROM supplier)
+        SELECT source_, c_name, s_name FROM u
+        WHERE coalesce(c_nationkey = 3, FALSE)
+           OR coalesce(s_nationkey = 3, FALSE)
+        ORDER BY source_, c_name NULLS FIRST, s_name NULLS FIRST
+        """,
+    ),
+    # EXTENSION `reduce by` wildcard-pattern clustering
+    "pql_reduce_op": (
+        """
+        events
+        | reduce by strcat(event_type, " u", tostring(user_id),
+                           " ", props)
+        | sort by Count desc, Pattern asc
+        | take 20
+        """,
+        """
+        WITH v AS (
+          SELECT event_type || ' u' || CAST(user_id AS VARCHAR)
+                 || ' ' || props AS val
+          FROM events),
+        p AS (
+          SELECT regexp_replace(regexp_replace(val,
+                     '[0-9A-Fa-f]{8,}', '*', 'g'),
+                     '[0-9]+', '*', 'g') AS "Pattern",
+                 val FROM v)
+        SELECT "Pattern", count(*) AS "Count",
+               min(val) AS "Representative"
+        FROM p GROUP BY "Pattern"
+        ORDER BY "Count" DESC, "Pattern" LIMIT 20
+        """,
+    ),
+    # EXTENSION `evaluate sequence_detect` — distributed greedy
+    # forward-asof funnel chains (view → click → purchase per user)
+    "pql_sequence_detect": (
+        """
+        events
+        | evaluate sequence_detect(ts, 1d, 2d,
+            v = event_type == "view",
+            c = event_type == "click",
+            p = event_type == "purchase"
+            by user_id)
+        | sort by user_id asc, v_ts asc, c_ts asc, p_ts asc
+        """,
+        """
+        WITH base AS (SELECT user_id, ts, event_type FROM events),
+        s1 AS (SELECT user_id, ts AS t0 FROM base
+               WHERE event_type = 'view'),
+        u2 AS (
+          SELECT user_id, ts AS u_ts, 1 AS ev,
+                 CAST(NULL AS TIMESTAMP) AS t0
+          FROM base WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, t0, 0, t0 FROM s1),
+        c2 AS (
+          SELECT user_id, ev, t0,
+                 min(CASE WHEN ev = 1 THEN u_ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY u_ts DESC, ev ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS t1
+          FROM u2),
+        p2 AS (SELECT user_id, t0, t1 FROM c2
+               WHERE ev = 0 AND t1 IS NOT NULL
+                 AND epoch_us(t1) <= epoch_us(t0) + 86400000000),
+        u3 AS (
+          SELECT user_id, ts AS u_ts, 1 AS ev,
+                 CAST(NULL AS TIMESTAMP) AS t0,
+                 CAST(NULL AS TIMESTAMP) AS t1
+          FROM base WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, t1, 0, t0, t1 FROM p2),
+        c3 AS (
+          SELECT user_id, ev, t0, t1,
+                 min(CASE WHEN ev = 1 THEN u_ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY u_ts DESC, ev ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS t2
+          FROM u3),
+        p3 AS (SELECT user_id, t0, t1, t2 FROM c3
+               WHERE ev = 0 AND t2 IS NOT NULL
+                 AND epoch_us(t2) <= epoch_us(t1) + 86400000000
+                 AND epoch_us(t2) <= epoch_us(t0) + 172800000000)
+        SELECT user_id, t0 AS v_ts, t1 AS c_ts, t2 AS p_ts
+        FROM p3 ORDER BY user_id, v_ts, c_ts, p_ts
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

@@ -547,6 +547,37 @@ class ParseKvOp(Op):
 
 
 @dataclass
+class SequenceDetectOp(Op):
+    """``evaluate sequence_detect(TsCol, stepWindow, spanWindow,
+    s1 = pred1, s2 = pred2, … [by K1, K2])`` (EXTENSION, simplified
+    KQL sequence_detect): per-key ordered sequence matching.  For each
+    step-1 event, greedily chains the EARLIEST later event matching
+    each next step within ``stepWindow`` of the previous step; the
+    whole sequence must span ≤ ``spanWindow``.  Output: key columns +
+    one ``<step>_<TsCol>`` timestamp per step.  Compiled to N-1
+    union+running-min window passes — no per-row iteration, no driver
+    state (divergence from KQL: greedy-earliest chains may overlap)."""
+
+    timeline: Ident
+    step_usec: int
+    span_usec: int
+    steps: list[ColSpec]
+    keys: list[Ident]
+
+
+@dataclass
+class ReduceOp(Op):
+    """``reduce by Expr`` (EXTENSION, simplified KQL reduce): groups
+    rows whose string value collapses to the same wildcard pattern
+    (hex runs ≥8 and digit runs → ``*``) and emits
+    ``Pattern, Count, Representative`` — deterministic (min value per
+    pattern as the representative) instead of KQL's similarity
+    clustering, so it is oracle-checkable."""
+
+    expr: Expr
+
+
+@dataclass
 class SearchOp(Op):
     """``search "term"`` — keep rows where ANY column's string form
     contains the term, case-insensitively (KQL search scoped to the

@@ -76,6 +76,8 @@ from .ast_nodes import (
     ProjectReorderOp,
     RangeSource,
     SampleOp,
+    ReduceOp,
+    SequenceDetectOp,
     SearchOp,
     SerializeOp,
     TopHittersOp,
@@ -752,6 +754,8 @@ class Compiler:
             ).agg(agg)
         if isinstance(op, BagUnpackOp):
             return self._bag_unpack(df, op)
+        if isinstance(op, SequenceDetectOp):
+            return self._sequence_detect(df, op, env)
         if isinstance(op, PartitionOp):
             return self._partition(df, op)
         if isinstance(op, ScanOp):
@@ -849,6 +853,22 @@ class Compiler:
                 if name not in order:
                     order.append(name)
             return mid.select(*[items[c] for c in order])
+        if isinstance(op, ReduceOp):
+            # wildcard-collapse then a plain partial/final hash agg —
+            # one shuffle on the (low-cardinality) pattern key
+            val = self.compile_expr(op.expr, env).cast("string")
+            pat = F.regexp_replace(
+                F.regexp_replace(val, "[0-9A-Fa-f]{8,}", "*"),
+                "[0-9]+", "*",
+            )
+            return (
+                df.select(pat.alias("Pattern"), val.alias("__rv"))
+                .groupBy("Pattern")
+                .agg(
+                    F.count(F.lit(1)).alias("Count"),
+                    F.min("__rv").alias("Representative"),
+                )
+            )
         if isinstance(op, SearchOp):
             term = op.term.lower()
             pred = None
@@ -1364,6 +1384,98 @@ class Compiler:
                 pend_sort[0].expr.span,
             )
         return cur
+
+    def _sequence_detect(
+        self, df: DataFrame, op: SequenceDetectOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate sequence_detect``: greedy-earliest per-key event
+        sequences.  Each step is one union + running-min window pass —
+        the same distributed forward-asof shape as
+        ``temporal.asof_join`` (no per-row iteration, no driver state,
+        one shuffle per step on the keys).  See SequenceDetectOp for
+        the documented divergence from KQL."""
+        from pyspark.sql import Window
+
+        ts_name = op.timeline.parts[0]
+        if ts_name not in df.columns:
+            raise ParseError(
+                f"sequence_detect: unknown timeline column {ts_name!r}",
+                op.timeline.span,
+            )
+        keys = []
+        for k in op.keys:
+            if k.parts[0] not in df.columns:
+                raise ParseError(
+                    f"sequence_detect: unknown key column {k.parts[0]!r}",
+                    k.span,
+                )
+            keys.append(k.parts[0])
+        n = len(op.steps)
+        names = [self._col_name(s) for s in op.steps]
+        TS, EV = "__sq_ts", "__sq_ev"
+        preds = [self.compile_expr(s.expr, env) for s in op.steps]
+        base = df.select(
+            *[F.col(_q(k)) for k in keys],
+            F.col(_q(ts_name)).alias(TS),
+            *[p.alias(f"__sq_p{i}") for i, p in enumerate(preds)],
+        )
+        ts_type = dict(base.dtypes)[TS]
+        part = [F.col(_q(k)) for k in keys] if keys else [F.lit(1)]
+        cur = base.filter(F.col("__sq_p0")).select(
+            *keys, F.col(TS).alias("__t0")
+        )
+        for i in range(1, n):
+            prev, this = f"__t{i - 1}", f"__t{i}"
+            ev = base.filter(F.col(f"__sq_p{i}")).select(
+                *keys,
+                F.col(TS).alias("__u_ts"),
+                F.lit(1).alias(EV),
+                *[
+                    F.lit(None).cast(ts_type).alias(f"__t{j}")
+                    for j in range(i)
+                ],
+            )
+            pr = cur.select(
+                *keys,
+                F.col(prev).alias("__u_ts"),
+                F.lit(0).alias(EV),
+                *[F.col(f"__t{j}") for j in range(i)],
+            )
+            # descending traversal: running min of event timestamps
+            # strictly AFTER each probe (ties excluded by the EV
+            # secondary order — probes sort before same-ts events)
+            w = (
+                Window.partitionBy(*part)
+                .orderBy(F.col("__u_ts").desc(), F.col(EV).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            nxt = F.min(
+                F.when(F.col(EV) == 1, F.col("__u_ts"))
+            ).over(w)
+            cur = (
+                ev.unionByName(pr)
+                .withColumn(this, nxt)
+                .filter(
+                    (F.col(EV) == 0)
+                    & F.col(this).isNotNull()
+                    & (
+                        F.unix_micros(F.col(this))
+                        <= F.unix_micros(F.col(prev)) + op.step_usec
+                    )
+                )
+                .select(*keys, *[F.col(f"__t{j}") for j in range(i + 1)])
+            )
+        cur = cur.filter(
+            F.unix_micros(F.col(f"__t{n - 1}"))
+            <= F.unix_micros(F.col("__t0")) + op.span_usec
+        )
+        return cur.select(
+            *keys,
+            *[
+                F.col(f"__t{i}").alias(f"{names[i]}_{ts_name}")
+                for i in range(n)
+            ],
+        )
 
     def _bag_unpack(self, df: DataFrame, op: BagUnpackOp) -> DataFrame:
         """``evaluate bag_unpack``: one small key-discovery aggregate

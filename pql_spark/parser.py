@@ -58,7 +58,9 @@ from .ast_nodes import (
     RangeSource,
     RenderOp,
     SampleOp,
+    ReduceOp,
     SearchOp,
+    SequenceDetectOp,
     SerializeOp,
     SeriesSpec,
     SortOp,
@@ -503,6 +505,109 @@ def _parse_let_func(p: _P, kw: Token, name: Token) -> LetStatement:
     )
 
 
+def _parse_find(p: _P, kw: Token) -> tuple[TableRef, list[Op]]:
+    """EXTENSION (KQL ``find`` operator, simplified):
+    ``find [withsource = Col] in (T1, T2, …) where Pred
+    [project C1, C2, …]``
+
+    Desugars to a pure composition of existing operators — each table
+    extends a provenance column (default ``source_``), the branches
+    bag-union by name (outer, null-filled), the predicate filters, and
+    an optional project trims columns.  Both backends get it for free.
+    Divergence from KQL: no ``pack_(*)`` of non-common columns and no
+    ``project-smart`` — the outer union keeps every column.
+    """
+    ws = "source_"
+    if p.match_word("withsource"):
+        p.expect(TokenKind.ASSIGN, "'='")
+        t = p.take()
+        if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected column name", t.span)
+        ws = t.value
+    t = p.take()
+    if t.kind is not TokenKind.IN:
+        raise ParseError("find: expected 'in'", t.span)
+    p.expect(TokenKind.LPAREN, "'('")
+    tables: list[TableRef] = []
+    while True:
+        t = p.take()
+        if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected table name", t.span)
+        tables.append(
+            TableRef(
+                name=t.value,
+                quoted=t.kind is TokenKind.QIDENT,
+                span=t.span,
+            )
+        )
+        if not p.match(TokenKind.COMMA):
+            break
+    p.expect(TokenKind.RPAREN, "')'")
+    wt = p.take()
+    if wt.kind is not TokenKind.IDENT or wt.value not in (
+        "where", "filter"
+    ):
+        raise ParseError("find: expected 'where'", wt.span)
+    pred = p.parse_expr()
+    proj: ProjectOp | None = None
+    pw = p.match_word("project")
+    if pw is not None:
+        cols = []
+        while True:
+            t = p.take()
+            if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected column name", t.span)
+            cols.append(
+                ColSpec(
+                    name=t.value,
+                    expr=Ident(
+                        parts=[t.value],
+                        quoted=[t.kind is TokenKind.QIDENT],
+                        span=t.span,
+                    ),
+                    span=t.span,
+                )
+            )
+            if not p.match(TokenKind.COMMA):
+                break
+        proj = ProjectOp(
+            cols=cols, span=Span(pw.span.start, cols[-1].span.end)
+        )
+
+    def tagged(ref: TableRef) -> TabularExpr:
+        ext = ExtendOp(
+            cols=[
+                ColSpec(
+                    name=ws,
+                    expr=StringLit(value=ref.name, span=ref.span),
+                    span=ref.span,
+                )
+            ],
+            span=ref.span,
+        )
+        return TabularExpr(
+            source=ref, operators=[ext], span=ref.span
+        )
+
+    first = tagged(tables[0])
+    ops: list[Op] = list(first.operators)
+    if len(tables) > 1:
+        ops.append(
+            UnionOp(
+                others=[tagged(r) for r in tables[1:]],
+                withsource=None,
+                kind="outer",
+                span=kw.span,
+            )
+        )
+    ops.append(
+        WhereOp(predicate=pred, span=Span(kw.span.start, pred.span.end))
+    )
+    if proj is not None:
+        ops.append(proj)
+    return tables[0], ops
+
+
 def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
     segments = _split_on(tokens, TokenKind.PIPE)
     errors: list[ParseError] = []
@@ -514,7 +619,21 @@ def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
     if tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
         raise ParseError("expected table name", tok.span)
     table: TableRef | DatatableSource | RangeSource | ExternalDataSource
-    if tok.kind is TokenKind.IDENT and tok.value == "datatable":
+    find_ops: list[Op] | None = None
+    if (
+        tok.kind is TokenKind.IDENT
+        and tok.value == "find"
+        and p.peek() is not None
+        and (
+            p.peek().kind is TokenKind.IN
+            or (
+                p.peek().kind is TokenKind.IDENT
+                and p.peek().value == "withsource"
+            )
+        )
+    ):  # `find in (…) where …` — otherwise `find` is a table name
+        table, find_ops = _parse_find(p, tok)
+    elif tok.kind is TokenKind.IDENT and tok.value == "datatable":
         table = _parse_datatable(p, tok)
     elif tok.kind is TokenKind.IDENT and tok.value == "externaldata":
         table = _parse_externaldata(p, tok)
@@ -536,7 +655,7 @@ def _parse_tabular(tokens: list[Token], source: str) -> TabularExpr:
         p.expect_end()
     except ParseError as e:
         errors.append(e)
-    ops: list[Op] = []
+    ops: list[Op] = list(find_ops) if find_ops else []
     for seg in segments[1:]:
         if not seg:
             errors.append(ParseError("empty pipeline segment", table.span))
@@ -1749,10 +1868,68 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             prefix=prefix,
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value == "sequence_detect":
+        p.expect(TokenKind.LPAREN, "'('")
+        ts_tok = p.take()
+        if ts_tok.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected timeline column", ts_tok.span)
+        timeline = Ident(
+            parts=[ts_tok.value],
+            quoted=[ts_tok.kind is TokenKind.QIDENT],
+            span=ts_tok.span,
+        )
+
+        def window_usec() -> int:
+            p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind is TokenKind.TIMESPAN:
+                return int(t.value)
+            if t.kind is TokenKind.STRING:
+                from .functions import _duration_usec
+
+                return _duration_usec(t.value, t.span)
+            raise ParseError(
+                "expected a timespan literal (e.g. 1h)", t.span
+            )
+
+        step_usec = window_usec()
+        span_usec = window_usec()
+        steps: list[ColSpec] = []
+        keys: list[Ident] = []
+        while p.match(TokenKind.COMMA):
+            steps.append(p.parse_colspec(require_expr=True))
+        if p.match(TokenKind.BY):
+            while True:
+                kt = p.take()
+                if kt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                    raise ParseError("expected key column", kt.span)
+                keys.append(
+                    Ident(
+                        parts=[kt.value],
+                        quoted=[kt.kind is TokenKind.QIDENT],
+                        span=kt.span,
+                    )
+                )
+                if not p.match(TokenKind.COMMA):
+                    break
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        if len(steps) < 2:
+            raise ParseError(
+                "sequence_detect needs at least 2 step expressions",
+                plugin.span,
+            )
+        return SequenceDetectOp(
+            timeline=timeline,
+            step_usec=step_usec,
+            span_usec=span_usec,
+            steps=steps,
+            keys=keys,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value != "pivot":
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
-            " (supported: pivot, bag_unpack, narrow)",
+            " (supported: pivot, bag_unpack, narrow, sequence_detect)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")
@@ -1950,6 +2127,15 @@ def _op_serialize(p: _P, kw: Token) -> Op:
     return SerializeOp(by=by, span=Span(kw.span.start, end))
 
 
+def _op_reduce(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``reduce by Expr`` — wildcard-pattern clustering
+    (see ReduceOp docstring for the simplified, deterministic
+    semantics)."""
+    p.expect(TokenKind.BY, "'by'")
+    expr = p.parse_expr()
+    return ReduceOp(expr=expr, span=Span(kw.span.start, expr.span.end))
+
+
 def _op_search(p: _P, kw: Token) -> Op:
     """EXTENSION: ``search "term"`` — any-column case-insensitive
     substring filter (KQL search scoped to the pipeline input)."""
@@ -1966,6 +2152,7 @@ _OPERATORS = {
     "parse-where": _op_parse_where,
     "parse-kv": _op_parse_kv,
     "search": _op_search,
+    "reduce": _op_reduce,
     "serialize": _op_serialize,
     "sample": _op_sample,
     "sample-distinct": _op_sample_distinct,

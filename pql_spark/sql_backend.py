@@ -67,6 +67,7 @@ from .ast_nodes import (
     ProjectReorderOp,
     RangeSource,
     SampleOp,
+    ReduceOp,
     SearchOp,
     SerializeOp,
     TopHittersOp,
@@ -677,6 +678,18 @@ class _SqlEmitter:
                     out.append(name)
                     items.append(item)
             return f"SELECT {', '.join(items)} FROM {inner}", out
+        if isinstance(op, ReduceOp):
+            val = f"CAST({self.expr(op.expr)} AS STRING)"
+            pat = (
+                f"regexp_replace(regexp_replace({val},"
+                " '[0-9A-Fa-f]{8,}', '*'), '[0-9]+', '*')"
+            )
+            return (
+                f"SELECT {pat} AS `Pattern`, count(1) AS `Count`,"
+                f" min({val}) AS `Representative` FROM {inner}"
+                f" GROUP BY {pat}",
+                ["Pattern", "Count", "Representative"],
+            )
         if isinstance(op, SearchOp):
             term = _qs(op.term.lower())
             hits = " OR ".join(
