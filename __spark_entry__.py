@@ -1904,6 +1904,23 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM p3 ORDER BY user_id, v_ts, c_ts, p_ts
         """,
     ),
+    # EXTENSION `invoke` + tabular-bodied let-function (KQL view)
+    "pql_invoke_op": (
+        """
+        let hot = (src: (*), thr: real) {
+            src
+            | where value >= thr
+            | summarize n = count(), avg_v = round(avg(value), 2)
+                by event_type };
+        events | invoke hot(300.0) | sort by event_type asc
+        """,
+        """
+        SELECT event_type, count(*) AS n,
+               round(avg(value), 2) AS avg_v
+        FROM events WHERE value >= 300.0
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

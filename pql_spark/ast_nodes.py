@@ -566,6 +566,18 @@ class SequenceDetectOp(Op):
 
 
 @dataclass
+class InvokeOp(Op):
+    """``T | invoke f(arg1, …)`` (EXTENSION, KQL invoke): call a
+    tabular-bodied let-function with the piped input bound to its
+    first parameter (declared ``(*)``); remaining args substitute the
+    scalar parameters (constants recommended — substitution is
+    textual, like `let`)."""
+
+    name: str
+    args: list[Expr]
+
+
+@dataclass
 class ReduceOp(Op):
     """``reduce by Expr`` (EXTENSION, simplified KQL reduce): groups
     rows whose string value collapses to the same wildcard pattern
@@ -655,7 +667,12 @@ class FuncDef(Node):
     into codegen like any other."""
 
     params: list[tuple[str, str | None]]  # (name, declared type or None)
-    body: "Expr"
+    body: "Expr | None"
+    # EXTENSION: tabular-bodied function (KQL "view"-style let) —
+    # ``let f = (t: (*), n: long) { t | take n };`` — invoked with
+    # ``T | invoke f(5)``; the piped input binds the first (tabular)
+    # parameter, scalar args substitute like lets
+    tab_body: "TabularExpr | None" = None
 
 
 @dataclass

@@ -76,6 +76,7 @@ from .ast_nodes import (
     ProjectReorderOp,
     RangeSource,
     SampleOp,
+    InvokeOp,
     ReduceOp,
     SequenceDetectOp,
     SearchOp,
@@ -756,6 +757,48 @@ class Compiler:
             return self._bag_unpack(df, op)
         if isinstance(op, SequenceDetectOp):
             return self._sequence_detect(df, op, env)
+        if isinstance(op, InvokeOp):
+            fd = self.let_funcs.get(op.name)
+            if fd is None or fd.tab_body is None:
+                raise ParseError(
+                    f"invoke: {op.name!r} is not a tabular-bodied"
+                    " let-function (declare its first parameter as"
+                    " '(*)')",
+                    op.span,
+                )
+            if op.name in self._inlining:
+                raise ParseError(
+                    f"recursive let-function {op.name!r} is not"
+                    " supported",
+                    op.span,
+                )
+            if len(op.args) != len(fd.params) - 1:
+                raise ParseError(
+                    f"invoke {op.name}() takes {len(fd.params) - 1}"
+                    f" argument(s), got {len(op.args)}",
+                    op.span,
+                )
+            tab_name = fd.params[0][0]
+            saved_bind = self.bindings.get(tab_name)
+            saved_lets: dict[str, Expr | None] = {}
+            self.bindings[tab_name] = df
+            for (pname, _ty), arg in zip(fd.params[1:], op.args):
+                saved_lets[pname] = self.lets.get(pname)
+                self.lets[pname] = arg  # textual substitution, like let
+            self._inlining.add(op.name)
+            try:
+                return self.compile_tabular(fd.tab_body)
+            finally:
+                self._inlining.discard(op.name)
+                if saved_bind is None:
+                    self.bindings.pop(tab_name, None)
+                else:
+                    self.bindings[tab_name] = saved_bind
+                for pname, prev in saved_lets.items():
+                    if prev is None:
+                        self.lets.pop(pname, None)
+                    else:
+                        self.lets[pname] = prev
         if isinstance(op, PartitionOp):
             return self._partition(df, op)
         if isinstance(op, ScanOp):

@@ -58,6 +58,7 @@ from .ast_nodes import (
     RangeSource,
     RenderOp,
     SampleOp,
+    InvokeOp,
     ReduceOp,
     SearchOp,
     SequenceDetectOp,
@@ -482,17 +483,54 @@ def _parse_let_func(p: _P, kw: Token, name: Token) -> LetStatement:
                 raise ParseError("expected parameter name", pn.span)
             ty: str | None = None
             if p.match(TokenKind.COLON):
-                tt = p.expect(TokenKind.IDENT, "type name")
-                if tt.value not in _DATATABLE_TYPES:
-                    raise ParseError(
-                        f"unknown parameter type {tt.value!r}", tt.span
-                    )
-                ty = tt.value
+                if p.peek() is not None and p.peek().kind is TokenKind.LPAREN:
+                    # EXTENSION tabular parameter: `t: (*)`
+                    p.take()
+                    p.expect(TokenKind.STAR, "'*'")
+                    p.expect(TokenKind.RPAREN, "')'")
+                    ty = "(*)"
+                else:
+                    tt = p.expect(TokenKind.IDENT, "type name")
+                    if tt.value not in _DATATABLE_TYPES:
+                        raise ParseError(
+                            f"unknown parameter type {tt.value!r}", tt.span
+                        )
+                    ty = tt.value
             params.append((pn.value, ty))
             if not p.match(TokenKind.COMMA):
                 break
     p.expect(TokenKind.RPAREN, "')'")
     p.expect(TokenKind.LBRACE, "'{'")
+    if any(ty == "(*)" for _, ty in params):
+        # EXTENSION tabular-bodied function ("view"): body is a full
+        # pipeline whose source may be the tabular parameter
+        depth = 1
+        body_toks: list[Token] = []
+        while True:
+            t = p.take()
+            if t.kind is TokenKind.LBRACE:
+                depth += 1
+            elif t.kind is TokenKind.RBRACE:
+                depth -= 1
+                if depth == 0:
+                    rb = t
+                    break
+            body_toks.append(t)
+        p.expect_end()
+        if params[0][1] != "(*)":
+            raise ParseError(
+                "the tabular '(*)' parameter must come first",
+                name.span,
+            )
+        tab = _parse_tabular(body_toks, p.source)
+        fd = FuncDef(
+            params=params, body=None, tab_body=tab,
+            span=Span(kw.span.start, rb.span.end),
+        )
+        return LetStatement(
+            name=name.value, expr=None, func=fd,
+            span=Span(kw.span.start, rb.span.end),
+        )
     body = p.parse_expr()
     rb = p.expect(TokenKind.RBRACE, "'}'")
     p.expect_end()
@@ -2127,6 +2165,24 @@ def _op_serialize(p: _P, kw: Token) -> Op:
     return SerializeOp(by=by, span=Span(kw.span.start, end))
 
 
+def _op_invoke(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``invoke f(arg1, …)`` — call a tabular-bodied
+    let-function with the piped input as its first parameter."""
+    nm = p.take()
+    if nm.kind is not TokenKind.IDENT:
+        raise ParseError("invoke: expected function name", nm.span)
+    p.expect(TokenKind.LPAREN, "'('")
+    args: list[Expr] = []
+    if p.peek() is not None and p.peek().kind is not TokenKind.RPAREN:
+        args.append(p.parse_expr())
+        while p.match(TokenKind.COMMA):
+            args.append(p.parse_expr())
+    rp = p.expect(TokenKind.RPAREN, "')'")
+    return InvokeOp(
+        name=nm.value, args=args, span=Span(kw.span.start, rp.span.end)
+    )
+
+
 def _op_reduce(p: _P, kw: Token) -> Op:
     """EXTENSION: ``reduce by Expr`` — wildcard-pattern clustering
     (see ReduceOp docstring for the simplified, deterministic
@@ -2153,6 +2209,7 @@ _OPERATORS = {
     "parse-kv": _op_parse_kv,
     "search": _op_search,
     "reduce": _op_reduce,
+    "invoke": _op_invoke,
     "serialize": _op_serialize,
     "sample": _op_sample,
     "sample-distinct": _op_sample_distinct,
