@@ -1921,6 +1921,44 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # EXTENSION `evaluate autocluster` — segment mining via native
+    # CUBE grouping sets (one shuffle; percent from the cube's own
+    # all-wildcard row, no extra scan)
+    "pql_autocluster": (
+        """
+        events
+        | extend vb = iff(value >= 250.0, "high", "low")
+        | evaluate autocluster(15, event_type, vb)
+        """,
+        """
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN coalesce(value >= 250.0, FALSE)
+                      THEN 'high' ELSE 'low' END AS vb
+          FROM events),
+        c AS (
+          SELECT count(*) AS "SegmentCount",
+                 CAST(GROUPING(event_type) AS INT)
+                 + CAST(GROUPING(vb) AS INT) AS gsum,
+                 CASE WHEN GROUPING(event_type) = 1 THEN '*'
+                      ELSE coalesce(CAST(event_type AS VARCHAR),
+                                    '(null)') END AS event_type,
+                 CASE WHEN GROUPING(vb) = 1 THEN '*'
+                      ELSE coalesce(CAST(vb AS VARCHAR), '(null)')
+                 END AS vb
+          FROM e GROUP BY CUBE (event_type, vb)),
+        p AS (
+          SELECT "SegmentCount",
+                 round("SegmentCount" * 100.0 /
+                       max(CASE WHEN gsum = 2 THEN "SegmentCount" END)
+                       OVER (), 2) AS "Percent",
+                 gsum, event_type, vb
+          FROM c)
+        SELECT "SegmentCount", "Percent", event_type, vb FROM p
+        WHERE gsum < 2 AND "Percent" >= 15.0
+        ORDER BY "SegmentCount" DESC, event_type, vb
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

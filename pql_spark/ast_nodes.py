@@ -566,6 +566,21 @@ class SequenceDetectOp(Op):
 
 
 @dataclass
+class AutoclusterOp(Op):
+    """``evaluate autocluster([minPercent][, C1, C2, …])`` /
+    ``evaluate basket([minPercent][, C1, …])`` (EXTENSION, simplified
+    KQL data-mining plugins): frequent attribute-combination segments
+    via a native CUBE (grouping sets).  Every column subset's value
+    combination with coverage ≥ minPercent (default 5%) becomes a row:
+    ``SegmentCount, Percent, C1…Ck`` with ``*`` for wildcarded columns.
+    Divergence from KQL: threshold-based ranking (deterministic,
+    oracle-checkable) instead of the proprietary scoring heuristics."""
+
+    cols: list[Ident]
+    min_percent: float
+
+
+@dataclass
 class InvokeOp(Op):
     """``T | invoke f(arg1, …)`` (EXTENSION, KQL invoke): call a
     tabular-bodied let-function with the piped input bound to its

@@ -76,6 +76,7 @@ from .ast_nodes import (
     ProjectReorderOp,
     RangeSource,
     SampleOp,
+    AutoclusterOp,
     InvokeOp,
     ReduceOp,
     SequenceDetectOp,
@@ -757,6 +758,8 @@ class Compiler:
             return self._bag_unpack(df, op)
         if isinstance(op, SequenceDetectOp):
             return self._sequence_detect(df, op, env)
+        if isinstance(op, AutoclusterOp):
+            return self._autocluster(df, op)
         if isinstance(op, InvokeOp):
             fd = self.let_funcs.get(op.name)
             if fd is None or fd.tab_body is None:
@@ -1519,6 +1522,79 @@ class Compiler:
                 for i in range(n)
             ],
         )
+
+    def _autocluster(self, df: DataFrame, op: AutoclusterOp) -> DataFrame:
+        """``evaluate autocluster/basket``: one native CUBE aggregation
+        (Catalyst grouping sets — partial/final hash agg, a single
+        shuffle).  Coverage percent comes from the cube's own
+        all-wildcard row via a window over the (already tiny)
+        aggregated result, so no extra count() action/scan."""
+        from pyspark.sql import Window
+
+        if op.cols:
+            names = [c.parts[0] for c in op.cols]
+            for c, n in zip(op.cols, names):
+                if n not in df.columns:
+                    raise ParseError(
+                        f"autocluster: unknown column {n!r}", c.span
+                    )
+        else:  # default: every string column
+            names = [
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+            ]
+            if not names:
+                raise ParseError(
+                    "autocluster: no string columns to cluster"
+                    " (list columns explicitly)",
+                    op.span,
+                )
+        if len(names) > 6:
+            raise ParseError(
+                f"autocluster: at most 6 columns (got {len(names)};"
+                " the cube grows 2^k)",
+                op.span,
+            )
+        k = len(names)
+        total = F.max(
+            F.when(F.col("__gsum") == k, F.col("SegmentCount"))
+        ).over(Window.partitionBy())
+        pct = F.round(F.col("SegmentCount") * 100.0 / total, 2)
+        pats = [
+            F.when(
+                F.grouping(_q(n)) == 1, F.lit("*")
+            ).otherwise(
+                F.coalesce(F.col(_q(n)).cast("string"), F.lit("(null)"))
+            )
+            for n in names
+        ]
+        # grouping() only exists inside the cube agg — materialize the
+        # pattern columns there
+        agg = df.cube(*[F.col(_q(n)) for n in names]).agg(
+            F.count(F.lit(1)).alias("SegmentCount"),
+            sum(
+                (F.grouping(_q(n)).cast("int") for n in names),
+                F.lit(0),
+            ).alias("__gsum"),
+            *[p.alias(f"__p_{n}") for n, p in zip(names, pats)],
+        )
+        out = (
+            agg.withColumn("Percent", pct)
+            .filter(
+                (F.col("__gsum") < k)
+                & (F.col("Percent") >= op.min_percent)
+            )
+            .select(
+                "SegmentCount",
+                "Percent",
+                *[F.col(f"__p_{n}").alias(n) for n in names],
+            )
+            .orderBy(
+                F.col("SegmentCount").desc(),
+                *[F.col(_q(n)).asc() for n in names],
+            )
+        )
+        return out
 
     def _bag_unpack(self, df: DataFrame, op: BagUnpackOp) -> DataFrame:
         """``evaluate bag_unpack``: one small key-discovery aggregate

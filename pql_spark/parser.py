@@ -58,6 +58,7 @@ from .ast_nodes import (
     RangeSource,
     RenderOp,
     SampleOp,
+    AutoclusterOp,
     InvokeOp,
     ReduceOp,
     SearchOp,
@@ -1906,6 +1907,38 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             prefix=prefix,
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value in ("autocluster", "basket"):
+        p.expect(TokenKind.LPAREN, "'('")
+        min_percent = 5.0
+        cols: list[Ident] = []
+        first = True
+        while p.peek() is not None and p.peek().kind is not TokenKind.RPAREN:
+            if not first:
+                p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if first and t.kind is TokenKind.NUMBER:
+                min_percent = float(t.value)
+            elif t.kind in (TokenKind.IDENT, TokenKind.QIDENT):
+                cols.append(
+                    Ident(
+                        parts=[t.value],
+                        quoted=[t.kind is TokenKind.QIDENT],
+                        span=t.span,
+                    )
+                )
+            else:
+                raise ParseError(
+                    f"{plugin.value}: expected a percent literal or"
+                    " column name",
+                    t.span,
+                )
+            first = False
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return AutoclusterOp(
+            cols=cols,
+            min_percent=min_percent,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value == "sequence_detect":
         p.expect(TokenKind.LPAREN, "'('")
         ts_tok = p.take()
@@ -1967,7 +2000,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
     if plugin.value != "pivot":
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
-            " (supported: pivot, bag_unpack, narrow, sequence_detect)",
+            " (supported: pivot, bag_unpack, narrow,"
+            " sequence_detect, autocluster, basket)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -67,6 +67,7 @@ from .ast_nodes import (
     ProjectReorderOp,
     RangeSource,
     SampleOp,
+    AutoclusterOp,
     ReduceOp,
     SearchOp,
     SerializeOp,
@@ -678,6 +679,63 @@ class _SqlEmitter:
                     out.append(name)
                     items.append(item)
             return f"SELECT {', '.join(items)} FROM {inner}", out
+        if isinstance(op, AutoclusterOp):
+            if not op.cols:
+                raise ParseError(
+                    "autocluster: list the columns explicitly in the"
+                    " SQL backend (no schema to pick string columns"
+                    " from)",
+                    op.span,
+                )
+            names = [c.parts[0] for c in op.cols]
+            for c, n in zip(op.cols, names):
+                if n not in cols:
+                    raise ParseError(
+                        f"autocluster: unknown column {n!r}", c.span
+                    )
+            if len(names) > 6:
+                raise ParseError(
+                    f"autocluster: at most 6 columns (got {len(names)})",
+                    op.span,
+                )
+            k = len(names)
+            gsum = " + ".join(
+                f"CAST(grouping({_q(n)}) AS INT)" for n in names
+            )
+            pats = ", ".join(
+                f"CASE WHEN grouping({_q(n)}) = 1 THEN '*'"
+                f" ELSE coalesce(CAST({_q(n)} AS STRING), '(null)') END"
+                f" AS {_q('__p_' + n)}"
+                for n in names
+            )
+            cube = (
+                f"SELECT count(1) AS `SegmentCount`, {gsum} AS `__gsum`,"
+                f" {pats} FROM {inner}"
+                f" GROUP BY CUBE ({', '.join(_q(n) for n in names)})"
+            )
+            pct = (
+                "round(`SegmentCount` * 100.0 /"
+                " max(CASE WHEN `__gsum` = "
+                f"{k} THEN `SegmentCount` END) OVER (), 2)"
+            )
+            mid = (
+                f"SELECT `SegmentCount`, {pct} AS `Percent`, `__gsum`,"
+                f" {', '.join(_q('__p_' + n) for n in names)}"
+                f" FROM ({cube})"
+            )
+            outer_cols = ", ".join(
+                f"{_q('__p_' + n)} AS {_q(n)}" for n in names
+            )
+            order = ", ".join(
+                f"{_q('__p_' + n)} ASC NULLS FIRST" for n in names
+            )
+            return (
+                f"SELECT `SegmentCount`, `Percent`, {outer_cols}"
+                f" FROM ({mid}) WHERE `__gsum` < {k}"
+                f" AND `Percent` >= {op.min_percent!r}"
+                f" ORDER BY `SegmentCount` DESC NULLS LAST, {order}",
+                ["SegmentCount", "Percent", *names],
+            )
         if isinstance(op, ReduceOp):
             val = f"CAST({self.expr(op.expr)} AS STRING)"
             pat = (
