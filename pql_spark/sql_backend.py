@@ -69,6 +69,7 @@ from .ast_nodes import (
     SampleOp,
     AutoclusterOp,
     ReduceOp,
+    SequenceDetectOp,
     SearchOp,
     SerializeOp,
     TopHittersOp,
@@ -735,6 +736,87 @@ class _SqlEmitter:
                 f" AND `Percent` >= {op.min_percent!r}"
                 f" ORDER BY `SegmentCount` DESC NULLS LAST, {order}",
                 ["SegmentCount", "Percent", *names],
+            )
+        if isinstance(op, SequenceDetectOp):
+            # text twin of compiler._sequence_detect: same N-1
+            # union + running-min window passes, byte-identical
+            # semantics (strict-after ties via the __sq_ev secondary
+            # order)
+            ts = op.timeline.parts[0]
+            if ts not in cols:
+                raise ParseError(
+                    f"sequence_detect: unknown timeline column {ts!r}",
+                    op.timeline.span,
+                )
+            keys = []
+            for kc in op.keys:
+                if kc.parts[0] not in cols:
+                    raise ParseError(
+                        "sequence_detect: unknown key column"
+                        f" {kc.parts[0]!r}",
+                        kc.span,
+                    )
+                keys.append(kc.parts[0])
+            n = len(op.steps)
+            names = [
+                s.name if s.name is not None
+                else s.expr.source(self.text).strip()
+                for s in op.steps
+            ]
+            ksel = "".join(f"{_q(k)}, " for k in keys)
+            preds = ", ".join(
+                f"({self.expr(s.expr)}) AS __sq_p{i}"
+                for i, s in enumerate(op.steps)
+            )
+            base = (
+                f"SELECT {ksel}{_q(ts)} AS __sq_ts, {preds}"
+                f" FROM {inner}"
+            )
+            cur = (
+                f"SELECT {ksel}__sq_ts AS __t0 FROM ({base})"
+                " WHERE __sq_p0"
+            )
+            part = (
+                f"PARTITION BY {', '.join(_q(k) for k in keys)} "
+                if keys else ""
+            )
+            for i in range(1, n):
+                prev, this = f"__t{i - 1}", f"__t{i}"
+                prior = ", ".join(f"__t{j}" for j in range(i))
+                nulls = ", ".join(
+                    f"CAST(NULL AS TIMESTAMP) AS __t{j}"
+                    for j in range(i)
+                )
+                ev = (
+                    f"SELECT {ksel}__sq_ts AS __u_ts, 1 AS __sq_ev,"
+                    f" {nulls} FROM ({base}) WHERE __sq_p{i}"
+                )
+                pr = (
+                    f"SELECT {ksel}{prev} AS __u_ts, 0 AS __sq_ev,"
+                    f" {prior} FROM ({cur})"
+                )
+                win = (
+                    f"SELECT {ksel}__sq_ev, {prior},"
+                    " min(CASE WHEN __sq_ev = 1 THEN __u_ts END)"
+                    f" OVER ({part}ORDER BY __u_ts DESC, __sq_ev ASC"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                    f" ROW) AS {this}"
+                    f" FROM ({ev} UNION ALL {pr})"
+                )
+                cur = (
+                    f"SELECT {ksel}{prior}, {this} FROM ({win})"
+                    f" WHERE __sq_ev = 0 AND {this} IS NOT NULL"
+                    f" AND unix_micros({this})"
+                    f" <= unix_micros({prev}) + {op.step_usec}"
+                )
+            outs = ", ".join(
+                f"__t{i} AS {_q(f'{names[i]}_{ts}')}" for i in range(n)
+            )
+            return (
+                f"SELECT {ksel}{outs} FROM ({cur})"
+                f" WHERE unix_micros(__t{n - 1})"
+                f" <= unix_micros(__t0) + {op.span_usec}",
+                [*keys, *[f"{names[i]}_{ts}" for i in range(n)]],
             )
         if isinstance(op, ReduceOp):
             val = f"CAST({self.expr(op.expr)} AS STRING)"

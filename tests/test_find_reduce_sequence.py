@@ -210,3 +210,23 @@ def test_sequence_detect_errors(engine):
             "E | evaluate sequence_detect(ts, 1h, 1h,"
             ' a = etype == "login", b = etype == "delete" by ghost)'
         )  # unknown key column
+
+
+def test_sequence_detect_sql_backend(spark, tables, engine):
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    a = _rows(engine.query(_SEQ))
+    sql = compile_to_sql(_SEQ, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == a
+
+
+def test_sequence_detect_sql_backend_no_keys(spark, tables, engine):
+    q = (
+        "E | where user_id == 1 | evaluate sequence_detect(ts, 1h, 1h,"
+        ' a = etype == "login", b = etype == "delete")'
+    )
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    a = _rows(engine.query(q))
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == a

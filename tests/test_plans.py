@@ -140,3 +140,57 @@ def test_top_nested_others_broadcasts_survivors(engine):
     )
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_find_pushes_filter_into_both_scans(engine):
+    # `find in (…) where p` desugars to union+filter; Catalyst must
+    # push a same-named predicate through the union into EVERY scan
+    df = engine.query(
+        "find in (customer, supplier) where c_nationkey == 3"
+        " or s_nationkey == 3 project source_, c_name, s_name"
+    )
+    plan = formatted_plan(df)
+    # both parquet scans present, each pruned to the needed columns
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "Union" in plan
+    # no full-schema reads: each side reads only name + nationkey
+    assert "ReadSchema: struct<c_name:string,c_nationkey:int>" in plan
+    assert "ReadSchema: struct<s_name:string,s_nationkey:int>" in plan
+
+
+def test_sequence_detect_no_cartesian(engine):
+    df = engine.query(
+        """
+        events
+        | evaluate sequence_detect(ts, 1d, 2d,
+            v = event_type == "view", p = event_type == "purchase"
+            by user_id)
+        """
+    )
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one keyed window pass per chained step
+    assert "Window" in plan
+    # the step predicates evaluate JVM-side (no Python eval in plan)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_reduce_by_partial_aggregation(engine):
+    df = engine.query("events | reduce by event_type")
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "Partial" in plan
+    # one shuffle on the pattern key (each Exchange appears twice in
+    # formatted output: once in the tree, once as a detail header)
+    assert plan.count("Exchange") == 2
+
+
+def test_autocluster_single_cube_shuffle(engine):
+    df = engine.query(
+        'events | evaluate autocluster(10, event_type)'
+    )
+    plan = formatted_plan(df)
+    assert "Expand" in plan  # native grouping sets
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
