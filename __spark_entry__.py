@@ -2802,6 +2802,59 @@ def _png_decode_oracle() -> str:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: distributed PCM16 WAV decode (stdlib
+    ``wave``) + block-RMS featurization over deterministic synthetic
+    WAVs."""
+    media = M.synthesize_wav_media(spark, n=64)
+    feats = M.extract_features(media, dim=16, decoder="wav")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("feature")[0].cast("double"), 4).alias("f0"),
+        F.round(
+            F.expr(
+                "aggregate(transform(feature, x -> CAST(x AS DOUBLE)),"
+                " 0D, (a, x) -> a + x)"
+            ),
+            4,
+        ).alias("fsum"),
+    ).orderBy("media_id")
+
+
+def _wav_decode_oracle() -> str:
+    """Driver-side reference: the same synth→encode→decode→featurize
+    audio math run locally, emitted as a VALUES table — the
+    distributed kernel must reproduce it exactly."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import (
+        audio_feature,
+        decode_wav,
+        encode_wav,
+        synth_audio,
+    )
+
+    rows = []
+    for k in range(64):
+        payload = encode_wav(synth_audio(k), 8000)
+        samples, sr = decode_wav(payload)
+        feats = [
+            float(np.float32(v))
+            for v in audio_feature(samples, sr, 16)
+        ]
+        rows.append(
+            f"(CAST({k} AS BIGINT), CAST({len(payload)} AS BIGINT),"
+            f" CAST({round(feats[0], 4)!r} AS DOUBLE),"
+            f" CAST({round(sum(feats), 4)!r} AS DOUBLE))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, n_bytes, f0, fsum)"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir)("documents")
 
@@ -3229,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,
+            "op_multimodal_audio": _q_multimodal_audio,
             "op_stream_near_dup": _q_stream_near_dup,
             "pql_series_fit_2lines": _q_fit_2lines,
             "op_stream_sessionize": _q_stream_sessionize,
@@ -3284,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
             "op_stream_sink_upsert": _STREAM_SINK_ORACLE,
             "op_multimodal_decode": _png_decode_oracle(),
+            "op_multimodal_audio": _wav_decode_oracle(),
             "op_stream_near_dup": _stream_near_dup_oracle(),
             "pql_series_fit_2lines": _fit2_oracle(),
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,

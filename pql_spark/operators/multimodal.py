@@ -3,6 +3,9 @@ with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decoders:
 
+- ``decoder="wav"`` — a REAL audio codec path: PCM16 WAV payloads are
+  decoded with the pure-stdlib ``wave`` module and featurized as
+  block-RMS energies; ``synthesize_wav_media`` emits valid WAVs.
 - ``decoder="png"`` — a REAL codec path: payloads are decoded with the
   pure-stdlib PNG codec (``operators/_png.py``, zlib + numpy; 8-bit
   grey/RGB/RGBA, all five scanline filters) and featurized as a
@@ -145,6 +148,109 @@ def synthesize_png_media(
     return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_audio(k: int, sr: int = 8000, dur_ms: int = 250):
+    """Deterministic id-seeded test signal: a two-tone sine mixture
+    (plus a DC-free envelope) whose frequencies derive from ``k``."""
+    import numpy as np
+
+    n = sr * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64) / sr
+    f1 = 200.0 + 37.0 * (k % 13)
+    f2 = 900.0 + 53.0 * (k % 7)
+    sig = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(
+        2 * np.pi * f2 * t + k
+    )
+    env = 0.5 * (1 - np.cos(2 * np.pi * np.arange(n) / max(n - 1, 1)))
+    return (sig * env).astype(np.float64)
+
+
+def encode_wav(samples, sr: int = 8000) -> bytes:
+    """PCM16 mono WAV bytes via the pure-stdlib ``wave`` module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype(
+        "<i2"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """WAV bytes → (float64 samples in [-1, 1], sample rate) — stdlib
+    ``wave`` reader, PCM16 mono/stereo (stereo averaged to mono)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("decode_wav: only PCM16 supported")
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+        if w.getnchannels() > 1:
+            a = a.reshape(-1, w.getnchannels()).mean(axis=1)
+    return a, sr
+
+
+def synthesize_wav_media(
+    spark, n: int = 64, sr: int = 8000, dur_ms: int = 250
+) -> DataFrame:
+    """Deterministic REAL-WAV media table: each payload is a valid
+    PCM16 WAV (stdlib encoder) of an id-seeded two-tone signal —
+    decodable by any audio library, not just ours."""
+
+    def gen(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                rows.append(
+                    {
+                        "media_id": k,
+                        "kind": "audio",
+                        "payload": encode_wav(
+                            synth_audio(k, sr, dur_ms), sr
+                        ),
+                        "meta": {
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": dur_ms,
+                            "codec": "wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def audio_feature(samples, sr: int, dim: int = 16) -> list[float]:
+    """Block-RMS energy feature: split the signal into ``dim``
+    near-equal windows (row-major), RMS each.  Deterministic,
+    codec-independent — the same reference math runs driver-side in
+    oracles/tests (the audio twin of :func:`image_feature`)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    out: list[float] = []
+    for block in np.array_split(a, dim):
+        out.append(
+            float(np.sqrt((block * block).mean())) if block.size else 0.0
+        )
+    return out[:dim]
+
+
 def image_feature(img, dim: int = 16) -> list[float]:
     """Grid-of-block-means intensity feature: greyscale the image, tile
     it into ceil(√dim)² near-equal blocks (row-major), take the first
@@ -188,7 +294,7 @@ def extract_features(
     ffmpeg calls belong for other formats — unavailable in this
     container, so it raises.
     """
-    if decoder not in ("fake", "png", "real"):
+    if decoder not in ("fake", "png", "wav", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,6 +303,12 @@ def extract_features(
 
             def feat(p) -> list[float]:
                 return image_feature(decode_png(bytes(p)), dim)
+
+        elif decoder == "wav":
+
+            def feat(p) -> list[float]:
+                samples, sr = decode_wav(bytes(p))
+                return audio_feature(samples, sr, dim)
 
         else:
 
@@ -208,7 +320,8 @@ def extract_features(
                 raise NotImplementedError(
                     "codec libraries (Pillow/librosa/ffmpeg) are not "
                     "available in this environment; use decoder='png' "
-                    "for PNG payloads or decoder='fake'"
+                    "for PNG payloads, decoder='wav' for WAV, or "
+                    "decoder='fake'"
                 )
             yield pd.DataFrame(
                 {

@@ -88,3 +88,52 @@ def test_curate_corpus_no_lang_filter(raw_docs):
     )
     ids = {r.doc_id for r in out.collect()}
     assert 6 in ids  # german doc kept when lang filter is off
+
+
+def test_wav_roundtrip_and_distributed_feature(spark):
+    """WAV codec path: encode→decode roundtrip accuracy and the
+    distributed kernel reproducing driver-side reference math."""
+    import numpy as np
+
+    import pql_spark.operators.multimodal as M
+
+    sig = M.synth_audio(5)
+    payload = M.encode_wav(sig, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    back, sr = M.decode_wav(payload)
+    assert sr == 8000 and len(back) == len(sig)
+    assert float(np.abs(back - sig).max()) < 1e-3  # 16-bit quantization
+
+    media = M.synthesize_wav_media(spark, n=24)
+    feats = {r.media_id: r.feature
+             for r in M.extract_features(media, dim=8,
+                                         decoder="wav").collect()}
+    for k in (0, 11, 23):
+        p = M.encode_wav(M.synth_audio(k), 8000)
+        s, sr = M.decode_wav(p)
+        ref = M.audio_feature(s, sr, 8)
+        assert all(abs(a - b) < 1e-6 for a, b in zip(ref, feats[k]))
+
+
+def test_wav_stereo_decode():
+    import numpy as np
+
+    import pql_spark.operators.multimodal as M
+    import io
+    import wave
+
+    left = M.synth_audio(1)[:100]
+    right = M.synth_audio(2)[:100]
+    inter = np.empty(200, dtype=np.float64)
+    inter[0::2], inter[1::2] = left, right
+    pcm = np.clip(inter * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    mono, sr = M.decode_wav(buf.getvalue())
+    assert len(mono) == 100
+    ref = (np.round(left * 32767) + np.round(right * 32767)) / 2 / 32767
+    assert float(np.abs(mono - ref).max()) < 1e-3
