@@ -1959,6 +1959,74 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY "SegmentCount" DESC, event_type, vb
         """,
     ),
+    # EXTENSION series_fir + series_seasonal over make-series arrays
+    "pql_series_fir": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend f = series_fir(n, pack_array(1, 2, 1)),
+                 s = series_seasonal(n, 7)
+        | project event_type,
+            fsum = round(series_sum(f), 4),
+            ssum = round(series_sum(s), 4),
+            f2 = round(f[2], 4), s9 = round(s[9], 4)
+        | sort by event_type asc
+        """,
+        """
+        WITH g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS c
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01'
+                AND ts < TIMESTAMP '2024-01-31'
+              GROUP BY 1, 2),
+        m AS (SELECT event_type,
+                     map_from_entries(list(row(i, c))) AS mn
+              FROM g GROUP BY event_type),
+        s AS (SELECT event_type,
+                     [CAST(coalesce(mn[j][1], 0) AS DOUBLE)
+                      FOR j IN range(0, 30)] AS n
+              FROM m),
+        x AS (SELECT event_type, n,
+                     [CASE WHEN i = 1 THEN n[1]
+                           WHEN i = 2
+                             THEN (2 * n[1] + 1 * n[2]) / 3.0
+                           ELSE (1 * n[i - 2] + 2 * n[i - 1]
+                                 + 1 * n[i]) / 4.0 END
+                      FOR i IN range(1, 31)] AS f,
+                     [list_avg([n[j] FOR j IN range(1, 31)
+                                IF (j - 1) % 7 = (i - 1) % 7])
+                      FOR i IN range(1, 31)] AS sn
+              FROM s)
+        SELECT event_type,
+               round(list_sum(f), 4) AS fsum,
+               round(list_sum(sn), 4) AS ssum,
+               round(f[2], 4) AS f2, round(sn[9], 4) AS s9
+        FROM x ORDER BY event_type
+        """,
+    ),
+    # EXTENSION series_periods_detect over a synthetic sinusoid (range
+    # source → make-series → detect → mv-expand): the true period (6)
+    # must win with score 42/48 = 0.875 (truncated-lag autocorrelation
+    # of a full-period signal), harmonic 12 second at 36/48 = 0.75
+    "pql_series_periods": (
+        """
+        range i from 0 to 47 step 1
+        | extend v = sin(2.0 * pi() * todouble(i) / 6.0) + 1.0
+        | make-series s = avg(v) on i from 0 to 48 step 1
+        | extend d = series_periods_detect(s, 2, 12, 2)
+        | mv-expand p = d.periods to typeof(long),
+                    sc = d.scores to typeof(double)
+        | project p, sc
+        """,
+        """
+        SELECT * FROM (VALUES (CAST(6 AS BIGINT), 0.875),
+                              (CAST(12 AS BIGINT), 0.75)) t(p, sc)
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

@@ -829,6 +829,161 @@ def compile_call(
                 F.transform(_run(acc["pend"]), lambda k: acc["last"]),
             ),
         )
+    if lname == "series_fir":
+        # series_fir(arr, filter[, normalize[, center]]) — FIR filter
+        # (weighted moving window).  Trailing window by default;
+        # center=true centers it.  Edges use the partial window, and
+        # normalize=true (default) divides by the sum of the
+        # coefficients actually applied — so a [1,1,1] filter is a
+        # proper moving average everywhere (documented edge semantics)
+        _check_argc(name, args, 2, 4, span)
+        from .ast_nodes import Ident as _Id
+
+        def _bool_lit(i: int, default: bool) -> bool:
+            if len(args) <= i:
+                return default
+            a = ast_args[i] if ast_args is not None else None
+            if isinstance(a, _Id) and a.name in ("true", "false"):
+                return a.name == "true"
+            raise ParseError(
+                f"{name}() argument {i + 1} must be true or false", span
+            )
+
+        normalize = _bool_lit(2, True)
+        center = _bool_lit(3, False)
+
+        def fir(ab: Column) -> Column:
+            arr, flt = ab["a"], ab["f"]
+            m = F.size(flt)
+            n = F.size(arr)
+            half = F.floor((m - 1) / 2).cast("int")
+            back = (m - 1) - half if center else m - 1
+            fwd = half if center else F.lit(0)
+
+            def at(i: Column) -> Column:
+                lo = F.greatest(F.lit(1), i - back)
+                hi = F.least(n, i + fwd)
+                w = F.slice(arr, lo, hi - lo + 1)
+                # coefficients aligned so flt[m] multiplies arr[hi]
+                fs = F.slice(flt, m - (hi - lo), hi - lo + 1)
+                num = F.aggregate(
+                    F.zip_with(
+                        w, fs,
+                        lambda x, c: x.cast("double")
+                        * c.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+                )
+                if not normalize:
+                    return num
+                den = F.aggregate(
+                    fs, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                )
+                return F.when(den != 0.0, num / den)
+
+            return F.when(
+                n > 0, F.transform(F.sequence(F.lit(1), n), at)
+            ).otherwise(F.array().cast("array<double>"))
+
+        return _let_bind(
+            F.struct(args[0].alias("a"), args[1].alias("f")), fir
+        )
+    if lname == "series_seasonal":
+        # per-phase means of the series (simplified KQL series_seasonal
+        # with an explicit integer period)
+        _check_argc(name, args, 2, 2, span)
+        p = _lit_int(name, ast_args, 1, span)
+        if p < 1:
+            raise ParseError(f"{name}() period must be >= 1", span)
+
+        def seasonal(arr: Column) -> Column:
+            n = F.size(arr)
+
+            def phase_mean(i: Column) -> Column:
+                ph = F.pmod(i - 1, F.lit(p))
+                members = F.filter(
+                    F.sequence(F.lit(1), n),
+                    lambda j: F.pmod(j - 1, F.lit(p)) == ph,
+                )
+                tot = F.aggregate(
+                    members, F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(arr, j).cast("double"),
+                )
+                return tot / F.size(members)
+
+            return F.when(
+                n > 0, F.transform(F.sequence(F.lit(1), n), phase_mean)
+            ).otherwise(F.array().cast("array<double>"))
+
+        return _let_bind(args[0], seasonal)
+    if lname == "series_periods_detect":
+        # series_periods_detect(arr, min_period, max_period, n) —
+        # top-n candidate periods by normalized autocorrelation
+        # (simplified KQL: integer lags in [min, max], score =
+        # autocorr(lag) of the demeaned series).  Returns a struct of
+        # (periods, scores), both arrays, score-descending
+        _check_argc(name, args, 4, 4, span)
+        pmin = _lit_int(name, ast_args, 1, span)
+        pmax = _lit_int(name, ast_args, 2, span)
+        topn = _lit_int(name, ast_args, 3, span)
+        if not (1 <= pmin <= pmax) or topn < 1:
+            raise ParseError(
+                f"{name}() needs 1 <= min <= max and n >= 1", span
+            )
+
+        def detect(arr: Column) -> Column:
+            n = F.size(arr)
+            mean = _arr_mean(arr)
+
+            def with_dm(dm: Column) -> Column:
+                den = F.aggregate(
+                    dm, F.lit(0.0), lambda acc, x: acc + x * x
+                )
+
+                def score(lag: Column) -> Column:
+                    num = F.aggregate(
+                        F.when(
+                            n > lag,
+                            F.sequence(F.lit(1), n - lag),
+                        ).otherwise(F.array().cast("array<int>")),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.element_at(dm, i)
+                        * F.element_at(dm, i + lag),
+                    )
+                    return F.when(den > 0.0, num / den).otherwise(
+                        F.lit(0.0)
+                    )
+
+                cands = F.transform(
+                    F.sequence(F.lit(pmin), F.lit(pmax)),
+                    lambda lag: F.struct(
+                        score(lag).alias("score"),
+                        lag.cast("long").alias("period"),
+                    ),
+                )
+                top = F.slice(
+                    F.reverse(F.array_sort(cands)), 1,
+                    min(topn, pmax - pmin + 1),
+                )
+                return F.struct(
+                    F.transform(top, lambda c: c["period"]).alias(
+                        "periods"
+                    ),
+                    F.transform(
+                        top, lambda c: F.round(c["score"], 4)
+                    ).alias("scores"),
+                )
+
+            demeaned = F.transform(
+                arr, lambda x: x.cast("double") - mean
+            )
+            return _let_bind(demeaned, with_dm)
+
+        return _let_bind(args[0], detect)
     if lname == "series_moving_avg":
         # trailing-window mean: out[i] = avg(arr[max(0, i-k+1) .. i])
         _check_argc(name, args, 2, 2, span)

@@ -1554,6 +1554,144 @@ class _SqlEmitter:
                 + run.format(p="acc.pend")
                 + ", k -> acc.last)))"
             )
+        if name == "series_fir":
+            argc(2, 4)
+
+            def bool_lit(i: int, default: bool) -> bool:
+                if len(args) <= i:
+                    return default
+                a = args[i]
+                if isinstance(a, Ident) and a.name in ("true", "false"):
+                    return a.name == "true"
+                raise ParseError(
+                    f"{e.func}() argument {i + 1} must be true or"
+                    " false",
+                    e.span,
+                )
+
+            normalize = bool_lit(2, True)
+            center = bool_lit(3, False)
+            # twin of the DataFrame build incl. its singleton-array
+            # let-bindings (arr+filter struct, then the per-i window)
+            half = "CAST(floor((size(__fr_s.f) - 1) / 2) AS INT)"
+            if center:
+                back = f"((size(__fr_s.f) - 1) - {half})"
+                fwd = half
+            else:
+                back = "(size(__fr_s.f) - 1)"
+                fwd = "0"
+            lo = f"greatest(1, __fr_i - {back})"
+            hi = f"least(size(__fr_s.a), __fr_i + {fwd})"
+            win = (
+                "named_struct("
+                f"'w', slice(__fr_s.a, {lo}, {hi} - {lo} + 1),"
+                f" 'fs', slice(__fr_s.f, size(__fr_s.f)"
+                f" - ({hi} - {lo}), {hi} - {lo} + 1))"
+            )
+            num = (
+                "aggregate(zip_with(__fr_p.w, __fr_p.fs,"
+                " (__fr_x, __fr_c) -> CAST(__fr_x AS DOUBLE)"
+                " * CAST(__fr_c AS DOUBLE)), 0.0D,"
+                " (__fr_ac, __fr_v) -> __fr_ac"
+                " + coalesce(__fr_v, 0.0D))"
+            )
+            if normalize:
+                den = (
+                    "aggregate(__fr_p.fs, 0.0D, (__fr_ac, __fr_c) ->"
+                    " __fr_ac + CAST(__fr_c AS DOUBLE))"
+                )
+                body = (
+                    f"CASE WHEN {den} <> 0.0D THEN {num} / {den} END"
+                )
+            else:
+                body = num
+            at = (
+                f"element_at(transform(array({win}), __fr_p ->"
+                f" {body}), 1)"
+            )
+            pair = (
+                f"array(named_struct('a', {self.expr(args[0])},"
+                f" 'f', {self.expr(args[1])}))"
+            )
+            return (
+                f"element_at(transform({pair}, __fr_s ->"
+                " CASE WHEN size(__fr_s.a) > 0 THEN"
+                " transform(sequence(1, size(__fr_s.a)), __fr_i ->"
+                f" {at}) ELSE CAST(array() AS ARRAY<DOUBLE>) END), 1)"
+            )
+        if name == "series_seasonal":
+            argc(2, 2)
+            p = lit_int(1)
+            if p < 1:
+                raise ParseError(
+                    f"{e.func}() period must be >= 1", e.span
+                )
+            members = (
+                "filter(sequence(1, size(__ss_a)), __ss_j ->"
+                f" pmod(__ss_j - 1, {p}) = pmod(__ss_i - 1, {p}))"
+            )
+            mean = (
+                f"(aggregate({members}, 0.0D, (__ss_ac, __ss_j) ->"
+                " __ss_ac + CAST(element_at(__ss_a, __ss_j)"
+                f" AS DOUBLE)) / size({members}))"
+            )
+            return (
+                f"element_at(transform(array({self.expr(args[0])}),"
+                " __ss_a -> CASE WHEN size(__ss_a) > 0 THEN"
+                " transform(sequence(1, size(__ss_a)), __ss_i ->"
+                f" {mean}) ELSE CAST(array() AS ARRAY<DOUBLE>) END), 1)"
+            )
+        if name == "series_periods_detect":
+            argc(4, 4)
+            pmin, pmax, topn = lit_int(1), lit_int(2), lit_int(3)
+            if not (1 <= pmin <= pmax) or topn < 1:
+                raise ParseError(
+                    f"{e.func}() needs 1 <= min <= max and n >= 1",
+                    e.span,
+                )
+            a0 = self.expr(args[0])
+            mean = (
+                f"(aggregate({a0}, 0.0D, (__pd_ac, __pd_x) ->"
+                f" __pd_ac + CAST(__pd_x AS DOUBLE)) / size({a0}))"
+            )
+            dm = (
+                f"transform({a0}, __pd_x -> CAST(__pd_x AS DOUBLE)"
+                f" - {mean})"
+            )
+            score = (
+                "CASE WHEN __pd_den > 0.0D THEN"
+                " aggregate(CASE WHEN size(__pd_dm) > __pd_l THEN"
+                " sequence(1, size(__pd_dm) - __pd_l)"
+                " ELSE CAST(array() AS ARRAY<INT>) END, 0.0D,"
+                " (__pd_ac, __pd_i) -> __pd_ac"
+                " + element_at(__pd_dm, __pd_i)"
+                " * element_at(__pd_dm, __pd_i + __pd_l)) / __pd_den"
+                " ELSE 0.0D END"
+            )
+            top = (
+                "slice(reverse(array_sort(transform(sequence("
+                f"{pmin}, {pmax}), __pd_l -> named_struct("
+                f"'score', {score}, 'period',"
+                " CAST(__pd_l AS BIGINT))))), 1,"
+                f" {min(topn, pmax - pmin + 1)})"
+            )
+            result = (
+                f"element_at(transform(array({top}), __pd_t ->"
+                " named_struct("
+                "'periods', transform(__pd_t, __pd_c ->"
+                " __pd_c.period),"
+                " 'scores', transform(__pd_t, __pd_c ->"
+                " round(__pd_c.score, 4)))), 1)"
+            )
+            with_den = (
+                "element_at(transform(array(aggregate(__pd_dm, 0.0D,"
+                " (__pd_ac, __pd_x) -> __pd_ac + __pd_x * __pd_x)),"
+                f" __pd_den -> {result}), 1)"
+            )
+            return (
+                f"element_at(transform(array({dm}), __pd_dm ->"
+                f" {with_den}), 1)"
+            )
         if name == "series_moving_avg":
             argc(2, 2)
             if not isinstance(args[1], NumberLit) or args[1].is_float:

@@ -293,3 +293,70 @@ def test_sql_backend_equivalence(spark, tables, engine, q):
     df_rows = _rows(engine.query(q))
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == df_rows, sql
+
+
+# ------------------------- series_fir / seasonal / periods_detect
+
+
+def test_series_fir(engine):
+    r = _one(
+        engine,
+        "series_fir(pack_array(1.0,2.0,3.0,4.0,5.0), pack_array(1,1,1))",
+    )
+    assert r == [1.0, 1.5, 2.0, 3.0, 4.0]  # trailing MA, partial edges
+    r = _one(
+        engine,
+        "series_fir(pack_array(1.0,2.0,3.0), pack_array(2,0), false)",
+    )
+    assert r == [0.0, 2.0, 4.0]  # unnormalized, f[last] hits newest
+    r = _one(
+        engine,
+        "series_fir(pack_array(1.0,2.0,3.0,4.0,5.0),"
+        " pack_array(1,1,1), true, true)",
+    )
+    assert r == [1.5, 2.0, 3.0, 4.0, 4.5]  # centered
+
+
+def test_series_seasonal(engine):
+    r = _one(
+        engine, "series_seasonal(pack_array(1.0,2.0,3.0,1.0,2.0,3.0), 3)"
+    )
+    assert r == [1.0, 2.0, 3.0, 1.0, 2.0, 3.0]
+    r = _one(engine, "series_seasonal(pack_array(1.0,2.0,3.0,5.0), 3)")
+    assert r == [3.0, 2.0, 3.0, 3.0]  # phase 0 mean = (1+5)/2
+
+
+def test_series_periods_detect(engine):
+    import numpy as np
+
+    sig = ",".join(
+        str(float(v))
+        for v in (np.sin(2 * np.pi * np.arange(24) / 6) + 2)
+    )
+    r = _one(
+        engine, f"series_periods_detect(pack_array({sig}), 2, 10, 2)"
+    )
+    assert r.periods[0] == 6  # true period wins
+    assert r.scores[0] > r.scores[1]
+    with pytest.raises(QueryError):
+        engine.query(
+            "T | project x = series_periods_detect(a, 5, 2, 1)"
+        )
+
+
+_EQUIV_QUERIES_SERIES2 = [
+    "T | project id, x = series_fir(a, pack_array(1,2,1))",
+    "T | project id, x = series_fir(a, pack_array(1,1), false)",
+    "T | project id, x = series_fir(a, pack_array(1,1,1), true, true)",
+    "T | project id, x = series_seasonal(a, 2)",
+    "T | project id, x = series_periods_detect(a, 1, 2, 1)",
+]
+
+
+@pytest.mark.parametrize("q", _EQUIV_QUERIES_SERIES2)
+def test_sql_backend_equivalence_series2(spark, tables, engine, q):
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    df_rows = _rows(engine.query(q))
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == df_rows, sql
