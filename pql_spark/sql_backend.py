@@ -715,7 +715,7 @@ class _SqlEmitter:
                 f" GROUP BY CUBE ({', '.join(_q(n) for n in names)})"
             )
             pct = (
-                "round(`SegmentCount` * 100.0 /"
+                "round(CAST(`SegmentCount` AS DOUBLE) * 100.0D /"
                 " max(CASE WHEN `__gsum` = "
                 f"{k} THEN `SegmentCount` END) OVER (), 2)"
             )
