@@ -2117,6 +2117,26 @@ ORDER BY id_a, id_b
 """
 
 
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE twin: min reachable label per node over the
+    symmetrized minhash-pair graph (same pair set as _minhash_oracle,
+    embedded as a subquery)."""
+    inner = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({inner}) q),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+lab(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, l.label FROM edges e JOIN lab l ON l.id = e.b
+)
+SELECT id, min(label) AS component FROM lab GROUP BY id ORDER BY id
+"""
+
+
 def _langid_oracle() -> str:
     cases = []
     for lang in sorted(X.STOPWORDS):
@@ -2944,6 +2964,14 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: minhash pairs → distributed
+    min-label connected components (one join+groupBy-min round per
+    diameter step, lineage truncated per round)."""
+    pairs = _q_minhash(spark, sf_dir)
+    return D.connected_components(pairs).orderBy("id")
+
+
 def _q_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _docs(spark, sf_dir).select("doc_id", "text")
     dups = base.filter(F.col("doc_id") < 50).select(
@@ -3338,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_pack_sequences": _q_pack_sequences,
             "op_ngram_jaccard": _q_ngram,
             "op_minhash_dups": _q_minhash,
+            "op_dedup_clusters": _q_dedup_clusters,
             "op_simhash": _q_simhash,
             "op_embedding_dups": _q_cosine_pairs,
             "op_cosine_topk": _q_cosine_topk,
@@ -3397,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
             "op_pack_sequences": _PACK_ORACLE,
             "op_ngram_jaccard": _NGRAM_ORACLE,
             "op_minhash_dups": _minhash_oracle(),
+            "op_dedup_clusters": _dedup_clusters_oracle(),
             "op_simhash": _simhash_oracle(),
             "op_embedding_dups": _COSINE_PAIRS_ORACLE,
             "op_cosine_topk": _TOPK_ORACLE,

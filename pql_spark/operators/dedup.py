@@ -708,3 +708,105 @@ def embedding_dup_pairs_broadcast(
         .mapInPandas(kernel, "id_a long, id_b long, cosine double")
         .orderBy("id_a", "id_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph →
+    ``(id, component)`` with component = min node id in the group —
+    the transitive-closure step that turns pairwise near-dup output
+    (minhash/ngram/embedding pairs) into whole duplicate CLUSTERS, so
+    "keep one per cluster" is exact even for chains a~b~c where (a, c)
+    was never emitted as a pair.
+
+    Distributed min-label propagation: each round is one
+    edges⋈labels join plus a groupBy-min (two shuffles), and
+    ``localCheckpoint`` truncates the lineage so the plan stays flat.
+    Rounds needed = graph diameter — near-dup clusters are dense/
+    star-shaped, so typically 2-4; ``max_iter`` bounds adversarial
+    chains.  Early-exits via a cheap changed-row probe.  No driver
+    state beyond the loop counter: scales to edge sets far larger than
+    memory (the same min-propagation used by MapReduce CC algorithms;
+    see also large-star/small-star for log-round guarantees on long
+    chains)."""
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .union(
+            pairs.select(
+                F.col(id_b).cast("long").alias("a"),
+                F.col(id_a).cast("long").alias("b"),
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.select(
+                F.col("id").alias("b"),
+                F.col("component").alias("nc"),
+            ),
+            "b",
+        ).select(F.col("a").alias("id"), F.col("nc").alias("component"))
+        new = (
+            labels.select("id", "component")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: follow each label one more hop
+        # (label[label[id]]) so convergence is O(log diameter), not
+        # O(diameter) — a 1M-long path converges in ~20 rounds
+        new = (
+            new.join(
+                new.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("__root"),
+                ),
+                "component",
+            )
+            .select("id", F.col("__root").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Remove all but one row per duplicate CLUSTER (transitive over
+    the pair graph): keeps the min-id representative of each component
+    plus every row that appears in no pair.  One broadcast-sized
+    anti-join against the (tiny relative to the corpus) non-
+    representative id set."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -75,3 +75,49 @@ def test_deterministic_shuffle_is_permutation(pop):
     assert a == b  # reproducible
     assert sorted(a) == list(range(10000))  # a permutation
     assert a != c and a != sorted(a)  # actually shuffled; seed changes it
+
+
+def test_connected_components_chain_and_stars(spark):
+    import pql_spark.operators.dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {(r.id, r.component)
+          for r in D.connected_components(pairs).collect()}
+    assert cc == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain(spark):
+    import pql_spark.operators.dedup as D
+
+    # a 30-node path exercises multi-round propagation + early exit
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    cc = D.connected_components(pairs)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {0} and cc.count() == 31
+
+
+def test_dedup_by_pairs_transitive(spark):
+    import pql_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 30]], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in D.dedup_by_pairs(docs, pairs, "doc_id")
+        .collect()
+    )
+    # chain 1-2-3-4 collapses to its min id even though (1,4) was
+    # never a pair; untouched rows survive
+    assert kept == [1, 5, 30]
