@@ -2027,6 +2027,24 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                               (CAST(12 AS BIGINT), 0.75)) t(p, sc)
         """,
     ),
+    # Spark 4 approx_top_k sketch through the passthrough registry —
+    # the mergeable frequent-items path (no exact groupBy-all shuffle
+    # at 100 TB; sketch is exact here because 5 distinct values ≪ the
+    # 10k tracked slots, so the DuckDB exact twin matches)
+    "pql_approx_topk": (
+        """
+        events
+        | summarize tk = approx_top_k(event_type, 3)
+        | mv-expand t = tk
+        | project item = tostring(t.item), cnt = t.count
+        | sort by cnt desc, item asc
+        """,
+        """
+        SELECT event_type AS item, count(*) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, item LIMIT 3
+        """,
+    ),
     # timestamp comparison + passthrough date function in a group key
     "pql_events_daily": (
         """

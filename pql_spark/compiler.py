@@ -1959,6 +1959,29 @@ class Compiler:
             # (SURVEY §7.5.6); missing map key ⇒ NULL (Spark-idiomatic)
             return F.element_at(base, index)
         if isinstance(expr, CallExpr):
+            if expr.func.lower() == "column_ifexists":
+                # schema-aware: the column if it exists, else the
+                # default — resolved at COMPILE time, so views written
+                # against evolving schemas stay valid (KQL
+                # column_ifexists)
+                if len(expr.args) != 2:
+                    raise ParseError(
+                        "column_ifexists() takes 2 arguments", expr.span
+                    )
+                a0 = expr.args[0]
+                if isinstance(a0, Ident) and len(a0.parts) == 1:
+                    cname = a0.parts[0]
+                elif isinstance(a0, StringLit):
+                    cname = a0.value
+                else:
+                    raise ParseError(
+                        "column_ifexists() first argument must be a"
+                        " column name",
+                        expr.span,
+                    )
+                if env.df is not None and cname in env.df.columns:
+                    return F.col(_q(cname))
+                return self.compile_expr(expr.args[1], env)
             if expr.func in self.let_funcs:
                 if expr.func in self._inlining:
                     raise ParseError(

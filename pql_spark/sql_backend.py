@@ -267,6 +267,7 @@ class _SqlEmitter:
         self, op, sql: str, cols: list[str]
     ) -> tuple[str, list[str]]:
         inner = f"({sql})"
+        self._cur_cols = cols  # for schema-aware fns (column_ifexists)
         if isinstance(op, WhereOp):
             pred = self.expr(op.predicate)
             return f"SELECT * FROM {inner} WHERE {pred}", cols
@@ -1361,6 +1362,23 @@ class _SqlEmitter:
                 e.span,
             )
 
+        if name == "column_ifexists":
+            argc(2, 2)
+            a0 = args[0]
+            if isinstance(a0, Ident) and len(a0.parts) == 1:
+                cname = a0.parts[0]
+            elif isinstance(a0, StringLit):
+                cname = a0.value
+            else:
+                raise ParseError(
+                    "column_ifexists() first argument must be a"
+                    " column name",
+                    e.span,
+                )
+            cur = getattr(self, "_cur_cols", None)
+            if cur is not None and cname in cur:
+                return _q(cname)
+            return self.expr(args[1])
         if name in (
             "row_number", "prev", "next",
             "row_cumsum", "row_rank_dense", "row_rank_min",

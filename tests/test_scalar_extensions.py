@@ -360,3 +360,32 @@ def test_sql_backend_equivalence_series2(spark, tables, engine, q):
     df_rows = _rows(engine.query(q))
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == df_rows, sql
+
+
+def test_column_ifexists(engine):
+    assert _one(engine, 'column_ifexists(s, "none")') == "Hello World"
+    assert _one(engine, 'column_ifexists(ghost, "none")') == "none"
+    assert _one(engine, 'column_ifexists("id", 0)') == 1
+    with pytest.raises(QueryError):
+        engine.query("T | project x = column_ifexists(1 + 2, 0)")
+
+
+def test_column_ifexists_sql(spark, tables, engine):
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    q = ('T | project a = column_ifexists(s, "none"),'
+         ' b = column_ifexists(ghost, "none")')
+    a = _rows(engine.query(q))
+    assert _rows(
+        spark.sql(compile_to_sql(q, lambda n: tables[n].columns))
+    ) == a
+
+
+def test_approx_topk_passthrough(engine):
+    # Spark 4 approx_top_k flows through the passthrough registry —
+    # the mergeable frequent-items sketch
+    out = engine.query(
+        "T | summarize tk = approx_top_k(s, 2)"
+    ).head().tk
+    assert {e.item for e in out} <= {"Hello World", "abc"}
+    assert all(e.count == 1 for e in out)
