@@ -388,4 +388,5 @@ def test_approx_topk_passthrough(engine):
         "T | summarize tk = approx_top_k(s, 2)"
     ).head().tk
     assert {e.item for e in out} <= {"Hello World", "abc"}
-    assert all(e.count == 1 for e in out)
+    # e["count"]: Row attribute access collides with tuple.count
+    assert all(e["count"] == 1 for e in out)
