@@ -3283,6 +3283,36 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_id long, user_id long")
 
 
+def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stateful funnel matching — same chains as the batch
+    `evaluate sequence_detect` (the oracle is the identical DuckDB
+    union+window twin)."""
+    from pql_spark.streaming import (
+        run_available_now,
+        stream_parquet_table,
+        stream_sequence_detect,
+    )
+
+    events = stream_parquet_table(spark, sf_dir, "events")
+    out = stream_sequence_detect(
+        events,
+        [
+            ("v", "event_type = 'view'"),
+            ("c", "event_type = 'click'"),
+            ("p", "event_type = 'purchase'"),
+        ],
+        ts_col="ts",
+        key_col="user_id",
+        step_window="1d",
+        span_window="2d",
+    )
+    rows = run_available_now(out, "append")
+    return spark.createDataFrame(
+        rows,
+        "user_id long, v_ts timestamp, c_ts timestamp, p_ts timestamp",
+    ).orderBy("user_id", "v_ts", "c_ts", "p_ts")
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import kmv_distinct
 
@@ -3357,8 +3387,14 @@ _CHECK_FIRST = [
     "pql_mv_itemindex", "pql_binary_fns", "op_stream_near_dup",
     "pql_series_fit_2lines", "pql_ipv4_fns", "pql_array_set_fns",
     "pql_narrow", "pql_top_nested_others",
-    # … and two core anchors for continuity
-    "pql_q1_pricing", "op_minhash_dups",
+    # … and two of this session's operator additions (the remaining
+    # round-3b queries — pql_scalar_fns2, pql_series_vector,
+    # pql_find_op, pql_reduce_op, pql_invoke_op, pql_series_fir,
+    # pql_series_periods, pql_approx_topk, op_multimodal_audio,
+    # op_dedup_clusters — rotate into the round-4 window; the two
+    # former anchors pql_q1_pricing / op_minhash_dups already carry
+    # r1+r2 driver hashes)
+    "pql_sequence_detect", "pql_autocluster",
 ]
 
 
@@ -3399,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_multimodal_decode": _q_multimodal_decode,
             "op_multimodal_audio": _q_multimodal_audio,
             "op_stream_near_dup": _q_stream_near_dup,
+            "op_stream_sequence_detect": _q_stream_sequence_detect,
             "pql_series_fit_2lines": _q_fit_2lines,
             "op_stream_sessionize": _q_stream_sessionize,
             "op_stream_stateful": _q_stream_stateful,
@@ -3456,6 +3493,7 @@ def oracle_sql() -> dict[str, str]:
             "op_multimodal_decode": _png_decode_oracle(),
             "op_multimodal_audio": _wav_decode_oracle(),
             "op_stream_near_dup": _stream_near_dup_oracle(),
+            "op_stream_sequence_detect": PQL_QUERIES["pql_sequence_detect"][1],
             "pql_series_fit_2lines": _fit2_oracle(),
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,

@@ -18,6 +18,7 @@ from .pipeline import (
     stream_dedup,
     stream_interval_join,
     stream_near_dup,
+    stream_sequence_detect,
     stream_parquet_table,
     stream_upsert_to_parquet,
     stateful_user_counts,
@@ -33,6 +34,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_near_dup",
+    "stream_sequence_detect",
     "stream_parquet_table",
     "stream_upsert_to_parquet",
     "stateful_user_counts",

@@ -593,3 +593,147 @@ def curate_stream(
             F.broadcast(dup_ids), on=id_col, how="left_anti"
         )
     return kept_batch
+
+
+def stream_sequence_detect(
+    df: DataFrame,
+    steps: list[tuple[str, str]],
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    step_window: str = "1h",
+    span_window: str = "2h",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Incremental streaming funnel matching — the stateful twin of the
+    batch ``evaluate sequence_detect``: per-key greedy-earliest chains
+    (each step-1 event chains the EARLIEST later event matching each
+    next step within ``step_window``, whole chain ≤ ``span_window``).
+
+    ``steps`` is ``[(name, bool_sql_expr), …]``; output is one row per
+    COMPLETED chain with columns ``<name>_<ts_col>``.  State per key is
+    the compacted event list (timestamp + step-flag bitmask) within the
+    span horizon: events older than ``max_seen − span`` can extend no
+    future chain, so state is bounded by key rate × span, independent
+    of stream length.  A chain is emitted exactly once — in the
+    micro-batch where its final step's event arrives (exact under
+    per-key in-order arrival; late events may chain differently than a
+    batch re-run, the standard streaming caveat).  Python runs once per
+    key per batch over Arrow batches, not per row."""
+    from bisect import bisect_left, bisect_right
+
+    from .pipeline import _duration_to_usec  # self-import safe
+
+    names = [n for n, _ in steps]
+    nsteps = len(steps)
+    if nsteps < 2:
+        raise ValueError("stream_sequence_detect needs >= 2 steps")
+    step_us = _duration_to_usec(step_window)
+    span_us = _duration_to_usec(span_window)
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [T.StructField(key_col, key_field.dataType)]
+        + [
+            T.StructField(f"{n}_{ts_col}", T.TimestampType())
+            for n in names
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("us", T.ArrayType(T.LongType())),
+            T.StructField("fl", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    flags = None
+    for i, (_n, expr) in enumerate(steps):
+        bit = F.when(F.expr(expr), F.lit(1 << i)).otherwise(F.lit(0))
+        flags = bit if flags is None else flags + bit
+    base = (
+        df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            flags.alias("__fl"),
+        )
+        .filter(F.col("__fl") > 0)
+    )
+
+    def chains_of(us: list[int], fl: list[int]) -> list[tuple[int, ...]]:
+        """The batch greedy automaton over a sorted event list."""
+        per_step = [
+            [t for t, f in zip(us, fl) if f & (1 << i)]
+            for i in range(nsteps)
+        ]
+        out = []
+        for t0 in per_step[0]:
+            chain = [t0]
+            ok = True
+            for i in range(1, nsteps):
+                lst = per_step[i]
+                j = bisect_right(lst, chain[-1])
+                if j >= len(lst) or lst[j] > chain[-1] + step_us:
+                    ok = False
+                    break
+                chain.append(lst[j])
+            if ok and chain[-1] - chain[0] <= span_us:
+                out.append(tuple(chain))
+        return out
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        old_us, old_fl = (
+            state.get if state.exists else ([], [])
+        )
+        new_events: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            new_events.extend(
+                (int(u), int(f))
+                for u, f in zip(pdf["__us"], pdf["__fl"])
+            )
+        merged = sorted(
+            list(zip(old_us, old_fl)) + new_events
+        )
+        us = [t for t, _ in merged]
+        fl = [f for _, f in merged]
+        # completion timestamps that are NEW this batch (multiset)
+        final_bit = 1 << (nsteps - 1)
+        new_finals: dict[int, int] = {}
+        for t, f in new_events:
+            if f & final_bit:
+                new_finals[t] = new_finals.get(t, 0) + 1
+        rows = []
+        for chain in chains_of(us, fl):
+            if new_finals.get(chain[-1], 0) > 0:
+                rows.append(chain)
+        # evict events that can extend no future chain
+        if us:
+            horizon = max(us) - span_us
+            keep = [(t, f) for t, f in merged if t >= horizon]
+            state.update(
+                ([t for t, _ in keep], [f for _, f in keep])
+            )
+        if rows:
+            data = {key_col: [key[0]] * len(rows)}
+            for i, n in enumerate(names):
+                data[f"{n}_{ts_col}"] = [
+                    pd.Timestamp(c[i], unit="us") for c in rows
+                ]
+            yield pd.DataFrame(data)
+
+    return base.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _duration_to_usec(text: str) -> int:
+    """'1h' / '15 minutes' → microseconds (shared duration grammar)."""
+    from ..functions import _duration_usec
+    from ..lexer import Span
+
+    return _duration_usec(text, Span(0, 0))

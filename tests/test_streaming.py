@@ -407,3 +407,70 @@ def test_curate_stream_matches_batch(tmp_path, spark):
     ) - len(flagged)
     # every injected near-duplicate was caught across runs
     assert not any(d >= 100000 and (d - 100000) in want for d in got)
+
+
+def test_stream_sequence_detect_matches_batch(spark, tmp_path):
+    """Cross-micro-batch stateful funnel chains == the batch
+    `evaluate sequence_detect` under per-key in-order arrival."""
+    import datetime as dt
+    import random
+    import time
+
+    from pql_spark import PqlEngine
+    from pql_spark.streaming import (
+        run_available_now,
+        stream_sequence_detect,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    random.seed(7)
+    rows = []
+    for uid in range(6):
+        t = t0
+        for _ in range(40):
+            t += dt.timedelta(minutes=random.randint(3, 50))
+            rows.append(
+                (uid, t,
+                 random.choice(["view", "click", "purchase", "noise"]))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, etype string"
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    batch = eng.query(
+        """
+        E | evaluate sequence_detect(ts, 1h, 2h,
+            v = etype == "view", c = etype == "click",
+            p = etype == "purchase" by user_id)
+        """
+    )
+    expected = sorted(tuple(r) for r in batch.collect())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = df.orderBy("ts").toPandas()
+    n = len(pdf)
+    for i in range(3):  # three time-ordered micro-batches
+        spark.createDataFrame(
+            pdf.iloc[i * n // 3:(i + 1) * n // 3]
+        ).repartition(1).write.parquet(str(src / f"part{i}"))
+        time.sleep(1.1)  # distinct mod times → in-order processing
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = stream_sequence_detect(
+        stream,
+        [
+            ("v", "etype = 'view'"),
+            ("c", "etype = 'click'"),
+            ("p", "etype = 'purchase'"),
+        ],
+        ts_col="ts",
+        key_col="user_id",
+        step_window="1h",
+        span_window="2h",
+    )
+    got = sorted(tuple(r) for r in run_available_now(out, "append"))
+    assert got == expected and len(got) > 0
