@@ -593,6 +593,16 @@ class InvokeOp(Op):
 
 
 @dataclass
+class ConsumeOp(Op):
+    """``consume`` (KQL): execute for side effects/benchmarking and
+    return no rows — compiled to an empty-limit of the input schema
+    (the engine is lazy, so "consuming" happens when the caller acts;
+    KQL's tolong=... stats arguments are not supported)."""
+
+    pass
+
+
+@dataclass
 class ReduceOp(Op):
     """``reduce by Expr`` (EXTENSION, simplified KQL reduce): groups
     rows whose string value collapses to the same wildcard pattern

@@ -78,6 +78,7 @@ from .ast_nodes import (
     SampleOp,
     AutoclusterOp,
     InvokeOp,
+    ConsumeOp,
     ReduceOp,
     SequenceDetectOp,
     SearchOp,
@@ -899,6 +900,8 @@ class Compiler:
                 if name not in order:
                     order.append(name)
             return mid.select(*[items[c] for c in order])
+        if isinstance(op, ConsumeOp):
+            return df.limit(0)
         if isinstance(op, ReduceOp):
             # wildcard-collapse then a plain partial/final hash agg —
             # one shuffle on the (low-cardinality) pattern key

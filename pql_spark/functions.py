@@ -139,6 +139,7 @@ KQL_RENAMES: dict[str, str] = {
     "array_reverse": "reverse",
     "pack_array": "array",
     "bag_pack": "map",                    # property bag ≈ Spark map
+    "pack": "map",                        # legacy alias of bag_pack
     "bag_keys": "map_keys",
     "strcat_array": "array_join",      # strcat_array(arr, delim)
     "todynamic": "parse_json",            # Spark 4 VARIANT
@@ -1142,6 +1143,18 @@ def compile_call(
             F.call_function("url_encode", args[0]),
             F.lit("+"), F.lit("%20"),
         )
+    if lname == "toguid":
+        # canonical lowercase GUID or NULL (KQL toguid)
+        _check_argc(name, args, 1, 1, span)
+
+        def guid(s: Column) -> Column:
+            ok = s.rlike(
+                "^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}"
+                "-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+            )
+            return F.when(ok, F.lower(s))
+
+        return _let_bind(args[0].cast("string"), guid)
     if lname == "todecimal":
         _check_argc(name, args, 1, 1, span)
         return args[0].try_cast("decimal(38,18)")

@@ -60,6 +60,7 @@ from .ast_nodes import (
     SampleOp,
     AutoclusterOp,
     InvokeOp,
+    ConsumeOp,
     ReduceOp,
     SearchOp,
     SequenceDetectOp,
@@ -2217,6 +2218,11 @@ def _op_invoke(p: _P, kw: Token) -> Op:
     )
 
 
+def _op_consume(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``consume`` — run-and-discard (empty result)."""
+    return ConsumeOp(span=kw.span)
+
+
 def _op_reduce(p: _P, kw: Token) -> Op:
     """EXTENSION: ``reduce by Expr`` — wildcard-pattern clustering
     (see ReduceOp docstring for the simplified, deterministic
@@ -2243,6 +2249,7 @@ _OPERATORS = {
     "parse-kv": _op_parse_kv,
     "search": _op_search,
     "reduce": _op_reduce,
+    "consume": _op_consume,
     "invoke": _op_invoke,
     "serialize": _op_serialize,
     "sample": _op_sample,

@@ -68,6 +68,7 @@ from .ast_nodes import (
     RangeSource,
     SampleOp,
     AutoclusterOp,
+    ConsumeOp,
     ReduceOp,
     SequenceDetectOp,
     SearchOp,
@@ -819,6 +820,8 @@ class _SqlEmitter:
                 f" <= unix_micros(__t0) + {op.span_usec}",
                 [*keys, *[f"{names[i]}_{ts}" for i in range(n)]],
             )
+        if isinstance(op, ConsumeOp):
+            return f"SELECT * FROM {inner} LIMIT 0", cols
         if isinstance(op, ReduceOp):
             val = f"CAST({self.expr(op.expr)} AS STRING)"
             pat = (
@@ -1829,6 +1832,16 @@ class _SqlEmitter:
             argc(1, 1)
             return (
                 f"replace(url_encode({self.expr(args[0])}), '+', '%20')"
+            )
+        if name == "toguid":
+            argc(1, 1)
+            return (
+                "element_at(transform(array(CAST("
+                f"{self.expr(args[0])} AS STRING)), __tg_s ->"
+                " CASE WHEN __tg_s rlike"
+                " '^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}"
+                "-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$'"
+                " THEN lower(__tg_s) END), 1)"
             )
         if name == "todecimal":
             argc(1, 1)

@@ -390,3 +390,21 @@ def test_approx_topk_passthrough(engine):
     assert {e.item for e in out} <= {"Hello World", "abc"}
     # e["count"]: Row attribute access collides with tuple.count
     assert all(e["count"] == 1 for e in out)
+
+
+def test_consume_pack_toguid(engine, spark, tables):
+    out = engine.query("T | where id > 0 | consume")
+    assert out.count() == 0 and out.columns[:2] == ["id", "s"]
+    g = "6F9619FF-8B86-D011-B42D-00C04FC964FF"
+    assert _one(engine, f'toguid("{g}")') == g.lower()
+    assert _one(engine, 'toguid("not-a-guid")') is None
+    assert _one(engine, 'pack("k", id)') == {"k": "1"} or \
+        _one(engine, 'pack("k", id)') == {"k": 1}
+    # SQL twins
+    q = 'T | project a = toguid("' + g + '"), b = toguid(s)'
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    a = _rows(engine.query(q))
+    assert _rows(
+        spark.sql(compile_to_sql(q, lambda n: tables[n].columns))
+    ) == a

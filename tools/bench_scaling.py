@@ -26,6 +26,8 @@ QUERIES = [
     "pql_q1_pricing", "pql_scan_funnel", "op_minhash_dups",
     "op_ngram_jaccard", "op_simhash", "op_winnow_fingerprints",
     "op_embedding_dups", "op_asof_join", "op_kmv_distinct", "op_langid",
+    # round-3b additions: window-chained funnel, iterative CC, cube
+    "pql_sequence_detect", "op_dedup_clusters", "pql_autocluster",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
