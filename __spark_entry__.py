@@ -1646,6 +1646,56 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM v ORDER BY id
         """,
     ),
+    # EXTENSION `evaluate ipv4_lookup` (KQL plugin): CIDR-network
+    # membership join — the lookup is broadcast and matched via a hash
+    # equi-join on (prefix, right-shifted ip) per distinct prefix
+    # length, never a nested-loop range probe.  Synthetic ips derive
+    # deterministically from user_id; the oracle repeats the identical
+    # parse + mask math in DuckDB
+    "pql_ipv4_lookup": (
+        """
+        let nets = datatable (cidr: string, net_name: string) [
+            "10.0.0.0/8", "corp", "10.1.5.0/24", "lab",
+            "10.0.128.0/17", "dmz", "10.1.7.0/24", "edge",
+            "bad/99", "junk"
+        ];
+        events
+        | extend ip = strcat("10.", tostring(user_id % 2), ".",
+                             tostring(user_id % 256), ".9")
+        | evaluate ipv4_lookup(nets, ip, cidr)
+        | summarize hits = count() by net_name
+        | sort by net_name asc
+        """,
+        """
+        WITH nets(cidr, net_name) AS (VALUES
+            ('10.0.0.0/8', 'corp'), ('10.1.5.0/24', 'lab'),
+            ('10.0.128.0/17', 'dmz'), ('10.1.7.0/24', 'edge'),
+            ('bad/99', 'junk')),
+        np AS (
+          SELECT net_name,
+                 COALESCE(TRY_CAST(string_split(cidr, '/')[2]
+                                   AS BIGINT), 32) AS pfx,
+                 (TRY_CAST(string_split(string_split(cidr, '/')[1],
+                           '.')[1] AS BIGINT) * 16777216
+                  + TRY_CAST(string_split(string_split(cidr, '/')[1],
+                             '.')[2] AS BIGINT) * 65536
+                  + TRY_CAST(string_split(string_split(cidr, '/')[1],
+                             '.')[3] AS BIGINT) * 256
+                  + TRY_CAST(string_split(string_split(cidr, '/')[1],
+                             '.')[4] AS BIGINT)) AS net
+          FROM nets),
+        npv AS (SELECT * FROM np
+                WHERE net IS NOT NULL AND pfx BETWEEN 0 AND 32),
+        e AS (SELECT 167772160 + (user_id % 2) * 65536
+                     + (user_id % 256) * 256 + 9 AS ipnum
+              FROM events)
+        SELECT net_name, count(*) AS hits
+        FROM e JOIN npv
+          ON CAST(floor(e.ipnum / power(2.0, 32 - npv.pfx)) AS BIGINT)
+           = CAST(floor(npv.net / power(2.0, 32 - npv.pfx)) AS BIGINT)
+        GROUP BY net_name ORDER BY net_name
+        """,
+    ),
     # EXTENSION KQL array/set function family — constant inputs via
     # datatable, array outputs flattened to delimiter digests (driver
     # outputs must be scalar); expected values verified against both

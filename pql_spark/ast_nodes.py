@@ -581,6 +581,26 @@ class AutoclusterOp(Op):
 
 
 @dataclass
+class Ipv4LookupOp(Op):
+    """``evaluate ipv4_lookup(LookupTable, SourceIpCol, RangeCol
+    [, return_unmatched])`` (EXTENSION, KQL ipv4_lookup plugin):
+    CIDR-network membership join against a lookup table whose
+    ``RangeCol`` holds ``a.b.c.d/len`` (or bare ip) network strings —
+    threat-intel / geo enrichment.  The lookup table is BROADCAST;
+    each fact row is matched via one hash equi-join on
+    (prefix-length, masked ip) per DISTINCT prefix length present in
+    the lookup (≤ 33), so there is no nested-loop range probe and the
+    fact table never shuffles.  Rows matching several networks return
+    one row per match; ``return_unmatched`` appends non-matching rows
+    with null lookup columns."""
+
+    right: "TabularExpr"
+    ip_col: Ident
+    range_col: Ident
+    return_unmatched: bool
+
+
+@dataclass
 class InvokeOp(Op):
     """``T | invoke f(arg1, …)`` (EXTENSION, KQL invoke): call a
     tabular-bodied let-function with the piped input bound to its

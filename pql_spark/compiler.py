@@ -60,6 +60,7 @@ from .ast_nodes import (
     InExpr,
     JoinOp,
     LetStatement,
+    Ipv4LookupOp,
     LookupOp,
     MakeSeriesOp,
     MvApplyOp,
@@ -866,6 +867,8 @@ class Compiler:
             return df
         if isinstance(op, LookupOp):
             return self._lookup(df, op)
+        if isinstance(op, Ipv4LookupOp):
+            return self._ipv4_lookup(df, op)
         if isinstance(op, ParseOp):
             regex, names = pf.build_parse_regex(op.segments, op.kind)
             src = self.compile_expr(op.source_expr, env)
@@ -1051,6 +1054,89 @@ class Compiler:
             name = f"$right.{c}" if c in left_set else c
             out.append(F.col(f"{_q(ra)}.{_q(c)}").alias(name))
         return joined.select(*out)
+
+    def _ipv4_lookup(self, left: DataFrame, op: Ipv4LookupOp) -> DataFrame:
+        """``evaluate ipv4_lookup(Lookup, IpCol, RangeCol
+        [, return_unmatched])`` (KQL ipv4_lookup plugin): CIDR-network
+        membership join.
+
+        Scale shape: the lookup table (threat-intel / geo CIDR lists)
+        is BROADCAST; each fact row is expanded once per DISTINCT
+        prefix length present in the lookup (≤ 33, typically a
+        handful) and matched with a hash equi-join on (prefix-length,
+        right-shifted ip) — no nested-loop range probe, no shuffle of
+        the fact table.  Invalid CIDRs in the lookup and unparsable
+        ips match nothing; rows matching several networks return one
+        row per match."""
+        from .functions import ipv4_long, ipv4_masked
+
+        right = self.compile_tabular(op.right)
+        ip_name = op.ip_col.parts[0]
+        if ip_name not in left.columns:
+            raise ParseError(
+                f"ipv4_lookup: unknown source ip column {ip_name!r}",
+                op.ip_col.span,
+            )
+        range_name = op.range_col.parts[0]
+        if range_name not in right.columns:
+            raise ParseError(
+                f"ipv4_lookup: unknown ip-range column {range_name!r}"
+                " in the lookup table",
+                op.range_col.span,
+            )
+        P, RKEY, LKEY = "__pql_ip_pfx", "__pql_ip_rkey", "__pql_ip_lkey"
+        LID = "__pql_ip_lid"
+        rng = F.split(F.col(_q(range_name)), "/")
+        base = ipv4_long(F.try_element_at(rng, F.lit(1)))
+        prefix = F.coalesce(
+            F.try_element_at(rng, F.lit(2)).try_cast("long"), F.lit(32)
+        )
+        parsed = (
+            right.withColumn(P, prefix)
+            .withColumn(RKEY, ipv4_masked(base, F.col(P)))
+            .filter(F.col(RKEY).isNotNull())
+        )
+        src = left
+        if op.return_unmatched:
+            # stable row identity for the unmatched pass — lineage is
+            # truncated so the matched and anti-join branches see the
+            # SAME generated ids
+            src = left.withColumn(
+                LID, F.monotonically_increasing_id()
+            ).localCheckpoint()
+        prefixes = parsed.select(P).distinct()
+        cand = src.crossJoin(F.broadcast(prefixes))
+        n = self._alias_counter
+        self._alias_counter += 1
+        la, ra = f"__pql_l{n}", f"__pql_r{n}"
+        cand = cand.withColumn(
+            LKEY, ipv4_masked(ipv4_long(F.col(_q(ip_name))), F.col(_q(P)))
+        ).alias(la)
+        rt = parsed.alias(ra)
+        cond = (
+            F.col(f"{_q(la)}.{_q(P)}") == F.col(f"{_q(ra)}.{_q(P)}")
+        ) & (F.col(f"{_q(la)}.{_q(LKEY)}") == F.col(f"{_q(ra)}.{_q(RKEY)}"))
+        joined = cand.join(F.broadcast(rt), cond, "inner")
+        left_set = set(left.columns)
+        out = [F.col(f"{_q(la)}.{_q(c)}").alias(c) for c in left.columns]
+        right_names: list[tuple[str, str]] = []  # (src col, out name)
+        for c in right.columns:
+            name = f"$right.{c}" if c in left_set else c
+            out.append(F.col(f"{_q(ra)}.{_q(c)}").alias(name))
+            right_names.append((c, name))
+        if not op.return_unmatched:
+            return joined.select(*out)
+        matched = joined.select(F.col(f"{_q(la)}.{_q(LID)}"), *out)
+        rtypes = {f.name: f.dataType for f in right.schema.fields}
+        un = src.join(matched.select(LID).distinct(), LID, "left_anti")
+        un_out = un.select(
+            *[F.col(_q(c)).alias(c) for c in left.columns],
+            *[
+                F.lit(None).cast(rtypes[c]).alias(name)
+                for c, name in right_names
+            ],
+        )
+        return matched.drop(LID).unionByName(un_out)
 
     def _compile_cols(self, cols: list[ColSpec], env: _Env) -> list[Column]:
         return [

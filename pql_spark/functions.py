@@ -293,6 +293,33 @@ def hll_lgk(name: str, acc: int, span: Span) -> int:
     return _HLL_LGK[acc]
 
 
+def ipv4_long(c: Column) -> Column:
+    """Dotted-quad string → uint32-as-long; NULL on malformed input.
+    Shared by the IPv4 scalar family and ``evaluate ipv4_lookup``."""
+    parts = F.split(c, r"\.")
+    octs = [
+        F.try_element_at(parts, F.lit(i + 1)).try_cast("long")
+        for i in range(4)
+    ]
+    valid = (F.size(parts) == 4)
+    for o in octs:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    val = ((octs[0] * 256 + octs[1]) * 256 + octs[2]) * 256 + octs[3]
+    return F.when(valid, val)
+
+
+def ipv4_masked(v: Column, prefix: Column) -> Column:
+    """Network part of an ip under a /prefix mask, as the RIGHT-SHIFTED
+    value (``ip >> (32-prefix)``) — equal shifted values ⇔ same network,
+    and the dynamic shift is a 2^k division (``shiftright`` takes a
+    literal bit count only); v < 2^32 is exact in double."""
+    shift = (F.lit(32) - prefix).cast("double")
+    return F.when(
+        (prefix >= 0) & (prefix <= 32),
+        F.floor(v / F.pow(F.lit(2.0), shift)).cast("long"),
+    )
+
+
 def build_parse_regex(segments, kind: str = "simple") -> tuple[str, list[str]]:
     """Build the extraction regex for ``parse Expr with …`` (KQL simple
     mode) from alternating literal/capture segments.
@@ -1519,26 +1546,7 @@ def compile_call(
         # KQL IPv4 family (the reference's SIEM domain): all Catalyst
         # expressions — dotted-quad → uint32 with NULL on malformed
         # input, prefix masks as right-shifts
-        def ip_long(c: Column) -> Column:
-            parts = F.split(c, r"\.")
-            octs = [
-                F.try_element_at(parts, F.lit(i + 1)).try_cast("long")
-                for i in range(4)
-            ]
-            valid = (F.size(parts) == 4)
-            for o in octs:
-                valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
-            val = ((octs[0] * 256 + octs[1]) * 256 + octs[2]) * 256 + octs[3]
-            return F.when(valid, val)
-
-        def masked(v: Column, prefix: Column) -> Column:
-            # dynamic right-shift via 2^k division (shiftright* takes a
-            # literal bit count only); v < 2^32 is exact in double
-            shift = (F.lit(32) - prefix).cast("double")
-            return F.when(
-                (prefix >= 0) & (prefix <= 32),
-                F.floor(v / F.pow(F.lit(2.0), shift)).cast("long"),
-            )
+        ip_long, masked = ipv4_long, ipv4_masked
 
         if lname == "parse_ipv4":
             _check_argc(name, args, 1, 1, span)

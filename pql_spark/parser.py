@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from .ast_nodes import (
     BagUnpackOp,
+    Ipv4LookupOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1908,6 +1909,53 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             prefix=prefix,
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value == "ipv4_lookup":
+        p.expect(TokenKind.LPAREN, "'('")
+        lt = p.take()
+        if lt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError(
+                "ipv4_lookup: expected the lookup table name", lt.span
+            )
+        right = TabularExpr(
+            source=TableRef(
+                name=lt.value,
+                quoted=lt.kind is TokenKind.QIDENT,
+                span=lt.span,
+            ),
+            operators=[],
+            span=lt.span,
+        )
+
+        def _ident_arg(what: str) -> Ident:
+            p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError(f"ipv4_lookup: expected {what}", t.span)
+            return Ident(
+                parts=[t.value],
+                quoted=[t.kind is TokenKind.QIDENT],
+                span=t.span,
+            )
+
+        ip_col = _ident_arg("the source ip column")
+        range_col = _ident_arg("the ip-range column")
+        return_unmatched = False
+        if p.match(TokenKind.COMMA):
+            t = p.take()
+            if t.kind is TokenKind.IDENT and t.value == "return_unmatched":
+                return_unmatched = True
+            else:
+                raise ParseError(
+                    "ipv4_lookup: expected 'return_unmatched'", t.span
+                )
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return Ipv4LookupOp(
+            right=right,
+            ip_col=ip_col,
+            range_col=range_col,
+            return_unmatched=return_unmatched,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value in ("autocluster", "basket"):
         p.expect(TokenKind.LPAREN, "'('")
         min_percent = 5.0
@@ -2002,7 +2050,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
-            " sequence_detect, autocluster, basket)",
+            " sequence_detect, autocluster, basket, ipv4_lookup)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -51,6 +51,7 @@ from .ast_nodes import (
     IndexExpr,
     JoinOp,
     LetStatement,
+    Ipv4LookupOp,
     LookupOp,
     MakeSeriesOp,
     MvApplyOp,
@@ -640,6 +641,8 @@ class _SqlEmitter:
             return sql, cols
         if isinstance(op, LookupOp):
             return self.emit_lookup(op, sql, cols)
+        if isinstance(op, Ipv4LookupOp):
+            return self.emit_ipv4_lookup(op, sql, cols)
         if isinstance(op, ParseOp):
             regex, names = build_parse_regex(op.segments, op.kind)
             src = self.expr(op.source_expr)
@@ -1089,6 +1092,89 @@ class _SqlEmitter:
             f"SELECT /*+ BROADCAST({_q('$right')}) */ {', '.join(out_items)}"
             f" FROM ({left_sql}) AS {_q('$left')}"
             f" {kind} ({right_sql}) AS {_q('$right')} ON {on}"
+        )
+        return sql, out_names
+
+    def emit_ipv4_lookup(
+        self, op: Ipv4LookupOp, left_sql: str, left_cols: list[str]
+    ) -> tuple[str, list[str]]:
+        """SQL twin of ``evaluate ipv4_lookup``: broadcast the parsed
+        lookup, CROSS JOIN the (≤33-row) distinct-prefix set, hash
+        equi-join on (prefix, right-shifted ip).  The DataFrame-only
+        ``return_unmatched`` flag is rejected (it needs generated row
+        identity)."""
+        if op.return_unmatched:
+            raise ParseError(
+                "ipv4_lookup: return_unmatched is only supported on"
+                " the DataFrame backend",
+                op.span,
+            )
+        right_sql, right_cols = self.emit_query(op.right)
+        ip_name = op.ip_col.parts[0]
+        if ip_name not in left_cols:
+            raise ParseError(
+                f"ipv4_lookup: unknown source ip column {ip_name!r}",
+                op.ip_col.span,
+            )
+        range_name = op.range_col.parts[0]
+        if range_name not in right_cols:
+            raise ParseError(
+                f"ipv4_lookup: unknown ip-range column {range_name!r}"
+                " in the lookup table",
+                op.range_col.span,
+            )
+
+        def ip_long(c: str) -> str:
+            octs = [
+                f"TRY_CAST(try_element_at(split({c}, '\\\\.'),"
+                f" {i + 1}) AS BIGINT)"
+                for i in range(4)
+            ]
+            valid = f"size(split({c}, '\\\\.')) = 4" + "".join(
+                f" AND {o} BETWEEN 0 AND 255" for o in octs
+            )
+            val = (
+                f"((({octs[0]} * 256 + {octs[1]}) * 256 +"
+                f" {octs[2]}) * 256 + {octs[3]})"
+            )
+            return f"(CASE WHEN {valid} THEN {val} END)"
+
+        def masked(v: str, prefix: str) -> str:
+            return (
+                f"(CASE WHEN ({prefix}) BETWEEN 0 AND 32 THEN"
+                f" CAST(floor({v} / power(2.0D, 32 - ({prefix})))"
+                f" AS BIGINT) END)"
+            )
+
+        P, RKEY = "__pql_ip_pfx", "__pql_ip_rkey"
+        rng = f"split({_q(range_name)}, '/')"
+        base = ip_long(f"try_element_at({rng}, 1)")
+        pfx = (
+            f"COALESCE(TRY_CAST(try_element_at({rng}, 2) AS BIGINT), 32)"
+        )
+        parsed = (
+            f"SELECT * FROM (SELECT *, {pfx} AS {_q(P)},"
+            f" {masked(base, pfx)} AS {_q(RKEY)} FROM ({right_sql})"
+            f" AS {_q('__pql_ipt')}) AS {_q('__pql_ipp')}"
+            f" WHERE {_q(RKEY)} IS NOT NULL"
+        )
+        out_items, out_names = [], []
+        for c in left_cols:
+            out_items.append(f"{_q('$left')}.{_q(c)} AS {_q(c)}")
+            out_names.append(c)
+        for c in right_cols:
+            name = f"$right.{c}" if c in left_cols else c
+            out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
+            out_names.append(name)
+        lkey = masked(ip_long(f"{_q('$left')}.{_q(ip_name)}"), f"{_q('$p')}.{_q(P)}")
+        sql = (
+            f"SELECT /*+ BROADCAST({_q('$right')}) */ {', '.join(out_items)}"
+            f" FROM ({left_sql}) AS {_q('$left')}"
+            f" CROSS JOIN (SELECT DISTINCT {_q(P)} FROM ({parsed})"
+            f" AS {_q('__pql_ipd')}) AS {_q('$p')}"
+            f" JOIN ({parsed}) AS {_q('$right')}"
+            f" ON {_q('$right')}.{_q(P)} = {_q('$p')}.{_q(P)}"
+            f" AND {lkey} = {_q('$right')}.{_q(RKEY)}"
         )
         return sql, out_names
 
