@@ -1696,6 +1696,34 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY net_name ORDER BY net_name
         """,
     ),
+    # EXTENSION `evaluate rows_near` (KQL plugin): context rows around
+    # matches — ONE bounded-frame window max per partition, no
+    # self-join; oracle is the identical window in DuckDB
+    "pql_rows_near": (
+        """
+        events
+        | where user_id < 50
+        | sort by user_id asc, ts asc, event_id asc
+        | serialize by user_id
+        | evaluate rows_near(event_type == "purchase", 1)
+        | project user_id, event_id, event_type
+        | sort by user_id asc, event_id asc
+        """,
+        """
+        WITH e AS (SELECT user_id, event_id, event_type, ts
+                   FROM events WHERE user_id < 50),
+        k AS (SELECT user_id, event_id, event_type,
+                     MAX(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY user_id, ts, event_id
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                     ) AS keep
+              FROM e)
+        SELECT user_id, event_id, event_type FROM k WHERE keep = 1
+        ORDER BY user_id, event_id
+        """,
+    ),
     # EXTENSION KQL array/set function family — constant inputs via
     # datatable, array outputs flattened to delimiter digests (driver
     # outputs must be scalar); expected values verified against both

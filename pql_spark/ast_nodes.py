@@ -601,6 +601,22 @@ class Ipv4LookupOp(Op):
 
 
 @dataclass
+class RowsNearOp(Op):
+    """``evaluate rows_near(Condition, NumRows[, NumRowsAfter])``
+    (EXTENSION, KQL rows_near plugin): keep rows within ``NumRows``
+    BEFORE and ``NumRowsAfter`` (default = NumRows) AFTER any row
+    matching ``Condition`` — the "show me context around the alert"
+    SIEM operator.  Requires a serialized order (``sort`` /
+    ``serialize [by K]``); compiled to ONE boolean max over a bounded
+    row frame — no self-join, no row iteration; ``serialize by``
+    keeps the window partitioned (one shuffle, parallel at scale)."""
+
+    cond: Expr
+    before: int
+    after: int
+
+
+@dataclass
 class InvokeOp(Op):
     """``T | invoke f(arg1, …)`` (EXTENSION, KQL invoke): call a
     tabular-bodied let-function with the piped input bound to its

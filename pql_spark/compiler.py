@@ -62,6 +62,7 @@ from .ast_nodes import (
     LetStatement,
     Ipv4LookupOp,
     LookupOp,
+    RowsNearOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -850,6 +851,38 @@ class Compiler:
             return numbered.select(
                 F.col("Row").cast("long").alias("Row"), pairs
             ).select("Row", "__nw.Column", "__nw.Value")
+        if isinstance(op, RowsNearOp):
+            from pyspark.sql import Window
+
+            if self._window is None and self._last_sort is None:
+                raise ParseError(
+                    "rows_near requires a preceding 'sort' or"
+                    " 'serialize' (context rows need a defined order)",
+                    op.span,
+                )
+            part, terms = (
+                self._window if self._window else ([], self._last_sort)
+            )
+            base = (
+                Window.partitionBy(*[F.col(_q(p)) for p in part])
+                if part
+                else Window.partitionBy()
+            )
+            # keep row R iff any row matching cond lies in
+            # [R-after, R+before] ⇔ R within NumRows before / after a
+            # match — one bounded-frame boolean max, no self-join
+            w = base.orderBy(
+                *[self._sort_col(t, env) for t in terms]
+            ).rowsBetween(-op.after, op.before)
+            cond = F.coalesce(
+                self.compile_expr(op.cond, env).cast("boolean"),
+                F.lit(False),
+            )
+            keep = F.max(cond.cast("int")).over(w)
+            marked = df.withColumn("__pql_rn_keep", keep)
+            return marked.filter(F.col("__pql_rn_keep") == 1).drop(
+                "__pql_rn_keep"
+            )
         if isinstance(op, SerializeOp):
             if self._last_sort is None:
                 raise ParseError(

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from .ast_nodes import (
     BagUnpackOp,
     Ipv4LookupOp,
+    RowsNearOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1909,6 +1910,40 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             prefix=prefix,
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value == "rows_near":
+        p.expect(TokenKind.LPAREN, "'('")
+        cond = p.parse_expr()
+
+        def _count_arg() -> int:
+            t = p.take()
+            if t.kind is not TokenKind.NUMBER:
+                raise ParseError(
+                    "rows_near: expected an integer row count", t.span
+                )
+            try:
+                n = int(t.value)
+            except ValueError:
+                raise ParseError(
+                    "rows_near: row count must be an integer", t.span
+                ) from None
+            if n < 0:
+                raise ParseError(
+                    "rows_near: row count must be >= 0", t.span
+                )
+            return n
+
+        p.expect(TokenKind.COMMA, "','")
+        before = _count_arg()
+        after = before
+        if p.match(TokenKind.COMMA):
+            after = _count_arg()
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return RowsNearOp(
+            cond=cond,
+            before=before,
+            after=after,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value == "ipv4_lookup":
         p.expect(TokenKind.LPAREN, "'('")
         lt = p.take()
@@ -2050,7 +2085,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
-            " sequence_detect, autocluster, basket, ipv4_lookup)",
+            " sequence_detect, autocluster, basket, ipv4_lookup, rows_near)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

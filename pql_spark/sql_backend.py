@@ -53,6 +53,7 @@ from .ast_nodes import (
     LetStatement,
     Ipv4LookupOp,
     LookupOp,
+    RowsNearOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -638,6 +639,45 @@ class _SqlEmitter:
                         ident.span,
                     )
             self.window = ([i.parts[0] for i in op.by], self.last_sort)
+            return sql, cols
+        if isinstance(op, RowsNearOp):
+            if self.window is None and self.last_sort is None:
+                raise ParseError(
+                    "rows_near requires a preceding 'sort' or"
+                    " 'serialize' (context rows need a defined order)",
+                    op.span,
+                )
+            part, terms = (
+                self.window if self.window else ([], self.last_sort)
+            )
+            over = []
+            if part:
+                over.append(
+                    "PARTITION BY " + ", ".join(_q(p) for p in part)
+                )
+            over.append(
+                "ORDER BY " + ", ".join(self.sort_term(t) for t in terms)
+            )
+            spec = (
+                " ".join(over)
+                + f" ROWS BETWEEN {op.after} PRECEDING"
+                + f" AND {op.before} FOLLOWING"
+            )
+            keep = (
+                "MAX(CASE WHEN COALESCE(CAST("
+                + self.expr(op.cond)
+                + " AS BOOLEAN), FALSE) THEN 1 ELSE 0 END)"
+                f" OVER ({spec})"
+            )
+            items = ", ".join(_q(c) for c in cols)
+            inner = (
+                f"SELECT *, {keep} AS {_q('__pql_rn_keep')}"
+                f" FROM ({sql}) AS {_q('__pql_rnt')}"
+            )
+            sql = (
+                f"SELECT {items} FROM ({inner}) AS {_q('__pql_rnk')}"
+                f" WHERE {_q('__pql_rn_keep')} = 1"
+            )
             return sql, cols
         if isinstance(op, LookupOp):
             return self.emit_lookup(op, sql, cols)
