@@ -1696,6 +1696,66 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY net_name ORDER BY net_name
         """,
     ),
+    # EXTENSION `evaluate sliding_window_counts` (KQL plugin): rolling
+    # count + distinct-count per bin over a trailing lookback — each
+    # row explodes to its ≤ lookback/bin bins, ONE groupBy; the oracle
+    # repeats the identical bin math with generate_series in DuckDB
+    "pql_sliding_window_counts": (
+        """
+        events
+        | evaluate sliding_window_counts(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 7d, 1d)
+        | sort by ts asc
+        """,
+        """
+        WITH b AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 epoch_us(TIMESTAMP '2024-01-01') AS s,
+                 epoch_us(TIMESTAMP '2024-02-01') AS e,
+                 604800000000 AS lw, 86400000000 AS bw
+          FROM events),
+        k AS (
+          SELECT user_id, s, bw,
+                 greatest(0, CAST(floor((t - s + bw - 1)
+                                        / CAST(bw AS DOUBLE))
+                                  AS BIGINT)) AS k0,
+                 least(CAST(floor((e - s) / CAST(bw AS DOUBLE))
+                            AS BIGINT),
+                       CAST(floor((t + lw - s + bw - 1)
+                                  / CAST(bw AS DOUBLE)) AS BIGINT) - 1
+                 ) AS k1
+          FROM b),
+        x AS (
+          SELECT user_id, make_timestamp(s + u.k * bw) AS ts
+          FROM k, unnest(generate_series(k.k0, k.k1)) AS u(k)
+          WHERE k.k0 <= k.k1)
+        SELECT ts, count(*) AS Count,
+               count(DISTINCT user_id) AS Dcount
+        FROM x GROUP BY ts ORDER BY ts
+        """,
+    ),
+    # EXTENSION `evaluate rolling_percentile` (KQL plugin): per-bin
+    # exact interpolated percentile over the trailing N bins — same
+    # explode-to-bins + one groupBy shape; quantile_cont twin
+    "pql_rolling_percentile": (
+        """
+        events
+        | evaluate rolling_percentile(value, 75, ts, 1d, 7)
+        | sort by ts asc
+        """,
+        """
+        WITH b AS (
+          SELECT value,
+                 CAST(floor(epoch_us(ts) / CAST(86400000000 AS DOUBLE))
+                      AS BIGINT) AS b0
+          FROM events),
+        x AS (
+          SELECT value, make_timestamp(u.k * 86400000000) AS ts
+          FROM b, unnest(generate_series(b.b0, b.b0 + 6)) AS u(k))
+        SELECT ts, quantile_cont(value, 0.75) AS percentile_value_75
+        FROM x GROUP BY ts ORDER BY ts
+        """,
+    ),
     # EXTENSION `evaluate rows_near` (KQL plugin): context rows around
     # matches — ONE bounded-frame window max per partition, no
     # self-join; oracle is the identical window in DuckDB

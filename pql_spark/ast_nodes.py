@@ -601,6 +601,44 @@ class Ipv4LookupOp(Op):
 
 
 @dataclass
+class SlidingWindowCountsOp(Op):
+    """``evaluate sliding_window_counts(IdCol, TimelineCol, Start,
+    End, LookbackWindow, Bin)`` (EXTENSION, KQL plugin): per time bin
+    in [Start, End] (step Bin), the count and distinct-id count of
+    rows in the trailing ``LookbackWindow`` — active-user / rolling-MAU
+    style metrics.  Each row explodes to the ≤ Lookback/Bin bins it
+    participates in (a bounded constant), then ONE groupBy(bin) —
+    no per-bin rescans, no self-join; scales linearly in rows ×
+    (Lookback/Bin).  Divergence from KQL: bins with zero rows are
+    omitted (no dense bin spine)."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    lookback_usec: int
+    bin_usec: int
+
+
+@dataclass
+class RollingPercentileOp(Op):
+    """``evaluate rolling_percentile(ValueCol, Percentile, IndexCol,
+    BinSize, BinsPerWindow)`` (EXTENSION, KQL plugin): per index bin,
+    the percentile of ``ValueCol`` over the trailing ``BinsPerWindow``
+    bins.  Same explode-to-bins shape as sliding_window_counts (each
+    row lands in BinsPerWindow bins, one groupBy).  Divergences from
+    KQL: exact interpolated percentile (matching this engine's
+    ``percentiles()``), and empty bins are omitted."""
+
+    val_col: Ident
+    percentile: float
+    idx_col: Ident
+    bin_is_timespan: bool
+    bin_size: float  # usec when timespan, else the numeric literal
+    bins_per_window: int
+
+
+@dataclass
 class RowsNearOp(Op):
     """``evaluate rows_near(Condition, NumRows[, NumRowsAfter])``
     (EXTENSION, KQL rows_near plugin): keep rows within ``NumRows``

@@ -63,6 +63,8 @@ from .ast_nodes import (
     Ipv4LookupOp,
     LookupOp,
     RowsNearOp,
+    SlidingWindowCountsOp,
+    RollingPercentileOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -851,6 +853,10 @@ class Compiler:
             return numbered.select(
                 F.col("Row").cast("long").alias("Row"), pairs
             ).select("Row", "__nw.Column", "__nw.Value")
+        if isinstance(op, SlidingWindowCountsOp):
+            return self._sliding_window_counts(df, op, env)
+        if isinstance(op, RollingPercentileOp):
+            return self._rolling_percentile(df, op, env)
         if isinstance(op, RowsNearOp):
             from pyspark.sql import Window
 
@@ -1087,6 +1093,100 @@ class Compiler:
             name = f"$right.{c}" if c in left_set else c
             out.append(F.col(f"{_q(ra)}.{_q(c)}").alias(name))
         return joined.select(*out)
+
+    def _sliding_window_counts(
+        self, df: DataFrame, op: SlidingWindowCountsOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate sliding_window_counts``: rolling count/dcount at
+        each bin over a trailing lookback.  Each row explodes to the
+        ≤ Lookback/Bin bins it participates in — a bounded constant
+        fan-out — then ONE hash groupBy(bin): no per-bin rescans, no
+        self-join, linear in rows × (Lookback/Bin) at any scale."""
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"sliding_window_counts: unknown column {name!r}",
+                    ident.span,
+                )
+        binu = F.lit(op.bin_usec).cast("long")
+        look = F.lit(op.lookback_usec).cast("long")
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        # row at t participates in bin B = start + k*bin iff
+        # B - lookback < t <= B; clamp k into [0, (end-start)/bin]
+        kmax = F.floor((end - start) / binu).cast("long")
+        k0 = F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((t - start + binu - 1) / binu).cast("long"),
+        )
+        k1 = F.least(
+            kmax,
+            F.floor((t + look - start + binu - 1) / binu).cast("long")
+            - 1,
+        )
+        ks = F.when(k0 <= k1, F.sequence(k0, k1)).otherwise(
+            F.lit(None).cast("array<long>")
+        )
+        exploded = df.select(
+            F.col(_q(idc)).alias("__swc_id"),
+            start.alias("__swc_start"),
+            F.explode(ks).alias("__swc_k"),
+        ).select(
+            "__swc_id",
+            (F.col("__swc_start") + F.col("__swc_k") * binu).alias(
+                "__swc_bin"
+            ),
+        )
+        return exploded.groupBy(
+            F.timestamp_micros(F.col("__swc_bin")).alias(ts)
+        ).agg(
+            F.count(F.lit(1)).alias("Count"),
+            F.count_distinct(F.col("__swc_id")).alias("Dcount"),
+        )
+
+    def _rolling_percentile(
+        self, df: DataFrame, op: RollingPercentileOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate rolling_percentile``: per-bin percentile over the
+        trailing BinsPerWindow bins.  Same bounded explode-to-bins +
+        one groupBy shape as sliding_window_counts; the percentile is
+        EXACT interpolated (matching ``percentiles()``)."""
+        val = op.val_col.parts[0]
+        idx = op.idx_col.parts[0]
+        for name, ident in ((val, op.val_col), (idx, op.idx_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"rolling_percentile: unknown column {name!r}",
+                    ident.span,
+                )
+        if op.bin_is_timespan:
+            t = F.unix_micros(F.col(_q(idx)).cast("timestamp"))
+            binw = F.lit(int(op.bin_size)).cast("long")
+            out_bin = lambda b: F.timestamp_micros(b.cast("long"))  # noqa: E731
+        else:
+            t = F.col(_q(idx))
+            binw = F.lit(op.bin_size)
+            out_bin = lambda b: b  # noqa: E731
+        b0 = F.floor(t / binw).cast("long")
+        ks = F.sequence(b0, b0 + F.lit(op.bins_per_window - 1))
+        exploded = df.select(
+            F.col(_q(val)).alias("__rp_v"),
+            F.explode(ks).alias("__rp_k"),
+        ).select(
+            "__rp_v", (F.col("__rp_k") * binw).alias("__rp_bin")
+        )
+        out_name = f"percentile_{val}_{op.percentile:g}"
+        return exploded.groupBy(
+            out_bin(F.col("__rp_bin")).alias(idx)
+        ).agg(
+            F.percentile(F.col("__rp_v"), F.lit(op.percentile / 100.0))
+            .alias(out_name)
+        )
 
     def _ipv4_lookup(self, left: DataFrame, op: Ipv4LookupOp) -> DataFrame:
         """``evaluate ipv4_lookup(Lookup, IpCol, RangeCol

@@ -17,6 +17,8 @@ from .ast_nodes import (
     BagUnpackOp,
     Ipv4LookupOp,
     RowsNearOp,
+    SlidingWindowCountsOp,
+    RollingPercentileOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1910,6 +1912,113 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             prefix=prefix,
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value in ("sliding_window_counts", "rolling_percentile"):
+        p.expect(TokenKind.LPAREN, "'('")
+
+        def _ident_arg(what: str, first: bool = False) -> Ident:
+            if not first:
+                p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError(
+                    f"{plugin.value}: expected {what}", t.span
+                )
+            return Ident(
+                parts=[t.value],
+                quoted=[t.kind is TokenKind.QIDENT],
+                span=t.span,
+            )
+
+        def _timespan_arg(what: str) -> int:
+            p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind is TokenKind.TIMESPAN:
+                return int(t.value)
+            if t.kind is TokenKind.STRING:
+                from .functions import _duration_usec
+
+                return _duration_usec(t.value, t.span)
+            raise ParseError(
+                f"{plugin.value}: expected a timespan literal for"
+                f" {what} (e.g. 1h)",
+                t.span,
+            )
+
+        def _number_arg(what: str) -> float:
+            p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind is not TokenKind.NUMBER:
+                raise ParseError(
+                    f"{plugin.value}: expected a number for {what}",
+                    t.span,
+                )
+            return float(t.value)
+
+        if plugin.value == "sliding_window_counts":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            lookback = _timespan_arg("LookbackWindow")
+            binw = _timespan_arg("Bin")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if binw <= 0 or lookback <= 0:
+                raise ParseError(
+                    "sliding_window_counts: windows must be positive",
+                    plugin.span,
+                )
+            return SlidingWindowCountsOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                lookback_usec=lookback,
+                bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        val_col = _ident_arg("the value column", first=True)
+        pctl = _number_arg("Percentile")
+        idx_col = _ident_arg("the index column")
+        p.expect(TokenKind.COMMA, "','")
+        t = p.take()
+        if t.kind is TokenKind.TIMESPAN:
+            bin_is_ts, bin_size = True, float(int(t.value))
+        elif t.kind is TokenKind.NUMBER:
+            bin_is_ts, bin_size = False, float(t.value)
+        else:
+            raise ParseError(
+                "rolling_percentile: BinSize must be a timespan or"
+                " number literal",
+                t.span,
+            )
+        if bin_size <= 0:
+            raise ParseError(
+                "rolling_percentile: BinSize must be positive", t.span
+            )
+        nbins = _number_arg("BinsPerWindow")
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        if nbins != int(nbins) or int(nbins) < 1:
+            raise ParseError(
+                "rolling_percentile: BinsPerWindow must be a positive"
+                " integer",
+                plugin.span,
+            )
+        if not (0 <= pctl <= 100):
+            raise ParseError(
+                "rolling_percentile: Percentile must be in 0..100",
+                plugin.span,
+            )
+        return RollingPercentileOp(
+            val_col=val_col,
+            percentile=pctl,
+            idx_col=idx_col,
+            bin_is_timespan=bin_is_ts,
+            bin_size=bin_size,
+            bins_per_window=int(nbins),
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value == "rows_near":
         p.expect(TokenKind.LPAREN, "'('")
         cond = p.parse_expr()
@@ -2085,7 +2194,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
-            " sequence_detect, autocluster, basket, ipv4_lookup, rows_near)",
+            " sequence_detect, autocluster, basket, ipv4_lookup,"
+            " rows_near, sliding_window_counts, rolling_percentile)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

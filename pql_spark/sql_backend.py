@@ -54,6 +54,8 @@ from .ast_nodes import (
     Ipv4LookupOp,
     LookupOp,
     RowsNearOp,
+    SlidingWindowCountsOp,
+    RollingPercentileOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -640,6 +642,78 @@ class _SqlEmitter:
                     )
             self.window = ([i.parts[0] for i in op.by], self.last_sort)
             return sql, cols
+        if isinstance(op, SlidingWindowCountsOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"sliding_window_counts: unknown column"
+                        f" {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            binu, look = str(op.bin_usec), str(op.lookback_usec)
+            k0 = (
+                f"greatest(CAST(0 AS BIGINT), CAST(floor(({t} - {start}"
+                f" + {binu} - 1) / {binu}) AS BIGINT))"
+            )
+            kmax = f"CAST(floor(({end} - {start}) / {binu}) AS BIGINT)"
+            k1 = (
+                f"least({kmax}, CAST(floor(({t} + {look} - {start}"
+                f" + {binu} - 1) / {binu}) AS BIGINT) - 1)"
+            )
+            inner = (
+                f"SELECT {start} AS __swc_start, {_q(idc)} AS __swc_id,"
+                f" CASE WHEN {k0} <= {k1} THEN sequence({k0}, {k1}) END"
+                f" AS __swc_ks FROM ({sql}) AS {_q('__swc_t')}"
+            )
+            sql = (
+                f"SELECT timestamp_micros(__swc_start + k * {binu})"
+                f" AS {_q(ts)}, count(*) AS Count,"
+                " count(DISTINCT __swc_id) AS Dcount"
+                f" FROM ({inner}) AS {_q('__swc_e')}"
+                " LATERAL VIEW explode(__swc_ks) __swc_s AS k"
+                " GROUP BY 1"
+            )
+            return sql, [ts, "Count", "Dcount"]
+        if isinstance(op, RollingPercentileOp):
+            val, idx = op.val_col.parts[0], op.idx_col.parts[0]
+            for name, ident in ((val, op.val_col), (idx, op.idx_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"rolling_percentile: unknown column {name!r}",
+                        ident.span,
+                    )
+            if op.bin_is_timespan:
+                t = f"unix_micros(CAST({_q(idx)} AS TIMESTAMP))"
+                binw = str(int(op.bin_size))
+                out = "timestamp_micros(CAST(__rp_bin AS BIGINT))"
+            else:
+                t = _q(idx)
+                binw = repr(op.bin_size)
+                out = "__rp_bin"
+            b0 = f"CAST(floor({t} / {binw}) AS BIGINT)"
+            inner = (
+                f"SELECT {_q(val)} AS __rp_v, sequence({b0}, {b0}"
+                f" + {op.bins_per_window - 1}) AS __rp_ks"
+                f" FROM ({sql}) AS {_q('__rp_t')}"
+            )
+            mid = (
+                f"SELECT __rp_v, k * {binw} AS __rp_bin"
+                f" FROM ({inner}) AS {_q('__rp_e')}"
+                " LATERAL VIEW explode(__rp_ks) __rp_s AS k"
+            )
+            out_name = f"percentile_{val}_{op.percentile:g}"
+            sql = (
+                f"SELECT {out} AS {_q(idx)}, percentile(__rp_v,"
+                f" {op.percentile / 100.0!r}) AS {_q(out_name)}"
+                f" FROM ({mid}) AS {_q('__rp_g')} GROUP BY 1"
+            )
+            return sql, [idx, out_name]
         if isinstance(op, RowsNearOp):
             if self.window is None and self.last_sort is None:
                 raise ParseError(

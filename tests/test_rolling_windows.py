@@ -1,0 +1,108 @@
+"""``evaluate sliding_window_counts`` / ``evaluate rolling_percentile``
+(KQL plugins): explode-to-bins + one groupBy rolling metrics.
+Reference implementation for the tests: plain Python over the same
+rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pql_spark import PqlEngine
+from pql_spark.parser import QueryError
+
+BASE = dt.datetime(2024, 1, 1)
+ROWS = [
+    (i, f"u{i % 5}", BASE + dt.timedelta(hours=i), float(i))
+    for i in range(48)
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    ev = spark.createDataFrame(
+        ROWS, "eid long, uid string, ts timestamp, v double"
+    )
+    ev.createOrReplaceTempView("rw_ev")
+    return PqlEngine(spark, {"rw_ev": ev})
+
+
+SWC_Q = (
+    "rw_ev | evaluate sliding_window_counts(uid, ts,"
+    " datetime(2024-01-01), datetime(2024-01-03), 6h, 3h)"
+    " | sort by ts asc"
+)
+
+
+def _swc_reference():
+    bins = [BASE + dt.timedelta(hours=3 * k) for k in range(17)]
+    out = []
+    for b in bins:
+        sel = [
+            (u,) for (_, u, t, _) in ROWS
+            if b - dt.timedelta(hours=6) < t <= b
+        ]
+        if sel:
+            out.append((b, len(sel), len(set(sel))))
+    return out
+
+
+def test_sliding_window_counts(engine):
+    got = [
+        (r.ts, r.Count, r.Dcount)
+        for r in engine.query(SWC_Q).collect()
+    ]
+    assert got == _swc_reference()
+
+
+def test_sliding_window_counts_sql(engine, spark):
+    got = [
+        (r.ts, r.Count, r.Dcount)
+        for r in spark.sql(engine.to_sql(SWC_Q)).collect()
+    ]
+    assert got == _swc_reference()
+
+
+def test_rolling_percentile_numeric(engine, spark):
+    q = "rw_ev | evaluate rolling_percentile(v, 50, eid, 10, 2)"
+    out = engine.query(q)
+    assert out.columns == ["eid", "percentile_v_50"]
+    a = sorted(map(tuple, out.collect()))
+    ref: dict[float, list[float]] = {}
+    for (i, _, _, v) in ROWS:
+        b0 = (i // 10) * 10
+        for k in range(2):
+            ref.setdefault(float(b0 + k * 10), []).append(v)
+    expect = sorted(
+        (b, float(np.percentile(vs, 50))) for b, vs in ref.items()
+    )
+    assert [(b, round(p, 9)) for b, p in a] == [
+        (b, round(p, 9)) for b, p in expect
+    ]
+    b = sorted(map(tuple, spark.sql(engine.to_sql(q)).collect()))
+    assert a == b
+
+
+def test_rolling_percentile_timespan(engine, spark):
+    q = "rw_ev | evaluate rolling_percentile(v, 90, ts, 12h, 3)"
+    a = sorted(map(tuple, engine.query(q).collect()))
+    b = sorted(map(tuple, spark.sql(engine.to_sql(q)).collect()))
+    assert a == b and len(a) == 6  # 4 data bins + 2 trailing-only
+
+
+def test_errors(engine):
+    with pytest.raises(QueryError, match="unknown column"):
+        engine.query(
+            "rw_ev | evaluate sliding_window_counts(nope, ts,"
+            " datetime(2024-01-01), datetime(2024-01-02), 1d, 1h)"
+        )
+    with pytest.raises(QueryError, match="positive integer"):
+        engine.query(
+            "rw_ev | evaluate rolling_percentile(v, 50, eid, 10, 0)"
+        )
+    with pytest.raises(QueryError, match="0..100"):
+        engine.query(
+            "rw_ev | evaluate rolling_percentile(v, 500, eid, 10, 2)"
+        )
