@@ -242,6 +242,9 @@ class UnionOp(Op):
     others: list["TabularExpr"]
     withsource: str | None = None
     kind: str = "outer"
+    # ``isfuzzy=true``: branches whose source TABLE doesn't resolve are
+    # silently dropped (KQL union isfuzzy — evolving multi-table views)
+    isfuzzy: bool = False
 
 
 @dataclass

@@ -510,6 +510,15 @@ class Compiler:
                 df = df.withColumn(ws, F.lit(""))
             branches = []
             for other in op.others:
+                if op.isfuzzy and isinstance(other.source, TableRef):
+                    # isfuzzy forgives UNRESOLVED source tables only —
+                    # errors inside a resolvable branch still raise
+                    try:
+                        self._resolve_table(
+                            other.source.name, other.source.span
+                        )
+                    except ParseError:
+                        continue
                 branch = self.compile_tabular(other)
                 if ws is not None:
                     name = (

@@ -1284,6 +1284,7 @@ def _op_union(p: _P, kw: Token) -> Op:
     and parenthesized subqueries)."""
     withsource = None
     kind = "outer"
+    isfuzzy = False
     while True:
         if p.match_word("kind"):
             p.expect(TokenKind.ASSIGN, "'='")
@@ -1301,6 +1302,16 @@ def _op_union(p: _P, kw: Token) -> Op:
             if ws.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
                 raise ParseError("expected column name", ws.span)
             withsource = ws.value
+        elif p.match_word("isfuzzy"):
+            p.expect(TokenKind.ASSIGN, "'='")
+            fz = p.take()
+            if fz.kind is not TokenKind.IDENT or fz.value not in (
+                "true", "false"
+            ):
+                raise ParseError(
+                    "union isfuzzy must be true or false", fz.span
+                )
+            isfuzzy = fz.value == "true"
         else:
             break
     others: list[TabularExpr] = []
@@ -1336,6 +1347,7 @@ def _op_union(p: _P, kw: Token) -> Op:
         others=others,
         withsource=withsource,
         kind=kind,
+        isfuzzy=isfuzzy,
         span=Span(kw.span.start, others[-1].span.end),
     )
 

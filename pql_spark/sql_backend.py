@@ -351,6 +351,16 @@ class _SqlEmitter:
         if isinstance(op, UnionOp):
             branches = [(sql, cols, "")]
             for other in op.others:
+                if (
+                    op.isfuzzy
+                    and isinstance(other.source, TableRef)
+                    and other.source.name not in self.bound
+                ):
+                    # isfuzzy forgives UNRESOLVED source tables only
+                    try:
+                        self.columns_of(other.source.name)
+                    except Exception:  # noqa: BLE001 — any lookup miss
+                        continue
                 bsql, bc = self.emit_query(other)
                 name = (
                     other.source.name

@@ -56,6 +56,24 @@ def test_union_subquery(engine):
     assert sorted(r.id for r in out.collect()) == [1, 1, 2, 3, 5]
 
 
+def test_union_isfuzzy_skips_missing_tables(engine):
+    out = engine.query(
+        "T1 | project id | union isfuzzy = true no_such_table,"
+        " (T2 | where id == 5 | project id)"
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 1, 2, 3, 5]
+    # strict union still errors on the missing table
+    from pql_spark.parser import QueryError
+
+    with pytest.raises(QueryError, match="unknown table"):
+        engine.query("T1 | project id | union no_such_table")
+    # all branches missing → left side only
+    only = engine.query(
+        "T1 | project id | union isfuzzy = true nope1, nope2"
+    )
+    assert only.count() == 3
+
+
 def test_extend_overwrites_in_place(engine):
     """extend with an existing name replaces the column (KQL semantics)
     instead of creating an ambiguous duplicate."""
