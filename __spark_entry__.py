@@ -1410,6 +1410,67 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM c ORDER BY event_type, ts
         """,
     ),
+    # EXTENSION series_decompose_forecast: train the additive
+    # decomposition on the first n-points bins, forecast the horizon as
+    # OLS-extrapolated trend + centered phase pattern; the oracle
+    # repeats the identical training-window math (regr_slope/intercept
+    # twins the closed-form OLS; round(4) absorbs fold-order fp noise)
+    "pql_series_forecast": (
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from "2024-01-01" to "2024-01-31" step "1d"
+            by event_type
+        | extend f = series_decompose_forecast(n, 7, 7)
+        | mv-expand ts, fv = f
+        | project event_type, ts, fv = round(fv, 4)
+        | sort by event_type asc, ts asc
+        """,
+        """
+        WITH f AS (SELECT event_type, ts FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-31'),
+        g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS n
+              FROM f GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, j.i,
+                        CAST(coalesce(g.n, 0) AS DOUBLE) AS n
+                 FROM (SELECT DISTINCT event_type FROM f) t
+                 CROSS JOIN (SELECT unnest(range(0, 30)) AS i) j
+                 LEFT JOIN g ON g.event_type = t.event_type
+                            AND g.i = j.i),
+        tr AS (SELECT event_type, i, n,
+                      avg(n) OVER (PARTITION BY event_type ORDER BY i
+                                   ROWS BETWEEN 3 PRECEDING
+                                   AND 3 FOLLOWING) AS trend
+               FROM grid WHERE i < 23),
+        ph AS (SELECT *, avg(n - trend) OVER
+                           (PARTITION BY event_type, i % 7) AS sraw
+               FROM tr),
+        st AS (SELECT event_type, avg(sraw) AS rawmean,
+                      regr_slope(trend, i + 1) AS slope,
+                      regr_intercept(trend, i + 1) AS inter
+               FROM ph GROUP BY event_type),
+        ps AS (SELECT event_type, i % 7 AS q, any_value(sraw) AS psv
+               FROM ph GROUP BY 1, 2)
+        SELECT grid.event_type,
+               TIMESTAMP '2024-01-01'
+                 + to_microseconds(grid.i * 86400000000) AS ts,
+               round(CASE WHEN grid.i < 23
+                     THEN b.trend + b.sraw - st.rawmean
+                     ELSE st.inter + st.slope * (grid.i + 1)
+                          + ps.psv - st.rawmean END, 4) AS fv
+        FROM grid
+        LEFT JOIN ph b ON b.event_type = grid.event_type
+                      AND b.i = grid.i
+        JOIN st ON st.event_type = grid.event_type
+        JOIN ps ON ps.event_type = grid.event_type
+               AND ps.q = grid.i % 7
+        ORDER BY grid.event_type, ts
+        """,
+    ),
     # EXTENSION series_decompose_anomalies: ±1 flags on residual
     # population z-scores past the threshold
     "pql_series_decompose_anomalies": (

@@ -1971,6 +1971,124 @@ def compile_call(
             F.transform(args[0], lambda x: x.cast("double")),
             lambda ad: F.when(F.size(ad) >= 4, fit2(ad)),
         )
+    if lname == "series_decompose_forecast":
+        # Simplified KQL series_decompose_forecast(arr, period, points):
+        # train an additive decomposition (same arithmetic as
+        # series_decompose) on the first n-points elements, then emit a
+        # length-n forecast array — trained part = trend + seasonal
+        # baseline, horizon = OLS line fit of the trained trend
+        # extrapolated + the centered per-phase seasonal pattern.
+        # NULL when the training slice is shorter than max(period, 2).
+        # All work is bin-count-sized element lambdas (DF backend only;
+        # divergence from KQL: explicit period, no seasonality
+        # autodetect).
+        _check_argc(name, args, 3, 3, span)
+        p = _lit_int(name, ast_args, 1, span)
+        if p < 1:
+            raise ParseError(f"{name}() period must be >= 1", span)
+        points = _lit_int(name, ast_args, 2, span)
+        if points < 1:
+            raise ParseError(f"{name}() points must be >= 1", span)
+        lo, hi = (p - 1) // 2, p // 2
+        _bind, _mean = _let_bind, _arr_mean
+
+        def _fc_trend(ad: Column) -> Column:
+            n = F.size(ad)
+
+            def trend_at(i: Column) -> Column:
+                start = F.greatest(F.lit(1), i - lo)
+                window = F.slice(
+                    ad, start, F.least(i + hi, n) - start + F.lit(1)
+                )
+                return _mean(window)
+
+            return F.transform(F.sequence(F.lit(1), n), trend_at)
+
+        def _fc_psums(det: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(p - 1)),
+                lambda q: _mean(
+                    F.filter(det, lambda _x, j: (j % p) == q)
+                ),
+            )
+
+        def _fc(full: Column) -> Column:
+            n = F.size(full)
+            m = n - F.lit(points)
+
+            def with_train(ad: Column) -> Column:
+                msz = F.size(ad)
+                md = msz.cast("double")
+                xbar = (md + 1.0) / 2.0
+                sxx = md * (md * md - 1.0) / 12.0
+
+                def with_parts(tr, ps, raw):
+                    return _bind(_mean(raw), lambda rawmean: _bind(
+                        _mean(tr), lambda trmean: _bind(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.sequence(F.lit(1), msz),
+                                    tr,
+                                    lambda i, t: (
+                                        i.cast("double") - xbar
+                                    ) * t,
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ) / sxx,
+                            lambda slope: _bind(
+                                trmean - slope * xbar,
+                                lambda inter: F.transform(
+                                    F.sequence(F.lit(1), n),
+                                    lambda i: F.when(
+                                        i <= msz,
+                                        F.element_at(tr, i.cast("int"))
+                                        + F.element_at(
+                                            raw, i.cast("int")
+                                        )
+                                        - rawmean,
+                                    ).otherwise(
+                                        inter
+                                        + slope * i.cast("double")
+                                        + F.element_at(
+                                            ps,
+                                            ((i - 1) % p + 1).cast(
+                                                "int"
+                                            ),
+                                        )
+                                        - rawmean
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ))
+
+                return _bind(_fc_trend(ad), lambda tr: _bind(
+                    _fc_psums(F.zip_with(ad, tr, lambda x, t: x - t)),
+                    lambda ps: _bind(
+                        F.transform(
+                            F.sequence(F.lit(1), msz),
+                            lambda i: F.element_at(
+                                ps, ((i - 1) % p + 1).cast("int")
+                            ),
+                        ),
+                        lambda raw: with_parts(tr, ps, raw),
+                    ),
+                ))
+
+            return F.when(
+                m >= F.greatest(F.lit(p), F.lit(2)),
+                _bind(
+                    F.slice(
+                        F.transform(full, lambda x: x.cast("double")),
+                        1,
+                        m,
+                    ),
+                    with_train,
+                ),
+            )
+
+        return _bind(args[0], _fc)
     if lname in ("series_decompose", "series_decompose_anomalies"):
         # Simplified KQL series_decompose: classic ADDITIVE decomposition
         # with an explicit integer period (KQL's autodetect/lowess is

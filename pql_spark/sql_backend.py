@@ -3052,6 +3052,12 @@ class _SqlEmitter:
                 )
                 + " END",
             )
+        if name == "series_decompose_forecast":
+            raise ParseError(
+                "series_decompose_forecast() requires the DataFrame"
+                " backend",
+                e.span,
+            )
         if name in ("series_decompose", "series_decompose_anomalies"):
             # twin of the DataFrame build (functions.py) including its
             # let-binding-via-singleton-array trick, so both backends
