@@ -2562,6 +2562,26 @@ FROM events GROUP BY user_id
 """
 
 # deterministic hash sampling + stratified rates + split assignment
+# domain-weighted token-budget corpus mixing: per-domain keep-rate
+# min(1, target/total) with deterministic md5 key-hash selection —
+# identical rate math + hash in the oracle (floor() on both sides:
+# DuckDB CAST rounds, Spark floors)
+_MIX_ORACLE = """
+WITH w(domain, wt) AS (VALUES
+    ('src0', 6.0), ('src1', 3.0), ('src2', 1.0)),
+tot AS (SELECT source AS domain, CAST(SUM(n_chars) AS DOUBLE) AS total
+        FROM documents GROUP BY 1),
+r AS (SELECT w.domain,
+             least(1.0, (12000.0 * wt / 10.0) / total) AS rate
+      FROM w JOIN tot ON tot.domain = w.domain)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN r ON d.source = r.domain
+WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        ::BIGINT
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
 _SAMPLING_ORACLE = """
 WITH b AS (SELECT doc_id, lang,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -3440,6 +3460,21 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "click_id long, purchase_id long")
 
 
+def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import mix_corpora
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    mixed = mix_corpora(
+        docs,
+        key="doc_id",
+        domain_col="source",
+        token_col="n_chars",
+        weights={"src0": 6.0, "src1": 3.0, "src2": 1.0},
+        budget_tokens=12000,
+    )
+    return mixed.orderBy("doc_id")
+
+
 def _q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import stratified_hash_sample, train_test_split
 
@@ -3645,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_kmv_distinct": _q_kmv_distinct,
             "op_winnow_fingerprints": _q_winnow,
             "op_sampling_split": _q_sampling,
+            "op_mix_corpora": _q_mix_corpora,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
@@ -3707,6 +3743,7 @@ def oracle_sql() -> dict[str, str]:
             "op_kmv_distinct": _KMV_ORACLE,
             "op_winnow_fingerprints": _WINNOW_ORACLE,
             "op_sampling_split": _SAMPLING_ORACLE,
+            "op_mix_corpora": _MIX_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

@@ -32,6 +32,7 @@ from .dedup import (
 from .sampling import (
     deterministic_shuffle,
     hash_sample,
+    mix_corpora,
     pack_sequences,
     stratified_hash_sample,
     train_test_split,
@@ -83,6 +84,7 @@ __all__ = [
     "minhash_dup_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
+    "mix_corpora",
     "pack_sequences",
     "pairwise_topk",
     "quality_score",

@@ -133,6 +133,71 @@ def pack_sequences(
     )
 
 
+def mix_corpora(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-weighted token-budget mixing — the "data mixture" step of
+    training-corpus construction (e.g. 60% web / 30% code / 10% papers
+    into a 1T-token budget).
+
+    Each domain ``d`` gets a token target ``budget · w_d / Σw``; its
+    rows are kept by deterministic key-hash at rate
+    ``min(1, target_d / total_d)``, so expected kept-tokens ≈ target
+    and the SAME documents are chosen on every run / any partitioning.
+    Domains absent from ``weights`` are dropped.
+
+    Scale shape: one partial-aggregated groupBy for the per-domain
+    token totals (|domains| rows, broadcast back) + one narrow filter —
+    no per-domain sort, no windows, no skew sensitivity.  Exact-budget
+    cutting (cumulative-sum windows per domain) deliberately NOT used:
+    it serializes each domain into one task at 100 TB; rate-based
+    selection parallelizes perfectly and lands within sampling noise of
+    the target."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not weights:
+        raise ValueError("weights must not be empty")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    totals = df.groupBy(F.col(domain_col).alias("__mx_dom")).agg(
+        F.sum(F.col(token_col)).cast("double").alias("__mx_total")
+    )
+    target = F.lit(None).cast("double")
+    for dom, w in weights.items():
+        target = F.when(
+            F.col("__mx_dom") == dom,
+            F.lit(float(budget_tokens) * float(w) / wsum),
+        ).otherwise(target)
+    # guard the NULL target explicitly — F.least() IGNORES nulls, so
+    # least(1.0, null) would silently keep unweighted domains at 100%
+    rates = totals.select(
+        "__mx_dom",
+        F.when(
+            target.isNotNull(),
+            F.least(F.lit(1.0), target / F.col("__mx_total")),
+        ).alias("__mx_rate"),
+    ).filter(F.col("__mx_rate").isNotNull())
+    # rates derives FROM df (self-join lineage): alias both sides so
+    # the equi-condition binds left-vs-right, not attribute-vs-itself
+    la, ra = "__mx_l", "__mx_r"
+    joined = df.alias(la).join(
+        F.broadcast(rates.alias(ra)),
+        F.col(f"{la}.`{domain_col}`") == F.col(f"{ra}.__mx_dom"),
+        "inner",
+    )
+    keep = _bucket(F.col(key), salt) < F.floor(
+        F.col("__mx_rate") * _SPACE
+    ).cast("long")
+    return joined.filter(keep).drop("__mx_dom", "__mx_rate")
+
+
 def deterministic_shuffle(
     df: DataFrame, key: str, seed: str = "0"
 ) -> DataFrame:

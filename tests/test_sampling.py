@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pql_spark.operators import (
     deterministic_shuffle,
     hash_sample,
+    mix_corpora,
     stratified_hash_sample,
     train_test_split,
 )
@@ -75,6 +76,67 @@ def test_deterministic_shuffle_is_permutation(pop):
     assert a == b  # reproducible
     assert sorted(a) == list(range(10000))  # a permutation
     assert a != c and a != sorted(a)  # actually shuffled; seed changes it
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 3 domains × 2000 docs × 100 tokens each = 200k tokens/domain
+    return spark.range(6000).select(
+        F.col("id"),
+        F.concat(F.lit("dom"), (F.col("id") % 3).cast("string")).alias(
+            "dom"
+        ),
+        F.lit(100).alias("tokens"),
+    )
+
+
+def test_mix_corpora_hits_targets(corpus):
+    # budget 100k: dom0 target 60k (rate .3), dom1 30k (.15), dom2 10k
+    mixed = mix_corpora(
+        corpus, "id", "dom", "tokens",
+        weights={"dom0": 6, "dom1": 3, "dom2": 1},
+        budget_tokens=100_000,
+    )
+    got = {
+        r.dom: r.t
+        for r in mixed.groupBy("dom")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    assert set(got) == {"dom0", "dom1", "dom2"}
+    for dom, target in (("dom0", 60_000), ("dom1", 30_000),
+                        ("dom2", 10_000)):
+        # binomial noise: 3σ ≈ 3·sqrt(rate·n)·100 tokens
+        assert abs(got[dom] - target) < 12_000, (dom, got[dom])
+
+
+def test_mix_corpora_caps_rate_at_one(corpus):
+    # dom0 target (480k) exceeds its 200k total → keep ALL of dom0
+    mixed = mix_corpora(
+        corpus, "id", "dom", "tokens",
+        weights={"dom0": 24, "dom1": 1}, budget_tokens=500_000,
+    )
+    got = {
+        r.dom: r.n
+        for r in mixed.groupBy("dom").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got["dom0"] == 2000  # rate capped at 1.0
+    assert "dom2" not in got  # unweighted domain dropped
+
+
+def test_mix_corpora_deterministic(corpus):
+    kw = dict(weights={"dom0": 1, "dom1": 1}, budget_tokens=50_000)
+    a = mix_corpora(corpus, "id", "dom", "tokens", **kw)
+    b = mix_corpora(corpus, "id", "dom", "tokens", **kw)
+    assert a.exceptAll(b).count() == 0 and a.count() == b.count()
+
+
+def test_mix_corpora_validation(corpus):
+    with pytest.raises(ValueError, match="budget"):
+        mix_corpora(corpus, "id", "dom", "tokens", {"dom0": 1}, 0)
+    with pytest.raises(ValueError, match="weights"):
+        mix_corpora(corpus, "id", "dom", "tokens", {}, 10)
 
 
 def test_connected_components_chain_and_stars(spark):
