@@ -1795,6 +1795,45 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM x GROUP BY ts ORDER BY ts
         """,
     ),
+    # EXTENSION `evaluate activity_counts_metrics` (KQL plugin): per-bin
+    # count / distinct / first-seen-new / cumulative-distinct — the
+    # retention metric set; two parallel aggregates + a bin-level
+    # running sum, twinned exactly in DuckDB
+    "pql_activity_metrics": (
+        """
+        events
+        | evaluate activity_counts_metrics(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 1d)
+        | sort by ts asc
+        """,
+        """
+        WITH b AS (
+          SELECT user_id,
+                 epoch_us(TIMESTAMP '2024-01-01')
+                 + CAST(floor((epoch_us(ts)
+                               - epoch_us(TIMESTAMP '2024-01-01'))
+                              / CAST(86400000000 AS DOUBLE)) AS BIGINT)
+                   * 86400000000 AS bin
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        per_bin AS (
+          SELECT bin, count(*) AS count_,
+                 count(DISTINCT user_id) AS dcount
+          FROM b GROUP BY bin),
+        firsts AS (
+          SELECT user_id, min(bin) AS bin FROM b GROUP BY user_id),
+        new_bin AS (
+          SELECT bin, count(*) AS new_dcount FROM firsts GROUP BY bin)
+        SELECT make_timestamp(p.bin) AS ts, p.count_, p.dcount,
+               coalesce(n.new_dcount, 0) AS new_dcount,
+               sum(coalesce(n.new_dcount, 0)) OVER (
+                 ORDER BY p.bin ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS aggregated_dcount
+        FROM per_bin p LEFT JOIN new_bin n ON p.bin = n.bin
+        ORDER BY ts
+        """,
+    ),
     # EXTENSION `evaluate rolling_percentile` (KQL plugin): per-bin
     # exact interpolated percentile over the trailing N bins — same
     # explode-to-bins + one groupBy shape; quantile_cont twin

@@ -642,6 +642,23 @@ class RollingPercentileOp(Op):
 
 
 @dataclass
+class ActivityCountsMetricsOp(Op):
+    """``evaluate activity_counts_metrics(IdCol, TimelineCol, Start,
+    End, Bin)`` (EXTENSION, KQL plugin): per time bin in [Start, End),
+    total count, distinct ids, FIRST-SEEN distinct ids (new), and the
+    cumulative distinct count — the retention/new-vs-returning metric
+    set.  Two parallel aggregates (per-bin counts; per-id min-bin →
+    per-bin new counts) + a window running-sum over the tiny bin-level
+    relation — no per-bin rescans, no id×bin blowup."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    bin_usec: int
+
+
+@dataclass
 class RowsNearOp(Op):
     """``evaluate rows_near(Condition, NumRows[, NumRowsAfter])``
     (EXTENSION, KQL rows_near plugin): keep rows within ``NumRows``

@@ -65,6 +65,7 @@ from .ast_nodes import (
     RowsNearOp,
     SlidingWindowCountsOp,
     RollingPercentileOp,
+    ActivityCountsMetricsOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -864,6 +865,8 @@ class Compiler:
             ).select("Row", "__nw.Column", "__nw.Value")
         if isinstance(op, SlidingWindowCountsOp):
             return self._sliding_window_counts(df, op, env)
+        if isinstance(op, ActivityCountsMetricsOp):
+            return self._activity_counts_metrics(df, op, env)
         if isinstance(op, RollingPercentileOp):
             return self._rolling_percentile(df, op, env)
         if isinstance(op, RowsNearOp):
@@ -1156,6 +1159,72 @@ class Compiler:
         ).agg(
             F.count(F.lit(1)).alias("Count"),
             F.count_distinct(F.col("__swc_id")).alias("Dcount"),
+        )
+
+    def _activity_counts_metrics(
+        self, df: DataFrame, op: ActivityCountsMetricsOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate activity_counts_metrics``: per-bin count,
+        distinct ids, new (first-seen) ids, and cumulative distinct.
+
+        Scale shape: two parallel aggregates over the fact rows
+        (per-bin counts; per-id min-bin, then per-bin new counts) and
+        a running sum over the BIN-level relation only — the
+        unpartitioned window is over #bins rows, not data rows."""
+        from pyspark.sql import Window
+
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"activity_counts_metrics: unknown column {name!r}",
+                    ident.span,
+                )
+        binu = F.lit(op.bin_usec).cast("long")
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        base = df.select(
+            F.col(_q(idc)).alias("__acm_id"),
+            (start + F.floor((t - start) / binu).cast("long") * binu)
+            .alias("__acm_bin"),
+            t.alias("__acm_t"),
+            start.alias("__acm_s"),
+            end.alias("__acm_e"),
+        ).filter(
+            (F.col("__acm_t") >= F.col("__acm_s"))
+            & (F.col("__acm_t") < F.col("__acm_e"))
+        )
+        per_bin = base.groupBy("__acm_bin").agg(
+            F.count(F.lit(1)).alias("count_"),
+            F.count_distinct(F.col("__acm_id")).alias("dcount"),
+        )
+        new_per_bin = (
+            base.groupBy("__acm_id")
+            .agg(F.min("__acm_bin").alias("__acm_bin"))
+            .groupBy("__acm_bin")
+            .agg(F.count(F.lit(1)).alias("new_dcount"))
+        )
+        joined = per_bin.join(new_per_bin, "__acm_bin", "left").select(
+            "__acm_bin",
+            "count_",
+            "dcount",
+            F.coalesce(F.col("new_dcount"), F.lit(0)).alias("new_dcount"),
+        )
+        w = (
+            Window.partitionBy()
+            .orderBy("__acm_bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return joined.select(
+            F.timestamp_micros(F.col("__acm_bin")).alias(ts),
+            "count_",
+            "dcount",
+            "new_dcount",
+            F.sum("new_dcount").over(w).alias("aggregated_dcount"),
         )
 
     def _rolling_percentile(

@@ -19,6 +19,7 @@ from .ast_nodes import (
     RowsNearOp,
     SlidingWindowCountsOp,
     RollingPercentileOp,
+    ActivityCountsMetricsOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1924,7 +1925,11 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             prefix=prefix,
             span=Span(kw.span.start, rp.span.end),
         )
-    if plugin.value in ("sliding_window_counts", "rolling_percentile"):
+    if plugin.value in (
+        "sliding_window_counts",
+        "rolling_percentile",
+        "activity_counts_metrics",
+    ):
         p.expect(TokenKind.LPAREN, "'('")
 
         def _ident_arg(what: str, first: bool = False) -> Ident:
@@ -1987,6 +1992,28 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 start=start,
                 end=end,
                 lookback_usec=lookback,
+                bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "activity_counts_metrics":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            binw = _timespan_arg("Bin")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if binw <= 0:
+                raise ParseError(
+                    "activity_counts_metrics: Bin must be positive",
+                    plugin.span,
+                )
+            return ActivityCountsMetricsOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
                 bin_usec=binw,
                 span=Span(kw.span.start, rp.span.end),
             )
@@ -2207,7 +2234,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
             " sequence_detect, autocluster, basket, ipv4_lookup,"
-            " rows_near, sliding_window_counts, rolling_percentile)",
+            " rows_near, sliding_window_counts, rolling_percentile,"
+            " activity_counts_metrics)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -56,6 +56,7 @@ from .ast_nodes import (
     RowsNearOp,
     SlidingWindowCountsOp,
     RollingPercentileOp,
+    ActivityCountsMetricsOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -690,6 +691,53 @@ class _SqlEmitter:
                 " GROUP BY 1"
             )
             return sql, [ts, "Count", "Dcount"]
+        if isinstance(op, ActivityCountsMetricsOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"activity_counts_metrics: unknown column"
+                        f" {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            binu = str(op.bin_usec)
+            base = (
+                f"SELECT {_q(idc)} AS __acm_id,"
+                f" {start} + CAST(floor(({t} - {start}) / {binu})"
+                f" AS BIGINT) * {binu} AS __acm_bin"
+                f" FROM ({sql}) AS {_q('__acm_t')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            per_bin = (
+                "SELECT __acm_bin, count(*) AS count_,"
+                " count(DISTINCT __acm_id) AS dcount"
+                f" FROM ({base}) AS {_q('__acm_b')} GROUP BY __acm_bin"
+            )
+            new_bin = (
+                "SELECT __acm_bin, count(*) AS new_dcount FROM"
+                " (SELECT __acm_id, min(__acm_bin) AS __acm_bin"
+                f"  FROM ({base}) AS {_q('__acm_f')} GROUP BY __acm_id)"
+                f" AS {_q('__acm_m')} GROUP BY __acm_bin"
+            )
+            sql = (
+                f"SELECT timestamp_micros(p.__acm_bin) AS {_q(ts)},"
+                " p.count_ AS count_, p.dcount AS dcount,"
+                " coalesce(n.new_dcount, 0) AS new_dcount,"
+                " sum(coalesce(n.new_dcount, 0)) OVER"
+                " (ORDER BY p.__acm_bin ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW) AS aggregated_dcount"
+                f" FROM ({per_bin}) AS p LEFT JOIN ({new_bin}) AS n"
+                " ON p.__acm_bin = n.__acm_bin"
+            )
+            return sql, [
+                ts, "count_", "dcount", "new_dcount",
+                "aggregated_dcount",
+            ]
         if isinstance(op, RollingPercentileOp):
             val, idx = op.val_col.parts[0], op.idx_col.parts[0]
             for name, ident in ((val, op.val_col), (idx, op.idx_col)):

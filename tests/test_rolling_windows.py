@@ -92,6 +92,51 @@ def test_rolling_percentile_timespan(engine, spark):
     assert a == b and len(a) == 6  # 4 data bins + 2 trailing-only
 
 
+ACM_ROWS = []
+for _day, _users in enumerate(
+    [["u0", "u3"], ["u0", "u1"], ["u0", "u1", "u2", "u0"]]
+):
+    for _j, _u in enumerate(_users):
+        ACM_ROWS.append(
+            (_u, BASE + dt.timedelta(days=_day, hours=_j))
+        )
+
+
+@pytest.fixture(scope="module")
+def acm_engine(spark):
+    ev = spark.createDataFrame(ACM_ROWS, "uid string, ts timestamp")
+    ev.createOrReplaceTempView("acm_ev")
+    return PqlEngine(spark, {"acm_ev": ev})
+
+
+ACM_Q = (
+    "acm_ev | evaluate activity_counts_metrics(uid, ts,"
+    " datetime(2024-01-01), datetime(2024-01-04), 1d)"
+    " | sort by ts asc"
+)
+ACM_EXPECT = [
+    (BASE, 2, 2, 2, 2),
+    (BASE + dt.timedelta(days=1), 2, 2, 1, 3),
+    (BASE + dt.timedelta(days=2), 4, 3, 1, 4),
+]
+
+
+def test_activity_counts_metrics(acm_engine):
+    got = [
+        (r.ts, r.count_, r.dcount, r.new_dcount, r.aggregated_dcount)
+        for r in acm_engine.query(ACM_Q).collect()
+    ]
+    assert got == ACM_EXPECT
+
+
+def test_activity_counts_metrics_sql(acm_engine, spark):
+    got = [
+        (r.ts, r.count_, r.dcount, r.new_dcount, r.aggregated_dcount)
+        for r in spark.sql(acm_engine.to_sql(ACM_Q)).collect()
+    ]
+    assert got == ACM_EXPECT
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="unknown column"):
         engine.query(
