@@ -3283,6 +3283,19 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style: coarse k-means cells + exact within-cell cosine
+    # pairs → min-id cluster dedup.  Approximate BY DESIGN (cross-cell
+    # dups missed) → rows-only check; the precision-1-subset property
+    # vs brute force is unit-tested in tests/test_semantic_dedup.py
+    from pql_spark.operators import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    return semantic_dedup(
+        emb, threshold=0.9, n_clusters=8
+    ).select("vec_id").orderBy("vec_id")
+
+
 def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest the int8 vector — the driver's row-sort cannot order array
     # cells, so arrays never appear in final outputs
@@ -3700,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_quantize_embeddings": _q_quantize,
             "op_quantized_topk": _q_quantized_topk,
             "op_lsh_topk": _q_lsh_topk,  # approximate — rows-only check
+            "op_semantic_dedup": _q_semantic_dedup,  # approximate — rows-only
             "op_ivf_topk": _q_ivf_topk,  # approximate — rows-only check
             "op_knn_grouped": _q_knn,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)

@@ -26,6 +26,8 @@ from .dedup import (
     minhash_dup_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    semantic_dedup,
+    semantic_dedup_pairs,
     simhash,
     simhash_dedup,
 )
@@ -94,6 +96,8 @@ __all__ = [
     "redact_pii",
     "repetition_stats",
     "shingle_rows",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "simhash",
     "simhash_dedup",
     "stratified_hash_sample",

@@ -710,6 +710,86 @@ def embedding_dup_pairs_broadcast(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means cells over the embeddings, exact
+    cosine pairs WITHIN each cell.
+
+    Scale shape: centroid training is a bounded driver-side sample
+    (deterministic spherical k-means); assignment is a narrow Catalyst
+    pass; pair generation is one BLAS matmul per cell in
+    ``applyInPandas`` — total work drops from O(n²) to
+    Σ_cells O(|cell|²), the SemDeDup trade: cross-cell duplicates are
+    missed BY DESIGN (semantic dups land in the same cell).  Raise
+    ``n_clusters`` so the largest cell's tile fits executor memory;
+    emitted pairs are exact cosines, so precision vs brute force is 1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign, train_centroids
+
+    cents = train_centroids(
+        df, n_clusters, vec_col, id_col, sample_size, iters
+    )
+    assigned = ivf_assign(
+        df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+        ),
+        cents,
+        vec_col,
+        "__sd_cell",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(hit)
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+        )
+
+    return (
+        assigned.groupBy("__sd_cell")
+        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> DataFrame:
+    """Remove semantic near-duplicates: keep the min-id representative
+    of every within-cell duplicate cluster (transitive over the pair
+    graph) plus all unpaired rows — ``semantic_dedup_pairs`` composed
+    with :func:`dedup_by_pairs`."""
+    pairs = semantic_dedup_pairs(
+        df, vec_col, id_col, threshold, n_clusters, sample_size, iters
+    )
+    return dedup_by_pairs(df, pairs, id_col)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
