@@ -1834,6 +1834,42 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY ts
         """,
     ),
+    # EXTENSION `evaluate session_count` (KQL plugin): sessions started
+    # per bin (no activity within the lookback opens a session) — one
+    # distinct, one per-id lag window, one groupBy; identical window
+    # twin in DuckDB
+    "pql_session_count": (
+        """
+        events
+        | evaluate session_count(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 1d, 2d)
+        | sort by ts asc
+        """,
+        """
+        WITH a AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor((epoch_us(ts)
+                             - epoch_us(TIMESTAMP '2024-01-01'))
+                            / CAST(86400000000 AS DOUBLE)) AS BIGINT)
+                   AS k
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        s AS (
+          SELECT k,
+                 CASE WHEN lag(k) OVER (PARTITION BY user_id
+                                        ORDER BY k) IS NULL
+                      OR (k - lag(k) OVER (PARTITION BY user_id
+                                           ORDER BY k)) * 86400000000
+                         > 172800000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM a)
+        SELECT make_timestamp(epoch_us(TIMESTAMP '2024-01-01')
+                              + k * 86400000000) AS ts,
+               count(*) AS count_
+        FROM s WHERE new_s = 1 GROUP BY k ORDER BY ts
+        """,
+    ),
     # EXTENSION `evaluate rolling_percentile` (KQL plugin): per-bin
     # exact interpolated percentile over the trailing N bins — same
     # explode-to-bins + one groupBy shape; quantile_cont twin

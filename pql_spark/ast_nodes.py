@@ -659,6 +659,25 @@ class ActivityCountsMetricsOp(Op):
 
 
 @dataclass
+class SessionCountOp(Op):
+    """``evaluate session_count(IdCol, TimelineCol, Start, End, Bin,
+    LookBackWindow)`` (EXTENSION, KQL plugin): per time bin in
+    [Start, End), the number of SESSIONS — an id's activity bin starts
+    a session iff the id had no activity in the preceding
+    ``LookBackWindow``.  Computed on the deduplicated (id, active-bin)
+    relation: one lag window per id over its active bins (far smaller
+    than the fact rows) + one groupBy(bin) — no id×bin densification,
+    no per-bin rescans."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    bin_usec: int
+    lookback_usec: int
+
+
+@dataclass
 class RowsNearOp(Op):
     """``evaluate rows_near(Condition, NumRows[, NumRowsAfter])``
     (EXTENSION, KQL rows_near plugin): keep rows within ``NumRows``

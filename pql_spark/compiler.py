@@ -66,6 +66,7 @@ from .ast_nodes import (
     SlidingWindowCountsOp,
     RollingPercentileOp,
     ActivityCountsMetricsOp,
+    SessionCountOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -867,6 +868,8 @@ class Compiler:
             return self._sliding_window_counts(df, op, env)
         if isinstance(op, ActivityCountsMetricsOp):
             return self._activity_counts_metrics(df, op, env)
+        if isinstance(op, SessionCountOp):
+            return self._session_count(df, op, env)
         if isinstance(op, RollingPercentileOp):
             return self._rolling_percentile(df, op, env)
         if isinstance(op, RowsNearOp):
@@ -1225,6 +1228,66 @@ class Compiler:
             "dcount",
             "new_dcount",
             F.sum("new_dcount").over(w).alias("aggregated_dcount"),
+        )
+
+    def _session_count(
+        self, df: DataFrame, op: SessionCountOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate session_count``: sessions STARTED per bin — an
+        id's active bin opens a session iff the id had no activity
+        within the preceding LookBackWindow.  One distinct over
+        (id, bin), one lag window PARTITIONED BY id (parallel at any
+        scale), one groupBy(bin).  Bins with zero session starts are
+        omitted (consistent with the other rolling plugins)."""
+        from pyspark.sql import Window
+
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"session_count: unknown column {name!r}",
+                    ident.span,
+                )
+        binu = F.lit(op.bin_usec).cast("long")
+        look = F.lit(op.lookback_usec).cast("long")
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        active = (
+            df.select(
+                F.col(_q(idc)).alias("__sc_id"),
+                F.floor((t - start) / binu).cast("long").alias("__sc_k"),
+                t.alias("__sc_t"),
+                start.alias("__sc_s"),
+                end.alias("__sc_e"),
+            )
+            .filter(
+                (F.col("__sc_t") >= F.col("__sc_s"))
+                & (F.col("__sc_t") < F.col("__sc_e"))
+            )
+            .select("__sc_id", "__sc_k", "__sc_s")
+            .distinct()
+        )
+        w = Window.partitionBy("__sc_id").orderBy("__sc_k")
+        prev_k = F.lag("__sc_k").over(w)
+        starts = active.withColumn(
+            "__sc_new",
+            (
+                prev_k.isNull()
+                | ((F.col("__sc_k") - prev_k) * binu > look)
+            ).cast("int"),
+        )
+        return (
+            starts.filter(F.col("__sc_new") == 1)
+            .groupBy(
+                F.timestamp_micros(
+                    F.col("__sc_s") + F.col("__sc_k") * binu
+                ).alias(ts)
+            )
+            .agg(F.count(F.lit(1)).alias("count_"))
         )
 
     def _rolling_percentile(

@@ -20,6 +20,7 @@ from .ast_nodes import (
     SlidingWindowCountsOp,
     RollingPercentileOp,
     ActivityCountsMetricsOp,
+    SessionCountOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1929,6 +1930,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         "sliding_window_counts",
         "rolling_percentile",
         "activity_counts_metrics",
+        "session_count",
     ):
         p.expect(TokenKind.LPAREN, "'('")
 
@@ -2015,6 +2017,30 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 start=start,
                 end=end,
                 bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "session_count":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            binw = _timespan_arg("Bin")
+            lookback = _timespan_arg("LookBackWindow")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if binw <= 0 or lookback <= 0:
+                raise ParseError(
+                    "session_count: windows must be positive",
+                    plugin.span,
+                )
+            return SessionCountOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                bin_usec=binw,
+                lookback_usec=lookback,
                 span=Span(kw.span.start, rp.span.end),
             )
         val_col = _ident_arg("the value column", first=True)
@@ -2235,7 +2261,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             " (supported: pivot, bag_unpack, narrow,"
             " sequence_detect, autocluster, basket, ipv4_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"
-            " activity_counts_metrics)",
+            " activity_counts_metrics, session_count)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -57,6 +57,7 @@ from .ast_nodes import (
     SlidingWindowCountsOp,
     RollingPercentileOp,
     ActivityCountsMetricsOp,
+    SessionCountOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -738,6 +739,43 @@ class _SqlEmitter:
                 ts, "count_", "dcount", "new_dcount",
                 "aggregated_dcount",
             ]
+        if isinstance(op, SessionCountOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"session_count: unknown column {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            binu, look = str(op.bin_usec), str(op.lookback_usec)
+            active = (
+                f"SELECT DISTINCT {_q(idc)} AS __sc_id,"
+                f" CAST(floor(({t} - {start}) / {binu}) AS BIGINT)"
+                f" AS __sc_k, {start} AS __sc_s"
+                f" FROM ({sql}) AS {_q('__sc_t')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            starts = (
+                "SELECT __sc_s, __sc_k,"
+                " CASE WHEN lag(__sc_k) OVER (PARTITION BY __sc_id"
+                " ORDER BY __sc_k) IS NULL"
+                f" OR (__sc_k - lag(__sc_k) OVER (PARTITION BY __sc_id"
+                f" ORDER BY __sc_k)) * {binu} > {look}"
+                " THEN 1 ELSE 0 END AS __sc_new"
+                f" FROM ({active}) AS {_q('__sc_a')}"
+            )
+            sql = (
+                f"SELECT timestamp_micros(__sc_s + __sc_k * {binu})"
+                f" AS {_q(ts)}, count(*) AS count_"
+                f" FROM ({starts}) AS {_q('__sc_n')}"
+                " WHERE __sc_new = 1 GROUP BY 1"
+            )
+            return sql, [ts, "count_"]
         if isinstance(op, RollingPercentileOp):
             val, idx = op.val_col.parts[0], op.idx_col.parts[0]
             for name, ident in ((val, op.val_col), (idx, op.idx_col)):

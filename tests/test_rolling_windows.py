@@ -137,6 +137,48 @@ def test_activity_counts_metrics_sql(acm_engine, spark):
     assert got == ACM_EXPECT
 
 
+SC_ROWS = [
+    ("u0", 0), ("u0", 1), ("u0", 2),  # consecutive days: one session
+    ("u1", 0), ("u1", 3),  # 3-day gap > 1d lookback: two sessions
+    ("u2", 5), ("u0", 0),  # duplicate activity collapses
+]
+SC_Q = (
+    "sc_ev | evaluate session_count(uid, ts, datetime(2024-01-01),"
+    " datetime(2024-01-08), 1d, 1d) | sort by ts asc"
+)
+SC_EXPECT = [
+    (BASE, 2),
+    (BASE + dt.timedelta(days=3), 1),
+    (BASE + dt.timedelta(days=5), 1),
+]
+
+
+@pytest.fixture(scope="module")
+def sc_engine(spark):
+    ev = spark.createDataFrame(
+        [
+            (u, BASE + dt.timedelta(days=d, hours=2))
+            for u, d in SC_ROWS
+        ],
+        "uid string, ts timestamp",
+    )
+    ev.createOrReplaceTempView("sc_ev")
+    return PqlEngine(spark, {"sc_ev": ev})
+
+
+def test_session_count(sc_engine):
+    got = [(r.ts, r.count_) for r in sc_engine.query(SC_Q).collect()]
+    assert got == SC_EXPECT
+
+
+def test_session_count_sql(sc_engine, spark):
+    got = [
+        (r.ts, r.count_)
+        for r in spark.sql(sc_engine.to_sql(SC_Q)).collect()
+    ]
+    assert got == SC_EXPECT
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="unknown column"):
         engine.query(
