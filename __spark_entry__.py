@@ -1834,6 +1834,44 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY ts
         """,
     ),
+    # EXTENSION `evaluate new_activity_metrics` (simplified KQL plugin):
+    # cohort-retention matrix — first-seen cohorts × activity bins,
+    # returning dcount + retention ratio; identical join shape in DuckDB
+    "pql_new_activity": (
+        """
+        events
+        | evaluate new_activity_metrics(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 7d)
+        | extend retention = round(retention, 6)
+        | sort by cohort_ts asc, ts asc
+        """,
+        """
+        WITH a AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(TIMESTAMP '2024-01-01')
+                 + CAST(floor((epoch_us(ts)
+                               - epoch_us(TIMESTAMP '2024-01-01'))
+                              / CAST(604800000000 AS DOUBLE)) AS BIGINT)
+                   * 604800000000 AS bin
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        f AS (SELECT user_id, min(bin) AS cohort FROM a
+              GROUP BY user_id),
+        sizes AS (SELECT cohort, count(*) AS csize FROM f
+                  GROUP BY cohort),
+        cells AS (
+          SELECT f.cohort, a.bin, count(*) AS dcount
+          FROM a JOIN f ON a.user_id = f.user_id
+          GROUP BY f.cohort, a.bin)
+        SELECT make_timestamp(c.cohort) AS cohort_ts,
+               make_timestamp(c.bin) AS ts, c.dcount,
+               round(CAST(c.dcount AS DOUBLE)
+                     / CAST(s.csize AS DOUBLE), 6) AS retention
+        FROM cells c JOIN sizes s ON c.cohort = s.cohort
+        ORDER BY cohort_ts, ts
+        """,
+    ),
     # EXTENSION `evaluate session_count` (KQL plugin): sessions started
     # per bin (no activity within the lookback opens a session) — one
     # distinct, one per-id lag window, one groupBy; identical window

@@ -659,6 +659,25 @@ class ActivityCountsMetricsOp(Op):
 
 
 @dataclass
+class NewActivityMetricsOp(Op):
+    """``evaluate new_activity_metrics(IdCol, TimelineCol, Start, End,
+    Bin)`` (EXTENSION, simplified KQL plugin): the cohort-retention
+    matrix — for every (cohort bin = id's first-seen bin, activity
+    bin ≥ cohort bin) pair, the distinct returning ids and the
+    retention ratio vs the cohort's size.  One per-id min-bin
+    aggregate, one join back on id, one groupBy(cohort, bin) — all
+    hash-partitioned on id/cohort, no densification.  Divergence from
+    KQL: fixed first-seen cohort definition (no activity-window
+    arguments), zero-retention cells omitted."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    bin_usec: int
+
+
+@dataclass
 class SessionCountOp(Op):
     """``evaluate session_count(IdCol, TimelineCol, Start, End, Bin,
     LookBackWindow)`` (EXTENSION, KQL plugin): per time bin in

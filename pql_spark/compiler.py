@@ -67,6 +67,7 @@ from .ast_nodes import (
     RollingPercentileOp,
     ActivityCountsMetricsOp,
     SessionCountOp,
+    NewActivityMetricsOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -870,6 +871,8 @@ class Compiler:
             return self._activity_counts_metrics(df, op, env)
         if isinstance(op, SessionCountOp):
             return self._session_count(df, op, env)
+        if isinstance(op, NewActivityMetricsOp):
+            return self._new_activity_metrics(df, op, env)
         if isinstance(op, RollingPercentileOp):
             return self._rolling_percentile(df, op, env)
         if isinstance(op, RowsNearOp):
@@ -1228,6 +1231,70 @@ class Compiler:
             "dcount",
             "new_dcount",
             F.sum("new_dcount").over(w).alias("aggregated_dcount"),
+        )
+
+    def _new_activity_metrics(
+        self, df: DataFrame, op: NewActivityMetricsOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate new_activity_metrics``: cohort-retention matrix.
+        Per (cohort = first-seen bin, activity bin): distinct returning
+        ids + retention ratio vs cohort size.  One per-id min-bin
+        aggregate, one id-keyed join back, one groupBy(cohort, bin) —
+        hash-partitioned throughout, bin-level relations stay tiny."""
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"new_activity_metrics: unknown column {name!r}",
+                    ident.span,
+                )
+        binu = F.lit(op.bin_usec).cast("long")
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        active = (
+            df.select(
+                F.col(_q(idc)).alias("__na_id"),
+                (start + F.floor((t - start) / binu).cast("long") * binu)
+                .alias("__na_bin"),
+                t.alias("__na_t"),
+                start.alias("__na_s"),
+                end.alias("__na_e"),
+            )
+            .filter(
+                (F.col("__na_t") >= F.col("__na_s"))
+                & (F.col("__na_t") < F.col("__na_e"))
+            )
+            .select("__na_id", "__na_bin")
+            .distinct()
+        )
+        firsts = active.groupBy("__na_id").agg(
+            F.min("__na_bin").alias("__na_cohort")
+        )
+        cohort_sizes = firsts.groupBy("__na_cohort").agg(
+            F.count(F.lit(1)).alias("__na_csize")
+        )
+        cells = (
+            active.join(firsts, "__na_id")
+            .groupBy("__na_cohort", "__na_bin")
+            .agg(F.count(F.lit(1)).alias("dcount"))
+        )
+        return (
+            cells.join(cohort_sizes, "__na_cohort")
+            .select(
+                F.timestamp_micros(F.col("__na_cohort")).alias(
+                    f"cohort_{ts}"
+                ),
+                F.timestamp_micros(F.col("__na_bin")).alias(ts),
+                F.col("dcount"),
+                (
+                    F.col("dcount").cast("double")
+                    / F.col("__na_csize").cast("double")
+                ).alias("retention"),
+            )
         )
 
     def _session_count(

@@ -21,6 +21,7 @@ from .ast_nodes import (
     RollingPercentileOp,
     ActivityCountsMetricsOp,
     SessionCountOp,
+    NewActivityMetricsOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1931,6 +1932,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         "rolling_percentile",
         "activity_counts_metrics",
         "session_count",
+        "new_activity_metrics",
     ):
         p.expect(TokenKind.LPAREN, "'('")
 
@@ -2012,6 +2014,28 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                     plugin.span,
                 )
             return ActivityCountsMetricsOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "new_activity_metrics":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            binw = _timespan_arg("Bin")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if binw <= 0:
+                raise ParseError(
+                    "new_activity_metrics: Bin must be positive",
+                    plugin.span,
+                )
+            return NewActivityMetricsOp(
                 id_col=id_col,
                 ts_col=ts_col,
                 start=start,
@@ -2261,7 +2285,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             " (supported: pivot, bag_unpack, narrow,"
             " sequence_detect, autocluster, basket, ipv4_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"
-            " activity_counts_metrics, session_count)",
+            " activity_counts_metrics, session_count,"
+            " new_activity_metrics)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

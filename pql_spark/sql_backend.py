@@ -58,6 +58,7 @@ from .ast_nodes import (
     RollingPercentileOp,
     ActivityCountsMetricsOp,
     SessionCountOp,
+    NewActivityMetricsOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -739,6 +740,55 @@ class _SqlEmitter:
                 ts, "count_", "dcount", "new_dcount",
                 "aggregated_dcount",
             ]
+        if isinstance(op, NewActivityMetricsOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"new_activity_metrics: unknown column"
+                        f" {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            binu = str(op.bin_usec)
+            active = (
+                f"SELECT DISTINCT {_q(idc)} AS __na_id,"
+                f" {start} + CAST(floor(({t} - {start}) / {binu})"
+                f" AS BIGINT) * {binu} AS __na_bin"
+                f" FROM ({sql}) AS {_q('__na_t')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            firsts = (
+                "SELECT __na_id, min(__na_bin) AS __na_cohort"
+                f" FROM ({active}) AS {_q('__na_f')} GROUP BY __na_id"
+            )
+            cells = (
+                "SELECT f.__na_cohort, a.__na_bin,"
+                " count(*) AS dcount"
+                f" FROM ({active}) AS a JOIN ({firsts}) AS f"
+                " ON a.__na_id = f.__na_id"
+                " GROUP BY f.__na_cohort, a.__na_bin"
+            )
+            sizes = (
+                "SELECT __na_cohort, count(*) AS csize"
+                f" FROM ({firsts}) AS {_q('__na_s')}"
+                " GROUP BY __na_cohort"
+            )
+            sql = (
+                "SELECT timestamp_micros(c.__na_cohort)"
+                f" AS {_q(f'cohort_{ts}')},"
+                f" timestamp_micros(c.__na_bin) AS {_q(ts)},"
+                " c.dcount AS dcount,"
+                " CAST(c.dcount AS DOUBLE) / CAST(s.csize AS DOUBLE)"
+                " AS retention"
+                f" FROM ({cells}) AS c JOIN ({sizes}) AS s"
+                " ON c.__na_cohort = s.__na_cohort"
+            )
+            return sql, [f"cohort_{ts}", ts, "dcount", "retention"]
         if isinstance(op, SessionCountOp):
             ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
             for name, ident in ((ts, op.ts_col), (idc, op.id_col)):

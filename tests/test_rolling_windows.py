@@ -179,6 +179,51 @@ def test_session_count_sql(sc_engine, spark):
     assert got == SC_EXPECT
 
 
+NA_ROWS = [
+    ("u0", 0), ("u1", 0), ("u0", 1), ("u2", 1),
+    ("u0", 2), ("u1", 2), ("u2", 2),
+]
+NA_Q = (
+    "na_ev | evaluate new_activity_metrics(uid, ts,"
+    " datetime(2024-01-01), datetime(2024-01-08), 1d)"
+    " | sort by cohort_ts asc, ts asc"
+)
+# (cohort day, activity day, returning dcount, retention)
+NA_EXPECT = [
+    (1, 1, 2, 1.0), (1, 2, 1, 0.5), (1, 3, 2, 1.0),
+    (2, 2, 1, 1.0), (2, 3, 1, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def na_engine(spark):
+    ev = spark.createDataFrame(
+        [
+            (u, BASE + dt.timedelta(days=d, hours=1))
+            for u, d in NA_ROWS
+        ],
+        "uid string, ts timestamp",
+    )
+    ev.createOrReplaceTempView("na_ev")
+    return PqlEngine(spark, {"na_ev": ev})
+
+
+def test_new_activity_metrics(na_engine):
+    got = [
+        (r.cohort_ts.day, r.ts.day, r.dcount, round(r.retention, 6))
+        for r in na_engine.query(NA_Q).collect()
+    ]
+    assert got == NA_EXPECT
+
+
+def test_new_activity_metrics_sql(na_engine, spark):
+    got = [
+        (r[0].day, r[1].day, r[2], round(r[3], 6))
+        for r in spark.sql(na_engine.to_sql(NA_Q)).collect()
+    ]
+    assert got == NA_EXPECT
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="unknown column"):
         engine.query(

@@ -28,6 +28,10 @@ QUERIES = [
     "op_embedding_dups", "op_asof_join", "op_kmv_distinct", "op_langid",
     # round-3b additions: window-chained funnel, iterative CC, cube
     "pql_sequence_detect", "op_dedup_clusters", "pql_autocluster",
+    # round-3c additions: broadcast CIDR join, explode-to-bins rolling
+    # metrics, rate-based corpus mixing
+    "pql_ipv4_lookup", "pql_sliding_window_counts", "pql_session_count",
+    "op_mix_corpora",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
