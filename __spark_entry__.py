@@ -1834,6 +1834,33 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY ts
         """,
     ),
+    # EXTENSION make-graph / graph-match (simplified KQL graph
+    # operators): fixed-length path patterns as hash equi-joins —
+    # co-engagement pairs via a forward + reverse edge sharing the
+    # middle node; plain-join twin in DuckDB
+    "pql_graph_match": (
+        """
+        let g = events
+            | where user_id < 40
+            | summarize weight = count() by user_id, event_type;
+        g
+        | make-graph user_id --> event_type
+        | graph-match (u)-[e1]->(t)<-[e2]-(v)
+            where u.id < v.id and e1.weight >= 3 and e2.weight >= 3
+            project u = u.id, v = v.id, t = t.id
+        | summarize shared = count() by u, v
+        | sort by u asc, v asc
+        """,
+        """
+        WITH g AS (SELECT user_id, event_type, count(*) AS weight
+                   FROM events WHERE user_id < 40 GROUP BY 1, 2)
+        SELECT a.user_id AS u, b.user_id AS v, count(*) AS shared
+        FROM g a JOIN g b ON a.event_type = b.event_type
+        WHERE a.user_id < b.user_id
+          AND a.weight >= 3 AND b.weight >= 3
+        GROUP BY 1, 2 ORDER BY u, v
+        """,
+    ),
     # EXTENSION `evaluate new_activity_metrics` (simplified KQL plugin):
     # cohort-retention matrix — first-seen cohorts × activity bins,
     # returning dcount + retention ratio; identical join shape in DuckDB

@@ -659,6 +659,47 @@ class ActivityCountsMetricsOp(Op):
 
 
 @dataclass
+class MakeGraphOp(Op):
+    """``T | make-graph SrcCol --> DstCol [with Nodes on IdCol]``
+    (EXTENSION, simplified KQL make-graph): binds the piped rows as a
+    directed edge table (plus an optional node-attribute table) for a
+    following ``graph-match``.  No materialization happens here — the
+    graph IS the relational pair (edges, nodes); pattern matching
+    compiles to joins."""
+
+    src: Ident
+    dst: Ident
+    nodes: "TabularExpr | None"
+    node_id: Ident | None
+
+
+@dataclass
+class GraphEdge(Node):
+    """One ``-[e]->`` / ``<-[e]-`` step in a graph-match pattern."""
+
+    var: str
+    reverse: bool
+
+
+@dataclass
+class GraphMatchOp(Op):
+    """``graph-match (a)-[e1]->(b)<-[e2]-(c) [where …] project …``
+    (EXTENSION, simplified KQL graph-match): FIXED-LENGTH path
+    patterns over the ``make-graph`` edge table — the lateral-movement
+    / relationship query.  Compiles to N-1 hash equi-joins on node
+    ids (never an iterative traversal): each edge var is one aliased
+    copy of the edge relation with columns flat-named ``e.col``; node
+    vars expose ``n.id`` plus broadcast-joined node attributes; a
+    REPEATED node var adds an equality constraint (cycles).
+    Divergence from KQL: no variable-length ``*1..n`` edges."""
+
+    nodes: list[str]
+    edges: list[GraphEdge]
+    where: "Expr | None"
+    project: list[ColSpec]
+
+
+@dataclass
 class NewActivityMetricsOp(Op):
     """``evaluate new_activity_metrics(IdCol, TimelineCol, Start, End,
     Bin)`` (EXTENSION, simplified KQL plugin): the cohort-retention

@@ -68,6 +68,8 @@ from .ast_nodes import (
     ActivityCountsMetricsOp,
     SessionCountOp,
     NewActivityMetricsOp,
+    MakeGraphOp,
+    GraphMatchOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -217,6 +219,9 @@ class Compiler:
     # window state for serialize/row_number/prev/next (per pipeline)
     _last_sort: list[SortTerm] | None = None
     _window: tuple[list[str], list[SortTerm]] | None = None
+    # make-graph binding for graph-match: (edges_df, src, dst,
+    # nodes_df | None, node_id | None)
+    _graph: tuple | None = None
     # toscalar(...) memo: source span → evaluated value; repeated
     # references (e.g. a let bound to toscalar) trigger ONE Spark action
     _toscalar_cache: dict = field(default_factory=dict)
@@ -267,8 +272,8 @@ class Compiler:
     def compile_tabular(
         self, expr: TabularExpr, allow_multi: bool = False
     ) -> DataFrame:
-        saved = (self._last_sort, self._window)
-        self._last_sort, self._window = None, None
+        saved = (self._last_sort, self._window, self._graph)
+        self._last_sort, self._window, self._graph = None, None, None
         try:
             if isinstance(expr.source, DatatableSource):
                 df = self._datatable(expr.source)
@@ -296,7 +301,7 @@ class Compiler:
                     return self._fork(df, op)
                 df = self._apply(df, op)
         finally:
-            self._last_sort, self._window = saved
+            self._last_sort, self._window, self._graph = saved
         return df
 
     def _facet(self, df: DataFrame, op: FacetOp) -> "MultiResult":
@@ -873,6 +878,28 @@ class Compiler:
             return self._session_count(df, op, env)
         if isinstance(op, NewActivityMetricsOp):
             return self._new_activity_metrics(df, op, env)
+        if isinstance(op, MakeGraphOp):
+            src, dst = op.src.parts[0], op.dst.parts[0]
+            for name, ident in ((src, op.src), (dst, op.dst)):
+                if name not in df.columns:
+                    raise ParseError(
+                        f"make-graph: unknown column {name!r}",
+                        ident.span,
+                    )
+            nodes_df, node_id = None, None
+            if op.nodes is not None:
+                nodes_df = self.compile_tabular(op.nodes)
+                node_id = op.node_id.parts[0]
+                if node_id not in nodes_df.columns:
+                    raise ParseError(
+                        f"make-graph: node id column {node_id!r} not"
+                        " in the nodes table",
+                        op.node_id.span,
+                    )
+            self._graph = (df, src, dst, nodes_df, node_id)
+            return df
+        if isinstance(op, GraphMatchOp):
+            return self._graph_match(op, env)
         if isinstance(op, RollingPercentileOp):
             return self._rolling_percentile(df, op, env)
         if isinstance(op, RowsNearOp):
@@ -1232,6 +1259,79 @@ class Compiler:
             "new_dcount",
             F.sum("new_dcount").over(w).alias("aggregated_dcount"),
         )
+
+    def _graph_match(self, op: GraphMatchOp, env: _Env) -> DataFrame:
+        """``graph-match``: fixed-length path patterns as N-1 hash
+        equi-joins on node ids — never an iterative traversal.  Each
+        edge var is one aliased copy of the edge relation with columns
+        flat-named ``e.col``; node vars get ``n.id`` plus (left-)
+        broadcast-joined node attributes; repeated node vars become
+        extra equi-conditions (cycle constraints).  At 100 TB each hop
+        is a shuffled hash join on the node id — the same plan a
+        distributed graph engine's pattern matcher lowers to."""
+        if self._graph is None:
+            raise ParseError(
+                "graph-match requires a preceding 'make-graph'", op.span
+            )
+        edges_df, src, dst, nodes_df, node_id = self._graph
+
+        def edge_frame(var: str) -> DataFrame:
+            return edges_df.select(
+                *[
+                    F.col(_q(c)).alias(f"{var}.{c}")
+                    for c in edges_df.columns
+                ]
+            )
+
+        seen: dict[str, str] = {}  # node var -> endpoint column name
+        joined: DataFrame | None = None
+        for i, e in enumerate(op.edges):
+            ef = edge_frame(e.var)
+            left_ep = f"{e.var}.{dst if e.reverse else src}"
+            right_ep = f"{e.var}.{src if e.reverse else dst}"
+            if joined is None:
+                joined = ef
+            else:
+                cond = None
+                for var, ep in (
+                    (op.nodes[i], left_ep),
+                    (op.nodes[i + 1], right_ep),
+                ):
+                    if var in seen:
+                        c = F.col(_q(seen[var])) == F.col(_q(ep))
+                        cond = c if cond is None else (cond & c)
+                if cond is None:  # unreachable for a linear pattern
+                    raise ParseError(
+                        "graph-match: pattern must be connected",
+                        op.span,
+                    )
+                joined = joined.join(ef, cond, "inner")
+            seen.setdefault(op.nodes[i], left_ep)
+            seen.setdefault(op.nodes[i + 1], right_ep)
+        # node id aliases + broadcast node attributes
+        for var, ep in seen.items():
+            if f"{var}.id" not in joined.columns:
+                joined = joined.withColumn(f"{var}.id", F.col(_q(ep)))
+            if nodes_df is not None:
+                nf = nodes_df.select(
+                    *[
+                        F.col(_q(c)).alias(f"{var}.{c}")
+                        for c in nodes_df.columns
+                    ]
+                )
+                joined = joined.join(
+                    F.broadcast(nf),
+                    F.col(_q(ep))
+                    == F.col(_q(f"{var}.{node_id}")),
+                    "left",
+                )
+        env2 = _Env(df=joined)
+        if op.where is not None:
+            joined = joined.filter(
+                self.compile_expr(op.where, env2)
+            )
+            env2 = _Env(df=joined)
+        return joined.select(*self._compile_cols(op.project, env2))
 
     def _new_activity_metrics(
         self, df: DataFrame, op: NewActivityMetricsOp, env: _Env
@@ -2648,7 +2748,13 @@ class Compiler:
             return col
         name = expr.name
         if env.df is not None and name in env.df.columns:
-            return env.df[name]
+            try:
+                return env.df[name]
+            except Exception:  # noqa: BLE001
+                # a LITERAL dotted column name (`$right.x`, graph-match
+                # `a.id`): df[name] parses dots as struct nesting —
+                # fall back to the backtick-quoted exact name
+                return F.col(_q(name))
         # fall through: dotted struct-field path or late-bound column —
         # Catalyst resolves (or errors) at analysis time, matching the
         # reference's engine-deferred identifier resolution

@@ -22,6 +22,9 @@ from .ast_nodes import (
     ActivityCountsMetricsOp,
     SessionCountOp,
     NewActivityMetricsOp,
+    MakeGraphOp,
+    GraphEdge,
+    GraphMatchOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -1355,6 +1358,136 @@ def _op_union(p: _P, kw: Token) -> Op:
     )
 
 
+def _take_ident(p: _P, what: str) -> Ident:
+    t = p.take()
+    if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+        raise ParseError(f"expected {what}", t.span)
+    return Ident(
+        parts=[t.value],
+        quoted=[t.kind is TokenKind.QIDENT],
+        span=t.span,
+    )
+
+
+def _op_make_graph(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``make-graph Src --> Dst [with Nodes on IdCol]``
+    (simplified KQL make-graph) — binds the piped rows as a directed
+    edge table for ``graph-match``."""
+    src = _take_ident(p, "source node column")
+    p.expect(TokenKind.MINUS, "'-->'")
+    p.expect(TokenKind.MINUS, "'-->'")
+    p.expect(TokenKind.GT, "'-->'")
+    dst = _take_ident(p, "destination node column")
+    nodes = None
+    node_id = None
+    end = dst.span.end
+    if p.match_word("with"):
+        nt = p.take()
+        if nt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected nodes table name", nt.span)
+        nodes = TabularExpr(
+            source=TableRef(
+                name=nt.value,
+                quoted=nt.kind is TokenKind.QIDENT,
+                span=nt.span,
+            ),
+            operators=[],
+            span=nt.span,
+        )
+        if not p.match_word("on"):
+            raise ParseError(
+                "make-graph: expected 'on <node id column>'",
+                nt.span,
+            )
+        node_id = _take_ident(p, "node id column")
+        end = node_id.span.end
+    return MakeGraphOp(
+        src=src,
+        dst=dst,
+        nodes=nodes,
+        node_id=node_id,
+        span=Span(kw.span.start, end),
+    )
+
+
+def _op_graph_match(p: _P, kw: Token) -> Op:
+    """EXTENSION: ``graph-match (a)-[e]->(b)<-[e2]-(c) [where …]
+    project …`` (simplified KQL graph-match) — fixed-length path
+    patterns compiled to hash equi-joins."""
+
+    def node_var() -> str:
+        p.expect(TokenKind.LPAREN, "'('")
+        t = p.take()
+        if t.kind is not TokenKind.IDENT:
+            raise ParseError("expected node variable", t.span)
+        p.expect(TokenKind.RPAREN, "')'")
+        return t.value
+
+    nodes = [node_var()]
+    edges: list[GraphEdge] = []
+    while True:
+        nxt = p.peek()
+        if nxt is not None and nxt.kind is TokenKind.MINUS:
+            p.take()
+            p.expect(TokenKind.LBRACKET, "'['")
+            e = p.take()
+            if e.kind is not TokenKind.IDENT:
+                raise ParseError("expected edge variable", e.span)
+            p.expect(TokenKind.RBRACKET, "']'")
+            p.expect(TokenKind.MINUS, "'->'")
+            p.expect(TokenKind.GT, "'->'")
+            edges.append(
+                GraphEdge(var=e.value, reverse=False, span=e.span)
+            )
+            nodes.append(node_var())
+        elif nxt is not None and nxt.kind is TokenKind.LT:
+            p.take()
+            p.expect(TokenKind.MINUS, "'-'")
+            p.expect(TokenKind.LBRACKET, "'['")
+            e = p.take()
+            if e.kind is not TokenKind.IDENT:
+                raise ParseError("expected edge variable", e.span)
+            p.expect(TokenKind.RBRACKET, "']'")
+            p.expect(TokenKind.MINUS, "'-'")
+            edges.append(
+                GraphEdge(var=e.value, reverse=True, span=e.span)
+            )
+            nodes.append(node_var())
+        else:
+            break
+    if not edges:
+        raise ParseError(
+            "graph-match: pattern needs at least one edge", kw.span
+        )
+    evars = [e.var for e in edges]
+    if len(set(evars)) != len(evars):
+        raise ParseError(
+            "graph-match: edge variables must be unique", kw.span
+        )
+    if set(evars) & set(nodes):
+        raise ParseError(
+            "graph-match: node and edge variables must not collide",
+            kw.span,
+        )
+    where = None
+    if p.match_word("where"):
+        where = p.parse_expr()
+    if not p.match_word("project"):
+        t = p.peek()
+        raise ParseError(
+            "graph-match: expected 'project …' output clause",
+            t.span if t is not None else kw.span,
+        )
+    project = p.parse_colspec_list(require_expr=False)
+    return GraphMatchOp(
+        nodes=nodes,
+        edges=edges,
+        where=where,
+        project=project,
+        span=Span(kw.span.start, project[-1].expr.span.end),
+    )
+
+
 def _op_project_away(p: _P, kw: Token) -> Op:
     """EXTENSION: ``project-away C1, tmp*`` — drop columns; glob
     patterns match by name (KQL wildcard specs)."""
@@ -2549,6 +2682,8 @@ _OPERATORS = {
     "evaluate": _op_evaluate,
     "distinct": _op_distinct,
     "union": _op_union,
+    "make-graph": _op_make_graph,
+    "graph-match": _op_graph_match,
     "project-away": _op_project_away,
     "mv-apply": _op_mv_apply,
     "top-nested": _op_top_nested,

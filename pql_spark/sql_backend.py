@@ -59,6 +59,8 @@ from .ast_nodes import (
     ActivityCountsMetricsOp,
     SessionCountOp,
     NewActivityMetricsOp,
+    MakeGraphOp,
+    GraphMatchOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -624,6 +626,11 @@ class _SqlEmitter:
             raise ParseError(
                 "evaluate pivot's output schema is data-dependent — "
                 "use the DataFrame backend",
+                op.span,
+            )
+        if isinstance(op, (MakeGraphOp, GraphMatchOp)):
+            raise ParseError(
+                "make-graph/graph-match require the DataFrame backend",
                 op.span,
             )
         if isinstance(op, BagUnpackOp):

@@ -1,0 +1,130 @@
+"""``make-graph`` / ``graph-match`` (simplified KQL graph operators):
+fixed-length path patterns compiled to hash equi-joins on node ids."""
+
+from __future__ import annotations
+
+import pytest
+
+from pql_spark import PqlEngine
+from pql_spark.parser import QueryError
+
+EDGES = [
+    ("alice", "srv1", "login"),
+    ("srv1", "db1", "query"),
+    ("bob", "srv1", "login"),
+    ("srv1", "srv2", "lateral"),
+    ("srv2", "db2", "query"),
+    ("db1", "alice", "exfil"),
+]
+NODES = [
+    ("alice", "user"), ("bob", "user"), ("srv1", "server"),
+    ("srv2", "server"), ("db1", "database"), ("db2", "database"),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    e = spark.createDataFrame(
+        EDGES, "source string, target string, action string"
+    )
+    n = spark.createDataFrame(NODES, "name string, kind string")
+    return PqlEngine(spark, {"E": e, "N": n})
+
+
+def test_two_hop_with_node_attributes(engine):
+    out = engine.query(
+        """E | make-graph source --> target with N on name
+        | graph-match (a)-[e1]->(b)-[e2]->(c)
+            where a.kind == "user" and c.kind == "database"
+            project user = a.id, via = b.id, db = c.id, act = e2.action
+        | sort by user asc, db asc"""
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", "srv1", "db1", "query"),
+        ("bob", "srv1", "db1", "query"),
+    ]
+
+
+def test_reverse_edge(engine):
+    # (a)-[e1]->(b)<-[e2]-(c): a and c both point at b
+    rows = {
+        tuple(r)
+        for r in engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e1]->(b)<-[e2]-(c)
+                where a.id != c.id
+                project a = a.id, b = b.id, c = c.id"""
+        ).collect()
+    }
+    assert ("alice", "srv1", "bob") in rows
+    assert ("bob", "srv1", "alice") in rows
+
+
+def test_cycle_via_repeated_node_var(engine):
+    # the only directed 3-cycle is alice → srv1 → db1 → alice; every
+    # rotation is a valid binding of (a, b, c)
+    rows = {
+        tuple(r)
+        for r in engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e1]->(b)-[e2]->(c)-[e3]->(a)
+                project a = a.id, b = b.id, c = c.id"""
+        ).collect()
+    }
+    assert rows == {
+        ("alice", "srv1", "db1"),
+        ("srv1", "db1", "alice"),
+        ("db1", "alice", "srv1"),
+    }
+
+
+def test_python_reference_all_two_hops(engine):
+    rows = {
+        tuple(r)
+        for r in engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e1]->(b)-[e2]->(c)
+                project a = a.id, b = b.id, c = c.id"""
+        ).collect()
+    }
+    ref = {
+        (s1, d1, d2)
+        for (s1, d1, _x) in EDGES
+        for (s2, d2, _y) in EDGES
+        if d1 == s2
+    }
+    assert rows == ref
+
+
+def test_errors(engine):
+    with pytest.raises(QueryError, match="requires a preceding"):
+        engine.query(
+            "E | graph-match (a)-[e]->(b) project a = a.id"
+        )
+    with pytest.raises(QueryError, match="must be unique"):
+        engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e]->(b)-[e]->(c) project a = a.id"""
+        )
+    with pytest.raises(QueryError, match="project"):
+        engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e]->(b)"""
+        )
+    with pytest.raises(QueryError, match="DataFrame backend"):
+        engine.to_sql(
+            """E | make-graph source --> target
+            | graph-match (a)-[e]->(b) project a = a.id"""
+        )
+
+
+def test_graph_state_is_pipeline_scoped(engine):
+    # a join's right subquery must not see the outer graph binding
+    with pytest.raises(QueryError, match="requires a preceding"):
+        engine.query(
+            """E | make-graph source --> target
+            | join kind=inner (
+                E | graph-match (a)-[e]->(b) project source = a.id
+              ) on source
+            | graph-match (a)-[e]->(b) project a = a.id"""
+        )
