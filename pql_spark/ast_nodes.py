@@ -675,10 +675,15 @@ class MakeGraphOp(Op):
 
 @dataclass
 class GraphEdge(Node):
-    """One ``-[e]->`` / ``<-[e]-`` step in a graph-match pattern."""
+    """One ``-[e]->`` / ``<-[e]-`` step in a graph-match pattern.
+    ``-[e*1..3]->`` sets (min_hops, max_hops): a bounded variable-
+    length edge, expanded at compile time into a UNION of fixed-length
+    chains (its attributes are not referenceable)."""
 
     var: str
     reverse: bool
+    min_hops: int = 1
+    max_hops: int = 1
 
 
 @dataclass

@@ -69,6 +69,7 @@ from .ast_nodes import (
     SessionCountOp,
     NewActivityMetricsOp,
     MakeGraphOp,
+    GraphEdge,
     GraphMatchOp,
     MakeSeriesOp,
     MvApplyOp,
@@ -1261,18 +1262,72 @@ class Compiler:
         )
 
     def _graph_match(self, op: GraphMatchOp, env: _Env) -> DataFrame:
-        """``graph-match``: fixed-length path patterns as N-1 hash
-        equi-joins on node ids — never an iterative traversal.  Each
-        edge var is one aliased copy of the edge relation with columns
-        flat-named ``e.col``; node vars get ``n.id`` plus (left-)
-        broadcast-joined node attributes; repeated node vars become
-        extra equi-conditions (cycle constraints).  At 100 TB each hop
-        is a shuffled hash join on the node id — the same plan a
-        distributed graph engine's pattern matcher lowers to."""
+        """``graph-match``: path patterns as hash equi-joins on node
+        ids — never an iterative traversal.  Each edge var is one
+        aliased copy of the edge relation with columns flat-named
+        ``e.col``; node vars get ``n.id`` plus (left-)broadcast-joined
+        node attributes; repeated node vars become extra
+        equi-conditions (cycle constraints).  A bounded var-length
+        edge ``-[e*1..k]->`` expands into a UNION of fixed-length
+        chains (intermediate nodes and the edge var get synthetic,
+        unreferenceable names).  At 100 TB each hop is a shuffled hash
+        join on the node id — the same plan a distributed graph
+        engine's pattern matcher lowers to."""
+        from itertools import product
+
         if self._graph is None:
             raise ParseError(
                 "graph-match requires a preceding 'make-graph'", op.span
             )
+        ranges = [
+            range(e.min_hops, e.max_hops + 1) for e in op.edges
+        ]
+        total = 1
+        for r in ranges:
+            total *= len(r)
+        if total > 64:
+            raise ParseError(
+                "graph-match: pattern expands to more than 64"
+                " fixed-length chains — tighten the hop ranges",
+                op.span,
+            )
+        frames = []
+        for combo in product(*ranges):
+            nodes2: list[str] = [op.nodes[0]]
+            edges2: list[GraphEdge] = []
+            anon = 0
+            for e, hops, right_node in zip(
+                op.edges, combo, op.nodes[1:]
+            ):
+                varlen = e.min_hops != 1 or e.max_hops != 1
+                for h in range(hops):
+                    last = h == hops - 1
+                    anon += 1
+                    evar = (
+                        f"__ge_{e.var}_{anon}" if varlen else e.var
+                    )
+                    nvar = right_node if last else f"__gn_{anon}"
+                    edges2.append(
+                        GraphEdge(
+                            var=evar, reverse=e.reverse, span=e.span
+                        )
+                    )
+                    nodes2.append(nvar)
+            frames.append(
+                self._graph_match_fixed(nodes2, edges2, op, env)
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _graph_match_fixed(
+        self,
+        pat_nodes: list[str],
+        pat_edges: "list[GraphEdge]",
+        op: GraphMatchOp,
+        env: _Env,
+    ) -> DataFrame:
         edges_df, src, dst, nodes_df, node_id = self._graph
 
         def edge_frame(var: str) -> DataFrame:
@@ -1285,7 +1340,7 @@ class Compiler:
 
         seen: dict[str, str] = {}  # node var -> endpoint column name
         joined: DataFrame | None = None
-        for i, e in enumerate(op.edges):
+        for i, e in enumerate(pat_edges):
             ef = edge_frame(e.var)
             left_ep = f"{e.var}.{dst if e.reverse else src}"
             right_ep = f"{e.var}.{src if e.reverse else dst}"
@@ -1294,8 +1349,8 @@ class Compiler:
             else:
                 cond = None
                 for var, ep in (
-                    (op.nodes[i], left_ep),
-                    (op.nodes[i + 1], right_ep),
+                    (pat_nodes[i], left_ep),
+                    (pat_nodes[i + 1], right_ep),
                 ):
                     if var in seen:
                         c = F.col(_q(seen[var])) == F.col(_q(ep))
@@ -1306,9 +1361,14 @@ class Compiler:
                         op.span,
                     )
                 joined = joined.join(ef, cond, "inner")
-            seen.setdefault(op.nodes[i], left_ep)
-            seen.setdefault(op.nodes[i + 1], right_ep)
-        # node id aliases + broadcast node attributes
+            seen.setdefault(pat_nodes[i], left_ep)
+            seen.setdefault(pat_nodes[i + 1], right_ep)
+        # node id aliases + broadcast node attributes (synthetic
+        # intermediate nodes of a var-length expansion get neither)
+        seen = {
+            v: ep for v, ep in seen.items()
+            if not v.startswith("__gn_")
+        }
         for var, ep in seen.items():
             if f"{var}.id" not in joined.columns:
                 joined = joined.withColumn(f"{var}.id", F.col(_q(ep)))

@@ -1425,32 +1425,68 @@ def _op_graph_match(p: _P, kw: Token) -> Op:
 
     nodes = [node_var()]
     edges: list[GraphEdge] = []
+
+    def edge_var_and_range() -> tuple:
+        e = p.take()
+        if e.kind is not TokenKind.IDENT:
+            raise ParseError("expected edge variable", e.span)
+        mn = mx = 1
+        if p.match(TokenKind.STAR):
+            a = p.take()
+            if a.kind is not TokenKind.NUMBER:
+                raise ParseError("expected hop count", a.span)
+            p.expect(TokenKind.DOTDOT, "'..'")
+            b = p.take()
+            if b.kind is not TokenKind.NUMBER:
+                raise ParseError("expected hop count", b.span)
+            try:
+                mn, mx = int(a.value), int(b.value)
+            except ValueError:
+                raise ParseError(
+                    "hop counts must be integers", a.span
+                ) from None
+            if not (1 <= mn <= mx):
+                raise ParseError(
+                    "graph-match: hop range must satisfy"
+                    " 1 <= min <= max",
+                    a.span,
+                )
+            if mx > 8:
+                raise ParseError(
+                    "graph-match: max hops capped at 8 (each extra"
+                    " hop is another distributed join)",
+                    b.span,
+                )
+        return e, mn, mx
+
     while True:
         nxt = p.peek()
         if nxt is not None and nxt.kind is TokenKind.MINUS:
             p.take()
             p.expect(TokenKind.LBRACKET, "'['")
-            e = p.take()
-            if e.kind is not TokenKind.IDENT:
-                raise ParseError("expected edge variable", e.span)
+            e, mn, mx = edge_var_and_range()
             p.expect(TokenKind.RBRACKET, "']'")
             p.expect(TokenKind.MINUS, "'->'")
             p.expect(TokenKind.GT, "'->'")
             edges.append(
-                GraphEdge(var=e.value, reverse=False, span=e.span)
+                GraphEdge(
+                    var=e.value, reverse=False,
+                    min_hops=mn, max_hops=mx, span=e.span,
+                )
             )
             nodes.append(node_var())
         elif nxt is not None and nxt.kind is TokenKind.LT:
             p.take()
             p.expect(TokenKind.MINUS, "'-'")
             p.expect(TokenKind.LBRACKET, "'['")
-            e = p.take()
-            if e.kind is not TokenKind.IDENT:
-                raise ParseError("expected edge variable", e.span)
+            e, mn, mx = edge_var_and_range()
             p.expect(TokenKind.RBRACKET, "']'")
             p.expect(TokenKind.MINUS, "'-'")
             edges.append(
-                GraphEdge(var=e.value, reverse=True, span=e.span)
+                GraphEdge(
+                    var=e.value, reverse=True,
+                    min_hops=mn, max_hops=mx, span=e.span,
+                )
             )
             nodes.append(node_var())
         else:

@@ -96,6 +96,43 @@ def test_python_reference_all_two_hops(engine):
     assert rows == ref
 
 
+def test_variable_length_reachability(engine):
+    out = engine.query(
+        """E | make-graph source --> target
+        | graph-match (a)-[e*1..3]->(b)
+            where a.id == "alice"
+            project b = b.id
+        | distinct b | sort by b asc"""
+    )
+    # srv1 (1 hop); db1, srv2 (2); alice (cycle), db2 (3)
+    assert [r.b for r in out.collect()] == [
+        "alice", "db1", "db2", "srv1", "srv2",
+    ]
+
+
+def test_variable_length_min_hops(engine):
+    out = engine.query(
+        """E | make-graph source --> target
+        | graph-match (a)-[e*2..2]->(b)
+            where a.id == "alice" project b = b.id
+        | distinct b | sort by b asc"""
+    )
+    assert [r.b for r in out.collect()] == ["db1", "srv2"]
+
+
+def test_variable_length_errors(engine):
+    with pytest.raises(QueryError, match="1 <= min <= max"):
+        engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e*0..2]->(b) project b = b.id"""
+        )
+    with pytest.raises(QueryError, match="capped at 8"):
+        engine.query(
+            """E | make-graph source --> target
+            | graph-match (a)-[e*1..9]->(b) project b = b.id"""
+        )
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="requires a preceding"):
         engine.query(
