@@ -1899,6 +1899,43 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY cohort_ts, ts
         """,
     ),
+    # EXTENSION `evaluate funnel_sequence` (simplified KQL plugin):
+    # (prev, next) state transitions around a step — per-id lag/lead
+    # window + one groupBy; identical window twin in DuckDB
+    "pql_funnel_sequence": (
+        """
+        events
+        | evaluate funnel_sequence(user_id, ts, datetime(2024-01-01),
+            datetime(2024-02-01), 12h, "click", event_type)
+        | extend prev = coalesce(prev, "(none)"),
+                 next = coalesce(next, "(none)")
+        | sort by prev asc, next asc
+        """,
+        """
+        WITH b AS (
+          SELECT user_id AS id, event_type AS state,
+                 epoch_us(ts) AS t
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        m AS (
+          SELECT id, state,
+                 CASE WHEN t - lag(t) OVER
+                        (PARTITION BY id ORDER BY t) <= 43200000000
+                   THEN lag(state) OVER (PARTITION BY id ORDER BY t)
+                 END AS prev,
+                 CASE WHEN lead(t) OVER
+                        (PARTITION BY id ORDER BY t) - t <= 43200000000
+                   THEN lead(state) OVER (PARTITION BY id ORDER BY t)
+                 END AS next
+          FROM b)
+        SELECT coalesce(prev, '(none)') AS prev,
+               coalesce(next, '(none)') AS next,
+               count(DISTINCT id) AS dcount
+        FROM m WHERE state = 'click'
+        GROUP BY 1, 2 ORDER BY prev, next
+        """,
+    ),
     # EXTENSION `evaluate session_count` (KQL plugin): sessions started
     # per bin (no activity within the lookback opens a session) — one
     # distinct, one per-id lag window, one groupBy; identical window

@@ -724,6 +724,25 @@ class NewActivityMetricsOp(Op):
 
 
 @dataclass
+class FunnelSequenceOp(Op):
+    """``evaluate funnel_sequence(IdCol, TimelineCol, Start, End,
+    MaxWindow, Step, StateCol)`` (EXTENSION, simplified KQL plugin):
+    for every occurrence of state ``Step``, the (previous state, next
+    state) transition — adjacent events of the SAME id within
+    ``MaxWindow``; output ``prev, next, dcount`` (distinct ids per
+    transition).  One per-id lag/lead window + one groupBy — no
+    self-joins."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    window_usec: int
+    step: Expr
+    state_col: Ident
+
+
+@dataclass
 class SessionCountOp(Op):
     """``evaluate session_count(IdCol, TimelineCol, Start, End, Bin,
     LookBackWindow)`` (EXTENSION, KQL plugin): per time bin in

@@ -71,6 +71,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    FunnelSequenceOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -877,6 +878,8 @@ class Compiler:
             return self._activity_counts_metrics(df, op, env)
         if isinstance(op, SessionCountOp):
             return self._session_count(df, op, env)
+        if isinstance(op, FunnelSequenceOp):
+            return self._funnel_sequence(df, op, env)
         if isinstance(op, NewActivityMetricsOp):
             return self._new_activity_metrics(df, op, env)
         if isinstance(op, MakeGraphOp):
@@ -1455,6 +1458,67 @@ class Compiler:
                     / F.col("__na_csize").cast("double")
                 ).alias("retention"),
             )
+        )
+
+    def _funnel_sequence(
+        self, df: DataFrame, op: FunnelSequenceOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate funnel_sequence``: (prev, next) state transitions
+        around occurrences of ``Step`` — one lag/lead window
+        PARTITIONED BY id (parallel at scale) + one groupBy(prev,
+        next).  Adjacent events outside MaxWindow contribute NULL
+        prev/next (sequence edge)."""
+        from pyspark.sql import Window
+
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        state = op.state_col.parts[0]
+        for name, ident in (
+            (ts, op.ts_col), (idc, op.id_col), (state, op.state_col)
+        ):
+            if name not in df.columns:
+                raise ParseError(
+                    f"funnel_sequence: unknown column {name!r}",
+                    ident.span,
+                )
+        winu = F.lit(op.window_usec).cast("long")
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        step = self.compile_expr(op.step, env)
+        base = df.select(
+            F.col(_q(idc)).alias("__fs_id"),
+            F.col(_q(state)).alias("__fs_state"),
+            t.alias("__fs_t"),
+            step.alias("__fs_step"),
+            start.alias("__fs_s"),
+            end.alias("__fs_e"),
+        ).filter(
+            (F.col("__fs_t") >= F.col("__fs_s"))
+            & (F.col("__fs_t") < F.col("__fs_e"))
+        )
+        w = Window.partitionBy("__fs_id").orderBy("__fs_t")
+        prev_s = F.lag("__fs_state").over(w)
+        prev_t = F.lag("__fs_t").over(w)
+        next_s = F.lead("__fs_state").over(w)
+        next_t = F.lead("__fs_t").over(w)
+        marked = base.select(
+            "__fs_id",
+            "__fs_state",
+            "__fs_step",
+            F.when(
+                (F.col("__fs_t") - prev_t) <= winu, prev_s
+            ).alias("prev"),
+            F.when(
+                (next_t - F.col("__fs_t")) <= winu, next_s
+            ).alias("next"),
+        )
+        return (
+            marked.filter(F.col("__fs_state") == F.col("__fs_step"))
+            .groupBy("prev", "next")
+            .agg(F.count_distinct(F.col("__fs_id")).alias("dcount"))
         )
 
     def _session_count(

@@ -25,6 +25,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    FunnelSequenceOp,
     NarrowOp,
     FacetOp,
     ForkBranch,
@@ -2102,6 +2103,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         "activity_counts_metrics",
         "session_count",
         "new_activity_metrics",
+        "funnel_sequence",
     ):
         p.expect(TokenKind.LPAREN, "'('")
 
@@ -2210,6 +2212,33 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 start=start,
                 end=end,
                 bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "funnel_sequence":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            winw = _timespan_arg("MaxWindow")
+            p.expect(TokenKind.COMMA, "','")
+            step = p.parse_expr()
+            state_col = _ident_arg("the state column")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if winw <= 0:
+                raise ParseError(
+                    "funnel_sequence: MaxWindow must be positive",
+                    plugin.span,
+                )
+            return FunnelSequenceOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                window_usec=winw,
+                step=step,
+                state_col=state_col,
                 span=Span(kw.span.start, rp.span.end),
             )
         if plugin.value == "session_count":
@@ -2455,7 +2484,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             " sequence_detect, autocluster, basket, ipv4_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"
             " activity_counts_metrics, session_count,"
-            " new_activity_metrics)",
+            " new_activity_metrics, funnel_sequence)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -61,6 +61,7 @@ from .ast_nodes import (
     NewActivityMetricsOp,
     MakeGraphOp,
     GraphMatchOp,
+    FunnelSequenceOp,
     MakeSeriesOp,
     MvApplyOp,
     MvExpandOp,
@@ -796,6 +797,51 @@ class _SqlEmitter:
                 " ON c.__na_cohort = s.__na_cohort"
             )
             return sql, [f"cohort_{ts}", ts, "dcount", "retention"]
+        if isinstance(op, FunnelSequenceOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            state = op.state_col.parts[0]
+            for name, ident in (
+                (ts, op.ts_col), (idc, op.id_col),
+                (state, op.state_col),
+            ):
+                if name not in cols:
+                    raise ParseError(
+                        f"funnel_sequence: unknown column {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            winu = str(op.window_usec)
+            step = self.expr(op.step)
+            base = (
+                f"SELECT {_q(idc)} AS __fs_id,"
+                f" {_q(state)} AS __fs_state, {t} AS __fs_t,"
+                f" {step} AS __fs_step"
+                f" FROM ({sql}) AS {_q('__fs_b')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            over = "PARTITION BY __fs_id ORDER BY __fs_t"
+            marked = (
+                "SELECT __fs_id, __fs_state, __fs_step,"
+                f" CASE WHEN __fs_t - lag(__fs_t) OVER ({over})"
+                f" <= {winu} THEN lag(__fs_state) OVER ({over}) END"
+                " AS prev,"
+                f" CASE WHEN lead(__fs_t) OVER ({over}) - __fs_t"
+                f" <= {winu} THEN lead(__fs_state) OVER ({over}) END"
+                " AS next"
+                f" FROM ({base}) AS {_q('__fs_m')}"
+            )
+            sql = (
+                "SELECT prev, next,"
+                " count(DISTINCT __fs_id) AS dcount"
+                f" FROM ({marked}) AS {_q('__fs_g')}"
+                " WHERE __fs_state = __fs_step"
+                " GROUP BY prev, next"
+            )
+            return sql, ["prev", "next", "dcount"]
         if isinstance(op, SessionCountOp):
             ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
             for name, ident in ((ts, op.ts_col), (idc, op.id_col)):

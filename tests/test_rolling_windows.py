@@ -224,6 +224,53 @@ def test_new_activity_metrics_sql(na_engine, spark):
     assert got == NA_EXPECT
 
 
+FS_ROWS = [
+    ("u0", "view", 0), ("u0", "click", 1), ("u0", "buy", 2),
+    ("u1", "view", 0), ("u1", "click", 1), ("u1", "buy", 73),
+    ("u2", "click", 5),
+]
+FS_Q = (
+    "fs_ev | evaluate funnel_sequence(uid, ts, datetime(2024-01-01),"
+    ' datetime(2024-02-01), 1d, "click", state)'
+)
+# u0: (view, buy); u1: (view, NULL) — buy is 3 days later; u2: (∅, ∅)
+FS_EXPECT = sorted(
+    [("view", "buy", 1), ("view", None, 1), (None, None, 1)],
+    key=lambda x: (str(x[0]), str(x[1])),
+)
+
+
+@pytest.fixture(scope="module")
+def fs_engine(spark):
+    ev = spark.createDataFrame(
+        [
+            (u, s, BASE + dt.timedelta(hours=h))
+            for u, s, h in FS_ROWS
+        ],
+        "uid string, state string, ts timestamp",
+    )
+    ev.createOrReplaceTempView("fs_ev")
+    return PqlEngine(spark, {"fs_ev": ev})
+
+
+def test_funnel_sequence(fs_engine):
+    got = sorted(
+        ((r.prev, r.next, r.dcount) for r in
+         fs_engine.query(FS_Q).collect()),
+        key=lambda x: (str(x[0]), str(x[1])),
+    )
+    assert got == FS_EXPECT
+
+
+def test_funnel_sequence_sql(fs_engine, spark):
+    got = sorted(
+        ((r.prev, r.next, r.dcount) for r in
+         spark.sql(fs_engine.to_sql(FS_Q)).collect()),
+        key=lambda x: (str(x[0]), str(x[1])),
+    )
+    assert got == FS_EXPECT
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="unknown column"):
         engine.query(
