@@ -2739,6 +2739,45 @@ FROM events GROUP BY user_id
 """
 
 # deterministic hash sampling + stratified rates + split assignment
+# DSIR-style importance weights (hashed-bigram log p_target/p_source
+# with Laplace smoothing) — the identical md5 bucket hash + ratio math
+# in DuckDB; round(6) absorbs float sum-order noise
+_DSIR_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                          'g')), ' ') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) <= 2
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, len(toks) - 2 + 1 + 1)]
+         END AS gs
+  FROM norm),
+b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g.g), 1, 8))::BIGINT % 10007 AS bucket
+  FROM grams, unnest(gs) AS g(g)),
+sc AS (SELECT bucket, count(*) AS sc FROM b GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS tc FROM b
+       WHERE source = 'src0' GROUP BY 1),
+m AS (
+  SELECT coalesce(sc.bucket, tc.bucket) AS bucket,
+         coalesce(sc.sc, 0) AS sc, coalesce(tc.tc, 0) AS tc
+  FROM sc FULL JOIN tc ON sc.bucket = tc.bucket),
+r AS (
+  SELECT bucket,
+         ln((tc + 0.5) / ((SELECT sum(tc) FROM m) + 0.5 * 10007))
+         - ln((sc + 0.5) / ((SELECT sum(sc) FROM m) + 0.5 * 10007))
+           AS ir
+  FROM m)
+SELECT b.doc_id, round(sum(r.ir), 6) AS lw
+FROM b JOIN r ON b.bucket = r.bucket
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
 # domain-weighted token-budget corpus mixing: per-domain keep-rate
 # min(1, target/total) with deterministic md5 key-hash selection —
 # identical rate math + hash in the oracle (floor() on both sides:
@@ -3650,6 +3689,17 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "click_id long, purchase_id long")
 
 
+def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import importance_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    tgt = docs.filter(F.col("source") == "src0")
+    w = importance_weights(docs, tgt, gram_n=2)
+    return w.select(
+        "doc_id", F.round("log_weight", 6).alias("lw")
+    ).orderBy("doc_id")
+
+
 def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import mix_corpora
 
@@ -3872,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_winnow_fingerprints": _q_winnow,
             "op_sampling_split": _q_sampling,
             "op_mix_corpora": _q_mix_corpora,
+            "op_importance_weights": _q_importance_weights,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
@@ -3935,6 +3986,7 @@ def oracle_sql() -> dict[str, str]:
             "op_winnow_fingerprints": _WINNOW_ORACLE,
             "op_sampling_split": _SAMPLING_ORACLE,
             "op_mix_corpora": _MIX_ORACLE,
+            "op_importance_weights": _DSIR_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check
         }

@@ -34,6 +34,8 @@ from .dedup import (
 from .sampling import (
     deterministic_shuffle,
     hash_sample,
+    hashed_gram_counts,
+    importance_weights,
     mix_corpora,
     pack_sequences,
     stratified_hash_sample,
@@ -86,6 +88,8 @@ __all__ = [
     "minhash_dup_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
+    "hashed_gram_counts",
+    "importance_weights",
     "mix_corpora",
     "pack_sequences",
     "pairwise_topk",

@@ -198,6 +198,105 @@ def mix_corpora(
     return joined.filter(keep).drop("__mx_dom", "__mx_rate")
 
 
+def hashed_gram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    gram_n: int = 2,
+    buckets: int = 10007,
+) -> DataFrame:
+    """Per-bucket hashed n-gram counts of a corpus → ``(bucket, cnt)``
+    (≤ ``buckets`` rows).  The md5 bucket hash is engine-reproducible
+    (same scheme as :func:`hash_sample`'s oracle twin)."""
+    from .text import word_grams
+
+    g = df.select(
+        F.explode(word_grams(F.col(text_col), gram_n)).alias("__ig")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__ig")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(buckets),
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 2,
+    buckets: int = 10007,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score each source document by how much its
+    hashed n-gram distribution looks like the TARGET corpus —
+    ``log_weight = Σ_grams log(p_target(bucket) / p_source(bucket))``
+    with add-``smoothing`` Laplace estimates.  Select data for a
+    domain by keeping the top-weighted documents (compose with
+    ``top``/:func:`hash_sample`).
+
+    Scale shape: two bounded aggregates (≤ ``buckets`` rows each,
+    broadcast back), one gram explode over the source (O(tokens)),
+    one broadcast join, one groupBy(id) — the bucket relation never
+    exceeds ``buckets`` rows, so the only data-sized costs are narrow.
+    Returns ``(id_col, log_weight)``."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive")
+    src_counts = hashed_gram_counts(df, text_col, gram_n, buckets)
+    tgt_counts = hashed_gram_counts(target, text_col, gram_n, buckets)
+    merged = (
+        src_counts.withColumnRenamed("cnt", "sc")
+        .join(
+            tgt_counts.withColumnRenamed("cnt", "tc"),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.col("sc"), F.lit(0)).alias("sc"),
+            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+        )
+    )
+    # totals via an unpartitioned window over the ≤buckets-row relation
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    s, b = F.lit(float(smoothing)), F.lit(float(buckets))
+    ratios = merged.select(
+        "bucket",
+        (
+            F.log((F.col("tc") + s) / (F.sum("tc").over(w) + s * b))
+            - F.log((F.col("sc") + s) / (F.sum("sc").over(w) + s * b))
+        ).alias("__ir"),
+    )
+    from .text import word_grams
+
+    docgrams = df.select(
+        F.col(id_col),
+        F.explode(word_grams(F.col(text_col), gram_n)).alias("__ig"),
+    ).select(
+        id_col,
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("__ig")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    return (
+        docgrams.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum("__ir").alias("log_weight"))
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key: str, seed: str = "0"
 ) -> DataFrame:

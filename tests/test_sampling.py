@@ -139,6 +139,60 @@ def test_mix_corpora_validation(corpus):
         mix_corpora(corpus, "id", "dom", "tokens", {}, 10)
 
 
+@pytest.fixture(scope="module")
+def dsir_corpora(spark):
+    src = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "stock market prices fell sharply today"),
+            (3, "cats and cat food and cat toys"),
+            (4, "quarterly earnings report for the market"),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, "cat cats cat food the cat"),
+            (2, "a cat sat with another cat"),
+        ],
+        "doc_id long, text string",
+    )
+    return src, tgt
+
+
+def test_importance_weights_rank_target_like_docs(dsir_corpora):
+    from pql_spark.operators import importance_weights
+
+    src, tgt = dsir_corpora
+    lengths = {1: 7, 2: 6, 3: 7, 4: 6}
+    w = {
+        r.doc_id: r.log_weight / lengths[r.doc_id]
+        for r in importance_weights(src, tgt, gram_n=1).collect()
+    }
+    # per-token weights: cat docs (1, 3) beat market docs (2, 4)
+    assert w[1] > w[2] and w[3] > w[2] and w[3] > w[4]
+    assert set(w) == {1, 2, 3, 4}  # every doc scored
+
+
+def test_importance_weights_deterministic(dsir_corpora):
+    from pql_spark.operators import importance_weights
+
+    src, tgt = dsir_corpora
+    a = {tuple(r) for r in importance_weights(src, tgt).collect()}
+    b = {tuple(r) for r in importance_weights(src, tgt).collect()}
+    assert a == b
+
+
+def test_importance_weights_validation(dsir_corpora):
+    from pql_spark.operators import importance_weights
+
+    src, tgt = dsir_corpora
+    with pytest.raises(ValueError, match="buckets"):
+        importance_weights(src, tgt, buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        importance_weights(src, tgt, smoothing=0)
+
+
 def test_connected_components_chain_and_stars(spark):
     import pql_spark.operators.dedup as D
 
