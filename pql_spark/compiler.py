@@ -2360,10 +2360,23 @@ class Compiler:
         driver-side iteration and no join-back — the single linear
         lineage keeps the nondeterministic id self-consistent."""
         from pyspark.sql import Window
+        from pyspark.sql import types as T
 
         ROW, IDX = "__mv_row", "__mv_idx"
         names = [self._col_name(c) for c in op.cols]
         arrs = [self.compile_expr(c.expr, env) for c in op.cols]
+        # maps would silently turn positional try_element_at into integer
+        # key lookups — reject, same contract as multi-column mv-expand
+        probe = df.select(
+            *[a.alias(f"__t{i}") for i, a in enumerate(arrs)]
+        ).schema
+        for fld, c in zip(probe.fields, op.cols):
+            if not isinstance(fld.dataType, T.ArrayType):
+                raise ParseError(
+                    "mv-apply requires array values, got"
+                    f" {fld.dataType.simpleString()}",
+                    c.expr.span,
+                )
         # expand to the longest array (KQL zip semantics, null-padded);
         # null/empty collections drop the record (mv-expand default)
         sizes = [F.size(a) for a in arrs]

@@ -728,6 +728,32 @@ def compile_call(
     if lname == "dcount_hll":
         _check_argc(name, args, 1, 1, span)
         return F.hll_sketch_estimate(args[0])
+    if lname == "dcount_intersect":
+        # KQL dcount_intersect(hll1, hll2[, hll3]) — intersection
+        # cardinality of pre-aggregated HLL sketches via inclusion-
+        # exclusion (2-3 sets); clamped at 0.  Scalar over sketch
+        # binaries: composes with hll()/hll_merge across days/shards —
+        # the no-reshuffle retention-overlap path at 100 TB.
+        _check_argc(name, args, 2, 3, span)
+        est = F.hll_sketch_estimate
+
+        def uni(*ss: Column) -> Column:
+            out = ss[0]
+            for s in ss[1:]:
+                out = F.hll_union(out, s, True)
+            return est(out)
+
+        if len(args) == 2:
+            a, b = args
+            raw = est(a) + est(b) - uni(a, b)
+        else:
+            a, b, c = args
+            raw = (
+                est(a) + est(b) + est(c)
+                - uni(a, b) - uni(a, c) - uni(b, c)
+                + uni(a, b, c)
+            )
+        return F.greatest(raw, F.lit(0).cast("long"))
     if lname == "dcountif":
         _check_argc(name, args, 2, 2, span)
         return F.count_distinct(F.when(args[1], args[0]))
@@ -802,6 +828,26 @@ def compile_call(
                     )
                 ),
             ),
+        )
+    if lname == "series_fill_backward":
+        # carry the NEXT non-null value backward; trailing nulls stay
+        # null — reverse ∘ fill_forward ∘ reverse (same fold shape as
+        # the SQL twin for bit equality)
+        _check_argc(name, args, 1, 1, span)
+        return F.reverse(
+            F.aggregate(
+                F.reverse(args[0]),
+                F.array().cast("array<double>"),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(
+                        F.coalesce(
+                            x.cast("double"),
+                            F.try_element_at(acc, F.lit(-1)),
+                        )
+                    ),
+                ),
+            )
         )
     if lname == "series_fill_linear":
         # null runs interpolated between their non-null neighbors;
@@ -917,6 +963,64 @@ def compile_call(
 
         return _let_bind(
             F.struct(args[0].alias("a"), args[1].alias("f")), fir
+        )
+    if lname == "series_iir":
+        # series_iir(arr, b, a) — recursive (IIR) filter:
+        #   y[i] = (Σⱼ b[j+1]·x[i−j]  −  Σₖ₌₁ a[k+1]·y[i−k]) / a[1]
+        # Out-of-range x/y terms contribute 0; null elements are
+        # treated as 0.0 (documented).  One sequential O(n·(|b|+|a|))
+        # fold over the bin index — bin-count-sized work, matching the
+        # reference KQL semantics for explicit literal coefficients.
+        _check_argc(name, args, 3, 3, span)
+
+        def iir(s: Column) -> Column:
+            x, b, a = s["x"], s["b"], s["a"]
+            n = F.size(x)
+            nb, na = F.size(b), F.size(a)
+
+            def step(acc: Column, i: Column) -> Column:
+                # feed-forward: b[1]*x[i], b[2]*x[i-1], …
+                lo = F.greatest(F.lit(1), i - nb + 1)
+                xs = F.reverse(F.slice(x, lo, i - lo + 1))
+                num = F.aggregate(
+                    F.zip_with(
+                        xs, F.slice(b, 1, i - lo + 1),
+                        lambda xv, c: F.coalesce(
+                            xv.cast("double"), F.lit(0.0)
+                        ) * c.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda t, v: t + F.coalesce(v, F.lit(0.0)),
+                )
+                # feedback: a[2]*y[i-1], a[3]*y[i-2], …
+                ylo = F.greatest(F.lit(1), i - na + 1)
+                ys = F.reverse(F.slice(acc, ylo, i - 1 - ylo + 1))
+                fb = F.aggregate(
+                    F.zip_with(
+                        ys, F.slice(a, 2, i - ylo),
+                        lambda yv, c: yv * c.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda t, v: t + F.coalesce(v, F.lit(0.0)),
+                )
+                yi = (num - fb) / F.element_at(a, 1).cast("double")
+                return F.concat(acc, F.array(yi))
+
+            return F.when(
+                n > 0,
+                F.aggregate(
+                    F.sequence(F.lit(1), n),
+                    F.array().cast("array<double>"),
+                    step,
+                ),
+            ).otherwise(F.array().cast("array<double>"))
+
+        return _let_bind(
+            F.struct(
+                args[0].alias("x"), args[1].alias("b"),
+                args[2].alias("a"),
+            ),
+            iir,
         )
     if lname == "series_seasonal":
         # per-phase means of the series (simplified KQL series_seasonal
@@ -2240,6 +2344,28 @@ def compile_call(
         _check_argc(name, args, 2, 3, span)
         length = args[2] if len(args) == 3 else F.lit(2147483647)
         return F.substring(args[0], args[1] + F.lit(1), length)
+    if lname == "parse_csv":
+        # KQL parse_csv(text) → array<string> of the FIRST record's
+        # fields.  Commas inside double-quoted fields are preserved
+        # (split on commas with an even number of quotes ahead); quoted
+        # fields are unwrapped and "" unescaped.  Embedded newlines in
+        # quoted fields are NOT supported (documented divergence —
+        # KQL also only parses the first record).
+        _check_argc(name, args, 1, 1, span)
+        line = F.substring_index(args[0], "\n", 1)
+        fields = F.split(
+            line, ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+        )
+        return F.transform(
+            fields,
+            lambda f: F.when(
+                f.rlike('^".*"$'),
+                F.replace(
+                    F.substring(f, F.lit(2), F.length(f) - 2),
+                    F.lit('""'), F.lit('"'),
+                ),
+            ).otherwise(f),
+        )
     if lname == "split":
         # KQL split(source, delimiter[, index]) — PLAIN-string delimiter
         # (not regex), 0-based index selects one element

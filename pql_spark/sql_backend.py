@@ -1885,6 +1885,32 @@ class _SqlEmitter:
         if name == "dcount_hll":
             argc(1, 1)
             return f"hll_sketch_estimate({self.expr(args[0])})"
+        if name == "dcount_intersect":
+            # inclusion-exclusion over HLL sketches (twin of the
+            # DataFrame build; clamped at 0)
+            argc(2, 3)
+            ss = [self.expr(a) for a in args]
+
+            def est(s: str) -> str:
+                return f"hll_sketch_estimate({s})"
+
+            def uni(*parts: str) -> str:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = f"hll_union({out}, {p}, true)"
+                return est(out)
+
+            if len(ss) == 2:
+                a, b = ss
+                raw = f"{est(a)} + {est(b)} - {uni(a, b)}"
+            else:
+                a, b, c = ss
+                raw = (
+                    f"{est(a)} + {est(b)} + {est(c)}"
+                    f" - {uni(a, b)} - {uni(a, c)} - {uni(b, c)}"
+                    f" + {uni(a, b, c)}"
+                )
+            return f"greatest({raw}, CAST(0 AS BIGINT))"
         if name == "dcountif":
             argc(2, 2)
             return (
@@ -1949,6 +1975,14 @@ class _SqlEmitter:
                 f" CAST(array() AS ARRAY<DOUBLE>), (acc, x) ->"
                 f" concat(acc, array(coalesce(CAST(x AS DOUBLE),"
                 f" try_element_at(acc, -1)))))"
+            )
+        if name == "series_fill_backward":
+            argc(1, 1)
+            return (
+                f"reverse(aggregate(reverse({self.expr(args[0])}),"
+                f" CAST(array() AS ARRAY<DOUBLE>), (acc, x) ->"
+                f" concat(acc, array(coalesce(CAST(x AS DOUBLE),"
+                f" try_element_at(acc, -1))))))"
             )
         if name == "series_fill_linear":
             argc(1, 1)
@@ -2060,6 +2094,45 @@ class _SqlEmitter:
                 " __ss_a -> CASE WHEN size(__ss_a) > 0 THEN"
                 " transform(sequence(1, size(__ss_a)), __ss_i ->"
                 f" {mean}) ELSE CAST(array() AS ARRAY<DOUBLE>) END), 1)"
+            )
+        if name == "series_iir":
+            # twin of the DataFrame recursive-filter fold (same
+            # let-binding struct + per-index zip_with sums)
+            argc(3, 3)
+            lo = "greatest(1, __ir_i - size(__ir_s.b) + 1)"
+            ylo = "greatest(1, __ir_i - size(__ir_s.a) + 1)"
+            num = (
+                "aggregate(zip_with("
+                f"reverse(slice(__ir_s.x, {lo}, __ir_i - {lo} + 1)),"
+                f" slice(__ir_s.b, 1, __ir_i - {lo} + 1),"
+                " (__ir_xv, __ir_c) ->"
+                " coalesce(CAST(__ir_xv AS DOUBLE), 0.0D)"
+                " * CAST(__ir_c AS DOUBLE)), 0.0D,"
+                " (__ir_t, __ir_v) -> __ir_t + coalesce(__ir_v, 0.0D))"
+            )
+            fb = (
+                "aggregate(zip_with("
+                f"reverse(slice(__ir_y, {ylo},"
+                f" __ir_i - 1 - {ylo} + 1)),"
+                f" slice(__ir_s.a, 2, __ir_i - {ylo}),"
+                " (__ir_yv, __ir_c) -> __ir_yv"
+                " * CAST(__ir_c AS DOUBLE)), 0.0D,"
+                " (__ir_t, __ir_v) -> __ir_t + coalesce(__ir_v, 0.0D))"
+            )
+            pair = (
+                f"array(named_struct('x', {self.expr(args[0])},"
+                f" 'b', {self.expr(args[1])},"
+                f" 'a', {self.expr(args[2])}))"
+            )
+            return (
+                f"element_at(transform({pair}, __ir_s ->"
+                " CASE WHEN size(__ir_s.x) > 0 THEN"
+                " aggregate(sequence(1, size(__ir_s.x)),"
+                " CAST(array() AS ARRAY<DOUBLE>),"
+                " (__ir_y, __ir_i) -> concat(__ir_y, array("
+                f"({num} - {fb})"
+                " / CAST(element_at(__ir_s.a, 1) AS DOUBLE))))"
+                " ELSE CAST(array() AS ARRAY<DOUBLE>) END), 1)"
             )
         if name == "series_periods_detect":
             argc(4, 4)
@@ -3426,6 +3499,21 @@ class _SqlEmitter:
             return (
                 f"substring({self.expr(args[0])},"
                 f" ({self.expr(args[1])}) + 1, {length})"
+            )
+        if name == "parse_csv":
+            # twin of the DataFrame build: first line, quote-aware
+            # comma split, unwrap + unescape quoted fields
+            argc(1, 1)
+            line = f"substring_index({self.expr(args[0])}, '\\n', 1)"
+            fields = (
+                f"split({line},"
+                " ',(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)')"
+            )
+            return (
+                f"transform({fields}, __pc_f -> CASE WHEN"
+                " __pc_f RLIKE '^\".*\"$' THEN"
+                " replace(substring(__pc_f, 2, length(__pc_f) - 2),"
+                " '\"\"', '\"') ELSE __pc_f END)"
             )
         if name == "split":
             argc(2, 3)

@@ -1110,6 +1110,9 @@ def test_mv_expand_multi_map_rejected(spark):
         eng.query("M | mv-expand mp, ar")
     # single-column map expansion still supported
     assert eng.query("M | mv-expand mp").count() == 1
+    # mv-apply rejects maps too (same positional-index hazard)
+    with pytest.raises(QueryError, match="requires array"):
+        eng.query("M | mv-apply v = mp on (where v > 0)")
 
 
 def test_bag_unpack_key_cap(spark, monkeypatch):

@@ -53,6 +53,7 @@ def test_sql_backend_matches_dataframe_backend(spark, sf_views, name):
         or "| scan " in text
         or "| invoke " in text
         or "series_decompose_forecast" in text
+        or "graph-match" in text
     ):
         pytest.skip("data-dependent schema (DataFrame backend only)")
     engine = PqlEngine(spark, resolver=sf_views)
