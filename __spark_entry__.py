@@ -2798,6 +2798,59 @@ WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
 ORDER BY d.doc_id
 """
 
+# UniMax water-filling twin: identical sorted-cap prefix-sum closed
+# form (budget 140000, max_epochs 1.0 over documents.source/n_chars)
+_UNIMAX_ORACLE = """
+WITH tot AS (SELECT source AS domain,
+                    CAST(SUM(n_chars) AS DOUBLE) AS total_tokens
+             FROM documents GROUP BY 1),
+c AS (SELECT domain, total_tokens, total_tokens * 1.0 AS cap FROM tot),
+r AS (SELECT *,
+        ROW_NUMBER() OVER (ORDER BY cap, domain) AS i,
+        SUM(cap) OVER (ORDER BY cap, domain
+                       ROWS UNBOUNDED PRECEDING) AS pre,
+        COUNT(*) OVER () AS L
+      FROM c),
+k AS (SELECT *,
+        MAX(CASE WHEN pre + cap * (L - i) <= 140000.0
+                 THEN i ELSE 0 END) OVER () AS kk
+      FROM r),
+p AS (SELECT *,
+        MAX(CASE WHEN i = kk THEN pre END) OVER () AS prek FROM k),
+a AS (SELECT domain, total_tokens,
+        round(least(cap, coalesce(
+          CASE WHEN L > kk
+               THEN (140000.0 - coalesce(prek, 0.0)) / (L - kk) END,
+          cap)), 4) AS allocation
+      FROM p)
+SELECT domain, total_tokens, allocation,
+       round(allocation / total_tokens, 4) AS epochs
+FROM a ORDER BY domain
+"""
+
+# unigram-LM scoring twin: same tokenization, same top-500 vocab with
+# (count desc, word asc) ties, same factored avg-logprob formula
+_LM_SCORE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+cnt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM cnt),
+vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 500)
+SELECT words.doc_id,
+       COUNT(*) AS n_tokens,
+       round(AVG(CASE WHEN vocab.c IS NULL THEN 1.0 ELSE 0.0 END), 4)
+           AS oov_frac,
+       round(SUM(ln(coalesce(vocab.c, 0) + 1.0)) / COUNT(*)
+             - ln(MAX(tot.T) + 500.0), 4) AS avg_logprob
+FROM words LEFT JOIN vocab ON words.w = vocab.w CROSS JOIN tot
+GROUP BY words.doc_id
+ORDER BY words.doc_id
+"""
+
 _SAMPLING_ORACLE = """
 WITH b AS (SELECT doc_id, lang,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -3715,6 +3768,23 @@ def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.orderBy("doc_id")
 
 
+def _q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import unimax_plan
+
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    return unimax_plan(
+        docs, domain_col="source", token_col="n_chars",
+        budget_tokens=140000.0, max_epochs=1.0,
+    ).orderBy("domain")
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import unigram_lm_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return unigram_lm_score(docs, vocab_size=500).orderBy("doc_id")
+
+
 def _q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import stratified_hash_sample, train_test_split
 
@@ -3923,6 +3993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_sampling_split": _q_sampling,
             "op_mix_corpora": _q_mix_corpora,
             "op_importance_weights": _q_importance_weights,
+            "op_unimax_mix": _q_unimax,
+            "op_lm_score": _q_lm_score,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
@@ -3986,6 +4058,8 @@ def oracle_sql() -> dict[str, str]:
             "op_winnow_fingerprints": _WINNOW_ORACLE,
             "op_sampling_split": _SAMPLING_ORACLE,
             "op_mix_corpora": _MIX_ORACLE,
+            "op_unimax_mix": _UNIMAX_ORACLE,
+            "op_lm_score": _LM_SCORE_ORACLE,
             "op_importance_weights": _DSIR_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check

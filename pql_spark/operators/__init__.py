@@ -40,6 +40,8 @@ from .sampling import (
     pack_sequences,
     stratified_hash_sample,
     train_test_split,
+    unimax_plan,
+    unimax_sample,
 )
 from .similarity import (
     cosine_topk,
@@ -62,6 +64,8 @@ from .text import (
     shingle_rows,
     token_stats,
     tokens,
+    unigram_lm_fit,
+    unigram_lm_score,
     winnow_fingerprints,
     word_grams,
     word_shingles,
@@ -109,6 +113,10 @@ __all__ = [
     "train_centroids",
     "train_test_split",
     "tokens",
+    "unigram_lm_fit",
+    "unigram_lm_score",
+    "unimax_plan",
+    "unimax_sample",
     "winnow_fingerprints",
     "word_grams",
     "word_shingles",

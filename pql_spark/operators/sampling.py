@@ -304,3 +304,119 @@ def deterministic_shuffle(
     training-order randomization.  One range-partitioned sort; change
     ``seed`` for a fresh permutation."""
     return df.orderBy(_bucket(F.col(key), seed).asc(), F.col(key).asc())
+
+
+def unimax_plan(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget_tokens: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax language/domain budget allocation (Chung et al.,
+    arXiv:2304.09151): distribute a token budget as UNIFORMLY as
+    possible across domains, capping each domain at ``max_epochs``
+    passes over its data — the anti-skew alternative to proportional
+    or temperature sampling for multilingual corpora (head languages
+    stop swallowing the budget; tail languages are never repeated more
+    than ``max_epochs`` times).
+
+    Closed-form water-filling, no driver loop: sort domains by their
+    cap ``c_l = max_epochs · total_l`` ascending; domain ``i`` (and all
+    before it) saturates iff ``prefix_i + c_i · (L − i) ≤ B``; with
+    ``k`` the last saturated index the water level is
+    ``s = (B − prefix_k) / (L − k)`` and every allocation is
+    ``min(c_l, s)``.  All window functions over the DOMAIN-count-sized
+    aggregate (≤ thousands of rows — the single-partition window is on
+    that tiny relation, never on the corpus), so the plan is exactly
+    reproducible in an ANSI-SQL oracle.
+
+    Returns one row per domain: ``(domain, total_tokens, allocation,
+    epochs)`` with ``epochs = allocation / total`` (> 1 ⇒ the trainer
+    repeats the domain; a one-pass filter clamps at 1 via
+    ``unimax_sample``).  Floats rounded to 4 decimals.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    tot = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(token_col)).cast("double").alias("total_tokens")
+    )
+    cap = (F.col("total_tokens") * F.lit(float(max_epochs))).alias("__cap")
+    w = Window.orderBy(F.col("__cap").asc(), F.col("domain").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tot.select("domain", "total_tokens", cap).select(
+        "*",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__cap").over(w).alias("__pre"),
+        F.count(F.lit(1)).over(wall).alias("__L"),
+    )
+    B = F.lit(float(budget_tokens))
+    sat = F.col("__pre") + F.col("__cap") * (
+        F.col("__L") - F.col("__i")
+    ) <= B
+    planned = ranked.select(
+        "*",
+        F.max(F.when(sat, F.col("__i")).otherwise(F.lit(0)))
+        .over(wall)
+        .alias("__k"),
+    ).select(
+        "*",
+        F.max(
+            F.when(F.col("__i") == F.col("__k"), F.col("__pre"))
+        ).over(wall).alias("__prek"),
+    )
+    level = F.when(
+        F.col("__L") > F.col("__k"),
+        (B - F.coalesce(F.col("__prek"), F.lit(0.0)))
+        / (F.col("__L") - F.col("__k")),
+    )  # NULL ⇒ every domain saturated (budget exceeds all caps)
+    alloc = F.round(
+        F.least(F.col("__cap"), F.coalesce(level, F.col("__cap"))), 4
+    )
+    return planned.select(
+        "domain",
+        "total_tokens",
+        alloc.alias("allocation"),
+        F.round(alloc / F.col("total_tokens"), 4).alias("epochs"),
+    )
+
+
+def unimax_sample(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    token_col: str,
+    budget_tokens: float,
+    max_epochs: float = 4.0,
+    salt: str = "unimax",
+) -> DataFrame:
+    """One-pass UniMax selection: keep each domain's rows at rate
+    ``min(1, allocation / total)`` from :func:`unimax_plan`, chosen by
+    deterministic key hash (same shape as :func:`mix_corpora` — one
+    tiny broadcast join + a narrow filter; epochs > 1 can't duplicate
+    rows in a filter, so over-allocated domains keep everything and
+    the trainer applies the repeat factor from the plan)."""
+    plan = unimax_plan(
+        df, domain_col, token_col, budget_tokens, max_epochs
+    ).select(
+        F.col("domain").alias("__ux_dom"),
+        F.least(
+            F.lit(1.0), F.col("allocation") / F.col("total_tokens")
+        ).alias("__ux_rate"),
+    )
+    la, ra = "__ux_l", "__ux_r"
+    joined = df.alias(la).join(
+        F.broadcast(plan.alias(ra)),
+        F.col(f"{la}.`{domain_col}`") == F.col(f"{ra}.__ux_dom"),
+        "inner",
+    )
+    keep = _bucket(F.col(key), salt) < F.floor(
+        F.col("__ux_rate") * _SPACE
+    ).cast("long")
+    return joined.filter(keep).drop("__ux_dom", "__ux_rate")

@@ -543,3 +543,113 @@ def winnow_fingerprints(
         F.col(id_col),
         F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
     )
+
+
+def unigram_lm_fit(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 20000
+) -> DataFrame:
+    """Fit a unigram language model over the corpus: the ``vocab_size``
+    most frequent whitespace words with their counts, plus the corpus
+    total token count on every row (``__lm_total``).
+
+    This is the CCNet-style corpus-level quality model (Wenzek et al.,
+    arXiv:1911.00359 use a KenLM 5-gram; a unigram model is the
+    engine-native degenerate case — same pipeline shape, no external
+    binary).  Deterministic: ties broken by (count desc, word asc), so
+    the fitted vocabulary is identical across runs and engines.
+
+    Scale shape: one partial-aggregated word count (ONE shuffle) and a
+    top-V via sort+limit (TakeOrderedAndProject — no total sort); the
+    corpus total is a separate NARROW per-doc size sum (no explode, no
+    shuffle), so every stage has exactly one consumer and nothing is
+    recomputed.  The result is vocab-sized, intended for
+    ``F.broadcast`` in the scorer.
+    """
+    words = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__lm_w")
+    ).filter(F.col("__lm_w") != "")
+    counts = words.groupBy("__lm_w").agg(
+        F.count(F.lit(1)).alias("__lm_cnt")
+    )
+    total = df.agg(
+        F.sum(
+            F.size(F.filter(tokens(F.col(text_col)), lambda w: w != ""))
+        )
+        .cast("double")
+        .alias("__lm_total")
+    )
+    return (
+        counts.orderBy(
+            F.col("__lm_cnt").desc(), F.col("__lm_w").asc()
+        )
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 20000,
+) -> DataFrame:
+    """Per-document unigram log-probability quality score (CCNet-style
+    perplexity filtering, arXiv:1911.00359): documents whose words are
+    rare under the corpus (or a reference-corpus) unigram model get a
+    low ``avg_logprob`` — the standard "remove gibberish / keep fluent
+    text" signal, fit and applied with no external LM binary.
+
+    ``logprob(w) = ln((count(w) + 1) / (total + vocab_size))`` with
+    add-one smoothing; out-of-vocabulary words take count 0.  Returns
+    ``(id, n_tokens, oov_frac, avg_logprob)`` with the floats rounded
+    to 4 decimals (partial-aggregation float sum order is not defined,
+    so raw doubles would differ in the last ulp across partitionings).
+
+    Pass ``model=`` to score against a model fit on a DIFFERENT corpus
+    (e.g. target-domain filtering); defaults to fitting on ``df``.
+
+    Scale shape: explode → broadcast-join the vocab-sized model → one
+    per-doc aggregate.  Two shuffles total with the fit, one without.
+    The model is referenced twice (vocab join + total); it is
+    vocab-sized, so it is persisted to keep the fit single-execution
+    (same fan-out rule as the curation pipeline).
+    """
+    if model is None:
+        model = unigram_lm_fit(df, text_col, vocab_size).persist()
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__lm_w")
+    ).filter(F.col("__lm_w") != "")
+    joined = words.join(
+        F.broadcast(model.select("__lm_w", "__lm_cnt")), "__lm_w", "left"
+    ).crossJoin(
+        # total carried separately so all-OOV docs (every model join a
+        # miss) still see it
+        F.broadcast(model.agg(F.max("__lm_total").alias("__lm_T")))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.max("__lm_T").alias("__t"),
+            F.round(
+                F.avg(F.when(F.col("__lm_cnt").isNull(), 1.0).otherwise(0.0)),
+                4,
+            ).alias("oov_frac"),
+            F.sum(
+                F.log(F.coalesce(F.col("__lm_cnt"), F.lit(0)) + F.lit(1.0))
+            ).alias("__slc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("oov_frac"),
+            # avg ln((c+1)/(T+V)) = (Σ ln(c+1))/n − ln(T+V); the
+            # factored form keeps one log per word, not two
+            F.round(
+                F.col("__slc") / F.col("n_tokens")
+                - F.log(F.col("__t") + F.lit(float(vocab_size))),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
