@@ -2798,6 +2798,36 @@ WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
 ORDER BY d.doc_id
 """
 
+# C4 corpus-level line dedup twin: same synthesized 5-word lines, same
+# first-occurrence = min (doc_id, idx) struct rule, ordered reassembly
+_LINE_DEDUP_ORACLE = r"""
+WITH d AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                            '\1' || chr(10), 'g') AS text
+           FROM documents),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+l0 AS (SELECT doc_id,
+         unnest([{'i': i - 1, 'ln': parts[i]}
+                 FOR i IN range(1, len(parts) + 1)]) AS u
+       FROM p),
+l AS (SELECT doc_id, u.i AS idx, u.ln AS ln FROM l0),
+f AS (SELECT ln, min({'d': doc_id, 'i': idx}) AS first
+      FROM l WHERE trim(ln) <> '' GROUP BY ln),
+k AS (SELECT l.doc_id, l.idx, l.ln,
+        (trim(l.ln) = '' OR
+         (l.doc_id = f.first.d AND l.idx = f.first.i)) AS keep
+      FROM l LEFT JOIN f USING (ln))
+SELECT doc_id,
+       string_agg(CASE WHEN keep THEN ln END, chr(10) ORDER BY idx)
+           FILTER (WHERE keep) AS text,
+       count(*) FILTER (WHERE keep) AS n_lines_kept,
+       count(*) FILTER (WHERE NOT keep) AS n_lines_removed
+FROM k
+GROUP BY doc_id
+HAVING count(*) FILTER (WHERE keep) > 0
+ORDER BY doc_id
+"""
+
 # UniMax water-filling twin: identical sorted-cap prefix-sum closed
 # form (budget 140000, max_epochs 1.0 over documents.source/n_chars)
 _UNIMAX_ORACLE = """
@@ -3768,6 +3798,21 @@ def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.orderBy("doc_id")
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pql_spark.operators import dedup_lines_corpus
+
+    # documents are single-line; synthesize 5-word lines with a
+    # regex portable to the DuckDB twin (tiny vocabulary → plenty of
+    # cross-document duplicate lines, the C4 workload)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"((?:\S+ ){4}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return dedup_lines_corpus(docs).orderBy("doc_id")
+
+
 def _q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import unimax_plan
 
@@ -3995,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_importance_weights": _q_importance_weights,
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
+            "op_line_dedup": _q_line_dedup,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
@@ -4060,6 +4106,7 @@ def oracle_sql() -> dict[str, str]:
             "op_mix_corpora": _MIX_ORACLE,
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
+            "op_line_dedup": _LINE_DEDUP_ORACLE,
             "op_importance_weights": _DSIR_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check

@@ -56,6 +56,8 @@ from .similarity import (
 from .temporal import asof_join, range_join
 from .text import (
     chunk_documents,
+    dedup_lines,
+    dedup_lines_corpus,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -74,6 +76,8 @@ from .text import (
 __all__ = [
     "asof_join",
     "chunk_documents",
+    "dedup_lines",
+    "dedup_lines_corpus",
     "cosine_topk",
     "contamination_report",
     "decontaminate",

@@ -653,3 +653,117 @@ def unigram_lm_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document line dedup: keep the first occurrence of every
+    non-blank line, preserving order and blank lines (paragraph
+    structure).  The navigation-boilerplate scrubber that runs before
+    corpus-level dedup in C4-style pipelines.
+
+    Pure narrow Catalyst fold (no shuffle, no UDF): one pass over the
+    doc's line array with an array-membership accumulator — O(L²) in
+    LINES PER DOCUMENT, which is bounded and tiny compared to the scan.
+    Returns ``(id, text, n_lines_removed)``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    folded = F.aggregate(
+        lines,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.array().cast("array<string>").alias("seen"),
+        ),
+        lambda acc, x: F.when(
+            (F.trim(x) != "") & F.array_contains(acc["seen"], x),
+            acc,
+        ).otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(x)).alias("out"),
+                F.when(F.trim(x) != "", F.concat(acc["seen"], F.array(x)))
+                .otherwise(acc["seen"])
+                .alias("seen"),
+            )
+        ),
+    )
+    other = [c for c in df.columns if c != text_col]
+    return df.select(
+        *other,
+        F.array_join(folded["out"], "\n").alias(text_col),
+        (F.size(lines) - F.size(folded["out"])).alias("n_lines_removed"),
+    )
+
+
+def dedup_lines_corpus(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CORPUS-level line dedup (the C4 rule, Raffel et al.
+    arXiv:1910.10683 §2.2): every non-blank line that occurs more than
+    once across the whole corpus keeps only its FIRST occurrence —
+    first = lexicographically smallest ``(doc_id, line_index)`` — so
+    boilerplate (cookie banners, nav menus) survives exactly once.
+    Blank lines are never deduplicated.  Documents whose every line is
+    removed disappear (C4 drops empty docs).
+
+    Plan: posexplode → groupBy(line) min-struct (partial-aggregated —
+    hot boilerplate lines combine map-side, no skew blowup) → hash join
+    back (one row per line key on the build side, no expansion) →
+    groupBy(doc) ordered reassembly.  Three shuffles, no windows over
+    hot keys, no driver state.  Returns
+    ``(id, text, n_lines_kept, n_lines_removed)``.
+    """
+    idc = F.col(id_col)
+    lines = df.select(
+        idc,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__ln_idx", "__ln"
+        ),
+    )
+    firsts = (
+        lines.filter(F.trim(F.col("__ln")) != "")
+        .groupBy("__ln")
+        .agg(
+            F.min(
+                F.struct(idc.alias("d"), F.col("__ln_idx").alias("i"))
+            ).alias("__first")
+        )
+    )
+    joined = lines.join(firsts, "__ln", "left")
+    keep = (F.trim(F.col("__ln")) == "") | (
+        (idc == F.col("__first.d"))
+        & (F.col("__ln_idx") == F.col("__first.i"))
+    )
+    flagged = joined.select(
+        idc, "__ln_idx", "__ln", keep.alias("__keep")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias(
+                "n_lines_kept"
+            ),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias(
+                "n_lines_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__ln_idx").alias("i"),
+                                    F.col("__ln").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias(text_col),
+        )
+        .filter(F.col("n_lines_kept") > 0)
+        .select(id_col, text_col, "n_lines_kept", "n_lines_removed")
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .operators.dedup import minhash_dup_pairs
 from .operators.sampling import train_test_split
 from .operators.text import (
+    dedup_lines,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -38,6 +39,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     decontaminate_gram_n: int = 13,
     redact: bool = False,
+    drop_repeated_lines: bool = False,
 ) -> DataFrame:
     """Curate a raw document table into a deduplicated, split corpus.
 
@@ -46,6 +48,9 @@ def curate_corpus(
     ``redact=True`` the text column is PII-scrubbed in place.
 
     Stage-by-stage (each narrow or one-shuffle):
+    0. optional within-doc repeated-line scrub
+       (``drop_repeated_lines``, narrow — see
+       :func:`~pql_spark.operators.text.dedup_lines`);
     1. quality ≥ ``min_quality`` (C4/Gopher-style heuristics);
     2. predicted language ∈ ``langs`` (skipped when ``langs`` is None);
     3. repetition filter: drop docs whose duplicate-``n``-gram char
@@ -63,6 +68,11 @@ def curate_corpus(
     8. train/test split keyed on the CONTENT fingerprint, not the id —
        re-ingesting the same text can never land it in the other split.
     """
+    if drop_repeated_lines:
+        # within-doc line dedup FIRST (narrow fold, no shuffle) so the
+        # quality metrics and fingerprints see the scrubbed text
+        docs = dedup_lines(docs, text_col, id_col).drop("n_lines_removed")
+
     # quality / language / fingerprint are all narrow per-row
     # expressions: CHAIN them as appended columns (zero shuffles) rather
     # than computing (id, metric) tables and self-joining back — three

@@ -137,3 +137,19 @@ def test_wav_stereo_decode():
     assert len(mono) == 100
     ref = (np.round(left * 32767) + np.round(right * 32767)) / 2 / 32767
     assert float(np.abs(mono - ref).max()) < 1e-3
+
+
+def test_curate_corpus_line_scrub_stage(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and it runs for "
+        "the hills in a way that is entirely typical of foxes"
+    )
+    docs = spark.createDataFrame(
+        [(1, "nav menu\n" + base + "\nnav menu")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.5, langs=None, drop_repeated_lines=True
+    ).collect()
+    assert len(out) == 1
+    assert out[0].text == "nav menu\n" + base  # second copy scrubbed
