@@ -13,7 +13,12 @@ from .catalog import (
     parquet_catalog,
     register_views,
 )
-from .sinks import write_bucketed, write_partitioned
+from .sinks import (
+    cluster_by,
+    compact_table,
+    write_bucketed,
+    write_partitioned,
+)
 
 __all__ = [
     "build_session",
@@ -21,6 +26,8 @@ __all__ = [
     "load_sf_dir",
     "parquet_catalog",
     "register_views",
+    "cluster_by",
+    "compact_table",
     "write_bucketed",
     "write_partitioned",
 ]

@@ -123,3 +123,58 @@ def test_salted_left_join_matches(spark):
     assert sorted(map(tuple, salted.collect()), key=str) == sorted(
         map(tuple, plain.collect()), key=str
     )
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from pql_spark.sources import compact_table
+
+    path = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).withColumn(
+        "v", F.col("id") * 2
+    ).repartition(40).write.parquet(path)
+    import pathlib
+
+    n_before = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert n_before >= 30
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    files = list(pathlib.Path(path).glob("*.parquet"))
+    assert n == 1 and len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert back.agg(F.sum("v")).head()[0] == 2 * sum(range(4000))
+    # idempotent: rerun keeps content
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 4000
+
+
+def test_cluster_by_tightens_file_stats(spark, tmp_path):
+    from pql_spark.sources import cluster_by
+
+    import pyarrow.parquet as pq
+    import pathlib
+
+    df = spark.range(0, 10000).withColumn(
+        "k", (F.col("id") * 7919) % 10000  # scrambled key
+    )
+    path = str(tmp_path / "clustered")
+    cluster_by(df, ["k"], num_files=8).write.parquet(path)
+    spans = []
+    for f in pathlib.Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(1).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(1).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) == 8
+    # ranges are disjoint (perfect skipping on the cluster column)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # each file covers ~1/8 of the key space, not the whole range
+    assert all(hi - lo < 3000 for lo, hi in spans)
