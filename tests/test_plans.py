@@ -194,3 +194,39 @@ def test_autocluster_single_cube_shuffle(engine):
     assert "Expand" in plan  # native grouping sets
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_score_broadcasts_vocab(spark, sf_catalog):
+    from pql_spark.operators import unigram_lm_score
+
+    df = unigram_lm_score(sf_catalog("documents"), vocab_size=100)
+    plan = formatted_plan(df)
+    # vocab join must be a broadcast HASH join (the nested-loop joins
+    # in the plan are the 1-row total cross-joins, which is fine)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # top-V fits without a total sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_corpus_plan(spark, sf_catalog):
+    from pql_spark.operators import dedup_lines_corpus
+
+    df = dedup_lines_corpus(sf_catalog("documents"))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # first-occurrence aggregate is partial-aggregated (map-side combine
+    # absorbs hot boilerplate lines)
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_lines_within_doc_is_narrow(spark, sf_catalog):
+    from pql_spark.operators import dedup_lines
+
+    df = dedup_lines(sf_catalog("documents"))
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan  # zero shuffles
+    assert "BatchEvalPython" not in plan
