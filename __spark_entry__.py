@@ -1297,6 +1297,25 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         FROM per_user
         """,
     ),
+    # EXTENSION scan with declare/state capture + output modes —
+    # iterative automaton with per-match state (rows-only check; the
+    # stateless scan automaton above carries the full hash oracle, and
+    # the state-capture semantics are pinned by tests/test_scan_declare)
+    "pql_scan_declare": (
+        """
+        events
+        | scan with_match_id = mid by user_id order by ts asc, event_id asc
+            declare (first_t = datetime(2000-01-01), spend = 0.0)
+            with (
+              step viewed output=none: event_type == "view"
+                  => first_t = ts;
+              step bought: event_type == "purchase" => spend = value;
+            )
+        | summarize matches = count(), users = dcount(user_id),
+                    total_spend = round(sum(spend), 2)
+        """,
+        None,
+    ),
     # EXTENSION sample-distinct + toscalar scalar subquery
     "pql_sample_distinct": (
         """

@@ -421,24 +421,44 @@ class BagUnpackOp(Op):
 
 
 @dataclass
-class ScanOp(Op):
-    """EXTENSION: ``scan [by K1, K2] [order by T …] with (step s1: pred;
-    step s2: pred; …)`` — ordered sequence matching (simplified KQL scan
-    / funnel detection).  Per key group, rows are scanned in order; a
-    row matching the next pending step advances the active match, and a
-    completed match emits its rows with ``match_id`` (long, per group)
-    and ``step`` (string) columns appended, then matching restarts.
-    Rows outside completed matches are dropped.
+class ScanStep:
+    """One ``scan`` step: ``step name [output=all|last|none]: pred
+    [=> var = expr, …]``.  ``assigns`` capture row-expression values
+    into declared state variables when the step matches."""
 
-    Execution: step predicates are evaluated as Catalyst boolean columns
-    (JVM/codegen); only the tiny linear automaton over those booleans
-    runs in an Arrow-batched ``applyInPandas`` kernel — one shuffle on
-    the group keys.  DataFrame backend only.
+    name: str
+    pred: Expr
+    output: str = "all"
+    assigns: list[tuple[str, "Expr"]] = field(default_factory=list)
+
+
+@dataclass
+class ScanOp(Op):
+    """EXTENSION: ``scan [with_match_id = M] [by K1, K2] [order by T …]
+    [declare (v = lit, …)] with (step s1: pred [=> v = expr]; …)`` —
+    ordered sequence matching (simplified KQL scan / funnel detection).
+    Per key group, rows are scanned in order; a row matching the next
+    pending step advances the active match, and a completed match emits
+    its rows with ``match_id`` (long, per group) and ``step`` (string)
+    columns appended, then matching restarts.  Rows outside completed
+    matches are dropped; steps with ``output=none`` are matched but not
+    emitted.  Declared variables reset at each new match attempt, are
+    set by step assignments (row expressions, evaluated JVM-side), and
+    are appended as output columns holding the state as of each emitted
+    row.  Conditions/assignments may NOT reference the variables
+    (documented restriction — keeps every expression in codegen).
+
+    Execution: step predicates and assignment values are evaluated as
+    Catalyst columns (JVM/codegen); only the tiny linear automaton over
+    those columns runs in an Arrow-batched ``applyInPandas`` kernel —
+    one shuffle on the group keys.  DataFrame backend only.
     """
 
     by: list[Ident]
     order: list[SortTerm]
-    steps: list[tuple[str, Expr]]
+    steps: list[ScanStep]
+    declare: list[tuple[str, "Expr"]] = field(default_factory=list)
+    match_id: str = "match_id"
 
 
 @dataclass

@@ -1910,56 +1910,146 @@ class Compiler:
                 raise ParseError(
                     f"scan order by: unknown column {n!r}", op.span
                 )
-        for rc in ("match_id", "step"):
+        var_names = [v for v, _ in op.declare]
+        for rc in (op.match_id, "step", *var_names):
             if rc in df.columns:
                 raise ParseError(
                     f"scan: input already has a {rc!r} column (scan"
-                    " appends match_id and step)",
+                    " appends match-id, step, and declared variables)",
                     op.span,
                 )
         k = len(op.steps)
-        names = [n for n, _ in op.steps]
+        names = [s.name for s in op.steps]
+        out_modes = [s.output for s in op.steps]
         preds = [
-            self.compile_expr(e, env).cast("boolean").alias(f"__scan_p{i}")
-            for i, (_, e) in enumerate(op.steps)
+            self.compile_expr(s.pred, env)
+            .cast("boolean")
+            .alias(f"__scan_p{i}")
+            for i, s in enumerate(op.steps)
         ]
-        work = df.select("*", *preds)
+        # declared variables: init + per-step assignment values are all
+        # Catalyst row expressions, cast to the coalesced common type;
+        # the kernel only COPIES the precomputed values around
+        init_cols: list[Column] = []
+        assign_cols: list[Column] = []
+        # (step index, var index) -> work-column name
+        assign_map: dict[tuple[int, int], str] = {}
+        if op.declare:
+            inits = {
+                v: self.compile_expr(e, env) for v, e in op.declare
+            }
+            raw_assigns: dict[tuple[int, int], Column] = {}
+            for i, s in enumerate(op.steps):
+                for v, e in s.assigns:
+                    j = var_names.index(v)
+                    raw_assigns[(i, j)] = self.compile_expr(e, env)
+            # type probe: common type per var across init + assignments
+            probe = df.select(
+                *[
+                    F.coalesce(
+                        *[
+                            c
+                            for (ii, jj), c in raw_assigns.items()
+                            if jj == j
+                        ],
+                        inits[v],
+                    ).alias(f"__t{j}")
+                    for j, v in enumerate(var_names)
+                ]
+            ).schema
+            vtypes = [f.dataType for f in probe.fields]
+            init_cols = [
+                inits[v].cast(vtypes[j]).alias(f"__scan_i{j}")
+                for j, v in enumerate(var_names)
+            ]
+            for (i, j), c in raw_assigns.items():
+                nm = f"__scan_a{i}_{j}"
+                assign_map[(i, j)] = nm
+                assign_cols.append(c.cast(vtypes[j]).alias(nm))
+        work = df.select("*", *preds, *init_cols, *assign_cols)
         out_schema = T.StructType(
             list(df.schema.fields)
             + [
-                T.StructField("match_id", T.LongType()),
+                T.StructField(op.match_id, T.LongType()),
                 T.StructField("step", T.StringType()),
             ]
+            + (
+                [
+                    T.StructField(v, vtypes[j])
+                    for j, v in enumerate(var_names)
+                ]
+                if op.declare
+                else []
+            )
         )
-        drop_cols = [f"__scan_p{i}" for i in range(k)]
+        drop_cols = [f"__scan_p{i}" for i in range(k)] + [
+            f"__scan_i{j}" for j in range(len(var_names))
+        ] + list(assign_map.values())
+        n_vars = len(var_names)
+        match_id_col = op.match_id
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(
                 order_names, ascending=ascending, kind="mergesort"
             )
             flags = [
-                pdf[c].fillna(False).to_numpy() for c in drop_cols
+                pdf[f"__scan_p{i}"].fillna(False).to_numpy()
+                for i in range(k)
             ]
+            if n_vars:
+                init_vals = [
+                    pdf[f"__scan_i{j}"].to_numpy() for j in range(n_vars)
+                ]
+                avals = {
+                    key: pdf[nm].to_numpy()
+                    for key, nm in assign_map.items()
+                }
             pos, match_id = 0, 0
-            pending: list[tuple[int, str]] = []
+            state: list = [None] * n_vars
+            # pending: (row, step name, step index, var snapshot)
+            pending: list[tuple[int, str, int, list]] = []
             out_idx: list[int] = []
             out_mid: list[int] = []
             out_step: list[str] = []
+            out_vars: list[list] = [[] for _ in range(n_vars)]
             for r in range(len(pdf)):
                 if pos < k and flags[pos][r]:
-                    pending.append((r, names[pos]))
+                    if pos == 0 and n_vars:
+                        # new match attempt: reset to the init values
+                        state = [init_vals[j][r] for j in range(n_vars)]
+                    for j in range(n_vars):
+                        key = (pos, j)
+                        if key in avals:
+                            state[j] = avals[key][r]
+                    pending.append((r, names[pos], pos, list(state)))
                     pos += 1
                     if pos == k:
-                        for rr, st in pending:
+                        for rr, st, si, snap in pending:
+                            if out_modes[si] == "none":
+                                continue
                             out_idx.append(rr)
                             out_mid.append(match_id)
                             out_step.append(st)
+                            for j in range(n_vars):
+                                out_vars[j].append(snap[j])
                         match_id += 1
                         pos, pending = 0, []
             base = pdf.drop(columns=drop_cols)
             res = base.iloc[out_idx].copy()
-            res["match_id"] = pd.array(out_mid, dtype="int64")
+            res[match_id_col] = pd.array(out_mid, dtype="int64")
             res["step"] = out_step
+            for j, v in enumerate(var_names):
+                # snapshot values all came from numpy arrays of the
+                # SAME dtype (init + assignments share one cast Spark
+                # type), so rebuild with that dtype — an object column
+                # would hand Arrow pandas-boxed scalars it rejects
+                # (e.g. Timestamp for a datetime64 field)
+                import numpy as np
+
+                res[v] = pd.Series(
+                    np.asarray(out_vars[j], dtype=init_vals[j].dtype),
+                    index=res.index,
+                )
             return res
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -54,6 +54,7 @@ class TokenKind(enum.Enum):
     SLASH = "/"
     MOD = "%"
     CI_EQ = "=~"
+    FATARROW = "=>"
     CI_NE = "!~"
     # EXTENSION: braces for let-function bodies `let f = (x: long) { … }`
     LBRACE = "{"
@@ -184,6 +185,13 @@ def scan(source: str) -> list[Token]:
             continue
         if two == "=~":
             tokens.append(Token(TokenKind.CI_EQ, Span(i, i + 2), two))
+            i += 2
+            continue
+        if two == "=>":
+            # EXTENSION: scan-step assignment arrow (not in the
+            # reference grammar; previously lexed as '=' '>', which no
+            # valid reference query produces adjacently)
+            tokens.append(Token(TokenKind.FATARROW, Span(i, i + 2), two))
             i += 2
             continue
         if two == "!~":

@@ -34,6 +34,7 @@ from .ast_nodes import (
     ToScalarExpr,
     SampleDistinctOp,
     ScanOp,
+    ScanStep,
     ExternalDataSource,
     PartitionOp,
     BetweenExpr,
@@ -2511,10 +2512,19 @@ def _op_getschema(p: _P, kw: Token) -> Op:
 
 
 def _op_scan(p: _P, kw: Token) -> Op:
-    """EXTENSION: ``scan [by K…] [order by T…] with (step n: pred; …)``
-    (simplified KQL scan — ordered funnel/sequence matching)."""
+    """EXTENSION: ``scan [with_match_id = M] [by K…] [order by T…]
+    [declare (v = lit, …)] with (step n [output=all|last|none]: pred
+    [=> v = expr, …]; …)`` (simplified KQL scan — ordered
+    funnel/sequence matching with state capture)."""
     by: list[Ident] = []
     order: list[SortTerm] = []
+    match_id = "match_id"
+    if p.match_word("with_match_id"):
+        p.expect(TokenKind.ASSIGN, "'='")
+        m = p.take()
+        if m.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError("expected match-id column name", m.span)
+        match_id = m.value
     if p.match(TokenKind.BY):
         while True:
             tok = p.take()
@@ -2535,19 +2545,58 @@ def _op_scan(p: _P, kw: Token) -> Op:
             order.append(p.parse_sort_term())
             if not p.match(TokenKind.COMMA):
                 break
+    declare: list[tuple[str, Expr]] = []
+    if p.match_word("declare"):
+        p.expect(TokenKind.LPAREN, "'('")
+        while True:
+            v = p.expect(TokenKind.IDENT, "variable name")
+            p.expect(TokenKind.ASSIGN, "'='")
+            declare.append((v.value, p.parse_expr()))
+            if not p.match(TokenKind.COMMA):
+                break
+        p.expect(TokenKind.RPAREN, "')'")
     w = p.expect(TokenKind.IDENT, "'with'")
     if w.value != "with":
         raise ParseError("expected 'with'", w.span)
     p.expect(TokenKind.LPAREN, "'('")
-    steps: list[tuple[str, Expr]] = []
+    declared = {v for v, _ in declare}
+    steps: list[ScanStep] = []
     while True:
         s = p.take()
         if not (s.kind is TokenKind.IDENT and s.value == "step"):
             raise ParseError("expected 'step'", s.span)
         name = p.expect(TokenKind.IDENT, "step name")
+        output = "all"
+        if p.match_word("output"):
+            p.expect(TokenKind.ASSIGN, "'='")
+            o = p.expect(TokenKind.IDENT, "output mode")
+            if o.value not in ("all", "last", "none"):
+                raise ParseError(
+                    "step output must be all, last, or none", o.span
+                )
+            output = o.value
         p.expect(TokenKind.COLON, "':'")
         pred = p.parse_expr()
-        steps.append((name.value, pred))
+        assigns: list[tuple[str, Expr]] = []
+        if p.match(TokenKind.FATARROW):
+            while True:
+                v = p.expect(TokenKind.IDENT, "variable name")
+                if v.value not in declared:
+                    raise ParseError(
+                        f"scan: assignment to undeclared variable"
+                        f" {v.value!r} (add it to declare (…))",
+                        v.span,
+                    )
+                p.expect(TokenKind.ASSIGN, "'='")
+                assigns.append((v.value, p.parse_expr()))
+                if not p.match(TokenKind.COMMA):
+                    break
+        steps.append(
+            ScanStep(
+                name=name.value, pred=pred, output=output,
+                assigns=assigns,
+            )
+        )
         if not p.match(TokenKind.SEMI):
             break
         if p.peek() is not None and p.peek().kind is TokenKind.RPAREN:
@@ -2556,7 +2605,8 @@ def _op_scan(p: _P, kw: Token) -> Op:
     if not steps:
         raise ParseError("scan needs at least one step", kw.span)
     return ScanOp(
-        by=by, order=order, steps=steps,
+        by=by, order=order, steps=steps, declare=declare,
+        match_id=match_id,
         span=Span(kw.span.start, rp.span.end),
     )
 
