@@ -832,7 +832,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor = edges.join(
             labels.select(
                 F.col("id").alias("b"),
@@ -860,6 +860,12 @@ def connected_components(
             .select("id", F.col("__root").alias("component"))
             .localCheckpoint()
         )
+        if it == 0:
+            # round 1 always changes when any edge exists — skip the
+            # probe job (one fewer action per call; star-shaped dup
+            # graphs converge in 2 rounds, so this halves the probes)
+            labels = new
+            continue
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")
