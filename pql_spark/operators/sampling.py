@@ -198,6 +198,23 @@ def mix_corpora(
     return joined.filter(keep).drop("__mx_dom", "__mx_rate")
 
 
+def _gram_array(toks_col: str, n: int):
+    """All n-grams (with multiplicity) of a pre-projected token-array
+    column — the :func:`~pql_spark.operators.text.word_grams` shape
+    over a materialized array, so the tokenization is NOT re-inlined
+    into the lambda."""
+    toks = F.col(toks_col)
+    m = F.size(toks)
+    return F.when(
+        m <= F.lit(n), F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(n) + F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def hashed_gram_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -206,12 +223,19 @@ def hashed_gram_counts(
 ) -> DataFrame:
     """Per-bucket hashed n-gram counts of a corpus → ``(bucket, cnt)``
     (≤ ``buckets`` rows).  The md5 bucket hash is engine-reproducible
-    (same scheme as :func:`hash_sample`'s oracle twin)."""
-    from .text import word_grams
+    (same scheme as :func:`hash_sample`'s oracle twin).
 
-    g = df.select(
-        F.explode(word_grams(F.col(text_col), gram_n)).alias("__ig")
+    The token array is projected behind a :func:`rebalance` barrier
+    before the gram HOF — CollapseProject would otherwise inline the
+    regex tokenization into the lambda and re-run it per reference
+    (the shingle_rows hazard; measured ~3× on this pass)."""
+    from ._util import rebalance
+    from .text import tokens
+
+    tk = rebalance(
+        df.select(tokens(F.col(text_col)).alias("__toks"))
     )
+    g = tk.select(F.explode(_gram_array("__toks", gram_n)).alias("__ig"))
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("__ig")), 1, 8), 16, 10).cast(
             "long"
@@ -276,11 +300,16 @@ def importance_weights(
             - F.log((F.col("sc") + s) / (F.sum("sc").over(w) + s * b))
         ).alias("__ir"),
     )
-    from .text import word_grams
+    from ._util import rebalance
+    from .text import tokens
 
-    docgrams = df.select(
+    docgrams = rebalance(
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+    ).select(
         F.col(id_col),
-        F.explode(word_grams(F.col(text_col), gram_n)).alias("__ig"),
+        F.explode(_gram_array("__toks", gram_n)).alias("__ig"),
     ).select(
         id_col,
         F.pmod(

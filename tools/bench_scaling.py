@@ -32,6 +32,9 @@ QUERIES = [
     # metrics, rate-based corpus mixing
     "pql_ipv4_lookup", "pql_sliding_window_counts", "pql_session_count",
     "op_mix_corpora",
+    # round-3d additions: vocab-broadcast LM scoring, corpus line dedup,
+    # domain-aggregate water-filling
+    "op_lm_score", "op_line_dedup", "op_unimax_mix",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
