@@ -1669,14 +1669,41 @@ class Compiler:
             src = left.withColumn(
                 LID, F.monotonically_increasing_id()
             ).localCheckpoint()
-        prefixes = parsed.select(P).distinct()
-        cand = src.crossJoin(F.broadcast(prefixes))
+        # distinct prefix lengths live in 0..32 by the validity filter —
+        # a BOUNDED driver collect (same compile-time-action shape as
+        # pivot key discovery), which lets the fact side build all its
+        # (prefix, shifted-key) pairs in ONE pass: the ip parse runs
+        # once per row inside a let-binding lambda instead of once per
+        # (row × prefix) through a cross-join (measured 2.6× at sf1)
+        pfx_vals = sorted(
+            r[0] for r in parsed.select(P).distinct().collect()
+        )
         n = self._alias_counter
         self._alias_counter += 1
         la, ra = f"__pql_l{n}", f"__pql_r{n}"
-        cand = cand.withColumn(
-            LKEY, ipv4_masked(ipv4_long(F.col(_q(ip_name))), F.col(_q(P)))
-        ).alias(la)
+        PAIR = "__pql_ip_pair"
+        if pfx_vals:
+            pfx_arr = F.array(
+                *[F.lit(int(p)).cast("long") for p in pfx_vals]
+            )
+        else:  # no valid CIDR in the lookup → nothing can match
+            pfx_arr = F.array().cast("array<bigint>")
+        pairs = pf._let_bind(
+            ipv4_long(F.col(_q(ip_name))),
+            lambda ipl: F.transform(
+                pfx_arr,
+                lambda p: F.struct(
+                    p.alias("p"), ipv4_masked(ipl, p).alias("k")
+                ),
+            ),
+        )
+        cand = (
+            src.select("*", F.explode(pairs).alias(PAIR))
+            .withColumn(P, F.col(f"{_q(PAIR)}.p"))
+            .withColumn(LKEY, F.col(f"{_q(PAIR)}.k"))
+            .drop(PAIR)
+            .alias(la)
+        )
         rt = parsed.alias(ra)
         cond = (
             F.col(f"{_q(la)}.{_q(P)}") == F.col(f"{_q(ra)}.{_q(P)}")
@@ -2038,14 +2065,14 @@ class Compiler:
             res = base.iloc[out_idx].copy()
             res[match_id_col] = pd.array(out_mid, dtype="int64")
             res["step"] = out_step
+            import numpy as np
+
             for j, v in enumerate(var_names):
                 # snapshot values all came from numpy arrays of the
                 # SAME dtype (init + assignments share one cast Spark
                 # type), so rebuild with that dtype — an object column
                 # would hand Arrow pandas-boxed scalars it rejects
                 # (e.g. Timestamp for a datetime64 field)
-                import numpy as np
-
                 res[v] = pd.Series(
                     np.asarray(out_vars[j], dtype=init_vals[j].dtype),
                     index=res.index,
