@@ -64,7 +64,12 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # spark-written directory table (e.g. .scratch/sf1)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{p}/*.parquet')"
+            )
+        elif p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
