@@ -202,6 +202,12 @@ class ExtendOp(Op):
 class SummarizeOp(Op):
     aggs: list[ColSpec]
     keys: list[ColSpec]
+    # EXTENSION: KQL physical hints — `hint.shufflekey = Col[, Col…]`
+    # pre-partitions the input on those columns (skew control / reuse
+    # of an existing partitioning) and `hint.num_partitions = N` fixes
+    # the partition count; None ⇒ let Catalyst/AQE choose
+    shufflekey: list[str] = field(default_factory=list)
+    num_partitions: int | None = None
 
 
 @dataclass

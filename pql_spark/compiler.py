@@ -1752,6 +1752,23 @@ class Compiler:
         # group keys are projected first, then aggregates (pql.go:410-457)
         keys = self._compile_cols(op.keys, env)
         aggs = self._compile_cols(op.aggs, env)
+        if op.shufflekey or op.num_partitions:
+            # KQL hint.shufflekey / hint.num_partitions → explicit
+            # repartition before the aggregate (skew control or reuse
+            # of a downstream partitioning); without hints AQE chooses
+            for c in op.shufflekey:
+                if c not in df.columns:
+                    raise ParseError(
+                        f"hint.shufflekey: unknown column {c!r}",
+                        op.span,
+                    )
+            pcols = [F.col(_q(c)) for c in op.shufflekey]
+            if op.num_partitions and pcols:
+                df = df.repartition(op.num_partitions, *pcols)
+            elif pcols:
+                df = df.repartition(*pcols)
+            else:
+                df = df.repartition(op.num_partitions)
         if not aggs:
             # `summarize by K` ⇒ distinct over the keys
             # (SummarizeBy golden: SELECT K ... GROUP BY K)

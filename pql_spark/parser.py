@@ -1160,6 +1160,42 @@ def _op_extend(p: _P, kw: Token) -> Op:
 def _op_summarize(p: _P, kw: Token) -> Op:
     aggs: list[ColSpec] = []
     keys: list[ColSpec] = []
+    shufflekey: list[str] = []
+    num_partitions: int | None = None
+    # EXTENSION: KQL physical hints before the aggregate list
+    while (
+        (nxt := p.peek()) is not None
+        and nxt.kind is TokenKind.IDENT
+        and nxt.value == "hint"
+        and p.peek(1) is not None
+        and p.peek(1).kind is TokenKind.DOT
+    ):
+        p.take(); p.take()
+        prop = p.expect(TokenKind.IDENT, "hint name")
+        p.expect(TokenKind.ASSIGN, "'='")
+        if prop.value == "shufflekey":
+            c = p.take()
+            if c.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                raise ParseError("expected shufflekey column", c.span)
+            shufflekey.append(c.value)
+        elif prop.value == "num_partitions":
+            n = p.expect(TokenKind.NUMBER, "partition count")
+            try:
+                num_partitions = int(n.value)
+            except ValueError:
+                raise ParseError(
+                    "num_partitions must be an integer", n.span
+                ) from None
+            if num_partitions < 1:
+                raise ParseError(
+                    "num_partitions must be >= 1", n.span
+                )
+        else:
+            raise ParseError(
+                f"unsupported summarize hint {prop.value!r}"
+                " (supported: shufflekey, num_partitions)",
+                prop.span,
+            )
     if not p.at_end() and p.peek().kind is not TokenKind.BY:
         aggs = p.parse_colspec_list(require_expr=True)
     if p.match(TokenKind.BY):
@@ -1167,7 +1203,10 @@ def _op_summarize(p: _P, kw: Token) -> Op:
     if not aggs and not keys:
         raise ParseError("summarize requires aggregates or 'by' keys", kw.span)
     end = (keys[-1] if keys else aggs[-1]).span.end
-    return SummarizeOp(aggs=aggs, keys=keys, span=Span(kw.span.start, end))
+    return SummarizeOp(
+        aggs=aggs, keys=keys, shufflekey=shufflekey,
+        num_partitions=num_partitions, span=Span(kw.span.start, end),
+    )
 
 
 def _op_join(p: _P, kw: Token) -> Op:

@@ -339,6 +339,17 @@ class _SqlEmitter:
                 group = " GROUP BY " + ", ".join(
                     _q(name) for name, _ in keys
                 )
+            if op.shufflekey or op.num_partitions:
+                # KQL hint.shufflekey/num_partitions → Spark
+                # REPARTITION hint on the aggregate's INPUT (wrapped in
+                # a subquery so the hint binds below the Aggregate,
+                # matching the DataFrame backend's pre-agg repartition)
+                parts = [str(op.num_partitions)] if op.num_partitions else []
+                parts += [_q(c) for c in op.shufflekey]
+                inner = (
+                    f"(SELECT /*+ REPARTITION({', '.join(parts)}) */ *"
+                    f" FROM {inner})"
+                )
             return f"SELECT {select} FROM {inner}{group}", names
         if isinstance(op, JoinOp):
             return self.emit_join(op, sql, cols)

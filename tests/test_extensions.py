@@ -1479,3 +1479,35 @@ def test_project_away_keep_wildcards(spark):
         eng.query("WC_T | project-away *")
     with pytest.raises(QueryError, match="unknown column"):
         eng.query("WC_T | project-away nope")
+
+
+def test_summarize_hints(spark):
+    from pql_spark import PqlEngine, QueryError, compile_to_sql
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(100)], "k long, v double"
+    )
+    eng = PqlEngine(spark, resolver={"T": df})
+    q = ("T | summarize hint.shufflekey = k hint.num_partitions = 7"
+         " s = sum(v) by k")
+    out = eng.query(q)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(
+        map(tuple, eng.query("T | summarize s = sum(v) by k").collect())
+    )
+    # the explicit repartition lands below the aggregate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(k" in plan
+    # SQL twin carries the hint and returns the same rows
+    df.createOrReplaceTempView("T")
+    sql = compile_to_sql(q, lambda n: df.columns)
+    assert "REPARTITION(7, `k`)" in sql
+    assert sorted(map(tuple, spark.sql(sql).collect())) == rows
+    # num_partitions alone works; unknown hint / column rejected
+    assert eng.query(
+        "T | summarize hint.num_partitions = 3 n = count()"
+    ).head().n == 100
+    with pytest.raises(QueryError, match="unsupported summarize hint"):
+        eng.query("T | summarize hint.bogus = 1 n = count()")
+    with pytest.raises(QueryError, match="unknown column"):
+        eng.query("T | summarize hint.shufflekey = nope n = count()")
