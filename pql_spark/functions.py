@@ -161,6 +161,11 @@ KQL_RENAMES: dict[str, str] = {
     "string_size": "octet_length",        # KQL string_size = UTF-8 bytes
     "hash_sha1": "sha1",
     "hash_md5": "md5",
+    # KQL bitwise AGGREGATES → Spark bit aggregates (same arg shape)
+    "binary_all_and": "bit_and",
+    "binary_all_or": "bit_or",
+    "binary_all_xor": "bit_xor",
+    "bitset_count_ones": "bit_count",
 }
 
 # datetime_add/datetime_diff units accepted by Spark's timestampadd/diff

@@ -408,3 +408,22 @@ def test_consume_pack_toguid(engine, spark, tables):
     assert _rows(
         spark.sql(compile_to_sql(q, lambda n: tables[n].columns))
     ) == a
+
+
+def test_binary_all_aggregates(spark, tables, engine):
+    from pql_spark import compile_to_sql
+
+    out = engine.query(
+        "T | summarize a = binary_all_and(id), o = binary_all_or(id),"
+        " x = binary_all_xor(id)"
+    ).head()
+    assert (out.a, out.o, out.x) == (1 & 2 & 3, 1 | 2 | 3, 1 ^ 2 ^ 3)
+    assert (
+        engine.query("T | project n = bitset_count_ones(7)").head().n == 3
+    )
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    q = ("T | summarize a = binary_all_and(id), o = binary_all_or(id),"
+         " x = binary_all_xor(id)")
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == _rows(engine.query(q))
