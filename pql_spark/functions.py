@@ -762,6 +762,15 @@ def compile_call(
     if lname == "dcountif":
         _check_argc(name, args, 2, 2, span)
         return F.count_distinct(F.when(args[1], args[0]))
+    if lname in ("count_distinct", "count_distinctif"):
+        # KQL aliases of the exact dcount family
+        k = 1 if lname == "count_distinct" else 2
+        _check_argc(name, args, k, k, span)
+        x = args[0] if k == 1 else F.when(args[1], args[0])
+        return F.count_distinct(x)
+    if lname == "take_anyif":
+        _check_argc(name, args, 2, 2, span)
+        return F.any_value(F.when(args[1], args[0]), True)
     if lname in ("sumif", "avgif", "minif", "maxif"):
         _check_argc(name, args, 2, 2, span)
         agg = {"sumif": F.sum, "avgif": F.avg, "minif": F.min,

@@ -1928,6 +1928,21 @@ class _SqlEmitter:
                 f"count(DISTINCT CASE WHEN {self.expr(args[1])}"
                 f" THEN {self.expr(args[0])} END)"
             )
+        if name == "count_distinct":
+            argc(1, 1)
+            return f"count(DISTINCT {self.expr(args[0])})"
+        if name == "count_distinctif":
+            argc(2, 2)
+            return (
+                f"count(DISTINCT CASE WHEN {self.expr(args[1])}"
+                f" THEN {self.expr(args[0])} END)"
+            )
+        if name == "take_anyif":
+            argc(2, 2)
+            return (
+                f"any_value(CASE WHEN {self.expr(args[1])}"
+                f" THEN {self.expr(args[0])} END, true)"
+            )
         if name in ("sumif", "avgif", "minif", "maxif"):
             argc(2, 2)
             fn = name[:3]

@@ -427,3 +427,21 @@ def test_binary_all_aggregates(spark, tables, engine):
          " x = binary_all_xor(id)")
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == _rows(engine.query(q))
+
+
+def test_count_distinct_take_anyif(spark, tables, engine):
+    from pql_spark import compile_to_sql
+
+    q = ("T | summarize d = count_distinct(id),"
+         " di = count_distinctif(id, id > 1),"
+         " t = take_anyif(id, id == 2)")
+    out = engine.query(q).head()
+    assert (out.d, out.di, out.t) == (3, 2, 2)
+    # no qualifying row -> NULL, not an arbitrary value
+    assert engine.query(
+        "T | summarize t = take_anyif(id, id > 99)"
+    ).head().t is None
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == _rows(engine.query(q))
