@@ -2358,6 +2358,40 @@ def compile_call(
         _check_argc(name, args, 2, 3, span)
         length = args[2] if len(args) == 3 else F.lit(2147483647)
         return F.substring(args[0], args[1] + F.lit(1), length)
+    if lname in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix"):
+        # KQL SIEM text scanners: does the text contain a VALID,
+        # properly-delimited IPv4 (matching one of the given ips /
+        # starting with the given prefix)?  One regexp_extract_all of
+        # delimited dotted-quads + element predicates — narrow, no UDF.
+        _check_argc(name, args, 2, 99, span)
+        # delimited = not embedded in a word and not part of a LONGER
+        # dotted number (a trailing bare '.' is still a delimiter)
+        cand = F.filter(
+            F.regexp_extract_all(
+                args[0],
+                F.lit(
+                    r"(?<!\w)(?<!\d\.)"
+                    r"((?:\d{1,3}\.){3}\d{1,3})(?!\w)(?!\.\d)"
+                ),
+                1,
+            ),
+            lambda x: ipv4_long(x).isNotNull(),
+        )
+        if lname == "has_ipv4_prefix":
+            _check_argc(name, args, 2, 2, span)
+            pfx = args[1]
+            return F.exists(cand, lambda x: x.startswith(pfx))
+        wanted = args[1:]
+        if lname == "has_ipv4":
+            _check_argc(name, args, 2, 2, span)
+
+        def any_eq(x: Column) -> Column:
+            cond = x == wanted[0]
+            for w in wanted[1:]:
+                cond = cond | (x == w)
+            return cond
+
+        return F.exists(cand, any_eq)
     if lname == "parse_csv":
         # KQL parse_csv(text) → array<string> of the FIRST record's
         # fields.  Commas inside double-quoted fields are preserved

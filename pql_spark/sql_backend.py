@@ -3526,6 +3526,35 @@ class _SqlEmitter:
                 f"substring({self.expr(args[0])},"
                 f" ({self.expr(args[1])}) + 1, {length})"
             )
+        if name in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix"):
+            argc(2, 2 if name != "has_any_ipv4" else 99)
+            src = self.expr(args[0])
+            octs = [
+                "TRY_CAST(try_element_at(split(__hi_x, '\\\\.'),"
+                f" {i + 1}) AS BIGINT)"
+                for i in range(4)
+            ]
+            ipl = (
+                "(CASE WHEN size(split(__hi_x, '\\\\.')) = 4"
+                + "".join(f" AND {o} BETWEEN 0 AND 255" for o in octs)
+                + " THEN 1 END)"
+            )
+            cand = (
+                f"filter(regexp_extract_all({src},"
+                " '(?<!\\\\w)(?<!\\\\d\\\\.)"
+                "((?:\\\\d{1,3}\\\\.){3}\\\\d{1,3})"
+                "(?!\\\\w)(?!\\\\.\\\\d)', 1),"
+                f" __hi_x -> {ipl} IS NOT NULL)"
+            )
+            if name == "has_ipv4_prefix":
+                return (
+                    f"exists({cand}, __hi_x ->"
+                    f" startswith(__hi_x, {self.expr(args[1])}))"
+                )
+            conds = " OR ".join(
+                f"__hi_x = {self.expr(a)}" for a in args[1:]
+            )
+            return f"exists({cand}, __hi_x -> ({conds}))"
         if name == "parse_csv":
             # twin of the DataFrame build: first line, quote-aware
             # comma split, unwrap + unescape quoted fields

@@ -445,3 +445,32 @@ def test_count_distinct_take_anyif(spark, tables, engine):
         df.createOrReplaceTempView(name)
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == _rows(engine.query(q))
+
+
+def test_has_ipv4_family(spark, tables, engine):
+    from pql_spark import QueryError, compile_to_sql
+
+    def one(expr):
+        return engine.query(
+            f"T | where id == 1 | project x = {expr}"
+        ).head().x
+
+    txt = '"src=10.1.2.3 dst=192.168.0.300 peer=8.8.8.8."'
+    assert one(f'has_ipv4({txt}, "10.1.2.3")') is True
+    assert one(f'has_ipv4({txt}, "10.1.2")') is False  # partial token
+    # 192.168.0.300 has an out-of-range octet -> not a valid ip
+    assert one(f'has_ipv4({txt}, "192.168.0.300")') is False
+    # delimiter rule: embedded in a wider dotted token -> no match
+    assert one('has_ipv4("x1.2.3.4.5y", "1.2.3.4")') is False
+    assert one(f'has_any_ipv4({txt}, "1.1.1.1", "8.8.8.8")') is True
+    assert one(f'has_ipv4_prefix({txt}, "10.1.")') is True
+    assert one(f'has_ipv4_prefix({txt}, "10.2.")') is False
+    with pytest.raises(QueryError):
+        engine.query('T | project x = has_ipv4("a")')
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    q = ('T | project id, a = has_ipv4("ip 10.0.0.1 here", "10.0.0.1"),'
+         ' b = has_any_ipv4("10.0.0.1 2.2.2.2", "9.9.9.9", "2.2.2.2"),'
+         ' c = has_ipv4_prefix("from 172.16.4.2", "172.16.")')
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == _rows(engine.query(q))
