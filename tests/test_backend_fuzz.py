@@ -27,6 +27,20 @@ def num_expr(draw, depth=0):
                 st.integers(-3, 3).map(str),
             )
         )
+    kind = draw(st.integers(0, 3))
+    if kind == 1:
+        return (
+            f"iff({draw(bool_expr(2))}, {draw(num_expr(depth + 1))},"
+            f" {draw(num_expr(depth + 1))})"
+        )
+    if kind == 2:
+        fn = draw(st.sampled_from(["min_of", "max_of"]))
+        return (
+            f"{fn}({draw(num_expr(depth + 1))},"
+            f" {draw(num_expr(depth + 1))})"
+        )
+    if kind == 3:
+        return f"bin({draw(num_expr(depth + 1))}, 2)"
     op = draw(st.sampled_from(["+", "-", "*", "/", "%"]))
     lhs = draw(num_expr(depth + 1))
     rhs = draw(num_expr(depth + 1))
@@ -71,10 +85,22 @@ def pipeline(draw):
         segs.append(f"sample 0.{draw(st.integers(1, 9))} by a")
     shape = draw(st.integers(0, 6))
     if shape == 0:
-        segs.append(
-            f"summarize n = count(), m = sum({draw(st.sampled_from(NUM_COLS))})"
-            " by s"
+        agg = draw(
+            st.sampled_from(
+                [
+                    "sum({c})",
+                    "count_distinct({c})",
+                    "count_distinctif({c}, {c} > 0)",
+                    "dcountif({c}, {c} != 0)",
+                    "binary_all_or({c})",
+                ]
+            )
+        ).format(c=draw(st.sampled_from(NUM_COLS)))
+        hint = draw(
+            st.sampled_from(["", "hint.shufflekey = s ",
+                             "hint.num_partitions = 3 "])
         )
+        segs.append(f"summarize {hint}n = count(), m = {agg} by s")
     elif shape == 1:
         segs.append(f"project s, v = {draw(num_expr())}")
     elif shape == 2:
