@@ -12,6 +12,8 @@ inside whole-stage codegen.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -1035,6 +1037,72 @@ def compile_call(
                 args[2].alias("a"),
             ),
             iir,
+        )
+    if lname in ("series_fft", "series_ifft"):
+        # KQL series_fft/series_ifft over make-series arrays: direct
+        # DFT as a Catalyst fold — O(bins²) work per row, which for
+        # make-series bin counts (tens-hundreds) is cheap, keeps the
+        # whole expression in codegen, and is exactly reproducible by
+        # a SQL twin (no numpy kernel, no UDF).  Returns a struct of
+        # (real, imag) arrays; the inverse divides by n.
+        _check_argc(name, args, 1, 2, span)
+        inverse = lname == "series_ifft"
+        sign = 1.0 if inverse else -1.0
+        xi_arg = (
+            args[1]
+            if len(args) == 2
+            else F.transform(args[0], lambda _: F.lit(0.0))
+        )
+
+        def dft(s: Column) -> Column:
+            xr, xi = s["r"], s["i"]
+            n = F.size(xr)
+
+            def coef(k: Column) -> Column:
+                def term(acc: Column, j: Column) -> Column:
+                    theta = (
+                        F.lit(2.0) * F.lit(math.pi)
+                        * (j - 1).cast("double")
+                        * (k - 1).cast("double")
+                        / n.cast("double")
+                    )
+                    c, sn = F.cos(theta), F.lit(sign) * F.sin(theta)
+                    rj = F.element_at(xr, j).cast("double")
+                    ij = F.element_at(xi, j).cast("double")
+                    return F.struct(
+                        (acc["re"] + rj * c - ij * sn).alias("re"),
+                        (acc["im"] + rj * sn + ij * c).alias("im"),
+                    )
+
+                tot = F.aggregate(
+                    F.sequence(F.lit(1), n),
+                    F.struct(
+                        F.lit(0.0).alias("re"), F.lit(0.0).alias("im")
+                    ),
+                    term,
+                )
+                if inverse:
+                    return F.struct(
+                        (tot["re"] / n).alias("re"),
+                        (tot["im"] / n).alias("im"),
+                    )
+                return tot
+
+            # sequence(1, 0) counts DOWN — guard the empty series
+            coefs = F.when(
+                n > 0, F.transform(F.sequence(F.lit(1), n), coef)
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<re:double,im:double>>"
+                )
+            )
+            return F.struct(
+                F.transform(coefs, lambda c: c["re"]).alias("real"),
+                F.transform(coefs, lambda c: c["im"]).alias("imag"),
+            )
+
+        return _let_bind(
+            F.struct(args[0].alias("r"), xi_arg.alias("i")), dft
         )
     if lname == "series_seasonal":
         # per-phase means of the series (simplified KQL series_seasonal

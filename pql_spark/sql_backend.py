@@ -2121,6 +2121,64 @@ class _SqlEmitter:
                 " transform(sequence(1, size(__ss_a)), __ss_i ->"
                 f" {mean}) ELSE CAST(array() AS ARRAY<DOUBLE>) END), 1)"
             )
+        if name in ("series_fft", "series_ifft"):
+            # twin of the DataFrame direct-DFT fold (same let-binding
+            # struct, same per-(k, j) term order for bit equality)
+            argc(1, 2)
+            inverse = name == "series_ifft"
+            sign = "1.0D" if inverse else "-1.0D"
+            xr = self.expr(args[0])
+            xi = (
+                self.expr(args[1])
+                if len(args) == 2
+                else f"transform({xr}, __ff_z -> 0.0D)"
+            )
+            theta = (
+                "(2.0D * pi() * CAST(__ff_j - 1 AS DOUBLE)"
+                " * CAST(__ff_k - 1 AS DOUBLE)"
+                " / CAST(size(__ff_s.r) AS DOUBLE))"
+            )
+            term = (
+                "named_struct("
+                f"'re', __ff_a.re"
+                f" + CAST(element_at(__ff_s.r, __ff_j) AS DOUBLE)"
+                f" * cos({theta})"
+                f" - CAST(element_at(__ff_s.i, __ff_j) AS DOUBLE)"
+                f" * ({sign} * sin({theta})),"
+                f" 'im', __ff_a.im"
+                f" + CAST(element_at(__ff_s.r, __ff_j) AS DOUBLE)"
+                f" * ({sign} * sin({theta}))"
+                f" + CAST(element_at(__ff_s.i, __ff_j) AS DOUBLE)"
+                f" * cos({theta}))"
+            )
+            tot = (
+                "aggregate(sequence(1, size(__ff_s.r)),"
+                " named_struct('re', 0.0D, 'im', 0.0D),"
+                f" (__ff_a, __ff_j) -> {term})"
+            )
+            if inverse:
+                one = (
+                    f"named_struct('re', {tot}.re"
+                    " / size(__ff_s.r),"
+                    f" 'im', {tot}.im / size(__ff_s.r))"
+                )
+            else:
+                one = tot
+            coefs = (
+                "(CASE WHEN size(__ff_s.r) > 0 THEN"
+                f" transform(sequence(1, size(__ff_s.r)),"
+                f" __ff_k -> {one})"
+                " ELSE CAST(array() AS"
+                " ARRAY<STRUCT<re: DOUBLE, im: DOUBLE>>) END)"
+            )
+            pair = f"array(named_struct('r', {xr}, 'i', {xi}))"
+            return (
+                f"element_at(transform({pair}, __ff_s ->"
+                f" named_struct('real', transform({coefs},"
+                " __ff_c -> __ff_c.re),"
+                f" 'imag', transform({coefs},"
+                " __ff_c -> __ff_c.im))), 1)"
+            )
         if name == "series_iir":
             # twin of the DataFrame recursive-filter fold (same
             # let-binding struct + per-index zip_with sums)
