@@ -2355,6 +2355,46 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         """,
     ),
     # EXTENSION series_fir + series_seasonal over make-series arrays
+    # EXTENSION series_fft: DFT energy checked via the Parseval
+    # identity — Σ|X[k]|² = n·Σx², which the oracle computes directly
+    # from the counts (an error in the DFT fold breaks the identity;
+    # coefficient VALUES are pinned against numpy in tests/test_series_fft)
+    "pql_series_fft": (
+        """
+        events
+        | make-series n = count() default = 0.0
+            on ts from "2024-01-01" to "2024-01-17" step "1d"
+            by event_type
+        | extend f = series_fft(n)
+        | project event_type,
+            energy = round(series_sum(series_add(
+                series_multiply(f.real, f.real),
+                series_multiply(f.imag, f.imag))), 2),
+            dc = round(f.real[1], 2)
+        | sort by event_type asc
+        """,
+        """
+        WITH g AS (SELECT event_type,
+                     CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01')
+                                / 86400000000) AS BIGINT) AS i,
+                     count(*) AS c
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01'
+                AND ts < TIMESTAMP '2024-01-17'
+              GROUP BY 1, 2),
+        m AS (SELECT event_type,
+                     map_from_entries(list(row(i, c))) AS mn
+              FROM g GROUP BY event_type),
+        s AS (SELECT event_type,
+                     [CAST(coalesce(mn[j][1], 0) AS DOUBLE)
+                      FOR j IN range(0, 16)] AS n
+              FROM m)
+        SELECT event_type,
+               round(16 * list_sum([x * x FOR x IN n]), 2) AS energy,
+               round(list_sum(n), 2) AS dc
+        FROM s ORDER BY event_type
+        """,
+    ),
     "pql_series_fir": (
         """
         events
