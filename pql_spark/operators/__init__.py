@@ -24,6 +24,7 @@ from .dedup import (
     embedding_dup_pairs_broadcast,
     kmv_distinct,
     minhash_dup_pairs,
+    near_dup_incremental,
     minhash_signature,
     ngram_jaccard_pairs,
     semantic_dedup,
@@ -94,6 +95,7 @@ __all__ = [
     "language_id",
     "lsh_bucket_topk",
     "minhash_dup_pairs",
+    "near_dup_incremental",
     "minhash_signature",
     "ngram_jaccard_pairs",
     "hashed_gram_counts",

@@ -896,3 +896,81 @@ def dedup_by_pairs(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Batch-incremental MinHash-LSH near-dup detection with PERSISTED
+    bucket state — the batch twin of
+    :func:`pql_spark.streaming.stream_near_dup` for pipelines that
+    ingest in daily/hourly increments: each call flags new documents
+    whose LSH band buckets are already owned by an earlier batch's
+    keeper (or by a lower id within this batch), then appends this
+    batch's NEW buckets to the state, so re-computation never touches
+    historical documents.
+
+    State at ``state_dir``: parquet ``(band, bhash, keeper)`` — one row
+    per occupied bucket, bounded by corpus bucket count.  Identical
+    banding to :func:`band_signature`/:func:`minhash_dup_pairs`, so
+    batch, incremental, and streaming buckets agree bit-for-bit.
+    Returns ``(id, band, dup_of)`` candidate rows (same contract as
+    the stream: verify exact Jaccard downstream if needed).  The state
+    append is plain parquet `append` — wrap calls in your job-level
+    retry/transaction if partial writes matter.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    spark = new_docs.sparkSession
+    sig = minhash_signature(
+        new_docs, text_col, id_col, num_perm, shingle_k,
+        impl="pandas", include_shingles=False,
+    )
+    banded = band_signature(sig, id_col, num_perm, bands).persist()
+    state_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bhash", T.StringType()),
+            T.StructField("keeper", T.LongType()),
+        ]
+    )
+    if Path(state_dir).exists():
+        state = spark.read.schema(state_schema).parquet(state_dir)
+    else:
+        state = spark.createDataFrame([], state_schema)
+    # snapshot the pre-append state listing NOW (parquet reads pin
+    # their file index at read time, so the append below cannot leak
+    # into this batch's own dup detection)
+    idc = F.col(id_col)
+    batch_min = banded.groupBy("band", "bhash").agg(
+        F.min(idc).alias("__nd_min")
+    )
+    # vs HISTORY: every batch id in an occupied bucket dups the keeper.
+    # Plain equi-join — the state grows with the corpus bucket count,
+    # so AQE must stay free to pick broadcast (small state) or shuffle
+    # (mature corpus); at scale, bucket the state dir on (band, bhash)
+    vs_state = banded.join(state, ["band", "bhash"]).select(
+        idc, F.col("band"), F.col("keeper").alias("dup_of")
+    )
+    # vs THIS batch: in buckets new to the state, non-min ids dup the
+    # batch minimum (first-seen semantics, same as the stream kernel)
+    new_buckets = batch_min.join(state, ["band", "bhash"], "left_anti")
+    vs_batch = (
+        banded.join(new_buckets, ["band", "bhash"])
+        .filter(idc > F.col("__nd_min"))
+        .select(idc, F.col("band"), F.col("__nd_min").alias("dup_of"))
+    )
+    dups = vs_state.unionByName(vs_batch)
+    # persist the batch's new buckets with their keepers
+    new_buckets.select(
+        "band", "bhash", F.col("__nd_min").alias("keeper")
+    ).write.mode("append").parquet(state_dir)
+    return dups
