@@ -2679,12 +2679,69 @@ def compile_call(
         return F.slice(
             args[0], args[1] + F.lit(1), args[2] - args[1] + F.lit(1)
         )
-    if lname == "array_sort_asc":
-        _check_argc(name, args, 1, 1, span)
-        return F.sort_array(args[0])
-    if lname == "array_sort_desc":
-        _check_argc(name, args, 1, 1, span)
-        return F.sort_array(args[0], asc=False)
+    if lname == "jaccard_index":
+        # KQL jaccard_index(set1, set2) = |∩| / |∪| over DISTINCT
+        # elements; empty-∪ → NULL (0/0)
+        _check_argc(name, args, 2, 2, span)
+        inter = F.size(F.array_intersect(args[0], args[1]))
+        union = F.size(F.array_union(args[0], args[1]))
+        return F.when(
+            union > 0, inter.cast("double") / union
+        )
+    if lname in ("array_sort_asc", "array_sort_desc"):
+        # single array: plain sort.  EXTENSION of the KQL multi-array
+        # form: subsequent arrays are reordered by the FIRST array's
+        # sort order (stable; nulls last, like KQL's default) — returns
+        # a STRUCT of arrays (a0, a1, …) rather than KQL's dynamic
+        # array-of-arrays, since Spark arrays are homogeneous.
+        asc = lname == "array_sort_asc"
+        _check_argc(name, args, 1, 99, span)
+        if len(args) == 1:
+            return F.sort_array(args[0], asc=asc)
+        flip = 1 if asc else -1
+
+        def cmp(left: Column, right: Column) -> Column:
+            lv, rv = left["v"], right["v"]
+            stable = F.signum((left["i"] - right["i"]).cast("double"))
+            return (
+                F.when(lv.isNull() & rv.isNull(), stable)
+                .when(lv.isNull(), F.lit(1.0))   # nulls LAST either way
+                .when(rv.isNull(), F.lit(-1.0))
+                .when(lv < rv, F.lit(-1.0 * flip))
+                .when(lv > rv, F.lit(1.0 * flip))
+                .otherwise(stable)
+                .cast("int")
+            )
+
+        def multi(s: Column) -> Column:
+            first = s["a0"]
+            n = F.size(first)
+            keyed = F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.struct(
+                    F.element_at(first, i).alias("v"), i.alias("i")
+                ),
+            )
+            order = F.transform(
+                F.array_sort(keyed, cmp), lambda st: st["i"]
+            )
+            fields = [
+                F.when(
+                    n > 0,
+                    F.transform(
+                        order, lambda i: F.try_element_at(s[f"a{j}"], i)
+                    ),
+                )
+                .otherwise(s[f"a{j}"])
+                .alias(f"a{j}")
+                for j in range(len(args))
+            ]
+            return F.struct(*fields)
+
+        return _let_bind(
+            F.struct(*[a.alias(f"a{j}") for j, a in enumerate(args)]),
+            multi,
+        )
     if lname in ("arg_max", "arg_min"):
         # arg_max(maximized_expr, returned_expr) — Spark max_by has the
         # argument order reversed

@@ -3836,12 +3836,61 @@ class _SqlEmitter:
             a = self.expr(args[0])
             lo, hi = self.expr(args[1]), self.expr(args[2])
             return f"slice({a}, ({lo}) + 1, ({hi}) - ({lo}) + 1)"
-        if name == "array_sort_asc":
-            argc(1, 1)
-            return f"sort_array({self.expr(args[0])})"
-        if name == "array_sort_desc":
-            argc(1, 1)
-            return f"sort_array({self.expr(args[0])}, false)"
+        if name == "jaccard_index":
+            argc(2, 2)
+            a, b = self.expr(args[0]), self.expr(args[1])
+            return (
+                f"(CASE WHEN size(array_union({a}, {b})) > 0 THEN"
+                f" CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+                f" / size(array_union({a}, {b})) END)"
+            )
+        if name in ("array_sort_asc", "array_sort_desc"):
+            argc(1, 99)
+            asc = name == "array_sort_asc"
+            if len(args) == 1:
+                return (
+                    f"sort_array({self.expr(args[0])},"
+                    f" {'true' if asc else 'false'})"
+                )
+            # multi-array form: twin of the DataFrame build — order by
+            # the first array (nulls last, stable), gather the rest
+            flip = 1 if asc else -1
+            stable = (
+                "CAST(sign(CAST(__as_l.i - __as_r.i AS DOUBLE)) AS INT)"
+            )
+            cmp = (
+                "CASE"
+                " WHEN __as_l.v IS NULL AND __as_r.v IS NULL"
+                f" THEN {stable}"
+                " WHEN __as_l.v IS NULL THEN 1"
+                " WHEN __as_r.v IS NULL THEN -1"
+                f" WHEN __as_l.v < __as_r.v THEN {-flip}"
+                f" WHEN __as_l.v > __as_r.v THEN {flip}"
+                f" ELSE {stable} END"
+            )
+            keyed = (
+                "transform(sequence(1, size(__as_s.a0)), __as_i ->"
+                " named_struct('v', element_at(__as_s.a0, __as_i),"
+                " 'i', __as_i))"
+            )
+            order = (
+                f"transform(array_sort({keyed},"
+                f" (__as_l, __as_r) -> {cmp}), __as_t -> __as_t.i)"
+            )
+            fields = ", ".join(
+                f"'a{j}', CASE WHEN size(__as_s.a0) > 0 THEN"
+                f" transform({order}, __as_i ->"
+                f" try_element_at(__as_s.a{j}, __as_i))"
+                f" ELSE __as_s.a{j} END"
+                for j in range(len(args))
+            )
+            pair = "array(named_struct(" + ", ".join(
+                f"'a{j}', {self.expr(a)}" for j, a in enumerate(args)
+            ) + "))"
+            return (
+                f"element_at(transform({pair}, __as_s ->"
+                f" named_struct({fields})), 1)"
+            )
         if name in ("arg_max", "arg_min"):
             argc(2, 2)
             fn = "max_by" if name == "arg_max" else "min_by"

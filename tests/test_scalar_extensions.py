@@ -474,3 +474,46 @@ def test_has_ipv4_family(spark, tables, engine):
          ' c = has_ipv4_prefix("from 172.16.4.2", "172.16.")')
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == _rows(engine.query(q))
+
+
+def test_jaccard_and_multi_array_sort(spark, tables, engine):
+    from pql_spark import compile_to_sql
+
+    def one(expr):
+        return engine.query(
+            f"T | where id == 1 | project x = {expr}"
+        ).head().x
+
+    assert one(
+        "jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4))"
+    ) == pytest.approx(2 / 4)
+    assert one(
+        "jaccard_index(pack_array(1, 1, 2), pack_array(1, 2))"
+    ) == 1.0  # distinct-element semantics
+    # multi-array: later arrays reorder by the first's sort
+    out = one(
+        'array_sort_asc(pack_array(3, 1, 2), pack_array("c", "a", "b"))'
+    )
+    assert (list(out.a0), list(out.a1)) == ([1, 2, 3], ["a", "b", "c"])
+    out = one(
+        'array_sort_desc(pack_array(3, 1, 2), pack_array("c", "a", "b"))'
+    )
+    assert (list(out.a0), list(out.a1)) == ([3, 2, 1], ["c", "b", "a"])
+    # nulls last in BOTH directions; stability preserves pair alignment
+    out = one(
+        "array_sort_asc(pack_array(toint(null), 2, 1),"
+        ' pack_array("n", "b", "a"))'
+    )
+    assert (list(out.a0), list(out.a1)) == ([1, 2, None], ["a", "b", "n"])
+    # shorter secondary arrays pad with null at gathered positions
+    out = one(
+        "array_sort_asc(pack_array(2, 1), pack_array(9))"
+    )
+    assert (list(out.a0), list(out.a1)) == ([1, 2], [None, 9])
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    q = ("T | project id,"
+         " j = jaccard_index(a, b),"
+         " s = array_sort_desc(a, b)")
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == _rows(engine.query(q))
