@@ -1727,7 +1727,7 @@ def compile_call(
         return F.call_function("get_json_object", args[1], args[0])
     if lname in (
         "ipv4_compare", "ipv4_is_in_range", "ipv4_is_private",
-        "format_ipv4", "parse_ipv4",
+        "format_ipv4", "format_ipv4_mask", "parse_ipv4",
     ):
         # KQL IPv4 family (the reference's SIEM domain): all Catalyst
         # expressions — dotted-quad → uint32 with NULL on malformed
@@ -1737,23 +1737,42 @@ def compile_call(
         if lname == "parse_ipv4":
             _check_argc(name, args, 1, 1, span)
             return ip_long(args[0])
-        if lname == "format_ipv4":
-            _check_argc(name, args, 1, 1, span)
-            return _let_bind(
+        if lname in ("format_ipv4", "format_ipv4_mask"):
+            # optional prefix masks to the network address;
+            # format_ipv4_mask appends "/prefix" (KQL signatures)
+            _check_argc(name, args, 1, 2, span)
+            prefix = (
+                args[1].try_cast("long")
+                if len(args) == 2
+                else F.lit(32).cast("long")
+            )
+
+            def fmt(v: Column) -> Column:
+                dotted = F.concat_ws(
+                    ".",
+                    (v / 16777216).cast("long").cast("string"),
+                    F.pmod((v / 65536).cast("long"), F.lit(256))
+                    .cast("string"),
+                    F.pmod((v / 256).cast("long"), F.lit(256))
+                    .cast("string"),
+                    F.pmod(v, F.lit(256)).cast("string"),
+                )
+                if lname == "format_ipv4_mask":
+                    dotted = F.concat(
+                        dotted, F.lit("/"), prefix.cast("string")
+                    )
+                # concat_ws would fold a NULL ip to ''
+                return F.when(v.isNotNull(), dotted)
+
+            net = _let_bind(
                 ip_long(args[0]),
-                lambda v: F.when(
-                    v.isNotNull(),  # concat_ws would fold NULL to ''
-                    F.concat_ws(
-                        ".",
-                        (v / 16777216).cast("long").cast("string"),
-                        F.pmod((v / 65536).cast("long"), F.lit(256))
-                        .cast("string"),
-                        F.pmod((v / 256).cast("long"), F.lit(256))
-                        .cast("string"),
-                        F.pmod(v, F.lit(256)).cast("string"),
-                    ),
+                lambda raw: F.when(
+                    (prefix >= 0) & (prefix <= 32),
+                    masked(raw, prefix)
+                    * F.pow(F.lit(2.0), 32 - prefix).cast("long"),
                 ),
             )
+            return _let_bind(net, fmt)
         if lname == "ipv4_compare":
             _check_argc(name, args, 2, 3, span)
             prefix = (

@@ -2729,7 +2729,7 @@ class _SqlEmitter:
             )
         if name in (
             "ipv4_compare", "ipv4_is_in_range", "ipv4_is_private",
-            "format_ipv4", "parse_ipv4",
+            "format_ipv4", "format_ipv4_mask", "parse_ipv4",
         ):
             def ip_long(c: str) -> str:
                 octs = [
@@ -2761,21 +2761,38 @@ class _SqlEmitter:
             if name == "parse_ipv4":
                 argc(1, 1)
                 return ip_long(self.expr(args[0]))
-            if name == "format_ipv4":
-                argc(1, 1)
+            if name in ("format_ipv4", "format_ipv4_mask"):
+                argc(1, 2)
                 v = "__ip_v"
-                inner = (
-                    f"CASE WHEN {v} IS NOT NULL THEN concat_ws('.',"
+                prefix = (
+                    f"TRY_CAST({self.expr(args[1])} AS BIGINT)"
+                    if len(args) == 2
+                    else "CAST(32 AS BIGINT)"
+                )
+                dotted = (
+                    "concat_ws('.',"
                     f" CAST(CAST({v} / 16777216 AS BIGINT) AS STRING),"
                     f" CAST(pmod(CAST({v} / 65536 AS BIGINT), 256)"
                     " AS STRING),"
                     f" CAST(pmod(CAST({v} / 256 AS BIGINT), 256)"
                     " AS STRING),"
-                    f" CAST(pmod({v}, 256) AS STRING)) END"
+                    f" CAST(pmod({v}, 256) AS STRING))"
+                )
+                if name == "format_ipv4_mask":
+                    dotted = (
+                        f"concat({dotted}, '/',"
+                        f" CAST({prefix} AS STRING))"
+                    )
+                inner = f"CASE WHEN {v} IS NOT NULL THEN {dotted} END"
+                net = (
+                    f"(CASE WHEN ({prefix}) BETWEEN 0 AND 32 THEN "
+                    + masked(ip_long(self.expr(args[0])), prefix)
+                    + f" * CAST(power(2.0D, 32 - ({prefix}))"
+                    " AS BIGINT) END)"
                 )
                 return (
                     "element_at(transform(array("
-                    + ip_long(self.expr(args[0]))
+                    + net
                     + f"), {v} -> {inner}), 1)"
                 )
             if name == "ipv4_compare":

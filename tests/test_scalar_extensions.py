@@ -517,3 +517,25 @@ def test_jaccard_and_multi_array_sort(spark, tables, engine):
          " s = array_sort_desc(a, b)")
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     assert _rows(spark.sql(sql)) == _rows(engine.query(q))
+
+
+def test_format_ipv4_mask(spark, tables, engine):
+    from pql_spark import compile_to_sql
+
+    def one(expr):
+        return engine.query(
+            f"T | where id == 1 | project x = {expr}"
+        ).head().x
+
+    assert one('format_ipv4("192.165.12.17", 24)') == "192.165.12.0"
+    assert one('format_ipv4("192.165.12.17")') == "192.165.12.17"
+    assert one('format_ipv4_mask("192.165.12.17", 24)') == "192.165.12.0/24"
+    assert one('format_ipv4_mask("10.1.2.3")') == "10.1.2.3/32"
+    assert one('format_ipv4_mask("bad", 8)') is None
+    assert one('format_ipv4("1.2.3.4", 99)') is None
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    q = ('T | project id, a = format_ipv4("172.16.5.9", 12),'
+         ' b = format_ipv4_mask("172.16.5.9", 12)')
+    sql = compile_to_sql(q, lambda n: tables[n].columns)
+    assert _rows(spark.sql(sql)) == _rows(engine.query(q))
