@@ -1633,6 +1633,24 @@ def compile_call(
         for a in args[2:]:
             rest = F.array_union(rest, a)
         return F.array_distinct(F.array_except(args[0], rest))
+    if lname == "bag_has_key":
+        # simple top-level key only (KQL's JSON-path form unsupported)
+        _check_argc(name, args, 2, 2, span)
+        return F.map_contains_key(args[0], args[1])
+    if lname == "bag_remove_keys":
+        _check_argc(name, args, 2, 2, span)
+        keys = args[1]
+        return F.map_filter(
+            args[0], lambda k, _v: ~F.array_contains(keys, k)
+        )
+    if lname == "bag_set_key":
+        # set-or-overwrite one key (map value types must agree)
+        _check_argc(name, args, 3, 3, span)
+        key, val = args[1], args[2]
+        return F.map_concat(
+            F.map_filter(args[0], lambda k, _v: k != key),
+            F.create_map(key, val),
+        )
     if lname == "bag_merge":
         # KQL bag_merge(b1, b2, …): union of keys, FIRST bag wins on
         # conflicts — map_zip_with(m1, m2, coalesce) folded left

@@ -2651,6 +2651,25 @@ class _SqlEmitter:
             for a in parts[2:]:
                 rest = f"array_union({rest}, {a})"
             return f"array_distinct(array_except({parts[0]}, {rest}))"
+        if name == "bag_has_key":
+            argc(2, 2)
+            return (
+                f"map_contains_key({self.expr(args[0])},"
+                f" {self.expr(args[1])})"
+            )
+        if name == "bag_remove_keys":
+            argc(2, 2)
+            return (
+                f"map_filter({self.expr(args[0])}, (__bk_k, __bk_v) ->"
+                f" NOT array_contains({self.expr(args[1])}, __bk_k))"
+            )
+        if name == "bag_set_key":
+            argc(3, 3)
+            return (
+                f"map_concat(map_filter({self.expr(args[0])},"
+                f" (__bk_k, __bk_v) -> __bk_k != {self.expr(args[1])}),"
+                f" map({self.expr(args[1])}, {self.expr(args[2])}))"
+            )
         if name == "bag_merge":
             if len(args) < 2:
                 raise ParseError(

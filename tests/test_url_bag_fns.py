@@ -150,3 +150,26 @@ def test_sql_backend_equivalence(spark, tables, engine, q):
     sql = compile_to_sql(q, lambda n: tables[n].columns)
     b = sorted(map(str, spark.sql(sql).collect()))
     assert a == b
+
+
+def test_bag_key_functions(spark):
+    from pql_spark import PqlEngine, compile_to_sql
+
+    df = spark.sql(
+        "SELECT 1 AS id, map('a', 1, 'b', 2, 'c', 3) AS bag"
+    )
+    eng = PqlEngine(spark, resolver={"B": df})
+    q = ("B | project id, h = bag_has_key(bag, \"a\"),"
+         " nh = bag_has_key(bag, \"z\"),"
+         " r = bag_remove_keys(bag, pack_array(\"a\", \"c\")),"
+         " s = bag_set_key(bag, \"b\", 99),"
+         " n = bag_set_key(bag, \"d\", 4)")
+    row = eng.query(q).head()
+    assert row.h is True and row.nh is False
+    assert dict(row.r) == {"b": 2}
+    assert dict(row.s) == {"a": 1, "c": 3, "b": 99}
+    assert dict(row.n) == {"a": 1, "b": 2, "c": 3, "d": 4}
+    df.createOrReplaceTempView("B")
+    sql = compile_to_sql(q, lambda nm: df.columns)
+    got = spark.sql(sql).head()
+    assert dict(got.s) == dict(row.s) and dict(got.r) == dict(row.r)
