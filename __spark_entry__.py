@@ -13,6 +13,7 @@ rounded on both sides so value hashes are stable across engines.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -626,7 +627,8 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
             on ts from "2024-01-01" to "2024-01-31" step "1d"
             by event_type
         | extend total = series_sum(n), peak = series_max(n),
-                 ma_sum = round(series_sum(series_moving_avg(n, 7)), 4)
+                 ma_sum = tolong(floor(series_sum(
+                     series_moving_avg(n, 7)) * 10000.0 + 0.5))
         | project event_type, total, peak, ma_sum
         | sort by event_type asc
         """,
@@ -648,8 +650,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         SELECT event_type,
                CAST(list_sum(n) AS DOUBLE) AS total,
                list_max(n) AS peak,
-               round(list_sum([list_avg(n[greatest(1, i - 6):i])
-                               FOR i IN range(1, 31)]), 4) AS ma_sum
+               CAST(floor(list_sum([list_avg(n[greatest(1, i - 6):i])
+                               FOR i IN range(1, 31)])
+                          * 10000.0 + 0.5) AS BIGINT) AS ma_sum
         FROM s ORDER BY event_type
         """,
     ),
@@ -1029,7 +1032,8 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         """
         events
         | extend w = toint(user_id % 3 + 1)
-        | summarize pw = round(percentilew(value, w, 50), 4),
+        | summarize pw = tolong(floor(
+                        percentilew(value, w, 50) * 10000.0 + 0.5)),
                     ba = binary_all_and(user_id),
                     bo = binary_all_or(user_id),
                     bx = binary_all_xor(user_id)
@@ -1046,7 +1050,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
           SELECT event_type, value FROM base, unnest(range(base.w))
         ),
         p AS (
-          SELECT event_type, round(quantile_cont(value, 0.5), 4) AS pw
+          SELECT event_type,
+                 CAST(floor(quantile_cont(value, 0.5) * 10000.0 + 0.5)
+                      AS BIGINT) AS pw
           FROM rep GROUP BY event_type
         ),
         b AS (
@@ -1137,14 +1143,16 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         events
         | where ts >= datetime(2024-01-02)
             and ts < datetime(2024-01-02) + 1d
-        | summarize n = count(), v = round(sum(value), 3)
+        | summarize n = count(),
+                    v = tolong(floor(sum(value) * 1000.0 + 0.5))
             by h = bin(ts, 3h)
         | sort by h asc
         """,
         """
         SELECT CAST(to_timestamp(floor(epoch(ts) / 10800) * 10800)
                     AS TIMESTAMP) AS h,
-               count(*) AS n, round(sum(value), 3) AS v
+               count(*) AS n,
+               CAST(floor(sum(value) * 1000.0 + 0.5) AS BIGINT) AS v
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-02'
           AND ts < TIMESTAMP '2024-01-02' + INTERVAL 1 DAY
@@ -1347,7 +1355,8 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
             by event_type
         | extend z = series_outliers(n)
         | mv-expand n, z, ts
-        | project event_type, ts, n, z = round(z, 4)
+        | project event_type, ts, n,
+                  z = tolong(floor(z * 10000.0 + 0.5))
         | sort by event_type asc, ts asc
         """,
         """
@@ -1372,8 +1381,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                TIMESTAMP '2024-01-01' + to_microseconds(i * 86400000000)
                    AS ts,
                n,
-               round(CASE WHEN sd > 0 THEN (n - m) / sd ELSE 0.0 END, 4)
-                   AS z
+               CAST(floor((CASE WHEN sd > 0 THEN (n - m) / sd
+                                ELSE 0.0 END) * 10000.0 + 0.5)
+                    AS BIGINT) AS z
         FROM s ORDER BY event_type, ts
         """,
     ),
@@ -1390,8 +1400,10 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
             by event_type
         | extend d = series_decompose(n, 7)
         | mv-expand ts, b = d.baseline, t = d.trend, r = d.residual
-        | project event_type, ts, b = round(b, 4), t = round(t, 4),
-                  r = round(r, 4)
+        | project event_type, ts,
+                  b = tolong(floor(b * 10000.0 + 0.5)),
+                  t = tolong(floor(t * 10000.0 + 0.5)),
+                  r = tolong(floor(r * 10000.0 + 0.5))
         | sort by event_type asc, ts asc
         """,
         """
@@ -1423,9 +1435,11 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         SELECT event_type,
                TIMESTAMP '2024-01-01' + to_microseconds(i * 86400000000)
                    AS ts,
-               round(trend + seasonal, 4) AS b,
-               round(trend, 4) AS t,
-               round(n - trend - seasonal, 4) AS r
+               CAST(floor((trend + seasonal) * 10000.0 + 0.5)
+                    AS BIGINT) AS b,
+               CAST(floor(trend * 10000.0 + 0.5) AS BIGINT) AS t,
+               CAST(floor((n - trend - seasonal) * 10000.0 + 0.5)
+                    AS BIGINT) AS r
         FROM c ORDER BY event_type, ts
         """,
     ),
@@ -1433,7 +1447,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
     # decomposition on the first n-points bins, forecast the horizon as
     # OLS-extrapolated trend + centered phase pattern; the oracle
     # repeats the identical training-window math (regr_slope/intercept
-    # twins the closed-form OLS; round(4) absorbs fold-order fp noise)
+    # twins the closed-form OLS; integer scaling floor(x*1e4 + 0.5)
+    # absorbs fold-order fp noise and is driver-hash robust — floats
+    # rounded to k decimals hash-flip on cross-engine last-ulp ties)
     "pql_series_forecast": (
         """
         events
@@ -1442,7 +1458,8 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
             by event_type
         | extend f = series_decompose_forecast(n, 7, 7)
         | mv-expand ts, fv = f
-        | project event_type, ts, fv = round(fv, 4)
+        | project event_type, ts,
+                  fv = tolong(floor(fv * 10000.0 + 0.5))
         | sort by event_type asc, ts asc
         """,
         """
@@ -1477,10 +1494,11 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         SELECT grid.event_type,
                TIMESTAMP '2024-01-01'
                  + to_microseconds(grid.i * 86400000000) AS ts,
-               round(CASE WHEN grid.i < 23
+               CAST(floor((CASE WHEN grid.i < 23
                      THEN b.trend + b.sraw - st.rawmean
                      ELSE st.inter + st.slope * (grid.i + 1)
-                          + ps.psv - st.rawmean END, 4) AS fv
+                          + ps.psv - st.rawmean END)
+                          * 10000.0 + 0.5) AS BIGINT) AS fv
         FROM grid
         LEFT JOIN ph b ON b.event_type = grid.event_type
                       AND b.i = grid.i
@@ -1500,7 +1518,8 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
             by event_type
         | extend d = series_decompose_anomalies(n, 7, 2.0)
         | mv-expand ts, flag = d.ad_flag, sc = d.ad_score
-        | project event_type, ts, flag, sc = round(sc, 4)
+        | project event_type, ts, flag,
+                  sc = tolong(floor(sc * 10000.0 + 0.5))
         | sort by event_type asc, ts asc
         """,
         """
@@ -1542,8 +1561,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                          WHEN rs > 0 AND (resid - rm) / rs <= -2.0
                            THEN -1
                          ELSE 0 END AS BIGINT) AS flag,
-               round(CASE WHEN rs > 0 THEN (resid - rm) / rs
-                          ELSE 0.0 END, 4) AS sc
+               CAST(floor((CASE WHEN rs > 0 THEN (resid - rm) / rs
+                          ELSE 0.0 END) * 10000.0 + 0.5)
+                    AS BIGINT) AS sc
         FROM z ORDER BY event_type, ts
         """,
     ),
@@ -1559,10 +1579,13 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
             by event_type
         | extend st = series_stats(n), fl = series_fit_line(n)
         | project event_type, mn = st.min, mni = st.min_idx,
-                  mx = st.max, av = round(st.avg, 4),
-                  sd = round(st.stdev, 4), slope = round(fl.slope, 4),
-                  icpt = round(fl.interception, 4),
-                  rsq = round(fl.rsquare, 4)
+                  mx = st.max,
+                  av = tolong(floor(st.avg * 10000.0 + 0.5)),
+                  sd = tolong(floor(st.stdev * 10000.0 + 0.5)),
+                  slope = tolong(floor(fl.slope * 10000.0 + 0.5)),
+                  icpt = tolong(floor(
+                      fl.interception * 10000.0 + 0.5)),
+                  rsq = tolong(floor(fl.rsquare * 10000.0 + 0.5))
         | sort by event_type asc
         """,
         """
@@ -1586,11 +1609,15 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                min(n) AS mn,
                min(CASE WHEN n = mn_w THEN i END) AS mni,
                max(n) AS mx,
-               round(avg(n), 4) AS av,
-               round(stddev_samp(n), 4) AS sd,
-               round(regr_slope(n, i), 4) AS slope,
-               round(regr_intercept(n, i), 4) AS icpt,
-               round(regr_r2(n, i), 4) AS rsq
+               CAST(floor(avg(n) * 10000.0 + 0.5) AS BIGINT) AS av,
+               CAST(floor(stddev_samp(n) * 10000.0 + 0.5)
+                    AS BIGINT) AS sd,
+               CAST(floor(regr_slope(n, i) * 10000.0 + 0.5)
+                    AS BIGINT) AS slope,
+               CAST(floor(regr_intercept(n, i) * 10000.0 + 0.5)
+                    AS BIGINT) AS icpt,
+               CAST(floor(regr_r2(n, i) * 10000.0 + 0.5)
+                    AS BIGINT) AS rsq
         FROM s GROUP BY event_type ORDER BY event_type
         """,
     ),
@@ -1888,7 +1915,8 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         events
         | evaluate new_activity_metrics(user_id, ts,
             datetime(2024-01-01), datetime(2024-02-01), 7d)
-        | extend retention = round(retention, 6)
+        | extend retention = tolong(floor(
+              retention * 1000000.0 + 0.5))
         | sort by cohort_ts asc, ts asc
         """,
         """
@@ -1912,8 +1940,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
           GROUP BY f.cohort, a.bin)
         SELECT make_timestamp(c.cohort) AS cohort_ts,
                make_timestamp(c.bin) AS ts, c.dcount,
-               round(CAST(c.dcount AS DOUBLE)
-                     / CAST(s.csize AS DOUBLE), 6) AS retention
+               CAST(floor(CAST(c.dcount AS DOUBLE)
+                          / CAST(s.csize AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS retention
         FROM cells c JOIN sizes s ON c.cohort = s.cohort
         ORDER BY cohort_ts, ts
         """,
@@ -2305,13 +2334,14 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         let hot = (src: (*), thr: real) {
             src
             | where value >= thr
-            | summarize n = count(), avg_v = round(avg(value), 2)
+            | summarize n = count(),
+                        avg_v = tolong(floor(avg(value) * 100.0 + 0.5))
                 by event_type };
         events | invoke hot(300.0) | sort by event_type asc
         """,
         """
         SELECT event_type, count(*) AS n,
-               round(avg(value), 2) AS avg_v
+               CAST(floor(avg(value) * 100.0 + 0.5) AS BIGINT) AS avg_v
         FROM events WHERE value >= 300.0
         GROUP BY event_type ORDER BY event_type
         """,
@@ -2404,9 +2434,10 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         | extend f = series_fir(n, pack_array(1, 2, 1)),
                  s = series_seasonal(n, 7)
         | project event_type,
-            fsum = round(series_sum(f), 4),
-            ssum = round(series_sum(s), 4),
-            f2 = round(f[2], 4), s9 = round(s[9], 4)
+            fsum = tolong(floor(series_sum(f) * 10000.0 + 0.5)),
+            ssum = tolong(floor(series_sum(s) * 10000.0 + 0.5)),
+            f2 = tolong(floor(f[2] * 10000.0 + 0.5)),
+            s9 = tolong(floor(s[9] * 10000.0 + 0.5))
         | sort by event_type asc
         """,
         """
@@ -2437,9 +2468,12 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                       FOR i IN range(1, 31)] AS sn
               FROM s)
         SELECT event_type,
-               round(list_sum(f), 4) AS fsum,
-               round(list_sum(sn), 4) AS ssum,
-               round(f[2], 4) AS f2, round(sn[9], 4) AS s9
+               CAST(floor(list_sum(f) * 10000.0 + 0.5)
+                    AS BIGINT) AS fsum,
+               CAST(floor(list_sum(sn) * 10000.0 + 0.5)
+                    AS BIGINT) AS ssum,
+               CAST(floor(f[2] * 10000.0 + 0.5) AS BIGINT) AS f2,
+               CAST(floor(sn[9] * 10000.0 + 0.5) AS BIGINT) AS s9
         FROM x ORDER BY event_type
         """,
     ),
@@ -2832,7 +2866,8 @@ r AS (
          - ln((sc + 0.5) / ((SELECT sum(sc) FROM m) + 0.5 * 10007))
            AS ir
   FROM m)
-SELECT b.doc_id, round(sum(r.ir), 6) AS lw
+SELECT b.doc_id,
+       CAST(floor(sum(r.ir) * 1000000.0 + 0.5) AS BIGINT) AS lw
 FROM b JOIN r ON b.bucket = r.bucket
 GROUP BY b.doc_id ORDER BY b.doc_id
 """
@@ -3390,9 +3425,11 @@ def _q_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     datatable (k: long) [1]
     | extend d = series_fit_2lines(pack_array({vals}))
     | mv-expand with_itemindex = i lf = d.line_fit
-    | project k, rsq = round(d.rsquare, 4), si = d.split_idx,
-              v = round(d.variance, 4), rv = round(d.rvariance, 4),
-              i, lf = round(lf, 4)
+    | project k, rsq = tolong(floor(d.rsquare * 10000.0 + 0.5)),
+              si = d.split_idx,
+              v = tolong(floor(d.variance * 10000.0 + 0.5)),
+              rv = tolong(floor(d.rvariance * 10000.0 + 0.5)),
+              i, lf = tolong(floor(lf * 10000.0 + 0.5))
     | sort by i asc
     """
     return PqlEngine(spark, resolver=_cat(spark, sf_dir)).query(q)
@@ -3421,14 +3458,19 @@ def _fit2_oracle() -> str:
     fit = list(ic1 + sl1 * np.arange(k)) + list(
         ic2 + sl2 * np.arange(n - k)
     )
-    rsq = round(1 - ssr / sstot, 4)
-    v = round(sstot / (n - 1), 4)
-    rv = round(ssr / (n - 1), 4)
+    def iscale(x: float) -> int:
+        # identical integer-scaling formula as the Spark query —
+        # floor(x * 1e4 + 0.5) round-half-up (driver-hash robust)
+        return int(math.floor(float(x) * 10000.0 + 0.5))
+
+    rsq = iscale(1 - ssr / sstot)
+    v = iscale(sstot / (n - 1))
+    rv = iscale(ssr / (n - 1))
     rows = ", ".join(
-        f"(CAST(1 AS BIGINT), CAST({rsq!r} AS DOUBLE),"
-        f" CAST({k} AS BIGINT), CAST({v!r} AS DOUBLE),"
-        f" CAST({rv!r} AS DOUBLE), CAST({i} AS INT),"
-        f" CAST({round(float(f), 4)!r} AS DOUBLE))"
+        f"(CAST(1 AS BIGINT), CAST({rsq} AS BIGINT),"
+        f" CAST({k} AS BIGINT), CAST({v} AS BIGINT),"
+        f" CAST({rv} AS BIGINT), CAST({i} AS INT),"
+        f" CAST({iscale(float(f))} AS BIGINT))"
         for i, f in enumerate(fit)
     )
     return (
@@ -3838,7 +3880,10 @@ def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = docs.filter(F.col("source") == "src0")
     w = importance_weights(docs, tgt, gram_n=2)
     return w.select(
-        "doc_id", F.round("log_weight", 6).alias("lw")
+        "doc_id",
+        F.floor(F.col("log_weight") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("lw"),
     ).orderBy("doc_id")
 
 
@@ -4013,36 +4058,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-3 rotation: every query never hash-checked in rounds 1-2
-    # goes FIRST (VERDICT r2 item 1) …
-    "pql_string_fns", "pql_datetime_fns", "pql_case_fn",
-    "pql_percentiles", "pql_bag_unpack", "pql_tabular_let",
-    "pql_scan_funnel", "pql_sample_distinct", "pql_series_outliers",
-    "pql_let_fn", "pql_events_daily",
-    "op_fingerprint", "op_repetition", "op_decontaminate",
-    "op_redact_pii", "op_chunk_documents", "op_pack_sequences",
-    "op_quantize_embeddings", "op_quantized_topk", "op_lsh_topk",
-    "op_ivf_topk", "op_knn_grouped", "op_multimodal_features",
-    "op_stream_sessionize", "op_stream_stateful",
-    "op_stream_interval_join", "op_stream_dedup",
-    "op_winnow_fingerprints", "op_sampling_split", "op_curate_corpus",
-    # … then every round-3 addition (all with fresh local-oracle
-    # evidence, none driver-hashed yet) …
-    "pql_facet_counts", "pql_facet_main", "pql_fork_hot",
-    "pql_fork_daily", "pql_series_decompose",
-    "pql_series_decompose_anomalies", "op_stream_sink_upsert",
-    "op_multimodal_decode", "pql_series_stats_fit", "pql_union_inner",
-    "pql_mv_itemindex", "pql_binary_fns", "op_stream_near_dup",
-    "pql_series_fit_2lines", "pql_ipv4_fns", "pql_array_set_fns",
-    "pql_narrow", "pql_top_nested_others",
-    # … and two of this session's operator additions (the remaining
-    # round-3b queries — pql_scalar_fns2, pql_series_vector,
-    # pql_find_op, pql_reduce_op, pql_invoke_op, pql_series_fir,
-    # pql_series_periods, pql_approx_topk, op_multimodal_audio,
-    # op_dedup_clusters — rotate into the round-4 window; the two
-    # former anchors pql_q1_pricing / op_minhash_dups already carry
-    # r1+r2 driver hashes)
-    "pql_sequence_detect", "pql_autocluster",
+    # Round-4 rotation (VERDICT r3 items 1-2): the 36 queries never
+    # hash-checked in rounds 1-3 go FIRST — after this window, every
+    # query in the suite carries driver-hash evidence from some round…
+    "pql_series_decompose_anomalies",  # r3's one red row, now
+    # integer-scaled (floor(x*1e4 + 0.5) in query AND twin) so the
+    # hash no longer rides on cross-engine float-rounding ties
+    "pql_parse_kv", "pql_series_fns", "pql_weighted_aggs",
+    "pql_url_fns", "pql_ipv6_fns", "pql_timespan_lit",
+    "pql_scan_declare", "pql_series_forecast", "pql_ipv4_lookup",
+    "pql_sliding_window_counts", "pql_activity_metrics",
+    "pql_graph_match", "pql_new_activity", "pql_funnel_sequence",
+    "pql_session_count", "pql_rolling_percentile", "pql_rows_near",
+    "pql_scalar_fns2", "pql_series_vector", "pql_find_op",
+    "pql_reduce_op", "pql_invoke_op", "pql_series_fft",
+    "pql_series_fir", "pql_series_periods", "pql_approx_topk",
+    "op_dedup_clusters", "op_semantic_dedup", "op_multimodal_audio",
+    "op_stream_sequence_detect", "op_mix_corpora",
+    "op_importance_weights", "op_unimax_mix", "op_lm_score",
+    "op_line_dedup",
+    # … then the four float-emitting queries whose r3-green form was
+    # rewritten to integer scaling this round (fresh hash needed) …
+    "pql_series_stats_fit", "pql_series_fit_2lines",
+    "pql_series_decompose", "pql_series_outliers",
+    # … then this round's additions (gated for the first time),
+    # appended as each lands: pql_ipv6_lookup, op_near_dup_incremental,
+    # op_curate_stream, op_knn_skew
 ]
 
 
