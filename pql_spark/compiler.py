@@ -1921,6 +1921,17 @@ class Compiler:
 
         from pyspark.sql import types as T
 
+        # declared-var rebuild dtypes: Spark integral/boolean types map
+        # to pandas NULLABLE extension arrays so a NULL assignment value
+        # survives the float64+NaN Arrow representation (see run_group)
+        _SCAN_NULLABLE_DTYPES = {
+            T.ByteType: "Int8",
+            T.ShortType: "Int16",
+            T.IntegerType: "Int32",
+            T.LongType: "Int64",
+            T.BooleanType: "boolean",
+        }
+
         if not op.order:
             if self._last_sort is None:
                 raise ParseError(
@@ -2085,15 +2096,30 @@ class Compiler:
             import numpy as np
 
             for j, v in enumerate(var_names):
-                # snapshot values all came from numpy arrays of the
-                # SAME dtype (init + assignments share one cast Spark
-                # type), so rebuild with that dtype — an object column
-                # would hand Arrow pandas-boxed scalars it rejects
-                # (e.g. Timestamp for a datetime64 field)
-                res[v] = pd.Series(
-                    np.asarray(out_vars[j], dtype=init_vals[j].dtype),
-                    index=res.index,
-                )
+                # init + assignments share one cast Spark type, but
+                # their PANDAS dtypes can differ: an integral Arrow
+                # column containing nulls arrives as float64+NaN, so a
+                # NULL assignment captured on a matched row must not be
+                # forced through np.asarray(dtype=int64) (crash) nor
+                # truncated.  Rebuild against the declared Spark type:
+                # nullable pandas extension arrays for integral/bool
+                # (NaN → <NA>, integral floats cast losslessly), numpy
+                # for float/datetime, object otherwise — an object
+                # column only where Arrow accepts it (strings etc.).
+                nullable = _SCAN_NULLABLE_DTYPES.get(type(vtypes[j]))
+                if nullable is not None:
+                    res[v] = pd.array(out_vars[j], dtype=nullable)
+                elif isinstance(
+                    vtypes[j], (T.FloatType, T.DoubleType)
+                ) or str(init_vals[j].dtype).startswith("datetime64"):
+                    res[v] = pd.Series(
+                        np.asarray(out_vars[j], dtype=init_vals[j].dtype),
+                        index=res.index,
+                    )
+                else:
+                    res[v] = pd.Series(
+                        out_vars[j], index=res.index, dtype="object"
+                    )
             return res
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -109,3 +109,50 @@ def test_scan_declare_errors(engine):
             "E | scan by uid order by t asc declare (amount = 0.0)"
             ' with (step s: e == "x")'
         )
+
+
+def test_declare_long_var_null_assignment(spark):
+    # ADVICE r3: a LongType assignment column containing nulls arrives
+    # from Arrow as float64+NaN; capturing a NULL on a matched row must
+    # yield a NULL long (not crash on NaN→int64, not truncate)
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 7), (1, 2, "b", None),
+            (2, 1, "a", None), (2, 2, "b", 5),
+        ],
+        "uid long, t long, e string, v long",
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    out = eng.query(
+        """E | scan by uid order by t asc
+             declare (cap = tolong(0))
+             with (step s1: e == "a" => cap = v;
+                   step s2: e == "b" => cap = v;)
+           | project uid, step, cap"""
+    )
+    assert dict(out.dtypes)["cap"] == "bigint"
+    rows = sorted(
+        ((r.uid, r.step, r.cap) for r in out.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    assert rows == [
+        (1, "s1", 7), (1, "s2", None),
+        (2, "s1", None), (2, "s2", 5),
+    ]
+
+
+def test_declare_bool_and_string_null_assignment(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a", True, "x"), (1, 2, "b", None, None)],
+        "uid long, t long, e string, f boolean, s string",
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    out = eng.query(
+        """E | scan by uid order by t asc
+             declare (fb = tobool(true), sv = "")
+             with (step s1: e == "a" => fb = f, sv = s;
+                   step s2: e == "b" => fb = f, sv = s;)
+           | project step, fb, sv"""
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [("s1", True, "x"), ("s2", None, None)]
