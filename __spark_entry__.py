@@ -1582,10 +1582,13 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                   mx = st.max,
                   av = tolong(floor(st.avg * 10000.0 + 0.5)),
                   sd = tolong(floor(st.stdev * 10000.0 + 0.5)),
-                  slope = tolong(floor(fl.slope * 10000.0 + 0.5)),
-                  icpt = tolong(floor(
-                      fl.interception * 10000.0 + 0.5)),
-                  rsq = tolong(floor(fl.rsquare * 10000.0 + 0.5))
+                  slope = tolong(floor(iff(isfinite(fl.slope),
+                      fl.slope, todouble(null)) * 10000.0 + 0.5)),
+                  icpt = tolong(floor(iff(isfinite(fl.interception),
+                      fl.interception, todouble(null))
+                      * 10000.0 + 0.5)),
+                  rsq = tolong(floor(iff(isfinite(fl.rsquare),
+                      fl.rsquare, todouble(null)) * 10000.0 + 0.5))
         | sort by event_type asc
         """,
         """
@@ -1612,12 +1615,15 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
                CAST(floor(avg(n) * 10000.0 + 0.5) AS BIGINT) AS av,
                CAST(floor(stddev_samp(n) * 10000.0 + 0.5)
                     AS BIGINT) AS sd,
-               CAST(floor(regr_slope(n, i) * 10000.0 + 0.5)
-                    AS BIGINT) AS slope,
-               CAST(floor(regr_intercept(n, i) * 10000.0 + 0.5)
-                    AS BIGINT) AS icpt,
-               CAST(floor(regr_r2(n, i) * 10000.0 + 0.5)
-                    AS BIGINT) AS rsq
+               CAST(floor((CASE WHEN isfinite(regr_slope(n, i))
+                                THEN regr_slope(n, i) END)
+                          * 10000.0 + 0.5) AS BIGINT) AS slope,
+               CAST(floor((CASE WHEN isfinite(regr_intercept(n, i))
+                                THEN regr_intercept(n, i) END)
+                          * 10000.0 + 0.5) AS BIGINT) AS icpt,
+               CAST(floor((CASE WHEN isfinite(regr_r2(n, i))
+                                THEN regr_r2(n, i) END)
+                          * 10000.0 + 0.5) AS BIGINT) AS rsq
         FROM s GROUP BY event_type ORDER BY event_type
         """,
     ),
@@ -1803,6 +1809,37 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY net_name ORDER BY net_name
         """,
     ),
+    # EXTENSION `evaluate ipv6_lookup` (KQL plugin): 128-bit CIDR
+    # membership join over the 32-nibble hex canon — same broadcast
+    # (prefix, masked-key) equi-join shape as ipv4_lookup.  The fact
+    # ips are synthesized so membership is arithmetically decidable;
+    # the oracle twins each network's condition directly in DuckDB.
+    "pql_ipv6_lookup": (
+        """
+        let nets = datatable (cidr: string, net_name: string) [
+            "2001:db8::/32", "doc", "2001:db8:0::/48", "site0",
+            "2001:db8:1::/48", "site1", "2001:db8:2::1", "host",
+            "bad/999", "junk"
+        ];
+        events
+        | extend ip = strcat("2001:db8:", tostring(user_id % 4), "::",
+                             tostring((user_id % 7) + 1))
+        | evaluate ipv6_lookup(nets, ip, cidr)
+        | summarize hits = count() by net_name
+        | sort by net_name asc
+        """,
+        """
+        WITH e AS (SELECT user_id % 4 AS x, (user_id % 7) + 1 AS y
+                   FROM events),
+        u AS (
+          SELECT 'doc' AS net_name, count(*) AS hits FROM e
+          UNION ALL SELECT 'site0', count(*) FROM e WHERE x = 0
+          UNION ALL SELECT 'site1', count(*) FROM e WHERE x = 1
+          UNION ALL SELECT 'host', count(*) FROM e
+            WHERE x = 2 AND y = 1)
+        SELECT net_name, hits FROM u WHERE hits > 0 ORDER BY net_name
+        """,
+    ),
     # EXTENSION `evaluate sliding_window_counts` (KQL plugin): rolling
     # count + distinct-count per bin over a trailing lookback — each
     # row explodes to its ≤ lookback/bin bins, ONE groupBy; the oracle
@@ -1873,9 +1910,9 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
           SELECT bin, count(*) AS new_dcount FROM firsts GROUP BY bin)
         SELECT make_timestamp(p.bin) AS ts, p.count_, p.dcount,
                coalesce(n.new_dcount, 0) AS new_dcount,
-               sum(coalesce(n.new_dcount, 0)) OVER (
+               CAST(sum(coalesce(n.new_dcount, 0)) OVER (
                  ORDER BY p.bin ROWS BETWEEN UNBOUNDED PRECEDING
-                 AND CURRENT ROW) AS aggregated_dcount
+                 AND CURRENT ROW) AS BIGINT) AS aggregated_dcount
         FROM per_bin p LEFT JOIN new_bin n ON p.bin = n.bin
         ORDER BY ts
         """,

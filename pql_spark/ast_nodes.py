@@ -621,12 +621,19 @@ class Ipv4LookupOp(Op):
     the lookup (≤ 33), so there is no nested-loop range probe and the
     fact table never shuffles.  Rows matching several networks return
     one row per match; ``return_unmatched`` appends non-matching rows
-    with null lookup columns."""
+    with null lookup columns.
+
+    ``v6`` selects ``evaluate ipv6_lookup`` (KQL ipv6_lookup plugin):
+    identical join shape over the 32-nibble lowercase-hex canonical
+    form (lexicographic order == numeric order), prefixes 0..128
+    (≤ 129 distinct), mixed v4-notation ranges mapped at bit offset
+    96 like ``ipv6_is_in_range``."""
 
     right: "TabularExpr"
     ip_col: Ident
     range_col: Ident
     return_unmatched: bool
+    v6: bool = False
 
 
 @dataclass

@@ -1621,44 +1621,63 @@ class Compiler:
         )
 
     def _ipv4_lookup(self, left: DataFrame, op: Ipv4LookupOp) -> DataFrame:
-        """``evaluate ipv4_lookup(Lookup, IpCol, RangeCol
-        [, return_unmatched])`` (KQL ipv4_lookup plugin): CIDR-network
-        membership join.
+        """``evaluate ipv4_lookup / ipv6_lookup(Lookup, IpCol, RangeCol
+        [, return_unmatched])`` (KQL ipv4_lookup/ipv6_lookup plugins):
+        CIDR-network membership join.
 
         Scale shape: the lookup table (threat-intel / geo CIDR lists)
         is BROADCAST; each fact row is expanded once per DISTINCT
-        prefix length present in the lookup (≤ 33, typically a
-        handful) and matched with a hash equi-join on (prefix-length,
-        right-shifted ip) — no nested-loop range probe, no shuffle of
-        the fact table.  Invalid CIDRs in the lookup and unparsable
-        ips match nothing; rows matching several networks return one
-        row per match."""
-        from .functions import ipv4_long, ipv4_masked
+        prefix length present in the lookup (≤ 33 for v4, ≤ 129 for
+        v6, typically a handful) and matched with a hash equi-join on
+        (prefix-length, masked ip) — no nested-loop range probe, no
+        shuffle of the fact table.  Invalid CIDRs in the lookup and
+        unparsable ips match nothing; rows matching several networks
+        return one row per match.  The v6 key is the 32-nibble
+        lowercase-hex canonical form (``functions._ipv6_hex32``);
+        mixed v4-notation ranges map at bit offset 96 like
+        ``ipv6_is_in_range``."""
+        from .functions import (
+            _ipv6_hex32,
+            _ipv6_mask_hex,
+            _range_prefix6,
+            _slash_addr,
+            ipv4_long,
+            ipv4_masked,
+        )
 
+        pname = "ipv6_lookup" if op.v6 else "ipv4_lookup"
         right = self.compile_tabular(op.right)
         ip_name = op.ip_col.parts[0]
         if ip_name not in left.columns:
             raise ParseError(
-                f"ipv4_lookup: unknown source ip column {ip_name!r}",
+                f"{pname}: unknown source ip column {ip_name!r}",
                 op.ip_col.span,
             )
         range_name = op.range_col.parts[0]
         if range_name not in right.columns:
             raise ParseError(
-                f"ipv4_lookup: unknown ip-range column {range_name!r}"
+                f"{pname}: unknown ip-range column {range_name!r}"
                 " in the lookup table",
                 op.range_col.span,
             )
         P, RKEY, LKEY = "__pql_ip_pfx", "__pql_ip_rkey", "__pql_ip_lkey"
         LID = "__pql_ip_lid"
-        rng = F.split(F.col(_q(range_name)), "/")
-        base = ipv4_long(F.try_element_at(rng, F.lit(1)))
-        prefix = F.coalesce(
-            F.try_element_at(rng, F.lit(2)).try_cast("long"), F.lit(32)
-        )
+        if op.v6:
+            rc = F.col(_q(range_name))
+            base = _ipv6_hex32(_slash_addr(rc))
+            prefix = _range_prefix6(rc)
+            parse_ip, mask_ip = _ipv6_hex32, _ipv6_mask_hex
+        else:
+            rng = F.split(F.col(_q(range_name)), "/")
+            base = ipv4_long(F.try_element_at(rng, F.lit(1)))
+            prefix = F.coalesce(
+                F.try_element_at(rng, F.lit(2)).try_cast("long"),
+                F.lit(32),
+            )
+            parse_ip, mask_ip = ipv4_long, ipv4_masked
         parsed = (
             right.withColumn(P, prefix)
-            .withColumn(RKEY, ipv4_masked(base, F.col(P)))
+            .withColumn(RKEY, mask_ip(base, F.col(P)))
             .filter(F.col(RKEY).isNotNull())
         )
         src = left
@@ -1669,12 +1688,13 @@ class Compiler:
             src = left.withColumn(
                 LID, F.monotonically_increasing_id()
             ).localCheckpoint()
-        # distinct prefix lengths live in 0..32 by the validity filter —
-        # a BOUNDED driver collect (same compile-time-action shape as
-        # pivot key discovery), which lets the fact side build all its
-        # (prefix, shifted-key) pairs in ONE pass: the ip parse runs
-        # once per row inside a let-binding lambda instead of once per
-        # (row × prefix) through a cross-join (measured 2.6× at sf1)
+        # distinct prefix lengths live in 0..32 (v4) / 0..128 (v6) by
+        # the validity filter — a BOUNDED driver collect (same
+        # compile-time-action shape as pivot key discovery), which lets
+        # the fact side build all its (prefix, masked-key) pairs in ONE
+        # pass: the ip parse runs once per row inside a let-binding
+        # lambda instead of once per (row × prefix) through a
+        # cross-join (measured 2.6× at sf1)
         pfx_vals = sorted(
             r[0] for r in parsed.select(P).distinct().collect()
         )
@@ -1689,11 +1709,11 @@ class Compiler:
         else:  # no valid CIDR in the lookup → nothing can match
             pfx_arr = F.array().cast("array<bigint>")
         pairs = pf._let_bind(
-            ipv4_long(F.col(_q(ip_name))),
+            parse_ip(F.col(_q(ip_name))),
             lambda ipl: F.transform(
                 pfx_arr,
                 lambda p: F.struct(
-                    p.alias("p"), ipv4_masked(ipl, p).alias("k")
+                    p.alias("p"), mask_ip(ipl, p).alias("k")
                 ),
             ),
         )

@@ -2380,12 +2380,13 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             after=after,
             span=Span(kw.span.start, rp.span.end),
         )
-    if plugin.value == "ipv4_lookup":
+    if plugin.value in ("ipv4_lookup", "ipv6_lookup"):
+        pname = plugin.value
         p.expect(TokenKind.LPAREN, "'('")
         lt = p.take()
         if lt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
             raise ParseError(
-                "ipv4_lookup: expected the lookup table name", lt.span
+                f"{pname}: expected the lookup table name", lt.span
             )
         right = TabularExpr(
             source=TableRef(
@@ -2401,7 +2402,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             p.expect(TokenKind.COMMA, "','")
             t = p.take()
             if t.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
-                raise ParseError(f"ipv4_lookup: expected {what}", t.span)
+                raise ParseError(f"{pname}: expected {what}", t.span)
             return Ident(
                 parts=[t.value],
                 quoted=[t.kind is TokenKind.QIDENT],
@@ -2417,7 +2418,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 return_unmatched = True
             else:
                 raise ParseError(
-                    "ipv4_lookup: expected 'return_unmatched'", t.span
+                    f"{pname}: expected 'return_unmatched'", t.span
                 )
         rp = p.expect(TokenKind.RPAREN, "')'")
         return Ipv4LookupOp(
@@ -2425,6 +2426,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             ip_col=ip_col,
             range_col=range_col,
             return_unmatched=return_unmatched,
+            v6=pname == "ipv6_lookup",
             span=Span(kw.span.start, rp.span.end),
         )
     if plugin.value in ("autocluster", "basket"):
@@ -2522,6 +2524,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
             " sequence_detect, autocluster, basket, ipv4_lookup,"
+            " ipv6_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"
             " activity_counts_metrics, session_count,"
             " new_activity_metrics, funnel_sequence)",

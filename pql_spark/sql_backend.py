@@ -188,6 +188,153 @@ def _lit(value: object) -> str:
     raise TypeError(f"cannot bind parameter of type {type(value).__name__}")
 
 
+# ------------------------------------------------------ IP SQL helpers
+# Text twins of functions._ipv6_family — same 32-nibble lowercase-hex
+# algebra and let-binding shape.  Shared by the scalar ip function
+# family and emit_ipv4_lookup's ipv6_lookup branch.
+
+
+def _sql_ip_long(c: str) -> str:
+    octs = [
+        f"TRY_CAST(try_element_at(split({c}, '\\\\.'),"
+        f" {i + 1}) AS BIGINT)"
+        for i in range(4)
+    ]
+    valid = f"size(split({c}, '\\\\.')) = 4" + "".join(
+        f" AND {o} BETWEEN 0 AND 255" for o in octs
+    )
+    val = (
+        f"((({octs[0]} * 256 + {octs[1]}) * 256 +"
+        f" {octs[2]}) * 256 + {octs[3]})"
+    )
+    return f"(CASE WHEN {valid} THEN {val} END)"
+
+
+def _sql_let(val: str, var: str, body: str) -> str:
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _sql_hex32(sx: str) -> str:
+    s = "__i6s"
+    v4re = "'^[0-9]{1,3}(\\\\.[0-9]{1,3}){3}$'"
+    v4hex = (
+        "concat('00000000000000000000ffff',"
+        f" lpad(lower(hex({_sql_ip_long(s)})), 8, '0'))"
+    )
+    tv = "__i6tv"
+    folded = _sql_let(
+        _sql_ip_long(f"substring_index({s}, ':', -1)"),
+        tv,
+        f"concat(regexp_replace({s}, '[^:]*$', ''),"
+        f" lpad(lower(hex(CAST({tv} / 65536 AS BIGINT))),"
+        " 4, '0'), ':',"
+        f" lpad(lower(hex(pmod({tv}, 65536))), 4, '0'))",
+    )
+    s1 = (
+        f"(CASE WHEN instr({s}, '.') > 0 THEN {folded}"
+        f" ELSE {s} END)"
+    )
+    x, t, lr, g = "__i6x", "__i6t", "__i6lr", "__i6g"
+
+    # empty SIDE of '::' → zero groups; empty group INSIDE
+    # a side must stay and fail the per-group regex
+    def sidearr(sx2: str) -> str:
+        return (
+            f"(CASE WHEN {sx2} = '' THEN"
+            " CAST(array() AS ARRAY<STRING>)"
+            f" ELSE split({sx2}, ':', -1) END)"
+        )
+
+    left = sidearr(f"element_at({t}, 1)")
+    right = sidearr(f"coalesce(try_element_at({t}, 2), '')")
+    mid = f"(8 - size({lr}.l) - size({lr}.r))"
+    groups = (
+        f"(CASE WHEN size({t}) = 2 AND {mid} >= 1 THEN"
+        f" concat({lr}.l, array_repeat('0',"
+        f" CAST({mid} AS INT)), {lr}.r)"
+        f" WHEN size({t}) != 2 THEN split({x}, ':', -1)"
+        " END)"
+    )
+    ok = (
+        f"(size({g}) = 8 AND forall({g},"
+        + " __e -> __e rlike '^[0-9a-f]{1,4}$'))"
+    )
+    hx = f"array_join(transform({g}, __e -> lpad(__e, 4, '0')), '')"
+    v6 = _sql_let(
+        f"split({x}, '::', -1)",
+        t,
+        _sql_let(
+            f"named_struct('l', {left}, 'r', {right})",
+            lr,
+            _sql_let(groups, g, f"(CASE WHEN {ok} THEN {hx} END)"),
+        ),
+    )
+    body = (
+        f"(CASE WHEN rlike({s}, {v4re}) THEN {v4hex}"
+        f" WHEN NOT rlike({s}, {v4re}) THEN"
+        f" {_sql_let(s1, x, v6)} END)"
+    )
+    return _sql_let(f"lower(trim({sx}))", s, body)
+
+
+def _sql_mask6(hx: str, prefix: str) -> str:
+    m, i = "__i6m", "__i6i"
+    kept = f"greatest(least({m}.p - 4 * {i}, 4), 0)"
+    scale = f"power(2.0D, CAST(4 - {kept} AS DOUBLE))"
+    nib = (
+        "lower(conv(CAST(CAST(floor("
+        f"conv(substring({m}.h, {i} + 1, 1), 16, 10)"
+        f" / {scale}) * {scale} AS INT) AS STRING),"
+        " 10, 16))"
+    )
+    body = (
+        f"(CASE WHEN {m}.p BETWEEN 0 AND 128"
+        f" AND {m}.h IS NOT NULL THEN"
+        f" array_join(transform(sequence(0, 31),"
+        f" {i} -> {nib}), '') END)"
+    )
+    return _sql_let(f"named_struct('h', {hx}, 'p', {prefix})", m, body)
+
+
+def _sql_colons(hx: str) -> str:
+    h = "__i6h"
+    parts = ", ".join(
+        f"substring({h}, {g * 4 + 1}, 4)" for g in range(8)
+    )
+    return _sql_let(
+        hx,
+        h,
+        f"(CASE WHEN {h} IS NOT NULL THEN"
+        f" concat_ws(':', {parts}) END)",
+    )
+
+
+def _sql_slash_addr(c: str) -> str:
+    return f"element_at(split({c}, '/', -1), 1)"
+
+
+def _sql_slash_prefix(c: str, d: int) -> str:
+    return (
+        f"coalesce(TRY_CAST(try_element_at(split({c}, '/',"
+        f" -1), 2) AS BIGINT), {d})"
+    )
+
+
+def _sql_range_prefix6(c: str) -> str:
+    # v4-notation ranges apply the prefix to the v4 part of
+    # the ::ffff-mapped form (bit offset 96), default /32
+    suf = (
+        f"TRY_CAST(try_element_at(split({c}, '/', -1), 2)"
+        " AS BIGINT)"
+    )
+    v4re = "'^[0-9]{1,3}(\\\\.[0-9]{1,3}){3}$'"
+    return (
+        f"(CASE WHEN rlike({_sql_slash_addr(c)}, {v4re}) THEN"
+        f" 96 + least(coalesce({suf}, 32), 32)"
+        f" ELSE coalesce({suf}, 128) END)"
+    )
+
+
 class _SqlEmitter:
     def __init__(
         self,
@@ -1422,14 +1569,18 @@ class _SqlEmitter:
     def emit_ipv4_lookup(
         self, op: Ipv4LookupOp, left_sql: str, left_cols: list[str]
     ) -> tuple[str, list[str]]:
-        """SQL twin of ``evaluate ipv4_lookup``: broadcast the parsed
-        lookup, CROSS JOIN the (≤33-row) distinct-prefix set, hash
-        equi-join on (prefix, right-shifted ip).  The DataFrame-only
+        """SQL twin of ``evaluate ipv4_lookup`` / ``ipv6_lookup``:
+        broadcast the parsed lookup, CROSS JOIN the (≤33-row v4 /
+        ≤129-row v6) distinct-prefix set, hash equi-join on (prefix,
+        masked ip).  The v6 branch pre-computes the fact side's
+        32-nibble hex canon ONCE in a subquery so the parse doesn't
+        re-run per (row × prefix).  The DataFrame-only
         ``return_unmatched`` flag is rejected (it needs generated row
         identity)."""
+        pname = "ipv6_lookup" if op.v6 else "ipv4_lookup"
         if op.return_unmatched:
             raise ParseError(
-                "ipv4_lookup: return_unmatched is only supported on"
+                f"{pname}: return_unmatched is only supported on"
                 " the DataFrame backend",
                 op.span,
             )
@@ -1437,33 +1588,18 @@ class _SqlEmitter:
         ip_name = op.ip_col.parts[0]
         if ip_name not in left_cols:
             raise ParseError(
-                f"ipv4_lookup: unknown source ip column {ip_name!r}",
+                f"{pname}: unknown source ip column {ip_name!r}",
                 op.ip_col.span,
             )
         range_name = op.range_col.parts[0]
         if range_name not in right_cols:
             raise ParseError(
-                f"ipv4_lookup: unknown ip-range column {range_name!r}"
+                f"{pname}: unknown ip-range column {range_name!r}"
                 " in the lookup table",
                 op.range_col.span,
             )
 
-        def ip_long(c: str) -> str:
-            octs = [
-                f"TRY_CAST(try_element_at(split({c}, '\\\\.'),"
-                f" {i + 1}) AS BIGINT)"
-                for i in range(4)
-            ]
-            valid = f"size(split({c}, '\\\\.')) = 4" + "".join(
-                f" AND {o} BETWEEN 0 AND 255" for o in octs
-            )
-            val = (
-                f"((({octs[0]} * 256 + {octs[1]}) * 256 +"
-                f" {octs[2]}) * 256 + {octs[3]})"
-            )
-            return f"(CASE WHEN {valid} THEN {val} END)"
-
-        def masked(v: str, prefix: str) -> str:
+        def masked4(v: str, prefix: str) -> str:
             return (
                 f"(CASE WHEN ({prefix}) BETWEEN 0 AND 32 THEN"
                 f" CAST(floor({v} / power(2.0D, 32 - ({prefix})))"
@@ -1471,14 +1607,22 @@ class _SqlEmitter:
             )
 
         P, RKEY = "__pql_ip_pfx", "__pql_ip_rkey"
-        rng = f"split({_q(range_name)}, '/')"
-        base = ip_long(f"try_element_at({rng}, 1)")
-        pfx = (
-            f"COALESCE(TRY_CAST(try_element_at({rng}, 2) AS BIGINT), 32)"
-        )
+        CANON = "__pql_ip_canon"
+        if op.v6:
+            base = _sql_hex32(_sql_slash_addr(_q(range_name)))
+            pfx = _sql_range_prefix6(_q(range_name))
+            rmask = _sql_mask6(base, pfx)
+        else:
+            rng = f"split({_q(range_name)}, '/')"
+            base = _sql_ip_long(f"try_element_at({rng}, 1)")
+            pfx = (
+                f"COALESCE(TRY_CAST(try_element_at({rng}, 2)"
+                " AS BIGINT), 32)"
+            )
+            rmask = masked4(base, pfx)
         parsed = (
             f"SELECT * FROM (SELECT *, {pfx} AS {_q(P)},"
-            f" {masked(base, pfx)} AS {_q(RKEY)} FROM ({right_sql})"
+            f" {rmask} AS {_q(RKEY)} FROM ({right_sql})"
             f" AS {_q('__pql_ipt')}) AS {_q('__pql_ipp')}"
             f" WHERE {_q(RKEY)} IS NOT NULL"
         )
@@ -1490,10 +1634,24 @@ class _SqlEmitter:
             name = f"$right.{c}" if c in left_cols else c
             out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
             out_names.append(name)
-        lkey = masked(ip_long(f"{_q('$left')}.{_q(ip_name)}"), f"{_q('$p')}.{_q(P)}")
+        if op.v6:
+            # fact-side canon computed once per row, masked per prefix
+            left_src = (
+                f"(SELECT *, {_sql_hex32(_q(ip_name))} AS {_q(CANON)}"
+                f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
+            )
+            lkey = _sql_mask6(
+                f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
+            )
+        else:
+            left_src = f"({left_sql})"
+            lkey = masked4(
+                _sql_ip_long(f"{_q('$left')}.{_q(ip_name)}"),
+                f"{_q('$p')}.{_q(P)}",
+            )
         sql = (
             f"SELECT /*+ BROADCAST({_q('$right')}) */ {', '.join(out_items)}"
-            f" FROM ({left_sql}) AS {_q('$left')}"
+            f" FROM {left_src} AS {_q('$left')}"
             f" CROSS JOIN (SELECT DISTINCT {_q(P)} FROM ({parsed})"
             f" AS {_q('__pql_ipd')}) AS {_q('$p')}"
             f" JOIN ({parsed}) AS {_q('$right')}"
@@ -2939,153 +3097,17 @@ class _SqlEmitter:
             "ipv6_is_match", "ipv6_is_in_range", "ipv6_is_in_any_range",
             "ipv4_is_match", "ipv4_is_in_any_range",
         ):
-            # text twins of functions._ipv6_family — same 32-nibble
-            # lowercase-hex algebra, same let-binding shape
-            def ip_long(c: str) -> str:
-                octs = [
-                    f"TRY_CAST(try_element_at(split({c}, '\\\\.'),"
-                    f" {i + 1}) AS BIGINT)"
-                    for i in range(4)
-                ]
-                valid = f"size(split({c}, '\\\\.')) = 4" + "".join(
-                    f" AND {o} BETWEEN 0 AND 255" for o in octs
-                )
-                val = (
-                    f"((({octs[0]} * 256 + {octs[1]}) * 256 +"
-                    f" {octs[2]}) * 256 + {octs[3]})"
-                )
-                return f"(CASE WHEN {valid} THEN {val} END)"
-
-            def let(val: str, var: str, body: str) -> str:
-                return (
-                    f"element_at(transform(array({val}),"
-                    f" {var} -> {body}), 1)"
-                )
-
-            def hex32(sx: str) -> str:
-                s = "__i6s"
-                v4re = "'^[0-9]{1,3}(\\\\.[0-9]{1,3}){3}$'"
-                v4hex = (
-                    "concat('00000000000000000000ffff',"
-                    f" lpad(lower(hex({ip_long(s)})), 8, '0'))"
-                )
-                tv = "__i6tv"
-                folded = let(
-                    ip_long(f"substring_index({s}, ':', -1)"),
-                    tv,
-                    f"concat(regexp_replace({s}, '[^:]*$', ''),"
-                    f" lpad(lower(hex(CAST({tv} / 65536 AS BIGINT))),"
-                    " 4, '0'), ':',"
-                    f" lpad(lower(hex(pmod({tv}, 65536))), 4, '0'))",
-                )
-                s1 = (
-                    f"(CASE WHEN instr({s}, '.') > 0 THEN {folded}"
-                    f" ELSE {s} END)"
-                )
-                x, t, lr, g = "__i6x", "__i6t", "__i6lr", "__i6g"
-
-                # empty SIDE of '::' → zero groups; empty group INSIDE
-                # a side must stay and fail the per-group regex
-                def sidearr(sx: str) -> str:
-                    return (
-                        f"(CASE WHEN {sx} = '' THEN"
-                        " CAST(array() AS ARRAY<STRING>)"
-                        f" ELSE split({sx}, ':', -1) END)"
-                    )
-
-                left = sidearr(f"element_at({t}, 1)")
-                right = sidearr(f"coalesce(try_element_at({t}, 2), '')")
-                mid = f"(8 - size({lr}.l) - size({lr}.r))"
-                groups = (
-                    f"(CASE WHEN size({t}) = 2 AND {mid} >= 1 THEN"
-                    f" concat({lr}.l, array_repeat('0',"
-                    f" CAST({mid} AS INT)), {lr}.r)"
-                    f" WHEN size({t}) != 2 THEN split({x}, ':', -1)"
-                    " END)"
-                )
-                ok = (
-                    f"(size({g}) = 8 AND forall({g},"
-                    + " __e -> __e rlike '^[0-9a-f]{1,4}$'))"
-                )
-                hx = (
-                    f"array_join(transform({g},"
-                    " __e -> lpad(__e, 4, '0')), '')"
-                )
-                v6 = let(
-                    f"split({x}, '::', -1)",
-                    t,
-                    let(
-                        f"named_struct('l', {left}, 'r', {right})",
-                        lr,
-                        let(groups, g,
-                            f"(CASE WHEN {ok} THEN {hx} END)"),
-                    ),
-                )
-                body = (
-                    f"(CASE WHEN rlike({s}, {v4re}) THEN {v4hex}"
-                    f" WHEN NOT rlike({s}, {v4re}) THEN"
-                    f" {let(s1, x, v6)} END)"
-                )
-                return let(f"lower(trim({sx}))", s, body)
-
-            def mask(hx: str, prefix: str) -> str:
-                m, i = "__i6m", "__i6i"
-                kept = (
-                    f"greatest(least({m}.p - 4 * {i}, 4), 0)"
-                )
-                scale = (
-                    f"power(2.0D, CAST(4 - {kept} AS DOUBLE))"
-                )
-                nib = (
-                    "lower(conv(CAST(CAST(floor("
-                    f"conv(substring({m}.h, {i} + 1, 1), 16, 10)"
-                    f" / {scale}) * {scale} AS INT) AS STRING),"
-                    " 10, 16))"
-                )
-                body = (
-                    f"(CASE WHEN {m}.p BETWEEN 0 AND 128"
-                    f" AND {m}.h IS NOT NULL THEN"
-                    f" array_join(transform(sequence(0, 31),"
-                    f" {i} -> {nib}), '') END)"
-                )
-                return let(
-                    f"named_struct('h', {hx}, 'p', {prefix})", m, body
-                )
-
-            def colons(hx: str) -> str:
-                h = "__i6h"
-                parts = ", ".join(
-                    f"substring({h}, {g * 4 + 1}, 4)" for g in range(8)
-                )
-                return let(
-                    hx,
-                    h,
-                    f"(CASE WHEN {h} IS NOT NULL THEN"
-                    f" concat_ws(':', {parts}) END)",
-                )
-
-            def slash_addr(c: str) -> str:
-                return f"element_at(split({c}, '/', -1), 1)"
-
-            def slash_prefix(c: str, d: int) -> str:
-                return (
-                    f"coalesce(TRY_CAST(try_element_at(split({c}, '/',"
-                    f" -1), 2) AS BIGINT), {d})"
-                )
-
-            def range_prefix6(c: str) -> str:
-                # v4-notation ranges apply the prefix to the v4 part of
-                # the ::ffff-mapped form (bit offset 96), default /32
-                suf = (
-                    f"TRY_CAST(try_element_at(split({c}, '/', -1), 2)"
-                    " AS BIGINT)"
-                )
-                v4re = "'^[0-9]{1,3}(\\\\.[0-9]{1,3}){3}$'"
-                return (
-                    f"(CASE WHEN rlike({slash_addr(c)}, {v4re}) THEN"
-                    f" 96 + least(coalesce({suf}, 32), 32)"
-                    f" ELSE coalesce({suf}, 128) END)"
-                )
+            # text twins of functions._ipv6_family (module-level
+            # _sql_* helpers, shared with emit_ipv4_lookup's
+            # ipv6_lookup branch)
+            ip_long = _sql_ip_long
+            let = _sql_let
+            hex32 = _sql_hex32
+            mask = _sql_mask6
+            colons = _sql_colons
+            slash_addr = _sql_slash_addr
+            slash_prefix = _sql_slash_prefix
+            range_prefix6 = _sql_range_prefix6
 
             if name == "parse_ipv6":
                 argc(1, 1)
