@@ -3449,6 +3449,143 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental MinHash-LSH near-dup with PERSISTED parquet
+    bucket state (``dedup.near_dup_incremental``, the batch twin of
+    ``stream_near_dup``): batch 1 = originals (doc_id < 1000),
+    batch 2 = injected near-dups whose ids all exceed batch 1's, so
+    the accumulated keeper state equals the single-shot bucket twin
+    and ``_stream_near_dup_oracle`` applies verbatim."""
+    import shutil
+    import tempfile
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 1000
+    )
+    xtra = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="pql_nd_state_")
+    try:
+        # localCheckpoint materializes each batch's flags BEFORE the
+        # next batch reads the state it appended, and unpins the
+        # temp-dir parquet files so cleanup below is safe
+        d1 = D.near_dup_incremental(base, state_dir).localCheckpoint()
+        d2 = D.near_dup_incremental(xtra, state_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return (
+        d1.unionByName(d2)
+        .groupBy("doc_id")
+        .agg(
+            F.min("dup_of").alias("dup_min"),
+            F.count(F.lit(1)).alias("nbands"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run incremental corpus curation (``streaming.curate_stream``:
+    quality filter → file-bus → LSH keeper state → anti-join), run 2
+    processing ONLY the newly landed file via checkpointed offsets.
+    Run-2 ids all exceed run-1 ids, so surviving ids equal the batch
+    twin: kept = quality ≥ 0.75, minus every non-min id per occupied
+    band bucket over the kept set."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pql_spark.streaming import curate_stream
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 1000
+    )
+    xtra = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    root = Path(tempfile.mkdtemp(prefix="pql_curate_stream_"))
+    try:
+        src = root / "src"
+        src.mkdir()
+        base.toPandas().to_parquet(src / "a.parquet", index=False)
+        curate_stream(spark, str(src), str(root / "work"), langs=None)
+        xtra.toPandas().to_parquet(src / "b.parquet", index=False)
+        kept2 = curate_stream(
+            spark, str(src), str(root / "work"), langs=None
+        )
+        return (
+            kept2.select("doc_id").orderBy("doc_id").localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _curate_stream_oracle(num_perm: int = 64, bands: int = 16,
+                          k: int = 5) -> str:
+    """Batch twin of the two-run incremental curation: quality filter
+    (same formula as _QUALITY_ORACLE), then drop every doc whose band
+    bucket holds a lower KEPT id (same signatures/banding as
+    _minhash_oracle)."""
+    rows = num_perm // bands
+    params = D._perm_params(num_perm)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {D._P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bhash := md5(array_to_string([{ms}], ',')))".format(
+            i=i,
+            ms=", ".join(
+                f"m{j}::VARCHAR" for j in range(i * rows, (i + 1) * rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+  FROM documents WHERE doc_id < 50
+),
+t AS (SELECT doc_id, text, {_WORDS} AS toks FROM base),
+m AS (SELECT doc_id,
+  len(toks) AS n_words,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '[^\\w\\s]', 0)) AS n_punct,
+  len(list_intersect(toks,
+      ['the','and','of','to','a','in','is','that','it','for']))::DOUBLE
+      / len(toks) AS stop_ratio
+  FROM t),
+q AS (SELECT doc_id,
+  CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+      + CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN n_punct::DOUBLE / greatest(n_chars, 1) < 0.2
+             THEN 0.25 ELSE 0.0 END AS quality
+  FROM m),
+kept AS (SELECT b.doc_id, b.text FROM base b
+         JOIN q ON b.doc_id = q.doc_id WHERE q.quality >= 0.75),
+docs AS (SELECT doc_id, {_WORDS} AS words FROM kept),
+sh AS (SELECT doc_id, {_shingles_sql('words', k)} AS sh FROM docs),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+hashed AS (SELECT doc_id,
+    ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sig),
+b2 AS (SELECT doc_id, bk.band AS band, bk.bhash AS bhash FROM bands),
+kb AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY band, bhash) AS keeper
+       FROM b2),
+flagged AS (SELECT DISTINCT doc_id FROM kb WHERE doc_id > keeper)
+SELECT doc_id FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+ORDER BY doc_id
+"""
+
+
 # series_fit_2lines gate: constant synthetic series (slope change at
 # index 12) via datatable; oracle = independent numpy OLS reference
 _FIT2_VALS = [round(i + 0.1 * ((i * 7) % 3), 4) for i in range(12)] + [
@@ -3716,6 +3853,15 @@ def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_topk(_emb(spark, sf_dir), k=3, key_col="label")
+
+
+def _q_knn_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted grouped kNN: identical results to pairwise_topk
+    (shares _KNN_ORACLE), but each label group runs on `salt` Arrow
+    tasks instead of one — the hot-cell survival path."""
+    return S.pairwise_topk_skew(
+        _emb(spark, sf_dir), k=3, key_col="label", salt=8
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4095,32 +4241,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-4 rotation (VERDICT r3 items 1-2): the 36 queries never
-    # hash-checked in rounds 1-3 go FIRST — after this window, every
-    # query in the suite carries driver-hash evidence from some round…
-    "pql_series_decompose_anomalies",  # r3's one red row, now
-    # integer-scaled (floor(x*1e4 + 0.5) in query AND twin) so the
-    # hash no longer rides on cross-engine float-rounding ties
-    "pql_parse_kv", "pql_series_fns", "pql_weighted_aggs",
-    "pql_url_fns", "pql_ipv6_fns", "pql_timespan_lit",
-    "pql_scan_declare", "pql_series_forecast", "pql_ipv4_lookup",
-    "pql_sliding_window_counts", "pql_activity_metrics",
-    "pql_graph_match", "pql_new_activity", "pql_funnel_sequence",
-    "pql_session_count", "pql_rolling_percentile", "pql_rows_near",
-    "pql_scalar_fns2", "pql_series_vector", "pql_find_op",
-    "pql_reduce_op", "pql_invoke_op", "pql_series_fft",
-    "pql_series_fir", "pql_series_periods", "pql_approx_topk",
-    "op_dedup_clusters", "op_semantic_dedup", "op_multimodal_audio",
-    "op_stream_sequence_detect", "op_mix_corpora",
-    "op_importance_weights", "op_unimax_mix", "op_lm_score",
-    "op_line_dedup",
-    # … then the four float-emitting queries whose r3-green form was
-    # rewritten to integer scaling this round (fresh hash needed) …
-    "pql_series_stats_fit", "pql_series_fit_2lines",
-    "pql_series_decompose", "pql_series_outliers",
-    # … then this round's additions (gated for the first time),
-    # appended as each lands: pql_ipv6_lookup, op_near_dup_incremental,
-    # op_curate_stream, op_knn_skew
+    # Round-6 rotation (VERDICT r5 items 1-2): changed-or-never-hashed
+    # queries first, then the queries with the OLDEST driver-hash
+    # evidence (r1, then r2); the two permanent rows-only entries
+    # (pql_scan_declare, op_semantic_dedup) move OUT of the 50-slot
+    # window so every slot buys a value hash.
+    #
+    # 1. the 2-round-red row, fixed this round (oracle window sum now
+    #    CAST AS BIGINT — DuckDB HUGEINT vs Spark BIGINT divergence):
+    "pql_activity_metrics",
+    # 2. r4's integer-scaling rewrite, never driver-hashed since:
+    "pql_percentiles",
+    # 3. changed this round (isfinite guards on slope/icpt/rsq):
+    "pql_series_stats_fit",
+    # 4. this round's new operators, gated for the first time:
+    "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
+    "op_knn_skew",
+    # 5. oldest evidence — last hashed in round 1:
+    "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
+    "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
+    "pql_sourcetext_name", "pql_mv_expand", "pql_print",
+    "pql_sample_op", "pql_top_hitters", "pql_project_ops",
+    "pql_getschema",
+    # 6. last hashed in round 2 (first 30 — the rest rotate next round):
+    "pql_predicates", "pql_null_semantics", "pql_let_arith", "pql_in",
+    "pql_summarize_by", "pql_as_selfjoin", "pql_render", "pql_index",
+    "pql_extend", "pql_json_props", "pql_distinct_op", "pql_union_op",
+    "pql_project_away", "pql_lookup", "pql_parse_op", "pql_search_op",
+    "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
+    "pql_top_nested", "pql_range_source", "pql_agg_family",
+    "pql_datatable", "pql_string_preds", "pql_serialize_window",
+    "pql_arg_agg", "pql_bin_hourly", "pql_in_family", "pql_sketch_fns",
 ]
 
 
@@ -4156,12 +4307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_semantic_dedup": _q_semantic_dedup,  # approximate — rows-only
             "op_ivf_topk": _q_ivf_topk,  # approximate — rows-only check
             "op_knn_grouped": _q_knn,
+            "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,
             "op_multimodal_audio": _q_multimodal_audio,
             "op_stream_near_dup": _q_stream_near_dup,
+            "op_near_dup_incremental": _q_near_dup_incremental,
+            "op_curate_stream": _q_curate_stream,
             "op_stream_sequence_detect": _q_stream_sequence_detect,
             "pql_series_fit_2lines": _q_fit_2lines,
             "op_stream_sessionize": _q_stream_sessionize,
@@ -4220,11 +4374,16 @@ def oracle_sql() -> dict[str, str]:
             "op_quantize_embeddings": _QUANTIZE_ORACLE,
             "op_quantized_topk": _TOPK_ORACLE,
             "op_knn_grouped": _KNN_ORACLE,
+            "op_knn_skew": _KNN_ORACLE,
             "op_stream_windowed": _STREAM_WINDOWED_ORACLE,
             "op_stream_sink_upsert": _STREAM_SINK_ORACLE,
             "op_multimodal_decode": _png_decode_oracle(),
             "op_multimodal_audio": _wav_decode_oracle(),
             "op_stream_near_dup": _stream_near_dup_oracle(),
+            # two-batch incremental == single-shot bucket twin (batch-2
+            # ids all above batch-1, so keepers coincide)
+            "op_near_dup_incremental": _stream_near_dup_oracle(),
+            "op_curate_stream": _curate_stream_oracle(),
             "op_stream_sequence_detect": PQL_QUERIES["pql_sequence_detect"][1],
             "pql_series_fit_2lines": _fit2_oracle(),
             "op_stream_sessionize": _STREAM_SESSION_ORACLE,

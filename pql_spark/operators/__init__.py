@@ -50,6 +50,7 @@ from .similarity import (
     ivf_topk,
     lsh_bucket_topk,
     pairwise_topk,
+    pairwise_topk_skew,
     quantize_embeddings,
     quantized_topk,
     train_centroids,
@@ -103,6 +104,7 @@ __all__ = [
     "mix_corpora",
     "pack_sequences",
     "pairwise_topk",
+    "pairwise_topk_skew",
     "quality_score",
     "quantize_embeddings",
     "quantized_topk",

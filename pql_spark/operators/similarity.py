@@ -145,6 +145,100 @@ def pairwise_topk(
     )
 
 
+def pairwise_topk_skew(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    key_col: str | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resilient grouped kNN — same contract and results as
+    :func:`pairwise_topk` (brute-force cosine within ``key_col``
+    groups, cosine desc / neighbor asc), built for the hot-group case
+    the plain version can't survive.
+
+    ``pairwise_topk`` runs each group as ONE Arrow task; a group that
+    owns most of the corpus (one dominant label / IVF cell) therefore
+    runs on one core with an O(n²) similarity matrix in one worker's
+    memory.  Here the group's QUERY rows are salted into ``salt``
+    deterministic sub-chunks (``pmod(xxhash64(id), salt)``, the
+    :func:`pql_spark.operators._util.salted_join` pattern) and the
+    group's candidate set is replicated to every sub-chunk, so the hot
+    group computes on ``salt`` tasks with 1/``salt`` of the matrix
+    each — identical FLOPs, ``salt``× the parallelism, 1/``salt`` the
+    peak task memory.  Cost: ``salt``× shuffle of the candidate side —
+    the standard skew trade.  At 100 TB pair this with an IVF/LSH
+    coarse key; the salt bounds the damage of whatever cell skew the
+    coarse quantizer leaves behind.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = [key_col] if key_col else []
+    base = df.select(
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in keys]
+    )
+    queries = base.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    ).withColumn("__query", F.lit(True))
+    cands = (
+        base.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        .withColumn("__salt", F.col("__salt").cast("bigint"))
+        .withColumn("__query", F.lit(False))
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cand = pdf[~pdf["__query"]]
+        qry = pdf[pdf["__query"]]
+        if cand.empty or qry.empty:
+            return pd.DataFrame(
+                {"id": [], "neighbor": [], "cosine": [], "rank": []}
+            ).astype(
+                {"id": "int64", "neighbor": "int64",
+                 "cosine": "float64", "rank": "int32"}
+            )
+        cids = cand[id_col].to_numpy()
+        cmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in cand[vec_col]]
+        )
+        cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+        qids = qry[id_col].to_numpy()
+        qmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in qry[vec_col]]
+        )
+        qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+        sims = (qmat @ cmat.T) / np.outer(qnrm, cnrm)
+        out_id, out_nb, out_cos, out_rank = [], [], [], []
+        for i, qid in enumerate(qids):
+            order = np.lexsort((cids, -sims[i]))
+            order = order[cids[order] != qid][:k]
+            out_id.extend([qid] * len(order))
+            out_nb.extend(cids[order])
+            out_cos.extend(sims[i, order])
+            out_rank.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {
+                "id": out_id,
+                "neighbor": out_nb,
+                "cosine": out_cos,
+                "rank": out_rank,
+            }
+        )
+
+    grouping = keys + ["__salt"] if keys else ["__salt"]
+    return (
+        queries.unionByName(cands)
+        .groupBy(*grouping)
+        .applyInPandas(
+            kernel, "id long, neighbor long, cosine double, rank int"
+        )
+        .orderBy("id", "rank")
+    )
+
+
 def train_centroids(
     df: DataFrame,
     n_centroids: int = 16,
