@@ -15,11 +15,52 @@ def rebalance(df: DataFrame) -> DataFrame:
     one small shuffle and buys full-width execution — the same layout a
     real multi-split dataset gets for free.  No-op when the input is
     already parallel enough (the 100 TB case: thousands of splits).
-    """
+
+    The width probe must NOT execute the plan: ``df.rdd
+    .getNumPartitions()`` under AQE materializes query stages — on a
+    composed input it ran the caller's whole upstream chain as an
+    extra job (measured 2.4 s at sf0.1 inside curate_corpus) before
+    the caller executed it again.  Instead, two job-free checks: a
+    leaf file count ≥ cores means the scan alone is wide, and any
+    Exchange / InMemoryTableScan in the compiled physical plan means
+    a shuffle (or a cached post-shuffle layout) already widens the
+    plan to ``spark.sql.shuffle.partitions``."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "Exchange" in plan or "InMemoryTableScan" in plan:
+            return df
+    except Exception:  # noqa: BLE001 — non-SQL-backed plans: play safe
+        pass
     return df.repartition(target)
+
+
+def pinned_filter(df: DataFrame, cond) -> DataFrame:
+    """``df.filter(cond)`` WITHOUT predicate pushdown.
+
+    Catalyst pushes filters below projections by SUBSTITUTING the
+    referenced column's defining expression into the predicate — for a
+    cheap predicate over an expensive derived column that (a) evaluates
+    the whole tree twice (once in the sunk Filter, once in the Project
+    above) and (b) can sink the tree below a repartition onto the
+    narrow single-split pre-shuffle stage, serializing it on one core.
+    Measured on the curation chain at sf0.1: quality/repetition filters
+    went 0.8 s → 4.6 s from exactly this.
+
+    The always-true ``spark_partition_id() >= 0`` guard marks the
+    predicate non-deterministic, which pins the Filter exactly where
+    it was written; the projection below stays collapsed and its tree
+    evaluates ONCE per row.  (``rand() >= 0`` does NOT work — the
+    optimizer range-folds it back to a deterministic predicate; the
+    partition id is free to evaluate and survives optimization.)  Use
+    only when the predicate references expensive computed columns —
+    for scan-column predicates pushdown is the optimization, not the
+    bug."""
+    return df.filter(
+        F.when(F.spark_partition_id() >= 0, cond).otherwise(F.lit(False))
+    )
 
 
 def salted_join(

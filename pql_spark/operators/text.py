@@ -122,6 +122,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 3,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models", Table A1): documents dominated by repeated
@@ -149,6 +150,13 @@ def repetition_stats(
     The most-frequent-gram argmax uses the fixed-width ``count|gram``
     string max (same trick as :func:`language_id`) so ties break
     deterministically in any engine — identical to the old aggregate.
+
+    ``append=True`` keeps every input column and appends the five stat
+    columns instead of projecting ``(id, stats)`` — the zero-join
+    composition shape for pipelines that filter on a stat next (the
+    join-back of the default shape would recompute the caller's
+    lineage twice).  NULL-text rows are dropped in both modes (the
+    inner-join contract of the original explode plan).
     """
     from ._util import rebalance
 
@@ -257,9 +265,13 @@ def repetition_stats(
 
     # materialization barrier: the gram lambdas below must see a token
     # ARRAY column, not the inlined regex tokenization
+    base = (
+        [F.col(c) for c in df.columns] if append else [F.col(id_col)]
+    )
+    base_names = df.columns if append else [id_col]
     tk = rebalance(
         df.select(
-            F.col(id_col),
+            *base,
             F.length(_norm(text)).alias("__nc"),
             F.split(text, "\n").alias("__lines"),
             tokens(text).alias("__toks"),
@@ -277,7 +289,7 @@ def repetition_stats(
         F.array_sort(gram_array(F.col("__toks"), dup_n)), False
     )
     folded = tk.select(
-        F.col(id_col),
+        *[F.col(c) for c in base_names],
         F.col("__nc"),
         lines_fold.alias("__lf"),
         top_fold.alias("__tf"),
@@ -285,7 +297,7 @@ def repetition_stats(
     )
     lf, tf, dfd = F.col("__lf"), F.col("__tf"), F.col("__df")
     return folded.select(
-        F.col(id_col),
+        *[F.col(c) for c in base_names],
         lf["tot_cnt"].alias("n_lines"),
         (lf["dup_cnt"] / lf["tot_cnt"]).alias("dup_line_frac"),
         (
@@ -426,7 +438,8 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Redact common PII shapes (emails, IPv4s, SSNs, phone numbers,
     long card-like digit runs) with typed placeholder tokens, and count
@@ -436,15 +449,22 @@ def redact_pii(
     codegen, linear scan.  Counts are taken BEFORE any replacement so
     categories don't see each other's placeholders; replacement applies
     the rules in :data:`PII_PATTERNS` order.
+
+    ``append=True`` scrubs ``text_col`` IN PLACE and keeps every other
+    column (no count columns) — the zero-join composition shape for
+    pipelines (the default ``(id, redacted, counts)`` projection forces
+    a join-back that shuffles the corpus twice).
     """
     text = F.col(text_col)
+    redacted = text
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    if append:
+        return df.withColumn(text_col, redacted)
     counts = [
         F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    redacted = text
-    for _, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
     return df.select(
         F.col(id_col), redacted.alias("redacted"), *counts
     )

@@ -68,6 +68,15 @@ def curate_corpus(
     8. train/test split keyed on the CONTENT fingerprint, not the id —
        re-ingesting the same text can never land it in the other split.
     """
+    from .operators._util import pinned_filter, rebalance
+
+    # spread a single-file input across the cluster's cores FIRST: the
+    # whole narrow filter chain below otherwise runs as ONE task (one
+    # parquet split), serializing every regex/fold expression onto one
+    # core (measured 2.4 s → 0.3 s for the chain at sf0.1); a real
+    # multi-split corpus makes this a no-op
+    docs = rebalance(docs)
+
     if drop_repeated_lines:
         # within-doc line dedup FIRST (narrow fold, no shuffle) so the
         # quality metrics and fingerprints see the scrubbed text
@@ -87,28 +96,40 @@ def curate_corpus(
     ).drop(
         "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
         "lang_score", "head_key",
-    ).filter(F.col("quality") >= min_quality)
+    )
+    # pinned: pushdown would substitute the quality/langid trees into a
+    # pre-shuffle Filter and evaluate them twice — see pinned_filter
+    cond = F.col("quality") >= min_quality
     if langs is not None:
-        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+        cond = cond & F.col("lang_pred").isin(list(langs))
+    kept = pinned_filter(kept, cond)
 
     if max_dup_ngram_frac is not None:
-        # computed over `kept`, not `docs`: the repetition scan (explode
-        # + window, the one genuinely-shuffling stage here) only pays
-        # for rows that survived the narrow filters above
-        rep = repetition_stats(kept, text_col, id_col).select(
-            id_col, "dup_ngram_frac"
-        )
-        kept = (
-            kept.join(rep, id_col)
-            .filter(F.col("dup_ngram_frac") <= max_dup_ngram_frac)
-            .drop("dup_ngram_frac")
+        # appended narrow fold over `kept` (not `docs`): the repetition
+        # stats only pay for rows that survived the filters above, and
+        # append=True keeps this a zero-join CHAIN — the old
+        # (id, stat)-then-join-back shape recomputed the whole narrow
+        # lineage twice
+        kept = pinned_filter(
+            repetition_stats(kept, text_col, id_col, append=True),
+            F.col("dup_ngram_frac") <= max_dup_ngram_frac,
+        ).drop(
+            "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "top_ngram_frac", "dup_ngram_frac",
         )
 
-    # exact dedup: one survivor (min id) per identical normalized text
-    survivors = kept.groupBy("fingerprint").agg(
-        F.min(id_col).alias(id_col)
+    # exact dedup: one survivor (min id) per identical normalized text.
+    # A fingerprint-partitioned window min beats the groupBy+join-back
+    # (one shuffle instead of two, and no second evaluation of the
+    # filter lineage above)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        kept.withColumn("__min_id", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
     )
-    kept = kept.join(survivors, [id_col, "fingerprint"])
 
     # `kept` is re-read by minhash (signature + exact verify), the
     # decontamination scan, the drop anti-join, redaction, and the final
@@ -143,14 +164,9 @@ def curate_corpus(
     kept = kept.join(drops, id_col, "left_anti")
 
     if redact:
-        scrubbed = redact_pii(kept, text_col, id_col).select(
-            id_col, "redacted"
-        )
-        kept = (
-            kept.join(scrubbed, id_col)
-            .withColumn(text_col, F.col("redacted"))
-            .drop("redacted")
-        )
+        # in-place narrow scrub — the (id, redacted) join-back shape
+        # would shuffle the surviving corpus twice for a per-row regex
+        kept = redact_pii(kept, text_col, id_col, append=True)
 
     return train_test_split(
         kept, key="fingerprint", test_rate=test_rate
