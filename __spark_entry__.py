@@ -3344,7 +3344,14 @@ def _q_stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    root = Path(tempfile.mkdtemp(prefix="pql_sink_"))
+    # tmpfs when present: the upsert swap + checkpoint are many tiny
+    # files, all transient for this gate
+    shm = Path("/dev/shm")
+    root = Path(
+        tempfile.mkdtemp(
+            prefix="pql_sink_", dir=str(shm) if shm.is_dir() else None
+        )
+    )
     try:
         stream_upsert_to_parquet(
             agg, str(root / "by_user"), keys=["user_id"],
@@ -3944,7 +3951,7 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 6h tumbling-window agg, drained via availableNow; the
     returned (batch) DataFrame is the stream's final state."""
     from pql_spark.streaming import (
-        run_available_now,
+        run_available_now_df,
         stream_parquet_table,
         windowed_agg,
     )
@@ -3961,21 +3968,19 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         },
     )
-    rows = run_available_now(stream, "update")
-    return spark.createDataFrame(rows, stream.schema)
+    return run_available_now_df(stream, "update")
 
 
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.streaming import (
-        run_available_now,
+        run_available_now_df,
         sessionize,
         stream_parquet_table,
     )
 
     stream = sessionize(stream_parquet_table(spark, sf_dir, "events"),
                         gap="2 hours")
-    rows = run_available_now(stream, "complete")
-    return spark.createDataFrame(rows, stream.schema).select(
+    return run_available_now_df(stream, "complete").select(
         "user_id",
         "session_start",
         "session_end",
@@ -4037,7 +4042,7 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.streaming import (
-        run_available_now,
+        run_available_now_df,
         stream_interval_join,
         stream_parquet_table,
     )
@@ -4052,8 +4057,7 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_interval_join(clicks, purchases, within="2 hours").select(
         "click_id", "purchase_id"
     )
-    rows = run_available_now(joined, "append")
-    return spark.createDataFrame(rows, "click_id long, purchase_id long")
+    return run_available_now_df(joined, "append")
 
 
 def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4143,7 +4147,7 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.streaming import (
-        run_available_now,
+        run_available_now_df,
         stream_dedup,
         stream_parquet_table,
     )
@@ -4155,8 +4159,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(
         dup.select("event_id", "ts", "user_id"), subset=["event_id"]
     ).select("event_id", "user_id")
-    rows = run_available_now(deduped, "append")
-    return spark.createDataFrame(rows, "event_id long, user_id long")
+    return run_available_now_df(deduped, "append")
 
 
 def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,7 @@ from .pipeline import (
     curate_stream,
     pql_stream,
     run_available_now,
+    run_available_now_df,
     sessionize,
     stream_dedup,
     stream_interval_join,
@@ -30,6 +31,7 @@ __all__ = [
     "curate_stream",
     "pql_stream",
     "run_available_now",
+    "run_available_now_df",
     "sessionize",
     "stream_dedup",
     "stream_interval_join",

@@ -249,12 +249,37 @@ def pql_stream(
     return PqlEngine(spark, resolver=resolver).query(pql_text)
 
 
+def run_available_now_df(
+    df: DataFrame, output_mode: str = "update"
+) -> DataFrame:
+    """Like :func:`run_available_now` but returns the drained sink as a
+    MATERIALIZED DataFrame (``localCheckpoint`` of the memory sink —
+    stays JVM-side).  Collecting the sink to Python ``Row`` objects and
+    re-wrapping with ``createDataFrame`` costs ~3 s per 100 k rows of
+    pure serialization; use this variant whenever the result feeds
+    further DataFrame work."""
+    name = _drain_to_memory(df, output_mode)
+    spark = df.sparkSession
+    out = spark.sql(f"SELECT * FROM {name}").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def run_available_now(
     df: DataFrame, output_mode: str = "update"
 ) -> list:
     """Drain a streaming DataFrame through a memory sink with
     ``availableNow`` (process-everything-then-stop) and return the
     collected rows — the batch-equivalence harness used by tests."""
+    name = _drain_to_memory(df, output_mode)
+    out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    df.sparkSession.catalog.dropTempView(name)
+    return out
+
+
+def _drain_to_memory(df: DataFrame, output_mode: str) -> str:
+    """Shared drain: run ``df`` into a uniquely named memory sink with
+    ``availableNow`` and return the sink's temp-view name."""
     name = f"mem_{uuid4().hex[:12]}"
     spark = df.sparkSession
     # state-store partition count is fixed at query start from this conf;
@@ -287,9 +312,7 @@ def run_available_now(
             import shutil
 
             shutil.rmtree(shm / f"pql_ckpt_{name}", ignore_errors=True)
-    out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
-    df.sparkSession.catalog.dropTempView(name)
-    return out
+    return name
 
 
 # ------------------------------------------------------------------ sinks
@@ -431,6 +454,7 @@ def stream_near_dup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    state_shards: int = 64,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-duplicate detection over a document
     stream: emits (doc_id, band, dup_of) whenever a new document lands
@@ -439,15 +463,25 @@ def stream_near_dup(
     Plan: the narrow Arrow minhash kernel (no aggregation — streaming-
     safe) → the same band hashing as the batch pair generator
     (:func:`pql_spark.operators.dedup.band_signature`, so stream and
-    batch buckets agree bit-for-bit) → ONE stateful groupBy on
-    (band, bhash) where the state is the bucket's keeper id.  Within a
-    micro-batch the lowest id wins; across batches the stored keeper
-    wins — first-seen semantics.  A doc is a near-dup CANDIDATE if it
-    appears in the output for any band; exact-Jaccard verification (or
-    a drop-list join) belongs in the consumer's ``foreachBatch``.
+    batch buckets agree bit-for-bit) → ONE stateful groupBy keyed on
+    (band, shard-of-bhash): each group's state is the bucket→keeper
+    map of its shard.  Within a micro-batch the lowest id wins per
+    bucket; across batches the stored keeper wins — first-seen
+    semantics, bit-identical per bucket regardless of sharding.  A doc
+    is a near-dup CANDIDATE if it appears in the output for any band;
+    exact-Jaccard verification (or a drop-list join) belongs in the
+    consumer's ``foreachBatch``.
 
-    State is one id per occupied bucket — bounded by corpus bucket
-    count, not stream length; for long-running streams wire a timeout
+    Sharding (the Flink key-group pattern): keying the stateful op on
+    raw (band, bhash) means one Python call + one state-store
+    round-trip PER OCCUPIED BUCKET per batch — at ~15 buckets/doc the
+    per-group overhead dominates the kernel (measured ~2× the whole
+    drain).  (band, pmod(xxhash64(bhash), state_shards)) caps the
+    group count at bands × state_shards while the per-bucket keeper
+    logic is unchanged.  Size ``state_shards`` so one shard's buckets
+    (≈ docs × bands / (bands × shards)) stay comfortable in one
+    executor's memory — shards scale with the corpus, groups stay
+    bounded per batch.  For long-running streams wire a timeout
     eviction (GroupStateTimeout) matched to the dedup horizon.
     """
     from pql_spark.operators.dedup import band_signature, minhash_signature
@@ -456,7 +490,10 @@ def stream_near_dup(
         docs, text_col, id_col, num_perm, shingle_k,
         impl="pandas", include_shingles=False,
     )
-    banded = band_signature(sig, id_col, num_perm, bands)
+    banded = band_signature(sig, id_col, num_perm, bands).withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col("bhash")), F.lit(state_shards)).cast("int"),
+    )
 
     out_schema = T.StructType(
         [
@@ -465,7 +502,12 @@ def stream_near_dup(
             T.StructField("dup_of", T.LongType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("keeper", T.LongType())])
+    state_schema = T.StructType(
+        [
+            T.StructField("bhashes", T.ArrayType(T.StringType())),
+            T.StructField("keepers", T.ArrayType(T.LongType())),
+        ]
+    )
 
     def update(
         key: tuple,
@@ -473,27 +515,39 @@ def stream_near_dup(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         band = int(key[0])
-        ids: list[int] = []
+        by_bucket: dict[str, list[int]] = {}
         for pdf in pdfs:
-            ids.extend(int(v) for v in pdf[id_col])
-        ids.sort()
-        (keeper,) = state.get if state.exists else (None,)
-        if keeper is None:
-            keeper, dups = ids[0], ids[1:]
+            for h, i in zip(pdf["bhash"], pdf[id_col]):
+                by_bucket.setdefault(h, []).append(int(i))
+        if state.exists:
+            sb, sk = state.get
+            keepers = dict(zip(list(sb), (int(k) for k in sk)))
         else:
-            dups = ids
-        state.update((keeper,))
-        if not dups:
+            keepers = {}
+        out_ids: list[int] = []
+        out_dup: list[int] = []
+        for h, ids in by_bucket.items():
+            ids.sort()
+            keeper = keepers.get(h)
+            if keeper is None:
+                keeper, dups = ids[0], ids[1:]
+                keepers[h] = keeper
+            else:
+                dups = ids
+            out_ids.extend(dups)
+            out_dup.extend([keeper] * len(dups))
+        state.update((list(keepers.keys()), list(keepers.values())))
+        if not out_ids:
             return
         yield pd.DataFrame(
             {
-                id_col: dups,
-                "band": [band] * len(dups),
-                "dup_of": [keeper] * len(dups),
+                id_col: out_ids,
+                "band": [band] * len(out_ids),
+                "dup_of": out_dup,
             }
         )
 
-    return banded.groupBy("band", "bhash").applyInPandasWithState(
+    return banded.groupBy("band", "__shard").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
