@@ -2021,6 +2021,47 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY 1, 2 ORDER BY prev, next
         """,
     ),
+    # EXTENSION `evaluate funnel_completion` (simplified KQL
+    # funnel_sequence_completion): greedy-earliest anchored chains per
+    # id, counted per (step, max-window) — k−1 keyed min-aggregations
+    # + one conditional-count aggregate; identical chain CTEs in DuckDB
+    "pql_funnel_completion": (
+        """
+        events
+        | evaluate funnel_completion(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), event_type,
+            ("view", "click", "purchase"), (1h, 1d, 7d))
+        | sort by step asc, period asc
+        """,
+        """
+        WITH b AS (
+          SELECT user_id AS id, event_type AS state, epoch_us(ts) AS t
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        c1 AS (SELECT id, min(t) AS t1 FROM b
+               WHERE state = 'view' GROUP BY id),
+        c2 AS (SELECT b.id, c1.t1, min(b.t) AS tj
+               FROM b JOIN c1 ON b.id = c1.id
+               WHERE b.state = 'click' AND b.t >= c1.t1
+               GROUP BY b.id, c1.t1),
+        c3 AS (SELECT b.id, c2.t1, min(b.t) AS tj
+               FROM b JOIN c2 ON b.id = c2.id
+               WHERE b.state = 'purchase' AND b.t >= c2.tj
+               GROUP BY b.id, c2.t1),
+        s AS (
+          SELECT 1 AS step, 'view' AS state, 0::BIGINT AS span FROM c1
+          UNION ALL SELECT 2, 'click', tj - t1 FROM c2
+          UNION ALL SELECT 3, 'purchase', tj - t1 FROM c3),
+        w AS (SELECT unnest([3600000000, 86400000000,
+                             604800000000]) AS period)
+        SELECT s.step, s.state, w.period,
+               CAST(count(CASE WHEN s.span <= w.period THEN 1 END)
+                    AS BIGINT) AS dcount
+        FROM s CROSS JOIN w
+        GROUP BY 1, 2, 3 ORDER BY step, period
+        """,
+    ),
     # EXTENSION `evaluate session_count` (KQL plugin): sessions started
     # per bin (no activity within the lookback opens a session) — one
     # distinct, one per-id lag window, one groupBy; identical window
@@ -4259,7 +4300,7 @@ _CHECK_FIRST = [
     "pql_series_stats_fit",
     # 4. this round's new operators, gated for the first time:
     "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
-    "op_knn_skew",
+    "op_knn_skew", "pql_funnel_completion",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4274,7 +4315,7 @@ _CHECK_FIRST = [
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_arg_agg", "pql_bin_hourly", "pql_in_family", "pql_sketch_fns",
+    "pql_arg_agg", "pql_bin_hourly", "pql_in_family",
 ]
 
 

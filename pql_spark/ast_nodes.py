@@ -795,6 +795,33 @@ class SessionCountOp(Op):
 
 
 @dataclass
+class FunnelCompletionOp(Op):
+    """``evaluate funnel_completion(IdCol, TimelineCol, Start, End,
+    StateCol, ("s1", …, "sk"), (w1, …, wm))`` (EXTENSION, simplified
+    KQL funnel_sequence_completion): per (sequence step, max window),
+    the distinct ids that reached step j via the greedy-earliest chain
+    anchored at the id's FIRST ``s1`` event in [Start, End) — t_j is
+    the earliest ``s_j`` event at-or-after t_{j-1}, and the step
+    counts toward window w iff t_j − t_1 ≤ w.  Output: ``step`` (1-
+    based), ``state``, ``period`` (window in µs), ``dcount``.
+
+    Plan: k−1 keyed join+min-aggregations (one shuffle each on the id
+    key — no self-join explosion, no per-window rescans), then ONE
+    conditional-count aggregate over the k chain tables unioned, and a
+    ``stack`` unpivot to (period, dcount) rows.  Divergence from KQL:
+    greedy-earliest anchored chains (deterministic, SQL-oracle-exact)
+    instead of KQL's binned Period matrix."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    state_col: Ident
+    states: list[str]
+    windows_usec: list[int]
+
+
+@dataclass
 class RowsNearOp(Op):
     """``evaluate rows_near(Condition, NumRows[, NumRowsAfter])``
     (EXTENSION, KQL rows_near plugin): keep rows within ``NumRows``

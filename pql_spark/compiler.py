@@ -71,6 +71,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    FunnelCompletionOp,
     FunnelSequenceOp,
     MakeSeriesOp,
     MvApplyOp,
@@ -880,6 +881,8 @@ class Compiler:
             return self._session_count(df, op, env)
         if isinstance(op, FunnelSequenceOp):
             return self._funnel_sequence(df, op, env)
+        if isinstance(op, FunnelCompletionOp):
+            return self._funnel_completion(df, op, env)
         if isinstance(op, NewActivityMetricsOp):
             return self._new_activity_metrics(df, op, env)
         if isinstance(op, MakeGraphOp):
@@ -1521,6 +1524,101 @@ class Compiler:
             .agg(F.count_distinct(F.col("__fs_id")).alias("dcount"))
         )
 
+    def _funnel_completion(
+        self, df: DataFrame, op: FunnelCompletionOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate funnel_completion``: per (step, window), distinct
+        ids whose greedy-earliest chain (anchored at their FIRST
+        states[0] event in range) reaches step j within the window.
+
+        Plan: k−1 keyed join+min aggregations building the chain table
+        (each one shuffle on the id key; k is the sequence length, a
+        small constant), then a UNION of the k chain tables → ONE
+        grouped conditional-count aggregate → ``stack`` unpivot to
+        (period, dcount) rows.  No per-window rescans, no self-join
+        explosion; the fact table is scanned once per step, each time
+        pre-filtered to that step's state."""
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        state = op.state_col.parts[0]
+        for name, ident in (
+            (ts, op.ts_col), (idc, op.id_col), (state, op.state_col)
+        ):
+            if name not in df.columns:
+                raise ParseError(
+                    f"funnel_completion: unknown column {name!r}",
+                    ident.span,
+                )
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        base = df.select(
+            F.col(_q(idc)).alias("__fc_id"),
+            F.col(_q(state)).alias("__fc_state"),
+            t.alias("__fc_t"),
+            start.alias("__fc_s"),
+            end.alias("__fc_e"),
+        ).filter(
+            (F.col("__fc_t") >= F.col("__fc_s"))
+            & (F.col("__fc_t") < F.col("__fc_e"))
+        ).select("__fc_id", "__fc_state", "__fc_t")
+        # chain[j]: (id, t1, tj) — earliest step-j time per id
+        cur = (
+            base.filter(F.col("__fc_state") == op.states[0])
+            .groupBy("__fc_id")
+            .agg(F.min("__fc_t").alias("__t1"))
+            .withColumn("__tj", F.col("__t1"))
+        )
+        spans = [
+            cur.select(
+                F.lit(1).alias("step"),
+                F.lit(op.states[0]).alias("state"),
+                (F.col("__tj") - F.col("__t1")).alias("__span"),
+            )
+        ]
+        for j, s in enumerate(op.states[1:], start=2):
+            nxt = (
+                base.filter(F.col("__fc_state") == s)
+                .join(cur.select("__fc_id", "__t1", "__tj"), "__fc_id")
+                .filter(F.col("__fc_t") >= F.col("__tj"))
+                .groupBy("__fc_id", "__t1")
+                .agg(F.min("__fc_t").alias("__tn"))
+                .withColumnRenamed("__tn", "__tj_next")
+            )
+            cur = nxt.select(
+                "__fc_id", "__t1", F.col("__tj_next").alias("__tj")
+            )
+            spans.append(
+                cur.select(
+                    F.lit(j).alias("step"),
+                    F.lit(s).alias("state"),
+                    (F.col("__tj") - F.col("__t1")).alias("__span"),
+                )
+            )
+        allspans = spans[0]
+        for sdf in spans[1:]:
+            allspans = allspans.unionByName(sdf)
+        wide = allspans.groupBy("step", "state").agg(
+            *[
+                F.count(
+                    F.when(F.col("__span") <= F.lit(w), True)
+                ).alias(f"__w{i}")
+                for i, w in enumerate(op.windows_usec)
+            ]
+        )
+        stack_args = ", ".join(
+            f"{int(w)}L, {_q(f'__w{i}')}"
+            for i, w in enumerate(op.windows_usec)
+        )
+        return wide.selectExpr(
+            "step",
+            "state",
+            f"stack({len(op.windows_usec)}, {stack_args})"
+            " AS (period, dcount)",
+        )
+
     def _session_count(
         self, df: DataFrame, op: SessionCountOp, env: _Env
     ) -> DataFrame:
@@ -1638,7 +1736,7 @@ class Compiler:
         ``ipv6_is_in_range``."""
         from .functions import (
             _ipv6_hex32,
-            _ipv6_mask_hex,
+            _ipv6_prefix_key,
             _range_prefix6,
             _slash_addr,
             ipv4_long,
@@ -1666,7 +1764,9 @@ class Compiler:
             rc = F.col(_q(range_name))
             base = _ipv6_hex32(_slash_addr(rc))
             prefix = _range_prefix6(rc)
-            parse_ip, mask_ip = _ipv6_hex32, _ipv6_mask_hex
+            # short prefix key, NOT the full 32-nibble mask: equality
+            # is identical and it's ~32× less per-(row, prefix) work
+            parse_ip, mask_ip = _ipv6_hex32, _ipv6_prefix_key
         else:
             rng = F.split(F.col(_q(range_name)), "/")
             base = ipv4_long(F.try_element_at(rng, F.lit(1)))

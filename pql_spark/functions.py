@@ -503,6 +503,42 @@ def _ipv6_mask_hex(hex32: Column, prefix: Column) -> Column:
     )
 
 
+def _ipv6_prefix_key(hex32: Column, prefix: Column) -> Column:
+    """Short join KEY for prefix-masked IPv6 equality: the first
+    ⌊p/4⌋ nibbles verbatim plus ONE partially-masked nibble when
+    ``p % 4 != 0``.  Two addresses agree on their first ``p`` bits
+    iff these keys are equal (fixed-width lowercase hex is
+    lexicographic == numeric), exactly like comparing the full
+    :func:`_ipv6_mask_hex` canons — but it costs one ``conv`` per
+    (row, prefix) instead of a 32-element nibble transform, which is
+    what makes ``evaluate ipv6_lookup``'s per-distinct-prefix row
+    expansion affordable (measured 13 s → ~1 s at sf0.1).  NULL on
+    invalid prefix or NULL canon, matching the mask's contract."""
+
+    def key(hp: Column) -> Column:
+        h, p = hp.getField("h"), hp.getField("p")
+        q = F.floor(p / 4).cast("int")
+        r = (p - q.cast("long") * 4).cast("int")
+        head = F.substr(h, F.lit(1), q)
+        v = F.conv(F.substr(h, q + 1, F.lit(1)), 16, 10).cast("int")
+        scale = F.pow(F.lit(2.0), (F.lit(4) - r).cast("double"))
+        nib = F.lower(
+            F.conv(
+                (F.floor(v / scale) * scale).cast("int").cast("string"),
+                10,
+                16,
+            )
+        )
+        return F.when(
+            (p >= 0) & (p <= 128) & h.isNotNull(),
+            F.concat(head, F.when(r > 0, nib).otherwise(F.lit(""))),
+        )
+
+    return _let_bind(
+        F.struct(hex32.alias("h"), prefix.cast("long").alias("p")), key
+    )
+
+
 def _hex32_colons(hex32: Column) -> Column:
     """32-nibble hex → canonical colon-separated form."""
     return _let_bind(

@@ -25,6 +25,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    FunnelCompletionOp,
     FunnelSequenceOp,
     NarrowOp,
     FacetOp,
@@ -2144,6 +2145,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         "session_count",
         "new_activity_metrics",
         "funnel_sequence",
+        "funnel_completion",
     ):
         p.expect(TokenKind.LPAREN, "'('")
 
@@ -2252,6 +2254,76 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 start=start,
                 end=end,
                 bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "funnel_completion":
+
+            def _paren_list(what: str, kinds, conv):
+                p.expect(TokenKind.COMMA, "','")
+                p.expect(TokenKind.LPAREN, "'('")
+                vals = []
+                while True:
+                    t = p.take()
+                    if t.kind not in kinds:
+                        raise ParseError(
+                            f"funnel_completion: expected a {what}"
+                            " literal",
+                            t.span,
+                        )
+                    vals.append(conv(t))
+                    nt = p.take()
+                    if nt.kind is TokenKind.RPAREN:
+                        return vals
+                    if nt.kind is not TokenKind.COMMA:
+                        raise ParseError(
+                            f"funnel_completion: expected ',' or ')'"
+                            f" in the {what} list",
+                            nt.span,
+                        )
+
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            state_col = _ident_arg("the state column")
+            states = _paren_list(
+                "string", (TokenKind.STRING,), lambda t: t.value
+            )
+
+            def _ts_usec(t):
+                if t.kind is TokenKind.TIMESPAN:
+                    return int(t.value)
+                from .functions import _duration_usec
+
+                return _duration_usec(t.value, t.span)
+
+            windows = _paren_list(
+                "timespan",
+                (TokenKind.TIMESPAN, TokenKind.STRING),
+                _ts_usec,
+            )
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if not states:
+                raise ParseError(
+                    "funnel_completion: the sequence must have at"
+                    " least one state",
+                    plugin.span,
+                )
+            if not windows or any(w <= 0 for w in windows):
+                raise ParseError(
+                    "funnel_completion: windows must be positive",
+                    plugin.span,
+                )
+            return FunnelCompletionOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                state_col=state_col,
+                states=states,
+                windows_usec=windows,
                 span=Span(kw.span.start, rp.span.end),
             )
         if plugin.value == "funnel_sequence":
@@ -2527,7 +2599,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             " ipv6_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"
             " activity_counts_metrics, session_count,"
-            " new_activity_metrics, funnel_sequence)",
+            " new_activity_metrics, funnel_sequence,"
+            " funnel_completion)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -61,6 +61,7 @@ from .ast_nodes import (
     NewActivityMetricsOp,
     MakeGraphOp,
     GraphMatchOp,
+    FunnelCompletionOp,
     FunnelSequenceOp,
     MakeSeriesOp,
     MvApplyOp,
@@ -292,6 +293,27 @@ def _sql_mask6(hx: str, prefix: str) -> str:
         f" AND {m}.h IS NOT NULL THEN"
         f" array_join(transform(sequence(0, 31),"
         f" {i} -> {nib}), '') END)"
+    )
+    return _sql_let(f"named_struct('h', {hx}, 'p', {prefix})", m, body)
+
+
+def _sql_prefix_key6(hx: str, prefix: str) -> str:
+    """Text twin of functions._ipv6_prefix_key: first ⌊p/4⌋ nibbles +
+    one partially-masked nibble — the cheap ipv6_lookup join key."""
+    m = "__i6pk"
+    q = f"CAST(floor({m}.p / 4) AS INT)"
+    r = f"CAST({m}.p - CAST(floor({m}.p / 4) AS BIGINT) * 4 AS INT)"
+    scale = f"power(2.0D, CAST(4 - {r} AS DOUBLE))"
+    nib = (
+        "lower(conv(CAST(CAST(floor("
+        f"conv(substring({m}.h, {q} + 1, 1), 16, 10)"
+        f" / {scale}) * {scale} AS INT) AS STRING), 10, 16))"
+    )
+    body = (
+        f"(CASE WHEN {m}.p BETWEEN 0 AND 128"
+        f" AND {m}.h IS NOT NULL THEN"
+        f" concat(substring({m}.h, 1, {q}),"
+        f" CASE WHEN {r} > 0 THEN {nib} ELSE '' END) END)"
     )
     return _sql_let(f"named_struct('h', {hx}, 'p', {prefix})", m, body)
 
@@ -1000,6 +1022,77 @@ class _SqlEmitter:
                 " GROUP BY prev, next"
             )
             return sql, ["prev", "next", "dcount"]
+        if isinstance(op, FunnelCompletionOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            state = op.state_col.parts[0]
+            for name, ident in (
+                (ts, op.ts_col), (idc, op.id_col),
+                (state, op.state_col),
+            ):
+                if name not in cols:
+                    raise ParseError(
+                        f"funnel_completion: unknown column {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            base = (
+                f"SELECT {_q(idc)} AS __fc_id,"
+                f" {_q(state)} AS __fc_state, {t} AS __fc_t"
+                f" FROM ({sql}) AS {_q('__fc_b')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            chain = (
+                "SELECT __fc_id, min(__fc_t) AS __t1,"
+                " min(__fc_t) AS __tj"
+                f" FROM ({base}) AS {_q('__fc_c1')}"
+                f" WHERE __fc_state = {_qs(op.states[0])}"
+                " GROUP BY __fc_id"
+            )
+            spans = [
+                f"SELECT 1 AS step, {_qs(op.states[0])} AS state,"
+                f" CAST(0 AS BIGINT) AS __span FROM ({chain})"
+                f" AS {_q('__fc_s1')}"
+            ]
+            for j, s in enumerate(op.states[1:], start=2):
+                chain = (
+                    "SELECT b.__fc_id, c.__t1,"
+                    " min(b.__fc_t) AS __tj"
+                    f" FROM ({base}) AS b"
+                    f" JOIN ({chain}) AS c ON b.__fc_id = c.__fc_id"
+                    f" WHERE b.__fc_state = {_qs(s)}"
+                    " AND b.__fc_t >= c.__tj"
+                    " GROUP BY b.__fc_id, c.__t1"
+                )
+                spans.append(
+                    f"SELECT {j} AS step, {_qs(s)} AS state,"
+                    " __tj - __t1 AS __span"
+                    f" FROM ({chain}) AS {_q(f'__fc_s{j}')}"
+                )
+            allspans = " UNION ALL ".join(f"({s})" for s in spans)
+            wcols = ", ".join(
+                f"count(CASE WHEN __span <= {int(w)} THEN 1 END)"
+                f" AS {_q(f'__w{i}')}"
+                for i, w in enumerate(op.windows_usec)
+            )
+            wide = (
+                f"SELECT step, state, {wcols} FROM ({allspans})"
+                f" AS {_q('__fc_all')} GROUP BY step, state"
+            )
+            stack_args = ", ".join(
+                f"{int(w)}L, {_q(f'__w{i}')}"
+                for i, w in enumerate(op.windows_usec)
+            )
+            sql = (
+                "SELECT step, state,"
+                f" stack({len(op.windows_usec)}, {stack_args})"
+                " AS (period, dcount)"
+                f" FROM ({wide}) AS {_q('__fc_w')}"
+            )
+            return sql, ["step", "state", "period", "dcount"]
         if isinstance(op, SessionCountOp):
             ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
             for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
@@ -1611,7 +1704,7 @@ class _SqlEmitter:
         if op.v6:
             base = _sql_hex32(_sql_slash_addr(_q(range_name)))
             pfx = _sql_range_prefix6(_q(range_name))
-            rmask = _sql_mask6(base, pfx)
+            rmask = _sql_prefix_key6(base, pfx)
         else:
             rng = f"split({_q(range_name)}, '/')"
             base = _sql_ip_long(f"try_element_at({rng}, 1)")
@@ -1640,7 +1733,7 @@ class _SqlEmitter:
                 f"(SELECT *, {_sql_hex32(_q(ip_name))} AS {_q(CANON)}"
                 f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
             )
-            lkey = _sql_mask6(
+            lkey = _sql_prefix_key6(
                 f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
             )
         else:
