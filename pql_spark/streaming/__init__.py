@@ -22,6 +22,8 @@ from .pipeline import (
     stream_sequence_detect,
     stream_parquet_table,
     stream_upsert_to_parquet,
+    stream_upsert_to_table,
+    merge_upsert_sql,
     stateful_user_counts,
     windowed_agg,
     write_stream_parquet,
@@ -39,6 +41,8 @@ __all__ = [
     "stream_sequence_detect",
     "stream_parquet_table",
     "stream_upsert_to_parquet",
+    "stream_upsert_to_table",
+    "merge_upsert_sql",
     "stateful_user_counts",
     "windowed_agg",
     "write_stream_parquet",

@@ -178,3 +178,28 @@ def test_cluster_by_tightens_file_stats(spark, tmp_path):
         assert hi1 < lo2
     # each file covers ~1/8 of the key space, not the whole range
     assert all(hi - lo < 3000 for lo, hi in spans)
+
+
+def test_merge_upsert_sql_shape():
+    from pql_spark.streaming import merge_upsert_sql
+
+    sql = merge_upsert_sql("lake.events_cur", "batchv", ["user_id", "day"])
+    assert sql.startswith("MERGE INTO lake.events_cur t USING `batchv` s ON ")
+    assert "t.`user_id` = s.`user_id`" in sql
+    assert "t.`day` = s.`day`" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+
+def test_stream_upsert_to_table_requires_runtime(spark):
+    """No Delta/Iceberg runtime in this container: the sink must be an
+    HONEST capability boundary, not a silent parquet fallback."""
+    import pytest as _pytest
+
+    from pql_spark.streaming import stream_upsert_to_table
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(NotImplementedError, match="Delta or Iceberg"):
+        stream_upsert_to_table(stream, "lake.t", keys=["value"])
