@@ -94,11 +94,25 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(r) for r in res.fetchall()]
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = [tuple(r) for r in rel.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        # HUGEINT guard: DuckDB widens BIGINT arithmetic/window sums to
+        # int128, which the driver's value hash treats differently from
+        # Spark's long even when the numbers match (the exact failure
+        # class behind the 2-round-red pql_activity_metrics) — the
+        # numeric normalization below would HIDE it, so flag it here
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t.upper()]
+        if huge:
+            print(
+                f"FAIL  {name}: oracle returns HUGEINT column(s)"
+                f" {huge} — CAST(... AS BIGINT) in the oracle SQL"
+            )
             failures.append(name)
             continue
         sc, sr = _normalize(scols, srows)
