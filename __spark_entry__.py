@@ -4241,6 +4241,68 @@ def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crossdoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring duplication stats (Lee et al.
+    2021): injected near-copies share long token runs with their
+    originals, so the merged-span coverage is non-trivial.  The DuckDB
+    twin keys grams by their STRING (exact) where Spark uses xxhash64
+    — identical results absent a 2⁻⁶⁴ hash collision."""
+    base = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 500
+    )
+    xtra = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    out = X.cross_doc_dup_spans(
+        base.unionByName(xtra), gram_k=13
+    )
+    # no rounding: both engines divide the SAME integer pair, so the
+    # doubles are bit-identical — rounding could only introduce a
+    # cross-engine tie-break hazard
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_token_frac"
+    ).orderBy("doc_id")
+
+
+_CROSSDOC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+  FROM documents WHERE doc_id < 50
+),
+t AS (SELECT doc_id, {_WORDS} AS toks FROM base),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+12], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 13 + 2)) AS u(i)
+  WHERE len(toks) >= 13),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING min(doc_id) != max(doc_id)),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.gram = dup.gram),
+s AS (
+  SELECT doc_id, pos,
+         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+  FROM m),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN gap IS NULL THEN 13
+                  WHEN gap >= 13 THEN 13 ELSE gap END) AS dup_tokens,
+         sum(CASE WHEN gap IS NULL OR gap >= 13 THEN 1 ELSE 0 END)
+             AS n_spans
+  FROM s GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+           / greatest(len(t.toks), 1) AS dup_token_frac
+FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline (each stage oracle-checked on its own
     driver entry; the composition is a rows-only check)."""
@@ -4300,7 +4362,7 @@ _CHECK_FIRST = [
     "pql_series_stats_fit",
     # 4. this round's new operators, gated for the first time:
     "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
-    "op_knn_skew", "pql_funnel_completion",
+    "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4315,7 +4377,7 @@ _CHECK_FIRST = [
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_arg_agg", "pql_bin_hourly", "pql_in_family",
+    "pql_arg_agg", "pql_bin_hourly",
 ]
 
 
@@ -4376,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
             "op_line_dedup": _q_line_dedup,
+            "op_crossdoc_dedup": _q_crossdoc_dedup,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
@@ -4447,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
             "op_line_dedup": _LINE_DEDUP_ORACLE,
+            "op_crossdoc_dedup": _CROSSDOC_ORACLE,
             "op_importance_weights": _DSIR_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check

@@ -58,6 +58,7 @@ from .similarity import (
 from .temporal import asof_join, range_join
 from .text import (
     chunk_documents,
+    cross_doc_dup_spans,
     dedup_lines,
     dedup_lines_corpus,
     doc_fingerprint,
@@ -78,6 +79,7 @@ from .text import (
 __all__ = [
     "asof_join",
     "chunk_documents",
+    "cross_doc_dup_spans",
     "dedup_lines",
     "dedup_lines_corpus",
     "cosine_topk",

@@ -820,3 +820,109 @@ def dedup_lines_corpus(
         .filter(F.col("n_lines_kept") > 0)
         .select(id_col, text_col, "n_lines_kept", "n_lines_removed")
     )
+
+
+def cross_doc_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 13,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication stats — the
+    suffix-array dedup signal of Lee et al. 2021 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as pure relational algebra: a token position is
+    duplicated iff the ``gram_k``-token gram starting there also
+    occurs in ANOTHER document; overlapping duplicated grams merge
+    into spans.
+
+    Returns one row per input document:
+    ``(id, n_tokens, dup_tokens, n_spans, dup_token_frac)`` —
+    ``dup_tokens`` is the number of token positions covered by merged
+    duplicated spans, the quantity Lee et al. cut from training sets.
+
+    Plan shape (no UDFs, no folds, three shuffles):
+    1. posexplode the per-doc gram array (hashed to 64-bit via
+       ``xxhash64`` — at 13-token grams collisions are ~n²/2⁶⁴,
+       negligible vs the sampling noise of any dedup decision);
+    2. grams held by ≥ 2 DISTINCT docs — partial-aggregated
+       groupBy(gram), so hot boilerplate grams combine map-side;
+    3. hash-join positions against the duplicated-gram keys (one row
+       per gram key on the build side);
+    4. per-doc interval merge WITHOUT a fold: every interval is the
+       same length ``gram_k``, so with positions sorted a new span
+       starts iff ``pos − lag(pos) ≥ gram_k`` and the incremental
+       token coverage is ``least(gram_k, pos − lag(pos))`` — one
+       window over (id, pos), gaps-and-islands style.
+
+    At 100 TB step 2's distinct-doc count is the only superlinear
+    risk (a gram in millions of docs); ``count_distinct`` over two
+    values short-circuits poorly, so we aggregate ``min(id) ≠
+    max(id)`` instead — constant-size state per gram regardless of
+    how hot the gram is.
+    """
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        idc,
+        F.coalesce(F.size(toks), F.lit(0)).alias("__n_toks"),
+        toks.alias("__toks"),
+    )
+    m = F.size(F.col("__toks"))
+    gram_arr = F.when(
+        m >= F.lit(gram_k),
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(gram_k) + F.lit(1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i, gram_k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select(
+        idc, F.posexplode(gram_arr).alias("__pos", "__g")
+    )
+    dup_keys = (
+        grams.groupBy("__g")
+        .agg(
+            (F.min(idc) != F.max(idc)).alias("__multi")
+        )
+        .filter(F.col("__multi"))
+        .select("__g")
+    )
+    marked = grams.join(dup_keys, "__g").select(idc, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    gap = F.col("__pos") - F.lag("__pos").over(w)
+    stats = (
+        marked.select(
+            idc,
+            F.coalesce(
+                F.least(gap, F.lit(gram_k)), F.lit(gram_k)
+            ).alias("__cover"),
+            F.when(
+                gap.isNull() | (gap >= gram_k), F.lit(1)
+            ).otherwise(F.lit(0)).alias("__new_span"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cover").alias("dup_tokens"),
+            F.sum("__new_span").alias("n_spans"),
+        )
+    )
+    return (
+        base.select(idc, F.col("__n_toks").alias("n_tokens"))
+        .join(stats, id_col, "left")
+        .select(
+            idc,
+            F.col("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias(
+                "dup_tokens"
+            ),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("dup_token_frac"),
+        )
+    )
