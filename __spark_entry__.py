@@ -4303,6 +4303,63 @@ ORDER BY t.doc_id
 """
 
 
+def _q_scrub_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style cross-doc substring scrub: lowest-id owner
+    keeps each duplicated run, everyone else loses the covered
+    tokens.  Text compared by md5 fingerprint (identical rebuild rule
+    in DuckDB: kept tokens joined by single spaces)."""
+    base = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    xtra = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    out = X.scrub_cross_doc_dups(
+        base.unionByName(xtra), gram_k=13
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_fp"),
+        "n_tokens_kept",
+        "n_tokens_removed",
+    ).orderBy("doc_id")
+
+
+_SCRUB_CROSSDOC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+  FROM documents WHERE doc_id < 50
+),
+t AS (SELECT doc_id, {_WORDS} AS toks FROM base),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+12], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 13 + 2)) AS u(i)
+  WHERE len(toks) >= 13),
+own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram
+        HAVING min(doc_id) != max(doc_id)),
+sp AS (SELECT DISTINCT g.doc_id, g.pos + u.j AS p
+       FROM g JOIN own ON g.gram = own.gram
+                      AND g.doc_id != own.owner,
+            unnest(range(0, 13)) AS u(j)),
+spl AS (SELECT doc_id, list(p) AS ps FROM sp GROUP BY doc_id),
+k AS (SELECT t.doc_id,
+        CASE WHEN s.ps IS NULL THEN t.toks
+             ELSE [t.toks[i + 1] FOR i IN range(0, len(t.toks))
+                   IF NOT list_contains(s.ps, i)]
+        END AS kept,
+        coalesce(len(s.ps), 0) AS removed
+      FROM t LEFT JOIN spl s ON t.doc_id = s.doc_id)
+SELECT doc_id, md5(array_to_string(kept, ' ')) AS text_fp,
+       CAST(len(kept) AS INT) AS n_tokens_kept,
+       CAST(removed AS INT) AS n_tokens_removed
+FROM k WHERE len(kept) > 0 ORDER BY doc_id
+"""
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline (each stage oracle-checked on its own
     driver entry; the composition is a rows-only check)."""
@@ -4363,6 +4420,7 @@ _CHECK_FIRST = [
     # 4. this round's new operators, gated for the first time:
     "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
     "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
+    "op_scrub_crossdoc",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4377,7 +4435,7 @@ _CHECK_FIRST = [
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_arg_agg", "pql_bin_hourly",
+    "pql_arg_agg",
 ]
 
 
@@ -4439,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lm_score": _q_lm_score,
             "op_line_dedup": _q_line_dedup,
             "op_crossdoc_dedup": _q_crossdoc_dedup,
+            "op_scrub_crossdoc": _q_scrub_crossdoc,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
         }
     )
@@ -4511,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
             "op_lm_score": _LM_SCORE_ORACLE,
             "op_line_dedup": _LINE_DEDUP_ORACLE,
             "op_crossdoc_dedup": _CROSSDOC_ORACLE,
+            "op_scrub_crossdoc": _SCRUB_CROSSDOC_ORACLE,
             "op_importance_weights": _DSIR_ORACLE,
             # op_lsh_topk / op_multimodal_features: intentionally no oracle
             # (approximate result set / binary payloads) → rows-only check

@@ -65,6 +65,7 @@ from .text import (
     language_id,
     quality_score,
     redact_pii,
+    scrub_cross_doc_dups,
     repetition_stats,
     shingle_rows,
     token_stats,
@@ -112,6 +113,7 @@ __all__ = [
     "quantized_topk",
     "range_join",
     "redact_pii",
+    "scrub_cross_doc_dups",
     "repetition_stats",
     "shingle_rows",
     "semantic_dedup",

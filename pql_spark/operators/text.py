@@ -926,3 +926,103 @@ def cross_doc_dup_spans(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def scrub_cross_doc_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 13,
+) -> DataFrame:
+    """Remove cross-document duplicated substrings, keeping ONE owner
+    copy — the treatment Lee et al. 2021 (arXiv:2107.06499) apply to
+    training sets, with a deterministic owner rule: each duplicated
+    gram is owned by the LOWEST doc id holding it; every token
+    position covered by a non-owned duplicated gram is scrubbed, the
+    owner keeps its copy.  Output is one row per input doc:
+    ``(id, text, n_tokens_kept, n_tokens_removed)`` with ``text``
+    rebuilt from the kept tokens of the NORMALIZED form (lowercased,
+    whitespace-collapsed — the same canon every dedup operator here
+    keys on; a byte-exact splice would need original offsets, which
+    tokenization discards).  Docs scrubbed to zero tokens disappear,
+    like C4's empty-doc drop.
+
+    Plan: the :func:`cross_doc_dup_spans` candidate machinery (gram
+    posexplode → min/max-per-gram aggregate → hash join) except the
+    per-gram aggregate also carries the owner (``min(id)``); non-owned
+    gram hits explode to their ``gram_k`` covered positions (bounded
+    by dup density, not corpus size), then one per-doc groupBy
+    rebuilds the text from kept positions — no UDFs, no windows over
+    hot keys.
+    """
+    idc = F.col(id_col)
+    toks = tokens(F.col(text_col))
+    base = df.select(idc, toks.alias("__toks")).filter(
+        F.col("__toks").isNotNull()
+    )
+    m = F.size(F.col("__toks"))
+    gram_arr = F.when(
+        m >= F.lit(gram_k),
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(gram_k) + F.lit(1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i, gram_k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select(
+        idc, F.posexplode(gram_arr).alias("__pos", "__g")
+    )
+    owners = (
+        grams.groupBy("__g")
+        .agg(F.min(idc).alias("__owner"), F.max(idc).alias("__mx"))
+        .filter(F.col("__owner") != F.col("__mx"))
+        .select("__g", "__owner")
+    )
+    # non-owned duplicated gram hits → the k positions they cover
+    scrub_pos = (
+        grams.join(owners, "__g")
+        .filter(idc != F.col("__owner"))
+        .select(
+            idc,
+            F.explode(
+                F.sequence(
+                    F.col("__pos"), F.col("__pos") + F.lit(gram_k - 1)
+                )
+            ).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__scrub"))
+    )
+    rebuilt = (
+        base.join(scrub_pos, id_col, "left")
+        .select(
+            idc,
+            F.col("__toks"),
+            F.coalesce(
+                F.col("__scrub"), F.array().cast("array<int>")
+            ).alias("__scrub"),
+        )
+        .select(
+            idc,
+            F.filter(
+                F.transform(
+                    F.col("__toks"),
+                    lambda t, i: F.when(
+                        ~F.array_contains(F.col("__scrub"), i), t
+                    ),
+                ),
+                lambda t: t.isNotNull(),
+            ).alias("__kept"),
+            F.size(F.col("__scrub")).alias("n_tokens_removed"),
+        )
+    )
+    return (
+        rebuilt.select(
+            idc,
+            F.array_join(F.col("__kept"), " ").alias(text_col),
+            F.size(F.col("__kept")).alias("n_tokens_kept"),
+            F.col("n_tokens_removed"),
+        )
+        .filter(F.col("n_tokens_kept") > 0)
+    )
