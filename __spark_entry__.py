@@ -3554,7 +3554,13 @@ def _q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
     )
-    root = Path(tempfile.mkdtemp(prefix="pql_curate_stream_"))
+    shm = Path("/dev/shm")
+    root = Path(
+        tempfile.mkdtemp(
+            prefix="pql_curate_stream_",
+            dir=str(shm) if shm.is_dir() else None,
+        )
+    )
     try:
         src = root / "src"
         src.mkdir()
