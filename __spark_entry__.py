@@ -2021,6 +2021,44 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY 1, 2 ORDER BY prev, next
         """,
     ),
+    # EXTENSION `evaluate activity_engagement` (KQL plugin): per-bin
+    # DAU/MAU stickiness — bounded explode to the outer windows each
+    # row participates in, one (bin,id) flag dedup, one conditional
+    # count; identical generate_series math in DuckDB
+    "pql_activity_engagement": (
+        """
+        events
+        | evaluate activity_engagement(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 1d, 7d)
+        | sort by ts asc
+        """,
+        """
+        WITH b AS (
+          SELECT user_id AS id,
+                 epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS u
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        e AS (
+          SELECT id, kk.k AS k,
+                 CAST(floor(u / 86400000000.0) AS BIGINT) AS kin
+          FROM b, unnest(generate_series(
+               greatest(0, CAST(floor((u - 86400000000)
+                                      / 86400000000.0) AS BIGINT) + 1),
+               least(30, CAST(floor((u + 604800000000 - 86400000000)
+                                    / 86400000000.0) AS BIGINT))
+             )) AS kk(k)),
+        p AS (SELECT k, id,
+                     max(CASE WHEN kin = k THEN 1 ELSE 0 END) AS inn
+              FROM e GROUP BY k, id)
+        SELECT make_timestamp(epoch_us(TIMESTAMP '2024-01-01')
+                              + k * 86400000000) AS ts,
+               CAST(sum(inn) AS BIGINT) AS dcount_activities_inner,
+               CAST(count(*) AS BIGINT) AS dcount_activities_outer,
+               CAST(sum(inn) AS DOUBLE) / count(*) AS activity_ratio
+        FROM p GROUP BY k ORDER BY ts
+        """,
+    ),
     # EXTENSION `evaluate funnel_completion` (simplified KQL
     # funnel_sequence_completion): greedy-earliest anchored chains per
     # id, counted per (step, max-window) — k−1 keyed min-aggregations
@@ -4426,7 +4464,7 @@ _CHECK_FIRST = [
     # 4. this round's new operators, gated for the first time:
     "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
     "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
-    "op_scrub_crossdoc",
+    "op_scrub_crossdoc", "pql_activity_engagement",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4441,7 +4479,6 @@ _CHECK_FIRST = [
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_arg_agg",
 ]
 
 

@@ -795,6 +795,32 @@ class SessionCountOp(Op):
 
 
 @dataclass
+class ActivityEngagementOp(Op):
+    """``evaluate activity_engagement(IdCol, TimelineCol, Start, End,
+    InnerActivityWindow, OuterActivityWindow)`` (EXTENSION, KQL
+    plugin): per inner-window bin ``t_k`` in [Start, End), the DAU/MAU
+    stickiness triple — distinct ids active in ``[t_k, t_k+inner)``,
+    distinct ids active in the trailing
+    ``[t_k+inner−outer, t_k+inner)``, and their ratio.  Output:
+    ``ts, dcount_activities_inner, dcount_activities_outer,
+    activity_ratio``.
+
+    Plan shape: each activity row explodes to the ≤ outer/inner bins
+    whose OUTER window contains it (bounded constant fan-out, the
+    sliding_window_counts trick) carrying an is-inner flag, then one
+    groupBy(bin, id) max-flag dedup and one groupBy(bin) conditional
+    count — no per-bin rescans, no self-join, linear in
+    rows × (outer/inner) at any scale."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    inner_usec: int
+    outer_usec: int
+
+
+@dataclass
 class FunnelCompletionOp(Op):
     """``evaluate funnel_completion(IdCol, TimelineCol, Start, End,
     StateCol, ("s1", …, "sk"), (w1, …, wm))`` (EXTENSION, simplified

@@ -71,6 +71,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    ActivityEngagementOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
     MakeSeriesOp,
@@ -883,6 +884,8 @@ class Compiler:
             return self._funnel_sequence(df, op, env)
         if isinstance(op, FunnelCompletionOp):
             return self._funnel_completion(df, op, env)
+        if isinstance(op, ActivityEngagementOp):
+            return self._activity_engagement(df, op, env)
         if isinstance(op, NewActivityMetricsOp):
             return self._new_activity_metrics(df, op, env)
         if isinstance(op, MakeGraphOp):
@@ -1522,6 +1525,81 @@ class Compiler:
             marked.filter(F.col("__fs_state") == F.col("__fs_step"))
             .groupBy("prev", "next")
             .agg(F.count_distinct(F.col("__fs_id")).alias("dcount"))
+        )
+
+    def _activity_engagement(
+        self, df: DataFrame, op: ActivityEngagementOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate activity_engagement``: DAU/MAU stickiness per
+        inner-window bin.  Each row explodes to the ≤ outer/inner bins
+        whose OUTER window contains it (is-inner flagged), then ONE
+        groupBy(bin, id) flag-max dedup + ONE groupBy(bin) conditional
+        count — the sliding_window_counts shape; no per-bin rescans."""
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"activity_engagement: unknown column {name!r}",
+                    ident.span,
+                )
+        inner = F.lit(op.inner_usec).cast("long")
+        outer = F.lit(op.outer_usec).cast("long")
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        # u = t - start ≥ 0 (range filter); bin k's OUTER window is
+        # [k*inner + inner - outer, k*inner + inner) around u, so
+        # k ∈ (u/inner − 1, (u + outer − inner)/inner]; the row's
+        # INNER bin is exactly k = floor(u/inner)
+        u = t - start
+        nbins = F.floor((end - start) / inner).cast("long")
+        k_in = F.floor(u / inner).cast("long")
+        k0 = F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((u - inner) / inner).cast("long") + 1,
+        )
+        k1 = F.least(
+            nbins - 1,
+            F.floor((u + outer - inner) / inner).cast("long"),
+        )
+        ks = F.when(k0 <= k1, F.sequence(k0, k1))
+        exploded = (
+            df.filter((t >= start) & (t < end))
+            .select(
+                F.col(_q(idc)).alias("__ae_id"),
+                start.alias("__ae_start"),
+                k_in.alias("__ae_kin"),
+                F.explode(ks).alias("__ae_k"),
+            )
+        )
+        per_id = exploded.groupBy("__ae_k", "__ae_id").agg(
+            F.max(
+                (F.col("__ae_kin") == F.col("__ae_k")).cast("int")
+            ).alias("__ae_inn"),
+            F.first("__ae_start").alias("__ae_start"),
+        )
+        return (
+            per_id.groupBy("__ae_k")
+            .agg(
+                F.first("__ae_start").alias("__ae_start"),
+                F.sum("__ae_inn").alias("dcount_activities_inner"),
+                F.count(F.lit(1)).alias("dcount_activities_outer"),
+            )
+            .select(
+                F.timestamp_micros(
+                    F.col("__ae_start")
+                    + F.col("__ae_k") * F.lit(op.inner_usec)
+                ).alias(ts),
+                F.col("dcount_activities_inner"),
+                F.col("dcount_activities_outer"),
+                (
+                    F.col("dcount_activities_inner").cast("double")
+                    / F.col("dcount_activities_outer")
+                ).alias("activity_ratio"),
+            )
         )
 
     def _funnel_completion(

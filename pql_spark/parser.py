@@ -25,6 +25,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    ActivityEngagementOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
     NarrowOp,
@@ -2146,6 +2147,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         "new_activity_metrics",
         "funnel_sequence",
         "funnel_completion",
+        "activity_engagement",
     ):
         p.expect(TokenKind.LPAREN, "'('")
 
@@ -2254,6 +2256,31 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 start=start,
                 end=end,
                 bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "activity_engagement":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            inner = _timespan_arg("InnerActivityWindow")
+            outer = _timespan_arg("OuterActivityWindow")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if inner <= 0 or outer < inner:
+                raise ParseError(
+                    "activity_engagement: need"
+                    " 0 < InnerActivityWindow <= OuterActivityWindow",
+                    plugin.span,
+                )
+            return ActivityEngagementOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                inner_usec=inner,
+                outer_usec=outer,
                 span=Span(kw.span.start, rp.span.end),
             )
         if plugin.value == "funnel_completion":
@@ -2600,7 +2627,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             " rows_near, sliding_window_counts, rolling_percentile,"
             " activity_counts_metrics, session_count,"
             " new_activity_metrics, funnel_sequence,"
-            " funnel_completion)",
+            " funnel_completion, activity_engagement)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -61,6 +61,7 @@ from .ast_nodes import (
     NewActivityMetricsOp,
     MakeGraphOp,
     GraphMatchOp,
+    ActivityEngagementOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
     MakeSeriesOp,
@@ -1022,6 +1023,66 @@ class _SqlEmitter:
                 " GROUP BY prev, next"
             )
             return sql, ["prev", "next", "dcount"]
+        if isinstance(op, ActivityEngagementOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"activity_engagement: unknown column"
+                        f" {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            i, o = str(op.inner_usec), str(op.outer_usec)
+            u = f"({t} - {start})"
+            nbins = f"CAST(floor(({end} - {start}) / {i}) AS BIGINT)"
+            k0 = (
+                "greatest(CAST(0 AS BIGINT),"
+                f" CAST(floor(({u} - {i}) / {i}) AS BIGINT) + 1)"
+            )
+            k1 = (
+                f"least({nbins} - 1,"
+                f" CAST(floor(({u} + {o} - {i}) / {i}) AS BIGINT))"
+            )
+            kin = f"CAST(floor({u} / {i}) AS BIGINT)"
+            base = (
+                f"SELECT {start} AS __ae_start,"
+                f" {_q(idc)} AS __ae_id, {kin} AS __ae_kin,"
+                f" CASE WHEN {k0} <= {k1} THEN sequence({k0}, {k1})"
+                f" END AS __ae_ks"
+                f" FROM ({sql}) AS {_q('__ae_t')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            per_id = (
+                "SELECT __ae_k, __ae_id,"
+                " max(CASE WHEN __ae_kin = __ae_k THEN 1 ELSE 0 END)"
+                " AS __ae_inn,"
+                " first(__ae_start) AS __ae_start"
+                f" FROM ({base}) AS {_q('__ae_e')}"
+                " LATERAL VIEW explode(__ae_ks) __ae_s AS __ae_k"
+                " GROUP BY __ae_k, __ae_id"
+            )
+            sql = (
+                "SELECT"
+                f" timestamp_micros(first(__ae_start) + __ae_k * {i})"
+                f" AS {_q(ts)},"
+                " sum(__ae_inn) AS dcount_activities_inner,"
+                " count(*) AS dcount_activities_outer,"
+                " CAST(sum(__ae_inn) AS DOUBLE) / count(*)"
+                " AS activity_ratio"
+                f" FROM ({per_id}) AS {_q('__ae_g')}"
+                " GROUP BY __ae_k"
+            )
+            return sql, [
+                ts,
+                "dcount_activities_inner",
+                "dcount_activities_outer",
+                "activity_ratio",
+            ]
         if isinstance(op, FunnelCompletionOp):
             ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
             state = op.state_col.parts[0]
