@@ -2500,6 +2500,57 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY "SegmentCount" DESC, event_type, vb
         """,
     ),
+    # EXTENSION `evaluate diffpatterns` (simplified KQL): cohort-diff
+    # segment mining — one CUBE, two conditional counts, window totals
+    # off the all-wildcard row; identical CUBE twin in DuckDB (counts
+    # CAST from DuckDB's HUGEINT sums)
+    "pql_diffpatterns": (
+        """
+        events
+        | extend coh = iff(user_id % 2 == 0, "A", "B"),
+                 vb = iff(value >= 250.0, "high", "low")
+        | evaluate diffpatterns(coh, "A", "B", 0.05, event_type, vb)
+        | sort by event_type asc, vb asc
+        """,
+        """
+        WITH e AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                     AS coh,
+                 event_type,
+                 CASE WHEN coalesce(value >= 250.0, FALSE)
+                      THEN 'high' ELSE 'low' END AS vb
+          FROM events),
+        c AS (
+          SELECT sum(CASE WHEN coh = 'A' THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN coh = 'B' THEN 1 ELSE 0 END) AS cb,
+                 CAST(GROUPING(event_type) AS INT)
+                 + CAST(GROUPING(vb) AS INT) AS gsum,
+                 CASE WHEN GROUPING(event_type) = 1 THEN '*'
+                      ELSE coalesce(CAST(event_type AS VARCHAR),
+                                    '(null)') END AS event_type,
+                 CASE WHEN GROUPING(vb) = 1 THEN '*'
+                      ELSE coalesce(CAST(vb AS VARCHAR), '(null)')
+                 END AS vb
+          FROM e GROUP BY CUBE (event_type, vb)),
+        p AS (
+          SELECT ca, cb,
+                 round(ca * 100.0 / greatest(
+                   max(CASE WHEN gsum = 2 THEN ca END) OVER (), 1),
+                   2) AS pa,
+                 round(cb * 100.0 / greatest(
+                   max(CASE WHEN gsum = 2 THEN cb END) OVER (), 1),
+                   2) AS pb,
+                 gsum, event_type, vb
+          FROM c)
+        SELECT CAST(ca AS BIGINT) AS CountA,
+               CAST(cb AS BIGINT) AS CountB,
+               pa AS PercentA, pb AS PercentB,
+               round(abs(pa - pb), 2) AS PercentDiff,
+               event_type, vb
+        FROM p WHERE gsum < 2 AND round(abs(pa - pb), 2) >= 0.05
+        ORDER BY event_type, vb
+        """,
+    ),
     # EXTENSION series_fir + series_seasonal over make-series arrays
     # EXTENSION series_fft: DFT energy checked via the Parseval
     # identity — Σ|X[k]|² = n·Σx², which the oracle computes directly
@@ -4465,6 +4516,7 @@ _CHECK_FIRST = [
     "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
     "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
     "op_scrub_crossdoc", "pql_activity_engagement",
+    "pql_diffpatterns",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4478,7 +4530,7 @@ _CHECK_FIRST = [
     "pql_project_away", "pql_lookup", "pql_parse_op", "pql_search_op",
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
-    "pql_datatable", "pql_string_preds", "pql_serialize_window",
+    "pql_datatable", "pql_string_preds",
 ]
 
 

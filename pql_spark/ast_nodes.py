@@ -610,6 +610,29 @@ class AutoclusterOp(Op):
 
 
 @dataclass
+class DiffPatternsOp(Op):
+    """``evaluate diffpatterns(SplitCol, "A", "B"[, minDiffPercent]
+    [, C1, …])`` (EXTENSION, simplified KQL diffpatterns): mine the
+    attribute-combination segments whose SHARE differs most between
+    the two cohorts ``SplitCol == "A"`` vs ``"B"`` — the A/B
+    investigation operator (alert storm vs baseline, canary vs
+    control).  Output per surviving pattern: ``CountA, CountB,
+    PercentA, PercentB, PercentDiff`` + the pattern columns with ``*``
+    wildcards.  One native CUBE with two conditional counts (single
+    shuffle, partial-aggregated); per-cohort totals from the cube's
+    own all-wildcard row via a window over the tiny aggregate.
+    Divergence from KQL (like autocluster/basket): threshold on
+    ``|PercentA − PercentB| ≥ minDiffPercent`` (default 5),
+    deterministic, oracle-checkable — not the proprietary scoring."""
+
+    split_col: Ident
+    value_a: str
+    value_b: str
+    cols: list[Ident]
+    min_diff: float
+
+
+@dataclass
 class Ipv4LookupOp(Op):
     """``evaluate ipv4_lookup(LookupTable, SourceIpCol, RangeCol
     [, return_unmatched])`` (EXTENSION, KQL ipv4_lookup plugin):

@@ -90,6 +90,7 @@ from .ast_nodes import (
     RangeSource,
     SampleOp,
     AutoclusterOp,
+    DiffPatternsOp,
     InvokeOp,
     ConsumeOp,
     ReduceOp,
@@ -786,6 +787,8 @@ class Compiler:
             return self._sequence_detect(df, op, env)
         if isinstance(op, AutoclusterOp):
             return self._autocluster(df, op)
+        if isinstance(op, DiffPatternsOp):
+            return self._diffpatterns(df, op)
         if isinstance(op, InvokeOp):
             fd = self.let_funcs.get(op.name)
             if fd is None or fd.tab_body is None:
@@ -2534,6 +2537,105 @@ class Compiler:
                 for i in range(n)
             ],
         )
+
+    def _diffpatterns(self, df: DataFrame, op: DiffPatternsOp) -> DataFrame:
+        """``evaluate diffpatterns``: cohort-diff segment mining — ONE
+        native CUBE with two conditional counts (single shuffle);
+        per-cohort totals read off the cube's all-wildcard row via a
+        window over the (tiny) aggregated result, same device as
+        ``_autocluster``."""
+        from pyspark.sql import Window
+
+        split = op.split_col.parts[0]
+        if split not in df.columns:
+            raise ParseError(
+                f"diffpatterns: unknown split column {split!r}",
+                op.split_col.span,
+            )
+        if op.cols:
+            names = [c.parts[0] for c in op.cols]
+            for c, n in zip(op.cols, names):
+                if n not in df.columns:
+                    raise ParseError(
+                        f"diffpatterns: unknown column {n!r}", c.span
+                    )
+        else:  # default: every string column except the split
+            names = [
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+                and f.name != split
+            ]
+            if not names:
+                raise ParseError(
+                    "diffpatterns: no string columns to mine"
+                    " (list columns explicitly)",
+                    op.span,
+                )
+        if len(names) > 6:
+            raise ParseError(
+                f"diffpatterns: at most 6 columns (got {len(names)};"
+                " the cube grows 2^k)",
+                op.span,
+            )
+        k = len(names)
+        sc = F.col(_q(split)).cast("string")
+        ca = F.sum(
+            F.when(sc == op.value_a, 1).otherwise(0)
+        ).alias("CountA")
+        cb = F.sum(
+            F.when(sc == op.value_b, 1).otherwise(0)
+        ).alias("CountB")
+        pats = [
+            F.when(
+                F.grouping(_q(n)) == 1, F.lit("*")
+            ).otherwise(
+                F.coalesce(F.col(_q(n)).cast("string"), F.lit("(null)"))
+            )
+            for n in names
+        ]
+        agg = df.cube(*[F.col(_q(n)) for n in names]).agg(
+            ca,
+            cb,
+            sum(
+                (F.grouping(_q(n)).cast("int") for n in names),
+                F.lit(0),
+            ).alias("__gsum"),
+            *[p.alias(f"__p_{n}") for n, p in zip(names, pats)],
+        )
+        w = Window.partitionBy()
+        tot_a = F.max(
+            F.when(F.col("__gsum") == k, F.col("CountA"))
+        ).over(w)
+        tot_b = F.max(
+            F.when(F.col("__gsum") == k, F.col("CountB"))
+        ).over(w)
+        pa = F.round(
+            F.col("CountA") * 100.0 / F.greatest(tot_a, F.lit(1)), 2
+        )
+        pb = F.round(
+            F.col("CountB") * 100.0 / F.greatest(tot_b, F.lit(1)), 2
+        )
+        out = (
+            agg.withColumn("PercentA", pa)
+            .withColumn("PercentB", pb)
+            .withColumn(
+                "PercentDiff",
+                F.round(F.abs(F.col("PercentA") - F.col("PercentB")), 2),
+            )
+            .filter(
+                (F.col("__gsum") < k)
+                & (F.col("PercentDiff") >= op.min_diff)
+            )
+            .select(
+                "CountA",
+                "CountB",
+                "PercentA",
+                "PercentB",
+                "PercentDiff",
+                *[F.col(f"__p_{n}").alias(n) for n in names],
+            )
+        )
+        return out
 
     def _autocluster(self, df: DataFrame, op: AutoclusterOp) -> DataFrame:
         """``evaluate autocluster/basket``: one native CUBE aggregation

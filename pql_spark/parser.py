@@ -26,6 +26,7 @@ from .ast_nodes import (
     GraphEdge,
     GraphMatchOp,
     ActivityEngagementOp,
+    DiffPatternsOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
     NarrowOp,
@@ -2528,6 +2529,63 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             v6=pname == "ipv6_lookup",
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value == "diffpatterns":
+        p.expect(TokenKind.LPAREN, "'('")
+        sp = p.take()
+        if sp.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError(
+                "diffpatterns: expected the split column name", sp.span
+            )
+        split_col = Ident(
+            parts=[sp.value],
+            quoted=[sp.kind is TokenKind.QIDENT],
+            span=sp.span,
+        )
+
+        def _str_arg(what: str) -> str:
+            p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind is not TokenKind.STRING:
+                raise ParseError(
+                    f"diffpatterns: expected a string literal for"
+                    f" {what}",
+                    t.span,
+                )
+            return t.value
+
+        value_a = _str_arg("the A split value")
+        value_b = _str_arg("the B split value")
+        min_diff = 5.0
+        dcols: list[Ident] = []
+        first_opt = True
+        while p.match(TokenKind.COMMA):
+            t = p.take()
+            if first_opt and t.kind is TokenKind.NUMBER:
+                min_diff = float(t.value)
+            elif t.kind in (TokenKind.IDENT, TokenKind.QIDENT):
+                dcols.append(
+                    Ident(
+                        parts=[t.value],
+                        quoted=[t.kind is TokenKind.QIDENT],
+                        span=t.span,
+                    )
+                )
+            else:
+                raise ParseError(
+                    "diffpatterns: expected a percent literal or"
+                    " column name",
+                    t.span,
+                )
+            first_opt = False
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return DiffPatternsOp(
+            split_col=split_col,
+            value_a=value_a,
+            value_b=value_b,
+            cols=dcols,
+            min_diff=min_diff,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value in ("autocluster", "basket"):
         p.expect(TokenKind.LPAREN, "'('")
         min_percent = 5.0
@@ -2622,7 +2680,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         raise ParseError(
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
-            " sequence_detect, autocluster, basket, ipv4_lookup,"
+            " sequence_detect, autocluster, basket, diffpatterns,"
+            " ipv4_lookup,"
             " ipv6_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"
             " activity_counts_metrics, session_count,"

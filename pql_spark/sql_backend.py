@@ -80,6 +80,7 @@ from .ast_nodes import (
     RangeSource,
     SampleOp,
     AutoclusterOp,
+    DiffPatternsOp,
     ConsumeOp,
     ReduceOp,
     SequenceDetectOp,
@@ -1310,6 +1311,85 @@ class _SqlEmitter:
                     out.append(name)
                     items.append(item)
             return f"SELECT {', '.join(items)} FROM {inner}", out
+        if isinstance(op, DiffPatternsOp):
+            split = op.split_col.parts[0]
+            if split not in cols:
+                raise ParseError(
+                    f"diffpatterns: unknown split column {split!r}",
+                    op.split_col.span,
+                )
+            if not op.cols:
+                raise ParseError(
+                    "diffpatterns: list the columns explicitly in the"
+                    " SQL backend (no schema to pick string columns"
+                    " from)",
+                    op.span,
+                )
+            names = [c.parts[0] for c in op.cols]
+            for c, n in zip(op.cols, names):
+                if n not in cols:
+                    raise ParseError(
+                        f"diffpatterns: unknown column {n!r}", c.span
+                    )
+            if len(names) > 6:
+                raise ParseError(
+                    f"diffpatterns: at most 6 columns"
+                    f" (got {len(names)})",
+                    op.span,
+                )
+            k = len(names)
+            sc = f"CAST({_q(split)} AS STRING)"
+            ca = (
+                f"sum(CASE WHEN {sc} = {_qs(op.value_a)} THEN 1"
+                " ELSE 0 END)"
+            )
+            cb = (
+                f"sum(CASE WHEN {sc} = {_qs(op.value_b)} THEN 1"
+                " ELSE 0 END)"
+            )
+            gsum = " + ".join(
+                f"CAST(grouping({_q(n)}) AS INT)" for n in names
+            )
+            pats = ", ".join(
+                f"CASE WHEN grouping({_q(n)}) = 1 THEN '*'"
+                f" ELSE coalesce(CAST({_q(n)} AS STRING), '(null)') END"
+                f" AS {_q('__p_' + n)}"
+                for n in names
+            )
+            cube = (
+                f"SELECT {ca} AS `CountA`, {cb} AS `CountB`,"
+                f" {gsum} AS `__gsum`, {pats} FROM ({sql})"
+                f" AS {_q('__dp_t')}"
+                f" GROUP BY CUBE ({', '.join(_q(n) for n in names)})"
+            )
+
+            def pct(c: str) -> str:
+                return (
+                    f"round(CAST(`{c}` AS DOUBLE) * 100.0D /"
+                    " greatest(max(CASE WHEN `__gsum` ="
+                    f" {k} THEN `{c}` END) OVER (), 1), 2)"
+                )
+
+            mid = (
+                f"SELECT `CountA`, `CountB`, {pct('CountA')} AS"
+                f" `PercentA`, {pct('CountB')} AS `PercentB`,"
+                f" `__gsum`,"
+                f" {', '.join(_q('__p_' + n) for n in names)}"
+                f" FROM ({cube})"
+            )
+            outer_cols = ", ".join(
+                f"{_q('__p_' + n)} AS {_q(n)}" for n in names
+            )
+            return (
+                "SELECT `CountA`, `CountB`, `PercentA`, `PercentB`,"
+                " round(abs(`PercentA` - `PercentB`), 2) AS"
+                f" `PercentDiff`, {outer_cols}"
+                f" FROM ({mid}) WHERE `__gsum` < {k}"
+                " AND round(abs(`PercentA` - `PercentB`), 2) >="
+                f" {op.min_diff!r}",
+                ["CountA", "CountB", "PercentA", "PercentB",
+                 "PercentDiff", *names],
+            )
         if isinstance(op, AutoclusterOp):
             if not op.cols:
                 raise ParseError(
