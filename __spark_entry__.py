@@ -2021,6 +2021,37 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY 1, 2 ORDER BY prev, next
         """,
     ),
+    # EXTENSION `evaluate active_users_count` (simplified KQL plugin):
+    # engaged ids per bin (active in ≥ MinActivePeriods distinct
+    # trailing periods) — distinct (id, period) first, bounded explode,
+    # two groupBys; identical generate_series math in DuckDB
+    "pql_active_users_count": (
+        """
+        events
+        | evaluate active_users_count(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 1d, 7, 3)
+        | sort by ts asc
+        """,
+        """
+        WITH a AS (
+          SELECT DISTINCT user_id AS id,
+                 CAST(floor((epoch_us(ts)
+                             - epoch_us(TIMESTAMP '2024-01-01'))
+                            / 86400000000.0) AS BIGINT) AS p
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01'
+            AND ts < TIMESTAMP '2024-02-01'),
+        e AS (SELECT id, kk.k AS k
+              FROM a, unnest(generate_series(p, least(p + 6, 30)))
+                   AS kk(k)),
+        g AS (SELECT k, id FROM e GROUP BY k, id
+              HAVING count(*) >= 3)
+        SELECT make_timestamp(epoch_us(TIMESTAMP '2024-01-01')
+                              + k * 86400000000) AS ts,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM g GROUP BY k ORDER BY ts
+        """,
+    ),
     # EXTENSION `evaluate activity_engagement` (KQL plugin): per-bin
     # DAU/MAU stickiness — bounded explode to the outer windows each
     # row participates in, one (bin,id) flag dedup, one conditional
@@ -4516,7 +4547,7 @@ _CHECK_FIRST = [
     "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
     "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
     "op_scrub_crossdoc", "pql_activity_engagement",
-    "pql_diffpatterns",
+    "pql_diffpatterns", "pql_active_users_count",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4530,7 +4561,7 @@ _CHECK_FIRST = [
     "pql_project_away", "pql_lookup", "pql_parse_op", "pql_search_op",
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
-    "pql_datatable", "pql_string_preds",
+    "pql_datatable",
 ]
 
 

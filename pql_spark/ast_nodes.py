@@ -818,6 +818,31 @@ class SessionCountOp(Op):
 
 
 @dataclass
+class ActiveUsersCountOp(Op):
+    """``evaluate active_users_count(IdCol, TimelineCol, Start, End,
+    Period, LookbackPeriods, MinActivePeriods)`` (EXTENSION,
+    simplified KQL plugin): per period-aligned bin in [Start, End),
+    the number of ENGAGED ids — ids active in at least
+    ``MinActivePeriods`` DISTINCT periods among the trailing
+    ``LookbackPeriods`` periods ending at the bin.  The anti-bot /
+    habitual-user retention metric (one burst ≠ engagement).
+
+    Plan shape: ONE distinct over (id, period) — far smaller than the
+    fact rows — then each (id, period) explodes to the ≤ Lookback
+    bins it can count toward (bounded constant), one groupBy(bin, id)
+    count, one filtered groupBy(bin) — no per-bin rescans, no
+    self-joins, linear in distinct activity × Lookback."""
+
+    id_col: Ident
+    ts_col: Ident
+    start: Expr
+    end: Expr
+    period_usec: int
+    lookback_periods: int
+    min_periods: int
+
+
+@dataclass
 class ActivityEngagementOp(Op):
     """``evaluate activity_engagement(IdCol, TimelineCol, Start, End,
     InnerActivityWindow, OuterActivityWindow)`` (EXTENSION, KQL

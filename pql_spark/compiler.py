@@ -71,6 +71,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    ActiveUsersCountOp,
     ActivityEngagementOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
@@ -889,6 +890,8 @@ class Compiler:
             return self._funnel_completion(df, op, env)
         if isinstance(op, ActivityEngagementOp):
             return self._activity_engagement(df, op, env)
+        if isinstance(op, ActiveUsersCountOp):
+            return self._active_users_count(df, op, env)
         if isinstance(op, NewActivityMetricsOp):
             return self._new_activity_metrics(df, op, env)
         if isinstance(op, MakeGraphOp):
@@ -1528,6 +1531,78 @@ class Compiler:
             marked.filter(F.col("__fs_state") == F.col("__fs_step"))
             .groupBy("prev", "next")
             .agg(F.count_distinct(F.col("__fs_id")).alias("dcount"))
+        )
+
+    def _active_users_count(
+        self, df: DataFrame, op: ActiveUsersCountOp, env: _Env
+    ) -> DataFrame:
+        """``evaluate active_users_count``: engaged ids per bin —
+        distinct (id, period) first (the small relation), bounded
+        explode to the ≤ Lookback bins each active period counts
+        toward, one groupBy(bin, id) count ≥ MinActivePeriods, one
+        groupBy(bin) count."""
+        ts = op.ts_col.parts[0]
+        idc = op.id_col.parts[0]
+        for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+            if name not in df.columns:
+                raise ParseError(
+                    f"active_users_count: unknown column {name!r}",
+                    ident.span,
+                )
+        per = F.lit(op.period_usec).cast("long")
+        look = op.lookback_periods
+        t = F.unix_micros(F.col(_q(ts)).cast("timestamp"))
+        start = F.unix_micros(
+            self.compile_expr(op.start, env).cast("timestamp")
+        )
+        end = F.unix_micros(self.compile_expr(op.end, env).cast("timestamp"))
+        nbins = F.floor((end - start) / per).cast("long")
+        p = F.floor((t - start) / per).cast("long")
+        active = (
+            df.filter((t >= start) & (t < end))
+            .select(
+                F.col(_q(idc)).alias("__au_id"),
+                start.alias("__au_start"),
+                p.alias("__au_p"),
+            )
+            .distinct()
+        )
+        # active period p counts toward bins k in [p, p+look-1]
+        ks = F.sequence(
+            F.col("__au_p"),
+            F.least(
+                F.col("__au_p") + F.lit(look - 1),
+                F.col("__nbins") - 1,
+            ),
+        )
+        exploded = active.withColumn(
+            "__nbins", nbins
+        ).select(
+            "__au_id",
+            "__au_start",
+            F.explode(ks).alias("__au_k"),
+        )
+        engaged = (
+            exploded.groupBy("__au_k", "__au_id")
+            .agg(
+                F.count(F.lit(1)).alias("__au_n"),
+                F.first("__au_start").alias("__au_start"),
+            )
+            .filter(F.col("__au_n") >= op.min_periods)
+        )
+        return (
+            engaged.groupBy("__au_k")
+            .agg(
+                F.first("__au_start").alias("__au_start"),
+                F.count(F.lit(1)).alias("active_users"),
+            )
+            .select(
+                F.timestamp_micros(
+                    F.col("__au_start")
+                    + F.col("__au_k") * F.lit(op.period_usec)
+                ).alias(ts),
+                F.col("active_users"),
+            )
         )
 
     def _activity_engagement(

@@ -25,6 +25,7 @@ from .ast_nodes import (
     MakeGraphOp,
     GraphEdge,
     GraphMatchOp,
+    ActiveUsersCountOp,
     ActivityEngagementOp,
     DiffPatternsOp,
     FunnelCompletionOp,
@@ -2149,6 +2150,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
         "funnel_sequence",
         "funnel_completion",
         "activity_engagement",
+        "active_users_count",
     ):
         p.expect(TokenKind.LPAREN, "'('")
 
@@ -2257,6 +2259,40 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 start=start,
                 end=end,
                 bin_usec=binw,
+                span=Span(kw.span.start, rp.span.end),
+            )
+        if plugin.value == "active_users_count":
+            id_col = _ident_arg("the id column", first=True)
+            ts_col = _ident_arg("the timeline column")
+            p.expect(TokenKind.COMMA, "','")
+            start = p.parse_expr()
+            p.expect(TokenKind.COMMA, "','")
+            end = p.parse_expr()
+            period = _timespan_arg("Period")
+            look = _number_arg("LookbackPeriods")
+            minp = _number_arg("MinActivePeriods")
+            rp = p.expect(TokenKind.RPAREN, "')'")
+            if period <= 0:
+                raise ParseError(
+                    "active_users_count: Period must be positive",
+                    plugin.span,
+                )
+            if (look != int(look) or minp != int(minp)
+                    or int(look) < 1 or int(minp) < 1
+                    or int(minp) > int(look)):
+                raise ParseError(
+                    "active_users_count: need integer"
+                    " 1 <= MinActivePeriods <= LookbackPeriods",
+                    plugin.span,
+                )
+            return ActiveUsersCountOp(
+                id_col=id_col,
+                ts_col=ts_col,
+                start=start,
+                end=end,
+                period_usec=period,
+                lookback_periods=int(look),
+                min_periods=int(minp),
                 span=Span(kw.span.start, rp.span.end),
             )
         if plugin.value == "activity_engagement":
@@ -2686,7 +2722,8 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             " rows_near, sliding_window_counts, rolling_percentile,"
             " activity_counts_metrics, session_count,"
             " new_activity_metrics, funnel_sequence,"
-            " funnel_completion, activity_engagement)",
+            " funnel_completion, activity_engagement,"
+            " active_users_count)",
             plugin.span,
         )
     p.expect(TokenKind.LPAREN, "'('")

@@ -61,6 +61,7 @@ from .ast_nodes import (
     NewActivityMetricsOp,
     MakeGraphOp,
     GraphMatchOp,
+    ActiveUsersCountOp,
     ActivityEngagementOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
@@ -1024,6 +1025,54 @@ class _SqlEmitter:
                 " GROUP BY prev, next"
             )
             return sql, ["prev", "next", "dcount"]
+        if isinstance(op, ActiveUsersCountOp):
+            ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
+            for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
+                if name not in cols:
+                    raise ParseError(
+                        f"active_users_count: unknown column"
+                        f" {name!r}",
+                        ident.span,
+                    )
+            start = (
+                f"unix_micros(CAST({self.expr(op.start)} AS TIMESTAMP))"
+            )
+            end = f"unix_micros(CAST({self.expr(op.end)} AS TIMESTAMP))"
+            t = f"unix_micros(CAST({_q(ts)} AS TIMESTAMP))"
+            per = str(op.period_usec)
+            look = op.lookback_periods
+            nbins = f"CAST(floor(({end} - {start}) / {per}) AS BIGINT)"
+            p = f"CAST(floor(({t} - {start}) / {per}) AS BIGINT)"
+            active = (
+                f"SELECT DISTINCT {_q(idc)} AS __au_id,"
+                f" {start} AS __au_start, {p} AS __au_p,"
+                f" {nbins} AS __au_nb"
+                f" FROM ({sql}) AS {_q('__au_t')}"
+                f" WHERE {t} >= {start} AND {t} < {end}"
+            )
+            exploded = (
+                "SELECT __au_id, __au_start, __au_k"
+                f" FROM ({active}) AS {_q('__au_a')}"
+                " LATERAL VIEW explode(sequence(__au_p,"
+                f" least(__au_p + {look - 1}, __au_nb - 1)))"
+                " __au_s AS __au_k"
+            )
+            engaged = (
+                "SELECT __au_k, __au_id, count(1) AS __au_n,"
+                " first(__au_start) AS __au_start"
+                f" FROM ({exploded}) AS {_q('__au_e')}"
+                " GROUP BY __au_k, __au_id"
+                f" HAVING count(1) >= {op.min_periods}"
+            )
+            sql = (
+                "SELECT"
+                f" timestamp_micros(first(__au_start) + __au_k * {per})"
+                f" AS {_q(ts)},"
+                " count(1) AS active_users"
+                f" FROM ({engaged}) AS {_q('__au_g')}"
+                " GROUP BY __au_k"
+            )
+            return sql, [ts, "active_users"]
         if isinstance(op, ActivityEngagementOp):
             ts, idc = op.ts_col.parts[0], op.id_col.parts[0]
             for name, ident in ((ts, op.ts_col), (idc, op.id_col)):
