@@ -1958,21 +1958,60 @@ class Compiler:
         self._alias_counter += 1
         la, ra = f"__pql_l{n}", f"__pql_r{n}"
         PAIR = "__pql_ip_pair"
-        if pfx_vals:
-            pfx_arr = F.array(
-                *[F.lit(int(p)).cast("long") for p in pfx_vals]
-            )
-        else:  # no valid CIDR in the lookup → nothing can match
-            pfx_arr = F.array().cast("array<bigint>")
-        pairs = pf._let_bind(
-            parse_ip(F.col(_q(ip_name))),
-            lambda ipl: F.transform(
-                pfx_arr,
-                lambda p: F.struct(
-                    p.alias("p"), mask_ip(ipl, p).alias("k")
+        if op.v6 and pfx_vals:
+            # the prefixes are compile-time INTS here, so emit a STATIC
+            # key expression per prefix instead of the generic masked
+            # key over a runtime prefix: substr with literal bounds +
+            # at most one conv, no per-key let-bind wrapper — the
+            # generic form cost ~2.3 µs interpreted per (row, prefix),
+            # which dominated the whole lookup at sf1 (17 s → ~4 s)
+            def _static_key6(ipl: Column, p: int) -> Column:
+                q_, r_ = divmod(int(p), 4)
+                head = F.substring(ipl, 1, q_)
+                if r_ == 0:
+                    return head
+                scale = 1 << (4 - r_)
+                v = F.conv(
+                    F.substring(ipl, q_ + 1, 1), 16, 10
+                ).cast("int")
+                nib = F.lower(
+                    F.conv(
+                        ((v - F.pmod(v, F.lit(scale)))
+                         .cast("string")),
+                        10,
+                        16,
+                    )
+                )
+                return F.concat(head, nib)
+
+            pairs = pf._let_bind(
+                parse_ip(F.col(_q(ip_name))),
+                lambda ipl: F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(p)).cast("long").alias("p"),
+                            _static_key6(ipl, int(p)).alias("k"),
+                        )
+                        for p in pfx_vals
+                    ]
                 ),
-            ),
-        )
+            )
+        else:
+            if pfx_vals:
+                pfx_arr = F.array(
+                    *[F.lit(int(p)).cast("long") for p in pfx_vals]
+                )
+            else:  # no valid CIDR in the lookup → nothing can match
+                pfx_arr = F.array().cast("array<bigint>")
+            pairs = pf._let_bind(
+                parse_ip(F.col(_q(ip_name))),
+                lambda ipl: F.transform(
+                    pfx_arr,
+                    lambda p: F.struct(
+                        p.alias("p"), mask_ip(ipl, p).alias("k")
+                    ),
+                ),
+            )
         cand = (
             src.select("*", F.explode(pairs).alias(PAIR))
             .withColumn(P, F.col(f"{_q(PAIR)}.p"))
