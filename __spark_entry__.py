@@ -2582,6 +2582,39 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY event_type, vb
         """,
     ),
+    # EXTENSION `evaluate diffpatterns_text` (simplified KQL): token
+    # cohort diff over documents — one explode + one token groupBy,
+    # cohort totals broadcast back; DuckDB twin with the same
+    # normalization (HUGEINT sums CAST)
+    "pql_diffpatterns_text": (
+        """
+        documents
+        | evaluate diffpatterns_text(lang, "en", "de", text, 2)
+        | sort by token asc
+        """,
+        r"""
+        WITH base AS (
+          SELECT CAST(lang = 'en' AS INT) AS a,
+                 CAST(lang = 'de' AS INT) AS b,
+                 list_distinct(string_split(trim(regexp_replace(
+                     lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+          FROM documents WHERE lang IN ('en', 'de')),
+        tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM base),
+        tok AS (SELECT t.token, sum(a) AS ca, sum(b) AS cb
+                FROM base, unnest(toks) AS t(token)
+                WHERE t.token != '' GROUP BY t.token),
+        p AS (SELECT token, ca, cb,
+                round(ca * 100.0 / greatest(ta, 1), 2) AS pa,
+                round(cb * 100.0 / greatest(tb, 1), 2) AS pb
+              FROM tok, tot)
+        SELECT token, CAST(ca AS BIGINT) AS CountA,
+               CAST(cb AS BIGINT) AS CountB,
+               pa AS PercentA, pb AS PercentB,
+               round(abs(pa - pb), 2) AS PercentDiff
+        FROM p WHERE round(abs(pa - pb), 2) >= 2
+        ORDER BY token
+        """,
+    ),
     # EXTENSION series_fir + series_seasonal over make-series arrays
     # EXTENSION series_fft: DFT energy checked via the Parseval
     # identity — Σ|X[k]|² = n·Σx², which the oracle computes directly
@@ -4548,6 +4581,7 @@ _CHECK_FIRST = [
     "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
     "op_scrub_crossdoc", "pql_activity_engagement",
     "pql_diffpatterns", "pql_active_users_count",
+    "pql_diffpatterns_text",
     # 5. oldest evidence — last hashed in round 1:
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
@@ -4561,7 +4595,6 @@ _CHECK_FIRST = [
     "pql_project_away", "pql_lookup", "pql_parse_op", "pql_search_op",
     "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
     "pql_top_nested", "pql_range_source", "pql_agg_family",
-    "pql_datatable",
 ]
 
 

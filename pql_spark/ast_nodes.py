@@ -633,6 +633,31 @@ class DiffPatternsOp(Op):
 
 
 @dataclass
+class DiffPatternsTextOp(Op):
+    """``evaluate diffpatterns_text(SplitCol, "A", "B", TextCol
+    [, minDiffPercent])`` (EXTENSION, simplified KQL
+    diffpatterns_text): the TOKENS whose row-coverage differs most
+    between the two cohorts — "what words appear in the failing
+    logs that don't appear in the passing ones".  Output per
+    surviving token: ``token, CountA, CountB, PercentA, PercentB,
+    PercentDiff`` where PercentX = % of cohort-X rows containing the
+    token.
+
+    Plan: per-row DISTINCT token array (narrow), one explode + one
+    groupBy(token) with two conditional counts (partial-aggregated —
+    hot stopwords combine map-side), cohort totals broadcast-joined
+    back from a 1-row aggregate.  Same deterministic
+    ``|PercentA − PercentB| ≥ threshold`` refinement as
+    ``diffpatterns`` (default 5)."""
+
+    split_col: Ident
+    value_a: str
+    value_b: str
+    text_col: Ident
+    min_diff: float
+
+
+@dataclass
 class Ipv4LookupOp(Op):
     """``evaluate ipv4_lookup(LookupTable, SourceIpCol, RangeCol
     [, return_unmatched])`` (EXTENSION, KQL ipv4_lookup plugin):

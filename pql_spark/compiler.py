@@ -92,6 +92,7 @@ from .ast_nodes import (
     SampleOp,
     AutoclusterOp,
     DiffPatternsOp,
+    DiffPatternsTextOp,
     InvokeOp,
     ConsumeOp,
     ReduceOp,
@@ -790,6 +791,8 @@ class Compiler:
             return self._autocluster(df, op)
         if isinstance(op, DiffPatternsOp):
             return self._diffpatterns(df, op)
+        if isinstance(op, DiffPatternsTextOp):
+            return self._diffpatterns_text(df, op)
         if isinstance(op, InvokeOp):
             fd = self.let_funcs.get(op.name)
             if fd is None or fd.tab_body is None:
@@ -2750,6 +2753,79 @@ class Compiler:
             )
         )
         return out
+
+    def _diffpatterns_text(
+        self, df: DataFrame, op: DiffPatternsTextOp
+    ) -> DataFrame:
+        """``evaluate diffpatterns_text``: token-level cohort diff —
+        per-row DISTINCT tokens (narrow), one explode + one
+        groupBy(token) with two conditional counts (hot stopwords
+        partial-aggregate map-side), cohort row totals broadcast back
+        from a 1-row aggregate.  No CUBE (single attribute), no
+        per-token rescans."""
+        split = op.split_col.parts[0]
+        text = op.text_col.parts[0]
+        for name, ident in (
+            (split, op.split_col), (text, op.text_col)
+        ):
+            if name not in df.columns:
+                raise ParseError(
+                    f"diffpatterns_text: unknown column {name!r}",
+                    ident.span,
+                )
+        from .operators.text import tokens
+
+        sc = F.col(_q(split)).cast("string")
+        is_a = (sc == op.value_a).cast("int")
+        is_b = (sc == op.value_b).cast("int")
+        base = df.select(
+            is_a.alias("__dpt_a"),
+            is_b.alias("__dpt_b"),
+            F.array_distinct(tokens(F.col(_q(text)))).alias("__dpt_t"),
+        ).filter((F.col("__dpt_a") == 1) | (F.col("__dpt_b") == 1))
+        totals = base.agg(
+            F.sum("__dpt_a").alias("__tot_a"),
+            F.sum("__dpt_b").alias("__tot_b"),
+        )
+        tok = (
+            base.select(
+                "__dpt_a",
+                "__dpt_b",
+                F.explode("__dpt_t").alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(
+                F.sum("__dpt_a").alias("CountA"),
+                F.sum("__dpt_b").alias("CountB"),
+            )
+        )
+        joined = tok.crossJoin(F.broadcast(totals))
+        pa = F.round(
+            F.col("CountA") * 100.0
+            / F.greatest(F.col("__tot_a"), F.lit(1)),
+            2,
+        )
+        pb = F.round(
+            F.col("CountB") * 100.0
+            / F.greatest(F.col("__tot_b"), F.lit(1)),
+            2,
+        )
+        return (
+            joined.withColumn("PercentA", pa)
+            .withColumn("PercentB", pb)
+            .withColumn(
+                "PercentDiff",
+                F.round(
+                    F.abs(F.col("PercentA") - F.col("PercentB")), 2
+                ),
+            )
+            .filter(F.col("PercentDiff") >= op.min_diff)
+            .select(
+                "token", "CountA", "CountB",
+                "PercentA", "PercentB", "PercentDiff",
+            )
+        )
 
     def _autocluster(self, df: DataFrame, op: AutoclusterOp) -> DataFrame:
         """``evaluate autocluster/basket``: one native CUBE aggregation

@@ -28,6 +28,7 @@ from .ast_nodes import (
     ActiveUsersCountOp,
     ActivityEngagementOp,
     DiffPatternsOp,
+    DiffPatternsTextOp,
     FunnelCompletionOp,
     FunnelSequenceOp,
     NarrowOp,
@@ -2565,6 +2566,63 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             v6=pname == "ipv6_lookup",
             span=Span(kw.span.start, rp.span.end),
         )
+    if plugin.value == "diffpatterns_text":
+        p.expect(TokenKind.LPAREN, "'('")
+        sp = p.take()
+        if sp.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError(
+                "diffpatterns_text: expected the split column name",
+                sp.span,
+            )
+        split_col = Ident(
+            parts=[sp.value],
+            quoted=[sp.kind is TokenKind.QIDENT],
+            span=sp.span,
+        )
+
+        def _str_arg2(what: str) -> str:
+            p.expect(TokenKind.COMMA, "','")
+            t = p.take()
+            if t.kind is not TokenKind.STRING:
+                raise ParseError(
+                    f"diffpatterns_text: expected a string literal"
+                    f" for {what}",
+                    t.span,
+                )
+            return t.value
+
+        value_a = _str_arg2("the A split value")
+        value_b = _str_arg2("the B split value")
+        p.expect(TokenKind.COMMA, "','")
+        tc = p.take()
+        if tc.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError(
+                "diffpatterns_text: expected the text column name",
+                tc.span,
+            )
+        text_col = Ident(
+            parts=[tc.value],
+            quoted=[tc.kind is TokenKind.QIDENT],
+            span=tc.span,
+        )
+        min_diff = 5.0
+        if p.match(TokenKind.COMMA):
+            t = p.take()
+            if t.kind is not TokenKind.NUMBER:
+                raise ParseError(
+                    "diffpatterns_text: expected a percent literal",
+                    t.span,
+                )
+            min_diff = float(t.value)
+        rp = p.expect(TokenKind.RPAREN, "')'")
+        return DiffPatternsTextOp(
+            split_col=split_col,
+            value_a=value_a,
+            value_b=value_b,
+            text_col=text_col,
+            min_diff=min_diff,
+            span=Span(kw.span.start, rp.span.end),
+        )
     if plugin.value == "diffpatterns":
         p.expect(TokenKind.LPAREN, "'('")
         sp = p.take()
@@ -2717,6 +2775,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
             f"unknown evaluate plugin {plugin.value!r}"
             " (supported: pivot, bag_unpack, narrow,"
             " sequence_detect, autocluster, basket, diffpatterns,"
+            " diffpatterns_text,"
             " ipv4_lookup,"
             " ipv6_lookup,"
             " rows_near, sliding_window_counts, rolling_percentile,"

@@ -82,6 +82,7 @@ from .ast_nodes import (
     SampleOp,
     AutoclusterOp,
     DiffPatternsOp,
+    DiffPatternsTextOp,
     ConsumeOp,
     ReduceOp,
     SequenceDetectOp,
@@ -1360,6 +1361,69 @@ class _SqlEmitter:
                     out.append(name)
                     items.append(item)
             return f"SELECT {', '.join(items)} FROM {inner}", out
+        if isinstance(op, DiffPatternsTextOp):
+            split = op.split_col.parts[0]
+            text = op.text_col.parts[0]
+            for name, ident in (
+                (split, op.split_col), (text, op.text_col)
+            ):
+                if name not in cols:
+                    raise ParseError(
+                        f"diffpatterns_text: unknown column {name!r}",
+                        ident.span,
+                    )
+            sc = f"CAST({_q(split)} AS STRING)"
+            toks = (
+                "array_distinct(split(trim(regexp_replace(lower("
+                f"{_q(text)}), '\\\\s+', ' ')), ' '))"
+            )
+            base = (
+                f"SELECT CAST({sc} = {_qs(op.value_a)} AS INT)"
+                " AS __dpt_a,"
+                f" CAST({sc} = {_qs(op.value_b)} AS INT) AS __dpt_b,"
+                f" {toks} AS __dpt_t"
+                f" FROM ({sql}) AS {_q('__dpt_s')}"
+                " WHERE CAST("
+                f"{sc} = {_qs(op.value_a)} AS INT) = 1"
+                f" OR CAST({sc} = {_qs(op.value_b)} AS INT) = 1"
+            )
+            totals = (
+                "SELECT sum(__dpt_a) AS __tot_a,"
+                " sum(__dpt_b) AS __tot_b"
+                f" FROM ({base}) AS {_q('__dpt_tt')}"
+            )
+            tok = (
+                "SELECT token, sum(__dpt_a) AS `CountA`,"
+                " sum(__dpt_b) AS `CountB`"
+                f" FROM ({base}) AS {_q('__dpt_e')}"
+                " LATERAL VIEW explode(__dpt_t) __dpt_x AS token"
+                " WHERE token != '' GROUP BY token"
+            )
+
+            def pct(c: str, t: str) -> str:
+                return (
+                    f"round(CAST(`{c}` AS DOUBLE) * 100.0D /"
+                    f" greatest({t}, 1), 2)"
+                )
+
+            mid = (
+                f"SELECT token, `CountA`, `CountB`,"
+                f" {pct('CountA', '__tot_a')} AS `PercentA`,"
+                f" {pct('CountB', '__tot_b')} AS `PercentB`"
+                f" FROM ({tok}) AS {_q('__dpt_k')}"
+                f" CROSS JOIN ({totals}) AS {_q('__dpt_n')}"
+            )
+            return (
+                "SELECT token, `CountA`, `CountB`, `PercentA`,"
+                " `PercentB`,"
+                " round(abs(`PercentA` - `PercentB`), 2)"
+                " AS `PercentDiff`"
+                f" FROM ({mid}) AS {_q('__dpt_f')}"
+                " WHERE round(abs(`PercentA` - `PercentB`), 2) >="
+                f" {op.min_diff!r}",
+                ["token", "CountA", "CountB", "PercentA", "PercentB",
+                 "PercentDiff"],
+            )
         if isinstance(op, DiffPatternsOp):
             split = op.split_col.parts[0]
             if split not in cols:
