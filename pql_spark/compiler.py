@@ -1999,21 +1999,35 @@ class Compiler:
                     ]
                 ),
             )
-        else:
-            if pfx_vals:
-                pfx_arr = F.array(
-                    *[F.lit(int(p)).cast("long") for p in pfx_vals]
-                )
-            else:  # no valid CIDR in the lookup → nothing can match
-                pfx_arr = F.array().cast("array<bigint>")
+        elif pfx_vals:
+            # same static-per-prefix trick for v4: the prefixes are
+            # compile-time ints (all in 0..32 — out-of-range CIDRs were
+            # filtered by the RKEY notNull gate), so each key is ONE
+            # codegen'd `shiftrightunsigned` with a literal bit count
+            # instead of the interpreted-HOF floor(v / pow(2, 32-p))
+            # the generic `ipv4_masked` needs for a runtime prefix;
+            # `v >>> (32-p)` on a uint32-as-long is equality-identical
+            def _static_key4(ipl: Column, p: int) -> Column:
+                if p >= 32:
+                    return ipl
+                return F.shiftrightunsigned(ipl, 32 - int(p))
+
             pairs = pf._let_bind(
                 parse_ip(F.col(_q(ip_name))),
-                lambda ipl: F.transform(
-                    pfx_arr,
-                    lambda p: F.struct(
-                        p.alias("p"), mask_ip(ipl, p).alias("k")
-                    ),
+                lambda ipl: F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(p)).cast("long").alias("p"),
+                            _static_key4(ipl, int(p)).alias("k"),
+                        )
+                        for p in pfx_vals
+                    ]
                 ),
+            )
+        else:  # no valid CIDR in the lookup → nothing can match
+            ktype = "string" if op.v6 else "bigint"
+            pairs = F.array().cast(
+                f"array<struct<p:bigint,k:{ktype}>>"
             )
         cand = (
             src.select("*", F.explode(pairs).alias(PAIR))

@@ -1991,10 +1991,15 @@ class _SqlEmitter:
                 f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
             )
         else:
-            left_src = f"({left_sql})"
+            # fact-side uint32 parse computed once per row too (the
+            # v4 twin of the v6 canon subquery) — only the cheap
+            # masked shift runs per (row × prefix)
+            left_src = (
+                f"(SELECT *, {_sql_ip_long(_q(ip_name))} AS {_q(CANON)}"
+                f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
+            )
             lkey = masked4(
-                _sql_ip_long(f"{_q('$left')}.{_q(ip_name)}"),
-                f"{_q('$p')}.{_q(P)}",
+                f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
             )
         sql = (
             f"SELECT /*+ BROADCAST({_q('$right')}) */ {', '.join(out_items)}"
