@@ -1570,12 +1570,18 @@ class Compiler:
             )
             .distinct()
         )
-        # active period p counts toward bins k in [p, p+look-1]
-        ks = F.sequence(
-            F.col("__au_p"),
-            F.least(
-                F.col("__au_p") + F.lit(look - 1),
-                F.col("__nbins") - 1,
+        # active period p counts toward bins k in [p, p+look-1].
+        # Rows in a partial trailing period have p == nbins (no bin of
+        # their own); null-guard so F.sequence never runs DESCENDING
+        # (start>stop defaults step to -1) — explode drops the NULL.
+        ks = F.when(
+            F.col("__au_p") <= F.col("__nbins") - 1,
+            F.sequence(
+                F.col("__au_p"),
+                F.least(
+                    F.col("__au_p") + F.lit(look - 1),
+                    F.col("__nbins") - 1,
+                ),
             ),
         )
         exploded = active.withColumn(

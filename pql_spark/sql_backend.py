@@ -1054,8 +1054,9 @@ class _SqlEmitter:
             exploded = (
                 "SELECT __au_id, __au_start, __au_k"
                 f" FROM ({active}) AS {_q('__au_a')}"
-                " LATERAL VIEW explode(sequence(__au_p,"
-                f" least(__au_p + {look - 1}, __au_nb - 1)))"
+                " LATERAL VIEW explode(CASE WHEN __au_p <= __au_nb - 1"
+                " THEN sequence(__au_p,"
+                f" least(__au_p + {look - 1}, __au_nb - 1)) END)"
                 " __au_s AS __au_k"
             )
             engaged = (

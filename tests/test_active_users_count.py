@@ -82,6 +82,36 @@ def test_sql_backend_equivalent(engine, spark):
     assert df_rows == sql_rows
 
 
+UNALIGNED_Q = """
+ev
+| evaluate active_users_count(user_id, ts,
+    datetime(2024-01-01), datetime(2024-01-02T12:00:00), 1d, 7, 1)
+| sort by ts asc
+"""
+
+
+def test_unaligned_window(engine, spark):
+    """(End-Start) not a multiple of Period: the partial trailing
+    period has no bin — activity inside it is dropped, no phantom
+    bin at ts >= End, and the last full bin is not inflated."""
+    rows = engine.query(UNALIGNED_Q).collect()
+    got = {r.ts: r.active_users for r in rows}
+    # bins: day0 [01-01, 01-02); partial [01-02, 01-02T12) has no bin.
+    # Day-0 actives: u1, u2, u4 (u3's burst is day 4, outside End).
+    assert got == {T0: 3}
+    # no bin at/after End, none inflated by the descending-sequence bug
+    assert all(ts < dt.datetime(2024, 1, 2, 12) for ts in got)
+    # SQL twin must agree (the bug was identical on both backends)
+    sql = engine.to_sql(UNALIGNED_Q)
+    ev = spark.createDataFrame(
+        [(u, T0 + d * DAY) for u, d in EVENTS],
+        "user_id long, ts timestamp",
+    )
+    ev.createOrReplaceTempView("ev")
+    sql_rows = {r.ts: r.active_users for r in spark.sql(sql).collect()}
+    assert sql_rows == got
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="MinActivePeriods"):
         engine.query(
