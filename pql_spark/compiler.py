@@ -1895,18 +1895,23 @@ class Compiler:
         (prefix-length, masked ip) — no nested-loop range probe, no
         shuffle of the fact table.  Invalid CIDRs in the lookup and
         unparsable ips match nothing; rows matching several networks
-        return one row per match.  The v6 key is the 32-nibble
-        lowercase-hex canonical form (``functions._ipv6_hex32``);
+        return one row per match.  The v6 key is the (hi, lo)
+        two-BIGINT pair (``functions._ipv6_pair``) — addresses parse
+        once per row, per-prefix keys are literal bitwise masks;
         mixed v4-notation ranges map at bit offset 96 like
-        ``ipv6_is_in_range``."""
+        ``ipv6_is_in_range``.  Warm-plan compute is ~0.07 s for 1 M
+        rows × 5 prefixes on local[32]; the measured per-query cost
+        is dominated by fresh-plan codegen/broadcast overhead."""
         from .functions import (
-            _ipv6_hex32,
-            _ipv6_prefix_key,
+            _ipv6_pair,
+            _ipv6_pair_masked,
+            _mask64,
             _range_prefix6,
             _slash_addr,
             ipv4_long,
             ipv4_masked,
         )
+        from .operators._util import rebalance
 
         pname = "ipv6_lookup" if op.v6 else "ipv4_lookup"
         right = self.compile_tabular(op.right)
@@ -1927,11 +1932,13 @@ class Compiler:
         LID = "__pql_ip_lid"
         if op.v6:
             rc = F.col(_q(range_name))
-            base = _ipv6_hex32(_slash_addr(rc))
+            base = _ipv6_pair(_slash_addr(rc))
             prefix = _range_prefix6(rc)
-            # short prefix key, NOT the full 32-nibble mask: equality
-            # is identical and it's ~32× less per-(row, prefix) work
-            parse_ip, mask_ip = _ipv6_hex32, _ipv6_prefix_key
+            # (hi, lo) two-BIGINT representation: addresses parse ONCE
+            # per row to a pair of signed longs; each per-prefix key is
+            # then two bitwise ANDs against literal masks — no
+            # per-(row, prefix) substring/conv on the hex canon
+            parse_ip, mask_ip = _ipv6_pair, _ipv6_pair_masked
         else:
             rng = F.split(F.col(_q(range_name)), "/")
             base = ipv4_long(F.try_element_at(rng, F.lit(1)))
@@ -1945,12 +1952,17 @@ class Compiler:
             .withColumn(RKEY, mask_ip(base, F.col(P)))
             .filter(F.col(RKEY).isNotNull())
         )
-        src = left
+        # the explode + broadcast join below run in the FACT side's
+        # stage; with no shuffle anywhere, a single-file fact scan
+        # would serialize all per-row key work onto its 1-2 input
+        # splits — rebalance() is a no-op exactly when a real
+        # multi-split dataset already provides the width
+        src = rebalance(left)
         if op.return_unmatched:
             # stable row identity for the unmatched pass — lineage is
             # truncated so the matched and anti-join branches see the
             # SAME generated ids
-            src = left.withColumn(
+            src = src.withColumn(
                 LID, F.monotonically_increasing_id()
             ).localCheckpoint()
         # distinct prefix lengths live in 0..32 (v4) / 0..128 (v6) by
@@ -1967,71 +1979,77 @@ class Compiler:
         self._alias_counter += 1
         la, ra = f"__pql_l{n}", f"__pql_r{n}"
         PAIR = "__pql_ip_pair"
+        # The fact side's address parse is PROJECTED as a column below
+        # the Generate (explode): generator expressions get no
+        # common-subexpression elimination, so referencing the parse
+        # inside the per-prefix key array would re-run it per struct
+        # FIELD (~17 regex splits per (row × prefix) for v4 — the
+        # dominant cost of the whole lookup at sf1).  Projects are not
+        # collapsed into generators, and the rebalance Exchange keeps
+        # upstream extends from being substituted back in, so the
+        # parse runs exactly once per row in whole-stage codegen
+        # (v4) / one interpreted HOF pass (the v6 canon).
+        IPP = "__pql_ip_parsed"
+        if pfx_vals:
+            src = src.withColumn(IPP, parse_ip(F.col(_q(ip_name))))
         if op.v6 and pfx_vals:
-            # the prefixes are compile-time INTS here, so emit a STATIC
-            # key expression per prefix instead of the generic masked
-            # key over a runtime prefix: substr with literal bounds +
-            # at most one conv, no per-key let-bind wrapper — the
-            # generic form cost ~2.3 µs interpreted per (row, prefix),
-            # which dominated the whole lookup at sf1 (17 s → ~4 s)
-            def _static_key6(ipl: Column, p: int) -> Column:
-                q_, r_ = divmod(int(p), 4)
-                head = F.substring(ipl, 1, q_)
-                if r_ == 0:
-                    return head
-                scale = 1 << (4 - r_)
-                v = F.conv(
-                    F.substring(ipl, q_ + 1, 1), 16, 10
-                ).cast("int")
-                nib = F.lower(
-                    F.conv(
-                        ((v - F.pmod(v, F.lit(scale)))
-                         .cast("string")),
-                        10,
-                        16,
-                    )
+            # compile-time prefixes → each key is TWO bitwise ANDs of
+            # the (hi, lo) pair against literal masks; the old
+            # hex-canon keys cost a substring + conv + pmod per
+            # (row, prefix) instead
+            def _static_pair_key(pr: Column, p: int) -> Column:
+                mh = _mask64(min(int(p), 64))
+                ml = _mask64(int(p) - 64)
+                return F.struct(
+                    pr.getField("h")
+                    .bitwiseAND(F.lit(mh).cast("long"))
+                    .alias("h"),
+                    pr.getField("l")
+                    .bitwiseAND(F.lit(ml).cast("long"))
+                    .alias("l"),
                 )
-                return F.concat(head, nib)
 
-            pairs = pf._let_bind(
-                parse_ip(F.col(_q(ip_name))),
-                lambda ipl: F.array(
+            pr = F.col(IPP)
+            pairs = F.when(
+                pr.isNotNull(),
+                F.array(
                     *[
                         F.struct(
                             F.lit(int(p)).cast("long").alias("p"),
-                            _static_key6(ipl, int(p)).alias("k"),
+                            _static_pair_key(pr, int(p)).alias("k"),
                         )
                         for p in pfx_vals
                     ]
                 ),
             )
         elif pfx_vals:
-            # same static-per-prefix trick for v4: the prefixes are
+            # static-per-prefix keys for v4: the prefixes are
             # compile-time ints (all in 0..32 — out-of-range CIDRs were
             # filtered by the RKEY notNull gate), so each key is ONE
-            # codegen'd `shiftrightunsigned` with a literal bit count
-            # instead of the interpreted-HOF floor(v / pow(2, 32-p))
-            # the generic `ipv4_masked` needs for a runtime prefix;
+            # `shiftrightunsigned` with a literal bit count;
             # `v >>> (32-p)` on a uint32-as-long is equality-identical
             def _static_key4(ipl: Column, p: int) -> Column:
                 if p >= 32:
                     return ipl
                 return F.shiftrightunsigned(ipl, 32 - int(p))
 
-            pairs = pf._let_bind(
-                parse_ip(F.col(_q(ip_name))),
-                lambda ipl: F.array(
+            ipl4 = F.col(IPP)
+            pairs = F.when(
+                ipl4.isNotNull(),
+                F.array(
                     *[
                         F.struct(
                             F.lit(int(p)).cast("long").alias("p"),
-                            _static_key4(ipl, int(p)).alias("k"),
+                            _static_key4(ipl4, int(p)).alias("k"),
                         )
                         for p in pfx_vals
                     ]
                 ),
             )
         else:  # no valid CIDR in the lookup → nothing can match
-            ktype = "string" if op.v6 else "bigint"
+            ktype = (
+                "struct<h:bigint,l:bigint>" if op.v6 else "bigint"
+            )
             pairs = F.array().cast(
                 f"array<struct<p:bigint,k:{ktype}>>"
             )

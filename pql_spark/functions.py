@@ -503,39 +503,74 @@ def _ipv6_mask_hex(hex32: Column, prefix: Column) -> Column:
     )
 
 
-def _ipv6_prefix_key(hex32: Column, prefix: Column) -> Column:
-    """Short join KEY for prefix-masked IPv6 equality: the first
-    ⌊p/4⌋ nibbles verbatim plus ONE partially-masked nibble when
-    ``p % 4 != 0``.  Two addresses agree on their first ``p`` bits
-    iff these keys are equal (fixed-width lowercase hex is
-    lexicographic == numeric), exactly like comparing the full
-    :func:`_ipv6_mask_hex` canons — but it costs one ``conv`` per
-    (row, prefix) instead of a 32-element nibble transform, which is
-    what makes ``evaluate ipv6_lookup``'s per-distinct-prefix row
-    expansion affordable (measured 13 s → ~1 s at sf0.1).  NULL on
-    invalid prefix or NULL canon, matching the mask's contract."""
+def _ipv6_pair(c: Column) -> Column:
+    """``(h, l)`` signed-BIGINT pair of an IPv6/IPv4 string — the two
+    64-bit halves of the 128-bit address with exact bit patterns
+    (``conv(.., 16, -10)`` emits the two's-complement signed value, so
+    the long holds the same bits as the address half).  NULL on
+    malformed input.  Equality of prefix-masked pairs ⇔ first-p-bits
+    equality, which lets ``evaluate ipv6_lookup`` replace per-(row ×
+    prefix) substring/conv work on the 32-nibble hex canon with two
+    bitwise ANDs against literal masks."""
+    return _let_bind(
+        _ipv6_hex32(c),
+        lambda h: F.when(
+            h.isNotNull(),
+            F.struct(
+                F.conv(F.substring(h, 1, 16), 16, -10)
+                .cast("long")
+                .alias("h"),
+                F.conv(F.substring(h, 17, 16), 16, -10)
+                .cast("long")
+                .alias("l"),
+            ),
+        ),
+    )
 
-    def key(hp: Column) -> Column:
-        h, p = hp.getField("h"), hp.getField("p")
-        q = F.floor(p / 4).cast("int")
-        r = (p - q.cast("long") * 4).cast("int")
-        head = F.substr(h, F.lit(1), q)
-        v = F.conv(F.substr(h, q + 1, F.lit(1)), 16, 10).cast("int")
-        scale = F.pow(F.lit(2.0), (F.lit(4) - r).cast("double"))
-        nib = F.lower(
-            F.conv(
-                (F.floor(v / scale) * scale).cast("int").cast("string"),
-                10,
-                16,
+
+def _mask64(kept: int) -> int:
+    """Signed-64 bitmask keeping the top ``kept`` bits, as a python
+    int castable to a Spark LongType literal."""
+    if kept <= 0:
+        return 0
+    m = (-1 << (64 - min(kept, 64))) & ((1 << 64) - 1)
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+def _ipv6_pair_masked(pair: Column, prefix: Column) -> Column:
+    """Prefix-masked (h, l) pair under a RUNTIME /prefix — the
+    lookup-table side of ``ipv6_lookup`` (tiny, so the branchy runtime
+    mask is fine; the fact side uses compile-time literal masks).
+    NULL on invalid prefix or NULL pair."""
+
+    def mask_half(v: Column, kept: Column) -> Column:
+        m = (
+            F.when(kept <= 0, F.lit(0).cast("long"))
+            .when(kept >= 64, F.lit(-1).cast("long"))
+            .otherwise(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(-1).cast("long"),
+                    (F.lit(64) - kept).cast("int"),
+                )
             )
         )
+        return v.bitwiseAND(m)
+
+    def km(pp: Column) -> Column:
+        p, pr = pp.getField("p"), pp.getField("a")
         return F.when(
-            (p >= 0) & (p <= 128) & h.isNotNull(),
-            F.concat(head, F.when(r > 0, nib).otherwise(F.lit(""))),
+            (p >= 0) & (p <= 128) & pr.isNotNull(),
+            F.struct(
+                mask_half(
+                    pr.getField("h"), F.least(p, F.lit(64))
+                ).alias("h"),
+                mask_half(pr.getField("l"), p - 64).alias("l"),
+            ),
         )
 
     return _let_bind(
-        F.struct(hex32.alias("h"), prefix.cast("long").alias("p")), key
+        F.struct(prefix.cast("long").alias("p"), pair.alias("a")), km
     )
 
 

@@ -301,25 +301,40 @@ def _sql_mask6(hx: str, prefix: str) -> str:
     return _sql_let(f"named_struct('h', {hx}, 'p', {prefix})", m, body)
 
 
-def _sql_prefix_key6(hx: str, prefix: str) -> str:
-    """Text twin of functions._ipv6_prefix_key: first ⌊p/4⌋ nibbles +
-    one partially-masked nibble — the cheap ipv6_lookup join key."""
-    m = "__i6pk"
-    q = f"CAST(floor({m}.p / 4) AS INT)"
-    r = f"CAST({m}.p - CAST(floor({m}.p / 4) AS BIGINT) * 4 AS INT)"
-    scale = f"power(2.0D, CAST(4 - {r} AS DOUBLE))"
-    nib = (
-        "lower(conv(CAST(CAST(floor("
-        f"conv(substring({m}.h, {q} + 1, 1), 16, 10)"
-        f" / {scale}) * {scale} AS INT) AS STRING), 10, 16))"
+def _sql_ipv6_pair(canon: str) -> str:
+    """Text twin of functions._ipv6_pair: (h, l) signed-BIGINT halves
+    of a 32-nibble canon (``conv(.., 16, -10)`` keeps the exact bit
+    pattern).  Callers pass a pre-computed canon COLUMN on the fact
+    side so the parse runs once per row."""
+    return (
+        f"(CASE WHEN {canon} IS NOT NULL THEN named_struct("
+        f"'h', CAST(conv(substring({canon}, 1, 16), 16, -10)"
+        " AS BIGINT),"
+        f" 'l', CAST(conv(substring({canon}, 17, 16), 16, -10)"
+        " AS BIGINT)) END)"
     )
-    body = (
-        f"(CASE WHEN {m}.p BETWEEN 0 AND 128"
-        f" AND {m}.h IS NOT NULL THEN"
-        f" concat(substring({m}.h, 1, {q}),"
-        f" CASE WHEN {r} > 0 THEN {nib} ELSE '' END) END)"
+
+
+def _sql_pair_masked(pair: str, prefix: str) -> str:
+    """Prefix-masked (h, l) pair under a runtime prefix — the
+    ipv6_lookup join key (text twin of functions._ipv6_pair_masked):
+    two bitwise ANDs against shiftleft masks, no per-prefix string
+    work.  ``pair`` must be a cheap expression (a column reference on
+    the fact side; the lookup side is tiny)."""
+
+    def half(field: str, kept: str) -> str:
+        return (
+            f"({pair}).{field} & (CASE WHEN ({kept}) <= 0 THEN 0L"
+            f" WHEN ({kept}) >= 64 THEN -1L"
+            f" ELSE shiftleft(-1L, CAST(64 - ({kept}) AS INT)) END)"
+        )
+
+    return (
+        f"(CASE WHEN ({prefix}) BETWEEN 0 AND 128"
+        f" AND ({pair}) IS NOT NULL THEN named_struct("
+        f"'h', {half('h', f'least({prefix}, 64)')},"
+        f" 'l', {half('l', f'({prefix}) - 64')}) END)"
     )
-    return _sql_let(f"named_struct('h', {hx}, 'p', {prefix})", m, body)
 
 
 def _sql_colons(hx: str) -> str:
@@ -1955,11 +1970,11 @@ class _SqlEmitter:
             )
 
         P, RKEY = "__pql_ip_pfx", "__pql_ip_rkey"
-        CANON = "__pql_ip_canon"
+        CANON, PAIR = "__pql_ip_canon", "__pql_ip_pair"
         if op.v6:
             base = _sql_hex32(_sql_slash_addr(_q(range_name)))
             pfx = _sql_range_prefix6(_q(range_name))
-            rmask = _sql_prefix_key6(base, pfx)
+            rmask = _sql_pair_masked(_sql_ipv6_pair(base), pfx)
         else:
             rng = f"split({_q(range_name)}, '/')"
             base = _sql_ip_long(f"try_element_at({rng}, 1)")
@@ -1983,13 +1998,16 @@ class _SqlEmitter:
             out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
             out_names.append(name)
         if op.v6:
-            # fact-side canon computed once per row, masked per prefix
+            # fact-side canon → (h, l) pair computed once per row;
+            # only the two bitwise-AND masks run per (row × prefix)
             left_src = (
-                f"(SELECT *, {_sql_hex32(_q(ip_name))} AS {_q(CANON)}"
-                f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
+                f"(SELECT *, {_sql_ipv6_pair(_q(CANON))} AS {_q(PAIR)}"
+                f" FROM (SELECT *, {_sql_hex32(_q(ip_name))}"
+                f" AS {_q(CANON)} FROM ({left_sql})"
+                f" AS {_q('__pql_ipl')}) AS {_q('__pql_iplc')})"
             )
-            lkey = _sql_prefix_key6(
-                f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
+            lkey = _sql_pair_masked(
+                f"{_q('$left')}.{_q(PAIR)}", f"{_q('$p')}.{_q(P)}"
             )
         else:
             # fact-side uint32 parse computed once per row too (the
