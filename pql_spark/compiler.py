@@ -2696,11 +2696,12 @@ class Compiler:
     def _diffpatterns(self, df: DataFrame, op: DiffPatternsOp) -> DataFrame:
         """``evaluate diffpatterns``: cohort-diff segment mining — ONE
         native CUBE with two conditional counts (single shuffle);
-        per-cohort totals read off the cube's all-wildcard row via a
-        window over the (tiny) aggregated result, same device as
-        ``_autocluster``."""
-        from pyspark.sql import Window
-
+        per-cohort totals broadcast back from a separate 1-row
+        aggregate over the input (same device as
+        ``_diffpatterns_text``).  An empty-partition window over the
+        cube output would funnel up to Π(distinct_i+1) rows through a
+        single task — fine on toy columns, a scale hazard on
+        high-cardinality pattern columns."""
         split = op.split_col.parts[0]
         if split not in df.columns:
             raise ParseError(
@@ -2757,21 +2758,27 @@ class Compiler:
             ).alias("__gsum"),
             *[p.alias(f"__p_{n}") for n, p in zip(names, pats)],
         )
-        w = Window.partitionBy()
-        tot_a = F.max(
-            F.when(F.col("__gsum") == k, F.col("CountA"))
-        ).over(w)
-        tot_b = F.max(
-            F.when(F.col("__gsum") == k, F.col("CountB"))
-        ).over(w)
+        totals = df.agg(
+            F.sum(F.when(sc == op.value_a, 1).otherwise(0)).alias(
+                "__tot_a"
+            ),
+            F.sum(F.when(sc == op.value_b, 1).otherwise(0)).alias(
+                "__tot_b"
+            ),
+        )
         pa = F.round(
-            F.col("CountA") * 100.0 / F.greatest(tot_a, F.lit(1)), 2
+            F.col("CountA") * 100.0
+            / F.greatest(F.col("__tot_a"), F.lit(1)),
+            2,
         )
         pb = F.round(
-            F.col("CountB") * 100.0 / F.greatest(tot_b, F.lit(1)), 2
+            F.col("CountB") * 100.0
+            / F.greatest(F.col("__tot_b"), F.lit(1)),
+            2,
         )
         out = (
-            agg.withColumn("PercentA", pa)
+            agg.crossJoin(F.broadcast(totals))
+            .withColumn("PercentA", pa)
             .withColumn("PercentB", pb)
             .withColumn(
                 "PercentDiff",
@@ -2868,11 +2875,10 @@ class Compiler:
     def _autocluster(self, df: DataFrame, op: AutoclusterOp) -> DataFrame:
         """``evaluate autocluster/basket``: one native CUBE aggregation
         (Catalyst grouping sets — partial/final hash agg, a single
-        shuffle).  Coverage percent comes from the cube's own
-        all-wildcard row via a window over the (already tiny)
-        aggregated result, so no extra count() action/scan."""
-        from pyspark.sql import Window
-
+        shuffle).  Coverage percent comes from a broadcast 1-row
+        count aggregate — NOT a window over the cube output, which
+        would funnel up to Π(distinct_i+1) rows through one task on
+        high-cardinality columns (same fix as ``_diffpatterns``)."""
         if op.cols:
             names = [c.parts[0] for c in op.cols]
             for c, n in zip(op.cols, names):
@@ -2898,10 +2904,12 @@ class Compiler:
                 op.span,
             )
         k = len(names)
-        total = F.max(
-            F.when(F.col("__gsum") == k, F.col("SegmentCount"))
-        ).over(Window.partitionBy())
-        pct = F.round(F.col("SegmentCount") * 100.0 / total, 2)
+        totals = df.agg(F.count(F.lit(1)).alias("__tot_n"))
+        pct = F.round(
+            F.col("SegmentCount") * 100.0
+            / F.greatest(F.col("__tot_n"), F.lit(1)),
+            2,
+        )
         pats = [
             F.when(
                 F.grouping(_q(n)) == 1, F.lit("*")
@@ -2921,7 +2929,8 @@ class Compiler:
             *[p.alias(f"__p_{n}") for n, p in zip(names, pats)],
         )
         out = (
-            agg.withColumn("Percent", pct)
+            agg.crossJoin(F.broadcast(totals))
+            .withColumn("Percent", pct)
             .filter(
                 (F.col("__gsum") < k)
                 & (F.col("Percent") >= op.min_percent)

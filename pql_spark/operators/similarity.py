@@ -70,6 +70,10 @@ def pairwise_topk(
     ``impl="catalyst"``: pure-expression pairwise join + window rank
     (no Python workers), kept as the reference implementation.
     Ordering contract (both impls): cosine desc, neighbor id asc.
+    ``id_col`` values must be UNIQUE within a group — the pandas
+    kernel self-excludes by row position, :func:`pairwise_topk_skew`
+    by id value; only unique ids make those equivalent (see the skew
+    variant's docstring).
     """
     if impl == "catalyst":
         from pyspark.sql import Window
@@ -171,6 +175,16 @@ def pairwise_topk_skew(
     the standard skew trade.  At 100 TB pair this with an IVF/LSH
     coarse key; the salt bounds the damage of whatever cell skew the
     coarse quantizer leaves behind.
+
+    ``id_col`` values must be UNIQUE within a group.  Self-exclusion
+    here is by id VALUE (the query row's candidates live in a
+    different salted copy, so there is no shared row position), while
+    ``pairwise_topk``'s single-task kernel excludes by POSITION; with
+    duplicate ids the two would diverge (positional keeps a duplicate
+    as its own cosine-1.0 neighbor, value-based drops all copies).
+    Recovering positional parity would need a per-group row ordinal —
+    a keyed window whose shuffle re-serializes exactly the hot group
+    this operator exists to split.
     """
     import numpy as np
     import pandas as pd

@@ -1005,15 +1005,28 @@ def scrub_cross_doc_dups(
         )
         .select(
             idc,
-            F.filter(
-                F.transform(
-                    F.col("__toks"),
-                    lambda t, i: F.when(
-                        ~F.array_contains(F.col("__scrub"), i), t
+            # kept positions via ONE hash-set difference (array_except
+            # is O(n_tokens + |scrub|)), then a positional gather — a
+            # per-token array_contains scan would be
+            # O(n_tokens × |scrub|), quadratic on heavily-duplicated
+            # documents where |scrub| approaches n_tokens
+            F.when(
+                F.size(F.col("__toks")) > 0,  # sequence(0,-1) would
+                F.transform(  # run DESCENDING on an empty doc
+                    F.array_except(
+                        F.sequence(
+                            F.lit(0),
+                            F.size(F.col("__toks")) - F.lit(1),
+                        ),
+                        F.col("__scrub"),
+                    ),
+                    lambda p: F.element_at(
+                        F.col("__toks"), p + F.lit(1)
                     ),
                 ),
-                lambda t: t.isNotNull(),
-            ).alias("__kept"),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("__kept"),
             F.size(F.col("__scrub")).alias("n_tokens_removed"),
         )
     )

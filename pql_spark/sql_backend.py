@@ -1491,20 +1491,26 @@ class _SqlEmitter:
                 f" AS {_q('__dp_t')}"
                 f" GROUP BY CUBE ({', '.join(_q(n) for n in names)})"
             )
+            # cohort totals from a broadcast 1-row aggregate — an
+            # OVER () window would single-task the whole cube output
+            totals = (
+                f"SELECT {ca} AS `__tot_a`, {cb} AS `__tot_b`"
+                f" FROM ({sql}) AS {_q('__dp_tt')}"
+            )
 
-            def pct(c: str) -> str:
+            def pct(c: str, tot: str) -> str:
                 return (
                     f"round(CAST(`{c}` AS DOUBLE) * 100.0D /"
-                    " greatest(max(CASE WHEN `__gsum` ="
-                    f" {k} THEN `{c}` END) OVER (), 1), 2)"
+                    f" greatest(`{tot}`, 1), 2)"
                 )
 
             mid = (
-                f"SELECT `CountA`, `CountB`, {pct('CountA')} AS"
-                f" `PercentA`, {pct('CountB')} AS `PercentB`,"
+                f"SELECT `CountA`, `CountB`,"
+                f" {pct('CountA', '__tot_a')} AS `PercentA`,"
+                f" {pct('CountB', '__tot_b')} AS `PercentB`,"
                 f" `__gsum`,"
                 f" {', '.join(_q('__p_' + n) for n in names)}"
-                f" FROM ({cube})"
+                f" FROM ({cube}) CROSS JOIN ({totals})"
             )
             outer_cols = ", ".join(
                 f"{_q('__p_' + n)} AS {_q(n)}" for n in names
@@ -1553,15 +1559,19 @@ class _SqlEmitter:
                 f" {pats} FROM {inner}"
                 f" GROUP BY CUBE ({', '.join(_q(n) for n in names)})"
             )
+            # total from a broadcast 1-row count — an OVER () window
+            # would single-task the whole cube output
+            totals = (
+                f"SELECT count(1) AS `__tot_n` FROM {inner}"
+            )
             pct = (
                 "round(CAST(`SegmentCount` AS DOUBLE) * 100.0D /"
-                " max(CASE WHEN `__gsum` = "
-                f"{k} THEN `SegmentCount` END) OVER (), 2)"
+                " greatest(`__tot_n`, 1), 2)"
             )
             mid = (
                 f"SELECT `SegmentCount`, {pct} AS `Percent`, `__gsum`,"
                 f" {', '.join(_q('__p_' + n) for n in names)}"
-                f" FROM ({cube})"
+                f" FROM ({cube}) CROSS JOIN ({totals})"
             )
             outer_cols = ", ".join(
                 f"{_q('__p_' + n)} AS {_q(n)}" for n in names
