@@ -4563,38 +4563,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-6 rotation (VERDICT r5 items 1-2): changed-or-never-hashed
-    # queries first, then the queries with the OLDEST driver-hash
-    # evidence (r1, then r2); the two permanent rows-only entries
-    # (pql_scan_declare, op_semantic_dedup) move OUT of the 50-slot
-    # window so every slot buys a value hash.
+    # Round-7 rotation (VERDICT r6 item 2): queries whose
+    # implementation CHANGED this round first (their old hashes no
+    # longer vouch for the current code), then the rows with the
+    # OLDEST driver-hash evidence — all of the remaining r2-era rows,
+    # then the front of the r3-era tail (the rest rotate next round).
     #
-    # 1. the 2-round-red row, fixed this round (oracle window sum now
-    #    CAST AS BIGINT — DuckDB HUGEINT vs Spark BIGINT divergence):
-    "pql_activity_metrics",
-    # 2. r4's integer-scaling rewrite, never driver-hashed since:
-    "pql_percentiles",
-    # 3. changed this round (isfinite guards on slope/icpt/rsq):
-    "pql_series_stats_fit",
-    # 4. this round's new operators, gated for the first time:
-    "pql_ipv6_lookup", "op_near_dup_incremental", "op_curate_stream",
-    "op_knn_skew", "pql_funnel_completion", "op_crossdoc_dedup",
-    "op_scrub_crossdoc", "pql_activity_engagement",
-    "pql_diffpatterns", "pql_active_users_count",
-    "pql_diffpatterns_text",
-    # 5. oldest evidence — last hashed in round 1:
-    "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
-    "pql_promo_revenue", "pql_3way_join", "pql_iff_strcat",
-    "pql_sourcetext_name", "pql_mv_expand", "pql_print",
-    "pql_sample_op", "pql_top_hitters", "pql_project_ops",
-    "pql_getschema",
-    # 6. last hashed in round 2 (first 30 — the rest rotate next round):
-    "pql_predicates", "pql_null_semantics", "pql_let_arith", "pql_in",
-    "pql_summarize_by", "pql_as_selfjoin", "pql_render", "pql_index",
-    "pql_extend", "pql_json_props", "pql_distinct_op", "pql_union_op",
-    "pql_project_away", "pql_lookup", "pql_parse_op", "pql_search_op",
-    "pql_make_series", "pql_pivot", "pql_series_fill", "pql_mv_apply",
-    "pql_top_nested", "pql_range_source", "pql_agg_family",
+    # 1. changed this round: active_users_count unaligned-window bug
+    #    fix; ipv4/ipv6_lookup (hi,lo)-pair + parse-column rewrite;
+    #    diffpatterns/autocluster broadcast-totals restructure;
+    #    scrub_crossdoc array_except rebuild; scan declare-var step
+    #    conditions (pql_scan_funnel shares the scan compiler):
+    "pql_active_users_count", "pql_ipv4_lookup", "pql_ipv6_lookup",
+    "pql_diffpatterns", "pql_autocluster", "op_scrub_crossdoc",
+    "pql_scan_funnel",
+    # 2. last hashed in round 2 (all of them):
+    "pql_datatable", "pql_string_preds", "pql_serialize_window",
+    "pql_arg_agg", "pql_bin_hourly", "pql_in_family",
+    "pql_sketch_fns", "pql_partition_op", "op_dedup_exact",
+    "op_token_stats", "op_quality", "op_langid", "op_ngram_jaccard",
+    "op_minhash_dups", "op_simhash", "op_embedding_dups",
+    "op_cosine_topk", "op_stream_windowed", "op_asof_join",
+    "op_range_join", "op_kmv_distinct",
+    # 3. last hashed in round 3 (first 22 — the rest rotate next
+    #    round):
+    "pql_string_fns", "pql_datetime_fns", "pql_case_fn",
+    "pql_bag_unpack", "pql_tabular_let", "pql_sample_distinct",
+    "pql_union_inner", "pql_mv_itemindex", "pql_binary_fns",
+    "pql_narrow", "pql_ipv4_fns", "pql_array_set_fns",
+    "pql_top_nested_others", "pql_let_fn", "pql_sequence_detect",
+    "pql_events_daily", "pql_facet_counts", "pql_facet_main",
+    "pql_fork_hot", "pql_fork_daily", "op_fingerprint",
+    "op_repetition",
 ]
 
 

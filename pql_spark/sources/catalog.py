@@ -65,6 +65,14 @@ def build_session(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g")
         )
+        # generated-class cache: the default 100 entries thrashes on
+        # multi-stage pipelines (curate_corpus alone spans ~90 stages,
+        # so even its own second run re-Janino-compiles every class)
+        # and on any long-lived session running many distinct queries
+        # — measured 7.1 s → 5.3 s on the composed curation pipeline
+        # at sf0.1 from this alone.  Cost: bounded driver memory for
+        # compiled classes.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
