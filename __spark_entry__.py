@@ -1324,6 +1324,64 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         """,
         None,
     ),
+    # EXTENSION scan with a VAR-REFERENCING step condition (round 7:
+    # full KQL-scan surface): the purchase must land within 2 days of
+    # the CAPTURED view time — `ts - t0 < 2d` reads declared state, so
+    # its skeleton is interpreted in the automaton while `ts`,
+    # `event_type == …`, and the 2d literal stay Catalyst columns.
+    # The DuckDB twin runs the same greedy automaton as a RECURSIVE
+    # CTE over row-numbered per-user events (state: pos, captured t0,
+    # match count).  NOT list_reduce: DuckDB 1.0.0's list_reduce gave
+    # wrong per-row results for THIS lambda on the real data (57/150
+    # users wrong at sf0.01 — folding the very lists the query
+    # returns gives different answers in python), while the
+    # scan_funnel twin's list_reduce stays correct (re-verified
+    # against a python automaton this round).
+    "pql_scan_var_window": (
+        """
+        events
+        | scan by user_id order by ts asc, event_id asc
+            declare (t0 = datetime(2000-01-01))
+            with (
+              step viewed: event_type == "view" => t0 = ts;
+              step bought: event_type == "purchase" and ts - t0 < 2d;
+            )
+        | summarize matches = count() / 2, users = dcount(user_id)
+        """,
+        """
+        WITH RECURSIVE ev AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CAST(CASE event_type WHEN 'view' THEN 0
+                      ELSE 1 END AS BIGINT) AS s,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events
+          WHERE event_type IN ('view', 'purchase')),
+        auto AS (
+          SELECT user_id, CAST(0 AS BIGINT) AS i,
+                 CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS t0,
+                 CAST(0 AS BIGINT) AS n
+          FROM (SELECT DISTINCT user_id FROM ev)
+          UNION ALL
+          SELECT e.user_id, a.i + 1,
+                 CASE WHEN e.s = 0 AND a.pos = 0 THEN 1
+                      WHEN e.s = 1 AND a.pos = 1
+                           AND e.t - a.t0 < 172800000000 THEN 0
+                      ELSE a.pos END,
+                 CASE WHEN e.s = 0 AND a.pos = 0 THEN e.t
+                      ELSE a.t0 END,
+                 a.n + CASE WHEN e.s = 1 AND a.pos = 1
+                                 AND e.t - a.t0 < 172800000000
+                            THEN 1 ELSE 0 END
+          FROM auto a JOIN ev e
+            ON e.user_id = a.user_id AND e.i = a.i + 1),
+        fin AS (SELECT user_id, arg_max(n, i) AS n
+                FROM auto GROUP BY user_id)
+        SELECT CAST(SUM(n) AS DOUBLE) AS matches,
+               CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS users
+        FROM fin
+        """,
+    ),
     # EXTENSION sample-distinct + toscalar scalar subquery
     "pql_sample_distinct": (
         """
@@ -4576,7 +4634,7 @@ _CHECK_FIRST = [
     #    conditions (pql_scan_funnel shares the scan compiler):
     "pql_active_users_count", "pql_ipv4_lookup", "pql_ipv6_lookup",
     "pql_diffpatterns", "pql_autocluster", "op_scrub_crossdoc",
-    "pql_scan_funnel",
+    "pql_scan_funnel", "pql_scan_var_window",
     # 2. last hashed in round 2 (all of them):
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
     "pql_arg_agg", "pql_bin_hourly", "pql_in_family",
@@ -4594,7 +4652,6 @@ _CHECK_FIRST = [
     "pql_top_nested_others", "pql_let_fn", "pql_sequence_detect",
     "pql_events_daily", "pql_facet_counts", "pql_facet_main",
     "pql_fork_hot", "pql_fork_daily", "op_fingerprint",
-    "op_repetition",
 ]
 
 

@@ -449,15 +449,23 @@ class ScanOp(Op):
     columns appended, then matching restarts.  Rows outside completed
     matches are dropped; steps with ``output=none`` are matched but not
     emitted.  Declared variables reset at each new match attempt, are
-    set by step assignments (row expressions, evaluated JVM-side), and
-    are appended as output columns holding the state as of each emitted
-    row.  Conditions/assignments may NOT reference the variables
-    (documented restriction — keeps every expression in codegen).
+    set by step assignments, and are appended as output columns holding
+    the state as of each emitted row.  Conditions and assignment values
+    MAY reference the variables (full KQL scan surface); the
+    var-referencing combinators are limited to comparisons,
+    and/or/not, and arithmetic — richer constructs go in an earlier
+    assignment or a preceding ``extend``.  Var-referencing assignment
+    values see the state at STEP ENTRY (before the step's own
+    assignments), the same visibility row-precomputed values get.
 
-    Execution: step predicates and assignment values are evaluated as
-    Catalyst columns (JVM/codegen); only the tiny linear automaton over
-    those columns runs in an Arrow-batched ``applyInPandas`` kernel —
-    one shuffle on the group keys.  DataFrame backend only.
+    Execution: row-only step predicates and assignment values are
+    evaluated as Catalyst columns (JVM/codegen); var-referencing
+    expressions are split — maximal var-free subtrees become extra
+    Catalyst columns, and only a tiny comparison/arithmetic skeleton
+    over (vars, those columns) runs interpreted per candidate row
+    inside the Arrow-batched ``applyInPandas`` automaton, which
+    already holds the per-attempt state.  One shuffle on the group
+    keys.  DataFrame backend only.
     """
 
     by: list[Ident]

@@ -2332,28 +2332,131 @@ class Compiler:
         k = len(op.steps)
         names = [s.name for s in op.steps]
         out_modes = [s.output for s in op.steps]
-        preds = [
-            self.compile_expr(s.pred, env)
-            .cast("boolean")
-            .alias(f"__scan_p{i}")
-            for i, s in enumerate(op.steps)
-        ]
-        # declared variables: init + per-step assignment values are all
+
+        # ---- declared-variable references inside step conditions and
+        # assignment values.  Row-only expressions stay in codegen as
+        # before; an expression REFERENCING a declared var is split:
+        # its maximal var-free subtrees are compiled to extra Catalyst
+        # columns (__scan_x{t}) and only a tiny skeleton of
+        # comparisons / boolean ops / arithmetic over (vars,
+        # precomputed columns) is interpreted per candidate row inside
+        # the automaton, where the per-attempt state already lives.
+        import dataclasses as _dc
+
+        var_set = set(var_names)
+        decl_map = dict(op.declare)
+
+        def _refs_vars(ex) -> bool:
+            if isinstance(ex, Ident):
+                return ex.simple and ex.parts[0] in var_set
+            for fld in _dc.fields(ex):
+                v = getattr(ex, fld.name)
+                for item in v if isinstance(v, (list, tuple)) else [v]:
+                    if isinstance(item, Expr) and _refs_vars(item):
+                        return True
+            return False
+
+        def _subst_inits(ex):
+            # var refs → their declare-init ASTs, for TYPE probing only
+            if (
+                isinstance(ex, Ident)
+                and ex.simple
+                and ex.parts[0] in var_set
+            ):
+                return decl_map[ex.parts[0]]
+            if not isinstance(ex, Expr):
+                return ex
+            kw = {}
+            for fld in _dc.fields(ex):
+                v = getattr(ex, fld.name)
+                if isinstance(v, Expr):
+                    kw[fld.name] = _subst_inits(v)
+                elif isinstance(v, list):
+                    kw[fld.name] = [
+                        _subst_inits(x) if isinstance(x, Expr) else x
+                        for x in v
+                    ]
+                else:
+                    kw[fld.name] = v
+            return _dc.replace(ex, **kw)
+
+        xcols: list[Column] = []
+
+        def _skel(ex):
+            if not _refs_vars(ex):
+                t = len(xcols)
+                xcols.append(
+                    self.compile_expr(ex, env).alias(f"__scan_x{t}")
+                )
+                return ("col", t)
+            if isinstance(ex, Ident):
+                return ("var", var_names.index(ex.parts[0]))
+            if isinstance(ex, UnaryExpr):
+                return ("un", ex.op, _skel(ex.operand))
+            if isinstance(ex, CallExpr) and ex.func == "not" and len(
+                ex.args
+            ) == 1:
+                return ("not", _skel(ex.args[0]))
+            if isinstance(ex, BinaryExpr) and ex.op in (
+                "==", "!=", "<", "<=", ">", ">=",
+                "+", "-", "*", "/", "%", "and", "or",
+            ):
+                return ("bin", ex.op, _skel(ex.lhs), _skel(ex.rhs))
+            raise ParseError(
+                "scan: an expression referencing a declared variable"
+                " may combine it only with comparisons, and/or/not,"
+                " and arithmetic (+ - * / %); compute other constructs"
+                " in an earlier step assignment or an extend first",
+                ex.span,
+            )
+
+        # checks[i]: ("arr", i) → precomputed boolean column, or
+        # ("skel", tree) → interpreted against the attempt state
+        checks_spec: list[tuple] = []
+        preds: list[Column] = []
+        for i, s in enumerate(op.steps):
+            if var_set and _refs_vars(s.pred):
+                checks_spec.append(("skel", _skel(s.pred)))
+            else:
+                preds.append(
+                    self.compile_expr(s.pred, env)
+                    .cast("boolean")
+                    .alias(f"__scan_p{i}")
+                )
+                checks_spec.append(("arr", i))
+
+        # declared variables: init + row-only assignment values are
         # Catalyst row expressions, cast to the coalesced common type;
-        # the kernel only COPIES the precomputed values around
+        # the kernel only COPIES the precomputed values around.
+        # Var-referencing assignment values (accumulators like
+        # ``total = total + amount``) become skeletons, evaluated
+        # against the state at STEP ENTRY (before any of this step's
+        # own assignments — same visibility row-precomputed values
+        # get).
         init_cols: list[Column] = []
         assign_cols: list[Column] = []
         # (step index, var index) -> work-column name
         assign_map: dict[tuple[int, int], str] = {}
+        # (step index, var index) -> skeleton tree
+        assign_skel: dict[tuple[int, int], tuple] = {}
         if op.declare:
             inits = {
                 v: self.compile_expr(e, env) for v, e in op.declare
             }
             raw_assigns: dict[tuple[int, int], Column] = {}
+            skel_keys: set[tuple[int, int]] = set()
             for i, s in enumerate(op.steps):
                 for v, e in s.assigns:
                     j = var_names.index(v)
-                    raw_assigns[(i, j)] = self.compile_expr(e, env)
+                    if _refs_vars(e):
+                        skel_keys.add((i, j))
+                        assign_skel[(i, j)] = _skel(e)
+                        # init-substituted twin, for the type probe
+                        raw_assigns[(i, j)] = self.compile_expr(
+                            _subst_inits(e), env
+                        )
+                    else:
+                        raw_assigns[(i, j)] = self.compile_expr(e, env)
             # type probe: common type per var across init + assignments
             probe = df.select(
                 *[
@@ -2374,10 +2477,12 @@ class Compiler:
                 for j, v in enumerate(var_names)
             ]
             for (i, j), c in raw_assigns.items():
+                if (i, j) in skel_keys:
+                    continue  # evaluated in the kernel, no work column
                 nm = f"__scan_a{i}_{j}"
                 assign_map[(i, j)] = nm
                 assign_cols.append(c.cast(vtypes[j]).alias(nm))
-        work = df.select("*", *preds, *init_cols, *assign_cols)
+        work = df.select("*", *preds, *init_cols, *assign_cols, *xcols)
         out_schema = T.StructType(
             list(df.schema.fields)
             + [
@@ -2393,19 +2498,43 @@ class Compiler:
                 else []
             )
         )
-        drop_cols = [f"__scan_p{i}" for i in range(k)] + [
-            f"__scan_i{j}" for j in range(len(var_names))
-        ] + list(assign_map.values())
+        drop_cols = (
+            [
+                f"__scan_p{i}"
+                for i, c in enumerate(checks_spec)
+                if c[0] == "arr"
+            ]
+            + [f"__scan_i{j}" for j in range(len(var_names))]
+            + list(assign_map.values())
+            + [f"__scan_x{t}" for t in range(len(xcols))]
+        )
         n_vars = len(var_names)
+        n_x = len(xcols)
         match_id_col = op.match_id
 
+        import math
+
+        def _sk_null(v) -> bool:
+            if v is None or v is pd.NA:
+                return True
+            try:
+                return bool(pd.isna(v))
+            except (TypeError, ValueError):
+                return False
+
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
             pdf = pdf.sort_values(
                 order_names, ascending=ascending, kind="mergesort"
             )
-            flags = [
-                pdf[f"__scan_p{i}"].fillna(False).to_numpy()
-                for i in range(k)
+            flags = {
+                i: pdf[f"__scan_p{i}"].fillna(False).to_numpy()
+                for i, c in enumerate(checks_spec)
+                if c[0] == "arr"
+            }
+            xarrs = [
+                pdf[f"__scan_x{t}"].to_numpy() for t in range(n_x)
             ]
             if n_vars:
                 init_vals = [
@@ -2415,6 +2544,79 @@ class Compiler:
                     key: pdf[nm].to_numpy()
                     for key, nm in assign_map.items()
                 }
+
+            def _ev(node, r: int, st: list):
+                # skeleton interpreter — mirrors _binary()'s
+                # semantics: null-safe ==/!= coalesce to False,
+                # ordered comparisons propagate null, try_divide /
+                # try_mod null on zero, Java-sign %
+                tag = node[0]
+                if tag == "col":
+                    v = xarrs[node[1]][r]
+                    return None if _sk_null(v) else v
+                if tag == "var":
+                    v = st[node[1]]
+                    return None if _sk_null(v) else v
+                if tag == "un":
+                    v = _ev(node[2], r, st)
+                    if v is None:
+                        return None
+                    return v if node[1] == "+" else -v
+                if tag == "not":
+                    v = _ev(node[1], r, st)
+                    return None if v is None else (not bool(v))
+                opn = node[1]
+                a = _ev(node[2], r, st)
+                b = _ev(node[3], r, st)
+                if opn in ("and", "or"):
+                    af = None if a is None else bool(a)
+                    bf = None if b is None else bool(b)
+                    if opn == "and":
+                        if af is False or bf is False:
+                            return False
+                        return None if None in (af, bf) else True
+                    if af is True or bf is True:
+                        return True
+                    return None if None in (af, bf) else False
+                if opn in ("==", "!="):
+                    if a is None or b is None:
+                        return False
+                    try:
+                        eq = bool(a == b)
+                    except (TypeError, ValueError):
+                        return False
+                    return eq if opn == "==" else not eq
+                if a is None or b is None:
+                    return None
+                try:
+                    if opn == "<":
+                        return bool(a < b)
+                    if opn == "<=":
+                        return bool(a <= b)
+                    if opn == ">":
+                        return bool(a > b)
+                    if opn == ">=":
+                        return bool(a >= b)
+                    if opn == "+":
+                        return a + b
+                    if opn == "-":
+                        return a - b
+                    if opn == "*":
+                        return a * b
+                    if opn == "/":
+                        return None if b == 0 else a / b
+                    # '%': Java remainder (sign of dividend), like
+                    # Spark's %; try_mod → NULL on zero
+                    if b == 0:
+                        return None
+                    if isinstance(
+                        a, (int, np.integer)
+                    ) and isinstance(b, (int, np.integer)):
+                        return int(math.fmod(int(a), int(b)))
+                    return math.fmod(a, b)
+                except TypeError:
+                    return None
+
             pos, match_id = 0, 0
             state: list = [None] * n_vars
             # pending: (row, step name, step index, var snapshot)
@@ -2424,23 +2626,41 @@ class Compiler:
             out_step: list[str] = []
             out_vars: list[list] = [[] for _ in range(n_vars)]
             for r in range(len(pdf)):
-                if pos < k and flags[pos][r]:
+                if pos < k:
+                    spec = checks_spec[pos]
+                    if spec[0] == "arr":
+                        hit = flags[pos][r]
+                    else:
+                        st = (
+                            state
+                            if pos > 0
+                            else [
+                                init_vals[j][r] for j in range(n_vars)
+                            ]
+                        )
+                        hit = bool(_ev(spec[1], r, st) or False)
+                else:
+                    hit = False
+                if hit:
                     if pos == 0 and n_vars:
                         # new match attempt: reset to the init values
                         state = [init_vals[j][r] for j in range(n_vars)]
+                    entry = list(state)
                     for j in range(n_vars):
                         key = (pos, j)
-                        if key in avals:
+                        if key in assign_skel:
+                            state[j] = _ev(assign_skel[key], r, entry)
+                        elif n_vars and key in avals:
                             state[j] = avals[key][r]
                     pending.append((r, names[pos], pos, list(state)))
                     pos += 1
                     if pos == k:
-                        for rr, st, si, snap in pending:
+                        for rr, st_, si, snap in pending:
                             if out_modes[si] == "none":
                                 continue
                             out_idx.append(rr)
                             out_mid.append(match_id)
-                            out_step.append(st)
+                            out_step.append(st_)
                             for j in range(n_vars):
                                 out_vars[j].append(snap[j])
                         match_id += 1
