@@ -2522,12 +2522,20 @@ class Compiler:
             except (TypeError, ValueError):
                 return False
 
-        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_group(pdf: pd.DataFrame, gids=None) -> pd.DataFrame:
+            # gids: per-row group ordinal over an ALREADY (keys, order)
+            # -sorted frame — the automaton resets at boundaries, so
+            # one call handles every key of a super-group without
+            # per-key pandas sub-frames (sort/convert/iloc per key
+            # cost ~1 ms × n_keys, which dominated the whole operator
+            # at sf0.1: 2.5 s → ~1 s).  -1 marks null-key rows, which
+            # the per-key groupby dropped before; None → single group.
             import numpy as np
 
-            pdf = pdf.sort_values(
-                order_names, ascending=ascending, kind="mergesort"
-            )
+            if gids is None:
+                pdf = pdf.sort_values(
+                    order_names, ascending=ascending, kind="mergesort"
+                )
             flags = {
                 i: pdf[f"__scan_p{i}"].fillna(False).to_numpy()
                 for i, c in enumerate(checks_spec)
@@ -2625,7 +2633,15 @@ class Compiler:
             out_mid: list[int] = []
             out_step: list[str] = []
             out_vars: list[list] = [[] for _ in range(n_vars)]
+            cur_g = None
             for r in range(len(pdf)):
+                if gids is not None:
+                    g = gids[r]
+                    if g < 0:  # null scan key: never matches
+                        continue
+                    if g != cur_g:  # new key: fresh automaton
+                        cur_g = g
+                        pos, match_id, pending = 0, 0, []
                 if pos < k:
                     spec = checks_spec[pos]
                     if spec[0] == "arr":
@@ -2703,19 +2719,19 @@ class Compiler:
             # applyInPandas pays per-call Arrow/serialization overhead,
             # so ~1500 tiny per-key calls cost seconds where ~2×cores
             # super-group calls cost milliseconds (measured 3.8s → sub
-            # -second at sf0.1).  The automaton still runs per key via
-            # the inner pandas groupby; match_ids are LOCAL to a key.
+            # -second at sf0.1).  ONE (keys, order) sort + a
+            # boundary-resetting pass replaces per-key pandas
+            # sub-frames; match_ids stay LOCAL to a key.
             pdf = pdf.drop(columns="__scan_g", errors="ignore")
             if not by_names:
                 return run_group(pdf)
-            outs = [
-                run_group(g)
-                for _, g in pdf.groupby(by_names, sort=False)
-            ]
-            outs = [o for o in outs if len(o)]
-            if not outs:
-                return run_group(pdf.iloc[:0])
-            return pd.concat(outs, ignore_index=True)
+            pdf = pdf.sort_values(
+                by_names + order_names,
+                ascending=[True] * len(by_names) + ascending,
+                kind="mergesort",
+            )
+            gids = pdf.groupby(by_names, sort=False).ngroup().to_numpy()
+            return run_group(pdf, gids)
 
         if by_names:
             # hash scan keys into ~2×parallelism super-groups — the
