@@ -3643,11 +3643,20 @@ def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
-    d = Path(tempfile.mkdtemp(prefix="pql_neardup_"))
+    shm = Path("/dev/shm")
+    d = Path(tempfile.mkdtemp(
+        prefix="pql_neardup_", dir=str(shm) if shm.is_dir() else None
+    ))
     try:
         docs.toPandas().to_parquet(d / "docs.parquet", index=False)
         stream = spark.readStream.schema(docs.schema).parquet(str(d))
-        rows = run_available_now(stream_near_dup(stream), "update")
+        # state_shards sized to the ~1k-doc gate batch (the operator
+        # docstring's sizing rule): each (band, shard) group is one
+        # python call + state round-trip per batch — 16×8=128 groups
+        # instead of the 64-shard default's ~1024, identical buckets
+        rows = run_available_now(
+            stream_near_dup(stream, state_shards=8), "update"
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     out = spark.createDataFrame(
