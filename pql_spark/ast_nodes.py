@@ -417,13 +417,18 @@ class PivotOp(Op):
 
 @dataclass
 class BagUnpackOp(Op):
-    """``evaluate bag_unpack(Col [, prefix])`` — expand a dynamic (JSON
-    object / map) column into one column per key (KQL bag_unpack
-    plugin); the bag column is dropped.  DataFrame backend only (the
-    output schema is data-dependent)."""
+    """``evaluate bag_unpack(Col [, prefix]) [: (name: type, …)]`` —
+    expand a dynamic (JSON object / map) column into one column per
+    key (KQL bag_unpack plugin); the bag column is dropped.  Without
+    the ADX output-schema annotation the keys are DISCOVERED (bounded
+    compile-time aggregate — DataFrame backend only); with it the
+    schema is static, keys extract in declared order with declared
+    types, and BOTH backends support the operator (the SQL emitter
+    handles JSON-string bags)."""
 
     col: Ident
     prefix: str = ""
+    schema: list[tuple[str, str]] | None = None  # (key, KQL type)
 
 
 @dataclass

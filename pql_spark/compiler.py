@@ -3211,6 +3211,22 @@ class Compiler:
             extract = lambda k: F.get_json_object(  # noqa: E731
                 F.col(_q(bcol)).cast("string"), f"$.{k}"
             )
+        others = [c for c in df.columns if c != bcol]
+        if op.schema is not None:
+            # ADX output-schema annotation: static keys/types, no
+            # discovery action — extraction in declared order, cast
+            # to the declared Spark type (same mapping as datatable)
+            from .parser import _DATATABLE_TYPES
+
+            return df.select(
+                *[F.col(_q(c)) for c in others],
+                *[
+                    extract(k)
+                    .cast(_DATATABLE_TYPES[t])
+                    .alias(f"{op.prefix}{k}")
+                    for k, t in op.schema
+                ],
+            )
         # cap key discovery: a config-like bag has tens of keys; an
         # adversarial/high-cardinality bag would otherwise stream an
         # unbounded distinct set to the driver
@@ -3221,11 +3237,12 @@ class Compiler:
             raise ParseError(
                 f"bag_unpack: more than {BAG_UNPACK_MAX_KEYS} distinct"
                 f" keys in {bcol!r} — refusing to widen the schema"
-                " (filter or project the bag first)",
+                " (filter or project the bag first, or declare the"
+                " output schema: `evaluate bag_unpack(col) :"
+                " (name: type, …)`)",
                 op.col.span,
             )
         keys = sorted(r.k for r in discovered)
-        others = [c for c in df.columns if c != bcol]
         return df.select(
             *[F.col(_q(c)) for c in others],
             *[extract(k).alias(f"{op.prefix}{k}") for k in keys],

@@ -2133,6 +2133,32 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 raise ParseError("expected prefix string literal", pfx.span)
             prefix = pfx.value
         rp = p.expect(TokenKind.RPAREN, "')'")
+        schema: list[tuple[str, str]] | None = None
+        if p.match(TokenKind.COLON):
+            # ADX output-schema annotation: `: (name: type, …)` —
+            # makes the output schema static (and SQL-emittable)
+            p.expect(TokenKind.LPAREN, "'('")
+            schema = []
+            while True:
+                nt = p.take()
+                if nt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+                    raise ParseError(
+                        "bag_unpack schema: expected column name",
+                        nt.span,
+                    )
+                p.expect(TokenKind.COLON, "':'")
+                tt = p.expect(TokenKind.IDENT, "type name")
+                if tt.value not in _DATATABLE_TYPES:
+                    raise ParseError(
+                        f"bag_unpack schema: unknown type {tt.value!r}"
+                        f" (supported:"
+                        f" {', '.join(sorted(_DATATABLE_TYPES))})",
+                        tt.span,
+                    )
+                schema.append((nt.value, tt.value))
+                if not p.match(TokenKind.COMMA):
+                    break
+            rp = p.expect(TokenKind.RPAREN, "')'")
         return BagUnpackOp(
             col=Ident(
                 parts=[col_tok.value],
@@ -2140,6 +2166,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 span=col_tok.span,
             ),
             prefix=prefix,
+            schema=schema,
             span=Span(kw.span.start, rp.span.end),
         )
     if plugin.value in (

@@ -834,10 +834,38 @@ class _SqlEmitter:
                 op.span,
             )
         if isinstance(op, BagUnpackOp):
-            raise ParseError(
-                "evaluate bag_unpack's output schema is data-dependent "
-                "— use the DataFrame backend",
-                op.span,
+            if op.schema is None:
+                raise ParseError(
+                    "evaluate bag_unpack without an output-schema"
+                    " annotation is data-dependent — declare it"
+                    " (`evaluate bag_unpack(col) : (name: type, …)`)"
+                    " or use the DataFrame backend",
+                    op.span,
+                )
+            from .parser import _DATATABLE_TYPES
+
+            bcol = op.col.parts[0]
+            if bcol not in cols:
+                raise ParseError(
+                    f"bag_unpack: unknown column {bcol!r}", op.col.span
+                )
+            # JSON-string bags only on the SQL backend: the emitter
+            # has no schema to tell a MAP column apart (map bags →
+            # DataFrame backend, which branches on the actual type)
+            others = [c for c in cols if c != bcol]
+            items = [f"{_q(c)}" for c in others]
+            names = list(others)
+            for key, t in op.schema:
+                out_name = f"{op.prefix}{key}"
+                items.append(
+                    "CAST(get_json_object(CAST("
+                    f"{_q(bcol)} AS STRING), '$.{key}')"
+                    f" AS {_DATATABLE_TYPES[t]}) AS {_q(out_name)}"
+                )
+                names.append(out_name)
+            return (
+                f"SELECT {', '.join(items)} FROM {inner}",
+                names,
             )
         if isinstance(op, PartitionOp):
             return self._emit_partition(op, inner, cols)

@@ -795,6 +795,56 @@ def test_bag_unpack_map(spark):
     assert tuple(out.head()) == (1, 10, 20)
 
 
+def test_bag_unpack_schema_annotation(spark):
+    # ADX output-schema form: static keys in DECLARED order, typed
+    # extraction, no discovery action; missing keys → NULL of the type
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [(1, '{"x": 1, "y": "a"}'), (2, '{"x": 2}')],
+        "id long, bag string",
+    )
+    eng = PqlEngine(spark, resolver={"B": df})
+    out = eng.query(
+        "B | evaluate bag_unpack(bag) : (y: string, x: long)"
+    )
+    assert out.columns == ["id", "y", "x"]
+    assert dict(out.dtypes)["x"] == "bigint"
+    rows = {r.id: (r.y, r.x) for r in out.collect()}
+    assert rows == {1: ("a", 1), 2: (None, 2)}
+    # map bags take the annotation too (element_at + cast)
+    mp = spark.sql("SELECT 1 AS id, map('k1', 10) AS mp")
+    eng2 = PqlEngine(spark, resolver={"M": mp})
+    out2 = eng2.query(
+        'M | evaluate bag_unpack(mp, "p_") : (k1: real, k2: real)'
+    )
+    assert out2.columns == ["id", "p_k1", "p_k2"]
+    assert tuple(out2.head()) == (1, 10.0, None)
+    with pytest.raises(QueryError, match="unknown type"):
+        eng.query("B | evaluate bag_unpack(bag) : (x: widget)")
+
+
+def test_bag_unpack_schema_sql_backend(spark):
+    # the annotation makes bag_unpack SQL-emittable: both backends
+    # must agree on a JSON-string bag
+    from pql_spark import PqlEngine
+
+    df = spark.createDataFrame(
+        [(1, '{"x": 1, "y": "a"}'), (2, '{"x": 2}'), (3, None)],
+        "id long, bag string",
+    )
+    eng = PqlEngine(spark, resolver={"B": df})
+    q = (
+        "B | evaluate bag_unpack(bag) : (x: long, y: string)"
+        " | sort by id asc"
+    )
+    df_rows = [tuple(r) for r in eng.query(q).collect()]
+    df.createOrReplaceTempView("B")
+    sql = eng.to_sql(q)
+    sql_rows = [tuple(r) for r in spark.sql(sql).collect()]
+    assert df_rows == sql_rows == [(1, 1, "a"), (2, 2, None), (3, None, None)]
+
+
 def test_partition_top(spark):
     from pql_spark import PqlEngine
 
