@@ -1241,6 +1241,31 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # EXTENSION bag_unpack with the ADX output-schema annotation:
+    # static typed keys (no discovery action), missing keys NULL —
+    # exercised through BOTH the declared type cast and a key absent
+    # from every bag
+    "pql_bag_unpack_schema": (
+        """
+        events
+        | evaluate bag_unpack(props, "p_") : (k: long, missing: string)
+        | where p_k >= 50
+        | summarize n = count(), mx = max(p_k),
+                    miss = countif(isnull(p_missing)) by event_type
+        | sort by event_type asc
+        """,
+        """
+        SELECT event_type, count(*) AS n,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS mx,
+               CAST(count(*) FILTER (
+                 WHERE json_extract_string(props, '$.missing') IS NULL
+               ) AS BIGINT) AS miss
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # EXTENSION tabular let (reference rejects; README.md:72-73)
     "pql_tabular_let": (
         """
@@ -4644,6 +4669,7 @@ _CHECK_FIRST = [
     "pql_active_users_count", "pql_ipv4_lookup", "pql_ipv6_lookup",
     "pql_diffpatterns", "pql_autocluster", "op_scrub_crossdoc",
     "pql_scan_funnel", "pql_scan_var_window",
+    "pql_bag_unpack_schema",
     # 2. last hashed in round 2 (all of them):
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
     "pql_arg_agg", "pql_bin_hourly", "pql_in_family",
@@ -4660,7 +4686,7 @@ _CHECK_FIRST = [
     "pql_narrow", "pql_ipv4_fns", "pql_array_set_fns",
     "pql_top_nested_others", "pql_let_fn", "pql_sequence_detect",
     "pql_events_daily", "pql_facet_counts", "pql_facet_main",
-    "pql_fork_hot", "pql_fork_daily", "op_fingerprint",
+    "pql_fork_hot", "pql_fork_daily",
 ]
 
 
