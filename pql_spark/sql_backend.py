@@ -811,11 +811,7 @@ class _SqlEmitter:
                 op.span,
             )
         if isinstance(op, TopNestedOp):
-            raise ParseError(
-                "top-nested's level-wise rank windows require the "
-                "DataFrame backend",
-                op.span,
-            )
+            return self.emit_top_nested(op, inner, cols)
         if isinstance(op, MvApplyOp):
             raise ParseError(
                 "mv-apply's per-record subquery requires the "
@@ -1966,6 +1962,156 @@ class _SqlEmitter:
             f" {kind} ({right_sql}) AS {_q('$right')} ON {on}"
         )
         return sql, out_names
+
+    def emit_top_nested(
+        self, op: TopNestedOp, inner: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        """SQL twin of KQL ``top-nested`` (incl. ``with others``):
+        level i is ONE GROUP BY over the source (all surviving key
+        expressions re-emitted), an equi-join against level i-1's
+        survivors, and a ``row_number`` rank window per parent
+        combination (``ORDER BY``+``LIMIT`` at level 1).  ``with
+        others`` relabels non-surviving keys via a LEFT JOIN against
+        the survivor mark set and re-aggregates, exactly like the
+        DataFrame path (`compiler._top_nested`)."""
+
+        def name_expr(spec: ColSpec) -> tuple[str, str]:
+            if spec.name is not None and spec.expr is not None:
+                return spec.name, self.expr(spec.expr)
+            if spec.name is not None:
+                return spec.name, _q(spec.name)
+            return (
+                spec.expr.source(self.text).strip(),
+                self.expr(spec.expr),
+            )
+
+        key_names: list[str] = []
+        out_names: list[str] = []
+        key_exprs: list[str] = []
+        has_others = any(lvl.others is not None for lvl in op.levels)
+        sel: str | None = None  # survivors SQL: k1, a1, …, ki, ai
+        cur = f"SELECT * FROM {inner}"  # row frame (others path)
+        cur_cols = list(cols)
+
+        for lvl in op.levels:
+            kname, kexpr = name_expr(lvl.key)
+            aname, aexpr = name_expr(lvl.agg)
+            for name in (kname, aname):
+                if name in out_names:
+                    raise ParseError(
+                        f"top-nested: duplicate output column"
+                        f" {name!r} — name the key/aggregate"
+                        " (Name = expr)",
+                        lvl.span,
+                    )
+            prev = list(key_names)
+
+            def topk(base: str) -> str:
+                order = (
+                    f"{_q(aname)} {'ASC' if lvl.asc else 'DESC'},"
+                    f" {_q(kname)} ASC"
+                )
+                if lvl.count is None:
+                    return base
+                n = self.expr(lvl.count)
+                if prev:
+                    part = ", ".join(_q(p) for p in prev)
+                    keep = ", ".join(
+                        _q(c) for c in (*out_names, kname, aname)
+                    )
+                    return (
+                        f"SELECT {keep} FROM (SELECT *, row_number()"
+                        f" OVER (PARTITION BY {part} ORDER BY {order})"
+                        f" AS __tn_rn FROM ({base}) AS __tn_r)"
+                        f" AS __tn_w WHERE __tn_rn <= {n}"
+                    )
+                return f"SELECT * FROM ({base}) ORDER BY {order} LIMIT {n}"
+
+            def joined(grouped: str) -> str:
+                if sel is None:
+                    return grouped
+                on = " AND ".join(
+                    f"__tn_g.{_q(p)} = __tn_p.{_q(p)}" for p in prev
+                )
+                items = ", ".join(
+                    [f"__tn_p.{_q(c)}" for c in out_names]
+                    + [f"__tn_g.{_q(kname)}", f"__tn_g.{_q(aname)}"]
+                )
+                return (
+                    f"SELECT {items} FROM ({grouped}) AS __tn_g"
+                    f" JOIN ({sel}) AS __tn_p ON {on}"
+                )
+
+            if not has_others:
+                gitems = ", ".join(
+                    [
+                        f"{e} AS {_q(n)}"
+                        for e, n in zip(key_exprs, key_names)
+                    ]
+                    + [f"{kexpr} AS {_q(kname)}", f"{aexpr} AS {_q(aname)}"]
+                )
+                gby = ", ".join((*key_exprs, kexpr))
+                grouped = (
+                    f"SELECT {gitems} FROM {inner} GROUP BY {gby}"
+                )
+                sel = topk(joined(grouped))
+            else:
+                # materialize this level's key on the row frame
+                # (extend semantics: replace in place if it exists)
+                if kname in cur_cols:
+                    items = ", ".join(
+                        f"{kexpr} AS {_q(c)}" if c == kname else _q(c)
+                        for c in cur_cols
+                    )
+                else:
+                    items = ", ".join(
+                        [_q(c) for c in cur_cols]
+                        + [f"{kexpr} AS {_q(kname)}"]
+                    )
+                    cur_cols.append(kname)
+                cur = f"SELECT {items} FROM ({cur}) AS __tn_c"
+                keys_i = ", ".join(_q(n) for n in (*prev, kname))
+                grouped = (
+                    f"SELECT {keys_i}, {aexpr} AS {_q(aname)}"
+                    f" FROM ({cur}) AS __tn_s GROUP BY {keys_i}"
+                )
+                survivors = topk(joined(grouped))
+                if lvl.others is None:
+                    sel = survivors
+                else:
+                    label = _qs(lvl.others)
+                    marks = (
+                        f"SELECT {keys_i}, TRUE AS __tn_m"
+                        f" FROM ({survivors}) AS __tn_sv"
+                    )
+                    mon = " AND ".join(
+                        f"__tn_c.{_q(n)} = __tn_m.{_q(n)}"
+                        for n in (*prev, kname)
+                    )
+                    citems = ", ".join(
+                        (
+                            f"CASE WHEN __tn_m.__tn_m THEN"
+                            f" __tn_c.{_q(c)} ELSE {label} END"
+                            f" AS {_q(c)}"
+                        )
+                        if c == kname
+                        else f"__tn_c.{_q(c)}"
+                        for c in cur_cols
+                    )
+                    cur = (
+                        f"SELECT {citems} FROM ({cur}) AS __tn_c"
+                        f" LEFT JOIN ({marks}) AS __tn_m ON {mon}"
+                    )
+                    regrouped = (
+                        f"SELECT {keys_i}, {aexpr} AS {_q(aname)}"
+                        f" FROM ({cur}) AS __tn_s GROUP BY {keys_i}"
+                    )
+                    sel = joined(regrouped)
+            key_names.append(kname)
+            key_exprs.append(kexpr)
+            out_names.extend((kname, aname))
+        final = ", ".join(_q(n) for n in out_names)
+        return f"SELECT {final} FROM ({sel}) AS __tn_o", out_names
 
     def emit_ipv4_lookup(
         self, op: Ipv4LookupOp, left_sql: str, left_cols: list[str]

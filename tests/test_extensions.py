@@ -251,10 +251,31 @@ def test_top_nested_duplicate_name_errors(tn_engine):
             "T | top-nested 2 of g by count(),"
             "    top-nested 1 of u by count()"
         )
-    with pytest.raises(QueryError, match="DataFrame backend"):
-        compile_to_sql(
-            "T | top-nested 2 of g by n = count()", {"T": ["g"]}
-        )
+
+
+def test_top_nested_sql_backend_equivalent(spark, tn_engine):
+    # round 7: the SQL emitter covers top-nested (incl. no-count
+    # levels and asc ties) — both backends must agree row-for-row
+    spark.createDataFrame(
+        [
+            ("a", "x", 1), ("a", "x", 1), ("a", "y", 1),
+            ("b", "x", 1), ("b", "z", 1),
+            ("c", "z", 1),
+        ],
+        "g string, u string, v int",
+    ).createOrReplaceTempView("T")
+    for q in (
+        "T | top-nested 2 of g by n = count(),"
+        "    top-nested 1 of u by m = count()",
+        "T | top-nested of g by n = count(),"
+        "    top-nested 1 of u by m = count()",
+        "T | top-nested 2 of g by n = count() asc,"
+        "    top-nested 1 of u by m = count()",
+    ):
+        df_rows = sorted(map(tuple, tn_engine.query(q).collect()))
+        sql = tn_engine.to_sql(q)
+        sql_rows = sorted(map(tuple, spark.sql(sql).collect()))
+        assert df_rows == sql_rows, q
 
 
 def test_lookup_broadcasts_and_dedups_key(spark, engine):
@@ -1507,6 +1528,11 @@ def test_top_nested_with_others(spark):
     )
     out3 = set(map(tuple, eng.query(q3).collect()))
     assert out3 == {("a", 16, "x", 10), ("b", 8, "x", 8)}
+    # SQL backend: all three forms agree with the DataFrame results
+    df.createOrReplaceTempView("TN_T")
+    for q_, want in ((q, out), (q2, out2), (q3, out3)):
+        got = set(map(tuple, spark.sql(eng.to_sql(q_)).collect()))
+        assert got == want, q_
 
 
 def test_project_away_keep_wildcards(spark):
