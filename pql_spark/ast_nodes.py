@@ -406,13 +406,19 @@ class ProjectReorderOp(Op):
 
 @dataclass
 class PivotOp(Op):
-    """``evaluate pivot(PivotCol [, AggCall])`` — rotate distinct values
-    of PivotCol into columns (KQL pivot plugin); remaining columns are
-    the group keys; default aggregate is ``count()``.  DataFrame backend
-    only (the output schema is data-dependent)."""
+    """``evaluate pivot(PivotCol [, AggCall]) [: (name: type, …)]`` —
+    rotate distinct values of PivotCol into columns (KQL pivot
+    plugin); remaining columns are the group keys; default aggregate
+    is ``count()``.  Discovery mode (no annotation) infers + sorts the
+    distinct values (DataFrame backend only).  With the ADX
+    output-schema annotation, entries naming group keys pass through
+    and the REST are the pivot values in declared order, matched on
+    the pivot column's STRING form and cast to the declared type —
+    static schema, no values-discovery job, both backends."""
 
     col: Ident
     agg: Expr | None
+    schema: list[tuple[str, str]] | None = None
 
 
 @dataclass

@@ -777,6 +777,41 @@ class Compiler:
                 if op.agg is not None
                 else F.count(F.lit(1))
             )
+            if op.schema is not None:
+                # annotated: entries naming keys pass through, the
+                # rest are the pivot VALUES in declared order —
+                # explicit values skip the distinct-discovery job and
+                # make the schema static.  Matching is on the pivot
+                # column's STRING form; cells cast to declared types.
+                from .parser import _DATATABLE_TYPES
+
+                vals = [
+                    (n, t) for n, t in op.schema if n not in keys
+                ]
+                if not vals:
+                    raise ParseError(
+                        "pivot schema: no pivot-value columns (every"
+                        " entry names a group key)",
+                        op.span,
+                    )
+                PV = "__pql_pv_key"
+                pivoted = (
+                    df.withColumn(
+                        PV, F.col(_q(pcol)).cast("string")
+                    )
+                    .groupBy(*[F.col(_q(k)) for k in keys])
+                    .pivot(PV, [n for n, _ in vals])
+                    .agg(agg)
+                )
+                return pivoted.select(
+                    *[F.col(_q(k)) for k in keys],
+                    *[
+                        F.col(_q(n))
+                        .cast(_DATATABLE_TYPES[t])
+                        .alias(n)
+                        for n, t in vals
+                    ],
+                )
             # Spark infers + SORTS the distinct pivot values, so the
             # output column order is deterministic.  groupBy().pivot()
             # plans two-phase partial aggregation like any groupBy.
@@ -3640,9 +3675,8 @@ class Compiler:
                 # KQL pack_all(): a bag of every current column — needs
                 # the schema, so handled here rather than functions.py;
                 # values are cast to string to unify the map value type
-                # (document: a string-valued bag).  DataFrame backend
-                # only (the SQL emitter has no column context inside
-                # expressions).
+                # (document: a string-valued bag).  The SQL emitter
+                # mirrors this via its operator-level column context.
                 if expr.args:
                     raise ParseError(
                         "pack_all() takes no arguments", expr.span

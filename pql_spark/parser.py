@@ -2112,6 +2112,37 @@ def _op_project_reorder(p: _P, kw: Token) -> Op:
     return ProjectReorderOp(names=names, span=Span(kw.span.start, end))
 
 
+def _schema_annotation(
+    p: "_P", plugin: str, rp: Token
+) -> tuple[list[tuple[str, str]] | None, Token]:
+    """Optional ADX output-schema annotation ``: (name: type, …)``
+    after an evaluate plugin — makes the plugin's output schema static
+    (and SQL-emittable).  Returns (schema-or-None, closing token)."""
+    if not p.match(TokenKind.COLON):
+        return None, rp
+    p.expect(TokenKind.LPAREN, "'('")
+    schema: list[tuple[str, str]] = []
+    while True:
+        nt = p.take()
+        if nt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
+            raise ParseError(
+                f"{plugin} schema: expected column name", nt.span
+            )
+        p.expect(TokenKind.COLON, "':'")
+        tt = p.expect(TokenKind.IDENT, "type name")
+        if tt.value not in _DATATABLE_TYPES:
+            raise ParseError(
+                f"{plugin} schema: unknown type {tt.value!r}"
+                f" (supported: {', '.join(sorted(_DATATABLE_TYPES))})",
+                tt.span,
+            )
+        schema.append((nt.value, tt.value))
+        if not p.match(TokenKind.COMMA):
+            break
+    rp = p.expect(TokenKind.RPAREN, "')'")
+    return schema, rp
+
+
 def _op_evaluate(p: _P, kw: Token) -> Op:
     """EXTENSION: the KQL plugin entry point — ``evaluate
     pivot(PivotCol [, AggCall])`` and ``evaluate bag_unpack(Col
@@ -2133,32 +2164,7 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
                 raise ParseError("expected prefix string literal", pfx.span)
             prefix = pfx.value
         rp = p.expect(TokenKind.RPAREN, "')'")
-        schema: list[tuple[str, str]] | None = None
-        if p.match(TokenKind.COLON):
-            # ADX output-schema annotation: `: (name: type, …)` —
-            # makes the output schema static (and SQL-emittable)
-            p.expect(TokenKind.LPAREN, "'('")
-            schema = []
-            while True:
-                nt = p.take()
-                if nt.kind not in (TokenKind.IDENT, TokenKind.QIDENT):
-                    raise ParseError(
-                        "bag_unpack schema: expected column name",
-                        nt.span,
-                    )
-                p.expect(TokenKind.COLON, "':'")
-                tt = p.expect(TokenKind.IDENT, "type name")
-                if tt.value not in _DATATABLE_TYPES:
-                    raise ParseError(
-                        f"bag_unpack schema: unknown type {tt.value!r}"
-                        f" (supported:"
-                        f" {', '.join(sorted(_DATATABLE_TYPES))})",
-                        tt.span,
-                    )
-                schema.append((nt.value, tt.value))
-                if not p.match(TokenKind.COMMA):
-                    break
-            rp = p.expect(TokenKind.RPAREN, "')'")
+        schema, rp = _schema_annotation(p, "bag_unpack", rp)
         return BagUnpackOp(
             col=Ident(
                 parts=[col_tok.value],
@@ -2825,8 +2831,10 @@ def _op_evaluate(p: _P, kw: Token) -> Op:
     if p.match(TokenKind.COMMA):
         agg = p.parse_expr()
     rp = p.expect(TokenKind.RPAREN, "')'")
+    schema, rp = _schema_annotation(p, "pivot", rp)
     return PivotOp(
-        col=col, agg=agg, span=Span(kw.span.start, rp.span.end)
+        col=col, agg=agg, schema=schema,
+        span=Span(kw.span.start, rp.span.end),
     )
 
 

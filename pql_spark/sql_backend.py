@@ -819,10 +819,75 @@ class _SqlEmitter:
                 op.span,
             )
         if isinstance(op, PivotOp):
-            raise ParseError(
-                "evaluate pivot's output schema is data-dependent — "
-                "use the DataFrame backend",
-                op.span,
+            if op.schema is None:
+                raise ParseError(
+                    "evaluate pivot without an output-schema"
+                    " annotation is data-dependent — declare it"
+                    " (`evaluate pivot(col[, agg]) : (name: type,"
+                    " …)`) or use the DataFrame backend",
+                    op.span,
+                )
+            from .parser import _DATATABLE_TYPES
+
+            pcol = op.col.parts[0]
+            if pcol not in cols:
+                raise ParseError(
+                    f"pivot: unknown column {pcol!r}", op.col.span
+                )
+            agg_refs: set[str] = set()
+
+            def _walk(node) -> None:
+                if isinstance(node, Ident) and node.simple:
+                    agg_refs.add(node.parts[0])
+                for child in getattr(node, "__dict__", {}).values():
+                    if isinstance(child, Expr):
+                        _walk(child)
+                    elif isinstance(child, list):
+                        for item in child:
+                            if isinstance(item, Expr):
+                                _walk(item)
+
+            if op.agg is not None:
+                _walk(op.agg)
+            keys = [
+                c for c in cols if c != pcol and c not in agg_refs
+            ]
+            vals = [(n, t) for n, t in op.schema if n not in keys]
+            if not vals:
+                raise ParseError(
+                    "pivot schema: no pivot-value columns (every"
+                    " entry names a group key)",
+                    op.span,
+                )
+            agg_sql = (
+                self.expr(op.agg) if op.agg is not None else "count(1)"
+            )
+            agg_inputs = [
+                c for c in cols if c in agg_refs and c != pcol
+            ]
+            inner_items = ", ".join(
+                [_q(c) for c in (*keys, *agg_inputs)]
+                + [f"CAST({_q(pcol)} AS STRING) AS {_q('__pql_pv')}"]
+            )
+            in_list = ", ".join(
+                f"{_qs(n)} AS {_q(n)}" for n, _ in vals
+            )
+            pivoted = (
+                f"SELECT * FROM (SELECT {inner_items} FROM {inner}"
+                f" AS {_q('__pql_pvt')}) PIVOT ({agg_sql} FOR"
+                f" {_q('__pql_pv')} IN ({in_list}))"
+            )
+            out_items = ", ".join(
+                [_q(k) for k in keys]
+                + [
+                    f"CAST({_q(n)} AS {_DATATABLE_TYPES[t]}) AS {_q(n)}"
+                    for n, t in vals
+                ]
+            )
+            return (
+                f"SELECT {out_items} FROM ({pivoted})"
+                f" AS {_q('__pql_pvo')}",
+                [*keys, *[n for n, _ in vals]],
             )
         if isinstance(op, (MakeGraphOp, GraphMatchOp)):
             raise ParseError(
@@ -2505,6 +2570,20 @@ class _SqlEmitter:
             if cur is not None and cname in cur:
                 return _q(cname)
             return self.expr(args[1])
+        if name == "pack_all":
+            # string-valued bag of every current column, like the DF
+            # compiler's create_map (r7: the operator-level column
+            # context `_cur_cols` is exactly the needed schema)
+            argc(0, 0)
+            cur = getattr(self, "_cur_cols", None)
+            if not cur:
+                raise ParseError(
+                    "pack_all() needs a table context", e.span
+                )
+            pairs = ", ".join(
+                f"{_qs(c)}, CAST({_q(c)} AS STRING)" for c in cur
+            )
+            return f"map({pairs})"
         if name in (
             "row_number", "prev", "next",
             "row_cumsum", "row_rank_dense", "row_rank_min",

@@ -845,6 +845,45 @@ def test_bag_unpack_schema_annotation(spark):
         eng.query("B | evaluate bag_unpack(bag) : (x: widget)")
 
 
+def test_pivot_schema_annotation(spark):
+    # annotated pivot: declared order (not sorted), typed cells,
+    # static schema, no values-discovery job; both backends agree
+    from pql_spark import PqlEngine, QueryError
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 1), ("a", "y", 2), ("a", "x", 3),
+            ("b", "y", 4), ("b", "z", 5),
+        ],
+        "g string, p string, v long",
+    )
+    eng = PqlEngine(spark, resolver={"PVT": df})
+    q = (
+        "PVT | evaluate pivot(p, sum(v))"
+        " : (g: string, y: long, x: long)"
+        " | sort by g asc"
+    )
+    out = eng.query(q)
+    # declared order y before x; z not declared -> dropped
+    assert out.columns == ["g", "y", "x"]
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("a", 2, 4), ("b", 4, None)]
+    df.createOrReplaceTempView("PVT")
+    assert [tuple(r) for r in spark.sql(eng.to_sql(q)).collect()] == rows
+    # default count() aggregate + real-typed cells (v projected away:
+    # with count() it would otherwise stay a group key)
+    q2 = (
+        "PVT | project g, p"
+        " | evaluate pivot(p) : (g: string, x: real, y: real)"
+        " | sort by g asc"
+    )
+    r2 = [tuple(r) for r in eng.query(q2).collect()]
+    assert r2 == [("a", 2.0, 1.0), ("b", None, 1.0)]
+    assert [tuple(r) for r in spark.sql(eng.to_sql(q2)).collect()] == r2
+    with pytest.raises(QueryError, match="no pivot-value columns"):
+        eng.query("PVT | evaluate pivot(p) : (g: string, v: long)")
+
+
 def test_bag_unpack_schema_sql_backend(spark):
     # the annotation makes bag_unpack SQL-emittable: both backends
     # must agree on a JSON-string bag

@@ -530,11 +530,15 @@ def test_bag_functions(spark):
     df = spark.createDataFrame([(1, "a", 2.5)], "id long, s string, v double")
     df.createOrReplaceTempView("BAG_T")
     eng = PqlEngine(spark, resolver={"BAG_T": df})
-    r = eng.query(
+    qa = (
         'BAG_T | extend b = pack_all()'
         ' | project id, k = b["s"], n = array_length(bag_keys(b))'
-    ).collect()[0]
+    )
+    r = eng.query(qa).collect()[0]
     assert (r.id, r.k, r.n) == (1, "a", 3)
+    # r7: pack_all emits on the SQL backend too (map over _cur_cols)
+    rs = spark.sql(eng.to_sql(qa)).collect()[0]
+    assert (rs.id, rs.k, rs.n) == (1, "a", 3)
     q = (
         'BAG_T | project m = bag_merge(bag_pack("a", 1, "b", 2),'
         ' bag_pack("b", 99, "c", 3))'
