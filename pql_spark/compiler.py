@@ -2004,12 +2004,17 @@ class Compiler:
         # the validity filter — a BOUNDED driver collect (same
         # compile-time-action shape as pivot key discovery), which lets
         # the fact side build all its (prefix, masked-key) pairs in ONE
-        # pass: the ip parse runs once per row inside a let-binding
-        # lambda instead of once per (row × prefix) through a
-        # cross-join (measured 2.6× at sf1)
-        pfx_vals = sorted(
-            r[0] for r in parsed.select(P).distinct().collect()
-        )
+        # pass instead of once per (row × prefix) through a cross-join
+        # (measured 2.6× at sf1).  For a literal-datatable lookup (the
+        # typical threat-intel/geo list) the prefixes come straight
+        # from the literals — no Spark job at all; a SUPERSET of the
+        # valid prefixes is safe (extra fact-side keys join nothing),
+        # so invalid CIDRs may contribute a phantom prefix harmlessly.
+        pfx_vals = self._literal_prefixes(op)
+        if pfx_vals is None:
+            pfx_vals = sorted(
+                r[0] for r in parsed.select(P).distinct().collect()
+            )
         n = self._alias_counter
         self._alias_counter += 1
         la, ra = f"__pql_l{n}", f"__pql_r{n}"
@@ -2120,6 +2125,58 @@ class Compiler:
             ],
         )
         return matched.drop(LID).unionByName(un_out)
+
+    def _literal_prefixes(self, op: Ipv4LookupOp) -> list[int] | None:
+        """Distinct prefix lengths of a LITERAL-datatable lookup,
+        computed driver-side with no Spark job — None when the lookup
+        is not a bare string-literal datatable.  Mirrors the SQL
+        prefix math (`/p` suffix via try_cast-or-default, v4-notation
+        at bit offset 96 in v6 mode) and returns a SUPERSET of the
+        engine-side valid set: prefixes of base-unparsable CIDRs are
+        included (their fact-side keys join nothing), out-of-range
+        prefixes are dropped (their lookup rows are filtered)."""
+        import re
+
+        from .ast_nodes import DatatableSource, StringLit
+
+        right = op.right
+        if right.operators or not isinstance(
+            right.source, DatatableSource
+        ):
+            return None
+        schema = right.source.schema
+        names = [n for n, _ in schema]
+        rname = op.range_col.parts[0]
+        if rname not in names:
+            return None  # unknown column: let the engine path error
+        idx, stride = names.index(rname), len(schema)
+        out: set[int] = set()
+        hi = 128 if op.v6 else 32
+        for i in range(idx, len(right.source.values), stride):
+            v = right.source.values[i]
+            if not isinstance(v, StringLit):
+                return None
+            parts = v.value.split("/")
+            suf: int | None = None
+            if len(parts) > 1 and re.fullmatch(
+                # try_cast semantics: trimmed signed digits only
+                # (python int() also takes "8_0" etc — reject those,
+                # they are NULL → default-prefix in the engine)
+                r"[+-]?[0-9]+", parts[1].strip()
+            ):
+                suf = int(parts[1].strip())
+            # NO strip/lower here: _range_prefix6's is4 regex sees the
+            # raw address text, and a mismatch must fall through to
+            # the v6 branch exactly like the engine does
+            if op.v6 and re.fullmatch(
+                r"[0-9]{1,3}(\.[0-9]{1,3}){3}", parts[0]
+            ):
+                p = 96 + min(suf if suf is not None else 32, 32)
+            else:
+                p = suf if suf is not None else hi
+            if 0 <= p <= hi:
+                out.add(p)
+        return sorted(out)
 
     def _compile_cols(self, cols: list[ColSpec], env: _Env) -> list[Column]:
         return [
