@@ -3810,10 +3810,16 @@ def _q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = root / "src"
         src.mkdir()
         base.toPandas().to_parquet(src / "a.parquet", index=False)
-        curate_stream(spark, str(src), str(root / "work"), langs=None)
+        # state_shards sized to the ~1k-doc gate batches (must match
+        # across runs — the persisted keeper state is keyed by shard)
+        curate_stream(
+            spark, str(src), str(root / "work"), langs=None,
+            state_shards=8,
+        )
         xtra.toPandas().to_parquet(src / "b.parquet", index=False)
         kept2 = curate_stream(
-            spark, str(src), str(root / "work"), langs=None
+            spark, str(src), str(root / "work"), langs=None,
+            state_shards=8,
         )
         return (
             kept2.select("doc_id").orderBy("doc_id").localCheckpoint()
