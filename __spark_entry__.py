@@ -4617,6 +4617,56 @@ FROM k WHERE len(kept) > 0 ORDER BY doc_id
 """
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring against a 3-term query bag
+    (``text.bm25_score``): per-term tf is an in-row array count, the
+    N/avgdl/df stats come from one broadcast 1-row aggregate — zero
+    corpus shuffles.  Scores are fixed-point (×1e6) for stable
+    hashing; the oracle repeats the identical formula in DuckDB."""
+    from pql_spark.operators import bm25_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bm25_score(docs, ["join", "window", "spark"])
+    return out.select(
+        "doc_id",
+        F.floor(F.col("bm25") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score"),
+    ).orderBy("doc_id")
+
+
+def _bm25_oracle() -> str:
+    terms = ["join", "window", "spark"]
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE)"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl"
+        " / greatest(avgdl, 1e-9))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+         {tfs}
+      FROM t),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         {dfs}
+      FROM d)
+SELECT doc_id,
+       CAST(floor(({parts}) * 1000000.0 + 0.5) AS BIGINT) AS score
+FROM d, s ORDER BY doc_id
+"""
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline (each stage oracle-checked on its own
     driver entry; the composition is a rows-only check)."""
@@ -4692,7 +4742,9 @@ _CHECK_FIRST = [
     "pql_narrow", "pql_ipv4_fns", "pql_array_set_fns",
     "pql_top_nested_others", "pql_let_fn", "pql_sequence_detect",
     "pql_events_daily", "pql_facet_counts", "pql_facet_main",
-    "pql_fork_hot", "pql_fork_daily",
+    "pql_fork_hot",
+    # new this round, never hashed:
+    "op_bm25",
 ]
 
 
@@ -4752,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_importance_weights": _q_importance_weights,
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
+            "op_bm25": _q_bm25,
             "op_line_dedup": _q_line_dedup,
             "op_crossdoc_dedup": _q_crossdoc_dedup,
             "op_scrub_crossdoc": _q_scrub_crossdoc,
@@ -4825,6 +4878,7 @@ def oracle_sql() -> dict[str, str]:
             "op_mix_corpora": _MIX_ORACLE,
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
+            "op_bm25": _bm25_oracle(),
             "op_line_dedup": _LINE_DEDUP_ORACLE,
             "op_crossdoc_dedup": _CROSSDOC_ORACLE,
             "op_scrub_crossdoc": _SCRUB_CROSSDOC_ORACLE,

@@ -57,6 +57,7 @@ from .similarity import (
 )
 from .temporal import asof_join, range_join
 from .text import (
+    bm25_score,
     chunk_documents,
     cross_doc_dup_spans,
     dedup_lines,
@@ -79,6 +80,7 @@ from .text import (
 
 __all__ = [
     "asof_join",
+    "bm25_score",
     "chunk_documents",
     "cross_doc_dup_spans",
     "dedup_lines",

@@ -1039,3 +1039,84 @@ def scrub_cross_doc_dups(
         )
         .filter(F.col("n_tokens_kept") > 0)
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    append: bool = False,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms
+    — the standard search-based curation scorer ("select documents
+    about X"): ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl))`` with ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` over the
+    normalized whitespace tokens every text operator here keys on.
+
+    Scale shape: per-term tf is a narrow in-row array count (no
+    explode, no shuffle of the corpus); N / avgdl / per-term document
+    frequencies come from ONE global aggregate broadcast back as a
+    1-row cross join (the ``diffpatterns`` totals device) — two
+    narrow passes over the corpus total, zero corpus shuffles, zero
+    UDFs.  ``query_terms`` is a small literal bag (each term is one
+    in-row count); normalize happens here so callers can pass raw
+    terms.
+    """
+    if not query_terms:
+        raise ValueError("bm25_score: query_terms must be non-empty")
+    terms = [t.strip().lower() for t in query_terms]
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_score: duplicate query terms")
+    toks = tokens(F.col(text_col))
+    def _term_eq(term: str):
+        # NOT `lambda x, t=term:` — a second parameter (even a
+        # defaulted one) makes PySpark pass the ELEMENT INDEX as `t`
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(
+            F.filter(F.col("__bm_t"), _term_eq(t))
+        ).alias(f"__bm_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = df.select(
+        "*" if append else F.col(id_col),
+        toks.alias("__bm_t"),
+    ).select(
+        *(df.columns if append else [id_col]),
+        F.size(F.col("__bm_t")).cast("double").alias("__bm_dl"),
+        *tf_cols,
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__bm_n"),
+        F.avg("__bm_dl").alias("__bm_avgdl"),
+        *[
+            F.sum((F.col(f"__bm_tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"__bm_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__bm_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__bm_n") - F.col(f"__bm_df{i}") + F.lit(0.5))
+            / (F.col(f"__bm_df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__bm_dl")
+            / F.greatest(F.col("__bm_avgdl"), F.lit(1e-9))
+        )
+        part = idf * tf * F.lit(k1 + 1.0) / denom
+        score = part if score is None else score + part
+    out_cols = df.columns if append else [id_col]
+    return joined.select(
+        *[F.col(c) for c in out_cols], score.alias("bm25")
+    )
