@@ -42,6 +42,9 @@ QUERIES = [
     "pql_active_users_count", "pql_diffpatterns",
     "pql_funnel_completion", "pql_activity_metrics", "op_knn_skew",
     "op_curate_corpus",
+    # round-7 additions: var-condition scan (interpreted skeleton in
+    # the automaton) and the zero-shuffle BM25 scorer
+    "pql_scan_var_window", "op_bm25",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
