@@ -4355,7 +4355,7 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_interval_join(clicks, purchases, within="2 hours").select(
         "click_id", "purchase_id"
     )
-    return run_available_now_df(joined, "append")
+    return run_available_now_df(joined, "append", no_data_batches=False)
 
 
 def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4457,7 +4457,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(
         dup.select("event_id", "ts", "user_id"), subset=["event_id"]
     ).select("event_id", "user_id")
-    return run_available_now_df(deduped, "append")
+    return run_available_now_df(deduped, "append", no_data_batches=False)
 
 
 def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4483,7 +4483,7 @@ def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_window="1d",
         span_window="2d",
     )
-    rows = run_available_now(out, "append")
+    rows = run_available_now(out, "append", no_data_batches=False)
     return spark.createDataFrame(
         rows,
         "user_id long, v_ts timestamp, c_ts timestamp, p_ts timestamp",

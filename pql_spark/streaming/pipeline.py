@@ -250,7 +250,9 @@ def pql_stream(
 
 
 def run_available_now_df(
-    df: DataFrame, output_mode: str = "update"
+    df: DataFrame,
+    output_mode: str = "update",
+    no_data_batches: bool | None = None,
 ) -> DataFrame:
     """Like :func:`run_available_now` but returns the drained sink as a
     MATERIALIZED DataFrame (``localCheckpoint`` of the memory sink —
@@ -258,7 +260,7 @@ def run_available_now_df(
     re-wrapping with ``createDataFrame`` costs ~3 s per 100 k rows of
     pure serialization; use this variant whenever the result feeds
     further DataFrame work."""
-    name = _drain_to_memory(df, output_mode)
+    name = _drain_to_memory(df, output_mode, no_data_batches)
     spark = df.sparkSession
     out = spark.sql(f"SELECT * FROM {name}").localCheckpoint()
     spark.catalog.dropTempView(name)
@@ -266,22 +268,48 @@ def run_available_now_df(
 
 
 def run_available_now(
-    df: DataFrame, output_mode: str = "update"
+    df: DataFrame,
+    output_mode: str = "update",
+    no_data_batches: bool | None = None,
 ) -> list:
     """Drain a streaming DataFrame through a memory sink with
     ``availableNow`` (process-everything-then-stop) and return the
-    collected rows — the batch-equivalence harness used by tests."""
-    name = _drain_to_memory(df, output_mode)
+    collected rows — the batch-equivalence harness used by tests.
+
+    ``no_data_batches=None`` (auto) skips the trailing zero-input
+    finalize micro-batch for ``update``/``complete`` drains — those
+    modes emit on the DATA batch, so the extra batch only evicts state
+    (~0.7 s of planning + state commits per drain for nothing).  For
+    ``append`` it stays ON because an append-mode watermark-gated
+    aggregation emits a window ONLY when a later batch advances the
+    watermark past it — skipping the finalize batch would silently drop
+    the final windows.  Pass ``False`` explicitly for append drains of
+    eager operators (stream-stream inner joins, ``dropDuplicates``,
+    stateful kernels), which emit their matches in the data batch."""
+    name = _drain_to_memory(df, output_mode, no_data_batches)
     out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
     df.sparkSession.catalog.dropTempView(name)
     return out
 
 
-def _drain_to_memory(df: DataFrame, output_mode: str) -> str:
+_ND_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
+def _drain_to_memory(
+    df: DataFrame,
+    output_mode: str,
+    no_data_batches: bool | None = None,
+) -> str:
     """Shared drain: run ``df`` into a uniquely named memory sink with
-    ``availableNow`` and return the sink's temp-view name."""
+    ``availableNow`` and return the sink's temp-view name.
+
+    ``no_data_batches`` — see :func:`run_available_now`; ``None``
+    resolves to False (skip the finalize batch) for update/complete,
+    True (keep it) for append."""
     name = f"mem_{uuid4().hex[:12]}"
     spark = df.sparkSession
+    if no_data_batches is None:
+        no_data_batches = output_mode == "append"
     # state-store partition count is fixed at query start from this conf;
     # a short availableNow drain doesn't need a wide state store, and
     # every extra partition is per-micro-batch task + state-commit
@@ -290,7 +318,9 @@ def _drain_to_memory(df: DataFrame, output_mode: str) -> str:
     # honest while halving the fixed cost; long-running production
     # streams size their own shuffle.partitions, not this harness.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(_ND_CONF)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(_ND_CONF, str(no_data_batches).lower())
     writer = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -312,6 +342,7 @@ def _drain_to_memory(df: DataFrame, output_mode: str) -> str:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ND_CONF, prev_nd)
         if shm.is_dir():
             import shutil
 
@@ -436,10 +467,14 @@ def stream_upsert_to_parquet(
         .trigger(availableNow=True)
     )
     # an availableNow drain doesn't need a wide state store (see
-    # run_available_now); the conf is fixed at query start
+    # run_available_now); the conf is fixed at query start.  update-mode
+    # foreachBatch emits on the data batch, so the zero-input finalize
+    # batch is skipped too (see run_available_now).
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(_ND_CONF)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(_ND_CONF, "false")
     try:
         q = writer.start()
         try:
@@ -448,6 +483,7 @@ def stream_upsert_to_parquet(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ND_CONF, prev_nd)
     return q
 
 
@@ -545,11 +581,19 @@ def stream_upsert_to_table(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
+    # update-mode foreachBatch emits on the data batch — skip the
+    # zero-input finalize batch (see run_available_now)
+    spark = df.sparkSession
+    prev_nd = spark.conf.get(_ND_CONF)
+    spark.conf.set(_ND_CONF, "false")
     try:
-        q.awaitTermination(await_seconds)
+        q = writer.start()
+        try:
+            q.awaitTermination(await_seconds)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(_ND_CONF, prev_nd)
     return q
 
 
@@ -732,7 +776,11 @@ def curate_stream(
             ).parquet(str(dups_path))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(_ND_CONF)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # update-mode stateful kernel emits on the data batch — skip the
+    # zero-input finalize batch (see run_available_now)
+    spark.conf.set(_ND_CONF, "false")
     try:
         q = (
             flags.writeStream.foreachBatch(sink)
@@ -747,6 +795,7 @@ def curate_stream(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ND_CONF, prev_nd)
 
     kept_batch = spark.read.parquet(str(kept_path))
     if dups_path.exists():
