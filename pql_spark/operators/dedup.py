@@ -479,8 +479,10 @@ def minhash_dup_pairs(
     shingle-set Jaccard ≥ threshold.  Returns (id_a, id_b, jaccard) with
     id_a < id_b.
 
-    Everything runs JVM-side: the ``agg`` signature impl (one groupBy),
-    then candidate generation as ONE shuffle — groupBy(band, bhash) on
+    Signatures come from the NARROW Arrow kernel (``impl="pandas"`` —
+    zero shuffles, md5 once per distinct shingle per batch; measured 2×
+    the all-JVM ``agg`` impl, which pays a full (id, gram) shuffle).
+    Candidate generation is then ONE shuffle — groupBy(band, bhash) on
     ~40 bytes/row with pairs emitted map-side from each bucket's sorted
     id list (vs. a two-sided self-join, which shuffles the banded rows
     twice and sort-merges).  Exact verify is rows-based
@@ -500,7 +502,7 @@ def minhash_dup_pairs(
     df = rebalance(df)
     sig = minhash_signature(
         df, text_col, id_col, num_perm, shingle_k,
-        impl="agg", include_shingles=False,
+        impl="pandas", include_shingles=False,
     )
     # band key on (id, band, bhash) ONLY — the heavy shingle arrays are
     # joined back after pair-dedup, so the candidate shuffle moves ~40
