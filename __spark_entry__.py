@@ -4294,7 +4294,11 @@ def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_parquet_table,
     )
 
-    stream = stateful_user_counts(stream_parquet_table(spark, sf_dir, "events"))
+    # key-group sharding: 8 shard groups instead of ~1500 per-user
+    # Python calls per batch (identical emitted rows — see the operator)
+    stream = stateful_user_counts(
+        stream_parquet_table(spark, sf_dir, "events"), state_shards=8
+    )
     rows = run_available_now(stream, "update")
     # keep the LAST emitted row per user (running totals; one availableNow
     # pass may emit once per micro-batch)
@@ -4482,6 +4486,7 @@ def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
         step_window="1d",
         span_window="2d",
+        state_shards=8,
     )
     rows = run_available_now(out, "append", no_data_batches=False)
     return spark.createDataFrame(

@@ -142,6 +142,7 @@ def stateful_user_counts(
     df: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
+    state_shards: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: running per-user totals via
     ``applyInPandasWithState``.
@@ -151,33 +152,109 @@ def stateful_user_counts(
     a tuple in the state store, each micro-batch's rows arrive as Arrow
     batches, and the update function merges them — Python runs once per
     key per batch, not per row.
+
+    ``state_shards``: keying the operator on the raw user id means one
+    Python call + one state round-trip PER USER per batch — fine for
+    hot-key cardinalities, but at millions of active users the ~0.5 ms
+    per-group overhead dominates the arithmetic.  An integer here
+    switches to the Flink key-group pattern (same as
+    :func:`stream_near_dup`): groups are ``pmod(hash(user), shards)``,
+    each shard's state is its users' (n, total) parallel arrays, and
+    batch rows are folded in with ONE pandas groupby per shard.
+    Emitted rows are identical (every user present in the batch, with
+    running totals); only the group key changes.  Size shards so one
+    shard's users fit an executor's memory.
     """
 
-    def update(
+    if state_shards is None:
+
+        def update(
+            key: tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            n, total = state.get if state.exists else (0, 0.0)
+            batch_n = 0
+            for pdf in pdfs:
+                batch_n += len(pdf)
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "batch_events": [batch_n],
+                }
+            )
+
+        return df.groupBy(key_col).applyInPandasWithState(
+            update,
+            outputStructType=_STATEFUL_OUT,
+            stateStructType=_STATEFUL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    shard_state = T.StructType(
+        [
+            T.StructField("users", T.ArrayType(T.LongType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
+            T.StructField("totals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def update_shard(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
-        batch_n = 0
-        for pdf in pdfs:
-            batch_n += len(pdf)
-            n += len(pdf)
-            total += float(pdf[value_col].sum())
-        state.update((n, total))
+        if state.exists:
+            su, sn, st = state.get
+            held = {
+                int(u): (int(a), float(b)) for u, a, b in zip(su, sn, st)
+            }
+        else:
+            held = {}
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames) if len(frames) > 1 else frames[0]
+        agg = batch.groupby(key_col)[value_col].agg(["count", "sum"])
+        out_u, out_n, out_t, out_b = [], [], [], []
+        for user, (bn, bs) in agg.iterrows():
+            n0, t0 = held.get(int(user), (0, 0.0))
+            n1, t1 = n0 + int(bn), t0 + float(bs)
+            held[int(user)] = (n1, t1)
+            out_u.append(int(user))
+            out_n.append(n1)
+            out_t.append(t1)
+            out_b.append(int(bn))
+        state.update(
+            (
+                list(held.keys()),
+                [a for a, _ in held.values()],
+                [b for _, b in held.values()],
+            )
+        )
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [total],
-                "batch_events": [batch_n],
+                "user_id": out_u,
+                "n_events": out_n,
+                "total_value": out_t,
+                "batch_events": out_b,
             }
         )
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        update,
+    sharded = df.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(state_shards)).cast("int"),
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update_shard,
         outputStructType=_STATEFUL_OUT,
-        stateStructType=_STATEFUL_STATE,
+        stateStructType=shard_state,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -814,11 +891,19 @@ def stream_sequence_detect(
     step_window: str = "1h",
     span_window: str = "2h",
     watermark: str = "1 day",
+    state_shards: int | None = None,
 ) -> DataFrame:
     """Incremental streaming funnel matching — the stateful twin of the
     batch ``evaluate sequence_detect``: per-key greedy-earliest chains
     (each step-1 event chains the EARLIEST later event matching each
     next step within ``step_window``, whole chain ≤ ``span_window``).
+
+    ``state_shards``: as in :func:`stateful_user_counts` — an integer
+    switches the group key from the raw ``key_col`` (one Python call +
+    state round-trip per active key per batch) to the Flink key-group
+    pattern ``pmod(hash(key), shards)``; each shard's state holds its
+    keys' event lists as flattened parallel arrays.  Emitted chains are
+    identical; only the per-batch group count changes.
 
     ``steps`` is ``[(name, bool_sql_expr), …]``; output is one row per
     COMPLETED chain with columns ``<name>_<ts_col>``.  State per key is
@@ -933,10 +1018,94 @@ def stream_sequence_detect(
                 ]
             yield pd.DataFrame(data)
 
-    return base.groupBy(key_col).applyInPandasWithState(
-        update,
+    if state_shards is None:
+        return base.groupBy(key_col).applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # ---- key-group sharded variant: state is the shard's keys' event
+    # lists as flattened parallel arrays (keys[i] owns the slice
+    # [sum(counts[:i]), sum(counts[:i+1])) of us/fl)
+    shard_state = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(key_field.dataType)),
+            T.StructField("counts", T.ArrayType(T.IntegerType())),
+            T.StructField("us", T.ArrayType(T.LongType())),
+            T.StructField("fl", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    final_bit = 1 << (nsteps - 1)
+
+    def update_shard(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        held: dict = {}
+        if state.exists:
+            ks, cnts, sus, sfl = state.get
+            pos = 0
+            for k, c in zip(ks, cnts):
+                c = int(c)
+                held[k] = (
+                    [int(t) for t in sus[pos : pos + c]],
+                    [int(f) for f in sfl[pos : pos + c]],
+                )
+                pos += c
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames) if len(frames) > 1 else frames[0]
+        out_rows: list[tuple] = []
+        for k, grp in batch.groupby(key_col, sort=False):
+            if hasattr(k, "item"):  # numpy scalar → plain Python
+                k = k.item()
+            old_us, old_fl = held.get(k, ([], []))
+            new_events = [
+                (int(u), int(f))
+                for u, f in zip(grp["__us"], grp["__fl"])
+            ]
+            merged = sorted(list(zip(old_us, old_fl)) + new_events)
+            us = [t for t, _ in merged]
+            fl = [f for _, f in merged]
+            new_finals: dict[int, int] = {}
+            for t, f in new_events:
+                if f & final_bit:
+                    new_finals[t] = new_finals.get(t, 0) + 1
+            for chain in chains_of(us, fl):
+                if new_finals.get(chain[-1], 0) > 0:
+                    out_rows.append((k, chain))
+            horizon = max(us) - span_us
+            keep = [(t, f) for t, f in merged if t >= horizon]
+            held[k] = ([t for t, _ in keep], [f for _, f in keep])
+        state.update(
+            (
+                list(held.keys()),
+                [len(u) for u, _ in held.values()],
+                [t for u, _ in held.values() for t in u],
+                [f for _, fls in held.values() for f in fls],
+            )
+        )
+        if out_rows:
+            data = {key_col: [k for k, _ in out_rows]}
+            for i, n in enumerate(names):
+                data[f"{n}_{ts_col}"] = [
+                    pd.Timestamp(c[i], unit="us") for _, c in out_rows
+                ]
+            yield pd.DataFrame(data)
+
+    sharded = base.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(state_shards)).cast("int"),
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update_shard,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=shard_state,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

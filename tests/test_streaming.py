@@ -102,6 +102,23 @@ def test_stateful_user_counts(events_stream, events_batch):
     assert final == batch
 
 
+def test_stateful_user_counts_sharded(events_stream, events_batch):
+    # the key-group variant must emit identical running totals
+    streamed = run_available_now(
+        stateful_user_counts(events_stream, state_shards=4), "update"
+    )
+    final = {}
+    for r in streamed:
+        final[r.user_id] = (r.n_events, round(r.total_value, 4))
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == batch
+
+
 def test_pql_on_stream_stateless(spark, events_stream, events_batch):
     q = 'events | where value > 90 | project event_id, event_type, value'
     streamed = run_available_now(
@@ -409,9 +426,11 @@ def test_curate_stream_matches_batch(tmp_path, spark):
     assert not any(d >= 100000 and (d - 100000) in want for d in got)
 
 
-def test_stream_sequence_detect_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 4])
+def test_stream_sequence_detect_matches_batch(spark, tmp_path, shards):
     """Cross-micro-batch stateful funnel chains == the batch
-    `evaluate sequence_detect` under per-key in-order arrival."""
+    `evaluate sequence_detect` under per-key in-order arrival (both the
+    per-key and the key-group-sharded state layouts)."""
     import datetime as dt
     import random
     import time
@@ -471,6 +490,7 @@ def test_stream_sequence_detect_matches_batch(spark, tmp_path):
         key_col="user_id",
         step_window="1h",
         span_window="2h",
+        state_shards=shards,
     )
     got = sorted(tuple(r) for r in run_available_now(out, "append"))
     assert got == expected and len(got) > 0
