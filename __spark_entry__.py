@@ -4622,6 +4622,18 @@ FROM k WHERE len(kept) > 0 ORDER BY doc_id
 """
 
 
+def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (``operators.bpe.bpe_train``): the
+    distributed word-frequency aggregate feeds the bounded-table merge
+    loop (Sennrich et al. 2016).  Deterministic merge table — rows-only
+    driver check (the merge loop is iterative, not SQL-expressible);
+    the trainer itself is reference-checked in tests/test_bpe.py."""
+    from pql_spark.operators import bpe_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe_train(docs, num_merges=24).orderBy("rank")
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scoring against a 3-term query bag
     (``text.bm25_score``): per-term tf is an in-row array count, the
@@ -4749,7 +4761,7 @@ _CHECK_FIRST = [
     "pql_events_daily", "pql_facet_counts", "pql_facet_main",
     "pql_fork_hot",
     # new this round, never hashed:
-    "op_bm25",
+    "op_bm25", "op_bpe",
 ]
 
 
@@ -4810,6 +4822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
             "op_bm25": _q_bm25,
+            "op_bpe": _q_bpe,  # rows-only (iterative merge loop)
             "op_line_dedup": _q_line_dedup,
             "op_crossdoc_dedup": _q_crossdoc_dedup,
             "op_scrub_crossdoc": _q_scrub_crossdoc,

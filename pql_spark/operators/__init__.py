@@ -55,6 +55,7 @@ from .similarity import (
     quantized_topk,
     train_centroids,
 )
+from .bpe import bpe_apply, bpe_encode_word, bpe_train
 from .temporal import asof_join, range_join
 from .text import (
     bm25_score,
@@ -81,6 +82,9 @@ from .text import (
 __all__ = [
     "asof_join",
     "bm25_score",
+    "bpe_apply",
+    "bpe_encode_word",
+    "bpe_train",
     "chunk_documents",
     "cross_doc_dup_spans",
     "dedup_lines",

@@ -1,0 +1,198 @@
+"""Byte-pair-encoding tokenizer training and application.
+
+The trainer follows the classic word-level BPE recipe (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"),
+structured the way production tokenizer trainers are at corpus scale:
+
+1. the CORPUS-SCALE stage — aggregating the word-frequency table — runs
+   distributed (one groupBy with map-side partial aggregation over the
+   tokenized corpus; this is the only stage whose cost grows with the
+   100 TB input), then
+2. the merge loop runs over the BOUNDED word-frequency table (capped at
+   ``max_vocab_words`` rows, the same compression sentencepiece / HF
+   tokenizers apply), which is a driver-side loop over at most
+   ``max_vocab_words`` tuples — deliberately NOT a per-iteration Spark
+   job: ``num_merges`` iterations of explode+groupBy over a table this
+   small would pay 2·num_merges shuffles to avoid holding ≤ a few MB on
+   the driver.
+
+Both halves are deterministic: word ties break lexicographically at the
+cap, merge ties break on (freq desc, pair lexicographic), so the merge
+table is reproducible run-to-run and engine-to-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["bpe_train", "bpe_apply", "bpe_encode_word"]
+
+
+def _pair_counts(vocab: list[tuple[tuple[str, ...], int]]) -> dict:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, freq in vocab:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+    return counts
+
+
+def _merge_word(
+    syms: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    out: list[str] = []
+    i, n = 0, len(syms)
+    a, b = pair
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    max_vocab_words: int = 65536,
+    min_pair_freq: int = 2,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Learn a BPE merge table from a document corpus.
+
+    Returns a DataFrame ``(rank int, left string, right string,
+    pair_freq long)`` — merge ``rank`` fuses adjacent symbols
+    ``left + right``; apply in rank order (:func:`bpe_apply`).
+
+    Words are the whitespace tokens of normalized text (the package's
+    canonical ``tokens`` form); each word starts as its character
+    sequence with ``end_of_word`` appended as a final separate symbol,
+    so learned subwords distinguish word-internal from word-final
+    position.  The loop stops early when the best pair's corpus
+    frequency drops below ``min_pair_freq``.
+
+    Scale: the word-frequency aggregate is the corpus-bound stage (one
+    shuffle, partial-agg'd map-side); the driver holds only the top
+    ``max_vocab_words`` (freq desc, word asc) rows — the standard
+    trainer bound, NOT corpus-sized state.
+    """
+    spark = docs.sparkSession
+    wf_rows = (
+        docs.select(
+            F.explode(tokens(F.col(text_col))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    vocab = [
+        (tuple(r["word"]) + (end_of_word,), int(r["freq"]))
+        for r in wf_rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        best_freq = max(counts.values())
+        if best_freq < min_pair_freq:
+            break
+        # deterministic tie-break: lexicographically smallest pair
+        pair = min(p for p, c in counts.items() if c == best_freq)
+        merges.append((rank, pair[0], pair[1], best_freq))
+        vocab = [(_merge_word(s, pair), f) for s, f in vocab]
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq long"
+    )
+
+
+def bpe_encode_word(
+    word: str,
+    ranks: dict,
+    end_of_word: str = "</w>",
+) -> list[str]:
+    """Encode ONE word with a learned merge-rank dict
+    ``{(left, right): rank}`` — greedy lowest-rank-first, the standard
+    BPE inference order.  Pure Python; shared by :func:`bpe_apply` and
+    the tests' reference implementation."""
+    syms = list(word) + [end_of_word]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table — returns
+    ``(id_col, out_col array<string>, n_bpe_tokens int)``.
+
+    The merge table (≤ ``num_merges`` rows) is collected once and
+    closed over by a narrow Arrow kernel — the broadcast-small-dim
+    pattern; per-word encodings are memoized per batch, so each
+    DISTINCT word in a batch is encoded once regardless of its
+    repetition count.  No shuffle at any corpus size.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    rank_rows = merges.select("rank", "left", "right").collect()
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in rank_rows
+    }
+    ws = _re.compile(r"\s+")
+
+    def kernel(batches):
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = bpe_encode_word(word, ranks, end_of_word)
+                memo[word] = got
+            return got
+
+        for pdf in batches:
+            toks_col, counts = [], []
+            for t in pdf[text_col]:
+                words = ws.sub(" ", (t or "").lower()).strip().split(" ")
+                toks: list[str] = []
+                for w in words:
+                    if w:
+                        toks.extend(enc(w))
+                toks_col.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: toks_col,
+                    "n_bpe_tokens": counts,
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel,
+        f"{id_col} long, {out_col} array<string>, n_bpe_tokens int",
+    )
