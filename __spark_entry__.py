@@ -4622,6 +4622,34 @@ FROM k WHERE len(kept) > 0 ORDER BY doc_id
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (``sampling.weighted_sample``): inclusion ∝ n_chars, deterministic
+    md5 randomness, global top-k as TakeOrderedAndProject.  The oracle
+    replays the identical ln(u)/w arithmetic in DuckDB."""
+    from pql_spark.operators import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(
+        docs, k=500, weight_col="n_chars", key="doc_id"
+    ).select("doc_id").orderBy("doc_id")
+
+
+_WSAMPLE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id FROM (
+  SELECT doc_id FROM s ORDER BY es DESC, doc_id LIMIT 500
+) ORDER BY doc_id
+"""
+
+
 def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (``operators.bpe.bpe_train``): the
     distributed word-frequency aggregate feeds the bounded-table merge
@@ -4761,7 +4789,7 @@ _CHECK_FIRST = [
     "pql_events_daily", "pql_facet_counts", "pql_facet_main",
     "pql_fork_hot",
     # new this round, never hashed:
-    "op_bm25", "op_bpe",
+    "op_bm25", "op_bpe", "op_weighted_sample",
 ]
 
 
@@ -4823,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lm_score": _q_lm_score,
             "op_bm25": _q_bm25,
             "op_bpe": _q_bpe,  # rows-only (iterative merge loop)
+            "op_weighted_sample": _q_weighted_sample,
             "op_line_dedup": _q_line_dedup,
             "op_crossdoc_dedup": _q_crossdoc_dedup,
             "op_scrub_crossdoc": _q_scrub_crossdoc,
@@ -4893,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
             "op_kmv_distinct": _KMV_ORACLE,
             "op_winnow_fingerprints": _WINNOW_ORACLE,
             "op_sampling_split": _SAMPLING_ORACLE,
+            "op_weighted_sample": _WSAMPLE_ORACLE,
             "op_mix_corpora": _MIX_ORACLE,
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,

@@ -43,6 +43,7 @@ from .sampling import (
     train_test_split,
     unimax_plan,
     unimax_sample,
+    weighted_sample,
 )
 from .similarity import (
     cosine_topk,
@@ -132,6 +133,7 @@ __all__ = [
     "train_test_split",
     "tokens",
     "unigram_lm_fit",
+    "weighted_sample",
     "unigram_lm_score",
     "unimax_plan",
     "unimax_sample",

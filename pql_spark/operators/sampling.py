@@ -449,3 +449,59 @@ def unimax_sample(
         F.col("__ux_rate") * _SPACE
     ).cast("long")
     return joined.filter(keep).drop("__ux_dom", "__ux_rate")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str = "doc_id",
+    by: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows where a row's
+    inclusion probability is proportional to ``weight_col`` — the
+    Efraimidis–Spirakis (2006) one-pass reservoir scheme, the standard
+    way to subsample a training corpus by quality score or domain
+    weight in a single scan.
+
+    Each row gets the score ``u^(1/w)`` for a uniform ``u``; the top-k
+    scores ARE a weight-proportional sample without replacement.  ``u``
+    is the package's deterministic md5 bucket of ``key`` (+``salt``),
+    so the sample is reproducible run-to-run and engine-to-engine, and
+    a SQL oracle can replay it exactly.  We maximize the monotone
+    transform ``ln(u)/w`` (ties broken by ``key``).
+
+    ``by=None``: global top-k — compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k·partitions rows, no global
+    sort).  ``by=<col>``: top-k PER GROUP via one window shuffle.
+
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    never sampled; ES is undefined for w ≤ 0).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (_bucket(F.col(key), salt) + F.lit(1).cast("long")) / F.lit(
+        _SPACE
+    )
+    w = F.col(weight_col).cast("double")
+    es = (F.ln(u) / w).alias("__es_key")
+    pruned = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__es_key", es
+    )
+    if by is None:
+        return (
+            pruned.orderBy(F.col("__es_key").desc(), F.col(key))
+            .limit(k)
+            .drop("__es_key")
+        )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(by).orderBy(
+        F.col("__es_key").desc(), F.col(key)
+    )
+    return (
+        pruned.withColumn("__es_rn", F.row_number().over(win))
+        .filter(F.col("__es_rn") <= k)
+        .drop("__es_key", "__es_rn")
+    )

@@ -237,3 +237,85 @@ def test_dedup_by_pairs_transitive(spark):
     # chain 1-2-3-4 collapses to its min id even though (1,4) was
     # never a pair; untouched rows survive
     assert kept == [1, 5, 30]
+
+
+# ------------------------------------------------- weighted_sample (ES)
+
+
+def _es_reference(ids_weights, k, salt=""):
+    """Driver-side Efraimidis–Spirakis replay via hashlib md5."""
+    import hashlib
+    import math
+
+    scored = []
+    for i, w in ids_weights:
+        if w is None or w <= 0:
+            continue
+        b = int(
+            hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16
+        )
+        u = (b + 1) / float(1 << 32)
+        scored.append((math.log(u) / w, i))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return sorted(i for _, i in scored[:k])
+
+
+def test_weighted_sample_matches_reference(spark):
+    from pql_spark.operators import weighted_sample
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, 100, "w", key="doc_id").collect()
+    )
+    assert got == _es_reference(rows, 100)
+
+
+def test_weighted_sample_skips_nonpositive(spark):
+    from pql_spark.operators import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, 10, "w").collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_weight_proportional(spark):
+    # a 100x-weight row should appear in nearly every independent
+    # sample; draw independence from the salt
+    from pql_spark.operators import weighted_sample
+
+    rows = [(i, 100.0 if i == 0 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = sum(
+        any(
+            r["doc_id"] == 0
+            for r in weighted_sample(
+                df, 25, "w", salt=f"s{s}"
+            ).collect()
+        )
+        for s in range(10)
+    )
+    assert hits >= 9
+
+
+def test_weighted_sample_grouped(spark):
+    from pql_spark.operators import weighted_sample
+
+    rows = [
+        (i, f"g{i % 3}", float(1 + i % 7)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample(df, 5, "w", key="doc_id", by="g").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r["doc_id"])
+    assert set(per) == {"g0", "g1", "g2"}
+    for g, ids in per.items():
+        want = _es_reference(
+            [(i, w) for i, gg, w in rows if gg == g], 5
+        )
+        assert sorted(ids) == want
