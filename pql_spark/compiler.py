@@ -2712,7 +2712,12 @@ class Compiler:
                     if isinstance(
                         a, (int, np.integer)
                     ) and isinstance(b, (int, np.integer)):
-                        return int(math.fmod(int(a), int(b)))
+                        # exact integer Java-sign remainder — fmod
+                        # round-trips through float64 and diverges for
+                        # |operands| > 2^53 (ADVICE r7)
+                        ia, ib = int(a), int(b)
+                        r = abs(ia) % abs(ib)
+                        return r if ia >= 0 else -r
                     return math.fmod(a, b)
                 except TypeError:
                     return None

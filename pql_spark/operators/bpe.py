@@ -154,15 +154,14 @@ def bpe_apply(
     DISTINCT word in a batch is encoded once regardless of its
     repetition count.  No shuffle at any corpus size.
     """
-    import re as _re
-
     import pandas as pd
+
+    from .text import py_tokens
 
     rank_rows = merges.select("rank", "left", "right").collect()
     ranks = {
         (r["left"], r["right"]): int(r["rank"]) for r in rank_rows
     }
-    ws = _re.compile(r"\s+")
 
     def kernel(batches):
         memo: dict[str, list[str]] = {}
@@ -177,7 +176,11 @@ def bpe_apply(
         for pdf in batches:
             toks_col, counts = [], []
             for t in pdf[text_col]:
-                words = ws.sub(" ", (t or "").lower()).strip().split(" ")
+                # py_tokens = the Java-\s twin of the Catalyst tokens()
+                # used by bpe_train — train and apply MUST tokenize
+                # identically or learned merges silently fail to apply
+                # on Unicode-whitespace text (ADVICE r7)
+                words = py_tokens(t)
                 toks: list[str] = []
                 for w in words:
                     if w:
@@ -192,7 +195,23 @@ def bpe_apply(
                 }
             )
 
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # derive the id field's type from the input — doc ids may be
+    # string/int/uuid, not necessarily long (ADVICE r7)
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField(out_col, ArrayType(StringType())),
+            StructField("n_bpe_tokens", IntegerType()),
+        ]
+    )
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        kernel,
-        f"{id_col} long, {out_col} array<string>, n_bpe_tokens int",
+        kernel, out_schema
     )

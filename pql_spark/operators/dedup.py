@@ -274,18 +274,19 @@ def minhash_signature(
         raise ValueError(f"unknown impl {impl!r}")
 
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
 
-    _ws = _re.compile(r"\s+")
+    from .text import py_tokens
 
     def _py_shingles(text: str) -> list:
         # Python twin of word_shingles(): values match the Catalyst
         # expression byte-for-byte (verified by the impl-equivalence
-        # tests), so impls stay interchangeable
-        toks = _ws.sub(" ", (text or "").lower()).strip().split(" ")
+        # tests), so impls stay interchangeable.  py_tokens uses the
+        # Java-\s ASCII whitespace class — Python \s also matches
+        # U+00A0/U+2028/U+1680… and silently diverged (ADVICE r7).
+        toks = py_tokens(text)
         if len(toks) <= shingle_k:
             return [" ".join(toks)]
         return list(

@@ -9,6 +9,8 @@ involve no shuffle (narrow, per-row transforms).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,25 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 def _norm(text: Column) -> Column:
     """Lowercase and collapse whitespace — the canonical text form."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# Java-regex ``\s`` is ASCII-only (``[ \t\n\x0B\f\r]``); Python's ``\s``
+# is Unicode-aware (also matches U+00A0, U+2028, U+1680, …).  Every
+# Python twin of :func:`_norm` must use THIS class or its tokenization
+# silently diverges from the Catalyst/SQL paths on Unicode whitespace.
+_WS_JAVA = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_norm(text: str | None) -> str:
+    """Python twin of :func:`_norm`, byte-identical to the Catalyst
+    expression: ASCII-only whitespace class (Java ``\\s``) and a
+    space-only strip (Spark ``trim`` removes U+0020 only)."""
+    return _WS_JAVA.sub(" ", (text or "").lower()).strip(" ")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Python twin of :func:`tokens` (``split(_norm(t), " ")``)."""
+    return py_norm(text).split(" ")
 
 
 def tokens(text: Column) -> Column:

@@ -213,7 +213,8 @@ def stateful_user_counts(
         if state.exists:
             su, sn, st = state.get
             held = {
-                int(u): (int(a), float(b)) for u, a, b in zip(su, sn, st)
+                (None if u is None else int(u)): (int(a), float(b))
+                for u, a, b in zip(su, sn, st)
             }
         else:
             held = {}
@@ -221,16 +222,26 @@ def stateful_user_counts(
         if not frames:
             return
         batch = pd.concat(frames) if len(frames) > 1 else frames[0]
-        agg = batch.groupby(key_col)[value_col].agg(["count", "sum"])
+        # size (not count) so null-VALUE rows count like the unsharded
+        # len(pdf); dropna=False so null KEYS get a group like Spark's
+        # groupBy in the unsharded path (ADVICE r7)
+        agg = batch.groupby(key_col, dropna=False)[value_col].agg(
+            ["size", "sum"]
+        )
         out_u, out_n, out_t, out_b = [], [], [], []
-        for user, (bn, bs) in agg.iterrows():
-            n0, t0 = held.get(int(user), (0, 0.0))
-            n1, t1 = n0 + int(bn), t0 + float(bs)
-            held[int(user)] = (n1, t1)
-            out_u.append(int(user))
+        for user, row in agg.iterrows():
+            uk = None if pd.isna(user) else int(user)
+            bn = int(row["size"])
+            # pandas grouped sum of an all-null group is 0.0 (min_count
+            # defaults to 0), matching the unsharded Series.sum()
+            bs = 0.0 if pd.isna(row["sum"]) else float(row["sum"])
+            n0, t0 = held.get(uk, (0, 0.0))
+            n1, t1 = n0 + bn, t0 + bs
+            held[uk] = (n1, t1)
+            out_u.append(uk)
             out_n.append(n1)
             out_t.append(t1)
-            out_b.append(int(bn))
+            out_b.append(bn)
         state.update(
             (
                 list(held.keys()),

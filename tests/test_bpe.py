@@ -146,3 +146,44 @@ def test_bpe_vocab_cap_deterministic(spark, cap):
         sorted(wf_all.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
     )
     assert got == _ref_train(top, 5)
+
+
+
+def test_bpe_train_apply_agree_on_unicode_whitespace(spark):
+    """Train tokenizes with Catalyst (Java \\s, ASCII-only); apply must
+    use the same class.  U+00A0/U+2028 are whitespace to Python's \\s
+    but NOT to Java's — both sides must treat them as word characters
+    (ADVICE r7 regression)."""
+    # U+00A0 joins each 'low low' into ONE Java-\s word; U+2028 joins
+    # the last two 'newest's into one word
+    text = (
+        "low\u00a0low low\u00a0low newest newest\u2028newest"
+    )
+    docs = spark.createDataFrame(
+        [(0, text)] * 4, "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=8, min_pair_freq=2)
+    ranks = {
+        (r["left"], r["right"]): r["rank"] for r in merges.collect()
+    }
+    out = bpe_apply(docs, merges).head()
+    # the words the TRAINER saw (Java \s splits only on ASCII ws)
+    want = []
+    for w in ["low\u00a0low", "low\u00a0low", "newest",
+              "newest\u2028newest"]:
+        want.extend(bpe_encode_word(w, ranks))
+    assert list(out["bpe_tokens"]) == want
+
+
+def test_bpe_apply_string_doc_ids(spark):
+    """bpe_apply derives the id field type from the input schema —
+    string ids must round-trip, not fail or miscast (ADVICE r7)."""
+    docs = spark.createDataFrame(
+        [("doc-a", "newest widest low"), ("doc-b", "the newest low")],
+        "doc_id string, text string",
+    )
+    merges = bpe_train(docs, num_merges=4)
+    out = bpe_apply(docs, merges)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {"doc-a", "doc-b"}

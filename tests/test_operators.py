@@ -738,3 +738,40 @@ def test_multimodal_png_decode_features(spark):
     ).hexdigest()
     # pinned: deterministic synthetic image → deterministic feature
     assert digest == "2c7ebf57341ff5d0d05c5d557fa153d3"
+
+
+def test_minhash_impls_agree_unicode_whitespace(spark):
+    """Java \\s is ASCII-only; Python \\s also matches U+00A0, U+2028,
+    U+1680 — the pandas kernel must shingle with the Java class or its
+    signatures silently diverge from catalyst/agg and the SQL oracle
+    (ADVICE r7 medium)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "plain ascii text with several words here"),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from pql_spark.operators.dedup import minhash_signature
+
+    ref = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(
+            docs, num_perm=16, shingle_k=2, impl="catalyst"
+        ).collect()
+    }
+    fast = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(
+            docs, num_perm=16, shingle_k=2, impl="pandas"
+        ).collect()
+    }
+    agg = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(
+            docs, num_perm=16, shingle_k=2, impl="agg",
+            include_shingles=False,
+        ).collect()
+    }
+    assert fast == ref
+    assert agg == ref

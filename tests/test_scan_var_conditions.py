@@ -193,3 +193,43 @@ def test_unsupported_var_construct_errors(engine):
                  declare (x = 0.0)
                  with (step s1: strcat(tostring(x), "!") == "0!";)"""
         )
+
+
+def test_interpreted_mod_exact_above_2_53(spark):
+    """Integer % in the var-referencing skeleton must be exact — the
+    old math.fmod path round-trips through float64 and is wrong for
+    |operands| > 2^53 (ADVICE r7).  9007199254740993 = 2^53 + 1 is not
+    representable as a double (rounds to 2^53)."""
+    big = 9007199254740993  # 2^53 + 1; big % 10 == 3, float path gives 2
+    df = spark.createDataFrame(
+        [(1, 1, big), (1, 2, big)], "uid long, t long, x long"
+    )
+    eng = PqlEngine(spark, resolver={"E": df})
+    out = eng.query(
+        f"""E | scan by uid order by t asc
+             declare (seen = tolong(0))
+             with (
+               step s1: true => seen = x;
+               step s2: seen % 10 == 3;
+             )
+           | project uid, step, seen"""
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, "s1", big), (1, "s2", big)]
+    # negative dividend: Java remainder keeps the dividend's sign
+    df2 = spark.createDataFrame(
+        [(1, 1, -big), (1, 2, -big)], "uid long, t long, x long"
+    )
+    eng2 = PqlEngine(spark, resolver={"E": df2})
+    out2 = eng2.query(
+        """E | scan by uid order by t asc
+             declare (seen = tolong(0))
+             with (
+               step s1: true => seen = x;
+               step s2: seen % 10 == -3;
+             )
+           | project uid, step"""
+    )
+    assert sorted(map(tuple, out2.collect())) == [
+        (1, "s1"), (1, "s2"),
+    ]

@@ -494,3 +494,31 @@ def test_stream_sequence_detect_matches_batch(spark, tmp_path, shards):
     )
     got = sorted(tuple(r) for r in run_available_now(out, "append"))
     assert got == expected and len(got) > 0
+
+
+def test_stateful_user_counts_sharded_null_keys_and_values(spark, tmp_path):
+    """The sharded path must match the unsharded one on null KEYS (a
+    group in Spark's groupBy, dropped by default pandas groupby) and
+    null VALUES (counted by len(pdf), dropped by pandas count) —
+    ADVICE r7."""
+    rows = [(1, 10.0), (1, None), (None, 5.0), (2, None), (None, None),
+            (2, 7.0)]
+    batch = spark.createDataFrame(rows, "user_id long, value double")
+    path = str(tmp_path / "null_events")
+    batch.coalesce(1).write.parquet(path)
+    results = {}
+    for shards in (None, 3):
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+        streamed = run_available_now(
+            stateful_user_counts(stream, state_shards=shards), "update"
+        )
+        final = {}
+        for r in streamed:
+            final[r.user_id] = (r.n_events, r.total_value)
+        results[shards] = final
+    assert results[3] == results[None]
+    # and both match the batch answer: count() counts ROWS, sum skips
+    # null values
+    assert results[None] == {
+        1: (2, 10.0), 2: (2, 7.0), None: (2, 5.0),
+    }
