@@ -3651,7 +3651,7 @@ def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH near-dup candidates over a document stream
     (availableNow drain — single batch, so first-seen == min-id and a
     SQL twin can reproduce the buckets exactly)."""
-    from pql_spark.streaming import run_available_now, stream_near_dup
+    from pql_spark.streaming import run_available_now_df, stream_near_dup
 
     # capped input: the gate checks bucket/state semantics, not bulk
     # throughput (BENCH_SCALING covers the batch LSH path at scale)
@@ -3679,14 +3679,11 @@ def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # docstring's sizing rule): each (band, shard) group is one
         # python call + state round-trip per batch — 16×8=128 groups
         # instead of the 64-shard default's ~1024, identical buckets
-        rows = run_available_now(
+        out = run_available_now_df(
             stream_near_dup(stream, state_shards=8), "update"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    out = spark.createDataFrame(
-        rows, "doc_id long, band int, dup_of long"
-    )
     return (
         out.groupBy("doc_id")
         .agg(
@@ -4289,7 +4286,7 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.streaming import (
-        run_available_now,
+        run_available_now_df,
         stateful_user_counts,
         stream_parquet_table,
     )
@@ -4299,15 +4296,19 @@ def _q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stateful_user_counts(
         stream_parquet_table(spark, sf_dir, "events"), state_shards=8
     )
-    rows = run_available_now(stream, "update")
-    # keep the LAST emitted row per user (running totals; one availableNow
-    # pass may emit once per micro-batch)
-    final: dict[int, tuple] = {}
-    for r in rows:
-        final[r.user_id] = (r.user_id, r.n_events, round(r.total_value, 4))
-    return spark.createDataFrame(
-        sorted(final.values()),
-        "user_id long, n_events long, total_value double",
+    out = run_available_now_df(stream, "update")
+    # keep the LAST emitted row per user: totals are RUNNING, so the
+    # final row is the one with the max n_events — expressed JVM-side
+    # (max/max_by) instead of a collect + createDataFrame round-trip
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(
+                F.max_by("total_value", "n_events"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("user_id")
     )
 
 
@@ -4469,7 +4470,7 @@ def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     `evaluate sequence_detect` (the oracle is the identical DuckDB
     union+window twin)."""
     from pql_spark.streaming import (
-        run_available_now,
+        run_available_now_df,
         stream_parquet_table,
         stream_sequence_detect,
     )
@@ -4488,10 +4489,11 @@ def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_window="2d",
         state_shards=8,
     )
-    rows = run_available_now(out, "append", no_data_batches=False)
-    return spark.createDataFrame(
-        rows,
-        "user_id long, v_ts timestamp, c_ts timestamp, p_ts timestamp",
+    # run_available_now_df keeps the drained sink JVM-side — collecting
+    # to Python Rows and re-wrapping with createDataFrame costs ~0.9 s
+    # of pure serialization at sf0.1 (the r7 driver-bench regression)
+    return run_available_now_df(
+        out, "append", no_data_batches=False
     ).orderBy("user_id", "v_ts", "c_ts", "p_ts")
 
 

@@ -435,6 +435,16 @@ def _drain_to_memory(
             import shutil
 
             shutil.rmtree(shm / f"pql_ckpt_{name}", ignore_errors=True)
+        # best-effort: unload cached state-store providers so a long
+        # suite of transient drains doesn't accumulate per-query state
+        # maps + maintenance tasks in the executor JVM (an ACTIVE query
+        # simply reloads its providers on the next micro-batch, so this
+        # is safe even with concurrent streams — it trades one reload
+        # for bounded memory)
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: E501
+        except Exception:
+            pass
     return name
 
 
