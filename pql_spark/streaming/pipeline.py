@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# (schema, stream_dir) per parquet path — see stream_parquet_table
+_STREAM_SRC_CACHE: dict[str, tuple] = {}
+
 
 def stream_parquet_table(
     spark: SparkSession,
@@ -40,15 +43,27 @@ def stream_parquet_table(
     if _nanos_ts_columns(path):  # see sources.catalog._read_parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _force_utc_ltz(spark)  # naive parquet ts → TIMESTAMP, not NTZ
-    schema = spark.read.parquet(str(path)).schema
-    stream_dir = path
-    if path.is_file():
-        # the streaming file source requires a directory; expose a
-        # single-file table through a symlink dir (zero copy)
-        import tempfile
+    # schema + symlink dir are cached per path: a benchmark/test session
+    # builds the same source many times and a schema footer read +
+    # mkdtemp costs ~0.1-0.2 s per call (paths here are immutable
+    # snapshots; a live table whose schema evolves should not go
+    # through this helper's cache — pass a fresh session)
+    cached = _STREAM_SRC_CACHE.get(str(path))
+    if cached is None:
+        schema = spark.read.parquet(str(path)).schema
+        stream_dir = path
+        if path.is_file():
+            # the streaming file source requires a directory; expose a
+            # single-file table through a symlink dir (zero copy)
+            import tempfile
 
-        stream_dir = Path(tempfile.mkdtemp(prefix=f"pql_stream_{name}_"))
-        (stream_dir / path.name).symlink_to(path)
+            stream_dir = Path(
+                tempfile.mkdtemp(prefix=f"pql_stream_{name}_")
+            )
+            (stream_dir / path.name).symlink_to(path)
+        cached = (schema, stream_dir)
+        _STREAM_SRC_CACHE[str(path)] = cached
+    schema, stream_dir = cached
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
