@@ -4806,40 +4806,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-7 rotation (VERDICT r6 item 2): queries whose
-    # implementation CHANGED this round first (their old hashes no
-    # longer vouch for the current code), then the rows with the
-    # OLDEST driver-hash evidence — all of the remaining r2-era rows,
-    # then the front of the r3-era tail (the rest rotate next round).
+    # Round-8 rotation (VERDICT r7 item 2): (1) the two r7 additions
+    # that fell past the 50-row window (bench rows but no CORRECTNESS
+    # row yet), (2) every gate whose implementation changed this round
+    # (JVM-side drains/fingerprints, whitespace-class kernel fix, scan
+    # interpreter remainder), (3) ALL remaining r3-era rows — after
+    # this window no row's latest driver-hash evidence predates r4 —
+    # then (4) the front of the r5 tail.
     #
-    # 1. changed this round: active_users_count unaligned-window bug
-    #    fix; ipv4/ipv6_lookup (hi,lo)-pair + parse-column rewrite;
-    #    diffpatterns/autocluster broadcast-totals restructure;
-    #    scrub_crossdoc array_except rebuild; scan declare-var step
-    #    conditions (pql_scan_funnel shares the scan compiler):
-    "pql_active_users_count", "pql_ipv4_lookup", "pql_ipv6_lookup",
-    "pql_diffpatterns", "pql_autocluster", "op_scrub_crossdoc",
-    "pql_scan_funnel", "pql_scan_var_window",
-    "pql_bag_unpack_schema",
-    # 2. last hashed in round 2 (all of them):
-    "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_arg_agg", "pql_bin_hourly", "pql_in_family",
-    "pql_sketch_fns", "pql_partition_op", "op_dedup_exact",
-    "op_token_stats", "op_quality", "op_langid", "op_ngram_jaccard",
-    "op_minhash_dups", "op_simhash", "op_embedding_dups",
-    "op_cosine_topk", "op_stream_windowed", "op_asof_join",
-    "op_range_join", "op_kmv_distinct",
-    # 3. last hashed in round 3 (first 22 — the rest rotate next
-    #    round):
-    "pql_string_fns", "pql_datetime_fns", "pql_case_fn",
-    "pql_bag_unpack", "pql_tabular_let", "pql_sample_distinct",
-    "pql_union_inner", "pql_mv_itemindex", "pql_binary_fns",
-    "pql_narrow", "pql_ipv4_fns", "pql_array_set_fns",
-    "pql_top_nested_others", "pql_let_fn", "pql_sequence_detect",
-    "pql_events_daily", "pql_facet_counts", "pql_facet_main",
-    "pql_fork_hot",
-    # new this round, never hashed:
-    "op_bm25", "op_bpe", "op_weighted_sample",
+    # 1. never hashed:
+    "op_bpe", "op_weighted_sample",
+    # 2. changed this round (old hashes no longer vouch):
+    "op_stream_sequence_detect", "op_near_dup_incremental",
+    "op_curate_stream", "op_minhash_dups", "pql_scan_declare",
+    # 3. last hashed in round 3 (all 23):
+    "op_chunk_documents", "op_curate_corpus", "op_decontaminate",
+    "op_fingerprint", "op_ivf_topk", "op_knn_grouped", "op_lsh_topk",
+    "op_multimodal_decode", "op_multimodal_features",
+    "op_pack_sequences", "op_quantize_embeddings", "op_quantized_topk",
+    "op_redact_pii", "op_repetition", "op_sampling_split",
+    "op_stream_dedup", "op_stream_interval_join", "op_stream_near_dup",
+    "op_stream_sessionize", "op_stream_sink_upsert",
+    "op_stream_stateful", "op_winnow_fingerprints", "pql_fork_daily",
+    # 4. r5 tail (oldest remaining evidence after this window):
+    "op_dedup_clusters", "op_importance_weights", "op_line_dedup",
+    "op_lm_score", "op_mix_corpora", "op_multimodal_audio",
+    "op_semantic_dedup", "op_unimax_mix", "pql_count",
+    "pql_q1_pricing", "pql_join_inner", "pql_join_innerunique",
+    "pql_join_leftouter", "pql_join_leftanti", "pql_join_leftsemi",
+    "pql_sort_take", "pql_top", "pql_where_project", "pql_parse_kv",
+    "pql_series_fns",
 ]
 
 
