@@ -70,10 +70,11 @@ def pairwise_topk(
     ``impl="catalyst"``: pure-expression pairwise join + window rank
     (no Python workers), kept as the reference implementation.
     Ordering contract (both impls): cosine desc, neighbor id asc.
-    ``id_col`` values must be UNIQUE within a group — the pandas
-    kernel self-excludes by row position, :func:`pairwise_topk_skew`
-    by id value; only unique ids make those equivalent (see the skew
-    variant's docstring).
+    The pandas kernel self-excludes by ROW POSITION (a duplicate id
+    stays its twin's cosine-1.0 neighbor); :func:`pairwise_topk_skew`
+    reproduces that exactly via a per-(group, id) row ordinal.  The
+    ``impl="catalyst"`` reference excludes by id VALUE, so only
+    unique ids make catalyst equivalent to the other two.
     """
     if impl == "catalyst":
         from pyspark.sql import Window
@@ -176,23 +177,32 @@ def pairwise_topk_skew(
     coarse key; the salt bounds the damage of whatever cell skew the
     coarse quantizer leaves behind.
 
-    ``id_col`` values must be UNIQUE within a group.  Self-exclusion
-    here is by id VALUE (the query row's candidates live in a
-    different salted copy, so there is no shared row position), while
-    ``pairwise_topk``'s single-task kernel excludes by POSITION; with
-    duplicate ids the two would diverge (positional keeps a duplicate
-    as its own cosine-1.0 neighbor, value-based drops all copies).
-    Recovering positional parity would need a per-group row ordinal —
-    a keyed window whose shuffle re-serializes exactly the hot group
-    this operator exists to split.
+    Self-exclusion matches ``pairwise_topk``'s positional semantics
+    even with DUPLICATE ids: every physical row gets a per-(group, id)
+    ordinal (``row_number`` over (key, id) — fine-grained partitioning,
+    so the window shuffle spreads the hot group instead of
+    re-serializing it), and a query excludes only its OWN tagged row.
+    A duplicate therefore stays its twin's cosine-1.0 neighbor, exactly
+    as the single-task kernel's exclude-by-row-position produces.
+    Identical (id, vector) twins are interchangeable, so the arbitrary
+    ordinal order between them cannot change results.
     """
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import Window
+
     keys = [key_col] if key_col else []
+    # per-(group, id) row ordinal: lets the kernel exclude the query's
+    # OWN physical row (positional parity with pairwise_topk under
+    # duplicate ids).  Partitioning is (key, id) — duplicate-id rows
+    # only — so this shuffle is skew-free regardless of group sizes.
+    ordw = Window.partitionBy(
+        *(keys + [id_col])
+    ).orderBy(F.xxhash64(F.col(vec_col)))
     base = df.select(
         F.col(id_col), F.col(vec_col), *[F.col(c) for c in keys]
-    )
+    ).withColumn("__ord", F.row_number().over(ordw))
     queries = base.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
     ).withColumn("__query", F.lit(True))
@@ -215,11 +225,13 @@ def pairwise_topk_skew(
                  "cosine": "float64", "rank": "int32"}
             )
         cids = cand[id_col].to_numpy()
+        c_ord = cand["__ord"].to_numpy()
         cmat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in cand[vec_col]]
         )
         cnrm = np.sqrt((cmat * cmat).sum(axis=1))
         qids = qry[id_col].to_numpy()
+        q_ord = qry["__ord"].to_numpy()
         qmat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in qry[vec_col]]
         )
@@ -228,7 +240,13 @@ def pairwise_topk_skew(
         out_id, out_nb, out_cos, out_rank = [], [], [], []
         for i, qid in enumerate(qids):
             order = np.lexsort((cids, -sims[i]))
-            order = order[cids[order] != qid][:k]
+            # drop only the query's OWN row (same id AND ordinal) —
+            # duplicate-id twins remain candidates, as in the
+            # single-task kernel's positional exclusion
+            keep = ~(
+                (cids[order] == qid) & (c_ord[order] == q_ord[i])
+            )
+            order = order[keep][:k]
             out_id.extend([qid] * len(order))
             out_nb.extend(cids[order])
             out_cos.extend(sims[i, order])

@@ -86,3 +86,20 @@ def test_self_excluded_and_ranked(spark, emb):
             a >= b - 1e-12 for a, b in zip(cos, cos[1:])
         )  # non-increasing
         assert all(not math.isnan(c) for c in cos)
+
+
+def test_duplicate_ids_match_plain(spark):
+    """With DUPLICATE ids in a group, the skew path must still equal
+    pairwise_topk: positional self-exclusion keeps a duplicate as its
+    twin's cosine-1.0 neighbor (r7 ADVICE / VERDICT item — previously
+    value-based exclusion dropped all copies)."""
+    base = _vecs(spark, 40)
+    dup = base.filter(F.col("vec_id") < 6)  # 6 duplicate-id rows
+    emb = base.unionByName(dup)
+    want = _norm_rows(pairwise_topk(emb, k=4, key_col="label").collect())
+    got = _norm_rows(
+        pairwise_topk_skew(emb, k=4, key_col="label", salt=8).collect()
+    )
+    assert got == want
+    # the duplicates really do appear as their own-id neighbors
+    assert any(i == n for (i, n, c, r) in want if c > 1 - 1e-9)

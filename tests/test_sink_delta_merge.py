@@ -12,6 +12,12 @@ Run elsewhere with::
 
     pip install delta-spark
     python -m pytest tests/test_sink_delta_merge.py
+
+Install attempted in this sandbox (round 8, 2026-08-15): ``pip
+download delta-spark`` fails with DNS resolution errors — the build
+container has no network egress, so the package cannot be fetched and
+the MERGE path has never executed here.  The test remains the
+ready-to-run harness for any environment that has the runtime.
 """
 
 from __future__ import annotations
