@@ -49,6 +49,7 @@ from .ast_nodes import (
     Ident,
     InExpr,
     IndexExpr,
+    InvokeOp,
     JoinOp,
     LetStatement,
     Ipv4LookupOp,
@@ -479,12 +480,12 @@ class _SqlEmitter:
             terms = ", ".join(self.sort_term(t) for t in op.terms)
             return f"SELECT * FROM {inner} ORDER BY {terms}", cols
         if isinstance(op, TakeOp):
-            return f"SELECT * FROM {inner} LIMIT {self.expr(op.count)}", cols
+            return f"SELECT * FROM {inner} LIMIT {self._limit(op.count)}", cols
         if isinstance(op, TopOp):
             self.last_sort = [op.term]
             return (
                 f"SELECT * FROM {inner} ORDER BY {self.sort_term(op.term)}"
-                f" LIMIT {self.expr(op.count)}",
+                f" LIMIT {self._limit(op.count)}",
                 cols,
             )
         if isinstance(op, ProjectOp):
@@ -740,7 +741,7 @@ class _SqlEmitter:
                 f"SELECT {key}, {measure} AS {_q('hitters')} FROM {inner}"
                 f" GROUP BY {key}"
                 f" ORDER BY {_q('hitters')} DESC, {key} ASC"
-                f" LIMIT {self.expr(op.count)}",
+                f" LIMIT {self._limit(op.count)}",
                 [op.col.parts[0], "hitters"],
             )
         if isinstance(op, ProjectRenameOp):
@@ -1770,6 +1771,53 @@ class _SqlEmitter:
                 f" GROUP BY {pat}",
                 ["Pattern", "Count", "Representative"],
             )
+        if isinstance(op, InvokeOp):
+            # tabular-bodied let-function: bind the piped subquery to
+            # the function's first (tabular) parameter — the same
+            # named-subquery device as `as`/tabular-let — and
+            # substitute scalar args textually like the scalar-let
+            # inliner in call() (mirrors compiler.py's InvokeOp)
+            fd = self.let_funcs.get(op.name)
+            if fd is None or fd.tab_body is None:
+                raise ParseError(
+                    f"invoke: {op.name!r} is not a tabular-bodied"
+                    " let-function (declare its first parameter as"
+                    " '(*)')",
+                    op.span,
+                )
+            if op.name in self._inlining:
+                raise ParseError(
+                    f"recursive let-function {op.name!r} is not"
+                    " supported",
+                    op.span,
+                )
+            if len(op.args) != len(fd.params) - 1:
+                raise ParseError(
+                    f"invoke {op.name}() takes {len(fd.params) - 1}"
+                    f" argument(s), got {len(op.args)}",
+                    op.span,
+                )
+            from .parser import _DATATABLE_TYPES
+
+            tab_name = fd.params[0][0]
+            saved_bound = self.bound.get(tab_name)
+            saved_scope = dict(self.scope)
+            self.bound[tab_name] = (sql, cols)
+            for (pname, ptype), a in zip(fd.params[1:], op.args):
+                psql = self.expr(a)
+                if ptype is not None:
+                    psql = f"CAST({psql} AS {_DATATABLE_TYPES[ptype]})"
+                self.scope[pname] = psql
+            self._inlining.add(op.name)
+            try:
+                return self.emit_query(fd.tab_body)
+            finally:
+                self._inlining.discard(op.name)
+                self.scope = saved_scope
+                if saved_bound is None:
+                    self.bound.pop(tab_name, None)
+                else:
+                    self.bound[tab_name] = saved_bound
         if isinstance(op, SearchOp):
             term = _qs(op.term.lower())
             hits = " OR ".join(
@@ -2348,6 +2396,14 @@ class _SqlEmitter:
             k = _q(cond.parts[0])
             return f"{_q('$left')}.{k} = {_q('$right')}.{k}"
         return self.expr(cond)
+
+    def _limit(self, e: Expr) -> str:
+        """LIMIT operand: Spark requires a foldable INTEGER — a
+        substituted long-typed parameter (e.g. an invoked function's
+        `n: long`) arrives as CAST(.. AS BIGINT) and is rejected, so
+        non-literal operands are re-cast to INT."""
+        s = self.expr(e)
+        return s if s.lstrip("-").isdigit() else f"CAST({s} AS INT)"
 
     def sort_term(self, term: SortTerm) -> str:
         direction = "ASC" if term.asc else "DESC"

@@ -45,11 +45,32 @@ QUERIES = [
     # round-7 additions: var-condition scan (interpreted skeleton in
     # the automaton) and the zero-shuffle BM25 scorer
     "pql_scan_var_window", "op_bm25",
+    # round-8 additions: bounded-merge-loop BPE (rows-only: spark
+    # timing only) and Efraimidis-Spirakis weighted sampling
+    "op_bpe", "op_weighted_sample",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# Asymmetric-twin annotations, emitted per row so the JSON can't be
+# misread: these oracles verify VALUES but skip work the Spark side
+# does, so their ratios are NOT like-for-like throughput comparisons.
+NOTES = {
+    "pql_ipv4_lookup": (
+        "asymmetric twin: the DuckDB oracle does arithmetic membership"
+        " on pre-parsed integers and never parses the dotted address"
+        " string; the ratio measures parse cost the oracle never pays."
+        " Compare absolute spark_sf1 instead."
+    ),
+    "pql_ipv6_lookup": (
+        "asymmetric twin: the DuckDB oracle matches on pre-parsed"
+        " (hi,lo) BIGINT pairs and never parses the hex/:: address"
+        " string; the ratio measures parse cost the oracle never pays."
+        " Compare absolute spark_sf1 instead."
+    ),
+}
 
 
 def time_best2(fn) -> float:
@@ -119,6 +140,8 @@ def main() -> int:
             row["ratio_sf1"] = round(
                 row["spark_sf1"] / max(row["duck_sf1"], 1e-9), 2
             )
+        if name in NOTES:
+            row["note"] = NOTES[name]
         out[name] = row
         print(name, row, flush=True)
     print(json.dumps({"queries": out}, indent=1))
