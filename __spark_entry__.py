@@ -4712,6 +4712,18 @@ def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=24).orderBy("rank")
 
 
+def _q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE (GPT-2 alphabet, ``byte_level=True``): same
+    bounded merge loop over UTF-8 byte symbols — any script, zero OOV.
+    Rows-only driver check like op_bpe (iterative merge loop); the
+    byte table, hand example, CJK round-trip, and reference
+    equivalence are tested in tests/test_bpe.py."""
+    from pql_spark.operators import bpe_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe_train(docs, num_merges=24, byte_level=True).orderBy("rank")
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scoring against a 3-term query bag
     (``text.bm25_score``): per-term tf is an in-row array count, the
@@ -4835,7 +4847,8 @@ _CHECK_FIRST = [
     "pql_q1_pricing", "pql_join_inner", "pql_join_innerunique",
     "pql_join_leftouter", "pql_join_leftanti", "pql_join_leftsemi",
     "pql_sort_take", "pql_top", "pql_where_project", "pql_parse_kv",
-    "pql_series_fns",
+    # new this round, never hashed:
+    "op_bpe_bytes",
 ]
 
 
@@ -4897,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lm_score": _q_lm_score,
             "op_bm25": _q_bm25,
             "op_bpe": _q_bpe,  # rows-only (iterative merge loop)
+            "op_bpe_bytes": _q_bpe_bytes,  # rows-only (same loop)
             "op_weighted_sample": _q_weighted_sample,
             "op_line_dedup": _q_line_dedup,
             "op_crossdoc_dedup": _q_crossdoc_dedup,

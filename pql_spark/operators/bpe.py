@@ -28,7 +28,50 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bpe_train", "bpe_apply", "bpe_encode_word"]
+__all__ = [
+    "bpe_train", "bpe_apply", "bpe_encode_word", "bytes_to_unicode"
+]
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte->printable-unicode table (Radford et al. 2019,
+    ``encoder.py``): every byte value maps to a visible character so
+    byte-level symbols survive string handling — printable ASCII and
+    latin-1 letters map to themselves, the rest shift into the U+0100
+    private-ish range.  Bijective, so token sequences decode back to
+    exact UTF-8 bytes."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\u00a1"), ord("\u00ac") + 1))
+        + list(range(ord("\u00ae"), ord("\u00ff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U: dict[int, str] | None = None
+
+
+def _word_symbols(
+    word: str, byte_level: bool, end_of_word: str
+) -> tuple[str, ...]:
+    """A word's initial symbol sequence: characters + end-of-word
+    marker (classic Sennrich), or its UTF-8 bytes through the GPT-2
+    byte table (byte-level — no marker; merges never cross words, so
+    the boundary is implicit).  Shared by the trainer and the
+    per-word encoder so train and apply agree by construction."""
+    if not byte_level:
+        return tuple(word) + (end_of_word,)
+    global _B2U
+    if _B2U is None:
+        _B2U = bytes_to_unicode()
+    return tuple(_B2U[b] for b in word.encode("utf-8"))
 
 
 def _pair_counts(vocab: list[tuple[tuple[str, ...], int]]) -> dict:
@@ -63,6 +106,7 @@ def bpe_train(
     max_vocab_words: int = 65536,
     min_pair_freq: int = 2,
     end_of_word: str = "</w>",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Learn a BPE merge table from a document corpus.
 
@@ -76,6 +120,13 @@ def bpe_train(
     so learned subwords distinguish word-internal from word-final
     position.  The loop stops early when the best pair's corpus
     frequency drops below ``min_pair_freq``.
+
+    ``byte_level=True`` switches the initial alphabet to each word's
+    UTF-8 BYTES through the GPT-2 byte->unicode table (Radford et al.
+    2019) with no end-of-word marker — the 256-symbol alphabet covers
+    any script (accented text, CJK, emoji) with zero OOV risk, where
+    character-level symbols fragment unboundedly.  Token strings
+    concatenate and inverse-map back to the exact UTF-8 bytes.
 
     Scale: the word-frequency aggregate is the corpus-bound stage (one
     shuffle, partial-agg'd map-side); the driver holds only the top
@@ -95,7 +146,7 @@ def bpe_train(
         .collect()
     )
     vocab = [
-        (tuple(r["word"]) + (end_of_word,), int(r["freq"]))
+        (_word_symbols(r["word"], byte_level, end_of_word), int(r["freq"]))
         for r in wf_rows
     ]
     merges: list[tuple[int, str, str, int]] = []
@@ -119,12 +170,14 @@ def bpe_encode_word(
     word: str,
     ranks: dict,
     end_of_word: str = "</w>",
+    byte_level: bool = False,
 ) -> list[str]:
     """Encode ONE word with a learned merge-rank dict
     ``{(left, right): rank}`` — greedy lowest-rank-first, the standard
     BPE inference order.  Pure Python; shared by :func:`bpe_apply` and
-    the tests' reference implementation."""
-    syms = list(word) + [end_of_word]
+    the tests' reference implementation.  ``byte_level`` must match
+    the trainer's setting (byte symbols vs chars + end-of-word)."""
+    syms = list(_word_symbols(word, byte_level, end_of_word))
     while len(syms) > 1:
         best_rank, best_i = None, -1
         for i in range(len(syms) - 1):
@@ -144,6 +197,7 @@ def bpe_apply(
     id_col: str = "doc_id",
     end_of_word: str = "</w>",
     out_col: str = "bpe_tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge table — returns
     ``(id_col, out_col array<string>, n_bpe_tokens int)``.
@@ -169,7 +223,9 @@ def bpe_apply(
         def enc(word: str) -> list[str]:
             got = memo.get(word)
             if got is None:
-                got = bpe_encode_word(word, ranks, end_of_word)
+                got = bpe_encode_word(
+                    word, ranks, end_of_word, byte_level
+                )
                 memo[word] = got
             return got
 

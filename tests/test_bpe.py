@@ -187,3 +187,120 @@ def test_bpe_apply_string_doc_ids(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     got = {r["doc_id"] for r in out.collect()}
     assert got == {"doc-a", "doc-b"}
+
+
+# ---------------------------------------------------------------- byte-level
+
+
+def test_bytes_to_unicode_table():
+    from pql_spark.operators.bpe import bytes_to_unicode
+
+    t = bytes_to_unicode()
+    assert len(t) == 256 and len(set(t.values())) == 256  # bijective
+    assert t[ord("a")] == "a" and t[ord("!")] == "!"  # printable fixed
+    assert ord(t[0x20]) >= 256  # space shifted out of band
+    assert 0xAD in t and ord(t[0xAD]) >= 256  # soft hyphen shifted
+
+
+def test_byte_level_hand_example(spark):
+    """Multi-byte char: 'h\u00e9\u00e9' is bytes (h, C3, A9, C3, A9)
+    through the GPT-2 table -> first merge is the \u00e9 byte pair,
+    then greedy growth; tokens round-trip to the exact UTF-8 bytes."""
+    from pql_spark.operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    u2b = {c: b for b, c in b2u.items()}
+    word = "h\u00e9\u00e9"
+    docs = spark.createDataFrame(
+        [(i, word + " " + word) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=4, byte_level=True)
+    got = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    e1, e2 = b2u[0xC3], b2u[0xA9]  # UTF-8 bytes of \u00e9
+    assert got[0] == (e1, e2)
+    assert got[1] == ("h", e1 + e2)
+    assert got[2] == ("h" + e1 + e2, e1 + e2)
+    out = bpe_apply(docs, merges, byte_level=True).head()
+    toks = list(out["bpe_tokens"])
+    # the whole word fused into one token, twice (two words per doc)
+    assert toks == ["h" + e1 + e2 + e1 + e2] * 2
+    # round trip: concatenated tokens inverse-map to the exact bytes
+    raw = bytes(u2b[c] for c in "".join(toks))
+    assert raw.decode("utf-8") == word + word
+
+
+def test_byte_level_cjk_round_trip(spark):
+    """Whitespace-free CJK text: every char is 3 UTF-8 bytes; the
+    256-symbol alphabet has no OOV and tokens always decode back."""
+    from pql_spark.operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    u2b = {c: b for b, c in b2u.items()}
+    text = "\u7684\u662f\u5728\u7684\u662f"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=12, byte_level=True)
+    out = bpe_apply(docs, merges, byte_level=True).head()
+    toks = list(out["bpe_tokens"])
+    assert toks  # tokenized, no crash on whitespace-free script
+    raw = bytes(u2b[c] for c in "".join(toks))
+    assert raw.decode("utf-8") == text
+    # with 12 merges over a 15-byte word the token count compresses
+    assert out["n_bpe_tokens"] < 15
+
+
+def test_byte_level_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "repeat repeat tokens tokens byte") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in
+         bpe_train(docs, num_merges=10, byte_level=True)
+         .orderBy("rank").collect()]
+    b = [tuple(r) for r in
+         bpe_train(docs, num_merges=10, byte_level=True)
+         .orderBy("rank").collect()]
+    assert a == b and len(a) > 0
+
+
+def test_byte_level_matches_reference(spark):
+    """byte-level trainer == the independent reference loop run over
+    byte-symbol words (same recipe, byte alphabet)."""
+    from pql_spark.operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    corpus = ["low lower low", "newest low newest"]
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_train(docs, num_merges=8, byte_level=True)
+        .orderBy("rank").collect()
+    ]
+    # reference: word freqs over the whole corpus, byte symbols
+    wf = {}
+    for t in corpus:
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    vocab = {
+        tuple(b2u[b] for b in w.encode("utf-8")): f for w, f in wf.items()
+    }
+    merges = []
+    for rank in range(8):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pp = (syms[i], syms[i + 1])
+                counts[pp] = counts.get(pp, 0) + f
+        if not counts:
+            break
+        best = max(counts.values())
+        if best < 2:
+            break
+        pair = min(p for p, c in counts.items() if c == best)
+        merges.append((rank, pair[0], pair[1], best))
+        vocab = {_merge_word(s, pair): f for s, f in vocab.items()}
+    assert got == merges and len(got) > 0
