@@ -40,6 +40,7 @@ def curate_corpus(
     decontaminate_gram_n: int = 13,
     redact: bool = False,
     drop_repeated_lines: bool = False,
+    timing: dict | None = None,
 ) -> DataFrame:
     """Curate a raw document table into a deduplicated, split corpus.
 
@@ -67,8 +68,26 @@ def curate_corpus(
     7. optional PII redaction of the surviving text;
     8. train/test split keyed on the CONTENT fingerprint, not the id —
        re-ingesting the same text can never land it in the other split.
+
+    ``timing``: DIAGNOSTIC ONLY — pass a dict to get per-stage wall
+    seconds written into it (keys below).  Timing mode materializes
+    each stage with ``localCheckpoint`` so the numbers are attributable
+    increments; that inserts barriers Catalyst would otherwise fuse
+    away, so the SUM exceeds the lazy pipeline's end-to-end time.  Use
+    it to see which stage moved between environments, not as the
+    benchmark number.
     """
+    import time as _time
+
     from .operators._util import pinned_filter, rebalance
+
+    def _mark(stage: str, frame: DataFrame) -> DataFrame:
+        if timing is None:
+            return frame
+        t0 = _time.perf_counter()
+        out = frame.localCheckpoint()
+        timing[stage] = round(_time.perf_counter() - t0, 3)
+        return out
 
     # spread a single-file input across the cluster's cores FIRST: the
     # whole narrow filter chain below otherwise runs as ONE task (one
@@ -80,7 +99,10 @@ def curate_corpus(
     if drop_repeated_lines:
         # within-doc line dedup FIRST (narrow fold, no shuffle) so the
         # quality metrics and fingerprints see the scrubbed text
-        docs = dedup_lines(docs, text_col, id_col).drop("n_lines_removed")
+        docs = _mark(
+            "line_scrub",
+            dedup_lines(docs, text_col, id_col).drop("n_lines_removed"),
+        )
 
     # quality / language / fingerprint are all narrow per-row
     # expressions: CHAIN them as appended columns (zero shuffles) rather
@@ -102,7 +124,7 @@ def curate_corpus(
     cond = F.col("quality") >= min_quality
     if langs is not None:
         cond = cond & F.col("lang_pred").isin(list(langs))
-    kept = pinned_filter(kept, cond)
+    kept = _mark("quality_lang", pinned_filter(kept, cond))
 
     if max_dup_ngram_frac is not None:
         # appended narrow fold over `kept` (not `docs`): the repetition
@@ -117,6 +139,7 @@ def curate_corpus(
             "n_lines", "dup_line_frac", "dup_line_char_frac",
             "top_ngram_frac", "dup_ngram_frac",
         )
+        kept = _mark("repetition", kept)
 
     # exact dedup: one survivor (min id) per identical normalized text.
     # A fingerprint-partitioned window min beats the groupBy+join-back
@@ -125,10 +148,11 @@ def curate_corpus(
     from pyspark.sql import Window
 
     w = Window.partitionBy("fingerprint")
-    kept = (
+    kept = _mark(
+        "exact_dedup",
         kept.withColumn("__min_id", F.min(F.col(id_col)).over(w))
         .filter(F.col(id_col) == F.col("__min_id"))
-        .drop("__min_id")
+        .drop("__min_id"),
     )
 
     # `kept` is re-read by minhash (signature + exact verify), the
@@ -151,6 +175,10 @@ def curate_corpus(
         threshold=near_dup_threshold,
     )
     drops = pairs.select(F.col("id_b").alias(id_col))
+    if timing is not None:
+        t0 = _time.perf_counter()
+        drops = drops.localCheckpoint()
+        timing["near_dup_pairs"] = round(_time.perf_counter() - t0, 3)
 
     if benchmark is not None:
         from .operators.dedup import contamination_report
@@ -158,6 +186,12 @@ def curate_corpus(
         contaminated = contamination_report(
             kept, benchmark, text_col, id_col, gram_n=decontaminate_gram_n
         ).select(id_col)
+        if timing is not None:
+            t0 = _time.perf_counter()
+            contaminated = contaminated.localCheckpoint()
+            timing["decontaminate"] = round(
+                _time.perf_counter() - t0, 3
+            )
         drops = drops.unionByName(contaminated)
 
     drops = drops.distinct().persist()
@@ -166,8 +200,11 @@ def curate_corpus(
     if redact:
         # in-place narrow scrub — the (id, redacted) join-back shape
         # would shuffle the surviving corpus twice for a per-row regex
-        kept = redact_pii(kept, text_col, id_col, append=True)
+        kept = _mark(
+            "redact", redact_pii(kept, text_col, id_col, append=True)
+        )
 
-    return train_test_split(
+    out = train_test_split(
         kept, key="fingerprint", test_rate=test_rate
     ).drop("fingerprint")
+    return _mark("split", out)

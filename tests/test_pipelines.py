@@ -153,3 +153,25 @@ def test_curate_corpus_line_scrub_stage(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].text == "nav menu\n" + base  # second copy scrubbed
+
+
+def test_curate_corpus_stage_timing(spark, raw_docs):
+    """timing= dict gets per-stage wall seconds (diagnostic mode:
+    localCheckpoint barriers per stage; results identical)."""
+    from pql_spark.pipelines import curate_corpus
+
+    timing = {}
+    out = curate_corpus(
+        raw_docs, min_quality=0.5, langs=None, redact=True,
+        timing=timing,
+    )
+    n = out.count()
+    assert n > 0
+    assert {"quality_lang", "exact_dedup", "near_dup_pairs",
+            "redact", "split"} <= set(timing)
+    assert all(isinstance(v, float) and v >= 0 for v in timing.values())
+    # identical survivors vs the lazy pipeline
+    base = curate_corpus(raw_docs, min_quality=0.5, langs=None,
+                         redact=True)
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in base.select("doc_id").collect())
