@@ -1824,9 +1824,13 @@ class Compiler:
     ) -> DataFrame:
         """``evaluate session_count``: sessions STARTED per bin — an
         id's active bin opens a session iff the id had no activity
-        within the preceding LookBackWindow.  One distinct over
-        (id, bin), one lag window PARTITIONED BY id (parallel at any
-        scale), one groupBy(bin).  Bins with zero session starts are
+        within the preceding LookBackWindow.  One lag window
+        PARTITIONED BY id (parallel at any scale), one groupBy(bin) —
+        TWO shuffles.  No (id, bin) pre-distinct: within the sorted
+        window, only the FIRST row of an equal-bin run sees a
+        different lag value, so duplicate activity rows can't open a
+        second session in the same bin and the distinct's extra
+        shuffle buys nothing.  Bins with zero session starts are
         omitted (consistent with the other rolling plugins)."""
         from pyspark.sql import Window
 
@@ -1858,10 +1862,13 @@ class Compiler:
                 & (F.col("__sc_t") < F.col("__sc_e"))
             )
             .select("__sc_id", "__sc_k", "__sc_s")
-            .distinct()
         )
         w = Window.partitionBy("__sc_id").orderBy("__sc_k")
         prev_k = F.lag("__sc_k").over(w)
+        # duplicate (id, k) rows: lag sees the SAME k for every row of
+        # an equal-k run except its first, so exactly one row per
+        # (id, bin) can flag a session start — the old pre-distinct
+        # shuffle was redundant
         starts = active.withColumn(
             "__sc_new",
             (
@@ -2942,7 +2949,15 @@ class Compiler:
         the same distributed forward-asof shape as
         ``temporal.asof_join`` (no per-row iteration, no driver state,
         one shuffle per step on the keys).  See SequenceDetectOp for
-        the documented divergence from KQL."""
+        the documented divergence from KQL.
+
+        Considered and rejected (r8): fusing the n-1 passes into one
+        groupBy(keys) + collect_list + HOF chain walk — one shuffle,
+        but the per-chain ``filter``+``array_min`` scan is
+        O(chains x events) per key, a quadratic blowup on hot keys
+        (10^6-event key -> 10^11 element ops) to save ~0.3 s of
+        toy-scale stage floor.  The window form stays O(N log N) per
+        key at any skew, which is the 100 TB-correct trade."""
         from pyspark.sql import Window
 
         ts_name = op.timeline.parts[0]
