@@ -3828,15 +3828,17 @@ def _q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.mkdir()
         base.toPandas().to_parquet(src / "a.parquet", index=False)
         # state_shards sized to the ~1k-doc gate batches (must match
-        # across runs — the persisted keeper state is keyed by shard)
+        # across runs — the persisted keeper state is keyed by shard):
+        # shards=1 gives 16 band groups per batch, the same sizing as
+        # the stream_near_dup gate; buckets are shard-count-invariant
         curate_stream(
             spark, str(src), str(root / "work"), langs=None,
-            state_shards=8,
+            state_shards=1,
         )
         xtra.toPandas().to_parquet(src / "b.parquet", index=False)
         kept2 = curate_stream(
             spark, str(src), str(root / "work"), langs=None,
-            state_shards=8,
+            state_shards=1,
         )
         return (
             kept2.select("doc_id").orderBy("doc_id").localCheckpoint()

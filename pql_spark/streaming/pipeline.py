@@ -473,10 +473,16 @@ def write_stream_parquet(
     partition_by: Iterable[str] | None = None,
     available_now: bool = True,
     await_seconds: int | None = 300,
+    no_data_batches: bool | None = None,
 ):
     """``writeStream`` → parquet files (append mode — the only mode the
     file sink supports; windowed aggregations must carry a watermark so
     finalized windows can be appended).
+
+    ``no_data_batches=False`` skips the trailing zero-input finalize
+    micro-batch for STATELESS plans (pure filters/projections) where it
+    can emit nothing; leave it None (conf untouched) for watermark-
+    gated aggregations, whose final windows are emitted BY that batch.
 
     ``partition_by`` gives hive-style directory partitioning, the same
     layout the batch sinks use — downstream readers get partition
@@ -503,7 +509,10 @@ def write_stream_parquet(
     writer = writer.trigger(availableNow=True)
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(_ND_CONF)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if no_data_batches is not None:
+        spark.conf.set(_ND_CONF, str(no_data_batches).lower())
     try:
         q = writer.start()
         try:
@@ -512,6 +521,7 @@ def write_stream_parquet(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ND_CONF, prev_nd)
     return q
 
 
@@ -863,10 +873,13 @@ def curate_stream(
     kept = scored.filter(F.col("quality") >= min_quality)
     if langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(*langs))
+    # stateless filter chain: the zero-input finalize batch can emit
+    # nothing — skip it (one micro-batch of planning + WAL per run)
     write_stream_parquet(
         kept.select(*cols),
         str(work / "kept"),
         checkpoint=str(work / "ckpt_kept"),
+        no_data_batches=False,
     )
 
     kept_path = work / "kept"
