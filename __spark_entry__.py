@@ -4431,6 +4431,43 @@ def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.orderBy("doc_id")
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled mixing (``sampling.temperature_mix``):
+    domain weights derived as total^alpha — one per-domain aggregate,
+    one broadcast 1-row sum(w), broadcast rate join + hash filter; the
+    oracle repeats the identical formula and md5 bucket in DuckDB."""
+    from pql_spark.operators import temperature_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    mixed = temperature_mix(
+        docs,
+        key="doc_id",
+        domain_col="source",
+        token_col="n_chars",
+        budget_tokens=12000,
+        alpha=0.5,
+    )
+    return mixed.orderBy("doc_id")
+
+
+_TMIX_ORACLE = """
+WITH tot AS (SELECT source AS domain,
+                    CAST(SUM(n_chars) AS DOUBLE) AS total
+             FROM documents GROUP BY 1),
+ws AS (SELECT SUM(pow(total, 0.5)) AS wsum FROM tot),
+r AS (SELECT domain,
+             least(1.0, 12000.0 * pow(total, 0.5) / ws.wsum / total)
+               AS rate
+      FROM tot, ws)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN r ON d.source = r.domain
+WHERE ('0x' || substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        ::BIGINT
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pql_spark.operators import dedup_lines_corpus
 
@@ -4848,9 +4885,9 @@ _CHECK_FIRST = [
     "op_semantic_dedup", "op_unimax_mix", "pql_count",
     "pql_q1_pricing", "pql_join_inner", "pql_join_innerunique",
     "pql_join_leftouter", "pql_join_leftanti", "pql_join_leftsemi",
-    "pql_sort_take", "pql_top", "pql_where_project", "pql_parse_kv",
+    "pql_sort_take", "pql_top", "pql_where_project",
     # new this round, never hashed:
-    "op_bpe_bytes",
+    "op_bpe_bytes", "op_temperature_mix",
 ]
 
 
@@ -4907,6 +4944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_winnow_fingerprints": _q_winnow,
             "op_sampling_split": _q_sampling,
             "op_mix_corpora": _q_mix_corpora,
+            "op_temperature_mix": _q_temperature_mix,
             "op_importance_weights": _q_importance_weights,
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
@@ -4989,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
             "op_sampling_split": _SAMPLING_ORACLE,
             "op_weighted_sample": _WSAMPLE_ORACLE,
             "op_mix_corpora": _MIX_ORACLE,
+            "op_temperature_mix": _TMIX_ORACLE,
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
             "op_bm25": _bm25_oracle(),

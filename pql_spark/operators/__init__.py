@@ -38,6 +38,7 @@ from .sampling import (
     hashed_gram_counts,
     importance_weights,
     mix_corpora,
+    temperature_mix,
     pack_sequences,
     stratified_hash_sample,
     train_test_split,
@@ -112,6 +113,7 @@ __all__ = [
     "hashed_gram_counts",
     "importance_weights",
     "mix_corpora",
+    "temperature_mix",
     "pack_sequences",
     "pairwise_topk",
     "pairwise_topk_skew",

@@ -198,6 +198,62 @@ def mix_corpora(
     return joined.filter(keep).drop("__mx_dom", "__mx_rate")
 
 
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    token_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-sampled corpus mixing: like :func:`mix_corpora`, but
+    the domain weights are DERIVED from corpus sizes —
+    ``w_d = total_d ** alpha`` — the standard multilingual recipe
+    (alpha=1/T; mBERT/XLM-R exponent-smoothed sampling).  ``alpha=1``
+    is proportional sampling, ``alpha=0`` a uniform split; values in
+    between lift tail domains without UniMax's hard epoch cap.
+
+    Each domain's token target is ``budget · w_d / Σ w``; rows are kept
+    by the same deterministic key-hash device as the other samplers, so
+    the chosen documents are stable across runs and partitionings.
+
+    Scale shape: one partial-aggregated groupBy for per-domain totals
+    (|domains| rows), ONE broadcast 1-row aggregate for ``Σ w`` (no
+    driver collect), a broadcast rate join + narrow filter — identical
+    to :func:`mix_corpora`, no windows, no skew sensitivity.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    totals = df.groupBy(F.col(domain_col).alias("__tm_dom")).agg(
+        F.sum(F.col(token_col)).cast("double").alias("__tm_total")
+    )
+    w = F.pow(F.col("__tm_total"), F.lit(float(alpha)))
+    wsum = totals.agg(F.sum(w).alias("__tm_wsum"))
+    rates = totals.crossJoin(F.broadcast(wsum)).select(
+        "__tm_dom",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens))
+            * w
+            / F.col("__tm_wsum")
+            / F.col("__tm_total"),
+        ).alias("__tm_rate"),
+    )
+    la, ra = "__tm_l", "__tm_r"
+    joined = df.alias(la).join(
+        F.broadcast(rates.alias(ra)),
+        F.col(f"{la}.`{domain_col}`") == F.col(f"{ra}.__tm_dom"),
+        "inner",
+    )
+    keep = _bucket(F.col(key), salt) < F.floor(
+        F.col("__tm_rate") * _SPACE
+    ).cast("long")
+    return joined.filter(keep).drop("__tm_dom", "__tm_rate")
+
+
 def _gram_array(toks_col: str, n: int):
     """All n-grams (with multiplicity) of a pre-projected token-array
     column — the :func:`~pql_spark.operators.text.word_grams` shape

@@ -319,3 +319,88 @@ def test_weighted_sample_grouped(spark):
             [(i, w) for i, gg, w in rows if gg == g], 5
         )
         assert sorted(ids) == want
+
+
+# ------------------------------------------------------------ temperature
+
+
+def test_temperature_mix_alpha_one_is_proportional(corpus):
+    """alpha=1 -> w_d = total_d, so every domain gets the SAME rate
+    budget/sum(total): proportional down-sampling."""
+    from pql_spark.operators import temperature_mix
+
+    tot = {
+        r.dom: r.t
+        for r in corpus.groupBy("dom").agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    budget = int(sum(tot.values()) * 0.4)
+    mixed = temperature_mix(corpus, "id", "dom", "tokens",
+                            budget_tokens=budget, alpha=1.0)
+    got = {
+        r.dom: r.t
+        for r in mixed.groupBy("dom").agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    for dom, t in tot.items():
+        target = 0.4 * t
+        assert abs(got[dom] - target) < 0.25 * t, (dom, got[dom], target)
+
+
+def test_temperature_mix_lifts_tail(spark):
+    """0 < alpha < 1 boosts tail domains vs proportional: the smallest
+    domain's kept fraction must EXCEED the largest domain's (needs a
+    SKEWED corpus — the shared fixture's domains are equal-sized)."""
+    from pql_spark.operators import temperature_mix
+
+    rows = (
+        [(i, "head", 100) for i in range(3000)]
+        + [(100_000 + i, "tail", 100) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "id long, dom string, tokens int")
+    budget = int(330_000 * 0.3)
+    mixed = temperature_mix(df, "id", "dom", "tokens",
+                            budget_tokens=budget, alpha=0.3)
+    got = {
+        r.dom: r.t
+        for r in mixed.groupBy("dom").agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    frac_tail = got.get("tail", 0) / 30_000
+    frac_head = got.get("head", 0) / 300_000
+    assert frac_tail > frac_head
+
+
+def test_temperature_mix_expected_rates(spark):
+    """Hand-checkable: totals 80k/20k, alpha=0.5 -> weights sqrt:
+    ~283/~141 (2:1 despite 4:1 sizes); budget 30k -> targets 20k/10k ->
+    rates .25/.5."""
+    from pql_spark.operators import temperature_mix
+
+    rows = [(i, "big", 100) for i in range(800)] + [
+        (10_000 + i, "small", 100) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, dom string, tokens int")
+    mixed = temperature_mix(df, "id", "dom", "tokens",
+                            budget_tokens=30_000, alpha=0.5)
+    got = {
+        r.dom: r.t
+        for r in mixed.groupBy("dom").agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    # targets: w = (283, 141); shares (2/3, 1/3) -> 20k, 10k
+    assert abs(got["big"] - 20_000) < 6_000
+    assert abs(got["small"] - 10_000) < 4_000
+
+
+def test_temperature_mix_deterministic(corpus):
+    from pql_spark.operators import temperature_mix
+
+    a = sorted(r.id for r in temperature_mix(
+        corpus, "id", "dom", "tokens", budget_tokens=50_000, alpha=0.5
+    ).select("id").collect())
+    b = sorted(r.id for r in temperature_mix(
+        corpus.repartition(7), "id", "dom", "tokens",
+        budget_tokens=50_000, alpha=0.5,
+    ).select("id").collect())
+    assert a == b and a
