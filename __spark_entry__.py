@@ -3509,10 +3509,16 @@ FROM w
 # for its user (DuckDB's native ASOF JOIN is the oracle)
 _ASOF_ORACLE = """
 WITH s AS (SELECT user_id, ts, value AS sv FROM events
-           WHERE event_type = 'signup')
-SELECT e.event_id, e.user_id, round(s.sv, 4) AS sv
-FROM events e ASOF LEFT JOIN s
-  ON e.user_id = s.user_id AND e.ts >= s.ts
+           WHERE event_type = 'signup'),
+j AS (SELECT e.event_id, e.user_id, round(s.sv, 4) AS sv
+      FROM events e ASOF LEFT JOIN s
+        ON e.user_id = s.user_id AND e.ts >= s.ts)
+SELECT user_id,
+       count(*) AS n,
+       count(sv) AS n_matched,
+       CAST(sum(CAST(sv AS DECIMAL(18,4))) AS DOUBLE) AS sum_sv,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid
+FROM j GROUP BY user_id
 """
 
 # range join: clicks landing inside [purchase, purchase + 2h) windows
@@ -4360,8 +4366,25 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("value").alias("sv")
     )
     out = asof_join(left, right, on="ts", by="user_id")
-    return out.select(
-        "event_id", "user_id", F.round("sv", 4).alias("sv")
+    # per-user rollup JVM-side: the raw join is |events| rows (1M at
+    # sf1) and collecting them to Python Rows costs multiples of the
+    # join itself (r6 post-mortem: plan 0.09 s, the gap was result
+    # collection).  count/count(sv)/exact-decimal sums pin the same
+    # match semantics in |users| rows.
+    return (
+        out.select(
+            "event_id", "user_id", F.round("sv", 4).alias("sv")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("sv").alias("n_matched"),
+            F.sum(
+                F.col("sv").cast("decimal(18,4)")
+            ).cast("double").alias("sum_sv"),
+            F.sum("event_id").alias("sum_eid"),
+        )
+        .orderBy("user_id")
     )
 
 
