@@ -4454,6 +4454,49 @@ def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.orderBy("doc_id")
 
 
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (``profiling.profile_columns``,
+    exact mode for the oracle): ONE aggregation pass over the table —
+    row/null/exact-distinct counts + numeric ranges reshaped to one
+    row per column; the DuckDB twin is a UNION ALL of per-column
+    aggregates."""
+    from pql_spark.operators import profile_columns
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return profile_columns(docs, approx=False).orderBy("column")
+
+
+_PROFILE_ORACLE = """
+SELECT 'doc_id' AS "column", 'bigint' AS dtype, count(*) AS n,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS DOUBLE) AS min_num,
+       CAST(max(doc_id) AS DOUBLE) AS max_num
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'source', 'string', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars),
+       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+FROM documents
+ORDER BY "column"
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampled mixing (``sampling.temperature_mix``):
     domain weights derived as total^alpha — one per-domain aggregate,
@@ -4916,9 +4959,9 @@ _CHECK_FIRST = [
     "op_semantic_dedup", "op_unimax_mix", "pql_count",
     "pql_q1_pricing", "pql_join_inner", "pql_join_innerunique",
     "pql_join_leftouter", "pql_join_leftanti", "pql_join_leftsemi",
-    "pql_sort_take", "pql_top", "pql_where_project",
+    "pql_sort_take", "pql_top",
     # new this round, never hashed:
-    "op_bpe_bytes", "op_temperature_mix",
+    "op_bpe_bytes", "op_temperature_mix", "op_profile",
 ]
 
 
@@ -4976,6 +5019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_sampling_split": _q_sampling,
             "op_mix_corpora": _q_mix_corpora,
             "op_temperature_mix": _q_temperature_mix,
+            "op_profile": _q_profile,
             "op_importance_weights": _q_importance_weights,
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
@@ -5059,6 +5103,7 @@ def oracle_sql() -> dict[str, str]:
             "op_weighted_sample": _WSAMPLE_ORACLE,
             "op_mix_corpora": _MIX_ORACLE,
             "op_temperature_mix": _TMIX_ORACLE,
+            "op_profile": _PROFILE_ORACLE,
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
             "op_bm25": _bm25_oracle(),

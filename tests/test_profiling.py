@@ -1,0 +1,73 @@
+"""profile_columns: one-scan per-column stats (n / nulls / distinct /
+numeric range), approx (HLL) and exact modes."""
+
+from __future__ import annotations
+
+import pytest
+
+from pql_spark.operators import profile_columns
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, "a", 1.5, None),
+        (2, "b", -2.0, "x"),
+        (3, None, 1.5, "x"),
+        (4, "a", None, "y"),
+        (5, "c", 99.25, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, s string, v double, t string"
+    )
+
+
+def test_exact_profile(table):
+    out = {
+        r.column: r
+        for r in profile_columns(table, approx=False).collect()
+    }
+    assert set(out) == {"id", "s", "v", "t"}
+    assert all(r.n == 5 for r in out.values())
+    assert (out["id"].n_null, out["id"].n_distinct) == (0, 5)
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 3)
+    assert (out["v"].n_null, out["v"].n_distinct) == (1, 3)
+    assert (out["t"].n_null, out["t"].n_distinct) == (2, 2)
+    # numeric ranges; non-numeric columns stay NULL
+    assert (out["id"].min_num, out["id"].max_num) == (1.0, 5.0)
+    assert (out["v"].min_num, out["v"].max_num) == (-2.0, 99.25)
+    assert out["s"].min_num is None and out["s"].max_num is None
+    assert out["id"].dtype == "bigint" and out["s"].dtype == "string"
+
+
+def test_approx_profile_close(table):
+    out = {
+        r.column: r for r in profile_columns(table).collect()
+    }
+    # HLL at this cardinality is exact-ish; ±1 is generous
+    assert abs(out["id"].n_distinct - 5) <= 1
+    assert abs(out["s"].n_distinct - 3) <= 1
+
+
+def test_column_subset_and_errors(table):
+    out = profile_columns(table, cols=["id"], approx=False).collect()
+    assert [r.column for r in out] == ["id"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(table, cols=["nope"])
+
+
+def test_single_scan_plan(table):
+    """All stats come from ONE aggregation over the input — the plan
+    must contain exactly one scan of the source."""
+    df = profile_columns(table, approx=True)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
+
+
+def test_empty_table(spark):
+    empty = spark.createDataFrame([], "a long, b string")
+    out = {r.column: r for r in
+           profile_columns(empty, approx=False).collect()}
+    assert out["a"].n == 0 and out["a"].n_null == 0
+    assert out["a"].n_distinct == 0
+    assert out["a"].min_num is None
