@@ -813,12 +813,6 @@ class _SqlEmitter:
             )
         if isinstance(op, TopNestedOp):
             return self.emit_top_nested(op, inner, cols)
-        if isinstance(op, MvApplyOp):
-            raise ParseError(
-                "mv-apply's per-record subquery requires the "
-                "DataFrame backend",
-                op.span,
-            )
         if isinstance(op, PivotOp):
             if op.schema is None:
                 raise ParseError(
@@ -1771,6 +1765,8 @@ class _SqlEmitter:
                 f" GROUP BY {pat}",
                 ["Pattern", "Count", "Representative"],
             )
+        if isinstance(op, MvApplyOp):
+            return self._emit_mv_apply(op, inner, cols)
         if isinstance(op, InvokeOp):
             # tabular-bodied let-function: bind the piped subquery to
             # the function's first (tabular) parameter — the same
@@ -1831,6 +1827,166 @@ class _SqlEmitter:
         raise ParseError(
             f"SQL backend: unsupported operator {type(op).__name__}", op.span
         )
+
+    def _emit_mv_apply(
+        self, op: MvApplyOp, inner: str, cols: list[str]
+    ) -> tuple[str, list[str]]:
+        """KQL mv-apply on the SQL backend — mirrors the DataFrame
+        compiler's plan exactly (compiler.py _mv_apply): synthetic
+        record id + one explode over an index sequence; inner
+        where/extend/project stay row-local, sort+take/top become a
+        per-record rank window, summarize a GROUP BY on the record id
+        with record-constant columns carried via first()."""
+        ROW, IDX = "__mv_row", "__mv_idx"
+        names = [self.col_spec(c)[0] for c in op.cols]
+        # bare array EXPRESSIONS (col_spec's item carries the alias)
+        arrs = [
+            self.expr(c.expr) if c.expr is not None else _q(c.name)
+            for c in op.cols
+        ]
+        keyed = (
+            f"SELECT *, monotonically_increasing_id() AS {ROW}"
+            f" FROM {inner}"
+        )
+        sizes = [f"size({a})" for a in arrs]
+        n = sizes[0] if len(sizes) == 1 else f"greatest({', '.join(sizes)})"
+        mid = (
+            f"SELECT *, explode(CASE WHEN {n} > 0 THEN"
+            f" sequence(0, {n} - 1) END) AS {IDX} FROM ({keyed})"
+        )
+        elems = {
+            name: f"try_element_at({a}, {IDX} + 1)"
+            for name, a in zip(names, arrs)
+        }
+        order = list(cols)
+        for name in names:
+            if name not in order:
+                order.append(name)
+        items = [
+            f"{elems[c]} AS {_q(c)}" if c in elems else _q(c)
+            for c in order
+        ]
+        sql = (
+            f"SELECT {', '.join(items)}, {ROW}, {IDX} FROM ({mid})"
+        )
+        cur = list(order)
+        record_cols = [c for c in order if c not in names]
+        has_idx = True
+        pend_sort: list[SortTerm] | None = None
+
+        def hidden() -> list[str]:
+            return [ROW] + ([IDX] if has_idx else [])
+
+        for iop in op.ops:
+            if isinstance(iop, WhereOp):
+                sql = (
+                    f"SELECT * FROM ({sql})"
+                    f" WHERE {self.expr(iop.predicate)}"
+                )
+            elif isinstance(iop, ExtendOp):
+                out = list(cur)
+                eitems = [_q(c) for c in cur]
+                for c in iop.cols:
+                    nm, item = self.col_spec(c)
+                    if nm in out:
+                        eitems[out.index(nm)] = item
+                    else:
+                        out.append(nm)
+                        eitems.append(item)
+                sql = (
+                    f"SELECT {', '.join(eitems)},"
+                    f" {', '.join(hidden())} FROM ({sql})"
+                )
+                cur = out
+            elif isinstance(iop, ProjectOp):
+                pitems, pnames = [], []
+                for c in iop.cols:
+                    nm, item = self.col_spec(c)  # item carries AS
+                    pnames.append(nm)
+                    pitems.append(item)
+                sql = (
+                    f"SELECT {', '.join(pitems)},"
+                    f" {', '.join(hidden())} FROM ({sql})"
+                )
+                cur = pnames
+            elif isinstance(iop, SortOp):
+                pend_sort = iop.terms
+            elif isinstance(iop, (TakeOp, TopOp)):
+                terms = (
+                    [iop.term]
+                    if isinstance(iop, TopOp)
+                    else pend_sort
+                )
+                if terms:
+                    order_sql = ", ".join(
+                        self.sort_term(t) for t in terms
+                    )
+                elif has_idx:
+                    order_sql = IDX
+                else:
+                    raise ParseError(
+                        "mv-apply: take after summarize needs a "
+                        "preceding sort",
+                        iop.span,
+                    )
+                keep = [_q(c) for c in cur] + hidden()
+                sql = (
+                    f"SELECT {', '.join(keep)} FROM ("
+                    f"SELECT *, row_number() OVER (PARTITION BY {ROW}"
+                    f" ORDER BY {order_sql}) AS __mv_rn FROM ({sql})"
+                    f") WHERE __mv_rn <= {self._limit(iop.count)}"
+                )
+                pend_sort = None
+            elif isinstance(iop, SummarizeOp):
+                key_names, key_items = [], []
+                for c in iop.keys:
+                    nm, item = self.col_spec(c)  # item carries AS
+                    key_names.append(nm)
+                    key_items.append(item)
+                agg_names, agg_items = [], []
+                for c in iop.aggs:
+                    nm, item = self.col_spec(c)
+                    agg_names.append(nm)
+                    agg_items.append(item)
+                carried = [
+                    c
+                    for c in record_cols
+                    if c in cur
+                    and c not in key_names
+                    and c not in agg_names
+                ]
+                firsts = [
+                    f"first({_q(c)}) AS {_q(c)}" for c in carried
+                ]
+                sel = ", ".join(
+                    firsts + key_items + agg_items + [ROW]
+                )
+                # GROUP BY on the select ALIASES (the main summarize
+                # emitter's device)
+                grp = ", ".join(
+                    [ROW] + [_q(nm) for nm in key_names]
+                )
+                sql = (
+                    f"SELECT {sel} FROM ({sql}) GROUP BY {grp}"
+                )
+                # record columns first, then keys, then aggregates —
+                # matches the DataFrame compiler's output order
+                cur = carried + key_names + agg_names
+                record_cols = carried
+                has_idx = False
+                pend_sort = None
+            else:
+                raise ParseError(
+                    "mv-apply: unsupported operator in subquery "
+                    "(use where/extend/project/sort/take/top/"
+                    "summarize)",
+                    iop.span,
+                )
+        final = ", ".join(_q(c) for c in cur)
+        if pend_sort is not None:
+            terms = ", ".join(self.sort_term(t) for t in pend_sort)
+            sql = f"SELECT * FROM ({sql}) ORDER BY {ROW}, {terms}"
+        return f"SELECT {final} FROM ({sql})", cur
 
     def _emit_mv_expand_zip(
         self, op: MvExpandOp, inner: str, cols: list[str]

@@ -195,9 +195,11 @@ def test_mv_apply_errors(engine):
         engine.query("T1 | mv-apply arr")
     with pytest.raises(QueryError, match="unsupported operator"):
         engine.query("T1 | mv-apply arr on (distinct arr)")
-    with pytest.raises(QueryError, match="DataFrame backend"):
+    # r8: mv-apply now compiles on the SQL backend; unsupported INNER
+    # operators still error there too
+    with pytest.raises(QueryError, match="unsupported operator"):
         compile_to_sql(
-            "T1 | mv-apply arr on (where arr > 1)", {"T1": ["arr"]}
+            "T1 | mv-apply arr on (distinct arr)", {"T1": ["arr"]}
         )
 
 

@@ -50,7 +50,6 @@ def test_sql_backend_matches_dataframe_backend(spark, sf_views, name):
         # discovery-mode bag_unpack is data-dependent; the annotated
         # form (": (") compiles on both backends
         or ("evaluate bag_unpack" in text and ") : (" not in text)
-        or "mv-apply" in text
         or "| scan " in text
         or "series_decompose_forecast" in text
         or "graph-match" in text
@@ -86,3 +85,55 @@ def test_sql_backend_matches_on_goldens(spark, fixture_tables, case):
     )
     sql_rows = _rows(spark.sql(sql))
     assert sql_rows == df_rows, sql
+
+
+MV_APPLY_CASES = [
+    # element filter + per-record aggregate
+    "T | mv-apply x = xs on (where x > 1 | summarize s = sum(x))",
+    # extend + project inside the subquery
+    "T | mv-apply x = xs on (extend y = x * 10 | project id, y)"
+    " | summarize total = sum(y) by id | sort by id asc",
+    # sort + take (earliest-two elements by value)
+    "T | mv-apply x = xs on (sort by x asc | take 2)"
+    " | summarize picked = sort_array(collect_list(x)) by id"
+    " | sort by id asc",
+    # top 1 per record
+    "T | mv-apply x = xs on (top 1 by x desc) | project id, x"
+    " | sort by id asc, x asc",
+    # take in element order (uses the index, no sort)
+    "T | mv-apply x = xs on (take 2)"
+    " | summarize firsts = sort_array(collect_list(x)) by id"
+    " | sort by id asc",
+    # two arrays zipped to the longest
+    "T | mv-apply a = xs, b = ys on (where a >= 2 or b >= 20"
+    " | summarize na = count(), sb = sum(b))"
+    " | project id, na, sb | sort by id asc",
+]
+
+
+@pytest.mark.parametrize("text", MV_APPLY_CASES)
+def test_mv_apply_sql_backend_equivalence(spark, text):
+    """mv-apply compiles on the SQL backend (r8): record id + one
+    index explode, inner ops as WHERE / computed columns / rank
+    windows / GROUP BY record — must match the DataFrame compiler on
+    every supported inner shape."""
+    t = spark.createDataFrame(
+        [
+            (1, [3, 1, 2], [10, 20]),
+            (2, [5], [30, 40, 50]),
+            (3, [], [60]),
+            (4, None, None),
+        ],
+        "id long, xs array<long>, ys array<long>",
+    )
+    t.createOrReplaceTempView("T")
+    try:
+        df_rows = _rows(
+            PqlEngine(spark, resolver={"T": t}).query(text)
+        )
+        sql = compile_to_sql(text, lambda n: {"T": t.columns}[n])
+        sql_rows = _rows(spark.sql(sql))
+    finally:
+        spark.catalog.dropTempView("T")
+    assert sql_rows == df_rows, sql
+    assert df_rows
