@@ -1347,7 +1347,47 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         | summarize matches = count(), users = dcount(user_id),
                     total_spend = round(sum(spend), 2)
         """,
-        None,
+        # r8: the same RECURSIVE-CTE automaton device as the
+        # scan_var_window twin — state (pos, match count, emitted-spend
+        # sum) per user over row-numbered view/purchase events; other
+        # event types match no step and are no-ops, `first_t` is
+        # assigned but never read, and output=none on `viewed` means
+        # only `bought` rows are emitted (matches = transitions,
+        # total_spend = the emitting purchases' values; round(2)
+        # absorbs float sum-order noise)
+        """
+        WITH RECURSIVE ev AS (
+          SELECT user_id, value AS v,
+                 CAST(CASE event_type WHEN 'view' THEN 0
+                      ELSE 1 END AS BIGINT) AS s,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events
+          WHERE event_type IN ('view', 'purchase')),
+        auto AS (
+          SELECT user_id, CAST(0 AS BIGINT) AS i,
+                 CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+                 CAST(0.0 AS DOUBLE) AS sp
+          FROM (SELECT DISTINCT user_id FROM ev)
+          UNION ALL
+          SELECT e.user_id, a.i + 1,
+                 CASE WHEN e.s = 0 AND a.pos = 0 THEN 1
+                      WHEN e.s = 1 AND a.pos = 1 THEN 0
+                      ELSE a.pos END,
+                 a.n + CASE WHEN e.s = 1 AND a.pos = 1
+                            THEN 1 ELSE 0 END,
+                 a.sp + CASE WHEN e.s = 1 AND a.pos = 1
+                             THEN e.v ELSE 0.0 END
+          FROM auto a JOIN ev e
+            ON e.user_id = a.user_id AND e.i = a.i + 1),
+        fin AS (SELECT user_id, arg_max(n, i) AS n,
+                       arg_max(sp, i) AS sp
+                FROM auto GROUP BY user_id)
+        SELECT CAST(SUM(n) AS BIGINT) AS matches,
+               CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS users,
+               round(SUM(sp), 2) AS total_spend
+        FROM fin
+        """,
     ),
     # EXTENSION scan with a VAR-REFERENCING step condition (round 7:
     # full KQL-scan surface): the purchase must land within 2 days of
