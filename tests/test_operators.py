@@ -775,3 +775,31 @@ def test_minhash_impls_agree_unicode_whitespace(spark):
     }
     assert fast == ref
     assert agg == ref
+
+
+def test_ngram_prefix_filter_matches_default(spark):
+    """PPJoin prefix filtering is LOSSLESS: identical pairs + jaccard
+    values to the count-only inverted-index path, on a corpus with
+    real frequency skew (shared boilerplate + rare content)."""
+    boiler = "the quick brown fox jumps over the lazy dog again and"
+    rows = []
+    for i in range(30):
+        rows.append((i, boiler + f" unique{i} content{i} words{i}"))
+    # near-dup pairs: same rare content, one word changed
+    rows.append((100, boiler + " unique1 content1 words1 extra"))
+    rows.append((101, boiler + " unique2 content2 words2 extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.4
+        ).collect()
+    )
+    pref = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.4, prefix_filter=True
+        ).collect()
+    )
+    assert pref == base
+    assert base  # non-degenerate
