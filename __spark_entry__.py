@@ -4537,6 +4537,31 @@ ORDER BY "column"
 """
 
 
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of documents.n_chars
+    (``profiling.numeric_histogram``, explicit bounds: one narrow
+    pass + a 12-row aggregate, edge clamping); the oracle repeats the
+    identical floor/clamp arithmetic in DuckDB."""
+    from pql_spark.operators import numeric_histogram
+
+    docs = _docs(spark, sf_dir).select("n_chars")
+    return numeric_histogram(docs, "n_chars", bins=12, lo=0.0, hi=600.0)
+
+
+_HISTOGRAM_ORACLE = """
+WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+b AS (SELECT least(11, greatest(0,
+              CAST(floor((x - 0.0) / 50.0) AS INT))) AS bin
+      FROM v)
+SELECT bin,
+       0.0 + bin * 50.0 AS lo,
+       0.0 + (bin + 1) * 50.0 AS hi,
+       count(*) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampled mixing (``sampling.temperature_mix``):
     domain weights derived as total^alpha — one per-domain aggregate,
@@ -4999,9 +5024,10 @@ _CHECK_FIRST = [
     "op_semantic_dedup", "op_unimax_mix", "pql_count",
     "pql_q1_pricing", "pql_join_inner", "pql_join_innerunique",
     "pql_join_leftouter", "pql_join_leftanti", "pql_join_leftsemi",
-    "pql_sort_take", "pql_top",
+    "pql_sort_take",
     # new this round, never hashed:
     "op_bpe_bytes", "op_temperature_mix", "op_profile",
+    "op_histogram",
 ]
 
 
@@ -5060,6 +5086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_mix_corpora": _q_mix_corpora,
             "op_temperature_mix": _q_temperature_mix,
             "op_profile": _q_profile,
+            "op_histogram": _q_histogram,
             "op_importance_weights": _q_importance_weights,
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
@@ -5144,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
             "op_mix_corpora": _MIX_ORACLE,
             "op_temperature_mix": _TMIX_ORACLE,
             "op_profile": _PROFILE_ORACLE,
+            "op_histogram": _HISTOGRAM_ORACLE,
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
             "op_bm25": _bm25_oracle(),

@@ -32,7 +32,7 @@ from .dedup import (
     simhash,
     simhash_dedup,
 )
-from .profiling import profile_columns
+from .profiling import numeric_histogram, profile_columns
 from .sampling import (
     deterministic_shuffle,
     hash_sample,
@@ -114,6 +114,7 @@ __all__ = [
     "hashed_gram_counts",
     "importance_weights",
     "mix_corpora",
+    "numeric_histogram",
     "profile_columns",
     "temperature_mix",
     "pack_sequences",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "numeric_histogram"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -95,3 +95,68 @@ def profile_columns(
     return one.select(
         F.explode(F.array(*entries)).alias("__pf")
     ).select("__pf.*")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column:
+    ``(bin int, lo double, hi double, n long)`` — the distribution
+    check behind every quality-score / length / perplexity cutoff
+    decision in a curation pipeline.
+
+    With explicit ``lo``/``hi`` this is ONE narrow pass + one
+    ``bins``-row aggregate (values outside [lo, hi) are clamped into
+    the edge bins, the standard histogram-tail convention).  Without
+    bounds, a first 1-row min/max aggregate is broadcast back (the
+    same totals device as the other operators) — two scans total, no
+    driver collect.  The top bin is closed ([.., hi]) so max lands in
+    bin ``bins-1``.
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    v = F.col(f"`{col}`").cast("double")
+    if lo is not None and hi is not None:
+        if not lo < hi:
+            raise ValueError("need lo < hi")
+        bounds = None
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+        base = df.select(v.alias("__h_v")).filter(
+            F.col("__h_v").isNotNull()
+        )
+    else:
+        bounds = df.agg(
+            F.min(v).alias("__h_lo"), F.max(v).alias("__h_hi")
+        )
+        base = (
+            df.select(v.alias("__h_v"))
+            .filter(F.col("__h_v").isNotNull())
+            .crossJoin(F.broadcast(bounds))
+        )
+        lo_c, hi_c = F.col("__h_lo"), F.col("__h_hi")
+    width = (hi_c - lo_c) / F.lit(float(bins))
+    raw = F.floor((F.col("__h_v") - lo_c) / width).cast("int")
+    bin_ = F.least(
+        F.lit(bins - 1), F.greatest(F.lit(0), raw)
+    )
+    # degenerate single-value range: everything in bin 0
+    bin_ = F.when(width > 0, bin_).otherwise(F.lit(0))
+    counts = (
+        base.select(
+            bin_.alias("bin"),
+            lo_c.alias("__lo"),
+            width.alias("__w"),
+        )
+        .groupBy("bin", "__lo", "__w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.select(
+        "bin",
+        (F.col("__lo") + F.col("bin") * F.col("__w")).alias("lo"),
+        (F.col("__lo") + (F.col("bin") + 1) * F.col("__w")).alias("hi"),
+        "n",
+    ).orderBy("bin")

@@ -71,3 +71,58 @@ def test_empty_table(spark):
     assert out["a"].n == 0 and out["a"].n_null == 0
     assert out["a"].n_distinct == 0
     assert out["a"].min_num is None
+
+
+# ------------------------------------------------------------- histogram
+
+
+def test_histogram_explicit_bounds(spark):
+    from pql_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(x) if x is not None else None,)
+         for x in [0, 1, 2, 5, 5, 9, 10, -3, 42, None]],
+        "v double",
+    )
+    out = {r.bin: (r.lo, r.hi, r.n) for r in
+           numeric_histogram(df, "v", bins=5, lo=0.0, hi=10.0)
+           .collect()}
+    # width 2: [0,2)x2{0,1}, [2,4)x1{2}, [4,6)x2{5,5}, [8,10]x2{9,10}
+    # clamped: -3 -> bin 0, 42 -> bin 4; null dropped
+    assert out[0] == (0.0, 2.0, 3)
+    assert out[1] == (2.0, 4.0, 1)
+    assert out[2] == (4.0, 6.0, 2)
+    assert out[4] == (8.0, 10.0, 3)
+    assert 3 not in out  # empty bin omitted
+    assert sum(n for _, _, n in out.values()) == 9
+
+
+def test_histogram_auto_bounds(spark):
+    from pql_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(100)], "v double"
+    )
+    rows = numeric_histogram(df, "v", bins=10).collect()
+    assert len(rows) == 10
+    assert rows[0].lo == 0.0 and abs(rows[-1].hi - 99.0) < 1e-9
+    # max value closes into the top bin
+    assert [r.n for r in rows] == [10] * 9 + [10]
+
+
+def test_histogram_degenerate_range(spark):
+    from pql_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame([(7.0,)] * 5, "v double")
+    rows = numeric_histogram(df, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 5
+
+
+def test_histogram_validation(spark):
+    from pql_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "v", bins=0)
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "v", bins=4, lo=5.0, hi=5.0)
