@@ -4537,6 +4537,47 @@ ORDER BY "column"
 """
 
 
+def _q_profile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group dataset profile (``profile_columns(group_by=...)``):
+    one groupBy pass, stats per (source, column)."""
+    from pql_spark.operators import profile_columns
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return profile_columns(
+        docs, approx=False, group_by="source"
+    ).orderBy("source", "column")
+
+
+def _grouped_profile_oracle() -> str:
+    parts = []
+    for col, dtype, numeric in (
+        ("doc_id", "bigint", True),
+        ("n_chars", "bigint", True),
+    ):
+        mn = (
+            f"CAST(min({col}) AS DOUBLE)"
+            if numeric
+            else "CAST(NULL AS DOUBLE)"
+        )
+        mx = (
+            f"CAST(max({col}) AS DOUBLE)"
+            if numeric
+            else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(f"""
+SELECT source, '{col}' AS "column", '{dtype}' AS dtype,
+       count(*) AS n,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num
+FROM documents GROUP BY source""")
+    return (
+        "\nUNION ALL\n".join(parts)
+        + '\nORDER BY source, "column"'
+    )
+
+
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of documents.n_chars
     (``profiling.numeric_histogram``, explicit bounds: one narrow
@@ -5087,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_temperature_mix": _q_temperature_mix,
             "op_profile": _q_profile,
             "op_histogram": _q_histogram,
+            "op_profile_grouped": _q_profile_grouped,
             "op_importance_weights": _q_importance_weights,
             "op_unimax_mix": _q_unimax,
             "op_lm_score": _q_lm_score,
@@ -5172,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
             "op_temperature_mix": _TMIX_ORACLE,
             "op_profile": _PROFILE_ORACLE,
             "op_histogram": _HISTOGRAM_ORACLE,
+            "op_profile_grouped": _grouped_profile_oracle(),
             "op_unimax_mix": _UNIMAX_ORACLE,
             "op_lm_score": _LM_SCORE_ORACLE,
             "op_bm25": _bm25_oracle(),

@@ -36,6 +36,7 @@ def profile_columns(
     cols: Sequence[str] | None = None,
     approx: bool = True,
     rsd: float = 0.05,
+    group_by: str | None = None,
 ) -> DataFrame:
     """One row per profiled column:
     ``(column string, dtype string, n long, n_null long,
@@ -47,8 +48,19 @@ def profile_columns(
     tables.  All statistics come from a single ``agg`` over the input
     — one scan — then a narrow explode reshapes the 1-row result into
     the per-column table.
+
+    ``group_by``: profile per group instead of globally (the per-source
+    / per-language QA view) — the single pass becomes one ``groupBy``
+    with the same aggregates, output gains the group column first, and
+    scale behavior is unchanged (|groups| × |cols| result rows).
     """
     names = list(cols) if cols is not None else list(df.columns)
+    if group_by is not None:
+        if group_by not in df.columns:
+            raise ValueError(
+                f"profile_columns: unknown group column {group_by!r}"
+            )
+        names = [c for c in names if c != group_by]
     missing = [c for c in names if c not in df.columns]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing}")
@@ -76,7 +88,11 @@ def profile_columns(
             aggs.append(
                 F.lit(None).cast("double").alias(f"__pf_mx{i}")
             )
-    one = df.agg(*aggs)
+    one = (
+        df.groupBy(F.col(f"`{group_by}`")).agg(*aggs)
+        if group_by is not None
+        else df.agg(*aggs)
+    )
 
     entries = [
         F.struct(
@@ -92,9 +108,10 @@ def profile_columns(
         )
         for i, c in enumerate(names)
     ]
+    lead = [F.col(f"`{group_by}`")] if group_by is not None else []
     return one.select(
-        F.explode(F.array(*entries)).alias("__pf")
-    ).select("__pf.*")
+        *lead, F.explode(F.array(*entries)).alias("__pf")
+    ).select(*lead, "__pf.*")
 
 
 def numeric_histogram(

@@ -126,3 +126,20 @@ def test_histogram_validation(spark):
         numeric_histogram(df, "v", bins=0)
     with pytest.raises(ValueError):
         numeric_histogram(df, "v", bins=4, lo=5.0, hi=5.0)
+
+
+def test_grouped_profile(table):
+    """group_by= profiles per group: same stats computed within each
+    group, group column leads and is excluded from profiled columns."""
+    out = {}
+    for r in profile_columns(
+        table, approx=False, group_by="s"
+    ).collect():
+        out[(r.s, r.column)] = (r.n, r.n_null, r.n_distinct)
+    # group 'a': rows (1,a,1.5,None) and (4,a,None,'y')
+    assert out[("a", "id")] == (2, 0, 2)
+    assert out[("a", "v")] == (2, 1, 1)
+    assert out[("a", "t")] == (2, 1, 1)
+    # null group key forms its own group (Spark groupBy semantics)
+    assert out[(None, "id")] == (1, 0, 1)
+    assert "s" not in {c for _, c in out}
