@@ -5043,7 +5043,8 @@ _CHECK_FIRST = [
     # (JVM-side drains/fingerprints, whitespace-class kernel fix, scan
     # interpreter remainder), (3) ALL remaining r3-era rows — after
     # this window no row's latest driver-hash evidence predates r4 —
-    # then (4) the front of the r5 tail.
+    # then (4) the front of the r5 tail.  (op_profile_grouped, added
+    # after the window filled, rotates in next round.)
     #
     # 1. never hashed:
     "op_bpe", "op_weighted_sample",
