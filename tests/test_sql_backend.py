@@ -108,6 +108,14 @@ MV_APPLY_CASES = [
     "T | mv-apply a = xs, b = ys on (where a >= 2 or b >= 20"
     " | summarize na = count(), sb = sum(b))"
     " | project id, na, sb | sort by id asc",
+    # trailing per-record sort (no take): ordering device, content
+    # compared set-wise
+    "T | mv-apply x = xs on (sort by x desc)"
+    " | project id, x | sort by id asc, x desc",
+    # bare name: the element column REPLACES the array column
+    "T | mv-apply xs on (where xs > 1)"
+    " | summarize big = sort_array(collect_list(xs)) by id"
+    " | sort by id asc",
 ]
 
 
