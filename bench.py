@@ -80,20 +80,67 @@ def main() -> int:
 
     total = round(sum(t for t in times.values() if t == t), 3)
     cold_total = round(sum(t for t in cold.values() if t == t), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "methodology": "best-of-2 per query (steady-state);"
-                " cold run 1 totals in cold_sec",
-                "cold_sec": cold_total,
-            }
-        )
+    full_record = {
+        "metric": "e2e_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "methodology": "best-of-2 per query (steady-state);"
+        " cold run 1 totals in cold_sec",
+        "cold_sec": cold_total,
+    }
+    # The full ~170-query map is ~7 KB; the round driver captures only
+    # the LAST 2000 chars of stdout, so a full-map stdout line arrives
+    # truncated and unparseable (r7/r8 artifacts have "parsed": null).
+    # Two-channel fix: the complete record goes to BENCH_FULL.json (a
+    # committed repo artifact), and stdout carries ONE digest line that
+    # fits the capture window — totals for every query plus the
+    # per-query rows under active perf watch (streaming family,
+    # scale-study operators, headline).
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(full_record) + "\n")
+    stream_family = [q for q in times if q.startswith("op_stream_")] + [
+        "op_near_dup_incremental",
+        "op_curate_stream",
+    ]
+    watch = stream_family + [
+        "op_curate_corpus",
+        "op_minhash_dups",
+        "op_ngram_jaccard",
+        "op_dedup_clusters",
+        "op_embedding_dups",
+        "op_semantic_dedup",
+        "op_knn_skew",
+        "op_langid",
+        "op_bm25",
+        "op_line_dedup",
+        "pql_sequence_detect",
+        "pql_session_count",
+        "pql_scan_funnel",
+        "pql_scan_var_window",
+        "pql_q1_pricing",
+        "pql_count",
+    ]
+    digest_q = {q: times[q] for q in watch if q in times}
+    # extra rows flagged at run time (new gates first in iteration order)
+    for q in os.environ.get("SPARK_GRAFT_BENCH_WATCH", "").split(","):
+        if q in times:
+            digest_q[q] = times[q]
+    stream_total = round(
+        sum(times[q] for q in stream_family if q in times and times[q] == times[q]),
+        3,
     )
+    digest = dict(full_record)
+    digest["queries"] = digest_q
+    digest["n_queries"] = len(times)
+    digest["stream_family_sec"] = stream_total
+    digest["full_record"] = "BENCH_FULL.json"
+    line = json.dumps(digest, separators=(",", ":"))
+    while len(line) > 1900 and digest_q:  # stay inside the 2000-char tail
+        digest_q.pop(next(reversed(digest_q)))
+        line = json.dumps(digest, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 
