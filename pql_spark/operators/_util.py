@@ -37,6 +37,37 @@ def rebalance(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` registered for later bulk eviction.
+
+    Operators that persist an intermediate reused across several
+    downstream branches (e.g. the shingle inverted index in the PPJoin
+    path) return a LAZY result — they cannot unpersist before the
+    caller materializes it, and Spark never auto-evicts cached plans.
+    In a long session repeated calls would otherwise accumulate cached
+    blocks in executor storage.  Callers (or test/bench harnesses) call
+    :func:`unpersist_tracked` — or ``spark.catalog.clearCache()`` —
+    once results are materialized."""
+    _TRACKED_PERSISTS.append(df.persist())
+    return df
+
+
+def unpersist_tracked() -> int:
+    """Evict every DataFrame registered via :func:`tracked_persist`;
+    returns how many were released.  Safe at any time: Spark recomputes
+    an evicted plan on next use."""
+    n = len(_TRACKED_PERSISTS)
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
+
+
 def pinned_filter(df: DataFrame, cond) -> DataFrame:
     """``df.filter(cond)`` WITHOUT predicate pushdown.
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._util import rebalance
+from ._util import rebalance, tracked_persist
 from .text import shingle_rows, tokens, word_shingles
 
 # prime just under 2^29: with 32-bit base hashes, a*h + b stays < 2^61 —
@@ -570,7 +570,10 @@ def ngram_jaccard_pairs(
     if max_posting is None and prefix_filter:
         from pyspark.sql import Window
 
-        inv = inv.persist()
+        # reused 3× below (freq, prefix join, verify); registered so a
+        # long session can evict it — persisted plans are never
+        # auto-released (see _util.unpersist_tracked)
+        inv = tracked_persist(inv)
         gfreq = inv.groupBy("gram").agg(
             F.count(F.lit(1)).alias("__gf")
         )
@@ -583,9 +586,15 @@ def ngram_jaccard_pairs(
                 F.col("__gf").asc(), F.col("gram").asc()
             )
         )
+        # epsilon guards the float ceil in the SAFE direction: when
+        # t*n lands a hair ABOVE an exact integer (t=0.07, n=100 →
+        # 7.000000000000001, ceil 8) the prefix would be one gram too
+        # short and a pair at exactly the threshold could be missed.
+        # ceil(t*n − 1e-9) only ever LENGTHENS the prefix — extra
+        # candidates are re-verified exactly, so losslessness holds.
         plen = (
             F.col("n")
-            - F.ceil(F.lit(float(threshold)) * F.col("n"))
+            - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
             + F.lit(1)
         )
         pref = (
@@ -1046,7 +1055,9 @@ def near_dup_incremental(
         new_docs, text_col, id_col, num_perm, shingle_k,
         impl="pandas", include_shingles=False,
     )
-    banded = band_signature(sig, id_col, num_perm, bands).persist()
+    banded = tracked_persist(
+        band_signature(sig, id_col, num_perm, bands)
+    )
     state_schema = T.StructType(
         [
             T.StructField("band", T.IntegerType()),

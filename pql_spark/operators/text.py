@@ -690,7 +690,9 @@ def unigram_lm_score(
     (same fan-out rule as the curation pipeline).
     """
     if model is None:
-        model = unigram_lm_fit(df, text_col, vocab_size).persist()
+        from ._util import tracked_persist
+
+        model = tracked_persist(unigram_lm_fit(df, text_col, vocab_size))
     words = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__lm_w")
     ).filter(F.col("__lm_w") != "")

@@ -79,7 +79,7 @@ def curate_corpus(
     """
     import time as _time
 
-    from .operators._util import pinned_filter, rebalance
+    from .operators._util import pinned_filter, rebalance, tracked_persist
 
     def _mark(stage: str, frame: DataFrame) -> DataFrame:
         if timing is None:
@@ -162,7 +162,7 @@ def curate_corpus(
     # to TINY id drop-lists which are persisted too; without that, every
     # downstream consumer would re-run the whole minhash pipeline
     # through the anti-join's lineage (measured 22-38s vs ~9s at sf0.1).
-    kept = kept.persist()
+    kept = tracked_persist(kept)
 
     # near-dup removal: drop the higher id of every similar pair.
     # 32 perms / 8 bands (r=4) halve the signature work vs the 64/16
@@ -194,7 +194,7 @@ def curate_corpus(
             )
         drops = drops.unionByName(contaminated)
 
-    drops = drops.distinct().persist()
+    drops = tracked_persist(drops.distinct())
     kept = kept.join(drops, id_col, "left_anti")
 
     if redact:

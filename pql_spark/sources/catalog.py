@@ -80,19 +80,45 @@ def build_session(
     return builder.getOrCreate()
 
 
-_NANOS_TS_CACHE: dict[str, list[str]] = {}
+_NANOS_TS_CACHE: dict[tuple, list[str]] = {}
+
+
+def snapshot_key(path: Path) -> tuple:
+    """Cache key that invalidates when the file at ``path`` is replaced:
+    (path, size, mtime_ns).  Directories key on the path alone (their
+    mtime churns with unrelated entries); a stat failure also falls back
+    to the bare path so missing files still get negative-cached."""
+    p = str(path)
+    try:
+        st = path.stat()
+        if path.is_file():
+            return (p, st.st_size, st.st_mtime_ns)
+    except OSError:
+        pass
+    return (p, None, None)
+
+
+def clear_source_caches() -> None:
+    """Drop the per-snapshot footer/schema caches (tests, long sessions
+    that overwrite data in place)."""
+    from pql_spark.streaming import pipeline as _sp
+
+    _NANOS_TS_CACHE.clear()
+    _sp._STREAM_SRC_CACHE.clear()
 
 
 def _nanos_ts_columns(path: Path) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) (read by Spark as
     long under ``nanosAsLong``); detected from the parquet footer.
-    Cached per path — callers probe the same immutable snapshot many
-    times per session and each probe is a footer read."""
-    got = _NANOS_TS_CACHE.get(str(path))
+    Cached per (path, size, mtime) — callers probe the same snapshot
+    many times per session and each probe is a footer read; a file
+    REPLACED at the same path re-keys and re-reads (ADVICE r8)."""
+    key = snapshot_key(path)
+    got = _NANOS_TS_CACHE.get(key)
     if got is not None:
         return got
     got = _nanos_ts_columns_uncached(path)
-    _NANOS_TS_CACHE[str(path)] = got
+    _NANOS_TS_CACHE[key] = got
     return got
 
 

@@ -1844,6 +1844,16 @@ class _SqlEmitter:
             self.expr(c.expr) if c.expr is not None else _q(c.name)
             for c in op.cols
         ]
+        # Record key: monotonically_increasing_id() is nondeterministic
+        # in the Spark sense (ids depend on partition layout).  The
+        # re-keying-on-retry hazard is closed by Spark itself: plans
+        # containing indeterminate expressions mark their stage
+        # indeterminate, and on a fetch-failure retry the DAGScheduler
+        # rolls back and recomputes the WHOLE stage (SPARK-23207 /
+        # SPARK-25341), so the explode below can never mix ids from two
+        # different key assignments.  A natural unique key would avoid
+        # even the rollback cost, but mv-apply's piped input has none
+        # in general.
         keyed = (
             f"SELECT *, monotonically_increasing_id() AS {ROW}"
             f" FROM {inner}"

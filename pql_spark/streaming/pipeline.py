@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # (schema, stream_dir) per parquet path — see stream_parquet_table
-_STREAM_SRC_CACHE: dict[str, tuple] = {}
+_STREAM_SRC_CACHE: dict[tuple, tuple] = {}
 
 
 def stream_parquet_table(
@@ -37,18 +37,23 @@ def stream_parquet_table(
     file sources require an explicit schema).  Nanosecond timestamp
     columns get the same long→timestamp restore as the batch catalog.
     """
-    from pql_spark.sources.catalog import _force_utc_ltz, _nanos_ts_columns
+    from pql_spark.sources.catalog import (
+        _force_utc_ltz,
+        _nanos_ts_columns,
+        snapshot_key,
+    )
 
     path = Path(sf_dir) / f"{name}.parquet"
     if _nanos_ts_columns(path):  # see sources.catalog._read_parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _force_utc_ltz(spark)  # naive parquet ts → TIMESTAMP, not NTZ
-    # schema + symlink dir are cached per path: a benchmark/test session
-    # builds the same source many times and a schema footer read +
-    # mkdtemp costs ~0.1-0.2 s per call (paths here are immutable
-    # snapshots; a live table whose schema evolves should not go
-    # through this helper's cache — pass a fresh session)
-    cached = _STREAM_SRC_CACHE.get(str(path))
+    # schema + symlink dir are cached per (path, size, mtime): a
+    # benchmark/test session builds the same source many times and a
+    # schema footer read + mkdtemp costs ~0.1-0.2 s per call.  The stat
+    # in the key re-reads a file REPLACED at the same path (ADVICE r8);
+    # sources.catalog.clear_source_caches() drops everything.
+    key = snapshot_key(path)
+    cached = _STREAM_SRC_CACHE.get(key)
     if cached is None:
         schema = spark.read.parquet(str(path)).schema
         stream_dir = path
@@ -62,7 +67,7 @@ def stream_parquet_table(
             )
             (stream_dir / path.name).symlink_to(path)
         cached = (schema, stream_dir)
-        _STREAM_SRC_CACHE[str(path)] = cached
+        _STREAM_SRC_CACHE[key] = cached
     schema, stream_dir = cached
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

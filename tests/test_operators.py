@@ -803,3 +803,34 @@ def test_ngram_prefix_filter_matches_default(spark):
     )
     assert pref == base
     assert base  # non-degenerate
+
+
+def test_ngram_prefix_filter_float_ceil_boundary(spark):
+    """ADVICE r8: prefix length uses ceil on a float product; at
+    t=0.07, n=100 the product is 7.000000000000001 so an unguarded
+    ceil gives 8 — prefix one gram too short — and a pair at EXACTLY
+    the threshold vanishes.  Construction: doc A = 93 unique words +
+    the 8 words of doc B, so A has 100 2-gram shingles of which the
+    LAST 7 in document-frequency order (df=2 sorts after df=1) are
+    exactly B's 7 shingles: jaccard = 7/(100+7-7) = 0.07, and the only
+    shared grams sit at positions 94..100 of A — inside the correct
+    94-gram prefix, outside the buggy 93."""
+    a_words = [f"a{i}" for i in range(93)] + [f"z{i}" for i in range(8)]
+    b_words = [f"z{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_k=2, threshold=0.07)
+    base = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, **kw).collect()
+    )
+    assert base == [(1, 2, 0.07)]
+    pref = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, prefix_filter=True, **kw
+        ).collect()
+    )
+    assert pref == base

@@ -51,3 +51,46 @@ def test_unknown_table_errors(spark, data_dir):
     resolver = file_catalog(spark, data_dir, fmt="csv")
     with pytest.raises(KeyError):
         resolver("missing")
+
+
+def test_nanos_cache_invalidates_on_replace(tmp_path):
+    """ADVICE r8: the footer cache was keyed by path string alone, so a
+    file REPLACED at the same path kept serving the stale column list.
+    The (path, size, mtime_ns) key must re-read the new footer."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pql_spark.sources.catalog import _nanos_ts_columns
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), p)
+    assert _nanos_ts_columns(p) == []
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    pq.write_table(
+        pa.table(
+            {"ts": pa.array([1, 2], pa.timestamp("ns")), "x": [1, 2]}
+        ),
+        p,
+        coerce_timestamps=None,
+    )
+    assert _nanos_ts_columns(p) == ["ts"]
+
+
+def test_clear_source_caches_hook(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pql_spark.sources.catalog import (
+        _NANOS_TS_CACHE,
+        _nanos_ts_columns,
+        clear_source_caches,
+    )
+
+    p = tmp_path / "u.parquet"
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), p)
+    _nanos_ts_columns(p)
+    assert _NANOS_TS_CACHE
+    clear_source_caches()
+    assert not _NANOS_TS_CACHE
