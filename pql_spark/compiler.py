@@ -2945,19 +2945,41 @@ class Compiler:
         self, df: DataFrame, op: SequenceDetectOp, env: _Env
     ) -> DataFrame:
         """``evaluate sequence_detect``: greedy-earliest per-key event
-        sequences.  Each step is one union + running-min window pass —
-        the same distributed forward-asof shape as
-        ``temporal.asof_join`` (no per-row iteration, no driver state,
-        one shuffle per step on the keys).  See SequenceDetectOp for
-        the documented divergence from KQL.
+        sequences.  See SequenceDetectOp for the documented divergence
+        from KQL.
 
-        Considered and rejected (r8): fusing the n-1 passes into one
-        groupBy(keys) + collect_list + HOF chain walk — one shuffle,
-        but the per-chain ``filter``+``array_min`` scan is
-        O(chains x events) per key, a quadratic blowup on hot keys
-        (10^6-event key -> 10^11 element ops) to save ~0.3 s of
-        toy-scale stage floor.  The window form stays O(N log N) per
-        key at any skew, which is the 100 TB-correct trade."""
+        Plan (r9 fusion): ONE shuffle + ONE sort total, n-1 stacked
+        window aggregates over the SAME (keys, ts desc) spec — Spark
+        stacks WindowExecs on one Sort when specs match.  Strictly
+        -after is a RANGE frame ``(unboundedPreceding, -1)`` on the
+        descending micro-timestamp (integral micros make -1 exact).
+        The greedy chain is resolved entirely inside the windows via a
+        struct-min recurrence computed backward from the last step:
+
+            G_{n-1}(row) = min{ struct(ts(e)) : p_{n-1}(e), ts(e) > ts(row) }
+            G_j(row)     = min{ struct(ts(e), G_{j+1}(e)) : p_j(e), … }
+
+        struct ordering is lexicographic, so the min picks the EARLIEST
+        step-j event after the row and carries that event's own greedy
+        tail; ties (same ts per key) carry identical tails, so the tie
+        -break never decides between different chains.  Greedy selection
+        is constraint-independent (a violated step window FAILS the
+        chain, it never tries the next event), so the step/span bounds
+        are pure post-filters on the unpacked (t0..t_{n-1}).  Replaces
+        the r≤8 shape of n-1 full union+window passes (one sort shuffle
+        PER step) — measured 0.93 s → see BENCH notes at sf1.
+
+        Considered and rejected (r8): fusing into one groupBy(keys) +
+        collect_list + HOF chain walk — one shuffle, but the per-chain
+        ``filter``+``array_min`` scan is O(chains x events) per key, a
+        quadratic blowup on hot keys (10^6-event key -> 10^11 element
+        ops).  The stacked-window form stays O(N log N + N·n) per key
+        at any skew, which is the 100 TB-correct trade.  Also rejected
+        (r9): resolving the chain with per-step equi-joins against the
+        windowed events — the join branches re-execute the window sort
+        (ReusedExchange shares only the shuffle) and the dedup+join
+        shuffles cost more than the passes they replaced (measured
+        1.08 s vs 0.56 s at sf0.1)."""
         from pyspark.sql import Window
 
         ts_name = op.timeline.parts[0]
@@ -2976,7 +2998,7 @@ class Compiler:
             keys.append(k.parts[0])
         n = len(op.steps)
         names = [self._col_name(s) for s in op.steps]
-        TS, EV = "__sq_ts", "__sq_ev"
+        TS = "__sq_ts"
         preds = [self.compile_expr(s.expr, env) for s in op.steps]
         base = df.select(
             *[F.col(_q(k)) for k in keys],
@@ -2984,50 +3006,48 @@ class Compiler:
             *[p.alias(f"__sq_p{i}") for i, p in enumerate(preds)],
         )
         ts_type = dict(base.dtypes)[TS]
-        part = [F.col(_q(k)) for k in keys] if keys else [F.lit(1)]
-        cur = base.filter(F.col("__sq_p0")).select(
-            *keys, F.col(TS).alias("__t0")
+        tsm = (
+            F.unix_micros(F.col(TS))
+            if ts_type.startswith("timestamp")
+            else F.col(TS).cast("long")
         )
+        part = [F.col(_q(k)) for k in keys] if keys else [F.lit(1)]
+        any_p = F.coalesce(F.col("__sq_p0"), F.lit(False))
         for i in range(1, n):
-            prev, this = f"__t{i - 1}", f"__t{i}"
-            ev = base.filter(F.col(f"__sq_p{i}")).select(
-                *keys,
-                F.col(TS).alias("__u_ts"),
-                F.lit(1).alias(EV),
-                *[
-                    F.lit(None).cast(ts_type).alias(f"__t{j}")
-                    for j in range(i)
-                ],
+            any_p = any_p | F.coalesce(F.col(f"__sq_p{i}"), F.lit(False))
+        wr = (
+            Window.partitionBy(*part)
+            .orderBy(tsm.desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        evs = base.filter(any_p)
+        # backward struct-min recurrence: __sq_g{j} = greedy tail for
+        # steps j..n-1 starting strictly after this row
+        for j in range(n - 1, 0, -1):
+            fields = [F.col(TS).alias("t")]
+            if j < n - 1:
+                fields.append(F.col(f"__sq_g{j + 1}").alias("g"))
+            evs = evs.withColumn(
+                f"__sq_g{j}",
+                F.min(
+                    F.when(F.col(f"__sq_p{j}"), F.struct(*fields))
+                ).over(wr),
             )
-            pr = cur.select(
-                *keys,
-                F.col(prev).alias("__u_ts"),
-                F.lit(0).alias(EV),
-                *[F.col(f"__t{j}") for j in range(i)],
-            )
-            # descending traversal: running min of event timestamps
-            # strictly AFTER each probe (ties excluded by the EV
-            # secondary order — probes sort before same-ts events)
-            w = (
-                Window.partitionBy(*part)
-                .orderBy(F.col("__u_ts").desc(), F.col(EV).asc())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            nxt = F.min(
-                F.when(F.col(EV) == 1, F.col("__u_ts"))
-            ).over(w)
-            cur = (
-                ev.unionByName(pr)
-                .withColumn(this, nxt)
-                .filter(
-                    (F.col(EV) == 0)
-                    & F.col(this).isNotNull()
-                    & (
-                        F.unix_micros(F.col(this))
-                        <= F.unix_micros(F.col(prev)) + op.step_usec
-                    )
+        cur = evs.filter(F.col("__sq_p0"))
+        tcols = [F.col(TS).alias("__t0")]
+        tail = F.col("__sq_g1") if n > 1 else None
+        for i in range(1, n):
+            tcols.append(tail.getField("t").alias(f"__t{i}"))
+            if i < n - 1:
+                tail = tail.getField("g")
+        cur = cur.select(*keys, *tcols)
+        for i in range(1, n):
+            cur = cur.filter(
+                F.col(f"__t{i}").isNotNull()
+                & (
+                    F.unix_micros(F.col(f"__t{i}"))
+                    <= F.unix_micros(F.col(f"__t{i - 1}")) + op.step_usec
                 )
-                .select(*keys, *[F.col(f"__t{j}") for j in range(i + 1)])
             )
         cur = cur.filter(
             F.unix_micros(F.col(f"__t{n - 1}"))
