@@ -5037,39 +5037,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-8 rotation (VERDICT r7 item 2): (1) the two r7 additions
-    # that fell past the 50-row window (bench rows but no CORRECTNESS
-    # row yet), (2) every gate whose implementation changed this round
-    # (JVM-side drains/fingerprints, whitespace-class kernel fix, scan
-    # interpreter remainder), (3) ALL remaining r3-era rows — after
-    # this window no row's latest driver-hash evidence predates r4 —
-    # then (4) the front of the r5 tail.  (op_profile_grouped, added
-    # after the window filled, rotates in next round.)
+    # Round-10 rotation (VERDICT r9 item 1): (1) the fused
+    # sequence_detect batch plan (compiler.py — rewritten in r9, its
+    # only driver evidence predates the rewrite), (2) the one gate
+    # never driver-hashed, (3) ALL 29 rows whose latest evidence is
+    # r5 — after this window no gate's latest driver-hash evidence
+    # predates r6 — then (4) the front of the r6 tail (the remaining
+    # 25 r6 rows rotate in next round).
     #
-    # 1. never hashed:
-    "op_bpe", "op_weighted_sample",
-    # 2. changed this round (old hashes no longer vouch):
-    "op_stream_sequence_detect", "op_near_dup_incremental",
-    "op_curate_stream", "op_minhash_dups", "pql_scan_declare",
-    # 3. last hashed in round 3 (all 23):
-    "op_chunk_documents", "op_curate_corpus", "op_decontaminate",
-    "op_fingerprint", "op_ivf_topk", "op_knn_grouped", "op_lsh_topk",
-    "op_multimodal_decode", "op_multimodal_features",
-    "op_pack_sequences", "op_quantize_embeddings", "op_quantized_topk",
-    "op_redact_pii", "op_repetition", "op_sampling_split",
-    "op_stream_dedup", "op_stream_interval_join", "op_stream_near_dup",
-    "op_stream_sessionize", "op_stream_sink_upsert",
-    "op_stream_stateful", "op_winnow_fingerprints", "pql_fork_daily",
-    # 4. r5 tail (oldest remaining evidence after this window):
-    "op_dedup_clusters", "op_importance_weights", "op_line_dedup",
-    "op_lm_score", "op_mix_corpora", "op_multimodal_audio",
-    "op_semantic_dedup", "op_unimax_mix", "pql_count",
-    "pql_q1_pricing", "pql_join_inner", "pql_join_innerunique",
-    "pql_join_leftouter", "pql_join_leftanti", "pql_join_leftsemi",
-    "pql_sort_take",
-    # new this round, never hashed:
-    "op_bpe_bytes", "op_temperature_mix", "op_profile",
-    "op_histogram",
+    # 1. changed in r9, no post-change driver hash:
+    "pql_sequence_detect",
+    # 2. never hashed:
+    "op_profile_grouped",
+    # 3. last hashed in round 5 (all 29):
+    "pql_where_project", "pql_top", "pql_series_fns",
+    "pql_series_outliers", "pql_series_decompose",
+    "pql_series_decompose_anomalies", "pql_series_fit_2lines",
+    "pql_parse_kv", "pql_weighted_aggs", "pql_url_fns",
+    "pql_ipv6_fns", "pql_timespan_lit", "pql_series_forecast",
+    "pql_sliding_window_counts", "pql_graph_match",
+    "pql_new_activity", "pql_funnel_sequence", "pql_session_count",
+    "pql_rolling_percentile", "pql_rows_near", "pql_scalar_fns2",
+    "pql_series_vector", "pql_find_op", "pql_reduce_op",
+    "pql_invoke_op", "pql_series_fft", "pql_series_fir",
+    "pql_series_periods", "pql_approx_topk",
+    # 4. r6 tail (19 of 44; the rest next round):
+    "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
+    "pql_promo_revenue", "pql_3way_join", "pql_distinct_op",
+    "pql_union_op", "pql_project_away", "pql_mv_expand",
+    "pql_lookup", "pql_parse_op", "pql_search_op", "pql_make_series",
+    "pql_pivot", "pql_series_fill", "pql_mv_apply", "pql_top_nested",
+    "pql_range_source", "pql_agg_family",
 ]
 
 

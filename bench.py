@@ -20,7 +20,24 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pql_spark.operators._util import unpersist_tracked  # noqa: E402
 from pql_spark.sources import build_session  # noqa: E402
+
+
+def _sentinel(spark, sf_dir: str) -> float:
+    """Median-of-3 of a fixed-cost query (``pql_count``).  Run FIRST and
+    LAST: at equal machine load the two medians agree within noise, so a
+    large last/first ratio — or a high loadavg — machine-flags a record
+    whose absolute times were inflated by concurrent work (the r9
+    artifact showed 3-7x inflation with nothing in the JSON to say so).
+    """
+    fn = entrymod.queries()["pql_count"]
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
 
 
 def main() -> int:
@@ -41,6 +58,9 @@ def main() -> int:
     spark.range(0, cores, 1, cores).mapInPandas(
         lambda it: it, "id long"
     ).count()
+
+    load_start = os.getloadavg()
+    sentinel_first = _sentinel(spark, sf_dir)
 
     # Steady-state methodology (JMH-style): each query runs twice and
     # the BEST time is reported.  Run 1 pays one-time costs that are
@@ -64,7 +84,11 @@ def main() -> int:
                 break
             runs.append(time.perf_counter() - t0)
             # drop any persisted state a pipeline left behind so later
-            # runs aren't timed under another query's cache pressure
+            # runs aren't timed under another query's cache pressure:
+            # drain the operator-level persist registry first (releases
+            # the Python-side strong refs too), then clear any remaining
+            # cached plans
+            unpersist_tracked()
             spark.catalog.clearCache()
         if not runs or len(runs) < 2:
             times[name] = float("nan")
@@ -78,6 +102,18 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    sentinel_last = _sentinel(spark, sf_dir)
+    load_end = os.getloadavg()
+    # contention flag: the fixed-cost sentinel drifted >2x across the
+    # run, or the 1-min loadavg exceeded the core count at either end
+    # (this process alone keeps loadavg ~= its own core usage; anything
+    # far above means a neighbor was competing for the same cores).
+    ncpu = os.cpu_count() or 1
+    contended = bool(
+        sentinel_last > 2.0 * sentinel_first
+        or max(load_start[0], load_end[0]) > 1.5 * ncpu
+    )
+
     total = round(sum(t for t in times.values() if t == t), 3)
     cold_total = round(sum(t for t in cold.values() if t == t), 3)
     full_record = {
@@ -89,6 +125,11 @@ def main() -> int:
         "methodology": "best-of-2 per query (steady-state);"
         " cold run 1 totals in cold_sec",
         "cold_sec": cold_total,
+        "sentinel_first_sec": sentinel_first,
+        "sentinel_last_sec": sentinel_last,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "contended": contended,
     }
     # The full ~170-query map is ~7 KB; the round driver captures only
     # the LAST 2000 chars of stdout, so a full-map stdout line arrives
@@ -123,10 +164,15 @@ def main() -> int:
         "pql_count",
     ]
     digest_q = {q: times[q] for q in watch if q in times}
-    # extra rows flagged at run time (new gates first in iteration order)
-    for q in os.environ.get("SPARK_GRAFT_BENCH_WATCH", "").split(","):
-        if q in times:
-            digest_q[q] = times[q]
+    # extra rows flagged at run time — these are the rows someone
+    # explicitly asked to see, so under overflow they are evicted LAST
+    env_keys = {
+        q
+        for q in os.environ.get("SPARK_GRAFT_BENCH_WATCH", "").split(",")
+        if q in times
+    }
+    for q in env_keys:
+        digest_q[q] = times[q]
     stream_total = round(
         sum(times[q] for q in stream_family if q in times and times[q] == times[q]),
         3,
@@ -138,7 +184,12 @@ def main() -> int:
     digest["full_record"] = "BENCH_FULL.json"
     line = json.dumps(digest, separators=(",", ":"))
     while len(line) > 1900 and digest_q:  # stay inside the 2000-char tail
-        digest_q.pop(next(reversed(digest_q)))
+        # evict from the static watch tail first; env-requested rows
+        # only go once nothing else remains
+        evictable = [q for q in digest_q if q not in env_keys] or list(
+            digest_q
+        )
+        digest_q.pop(evictable[-1])
         line = json.dumps(digest, separators=(",", ":"))
     print(line)
     spark.stop()

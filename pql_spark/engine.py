@@ -37,6 +37,24 @@ class PqlEngine:
         self._resolver = _as_resolver(spark, resolver)
         self._params = dict(params or {})
 
+    def close(self) -> int:
+        """Release cached state accumulated by operators this engine
+        compiled: drains the tracked-persist registry (see
+        ``operators._util.tracked_persist``) so a long-lived session
+        that builds many engines does not pile up cached blocks in
+        executor storage.  Returns the number of persists evicted.
+        Safe to call repeatedly; compiled DataFrames stay usable (Spark
+        recomputes evicted plans on next use)."""
+        from .operators._util import unpersist_tracked
+
+        return unpersist_tracked()
+
+    def __enter__(self) -> "PqlEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def query(
         self, text: str, params: Mapping[str, object] | None = None
     ) -> DataFrame:

@@ -1671,10 +1671,15 @@ class _SqlEmitter:
                 ["SegmentCount", "Percent", *names],
             )
         if isinstance(op, SequenceDetectOp):
-            # text twin of compiler._sequence_detect: same N-1
-            # union + running-min window passes, byte-identical
-            # semantics (strict-after ties via the __sq_ev secondary
-            # order)
+            # Semantics twin of compiler._sequence_detect, but NOT the
+            # same plan shape: the DataFrame compiler fuses the chain
+            # into one sort with stacked struct-min windows (r9), while
+            # this SQL path deliberately keeps the earlier N-1
+            # union + running-min window form — plain nested SELECTs
+            # with no struct-ordering subtleties, easy to audit as
+            # text.  Equal results on both shapes (strict-after ties
+            # via the __sq_ev secondary order) are pinned by
+            # test_sequence_detect_sql_backend.
             ts = op.timeline.parts[0]
             if ts not in cols:
                 raise ParseError(
