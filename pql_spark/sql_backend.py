@@ -61,6 +61,7 @@ from .ast_nodes import (
     SessionCountOp,
     NewActivityMetricsOp,
     MakeGraphOp,
+    GraphEdge,
     GraphMatchOp,
     ActiveUsersCountOp,
     ActivityEngagementOp,
@@ -394,12 +395,20 @@ class _SqlEmitter:
         # window state for serialize/row_number/prev/next
         self.last_sort: list[SortTerm] | None = None
         self.window: tuple[list[str], list[SortTerm]] | None = None
+        # make-graph binding for graph-match (pipeline-scoped, like
+        # last_sort): (edges_sql, edge_cols, src, dst, nodes_sql,
+        # nodes_cols, node_id)
+        self._graph: tuple | None = None
+        # flat dotted column names (`e.cost`, `a.id`) live while
+        # emitting graph-match where/project — ident() must resolve
+        # them as ONE quoted identifier, not a struct-field path
+        self._flat_cols: frozenset[str] | None = None
 
     # ------------------------------------------------------------ pipeline
 
     def emit_query(self, expr: TabularExpr) -> tuple[str, list[str]]:
-        saved = (self.last_sort, self.window)
-        self.last_sort, self.window = None, None
+        saved = (self.last_sort, self.window, self._graph)
+        self.last_sort, self.window, self._graph = None, None, None
         try:
             if isinstance(expr.source, DatatableSource):
                 sql, cols = self.emit_datatable(expr.source)
@@ -430,7 +439,7 @@ class _SqlEmitter:
             for op in expr.operators:
                 sql, cols = self.emit_op(op, sql, cols)
         finally:
-            self.last_sort, self.window = saved
+            self.last_sort, self.window, self._graph = saved
         return sql, cols
 
     def emit_datatable(
@@ -884,11 +893,30 @@ class _SqlEmitter:
                 f" AS {_q('__pql_pvo')}",
                 [*keys, *[n for n, _ in vals]],
             )
-        if isinstance(op, (MakeGraphOp, GraphMatchOp)):
-            raise ParseError(
-                "make-graph/graph-match require the DataFrame backend",
-                op.span,
+        if isinstance(op, MakeGraphOp):
+            src, dst = op.src.parts[0], op.dst.parts[0]
+            for name, ident in ((src, op.src), (dst, op.dst)):
+                if name not in cols:
+                    raise ParseError(
+                        f"make-graph: unknown column {name!r}",
+                        ident.span,
+                    )
+            nodes_sql = nodes_cols = node_id = None
+            if op.nodes is not None:
+                nodes_sql, nodes_cols = self.emit_query(op.nodes)
+                node_id = op.node_id.parts[0]
+                if node_id not in nodes_cols:
+                    raise ParseError(
+                        f"make-graph: node id column {node_id!r} not"
+                        " in the nodes table",
+                        op.node_id.span,
+                    )
+            self._graph = (
+                sql, cols, src, dst, nodes_sql, nodes_cols, node_id
             )
+            return sql, cols
+        if isinstance(op, GraphMatchOp):
+            return self._emit_graph_match(op)
         if isinstance(op, BagUnpackOp):
             if op.schema is None:
                 raise ParseError(
@@ -2131,6 +2159,163 @@ class _SqlEmitter:
             )
         return sql, cols
 
+    def _emit_graph_match(
+        self, op: GraphMatchOp
+    ) -> tuple[str, list[str]]:
+        """Text twin of ``compiler._graph_match``: fixed-length path
+        patterns over the ``make-graph`` edge relation as N-1 hash
+        equi-joins on node ids; a bounded var-length edge expands into
+        a UNION ALL of fixed-length chains.  Each edge var is one
+        aliased copy of the edge subquery with columns flat-renamed
+        ``e.col`` (one QUOTED identifier containing a dot — the same
+        names the DataFrame backend produces), node vars get ``n.id``
+        plus left-joined node attributes with a BROADCAST hint (the
+        node-attribute table is the small side at any scale)."""
+        from itertools import product
+
+        if self._graph is None:
+            raise ParseError(
+                "graph-match requires a preceding 'make-graph'", op.span
+            )
+        ranges = [range(e.min_hops, e.max_hops + 1) for e in op.edges]
+        total = 1
+        for r in ranges:
+            total *= len(r)
+        if total > 64:
+            raise ParseError(
+                "graph-match: pattern expands to more than 64"
+                " fixed-length chains — tighten the hop ranges",
+                op.span,
+            )
+        frames = []
+        for combo in product(*ranges):
+            nodes2: list[str] = [op.nodes[0]]
+            edges2: list[GraphEdge] = []
+            anon = 0
+            for e, hops, right_node in zip(
+                op.edges, combo, op.nodes[1:]
+            ):
+                varlen = e.min_hops != 1 or e.max_hops != 1
+                for h in range(hops):
+                    last = h == hops - 1
+                    anon += 1
+                    evar = (
+                        f"__ge_{e.var}_{anon}" if varlen else e.var
+                    )
+                    nvar = right_node if last else f"__gn_{anon}"
+                    edges2.append(
+                        GraphEdge(
+                            var=evar, reverse=e.reverse, span=e.span
+                        )
+                    )
+                    nodes2.append(nvar)
+            frames.append(
+                self._emit_graph_match_fixed(nodes2, edges2, op)
+            )
+        names = frames[0][1]
+        if len(frames) == 1:
+            return frames[0]
+        union = " UNION ALL ".join(f"({s})" for s, _ in frames)
+        return union, names
+
+    def _emit_graph_match_fixed(
+        self,
+        pat_nodes: list[str],
+        pat_edges: "list[GraphEdge]",
+        op: GraphMatchOp,
+    ) -> tuple[str, list[str]]:
+        edges_sql, edge_cols, src, dst, nodes_sql, nodes_cols, node_id = (
+            self._graph
+        )
+
+        def edge_rel(var: str, alias: str) -> str:
+            items = ", ".join(
+                f"{_q(c)} AS {_q(f'{var}.{c}')}" for c in edge_cols
+            )
+            return (
+                f"(SELECT {items} FROM ({edges_sql})"
+                f" AS {_q(alias + '_e')}) AS {_q(alias)}"
+            )
+
+        flat: list[str] = []
+        seen: dict[str, str] = {}  # node var -> endpoint column name
+        from_sql = ""
+        for i, e in enumerate(pat_edges):
+            rel = edge_rel(e.var, f"__ge{i}")
+            flat.extend(f"{e.var}.{c}" for c in edge_cols)
+            left_ep = f"{e.var}.{dst if e.reverse else src}"
+            right_ep = f"{e.var}.{src if e.reverse else dst}"
+            if not from_sql:
+                from_sql = rel
+            else:
+                conds = [
+                    f"{_q(seen[var])} = {_q(ep)}"
+                    for var, ep in (
+                        (pat_nodes[i], left_ep),
+                        (pat_nodes[i + 1], right_ep),
+                    )
+                    if var in seen
+                ]
+                if not conds:  # unreachable for a linear pattern
+                    raise ParseError(
+                        "graph-match: pattern must be connected",
+                        op.span,
+                    )
+                from_sql += f" JOIN {rel} ON {' AND '.join(conds)}"
+            seen.setdefault(pat_nodes[i], left_ep)
+            seen.setdefault(pat_nodes[i + 1], right_ep)
+        # node id aliases + node attributes (synthetic intermediate
+        # nodes of a var-length expansion get neither)
+        seen = {
+            v: ep for v, ep in seen.items()
+            if not v.startswith("__gn_")
+        }
+        id_items = []
+        for var, ep in seen.items():
+            if f"{var}.id" not in flat:
+                id_items.append(f"{_q(ep)} AS {_q(var + '.id')}")
+                flat.append(f"{var}.id")
+        hints = []
+        if nodes_sql is not None:
+            for k, (var, ep) in enumerate(seen.items()):
+                alias = f"__gn{k}"
+                items = ", ".join(
+                    f"{_q(c)} AS {_q(f'{var}.{c}')}"
+                    for c in nodes_cols
+                )
+                from_sql += (
+                    f" LEFT JOIN (SELECT {items} FROM ({nodes_sql})"
+                    f" AS {_q(alias + '_n')}) AS {_q(alias)}"
+                    f" ON {_q(ep)} = {_q(f'{var}.{node_id}')}"
+                )
+                flat.extend(f"{var}.{c}" for c in nodes_cols)
+                hints.append(alias)
+        hint = (
+            f"/*+ BROADCAST({', '.join(hints)}) */ " if hints else ""
+        )
+        id_sel = "".join(f", {item}" for item in id_items)
+        inner = f"SELECT {hint}*{id_sel} FROM {from_sql}"
+        prev_flat = self._flat_cols
+        self._flat_cols = frozenset(flat)
+        try:
+            where_sql = (
+                f" WHERE {self.expr(op.where)}"
+                if op.where is not None
+                else ""
+            )
+            items, names = [], []
+            for c in op.project:
+                name, item = self.col_spec(c)
+                items.append(item)
+                names.append(name)
+        finally:
+            self._flat_cols = prev_flat
+        return (
+            f"SELECT {', '.join(items)} FROM ({inner})"
+            f" AS {_q('__gm')}{where_sql}",
+            names,
+        )
+
     def emit_make_series(
         self, op: MakeSeriesOp, sql: str, cols: list[str]
     ) -> tuple[str, list[str]]:
@@ -2661,6 +2846,13 @@ class _SqlEmitter:
                 return name.upper()
             if name in self.scope:
                 return self.scope[name]
+        if self._flat_cols is not None and len(e.parts) > 1:
+            # graph-match scope: `a.id` names ONE flat column (the
+            # DataFrame backend's literal dotted name), not a
+            # struct-field path
+            full = ".".join(e.parts)
+            if full in self._flat_cols:
+                return _q(full)
         return ".".join(_q(p) for p in e.parts)
 
     def _references_both_sides(self, e: Expr) -> bool:

@@ -148,10 +148,10 @@ def test_errors(engine):
             """E | make-graph source --> target
             | graph-match (a)-[e]->(b)"""
         )
-    with pytest.raises(QueryError, match="DataFrame backend"):
+    # graph-match without make-graph fails on the SQL backend too
+    with pytest.raises(QueryError, match="requires a preceding"):
         engine.to_sql(
-            """E | make-graph source --> target
-            | graph-match (a)-[e]->(b) project a = a.id"""
+            "E | graph-match (a)-[e]->(b) project a = a.id"
         )
 
 
@@ -165,3 +165,63 @@ def test_graph_state_is_pipeline_scoped(engine):
               ) on source
             | graph-match (a)-[e]->(b) project a = a.id"""
         )
+
+
+# ------------------------------------------------- SQL backend parity
+
+SQL_PARITY_CASES = [
+    # two-hop with node attributes + where + renamed project
+    """E | make-graph source --> target with N on name
+    | graph-match (a)-[e1]->(b)-[e2]->(c)
+        where a.kind == "user" and c.kind == "database"
+        project user = a.id, via = b.id, db = c.id, act = e2.action
+    | sort by user asc, db asc""",
+    # reverse edge
+    """E | make-graph source --> target
+    | graph-match (a)-[e1]->(b)<-[e2]-(c)
+        where a.id != c.id
+        project a = a.id, b = b.id, c = c.id
+    | sort by a asc, c asc""",
+    # cycle via repeated node var
+    """E | make-graph source --> target
+    | graph-match (a)-[e1]->(b)-[e2]->(c)-[e3]->(a)
+        project a = a.id, b = b.id, c = c.id
+    | sort by a asc""",
+    # bounded var-length edge (UNION ALL of fixed chains) + distinct
+    """E | make-graph source --> target
+    | graph-match (a)-[e*1..3]->(b)
+        where a.id == "alice"
+        project b = b.id
+    | distinct b | sort by b asc""",
+    # bare-expression project (source-text column name `a.id`)
+    """E | make-graph source --> target
+    | graph-match (a)-[e1]->(b) project a.id, act = e1.action
+    | sort by `a.id` asc, act asc""",
+]
+
+
+@pytest.mark.parametrize("text", SQL_PARITY_CASES)
+def test_graph_match_sql_backend_equivalence(spark, engine, text):
+    """compile_to_sql(graph-match) run via spark.sql must match the
+    DataFrame backend row-for-row (same flat `var.col` names)."""
+    e = spark.createDataFrame(
+        EDGES, "source string, target string, action string"
+    )
+    n = spark.createDataFrame(NODES, "name string, kind string")
+    e.createOrReplaceTempView("E")
+    n.createOrReplaceTempView("N")
+    df_out = engine.query(text)
+    sql_out = spark.sql(engine.to_sql(text))
+    assert sql_out.columns == df_out.columns
+    assert [tuple(r) for r in sql_out.collect()] == [
+        tuple(r) for r in df_out.collect()
+    ]
+
+
+def test_graph_match_sql_broadcasts_node_attrs(spark, engine):
+    sql = engine.to_sql(
+        """E | make-graph source --> target with N on name
+        | graph-match (a)-[e1]->(b)
+            project a = a.id, k = b.kind"""
+    )
+    assert "BROADCAST" in sql

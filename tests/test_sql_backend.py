@@ -52,7 +52,6 @@ def test_sql_backend_matches_dataframe_backend(spark, sf_views, name):
         or ("evaluate bag_unpack" in text and ") : (" not in text)
         or "| scan " in text
         or "series_decompose_forecast" in text
-        or "graph-match" in text
     ):
         pytest.skip("data-dependent schema (DataFrame backend only)")
     engine = PqlEngine(spark, resolver=sf_views)
