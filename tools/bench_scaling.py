@@ -104,9 +104,17 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def main() -> int:
+    import os
+
     repo = Path(__file__).resolve().parent.parent
     dirs = {"sf0.1": "/root/testdata/sf0.1",
             "sf1": str(repo / ".scratch" / "sf1")}
+    # SPARK_GRAFT_SCALING_ONLY=a,b: focused re-measurement of a few
+    # rows (e.g. after a plan change) without the full 33-query sweep
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "")
+    queries_to_run = (
+        [q for q in only.split(",") if q] if only else QUERIES
+    )
     spark = build_session("pql_spark_scaling")
     global _SPARK
     _SPARK = spark
@@ -121,7 +129,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries_to_run:
         row: dict[str, float] = {}
         for sf, d in dirs.items():
             row[f"spark_{sf}"] = time_best2(
