@@ -545,14 +545,25 @@ def ngram_jaccard_pairs(
     ``n − ceil(t·n) + 1`` grams in that order — and any pair with
     Jaccard ≥ t provably shares a prefix gram, so candidates come from
     prefix postings only, then get the rows-based exact verify
-    (results identical to the default path).  WHEN to use it: natural
-    Zipfian text whose hot boilerplate grams would otherwise emit
-    d(d-1)/2 pairs each — those sort LAST and drop out of every
-    prefix.  When NOT to: a corpus with uniformly-shared grams (no
-    frequency skew) prunes nothing, and the verify join-back then
-    costs more than the default's count-only partial aggregate —
-    measured 26.8 s → 177 s on the synthetic sf1 gate corpus, whose
-    grams are evenly hot, hence the conservative default.
+    (results identical to the default path).  The decision rule,
+    measured on both sides (local[32], best of 2, identical outputs):
+
+    * ON wins on Zipfian boilerplate — text where a few hot phrases
+      appear in a large fraction of docs, so their grams would emit
+      d(d-1)/2 pairs each but sort LAST and drop out of every prefix.
+      On ``tools/gen_scale.py zipf`` (30 k docs, top template in 26 %
+      of docs → 6 grams × 7 861 postings): **3.55 s ON vs 198.6 s
+      OFF**, identical 750 pairs.  Real web/common-crawl text is this
+      shape.
+    * OFF wins when gram frequencies are flat — nothing prunes, and
+      the verify join-back costs more than the default's count-only
+      partial aggregate: **26.8 s OFF → 177 s ON** on the synthetic
+      sf1 gate corpus (evenly-hot grams), hence the conservative
+      default.
+
+    Rule of thumb: turn it ON when max posting-list length ≫ the
+    posting median (frequency skew exists); leave OFF for synthetic /
+    pre-deduped corpora with flat gram frequencies.
 
     ``max_posting`` drops grams whose posting list exceeds the cap from
     candidate generation — a pathologically hot gram (a boilerplate

@@ -24,6 +24,81 @@ DST = Path(__file__).resolve().parent.parent / ".scratch" / "sf1"
 REPLICAS = 10
 
 
+def gen_zipf() -> int:
+    """Zipfian-boilerplate corpus for the PPJoin prefix-filter ON-case.
+
+    The synthetic `documents` table has no gram-frequency skew, so
+    prefix filtering prunes nothing there (measured r8: 26.8 s →
+    177 s).  Real web text is the opposite: a few boilerplate phrases
+    ("all rights reserved …") appear in a large fraction of documents
+    and their grams dominate the inverted index.  This corpus models
+    that: each doc = 20 unique content tokens (hash-derived) + one
+    8-token boilerplate sentence drawn Zipf(s=1.1) from 50 templates
+    (top template ≈ 24 % of docs), plus a real near-dup signal (every
+    doc_id ≡ 1 (mod 40) clones the previous doc's content with one
+    token changed, same template → Jaccard ≈ 0.7).  Output:
+    .scratch/zipf/documents.parquet (doc_id, text).
+    """
+    N, T, S = 30_000, 50, 1.1
+    spark = build_session("gen-zipf")
+    spark.sparkContext.setLogLevel("ERROR")
+    w = [1.0 / (i + 1) ** S for i in range(T)]
+    tot = sum(w)
+    cdf = []
+    acc = 0.0
+    for x in w:
+        acc += x / tot
+        cdf.append(acc)
+    cdf_lit = F.array(*[F.lit(c) for c in cdf])
+    docs = spark.range(N).select(F.col("id").alias("doc_id"))
+    dup = (F.col("doc_id") % 40) == 1
+    seed = F.when(dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    content = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(
+            F.lit("c"),
+            F.substring(
+                F.md5(F.concat_ws("_", seed.cast("string"),
+                                  i.cast("string"))), 1, 10),
+        ),
+    )
+    # the near-dup clone perturbs its LAST content token
+    content = F.when(
+        dup,
+        F.concat(
+            F.slice(content, 1, 19),
+            F.array(F.concat(
+                F.lit("x"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10),
+            )),
+        ),
+    ).otherwise(content)
+    # uniform u in [0,1) from the seed, inverse-CDF to a template id
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("z"), seed.cast("string"))),
+                           1, 6), 16, 10).cast("double")
+        / F.lit(float(16**6))
+    )
+    tmpl = F.size(F.filter(cdf_lit, lambda c: c < u))
+    bp = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.concat_ws("", F.lit("b"), tmpl.cast("string"),
+                              F.lit("t"), i.cast("string")),
+    )
+    out = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.concat(content, bp)).alias("text"),
+    )
+    dst = Path(__file__).resolve().parent.parent / ".scratch" / "zipf"
+    dst.mkdir(parents=True, exist_ok=True)
+    out.repartition(32).write.mode("overwrite").parquet(
+        str(dst / "documents.parquet"))
+    got = spark.read.parquet(str(dst / "documents.parquet"))
+    print("docs:", got.count())
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     spark = build_session("gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,4 +176,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "zipf":
+        sys.exit(gen_zipf())
     sys.exit(main())
