@@ -5013,6 +5013,38 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred", "split").orderBy("doc_id")
 
 
+def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA-report stage of the curation pipeline (r10): kept-vs-dropped
+    cohort profile + stage accounting, emitted as one frame.  Rows-only
+    (the composed pipeline is not SQL-expressible); the profile device
+    itself is hash-gated by op_profile/op_profile_grouped and the
+    accounting invariants by tests/test_pipelines.py."""
+    from pql_spark.pipelines import curate_corpus
+
+    qa: dict = {}
+    curate_corpus(
+        _docs(spark, sf_dir),
+        min_quality=0.5,
+        langs=None,
+        near_dup_threshold=0.8,
+        test_rate=0.1,
+        qa=qa,
+    )
+    prof = qa["profile"].select(
+        "cohort",
+        F.col("column").alias("item"),
+        F.col("n"),
+        F.col("n_null"),
+    )
+    counts = qa["stage_counts"].select(
+        F.lit("stage").alias("cohort"),
+        F.col("stage").alias("item"),
+        F.col("rows").alias("n"),
+        F.lit(0).cast("long").alias("n_null"),
+    )
+    return prof.unionByName(counts).orderBy("cohort", "item")
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -5047,8 +5079,9 @@ _CHECK_FIRST = [
     #
     # 1. changed in r9, no post-change driver hash:
     "pql_sequence_detect",
-    # 2. never hashed:
-    "op_profile_grouped",
+    # 2. never hashed / new this round (r10 lesson: new code ships
+    # WITH driver evidence):
+    "op_profile_grouped", "op_curate_qa",
     # 3. last hashed in round 5 (all 29):
     "pql_where_project", "pql_top", "pql_series_fns",
     "pql_series_outliers", "pql_series_decompose",
@@ -5061,13 +5094,13 @@ _CHECK_FIRST = [
     "pql_series_vector", "pql_find_op", "pql_reduce_op",
     "pql_invoke_op", "pql_series_fft", "pql_series_fir",
     "pql_series_periods", "pql_approx_topk",
-    # 4. r6 tail (19 of 44; the rest next round):
+    # 4. r6 tail (18 of 44; the rest next round):
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_distinct_op",
     "pql_union_op", "pql_project_away", "pql_mv_expand",
     "pql_lookup", "pql_parse_op", "pql_search_op", "pql_make_series",
     "pql_pivot", "pql_series_fill", "pql_mv_apply", "pql_top_nested",
-    "pql_range_source", "pql_agg_family",
+    "pql_range_source",
 ]
 
 
@@ -5139,6 +5172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_crossdoc_dedup": _q_crossdoc_dedup,
             "op_scrub_crossdoc": _q_scrub_crossdoc,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
+            "op_curate_qa": _q_curate_qa,  # rows-only (composed)
         }
     )
     ordered = {n: out[n] for n in _CHECK_FIRST}

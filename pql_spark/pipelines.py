@@ -41,6 +41,7 @@ def curate_corpus(
     redact: bool = False,
     drop_repeated_lines: bool = False,
     timing: dict | None = None,
+    qa: dict | None = None,
 ) -> DataFrame:
     """Curate a raw document table into a deduplicated, split corpus.
 
@@ -76,6 +77,25 @@ def curate_corpus(
     away, so the SUM exceeds the lazy pipeline's end-to-end time.  Use
     it to see which stage moved between environments, not as the
     benchmark number.
+
+    ``qa``: pass a dict to ALSO receive a lazy QA report on what the
+    pipeline kept vs dropped (the curation-review view).  Keys set:
+
+    * ``qa["profile"]`` — :func:`profile_columns` of the annotated
+      corpus (id, quality, lang_pred, text_len) grouped by a
+      ``cohort`` column ('kept'/'dropped' by final survival);
+    * ``qa["quality_hist_kept"]`` / ``qa["quality_hist_dropped"]`` —
+      20-bin :func:`numeric_histogram` of the quality score per
+      cohort over the fixed [0, 1] range (bin edges comparable across
+      runs and cohorts);
+    * ``qa["stage_counts"]`` — one row per pipeline stage
+      ``(stage_idx, stage, rows)`` of surviving row counts, built
+      from 1-row partial aggregates over each stage frame.
+
+    All three are *lazy DataFrames sharing the pipeline's lineage*
+    (the persisted post-dedup corpus is reused); collecting them runs
+    extra jobs but never mutates the main result, and the main return
+    is byte-identical with or without ``qa``.
     """
     import time as _time
 
@@ -121,10 +141,13 @@ def curate_corpus(
     )
     # pinned: pushdown would substitute the quality/langid trees into a
     # pre-shuffle Filter and evaluate them twice — see pinned_filter
+    annot = kept  # full annotated frame (pre-filter) — QA cohort base
+    stages: list[tuple[str, DataFrame]] = [("input", annot)]
     cond = F.col("quality") >= min_quality
     if langs is not None:
         cond = cond & F.col("lang_pred").isin(list(langs))
     kept = _mark("quality_lang", pinned_filter(kept, cond))
+    stages.append(("quality_lang", kept))
 
     if max_dup_ngram_frac is not None:
         # appended narrow fold over `kept` (not `docs`): the repetition
@@ -140,6 +163,7 @@ def curate_corpus(
             "top_ngram_frac", "dup_ngram_frac",
         )
         kept = _mark("repetition", kept)
+        stages.append(("repetition", kept))
 
     # exact dedup: one survivor (min id) per identical normalized text.
     # A fingerprint-partitioned window min beats the groupBy+join-back
@@ -162,6 +186,7 @@ def curate_corpus(
     # to TINY id drop-lists which are persisted too; without that, every
     # downstream consumer would re-run the whole minhash pipeline
     # through the anti-join's lineage (measured 22-38s vs ~9s at sf0.1).
+    stages.append(("exact_dedup", kept))
     kept = tracked_persist(kept)
 
     # near-dup removal: drop the higher id of every similar pair.
@@ -196,6 +221,7 @@ def curate_corpus(
 
     drops = tracked_persist(drops.distinct())
     kept = kept.join(drops, id_col, "left_anti")
+    stages.append(("near_dup_decontam", kept))
 
     if redact:
         # in-place narrow scrub — the (id, redacted) join-back shape
@@ -207,4 +233,55 @@ def curate_corpus(
     out = train_test_split(
         kept, key="fingerprint", test_rate=test_rate
     ).drop("fingerprint")
-    return _mark("split", out)
+    out = _mark("split", out)
+
+    if qa is not None:
+        from functools import reduce
+
+        from .operators.profiling import numeric_histogram, profile_columns
+
+        stages.append(("final", out))
+        # cohort label: did the annotated doc survive to the output?
+        # (left join on the id — the output is a subset of `annot`, so
+        # a match means kept).  text_len instead of raw text keeps the
+        # profile numeric where it matters.
+        final_ids = out.select(
+            F.col(id_col), F.lit(True).alias("__qa_kept")
+        )
+        labeled = (
+            annot.select(
+                id_col, "quality", "lang_pred",
+                F.length(F.col(text_col)).alias("text_len"),
+            )
+            .join(final_ids, id_col, "left")
+            .withColumn(
+                "cohort",
+                F.when(F.col("__qa_kept"), F.lit("kept")).otherwise(
+                    F.lit("dropped")
+                ),
+            )
+            .drop("__qa_kept")
+        )
+        qa["profile"] = profile_columns(
+            labeled.select("cohort", id_col, "quality", "text_len"),
+            group_by="cohort",
+        )
+        # fixed [0,1] bounds: ONE pass each, and bin edges line up
+        # across cohorts/runs (quality_score is bounded in [0,1])
+        for c in ("kept", "dropped"):
+            qa[f"quality_hist_{c}"] = numeric_histogram(
+                labeled.filter(F.col("cohort") == c),
+                "quality", bins=20, lo=0.0, hi=1.0,
+            )
+        qa["stage_counts"] = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                f.agg(F.count(F.lit(1)).alias("rows")).select(
+                    F.lit(i).alias("stage_idx"),
+                    F.lit(name).alias("stage"),
+                    "rows",
+                )
+                for i, (name, f) in enumerate(stages)
+            ],
+        )
+    return out

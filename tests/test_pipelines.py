@@ -175,3 +175,53 @@ def test_curate_corpus_stage_timing(spark, raw_docs):
                          redact=True)
     assert sorted(r.doc_id for r in out.select("doc_id").collect()) == \
         sorted(r.doc_id for r in base.select("doc_id").collect())
+
+
+def test_curate_corpus_qa_report(spark, raw_docs):
+    """qa= dict gets the kept-vs-dropped profile, per-cohort quality
+    histograms, and a stage-count accounting that reconciles with the
+    actual output — and the main result is unchanged by qa."""
+    qa = {}
+    out = curate_corpus(
+        raw_docs, min_quality=0.75, langs=("en",),
+        near_dup_threshold=0.5, qa=qa,
+    )
+    survivors = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert survivors == [1, 4]
+
+    # stage accounting: monotone non-increasing, reconciles at both ends
+    sc = {r.stage: r.rows for r in qa["stage_counts"].collect()}
+    order = [r.stage for r in
+             qa["stage_counts"].orderBy("stage_idx").collect()]
+    assert order[0] == "input" and order[-1] == "final"
+    assert sc["input"] == raw_docs.count()
+    assert sc["final"] == len(survivors)
+    counts = [sc[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
+
+    # profile: both cohorts, stable schema, n's reconcile
+    prof = qa["profile"].collect()
+    by = {}
+    for r in prof:
+        by.setdefault(r.cohort, {})[r.column] = r
+    assert set(by) == {"kept", "dropped"}
+    assert set(by["kept"]) == {"doc_id", "quality", "text_len"}
+    assert by["kept"]["quality"].n == len(survivors)
+    assert by["dropped"]["quality"].n == raw_docs.count() - len(survivors)
+    # the pipeline kept only >= min_quality rows
+    assert by["kept"]["quality"].min_num >= 0.75
+
+    # histograms: fixed [0,1] bins, counts sum to cohort sizes
+    hk = qa["quality_hist_kept"].collect()
+    hd = qa["quality_hist_dropped"].collect()
+    assert sum(r.n for r in hk) == len(survivors)
+    assert sum(r.n for r in hd) == raw_docs.count() - len(survivors)
+    assert all(0.0 <= r.lo < r.hi <= 1.0 + 1e-9 for r in hk + hd)
+
+    # main result identical without qa
+    base = curate_corpus(
+        raw_docs, min_quality=0.75, langs=("en",),
+        near_dup_threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in base.select("doc_id").collect()) == \
+        survivors
