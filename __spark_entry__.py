@@ -2885,6 +2885,46 @@ PQL_QUERIES: dict[str, tuple[str, str]] = {
         GROUP BY day ORDER BY day
         """,
     ),
+    # geo bucketing (r10): Morton grid cell ids at a fixed level —
+    # cells derive from synthesized lon/lat, grouped.  The DuckDB twin
+    # re-implements the interleave with a list comprehension; exact
+    # powers of two keep every intermediate < 2^53, so the BIGINT ids
+    # hash-match across Spark/DuckDB.
+    "pql_geo_cell": (
+        """
+        events
+        | extend lon = todouble(user_id % 3600) / 10.0 - 180.0,
+                 lat = todouble(event_id % 1700) / 10.0 - 85.0
+        | extend cell = geo_point_to_cell(lon, lat, 12)
+        | summarize n = count() by cell
+        | sort by n desc, cell asc
+        | take 25
+        """,
+        """
+        WITH pts AS (
+          SELECT CAST(user_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+                 CAST(event_id % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+          FROM events
+        ), bins AS (
+          SELECT
+            LEAST(CAST(pow(2.0, 12) AS BIGINT) - 1,
+                  FLOOR((lon + 180.0) / 360.0 * pow(2.0, 12))) AS x,
+            LEAST(CAST(pow(2.0, 12) AS BIGINT) - 1,
+                  FLOOR((lat + 90.0) / 180.0 * pow(2.0, 12))) AS y
+          FROM pts
+        ), cells AS (
+          SELECT CAST(list_sum([
+              ((CAST(FLOOR(x / pow(2.0, i)) AS BIGINT) % 2)
+                 * CAST(pow(2.0, 2 * i + 1) AS BIGINT))
+            + ((CAST(FLOOR(y / pow(2.0, i)) AS BIGINT) % 2)
+                 * CAST(pow(2.0, 2 * i) AS BIGINT))
+            for i in range(12)]) AS BIGINT) AS cell
+          FROM bins
+        )
+        SELECT cell, count(*) AS n FROM cells
+        GROUP BY cell ORDER BY n DESC, cell ASC LIMIT 25
+        """,
+    ),
 }
 
 # ------------------------------------------------------- shared SQL snippets
@@ -5013,6 +5053,54 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred", "split").orderBy("doc_id")
 
 
+def _geo_pts(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> DataFrame:
+    """Deterministic city-scale point cloud from event ids (the same
+    arithmetic the DuckDB oracle runs, so doubles match bit-for-bit)."""
+    ev = _cat(spark, sf_dir)("events").filter(
+        (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+    )
+    return ev.select(
+        F.col("event_id").alias("id"),
+        (F.lit(-122.5) + (F.col("event_id") % 1000) * 0.0005).alias("lon"),
+        (F.lit(37.0) + ((F.col("event_id") * 7) % 1000) * 0.0005).alias("lat"),
+    )
+
+
+def _q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed radius join (operators/geo.py) vs the oracle's
+    brute-force cross join + haversine — proves the 3x3 ring loses no
+    pairs.  Output is id pairs only (BIGINT), so the hash compare
+    never touches a float."""
+    from pql_spark.operators.geo import geo_radius_join
+
+    a = _geo_pts(spark, sf_dir, 0, 2000)
+    b = _geo_pts(spark, sf_dir, 2000, 4000)
+    out = geo_radius_join(a, b, radius_m=200.0)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+_GEO_JOIN_ORACLE = """
+WITH a AS (
+  SELECT event_id AS id_a,
+         -122.5 + (event_id % 1000) * 0.0005 AS lon_a,
+         37.0 + ((event_id * 7) % 1000) * 0.0005 AS lat_a
+  FROM events WHERE event_id >= 0 AND event_id < 2000
+), b AS (
+  SELECT event_id AS id_b,
+         -122.5 + (event_id % 1000) * 0.0005 AS lon_b,
+         37.0 + ((event_id * 7) % 1000) * 0.0005 AS lat_b
+  FROM events WHERE event_id >= 2000 AND event_id < 4000
+)
+SELECT id_a, id_b FROM a, b
+WHERE 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+    pow(sin((radians(lat_b) - radians(lat_a)) / 2), 2)
+    + cos(radians(lat_a)) * cos(radians(lat_b))
+      * pow(sin((radians(lon_b) - radians(lon_a)) / 2), 2)
+  ))) <= 200.0
+ORDER BY id_a, id_b
+"""
+
+
 def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA-report stage of the curation pipeline (r10): kept-vs-dropped
     cohort profile + stage accounting, emitted as one frame.  Rows-only
@@ -5081,7 +5169,8 @@ _CHECK_FIRST = [
     "pql_sequence_detect",
     # 2. never hashed / new this round (r10 lesson: new code ships
     # WITH driver evidence):
-    "op_profile_grouped", "op_curate_qa",
+    "op_profile_grouped", "op_curate_qa", "pql_geo_cell",
+    "op_geo_join",
     # 3. last hashed in round 5 (all 29):
     "pql_where_project", "pql_top", "pql_series_fns",
     "pql_series_outliers", "pql_series_decompose",
@@ -5094,13 +5183,12 @@ _CHECK_FIRST = [
     "pql_series_vector", "pql_find_op", "pql_reduce_op",
     "pql_invoke_op", "pql_series_fft", "pql_series_fir",
     "pql_series_periods", "pql_approx_topk",
-    # 4. r6 tail (18 of 44; the rest next round):
+    # 4. r6 tail (16 of 44; the rest next round):
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_distinct_op",
     "pql_union_op", "pql_project_away", "pql_mv_expand",
     "pql_lookup", "pql_parse_op", "pql_search_op", "pql_make_series",
-    "pql_pivot", "pql_series_fill", "pql_mv_apply", "pql_top_nested",
-    "pql_range_source",
+    "pql_pivot", "pql_series_fill", "pql_mv_apply",
 ]
 
 
@@ -5173,6 +5261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_scrub_crossdoc": _q_scrub_crossdoc,
             "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
             "op_curate_qa": _q_curate_qa,  # rows-only (composed)
+            "op_geo_join": _q_geo_join,
         }
     )
     ordered = {n: out[n] for n in _CHECK_FIRST}
@@ -5230,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
             "op_stream_stateful": _STREAM_STATEFUL_ORACLE,
             "op_asof_join": _ASOF_ORACLE,
             "op_range_join": _RANGE_JOIN_ORACLE,
+            "op_geo_join": _GEO_JOIN_ORACLE,
             # stream-stream interval join produces the same pairs as the
             # batch range join over the identical window
             "op_stream_interval_join": _RANGE_JOIN_ORACLE,

@@ -1683,6 +1683,14 @@ def compile_call(
         if lname == "geo_distance_2points":
             return dist
         return dist <= args[4].cast("double")
+    if lname == "geo_point_to_cell":
+        # fixed-level Morton grid cell id — the bucketing half of the
+        # geo pair (geo_radius_join in operators/geo.py is the join
+        # half); NULL on invalid coords or level outside [0, 26]
+        from .operators.geo import geo_point_to_cell
+
+        _check_argc(name, args, 3, 3, span)
+        return geo_point_to_cell(args[0], args[1], args[2])
     if lname in ("set_union", "set_intersect", "set_difference"):
         # KQL set family over arrays: variadic, results deduplicated.
         # set_difference(a, b, c) = distinct elements of a not in b∪c.

@@ -1,0 +1,213 @@
+"""Geo bucketing: fixed-level grid cell ids + a cell-bucketed radius
+join.
+
+The cell id is a Morton (Z-order) interleave of equirectangular
+longitude/latitude bins at ``level`` bits per axis — the same
+fixed-level-cell device as KQL's ``geo_point_to_s2cell`` (s2 tokens
+use a Hilbert curve on cube faces; this grid keeps the property that
+MATTERS for joins — points within one cell size of each other land in
+adjacent cells — while staying exactly expressible in Spark SQL *and*
+plain ANSI SQL, so every result here is DuckDB-oracle-checkable).
+
+``geo_radius_join`` pairs the cell id with the bucketize-join device
+from :mod:`.temporal` (``range_join``): bucket side A on its cell,
+explode side B to its 3×3 neighbor ring, hash equi-join on the cell,
+then exact haversine verify.  Candidates are bounded by cell
+occupancy (never all-pairs) and the equi-join shuffles on a uniform
+integer key — the 100 TB-correct shape for a spatial join.
+
+All arithmetic is double-precision IEEE with exact powers of two
+(level ≤ 26 keeps every intermediate < 2^53), so Spark's DataFrame
+backend, the SQL text backend, and a DuckDB list-comprehension oracle
+produce bit-identical cell ids.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ._util import rebalance
+
+#: mean-radius sphere, matches functions.geo_distance_2points
+EARTH_R_M = 6371008.8
+#: meters per degree of latitude on that sphere (2πR/360)
+M_PER_DEG = EARTH_R_M * math.pi / 180.0
+MAX_LEVEL = 26
+
+
+def _valid(lon: Column, lat: Column) -> Column:
+    return (
+        (lon >= -180) & (lon <= 180) & (lat >= -90) & (lat <= 90)
+    )
+
+
+def _bins(lon: Column, lat: Column, level: Column) -> tuple[Column, Column]:
+    """Equirectangular (x, y) integer bins at ``level`` bits/axis,
+    clamped so lon=180 / lat=90 land in the top bin."""
+    n = F.pow(F.lit(2.0), level.cast("int"))
+    top = (n - 1).cast("long")
+    x = F.least(
+        top, F.floor((lon.cast("double") + 180.0) / 360.0 * n)
+    )
+    y = F.least(
+        top, F.floor((lat.cast("double") + 90.0) / 180.0 * n)
+    )
+    return x, y
+
+
+def _morton(x: Column, y: Column, level: Column) -> Column:
+    """Interleave ``level`` bits of x (odd positions) and y (even):
+    Σ_i bit_i(x)·2^(2i+1) + bit_i(y)·2^(2i).  Pure Catalyst fold —
+    no shift-by-column builtin exists in the Python API, but powers
+    of two are exact in doubles through 2^53, so divide/mod is
+    bit-exact here (level ≤ 26 ⇒ result < 2^52).  level 0 short-
+    circuits to cell 0 (Spark's sequence(0, -1) would DESCEND)."""
+    fold = F.aggregate(
+        F.sequence(F.lit(0), level.cast("int") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (
+            F.floor(x / F.pow(F.lit(2.0), i)).cast("long") % 2
+        ) * F.pow(F.lit(2.0), 2 * i + 1).cast("long")
+        + (
+            F.floor(y / F.pow(F.lit(2.0), i)).cast("long") % 2
+        ) * F.pow(F.lit(2.0), 2 * i).cast("long"),
+    )
+    lvl = level.cast("int")
+    return F.when(lvl == 0, F.lit(0).cast("long")).otherwise(fold)
+
+
+def geo_point_to_cell(
+    lon: Column, lat: Column, level: Column
+) -> Column:
+    """Fixed-level grid cell id (long) of a lon/lat point; NULL for
+    coordinates outside [-180,180]×[-90,90] or level outside
+    [0, 26].  level 0 ⇒ the single cell 0."""
+    lvl = level.cast("int")
+    x, y = _bins(lon, lat, lvl)
+    return F.when(
+        _valid(lon.cast("double"), lat.cast("double"))
+        & lvl.between(0, MAX_LEVEL),
+        _morton(x, y, lvl),
+    )
+
+
+def haversine_m(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle meters on the mean-radius sphere (same formula as
+    the ``geo_distance_2points`` scalar in functions.py)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    h = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2)
+        * F.pow(F.sin((F.radians(lon2) - F.radians(lon1)) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_R_M) * F.asin(
+        F.least(F.lit(1.0), F.sqrt(h))
+    )
+
+
+def radius_level(radius_m: float, max_abs_lat: float = 66.0) -> int:
+    """Largest level whose cell spans ≥ ``radius_m`` in BOTH axes for
+    every |lat| ≤ ``max_abs_lat`` — the coverage condition under which
+    a 3×3 neighbor ring contains every point within ``radius_m``.
+    Latitude cells span 180/2^L degrees; longitude cells span
+    360/2^L degrees · cos(lat) meters at their narrowest."""
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    lat_span = 180.0 * M_PER_DEG          # meters at level 0
+    lon_span = 360.0 * M_PER_DEG * math.cos(math.radians(max_abs_lat))
+    lvl = math.floor(math.log2(min(lat_span, lon_span) / radius_m))
+    return max(0, min(MAX_LEVEL, lvl))
+
+
+def geo_radius_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius_m: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    suffixes: tuple[str, str] = ("_a", "_b"),
+    level: int | None = None,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """All (a, b) pairs within ``radius_m`` meters (great-circle), via
+    cell bucketing — never all-pairs.
+
+    Side A keys on its own cell; side B explodes to its 3×3 neighbor
+    ring (≤ 9 cells, built from the (x, y) bins directly — longitude
+    wraps modulo the grid, latitude rows outside the grid drop), then
+    one hash equi-join on the integer cell id and an exact haversine
+    verify.  A appears in exactly ONE bucket, so no pair dedup is
+    needed.  Output: all A columns suffixed, all B columns suffixed,
+    plus ``dist_m``.
+
+    Coverage contract: exact (no false negatives) while every point
+    has |lat| ≤ ``max_abs_lat`` and ``level`` ≤
+    :func:`radius_level` (the default picks exactly that).  Beyond
+    the lat bound, longitude cells narrow below the radius and
+    cross-meridian pairs near the poles can be missed — raise
+    ``max_abs_lat`` (coarser cells, bigger buckets) for polar data.
+
+    Scale: the join shuffles on a uniform integer key; candidate
+    count is Σ_cell |A_cell|·|B_ring(cell)| — bounded by occupancy,
+    like the LSH band join.  A pathologically hot cell (everything at
+    one landmark) degrades like any skewed join key and is AQE
+    skew-splittable, since the verify filter is per-row.
+    """
+    if level is None:
+        level = radius_level(radius_m, max_abs_lat)
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    lvl = F.lit(level)
+    n_cells = 1 << level
+    sa, sb = suffixes
+
+    def pick(df: DataFrame, suf: str) -> DataFrame:
+        return rebalance(df).select(
+            *[F.col(c).alias(f"{c}{suf}") for c in df.columns]
+        )
+
+    a2 = pick(a, sa)
+    b2 = pick(b, sb)
+    ax, ay = _bins(F.col(lon_col + sa), F.col(lat_col + sa), lvl)
+    a2 = a2.withColumn("__cell", _morton(ax, ay, lvl))
+    bx, by = _bins(F.col(lon_col + sb), F.col(lat_col + sb), lvl)
+    # 3x3 ring from the bins directly (no cell decode): dx wraps the
+    # antimeridian, dy clips at the poles; NULL slots filter out
+    ring = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(8)),
+            lambda k: _ring_cell(
+                bx, by, k % 3 - 1, F.floor(k / 3).cast("int") - 1,
+                n_cells, lvl,
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+    b2 = b2.withColumn("__cell", F.explode(ring))
+    dist = haversine_m(
+        F.col(lon_col + sa), F.col(lat_col + sa),
+        F.col(lon_col + sb), F.col(lat_col + sb),
+    )
+    return (
+        a2.join(b2, "__cell")
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .drop("__cell")
+    )
+
+
+def _ring_cell(
+    bx: Column, by: Column, dx: Column, dy: Column,
+    n_cells: int, lvl: Column,
+) -> Column:
+    xx = (bx + dx + F.lit(n_cells)) % F.lit(n_cells)
+    yy = by + dy
+    return F.when(
+        yy.between(0, n_cells - 1), _morton(xx, yy, lvl)
+    )

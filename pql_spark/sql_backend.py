@@ -3842,6 +3842,36 @@ class _SqlEmitter:
             if name == "geo_distance_2points":
                 return dist
             return f"({dist} <= CAST({self.expr(args[4])} AS DOUBLE))"
+        if name == "geo_point_to_cell":
+            # text twin of operators/geo.geo_point_to_cell: Morton
+            # interleave of equirectangular bins; exact powers of two
+            # keep every intermediate < 2^53, so values are
+            # bit-identical across backends (and in DuckDB oracles)
+            argc(3, 3)
+            lon, lat = (
+                f"CAST({self.expr(a)} AS DOUBLE)" for a in args[:2]
+            )
+            lvl = f"CAST({self.expr(args[2])} AS INT)"
+            n = f"pow(2.0D, {lvl})"
+            top = f"(CAST({n} AS BIGINT) - 1)"
+            x = f"LEAST({top}, FLOOR(({lon} + 180.0D) / 360.0D * {n}))"
+            y = f"LEAST({top}, FLOOR(({lat} + 90.0D) / 180.0D * {n}))"
+            fold = (
+                f"aggregate(sequence(0, {lvl} - 1),"
+                " CAST(0 AS BIGINT), (acc, i) -> acc"
+                f" + (CAST(FLOOR({x} / pow(2.0D, i)) AS BIGINT) % 2)"
+                " * CAST(pow(2.0D, 2 * i + 1) AS BIGINT)"
+                f" + (CAST(FLOOR({y} / pow(2.0D, i)) AS BIGINT) % 2)"
+                " * CAST(pow(2.0D, 2 * i) AS BIGINT))"
+            )
+            ok = (
+                f"({lon} BETWEEN -180 AND 180 AND {lat} BETWEEN -90"
+                f" AND 90 AND {lvl} BETWEEN 0 AND 26)"
+            )
+            return (
+                f"(CASE WHEN {ok} THEN CASE WHEN {lvl} = 0 THEN"
+                f" CAST(0 AS BIGINT) ELSE {fold} END END)"
+            )
         if name in ("set_union", "set_intersect", "set_difference"):
             if len(args) < 2:
                 raise ParseError(

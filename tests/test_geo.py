@@ -1,0 +1,166 @@
+"""geo_point_to_cell (both backends + DuckDB twin) and the
+cell-bucketed geo_radius_join (exact vs brute force)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pql_spark import PqlEngine
+from pql_spark.operators.geo import (
+    MAX_LEVEL,
+    geo_radius_join,
+    radius_level,
+)
+
+# DuckDB twin of the Morton fold — used to prove the cell id is plain
+# ANSI-SQL-expressible (the oracle device the gates use)
+DUCK_CELL = """
+SELECT list_sum([
+    ((CAST(FLOOR(x / pow(2.0, i)) AS BIGINT) % 2)
+       * CAST(pow(2.0, 2 * i + 1) AS BIGINT))
+  + ((CAST(FLOOR(y / pow(2.0, i)) AS BIGINT) % 2)
+       * CAST(pow(2.0, 2 * i) AS BIGINT))
+  for i in range({lvl})]) AS cell
+FROM (SELECT
+  LEAST(CAST(pow(2.0, {lvl}) AS BIGINT) - 1,
+        FLOOR(({lon} + 180.0) / 360.0 * pow(2.0, {lvl}))) AS x,
+  LEAST(CAST(pow(2.0, {lvl}) AS BIGINT) - 1,
+        FLOOR(({lat} + 90.0) / 180.0 * pow(2.0, {lvl}))) AS y)
+"""
+
+
+def py_cell(lon: float, lat: float, level: int) -> int:
+    n = 1 << level
+    x = min(n - 1, math.floor((lon + 180.0) / 360.0 * float(n)))
+    y = min(n - 1, math.floor((lat + 90.0) / 180.0 * float(n)))
+    out = 0
+    for i in range(level):
+        out += ((int(x) >> i) & 1) << (2 * i + 1)
+        out += ((int(y) >> i) & 1) << (2 * i)
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    df = spark.createDataFrame(
+        [
+            (1, -122.4194, 37.7749),   # SF
+            (2, -74.0060, 40.7128),    # NYC
+            (3, 179.999, 0.0),         # antimeridian east
+            (4, -179.999, 0.0),        # antimeridian west
+            (5, 180.0, 90.0),          # corner clamp
+            (6, 999.0, 0.0),           # invalid lon
+        ],
+        "id long, lon double, lat double",
+    )
+    df.createOrReplaceTempView("PTS")
+    return PqlEngine(spark, resolver={"PTS": df})
+
+
+def test_cell_matches_python_and_sql_backend(spark, engine):
+    q = ("PTS | project id, c8 = geo_point_to_cell(lon, lat, 8),"
+         " c0 = geo_point_to_cell(lon, lat, 0),"
+         " cbad = geo_point_to_cell(lon, lat, 30)"
+         " | sort by id asc")
+    rows = engine.query(q).collect()
+    pts = {r.id: r for r in spark.table("PTS").collect()}
+    for r in rows:
+        if r.id == 6:
+            assert r.c8 is None and r.c0 is None
+        else:
+            p = pts[r.id]
+            assert r.c8 == py_cell(p.lon, p.lat, 8), r.id
+            assert r.c0 == 0
+        assert r.cbad is None  # level > 26
+    sql_rows = spark.sql(engine.to_sql(q)).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in rows]
+
+
+def test_cell_matches_duckdb_twin(spark, engine):
+    con = duckdb.connect()
+    for r in spark.table("PTS").filter("id < 6").collect():
+        for lvl in (1, 4, 8, 16, 26):
+            got = con.execute(
+                DUCK_CELL.format(lon=repr(r.lon), lat=repr(r.lat),
+                                 lvl=lvl)
+            ).fetchone()[0]
+            assert got == py_cell(r.lon, r.lat, lvl), (r.id, lvl)
+
+
+def test_radius_level():
+    # largest L whose cells span >= 1 km in BOTH axes up to |lat|=66
+    lvl = radius_level(1000.0)
+    assert 0 < lvl <= MAX_LEVEL
+
+    def min_span(level):
+        lat_m = 180.0 / (1 << level) * 111194.9
+        lon_m = (360.0 / (1 << level) * 111194.9
+                 * math.cos(math.radians(66.0)))
+        return min(lat_m, lon_m)
+
+    assert min_span(lvl) >= 1000.0
+    assert min_span(lvl + 1) < 1000.0 or lvl == MAX_LEVEL
+    with pytest.raises(ValueError):
+        radius_level(0)
+
+
+def _pt_grid(spark, n, seed_off=0):
+    # deterministic scatter around SF incl. near-identical clusters
+    return spark.range(n).select(
+        (F.col("id") + seed_off).alias("id"),
+        (F.lit(-122.5) + (F.col("id") % 40) * 0.004
+         + (F.col("id") % 7) * 0.0001).alias("lon"),
+        (F.lit(37.6) + ((F.col("id") * 13) % 40) * 0.004
+         + (F.col("id") % 5) * 0.0001).alias("lat"),
+    )
+
+
+def test_radius_join_exact_vs_brute_force(spark):
+    a = _pt_grid(spark, 120)
+    b = _pt_grid(spark, 150, seed_off=1000)
+    out = geo_radius_join(a, b, radius_m=500.0)
+    got = sorted((r.id_a, r.id_b) for r in out.collect())
+    # brute force via the same haversine
+    from pql_spark.operators.geo import haversine_m
+
+    brute = (
+        a.select(F.col("id").alias("id_a"), F.col("lon").alias("qlon"),
+                 F.col("lat").alias("qlat"))
+        .crossJoin(b.select(F.col("id").alias("id_b"), "lon", "lat"))
+        .filter(haversine_m(F.col("qlon"), F.col("qlat"),
+                            F.col("lon"), F.col("lat")) <= 500.0)
+    )
+    want = sorted((r.id_a, r.id_b) for r in brute.collect())
+    assert got == want and len(got) > 0
+    # distances attached and within the radius
+    assert all(r.dist_m <= 500.0 for r in out.collect())
+
+
+def test_radius_join_wraps_antimeridian(spark):
+    a = spark.createDataFrame(
+        [(1, 179.9995, 0.0)], "id long, lon double, lat double"
+    )
+    b = spark.createDataFrame(
+        [(2, -179.9995, 0.0), (3, -179.0, 0.0)],
+        "id long, lon double, lat double",
+    )
+    out = geo_radius_join(a, b, radius_m=500.0)
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
+def test_radius_join_no_false_negatives_at_cell_edges(spark):
+    # pairs straddling a cell boundary still meet via the ring
+    lvl = radius_level(500.0)
+    edge = -180.0 + 360.0 / (1 << lvl) * 7  # an exact x-cell boundary
+    a = spark.createDataFrame(
+        [(1, edge - 1e-4, 10.0)], "id long, lon double, lat double"
+    )
+    b = spark.createDataFrame(
+        [(2, edge + 1e-4, 10.0)], "id long, lon double, lat double"
+    )
+    out = geo_radius_join(a, b, radius_m=500.0)
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
