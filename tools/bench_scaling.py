@@ -48,6 +48,10 @@ QUERIES = [
     # round-8 additions: bounded-merge-loop BPE (rows-only: spark
     # timing only) and Efraimidis-Spirakis weighted sampling
     "op_bpe", "op_weighted_sample",
+    # round-10 addition: Morton cell assignment + groupBy over all
+    # events (the geo join gate is constant-size by construction and
+    # stays out)
+    "pql_geo_cell",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
