@@ -1686,10 +1686,18 @@ def compile_call(
     if lname == "geo_point_to_cell":
         # fixed-level Morton grid cell id — the bucketing half of the
         # geo pair (geo_radius_join in operators/geo.py is the join
-        # half); NULL on invalid coords or level outside [0, 26]
+        # half); NULL on invalid coords or level outside [0, 26].
+        # A literal level (the common case) takes the unrolled
+        # shift/AND path — no per-row sequence fold
+        from .ast_nodes import NumberLit
         from .operators.geo import geo_point_to_cell
 
         _check_argc(name, args, 3, 3, span)
+        lvl_ast = ast_args[2] if ast_args is not None else None
+        if isinstance(lvl_ast, NumberLit) and not lvl_ast.is_float:
+            return geo_point_to_cell(
+                args[0], args[1], int(lvl_ast.text, 0)
+            )
         return geo_point_to_cell(args[0], args[1], args[2])
     if lname in ("set_union", "set_intersect", "set_difference"):
         # KQL set family over arrays: variadic, results deduplicated.

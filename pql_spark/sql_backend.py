@@ -815,10 +815,35 @@ class _SqlEmitter:
                 ["Row", "Column", "Value"],
             )
         if isinstance(op, GetSchemaOp):
-            raise ParseError(
-                "getschema requires schema introspection — use the "
-                "DataFrame backend",
-                op.span,
+            # the emitter knows column NAMES only, but Spark SQL's
+            # typeof() renders an expression's STATIC type at runtime
+            # (value-independent, so first() over an EMPTY input still
+            # types correctly, and a global aggregate always returns
+            # its one row) — typeof's DDL strings equal the DataFrame
+            # backend's simpleString() rendering, making this an exact
+            # twin of compiler's GetSchemaOp
+            out_cols = ["ColumnName", "ColumnOrdinal", "DataType"]
+            if not cols:
+                return (
+                    "SELECT CAST(NULL AS STRING) AS `ColumnName`,"
+                    " CAST(NULL AS BIGINT) AS `ColumnOrdinal`,"
+                    " CAST(NULL AS STRING) AS `DataType` WHERE FALSE",
+                    out_cols,
+                )
+            types = ", ".join(
+                f"typeof(first({_q(c)})) AS {_q(f'__gs_t{i}')}"
+                for i, c in enumerate(cols)
+            )
+            items = ", ".join(
+                f"named_struct('ColumnName', {_qs(c)},"
+                f" 'ColumnOrdinal', CAST({i} AS BIGINT),"
+                f" 'DataType', {_q(f'__gs_t{i}')})"
+                for i, c in enumerate(cols)
+            )
+            return (
+                f"SELECT inline(array({items})) FROM"
+                f" (SELECT {types} FROM {inner}) AS {_q('__gs')}",
+                out_cols,
             )
         if isinstance(op, TopNestedOp):
             return self.emit_top_nested(op, inner, cols)
@@ -3846,11 +3871,54 @@ class _SqlEmitter:
             # text twin of operators/geo.geo_point_to_cell: Morton
             # interleave of equirectangular bins; exact powers of two
             # keep every intermediate < 2^53, so values are
-            # bit-identical across backends (and in DuckDB oracles)
+            # bit-identical across backends (and in DuckDB oracles).
+            # Literal level → unrolled shift/AND terms over let-bound
+            # bins (the DataFrame backend's fast path); Column level →
+            # the sequence-fold.
             argc(3, 3)
             lon, lat = (
                 f"CAST({self.expr(a)} AS DOUBLE)" for a in args[:2]
             )
+            lit_lvl = (
+                int(args[2].text, 0)
+                if isinstance(args[2], NumberLit)
+                and not args[2].is_float
+                else None
+            )
+            if lit_lvl is not None:
+                if not 0 <= lit_lvl <= 26:
+                    return "CAST(NULL AS BIGINT)"
+                n = f"{float(1 << lit_lvl)!r}D"
+                top = f"CAST({(1 << lit_lvl) - 1} AS BIGINT)"
+                x = (
+                    f"LEAST({top},"
+                    f" FLOOR(({lon} + 180.0D) / 360.0D * {n}))"
+                )
+                y = (
+                    f"LEAST({top},"
+                    f" FLOOR(({lat} + 90.0D) / 180.0D * {n}))"
+                )
+                if lit_lvl == 0:
+                    cell = "CAST(0 AS BIGINT)"
+                else:
+                    terms = " + ".join(
+                        f"shiftleft(shiftright(__gcx, {i}) & 1,"
+                        f" {2 * i + 1})"
+                        f" + shiftleft(shiftright(__gcy, {i}) & 1,"
+                        f" {2 * i})"
+                        for i in range(lit_lvl)
+                    )
+                    cell = _sql_let(
+                        x, "__gcx",
+                        _sql_let(
+                            y, "__gcy", f"CAST({terms} AS BIGINT)"
+                        ),
+                    )
+                ok = (
+                    f"({lon} BETWEEN -180 AND 180 AND {lat}"
+                    " BETWEEN -90 AND 90)"
+                )
+                return f"(CASE WHEN {ok} THEN {cell} END)"
             lvl = f"CAST({self.expr(args[2])} AS INT)"
             n = f"pow(2.0D, {lvl})"
             top = f"(CAST({n} AS BIGINT) - 1)"
@@ -4540,11 +4608,122 @@ class _SqlEmitter:
                 + " END",
             )
         if name == "series_decompose_forecast":
-            raise ParseError(
-                "series_decompose_forecast() requires the DataFrame"
-                " backend",
-                e.span,
+            # text twin of functions.py's series_decompose_forecast:
+            # train the additive decomposition on the first n-points
+            # elements, horizon = OLS-extrapolated trend + centered
+            # phase pattern; NULL when the training slice is shorter
+            # than max(period, 2).  Same let-binding singleton-array
+            # device and identical FP op order as the DataFrame build,
+            # so results are bit-identical across backends.
+            argc(3, 3)
+            for k in (1, 2):
+                if not isinstance(args[k], NumberLit) or args[k].is_float:
+                    raise ParseError(
+                        f"{name}() period/points must be integer"
+                        " literals",
+                        e.span,
+                    )
+            p = int(args[1].text)
+            points = int(args[2].text)
+            if p < 1:
+                raise ParseError(f"{name}() period must be >= 1", e.span)
+            if points < 1:
+                raise ParseError(f"{name}() points must be >= 1", e.span)
+            lo, hi = (p - 1) // 2, p // 2
+
+            def bind(x: str, v: str, body: str) -> str:
+                return (
+                    f"element_at(transform(array({x}), {v} ->"
+                    f" {body}), 1)"
+                )
+
+            def mean(a: str) -> str:
+                return (
+                    f"(aggregate({a}, 0.0D, (acc, x) -> acc + x)"
+                    f" / size({a}))"
+                )
+
+            full, ad = "__fc_full", "__fc_ad"
+            win = (
+                f"slice({ad}, greatest(1, __i - {lo}),"
+                f" least(__i + {hi}, size({ad}))"
+                f" - greatest(1, __i - {lo}) + 1)"
             )
+            trend = (
+                f"transform(sequence(1, size({ad})), __i -> {mean(win)})"
+            )
+            psums = (
+                f"transform(sequence(0, {p - 1}), __q ->"
+                f" {mean(f'filter(__fc_de, (__x, __j) -> (__j % {p}) == __q)')})"
+            )
+            raw = (
+                f"transform(sequence(1, size({ad})), __i ->"
+                f" element_at(__fc_ps, CAST((__i - 1) % {p} + 1 AS INT)))"
+            )
+            md = f"CAST(size({ad}) AS DOUBLE)"
+            xbar = f"(({md} + 1.0D) / 2.0D)"
+            sxx = f"({md} * ({md} * {md} - 1.0D) / 12.0D)"
+            slope = (
+                f"(aggregate(zip_with(sequence(1, size({ad})),"
+                " __fc_tr, (__i, __t) ->"
+                f" (CAST(__i AS DOUBLE) - {xbar}) * __t), 0.0D,"
+                f" (acc, x) -> acc + x) / {sxx})"
+            )
+            horizon = (
+                f"transform(sequence(1, size({full})), __i -> CASE"
+                f" WHEN __i <= size({ad}) THEN"
+                " element_at(__fc_tr, CAST(__i AS INT))"
+                " + element_at(__fc_raw, CAST(__i AS INT)) - __fc_rawm"
+                " ELSE __fc_in + __fc_sl * CAST(__i AS DOUBLE)"
+                f" + element_at(__fc_ps,"
+                f" CAST((__i - 1) % {p} + 1 AS INT)) - __fc_rawm"
+                " END)"
+            )
+            trained = bind(
+                trend,
+                "__fc_tr",
+                bind(
+                    f"zip_with({ad}, __fc_tr, (x, t) -> x - t)",
+                    "__fc_de",
+                    bind(
+                        psums,
+                        "__fc_ps",
+                        bind(
+                            raw,
+                            "__fc_raw",
+                            bind(
+                                mean("__fc_raw"),
+                                "__fc_rawm",
+                                bind(
+                                    mean("__fc_tr"),
+                                    "__fc_trm",
+                                    bind(
+                                        slope,
+                                        "__fc_sl",
+                                        bind(
+                                            f"(__fc_trm - __fc_sl * {xbar})",
+                                            "__fc_in",
+                                            horizon,
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            )
+            body = (
+                f"CASE WHEN (size({full}) - {points}) >="
+                f" greatest({p}, 2) THEN "
+                + bind(
+                    f"slice(transform({full}, x -> CAST(x AS DOUBLE)),"
+                    f" 1, size({full}) - {points})",
+                    ad,
+                    trained,
+                )
+                + " END"
+            )
+            return bind(self.expr(args[0]), full, body)
         if name in ("series_decompose", "series_decompose_anomalies"):
             # twin of the DataFrame build (functions.py) including its
             # let-binding-via-singleton-array trick, so both backends

@@ -448,6 +448,26 @@ def test_getschema(engine):
     ]
 
 
+def test_getschema_sql_backend(spark, tables, engine):
+    """typeof(first(col)) renders the same DDL strings as the
+    DataFrame backend's simpleString(), including over empty input
+    and mid-pipeline derived columns."""
+    tables["T1"].createOrReplaceTempView("T1")
+    for text in (
+        "T1 | getschema",
+        "T1 | where id < 0 | getschema",  # empty input keeps types
+        "T1 | extend d = id * 1.5, s = strcat(tag, \"x\")"
+        " | project-away arr | getschema",
+    ):
+        want = [tuple(r) for r in engine.query(text).collect()]
+        got = [tuple(r) for r in spark.sql(engine.to_sql(text)).collect()]
+        assert got == want, text
+    # getschema mid-pipeline: downstream ops see the 3-column shape
+    text = "T1 | getschema | where DataType == \"bigint\" | count"
+    assert engine.query(text).collect()[0][0] == \
+        spark.sql(engine.to_sql(text)).collect()[0][0]
+
+
 def test_datatable_inline_source(spark):
     eng = PqlEngine(spark, resolver={})
     out = eng.query(

@@ -63,7 +63,27 @@ def test_errors(engine):
         engine.query(
             "T | extend f = series_decompose_forecast(arr, 7, 0)"
         )
-    with pytest.raises(QueryError, match="DataFrame backend"):
+    with pytest.raises(QueryError, match="integer literal"):
         engine.to_sql(
-            "T | extend f = series_decompose_forecast(arr, 7, 7)"
+            "T | extend f = series_decompose_forecast(arr, 7, n)"
         )
+
+
+def test_sql_backend_bit_identical(spark, engine):
+    """The r10 SQL text twin reproduces the DataFrame backend's values
+    EXACTLY (same let-binding shape and FP op order), incl. the
+    short-series NULL."""
+    spark.createDataFrame(
+        [(1, VALS)], "id long, arr array<double>"
+    ).createOrReplaceTempView("T")
+    for text in (
+        "T | extend f = series_decompose_forecast(arr, 7, 7)"
+        " | project f",
+        "T | extend f = series_decompose_forecast(arr, 7, 25)"
+        " | project f",
+        "T | extend f = series_decompose_forecast(arr, 4, 9)"
+        " | project f",
+    ):
+        want = engine.query(text).collect()[0].f
+        got = spark.sql(engine.to_sql(text)).collect()[0].f
+        assert got == want, text

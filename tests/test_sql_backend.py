@@ -45,13 +45,11 @@ def test_sql_backend_matches_dataframe_backend(spark, sf_views, name):
 
     text = entrymod.PQL_QUERIES[name][0]
     if (
-        "getschema" in text
-        or "evaluate pivot" in text
+        "evaluate pivot" in text
         # discovery-mode bag_unpack is data-dependent; the annotated
         # form (": (") compiles on both backends
         or ("evaluate bag_unpack" in text and ") : (" not in text)
         or "| scan " in text
-        or "series_decompose_forecast" in text
     ):
         pytest.skip("data-dependent schema (DataFrame backend only)")
     engine = PqlEngine(spark, resolver=sf_views)
