@@ -1699,6 +1699,16 @@ def compile_call(
                 args[0], args[1], int(lvl_ast.text, 0)
             )
         return geo_point_to_cell(args[0], args[1], args[2])
+    if lname == "geo_cell_center":
+        # inverse of geo_point_to_cell: struct(lon, lat) cell center
+        from .ast_nodes import NumberLit
+        from .operators.geo import geo_cell_center
+
+        _check_argc(name, args, 2, 2, span)
+        lvl_ast = ast_args[1] if ast_args is not None else None
+        if isinstance(lvl_ast, NumberLit) and not lvl_ast.is_float:
+            return geo_cell_center(args[0], int(lvl_ast.text, 0))
+        return geo_cell_center(args[0], args[1])
     if lname in ("set_union", "set_intersect", "set_difference"):
         # KQL set family over arrays: variadic, results deduplicated.
         # set_difference(a, b, c) = distinct elements of a not in b∪c.

@@ -130,6 +130,72 @@ def geo_point_to_cell(
     )
 
 
+def geo_cell_center(cell: Column, level: Column | int) -> Column:
+    """Inverse of :func:`geo_point_to_cell`: the center (lon, lat) of
+    a cell as ``struct(lon double, lat double)``; NULL for NULL cells
+    or level outside [0, 26].  Round-trip law (tested):
+    ``geo_point_to_cell(center(c, L), L) == c`` for every valid cell.
+    Literal levels decompact the Morton bits with flat shift/AND
+    terms; Column levels use the sequence-fold (same values)."""
+    if isinstance(level, int):
+        if not 0 <= level <= MAX_LEVEL:
+            return F.lit(None).cast("struct<lon:double,lat:double>")
+        if level == 0:
+            x: Column = F.lit(0).cast("long")
+            y: Column = F.lit(0).cast("long")
+        else:
+            xt = [
+                F.shiftleft(
+                    F.shiftright(cell, 2 * i + 1).bitwiseAND(F.lit(1)),
+                    i,
+                )
+                for i in range(level)
+            ]
+            yt = [
+                F.shiftleft(
+                    F.shiftright(cell, 2 * i).bitwiseAND(F.lit(1)), i
+                )
+                for i in range(level)
+            ]
+            x = sum(xt[1:], xt[0]).cast("long")
+            y = sum(yt[1:], yt[0]).cast("long")
+        w_lon = 360.0 / float(1 << level)
+        w_lat = 180.0 / float(1 << level)
+        lon = F.lit(-180.0) + (x.cast("double") + 0.5) * F.lit(w_lon)
+        lat = F.lit(-90.0) + (y.cast("double") + 0.5) * F.lit(w_lat)
+        return F.when(
+            cell.isNotNull(),
+            F.struct(lon.alias("lon"), lat.alias("lat")),
+        )
+    lvl = level.cast("int")
+    seq = F.sequence(F.lit(0), lvl - 1)
+
+    def compact(offset: int) -> Column:
+        return F.aggregate(
+            seq,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (
+                F.floor(
+                    cell / F.pow(F.lit(2.0), 2 * i + offset)
+                ).cast("long")
+                % 2
+            )
+            * F.pow(F.lit(2.0), i).cast("long"),
+        )
+
+    n = F.pow(F.lit(2.0), lvl)
+    x, y = compact(1), compact(0)
+    lon = F.lit(-180.0) + (x.cast("double") + 0.5) * (F.lit(360.0) / n)
+    lat = F.lit(-90.0) + (y.cast("double") + 0.5) * (F.lit(180.0) / n)
+    body = F.when(lvl == 0, F.struct(
+        F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat")
+    )).otherwise(F.struct(lon.alias("lon"), lat.alias("lat")))
+    return F.when(
+        cell.isNotNull() & lvl.between(0, MAX_LEVEL), body
+    )
+
+
 def haversine_m(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column
 ) -> Column:

@@ -3940,6 +3940,76 @@ class _SqlEmitter:
                 f"(CASE WHEN {ok} THEN CASE WHEN {lvl} = 0 THEN"
                 f" CAST(0 AS BIGINT) ELSE {fold} END END)"
             )
+        if name == "geo_cell_center":
+            # text twin of operators/geo.geo_cell_center (struct of
+            # the cell's center lon/lat; round-trip inverse of
+            # geo_point_to_cell)
+            argc(2, 2)
+            cell = self.expr(args[0])
+            c = "__gcc"
+            lit_lvl = (
+                int(args[1].text, 0)
+                if isinstance(args[1], NumberLit)
+                and not args[1].is_float
+                else None
+            )
+            if lit_lvl is not None:
+                if not 0 <= lit_lvl <= 26:
+                    return "CAST(NULL AS STRUCT<lon: DOUBLE, lat: DOUBLE>)"
+                if lit_lvl == 0:
+                    x = y = "CAST(0 AS BIGINT)"
+                else:
+                    x = " + ".join(
+                        f"shiftleft(shiftright({c}, {2 * i + 1}) & 1,"
+                        f" {i})"
+                        for i in range(lit_lvl)
+                    )
+                    y = " + ".join(
+                        f"shiftleft(shiftright({c}, {2 * i}) & 1, {i})"
+                        for i in range(lit_lvl)
+                    )
+                w_lon = repr(360.0 / float(1 << lit_lvl))
+                w_lat = repr(180.0 / float(1 << lit_lvl))
+                body = (
+                    f"named_struct('lon', -180.0D +"
+                    f" (CAST({x} AS DOUBLE) + 0.5D) * {w_lon}D,"
+                    f" 'lat', -90.0D +"
+                    f" (CAST({y} AS DOUBLE) + 0.5D) * {w_lat}D)"
+                )
+                return _sql_let(
+                    cell, c,
+                    f"CASE WHEN {c} IS NOT NULL THEN {body} END",
+                )
+            lvl = f"CAST({self.expr(args[1])} AS INT)"
+            n = f"pow(2.0D, {lvl})"
+
+            def compact(off: int) -> str:
+                return (
+                    f"aggregate(sequence(0, {lvl} - 1),"
+                    " CAST(0 AS BIGINT), (acc, i) -> acc"
+                    f" + (CAST(FLOOR({c} / pow(2.0D, 2 * i + {off}))"
+                    " AS BIGINT) % 2)"
+                    " * CAST(pow(2.0D, i) AS BIGINT))"
+                )
+
+            lon = (
+                f"(-180.0D + (CAST({compact(1)} AS DOUBLE) + 0.5D)"
+                f" * (360.0D / {n}))"
+            )
+            lat = (
+                f"(-90.0D + (CAST({compact(0)} AS DOUBLE) + 0.5D)"
+                f" * (180.0D / {n}))"
+            )
+            body = (
+                f"CASE WHEN {lvl} = 0 THEN"
+                " named_struct('lon', 0.0D, 'lat', 0.0D)"
+                f" ELSE named_struct('lon', {lon}, 'lat', {lat}) END"
+            )
+            return _sql_let(
+                cell, c,
+                f"CASE WHEN {c} IS NOT NULL AND {lvl} BETWEEN 0 AND 26"
+                f" THEN {body} END",
+            )
         if name in ("set_union", "set_intersect", "set_difference"):
             if len(args) < 2:
                 raise ParseError(

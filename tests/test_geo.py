@@ -91,6 +91,39 @@ def test_cell_matches_duckdb_twin(spark, engine):
             assert got == py_cell(r.lon, r.lat, lvl), (r.id, lvl)
 
 
+def test_cell_center_roundtrip_and_backends(spark, engine):
+    """center is the exact inverse: re-encoding the center recovers
+    the cell, on both backends, literal and column levels alike."""
+    q = ("PTS | where id < 6"
+         " | extend c = geo_point_to_cell(lon, lat, 10)"
+         " | extend ctr = geo_cell_center(c, 10)"
+         " | extend c2 = geo_point_to_cell(ctr.lon, ctr.lat, 10)"
+         " | project id, c, c2, clon = ctr.lon, clat = ctr.lat"
+         " | sort by id asc")
+    rows = engine.query(q).collect()
+    for r in rows:
+        assert r.c == r.c2, r.id
+        assert -180.0 <= r.clon <= 180.0 and -90.0 <= r.clat <= 90.0
+    sql_rows = spark.sql(engine.to_sql(q)).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in rows]
+    # column-level fold path agrees with the literal unrolled path
+    from pql_spark.operators.geo import geo_cell_center, geo_point_to_cell
+
+    pts = spark.table("PTS").filter("id < 6")
+    cells = pts.select(
+        geo_point_to_cell(F.col("lon"), F.col("lat"), 10).alias("c")
+    )
+    lit = cells.select(geo_cell_center(F.col("c"), 10).alias("s")).collect()
+    col = cells.select(
+        geo_cell_center(F.col("c"), F.lit(10)).alias("s")
+    ).collect()
+    assert lit == col
+    # NULL cell -> NULL center
+    assert cells.selectExpr("CAST(NULL AS BIGINT) AS c").select(
+        geo_cell_center(F.col("c"), 10).alias("s")
+    ).collect()[0].s is None
+
+
 def test_radius_level():
     # largest L whose cells span >= 1 km in BOTH axes up to |lat|=66
     lvl = radius_level(1000.0)
