@@ -5194,6 +5194,51 @@ def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.unionByName(counts).orderBy("cohort", "item")
 
 
+def _q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash image near-dup (r10): 96 real-PNG images + 8 planted
+    brightness-shifted clones; banded-Hamming join at a lossless
+    setting (6 < 8 bands).  Rows-only: DuckDB cannot decode PNG; the
+    banding-vs-brute-force equality and ImageHash-style reference
+    parity are pinned by tests/test_phash.py."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import (
+        phash_dup_pairs,
+        synth_image,
+        synthesize_png_media,
+    )
+    from pql_spark.operators._png import encode_png
+
+    base = synthesize_png_media(spark, n=96)
+
+    def clones(ids):
+        import pandas as pd
+
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                img = np.clip(
+                    synth_image(k).astype(np.int64) + 6, 0, 255
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": 100000 + k,
+                        "kind": "image",
+                        "payload": encode_png(img),
+                        "meta": {
+                            "width": 48, "height": 32,
+                            "duration_ms": 0, "codec": "png",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    extra = spark.range(0, 8, 1, 1).mapInPandas(clones, base.schema)
+    media = base.unionByName(extra)
+    return phash_dup_pairs(media, threshold_bits=6, bands=8)
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -5287,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
+            "op_phash_dups": _q_phash_dups,  # rows-only (PNG decode)
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,

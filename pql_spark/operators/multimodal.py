@@ -353,3 +353,152 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def phash_reference(img, hash_size: int = 8, highfreq_factor: int = 4):
+    """Driver-side reference pHash (the published perceptual-hash
+    algorithm, e.g. the python ImageHash library's ``phash``):
+    grayscale → mean-resize to (hash_size·highfreq_factor)² →
+    orthonormal 2-D DCT-II → top-left hash_size² low-frequency block →
+    bit_i = coef_i > median(block).  Pure numpy (the DCT is two basis
+    matmuls — no scipy), bit-identical to the Arrow kernel in
+    :func:`image_phash`, so tests and oracles can replay it."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a @ np.array([0.299, 0.587, 0.114])
+    n = hash_size * highfreq_factor
+    # deterministic mean-resize: upsample below-target axes by integer
+    # repeat, then near-equal chunk means (np.array_split, row-major)
+    if a.shape[0] < n:
+        a = np.repeat(a, -(-n // a.shape[0]), axis=0)
+    if a.shape[1] < n:
+        a = np.repeat(a, -(-n // a.shape[1]), axis=1)
+    a = np.stack([
+        np.stack([blk.mean() for blk in np.array_split(band, n, axis=1)])
+        for band in np.array_split(a, n, axis=0)
+    ])
+    # orthonormal DCT-II basis: C[j,k] = s_j cos(pi (2k+1) j / 2n)
+    k = np.arange(n)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0] *= 1.0 / np.sqrt(2.0)
+    low = (c @ a @ c.T)[:hash_size, :hash_size]
+    bits = (low > np.median(low)).astype(np.int32)
+    return bits.reshape(-1).tolist()
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Per-image perceptual hash over REAL PNG payloads:
+    ``(id, phash array<int>)`` of hash_size² sign bits (same bit-array
+    representation as text SimHash, so Hamming distance is a zip_with
+    XOR sum).  Arrow-batched mapInPandas — the iterator form never
+    materializes a whole partition of blobs; per-row work is the
+    decode + two n×n matmuls (n = hash_size·highfreq_factor), constant
+    in image size after the resize chunking."""
+    from ._png import decode_png
+
+    bits = hash_size * hash_size
+    cols = df.columns
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "phash": pdf[payload_col].map(
+                        lambda p: phash_reference(
+                            decode_png(bytes(p)), hash_size,
+                            highfreq_factor,
+                        )
+                    ),
+                }
+            )
+
+    if payload_col not in cols or id_col not in cols:
+        raise ValueError(
+            f"image_phash: need columns {id_col!r}, {payload_col!r}"
+        )
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, phash array<int>"
+    )
+
+
+def phash_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    threshold_bits: int = 6,
+    bands: int = 8,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by pHash Hamming distance ≤
+    ``threshold_bits`` — banded Hamming LSH, never all-pairs.
+
+    The 64-bit hash splits into ``bands`` equal chunks; any pair
+    within ``threshold_bits`` differs in at most that many bands, so
+    by pigeonhole it shares ≥ 1 intact band whenever
+    ``threshold_bits < bands`` — the default (6 < 8) is therefore
+    LOSSLESS: candidates come only from shared-band posting lists
+    (the MinHash-LSH shape: one groupBy on (band, value), map-side
+    pair emission, bounded by bucket occupancy), then an exact
+    zip_with-XOR Hamming verify keeps true pairs.  Raising
+    ``threshold_bits`` to ≥ ``bands`` trades recall for the same
+    cost, like any LSH.  Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 1 <= bands <= hash_size * hash_size:
+        raise ValueError("bands must be in [1, hash_size^2]")
+    from ._util import tracked_persist
+    from .dedup import _bucket_pairs
+
+    bits = hash_size * hash_size
+    if bits % bands:
+        raise ValueError("bands must divide hash_size^2")
+    width = bits // bands
+    # consumed 3x (banding + both verify sides); registered so long
+    # sessions can evict it (see _util.unpersist_tracked)
+    ph = tracked_persist(
+        image_phash(df, payload_col, id_col, hash_size=hash_size)
+    )
+    banded = ph.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "",
+                    F.transform(
+                        F.slice(F.col("phash"), b * width + 1, width),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "sig"),
+    )
+    posts = banded.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    cand = _bucket_pairs(posts, None).dropDuplicates(["id_a", "id_b"])
+    pa, pb = ph.alias("pa"), ph.alias("pb")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("pa.phash"), F.col("pb.phash"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(pa, F.col("id_a") == F.col(f"pa.{id_col}"))
+        .join(pb, F.col("id_b") == F.col(f"pb.{id_col}"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(int(threshold_bits)))
+        .orderBy("id_a", "id_b")
+    )

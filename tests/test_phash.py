@@ -1,0 +1,100 @@
+"""Perceptual-hash image near-dup: reference-math parity, perturbation
+robustness, and the banded-Hamming join vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pql_spark.operators._png import decode_png, encode_png
+from pql_spark.operators.multimodal import (
+    image_phash,
+    phash_dup_pairs,
+    phash_reference,
+    synth_image,
+)
+
+
+def _ham(a, b) -> int:
+    return int(sum(x != y for x, y in zip(a, b)))
+
+
+def test_reference_properties():
+    img = synth_image(3)
+    h = phash_reference(img)
+    assert len(h) == 64 and set(h) <= {0, 1}
+    # deterministic
+    assert h == phash_reference(img)
+    # brightness shift + mild noise stays near
+    rng = np.random.RandomState(7)
+    noisy = np.clip(
+        img.astype(np.int64) + 12
+        + rng.randint(-6, 7, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert _ham(h, phash_reference(noisy)) <= 6
+    # a different image is far
+    assert _ham(h, phash_reference(synth_image(29))) > 12
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    """40 distinct images + 6 perturbed near-dup clones (ids 1000+k of
+    k in 0..5, brightness/noise perturbed re-encodes)."""
+    rows = []
+    rng = np.random.RandomState(11)
+    for k in range(40):
+        rows.append((k, encode_png(synth_image(k))))
+    for k in range(6):
+        img = synth_image(k).astype(np.int64)
+        img = np.clip(
+            img + 6 + rng.randint(-3, 4, img.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append((1000 + k, encode_png(img)))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+
+
+def test_image_phash_matches_reference(spark, media):
+    got = {
+        r.media_id: list(r.phash)
+        for r in image_phash(media).collect()
+    }
+    for r in media.collect():
+        want = phash_reference(decode_png(bytes(r.payload)))
+        assert got[r.media_id] == want, r.media_id
+
+
+def test_phash_dup_pairs_vs_brute_force(spark, media):
+    out = phash_dup_pairs(media, threshold_bits=6, bands=8)
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in out.collect())
+    # brute force over the reference hashes
+    hs = {
+        r.media_id: phash_reference(decode_png(bytes(r.payload)))
+        for r in media.collect()
+    }
+    ids = sorted(hs)
+    want = sorted(
+        (a, b, _ham(hs[a], hs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if _ham(hs[a], hs[b]) <= 6
+    )
+    # threshold < bands => the banded join is lossless
+    assert got == want
+    # no self pairs / ordering respected
+    assert all(a < b for a, b, _ in got)
+    # a wider lossless config (12 < 16 bands of 4 bits) must find
+    # every planted clone pair
+    wide = phash_dup_pairs(media, threshold_bits=12, bands=16)
+    found = {(r.id_a, r.id_b) for r in wide.collect()}
+    for k in range(6):
+        assert (k, 1000 + k) in found, (k, _ham(hs[k], hs[1000 + k]))
+
+
+def test_phash_validation(spark, media):
+    with pytest.raises(ValueError, match="divide"):
+        phash_dup_pairs(media, bands=7)
+    with pytest.raises(ValueError, match="need columns"):
+        image_phash(media.withColumnRenamed("payload", "p"))
