@@ -5239,6 +5239,49 @@ def _q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dup_pairs(media, threshold_bits=6, bands=8)
 
 
+def _q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup (r10): 48 real-WAV two-tone clips +
+    6 planted volume-scaled clones; generic banded-Hamming join at a
+    lossless setting (3 < 8 bands).  Rows-only (DuckDB cannot decode
+    WAV); losslessness and clone recovery pinned by tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pql_spark.operators.multimodal import (
+        audio_dup_pairs,
+        encode_wav,
+        synth_audio,
+        synthesize_wav_media,
+    )
+
+    base = synthesize_wav_media(spark, n=48)
+
+    def clones(ids):
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                sig = synth_audio(k) * 0.5
+                sig = sig + 0.002 * np.sin(np.arange(sig.size))
+                rows.append(
+                    {
+                        "media_id": 100000 + k,
+                        "kind": "audio",
+                        "payload": encode_wav(sig),
+                        "meta": {
+                            "width": 0, "height": 0,
+                            "duration_ms": 250, "codec": "wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    extra = spark.range(0, 6, 1, 1).mapInPandas(clones, base.schema)
+    return audio_dup_pairs(
+        base.unionByName(extra), threshold=3, bands=8
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -5333,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
             "op_phash_dups": _q_phash_dups,  # rows-only (PNG decode)
+            "op_audio_dups": _q_audio_dups,  # rows-only (WAV decode)
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,

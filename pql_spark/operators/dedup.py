@@ -692,6 +692,75 @@ def simhash(
     return df.select(F.col(id_col), bit_cols.alias("simhash"))
 
 
+def hamming_dup_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str,
+    sig_len: int,
+    threshold: int,
+    bands: int,
+) -> DataFrame:
+    """Generic banded-Hamming near-dup join over ANY fixed-length
+    integer signature column (``array<int>`` of ``sig_len``): pairs
+    with Hamming distance ≤ ``threshold`` as (id_a, id_b, hamming),
+    id_a < id_b.
+
+    The signature splits into ``bands`` equal chunks; a pair within
+    ``threshold`` mismatches corrupts at most ``threshold`` bands, so
+    by pigeonhole it shares ≥ 1 intact band whenever
+    ``threshold < bands`` — that setting is LOSSLESS.  Candidates
+    come only from shared-(band, value) posting lists (one groupBy,
+    map-side pair emission via :func:`_bucket_pairs`, bounded by
+    bucket occupancy — never all-pairs), then an exact zip_with
+    mismatch-count verify.  Shared by pHash image near-dup and the
+    audio fingerprint (multimodal.py); element values may be any
+    ints, not just bits.
+    """
+    if not 1 <= bands <= sig_len:
+        raise ValueError("bands must be in [1, sig_len]")
+    if sig_len % bands:
+        raise ValueError("bands must divide the signature length")
+    width = sig_len // bands
+    sig = tracked_persist(
+        sig.select(F.col(id_col), F.col(sig_col).alias("__sig"))
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("__sig"), b * width + 1, width),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "sig"),
+    )
+    posts = banded.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    cand = _bucket_pairs(posts, None).dropDuplicates(["id_a", "id_b"])
+    pa, pb = sig.alias("pa"), sig.alias("pb")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("pa.__sig"), F.col("pb.__sig"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(pa, F.col("id_a") == F.col(f"pa.{id_col}"))
+        .join(pb, F.col("id_b") == F.col(f"pb.{id_col}"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(int(threshold)))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -453,52 +453,77 @@ def phash_dup_pairs(
     ``threshold_bits`` to ≥ ``bands`` trades recall for the same
     cost, like any LSH.  Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    if not 1 <= bands <= hash_size * hash_size:
-        raise ValueError("bands must be in [1, hash_size^2]")
-    from ._util import tracked_persist
-    from .dedup import _bucket_pairs
+    from .dedup import hamming_dup_pairs
 
-    bits = hash_size * hash_size
-    if bits % bands:
-        raise ValueError("bands must divide hash_size^2")
-    width = bits // bands
-    # consumed 3x (banding + both verify sides); registered so long
-    # sessions can evict it (see _util.unpersist_tracked)
-    ph = tracked_persist(
-        image_phash(df, payload_col, id_col, hash_size=hash_size)
+    return hamming_dup_pairs(
+        image_phash(df, payload_col, id_col, hash_size=hash_size),
+        "phash", id_col, hash_size * hash_size, threshold_bits, bands,
     )
-    banded = ph.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    "",
-                    F.transform(
-                        F.slice(F.col("phash"), b * width + 1, width),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Per-clip spectral fingerprint over REAL PCM16 WAV payloads:
+    ``(id, afp array<int>)`` of ``n_blocks`` dominant-frequency bin
+    indexes — the signal splits into near-equal windows and each
+    contributes argmax |rFFT| (DC excluded).  Dominant bins are
+    invariant to volume scaling and robust to mild noise, so clones
+    match element-wise; Hamming over the symbol sequence is the
+    natural distance.  Arrow-batched mapInPandas; per-row cost is the
+    decode + n_blocks small FFTs."""
+    import numpy as np
+
+    cols = df.columns
+    if payload_col not in cols or id_col not in cols:
+        raise ValueError(
+            f"audio_fingerprint: need columns {id_col!r},"
+            f" {payload_col!r}"
+        )
+
+    def fp(payload: bytes) -> list[int]:
+        samples, _sr = decode_wav(bytes(payload))
+        out = []
+        for blk in np.array_split(samples, n_blocks):
+            if blk.size < 2:
+                out.append(0)
+                continue
+            mag = np.abs(np.fft.rfft(blk))
+            out.append(int(mag[1:].argmax()) + 1)
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "afp": pdf[payload_col].map(fp),
+                }
             )
-        ).alias("band", "sig"),
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, afp array<int>"
     )
-    posts = banded.groupBy("band", "sig").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).filter(F.size("ids") >= 2)
-    cand = _bucket_pairs(posts, None).dropDuplicates(["id_a", "id_b"])
-    pa, pb = ph.alias("pa"), ph.alias("pb")
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("pa.phash"), F.col("pb.phash"),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        cand.join(pa, F.col("id_a") == F.col(f"pa.{id_col}"))
-        .join(pb, F.col("id_b") == F.col(f"pb.{id_col}"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= F.lit(int(threshold_bits)))
-        .orderBy("id_a", "id_b")
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    threshold: int = 3,
+    bands: int = 8,
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Audio near-duplicate pairs: clips whose spectral fingerprints
+    differ in ≤ ``threshold`` of ``n_blocks`` windows, via the same
+    generic banded-Hamming join as pHash (lossless while
+    ``threshold < bands``).  Output (id_a, id_b, hamming)."""
+    from .dedup import hamming_dup_pairs
+
+    return hamming_dup_pairs(
+        audio_fingerprint(df, payload_col, id_col, n_blocks),
+        "afp", id_col, n_blocks, threshold, bands,
     )

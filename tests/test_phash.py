@@ -98,3 +98,55 @@ def test_phash_validation(spark, media):
         phash_dup_pairs(media, bands=7)
     with pytest.raises(ValueError, match="need columns"):
         image_phash(media.withColumnRenamed("payload", "p"))
+
+
+# ------------------------------------------------------ audio twin
+
+def test_audio_fingerprint_volume_invariant(spark):
+    from pql_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_fingerprint,
+        encode_wav,
+        synth_audio,
+    )
+
+    rows = []
+    for k in range(24):
+        rows.append((k, encode_wav(synth_audio(k))))
+    # planted clones: volume-scaled + tiny deterministic noise
+    for k in range(4):
+        sig = synth_audio(k) * 0.5
+        sig = sig + 0.002 * np.sin(np.arange(sig.size))
+        rows.append((1000 + k, encode_wav(sig)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    fps = {r.media_id: list(r.afp) for r in
+           audio_fingerprint(media).collect()}
+    assert all(len(v) == 32 for v in fps.values())
+    for k in range(4):
+        assert _ham(fps[k], fps[1000 + k]) <= 3, k
+
+    out = audio_dup_pairs(media, threshold=3, bands=8)
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in out.collect())
+    ids = sorted(fps)
+    want = sorted(
+        (a, b, _ham(fps[a], fps[b]))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if _ham(fps[a], fps[b]) <= 3
+    )
+    assert got == want  # banding lossless at threshold < bands
+    found = {(a, b) for a, b, _ in got}
+    for k in range(4):
+        assert (k, 1000 + k) in found
+
+
+def test_hamming_dup_pairs_validation(spark):
+    from pql_spark.operators.dedup import hamming_dup_pairs
+
+    sig = spark.createDataFrame(
+        [(1, [1, 2, 3, 4])], "id long, s array<int>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        hamming_dup_pairs(sig, "s", "id", 4, 1, 3)
+    with pytest.raises(ValueError, match="bands"):
+        hamming_dup_pairs(sig, "s", "id", 4, 1, 0)
