@@ -699,6 +699,7 @@ def hamming_dup_pairs(
     sig_len: int,
     threshold: int,
     bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Generic banded-Hamming near-dup join over ANY fixed-length
     integer signature column (``array<int>`` of ``sig_len``): pairs
@@ -715,6 +716,15 @@ def hamming_dup_pairs(
     mismatch-count verify.  Shared by pHash image near-dup and the
     audio fingerprint (multimodal.py); element values may be any
     ints, not just bits.
+
+    ``max_bucket``: star-cap for pathologically hot buckets — a
+    degenerate corpus (flat images, silent audio) can put a large
+    fraction of rows behind ONE (band, value), and an uncapped bucket
+    emits |b|²/2 pairs in a single task.  With a cap, oversized
+    buckets emit min-id stars (O(|b|) pairs, cluster stays connected
+    for downstream grouping); pairs are exact-verified either way, so
+    precision never changes — only pair-recall inside oversized
+    buckets (same trade as the MinHash band cap).
     """
     if not 1 <= bands <= sig_len:
         raise ValueError("bands must be in [1, sig_len]")
@@ -742,7 +752,9 @@ def hamming_dup_pairs(
     posts = banded.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     ).filter(F.size("ids") >= 2)
-    cand = _bucket_pairs(posts, None).dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(posts, max_bucket).dropDuplicates(
+        ["id_a", "id_b"]
+    )
     pa, pb = sig.alias("pa"), sig.alias("pb")
     ham = F.aggregate(
         F.zip_with(

@@ -438,6 +438,7 @@ def phash_dup_pairs(
     threshold_bits: int = 6,
     bands: int = 8,
     hash_size: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by pHash Hamming distance ≤
     ``threshold_bits`` — banded Hamming LSH, never all-pairs.
@@ -458,6 +459,7 @@ def phash_dup_pairs(
     return hamming_dup_pairs(
         image_phash(df, payload_col, id_col, hash_size=hash_size),
         "phash", id_col, hash_size * hash_size, threshold_bits, bands,
+        max_bucket=max_bucket,
     )
 
 
@@ -516,6 +518,7 @@ def audio_dup_pairs(
     threshold: int = 3,
     bands: int = 8,
     n_blocks: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: clips whose spectral fingerprints
     differ in ≤ ``threshold`` of ``n_blocks`` windows, via the same
@@ -526,4 +529,5 @@ def audio_dup_pairs(
     return hamming_dup_pairs(
         audio_fingerprint(df, payload_col, id_col, n_blocks),
         "afp", id_col, n_blocks, threshold, bands,
+        max_bucket=max_bucket,
     )

@@ -150,3 +150,24 @@ def test_hamming_dup_pairs_validation(spark):
         hamming_dup_pairs(sig, "s", "id", 4, 1, 3)
     with pytest.raises(ValueError, match="bands"):
         hamming_dup_pairs(sig, "s", "id", 4, 1, 0)
+
+
+def test_hamming_dup_pairs_star_cap(spark):
+    """An oversized bucket under max_bucket emits min-id stars: the
+    planted clone of the min id survives; pairs among non-min members
+    of the hot bucket may drop (recall-only trade, precision exact)."""
+    from pql_spark.operators.dedup import hamming_dup_pairs
+
+    # 12 identical signatures (one hot bucket) + 1 near-clone of id 0
+    rows = [(k, [5] * 8) for k in range(12)]
+    rows.append((100, [5] * 7 + [6]))
+    sig = spark.createDataFrame(rows, "id long, s array<int>")
+    capped = hamming_dup_pairs(sig, "s", "id", 8, 2, 4, max_bucket=5)
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    # star: min id 0 paired with every other hot member + the clone
+    assert (0, 1) in got and (0, 11) in got and (0, 100) in got
+    assert all(h <= 2 for _, _, h in
+               ((r.id_a, r.id_b, r.hamming) for r in capped.collect()))
+    # uncapped finds the full clique
+    full = hamming_dup_pairs(sig, "s", "id", 8, 2, 4)
+    assert len(full.collect()) == 12 * 13 // 2
