@@ -5332,6 +5332,11 @@ _CHECK_FIRST = [
     "pql_series_vector", "pql_find_op", "pql_reduce_op",
     "pql_invoke_op", "pql_series_fft", "pql_series_fir",
     "pql_series_periods", "pql_approx_topk",
+    # r11 rotation queue (in priority order): op_phash_dups,
+    # op_audio_dups (new in late r10, no driver evidence yet), then
+    # the rest of the r6 tail (29 rows incl. the 3 bumped this round:
+    # pql_top_nested, pql_range_source, pql_agg_family, pql_mv_apply's
+    # successor set).
     # 4. r6 tail (15 of 44; the rest next round):
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_distinct_op",
