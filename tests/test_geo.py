@@ -197,3 +197,47 @@ def test_radius_join_no_false_negatives_at_cell_edges(spark):
     )
     out = geo_radius_join(a, b, radius_m=500.0)
     assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
+# --------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-180.0, 180.0, allow_nan=False),
+            st.floats(-90.0, 90.0, allow_nan=False),
+        ),
+        min_size=1, max_size=40,
+    ),
+    level=st.integers(0, 26),
+)
+def test_cell_property_matches_python_model(spark, pts, level):
+    """Random coords/levels: the Spark cell id equals the pure-Python
+    model, and re-encoding the center recovers the cell (both the
+    unrolled literal path and the Column fold path)."""
+    from pql_spark.operators.geo import geo_cell_center, geo_point_to_cell
+
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = df.select(
+        "lon", "lat",
+        geo_point_to_cell(F.col("lon"), F.col("lat"), level).alias("c"),
+        geo_point_to_cell(
+            F.col("lon"), F.col("lat"), F.lit(level)
+        ).alias("cf"),
+    ).withColumn(
+        "rt",
+        geo_point_to_cell(
+            geo_cell_center(F.col("c"), level).getField("lon"),
+            geo_cell_center(F.col("c"), level).getField("lat"),
+            level,
+        ),
+    ).collect()
+    for r in out:
+        assert r.c == py_cell(r.lon, r.lat, level)
+        assert r.cf == r.c          # fold path == unrolled path
+        assert r.rt == r.c          # center re-encodes to the cell

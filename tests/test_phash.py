@@ -171,3 +171,40 @@ def test_hamming_dup_pairs_star_cap(spark):
     # uncapped finds the full clique
     full = hamming_dup_pairs(sig, "s", "id", 8, 2, 4)
     assert len(full.collect()) == 12 * 13 // 2
+
+
+# --------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sigs=st.lists(
+        st.lists(st.integers(0, 3), min_size=16, max_size=16),
+        min_size=2, max_size=30, unique_by=lambda s: tuple(s),
+    ),
+    threshold=st.integers(0, 7),
+    bands=st.sampled_from([8, 16]),
+)
+def test_hamming_join_lossless_property(spark, sigs, threshold, bands):
+    """Random signatures: whenever threshold < bands the banded join
+    returns EXACTLY the brute-force pair set."""
+    from pql_spark.operators.dedup import hamming_dup_pairs
+
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "id long, s array<int>")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_dup_pairs(
+            df, "s", "id", 16, threshold, bands
+        ).collect()
+    )
+    want = sorted(
+        (a, b, _ham(sa, sb))
+        for a, sa in rows
+        for b, sb in rows[a + 1:]
+        if _ham(sa, sb) <= threshold
+    )
+    assert got == want
