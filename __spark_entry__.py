@@ -5159,6 +5159,117 @@ ORDER BY id_a, id_b
 """
 
 
+def _zipf_cdf(t: int = 20, s: float = 1.1) -> list[float]:
+    w = [1.0 / (i + 1) ** s for i in range(t)]
+    tot = sum(w)
+    out, acc = [], 0.0
+    for x in w:
+        acc += x / tot
+        out.append(acc)
+    return out
+
+
+_ZIPF_CDF = _zipf_cdf()
+
+
+def _q_ngram_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix filter on a Zipfian-boilerplate corpus (r10):
+    300 docs built from PORTABLE arithmetic (md5 hex tokens + an
+    integer-mix Zipf template pick), so the DuckDB oracle constructs
+    the IDENTICAL text and brute-forces exact 3-gram Jaccard — the
+    hash match proves prefix_filter=True is lossless on the corpus
+    shape it exists for (hot boilerplate grams; top template in ~26 %
+    of docs)."""
+    from pql_spark.operators.dedup import ngram_jaccard_pairs
+
+    cdf = F.array(*[F.lit(c) for c in _ZIPF_CDF])
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    dup = (F.col("doc_id") % 40) == 1
+    seed = F.when(dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    content = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.when(
+            dup & (i == 19),
+            F.concat(
+                F.lit("x"),
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 8
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("c"),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", seed.cast("string"), i.cast("string")
+                        )
+                    ),
+                    1, 8,
+                ),
+            )
+        ),
+    )
+    u = ((seed * F.lit(2654435761)) % F.lit(1000000)).cast(
+        "double"
+    ) / F.lit(1000000.0)
+    tmpl = F.size(F.filter(cdf, lambda c: c < u))
+    bp = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.concat_ws(
+            "", F.lit("b"), tmpl.cast("string"), F.lit("t"),
+            j.cast("string"),
+        ),
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.concat(content, bp)).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        corpus, shingle_k=3, threshold=0.5, prefix_filter=True
+    )
+
+
+_NGRAM_ZIPF_ORACLE = f"""
+WITH ids AS (SELECT range AS doc_id FROM range(300)),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 = 1 THEN doc_id - 1
+              ELSE doc_id END AS seed,
+         (doc_id % 40 = 1) AS dup
+  FROM ids
+), toks AS (
+  SELECT doc_id,
+    [CASE WHEN dup AND i = 19
+          THEN 'x' || substring(md5(doc_id::VARCHAR), 1, 8)
+          ELSE 'c' || substring(
+                 md5(seed::VARCHAR || '_' || i::VARCHAR), 1, 8)
+     END for i in range(20)]
+    ||
+    ['b' || len(list_filter({_ZIPF_CDF!r},
+          c -> c < ((seed * 2654435761) % 1000000) / 1000000.0)
+       )::VARCHAR || 't' || j::VARCHAR
+     for j in range(8)] AS t
+  FROM base
+), grams AS (
+  SELECT doc_id,
+    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                   for i in range(1, len(t) - 1)]) AS g
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         AS jaccard
+FROM grams a, grams b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+      >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA-report stage of the curation pipeline (r10): kept-vs-dropped
     cohort profile + stage accounting, emitted as one frame.  Rows-only
@@ -5319,7 +5430,7 @@ _CHECK_FIRST = [
     # 2. never hashed / new this round (r10 lesson: new code ships
     # WITH driver evidence):
     "op_profile_grouped", "op_curate_qa", "pql_geo_cell",
-    "op_geo_join", "pql_geo_center",
+    "op_geo_join", "pql_geo_center", "op_ngram_zipf_prefix",
     # 3. last hashed in round 5 (all 29):
     "pql_where_project", "pql_top", "pql_series_fns",
     "pql_series_outliers", "pql_series_decompose",
@@ -5337,12 +5448,12 @@ _CHECK_FIRST = [
     # the rest of the r6 tail (29 rows incl. the 3 bumped this round:
     # pql_top_nested, pql_range_source, pql_agg_family, pql_mv_apply's
     # successor set).
-    # 4. r6 tail (15 of 44; the rest next round):
+    # 4. r6 tail (14 of 44; the rest next round):
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
     "pql_promo_revenue", "pql_3way_join", "pql_distinct_op",
     "pql_union_op", "pql_project_away", "pql_mv_expand",
     "pql_lookup", "pql_parse_op", "pql_search_op", "pql_make_series",
-    "pql_pivot", "pql_series_fill",
+    "pql_pivot",
 ]
 
 
@@ -5382,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
             "op_phash_dups": _q_phash_dups,  # rows-only (PNG decode)
             "op_audio_dups": _q_audio_dups,  # rows-only (WAV decode)
+            "op_ngram_zipf_prefix": _q_ngram_zipf,
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
             "op_multimodal_decode": _q_multimodal_decode,
@@ -5476,6 +5588,7 @@ def oracle_sql() -> dict[str, str]:
             "op_asof_join": _ASOF_ORACLE,
             "op_range_join": _RANGE_JOIN_ORACLE,
             "op_geo_join": _GEO_JOIN_ORACLE,
+            "op_ngram_zipf_prefix": _NGRAM_ZIPF_ORACLE,
             # stream-stream interval join produces the same pairs as the
             # batch range join over the identical window
             "op_stream_interval_join": _RANGE_JOIN_ORACLE,
