@@ -38,13 +38,16 @@ class PqlEngine:
         self._params = dict(params or {})
 
     def close(self) -> int:
-        """Release cached state accumulated by operators this engine
-        compiled: drains the tracked-persist registry (see
+        """Drain the PROCESS-GLOBAL tracked-persist registry (see
         ``operators._util.tracked_persist``) so a long-lived session
-        that builds many engines does not pile up cached blocks in
-        executor storage.  Returns the number of persists evicted.
-        Safe to call repeatedly; compiled DataFrames stay usable (Spark
-        recomputes evicted plans on next use)."""
+        does not pile up cached blocks in executor storage.  The
+        registry is shared by every engine and pipeline in the
+        process — closing one engine evicts blocks persisted by all
+        of them (they stay usable; Spark recomputes evicted plans on
+        next use, a perf cost only).  Matches the bench/test usage of
+        one drain per query; hold eviction until the last live engine
+        closes if several share heavy cached state.  Returns the
+        number of persists evicted.  Safe to call repeatedly."""
         from .operators._util import unpersist_tracked
 
         return unpersist_tracked()

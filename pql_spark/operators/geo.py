@@ -25,6 +25,7 @@ produce bit-identical cell ids.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -235,6 +236,7 @@ def geo_radius_join(
     suffixes: tuple[str, str] = ("_a", "_b"),
     level: int | None = None,
     max_abs_lat: float = 66.0,
+    check_lat_bound: bool = True,
 ) -> DataFrame:
     """All (a, b) pairs within ``radius_m`` meters (great-circle), via
     cell bucketing — never all-pairs.
@@ -251,8 +253,13 @@ def geo_radius_join(
     has |lat| ≤ ``max_abs_lat`` and ``level`` ≤
     :func:`radius_level` (the default picks exactly that).  Beyond
     the lat bound, longitude cells narrow below the radius and
-    cross-meridian pairs near the poles can be missed — raise
-    ``max_abs_lat`` (coarser cells, bigger buckets) for polar data.
+    cross-meridian pairs near the poles can be missed — so when
+    ``level`` is auto-picked and ``check_lat_bound`` is on (default),
+    the actual max |lat| of both sides is measured (one column-pruned
+    1-row aggregate) and the level auto-coarsens to the data's real
+    bound, with a warning.  Pass an explicit ``level`` or
+    ``check_lat_bound=False`` to skip the extra scan when the data's
+    latitude range is known.
 
     Scale: the join shuffles on a uniform integer key; candidate
     count is Σ_cell |A_cell|·|B_ring(cell)| — bounded by occupancy,
@@ -262,6 +269,18 @@ def geo_radius_join(
     """
     if level is None:
         level = radius_level(radius_m, max_abs_lat)
+        if check_lat_bound:
+            actual = _max_abs_lat(a, b, lat_col)
+            if actual is not None and actual > max_abs_lat:
+                level = radius_level(radius_m, min(actual, 90.0))
+                warnings.warn(
+                    f"geo_radius_join: data reaches |lat|={actual:.2f}"
+                    f" > max_abs_lat={max_abs_lat}; auto-coarsened to"
+                    f" level {level} to keep the pair set exact"
+                    " (pass level= or check_lat_bound=False to"
+                    " override)",
+                    stacklevel=2,
+                )
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     n_cells = 1 << level
@@ -289,6 +308,12 @@ def geo_radius_join(
         ),
         lambda c: c.isNotNull(),
     )
+    if level <= 1:
+        # grids with <=2 columns alias ring offsets (dx=-1 wraps onto
+        # dx=+1 when n_cells==2; everything collides at level 0), which
+        # would duplicate output pairs — dedup the <=9 cells.  At
+        # level >= 2 all ring cells are distinct by construction.
+        ring = F.array_distinct(ring)
     b2 = b2.withColumn("__cell", F.explode(ring))
     dist = haversine_m(
         F.col(lon_col + sa), F.col(lat_col + sa),
@@ -300,6 +325,16 @@ def geo_radius_join(
         .filter(F.col("dist_m") <= F.lit(float(radius_m)))
         .drop("__cell")
     )
+
+
+def _max_abs_lat(
+    a: DataFrame, b: DataFrame, lat_col: str
+) -> float | None:
+    """Max |lat| across both inputs — ONE bounded 1-row collect over a
+    column-pruned scan (only the lat column reaches the reader)."""
+    m = F.max(F.abs(F.col(lat_col).cast("double"))).alias("m")
+    row = a.select(m).unionAll(b.select(m)).agg(F.max("m")).first()
+    return None if row is None else row[0]
 
 
 def _ring_cell(

@@ -199,6 +199,50 @@ def test_radius_join_no_false_negatives_at_cell_edges(spark):
     assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
 
 
+def test_radius_join_coarse_level_no_duplicate_pairs(spark):
+    """Grids with <=2 columns alias ring offsets (dx=-1 wraps onto
+    dx=+1 at n=2; all dx collide at level 0) — the ring must dedup so
+    each qualifying pair is emitted exactly once (ADVICE r10)."""
+    a = spark.createDataFrame(
+        [(1, -122.4, 37.7), (2, 151.2, -33.9)],
+        "id long, lon double, lat double",
+    )
+    b = spark.createDataFrame(
+        [(10, -74.0, 40.7), (11, 139.7, 35.7)],
+        "id long, lon double, lat double",
+    )
+    for lvl in (0, 1):
+        out = geo_radius_join(a, b, radius_m=2.1e7, level=lvl)
+        got = sorted((r.id_a, r.id_b) for r in out.collect())
+        # everything is within 2.1e7 m of everything on the sphere
+        want = sorted((x, y) for x in (1, 2) for y in (10, 11))
+        assert got == want, lvl
+    # the ADVICE repro: auto level for a huge radius is 0
+    out = geo_radius_join(a, b, radius_m=9e6)
+    pairs = [(r.id_a, r.id_b) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_radius_join_polar_auto_coarsen(spark):
+    """|lat| > max_abs_lat: the default level misses cross-cell pairs
+    near the pole; the lat-bound check must coarsen and recover them
+    (VERDICT r10 stretch)."""
+    # ~450 m apart in pure longitude at lat 87: several lon cells at
+    # the default (|lat|<=66) level, so the 3x3 ring cannot reach
+    dlon = 450.0 / (111194.9 * math.cos(math.radians(87.0)))
+    a = spark.createDataFrame(
+        [(1, 0.0, 87.0)], "id long, lon double, lat double"
+    )
+    b = spark.createDataFrame(
+        [(2, dlon, 87.0)], "id long, lon double, lat double"
+    )
+    miss = geo_radius_join(a, b, radius_m=500.0, check_lat_bound=False)
+    assert miss.collect() == []          # the silent-bound failure mode
+    with pytest.warns(UserWarning, match="auto-coarsened"):
+        out = geo_radius_join(a, b, radius_m=500.0)
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
 # --------------------------------------------------- property-based
 
 from hypothesis import given, settings
