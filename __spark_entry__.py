@@ -3076,6 +3076,190 @@ SELECT id, min(label) AS component FROM lab GROUP BY id ORDER BY id
 """
 
 
+_QUALITY_STOPS = "['the','and','of','to','a','in','is','that','it','for']"
+
+
+def _langid_pred_expr(dtoks: str) -> str:
+    """lang_pred for a distinct-token list expression — the same
+    greatest-of-printf device `_langid_oracle` hash-proved, reused by
+    the composed curate twins."""
+    cases = []
+    for lang in sorted(X.STOPWORDS):
+        wl = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS[lang]) + "]"
+        score = (
+            f"round(len(list_intersect({dtoks}, {wl}))::DOUBLE"
+            f" / len(list_distinct({dtoks} || {wl})), 6)"
+        )
+        cases.append(f"printf('%012.6f|%s', {score}, '{lang}')")
+    return f"split_part(greatest({', '.join(cases)}), '|', 2)"
+
+
+def _curate_ctes(
+    min_quality: float,
+    threshold: float,
+    test_rate: float,
+    max_dup_ngram_frac: float | None,
+    decontaminate_gram_n: int | None,
+    bench_where: str = "doc_id % 97 = 0",
+    base_where: str = "",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> str:
+    """CTE chain twinning ``pipelines.curate_corpus`` stage by stage
+    (every formula is the one its standalone gate hash-proved:
+    _QUALITY_ORACLE, _langid_oracle, _REPETITION_ORACLE's
+    dup_ngram_frac, _minhash_oracle at 32/8, _DECON_ORACLE,
+    _SAMPLING_ORACLE's md5 bucket).  Emits CTEs ``ct0`` (annotated
+    input), ``ckq`` (quality/lang filter), ``ckr`` (repetition),
+    ``ckd`` (exact dedup), ``ckept`` (post drop-list), ``cfinal``
+    (doc_id, lang_pred, fingerprint, split).  ``redact`` needs no twin:
+    the gate projects none of the redacted text, and the split keys on
+    the PRE-redaction fingerprint."""
+    rows = num_perm // bands
+    params = D._perm_params(num_perm)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {D._P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bhash := md5(array_to_string([{ms}], ',')))"
+        .format(
+            i=i,
+            ms=", ".join(
+                f"m{j}::VARCHAR" for j in range(i * rows, (i + 1) * rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    where = f"WHERE {base_where}" if base_where else ""
+    quality = (
+        f"CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END"
+        f" + CASE WHEN len(list_intersect(toks, {_QUALITY_STOPS}))::DOUBLE"
+        f" / len(toks) > 0.01 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]', 0))::DOUBLE"
+        f" / greatest(length(text), 1) < 0.2 THEN 0.25 ELSE 0.0 END"
+    )
+    if max_dup_ngram_frac is not None:
+        rep = f"""
+cdc AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({_grams_sql('toks', _REP_DUP_N)}) AS g
+              FROM ckq)
+        GROUP BY doc_id, g),
+crep AS (SELECT doc_id,
+           CAST(coalesce(sum(c * length(g)) FILTER (WHERE c > 1), 0)
+                AS DOUBLE) / sum(c * length(g)) AS dup_ngram_frac
+         FROM cdc GROUP BY doc_id),
+ckr AS (SELECT ckq.* FROM ckq JOIN crep USING (doc_id)
+        WHERE dup_ngram_frac <= {max_dup_ngram_frac}),"""
+    else:
+        rep = "\nckr AS (SELECT * FROM ckq),"
+    if decontaminate_gram_n is not None:
+        decon = f"""
+cbsh AS (SELECT DISTINCT
+           unnest({_shingles_sql('toks', decontaminate_gram_n)}) AS gram
+         FROM ct0 WHERE {bench_where}),
+ccsh AS (SELECT doc_id,
+           unnest({_shingles_sql('toks', decontaminate_gram_n)}) AS gram
+         FROM ckd),
+ccont AS (SELECT DISTINCT ccsh.doc_id FROM ccsh JOIN cbsh USING (gram)),
+cdrops AS (SELECT doc_id FROM cdropn
+           UNION SELECT doc_id FROM ccont),"""
+    else:
+        decon = "\ncdrops AS (SELECT doc_id FROM cdropn),"
+    test_cut = int(test_rate * 4294967296)
+    return f"""
+ct0 AS (SELECT doc_id, text, {_WORDS} AS toks, {_NORM} AS norm
+        FROM documents {where}),
+cann AS (SELECT doc_id, text, toks,
+           {quality} AS quality,
+           {_langid_pred_expr('list_distinct(toks)')} AS lang_pred,
+           md5(norm) AS fingerprint
+         FROM ct0),
+ckq AS (SELECT * FROM cann WHERE quality >= {min_quality}),{rep}
+ckd AS (SELECT * FROM ckr
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)),
+csh AS (SELECT doc_id, {_shingles_sql('toks', shingle_k)} AS sh FROM ckd),
+cgrams AS (SELECT doc_id, unnest(sh) AS g FROM csh),
+chashed AS (SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM cgrams),
+csig AS (SELECT doc_id, {mins} FROM chashed GROUP BY doc_id),
+cbands AS (SELECT doc_id, unnest([{band_structs}]) AS bk FROM csig),
+cb2 AS (SELECT doc_id, bk.band AS band, bk.bhash AS bhash FROM cbands),
+ccand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cb2 a JOIN cb2 b
+            ON a.band = b.band AND a.bhash = b.bhash
+           AND a.doc_id < b.doc_id),
+cdropn AS (SELECT DISTINCT id_b AS doc_id FROM ccand
+           JOIN csh sa ON id_a = sa.doc_id
+           JOIN csh sb ON id_b = sb.doc_id
+           WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / len(list_distinct(sa.sh || sb.sh)) >= {threshold}),{decon}
+ckept AS (SELECT * FROM ckd
+          WHERE doc_id NOT IN (SELECT doc_id FROM cdrops)),
+cfinal AS (SELECT doc_id, lang_pred, fingerprint,
+             CASE WHEN ('0x' || substr(md5('split' || fingerprint), 1, 8))
+                       ::BIGINT < {test_cut}
+                  THEN 'test' ELSE 'train' END AS split
+           FROM ckept)"""
+
+
+def _curate_corpus_oracle() -> str:
+    """Composed twin of the _q_curate_corpus gate: chain of the
+    hash-proved stage twins ending in the (doc_id, lang_pred, split)
+    survivor set (VERDICT r10 item 3)."""
+    ctes = _curate_ctes(
+        min_quality=0.5, threshold=0.8, test_rate=0.1,
+        max_dup_ngram_frac=0.98, decontaminate_gram_n=13,
+    )
+    return f"""
+WITH{ctes}
+SELECT doc_id, lang_pred, split FROM cfinal ORDER BY doc_id
+"""
+
+
+def _curate_qa_oracle() -> str:
+    """Composed twin of _q_curate_qa: kept/dropped cohort profile rows
+    (count + null count per profiled column) plus per-stage survivor
+    counts, over the qa-variant pipeline (no repetition stage, no
+    benchmark)."""
+    ctes = _curate_ctes(
+        min_quality=0.5, threshold=0.8, test_rate=0.1,
+        max_dup_ngram_frac=None, decontaminate_gram_n=None,
+        base_where="doc_id < 2000",
+    )
+    prof_cols = ["doc_id", "quality", "text_len"]
+    prof = "\nUNION ALL\n".join(
+        f"SELECT cohort, '{c}' AS item, count(*) AS n,"
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_null FROM clab GROUP BY cohort"
+        for c in prof_cols
+    )
+    stages = [
+        ("input", "ct0"), ("quality_lang", "ckq"),
+        ("exact_dedup", "ckd"), ("near_dup_decontam", "ckept"),
+        ("final", "cfinal"),
+    ]
+    counts = "\nUNION ALL\n".join(
+        f"SELECT 'stage' AS cohort, '{name}' AS item,"
+        f" (SELECT count(*) FROM {cte}) AS n, CAST(0 AS BIGINT) AS n_null"
+        for name, cte in stages
+    )
+    return f"""
+WITH{ctes},
+clab AS (SELECT ct0.doc_id, cann.quality, length(ct0.text) AS text_len,
+           CASE WHEN f.doc_id IS NOT NULL THEN 'kept' ELSE 'dropped' END
+             AS cohort
+         FROM ct0 JOIN cann USING (doc_id)
+         LEFT JOIN cfinal f ON ct0.doc_id = f.doc_id)
+SELECT cohort, item, n, n_null FROM (
+{prof}
+UNION ALL
+{counts}
+) ORDER BY cohort, item
+"""
+
+
 def _langid_oracle() -> str:
     cases = []
     for lang in sorted(X.STOPWORDS):
@@ -5092,8 +5276,9 @@ FROM d, s ORDER BY score DESC, doc_id ASC LIMIT 100
 
 
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed curation pipeline (each stage oracle-checked on its own
-    driver entry; the composition is a rows-only check)."""
+    """Composed curation pipeline, hash-checked end to end against
+    _curate_corpus_oracle() — the chained DuckDB twins of every stage
+    (each stage also oracle-checked on its own driver entry)."""
     from pql_spark.pipelines import curate_corpus
 
     docs = _docs(spark, sf_dir)
@@ -5272,10 +5457,12 @@ ORDER BY id_a, id_b
 
 def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA-report stage of the curation pipeline (r10): kept-vs-dropped
-    cohort profile + stage accounting, emitted as one frame.  Rows-only
-    (the composed pipeline is not SQL-expressible); the profile device
-    itself is hash-gated by op_profile/op_profile_grouped and the
-    accounting invariants by tests/test_pipelines.py."""
+    cohort profile + stage accounting, emitted as one frame.
+    Hash-checked against _curate_qa_oracle() (r11): the composed stage
+    twins drive per-stage survivor counts and cohort null/row counts;
+    the profile device itself is also hash-gated by
+    op_profile/op_profile_grouped and the accounting invariants by
+    tests/test_pipelines.py."""
     from pql_spark.pipelines import curate_corpus
 
     qa: dict = {}
@@ -5417,43 +5604,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-10 rotation (VERDICT r9 item 1): (1) the fused
-    # sequence_detect batch plan (compiler.py — rewritten in r9, its
-    # only driver evidence predates the rewrite), (2) the one gate
-    # never driver-hashed, (3) ALL 29 rows whose latest evidence is
-    # r5 — after this window no gate's latest driver-hash evidence
-    # predates r6 — then (4) the front of the r6 tail (the remaining
-    # 25 r6 rows rotate in next round).
+    # Round-11 rotation (VERDICT r10 item 1): (1) the ONLY two gates
+    # with zero driver evidence (landed after the r10 window froze),
+    # (2) every gate this round's changes touch — composed
+    # curate-corpus oracle, ANN recall columns, BPE hash upgrade —
+    # so new code ships WITH driver evidence, (3) ALL 30 rows whose
+    # latest evidence is r6 (after this window nothing predates r7),
+    # (4) the front of the r7 tail.
     #
-    # 1. changed in r9, no post-change driver hash:
-    "pql_sequence_detect",
-    # 2. never hashed / new this round (r10 lesson: new code ships
-    # WITH driver evidence):
-    "op_profile_grouped", "op_curate_qa", "pql_geo_cell",
-    "op_geo_join", "pql_geo_center", "op_ngram_zipf_prefix",
-    # 3. last hashed in round 5 (all 29):
-    "pql_where_project", "pql_top", "pql_series_fns",
-    "pql_series_outliers", "pql_series_decompose",
-    "pql_series_decompose_anomalies", "pql_series_fit_2lines",
-    "pql_parse_kv", "pql_weighted_aggs", "pql_url_fns",
-    "pql_ipv6_fns", "pql_timespan_lit", "pql_series_forecast",
-    "pql_sliding_window_counts", "pql_graph_match",
-    "pql_new_activity", "pql_funnel_sequence", "pql_session_count",
-    "pql_rolling_percentile", "pql_rows_near", "pql_scalar_fns2",
-    "pql_series_vector", "pql_find_op", "pql_reduce_op",
-    "pql_invoke_op", "pql_series_fft", "pql_series_fir",
-    "pql_series_periods", "pql_approx_topk",
-    # r11 rotation queue (in priority order): op_phash_dups,
-    # op_audio_dups (new in late r10, no driver evidence yet), then
-    # the rest of the r6 tail (29 rows incl. the 3 bumped this round:
-    # pql_top_nested, pql_range_source, pql_agg_family, pql_mv_apply's
-    # successor set).
-    # 4. r6 tail (14 of 44; the rest next round):
-    "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
-    "pql_promo_revenue", "pql_3way_join", "pql_distinct_op",
-    "pql_union_op", "pql_project_away", "pql_mv_expand",
-    "pql_lookup", "pql_parse_op", "pql_search_op", "pql_make_series",
-    "pql_pivot",
+    # 1. never driver-checked:
+    "op_phash_dups", "op_audio_dups",
+    # 2. changed this round (oracle/recall/evidence upgrades):
+    "op_curate_corpus", "op_curate_qa", "op_lsh_topk", "op_ivf_topk",
+    "op_semantic_dedup", "op_bpe", "op_bpe_bytes",
+    # 3. last hashed in round 6 (all 30):
+    "pql_iff_strcat", "pql_predicates", "pql_null_semantics",
+    "pql_let_arith", "pql_in", "pql_summarize_by", "pql_as_selfjoin",
+    "pql_render", "pql_index", "pql_extend", "pql_json_props",
+    "pql_sourcetext_name", "pql_series_fill", "pql_mv_apply",
+    "pql_top_nested", "pql_range_source", "pql_agg_family",
+    "pql_print", "pql_sample_op", "pql_top_hitters",
+    "pql_project_ops", "pql_getschema", "pql_percentiles",
+    "pql_series_stats_fit", "pql_activity_metrics", "op_knn_skew",
+    "pql_funnel_completion", "op_crossdoc_dedup",
+    "pql_activity_engagement", "pql_diffpatterns_text",
+    # r12 rotation queue: the remaining 37 r7 rows (op_simhash,
+    # op_ngram_jaccard, op_embedding_dups, op_cosine_topk, op_langid,
+    # op_quality, op_token_stats, op_asof_join, op_range_join, ...).
+    # 4. r7 tail (11 of 48; the rest next round):
+    "pql_datatable", "pql_string_preds", "pql_serialize_window",
+    "pql_in_family", "pql_partition_op", "pql_sketch_fns",
+    "pql_bin_hourly", "pql_arg_agg", "op_dedup_exact",
+    "pql_scan_funnel", "pql_autocluster",
 ]
 
 
@@ -5527,8 +5709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_line_dedup": _q_line_dedup,
             "op_crossdoc_dedup": _q_crossdoc_dedup,
             "op_scrub_crossdoc": _q_scrub_crossdoc,
-            "op_curate_corpus": _q_curate_corpus,  # rows-only (composed)
-            "op_curate_qa": _q_curate_qa,  # rows-only (composed)
+            "op_curate_corpus": _q_curate_corpus,
+            "op_curate_qa": _q_curate_qa,
             "op_geo_join": _q_geo_join,
         }
     )
@@ -5564,6 +5746,8 @@ def oracle_sql() -> dict[str, str]:
             "op_pack_sequences": _PACK_ORACLE,
             "op_ngram_jaccard": _NGRAM_ORACLE,
             "op_minhash_dups": _minhash_oracle(),
+            "op_curate_corpus": _curate_corpus_oracle(),
+            "op_curate_qa": _curate_qa_oracle(),
             "op_dedup_clusters": _dedup_clusters_oracle(),
             "op_simhash": _simhash_oracle(),
             "op_embedding_dups": _COSINE_PAIRS_ORACLE,
