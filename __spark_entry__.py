@@ -4458,29 +4458,186 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, qv, k=20)
 
 
+# Measured-recall bounds asserted INSIDE the ANN gates (VERDICT r10
+# item 5): the gate output filters on the measured recall column, so a
+# quality regression empties the result and the driver's row count
+# flags it.  Bounds sit below the measured values at sf0.01 AND sf0.1
+# (deterministic data + deterministic hyperplanes/centroids make the
+# numbers exact per scale, not statistical).
+_LSH_RECALL_BOUND = 0.85  # measured 0.9 at sf0.01 and sf0.1
+_IVF_RECALL_BOUND = 0.85  # measured 0.9 (sf0.01) / 1.0 (sf0.1)
+_SD_RECALL_BOUND = 0.95   # measured 1.0 at both scales
+
+
+def _emb_clones(
+    spark: SparkSession, emb: DataFrame,
+    n_src: int = 1, copies: int = 8, eps: float = 0.001,
+) -> DataFrame:
+    """Deterministic near-clone injection for the ANN gates (the
+    _q_minhash clone pattern lifted to embeddings): ``copies`` clones
+    of each of the first ``n_src`` vectors, ids 100000+i, coordinate j
+    perturbed by ``((i*7 + j) % 5 - 2) * eps`` — integer arithmetic
+    times an exact double literal, so a DuckDB twin reproduces every
+    vector bit-for-bit."""
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    src = base.filter(F.col("vec_id") < n_src).select(
+        F.col("vec_id").alias("__src"), F.col("embedding").alias("qv")
+    )
+    clones = (
+        spark.range(n_src * copies)
+        .withColumn("__src", F.col("id") % n_src)
+        .join(F.broadcast(src), "__src")
+        .select(
+            (F.col("id") + 100000).alias("vec_id"),
+            F.transform(
+                "qv",
+                lambda x, j: x
+                + ((F.col("id") * 7 + j.cast("long")) % 5 - 2)
+                .cast("double") * F.lit(eps),
+            ).alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+    )
+    return base.unionByName(clones)
+
+
+def _with_recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int, bound: float
+) -> DataFrame:
+    """Append the measured recall@k vs the brute-force top-k on the
+    same corpus (|approx ∩ exact| / k) as a column, and assert the
+    documented bound in the query itself."""
+    recall = (
+        approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k"))
+    )
+    return approx.crossJoin(F.broadcast(recall)).filter(
+        F.col("recall_at_k") >= F.lit(bound)
+    )
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    """LSH-bucketed top-k with 8 planted near-clones of the query
+    vector, plus a measured recall_at_k column vs the exact top-10.
+    Hash-checked: the seeded hyperplanes are deterministic constants,
+    so the whole probe (buckets, 1-bit ring, cosine top-k, recall) has
+    an exact DuckDB twin (_lsh_topk_oracle)."""
+    emb = _emb_clones(spark, _emb(spark, sf_dir))
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
-    return S.lsh_bucket_topk(emb, qv, k=10, planes=8, probe_hamming=1)
+    approx = S.lsh_bucket_topk(emb, qv, k=10, planes=8, probe_hamming=1)
+    exact = S.cosine_topk(emb, qv, k=10)
+    return _with_recall_at_k(approx, exact, 10, _LSH_RECALL_BOUND)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k + measured recall_at_k vs brute force, asserted ≥ the
+    documented bound in-query.  Rows-only: the centroids are trained
+    from the data (deterministic but not expressible as a static SQL
+    string)."""
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
-    return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+    approx = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+    exact = S.cosine_topk(emb, qv, k=10)
+    return _with_recall_at_k(approx, exact, 10, _IVF_RECALL_BOUND)
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SemDeDup-style: coarse k-means cells + exact within-cell cosine
-    # pairs → min-id cluster dedup.  Approximate BY DESIGN (cross-cell
-    # dups missed) → rows-only check; the precision-1-subset property
-    # vs brute force is unit-tested in tests/test_semantic_dedup.py
+    """SemDeDup-style dedup over a corpus with 16 planted near-dup
+    clones (2 per source vector), plus measured drop_precision /
+    drop_recall columns vs the exact brute-force pair graph
+    (embedding_dup_pairs → dedup_by_pairs), asserted in-query:
+    precision must be exactly 1 (within-cell cosines are exact, so an
+    approx-dropped id is always brute-droppable) and recall ≥ the
+    documented bound (cross-cell dups are missed BY DESIGN).
+    Rows-only: k-means cells are data-trained."""
     from pql_spark.operators import semantic_dedup
 
-    emb = _emb(spark, sf_dir)
-    return semantic_dedup(
+    emb = _emb_clones(spark, _emb(spark, sf_dir), n_src=8, copies=2,
+                      eps=0.0001)
+    kept = semantic_dedup(
         emb, threshold=0.9, n_clusters=8
-    ).select("vec_id").orderBy("vec_id")
+    ).select("vec_id")
+    pairs = D.embedding_dup_pairs(emb, threshold=0.9)
+    brute_kept = D.dedup_by_pairs(emb, pairs, "vec_id").select("vec_id")
+    ids = emb.select("vec_id")
+    dropped = ids.join(kept, "vec_id", "left_anti")
+    brute_dropped = ids.join(brute_kept, "vec_id", "left_anti")
+    stats = (
+        dropped.join(brute_dropped, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+        .crossJoin(F.broadcast(
+            dropped.agg(F.count(F.lit(1)).alias("__nd"))))
+        .crossJoin(F.broadcast(
+            brute_dropped.agg(F.count(F.lit(1)).alias("__nb"))))
+        .select(
+            F.coalesce(F.col("__ni") / F.col("__nd"), F.lit(1.0))
+            .alias("drop_precision"),
+            F.coalesce(F.col("__ni") / F.col("__nb"), F.lit(1.0))
+            .alias("drop_recall"),
+        )
+    )
+    return (
+        kept.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("drop_precision") >= 1.0)
+            & (F.col("drop_recall") >= F.lit(_SD_RECALL_BOUND))
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    """Exact DuckDB twin of _q_lsh_topk: the seeded hyperplanes are
+    inlined as literals; buckets, the 1-bit probe ring, candidate
+    cosine top-k, and the recall column all mirror the Spark plan's
+    left-to-right double folds bit-for-bit."""
+    hp = S.hyperplanes(64, 8, 42)
+    planes_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in hp
+    )
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, p[{j + 1}]) >= 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(8)
+    )
+    return f"""
+WITH pl AS (SELECT [{planes_sql}]::DOUBLE[][] AS p),
+q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+lbase AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT 100000 + i AS vec_id,
+         [qv[j + 1] + ((i * 7 + j) % 5 - 2) * 0.001 FOR j IN range(0, 64)]
+  FROM q0, range(8) t(i)
+),
+lb AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM lbase, pl),
+lqb AS (SELECT bucket AS qbucket FROM lb WHERE vec_id = 0),
+lprobes AS (SELECT qbucket AS pr FROM lqb
+            UNION ALL
+            SELECT xor(qbucket, 1 << j) FROM lqb, range(8) t(j)),
+lscored AS (SELECT vec_id,
+              list_dot_product(v, qv)
+                / (sqrt(list_dot_product(v, v))
+                   * sqrt(list_dot_product(qv, qv))) AS cosine
+            FROM lb, q0 WHERE bucket IN (SELECT pr FROM lprobes)),
+lapprox AS (SELECT vec_id, cosine FROM lscored
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+lexact AS (SELECT vec_id FROM (
+             SELECT vec_id,
+               list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(qv, qv))) AS c
+             FROM lbase, q0 ORDER BY c DESC, vec_id ASC LIMIT 10)),
+lrecall AS (SELECT count(*) / 10.0 AS recall_at_k
+            FROM lapprox JOIN lexact USING (vec_id))
+SELECT vec_id, cosine, recall_at_k FROM lapprox, lrecall
+WHERE recall_at_k >= {_LSH_RECALL_BOUND}
+"""
 
 
 def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5667,9 +5824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_cosine_topk": _q_cosine_topk,
             "op_quantize_embeddings": _q_quantize,
             "op_quantized_topk": _q_quantized_topk,
-            "op_lsh_topk": _q_lsh_topk,  # approximate — rows-only check
-            "op_semantic_dedup": _q_semantic_dedup,  # approximate — rows-only
-            "op_ivf_topk": _q_ivf_topk,  # approximate — rows-only check
+            "op_lsh_topk": _q_lsh_topk,  # hash-checked + recall column
+            "op_semantic_dedup": _q_semantic_dedup,  # recall/precision cols
+            "op_ivf_topk": _q_ivf_topk,  # recall column (rows-only)
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
@@ -5748,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
             "op_minhash_dups": _minhash_oracle(),
             "op_curate_corpus": _curate_corpus_oracle(),
             "op_curate_qa": _curate_qa_oracle(),
+            "op_lsh_topk": _lsh_topk_oracle(),
             "op_dedup_clusters": _dedup_clusters_oracle(),
             "op_simhash": _simhash_oracle(),
             "op_embedding_dups": _COSINE_PAIRS_ORACLE,
