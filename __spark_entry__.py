@@ -5353,9 +5353,11 @@ SELECT doc_id FROM (
 def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (``operators.bpe.bpe_train``): the
     distributed word-frequency aggregate feeds the bounded-table merge
-    loop (Sennrich et al. 2016).  Deterministic merge table — rows-only
-    driver check (the merge loop is iterative, not SQL-expressible);
-    the trainer itself is reference-checked in tests/test_bpe.py."""
+    loop (Sennrich et al. 2016).  Hash-checked (r11) against
+    _bpe_oracle(): the twin computes the word-frequency table
+    independently in DuckDB and replays the bounded deterministic
+    merge loop sequentially; the trainer is also reference-checked in
+    tests/test_bpe.py."""
     from pql_spark.operators import bpe_train
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -5365,13 +5367,90 @@ def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE (GPT-2 alphabet, ``byte_level=True``): same
     bounded merge loop over UTF-8 byte symbols — any script, zero OOV.
-    Rows-only driver check like op_bpe (iterative merge loop); the
-    byte table, hand example, CJK round-trip, and reference
-    equivalence are tested in tests/test_bpe.py."""
+    Hash-checked like op_bpe (replayed twin); the byte table, hand
+    example, CJK round-trip, and reference equivalence are tested in
+    tests/test_bpe.py."""
     from pql_spark.operators import bpe_train
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return bpe_train(docs, num_merges=24, byte_level=True).orderBy("rank")
+
+
+def _bpe_oracle(byte_level: bool, num_merges: int = 24) -> str:
+    """Replayed-twin oracle for the BPE trainer (VERDICT r10 item 7).
+
+    The distributed half of ``bpe_train`` is ONE aggregate — the word
+    frequency table; the merge loop is a bounded deterministic driver
+    fold.  The twin therefore (a) computes the word-frequency table
+    INDEPENDENTLY in DuckDB (the same ``_WORDS`` tokenization every
+    text gate hash-proves), (b) replays the merge loop with the
+    standalone ~20-line reference below (freq-desc / lexicographic
+    tie-breaks, Sennrich 2016 — written here, not imported from the
+    operator), and (c) emits the expected merge table as a VALUES
+    literal.  The driver's correctness gate is pinned to sf=0.01 by
+    contract (TESTDATA.md), which is what makes a data-derived literal
+    twin well-defined; the GPT-2 byte table is the published constant
+    mapping (bijectivity property-tested in tests/test_bpe.py)."""
+    import duckdb as _dd
+
+    wf = _dd.sql(
+        f"SELECT word, count(*) AS freq FROM (SELECT unnest({_WORDS})"
+        " AS word FROM '/root/testdata/sf0.01/documents.parquet')"
+        " WHERE word != '' GROUP BY word"
+        " ORDER BY freq DESC, word LIMIT 65536"
+    ).fetchall()
+    if byte_level:
+        from pql_spark.operators.bpe import bytes_to_unicode
+
+        b2u = bytes_to_unicode()
+        vocab = [
+            (tuple(b2u[b] for b in w.encode("utf-8")), int(f))
+            for w, f in wf
+        ]
+    else:
+        vocab = [(tuple(w) + ("</w>",), int(f)) for w, f in wf]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = max(counts.values())
+        if best < 2:
+            break
+        a, b = min(p for p, c in counts.items() if c == best)
+        merges.append((rank, a, b, best))
+        nxt = []
+        for syms, f in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((tuple(out), f))
+        vocab = nxt
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n  ".join(
+        f"({r}, {q(a)}, {q(b)}, {fq})" for r, a, b, fq in merges
+    )
+    return f"""
+SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
+       CAST(pair_freq AS BIGINT) AS pair_freq
+FROM (VALUES
+  {rows}
+) AS t(rank, "left", "right", pair_freq)
+ORDER BY rank
+"""
 
 
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5906,6 +5985,8 @@ def oracle_sql() -> dict[str, str]:
             "op_curate_corpus": _curate_corpus_oracle(),
             "op_curate_qa": _curate_qa_oracle(),
             "op_lsh_topk": _lsh_topk_oracle(),
+            "op_bpe": _bpe_oracle(byte_level=False),
+            "op_bpe_bytes": _bpe_oracle(byte_level=True),
             "op_dedup_clusters": _dedup_clusters_oracle(),
             "op_simhash": _simhash_oracle(),
             "op_embedding_dups": _COSINE_PAIRS_ORACLE,
