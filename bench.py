@@ -24,6 +24,29 @@ from pql_spark.operators._util import unpersist_tracked  # noqa: E402
 from pql_spark.sources import build_session  # noqa: E402
 
 
+# Streaming per-gate startup floors (PERF_NOTES_r10.md, measured with
+# null-drain / passthrough / trivial-stateful micro-benchmarks): a
+# JVM-only transient micro-batch gate floors at ~0.9 s, a
+# Python-stateful one at ~1.4 s; op_stream_near_dup adds its measured
+# 64-perm minhash Arrow kernel (~1.2 s — the same cost its batch twin
+# op_minhash_dups pays on the same corpus).  The revised r10 target is
+# machine-checked here: per-gate best-of-2 must sit within
+# _STREAM_DELTA_MAX of its floor AND the 8-gate family within
+# _STREAM8_FAMILY_MAX, else the record carries stream_perf_flag=true.
+_STREAM_FLOORS = {
+    "op_stream_windowed": 0.9,
+    "op_stream_sink_upsert": 0.9,
+    "op_stream_dedup": 0.9,
+    "op_stream_stateful": 1.4,
+    "op_stream_sequence_detect": 1.4,
+    "op_stream_interval_join": 1.4,
+    "op_stream_sessionize": 1.4,
+    "op_stream_near_dup": 2.6,
+}
+_STREAM_DELTA_MAX = 0.5
+_STREAM8_FAMILY_MAX = 14.0
+
+
 def _sentinel(spark, sf_dir: str) -> float:
     """Median-of-3 of a fixed-cost query (``pql_count``).  Run FIRST and
     LAST: at equal machine load the two medians agree within noise, so a
@@ -140,7 +163,6 @@ def main() -> int:
     # per-query rows under active perf watch (streaming family,
     # scale-study operators, headline).
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    full_path.write_text(json.dumps(full_record) + "\n")
     stream_family = [q for q in times if q.startswith("op_stream_")] + [
         "op_near_dup_incremental",
         "op_curate_stream",
@@ -177,6 +199,30 @@ def main() -> int:
         sum(times[q] for q in stream_family if q in times and times[q] == times[q]),
         3,
     )
+    # revised-target check (VERDICT r10 item 4): per-gate delta over
+    # the measured startup floors + the 8-gate family sum, recorded and
+    # flagged so the ≤14 s target is machine-checked, not prose.  Note
+    # stream_family_sec is the WIDER 10-row sum (8 op_stream_* gates
+    # plus op_near_dup_incremental and op_curate_stream); the target
+    # applies to stream8_family_sec.
+    stream_deltas = {
+        q: round(times[q] - f, 3)
+        for q, f in _STREAM_FLOORS.items()
+        if q in times and times[q] == times[q]
+    }
+    stream8_total = round(
+        sum(times[q] for q in _STREAM_FLOORS
+            if q in times and times[q] == times[q]),
+        3,
+    )
+    stream_perf_flag = bool(
+        any(d > _STREAM_DELTA_MAX for d in stream_deltas.values())
+        or stream8_total > _STREAM8_FAMILY_MAX
+    )
+    full_record["stream8_family_sec"] = stream8_total
+    full_record["stream_floor_deltas"] = stream_deltas
+    full_record["stream_perf_flag"] = stream_perf_flag
+    full_path.write_text(json.dumps(full_record) + "\n")
     digest = dict(full_record)
     digest["queries"] = digest_q
     digest["n_queries"] = len(times)

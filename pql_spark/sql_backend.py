@@ -413,10 +413,7 @@ class _SqlEmitter:
             if isinstance(expr.source, DatatableSource):
                 sql, cols = self.emit_datatable(expr.source)
             elif isinstance(expr.source, ExternalDataSource):
-                raise ParseError(
-                    "externaldata requires the DataFrame backend",
-                    expr.source.span,
-                )
+                sql, cols = self.emit_externaldata(expr.source)
             elif isinstance(expr.source, RangeSource):
                 src = expr.source
                 step = self.expr(src.step)
@@ -441,6 +438,41 @@ class _SqlEmitter:
         finally:
             self.last_sort, self.window, self._graph = saved
         return sql, cols
+
+    def emit_externaldata(
+        self, src: ExternalDataSource
+    ) -> tuple[str, list[str]]:
+        """``externaldata`` as a Spark SQL inline path scan
+        (``SELECT … FROM parquet.`uri```), one UNION ALL branch per
+        uri.  Only the self-describing formats (parquet, orc) have
+        inline scan syntax; csv/json need reader options, which Spark
+        SQL only accepts through ``CREATE … USING`` DDL — those stay
+        DataFrame-backend-only with an explicit error.  The declared
+        schema becomes a CAST projection, mirroring the DataFrame
+        backend's user-schema column pruning."""
+        from .parser import _DATATABLE_TYPES
+
+        opts = dict(src.options)
+        fmt = opts.pop("format", "csv").lower()
+        if fmt not in ("parquet", "orc") or opts:
+            raise ParseError(
+                "externaldata on the SQL backend supports only the"
+                " self-describing path-scan formats (parquet, orc)"
+                " with no reader options — Spark SQL has no inline"
+                " OPTIONS syntax (csv/json need CREATE ... USING DDL);"
+                " use the DataFrame backend",
+                src.span,
+            )
+        names = [n for n, _ in src.schema]
+        proj = ", ".join(
+            f"CAST({_q(n)} AS {_DATATABLE_TYPES[t]}) AS {_q(n)}"
+            for n, t in src.schema
+        )
+        scans = [
+            f"SELECT {proj} FROM {fmt}.`{uri.replace('`', '``')}`"
+            for uri in src.uris
+        ]
+        return " UNION ALL ".join(scans), names
 
     def emit_datatable(
         self, src: DatatableSource

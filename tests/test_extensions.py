@@ -967,6 +967,33 @@ def test_externaldata_csv(spark, tmp_path):
         compile_to_sql(q, {})
 
 
+def test_externaldata_parquet_sql_backend(spark, tmp_path):
+    """Self-describing formats compile to inline path scans on the SQL
+    backend (``FROM parquet.`uri```), bit-equal to the DataFrame
+    backend; one UNION ALL branch per uri."""
+    from pql_spark import PqlEngine, compile_to_sql
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)], "id long, name string, v double"
+    ).coalesce(1).write.parquet(a)
+    spark.createDataFrame(
+        [(3, "gamma", 3.5)], "id long, name string, v double"
+    ).coalesce(1).write.parquet(b)
+    eng = PqlEngine(spark, resolver={})
+    q = (
+        f'externaldata (id: long, name: string, v: real) ["{a}", "{b}"]'
+        ' with (format="parquet")'
+        " | where v > 2 | project id, name | sort by id asc"
+    )
+    df_rows = [tuple(r) for r in eng.query(q).collect()]
+    assert df_rows == [(2, "beta"), (3, "gamma")]
+    sql = compile_to_sql(q, {})
+    assert "parquet.`" in sql
+    assert [tuple(r) for r in spark.sql(sql).collect()] == df_rows
+
+
 def test_externaldata_json_multi_uri(spark, tmp_path):
     from pql_spark import PqlEngine
 
