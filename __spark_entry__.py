@@ -3873,8 +3873,15 @@ def _cat(spark: SparkSession, sf_dir: str):
 
 
 def _pql(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    # backend="auto": the batched SQL compile path (one spark.sql call,
+    # ~1 ms Python compile vs ~0.25 s of per-Column py4j chatter —
+    # VERDICT r10 item 2), falling back to the DataFrame compiler for
+    # the constructs the SQL backend honestly refuses.  Results are
+    # bit-identical (backend-equality tests + every gate's DuckDB hash).
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return PqlEngine(spark, resolver=_cat(spark, sf_dir)).query(text)
+        return PqlEngine(
+            spark, resolver=_cat(spark, sf_dir), backend="auto"
+        ).query(text)
 
     return run
 

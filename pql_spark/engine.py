@@ -25,6 +25,23 @@ class PqlEngine:
     ``params`` mirrors the reference's ``CompileOptions.Parameters``
     (pql.go:25-30): identifiers substituted at compile time, bound here as
     typed literal values.
+
+    ``backend`` picks the compile path for :meth:`query`:
+
+    * ``"df"`` (default) — the DataFrame compiler: one Column-expression
+      tree per operator, zero catalog side effects.
+    * ``"sql"`` — compile to one Spark SQL string and submit it with a
+      SINGLE ``spark.sql`` call.  Python compile time drops from ~0.25 s
+      to ~1 ms on deep pipelines (the DataFrame path pays one py4j
+      round-trip per Column op — ~1000 on a sequence_detect-class
+      query); results are bit-identical (backend-equality tested).
+      Side effect: each referenced table's DataFrame is registered as a
+      temp view under its own name so the SQL can resolve it.
+    * ``"auto"`` — try ``"sql"``, fall back to ``"df"`` on the
+      constructs the SQL backend honestly refuses (``externaldata``
+      with reader options, schema-less ``pivot``/``bag_unpack``,
+      ``ipv*_lookup return_unmatched``, ``pack_all()``, multi-output
+      ``facet``/``fork``).
     """
 
     def __init__(
@@ -32,10 +49,14 @@ class PqlEngine:
         spark: SparkSession,
         resolver: Resolver | Mapping[str, DataFrame] | None = None,
         params: Mapping[str, object] | None = None,
+        backend: str = "df",
     ):
+        if backend not in ("df", "sql", "auto"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.spark = spark
         self._resolver = _as_resolver(spark, resolver)
         self._params = dict(params or {})
+        self._backend = backend
 
     def close(self) -> int:
         """Drain the PROCESS-GLOBAL tracked-persist registry (see
@@ -65,7 +86,32 @@ class PqlEngine:
         merged = dict(self._params)
         if params:
             merged.update(params)
+        if self._backend in ("sql", "auto"):
+            try:
+                return self._query_via_sql(text, merged)
+            except Exception:
+                if self._backend == "sql":
+                    raise
         return compile_pql(text, self._resolver, merged)
+
+    def _query_via_sql(self, text: str, params: dict) -> DataFrame:
+        """The batched compile path: PQL → one SQL string → ONE
+        ``spark.sql`` call.  Referenced tables are registered as temp
+        views on the fly (createOrReplaceTempView of the resolver's own
+        DataFrame — consistent with this query's resolution even if a
+        view of that name already existed)."""
+        from .sql_backend import compile_to_sql
+
+        seen: set[str] = set()
+
+        def cols(name: str) -> list[str]:
+            seen.add(name)
+            return self._resolver(name).columns
+
+        sql = compile_to_sql(text, cols, params)
+        for name in seen:
+            self._resolver(name).createOrReplaceTempView(name)
+        return self.spark.sql(sql)
 
     def to_sql(
         self, text: str, params: Mapping[str, object] | None = None
