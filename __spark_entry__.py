@@ -5600,6 +5600,158 @@ def _zipf_cdf(t: int = 20, s: float = 1.1) -> list[float]:
 _ZIPF_CDF = _zipf_cdf()
 
 
+def _q_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic banded-Hamming join (dedup.hamming_dup_pairs — the
+    engine shared by pHash image and audio-fingerprint near-dup) on
+    its own hash-checked, data-proportional gate: 16 byte-valued
+    symbols per doc from md5 nibble-pairs (portable arithmetic); docs
+    with id % 40 == 1 carry their predecessor's signature with the
+    first two positions bumped (+1 mod 256) → Hamming distance 2 <
+    bands=8, the lossless pigeonhole setting.  The DuckDB twin mirrors
+    the banded candidate generation (so it scales like the Spark plan
+    at sf1 instead of brute-forcing n²) and the exact mismatch-count
+    verify."""
+    base = _docs(spark, sf_dir).select("doc_id")
+    dup = F.col("doc_id") % 40 == 1
+    seed = F.when(dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        "_", seed.cast("string"), i.cast("string")
+                    )),
+                    1, 2,
+                ),
+                16, 10,
+            ).cast("int")
+            + F.when(dup & (i < 2), F.lit(1)).otherwise(F.lit(0))
+        ) % 256,
+    )
+    df = base.select("doc_id", sig.alias("sig"))
+    return D.hamming_dup_pairs(
+        df, "sig", "doc_id", sig_len=16, threshold=2, bands=8
+    )
+
+
+_HAMMING_ORACLE = """
+WITH hb AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+         (doc_id % 40 = 1) AS dup
+  FROM documents),
+hsig AS (
+  SELECT doc_id,
+         [(('0x' || substr(md5(seed::VARCHAR || '_' || i::VARCHAR), 1, 2))
+              ::INT
+           + CASE WHEN dup AND i < 2 THEN 1 ELSE 0 END) % 256
+          FOR i IN range(0, 16)] AS sig
+  FROM hb),
+hbands AS (
+  SELECT doc_id,
+         array_to_string(sig[b * 2 + 1 : b * 2 + 2], ',') AS bkey,
+         b AS band
+  FROM hsig, range(8) t(b)),
+hcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hbands a JOIN hbands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(len([i FOR i IN range(1, 17)
+                 IF sa.sig[i] != sb.sig[i]]) AS INTEGER) AS hamming
+FROM hcand
+JOIN hsig sa ON id_a = sa.doc_id
+JOIN hsig sb ON id_b = sb.doc_id
+WHERE len([i FOR i IN range(1, 17) IF sa.sig[i] != sb.sig[i]]) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+def _geo_scale_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-proportional point cloud over ALL events: lattice sites
+    from coprime moduli (2003, 1999) at 0.002° spacing (~170-220 m —
+    wider than the join radius), collision-free through 4M ids; every
+    id % 40 == 1 point sits ~26 m east of its predecessor's site, so
+    the exact pair set is the planted (id-1, id) pairs and the count
+    grows linearly with the table."""
+    ev = _cat(spark, sf_dir)("events")
+    dup = F.col("event_id") % 40 == 1
+    base = F.when(dup, F.col("event_id") - 1).otherwise(F.col("event_id"))
+    return ev.select(
+        F.col("event_id").alias("id"),
+        (
+            F.lit(-122.5) + (base % 2003) * F.lit(0.002)
+            + F.when(dup, F.lit(0.0003)).otherwise(F.lit(0.0))
+        ).alias("lon"),
+        (F.lit(37.0) + ((base * 7) % 1999) * F.lit(0.002)).alias("lat"),
+    )
+
+
+def _q_geo_join_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_radius_join at data-proportional size (ALL events,
+    self-join) — the sf1 scaling row for the geo family (VERDICT r10
+    item 6).  Explicit level (= radius_level(60)) keeps the plan
+    deterministic; the twin mirrors the cell-bucketized join (Morton
+    bins + 3×3 ring + haversine verify) so the ratio is
+    like-for-like throughput, not brute-force-vs-index."""
+    from pql_spark.operators.geo import geo_radius_join
+
+    pts = _geo_scale_pts(spark, sf_dir)
+    out = geo_radius_join(pts, pts, radius_m=60.0, level=18)
+    return (
+        out.select("id_a", "id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _geo_join_scale_oracle(level: int = 18) -> str:
+    n = 1 << level
+    morton = (
+        "list_sum([(CAST(FLOOR({x} / pow(2.0, i)) AS BIGINT) % 2)"
+        " * CAST(pow(2.0, 2 * i + 1) AS BIGINT)"
+        " + (CAST(FLOOR({y} / pow(2.0, i)) AS BIGINT) % 2)"
+        f" * CAST(pow(2.0, 2 * i) AS BIGINT) FOR i IN range({level})])"
+    )
+    return f"""
+WITH gp AS (
+  SELECT event_id AS id,
+         -122.5 + ((CASE WHEN event_id % 40 = 1 THEN event_id - 1
+                         ELSE event_id END) % 2003) * 0.002
+                + CASE WHEN event_id % 40 = 1 THEN 0.0003 ELSE 0.0 END
+           AS lon,
+         37.0 + (((CASE WHEN event_id % 40 = 1 THEN event_id - 1
+                        ELSE event_id END) * 7) % 1999) * 0.002 AS lat
+  FROM events),
+gb AS (
+  SELECT id, lon, lat,
+         LEAST({n - 1}, FLOOR((lon + 180.0) / 360.0 * {float(n)}))
+           AS bx,
+         LEAST({n - 1}, FLOOR((lat + 90.0) / 180.0 * {float(n)}))
+           AS by
+  FROM gp),
+ga AS (SELECT id, lon, lat,
+              {morton.format(x='bx', y='by')} AS cell FROM gb),
+gring AS (
+  SELECT id, lon, lat,
+         {morton.format(x=f'((bx + dx + {n}) % {n})', y='(by + dy)')}
+           AS cell
+  FROM gb, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                   (1,-1),(1,0),(1,1)) t(dx, dy)
+  WHERE by + dy BETWEEN 0 AND {n - 1})
+SELECT a.id AS id_a, b.id AS id_b
+FROM ga a JOIN gring b USING (cell)
+WHERE a.id < b.id
+  AND 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+        pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2)
+      ))) <= 60.0
+ORDER BY id_a, id_b
+"""
+
+
 def _q_ngram_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin prefix filter on a Zipfian-boilerplate corpus (r10):
     300 docs built from PORTABLE arithmetic (md5 hex tokens + an
@@ -5857,9 +6009,12 @@ _CHECK_FIRST = [
     #
     # 1. never driver-checked:
     "op_phash_dups", "op_audio_dups",
-    # 2. changed this round (oracle/recall/evidence upgrades):
+    # 2. changed or new this round (oracle/recall/evidence upgrades;
+    # the banded-Hamming engine + geo scaling gates ship with driver
+    # evidence):
     "op_curate_corpus", "op_curate_qa", "op_lsh_topk", "op_ivf_topk",
-    "op_semantic_dedup", "op_bpe", "op_bpe_bytes",
+    "op_semantic_dedup", "op_bpe", "op_bpe_bytes", "op_hamming_dups",
+    "op_geo_join_scale",
     # 3. last hashed in round 6 (all 30):
     "pql_iff_strcat", "pql_predicates", "pql_null_semantics",
     "pql_let_arith", "pql_in", "pql_summarize_by", "pql_as_selfjoin",
@@ -5874,11 +6029,10 @@ _CHECK_FIRST = [
     # r12 rotation queue: the remaining 37 r7 rows (op_simhash,
     # op_ngram_jaccard, op_embedding_dups, op_cosine_topk, op_langid,
     # op_quality, op_token_stats, op_asof_join, op_range_join, ...).
-    # 4. r7 tail (11 of 48; the rest next round):
+    # 4. r7 tail (9 of 48; the rest next round):
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
     "pql_in_family", "pql_partition_op", "pql_sketch_fns",
     "pql_bin_hourly", "pql_arg_agg", "op_dedup_exact",
-    "pql_scan_funnel", "pql_autocluster",
 ]
 
 
@@ -5955,6 +6109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_curate_corpus": _q_curate_corpus,
             "op_curate_qa": _q_curate_qa,
             "op_geo_join": _q_geo_join,
+            "op_geo_join_scale": _q_geo_join_scale,
+            "op_hamming_dups": _q_hamming_dups,
         }
     )
     ordered = {n: out[n] for n in _CHECK_FIRST}
@@ -6018,6 +6174,8 @@ def oracle_sql() -> dict[str, str]:
             "op_asof_join": _ASOF_ORACLE,
             "op_range_join": _RANGE_JOIN_ORACLE,
             "op_geo_join": _GEO_JOIN_ORACLE,
+            "op_geo_join_scale": _geo_join_scale_oracle(),
+            "op_hamming_dups": _HAMMING_ORACLE,
             "op_ngram_zipf_prefix": _NGRAM_ZIPF_ORACLE,
             # stream-stream interval join produces the same pairs as the
             # batch range join over the identical window

@@ -52,6 +52,12 @@ QUERIES = [
     # events (the geo join gate is constant-size by construction and
     # stays out)
     "pql_geo_cell",
+    # round-11 additions (VERDICT r10 item 6): data-proportional geo
+    # radius join (cell-bucketized twin, like-for-like) and the generic
+    # banded-Hamming join shared by pHash/audio near-dup (banded twin;
+    # the media gates themselves are constant-size — decode is narrow
+    # per-row Arrow work, the join is the part that scales)
+    "op_geo_join_scale", "op_hamming_dups",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
