@@ -39,7 +39,10 @@ def gen_zipf() -> int:
     token changed, same template → Jaccard ≈ 0.7).  Output:
     .scratch/zipf/documents.parquet (doc_id, text).
     """
-    N, T, S = 30_000, 50, 1.1
+    import os
+
+    N = int(os.environ.get("SPARK_GRAFT_ZIPF_N", "30000"))
+    T, S = 50, 1.1
     spark = build_session("gen-zipf")
     spark.sparkContext.setLogLevel("ERROR")
     w = [1.0 / (i + 1) ** S for i in range(T)]
@@ -89,7 +92,8 @@ def gen_zipf() -> int:
         "doc_id",
         F.concat_ws(" ", F.concat(content, bp)).alias("text"),
     )
-    dst = Path(__file__).resolve().parent.parent / ".scratch" / "zipf"
+    sub = "zipf" if N == 30_000 else f"zipf{N}"
+    dst = Path(__file__).resolve().parent.parent / ".scratch" / sub
     dst.mkdir(parents=True, exist_ok=True)
     out.repartition(32).write.mode("overwrite").parquet(
         str(dst / "documents.parquet"))
