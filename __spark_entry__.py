@@ -3872,18 +3872,32 @@ def _cat(spark: SparkSession, sf_dir: str):
     return _CAT_CACHE[key]
 
 
-def _pql(text: str) -> Callable[[SparkSession, str], DataFrame]:
+def _pql(
+    text: str, backend: str = "auto"
+) -> Callable[[SparkSession, str], DataFrame]:
     # backend="auto": the batched SQL compile path (one spark.sql call,
     # ~1 ms Python compile vs ~0.25 s of per-Column py4j chatter —
     # VERDICT r10 item 2), falling back to the DataFrame compiler for
     # the constructs the SQL backend honestly refuses.  Results are
     # bit-identical (backend-equality tests + every gate's DuckDB hash).
+    # A few execution-bound gates pin backend="df" where the DataFrame
+    # compiler's plan surgery beats the text path at sf1 (see
+    # _PQL_BACKEND_PINS).
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return PqlEngine(
-            spark, resolver=_cat(spark, sf_dir), backend="auto"
+            spark, resolver=_cat(spark, sf_dir), backend=backend
         ).query(text)
 
     return run
+
+
+# Gates where the DataFrame compiler's plan is measurably better at
+# scale than the SQL text path (r11, sf1 best-of-2): the CIDR lookups'
+# projected-parse + rebalance surgery keeps the per-row address parse
+# evaluated ONCE, which CollapseProject undoes on the text path
+# (v4 2.6 vs 3.9 s, v6 4.5 vs 12.8 s).  Compile floor is irrelevant
+# here — these rows are execution-bound.
+_PQL_BACKEND_PINS = {"pql_ipv4_lookup": "df", "pql_ipv6_lookup": "df"}
 
 
 # multi-output (facet/fork) queries: one gated entry per output table
@@ -6038,7 +6052,8 @@ _CHECK_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _pql(text) for name, (text, _) in PQL_QUERIES.items()
+        name: _pql(text, _PQL_BACKEND_PINS.get(name, "auto"))
+        for name, (text, _) in PQL_QUERIES.items()
     }
     out.update(
         {

@@ -2707,11 +2707,21 @@ class _SqlEmitter:
             name = f"$right.{c}" if c in left_cols else c
             out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
             out_names.append(name)
+        # the fact-side parse subqueries carry a REBALANCE hint: the
+        # exchange spreads a 1-2-split parquet scan across the cluster
+        # instead of serializing the key work, and bounds how far
+        # CollapseProject can sink the expensive address parse
+        # (measured at sf1: v4 6.1 → 3.9 s, v6 14.9 → 12.8 s).  The
+        # text path still re-evaluates the v6 canon through the
+        # collapsed (h, l) pair projection — the DataFrame compiler's
+        # column-object plan stays 2-3× faster here, which is why the
+        # lookup gates pin backend="df" (see __spark_entry__._pql).
         if op.v6:
             # fact-side canon → (h, l) pair computed once per row;
             # only the two bitwise-AND masks run per (row × prefix)
             left_src = (
-                f"(SELECT *, {_sql_ipv6_pair(_q(CANON))} AS {_q(PAIR)}"
+                f"(SELECT /*+ REBALANCE */ *,"
+                f" {_sql_ipv6_pair(_q(CANON))} AS {_q(PAIR)}"
                 f" FROM (SELECT *, {_sql_hex32(_q(ip_name))}"
                 f" AS {_q(CANON)} FROM ({left_sql})"
                 f" AS {_q('__pql_ipl')}) AS {_q('__pql_iplc')})"
@@ -2724,7 +2734,8 @@ class _SqlEmitter:
             # v4 twin of the v6 canon subquery) — only the cheap
             # masked shift runs per (row × prefix)
             left_src = (
-                f"(SELECT *, {_sql_ip_long(_q(ip_name))} AS {_q(CANON)}"
+                f"(SELECT /*+ REBALANCE */ *,"
+                f" {_sql_ip_long(_q(ip_name))} AS {_q(CANON)}"
                 f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
             )
             lkey = masked4(

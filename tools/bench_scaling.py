@@ -80,6 +80,13 @@ NOTES = {
         " string; the ratio measures parse cost the oracle never pays."
         " Compare absolute spark_sf1 instead."
     ),
+    "op_bpe": (
+        "literal twin: the oracle is a replayed VALUES table (the"
+        " driver-side merge-loop replay), so duck time is a constant"
+        " ~1 ms fetch and the ratio is not a throughput comparison."
+        " Compare absolute spark_sf1 (the one distributed stage is a"
+        " word-frequency groupBy) instead."
+    ),
 }
 
 
