@@ -4557,9 +4557,10 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k + measured recall_at_k vs brute force, asserted ≥ the
-    documented bound in-query.  Rows-only: the centroids are trained
-    from the data (deterministic but not expressible as a static SQL
-    string)."""
+    documented bound in-query.  Hash-checked (r11): the centroid
+    training is bounded + deterministic, so _ivf_topk_oracle() replays
+    it from the pinned sf0.01 corpus and inlines the trained centroids
+    and probe cells as SQL literals."""
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
     approx = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
@@ -4610,6 +4611,81 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _ivf_topk_oracle() -> str:
+    """Replayed-twin oracle for IVF top-k (the BPE device applied to
+    the other data-trained structure): the spherical-k-means training
+    is a bounded deterministic driver-side computation over the FIRST
+    2048 vectors in id order, so the twin replays it in numpy from the
+    sf0.01 parquet (the gate contract pins the correctness scale),
+    inlines the trained centroids + probe cells as SQL literals, and
+    mirrors the Spark plan's cell argmax (struct-max — ties pick the
+    HIGHEST cell, matching ivf_assign's array_max), candidate cosine
+    top-k, and recall column bit-for-bit."""
+    import math as _m
+
+    import duckdb as _dd
+    import numpy as np
+
+    rows = _dd.sql(
+        "SELECT vec_id, embedding FROM"
+        " '/root/testdata/sf0.01/embeddings.parquet'"
+        " ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    x = np.array([[float(v) for v in r[1]] for r in rows],
+                 dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_centroids, iters = 8, 10
+    cents = x[np.linspace(0, len(x) - 1, n_centroids).astype(int)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 1e-12:
+                    cents[j] = c / nrm
+    cents = [[float(v) for v in row] for row in cents]
+    qv = [float(v) for v in rows[0][1]]  # vec_id = 0 is first in order
+    qn = _m.sqrt(sum(v * v for v in qv)) or 1.0
+
+    def score(c: list[float]) -> float:
+        cn = _m.sqrt(sum(v * v for v in c)) or 1.0
+        return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
+
+    order = sorted(range(n_centroids), key=lambda i: (-score(cents[i]), i))
+    probes = order[:3]
+    cell_structs = ", ".join(
+        "struct_pack(s := list_dot_product(v, [{c}])"
+        " / (sqrt(list_dot_product(v, v)) * {nc}), c := {i})".format(
+            c=", ".join(repr(val) for val in cent),
+            nc=repr(_m.sqrt(sum(val * val for val in cent)) or 1.0),
+            i=i,
+        )
+        for i, cent in enumerate(cents)
+    )
+    qlit = ", ".join(repr(v) for v in qv)
+    cos = (
+        f"list_dot_product(v, [{qlit}])"
+        f" / (sqrt(list_dot_product(v, v)) * {repr(qn)})"
+    )
+    return f"""
+WITH iv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+icell AS (SELECT vec_id, v,
+            (list_max([{cell_structs}])).c AS cell FROM iv),
+iapprox AS (SELECT vec_id, {cos} AS cosine FROM icell
+            WHERE cell IN ({", ".join(str(p) for p in probes)})
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+iexact AS (SELECT vec_id FROM (
+             SELECT vec_id, {cos} AS c2 FROM iv
+             ORDER BY c2 DESC, vec_id ASC LIMIT 10)),
+irecall AS (SELECT count(*) / 10.0 AS recall_at_k
+            FROM iapprox JOIN iexact USING (vec_id))
+SELECT vec_id, cosine, recall_at_k FROM iapprox, irecall
+WHERE recall_at_k >= {_IVF_RECALL_BOUND}
+"""
 
 
 def _lsh_topk_oracle() -> str:
@@ -6081,7 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_quantized_topk": _q_quantized_topk,
             "op_lsh_topk": _q_lsh_topk,  # hash-checked + recall column
             "op_semantic_dedup": _q_semantic_dedup,  # recall/precision cols
-            "op_ivf_topk": _q_ivf_topk,  # recall column (rows-only)
+            "op_ivf_topk": _q_ivf_topk,  # hash-checked + recall column
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # rows-only (binary)
@@ -6163,6 +6239,7 @@ def oracle_sql() -> dict[str, str]:
             "op_curate_corpus": _curate_corpus_oracle(),
             "op_curate_qa": _curate_qa_oracle(),
             "op_lsh_topk": _lsh_topk_oracle(),
+            "op_ivf_topk": _ivf_topk_oracle(),
             "op_bpe": _bpe_oracle(byte_level=False),
             "op_bpe_bytes": _bpe_oracle(byte_level=True),
             "op_dedup_clusters": _dedup_clusters_oracle(),
