@@ -4576,7 +4576,9 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision must be exactly 1 (within-cell cosines are exact, so an
     approx-dropped id is always brute-droppable) and recall ≥ the
     documented bound (cross-cell dups are missed BY DESIGN).
-    Rows-only: k-means cells are data-trained."""
+    Hash-checked (r11): _semantic_dedup_oracle() replays only the
+    bounded centroid training; DuckDB computes clones, cells, both
+    pair graphs, components, and the quality columns itself."""
     from pql_spark.operators import semantic_dedup
 
     emb = _emb_clones(spark, _emb(spark, sf_dir), n_src=8, copies=2,
@@ -4685,6 +4687,113 @@ irecall AS (SELECT count(*) / 10.0 AS recall_at_k
             FROM iapprox JOIN iexact USING (vec_id))
 SELECT vec_id, cosine, recall_at_k FROM iapprox, irecall
 WHERE recall_at_k >= {_IVF_RECALL_BOUND}
+"""
+
+
+def _semantic_dedup_oracle() -> str:
+    """Replayed-twin oracle for SemDeDup (r11): only the bounded
+    deterministic k-means training is replayed in numpy (over the
+    CLONED corpus, exactly as the gate trains it); everything
+    distributed — clone construction, cell argmax, within-cell exact
+    pairs, the brute-force pair graph, min-label components for both,
+    and the precision/recall columns — is computed by DuckDB from the
+    parquet with the centroids inlined as literals."""
+    import math as _m
+
+    import duckdb as _dd
+    import numpy as np
+
+    rows = _dd.sql(
+        "SELECT vec_id, embedding FROM"
+        " '/root/testdata/sf0.01/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    base = [[float(v) for v in r[1]] for r in rows]
+    clones = []
+    for i in range(16):
+        src = base[i % 8]
+        clones.append(
+            [x + ((i * 7 + j) % 5 - 2) * 0.0001
+             for j, x in enumerate(src)]
+        )
+    x = np.array(base + clones, dtype=np.float64)  # id order: 0..499, 100000..
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_centroids, iters = 8, 10
+    cents = x[np.linspace(0, len(x) - 1, n_centroids).astype(int)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 1e-12:
+                    cents[j] = c / nrm
+    cell_structs = ", ".join(
+        "struct_pack(s := list_dot_product(v, [{c}])"
+        " / (sqrt(list_dot_product(v, v)) * {nc}), c := {i})".format(
+            c=", ".join(repr(float(val)) for val in cent),
+            nc=repr(_m.sqrt(sum(float(val) ** 2 for val in cent)) or 1.0),
+            i=i,
+        )
+        for i, cent in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH RECURSIVE
+sb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT 100000 + i AS vec_id,
+         [q.v[j + 1] + ((i * 7 + j) % 5 - 2) * 0.0001
+          FOR j IN range(0, 64)] AS v
+  FROM (SELECT vec_id AS src, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 8) q,
+       range(16) t(i)
+  WHERE q.src = i % 8),
+scell AS (SELECT vec_id, v,
+            (list_max([{cell_structs}])).c AS cell FROM sb),
+sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM scell a JOIN scell b
+         ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE {cos} >= 0.9),
+sedges AS (SELECT id_a AS a, id_b AS b FROM sp
+           UNION ALL SELECT id_b, id_a FROM sp),
+slab(id, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sedges) sn
+  UNION
+  SELECT e.a, l.label FROM sedges e JOIN slab l ON l.id = e.b),
+sdrop AS (SELECT id FROM (SELECT id, min(label) AS comp
+                          FROM slab GROUP BY id) sc
+          WHERE comp != id),
+bp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM sb a JOIN sb b ON a.vec_id < b.vec_id
+       WHERE {cos} >= 0.9),
+bedges AS (SELECT id_a AS a, id_b AS b FROM bp
+           UNION ALL SELECT id_b, id_a FROM bp),
+blab(id, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bedges) bn
+  UNION
+  SELECT e.a, l.label FROM bedges e JOIN blab l ON l.id = e.b),
+bdrop AS (SELECT id FROM (SELECT id, min(label) AS comp
+                          FROM blab GROUP BY id) bc
+          WHERE comp != id),
+sstats AS (SELECT
+  (SELECT count(*) FROM sdrop JOIN bdrop USING (id)) AS ni,
+  (SELECT count(*) FROM sdrop) AS nd,
+  (SELECT count(*) FROM bdrop) AS nb)
+SELECT vec_id,
+       CASE WHEN nd = 0 THEN 1.0 ELSE ni / nd END AS drop_precision,
+       CASE WHEN nb = 0 THEN 1.0 ELSE ni / nb END AS drop_recall
+FROM sb, sstats
+WHERE vec_id NOT IN (SELECT id FROM sdrop)
+  AND (CASE WHEN nd = 0 THEN 1.0 ELSE ni / nd END) >= 1.0
+  AND (CASE WHEN nb = 0 THEN 1.0 ELSE ni / nb END) >= {_SD_RECALL_BOUND}
+ORDER BY vec_id
 """
 
 
@@ -6156,7 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_quantize_embeddings": _q_quantize,
             "op_quantized_topk": _q_quantized_topk,
             "op_lsh_topk": _q_lsh_topk,  # hash-checked + recall column
-            "op_semantic_dedup": _q_semantic_dedup,  # recall/precision cols
+            "op_semantic_dedup": _q_semantic_dedup,  # hash-checked + quality cols
             "op_ivf_topk": _q_ivf_topk,  # hash-checked + recall column
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
@@ -6240,6 +6349,7 @@ def oracle_sql() -> dict[str, str]:
             "op_curate_qa": _curate_qa_oracle(),
             "op_lsh_topk": _lsh_topk_oracle(),
             "op_ivf_topk": _ivf_topk_oracle(),
+            "op_semantic_dedup": _semantic_dedup_oracle(),
             "op_bpe": _bpe_oracle(byte_level=False),
             "op_bpe_bytes": _bpe_oracle(byte_level=True),
             "op_dedup_clusters": _dedup_clusters_oracle(),
