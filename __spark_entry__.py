@@ -4690,6 +4690,100 @@ WHERE recall_at_k >= {_IVF_RECALL_BOUND}
 """
 
 
+def _phash_dups_oracle() -> str:
+    """Replayed-twin oracle for pHash image near-dup.  Checked
+    INDEPENDENTLY of the operator: (a) the PNG encode→decode
+    roundtrip — the twin hashes the SYNTH PIXELS directly and never
+    touches the codec, so any lossy corruption in ``_png.py`` breaks
+    the match; (b) the banded-Hamming LSH join — the twin brute-forces
+    ALL pairs over sequentially computed hashes, so the banding's
+    losslessness is re-proved on the real output every driver round;
+    (c) the distributed Arrow plumbing.  The hash MATH is shared by
+    construction (``phash_reference``, independently property-tested
+    in tests/test_phash.py).  The gate corpus is constant, so the
+    VALUES literal is data-independent."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import (
+        phash_reference,
+        synth_image,
+    )
+
+    hashes: dict[int, list[int]] = {
+        k: phash_reference(synth_image(k)) for k in range(96)
+    }
+    for k in range(8):
+        img = np.clip(
+            synth_image(k).astype(np.int64) + 6, 0, 255
+        ).astype(np.uint8)
+        hashes[100000 + k] = phash_reference(img)
+    ids = sorted(hashes)
+    pairs = [
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (h := sum(x != y for x, y in zip(hashes[a], hashes[b]))) <= 6
+    ]
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {rows}) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b
+"""
+
+
+def _audio_dups_oracle() -> str:
+    """Replayed-twin oracle for audio-fingerprint near-dup — same
+    device as _phash_dups_oracle.  The PCM16 quantization is
+    replicated from the published WAV definition (clip·32767 → int16
+    → /32767) rather than through the stdlib ``wave`` module, so the
+    codec roundtrip is independently checked; pairs are brute-forced
+    over sequentially computed fingerprints, re-proving the banded
+    join lossless on the real output."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import synth_audio
+
+    def pcm(sig: np.ndarray) -> np.ndarray:
+        q = np.clip(
+            np.asarray(sig) * 32767.0, -32768, 32767
+        ).astype("<i2")
+        return q.astype(np.float64) / 32767.0
+
+    def fp(samples: np.ndarray, n_blocks: int = 32) -> list[int]:
+        out = []
+        for blk in np.array_split(samples, n_blocks):
+            if blk.size < 2:
+                out.append(0)
+                continue
+            mag = np.abs(np.fft.rfft(blk))
+            out.append(int(mag[1:].argmax()) + 1)
+        return out
+
+    fps: dict[int, list[int]] = {
+        k: fp(pcm(synth_audio(k))) for k in range(48)
+    }
+    for k in range(6):
+        sig = synth_audio(k) * 0.5
+        sig = sig + 0.002 * np.sin(np.arange(sig.size))
+        fps[100000 + k] = fp(pcm(sig))
+    ids = sorted(fps)
+    pairs = [
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (h := sum(x != y for x, y in zip(fps[a], fps[b]))) <= 3
+    ]
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {rows}) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b
+"""
+
+
 def _semantic_dedup_oracle() -> str:
     """Replayed-twin oracle for SemDeDup (r11): only the bounded
     deterministic k-means training is replayed in numpy (over the
@@ -6089,9 +6183,12 @@ def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pHash image near-dup (r10): 96 real-PNG images + 8 planted
     brightness-shifted clones; banded-Hamming join at a lossless
-    setting (6 < 8 bands).  Rows-only: DuckDB cannot decode PNG; the
-    banding-vs-brute-force equality and ImageHash-style reference
-    parity are pinned by tests/test_phash.py."""
+    setting (6 < 8 bands).  Hash-checked (r11): _phash_dups_oracle()
+    replays the constant corpus sequentially — hashing the synth
+    PIXELS (so the PNG roundtrip is independently verified) and
+    brute-forcing all pairs (so the banding's losslessness is
+    re-proved on real output each round); reference-math parity is
+    additionally pinned by tests/test_phash.py."""
     import numpy as np
 
     from pql_spark.operators.multimodal import (
@@ -6134,8 +6231,11 @@ def _q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup (r10): 48 real-WAV two-tone clips +
     6 planted volume-scaled clones; generic banded-Hamming join at a
-    lossless setting (3 < 8 bands).  Rows-only (DuckDB cannot decode
-    WAV); losslessness and clone recovery pinned by tests."""
+    lossless setting (3 < 8 bands).  Hash-checked (r11):
+    _audio_dups_oracle() replays the corpus with the PCM16
+    quantization replicated from the WAV definition (codec roundtrip
+    independently verified) and brute-forces all pairs; clone
+    recovery also pinned by tests."""
     import numpy as np
     import pandas as pd
 
@@ -6269,9 +6369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_ivf_topk": _q_ivf_topk,  # hash-checked + recall column
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
-            "op_multimodal_features": _q_multimodal,  # rows-only (binary)
-            "op_phash_dups": _q_phash_dups,  # rows-only (PNG decode)
-            "op_audio_dups": _q_audio_dups,  # rows-only (WAV decode)
+            "op_multimodal_features": _q_multimodal,  # plumbing-contract oracle
+            "op_phash_dups": _q_phash_dups,  # hash-checked (replayed twin)
+            "op_audio_dups": _q_audio_dups,  # hash-checked (replayed twin)
             "op_ngram_zipf_prefix": _q_ngram_zipf,
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
@@ -6350,6 +6450,19 @@ def oracle_sql() -> dict[str, str]:
             "op_lsh_topk": _lsh_topk_oracle(),
             "op_ivf_topk": _ivf_topk_oracle(),
             "op_semantic_dedup": _semantic_dedup_oracle(),
+            "op_phash_dups": _phash_dups_oracle(),
+            "op_audio_dups": _audio_dups_oracle(),
+            # the multimodal-features gate projects the PLUMBING
+            # contract only (id, kind, byte count, feature dim) over
+            # the deterministic fake-media table (fixed 1024-byte
+            # payloads) — directly SQL-expressible; the feature values
+            # themselves are binary-derived and pinned by unit tests
+            "op_multimodal_features": (
+                "SELECT CAST(i AS BIGINT) AS media_id,"
+                " 'image' AS kind, CAST(1024 AS BIGINT) AS n_bytes,"
+                " CAST(16 AS INTEGER) AS dim"
+                " FROM range(128) t(i) ORDER BY media_id"
+            ),
             "op_bpe": _bpe_oracle(byte_level=False),
             "op_bpe_bytes": _bpe_oracle(byte_level=True),
             "op_dedup_clusters": _dedup_clusters_oracle(),
