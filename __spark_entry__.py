@@ -6313,7 +6313,7 @@ _CHECK_FIRST = [
     # evidence):
     "op_curate_corpus", "op_curate_qa", "op_lsh_topk", "op_ivf_topk",
     "op_semantic_dedup", "op_bpe", "op_bpe_bytes", "op_hamming_dups",
-    "op_geo_join_scale",
+    "op_geo_join_scale", "op_multimodal_features",
     # 3. last hashed in round 6 (all 30):
     "pql_iff_strcat", "pql_predicates", "pql_null_semantics",
     "pql_let_arith", "pql_in", "pql_summarize_by", "pql_as_selfjoin",
@@ -6328,10 +6328,10 @@ _CHECK_FIRST = [
     # r12 rotation queue: the remaining 37 r7 rows (op_simhash,
     # op_ngram_jaccard, op_embedding_dups, op_cosine_topk, op_langid,
     # op_quality, op_token_stats, op_asof_join, op_range_join, ...).
-    # 4. r7 tail (9 of 48; the rest next round):
+    # 4. r7 tail (8 of 48; the rest next round):
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
     "pql_in_family", "pql_partition_op", "pql_sketch_fns",
-    "pql_bin_hourly", "pql_arg_agg", "op_dedup_exact",
+    "pql_bin_hourly", "pql_arg_agg",
 ]
 
 
