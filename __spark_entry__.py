@@ -4581,6 +4581,10 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graphs, components, and the quality columns itself."""
     from pql_spark.operators import semantic_dedup
 
+    # the cloned corpus feeds five consumers below, but it is a cheap
+    # narrow construction — persisting it was MEASURED SLOWER at sf0.1
+    # (5.8→7.2 s: cache blocks per-branch column pruning), so each
+    # branch recomputes the narrow lineage
     emb = _emb_clones(spark, _emb(spark, sf_dir), n_src=8, copies=2,
                       eps=0.0001)
     kept = semantic_dedup(
