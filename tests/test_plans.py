@@ -230,3 +230,67 @@ def test_dedup_lines_within_doc_is_narrow(spark, sf_catalog):
     plan = formatted_plan(df)
     assert "Exchange" not in plan  # zero shuffles
     assert "BatchEvalPython" not in plan
+
+
+def test_geo_radius_join_plan_is_hash_equi_join(spark):
+    """The spatial join must be ONE hash equi-join on the integer cell
+    (broadcast or shuffled — never a cartesian/nested-loop), with the
+    haversine verify riding the join, not a post-join blowup."""
+    from pyspark.sql import functions as F
+
+    from pql_spark.operators.geo import geo_radius_join
+
+    pts = spark.range(500).select(
+        F.col("id"),
+        (F.lit(-122.5) + (F.col("id") % 40) * 0.004).alias("lon"),
+        (F.lit(37.6) + ((F.col("id") * 13) % 40) * 0.004).alias("lat"),
+    )
+    df = geo_radius_join(pts, pts, radius_m=300.0, level=15)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BatchEvalPython" not in plan  # all-Catalyst, no Python
+
+
+def test_hamming_dup_pairs_plan(spark):
+    """The banded-Hamming join: posting-list candidates (one groupBy
+    shuffle), equi-joins back for the verify — no cartesian, no
+    row-at-a-time Python."""
+    from pyspark.sql import functions as F
+
+    from pql_spark.operators.dedup import hamming_dup_pairs
+
+    sig = spark.range(400).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.col("id") * 31 + i) % 251,
+        ).cast("array<int>").alias("sig"),
+    )
+    df = hamming_dup_pairs(sig, "sig", "id", 16, 2, 8)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # posting-list aggregation is partial-aggregated (map-side combine)
+    assert "partial_sort_array" in plan or "partial_collect_list" in plan
+
+
+def test_sql_backend_path_same_physical_shape(spark, sf_catalog):
+    """The batched compile path (backend='sql') must reach the same
+    physical strategy as the DataFrame compiler on the canonical
+    where+summarize+sort pipeline: pushed filter, pruned scan, partial
+    aggregation — the plan quality is backend-independent."""
+    q = (
+        "lineitem | where l_quantity > 45"
+        " | summarize n = count() by l_returnflag | sort by n desc"
+    )
+    for backend in ("df", "sql"):
+        eng = PqlEngine(spark, resolver=sf_catalog, backend=backend)
+        plan = formatted_plan(eng.query(q))
+        assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+            "PushedFilters"
+        )[1][:120], backend
+        assert "partial_count" in plan, backend
+        assert "TakeOrderedAndProject" in plan or "Sort" in plan, backend
