@@ -6329,9 +6329,10 @@ _CHECK_FIRST = [
     "pql_series_stats_fit", "pql_activity_metrics", "op_knn_skew",
     "pql_funnel_completion", "op_crossdoc_dedup",
     "pql_activity_engagement", "pql_diffpatterns_text",
-    # r12 rotation queue: the remaining 37 r7 rows (op_simhash,
-    # op_ngram_jaccard, op_embedding_dups, op_cosine_topk, op_langid,
-    # op_quality, op_token_stats, op_asof_join, op_range_join, ...).
+    # r12 rotation queue: the remaining 40 r7 rows (op_dedup_exact,
+    # op_simhash, op_ngram_jaccard, op_embedding_dups, op_cosine_topk,
+    # op_langid, op_quality, op_token_stats, op_asof_join,
+    # op_range_join, pql_scan_funnel, pql_autocluster, ...).
     # 4. r7 tail (8 of 48; the rest next round):
     "pql_datatable", "pql_string_preds", "pql_serialize_window",
     "pql_in_family", "pql_partition_op", "pql_sketch_fns",

@@ -176,6 +176,60 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def literal_lookup_prefixes(
+    right: "TabularExpr", rname: str, v6: bool
+) -> list[int] | None:
+    """Distinct prefix lengths of a LITERAL-datatable ipv4/ipv6 lookup,
+    computed at compile time with no Spark job — None when the lookup
+    is not a bare string-literal datatable.  Mirrors the SQL prefix
+    math (`/p` suffix via try_cast-or-default, v4-notation at bit
+    offset 96 in v6 mode) and returns a SUPERSET of the engine-side
+    valid set: prefixes of base-unparsable CIDRs are included (their
+    fact-side keys join nothing), out-of-range prefixes are dropped
+    (their lookup rows are filtered).  Shared by the DataFrame
+    compiler and the SQL backend's Generate-shape emission."""
+    import re
+
+    from .ast_nodes import DatatableSource, StringLit
+
+    if right.operators or not isinstance(
+        right.source, DatatableSource
+    ):
+        return None
+    schema = right.source.schema
+    names = [n for n, _ in schema]
+    if rname not in names:
+        return None  # unknown column: let the engine path error
+    idx, stride = names.index(rname), len(schema)
+    out: set[int] = set()
+    hi = 128 if v6 else 32
+    for i in range(idx, len(right.source.values), stride):
+        v = right.source.values[i]
+        if not isinstance(v, StringLit):
+            return None
+        parts = v.value.split("/")
+        suf: int | None = None
+        if len(parts) > 1 and re.fullmatch(
+            # try_cast semantics: trimmed signed digits only
+            # (python int() also takes "8_0" etc — reject those,
+            # they are NULL → default-prefix in the engine)
+            r"[+-]?[0-9]+", parts[1].strip()
+        ):
+            suf = int(parts[1].strip())
+        # NO strip/lower here: _range_prefix6's is4 regex sees the
+        # raw address text, and a mismatch must fall through to
+        # the v6 branch exactly like the engine does
+        if v6 and re.fullmatch(
+            r"[0-9]{1,3}(\.[0-9]{1,3}){3}", parts[0]
+        ):
+            p = 96 + min(suf if suf is not None else 32, 32)
+        else:
+            p = suf if suf is not None else hi
+        if 0 <= p <= hi:
+            out.add(p)
+    return sorted(out)
+
+
 @dataclass
 class _JoinEnv:
     """Scope inside a join's ON conditions: ``$left``/``$right``
@@ -2134,56 +2188,9 @@ class Compiler:
         return matched.drop(LID).unionByName(un_out)
 
     def _literal_prefixes(self, op: Ipv4LookupOp) -> list[int] | None:
-        """Distinct prefix lengths of a LITERAL-datatable lookup,
-        computed driver-side with no Spark job — None when the lookup
-        is not a bare string-literal datatable.  Mirrors the SQL
-        prefix math (`/p` suffix via try_cast-or-default, v4-notation
-        at bit offset 96 in v6 mode) and returns a SUPERSET of the
-        engine-side valid set: prefixes of base-unparsable CIDRs are
-        included (their fact-side keys join nothing), out-of-range
-        prefixes are dropped (their lookup rows are filtered)."""
-        import re
-
-        from .ast_nodes import DatatableSource, StringLit
-
-        right = op.right
-        if right.operators or not isinstance(
-            right.source, DatatableSource
-        ):
-            return None
-        schema = right.source.schema
-        names = [n for n, _ in schema]
-        rname = op.range_col.parts[0]
-        if rname not in names:
-            return None  # unknown column: let the engine path error
-        idx, stride = names.index(rname), len(schema)
-        out: set[int] = set()
-        hi = 128 if op.v6 else 32
-        for i in range(idx, len(right.source.values), stride):
-            v = right.source.values[i]
-            if not isinstance(v, StringLit):
-                return None
-            parts = v.value.split("/")
-            suf: int | None = None
-            if len(parts) > 1 and re.fullmatch(
-                # try_cast semantics: trimmed signed digits only
-                # (python int() also takes "8_0" etc — reject those,
-                # they are NULL → default-prefix in the engine)
-                r"[+-]?[0-9]+", parts[1].strip()
-            ):
-                suf = int(parts[1].strip())
-            # NO strip/lower here: _range_prefix6's is4 regex sees the
-            # raw address text, and a mismatch must fall through to
-            # the v6 branch exactly like the engine does
-            if op.v6 and re.fullmatch(
-                r"[0-9]{1,3}(\.[0-9]{1,3}){3}", parts[0]
-            ):
-                p = 96 + min(suf if suf is not None else 32, 32)
-            else:
-                p = suf if suf is not None else hi
-            if 0 <= p <= hi:
-                out.add(p)
-        return sorted(out)
+        return literal_lookup_prefixes(
+            op.right, op.range_col.parts[0], op.v6
+        )
 
     def _compile_cols(self, cols: list[ColSpec], env: _Env) -> list[Column]:
         return [

@@ -389,6 +389,9 @@ class _SqlEmitter:
         self.columns_of = columns_of
         self.scope: dict[str, str] = {k: _lit(v) for k, v in params.items()}
         self.bound: dict[str, tuple[str, list[str]]] = {}  # `as` bindings
+        # AST of tabular-let bindings — lets emit_ipv4_lookup see a
+        # let-bound literal datatable for its compile-time prefix set
+        self.bound_ast: dict[str, object] = {}
         self.let_funcs: dict = {}  # name -> FuncDef (inlined at calls)
         self._inlining: set = set()  # recursion guard
         self.join_sides: tuple[list[str], list[str]] | None = None
@@ -2707,15 +2710,112 @@ class _SqlEmitter:
             name = f"$right.{c}" if c in left_cols else c
             out_items.append(f"{_q('$right')}.{_q(c)} AS {_q(name)}")
             out_names.append(name)
-        # the fact-side parse subqueries carry a REBALANCE hint: the
-        # exchange spreads a 1-2-split parquet scan across the cluster
-        # instead of serializing the key work, and bounds how far
-        # CollapseProject can sink the expensive address parse
-        # (measured at sf1: v4 6.1 → 3.9 s, v6 14.9 → 12.8 s).  The
-        # text path still re-evaluates the v6 canon through the
-        # collapsed (h, l) pair projection — the DataFrame compiler's
-        # column-object plan stays 2-3× faster here, which is why the
-        # lookup gates pin backend="df" (see __spark_entry__._pql).
+        # LITERAL-datatable lookups (the typical threat-intel/geo
+        # list): the distinct prefix set is known at COMPILE time, so
+        # the emission mirrors the DataFrame compiler's Generate shape
+        # exactly — one LATERAL VIEW explode of per-prefix
+        # (prefix, masked-key) structs, each key a literal-mask
+        # bitwise AND (v6) / literal shiftrightunsigned (v4) over the
+        # ONCE-projected parse, then one broadcast hash equi-join.
+        # This avoids the cross-join fallback below, whose executed
+        # plan is a BroadcastNestedLoopJoin widening the FULL fact row
+        # (maps/strings included) |prefixes|× before the hash join.
+        from .compiler import literal_lookup_prefixes
+
+        right_ast = op.right
+        if (
+            not right_ast.operators
+            and isinstance(right_ast.source, TableRef)
+            and right_ast.source.name in self.bound_ast
+        ):
+            # follow a tabular-let binding to its underlying AST (the
+            # gate-typical `let nets = datatable(...)` shape)
+            right_ast = self.bound_ast[right_ast.source.name]
+        pfx_vals = literal_lookup_prefixes(
+            right_ast, op.range_col.parts[0], op.v6
+        )
+        if pfx_vals is not None:
+            from .functions import _mask64
+
+            IPP, LKEY = "__pql_ip_parsed", "__pql_ip_lkey"
+            if op.v6:
+                lsrc = (
+                    f"(SELECT /*+ REBALANCE */ *,"
+                    f" {_sql_ipv6_pair(_q(CANON))} AS {_q(IPP)}"
+                    f" FROM (SELECT *, {_sql_hex32(_q(ip_name))}"
+                    f" AS {_q(CANON)} FROM ({left_sql})"
+                    f" AS {_q('__pql_ipl')}) AS {_q('__pql_iplc')})"
+                )
+
+                def key(p: int) -> str:
+                    mh = _mask64(min(p, 64))
+                    ml = _mask64(p - 64)
+                    return (
+                        f"named_struct('h', ({_q(IPP)}).h"
+                        f" & CAST('{mh}' AS BIGINT),"
+                        f" 'l', ({_q(IPP)}).l"
+                        f" & CAST('{ml}' AS BIGINT))"
+                    )
+
+                ktype = "struct<h:bigint,l:bigint>"
+            else:
+                lsrc = (
+                    f"(SELECT /*+ REBALANCE */ *,"
+                    f" {_sql_ip_long(_q(ip_name))} AS {_q(IPP)}"
+                    f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
+                )
+
+                def key(p: int) -> str:
+                    # v >>> (32-p) on a uint32-as-long is
+                    # equality-identical to the parsed side's
+                    # floor(v / 2^(32-p)) for v >= 0
+                    if p >= 32:
+                        return _q(IPP)
+                    return (
+                        f"shiftrightunsigned({_q(IPP)}, {32 - p})"
+                    )
+
+                ktype = "bigint"
+            if pfx_vals:
+                structs = ", ".join(
+                    f"named_struct('p', CAST({p} AS BIGINT),"
+                    f" 'k', {key(p)})"
+                    for p in pfx_vals
+                )
+                pairs = (
+                    f"(CASE WHEN {_q(IPP)} IS NOT NULL"
+                    f" THEN array({structs}) END)"
+                )
+            else:  # no valid CIDR in the lookup → nothing can match
+                pairs = (
+                    f"CAST(array() AS"
+                    f" array<struct<p:bigint,k:{ktype}>>)"
+                )
+            keyed = (
+                f"(SELECT *, {_q('__pql_pk')}.p AS {_q(P)},"
+                f" {_q('__pql_pk')}.k AS {_q(LKEY)}"
+                f" FROM {lsrc} AS {_q('__pql_ipkb')}"
+                f" LATERAL VIEW explode({pairs}) {_q('__pql_pkt')}"
+                f" AS {_q('__pql_pk')})"
+            )
+            sql = (
+                f"SELECT /*+ BROADCAST({_q('$right')}) */"
+                f" {', '.join(out_items)}"
+                f" FROM {keyed} AS {_q('$left')}"
+                f" JOIN ({parsed}) AS {_q('$right')}"
+                f" ON {_q('$left')}.{_q(P)} = {_q('$right')}.{_q(P)}"
+                f" AND {_q('$left')}.{_q(LKEY)}"
+                f" = {_q('$right')}.{_q(RKEY)}"
+            )
+            return sql, out_names
+        # table-backed lookups: the prefixes are data, so fall back to
+        # the distinct-prefix CROSS JOIN.  The fact-side parse
+        # subqueries carry a REBALANCE hint: the exchange spreads a
+        # 1-2-split parquet scan across the cluster instead of
+        # serializing the key work and materializes the parse below it
+        # (measured at sf1: v4 6.1 → 3.9 s, v6 14.9 → 12.8 s — the
+        # BroadcastNestedLoopJoin row-widening noted above is the
+        # remaining cost of this shape).
         if op.v6:
             # fact-side canon → (h, l) pair computed once per row;
             # only the two bitwise-AND masks run per (row × prefix)
@@ -5425,6 +5525,7 @@ def _prepare_emitter(
                 # EXTENSION tabular let → named subquery binding (same
                 # mechanism as `as`)
                 emitter.bound[stmt.name] = emitter.emit_query(stmt.tabular)
+                emitter.bound_ast[stmt.name] = stmt.tabular
             else:
                 emitter.scope[stmt.name] = emitter.expr(stmt.expr)
     return emitter, tabular[0]
