@@ -3891,13 +3891,18 @@ def _pql(
     return run
 
 
-# Gates where the DataFrame compiler's plan is measurably better at
-# scale than the SQL text path (r11, sf1 best-of-2): the CIDR lookups'
-# projected-parse + rebalance surgery keeps the per-row address parse
-# evaluated ONCE, which CollapseProject undoes on the text path
-# (v4 2.6 vs 3.9 s, v6 4.5 vs 12.8 s).  Compile floor is irrelevant
-# here — these rows are execution-bound.
-_PQL_BACKEND_PINS = {"pql_ipv4_lookup": "df", "pql_ipv6_lookup": "df"}
+# Gates pinned to the DataFrame compiler when its plan measurably
+# beats the SQL text path at sf1.  EMPTY as of late r11: the CIDR
+# lookups were pinned mid-round (v6 read 14.9 s on the text path),
+# but the attribution chased it to TWO emitter fixes — the
+# Generate-shape emission for literal-prefix lookups, and a pinned
+# REPARTITION(width) passthrough BELOW the parse projections (an
+# argless REBALANCE/REPARTITION hint is AQE-coalesced back to the raw
+# 1-2 scan splits on small shuffle bytes, which serialized the
+# per-row address parse).  With both, the text path now beats the
+# DataFrame plan (sf1 best-of-2: v4 1.74 vs 2.85 s, v6 2.76 vs
+# 3.68 s, bit-equal).  The mechanism stays for future rows.
+_PQL_BACKEND_PINS: dict[str, str] = {}
 
 
 # multi-output (facet/fork) queries: one gated entry per output table

@@ -108,7 +108,10 @@ class PqlEngine:
             seen.add(name)
             return self._resolver(name).columns
 
-        sql = compile_to_sql(text, cols, params)
+        sql = compile_to_sql(
+            text, cols, params,
+            width=self.spark.sparkContext.defaultParallelism,
+        )
         for name in seen:
             self._resolver(name).createOrReplaceTempView(name)
         return self.spark.sql(sql)
@@ -125,7 +128,8 @@ class PqlEngine:
         if params:
             merged.update(params)
         return compile_to_sql(
-            text, lambda n: self._resolver(n).columns, merged
+            text, lambda n: self._resolver(n).columns, merged,
+            width=self.spark.sparkContext.defaultParallelism,
         )
 
     def to_sql_multi(

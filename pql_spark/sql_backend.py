@@ -384,9 +384,15 @@ class _SqlEmitter:
         source_text: str,
         columns_of: ColumnsOf,
         params: Mapping[str, object],
+        width: int | None = None,
     ):
         self.text = source_text
         self.columns_of = columns_of
+        # cluster width for pinned REPARTITION(n) hints (an argless
+        # REPARTITION/REBALANCE shuffle is AQE-coalescible, which
+        # un-parallelizes expensive parse stages on small byte sizes);
+        # None → best-effort argless hint
+        self.width = width
         self.scope: dict[str, str] = {k: _lit(v) for k, v in params.items()}
         self.bound: dict[str, tuple[str, list[str]]] = {}  # `as` bindings
         # AST of tabular-let bindings — lets emit_ipv4_lookup see a
@@ -2738,12 +2744,31 @@ class _SqlEmitter:
             from .functions import _mask64
 
             IPP, LKEY = "__pql_ip_parsed", "__pql_ip_lkey"
+            # the width hint sits on a bare passthrough block BELOW
+            # the parse projections: the expensive parse then runs
+            # ABOVE the exchange, i.e. cluster-wide — the SQL twin of
+            # rebalance()-then-parse.  The hint must carry an EXPLICIT
+            # number: argless REBALANCE/REPARTITION shuffles are
+            # AQE-coalescible, and on small shuffle bytes AQE folded
+            # the exchange back to the raw 1-2 scan splits,
+            # serializing the per-row parse (measured 13 s vs 2.8 s at
+            # sf1 for the v6 lookup).  CollapseProject keeps the parse
+            # projections separate (the canon is referenced several
+            # times, above its inline-cost threshold).
+            rep = (
+                f"REPARTITION({self.width})" if self.width
+                else "REPARTITION"
+            )
+            wide = (
+                f"(SELECT /*+ {rep} */ * FROM ({left_sql})"
+                f" AS {_q('__pql_iplw')})"
+            )
             if op.v6:
                 lsrc = (
-                    f"(SELECT /*+ REBALANCE */ *,"
+                    f"(SELECT *,"
                     f" {_sql_ipv6_pair(_q(CANON))} AS {_q(IPP)}"
                     f" FROM (SELECT *, {_sql_hex32(_q(ip_name))}"
-                    f" AS {_q(CANON)} FROM ({left_sql})"
+                    f" AS {_q(CANON)} FROM {wide}"
                     f" AS {_q('__pql_ipl')}) AS {_q('__pql_iplc')})"
                 )
 
@@ -2760,9 +2785,9 @@ class _SqlEmitter:
                 ktype = "struct<h:bigint,l:bigint>"
             else:
                 lsrc = (
-                    f"(SELECT /*+ REBALANCE */ *,"
+                    f"(SELECT *,"
                     f" {_sql_ip_long(_q(ip_name))} AS {_q(IPP)}"
-                    f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
+                    f" FROM {wide} AS {_q('__pql_ipl')})"
                 )
 
                 def key(p: int) -> str:
@@ -2816,14 +2841,22 @@ class _SqlEmitter:
         # (measured at sf1: v4 6.1 → 3.9 s, v6 14.9 → 12.8 s — the
         # BroadcastNestedLoopJoin row-widening noted above is the
         # remaining cost of this shape).
+        rep = (
+            f"REPARTITION({self.width})" if self.width
+            else "REPARTITION"
+        )
+        wide = (
+            f"(SELECT /*+ {rep} */ * FROM ({left_sql})"
+            f" AS {_q('__pql_iplw')})"
+        )
         if op.v6:
             # fact-side canon → (h, l) pair computed once per row;
             # only the two bitwise-AND masks run per (row × prefix)
             left_src = (
-                f"(SELECT /*+ REBALANCE */ *,"
+                f"(SELECT *,"
                 f" {_sql_ipv6_pair(_q(CANON))} AS {_q(PAIR)}"
                 f" FROM (SELECT *, {_sql_hex32(_q(ip_name))}"
-                f" AS {_q(CANON)} FROM ({left_sql})"
+                f" AS {_q(CANON)} FROM {wide}"
                 f" AS {_q('__pql_ipl')}) AS {_q('__pql_iplc')})"
             )
             lkey = _sql_pair_masked(
@@ -2834,9 +2867,9 @@ class _SqlEmitter:
             # v4 twin of the v6 canon subquery) — only the cheap
             # masked shift runs per (row × prefix)
             left_src = (
-                f"(SELECT /*+ REBALANCE */ *,"
+                f"(SELECT *,"
                 f" {_sql_ip_long(_q(ip_name))} AS {_q(CANON)}"
-                f" FROM ({left_sql}) AS {_q('__pql_ipl')})"
+                f" FROM {wide} AS {_q('__pql_ipl')})"
             )
             lkey = masked4(
                 f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
@@ -5501,6 +5534,7 @@ def _prepare_emitter(
     text: str,
     columns: Mapping[str, Sequence[str]] | ColumnsOf,
     params: Mapping[str, object] | None,
+    width: int | None = None,
 ) -> tuple[_SqlEmitter, TabularExpr]:
     columns_of: ColumnsOf = (
         columns if callable(columns) else lambda n: columns[n]
@@ -5514,7 +5548,7 @@ def _prepare_emitter(
             text,
             [ParseError("batch queries not supported", tabular[1].span)],
         )
-    emitter = _SqlEmitter(text, columns_of, dict(params or {}))
+    emitter = _SqlEmitter(text, columns_of, dict(params or {}), width)
     for stmt in statements:
         if stmt is tabular[0]:
             break  # lets after the query are skipped (pql.go:58-62)
@@ -5535,14 +5569,18 @@ def compile_to_sql(
     text: str,
     columns: Mapping[str, Sequence[str]] | ColumnsOf,
     params: Mapping[str, object] | None = None,
+    width: int | None = None,
 ) -> str:
     """Compile one PQL query to a Spark SQL string.
 
     ``columns`` supplies each referenced table's column list (mapping or
     callable) — required to expand ``*`` at joins and reproduce the
-    ``$right.<col>`` duplicate-naming rule.
+    ``$right.<col>`` duplicate-naming rule.  ``width`` (optional) pins
+    expensive-parse repartition hints to an explicit partition count
+    (AQE coalesces argless hints); pass the cluster's default
+    parallelism when a session is at hand, as ``PqlEngine`` does.
     """
-    emitter, expr = _prepare_emitter(text, columns, params)
+    emitter, expr = _prepare_emitter(text, columns, params, width)
     if expr.operators and isinstance(
         expr.operators[-1], (FacetOp, ForkOp)
     ):
