@@ -4624,7 +4624,40 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_oracle() -> str:
+# Bare-operator twins of the three quality-instrumented gates
+# (VERDICT r11 item 2): the instrumented gates run operator PLUS an
+# in-query brute-force oracle, so their BENCH rows cannot isolate an
+# operator regression (the r10→r11 1.63→6.89 s semantic_dedup jump was
+# oracle machinery).  These rows run ONLY the operator — same corpus,
+# same parameters — and are the round-over-round tracking surface.
+
+
+def _q_lsh_topk_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k, operator only (no recall column)."""
+    emb = _emb_clones(spark, _emb(spark, sf_dir))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    return S.lsh_bucket_topk(emb, qv, k=10, planes=8, probe_hamming=1)
+
+
+def _q_ivf_topk_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k, operator only (no recall column)."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+
+
+def _q_semantic_dedup_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keeper set, operator only (no precision/recall)."""
+    from pql_spark.operators import semantic_dedup
+
+    emb = _emb_clones(spark, _emb(spark, sf_dir), n_src=8, copies=2,
+                      eps=0.0001)
+    return semantic_dedup(
+        emb, threshold=0.9, n_clusters=8
+    ).select("vec_id").orderBy("vec_id")
+
+
+def _ivf_topk_oracle(bare: bool = False) -> str:
     """Replayed-twin oracle for IVF top-k (the BPE device applied to
     the other data-trained structure): the spherical-k-means training
     is a bounded deterministic driver-side computation over the FIRST
@@ -4633,7 +4666,8 @@ def _ivf_topk_oracle() -> str:
     inlines the trained centroids + probe cells as SQL literals, and
     mirrors the Spark plan's cell argmax (struct-max — ties pick the
     HIGHEST cell, matching ivf_assign's array_max), candidate cosine
-    top-k, and recall column bit-for-bit."""
+    top-k, and recall column bit-for-bit.  ``bare=True`` stops at the
+    operator output (the _q_ivf_topk_bare twin, no recall column)."""
     import math as _m
 
     import duckdb as _dd
@@ -4682,13 +4716,16 @@ def _ivf_topk_oracle() -> str:
         f"list_dot_product(v, [{qlit}])"
         f" / (sqrt(list_dot_product(v, v)) * {repr(qn)})"
     )
-    return f"""
+    head = f"""
 WITH iv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 icell AS (SELECT vec_id, v,
             (list_max([{cell_structs}])).c AS cell FROM iv),
 iapprox AS (SELECT vec_id, {cos} AS cosine FROM icell
             WHERE cell IN ({", ".join(str(p) for p in probes)})
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10)"""
+    if bare:  # operator-only twin of _q_ivf_topk_bare
+        return head + "\nSELECT vec_id, cosine FROM iapprox\n"
+    return head + f""",
 iexact AS (SELECT vec_id FROM (
              SELECT vec_id, {cos} AS c2 FROM iv
              ORDER BY c2 DESC, vec_id ASC LIMIT 10)),
@@ -4793,14 +4830,15 @@ ORDER BY id_a, id_b
 """
 
 
-def _semantic_dedup_oracle() -> str:
+def _semantic_dedup_oracle(bare: bool = False) -> str:
     """Replayed-twin oracle for SemDeDup (r11): only the bounded
     deterministic k-means training is replayed in numpy (over the
     CLONED corpus, exactly as the gate trains it); everything
     distributed — clone construction, cell argmax, within-cell exact
     pairs, the brute-force pair graph, min-label components for both,
     and the precision/recall columns — is computed by DuckDB from the
-    parquet with the centroids inlined as literals."""
+    parquet with the centroids inlined as literals.  ``bare=True``
+    stops at the keeper set (the _q_semantic_dedup_bare twin)."""
     import math as _m
 
     import duckdb as _dd
@@ -4846,7 +4884,7 @@ def _semantic_dedup_oracle() -> str:
         " / (sqrt(list_dot_product(a.v, a.v))"
         " * sqrt(list_dot_product(b.v, b.v)))"
     )
-    return f"""
+    head = f"""
 WITH RECURSIVE
 sb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4872,7 +4910,14 @@ slab(id, label) AS (
   SELECT e.a, l.label FROM sedges e JOIN slab l ON l.id = e.b),
 sdrop AS (SELECT id FROM (SELECT id, min(label) AS comp
                           FROM slab GROUP BY id) sc
-          WHERE comp != id),
+          WHERE comp != id)"""
+    if bare:  # operator-only twin of _q_semantic_dedup_bare
+        return head + """
+SELECT vec_id FROM sb
+WHERE vec_id NOT IN (SELECT id FROM sdrop)
+ORDER BY vec_id
+"""
+    return head + f""",
 bp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        FROM sb a JOIN sb b ON a.vec_id < b.vec_id
        WHERE {cos} >= 0.9),
@@ -4900,11 +4945,12 @@ ORDER BY vec_id
 """
 
 
-def _lsh_topk_oracle() -> str:
+def _lsh_topk_oracle(bare: bool = False) -> str:
     """Exact DuckDB twin of _q_lsh_topk: the seeded hyperplanes are
     inlined as literals; buckets, the 1-bit probe ring, candidate
     cosine top-k, and the recall column all mirror the Spark plan's
-    left-to-right double folds bit-for-bit."""
+    left-to-right double folds bit-for-bit.  ``bare=True`` stops at
+    the operator output (the _q_lsh_topk_bare twin)."""
     hp = S.hyperplanes(64, 8, 42)
     planes_sql = ", ".join(
         "[" + ", ".join(repr(x) for x in row) + "]" for row in hp
@@ -4914,7 +4960,7 @@ def _lsh_topk_oracle() -> str:
         f" THEN {1 << j} ELSE 0 END"
         for j in range(8)
     )
-    return f"""
+    head = f"""
 WITH pl AS (SELECT [{planes_sql}]::DOUBLE[][] AS p),
 q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 lbase AS (
@@ -4935,7 +4981,10 @@ lscored AS (SELECT vec_id,
                    * sqrt(list_dot_product(qv, qv))) AS cosine
             FROM lb, q0 WHERE bucket IN (SELECT pr FROM lprobes)),
 lapprox AS (SELECT vec_id, cosine FROM lscored
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10)"""
+    if bare:  # operator-only twin of _q_lsh_topk_bare
+        return head + "\nSELECT vec_id, cosine FROM lapprox\n"
+    return head + f""",
 lexact AS (SELECT vec_id FROM (
              SELECT vec_id,
                list_dot_product(v, qv)
@@ -6307,41 +6356,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-11 rotation (VERDICT r10 item 1): (1) the ONLY two gates
-    # with zero driver evidence (landed after the r10 window froze),
-    # (2) every gate this round's changes touch — composed
-    # curate-corpus oracle, ANN recall columns, BPE hash upgrade —
-    # so new code ships WITH driver evidence, (3) ALL 30 rows whose
-    # latest evidence is r6 (after this window nothing predates r7),
-    # (4) the front of the r7 tail.
+    # Round-12 rotation (VERDICT r11 item 3): (1) ALL 40 rows whose
+    # latest hash-green evidence is r7 (verified by
+    # tools/evidence_freshness.py — after this window nothing
+    # predates r9), (2) the three NEW bare-operator gates, (3) every
+    # gate this round's code changes touch (engine view-isolation +
+    # auto default affects all PQL gates — the 40 r7 rows include a
+    # broad PQL mix plus both ip lookups, whose SQL emission gained
+    # the $p broadcast hint; geo lat-bound handling; sequence_detect
+    # and hamming perf work), (4) the front of the r9 tail.
     #
-    # 1. never driver-checked:
-    "op_phash_dups", "op_audio_dups",
-    # 2. changed or new this round (oracle/recall/evidence upgrades;
-    # the banded-Hamming engine + geo scaling gates ship with driver
-    # evidence):
-    "op_curate_corpus", "op_curate_qa", "op_lsh_topk", "op_ivf_topk",
-    "op_semantic_dedup", "op_bpe", "op_bpe_bytes", "op_hamming_dups",
-    "op_geo_join_scale", "op_multimodal_features",
-    # 3. last hashed in round 6 (all 30):
-    "pql_iff_strcat", "pql_predicates", "pql_null_semantics",
-    "pql_let_arith", "pql_in", "pql_summarize_by", "pql_as_selfjoin",
-    "pql_render", "pql_index", "pql_extend", "pql_json_props",
-    "pql_sourcetext_name", "pql_series_fill", "pql_mv_apply",
-    "pql_top_nested", "pql_range_source", "pql_agg_family",
-    "pql_print", "pql_sample_op", "pql_top_hitters",
-    "pql_project_ops", "pql_getschema", "pql_percentiles",
-    "pql_series_stats_fit", "pql_activity_metrics", "op_knn_skew",
-    "pql_funnel_completion", "op_crossdoc_dedup",
-    "pql_activity_engagement", "pql_diffpatterns_text",
-    # r12 rotation queue: the remaining 40 r7 rows (op_dedup_exact,
-    # op_simhash, op_ngram_jaccard, op_embedding_dups, op_cosine_topk,
-    # op_langid, op_quality, op_token_stats, op_asof_join,
-    # op_range_join, pql_scan_funnel, pql_autocluster, ...).
-    # 4. r7 tail (8 of 48; the rest next round):
-    "pql_datatable", "pql_string_preds", "pql_serialize_window",
-    "pql_in_family", "pql_partition_op", "pql_sketch_fns",
-    "pql_bin_hourly", "pql_arg_agg",
+    # 1. last hashed in round 7 (all 40):
+    "op_asof_join", "op_bm25", "op_cosine_topk", "op_dedup_exact",
+    "op_embedding_dups", "op_kmv_distinct", "op_langid",
+    "op_ngram_jaccard", "op_quality", "op_range_join",
+    "op_scrub_crossdoc", "op_simhash", "op_stream_windowed",
+    "op_token_stats", "pql_active_users_count", "pql_array_set_fns",
+    "pql_autocluster", "pql_bag_unpack", "pql_bag_unpack_schema",
+    "pql_binary_fns", "pql_case_fn", "pql_datetime_fns",
+    "pql_diffpatterns", "pql_events_daily", "pql_facet_counts",
+    "pql_facet_main", "pql_fork_hot", "pql_ipv4_fns",
+    "pql_ipv4_lookup", "pql_ipv6_lookup", "pql_let_fn",
+    "pql_mv_itemindex", "pql_narrow", "pql_sample_distinct",
+    "pql_scan_funnel", "pql_scan_var_window", "pql_string_fns",
+    "pql_tabular_let", "pql_top_nested_others", "pql_union_inner",
+    # 2. new bare-operator rows (ship with driver evidence):
+    "op_lsh_topk_bare", "op_ivf_topk_bare", "op_semantic_dedup_bare",
+    # 3. changed by r12 code (geo lat-bound/NaN handling; the
+    # sequence_detect + hamming perf items):
+    "op_geo_join", "op_geo_join_scale", "pql_sequence_detect",
+    "op_hamming_dups",
+    # 4. r9 tail front (3 of 43; the rest rotate in r13):
+    "pql_q1_pricing", "pql_count", "pql_sort_take",
 ]
 
 
@@ -6377,6 +6423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lsh_topk": _q_lsh_topk,  # hash-checked + recall column
             "op_semantic_dedup": _q_semantic_dedup,  # hash-checked + quality cols
             "op_ivf_topk": _q_ivf_topk,  # hash-checked + recall column
+            # bare rows: operator only, the bench regression surface
+            "op_lsh_topk_bare": _q_lsh_topk_bare,
+            "op_ivf_topk_bare": _q_ivf_topk_bare,
+            "op_semantic_dedup_bare": _q_semantic_dedup_bare,
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # plumbing-contract oracle
@@ -6460,6 +6510,9 @@ def oracle_sql() -> dict[str, str]:
             "op_lsh_topk": _lsh_topk_oracle(),
             "op_ivf_topk": _ivf_topk_oracle(),
             "op_semantic_dedup": _semantic_dedup_oracle(),
+            "op_lsh_topk_bare": _lsh_topk_oracle(bare=True),
+            "op_ivf_topk_bare": _ivf_topk_oracle(bare=True),
+            "op_semantic_dedup_bare": _semantic_dedup_oracle(bare=True),
             "op_phash_dups": _phash_dups_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING

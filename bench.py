@@ -47,6 +47,44 @@ _STREAM_DELTA_MAX = 0.5
 _STREAM8_FAMILY_MAX = 14.0
 
 
+def compute_stream_flag(
+    times: dict[str, float],
+    session_clean: bool,
+    floors: dict[str, float] = _STREAM_FLOORS,
+) -> tuple[dict[str, float], float, bool]:
+    """Streaming perf check → (per-gate floor deltas, 8-gate family
+    sum, flag).  Two tiers (VERDICT r11 item 6 — the old single 0.5 s
+    per-delta margin also tripped on session spread, training readers
+    to ignore it):
+
+    * HARD, always on: the 8-gate family sum must stay ≤ 14 s, and no
+      gate may exceed 2× its measured startup floor — a real floor
+      exceedance, not noise (a slow session inflates every gate ~1.3×,
+      never one gate 2×; the r11 noise trip read 0.81 s over a 1.4 s
+      floor = 1.6×).
+    * NOISE-GATED: the tight 0.5 s per-delta margin applies only when
+      the record's own noise instruments are clean (sentinel drift and
+      loadavg — the ``session_clean`` input); a noisy session cannot
+      trip it, and the hard tier still catches genuine regressions.
+    """
+    deltas = {
+        q: round(times[q] - f, 3)
+        for q, f in floors.items()
+        if q in times and times[q] == times[q]
+    }
+    family = round(
+        sum(times[q] for q in floors if q in times and times[q] == times[q]),
+        3,
+    )
+    hard = family > _STREAM8_FAMILY_MAX or any(
+        times[q] > 2.0 * floors[q] for q in deltas
+    )
+    tight = session_clean and any(
+        d > _STREAM_DELTA_MAX for d in deltas.values()
+    )
+    return deltas, family, bool(hard or tight)
+
+
 def _sentinel(spark, sf_dir: str) -> float:
     """Median-of-3 of a fixed-cost query (``pql_count``).  Run FIRST and
     LAST: at equal machine load the two medians agree within noise, so a
@@ -174,6 +212,11 @@ def main() -> int:
         "op_dedup_clusters",
         "op_embedding_dups",
         "op_semantic_dedup",
+        # bare rows: the operator-only regression surface (the
+        # instrumented gates above also pay their in-query oracles)
+        "op_semantic_dedup_bare",
+        "op_lsh_topk_bare",
+        "op_ivf_topk_bare",
         "op_knn_skew",
         "op_langid",
         "op_bm25",
@@ -199,29 +242,23 @@ def main() -> int:
         sum(times[q] for q in stream_family if q in times and times[q] == times[q]),
         3,
     )
-    # revised-target check (VERDICT r10 item 4): per-gate delta over
-    # the measured startup floors + the 8-gate family sum, recorded and
-    # flagged so the ≤14 s target is machine-checked, not prose.  Note
+    # revised-target check (VERDICT r10 item 4, de-noised r12): per-gate
+    # delta over the measured startup floors + the 8-gate family sum,
+    # recorded and flagged so the ≤14 s target is machine-checked, not
+    # prose.  The tight 0.5 s per-delta check only fires on records
+    # whose own noise instruments are clean; 2× floor exceedance and
+    # the family sum are hard regardless (compute_stream_flag).  Note
     # stream_family_sec is the WIDER 10-row sum (8 op_stream_* gates
     # plus op_near_dup_incremental and op_curate_stream); the target
     # applies to stream8_family_sec.
-    stream_deltas = {
-        q: round(times[q] - f, 3)
-        for q, f in _STREAM_FLOORS.items()
-        if q in times and times[q] == times[q]
-    }
-    stream8_total = round(
-        sum(times[q] for q in _STREAM_FLOORS
-            if q in times and times[q] == times[q]),
-        3,
-    )
-    stream_perf_flag = bool(
-        any(d > _STREAM_DELTA_MAX for d in stream_deltas.values())
-        or stream8_total > _STREAM8_FAMILY_MAX
+    session_clean = not contended and sentinel_last <= 1.5 * sentinel_first
+    stream_deltas, stream8_total, stream_perf_flag = compute_stream_flag(
+        times, session_clean
     )
     full_record["stream8_family_sec"] = stream8_total
     full_record["stream_floor_deltas"] = stream_deltas
     full_record["stream_perf_flag"] = stream_perf_flag
+    full_record["session_clean"] = session_clean
     full_path.write_text(json.dumps(full_record) + "\n")
     digest = dict(full_record)
     digest["queries"] = digest_q

@@ -216,6 +216,11 @@ def literal_lookup_prefixes(
             r"[+-]?[0-9]+", parts[1].strip()
         ):
             suf = int(parts[1].strip())
+            if not (-(2**63) <= suf < 2**63):
+                # try_cast("long") overflows to NULL → engine falls
+                # back to the default prefix; mirror that, else this
+                # set is a strict subset and Generate paths miss rows
+                suf = None
         # NO strip/lower here: _range_prefix6's is4 regex sees the
         # raw address text, and a mismatch must fall through to
         # the v6 branch exactly like the engine does

@@ -7,6 +7,8 @@ a lazy DataFrame — Catalyst plans it, nothing executes until an action.
 
 from __future__ import annotations
 
+import itertools
+import logging
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -15,6 +17,12 @@ from .compiler import Compiler, MultiResult, Resolver
 from .parser import parse
 
 __all__ = ["MultiResult", "PqlEngine", "compile_pql", "parse"]
+
+logger = logging.getLogger(__name__)
+
+# collision-proof temp-view names for the SQL backend (process-wide
+# counter: two engines in one session never reuse a name)
+_VIEW_IDS = itertools.count()
 
 
 class PqlEngine:
@@ -28,20 +36,26 @@ class PqlEngine:
 
     ``backend`` picks the compile path for :meth:`query`:
 
-    * ``"df"`` (default) — the DataFrame compiler: one Column-expression
-      tree per operator, zero catalog side effects.
+    * ``"auto"`` (default since r12) — try ``"sql"``, fall back to
+      ``"df"`` on the constructs the SQL backend honestly refuses
+      (``externaldata`` with reader options, schema-less
+      ``pivot``/``bag_unpack``, ``ipv*_lookup return_unmatched``,
+      ``pack_all()``, multi-output ``facet``/``fork``).  Fallbacks are
+      counted on :attr:`sql_fallbacks`; an unexpected one (emitted SQL
+      failing Spark analysis — a backend bug, not a documented
+      refusal) is also logged at WARNING so silent perf regressions
+      are observable.
     * ``"sql"`` — compile to one Spark SQL string and submit it with a
       SINGLE ``spark.sql`` call.  Python compile time drops from ~0.25 s
       to ~1 ms on deep pipelines (the DataFrame path pays one py4j
       round-trip per Column op — ~1000 on a sequence_detect-class
       query); results are bit-identical (backend-equality tested).
-      Side effect: each referenced table's DataFrame is registered as a
-      temp view under its own name so the SQL can resolve it.
-    * ``"auto"`` — try ``"sql"``, fall back to ``"df"`` on the
-      constructs the SQL backend honestly refuses (``externaldata``
-      with reader options, schema-less ``pivot``/``bag_unpack``,
-      ``ipv*_lookup return_unmatched``, ``pack_all()``, multi-output
-      ``facet``/``fork``).
+      Side effect: each referenced table is registered as a temp view
+      under a collision-proof ``__pql_v<N>_<name>`` name for the
+      duration of the ONE ``spark.sql`` call, then dropped — user temp
+      views of the same name are never touched.
+    * ``"df"`` — the DataFrame compiler: one Column-expression
+      tree per operator, zero catalog side effects.
     """
 
     def __init__(
@@ -49,7 +63,7 @@ class PqlEngine:
         spark: SparkSession,
         resolver: Resolver | Mapping[str, DataFrame] | None = None,
         params: Mapping[str, object] | None = None,
-        backend: str = "df",
+        backend: str = "auto",
     ):
         if backend not in ("df", "sql", "auto"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -57,6 +71,9 @@ class PqlEngine:
         self._resolver = _as_resolver(spark, resolver)
         self._params = dict(params or {})
         self._backend = backend
+        #: number of times backend="auto" fell back to the DataFrame
+        #: path (documented refusals + analysis failures combined)
+        self.sql_fallbacks = 0
 
     def close(self) -> int:
         """Drain the PROCESS-GLOBAL tracked-persist registry (see
@@ -89,17 +106,50 @@ class PqlEngine:
         if self._backend in ("sql", "auto"):
             try:
                 return self._query_via_sql(text, merged)
-            except Exception:
+            except Exception as e:
                 if self._backend == "sql":
+                    raise
+                # auto: fall back ONLY on the documented refusal type
+                # (QueryError from the SQL compiler) and Spark analysis
+                # failures; anything else (a bad parameter binding, an
+                # injected bug) would hide an SQL-backend defect behind
+                # the silent slow path, so it raises instead of
+                # degrading.  Analysis failures are usually USER errors
+                # (unknown column — the DataFrame path raises the same
+                # AnalysisException), so the backend-bug warning only
+                # fires when the DataFrame path SUCCEEDS where the
+                # emitted SQL did not.
+                from pyspark.errors import AnalysisException
+
+                from .parser import QueryError
+
+                if isinstance(e, QueryError):
+                    self.sql_fallbacks += 1
+                    logger.debug(
+                        "sql backend refused, using DataFrame path: %s", e
+                    )
+                elif isinstance(e, AnalysisException):
+                    self.sql_fallbacks += 1
+                    df = compile_pql(text, self._resolver, merged)
+                    logger.warning(
+                        "sql backend emitted SQL that failed Spark"
+                        " analysis but the DataFrame path succeeded"
+                        " (likely a pql_spark bug — the fallback masks"
+                        " a perf regression): %s", e,
+                    )
+                    return df
+                else:
                     raise
         return compile_pql(text, self._resolver, merged)
 
     def _query_via_sql(self, text: str, params: dict) -> DataFrame:
         """The batched compile path: PQL → one SQL string → ONE
-        ``spark.sql`` call.  Referenced tables are registered as temp
-        views on the fly (createOrReplaceTempView of the resolver's own
-        DataFrame — consistent with this query's resolution even if a
-        view of that name already existed)."""
+        ``spark.sql`` call.  Each referenced table is registered as a
+        temp view under a fresh ``__pql_v<N>_<name>`` name (never the
+        bare table name — a user's own temp view of that name survives
+        untouched), and dropped right after ``spark.sql`` returns:
+        analysis is eager, so the returned DataFrame's resolved plan no
+        longer needs the catalog entry."""
         from .sql_backend import compile_to_sql
 
         seen: set[str] = set()
@@ -108,13 +158,29 @@ class PqlEngine:
             seen.add(name)
             return self._resolver(name).columns
 
+        uid = next(_VIEW_IDS)
+        view_names = {}
+
+        def view_name(name: str) -> str:
+            return view_names.setdefault(name, f"__pql_v{uid}_{name}")
+
         sql = compile_to_sql(
             text, cols, params,
             width=self.spark.sparkContext.defaultParallelism,
+            view_name_of=view_name,
         )
-        for name in seen:
-            self._resolver(name).createOrReplaceTempView(name)
-        return self.spark.sql(sql)
+        registered = []
+        try:
+            for name in seen:
+                if name in view_names:  # referenced in the emitted SQL
+                    self._resolver(name).createOrReplaceTempView(
+                        view_names[name]
+                    )
+                    registered.append(view_names[name])
+            return self.spark.sql(sql)
+        finally:
+            for v in registered:
+                self.spark.catalog.dropTempView(v)
 
     def to_sql(
         self, text: str, params: Mapping[str, object] | None = None

@@ -257,7 +257,12 @@ def geo_radius_join(
     ``level`` is auto-picked and ``check_lat_bound`` is on (default),
     the actual max |lat| of both sides is measured (one column-pruned
     1-row aggregate) and the level auto-coarsens to the data's real
-    bound, with a warning.  Pass an explicit ``level`` or
+    bound, with a warning.  NOTE: that measurement runs an EAGER Spark
+    job at DataFrame-construction time (the one laziness exception in
+    this module); streaming inputs skip it (no batch scan is possible)
+    and keep the ``max_abs_lat`` default.  A NaN latitude makes the
+    measured max NaN — treated as 90.0 (worst case) so the coarsen
+    cannot be silently bypassed.  Pass an explicit ``level`` or
     ``check_lat_bound=False`` to skip the extra scan when the data's
     latitude range is known.
 
@@ -269,8 +274,10 @@ def geo_radius_join(
     """
     if level is None:
         level = radius_level(radius_m, max_abs_lat)
-        if check_lat_bound:
+        if check_lat_bound and not (a.isStreaming or b.isStreaming):
             actual = _max_abs_lat(a, b, lat_col)
+            if actual is not None and math.isnan(actual):
+                actual = 90.0  # NaN compares False everywhere; assume worst
             if actual is not None and actual > max_abs_lat:
                 level = radius_level(radius_m, min(actual, 90.0))
                 warnings.warn(

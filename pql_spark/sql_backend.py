@@ -385,9 +385,15 @@ class _SqlEmitter:
         columns_of: ColumnsOf,
         params: Mapping[str, object],
         width: int | None = None,
+        view_name_of: ColumnsOf | None = None,
     ):
         self.text = source_text
         self.columns_of = columns_of
+        # optional logical-name → catalog-view-name mapping: lets the
+        # engine register tables under collision-proof temp-view names
+        # instead of clobbering same-named user views (identity when
+        # None — to_sql() callers expect the real table names)
+        self.view_name_of = view_name_of or (lambda n: n)
         # cluster width for pinned REPARTITION(n) hints (an argless
         # REPARTITION/REBALANCE shuffle is AQE-coalescible, which
         # un-parallelizes expensive parse stages on small byte sizes);
@@ -440,8 +446,17 @@ class _SqlEmitter:
                 if name in self.bound:
                     sql, cols = self.bound[name]
                 else:
-                    cols = list(self.columns_of(name))
-                    sql = f"SELECT * FROM {_q(name)}"
+                    try:
+                        cols = list(self.columns_of(name))
+                    except ParseError:
+                        raise
+                    except Exception as e:  # resolver miss → same
+                        # QueryError as the DataFrame compiler
+                        # (compiler.py:518), not a raw KeyError
+                        raise ParseError(
+                            f"unknown table {name!r}: {e}", expr.span
+                        ) from None
+                    sql = f"SELECT * FROM {_q(self.view_name_of(name))}"
             for op in expr.operators:
                 sql, cols = self.emit_op(op, sql, cols)
         finally:
@@ -999,17 +1014,29 @@ class _SqlEmitter:
                 raise ParseError(
                     f"bag_unpack: unknown column {bcol!r}", op.col.span
                 )
-            # JSON-string bags only on the SQL backend: the emitter
-            # has no schema to tell a MAP column apart (map bags →
-            # DataFrame backend, which branches on the actual type)
+            # The emitter has no schema to tell a MAP bag from a
+            # JSON-string bag, so the extraction is TYPE-AGNOSTIC
+            # (r12 — the old CAST(col AS STRING) returned Spark's
+            # `{k -> v}` rendering for maps, not JSON, so every map
+            # key read NULL once backend=auto made this the executed
+            # path): branch 1 re-serializes the bag through
+            # to_json(named_struct(…)) — a MAP becomes a real JSON
+            # object at `$.__pql_bag.key`, while a STRING bag becomes
+            # a quoted scalar there (path misses → NULL); branch 2 is
+            # the plain string-bag read (analysis-safe on maps via
+            # the cast, but yields NULL for them).  coalesce picks
+            # whichever form the column actually is.
             others = [c for c in cols if c != bcol]
             items = [f"{_q(c)}" for c in others]
             names = list(others)
             for key, t in op.schema:
                 out_name = f"{op.prefix}{key}"
                 items.append(
-                    "CAST(get_json_object(CAST("
-                    f"{_q(bcol)} AS STRING), '$.{key}')"
+                    "CAST(coalesce("
+                    "get_json_object(to_json(named_struct("
+                    f"'__pql_bag', {_q(bcol)})), '$.__pql_bag.{key}'),"
+                    f" get_json_object(CAST({_q(bcol)} AS STRING),"
+                    f" '$.{key}'))"
                     f" AS {_DATATABLE_TYPES[t]}) AS {_q(out_name)}"
                 )
                 names.append(out_name)
@@ -1765,14 +1792,17 @@ class _SqlEmitter:
                 ["SegmentCount", "Percent", *names],
             )
         if isinstance(op, SequenceDetectOp):
-            # Semantics twin of compiler._sequence_detect, but NOT the
-            # same plan shape: the DataFrame compiler fuses the chain
-            # into one sort with stacked struct-min windows (r9), while
-            # this SQL path deliberately keeps the earlier N-1
-            # union + running-min window form — plain nested SELECTs
-            # with no struct-ordering subtleties, easy to audit as
-            # text.  Equal results on both shapes (strict-after ties
-            # via the __sq_ev secondary order) are pinned by
+            # Exact SQL twin of compiler._sequence_detect's r9 FUSED
+            # plan: ONE shuffle + ONE sort, n-1 stacked struct-min
+            # window aggregates over the same (keys, ts desc) spec —
+            # Catalyst stacks the WindowExecs on one Sort when specs
+            # match.  Replaces the r≤11 N-1 union + running-min form
+            # this path had kept for textual auditability: with
+            # backend=auto the SQL emission became the EXECUTED plan,
+            # and the union form's n-1 sort shuffles were the
+            # unattributed 5.3× sf1 scaling row (BENCH_SCALING_r11
+            # 2.82 s vs 0.53 s twin; PERF_NOTES_r12 decomposition).
+            # Equal results on both backends are pinned by
             # test_sequence_detect_sql_backend.
             ts = op.timeline.parts[0]
             if ts not in cols:
@@ -1804,50 +1834,55 @@ class _SqlEmitter:
                 f"SELECT {ksel}{_q(ts)} AS __sq_ts, {preds}"
                 f" FROM {inner}"
             )
-            cur = (
-                f"SELECT {ksel}__sq_ts AS __t0 FROM ({base})"
-                " WHERE __sq_p0"
+            any_p = " OR ".join(
+                f"coalesce(__sq_p{i}, FALSE)" for i in range(n)
             )
+            cur = f"SELECT * FROM ({base}) WHERE {any_p}"
             part = (
                 f"PARTITION BY {', '.join(_q(k) for k in keys)} "
                 if keys else ""
             )
-            for i in range(1, n):
-                prev, this = f"__t{i - 1}", f"__t{i}"
-                prior = ", ".join(f"__t{j}" for j in range(i))
-                nulls = ", ".join(
-                    f"CAST(NULL AS TIMESTAMP) AS __t{j}"
-                    for j in range(i)
-                )
-                ev = (
-                    f"SELECT {ksel}__sq_ts AS __u_ts, 1 AS __sq_ev,"
-                    f" {nulls} FROM ({base}) WHERE __sq_p{i}"
-                )
-                pr = (
-                    f"SELECT {ksel}{prev} AS __u_ts, 0 AS __sq_ev,"
-                    f" {prior} FROM ({cur})"
-                )
-                win = (
-                    f"SELECT {ksel}__sq_ev, {prior},"
-                    " min(CASE WHEN __sq_ev = 1 THEN __u_ts END)"
-                    f" OVER ({part}ORDER BY __u_ts DESC, __sq_ev ASC"
-                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
-                    f" ROW) AS {this}"
-                    f" FROM ({ev} UNION ALL {pr})"
+            # strictly-after on the integral micro timestamp: RANGE
+            # (unbounded preceding, 1 preceding) over DESC order ⇒
+            # rows with ts >= current + 1 µs
+            win = (
+                f"OVER ({part}ORDER BY unix_micros(__sq_ts) DESC"
+                " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            )
+            # backward struct-min recurrence: __sq_g{j} carries the
+            # greedy tail for steps j..n-1 strictly after this row
+            for j in range(n - 1, 0, -1):
+                fields = "'t', __sq_ts" + (
+                    f", 'g', __sq_g{j + 1}" if j < n - 1 else ""
                 )
                 cur = (
-                    f"SELECT {ksel}{prior}, {this} FROM ({win})"
-                    f" WHERE __sq_ev = 0 AND {this} IS NOT NULL"
-                    f" AND unix_micros({this})"
-                    f" <= unix_micros({prev}) + {op.step_usec}"
+                    f"SELECT *, min(CASE WHEN __sq_p{j} THEN"
+                    f" named_struct({fields}) END) {win} AS __sq_g{j}"
+                    f" FROM ({cur})"
                 )
+            tsel = ["__sq_ts AS __t0"]
+            path = "__sq_g1"
+            for i in range(1, n):
+                tsel.append(f"{path}.t AS __t{i}")
+                path += ".g"
+            cur = (
+                f"SELECT {ksel}{', '.join(tsel)} FROM ({cur})"
+                " WHERE __sq_p0"
+            )
+            conds = [
+                f"__t{i} IS NOT NULL AND unix_micros(__t{i})"
+                f" <= unix_micros(__t{i - 1}) + {op.step_usec}"
+                for i in range(1, n)
+            ] + [
+                f"unix_micros(__t{n - 1})"
+                f" <= unix_micros(__t0) + {op.span_usec}"
+            ]
             outs = ", ".join(
                 f"__t{i} AS {_q(f'{names[i]}_{ts}')}" for i in range(n)
             )
             return (
                 f"SELECT {ksel}{outs} FROM ({cur})"
-                f" WHERE unix_micros(__t{n - 1})"
-                f" <= unix_micros(__t0) + {op.span_usec}",
+                f" WHERE {' AND '.join(f'({c})' for c in conds)}",
                 [*keys, *[f"{names[i]}_{ts}" for i in range(n)]],
             )
         if isinstance(op, ConsumeOp):
@@ -2875,7 +2910,14 @@ class _SqlEmitter:
                 f"{_q('$left')}.{_q(CANON)}", f"{_q('$p')}.{_q(P)}"
             )
         sql = (
-            f"SELECT /*+ BROADCAST({_q('$right')}) */ {', '.join(out_items)}"
+            # BOTH small sides hinted: the ≤33-row distinct-prefix set
+            # must plan as a Broadcast NESTED-LOOP fan-out (narrow
+            # per-row expansion), never a CartesianProduct — without
+            # the $p hint Spark's size estimate for the derived
+            # DISTINCT aggregate picks Cartesian (seen when the auto
+            # backend made this the default execution path, r12)
+            f"SELECT /*+ BROADCAST({_q('$right')}, {_q('$p')}) */"
+            f" {', '.join(out_items)}"
             f" FROM {left_src} AS {_q('$left')}"
             f" CROSS JOIN (SELECT DISTINCT {_q(P)} FROM ({parsed})"
             f" AS {_q('__pql_ipd')}) AS {_q('$p')}"
@@ -5535,6 +5577,7 @@ def _prepare_emitter(
     columns: Mapping[str, Sequence[str]] | ColumnsOf,
     params: Mapping[str, object] | None,
     width: int | None = None,
+    view_name_of: ColumnsOf | None = None,
 ) -> tuple[_SqlEmitter, TabularExpr]:
     columns_of: ColumnsOf = (
         columns if callable(columns) else lambda n: columns[n]
@@ -5548,7 +5591,9 @@ def _prepare_emitter(
             text,
             [ParseError("batch queries not supported", tabular[1].span)],
         )
-    emitter = _SqlEmitter(text, columns_of, dict(params or {}), width)
+    emitter = _SqlEmitter(
+        text, columns_of, dict(params or {}), width, view_name_of
+    )
     for stmt in statements:
         if stmt is tabular[0]:
             break  # lets after the query are skipped (pql.go:58-62)
@@ -5570,6 +5615,7 @@ def compile_to_sql(
     columns: Mapping[str, Sequence[str]] | ColumnsOf,
     params: Mapping[str, object] | None = None,
     width: int | None = None,
+    view_name_of: ColumnsOf | None = None,
 ) -> str:
     """Compile one PQL query to a Spark SQL string.
 
@@ -5579,8 +5625,14 @@ def compile_to_sql(
     expensive-parse repartition hints to an explicit partition count
     (AQE coalesces argless hints); pass the cluster's default
     parallelism when a session is at hand, as ``PqlEngine`` does.
+    ``view_name_of`` (optional) maps each logical table name to the
+    catalog view name the SQL should reference — the engine passes a
+    collision-proof temp-view prefix so running a query never replaces
+    a user's same-named temp view.
     """
-    emitter, expr = _prepare_emitter(text, columns, params, width)
+    emitter, expr = _prepare_emitter(
+        text, columns, params, width, view_name_of
+    )
     if expr.operators and isinstance(
         expr.operators[-1], (FacetOp, ForkOp)
     ):

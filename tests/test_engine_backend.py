@@ -1,9 +1,12 @@
 """PqlEngine backend="sql"/"auto" — the batched compile path (r11).
 
-The SQL path must be bit-equal to the DataFrame compiler, register
-referenced tables as temp views on the fly, honor params, and (auto)
-fall back to the DataFrame compiler on the SQL backend's documented
-refusals instead of erroring.
+The SQL path must be bit-equal to the DataFrame compiler, resolve
+referenced tables through TRANSIENT collision-proof temp views (r12:
+a user's own same-named temp view must survive a query untouched),
+honor params, and (auto) fall back to the DataFrame compiler on the
+SQL backend's documented refusals instead of erroring — counting the
+fallback, and raising on anything that is not a documented refusal
+or an analysis failure.
 """
 
 from __future__ import annotations
@@ -53,12 +56,25 @@ def test_sql_backend_bit_equal(spark, tables, q):
     assert sql_rows == df_rows and len(df_rows) > 0
 
 
-def test_sql_backend_registers_referenced_views(spark, tables):
-    eng = PqlEngine(spark, resolver=tables, backend="sql")
-    eng.query("EV | join kind=inner (DIM) on user | count").collect()
-    # the catalog stores view names case-insensitively (lowercased)
-    names = {t.name.lower() for t in spark.catalog.listTables()}
-    assert {"ev", "dim"} <= names
+def test_sql_backend_preserves_user_views(spark, tables):
+    # a user temp view named EV must survive the query untouched —
+    # the engine resolves through prefixed transient views instead
+    user_ev = spark.createDataFrame([(99,)], "sentinel long")
+    user_ev.createOrReplaceTempView("EV")
+    try:
+        eng = PqlEngine(spark, resolver=tables, backend="sql")
+        n = eng.query(
+            "EV | join kind=inner (DIM) on user | count"
+        ).collect()[0][0]
+        assert n == 40  # resolver's EV, not the user view
+        assert [r.sentinel for r in spark.sql(
+            "SELECT * FROM EV"
+        ).collect()] == [99]
+        # and no transient __pql_v* views linger in the catalog
+        names = {t.name.lower() for t in spark.catalog.listTables()}
+        assert not any(v.startswith("__pql_v") for v in names)
+    finally:
+        spark.catalog.dropTempView("EV")
 
 
 def test_sql_backend_params(spark, tables):
@@ -106,3 +122,39 @@ def test_strict_sql_backend_raises_on_refusal(spark, tmp_path):
 def test_unknown_backend_rejected(spark, tables):
     with pytest.raises(ValueError, match="unknown backend"):
         PqlEngine(spark, resolver=tables, backend="fast")
+
+
+def test_auto_is_default_and_counts_fallbacks(spark, tables):
+    eng = PqlEngine(spark, resolver=tables)  # default backend = auto
+    assert eng._backend == "auto" and eng.sql_fallbacks == 0
+    eng.query("EV | count").collect()
+    assert eng.sql_fallbacks == 0  # SQL path handled it
+    eng.query("EV | facet by user with ( summarize n = count() )")
+    assert eng.sql_fallbacks == 1  # documented refusal, counted
+
+
+def test_auto_does_not_swallow_unexpected_errors(spark, tables, monkeypatch):
+    # only the documented refusal (QueryError) and Spark analysis
+    # failures may fall back; an unexpected error class would hide an
+    # SQL-backend bug behind the silent slow path — it must propagate
+    import pql_spark.sql_backend as sb
+
+    def boom(*a, **k):
+        raise RuntimeError("injected sql-backend bug")
+
+    monkeypatch.setattr(sb, "compile_to_sql", boom)
+    eng = PqlEngine(spark, resolver=tables, backend="auto")
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.query("EV | count")
+    assert eng.sql_fallbacks == 0
+
+
+def test_unknown_table_same_error_both_backends(spark):
+    # resolver misses surface as the compiler's QueryError ("unknown
+    # table"), never a raw KeyError — on every backend
+    from pql_spark.parser import QueryError
+
+    for backend in ("df", "sql", "auto"):
+        eng = PqlEngine(spark, resolver={}, backend=backend)
+        with pytest.raises(QueryError, match="unknown table"):
+            eng.query("NoSuchTable | count")

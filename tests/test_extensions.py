@@ -1302,14 +1302,24 @@ def test_toscalar_memoized(spark, monkeypatch):
         return orig(self, *a, **k)
 
     monkeypatch.setattr(cls, "head", counted)
-    eng = PqlEngine(spark, resolver={"T": df})
-    out = eng.query(
+    # the memo lives in the DataFrame compiler (the SQL backend emits
+    # a lazy scalar subquery instead — no driver action at all), so
+    # pin backend="df" for the call-count assertion
+    eng = PqlEngine(spark, resolver={"T": df}, backend="df")
+    q = (
         "let m = toscalar(T | summarize max(v));"
         " T | where v == m | extend hi = m | project id, hi"
     )
+    out = eng.query(q)
     # the let is referenced twice but the subquery ran once
     assert calls["n"] == 1
     assert [tuple(r) for r in out.collect()] == [(2, 9)]
+    # and the SQL path's scalar-subquery form agrees without any
+    # compile-time driver action
+    calls["n"] = 0
+    out_sql = PqlEngine(spark, resolver={"T": df}, backend="sql").query(q)
+    assert calls["n"] == 0
+    assert [tuple(r) for r in out_sql.collect()] == [(2, 9)]
 
 
 def test_mv_expand_single_map_entries(spark):

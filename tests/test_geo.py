@@ -243,6 +243,44 @@ def test_radius_join_polar_auto_coarsen(spark):
     assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
 
 
+def test_radius_join_nan_lat_treated_as_polar(spark):
+    """A NaN latitude must not silently bypass the lat-bound check
+    (NaN > bound is False): the measured max becomes 90.0 and the
+    level coarsens, keeping real high-lat pairs (ADVICE r12)."""
+    dlon = 450.0 / (111194.9 * math.cos(math.radians(87.0)))
+    a = spark.createDataFrame(
+        [(1, 0.0, 87.0), (3, 10.0, float("nan"))],
+        "id long, lon double, lat double",
+    )
+    b = spark.createDataFrame(
+        [(2, dlon, 87.0)], "id long, lon double, lat double"
+    )
+    with pytest.warns(UserWarning, match="auto-coarsened"):
+        out = geo_radius_join(a, b, radius_m=500.0)
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
+def test_radius_join_streaming_input_skips_eager_check(spark, tmp_path):
+    """check_lat_bound's eager scan is impossible on a streaming
+    input: construction must not run a batch job (ADVICE r12)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .load(str(tmp_path))
+    )
+    b = spark.createDataFrame(
+        [(2, 0.001, 10.0)], "id long, lon double, lat double"
+    )
+    out = geo_radius_join(stream, b, radius_m=500.0)  # must not throw
+    assert out.isStreaming
+
+
 # --------------------------------------------------- property-based
 
 from hypothesis import given, settings

@@ -116,6 +116,44 @@ def test_plan_is_broadcast_hash_join(engine):
     assert "CartesianProduct" not in plan
 
 
+def test_int64_overflow_suffix_defaults_like_try_cast(spark, tables):
+    """A /suffix beyond int64 overflows try_cast("long") to NULL at
+    runtime → default prefix (/32).  The compile-time prefix set for
+    literal datatables must mirror that (ADVICE r12: python int()
+    accepted the overflow, dropped the out-of-range prefix, and the
+    Generate-shape paths missed the match)."""
+    from pql_spark.compiler import literal_lookup_prefixes
+    from pql_spark.parser import parse
+
+    big = "9" * 20  # > 2**63
+    q = (
+        f"let nets = datatable(cidr: string, net_name: string)"
+        f" ['10.0.0.0/{big}', 'host'];"
+        f" ev | evaluate ipv4_lookup(nets, ip, cidr) | project id, net_name"
+    )
+    # unit: the compile-time set is the engine default, not empty
+    stmts = parse(q)
+    net_ast = next(s for s in stmts if hasattr(s, "tabular")).tabular
+    assert literal_lookup_prefixes(net_ast, "cidr", v6=False) == [32]
+    # end-to-end on both backends: 0.0.0.0 is id 6; /default=32 means
+    # only the exact host 10.0.0.0 would match — none of IPS is that,
+    # so extend with one: use the existing ev and assert no crash +
+    # the row set matches the DF path
+    eng_df = PqlEngine(spark, tables, backend="df")
+    eng_sql = PqlEngine(spark, tables, backend="sql")
+    got_df = sorted(map(tuple, eng_df.query(q).collect()))
+    got_sql = sorted(map(tuple, eng_sql.query(q).collect()))
+    assert got_df == got_sql
+    ev2 = spark.createDataFrame(
+        [(0, "10.0.0.0")], "id long, ip string"
+    )
+    for backend in ("df", "sql"):
+        eng2 = PqlEngine(spark, {"ev": ev2}, backend=backend)
+        assert [tuple(r) for r in eng2.query(q).collect()] == [
+            (0, "host")
+        ], backend
+
+
 def test_errors(engine):
     with pytest.raises(QueryError, match="unknown source ip column"):
         engine.query("ev | evaluate ipv4_lookup(nets, nope, cidr)")
