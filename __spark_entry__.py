@@ -5961,8 +5961,17 @@ def _q_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands=8, the lossless pigeonhole setting.  The DuckDB twin mirrors
     the banded candidate generation (so it scales like the Spark plan
     at sf1 instead of brute-forcing n²) and the exact mismatch-count
-    verify."""
-    base = _docs(spark, sf_dir).select("doc_id")
+    verify.
+
+    The doc_id scan is rebalanced BEFORE the 16-md5 signature
+    construction: the sf1 corpus is one parquet file = one input
+    split, and an exchange added above the projection would leave the
+    md5 work serialized on one core (measured 2.8 s → 0.8 s for the
+    posting-list stage at sf1, PERF_NOTES_r12 — this was the whole
+    unattributed 3.9× of VERDICT r11 item 1b)."""
+    from pql_spark.operators._util import rebalance
+
+    base = rebalance(_docs(spark, sf_dir).select("doc_id"))
     dup = F.col("doc_id") % 40 == 1
     seed = F.when(dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
     sig = F.transform(

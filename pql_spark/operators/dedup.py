@@ -731,8 +731,16 @@ def hamming_dup_pairs(
     if sig_len % bands:
         raise ValueError("bands must divide the signature length")
     width = sig_len // bands
+    # rebalance BEFORE persisting: a single-split input would
+    # otherwise materialize as ONE cached block, serializing the
+    # banded explode and both verify-join probes onto one core
+    # (no-op on a wide input — the 100 TB case).  NOTE: if the
+    # signature column itself is an expensive derived expression,
+    # repartition the input BEFORE computing it — an exchange added
+    # here sits above the projection, so the construction still runs
+    # at the scan's width (PERF_NOTES_r12, the sf1 hamming chase).
     sig = tracked_persist(
-        sig.select(F.col(id_col), F.col(sig_col).alias("__sig"))
+        rebalance(sig.select(F.col(id_col), F.col(sig_col).alias("__sig")))
     )
     banded = sig.select(
         F.col(id_col),
@@ -752,9 +760,14 @@ def hamming_dup_pairs(
     posts = banded.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     ).filter(F.size("ids") >= 2)
-    cand = _bucket_pairs(posts, max_bucket).dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    # a pair sharing k intact bands is emitted k times; dedup AFTER
+    # the verify filter, not before the joins — the duplicate
+    # candidates re-run only the 16-element zip_with (cheap, map-side)
+    # while the dedup shuffle then carries the tiny verified pair set
+    # instead of every banded collision (PERF_NOTES_r12: one wide
+    # exchange removed from the sf1 path; hamming is deterministic
+    # per pair, so first-wins dedup is value-exact)
+    cand = _bucket_pairs(posts, max_bucket)
     pa, pb = sig.alias("pa"), sig.alias("pb")
     ham = F.aggregate(
         F.zip_with(
@@ -769,6 +782,7 @@ def hamming_dup_pairs(
         .join(pb, F.col("id_b") == F.col(f"pb.{id_col}"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= F.lit(int(threshold)))
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 

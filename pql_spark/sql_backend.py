@@ -1830,8 +1830,15 @@ class _SqlEmitter:
                 f"({self.expr(s.expr)}) AS __sq_p{i}"
                 for i, s in enumerate(op.steps)
             )
+            # __sq_tsm is materialized ONCE so every window layer
+            # orders by the SAME attribute — per-layer re-aliased
+            # unix_micros(...) expressions defeat Catalyst's
+            # redundant-Sort elimination and each stacked WindowExec
+            # re-sorts the partition (visible as a second full Sort
+            # of the fact rows in the sf1 plan)
             base = (
-                f"SELECT {ksel}{_q(ts)} AS __sq_ts, {preds}"
+                f"SELECT {ksel}{_q(ts)} AS __sq_ts,"
+                f" unix_micros({_q(ts)}) AS __sq_tsm, {preds}"
                 f" FROM {inner}"
             )
             any_p = " OR ".join(
@@ -1846,7 +1853,7 @@ class _SqlEmitter:
             # (unbounded preceding, 1 preceding) over DESC order ⇒
             # rows with ts >= current + 1 µs
             win = (
-                f"OVER ({part}ORDER BY unix_micros(__sq_ts) DESC"
+                f"OVER ({part}ORDER BY __sq_tsm DESC"
                 " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
             )
             # backward struct-min recurrence: __sq_g{j} carries the

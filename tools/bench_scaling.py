@@ -87,6 +87,18 @@ NOTES = {
         " Compare absolute spark_sf1 (the one distributed stage is a"
         " word-frequency groupBy) instead."
     ),
+    "pql_sequence_detect": (
+        "floor-dominated row (PERF_NOTES_r12 decomposition, post"
+        " r12 SQL fusion): the plan is the asymptotically-right"
+        " one-shuffle shape (scan+pushed filter, ONE hash exchange,"
+        " one sort with stacked struct-min windows, output range"
+        " sort); marginal data cost sf0.1->sf1 is +0.43 s per +0.9 M"
+        " rows (linear) against a 0.12 s in-process DuckDB twin that"
+        " pays no exchange serialization, no second output exchange,"
+        " and no py4j collect of the 25 k result rows.  The ratio is"
+        " a sub-1.5 s absolute over a ~0.1 s oracle; compare the"
+        " marginal slope across decades instead."
+    ),
 }
 
 
