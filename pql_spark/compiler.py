@@ -176,6 +176,26 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def externaldata_df(spark, src: "ExternalDataSource") -> DataFrame:
+    """Build the ``externaldata`` scan DataFrame: explicit declared
+    schema (no inference pass), format/options passed through to the
+    Spark reader.  Shared by the DataFrame compiler and the engine's
+    SQL path (which registers the result as a transient temp view so
+    option-bearing formats like csv/json work on the batched
+    ``spark.sql`` plan too)."""
+    from .parser import _DATATABLE_TYPES
+
+    opts = dict(src.options)
+    fmt = opts.pop("format", "csv")
+    schema = ", ".join(
+        f"`{n}` {_DATATABLE_TYPES[t]}" for n, t in src.schema
+    )
+    return (
+        spark.read.format(fmt).schema(schema).options(**opts)
+        .load(list(src.uris))
+    )
+
+
 def literal_lookup_prefixes(
     right: "TabularExpr", rname: str, v6: bool
 ) -> list[int] | None:
@@ -448,22 +468,12 @@ class Compiler:
         ``spark.read`` source."""
         from pyspark.sql import SparkSession
 
-        from .parser import _DATATABLE_TYPES
-
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise ParseError(
                 "externaldata requires an active SparkSession", src.span
             )
-        opts = dict(src.options)
-        fmt = opts.pop("format", "csv")
-        schema = ", ".join(
-            f"`{n}` {_DATATABLE_TYPES[t]}" for n, t in src.schema
-        )
-        return (
-            spark.read.format(fmt).schema(schema).options(**opts)
-            .load(list(src.uris))
-        )
+        return externaldata_df(spark, src)
 
     def _range_source(self, src: RangeSource) -> DataFrame:
         """``range x from a to b step s`` → ``spark.range`` — a

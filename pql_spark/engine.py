@@ -38,9 +38,11 @@ class PqlEngine:
 
     * ``"auto"`` (default since r12) — try ``"sql"``, fall back to
       ``"df"`` on the constructs the SQL backend honestly refuses
-      (``externaldata`` with reader options, schema-less
-      ``pivot``/``bag_unpack``, ``ipv*_lookup return_unmatched``,
-      ``pack_all()``, multi-output ``facet``/``fork``).  Fallbacks are
+      (schema-less ``pivot``/``bag_unpack``, ``ipv*_lookup
+      return_unmatched``, ``pack_all()``, multi-output
+      ``facet``/``fork``; since r12 ``externaldata`` csv/json rides
+      the same transient-view device and no longer falls back —
+      only bare ``to_sql()`` still refuses it).  Fallbacks are
       counted on :attr:`sql_fallbacks`; an unexpected one (emitted SQL
       failing Spark analysis — a backend bug, not a documented
       refusal) is also logged at WARNING so silent perf regressions
@@ -164,10 +166,21 @@ class PqlEngine:
         def view_name(name: str) -> str:
             return view_names.setdefault(name, f"__pql_v{uid}_{name}")
 
+        # option-bearing externaldata (csv/json): served through the
+        # same transient-view device — the reader-backed DataFrame
+        # (declared schema + options) is registered for the one
+        # spark.sql call, then dropped
+        ext_srcs: list = []
+
+        def ext_view(src) -> str:
+            ext_srcs.append(src)
+            return f"__pql_v{uid}_ed{len(ext_srcs) - 1}"
+
         sql = compile_to_sql(
             text, cols, params,
             width=self.spark.sparkContext.defaultParallelism,
             view_name_of=view_name,
+            externaldata_view_of=ext_view,
         )
         registered = []
         try:
@@ -177,6 +190,12 @@ class PqlEngine:
                         view_names[name]
                     )
                     registered.append(view_names[name])
+            for i, src in enumerate(ext_srcs):
+                from .compiler import externaldata_df
+
+                v = f"__pql_v{uid}_ed{i}"
+                externaldata_df(self.spark, src).createOrReplaceTempView(v)
+                registered.append(v)
             return self.spark.sql(sql)
         finally:
             for v in registered:

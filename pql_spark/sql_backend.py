@@ -386,6 +386,7 @@ class _SqlEmitter:
         params: Mapping[str, object],
         width: int | None = None,
         view_name_of: ColumnsOf | None = None,
+        externaldata_view_of=None,
     ):
         self.text = source_text
         self.columns_of = columns_of
@@ -394,6 +395,12 @@ class _SqlEmitter:
         # instead of clobbering same-named user views (identity when
         # None — to_sql() callers expect the real table names)
         self.view_name_of = view_name_of or (lambda n: n)
+        # optional ExternalDataSource → temp-view-name callback: the
+        # engine uses it to serve option-bearing formats (csv/json)
+        # through a transient view it registers around the one
+        # spark.sql call; None (bare to_sql) keeps the honest raise —
+        # a standalone SQL string cannot carry reader options
+        self.externaldata_view_of = externaldata_view_of
         # cluster width for pinned REPARTITION(n) hints (an argless
         # REPARTITION/REBALANCE shuffle is AQE-coalescible, which
         # un-parallelizes expensive parse stages on small byte sizes);
@@ -479,12 +486,23 @@ class _SqlEmitter:
         opts = dict(src.options)
         fmt = opts.pop("format", "csv").lower()
         if fmt not in ("parquet", "orc") or opts:
+            if self.externaldata_view_of is not None:
+                # engine path: the reader-backed DataFrame (declared
+                # schema + options) is registered as a transient view
+                # around the one spark.sql call, so csv/json scan with
+                # full option support on the SQL backend too
+                view = self.externaldata_view_of(src)
+                names = [n for n, _ in src.schema]
+                proj = ", ".join(_q(n) for n in names)
+                return f"SELECT {proj} FROM {_q(view)}", names
             raise ParseError(
-                "externaldata on the SQL backend supports only the"
-                " self-describing path-scan formats (parquet, orc)"
+                "externaldata as a standalone SQL string supports only"
+                " the self-describing path-scan formats (parquet, orc)"
                 " with no reader options — Spark SQL has no inline"
-                " OPTIONS syntax (csv/json need CREATE ... USING DDL);"
-                " use the DataFrame backend",
+                " OPTIONS syntax (csv/json need CREATE ... USING DDL)."
+                " PqlEngine(backend='sql'|'auto').query() handles"
+                " csv/json by registering a transient reader-backed"
+                " temp view; plain to_sql() cannot",
                 src.span,
             )
         names = [n for n, _ in src.schema]
@@ -5585,6 +5603,7 @@ def _prepare_emitter(
     params: Mapping[str, object] | None,
     width: int | None = None,
     view_name_of: ColumnsOf | None = None,
+    externaldata_view_of=None,
 ) -> tuple[_SqlEmitter, TabularExpr]:
     columns_of: ColumnsOf = (
         columns if callable(columns) else lambda n: columns[n]
@@ -5599,7 +5618,8 @@ def _prepare_emitter(
             [ParseError("batch queries not supported", tabular[1].span)],
         )
     emitter = _SqlEmitter(
-        text, columns_of, dict(params or {}), width, view_name_of
+        text, columns_of, dict(params or {}), width, view_name_of,
+        externaldata_view_of,
     )
     for stmt in statements:
         if stmt is tabular[0]:
@@ -5623,6 +5643,7 @@ def compile_to_sql(
     params: Mapping[str, object] | None = None,
     width: int | None = None,
     view_name_of: ColumnsOf | None = None,
+    externaldata_view_of=None,
 ) -> str:
     """Compile one PQL query to a Spark SQL string.
 
@@ -5635,10 +5656,13 @@ def compile_to_sql(
     ``view_name_of`` (optional) maps each logical table name to the
     catalog view name the SQL should reference — the engine passes a
     collision-proof temp-view prefix so running a query never replaces
-    a user's same-named temp view.
+    a user's same-named temp view.  ``externaldata_view_of`` (optional)
+    maps an ``externaldata`` source with reader options (csv/json) to a
+    temp-view name the caller promises to register — the engine's
+    device for serving option-bearing formats on the SQL path.
     """
     emitter, expr = _prepare_emitter(
-        text, columns, params, width, view_name_of
+        text, columns, params, width, view_name_of, externaldata_view_of
     )
     if expr.operators and isinstance(
         expr.operators[-1], (FacetOp, ForkOp)

@@ -98,7 +98,9 @@ def test_auto_falls_back_on_multi_output(spark, tables):
     assert isinstance(res, MultiResult)
 
 
-def test_auto_falls_back_on_csv_externaldata(spark, tmp_path):
+def test_sql_backend_serves_csv_externaldata(spark, tmp_path):
+    # r12 (VERDICT r11 item 8): option-bearing externaldata rides the
+    # engine's transient-view device on the SQL path — no fallback
     p = tmp_path / "t.csv"
     p.write_text("id,v\n1,2.0\n2,9.5\n")
     eng = PqlEngine(spark, resolver={}, backend="auto")
@@ -107,14 +109,48 @@ def test_auto_falls_back_on_csv_externaldata(spark, tmp_path):
         ' with (format="csv", header="true") | where v > 5 | project id'
     )
     assert [r.id for r in eng.query(q).collect()] == [2]
+    assert eng.sql_fallbacks == 0
+    # the transient reader view is dropped after the one spark.sql call
+    leftover = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__pql_v")
+    ]
+    assert leftover == []
 
 
-def test_strict_sql_backend_raises_on_refusal(spark, tmp_path):
+def test_csv_externaldata_backend_equality(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id|name\n1|aa\n2|bb\n3|cc\n")
+    q = (
+        f'externaldata (id: long, name: string) ["{p}"]'
+        ' with (format="csv", header="true", sep="|")'
+        " | extend tag = strcat(name, tostring(id)) | sort by id asc"
+    )
+    dfb = PqlEngine(spark, resolver={}, backend="df").query(q)
+    sqb = PqlEngine(spark, resolver={}, backend="sql").query(q)
+    assert dfb.collect() == sqb.collect()
+    assert dfb.columns == sqb.columns
+
+
+def test_json_externaldata_on_sql_backend(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text('{"id": 1, "v": "x"}\n{"id": 2, "v": "y"}\n')
+    eng = PqlEngine(spark, resolver={}, backend="sql")
+    q = (
+        f'externaldata (id: long, v: string) ["{p}"]'
+        ' with (format="json") | where v == "y" | project id'
+    )
+    assert [r.id for r in eng.query(q).collect()] == [2]
+
+
+def test_to_sql_still_refuses_optioned_externaldata(spark, tmp_path):
+    # a standalone SQL string cannot carry reader options; the error
+    # must point at the engine's transient-view workaround
     p = tmp_path / "t.csv"
     p.write_text("id\n1\n")
     eng = PqlEngine(spark, resolver={}, backend="sql")
-    with pytest.raises(Exception, match="DataFrame backend"):
-        eng.query(
+    with pytest.raises(Exception, match="transient reader-backed"):
+        eng.to_sql(
             f'externaldata (id: long) ["{p}"] with (format="csv")'
         )
 

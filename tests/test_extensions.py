@@ -963,7 +963,9 @@ def test_externaldata_csv(spark, tmp_path):
         " | where v > 2 | project id, name"
     )
     assert [tuple(r) for r in eng.query(q).collect()] == [(2, "beta")]
-    with pytest.raises(QueryError, match="DataFrame backend"):
+    # a standalone SQL string still can't carry reader options — only
+    # the engine's transient-view device can (r12)
+    with pytest.raises(QueryError, match="transient reader-backed"):
         compile_to_sql(q, {})
 
 

@@ -1,11 +1,24 @@
-"""Synthesize a 10x ("sf1") dataset from sf0.1 for the scaling study.
+"""Synthesize scaled datasets from sf0.1 for the scaling study.
 
-Each replica i offsets the id columns and perturbs content so the
-scaled data does not contain artificial exact/near duplicates:
-documents get a per-replica suffix token, embeddings are rolled by i
-positions (cosine between replicas of the same vector is ~random).
-Output: .scratch/sf1/{events,documents,embeddings,lineitem}.parquet
-directories plus symlinks for the small dimension tables.
+``python tools/gen_scale.py``        → 10x  into .scratch/sf1
+``python tools/gen_scale.py sf10``   → 100x into .scratch/sf10
+``python tools/gen_scale.py zipf``   → the Zipf PPJoin ON-case corpus
+
+Each replica i offsets the id columns.  Document content is perturbed
+with a DENSITY-PRESERVING scheme (r12): replicas are grouped in tens;
+within a group, members differ only by a one-token suffix (" rv<m>",
+shingle-Jaccard ~0.96 — near-dups, exactly the sf1/r11 corpus shape),
+while across groups every 4th token gains a "_g<g>" tag, so no
+5-shingle survives between groups (measured J = 0.0).  Near-dup pair
+count therefore grows LINEARLY with scale (one 10-member family per
+source doc per group) instead of quadratically in the replica count —
+at sf1 (one group) the output is bit-identical to the r11 generator.
+Embeddings are rolled by i positions (cosine between replicas of the
+same vector is ~random); sf10 only materializes the heavy-tier tables
+(documents, events) — embeddings roll-by-i is only collision-free for
+i < dim(=64), and no sf10 row reads embeddings or lineitem.
+Output: .scratch/<name>/{events,documents,...}.parquet directories
+plus symlinks for the small dimension tables.
 """
 
 from __future__ import annotations
@@ -20,8 +33,7 @@ from pyspark.sql import functions as F
 from pql_spark.sources import build_session, parquet_catalog
 
 SRC = "/root/testdata/sf0.1"
-DST = Path(__file__).resolve().parent.parent / ".scratch" / "sf1"
-REPLICAS = 10
+_SCRATCH = Path(__file__).resolve().parent.parent / ".scratch"
 
 
 def gen_zipf() -> int:
@@ -103,18 +115,41 @@ def gen_zipf() -> int:
     return 0
 
 
-def main() -> int:
+def _perturbed_text(replicas: int):
+    """Replica text: group g = __r // 10 tags every 4th token with
+    "_g<g>" (zero shared 5-shingles across groups), member m = __r %
+    10 appends the r11 " rv<m>" suffix (J~0.96 within a group).  At
+    replicas=10 (sf1) g is always 0 and the expression reduces to the
+    r11 generator exactly."""
+    g = (F.col("__r") / 10).cast("long")
+    m = F.col("__r") % 10
+    toks = F.split(F.col("text"), " ")
+    tagged = F.transform(
+        toks,
+        lambda t, i: F.when(
+            (g > 0) & (i % 4 == 0),
+            F.concat(t, F.lit("_g"), g.cast("string")),
+        ).otherwise(t),
+    )
+    return F.concat(
+        F.array_join(tagged, " "), F.lit(" rv"), m.cast("string")
+    ).alias("text")
+
+
+def main(name: str = "sf1", replicas: int = 10) -> int:
+    heavy_only = replicas > 10  # sf10: only the heavy-tier tables
+    dst = _SCRATCH / name
     spark = build_session("gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
     cat = parquet_catalog(spark, SRC)
-    DST.mkdir(parents=True, exist_ok=True)
+    dst.mkdir(parents=True, exist_ok=True)
 
     def write(df, name):
-        df.write.mode("overwrite").parquet(str(DST / f"{name}.parquet"))
+        df.write.mode("overwrite").parquet(str(dst / f"{name}.parquet"))
         print(name, "rows:", spark.read.parquet(
-            str(DST / f"{name}.parquet")).count())
+            str(dst / f"{name}.parquet")).count())
 
-    rep = spark.range(REPLICAS).select(F.col("id").alias("__r"))
+    rep = spark.range(replicas).select(F.col("id").alias("__r"))
 
     ev = cat("events")
     n_ev = ev.count()
@@ -135,44 +170,44 @@ def main() -> int:
     write(
         docs.crossJoin(rep).select(
             (F.col("doc_id") + F.col("__r") * n_docs).alias("doc_id"),
-            F.concat(
-                F.col("text"), F.lit(" rv"), F.col("__r").cast("string")
-            ).alias("text"),
+            _perturbed_text(replicas),
             *others,
         ),
         "documents",
     )
 
-    emb = cat("embeddings")
-    n_emb = emb.agg(F.max("vec_id")).head()[0] + 1
-    dim = emb.select(F.size("embedding")).head()[0]
-    rolled = F.expr(
-        f"concat(slice(embedding, CAST(__r AS INT) + 1, {dim} -"
-        f" CAST(__r AS INT)), slice(embedding, 1, CAST(__r AS INT)))"
-    )
-    others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
-    write(
-        emb.crossJoin(rep).select(
-            (F.col("vec_id") + F.col("__r") * n_emb).alias("vec_id"),
-            rolled.alias("embedding"),
-            *others,
-        ),
-        "embeddings",
-    )
+    if not heavy_only:
+        emb = cat("embeddings")
+        n_emb = emb.agg(F.max("vec_id")).head()[0] + 1
+        dim = emb.select(F.size("embedding")).head()[0]
+        rolled = F.expr(
+            f"concat(slice(embedding, CAST(__r AS INT) + 1, {dim} -"
+            f" CAST(__r AS INT)), slice(embedding, 1, CAST(__r AS INT)))"
+        )
+        others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+        write(
+            emb.crossJoin(rep).select(
+                (F.col("vec_id") + F.col("__r") * n_emb).alias("vec_id"),
+                rolled.alias("embedding"),
+                *others,
+            ),
+            "embeddings",
+        )
 
-    li = cat("lineitem")
-    n_ok = li.agg(F.max("l_orderkey")).head()[0] + 1
-    others = [c for c in li.columns if c != "l_orderkey"]
-    write(
-        li.crossJoin(rep).select(
-            (F.col("l_orderkey") + F.col("__r") * n_ok).alias("l_orderkey"),
-            *others,
-        ),
-        "lineitem",
-    )
+        li = cat("lineitem")
+        n_ok = li.agg(F.max("l_orderkey")).head()[0] + 1
+        others = [c for c in li.columns if c != "l_orderkey"]
+        write(
+            li.crossJoin(rep).select(
+                (F.col("l_orderkey") + F.col("__r") * n_ok)
+                .alias("l_orderkey"),
+                *others,
+            ),
+            "lineitem",
+        )
 
     for t in ("region", "nation", "customer", "supplier", "part", "orders"):
-        link = DST / f"{t}.parquet"
+        link = dst / f"{t}.parquet"
         if not link.exists():
             link.symlink_to(Path(SRC) / f"{t}.parquet")
     spark.stop()
@@ -182,4 +217,6 @@ def main() -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "zipf":
         sys.exit(gen_zipf())
+    if len(sys.argv) > 1 and sys.argv[1] == "sf10":
+        sys.exit(main("sf10", 100))
     sys.exit(main())
