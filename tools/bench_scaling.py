@@ -1,4 +1,4 @@
-"""Scaling study: sf0.1 vs 10x (".scratch/sf1", tools/gen_scale.py).
+"""Scaling study: sf0.1 vs 10x (".scratch/sf1") vs 100x (".scratch/sf10").
 
 For each selected query, times the Spark implementation AND its DuckDB
 oracle at both scales (best of 2) and prints one JSON document.  The
@@ -6,6 +6,18 @@ point: Spark's fixed per-query overhead (~0.2-0.5 s of stage/codegen
 floor) dominates sub-second queries at sf0.1 — as data grows 10x the
 spark/duck ratio should compress toward (or past) 1x, showing the
 asymptotic plans are right.
+
+r12 (VERDICT r11 item 4): when .scratch/sf10 exists, the HEAVY tier
+also runs at 100x — a second measured decade, turning the one-decade
+extrapolation into a trend line.  sf10 rows are single-shot (a 2x
+timing error does not change a decade trend) and the DuckDB oracle is
+capped (SPARK_GRAFT_DUCK_CAP_SEC, default 600 s, via con.interrupt):
+for rows where Spark's asymptotics win hard (dedup_clusters was
+already 0.04x at sf1) the twin would otherwise run for an hour to
+prove a ratio we only need an upper bound on.  Capped rows report
+duck_sf10 = null + ratio_sf10_max = spark/cap; the per-row
+spark_slope_sf1_to_sf10 (want ~10 for 10x data) is the primary trend
+statistic either way.
 """
 
 from __future__ import annotations
@@ -59,6 +71,14 @@ QUERIES = [
     # per-row Arrow work, the join is the part that scales)
     "op_geo_join_scale", "op_hamming_dups",
 ]
+
+# the tier that gets the second measured decade (sf10 = 100x sf0.1);
+# ngram's 100x point lives on the Zipf corpus instead (bench_zipf.py —
+# the flat synthetic corpus is the documented prefix-filter OFF case)
+HEAVY = [
+    "op_minhash_dups", "op_ngram_jaccard", "op_dedup_clusters",
+    "op_hamming_dups", "op_geo_join_scale", "op_curate_corpus",
+]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -102,15 +122,43 @@ NOTES = {
 }
 
 
-def time_best2(fn) -> float:
+def time_best2(fn, runs: int = 2) -> float:
     best = float("inf")
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
         if _SPARK is not None:  # persist-heavy pipelines: no cross-run
             _SPARK.catalog.clearCache()  # cache reuse (bench.py rule)
     return round(best, 3)
+
+
+def duck_timed_capped(con, sql: str, cap: float) -> tuple[float, bool]:
+    """Run the oracle once with a wall-clock cap: a watchdog thread
+    calls con.interrupt() at the cap so an asymptotically-losing twin
+    (the thing the Spark plan exists to beat) cannot stall the sweep.
+    Returns (seconds, capped)."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(cap):
+            try:
+                con.interrupt()
+            except Exception:  # noqa: BLE001 — already finished
+                pass
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        return round(time.perf_counter() - t0, 3), False
+    except Exception:  # noqa: BLE001 — duckdb.InterruptException
+        return round(cap, 3), True
+    finally:
+        done.set()
 
 
 _SPARK = None
@@ -138,6 +186,8 @@ def main() -> int:
     repo = Path(__file__).resolve().parent.parent
     dirs = {"sf0.1": "/root/testdata/sf0.1",
             "sf1": str(repo / ".scratch" / "sf1")}
+    sf10_dir = repo / ".scratch" / "sf10"
+    duck_cap = float(os.environ.get("SPARK_GRAFT_DUCK_CAP_SEC", "600"))
     # SPARK_GRAFT_SCALING_ONLY=a,b: focused re-measurement of a few
     # rows (e.g. after a plan change) without the full 33-query sweep
     only = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "")
@@ -177,6 +227,32 @@ def main() -> int:
             row["ratio_sf1"] = round(
                 row["spark_sf1"] / max(row["duck_sf1"], 1e-9), 2
             )
+        # second decade: heavy tier at 100x, single-shot, capped oracle
+        if name in HEAVY and sf10_dir.exists():
+            d10 = str(sf10_dir)
+            row["spark_sf10"] = time_best2(
+                lambda: queries[name](spark, d10).collect(), runs=1
+            )
+            row["spark_slope_sf1_to_sf10"] = round(
+                row["spark_sf10"] / max(row["spark_sf1"], 1e-9), 2
+            )
+            if name in oracles:
+                con = duck_con(d10)
+                dt, capped = duck_timed_capped(
+                    con, oracles[name], duck_cap
+                )
+                con.close()
+                if capped:
+                    row["duck_sf10"] = None
+                    row["duck_sf10_cap"] = dt
+                    row["ratio_sf10_max"] = round(
+                        row["spark_sf10"] / dt, 3
+                    )
+                else:
+                    row["duck_sf10"] = dt
+                    row["ratio_sf10"] = round(
+                        row["spark_sf10"] / max(dt, 1e-9), 2
+                    )
         if name in NOTES:
             row["note"] = NOTES[name]
         out[name] = row
