@@ -945,6 +945,7 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     sample_size: int = 2048,
     iters: int = 10,
+    passes: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): coarse k-means cells over the embeddings, exact
@@ -958,23 +959,24 @@ def semantic_dedup_pairs(
     missed BY DESIGN (semantic dups land in the same cell).  Raise
     ``n_clusters`` so the largest cell's tile fits executor memory;
     emitted pairs are exact cosines, so precision vs brute force is 1.
+
+    ``passes`` (r12) is the cross-cell recall knob: each extra pass
+    re-trains the coarse quantizer with a rotated deterministic
+    initialization (``train_centroids(init_frac=p/(2*passes))``) —
+    a different local optimum with different cell boundaries — and
+    unions the within-cell pairs, deduplicated on (id_a, id_b).  A
+    duplicate pair is missed only if EVERY pass splits it across
+    cells; boundary pairs rarely straddle two independent partitions.
+    Cost is linear in ``passes`` (the full Σ|cell|² kernel re-runs per
+    pass; precision stays 1 — cosines are exact either way).  Measured
+    on the rotation-degenerate circle construction in
+    ``tests/test_semantic_passes.py``: passes=1 recall 55/60, passes=2
+    recall 1.0, zero false pairs, at 2x the single-pass cost envelope.
     """
     import numpy as np
     import pandas as pd
 
     from .similarity import ivf_assign, train_centroids
-
-    cents = train_centroids(
-        df, n_clusters, vec_col, id_col, sample_size, iters
-    )
-    assigned = ivf_assign(
-        df.select(
-            F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
-        ),
-        cents,
-        vec_col,
-        "__sd_cell",
-    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -991,11 +993,26 @@ def semantic_dedup_pairs(
             {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
         )
 
-    return (
-        assigned.groupBy("__sd_cell")
-        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
-        .orderBy("id_a", "id_b")
+    narrow = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
     )
+    out = None
+    for p in range(max(passes, 1)):
+        cents = train_centroids(
+            df, n_clusters, vec_col, id_col, sample_size, iters,
+            init_frac=p / (2 * passes) if passes > 1 else 0.0,
+        )
+        pass_pairs = (
+            ivf_assign(narrow, cents, vec_col, "__sd_cell")
+            .groupBy("__sd_cell")
+            .applyInPandas(kernel, "id_a long, id_b long, cosine double")
+        )
+        out = (
+            pass_pairs if out is None else out.unionByName(pass_pairs)
+        )
+    if passes > 1:  # same pair found by several passes: identical
+        out = out.dropDuplicates(["id_a", "id_b"])  # exact cosines
+    return out.orderBy("id_a", "id_b")
 
 
 def semantic_dedup(
@@ -1006,13 +1023,16 @@ def semantic_dedup(
     n_clusters: int = 16,
     sample_size: int = 2048,
     iters: int = 10,
+    passes: int = 1,
 ) -> DataFrame:
     """Remove semantic near-duplicates: keep the min-id representative
     of every within-cell duplicate cluster (transitive over the pair
     graph) plus all unpaired rows — ``semantic_dedup_pairs`` composed
-    with :func:`dedup_by_pairs`."""
+    with :func:`dedup_by_pairs`.  ``passes`` > 1 adds the rotated-init
+    cross-cell recall passes (see :func:`semantic_dedup_pairs`)."""
     pairs = semantic_dedup_pairs(
-        df, vec_col, id_col, threshold, n_clusters, sample_size, iters
+        df, vec_col, id_col, threshold, n_clusters, sample_size, iters,
+        passes,
     )
     return dedup_by_pairs(df, pairs, id_col)
 

@@ -278,6 +278,7 @@ def train_centroids(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     iters: int = 10,
+    init_frac: float = 0.0,
 ) -> list[list[float]]:
     """Deterministic spherical k-means (Lloyd's on the unit sphere,
     cosine objective) over a bounded driver-side sample — the training
@@ -290,6 +291,12 @@ def train_centroids(
     evenly spaced sample points, argmax ties pick the lowest cell, empty
     cells keep their previous centroid.  Training cost is independent of
     corpus size; only assignment (a narrow map) is distributed.
+
+    ``init_frac`` rotates the (deterministic) initialization by that
+    fraction of the sample — a second training run with a nonzero
+    offset converges to a DIFFERENT local optimum with different cell
+    boundaries, which is what ``semantic_dedup_pairs(passes=2)`` uses
+    to recover cross-cell duplicate pairs the first partition misses.
     """
     import numpy as np
 
@@ -299,7 +306,11 @@ def train_centroids(
     x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n = len(x)
-    cents = x[np.linspace(0, n - 1, n_centroids).astype(int)].copy()
+    idx = (
+        np.linspace(0, n - 1, n_centroids).astype(int)
+        + int(init_frac * n)
+    ) % max(n, 1)
+    cents = x[idx].copy()
     for _ in range(iters):
         assign = (x @ cents.T).argmax(axis=1)
         for j in range(n_centroids):
