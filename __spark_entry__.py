@@ -4657,6 +4657,141 @@ def _q_semantic_dedup_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id").orderBy("vec_id")
 
 
+def _semantic_circle_pts() -> list[tuple[int, list[float]]]:
+    """The rotation-degenerate circle (tests/test_semantic_passes.py):
+    60 unit vectors, every adjacent pair a planted duplicate
+    (cos(2pi/60)=0.9945 >= 0.99; second neighbours 0.978 stay out).
+    Uniform on the circle means the 5-cell spherical-k-means optimum
+    is rotation-degenerate, so ANY partition must split exactly 5 of
+    the 60 adjacent pairs — the cross-cell miss the ``passes`` knob
+    exists to recover."""
+    import math as _m
+
+    return [
+        (i, [_m.cos(2 * _m.pi * i / 60), _m.sin(2 * _m.pi * i / 60)])
+        for i in range(60)
+    ]
+
+
+def _q_semantic_passes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 cross-cell recall knob, driver-hash-checked: run
+    semantic_dedup_pairs at passes=1 and passes=2 on the circle
+    construction and emit one measured row per setting — planted-pair
+    recall (want 55/60 then 60/60) and false-pair count (want 0, 0 —
+    precision is exact cosines).  The DuckDB twin replays the
+    deterministic spherical-k-means for both rotated inits in numpy,
+    inlines points + per-pass centroids as literals, and recomputes
+    the argmax assignment (ties to the HIGHEST cell, matching
+    ivf_assign's array_max), the within-cell exact-cosine pairs, the
+    pass union, and the aggregates — so the hash compare covers the
+    whole knob, not just the operator's plumbing."""
+    from pql_spark.operators.dedup import semantic_dedup_pairs
+
+    circle = spark.createDataFrame(
+        _semantic_circle_pts(), "vec_id long, embedding array<double>"
+    )
+    planted = (F.col("id_b") - F.col("id_a") == 1) | (
+        (F.col("id_a") == 0) & (F.col("id_b") == 59)
+    )
+    out = None
+    for p in (1, 2):
+        row = (
+            semantic_dedup_pairs(
+                circle, threshold=0.99, n_clusters=5, sample_size=60,
+                passes=p,
+            )
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(planted.cast("long")).alias("n_planted"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("passes"),
+                F.col("n_pairs"),
+                F.col("n_planted"),
+                (F.col("n_pairs") - F.col("n_planted")).alias("extras"),
+                F.round(F.col("n_planted") / 60.0, 4).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("passes")
+
+
+def _semantic_passes_oracle() -> str:
+    """Replayed twin of _q_semantic_passes (see its docstring)."""
+    import numpy as np
+
+    pts = _semantic_circle_pts()
+    x = np.array([v for _, v in pts], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    def train(init_frac: float) -> list[list[float]]:
+        n, k = len(x), 5
+        idx = (
+            np.linspace(0, n - 1, k).astype(int) + int(init_frac * n)
+        ) % n
+        cents = x[idx].copy()
+        for _ in range(10):
+            assign = (x @ cents.T).argmax(axis=1)
+            for j in range(k):
+                members = x[assign == j]
+                if len(members):
+                    c = members.sum(axis=0)
+                    nrm = np.linalg.norm(c)
+                    if nrm > 1e-12:
+                        cents[j] = c / nrm
+        return [[float(v) for v in row] for row in cents]
+
+    pts_sql = ", ".join(
+        f"({i}, {v[0]!r}, {v[1]!r})" for i, v in pts
+    )
+    cents_sql = ", ".join(
+        f"({p}, {j}, {c[0]!r}, {c[1]!r})"
+        for p, frac in ((0, 0.0), (1, 0.25))
+        for j, c in enumerate(train(frac))
+    )
+    return f"""
+WITH pts(vec_id, e0, e1) AS (VALUES {pts_sql}),
+cents(p, cell, c0, c1) AS (VALUES {cents_sql}),
+asg AS (
+  SELECT vec_id, p, cell FROM (
+    SELECT pt.vec_id, c.p, c.cell,
+           row_number() OVER (
+             PARTITION BY pt.vec_id, c.p
+             ORDER BY (pt.e0*c.c0 + pt.e1*c.c1)
+                      / (sqrt(pt.e0*pt.e0 + pt.e1*pt.e1)
+                         * sqrt(c.c0*c.c0 + c.c1*c.c1)) DESC,
+                      c.cell DESC) AS rn
+    FROM pts pt CROSS JOIN cents c) WHERE rn = 1),
+pairs AS (
+  SELECT a.p, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a
+  JOIN asg b ON a.p = b.p AND a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN pts pa ON pa.vec_id = a.vec_id
+  JOIN pts pb ON pb.vec_id = b.vec_id
+  WHERE (pa.e0*pb.e0 + pa.e1*pb.e1)
+        / (sqrt(pa.e0*pa.e0 + pa.e1*pa.e1)
+           * sqrt(pb.e0*pb.e0 + pb.e1*pb.e1)) >= 0.99),
+p1 AS (SELECT DISTINCT id_a, id_b FROM pairs WHERE p = 0),
+pu AS (SELECT DISTINCT id_a, id_b FROM pairs),
+stats AS (
+  SELECT 1 AS passes, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(CASE WHEN id_b - id_a = 1
+                       OR (id_a = 0 AND id_b = 59)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_planted
+  FROM p1
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN id_b - id_a = 1
+                       OR (id_a = 0 AND id_b = 59)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM pu)
+SELECT CAST(passes AS BIGINT) AS passes, n_pairs, n_planted,
+       n_pairs - n_planted AS extras,
+       round(n_planted / 60.0, 4) AS recall
+FROM stats ORDER BY passes
+"""
+
+
 def _ivf_topk_oracle(bare: bool = False) -> str:
     """Replayed-twin oracle for IVF top-k (the BPE device applied to
     the other data-trained structure): the spherical-k-means training
@@ -6391,6 +6526,7 @@ _CHECK_FIRST = [
     "pql_tabular_let", "pql_top_nested_others", "pql_union_inner",
     # 2. new bare-operator rows (ship with driver evidence):
     "op_lsh_topk_bare", "op_ivf_topk_bare", "op_semantic_dedup_bare",
+    "op_semantic_passes",
     # 3. changed by r12 code (geo lat-bound/NaN handling; the
     # sequence_detect + hamming perf items):
     "op_geo_join", "op_geo_join_scale", "pql_sequence_detect",
@@ -6436,6 +6572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lsh_topk_bare": _q_lsh_topk_bare,
             "op_ivf_topk_bare": _q_ivf_topk_bare,
             "op_semantic_dedup_bare": _q_semantic_dedup_bare,
+            # r12 cross-cell recall knob, measured rows per passes=
+            "op_semantic_passes": _q_semantic_passes,
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # plumbing-contract oracle
@@ -6522,6 +6660,7 @@ def oracle_sql() -> dict[str, str]:
             "op_lsh_topk_bare": _lsh_topk_oracle(bare=True),
             "op_ivf_topk_bare": _ivf_topk_oracle(bare=True),
             "op_semantic_dedup_bare": _semantic_dedup_oracle(bare=True),
+            "op_semantic_passes": _semantic_passes_oracle(),
             "op_phash_dups": _phash_dups_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING
