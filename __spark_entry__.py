@@ -6169,7 +6169,12 @@ def _geo_scale_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than the join radius), collision-free through 4M ids; every
     id % 40 == 1 point sits ~26 m east of its predecessor's site, so
     the exact pair set is the planted (id-1, id) pairs and the count
-    grows linearly with the table."""
+    grows linearly with the table.  Past 4M ids (the sf10 decade:
+    10M events) the lattice wraps and ids sharing a site form
+    coincident-point pairs too — still ~O(n) extra pairs (~2.5
+    ids/site) and still mirrored exactly by the twin (hash-checked at
+    sf10), but the "planted pairs only" reading holds only below the
+    wrap."""
     ev = _cat(spark, sf_dir)("events")
     dup = F.col("event_id") % 40 == 1
     base = F.when(dup, F.col("event_id") - 1).otherwise(F.col("event_id"))
