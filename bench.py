@@ -259,6 +259,22 @@ def main() -> int:
     full_record["stream_floor_deltas"] = stream_deltas
     full_record["stream_perf_flag"] = stream_perf_flag
     full_record["session_clean"] = session_clean
+    # evidence-freshness summary (VERDICT r11 item 7): the bench record
+    # itself reproduces the "no evidence older than rN" claim from the
+    # committed CORRECTNESS files — tools/evidence_freshness.py has the
+    # full per-gate view
+    try:
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from evidence_freshness import collect as _ef_collect
+
+        _ef = _ef_collect()
+        full_record["evidence_freshness"] = {
+            "oldest_green_round": _ef["oldest_green_round"],
+            "latest_green_histogram": _ef["latest_green_histogram"],
+            "gates_hash_green_ever": _ef["gates_hash_green_ever"],
+        }
+    except Exception:  # noqa: BLE001 — no CORRECTNESS files yet
+        full_record["evidence_freshness"] = None
     full_path.write_text(json.dumps(full_record) + "\n")
     digest = dict(full_record)
     digest["queries"] = digest_q
