@@ -3006,6 +3006,17 @@ def _shingles_sql(words: str, k: int) -> str:
     )
 
 
+# Injected-duplicate id offset for gates whose base is the FULL
+# (scale-dependent) documents/embeddings table: must clear the id range
+# at EVERY scale the gate runs (sf10 documents span 0..499,999; the old
+# +100,000 aliased ids 100000..100049 there, so connected_components
+# transitively merged unrelated docs through the shared-id vertices —
+# ADVICE r12).  1e9 clears any plausible replica count.  Gates that cap
+# their base first (doc_id < 1000/500/300 before the union) keep the
+# small literal: a capped base cannot collide at any scale.
+_DUP_OFF = 1_000_000_000
+
+
 def _minhash_oracle(num_perm: int = 64, bands: int = 16, k: int = 5,
                     threshold: float = 0.7) -> str:
     """Generated DuckDB SQL mirroring minhash_dup_pairs exactly (same
@@ -3029,7 +3040,7 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16, k: int = 5,
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+  SELECT doc_id + {_DUP_OFF} AS doc_id, text || ' xtra' AS text
   FROM documents WHERE doc_id < 50
 ),
 docs AS (SELECT doc_id, {_WORDS} AS words FROM base),
@@ -3299,7 +3310,7 @@ _NGRAM_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+  SELECT doc_id + {_DUP_OFF} AS doc_id, text || ' xtra' AS text
   FROM documents WHERE doc_id < 50
 ),
 docs AS (SELECT doc_id, {_WORDS} AS words FROM base),
@@ -4443,8 +4454,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _docs(spark, sf_dir).select("doc_id", "text")
     # inject deterministic near-duplicates so the detector has real work
+    # (offset clears the id range at every scale — see _DUP_OFF)
     dups = base.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + _DUP_OFF).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
     )
     return D.minhash_dup_pairs(
@@ -4464,7 +4476,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _docs(spark, sf_dir).select("doc_id", "text")
     dups = base.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + _DUP_OFF).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
     )
     return D.ngram_jaccard_pairs(
@@ -4501,7 +4513,7 @@ def _emb_clones(
 ) -> DataFrame:
     """Deterministic near-clone injection for the ANN gates (the
     _q_minhash clone pattern lifted to embeddings): ``copies`` clones
-    of each of the first ``n_src`` vectors, ids 100000+i, coordinate j
+    of each of the first ``n_src`` vectors, ids _DUP_OFF+i, coordinate j
     perturbed by ``((i*7 + j) % 5 - 2) * eps`` — integer arithmetic
     times an exact double literal, so a DuckDB twin reproduces every
     vector bit-for-bit."""
@@ -4518,7 +4530,7 @@ def _emb_clones(
         .withColumn("__src", F.col("id") % n_src)
         .join(F.broadcast(src), "__src")
         .select(
-            (F.col("id") + 100000).alias("vec_id"),
+            (F.col("id") + _DUP_OFF).alias("vec_id"),
             F.transform(
                 "qv",
                 lambda x, j: x
@@ -4992,7 +5004,7 @@ def _semantic_dedup_oracle(bare: bool = False) -> str:
             [x + ((i * 7 + j) % 5 - 2) * 0.0001
              for j, x in enumerate(src)]
         )
-    x = np.array(base + clones, dtype=np.float64)  # id order: 0..499, 100000..
+    x = np.array(base + clones, dtype=np.float64)  # id order: 0..499, _DUP_OFF..
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n_centroids, iters = 8, 10
     cents = x[np.linspace(0, len(x) - 1, n_centroids).astype(int)].copy()
@@ -5024,7 +5036,7 @@ WITH RECURSIVE
 sb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT 100000 + i AS vec_id,
+  SELECT {_DUP_OFF} + i AS vec_id,
          [q.v[j + 1] + ((i * 7 + j) % 5 - 2) * 0.0001
           FOR j IN range(0, 64)] AS v
   FROM (SELECT vec_id AS src, embedding::DOUBLE[] AS v
@@ -5101,7 +5113,7 @@ q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 lbase AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT 100000 + i AS vec_id,
+  SELECT {_DUP_OFF} + i AS vec_id,
          [qv[j + 1] + ((i * 7 + j) % 5 - 2) * 0.001 FOR j IN range(0, 64)]
   FROM q0, range(8) t(i)
 ),

@@ -9,10 +9,16 @@ with a DENSITY-PRESERVING scheme (r12): replicas are grouped in tens;
 within a group, members differ only by a one-token suffix (" rv<m>",
 shingle-Jaccard ~0.96 — near-dups, exactly the sf1/r11 corpus shape),
 while across groups every 4th token gains a "_g<g>" tag, so no
-5-shingle survives between groups (measured J = 0.0).  Near-dup pair
-count therefore grows LINEARLY with scale (one 10-member family per
-source doc per group) instead of quadratically in the replica count —
-at sf1 (one group) the output is bit-identical to the r11 generator.
+5-shingle survives between groups (measured J = 0.0 at k=5).  At
+k=3 (the op_ngram_jaccard setting, _NGRAM_K=3) shingles whose tokens
+all fall between tagged positions DO survive across groups —
+cross-group Jaccard is ~0.14, still far below every threshold in use
+(0.6/0.7), so no cross-group pair clears a detector at either k
+(ADVICE r12: the old claim of exact zero overlap only holds for
+k=5).  Near-dup pair count therefore grows LINEARLY with scale (one
+10-member family per source doc per group) instead of quadratically
+in the replica count — at sf1 (one group) the output is bit-identical
+to the r11 generator.
 Embeddings are rolled by i positions (cosine between replicas of the
 same vector is ~random); sf10 only materializes the heavy-tier tables
 (documents, events) — embeddings roll-by-i is only collision-free for
