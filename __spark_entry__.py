@@ -6517,39 +6517,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-12 rotation (VERDICT r11 item 3): (1) ALL 40 rows whose
-    # latest hash-green evidence is r7 (verified by
+    # Round-13 rotation (VERDICT r12 items 3+7): (1) the §2 join
+    # surface first — its evidence sat at r9 for three rounds, (2)
+    # every gate this round's _DUP_OFF change touches (injected-dup
+    # offset 100000 → 1e9, Spark + oracle in lockstep), (3) the rest
+    # of the 41 gates whose latest hash-green is r9 (verified by
     # tools/evidence_freshness.py — after this window nothing
-    # predates r9), (2) the three NEW bare-operator gates, (3) every
-    # gate this round's code changes touch (engine view-isolation +
-    # auto default affects all PQL gates — the 40 r7 rows include a
-    # broad PQL mix plus both ip lookups, whose SQL emission gained
-    # the $p broadcast hint; geo lat-bound handling; sequence_detect
-    # and hamming perf work), (4) the front of the r9 tail.
+    # predates r10), (4) the flagship.  Exactly 50.
     #
-    # 1. last hashed in round 7 (all 40):
-    "op_asof_join", "op_bm25", "op_cosine_topk", "op_dedup_exact",
-    "op_embedding_dups", "op_kmv_distinct", "op_langid",
-    "op_ngram_jaccard", "op_quality", "op_range_join",
-    "op_scrub_crossdoc", "op_simhash", "op_stream_windowed",
-    "op_token_stats", "pql_active_users_count", "pql_array_set_fns",
-    "pql_autocluster", "pql_bag_unpack", "pql_bag_unpack_schema",
-    "pql_binary_fns", "pql_case_fn", "pql_datetime_fns",
-    "pql_diffpatterns", "pql_events_daily", "pql_facet_counts",
-    "pql_facet_main", "pql_fork_hot", "pql_ipv4_fns",
-    "pql_ipv4_lookup", "pql_ipv6_lookup", "pql_let_fn",
-    "pql_mv_itemindex", "pql_narrow", "pql_sample_distinct",
-    "pql_scan_funnel", "pql_scan_var_window", "pql_string_fns",
-    "pql_tabular_let", "pql_top_nested_others", "pql_union_inner",
-    # 2. new bare-operator rows (ship with driver evidence):
-    "op_lsh_topk_bare", "op_ivf_topk_bare", "op_semantic_dedup_bare",
+    # 1. joins (r9-stale, §2 surface):
+    "pql_join_inner", "pql_join_innerunique", "pql_join_leftouter",
+    "pql_join_leftanti", "pql_join_leftsemi",
+    # 2. changed this round (_DUP_OFF; minhash/clusters also r9-stale):
+    "op_minhash_dups", "op_ngram_jaccard", "op_dedup_clusters",
+    "op_lsh_topk", "op_ivf_topk", "op_semantic_dedup",
+    "op_semantic_dedup_bare", "op_lsh_topk_bare", "op_ivf_topk_bare",
     "op_semantic_passes",
-    # 3. changed by r12 code (geo lat-bound/NaN handling; the
-    # sequence_detect + hamming perf items):
-    "op_geo_join", "op_geo_join_scale", "pql_sequence_detect",
-    "op_hamming_dups",
-    # 4. r9 tail front (3 of 43; the rest rotate in r13):
-    "pql_q1_pricing", "pql_count", "pql_sort_take",
+    # 3. remaining r9-stale gates (evidence_freshness r12 listing):
+    "op_chunk_documents", "op_curate_stream", "op_decontaminate",
+    "op_fingerprint", "op_histogram", "op_importance_weights",
+    "op_knn_grouped", "op_line_dedup", "op_lm_score",
+    "op_mix_corpora", "op_multimodal_audio", "op_multimodal_decode",
+    "op_near_dup_incremental", "op_pack_sequences", "op_profile",
+    "op_quantize_embeddings", "op_quantized_topk", "op_redact_pii",
+    "op_repetition", "op_sampling_split", "op_stream_dedup",
+    "op_stream_interval_join", "op_stream_near_dup",
+    "op_stream_sequence_detect", "op_stream_sessionize",
+    "op_stream_sink_upsert", "op_stream_stateful",
+    "op_temperature_mix", "op_unimax_mix", "op_weighted_sample",
+    "op_winnow_fingerprints", "pql_fork_daily", "pql_scan_declare",
+    "pql_sort_take",
+    # 4. flagship:
+    "pql_q1_pricing",
 ]
 
 

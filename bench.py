@@ -24,18 +24,22 @@ from pql_spark.operators._util import unpersist_tracked  # noqa: E402
 from pql_spark.sources import build_session  # noqa: E402
 
 
-# Streaming per-gate startup floors (PERF_NOTES_r10.md, measured with
-# null-drain / passthrough / trivial-stateful micro-benchmarks): a
-# JVM-only transient micro-batch gate floors at ~0.9 s, a
-# Python-stateful one at ~1.4 s; op_stream_near_dup adds its measured
-# 64-perm minhash Arrow kernel (~1.2 s — the same cost its batch twin
-# op_minhash_dups pays on the same corpus).  The revised r10 target is
-# machine-checked here: per-gate best-of-2 must sit within
-# _STREAM_DELTA_MAX of its floor AND the 8-gate family within
-# _STREAM8_FAMILY_MAX, else the record carries stream_perf_flag=true.
+# Streaming per-gate startup floors (PERF_NOTES_r10.md, revised r13):
+# a JVM-only transient micro-batch gate floors at ~0.9 s (null-drain /
+# passthrough micro-benchmarks), a Python-stateful one at ~1.4 s;
+# op_stream_near_dup adds its measured 64-perm minhash Arrow kernel
+# (~1.2 s).  op_stream_sink_upsert's floor is re-derived with REAL
+# file writes (PERF_NOTES_r13 §1): a 1-row foreachBatch upsert pays an
+# extra merge-write job + directory swap + parquet read-back on top of
+# the drain, measured 1.05-1.11 s on a quiet session — the old 0.9 s
+# null-drain floor understated the gate shape and made its 2× bar
+# reachable by ordinary session spread.  The target is machine-checked
+# here: per-gate best-of-2 must sit within _STREAM_DELTA_MAX of its
+# floor AND the 8-gate family within _STREAM8_FAMILY_MAX, else the
+# record carries stream_perf_flag=true.
 _STREAM_FLOORS = {
     "op_stream_windowed": 0.9,
-    "op_stream_sink_upsert": 0.9,
+    "op_stream_sink_upsert": 1.1,
     "op_stream_dedup": 0.9,
     "op_stream_stateful": 1.4,
     "op_stream_sequence_detect": 1.4,
@@ -45,12 +49,22 @@ _STREAM_FLOORS = {
 }
 _STREAM_DELTA_MAX = 0.5
 _STREAM8_FAMILY_MAX = 14.0
+# Quiet-session cost of the canonical null drain (_stream_sentinel):
+# median of 3 one-row availableNow memory-sink drains, measured 0.35-
+# 0.40 s on an idle 32-core builder session.  The floors above are
+# expressed in this unit's session, so a session whose drain runs slow
+# scales every hard bar by the same measured factor (capped — a >3×
+# drain means the session is unusable for perf claims, and the flag
+# should fire rather than stretch further).
+_STREAM_SENTINEL_REF = 0.37
+_STREAM_INFLATION_CAP = 3.0
 
 
 def compute_stream_flag(
     times: dict[str, float],
     session_clean: bool,
     floors: dict[str, float] = _STREAM_FLOORS,
+    inflation: float = 1.0,
 ) -> tuple[dict[str, float], float, bool]:
     """Streaming perf check → (per-gate floor deltas, 8-gate family
     sum, flag).  Two tiers (VERDICT r11 item 6 — the old single 0.5 s
@@ -59,14 +73,24 @@ def compute_stream_flag(
 
     * HARD, always on: the 8-gate family sum must stay ≤ 14 s, and no
       gate may exceed 2× its measured startup floor — a real floor
-      exceedance, not noise (a slow session inflates every gate ~1.3×,
-      never one gate 2×; the r11 noise trip read 0.81 s over a 1.4 s
-      floor = 1.6×).
-    * NOISE-GATED: the tight 0.5 s per-delta margin applies only when
-      the record's own noise instruments are clean (sentinel drift and
-      loadavg — the ``session_clean`` input); a noisy session cannot
-      trip it, and the hard tier still catches genuine regressions.
+      exceedance, not noise.  Both bars scale by ``inflation``, the
+      measured micro-batch-path slowdown of THIS session (stream
+      sentinel / quiet reference, ≥ 1, capped): the r12 driver record
+      proved a session can inflate the whole stateful family ~1.5×
+      while the BATCH sentinel reads clean (loadavg_start 5.77,
+      pql_count 0.185 s), because the micro-batch scheduler/state-
+      store path degrades under contention the batch path doesn't
+      sense.  Floor-dominated gates inflate BY the session factor, so
+      an unscaled 2× bar is reachable by session spread alone —
+      exactly the r12 false-positive (sink_upsert 2.219 s vs builder
+      sessions' 1.2-1.45 s on identical code).
+    * NOISE-GATED: the tight 0.5 s per-delta margin (vs RAW floors)
+      applies only when the record's own noise instruments are clean
+      (sentinel drift and loadavg — the ``session_clean`` input); a
+      noisy session cannot trip it, and the hard tier still catches
+      genuine regressions.
     """
+    infl = min(max(inflation, 1.0), _STREAM_INFLATION_CAP)
     deltas = {
         q: round(times[q] - f, 3)
         for q, f in floors.items()
@@ -76,13 +100,72 @@ def compute_stream_flag(
         sum(times[q] for q in floors if q in times and times[q] == times[q]),
         3,
     )
-    hard = family > _STREAM8_FAMILY_MAX or any(
-        times[q] > 2.0 * floors[q] for q in deltas
+    hard = family > _STREAM8_FAMILY_MAX * infl or any(
+        times[q] > 2.0 * floors[q] * infl for q in deltas
     )
     tight = session_clean and any(
         d > _STREAM_DELTA_MAX for d in deltas.values()
     )
     return deltas, family, bool(hard or tight)
+
+
+def compute_session_clean(
+    contended: bool,
+    sentinel_first: float,
+    sentinel_last: float,
+    load_at_launch_1m: float,
+    ncpu: int,
+) -> bool:
+    """A record is 'clean' (arming the tight noise-gated tier) only if
+    no contention instrument fired: the contended flag, sentinel drift
+    > 1.5×, or a loaded machine at LAUNCH (> 0.15×ncpu 1-min loadavg —
+    the r12 driver record was marked clean at loadavg 5.77 because the
+    batch sentinels were fast, and its contention-inflated streaming
+    rows then read as trustworthy; VERDICT r12 item 2)."""
+    return (
+        not contended
+        and sentinel_last <= 1.5 * sentinel_first
+        and load_at_launch_1m <= 0.15 * ncpu
+    )
+
+
+def _stream_sentinel(spark) -> float:
+    """Median-of-3 of the canonical null drain: a one-row parquet
+    stream drained through an availableNow memory sink — the exact
+    micro-benchmark the 0.9 s streaming floors were derived from
+    (PERF_NOTES_r10).  Run in the SAME session as the streaming gates,
+    it measures how fast THIS session's micro-batch path is; the ratio
+    to _STREAM_SENTINEL_REF scales the hard flag bars.  One untimed
+    warm drain first (the cold micro-batch machinery costs ~1.2 s that
+    belongs to session setup, not the path's steady state)."""
+    import shutil
+    import tempfile
+
+    from pql_spark.streaming import run_available_now
+
+    shm = Path("/dev/shm")
+    d = Path(tempfile.mkdtemp(
+        prefix="pql_ssent_", dir=str(shm) if shm.is_dir() else None
+    ))
+    try:
+        spark.createDataFrame([(1,)], "id long").write.parquet(
+            str(d / "one")
+        )
+        schema = spark.read.parquet(str(d / "one")).schema
+
+        def drain() -> None:
+            s = spark.readStream.schema(schema).parquet(str(d / "one"))
+            run_available_now(s.select("id"), "append")
+
+        drain()  # warm (untimed)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            drain()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _sentinel(spark, sf_dir: str) -> float:
@@ -105,6 +188,13 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
 
+    # loadavg at LAUNCH, before this process has done any work: the
+    # only reading that is purely the neighbors'.  The post-warmup
+    # loadavg_start includes our own 32-thread warmup burst and the
+    # r12 driver record showed a session can decay to clean sentinels
+    # while its start-of-run contention inflated the early gates.
+    load_at_launch = os.getloadavg()
+
     spark = build_session("pql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm fixed machinery once (JIT/codegen infra, parquet reader
@@ -122,6 +212,7 @@ def main() -> int:
 
     load_start = os.getloadavg()
     sentinel_first = _sentinel(spark, sf_dir)
+    stream_sentinel_first = _stream_sentinel(spark)
 
     # Steady-state methodology (JMH-style): each query runs twice and
     # the BEST time is reported.  Run 1 pays one-time costs that are
@@ -164,6 +255,7 @@ def main() -> int:
         )
 
     sentinel_last = _sentinel(spark, sf_dir)
+    stream_sentinel_last = _stream_sentinel(spark)
     load_end = os.getloadavg()
     # contention flag: the fixed-cost sentinel drifted >2x across the
     # run, or the 1-min loadavg exceeded the core count at either end
@@ -188,6 +280,9 @@ def main() -> int:
         "cold_sec": cold_total,
         "sentinel_first_sec": sentinel_first,
         "sentinel_last_sec": sentinel_last,
+        "stream_sentinel_first_sec": stream_sentinel_first,
+        "stream_sentinel_last_sec": stream_sentinel_last,
+        "loadavg_at_launch": [round(x, 2) for x in load_at_launch],
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "contended": contended,
@@ -251,12 +346,24 @@ def main() -> int:
     # stream_family_sec is the WIDER 10-row sum (8 op_stream_* gates
     # plus op_near_dup_incremental and op_curate_stream); the target
     # applies to stream8_family_sec.
-    session_clean = not contended and sentinel_last <= 1.5 * sentinel_first
+    session_clean = compute_session_clean(
+        contended, sentinel_first, sentinel_last, load_at_launch[0], ncpu
+    )
+    # hard-bar inflation: the micro-batch path's measured slowdown in
+    # THIS session, from whichever stream sentinel read slower (the
+    # family gates are spread through the sweep, so contention at
+    # either end counts)
+    stream_inflation = round(
+        max(stream_sentinel_first, stream_sentinel_last)
+        / _STREAM_SENTINEL_REF,
+        3,
+    )
     stream_deltas, stream8_total, stream_perf_flag = compute_stream_flag(
-        times, session_clean
+        times, session_clean, inflation=stream_inflation
     )
     full_record["stream8_family_sec"] = stream8_total
     full_record["stream_floor_deltas"] = stream_deltas
+    full_record["stream_inflation"] = stream_inflation
     full_record["stream_perf_flag"] = stream_perf_flag
     full_record["session_clean"] = session_clean
     # evidence-freshness summary (VERDICT r11 item 7): the bench record

@@ -80,3 +80,73 @@ def test_missing_and_nan_gates_are_skipped():
     assert "op_stream_dedup" not in deltas
     assert "op_stream_windowed" not in deltas
     assert not flag
+
+
+# --- r13: hard bars scale by the measured micro-batch-path inflation
+
+
+_R12_DRIVER = {
+    # BENCH_r12.json, the false-positive record this model must explain:
+    # every stateful gate ~1.5× the builder readings, batch sentinels
+    # clean, loadavg_start 5.77
+    "op_stream_windowed": 0.8,
+    "op_stream_sink_upsert": 2.219,
+    "op_stream_dedup": 1.435,
+    "op_stream_stateful": 2.31,
+    "op_stream_sequence_detect": 1.817,
+    "op_stream_interval_join": 1.869,
+    "op_stream_sessionize": 1.938,
+    "op_stream_near_dup": 2.369,
+}
+
+
+def test_r12_driver_record_green_under_measured_inflation():
+    # the r12 record's family (14.757) and sink reading (2.219 over the
+    # revised 1.1 floor) clear the hard bars once the session's own
+    # stream sentinel reads even 10% slow — the attribution: session
+    # inflation, not a sink regression (PERF_NOTES_r13 §1)
+    _, family, flag = compute_stream_flag(
+        _R12_DRIVER, session_clean=False, inflation=1.1
+    )
+    assert family > _STREAM8_FAMILY_MAX  # raw bar overrun is real...
+    assert not flag  # ...but explained by the measured inflation
+
+
+def test_single_gate_regression_still_trips_under_inflation():
+    # a genuine one-gate regression (3× its floor) fires even when the
+    # session reads 1.3× slow — inflation widens bars, it doesn't
+    # disable them
+    t = _times(
+        op_stream_sink_upsert=3.0 * _STREAM_FLOORS["op_stream_sink_upsert"]
+    )
+    _, _, flag = compute_stream_flag(t, session_clean=False, inflation=1.3)
+    assert flag
+
+
+def test_inflation_is_capped_and_floored():
+    # a >3× sentinel cannot stretch the bars indefinitely: at the 3.0
+    # cap a uniform 6.2× record must still flag (floor-sum 11.1 × 6.2
+    # > 14 × 3.0)...
+    _, _, flag = compute_stream_flag(
+        _times(scale=6.2), session_clean=False, inflation=10.0
+    )
+    assert flag
+    # ...and a sub-1 sentinel (machine faster than the reference) never
+    # TIGHTENS the bars below their quiet-session calibration
+    _, _, flag = compute_stream_flag(
+        _times(scale=1.0), session_clean=True, inflation=0.5
+    )
+    assert not flag
+
+
+def test_session_clean_requires_quiet_launch_loadavg():
+    from bench import compute_session_clean
+
+    # the r12 driver case: fast sentinels, loadavg 5.77 at launch on a
+    # 32-core box (> 0.15×32 = 4.8) → NOT clean
+    assert not compute_session_clean(False, 0.185, 0.061, 5.77, 32)
+    # quiet launch, fast sentinels → clean
+    assert compute_session_clean(False, 0.185, 0.185, 0.7, 32)
+    # sentinel drift or the contended flag still dirty the session
+    assert not compute_session_clean(False, 0.1, 0.2, 0.7, 32)
+    assert not compute_session_clean(True, 0.185, 0.185, 0.7, 32)
