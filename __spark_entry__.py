@@ -3087,6 +3087,124 @@ SELECT id, min(label) AS component FROM lab GROUP BY id ORDER BY id
 """
 
 
+def _ngram_oracle_ppjoin() -> str:
+    """sf10 SCALE twin of _NGRAM_ORACLE (VERDICT r12 item 5): the
+    naive inverted-index oracle materializes ~2 B (gram, pair) rows at
+    sf10 and exceeded a 2400 s cap, proving only an upper bound.  This
+    twin applies the standard PPJoin prefix filter (Xiao et al. 2008,
+    the same rule the Spark operator uses): order each doc's shingles
+    by ascending global document frequency, keep the first
+    n - ceil(t·n) + 1 as the prefix; any pair with J ≥ t must share a
+    prefix gram, so the prefix equi-join is a LOSSLESS candidate
+    generator and the exact list_intersect verify keeps output values
+    identical to the naive formulation (same integer n_inter / union
+    division, same doubles).  It is cheaper, not weaker: candidates
+    shrink from all-gram-sharing pairs to prefix-sharing pairs, and on
+    the scaled corpus prefixes are dominated by group-local grams
+    (df ≈ family size), so candidates collapse to within-family
+    pairs.  Used by tools/bench_scaling.py for the sf10 decade only;
+    the driver's sf0.01 hash gate keeps the naive formulation."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFF} AS doc_id, text || ' xtra' AS text
+  FROM documents WHERE doc_id < 50
+),
+docs AS (SELECT doc_id, {_WORDS} AS words FROM base),
+sh AS (SELECT doc_id, {_shingles_sql('words', _NGRAM_K)} AS sh FROM docs),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+gdf AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
+rk AS (SELECT i.doc_id, i.gram,
+              row_number() OVER (PARTITION BY i.doc_id
+                                 ORDER BY d.df, i.gram) AS r
+       FROM inv i JOIN gdf d USING (gram)),
+pref AS (SELECT r.doc_id, r.gram
+         FROM rk r JOIN sizes s USING (doc_id)
+         WHERE r.r <= s.n - CAST(ceil({_NGRAM_T} * s.n) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pref a JOIN pref b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id),
+scored AS (SELECT id_a, id_b,
+                  len(list_intersect(sha.sh, shb.sh)) AS n_inter,
+                  sa.n AS na, sb.n AS nb
+           FROM cand
+           JOIN sh sha ON id_a = sha.doc_id
+           JOIN sh shb ON id_b = shb.doc_id
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id)
+SELECT id_a, id_b,
+       n_inter::DOUBLE / (na + nb - n_inter) AS jaccard
+FROM scored
+WHERE n_inter::DOUBLE / (na + nb - n_inter) >= {_NGRAM_T}
+ORDER BY id_a, id_b
+"""
+
+
+def _dedup_clusters_oracle_unrolled(rounds: int = 6) -> str:
+    """sf10 SCALE twin of _dedup_clusters_oracle (VERDICT r12 item 5):
+    the recursive-CTE min-reachable-label enumerates every (node,
+    reachable label) pair before aggregating — quadratic in cluster
+    size and the reason the sf10 oracle blew a 2400 s cap.  This twin
+    runs ``rounds`` UNROLLED min-label propagation steps (the same
+    update the Spark operator iterates: label' = min over closed
+    neighborhood), each a linear edges⋈labels join, and GUARDS the
+    result: if the last round still changed any label the query calls
+    error() instead of returning a wrong answer, so a deeper-than-
+    expected graph surfaces loudly (near-dup families here are
+    complete subgraphs — diameter 1-2; 6 rounds is deep margin).  At a
+    stable fixed point every label equals its component minimum, so
+    the output is exact, not approximate."""
+    inner = _minhash_oracle().strip()
+    # every CTE here is referenced more than once; DuckDB inlines
+    # plain CTEs, which would expand the chain EXPONENTIALLY (each
+    # l{{i}} uses l{{i-1}} twice) — MATERIALIZED keeps it linear
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"l{i} AS MATERIALIZED (SELECT id, min(label) AS label FROM ("
+            f"SELECT id, label FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.a AS id, p.label FROM edges e "
+            f"JOIN {prev} p ON p.id = e.b) GROUP BY id)"
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    last, second_last = f"l{rounds}", f"l{rounds - 1}"
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({inner}) q),
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS MATERIALIZED (
+  SELECT a AS id, a AS label FROM (SELECT DISTINCT a FROM edges)),
+{chain},
+chg AS (SELECT count(*) AS n
+        FROM {last} x JOIN {second_last} y USING (id)
+        WHERE x.label != y.label)
+SELECT id,
+       CASE WHEN (SELECT n FROM chg) > 0
+            THEN CAST(error('min-label propagation not converged in'
+                            ' {rounds} rounds') AS BIGINT)
+            ELSE label END AS component
+FROM {last} ORDER BY id
+"""
+
+
+def scale_oracle_sql() -> dict[str, str]:
+    """Cheaper-but-exact DuckDB twins used ONLY by the sf10 decade of
+    tools/bench_scaling.py, for rows whose driver oracle is an
+    asymptotically losing formulation there (VERDICT r12 item 5).
+    Each produces the same rows/values as the driver oracle (verified
+    in-sweep by a value compare against the Spark result) or errors —
+    never a silent approximation."""
+    return {
+        "op_ngram_jaccard": _ngram_oracle_ppjoin(),
+        "op_dedup_clusters": _dedup_clusters_oracle_unrolled(),
+    }
+
+
 _QUALITY_STOPS = "['the','and','of','to','a','in','is','that','it','for']"
 
 

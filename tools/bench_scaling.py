@@ -79,6 +79,20 @@ HEAVY = [
     "op_minhash_dups", "op_ngram_jaccard", "op_dedup_clusters",
     "op_hamming_dups", "op_geo_join_scale", "op_curate_corpus",
 ]
+# floor-dominated rows (VERDICT r12 item 4): their sf1 ratios are
+# sub-1.5 s absolutes over ms-scale oracles, and the "ratio compresses
+# as the floor amortizes" claim was extrapolated — these get a measured
+# sf10 point too (events/lineitem are materialized at sf10)
+FLOOR10 = [
+    "pql_sequence_detect", "op_asof_join", "pql_session_count",
+    "pql_q1_pricing",
+]
+# rows whose sf10 oracle is a cheaper-but-exact scale twin
+# (entrymod.scale_oracle_sql — VERDICT r12 item 5); their values are
+# compared against the Spark result in-sweep, same discipline as the
+# r12 hamming pair check
+SF10_ORACLES = entrymod.scale_oracle_sql()
+VALUE_CHECK_SF10 = set(SF10_ORACLES) | {"op_hamming_dups"}
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -133,11 +147,13 @@ def time_best2(fn, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def duck_timed_capped(con, sql: str, cap: float) -> tuple[float, bool]:
+def duck_timed_capped(
+    con, sql: str, cap: float
+) -> tuple[float, bool, list | None, list[str] | None]:
     """Run the oracle once with a wall-clock cap: a watchdog thread
     calls con.interrupt() at the cap so an asymptotically-losing twin
     (the thing the Spark plan exists to beat) cannot stall the sweep.
-    Returns (seconds, capped)."""
+    Returns (seconds, capped, rows-or-None, column-names-or-None)."""
     import threading
 
     done = threading.Event()
@@ -153,20 +169,44 @@ def duck_timed_capped(con, sql: str, cap: float) -> tuple[float, bool]:
     t.start()
     t0 = time.perf_counter()
     try:
-        con.execute(sql).fetchall()
-        return round(time.perf_counter() - t0, 3), False
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return round(time.perf_counter() - t0, 3), False, rows, cols
     except duckdb.InterruptException:
-        return round(cap, 3), True
+        return round(cap, 3), True, None, None
     except Exception:
         # a genuine oracle error (bad SQL, missing table) must surface
         # as an error, not be recorded as a fake upper bound (ADVICE
         # r12) — unless it arrived at the cap, where some DuckDB builds
         # wrap the interrupt in a generic Error
         if time.perf_counter() - t0 >= 0.95 * cap:
-            return round(cap, 3), True
+            return round(cap, 3), True, None, None
         raise
     finally:
         done.set()
+
+
+def values_match(
+    s_cols: list[str], s_rows: list, d_cols: list[str], d_rows: list
+) -> bool:
+    """check_oracle-style compare: columns sorted by name, floats
+    rounded to 6, rows sorted — exact otherwise."""
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = sorted(
+            (
+                tuple(
+                    round(r[i], 6) if isinstance(r[i], float) else r[i]
+                    for i in order
+                )
+                for r in rows
+            ),
+            key=repr,
+        )
+        return [cols[i] for i in order], out
+
+    return norm(s_cols, s_rows) == norm(d_cols, d_rows)
 
 
 _SPARK = None
@@ -235,19 +275,28 @@ def main() -> int:
             row["ratio_sf1"] = round(
                 row["spark_sf1"] / max(row["duck_sf1"], 1e-9), 2
             )
-        # second decade: heavy tier at 100x, single-shot, capped oracle
-        if name in HEAVY and sf10_dir.exists():
+        # second decade: heavy + floor tiers at 100x, single-shot,
+        # capped oracle; scale-twin rows also value-checked
+        if (name in HEAVY or name in FLOOR10) and sf10_dir.exists():
             d10 = str(sf10_dir)
-            row["spark_sf10"] = time_best2(
-                lambda: queries[name](spark, d10).collect(), runs=1
-            )
+            cap10: dict = {}
+
+            def run10():
+                df = queries[name](spark, d10)
+                cap10["cols"] = df.columns
+                cap10["rows"] = df.collect()
+
+            row["spark_sf10"] = time_best2(run10, runs=1)
             row["spark_slope_sf1_to_sf10"] = round(
                 row["spark_sf10"] / max(row["spark_sf1"], 1e-9), 2
             )
             if name in oracles:
+                sql10 = SF10_ORACLES.get(name, oracles[name])
+                if name in SF10_ORACLES:
+                    row["sf10_oracle"] = "scale twin"
                 con = duck_con(d10)
-                dt, capped = duck_timed_capped(
-                    con, oracles[name], duck_cap
+                dt, capped, drows, dcols = duck_timed_capped(
+                    con, sql10, duck_cap
                 )
                 con.close()
                 if capped:
@@ -261,6 +310,11 @@ def main() -> int:
                     row["ratio_sf10"] = round(
                         row["spark_sf10"] / max(dt, 1e-9), 2
                     )
+                    if name in VALUE_CHECK_SF10:
+                        row["sf10_rows"] = len(drows)
+                        row["sf10_values_match"] = values_match(
+                            cap10["cols"], cap10["rows"], dcols, drows
+                        )
         if name in NOTES:
             row["note"] = NOTES[name]
         out[name] = row

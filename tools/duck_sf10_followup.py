@@ -24,9 +24,12 @@ def main() -> int:
     repo = Path(__file__).resolve().parent.parent
     oracles = entrymod.oracle_sql()
     out = {}
+    scale = entrymod.scale_oracle_sql()
     for name in ("op_ngram_jaccard", "op_dedup_clusters"):
         con = duck_con(str(repo / ".scratch" / "sf10"))
-        dt, capped = duck_timed_capped(con, oracles[name], cap)
+        dt, capped, _rows, _cols = duck_timed_capped(
+            con, scale.get(name, oracles[name]), cap
+        )
         con.close()
         out[name] = {"duck_sf10": None if capped else dt,
                      "capped_at": cap if capped else None}

@@ -142,8 +142,25 @@ def _perturbed_text(replicas: int):
     ).alias("text")
 
 
-def main(name: str = "sf1", replicas: int = 10) -> int:
-    heavy_only = replicas > 10  # sf10: only the heavy-tier tables
+def main(
+    name: str = "sf1",
+    replicas: int = 10,
+    tables: set[str] | None = None,
+) -> int:
+    """``tables=None`` → the scale's default set: everything at sf1;
+    the heavy-tier tables (documents, events) plus lineitem at sf10
+    (lineitem joined the sf10 set in r13 for the floor-dominated
+    pql_q1_pricing row; embeddings stay sf1-only — roll-by-i is only
+    collision-free for i < dim(=64), and no sf10 row reads them).
+    Pass an explicit set to (re)materialize just those tables into an
+    existing directory."""
+    heavy_only = replicas > 10
+    if tables is None:
+        tables = (
+            {"events", "documents", "lineitem"}
+            if heavy_only
+            else {"events", "documents", "embeddings", "lineitem"}
+        )
     dst = _SCRATCH / name
     spark = build_session("gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -157,32 +174,34 @@ def main(name: str = "sf1", replicas: int = 10) -> int:
 
     rep = spark.range(replicas).select(F.col("id").alias("__r"))
 
-    ev = cat("events")
-    n_ev = ev.count()
-    n_users = ev.agg(F.max("user_id")).head()[0] + 1
-    write(
-        ev.crossJoin(rep).select(
-            (F.col("event_id") + F.col("__r") * n_ev).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.col("__r") * n_users).alias("user_id"),
-            "event_type", "value", "props",
-        ),
-        "events",
-    )
+    if "events" in tables:
+        ev = cat("events")
+        n_ev = ev.count()
+        n_users = ev.agg(F.max("user_id")).head()[0] + 1
+        write(
+            ev.crossJoin(rep).select(
+                (F.col("event_id") + F.col("__r") * n_ev).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("__r") * n_users).alias("user_id"),
+                "event_type", "value", "props",
+            ),
+            "events",
+        )
 
-    docs = cat("documents")
-    n_docs = docs.agg(F.max("doc_id")).head()[0] + 1
-    others = [c for c in docs.columns if c not in ("doc_id", "text")]
-    write(
-        docs.crossJoin(rep).select(
-            (F.col("doc_id") + F.col("__r") * n_docs).alias("doc_id"),
-            _perturbed_text(replicas),
-            *others,
-        ),
-        "documents",
-    )
+    if "documents" in tables:
+        docs = cat("documents")
+        n_docs = docs.agg(F.max("doc_id")).head()[0] + 1
+        others = [c for c in docs.columns if c not in ("doc_id", "text")]
+        write(
+            docs.crossJoin(rep).select(
+                (F.col("doc_id") + F.col("__r") * n_docs).alias("doc_id"),
+                _perturbed_text(replicas),
+                *others,
+            ),
+            "documents",
+        )
 
-    if not heavy_only:
+    if "embeddings" in tables:
         emb = cat("embeddings")
         n_emb = emb.agg(F.max("vec_id")).head()[0] + 1
         dim = emb.select(F.size("embedding")).head()[0]
@@ -200,6 +219,7 @@ def main(name: str = "sf1", replicas: int = 10) -> int:
             "embeddings",
         )
 
+    if "lineitem" in tables:
         li = cat("lineitem")
         n_ok = li.agg(F.max("l_orderkey")).head()[0] + 1
         others = [c for c in li.columns if c != "l_orderkey"]
@@ -224,5 +244,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "zipf":
         sys.exit(gen_zipf())
     if len(sys.argv) > 1 and sys.argv[1] == "sf10":
-        sys.exit(main("sf10", 100))
+        # extra args name just the tables to (re)materialize, e.g.
+        # ``gen_scale.py sf10 lineitem`` backfills one table
+        only = set(sys.argv[2:]) or None
+        sys.exit(main("sf10", 100, tables=only))
     sys.exit(main())
