@@ -5087,6 +5087,55 @@ def _audio_dups_oracle() -> str:
         if (h := sum(x != y for x, y in zip(fps[a], fps[b]))) <= 3
     ]
     rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return _hamming_pairs_values(rows)
+
+
+def _video_dups_oracle() -> str:
+    """Replayed-twin oracle for video near-dup — the _phash_dups_oracle
+    device lifted to clips: vhashes are computed from the synth FRAMES
+    directly (never through the AVI codec, so any corruption in
+    ``_avi.py``'s encode→decode roundtrip breaks the match) and all
+    pairs are brute-forced (re-proving the 16-band losslessness on the
+    real output every driver round).  The frame-sampling indexes
+    replicate video_phash's linspace(0, n-1, 4) over the 6-frame
+    clips: frames 0, 1, 3, 5."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import (
+        phash_reference,
+        synth_video,
+    )
+
+    def vhash(frames) -> list[int]:
+        idx = np.linspace(0, len(frames) - 1, 4).astype(int)
+        out: list[int] = []
+        for i in idx:
+            out.extend(phash_reference(frames[i]))
+        return out
+
+    hashes: dict[int, list[int]] = {
+        k: vhash(synth_video(k)) for k in range(48)
+    }
+    for k in range(6):
+        hashes[100000 + k] = vhash(
+            [
+                np.clip(f.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+                for f in synth_video(k)
+            ]
+        )
+    ids = sorted(hashes)
+    pairs = [
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (h := sum(x != y for x, y in zip(hashes[a], hashes[b]))) <= 12
+    ]
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return _hamming_pairs_values(rows)
+
+
+def _hamming_pairs_values(rows: str) -> str:
+    """Shared VALUES wrapper for the replayed media-pair twins."""
     return f"""
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(hamming AS INTEGER) AS hamming
@@ -6611,6 +6660,60 @@ def _q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup (r13, closes the last honest media stub): 48
+    real uncompressed-AVI panning clips + 6 planted brightness-shifted
+    clones; sampled-frame pHash concatenation (4 frames × 64 bits) +
+    the generic banded-Hamming join at a lossless setting (12 < 16
+    bands).  Hash-checked: _video_dups_oracle() replays the constant
+    corpus sequentially — hashing the synth FRAMES directly (so the
+    AVI encode→decode roundtrip is independently verified) and
+    brute-forcing all pairs (so the banding's losslessness is
+    re-proved on real output each round); the RIFF codec itself is
+    pinned by tests/test_avi.py."""
+    import numpy as np
+    import pandas as pd
+
+    from pql_spark.operators._avi import encode_avi
+    from pql_spark.operators.multimodal import (
+        synth_video,
+        synthesize_avi_media,
+        video_dup_pairs,
+    )
+
+    base = synthesize_avi_media(spark, n=48)
+
+    def clones(ids):
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                frames = [
+                    np.clip(f.astype(np.int64) + 6, 0, 255).astype(
+                        np.uint8
+                    )
+                    for f in synth_video(k)
+                ]
+                rows.append(
+                    {
+                        "media_id": 100000 + k,
+                        "kind": "video",
+                        "payload": encode_avi(frames, fps=10),
+                        "meta": {
+                            "width": 48, "height": 32,
+                            "duration_ms": 600,
+                            "codec": "rawvideo/bgr24",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    extra = spark.range(0, 6, 1, 1).mapInPandas(clones, base.schema)
+    return video_dup_pairs(
+        base.unionByName(extra), threshold_bits=12, bands=16
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -6641,7 +6744,9 @@ _CHECK_FIRST = [
     # offset 100000 → 1e9, Spark + oracle in lockstep), (3) the rest
     # of the 41 gates whose latest hash-green is r9 (verified by
     # tools/evidence_freshness.py — after this window nothing
-    # predates r10), (4) the flagship.  Exactly 50.
+    # predates r10), (4) the NEW video-dedup gate (ships with driver
+    # evidence; the flagship pql_q1_pricing is r12-green and exercised
+    # by entry() every round, so it yields its slot).  Exactly 50.
     #
     # 1. joins (r9-stale, §2 surface):
     "pql_join_inner", "pql_join_innerunique", "pql_join_leftouter",
@@ -6665,8 +6770,8 @@ _CHECK_FIRST = [
     "op_temperature_mix", "op_unimax_mix", "op_weighted_sample",
     "op_winnow_fingerprints", "pql_fork_daily", "pql_scan_declare",
     "pql_sort_take",
-    # 4. flagship:
-    "pql_q1_pricing",
+    # 4. new this round:
+    "op_video_dups",
 ]
 
 
@@ -6713,6 +6818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_multimodal_features": _q_multimodal,  # plumbing-contract oracle
             "op_phash_dups": _q_phash_dups,  # hash-checked (replayed twin)
             "op_audio_dups": _q_audio_dups,  # hash-checked (replayed twin)
+            "op_video_dups": _q_video_dups,  # hash-checked (replayed twin)
             "op_ngram_zipf_prefix": _q_ngram_zipf,
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
@@ -6797,6 +6903,7 @@ def oracle_sql() -> dict[str, str]:
             "op_semantic_passes": _semantic_passes_oracle(),
             "op_phash_dups": _phash_dups_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
+            "op_video_dups": _video_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING
             # contract only (id, kind, byte count, feature dim) over
             # the deterministic fake-media table (fixed 1024-byte

@@ -1,0 +1,215 @@
+"""Pure-stdlib uncompressed-AVI codec (RIFF + 24-bit BI_RGB 'DIB ').
+
+The video twin of ``_png.py``/``encode_wav``: a REAL container format
+written and read with ``struct`` + numpy only, so the multimodal video
+tier can decode genuine files without ffmpeg/PyAV.  Scope is the
+classic uncompressed baseline every tool can produce (``ffmpeg -c:v
+rawvideo -pix_fmt bgr24``, VirtualDub "full frames"): RIFF 'AVI ' with
+one 'vids' stream, BITMAPINFOHEADER ``biCompression=0`` (BI_RGB),
+24-bit bottom-up BGR frames in '00db'/'00dc' movi chunks.  Compressed
+codecs (MJPEG/H.264/...) raise NotImplementedError at the exact
+bitstream boundary — the honest-capability rule used for non-PNG
+images and non-PCM audio.
+
+Layout written by :func:`encode_avi` (and accepted, plus tolerant
+chunk-walking of unknown chunks, by :func:`decode_avi`)::
+
+    RIFF('AVI '
+      LIST('hdrl' avih LIST('strl' strh strf))
+      LIST('movi' '00db'×n)
+      idx1)
+
+Reference: the public AVI RIFF specification (MSDN "AVI RIFF File
+Reference") — no reference-repo counterpart; the reference engine has
+no media codecs at all.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3
+
+
+def _frame_to_dib(frame: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → bottom-up BGR rows, stride padded to 4."""
+    a = np.asarray(frame, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_avi: frames must be HxWx3 uint8 RGB")
+    h, w = a.shape[:2]
+    stride = _row_stride(w)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    return out.tobytes()
+
+
+def _dib_to_frame(data: bytes, width: int, height: int) -> np.ndarray:
+    stride = _row_stride(width)
+    if len(data) < stride * height:
+        raise ValueError(
+            f"decode_avi: frame chunk {len(data)}B < {stride * height}B"
+        )
+    a = np.frombuffer(data[: stride * height], dtype=np.uint8)
+    a = a.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    return a[::-1, :, ::-1].copy()  # un-flip + RGB
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(fourcc: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", fourcc + payload)
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """List of HxWx3 uint8 RGB frames → a valid uncompressed-AVI file
+    (BI_RGB 24-bit 'DIB ' stream + idx1 index)."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("encode_avi: need at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    dibs = [_frame_to_dib(f) for f in frames]
+    if any(np.asarray(f).shape[:2] != (h, w) for f in frames):
+        raise ValueError("encode_avi: all frames must share one size")
+    frame_bytes = _row_stride(w) * h
+
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps,          # dwMicroSecPerFrame
+            frame_bytes * fps,         # dwMaxBytesPerSec
+            0,                         # dwPaddingGranularity
+            _AVIF_HASINDEX,            # dwFlags
+            len(frames),               # dwTotalFrames
+            0,                         # dwInitialFrames
+            1,                         # dwStreams
+            frame_bytes,               # dwSuggestedBufferSize
+            w, h, 0, 0, 0, 0,          # width, height, reserved[4]
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<10I4h",
+            0, 0, 0,                   # flags, prio/lang, initialFrames
+            1, fps,                    # scale, rate (fps = rate/scale)
+            0, len(frames),            # start, length
+            frame_bytes, 0xFFFFFFFF,   # bufferSize, quality(-1)
+            0,                         # sampleSize
+            0, 0, w, h,                # rcFrame
+        ),
+    )
+    strf = _chunk(
+        b"strf",
+        struct.pack(
+            "<I2i2H2I2i2I",
+            40, w, h, 1, 24,           # biSize..biBitCount
+            0,                         # biCompression = BI_RGB
+            frame_bytes, 0, 0, 0, 0,   # biSizeImage..biClrImportant
+        ),
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+
+    movi_payload = b"".join(_chunk(b"00db", d) for d in dibs)
+    movi = _list(b"movi", movi_payload)
+
+    # idx1 offsets are relative to the start of the 'movi' fourcc
+    idx, off = [], 4
+    for d in dibs:
+        idx.append(
+            b"00db" + struct.pack("<3I", _AVIIF_KEYFRAME, off, len(d))
+        )
+        off += 8 + len(d) + (len(d) % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx))
+
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) for chunks in
+    data[start:end]; tolerant of trailing garbage shorter than a
+    header."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"decode_avi: chunk {fourcc!r} overruns its parent"
+            )
+        yield fourcc, body, size
+        pos = body + size + (size % 2)
+
+
+def decode_avi(payload: bytes):
+    """AVI bytes → (frames HxWx3 uint8 RGB as one ndarray stack, fps).
+
+    Accepts any chunk ordering/extra chunks; requires one 'vids'
+    stream with BI_RGB 24-bit frames.  Compressed streams raise
+    NotImplementedError (the honest codec boundary)."""
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("decode_avi: not a RIFF AVI file")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+
+    width = height = None
+    bitcount = compression = None
+    rate = scale = None
+    frames_raw: list[tuple[int, int]] = []
+
+    def scan(start: int, stop: int) -> None:
+        nonlocal width, height, bitcount, compression, rate, scale
+        for fourcc, body, size in _walk(data, start, stop):
+            if fourcc == b"LIST":
+                scan(body + 4, body + size)  # skip the list type fourcc
+            elif fourcc == b"avih":
+                w, h = struct.unpack_from("<2I", data, body + 32)
+                width, height = int(w), int(h)
+            elif fourcc == b"strh" and data[body:body + 4] == b"vids":
+                scale, rate = struct.unpack_from("<2I", data, body + 20)
+            elif fourcc == b"strf" and bitcount is None:
+                _, bw, bh, _, bc, comp = struct.unpack_from(
+                    "<I2i2HI", data, body
+                )
+                bitcount, compression = int(bc), int(comp)
+                if width is None:
+                    width, height = int(bw), int(bh)
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append((body, size))
+
+    scan(12, end)
+
+    if width is None or height is None:
+        raise ValueError("decode_avi: missing avih/strf headers")
+    if compression not in (0, None) or (
+        bitcount is not None and bitcount != 24
+    ):
+        raise NotImplementedError(
+            "decode_avi: only uncompressed 24-bit BI_RGB streams are"
+            f" supported (got biCompression={compression},"
+            f" biBitCount={bitcount}); compressed codecs need"
+            " ffmpeg/PyAV, unavailable in this environment"
+        )
+    if not frames_raw:
+        raise ValueError("decode_avi: no frame chunks in movi")
+    frames = np.stack(
+        [
+            _dib_to_frame(data[b:b + s], width, height)
+            for b, s in frames_raw
+        ]
+    )
+    fps = (rate / scale) if rate and scale else 0.0
+    return frames, fps

@@ -11,12 +11,17 @@ Decoders:
   grey/RGB/RGBA, all five scanline filters) and featurized as a
   grid-of-block-means intensity vector.  ``synthesize_png_media``
   produces deterministic real PNG payloads to drive it.
+- ``decoder="avi"`` — a REAL video container path: uncompressed 24-bit
+  BI_RGB AVI payloads are parsed with the pure-stdlib RIFF codec
+  (``operators/_avi.py``) and featurized as the block-mean intensity
+  vector of the temporal-mean frame; ``synthesize_avi_media`` emits
+  valid AVIs any player can open.
 - ``decoder="fake"`` — hash-derived features for arbitrary opaque
   payloads (exercises the plumbing with no format assumptions).
 - ``decoder="real"`` — marks where Pillow/librosa/ffmpeg calls belong
-  for formats beyond PNG (JPEG/audio/video); those libraries are NOT in
-  this container, so it raises NotImplementedError at the exact call
-  site.
+  for formats beyond PNG/WAV/raw-AVI (JPEG, MP3, H.264/MJPEG, ...);
+  those libraries are NOT in this container, so it raises
+  NotImplementedError at the exact call site.
 
 Everything Spark-side — schema, batch iteration, partition sizing, UDF
 signatures — is real and tested on every path.
@@ -235,6 +240,53 @@ def synthesize_wav_media(
     return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_video(k: int, n_frames: int = 6, width: int = 48,
+                height: int = 32):
+    """Deterministic id-seeded test clip: the :func:`synth_image`
+    pattern for ``k`` panning 2 px/frame horizontally — smooth motion
+    within a clip, distinct content across ids.  Returns a list of
+    HxWx3 uint8 RGB frames (replayable driver-side by oracles)."""
+    import numpy as np
+
+    base = synth_image(k, width, height)
+    return [np.roll(base, 2 * f, axis=1) for f in range(n_frames)]
+
+
+def synthesize_avi_media(
+    spark, n: int = 64, n_frames: int = 6, width: int = 48,
+    height: int = 32, fps: int = 10,
+) -> DataFrame:
+    """Deterministic REAL-AVI media table: each payload is a valid
+    uncompressed 24-bit BI_RGB AVI (pure-stdlib RIFF encoder) of the
+    id-seeded panning clip — openable by any player, not just ours."""
+    from ._avi import encode_avi
+
+    def gen(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                rows.append(
+                    {
+                        "media_id": k,
+                        "kind": "video",
+                        "payload": encode_avi(
+                            synth_video(k, n_frames, width, height), fps
+                        ),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": n_frames * 1000 // fps,
+                            "codec": "rawvideo/bgr24",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def audio_feature(samples, sr: int, dim: int = 16) -> list[float]:
     """Block-RMS energy feature: split the signal into ``dim``
     near-equal windows (row-major), RMS each.  Deterministic,
@@ -294,7 +346,7 @@ def extract_features(
     ffmpeg calls belong for other formats — unavailable in this
     container, so it raises.
     """
-    if decoder not in ("fake", "png", "wav", "real"):
+    if decoder not in ("fake", "png", "wav", "avi", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,6 +362,13 @@ def extract_features(
                 samples, sr = decode_wav(bytes(p))
                 return audio_feature(samples, sr, dim)
 
+        elif decoder == "avi":
+            from ._avi import decode_avi
+
+            def feat(p) -> list[float]:
+                frames, _fps = decode_avi(bytes(p))
+                return image_feature(frames.mean(axis=0), dim)
+
         else:
 
             def feat(p) -> list[float]:
@@ -320,7 +379,8 @@ def extract_features(
                 raise NotImplementedError(
                     "codec libraries (Pillow/librosa/ffmpeg) are not "
                     "available in this environment; use decoder='png' "
-                    "for PNG payloads, decoder='wav' for WAV, or "
+                    "for PNG payloads, decoder='wav' for WAV, "
+                    "decoder='avi' for uncompressed AVI, or "
                     "decoder='fake'"
                 )
             yield pd.DataFrame(
@@ -530,4 +590,86 @@ def audio_dup_pairs(
         audio_fingerprint(df, payload_col, id_col, n_blocks),
         "afp", id_col, n_blocks, threshold, bands,
         max_bucket=max_bucket,
+    )
+
+
+def video_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frames_per_video: int = 4,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Per-video perceptual hash over REAL uncompressed-AVI payloads:
+    decode (stdlib RIFF codec), sample ``frames_per_video`` evenly
+    spaced frames (always including first and last), pHash each with
+    the shared reference math, and concatenate — ``(id, vhash
+    array<int>)`` of frames_per_video·hash_size² sign bits.  The
+    temporal sampling makes the hash robust to frame-count/-rate
+    differences (the standard video-dedup device: compare a fixed-size
+    frame-signature sequence); Hamming distance over the concatenation
+    is the natural clip distance.  Arrow-batched mapInPandas; per-row
+    cost is the container parse + frames_per_video pHashes, constant
+    in clip length after sampling."""
+    import numpy as np
+
+    from ._avi import decode_avi
+
+    cols = df.columns
+    if payload_col not in cols or id_col not in cols:
+        raise ValueError(
+            f"video_phash: need columns {id_col!r}, {payload_col!r}"
+        )
+
+    def vhash(payload: bytes) -> list[int]:
+        frames, _fps = decode_avi(bytes(payload))
+        idx = np.linspace(
+            0, len(frames) - 1, frames_per_video
+        ).astype(int)
+        out: list[int] = []
+        for i in idx:
+            out.extend(
+                phash_reference(frames[i], hash_size, highfreq_factor)
+            )
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "vhash": pdf[payload_col].map(vhash),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, vhash array<int>"
+    )
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    threshold_bits: int = 12,
+    bands: int = 16,
+    frames_per_video: int = 4,
+    hash_size: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs: clips whose sampled-frame pHash
+    concatenations differ in ≤ ``threshold_bits`` of
+    frames_per_video·hash_size² bits, via the same generic
+    banded-Hamming join as image pHash (lossless while
+    ``threshold_bits < bands`` — the default 12 < 16 is exact by
+    pigeonhole).  Output (id_a, id_b, hamming), id_a < id_b."""
+    from .dedup import hamming_dup_pairs
+
+    return hamming_dup_pairs(
+        video_phash(
+            df, payload_col, id_col, frames_per_video, hash_size
+        ),
+        "vhash", id_col, frames_per_video * hash_size * hash_size,
+        threshold_bits, bands, max_bucket=max_bucket,
     )

@@ -1,0 +1,144 @@
+"""Uncompressed-AVI codec + video pHash near-dup: RIFF roundtrip,
+container structure, honest codec boundary, and the banded-Hamming
+join vs brute force (the _png.py/test_phash.py precedent for video)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pql_spark.operators._avi import decode_avi, encode_avi
+from pql_spark.operators.multimodal import (
+    phash_reference,
+    synth_video,
+    video_dup_pairs,
+    video_phash,
+)
+
+
+def _ham(a, b) -> int:
+    return int(sum(x != y for x, y in zip(a, b)))
+
+
+def test_roundtrip_bit_exact():
+    frames = synth_video(3, n_frames=5)
+    out, fps = decode_avi(encode_avi(frames, fps=10))
+    assert fps == 10.0 and len(out) == 5
+    assert all((out[i] == frames[i]).all() for i in range(5))
+
+
+def test_roundtrip_odd_sizes():
+    # stride padding: widths not divisible by 4, tiny frames
+    for w, h in ((45, 17), (1, 1), (3, 2)):
+        frames = [
+            (np.arange(h * w * 3, dtype=np.int64) * (k + 7) % 256)
+            .astype(np.uint8).reshape(h, w, 3)
+            for k in range(3)
+        ]
+        out, _ = decode_avi(encode_avi(frames))
+        assert all((out[i] == frames[i]).all() for i in range(3))
+
+
+def test_container_structure():
+    avi = encode_avi(synth_video(0, n_frames=4), fps=25)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    (size,) = struct.unpack_from("<I", avi, 4)
+    assert size == len(avi) - 8  # RIFF size covers everything after it
+    assert b"hdrl" in avi and b"movi" in avi and b"idx1" in avi
+    assert avi.count(b"00db") == 4 + 4  # movi chunks + idx1 entries
+
+
+def test_compressed_stream_refused():
+    buf = bytearray(encode_avi(synth_video(1, n_frames=1)))
+    i = buf.find(b"strf")
+    # biCompression field (offset 16 into BITMAPINFOHEADER) -> 'MJPG'
+    struct.pack_into("<I", buf, i + 8 + 16, 0x47504A4D)
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(buf))
+
+
+def test_malformed_rejected():
+    with pytest.raises(ValueError):
+        decode_avi(b"not an avi at all")
+    with pytest.raises(ValueError):
+        encode_avi([])
+
+
+def _vhash(frames, n=4):
+    idx = np.linspace(0, len(frames) - 1, n).astype(int)
+    out = []
+    for i in idx:
+        out.extend(phash_reference(frames[i]))
+    return out
+
+
+def test_vhash_properties():
+    clip = synth_video(5)
+    h = _vhash(clip)
+    assert len(h) == 256 and set(h) <= {0, 1}
+    # brightness-shifted clone stays near
+    clone = [
+        np.clip(f.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+        for f in clip
+    ]
+    assert _ham(h, _vhash(clone)) <= 12
+    # a different clip is far
+    assert _ham(h, _vhash(synth_video(29))) > 24
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    """20 distinct clips + 4 brightness-shifted clones (ids 1000+k)."""
+    from pql_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for k in range(20):
+        rows.append((k, encode_avi(synth_video(k), fps=10)))
+    for k in range(4):
+        frames = [
+            np.clip(f.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+            for f in synth_video(k)
+        ]
+        rows.append((1000 + k, encode_avi(frames, fps=10)))
+    meta = {"width": 48, "height": 32, "duration_ms": 600,
+            "codec": "rawvideo/bgr24"}
+    return spark.createDataFrame(
+        [(i, "video", p, meta) for i, p in rows], MEDIA_SCHEMA
+    )
+
+
+def test_video_phash_matches_reference(media):
+    got = {
+        r["media_id"]: list(r["vhash"])
+        for r in video_phash(media).collect()
+    }
+    assert len(got) == 24
+    for k in range(20):
+        assert got[k] == _vhash(synth_video(k))
+
+
+def test_video_dup_pairs_vs_brute_force(media):
+    rows = media.select("media_id", "payload").collect()
+    hashes = {
+        r["media_id"]: _vhash(decode_avi(bytes(r["payload"]))[0])
+        for r in rows
+    }
+    ids = sorted(hashes)
+    want = sorted(
+        (a, b, _ham(hashes[a], hashes[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if _ham(hashes[a], hashes[b]) <= 12
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in video_dup_pairs(
+            media, threshold_bits=12, bands=16
+        ).collect()
+    )
+    assert got == want  # banding lossless at 12 < 16
+    assert {(k, 1000 + k) for k in range(4)} <= {
+        (a, b) for a, b, _ in got
+    }  # every planted clone recovered
