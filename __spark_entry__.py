@@ -3098,45 +3098,56 @@ def _ngram_oracle_ppjoin() -> str:
     prefix gram, so the prefix equi-join is a LOSSLESS candidate
     generator and the exact list_intersect verify keeps output values
     identical to the naive formulation (same integer n_inter / union
-    division, same doubles).  It is cheaper, not weaker: candidates
-    shrink from all-gram-sharing pairs to prefix-sharing pairs, and on
-    the scaled corpus prefixes are dominated by group-local grams
-    (df ≈ family size), so candidates collapse to within-family
-    pairs.  Used by tools/bench_scaling.py for the sf10 decade only;
+    division, same doubles).  It is cheaper, not weaker: the naive
+    inverted join pays one row per (shared gram, pair) — the hot-gram
+    quadratic — while this pays one row per candidate PAIR plus one
+    bounded list_intersect.  Emitted as a multi-statement TEMP-TABLE
+    script, not one WITH query: profiled at sf0.1/sf1, DuckDB's CTE
+    planner (plain OR MATERIALIZED) runs the identical stages 4-5×
+    slower than staged tables (sf1: 249 s single-query vs 50 s
+    staged); ``con.execute`` runs the script and returns the final
+    SELECT.  Used by tools/bench_scaling.py for the sf10 decade only;
     the driver's sf0.01 hash gate keeps the naive formulation."""
     return f"""
+CREATE OR REPLACE TEMP TABLE pp_sh AS
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_DUP_OFF} AS doc_id, text || ' xtra' AS text
   FROM documents WHERE doc_id < 50
 ),
-docs AS (SELECT doc_id, {_WORDS} AS words FROM base),
-sh AS (SELECT doc_id, {_shingles_sql('words', _NGRAM_K)} AS sh FROM docs),
-sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-inv AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
-gdf AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
-rk AS (SELECT i.doc_id, i.gram,
-              row_number() OVER (PARTITION BY i.doc_id
-                                 ORDER BY d.df, i.gram) AS r
-       FROM inv i JOIN gdf d USING (gram)),
-pref AS (SELECT r.doc_id, r.gram
-         FROM rk r JOIN sizes s USING (doc_id)
-         WHERE r.r <= s.n - CAST(ceil({_NGRAM_T} * s.n) AS BIGINT) + 1),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM pref a JOIN pref b
-           ON a.gram = b.gram AND a.doc_id < b.doc_id),
-scored AS (SELECT id_a, id_b,
-                  len(list_intersect(sha.sh, shb.sh)) AS n_inter,
-                  sa.n AS na, sb.n AS nb
-           FROM cand
-           JOIN sh sha ON id_a = sha.doc_id
-           JOIN sh shb ON id_b = shb.doc_id
-           JOIN sizes sa ON id_a = sa.doc_id
-           JOIN sizes sb ON id_b = sb.doc_id)
+docs AS (SELECT doc_id, {_WORDS} AS words FROM base)
+SELECT doc_id, {_shingles_sql('words', _NGRAM_K)} AS sh FROM docs;
+CREATE OR REPLACE TEMP TABLE pp_sizes AS
+SELECT doc_id, len(sh) AS n FROM pp_sh;
+CREATE OR REPLACE TEMP TABLE pp_inv AS
+SELECT doc_id, unnest(sh) AS gram FROM pp_sh;
+CREATE OR REPLACE TEMP TABLE pp_pref AS
+SELECT doc_id, gram FROM (
+  SELECT i.doc_id, i.gram,
+         row_number() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.df, i.gram) AS r, s.n
+  FROM pp_inv i
+  JOIN (SELECT gram, count(*) AS df FROM pp_inv GROUP BY gram) d
+    USING (gram)
+  JOIN pp_sizes s USING (doc_id)) x
+WHERE r <= n - CAST(ceil({_NGRAM_T} * n) AS BIGINT) + 1;
+CREATE OR REPLACE TEMP TABLE pp_cand AS
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM pp_pref a JOIN pp_pref b
+  ON a.gram = b.gram AND a.doc_id < b.doc_id;
+CREATE OR REPLACE TEMP TABLE pp_scored AS
+SELECT id_a, id_b,
+       len(list_intersect(sha.sh, shb.sh)) AS n_inter,
+       sa.n AS na, sb.n AS nb
+FROM pp_cand
+JOIN pp_sh sha ON id_a = sha.doc_id
+JOIN pp_sh shb ON id_b = shb.doc_id
+JOIN pp_sizes sa ON id_a = sa.doc_id
+JOIN pp_sizes sb ON id_b = sb.doc_id;
 SELECT id_a, id_b,
        n_inter::DOUBLE / (na + nb - n_inter) AS jaccard
-FROM scored
+FROM pp_scored
 WHERE n_inter::DOUBLE / (na + nb - n_inter) >= {_NGRAM_T}
 ORDER BY id_a, id_b
 """

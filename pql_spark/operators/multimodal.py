@@ -415,6 +415,71 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def video_frame_features(
+    df: DataFrame,
+    every_ms: int = 200,
+    dim: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """The real-decode completion of :func:`frame_sample_plan`: one row
+    per (video, sampled frame) with the frame's block-mean intensity
+    feature — the shape a training pipeline ingests (frame-level
+    embeddings for contrastive/caption data).  Frames are sampled at
+    ``every_ms`` against the stream's own fps (``round(ts·fps/1000)``,
+    clamped, deduplicated — mirrors what a seek would decode), so the
+    output is invariant to container frame rate at fixed wall-clock
+    spacing.  Output: (media_id, frame_ts_ms, feature array<float>).
+
+    Arrow-batched mapInPandas like every decode kernel here; per-row
+    cost is one container parse + one feature per sampled frame, and
+    the iterator form keeps executor memory bounded by the Arrow batch
+    size times blob size regardless of partition width."""
+    import numpy as np
+
+    from ._avi import decode_avi
+
+    cols = df.columns
+    if payload_col not in cols or id_col not in cols:
+        raise ValueError(
+            f"video_frame_features: need columns {id_col!r},"
+            f" {payload_col!r}"
+        )
+    schema = (
+        f"{id_col} long, frame_ts_ms long, feature array<float>"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_ts, out_feat = [], [], []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, fps = decode_avi(bytes(payload))
+                fps = fps or 1000.0 / every_ms  # headerless fallback
+                dur_ms = len(frames) * 1000.0 / fps
+                seen: set[int] = set()
+                ts = 0.0
+                while ts < dur_ms:
+                    i = min(int(round(ts * fps / 1000.0)),
+                            len(frames) - 1)
+                    if i not in seen:
+                        seen.add(i)
+                        out_id.append(int(media_id))
+                        out_ts.append(int(ts))
+                        out_feat.append(
+                            image_feature(frames[i], dim)
+                        )
+                    ts += every_ms
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="int64"),
+                    "feature": pd.Series(out_feat, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def phash_reference(img, hash_size: int = 8, highfreq_factor: int = 4):
     """Driver-side reference pHash (the published perceptual-hash
     algorithm, e.g. the python ImageHash library's ``phash``):

@@ -119,6 +119,27 @@ def test_video_phash_matches_reference(media):
         assert got[k] == _vhash(synth_video(k))
 
 
+def test_video_frame_features(media):
+    from pql_spark.operators.multimodal import (
+        image_feature,
+        video_frame_features,
+    )
+
+    # 6 frames at 10 fps = 600 ms; every_ms=200 samples ts 0/200/400 ->
+    # frame indexes round(ts*fps/1000) = 0, 2, 4
+    out = video_frame_features(media, every_ms=200).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {*range(20), *(1000 + k for k in range(4))}
+    rows = sorted(by_id[7], key=lambda r: r["frame_ts_ms"])
+    assert [r["frame_ts_ms"] for r in rows] == [0, 200, 400]
+    clip = synth_video(7)
+    for r, fi in zip(rows, (0, 2, 4)):
+        want = image_feature(clip[fi], 16)
+        assert np.allclose(list(r["feature"]), want, atol=1e-6)
+
+
 def test_video_dup_pairs_vs_brute_force(media):
     rows = media.select("media_id", "payload").collect()
     hashes = {

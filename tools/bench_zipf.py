@@ -23,8 +23,9 @@ Usage: python tools/bench_zipf.py   (expects .scratch/zipf{,300000,
   python tools/gen_scale.py zipf
   SPARK_GRAFT_ZIPF_N=300000 python tools/gen_scale.py zipf
   SPARK_GRAFT_ZIPF_N=3000000 python tools/gen_scale.py zipf)
-Prints one JSON document and writes BENCH_ZIPF_r12.json; the 3M row
-is single-shot (a 2x timing error does not change a decade trend).
+Prints one JSON document and writes BENCH_ZIPF_r<N>.json (round from
+$SPARK_GRAFT_ROUND, default 13); the 3M row is single-shot (a 2x
+timing error does not change a decade trend).
 """
 
 from __future__ import annotations
@@ -76,7 +77,10 @@ def main() -> int:
         out[f"{key}_pairs"] = pairs
         out[f"{key}_docs"] = docs.count()
     rec = json.dumps(out)
-    (repo / "BENCH_ZIPF_r12.json").write_text(rec + "\n")
+    import os
+
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "13")
+    (repo / f"BENCH_ZIPF_r{rnd}.json").write_text(rec + "\n")
     print(rec)
     spark.stop()
     return 0
