@@ -29,6 +29,35 @@ from pyspark.sql import functions as F
 from ._util import rebalance, tracked_persist
 from .text import shingle_rows, tokens, word_shingles
 
+# ngram_jaccard_pairs(prefix_filter="auto") turns the PPJoin prefix
+# filter on when the naive inverted join's pair mass Σ df·(df−1)/2
+# exceeds this multiple of the posting count — scale-free, calibrated
+# on the measured corpora (see the operator docstring): flat sf1
+# ratio ≈36 and flat sf10 ≈76 (naive wins both — prefix-ON is 6.6×
+# slower at sf1 and disk-death at sf10), zipf ≈220 (prefix wins 56×).
+_PREFIX_AUTO_MASS_RATIO = 100.0
+
+
+def prefix_auto_decision(inv: DataFrame) -> bool:
+    """The ``prefix_filter="auto"`` rule over an (id, gram) inverted
+    index: ON iff the naive inverted join's candidate-pair mass
+    Σ df·(df−1)/2 exceeds ``_PREFIX_AUTO_MASS_RATIO`` × postings.
+    One groupBy + one global aggregate — a single scan of ``inv``
+    (persist it first when the caller reuses it)."""
+    stats = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__gf"))
+        .agg(
+            F.sum(F.col("__gf") * (F.col("__gf") - 1) / 2).alias("mass"),
+            F.sum("__gf").alias("postings"),
+        )
+        .head()
+    )
+    return bool(
+        (stats["mass"] or 0.0)
+        > _PREFIX_AUTO_MASS_RATIO * (stats["postings"] or 1)
+    )
+
 # prime just under 2^29: with 32-bit base hashes, a*h + b stays < 2^61 —
 # no int64 overflow in Spark OR in a BIGINT-only SQL oracle
 _P = 536870909
@@ -528,7 +557,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_posting: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted index.
 
@@ -555,15 +584,29 @@ def ngram_jaccard_pairs(
       of docs → 6 grams × 7 861 postings): **3.55 s ON vs 198.6 s
       OFF**, identical 750 pairs.  Real web/common-crawl text is this
       shape.
-    * OFF wins when gram frequencies are flat — nothing prunes, and
-      the verify join-back costs more than the default's count-only
-      partial aggregate: **26.8 s OFF → 177 s ON** on the synthetic
-      sf1 gate corpus (evenly-hot grams), hence the conservative
-      default.
+    * OFF wins when gram frequencies are only MILDLY hot — nothing
+      prunes enough to pay for the verify join-back, which costs more
+      than the default's count-only partial aggregate: **26.8 s OFF →
+      177 s ON** on the synthetic sf1 gate corpus (mean df 73), and at
+      100× of it (sf10, 500 k docs, pair mass 2.0 B) OFF still wins
+      decisively — measured r13: OFF 604 s, while ON generated 85.8 M
+      distinct candidates whose rows-based verify shuffles ~4.5 B
+      narrow rows (~100 GB) and FILLED THE DISK on local[32].  The
+      distributed cost model is not the in-process one: a single-node
+      PPJoin (the DuckDB scale twin) verifies those same candidates
+      shuffle-free in 154 s, but Spark's verify pays the exchange, so
+      its crossover sits much higher.
 
-    Rule of thumb: turn it ON when max posting-list length ≫ the
-    posting median (frequency skew exists); leave OFF for synthetic /
-    pre-deduped corpora with flat gram frequencies.
+    ``prefix_filter="auto"`` (the default since r13) therefore
+    MEASURES instead of assuming: one cheap aggregate over the
+    inverted index computes the naive pair mass Σ df·(df−1)/2 and the
+    posting count P, and turns the filter on iff mass > 100·P.  The
+    ratio is scale-free and the threshold is calibrated on the
+    measured corpora: flat sf1 ratio ≈ 36 and flat sf10 ratio ≈ 76
+    (OFF correctly wins at both — ON is 6.6× slower at sf1 and
+    disk-death at sf10), zipf ratio ≈ 220 (ON wins 3.55 s vs
+    198.6 s).  Both paths are exact, so the choice never changes
+    results — only the plan.
 
     ``max_posting`` drops grams whose posting list exceeds the cap from
     candidate generation — a pathologically hot gram (a boilerplate
@@ -578,13 +621,26 @@ def ngram_jaccard_pairs(
     """
     df = rebalance(df)
     inv = shingle_rows(df, text_col, id_col, shingle_k)
+    persisted = False
+    if prefix_filter == "auto":
+        if max_posting is not None:
+            prefix_filter = False  # capped mode has its own pruning
+        else:
+            # one aggregate decides the plan (see docstring): naive
+            # pair mass Σ df·(df−1)/2 vs posting count.  inv is
+            # persisted first — the decision scan and the chosen
+            # path's passes share it.
+            inv = tracked_persist(inv)
+            persisted = True
+            prefix_filter = prefix_auto_decision(inv)
     if max_posting is None and prefix_filter:
         from pyspark.sql import Window
 
         # reused 3× below (freq, prefix join, verify); registered so a
         # long session can evict it — persisted plans are never
         # auto-released (see _util.unpersist_tracked)
-        inv = tracked_persist(inv)
+        if not persisted:
+            inv = tracked_persist(inv)
         gfreq = inv.groupBy("gram").agg(
             F.count(F.lit(1)).alias("__gf")
         )

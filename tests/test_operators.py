@@ -805,6 +805,54 @@ def test_ngram_prefix_filter_matches_default(spark):
     assert base  # non-degenerate
 
 
+def test_ngram_prefix_auto_decision(spark):
+    """prefix_filter='auto' (the r13 default) picks by measured pair
+    mass: a boilerplate-heavy corpus (one hot phrase in every doc →
+    mass ≈ C(d,2)·grams ≫ postings) turns the filter ON; a corpus of
+    all-unique grams (mass 0) keeps it OFF.  Either way the output is
+    identical to both explicit settings."""
+    from pql_spark.operators.dedup import (
+        prefix_auto_decision,
+        shingle_rows,
+    )
+
+    # mass ratio ≈ 0.3·d for this shape (3 hot grams of 5): d=400 →
+    # ≈120 > the 100 threshold; d=60 → ≈18 < 100
+    very_hot = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + f"u{i} v{i}")
+         for i in range(400)],
+        "doc_id long, text string",
+    )
+    hot = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + f"u{i} v{i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    flat = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    assert prefix_auto_decision(
+        shingle_rows(very_hot, "text", "doc_id", 2)
+    )
+    assert not prefix_auto_decision(
+        shingle_rows(flat, "text", "doc_id", 2)
+    )
+    kw = dict(shingle_k=2, threshold=0.4)
+    auto = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(hot, **kw).collect()
+    )
+    for setting in (True, False):
+        explicit = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                hot, prefix_filter=setting, **kw
+            ).collect()
+        )
+        assert explicit == auto
+
+
 def test_ngram_prefix_filter_float_ceil_boundary(spark):
     """ADVICE r8: prefix length uses ceil on a float product; at
     t=0.07, n=100 the product is 7.000000000000001 so an unguarded

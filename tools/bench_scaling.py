@@ -114,6 +114,20 @@ NOTES = {
         " string; the ratio measures parse cost the oracle never pays."
         " Compare absolute spark_sf1 instead."
     ),
+    "op_ngram_jaccard": (
+        "sf10 oracle is the PPJoin scale twin — an IN-PROCESS"
+        " algorithm whose 85.8 M-candidate exact verify pays no"
+        " shuffle; Spark's like-for-like naive twin needs >2400 s"
+        " (r12 follow-up cap).  Spark's own prefix-ON plan was"
+        " measured at sf10 and rejected: the rows-based verify"
+        " shuffles ~4.5 B narrow rows (~100 GB) and fills the disk"
+        " on local[32], so the count-only naive plan IS the right"
+        " distributed plan here and prefix_filter='auto' (mass-ratio"
+        " rule, PERF_NOTES_r13 §5) correctly keeps it.  The sf10"
+        " ratio therefore compares a distributed shuffle plan to a"
+        " shuffle-free single-node one; pair values are verified"
+        " exact either way (sf10_values_match)."
+    ),
     "op_bpe": (
         "literal twin: the oracle is a replayed VALUES table (the"
         " driver-side merge-loop replay), so duck time is a constant"
