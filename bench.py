@@ -58,6 +58,13 @@ _STREAM8_FAMILY_MAX = 14.0
 # should fire rather than stretch further).
 _STREAM_SENTINEL_REF = 0.37
 _STREAM_INFLATION_CAP = 3.0
+# the tight (0.5 s-delta) tier only arms when the stream sentinel
+# itself reads quiet: a session whose null drain runs >15% over the
+# reference has a measurably slow micro-batch path, and the batch
+# instruments (pql_count sentinel, loadavg) provably cannot sense
+# that (the r12 driver record; re-confirmed by a same-day builder
+# session reading inflation 1.48 with clean batch sentinels)
+_STREAM_TIGHT_MAX_INFLATION = 1.15
 
 
 def compute_stream_flag(
@@ -85,10 +92,13 @@ def compute_stream_flag(
       exactly the r12 false-positive (sink_upsert 2.219 s vs builder
       sessions' 1.2-1.45 s on identical code).
     * NOISE-GATED: the tight 0.5 s per-delta margin (vs RAW floors)
-      applies only when the record's own noise instruments are clean
-      (sentinel drift and loadavg — the ``session_clean`` input); a
-      noisy session cannot trip it, and the hard tier still catches
-      genuine regressions.
+      applies only when the record's own noise instruments are clean —
+      batch (sentinel drift and loadavg, the ``session_clean`` input)
+      AND stream (``inflation`` ≤ 1.15: the floors are quiet-session
+      numbers, so holding a 0.5 s margin against them is only
+      meaningful when THIS session's micro-batch path measures quiet
+      too).  A noisy session cannot trip it, and the hard tier still
+      catches genuine regressions.
     """
     infl = min(max(inflation, 1.0), _STREAM_INFLATION_CAP)
     deltas = {
@@ -103,8 +113,10 @@ def compute_stream_flag(
     hard = family > _STREAM8_FAMILY_MAX * infl or any(
         times[q] > 2.0 * floors[q] * infl for q in deltas
     )
-    tight = session_clean and any(
-        d > _STREAM_DELTA_MAX for d in deltas.values()
+    tight = (
+        session_clean
+        and infl <= _STREAM_TIGHT_MAX_INFLATION
+        and any(d > _STREAM_DELTA_MAX for d in deltas.values())
     )
     return deltas, family, bool(hard or tight)
 

@@ -139,6 +139,23 @@ def test_inflation_is_capped_and_floored():
     assert not flag
 
 
+def test_tight_tier_disarmed_by_stream_inflation():
+    # same-day builder evidence: a session can read batch-clean while
+    # its null drain runs 1.48x the quiet reference — the tight 0.5 s
+    # margin against quiet-session floors is meaningless there (two
+    # gates read +1.3 s, no hard bar tripped) and must not fire...
+    t = _times(
+        op_stream_dedup=_STREAM_FLOORS["op_stream_dedup"] + 1.34,
+        op_stream_interval_join=_STREAM_FLOORS["op_stream_interval_join"]
+        + 1.29,
+    )
+    _, _, flag = compute_stream_flag(t, session_clean=True, inflation=1.48)
+    assert not flag
+    # ...while the identical record on a stream-quiet session DOES fire
+    _, _, flag = compute_stream_flag(t, session_clean=True, inflation=1.0)
+    assert flag
+
+
 def test_session_clean_requires_quiet_launch_loadavg():
     from bench import compute_session_clean
 
