@@ -6749,40 +6749,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-13 rotation (VERDICT r12 items 3+7): (1) the §2 join
-    # surface first — its evidence sat at r9 for three rounds, (2)
-    # every gate this round's _DUP_OFF change touches (injected-dup
-    # offset 100000 → 1e9, Spark + oracle in lockstep), (3) the rest
-    # of the 41 gates whose latest hash-green is r9 (verified by
-    # tools/evidence_freshness.py — after this window nothing
-    # predates r10), (4) the NEW video-dedup gate (ships with driver
-    # evidence; the flagship pql_q1_pricing is r12-green and exercised
-    # by entry() every round, so it yields its slot).  Exactly 50.
+    # Round-14 rotation (VERDICT r13 item 3): the 47 gates whose
+    # latest hash-green was r10 — three rounds old after the r13
+    # window — verified by tools/evidence_freshness.py (the full
+    # series-function family, the remaining outer/semi joins,
+    # graph_match, pivot, top, where_project, scan ops, geo fns, …).
+    # After this window nothing predates r11.  The 2 spare slots go
+    # to the oldest heavy-tier r11 gates (the composed curation
+    # pipeline, skew-salted kNN) to start draining that tier too.
+    # Exactly 50.
     #
-    # 1. joins (r9-stale, §2 surface):
-    "pql_join_inner", "pql_join_innerunique", "pql_join_leftouter",
-    "pql_join_leftanti", "pql_join_leftsemi",
-    # 2. changed this round (_DUP_OFF; minhash/clusters also r9-stale):
-    "op_minhash_dups", "op_ngram_jaccard", "op_dedup_clusters",
-    "op_lsh_topk", "op_ivf_topk", "op_semantic_dedup",
-    "op_semantic_dedup_bare", "op_lsh_topk_bare", "op_ivf_topk_bare",
-    "op_semantic_passes",
-    # 3. remaining r9-stale gates (evidence_freshness r12 listing):
-    "op_chunk_documents", "op_curate_stream", "op_decontaminate",
-    "op_fingerprint", "op_histogram", "op_importance_weights",
-    "op_knn_grouped", "op_line_dedup", "op_lm_score",
-    "op_mix_corpora", "op_multimodal_audio", "op_multimodal_decode",
-    "op_near_dup_incremental", "op_pack_sequences", "op_profile",
-    "op_quantize_embeddings", "op_quantized_topk", "op_redact_pii",
-    "op_repetition", "op_sampling_split", "op_stream_dedup",
-    "op_stream_interval_join", "op_stream_near_dup",
-    "op_stream_sequence_detect", "op_stream_sessionize",
-    "op_stream_sink_upsert", "op_stream_stateful",
-    "op_temperature_mix", "op_unimax_mix", "op_weighted_sample",
-    "op_winnow_fingerprints", "pql_fork_daily", "pql_scan_declare",
-    "pql_sort_take",
-    # 4. new this round:
-    "op_video_dups",
+    # 1. §2 join surface (r10-stale):
+    "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
+    "pql_3way_join", "pql_promo_revenue",
+    # 2. series-function family (r10-stale):
+    "pql_make_series", "pql_series_fns", "pql_series_fill",
+    "pql_series_outliers", "pql_series_decompose",
+    "pql_series_decompose_anomalies", "pql_series_forecast",
+    "pql_series_fft", "pql_series_fir", "pql_series_periods",
+    "pql_series_vector", "pql_series_fit_2lines",
+    # 3. remaining r10-stale PQL operators/functions:
+    "pql_graph_match", "pql_pivot", "pql_top", "pql_where_project",
+    "pql_distinct_op", "pql_union_op", "pql_project_away",
+    "pql_mv_expand", "pql_lookup", "pql_parse_op", "pql_parse_kv",
+    "pql_search_op", "pql_find_op", "pql_reduce_op", "pql_invoke_op",
+    "pql_approx_topk", "pql_funnel_sequence", "pql_new_activity",
+    "pql_session_count", "pql_sliding_window_counts",
+    "pql_rolling_percentile", "pql_rows_near", "pql_scalar_fns2",
+    "pql_timespan_lit", "pql_url_fns", "pql_ipv6_fns",
+    "pql_weighted_aggs", "pql_geo_cell", "pql_geo_center",
+    # 4. r10-stale data-pipeline gates:
+    "op_ngram_zipf_prefix", "op_profile_grouped",
+    # 5. oldest heavy-tier r11 gates (spare slots):
+    "op_curate_corpus", "op_knn_skew",
 ]
 
 

@@ -57,14 +57,36 @@ _STREAM8_FAMILY_MAX = 14.0
 # drain means the session is unusable for perf claims, and the flag
 # should fire rather than stretch further).
 _STREAM_SENTINEL_REF = 0.37
+# Quiet-session cost of the FILE-WRITE drain (_StreamSentinels.file):
+# a one-row parquet-SINK drain with a real checkpoint directory on the
+# default tmp filesystem — the same unit the sink/stateful gate floors
+# live in (checkpoint WAL fsyncs + parquet write + read-back).  Median
+# of 7 on an idle 32-core builder session: 0.652 s (0.60-0.72 spread).
+# Added r14 (VERDICT r13 item 1a): the r13 driver session inflated the
+# stateful/write-heavy gates ~3× while the memory-sink NULL drain read
+# only 1.122 — I/O-shaped contention is invisible to a drain that
+# touches no files, so the bars never scaled and the flag fired
+# unexplained.  The file drain senses that path directly.
+_STREAM_FILE_SENTINEL_REF = 0.65
 _STREAM_INFLATION_CAP = 3.0
-# the tight (0.5 s-delta) tier only arms when the stream sentinel
-# itself reads quiet: a session whose null drain runs >15% over the
-# reference has a measurably slow micro-batch path, and the batch
-# instruments (pql_count sentinel, loadavg) provably cannot sense
-# that (the r12 driver record; re-confirmed by a same-day builder
-# session reading inflation 1.48 with clean batch sentinels)
+# the tight (0.5 s-delta) tier only arms when the stream sentinels
+# read quiet: a session whose drains run >15% over the references has
+# a measurably slow micro-batch path, and the batch instruments
+# (pql_count sentinel, loadavg) provably cannot sense that (the r12
+# driver record; re-confirmed by a same-day builder session reading
+# inflation 1.48 with clean batch sentinels)
 _STREAM_TIGHT_MAX_INFLATION = 1.15
+# beyond this measured inflation (or with any other dirty instrument)
+# the session cannot support streaming perf claims at all: exceedances
+# are reported as "not_comparable", not "regression" (VERDICT r13
+# item 1 — a flag must agree with the record's own instruments)
+_STREAM_NOT_COMPARABLE_INFLATION = 1.6
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
 def compute_stream_flag(
@@ -72,112 +94,321 @@ def compute_stream_flag(
     session_clean: bool,
     floors: dict[str, float] = _STREAM_FLOORS,
     inflation: float = 1.0,
+    gate_inflations: dict[str, float] | None = None,
 ) -> tuple[dict[str, float], float, bool]:
-    """Streaming perf check → (per-gate floor deltas, 8-gate family
-    sum, flag).  Two tiers (VERDICT r11 item 6 — the old single 0.5 s
-    per-delta margin also tripped on session spread, training readers
-    to ignore it):
+    """Streaming bars check → (per-gate floor deltas, 8-gate family
+    sum, bars-exceeded).  Two tiers (VERDICT r11 item 6 — the old
+    single 0.5 s per-delta margin also tripped on session spread,
+    training readers to ignore it):
 
     * HARD, always on: the 8-gate family sum must stay ≤ 14 s, and no
       gate may exceed 2× its measured startup floor — a real floor
-      exceedance, not noise.  Both bars scale by ``inflation``, the
-      measured micro-batch-path slowdown of THIS session (stream
-      sentinel / quiet reference, ≥ 1, capped): the r12 driver record
-      proved a session can inflate the whole stateful family ~1.5×
-      while the BATCH sentinel reads clean (loadavg_start 5.77,
-      pql_count 0.185 s), because the micro-batch scheduler/state-
-      store path degrades under contention the batch path doesn't
-      sense.  Floor-dominated gates inflate BY the session factor, so
-      an unscaled 2× bar is reachable by session spread alone —
-      exactly the r12 false-positive (sink_upsert 2.219 s vs builder
-      sessions' 1.2-1.45 s on identical code).
+      exceedance, not noise.  Bars scale by the measured micro-batch-
+      path slowdown of THIS session (sentinel / quiet reference, ≥ 1,
+      capped).  r14 (VERDICT r13 item 1b): ``gate_inflations`` carries
+      one INTERLEAVED sentinel reading per family gate, sampled
+      immediately before that gate — contention is time-varying across
+      a ~4-minute sweep, and the r13 driver session inflated gates ~3×
+      while the two ENDPOINT drains read 1.122.  Each gate's 2× bar
+      scales by its own nearest reading; the family bar scales by the
+      floor-weighted mean of the per-gate readings (the family time is
+      ≈ Σ floor·inflation under pure contention).  Gates without a
+      reading fall back to the scalar ``inflation`` (endpoint max),
+      which keeps the pre-r14 behavior.
     * NOISE-GATED: the tight 0.5 s per-delta margin (vs RAW floors)
       applies only when the record's own noise instruments are clean —
       batch (sentinel drift and loadavg, the ``session_clean`` input)
-      AND stream (``inflation`` ≤ 1.15: the floors are quiet-session
-      numbers, so holding a 0.5 s margin against them is only
-      meaningful when THIS session's micro-batch path measures quiet
-      too).  A noisy session cannot trip it, and the hard tier still
-      catches genuine regressions.
+      AND stream (MEDIAN per-gate inflation ≤ 1.15: the floors are
+      quiet-session numbers, so holding a 0.5 s margin against them is
+      only meaningful when THIS session's micro-batch path measures
+      quiet too; the median — not max — so one noisy sample out of 8
+      cannot disarm the tier on an otherwise-quiet session).
     """
-    infl = min(max(inflation, 1.0), _STREAM_INFLATION_CAP)
+    gi = gate_inflations or {}
+
+    def raw(q: str) -> float:
+        return gi.get(q, inflation)
+
+    def eff(q: str) -> float:
+        return min(max(raw(q), 1.0), _STREAM_INFLATION_CAP)
+
     deltas = {
         q: round(times[q] - f, 3)
         for q, f in floors.items()
         if q in times and times[q] == times[q]
     }
-    family = round(
-        sum(times[q] for q in floors if q in times and times[q] == times[q]),
-        3,
+    present = list(deltas)
+    family = round(sum(times[q] for q in present), 3)
+    if present:
+        fam_infl = sum(floors[q] * eff(q) for q in present) / sum(
+            floors[q] for q in present
+        )
+    else:
+        fam_infl = min(max(inflation, 1.0), _STREAM_INFLATION_CAP)
+    hard = family > _STREAM8_FAMILY_MAX * fam_infl or any(
+        times[q] > 2.0 * floors[q] * eff(q) for q in present
     )
-    hard = family > _STREAM8_FAMILY_MAX * infl or any(
-        times[q] > 2.0 * floors[q] * infl for q in deltas
-    )
+    med_raw = _median([raw(q) for q in present]) if present else inflation
     tight = (
         session_clean
-        and infl <= _STREAM_TIGHT_MAX_INFLATION
+        and med_raw <= _STREAM_TIGHT_MAX_INFLATION
         and any(d > _STREAM_DELTA_MAX for d in deltas.values())
     )
     return deltas, family, bool(hard or tight)
+
+
+def compute_stream_verdict(
+    bars_exceeded: bool,
+    session_clean: bool,
+    max_inflation: float,
+) -> str:
+    """Interpret the bars check against the session's own instruments
+    (VERDICT r13 item 1 — 'done = a driver record whose flag state
+    agrees with its instruments'):
+
+    * ``"regression"`` — bars exceeded on a session whose instruments
+      all read quiet: evidence of a real streaming code regression.
+      This (and only this) sets ``stream_perf_flag``.
+    * ``"not_comparable"`` — bars exceeded WITH a dirty instrument
+      (session not clean, or any interleaved/endpoint sentinel ≥ 1.6×
+      its quiet reference): the exceedance is attributed to machine
+      state, not code, and the family rows cannot support perf claims.
+      The r13 driver record (gates ~3×, launch 15-min loadavg 7.92 on
+      32 cores) lands here — which the judge's quiet-box re-measure
+      (family 16.44 s) independently confirmed.
+    * ``"ok"`` — bars clear.  A transiently-noisy sample only widens
+      its own gate's bar; if the bars still clear, the family is fine
+      and the verdict says so (session-LEVEL comparability is the
+      separate ``session_clean`` / ``headline_comparable`` fields).
+    """
+    if not bars_exceeded:
+        return "ok"
+    if not session_clean or max_inflation >= _STREAM_NOT_COMPARABLE_INFLATION:
+        return "not_comparable"
+    return "regression"
 
 
 def compute_session_clean(
     contended: bool,
     sentinel_first: float,
     sentinel_last: float,
-    load_at_launch_1m: float,
+    load_at_launch: float | list[float] | tuple[float, ...],
     ncpu: int,
-) -> bool:
-    """A record is 'clean' (arming the tight noise-gated tier) only if
-    no contention instrument fired: the contended flag, sentinel drift
-    > 1.5×, or a loaded machine at LAUNCH (> 0.15×ncpu 1-min loadavg —
-    the r12 driver record was marked clean at loadavg 5.77 because the
-    batch sentinels were fast, and its contention-inflated streaming
-    rows then read as trustworthy; VERDICT r12 item 2)."""
-    return (
-        not contended
-        and sentinel_last <= 1.5 * sentinel_first
-        and load_at_launch_1m <= 0.15 * ncpu
+    stream_inflation: float = 1.0,
+) -> tuple[bool, list[str]]:
+    """A record is 'clean' (arming the tight noise-gated tier, and the
+    precondition for ``headline_comparable``) only if no contention
+    instrument fired → (clean, reasons).  Instruments:
+
+    * the ``contended`` flag (sentinel drift > 2× or loadavg > 1.5×ncpu
+      mid-run);
+    * batch-sentinel drift > 1.5× across the sweep;
+    * a loaded machine at LAUNCH on ANY horizon — 1/5/15-min loadavg
+      > 0.15×ncpu.  r14 hardening (VERDICT r13 item 6): the r13 driver
+      session passed the old 1-min-only bar by 9 % (4.37 vs 4.8) and
+      then ran gates at 3× — but its 15-MIN launch loadavg was 7.92,
+      well over the bar: the machine had been busy for the preceding
+      quarter hour and the record carried the evidence unused;
+    * a slow micro-batch path — measured stream inflation (max over
+      the null-drain AND file-write sentinels, endpoint + interleaved)
+      > 1.15.  Catches the r12/r13-PM phantom shape: quiet loadavg and
+      clean batch sentinels while the streaming path runs 1.3×.
+    """
+    loads = (
+        [load_at_launch]
+        if isinstance(load_at_launch, (int, float))
+        else list(load_at_launch)
     )
-
-
-def _stream_sentinel(spark) -> float:
-    """Median-of-3 of the canonical null drain: a one-row parquet
-    stream drained through an availableNow memory sink — the exact
-    micro-benchmark the 0.9 s streaming floors were derived from
-    (PERF_NOTES_r10).  Run in the SAME session as the streaming gates,
-    it measures how fast THIS session's micro-batch path is; the ratio
-    to _STREAM_SENTINEL_REF scales the hard flag bars.  One untimed
-    warm drain first (the cold micro-batch machinery costs ~1.2 s that
-    belongs to session setup, not the path's steady state)."""
-    import shutil
-    import tempfile
-
-    from pql_spark.streaming import run_available_now
-
-    shm = Path("/dev/shm")
-    d = Path(tempfile.mkdtemp(
-        prefix="pql_ssent_", dir=str(shm) if shm.is_dir() else None
-    ))
-    try:
-        spark.createDataFrame([(1,)], "id long").write.parquet(
-            str(d / "one")
+    reasons: list[str] = []
+    if contended:
+        reasons.append("contended flag fired mid-run")
+    if sentinel_last > 1.5 * sentinel_first:
+        reasons.append(
+            f"batch sentinel drifted {sentinel_last}/{sentinel_first}"
         )
-        schema = spark.read.parquet(str(d / "one")).schema
+    bar = 0.15 * ncpu
+    for horizon, val in zip(("1m", "5m", "15m"), loads):
+        if val > bar:
+            reasons.append(
+                f"launch loadavg[{horizon}]={val} > {round(bar, 2)}"
+            )
+    if stream_inflation > _STREAM_TIGHT_MAX_INFLATION:
+        reasons.append(
+            f"stream sentinel inflation {stream_inflation} > "
+            f"{_STREAM_TIGHT_MAX_INFLATION}"
+        )
+    return (not reasons, reasons)
 
-        def drain() -> None:
-            s = spark.readStream.schema(schema).parquet(str(d / "one"))
-            run_available_now(s.select("id"), "append")
 
-        drain()  # warm (untimed)
+def evaluate_record(record: dict) -> dict:
+    """Re-evaluate a bench record's session instruments under the
+    current (r14) model — used by tests to replay the committed
+    r12/r13 records, and by readers auditing an old headline.  Works
+    from the record's OWN fields, with the fallbacks an old record
+    needs (r12 has no loadavg_at_launch and no stream sentinels)."""
+    launch = record.get("loadavg_at_launch") or record.get(
+        "loadavg_start", [0.0]
+    )
+    ncpu = record.get("cpus", 32)
+    sent_first = record.get("sentinel_first_sec", 0.0)
+    sent_last = record.get("sentinel_last_sec", 0.0)
+    infls = [
+        record.get("stream_sentinel_first_sec", 0.0) / _STREAM_SENTINEL_REF,
+        record.get("stream_sentinel_last_sec", 0.0) / _STREAM_SENTINEL_REF,
+        record.get("stream_file_sentinel_first_sec", 0.0)
+        / _STREAM_FILE_SENTINEL_REF,
+        record.get("stream_file_sentinel_last_sec", 0.0)
+        / _STREAM_FILE_SENTINEL_REF,
+    ] + list(record.get("stream_gate_inflations", {}).values())
+    max_infl = round(max(infls + [1.0]), 3)
+    clean, reasons = compute_session_clean(
+        record.get("contended", False),
+        sent_first,
+        sent_last,
+        launch,
+        ncpu,
+        stream_inflation=max_infl,
+    )
+    times = record.get("queries", {})
+    gi = record.get("stream_gate_inflations") or None
+    _, family, exceeded = compute_stream_flag(
+        times, clean, inflation=max_infl, gate_inflations=gi
+    )
+    verdict = compute_stream_verdict(exceeded, clean, max_infl)
+    return {
+        "session_clean": clean,
+        "headline_comparable": clean,
+        "reasons": reasons,
+        "stream_inflation_max": max_infl,
+        "stream8_family_sec": family,
+        "stream_bars_exceeded": exceeded,
+        "stream_verdict": verdict,
+        "stream_perf_flag": verdict == "regression",
+    }
+
+
+class _StreamSentinels:
+    """The session's micro-batch-path instruments (VERDICT r13 item 1).
+
+    Two drain units over the same one-row parquet source:
+
+    * ``null`` — availableNow memory-sink drain (source on /dev/shm,
+      sink in memory: touches no files).  The exact micro-benchmark
+      the 0.9 s streaming floors were derived from (PERF_NOTES_r10).
+    * ``file`` — availableNow PARQUET-sink drain with a real
+      checkpoint directory on the default tmp filesystem, plus a
+      read-back — the unit the sink/stateful gate floors live in.
+      Added r14: the r13 driver session inflated write-heavy gates ~3×
+      while the null drain read 1.122, because the contention was
+      I/O-shaped and a memory drain touches no files.
+
+    Endpoint readings are median-of-3 (as before); interleaved per-gate
+    readings are best-of-2 — the same estimator the gates themselves
+    use, so a gate and its neighboring sentinel see the same noise
+    model.  One untimed warm drain per unit first (the cold micro-batch
+    machinery costs ~1.2 s that belongs to session setup)."""
+
+    def __init__(self, spark) -> None:
+        import tempfile
+
+        self.spark = spark
+        shm = Path("/dev/shm")
+        self.src = Path(tempfile.mkdtemp(
+            prefix="pql_ssent_", dir=str(shm) if shm.is_dir() else None
+        ))
+        spark.createDataFrame([(1,)], "id long").write.parquet(
+            str(self.src / "one")
+        )
+        self.schema = spark.read.parquet(str(self.src / "one")).schema
+
+    def _stream(self):
+        return self.spark.readStream.schema(self.schema).parquet(
+            str(self.src / "one")
+        ).select("id")
+
+    def null_drain(self) -> None:
+        from pql_spark.streaming import run_available_now
+
+        run_available_now(self._stream(), "append")
+
+    def file_drain(self) -> None:
+        import shutil
+        import tempfile
+
+        d = Path(tempfile.mkdtemp(prefix="pql_fsent_"))  # default tmp fs
+        try:
+            q = (
+                self._stream()
+                .writeStream.format("parquet")
+                .option("path", str(d / "out"))
+                .option("checkpointLocation", str(d / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            self.spark.read.parquet(str(d / "out")).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def warm(self) -> None:
+        self.null_drain()
+        self.file_drain()
+
+    @staticmethod
+    def _timed(fn, n: int) -> list[float]:
         runs = []
-        for _ in range(3):
+        for _ in range(n):
             t0 = time.perf_counter()
-            drain()
+            fn()
             runs.append(time.perf_counter() - t0)
-        return round(sorted(runs)[1], 3)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        return runs
+
+    def endpoint(self) -> tuple[float, float]:
+        """(null_median3, file_median3) — the first/last readings."""
+        null = round(_median(self._timed(self.null_drain, 3)), 3)
+        file = round(_median(self._timed(self.file_drain, 3)), 3)
+        return null, file
+
+    def sample(self) -> tuple[float, float]:
+        """(null_best2, file_best2) — one interleaved reading, taken
+        immediately before a streaming family gate."""
+        null = round(min(self._timed(self.null_drain, 2)), 3)
+        file = round(min(self._timed(self.file_drain, 2)), 3)
+        return null, file
+
+    def close(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.src, ignore_errors=True)
+
+
+def _sample_inflation(
+    null_sec: float,
+    file_sec: float,
+    null_base: float | None = None,
+    file_base: float | None = None,
+) -> float:
+    """A reading's inflation: the max over its two units' ratios to
+    their quiet references — contention visible on EITHER path counts
+    (the r13 session was I/O-shaped: file high, null near-quiet).
+
+    ``null_base``/``file_base`` (when given) are the SESSION'S OWN
+    fastest readings of each unit: a deep-warm session drains in
+    ~0.28 s vs the 0.37 s shallow-warm calibration reference, so a
+    mid-sweep contention spike under-reads against the absolute refs
+    by ~1.3× — the session-relative term restores the sensitivity
+    (a spike vs the session's own quiet floor), while the absolute
+    refs still catch a UNIFORMLY slow session whose own minimum is
+    already inflated (the r13-PM phantom shape)."""
+    ratios = [
+        null_sec / _STREAM_SENTINEL_REF,
+        file_sec / _STREAM_FILE_SENTINEL_REF,
+    ]
+    if null_base:
+        ratios.append(null_sec / null_base)
+    if file_base:
+        ratios.append(file_sec / file_base)
+    return round(max(ratios), 3)
 
 
 def _sentinel(spark, sf_dir: str) -> float:
@@ -224,7 +455,9 @@ def main() -> int:
 
     load_start = os.getloadavg()
     sentinel_first = _sentinel(spark, sf_dir)
-    stream_sentinel_first = _stream_sentinel(spark)
+    sentinels = _StreamSentinels(spark)
+    sentinels.warm()
+    stream_sentinel_first, stream_file_sentinel_first = sentinels.endpoint()
 
     # Steady-state methodology (JMH-style): each query runs twice and
     # the BEST time is reported.  Run 1 pays one-time costs that are
@@ -235,7 +468,16 @@ def main() -> int:
     # scan + shuffle + compute.  Cold totals are reported alongside.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    # interleaved sentinel samples (VERDICT r13 item 1b): one combined
+    # null+file reading immediately before EACH streaming family gate —
+    # contention is time-varying across a ~4-minute sweep, and two
+    # endpoint readings provably under-sensed the r13 driver session
+    # (gates ~3×, endpoints 1.122).  Each gate's hard bar scales by its
+    # own nearest reading.
+    gate_samples: dict[str, tuple[float, float]] = {}
     for name, fn in entrymod.queries().items():
+        if name in _STREAM_FLOORS:
+            gate_samples[name] = sentinels.sample()
         runs: list[float] = []
         n = 0
         for _ in range(2):
@@ -267,7 +509,8 @@ def main() -> int:
         )
 
     sentinel_last = _sentinel(spark, sf_dir)
-    stream_sentinel_last = _stream_sentinel(spark)
+    stream_sentinel_last, stream_file_sentinel_last = sentinels.endpoint()
+    sentinels.close()
     load_end = os.getloadavg()
     # contention flag: the fixed-cost sentinel drifted >2x across the
     # run, or the 1-min loadavg exceeded the core count at either end
@@ -294,6 +537,12 @@ def main() -> int:
         "sentinel_last_sec": sentinel_last,
         "stream_sentinel_first_sec": stream_sentinel_first,
         "stream_sentinel_last_sec": stream_sentinel_last,
+        "stream_file_sentinel_first_sec": stream_file_sentinel_first,
+        "stream_file_sentinel_last_sec": stream_file_sentinel_last,
+        "stream_sentinel_samples": {
+            q: {"null_sec": n, "file_sec": f}
+            for q, (n, f) in gate_samples.items()
+        },
         "loadavg_at_launch": [round(x, 2) for x in load_at_launch],
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
@@ -358,26 +607,89 @@ def main() -> int:
     # stream_family_sec is the WIDER 10-row sum (8 op_stream_* gates
     # plus op_near_dup_incremental and op_curate_stream); the target
     # applies to stream8_family_sec.
-    session_clean = compute_session_clean(
-        contended, sentinel_first, sentinel_last, load_at_launch[0], ncpu
+    # per-gate inflation from the interleaved samples; endpoint
+    # inflation (max of first/last combined readings) as the fallback
+    # for anything without its own sample.  Each reading is judged
+    # against BOTH the absolute quiet references and the session's own
+    # fastest reading of each unit (see _sample_inflation).
+    null_base = min(
+        [stream_sentinel_first, stream_sentinel_last]
+        + [n for n, _ in gate_samples.values()]
     )
-    # hard-bar inflation: the micro-batch path's measured slowdown in
-    # THIS session, from whichever stream sentinel read slower (the
-    # family gates are spread through the sweep, so contention at
-    # either end counts)
-    stream_inflation = round(
+    file_base = min(
+        [stream_file_sentinel_first, stream_file_sentinel_last]
+        + [f for _, f in gate_samples.values()]
+    )
+    gate_inflations = {
+        q: _sample_inflation(n, f, null_base, file_base)
+        for q, (n, f) in gate_samples.items()
+    }
+    endpoint_inflation = max(
+        _sample_inflation(
+            stream_sentinel_first, stream_file_sentinel_first,
+            null_base, file_base,
+        ),
+        _sample_inflation(
+            stream_sentinel_last, stream_file_sentinel_last,
+            null_base, file_base,
+        ),
+    )
+    all_inflations = list(gate_inflations.values()) + [endpoint_inflation]
+    stream_inflation_max = round(max(all_inflations), 3)
+    stream_inflation_median = round(_median(all_inflations), 3)
+    # session cleanliness takes the MEDIAN inflation (session-level
+    # state — one noisy sample out of 10 must not dirty the record);
+    # the verdict's not-comparable bar takes the MAX (any window of
+    # heavy contention inside the family sweep poisons comparability)
+    session_clean, clean_reasons = compute_session_clean(
+        contended,
+        sentinel_first,
+        sentinel_last,
+        load_at_launch,
+        ncpu,
+        stream_inflation=stream_inflation_median,
+    )
+    stream_deltas, stream8_total, bars_exceeded = compute_stream_flag(
+        times,
+        session_clean,
+        inflation=endpoint_inflation,
+        gate_inflations=gate_inflations,
+    )
+    stream_verdict = compute_stream_verdict(
+        bars_exceeded, session_clean, stream_inflation_max
+    )
+    full_record["stream8_family_sec"] = stream8_total
+    full_record["stream_floor_deltas"] = stream_deltas
+    # legacy field (pre-r14 definition: endpoint null-drain max ratio)
+    # kept for cross-round comparability of the instrument itself
+    full_record["stream_inflation"] = round(
         max(stream_sentinel_first, stream_sentinel_last)
         / _STREAM_SENTINEL_REF,
         3,
     )
-    stream_deltas, stream8_total, stream_perf_flag = compute_stream_flag(
-        times, session_clean, inflation=stream_inflation
+    full_record["stream_gate_inflations"] = gate_inflations
+    full_record["stream_inflation_median"] = stream_inflation_median
+    full_record["stream_inflation_max"] = stream_inflation_max
+    full_record["stream_bars_exceeded"] = bars_exceeded
+    full_record["stream_verdict"] = stream_verdict
+    # r14 semantics (VERDICT r13 item 1): the flag now means "evidence
+    # of a streaming CODE regression on a session whose instruments
+    # read quiet" — a contended session reports bars_exceeded +
+    # verdict=not_comparable instead, so the flag state always agrees
+    # with the record's own instruments
+    full_record["stream_perf_flag"] = stream_verdict == "regression"
+    full_record["stream_flag_model"] = (
+        "v4: interleaved null+file sentinels, per-gate bars,"
+        " regression-only flag"
     )
-    full_record["stream8_family_sec"] = stream8_total
-    full_record["stream_floor_deltas"] = stream_deltas
-    full_record["stream_inflation"] = stream_inflation
-    full_record["stream_perf_flag"] = stream_perf_flag
     full_record["session_clean"] = session_clean
+    # VERDICT r13 item 2: a non-comparable headline self-describes —
+    # the r13 driver total (225.8 s vs r12's 126.8) read as a 78%
+    # regression to anyone not cross-checking the builder records
+    full_record["headline_comparable"] = session_clean
+    full_record["headline_comparable_reason"] = (
+        "; ".join(clean_reasons) if clean_reasons else None
+    )
     # evidence-freshness summary (VERDICT r11 item 7): the bench record
     # itself reproduces the "no evidence older than rN" claim from the
     # committed CORRECTNESS files — tools/evidence_freshness.py has the
@@ -396,6 +708,10 @@ def main() -> int:
         full_record["evidence_freshness"] = None
     full_path.write_text(json.dumps(full_record) + "\n")
     digest = dict(full_record)
+    # raw per-gate sentinel readings live in BENCH_FULL.json only; the
+    # digest keeps the derived per-gate inflations (the actionable
+    # instrument) to stay inside the 2000-char capture window
+    digest.pop("stream_sentinel_samples", None)
     digest["queries"] = digest_q
     digest["n_queries"] = len(times)
     digest["stream_family_sec"] = stream_total

@@ -50,7 +50,9 @@ def _frame_to_dib(frame: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def _dib_to_frame(data: bytes, width: int, height: int) -> np.ndarray:
+def _dib_to_frame(
+    data: bytes, width: int, height: int, topdown: bool = False
+) -> np.ndarray:
     stride = _row_stride(width)
     if len(data) < stride * height:
         raise ValueError(
@@ -58,6 +60,8 @@ def _dib_to_frame(data: bytes, width: int, height: int) -> np.ndarray:
         )
     a = np.frombuffer(data[: stride * height], dtype=np.uint8)
     a = a.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if topdown:  # negative biHeight: rows already top-down, only BGR→RGB
+        return a[:, :, ::-1].copy()
     return a[::-1, :, ::-1].copy()  # un-flip + RGB
 
 
@@ -157,8 +161,16 @@ def decode_avi(payload: bytes):
     """AVI bytes → (frames HxWx3 uint8 RGB as one ndarray stack, fps).
 
     Accepts any chunk ordering/extra chunks; requires one 'vids'
-    stream with BI_RGB 24-bit frames.  Compressed streams raise
-    NotImplementedError (the honest codec boundary)."""
+    stream with BI_RGB 24-bit frames.  Multi-stream files are handled
+    per spec (ADVICE r13): stream INDEX is the strl's position in
+    hdrl, each strl's strh fccType decides whether its strf is parsed
+    as BITMAPINFOHEADER, and only ``NNdb``/``NNdc`` data chunks for
+    the vids stream's index are decoded — an audio strl listed before
+    the video one no longer has its WAVEFORMATEX read as garbage
+    width/bitcount.  Negative biHeight (a top-down DIB, valid BI_RGB
+    output from some encoders) decodes without the vertical flip.
+    Compressed streams raise NotImplementedError (the honest codec
+    boundary)."""
     data = bytes(payload)
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("decode_avi: not a RIFF AVI file")
@@ -166,29 +178,53 @@ def decode_avi(payload: bytes):
     end = min(len(data), 8 + riff_size)
 
     width = height = None
+    topdown = False
     bitcount = compression = None
     rate = scale = None
-    frames_raw: list[tuple[int, int]] = []
+    stream_idx = -1          # strl ordinal = stream index, per spec
+    cur_type: bytes | None = None
+    vids_stream: int | None = None
+    frames_raw: list[tuple[int, int, int]] = []  # (stream, body, size)
 
     def scan(start: int, stop: int) -> None:
-        nonlocal width, height, bitcount, compression, rate, scale
+        nonlocal width, height, topdown, bitcount, compression
+        nonlocal rate, scale, stream_idx, cur_type, vids_stream
         for fourcc, body, size in _walk(data, start, stop):
             if fourcc == b"LIST":
+                if data[body:body + 4] == b"strl":
+                    stream_idx += 1
+                    cur_type = None
                 scan(body + 4, body + size)  # skip the list type fourcc
             elif fourcc == b"avih":
                 w, h = struct.unpack_from("<2I", data, body + 32)
                 width, height = int(w), int(h)
-            elif fourcc == b"strh" and data[body:body + 4] == b"vids":
-                scale, rate = struct.unpack_from("<2I", data, body + 20)
-            elif fourcc == b"strf" and bitcount is None:
-                _, bw, bh, _, bc, comp = struct.unpack_from(
-                    "<I2i2HI", data, body
-                )
-                bitcount, compression = int(bc), int(comp)
-                if width is None:
-                    width, height = int(bw), int(bh)
-            elif fourcc in (b"00db", b"00dc"):
-                frames_raw.append((body, size))
+            elif fourcc == b"strh":
+                cur_type = data[body:body + 4]
+                if cur_type == b"vids" and vids_stream is None:
+                    vids_stream = max(stream_idx, 0)
+                    scale, rate = struct.unpack_from(
+                        "<2I", data, body + 20
+                    )
+            elif fourcc == b"strf":
+                # only the vids stream's strf is a BITMAPINFOHEADER —
+                # an auds strf is WAVEFORMATEX and must be skipped
+                if cur_type == b"vids" and bitcount is None:
+                    _, bw, bh, _, bc, comp = struct.unpack_from(
+                        "<I2i2HI", data, body
+                    )
+                    bitcount, compression = int(bc), int(comp)
+                    if bh < 0:  # top-down DIB
+                        topdown = True
+                        bh = -bh
+                    if width is None:
+                        width, height = int(bw), int(bh)
+                    elif height is not None and int(bh) != height:
+                        height = int(bh)
+            elif (
+                fourcc[2:4] in (b"db", b"dc")
+                and fourcc[:2].isdigit()
+            ):
+                frames_raw.append((int(fourcc[:2]), body, size))
 
     scan(12, end)
 
@@ -203,12 +239,17 @@ def decode_avi(payload: bytes):
             f" biBitCount={bitcount}); compressed codecs need"
             " ffmpeg/PyAV, unavailable in this environment"
         )
-    if not frames_raw:
+    # keep only the vids stream's data chunks; a headerless file
+    # (no strh at all) falls back to the lowest stream index seen
+    if vids_stream is None and frames_raw:
+        vids_stream = min(s for s, _, _ in frames_raw)
+    chunks = [(b, s) for st, b, s in frames_raw if st == vids_stream]
+    if not chunks:
         raise ValueError("decode_avi: no frame chunks in movi")
     frames = np.stack(
         [
-            _dib_to_frame(data[b:b + s], width, height)
-            for b, s in frames_raw
+            _dib_to_frame(data[b:b + s], width, height, topdown)
+            for b, s in chunks
         ]
     )
     fps = (rate / scale) if rate and scale else 0.0

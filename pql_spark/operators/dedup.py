@@ -608,6 +608,17 @@ def ngram_jaccard_pairs(
     198.6 s).  Both paths are exact, so the choice never changes
     results — only the plan.
 
+    NOTE (ADVICE r13): ``"auto"`` makes this builder EAGER — the
+    decision scan (shingle + persist + one global aggregate) runs as
+    a Spark job at CALL time, and the persisted inverted index lives
+    until the returned plan's consumer (or ``unpersist_tracked``)
+    releases it.  Two escapes keep the lazy contract where it
+    matters: a driver-local input (``df.isLocal()`` — createDataFrame
+    test corpora) skips the scan and resolves to the naive path,
+    which is always right at that scale; and passing
+    ``prefix_filter=True/False`` explicitly keeps the builder fully
+    lazy.
+
     ``max_posting`` drops grams whose posting list exceeds the cap from
     candidate generation — a pathologically hot gram (a boilerplate
     phrase in d docs) otherwise materializes d(d-1)/2 pairs in one
@@ -625,6 +636,11 @@ def ngram_jaccard_pairs(
     if prefix_filter == "auto":
         if max_posting is not None:
             prefix_filter = False  # capped mode has its own pruning
+        elif df.isLocal():
+            # driver-local input (createDataFrame corpora): trivially
+            # small, the naive path always wins — skip the eager
+            # decision job AND the persist (ADVICE r13)
+            prefix_filter = False
         else:
             # one aggregate decides the plan (see docstring): naive
             # pair mass Σ df·(df−1)/2 vs posting count.  inv is

@@ -66,6 +66,120 @@ def test_malformed_rejected():
         encode_avi([])
 
 
+# --- multi-stream + top-down DIB handling (ADVICE r13) --------------
+
+from pql_spark.operators._avi import (  # noqa: E402
+    _chunk,
+    _frame_to_dib,
+    _list,
+    _row_stride,
+)
+
+
+def _avih(w, h, nframes, nstreams=1):
+    return _chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 100_000, 0, 0, 0, nframes, 0, nstreams, 0,
+            w, h, 0, 0, 0, 0,
+        ),
+    )
+
+
+def _strh(fcc, scale=1, rate=10, length=1, w=0, h=0):
+    handler = b"DIB " if fcc == b"vids" else b"\x00" * 4
+    return _chunk(
+        b"strh",
+        fcc + handler
+        + struct.pack(
+            "<10I4h", 0, 0, 0, scale, rate, 0, length, 0,
+            0xFFFFFFFF, 0, 0, 0, w, h,
+        ),
+    )
+
+
+def _strf_vids(w, h):
+    return _chunk(
+        b"strf",
+        struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0),
+    )
+
+
+def _strf_auds():
+    # WAVEFORMATEX: PCM mono 8 kHz 16-bit — as BITMAPINFOHEADER these
+    # bytes are garbage width/bitcount, the exact ADVICE r13 scenario
+    return _chunk(b"strf", struct.pack("<2H2I2H", 1, 1, 8000, 16000, 2, 16))
+
+
+def test_audio_strl_before_video_strl():
+    # stream 0 = audio, stream 1 = video: the decoder must skip the
+    # auds strf (WAVEFORMATEX), take dimensions from the vids strf,
+    # and decode only the '01db' chunks (ignoring '00wb' audio data)
+    frames = synth_video(3, n_frames=2)
+    h, w = frames[0].shape[:2]
+    hdrl = _list(
+        b"hdrl",
+        _avih(w, h, 2, nstreams=2)
+        + _list(b"strl", _strh(b"auds", rate=8000) + _strf_auds())
+        + _list(
+            b"strl",
+            _strh(b"vids", rate=10, length=2, w=w, h=h) + _strf_vids(w, h),
+        ),
+    )
+    movi = _list(
+        b"movi",
+        _chunk(b"00wb", b"\x00" * 64)
+        + b"".join(_chunk(b"01db", _frame_to_dib(f)) for f in frames),
+    )
+    out, fps = decode_avi(_chunk(b"RIFF", b"AVI " + hdrl + movi))
+    assert fps == 10.0 and len(out) == 2
+    assert all((out[i] == frames[i]).all() for i in range(2))
+
+
+def test_foreign_stream_data_chunks_ignored():
+    # a second video-ish data chunk under a non-vids index must not be
+    # decoded as a frame of the vids stream
+    frames = synth_video(6, n_frames=1)
+    h, w = frames[0].shape[:2]
+    hdrl = _list(
+        b"hdrl",
+        _avih(w, h, 1)
+        + _list(
+            b"strl",
+            _strh(b"vids", rate=10, length=1, w=w, h=h) + _strf_vids(w, h),
+        ),
+    )
+    movi = _list(
+        b"movi",
+        _chunk(b"00db", _frame_to_dib(frames[0]))
+        + _chunk(b"07dc", b"\x00" * 32),  # stray stream-7 chunk
+    )
+    out, _ = decode_avi(_chunk(b"RIFF", b"AVI " + hdrl + movi))
+    assert len(out) == 1 and (out[0] == frames[0]).all()
+
+
+def test_negative_biheight_topdown_dib():
+    # negative biHeight = top-down row order (valid BI_RGB from some
+    # encoders): decode without the vertical flip, not a numpy error
+    frame = synth_video(4, n_frames=1)[0]
+    h, w = frame.shape[:2]
+    stride = _row_stride(w)
+    dib = np.zeros((h, stride), dtype=np.uint8)
+    dib[:, : w * 3] = frame[:, :, ::-1].reshape(h, w * 3)  # BGR, top-down
+    hdrl = _list(
+        b"hdrl",
+        _avih(w, h, 1)
+        + _list(
+            b"strl",
+            _strh(b"vids", rate=10, length=1, w=w, h=h)
+            + _strf_vids(w, -h),
+        ),
+    )
+    movi = _list(b"movi", _chunk(b"00db", dib.tobytes()))
+    out, _ = decode_avi(_chunk(b"RIFF", b"AVI " + hdrl + movi))
+    assert len(out) == 1 and (out[0] == frame).all()
+
+
 def _vhash(frames, n=4):
     idx = np.linspace(0, len(frames) - 1, n).astype(int)
     out = []

@@ -1,11 +1,16 @@
-"""Unit tests for bench.py's streaming perf-flag logic (VERDICT r11
-item 6): the tight 0.5 s per-delta margin must be noise-gated (a slow
-session can't trip it), while a real 2× floor exceedance or a family-sum
-overrun trips the flag regardless of session noise.  Synthetic records
-only — no Spark session."""
+"""Unit tests for bench.py's streaming perf instrumentation (VERDICT
+r11 item 6, r13 item 1): the tight 0.5 s per-delta margin must be
+noise-gated (a slow session can't trip it), a real 2× floor exceedance
+or family-sum overrun must exceed the bars regardless of session
+noise, and — r14 — the PUBLISHED flag must agree with the record's own
+instruments: bars exceeded on a contended session reads
+``not_comparable``, never ``regression``.  The r13 driver session and
+the judge's quiet-box re-measure are both replayed here by their
+recorded numbers.  Synthetic records only — no Spark session."""
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -13,9 +18,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import (  # noqa: E402
     _STREAM8_FAMILY_MAX,
+    _STREAM_FILE_SENTINEL_REF,
     _STREAM_FLOORS,
+    _STREAM_SENTINEL_REF,
+    _sample_inflation,
+    compute_session_clean,
     compute_stream_flag,
+    compute_stream_verdict,
+    evaluate_record,
 )
+
+REPO = Path(__file__).resolve().parent.parent
 
 
 def _times(scale: float = 1.0, **overrides: float) -> dict[str, float]:
@@ -55,8 +68,10 @@ def test_uniform_session_drift_does_not_trip_when_noisy():
     assert not flag
 
 
-def test_two_x_floor_exceedance_trips_even_when_noisy():
-    # ...but a REAL 2x floor exceedance on one gate is hard
+def test_two_x_floor_exceedance_exceeds_bars_even_when_noisy():
+    # ...but a REAL 2x floor exceedance on one gate exceeds the hard
+    # bars (interpretation — regression vs not_comparable — is the
+    # verdict layer's job)
     t = _times(
         op_stream_stateful=2.0 * _STREAM_FLOORS["op_stream_stateful"] + 0.1
     )
@@ -64,7 +79,7 @@ def test_two_x_floor_exceedance_trips_even_when_noisy():
     assert flag
 
 
-def test_family_sum_overrun_trips_even_when_noisy():
+def test_family_sum_overrun_exceeds_bars_even_when_noisy():
     # every gate 1.9x its floor: no per-gate 2x trip, but the family
     # sum blows the ≤14 s hard target
     t = _times(scale=1.9)
@@ -97,6 +112,20 @@ _R12_DRIVER = {
     "op_stream_interval_join": 1.869,
     "op_stream_sessionize": 1.938,
     "op_stream_near_dup": 2.369,
+}
+
+_R13_DRIVER = {
+    # BENCH_r13.json — the round-13 unexplained flag: family 47.04 s
+    # (gates 1.6-6.8× their floors) while the endpoint null drains read
+    # inflation only 1.122
+    "op_stream_windowed": 1.461,
+    "op_stream_sink_upsert": 7.516,
+    "op_stream_dedup": 4.072,
+    "op_stream_stateful": 5.393,
+    "op_stream_sequence_detect": 5.66,
+    "op_stream_interval_join": 7.457,
+    "op_stream_sessionize": 7.099,
+    "op_stream_near_dup": 8.383,
 }
 
 
@@ -156,14 +185,269 @@ def test_tight_tier_disarmed_by_stream_inflation():
     assert flag
 
 
-def test_session_clean_requires_quiet_launch_loadavg():
-    from bench import compute_session_clean
+# --- r14: per-gate interleaved inflations (VERDICT r13 item 1b)
 
+
+def test_per_gate_inflation_scales_each_gates_bar():
+    # the gate whose nearest sentinel read 3× gets a 3×-scaled bar;
+    # a quiet gate keeps its tight bar.  sink_upsert at 3.1 s is 2.8×
+    # its 1.1 floor — explained where its neighborhood measured 3×,
+    # a trip where it measured quiet.
+    t = _times(op_stream_sink_upsert=3.1)
+    gi_hot = {q: 1.0 for q in _STREAM_FLOORS}
+    gi_hot["op_stream_sink_upsert"] = 3.0
+    _, _, flag = compute_stream_flag(
+        t, session_clean=False, gate_inflations=gi_hot
+    )
+    assert not flag
+    gi_cold = dict.fromkeys(_STREAM_FLOORS, 1.0)
+    _, _, flag = compute_stream_flag(
+        t, session_clean=False, gate_inflations=gi_cold
+    )
+    assert flag
+
+
+def test_family_bar_scales_by_floor_weighted_mean():
+    # all gates uniformly 2.4×: family 26.2 s.  With every nearest
+    # sample reading 2.5×, the weighted-mean family bar is 35 s → clear
+    # (and no per-gate 2×·2.5 bar trips); with quiet samples it blows.
+    t = _times(scale=2.4)
+    gi = dict.fromkeys(_STREAM_FLOORS, 2.5)
+    _, _, flag = compute_stream_flag(t, False, gate_inflations=gi)
+    assert not flag
+    _, _, flag = compute_stream_flag(
+        t, False, gate_inflations=dict.fromkeys(_STREAM_FLOORS, 1.0)
+    )
+    assert flag
+
+
+def test_tight_tier_uses_median_sample_not_max():
+    # one noisy sample out of 8 must not disarm the tight tier on an
+    # otherwise-quiet session
+    t = _times(op_stream_windowed=_STREAM_FLOORS["op_stream_windowed"] + 0.8)
+    gi = dict.fromkeys(_STREAM_FLOORS, 1.02)
+    gi["op_stream_near_dup"] = 1.5  # single outlier reading
+    _, _, flag = compute_stream_flag(t, True, gate_inflations=gi)
+    assert flag  # tight tier armed: median 1.02 ≤ 1.15
+    # ...but a genuinely slow session (median high) disarms it
+    gi_slow = dict.fromkeys(_STREAM_FLOORS, 1.4)
+    _, _, flag = compute_stream_flag(t, True, gate_inflations=gi_slow)
+    assert not flag
+
+
+# --- r14: verdict layer — the flag must agree with the instruments
+
+
+def test_quiet_session_regression_is_flagged_as_regression():
+    assert (
+        compute_stream_verdict(True, session_clean=True, max_inflation=1.05)
+        == "regression"
+    )
+
+
+def test_contended_exceedance_is_not_comparable_not_regression():
+    assert (
+        compute_stream_verdict(True, session_clean=False, max_inflation=1.1)
+        == "not_comparable"
+    )
+    assert (
+        compute_stream_verdict(True, session_clean=True, max_inflation=2.8)
+        == "not_comparable"
+    )
+
+
+def test_quiet_clear_session_is_ok():
+    assert (
+        compute_stream_verdict(False, session_clean=True, max_inflation=1.0)
+        == "ok"
+    )
+
+
+# --- r14: session_clean v2 (VERDICT r13 item 6)
+
+
+def test_session_clean_requires_quiet_launch_loadavg_all_horizons():
     # the r12 driver case: fast sentinels, loadavg 5.77 at launch on a
     # 32-core box (> 0.15×32 = 4.8) → NOT clean
-    assert not compute_session_clean(False, 0.185, 0.061, 5.77, 32)
-    # quiet launch, fast sentinels → clean
-    assert compute_session_clean(False, 0.185, 0.185, 0.7, 32)
+    clean, _ = compute_session_clean(False, 0.185, 0.061, [5.77], 32)
+    assert not clean
+    # the r13 driver case: 1-min 4.37 passed the old bar by 9%, but the
+    # 15-min horizon (7.92) carried the evidence of a busy machine
+    clean, reasons = compute_session_clean(
+        False, 0.193, 0.102, [4.37, 4.54, 7.92], 32
+    )
+    assert not clean
+    assert any("15m" in r for r in reasons)
+    # quiet launch on all horizons, fast sentinels → clean
+    clean, reasons = compute_session_clean(
+        False, 0.185, 0.185, [0.7, 0.9, 1.1], 32
+    )
+    assert clean and not reasons
     # sentinel drift or the contended flag still dirty the session
-    assert not compute_session_clean(False, 0.1, 0.2, 0.7, 32)
-    assert not compute_session_clean(True, 0.185, 0.185, 0.7, 32)
+    assert not compute_session_clean(False, 0.1, 0.2, [0.7], 32)[0]
+    assert not compute_session_clean(True, 0.185, 0.185, [0.7], 32)[0]
+
+
+def test_session_clean_requires_quiet_stream_sentinels():
+    # the r13-PM phantom shape: loadavg 0.03 at launch, clean batch
+    # sentinels, but the stream path measured 1.284× quiet → not clean
+    clean, reasons = compute_session_clean(
+        False, 0.205, 0.069, [0.03, 0.54, 3.15], 32, stream_inflation=1.284
+    )
+    assert not clean
+    assert any("inflation" in r for r in reasons)
+
+
+# --- r14: the two r13 sessions, replayed by their recorded numbers
+
+
+def test_r13_driver_session_flag_agrees_with_instruments():
+    # with only its ACTUALLY RECORDED instruments (endpoint null drains
+    # 0.415/0.394 → 1.122; launch loadavg [4.37, 4.54, 7.92]) the v4
+    # model already reads: session not clean (15-min horizon), bars
+    # exceeded, verdict not_comparable → published flag FALSE.  The
+    # record explains itself — no more unexplained flag.
+    infl = round(0.415 / _STREAM_SENTINEL_REF, 3)  # 1.122
+    clean, _ = compute_session_clean(
+        False, 0.193, 0.102, [4.37, 4.54, 7.92], 32, stream_inflation=infl
+    )
+    assert not clean
+    _, family, exceeded = compute_stream_flag(
+        _R13_DRIVER, clean, inflation=infl
+    )
+    assert exceeded and family > 40
+    verdict = compute_stream_verdict(exceeded, clean, infl)
+    assert verdict == "not_comparable"
+
+
+def test_r13_driver_session_with_file_sentinel_sensing():
+    # the I/O-contention attribution (judge-confirmed): had the r14
+    # file-write sentinel existed, the interleaved readings around the
+    # write-heavy gates would have read ~3× (the gates ran 3-6× their
+    # builder readings).  Even at full sensing the bars stay exceeded
+    # (sink 7.52 > 2×1.1×cap3.0 = 6.6) — and the verdict must STILL be
+    # not_comparable, because a ≥1.6× instrument poisons comparability.
+    gi = dict.fromkeys(_STREAM_FLOORS, 3.0)
+    _, _, exceeded = compute_stream_flag(
+        _R13_DRIVER, False, gate_inflations=gi
+    )
+    verdict = compute_stream_verdict(exceeded, False, 3.0)
+    assert verdict == "not_comparable"
+
+
+def test_judge_quiet_box_remeasure_stays_flag_false():
+    # the judge's r13 re-measure: family 16.44 s (sink_upsert 1.37,
+    # near_dup 3.80), measured inflation 1.40 on an otherwise-quiet
+    # box.  Under v4: bars scale to 14×1.4 = 19.6 → not exceeded;
+    # session not clean (inflation > 1.15) → verdict not_comparable;
+    # published flag FALSE — exactly the judge's own conclusion.
+    rest = (16.44 - 1.37 - 3.80) / sum(
+        f
+        for q, f in _STREAM_FLOORS.items()
+        if q not in ("op_stream_sink_upsert", "op_stream_near_dup")
+    )
+    t = {
+        q: (
+            1.37
+            if q == "op_stream_sink_upsert"
+            else 3.80 if q == "op_stream_near_dup" else f * rest
+        )
+        for q, f in _STREAM_FLOORS.items()
+    }
+    gi = dict.fromkeys(_STREAM_FLOORS, 1.40)
+    clean, _ = compute_session_clean(
+        False, 0.1, 0.1, [0.25, 0.3, 0.4], 32, stream_inflation=1.40
+    )
+    assert not clean  # inflation 1.40 > 1.15
+    deltas, family, exceeded = compute_stream_flag(
+        t, clean, inflation=1.40, gate_inflations=gi
+    )
+    assert abs(family - 16.44) < 0.05
+    assert not exceeded
+    verdict = compute_stream_verdict(exceeded, clean, 1.40)
+    assert verdict != "regression"
+
+
+# --- r14: replay the COMMITTED records through evaluate_record
+#     (VERDICT r13 item 2: done = field set correctly on r12/r13)
+
+
+def _load_driver_record(name: str) -> dict:
+    rec = json.loads((REPO / name).read_text())
+    return rec.get("parsed", rec)
+
+
+def test_replay_r13_driver_record_not_comparable():
+    rec = _load_driver_record("BENCH_r13.json")
+    ev = evaluate_record(rec)
+    assert not ev["headline_comparable"]
+    assert any("15m" in r for r in ev["reasons"])
+    assert ev["stream_verdict"] == "not_comparable"
+    assert ev["stream_bars_exceeded"]  # the overrun is real...
+    assert not ev["stream_perf_flag"]  # ...and attributed, not flagged
+
+
+def test_replay_r12_driver_record_not_comparable():
+    # r12 has no loadavg_at_launch / stream sentinels — evaluate_record
+    # falls back to loadavg_start (5.77 > 4.8 → not comparable)
+    rec = _load_driver_record("BENCH_r12.json")
+    ev = evaluate_record(rec)
+    assert not ev["headline_comparable"]
+    assert not ev["stream_perf_flag"]
+
+
+def test_replay_r13_builder_am_record_comparable():
+    # the quiet AM builder session (116.3 s, inflation 1.068, launch
+    # [2.71, 1.64, 1.52]) must evaluate comparable and flag-false
+    rec = json.loads((REPO / "BENCH_LOCAL_r13.json").read_text())
+    ev = evaluate_record(rec)
+    assert ev["headline_comparable"]
+    assert ev["stream_verdict"] == "ok"
+    assert not ev["stream_perf_flag"]
+
+
+def test_replay_r13_builder_pm_phantom_not_comparable():
+    # the deliberately-kept phantom session (159.7 s, stream inflation
+    # 1.284 with quiet loadavg and clean batch sentinels) must evaluate
+    # not-comparable — the exact shape session_clean v2 now senses
+    rec = json.loads((REPO / "BENCH_LOCAL_r13_pm.json").read_text())
+    ev = evaluate_record(rec)
+    assert not ev["headline_comparable"]
+    assert not ev["stream_perf_flag"]
+
+
+def test_bars_cleared_is_ok_even_with_one_noisy_sample():
+    # a transient spike in one sentinel window only widens that gate's
+    # bar; if the bars still clear, the verdict is "ok" — session-level
+    # comparability is carried by session_clean/headline_comparable
+    assert (
+        compute_stream_verdict(False, session_clean=True, max_inflation=3.3)
+        == "ok"
+    )
+
+
+def test_sample_inflation_session_relative_term():
+    # deep-warm session: its own quiet floor is 0.26 s, well under the
+    # 0.37 s shallow-warm reference.  A 0.78 s mid-sweep spike reads
+    # only 2.1× absolute but 3.0× against the session's own floor —
+    # the relative term restores the sensitivity the r13 endpoint
+    # sentinels lacked
+    assert (
+        _sample_inflation(0.78, 0.45, null_base=0.26, file_base=0.45) == 3.0
+    )
+    # a uniformly-slow session (own floor already inflated) is still
+    # sensed by the absolute reference
+    assert (
+        _sample_inflation(0.55, 0.65, null_base=0.55, file_base=0.65)
+        == round(0.55 / _STREAM_SENTINEL_REF, 3)
+    )
+
+
+def test_sample_inflation_takes_max_path():
+    # I/O-shaped contention: file drain 3× its ref while the null drain
+    # reads quiet — the combined reading must sense it
+    assert (
+        _sample_inflation(_STREAM_SENTINEL_REF, 3 * _STREAM_FILE_SENTINEL_REF)
+        == 3.0
+    )
+    assert _sample_inflation(_STREAM_SENTINEL_REF, 0.0) == 1.0

@@ -92,6 +92,13 @@ FLOOR10 = [
 # compared against the Spark result in-sweep, same discipline as the
 # r12 hamming pair check
 SF10_ORACLES = entrymod.scale_oracle_sql()
+# rows whose sf10 twin is ASYMMETRIC — an in-process shuffle-free
+# algorithm whose constants don't transfer to a distributed plan
+# (VERDICT r13 item 4): their ratio is emitted under a field name that
+# says so (ratio_sf10_vs_inprocess_twin), so a reader scanning the
+# table never mistakes it for a like-for-like throughput breach; the
+# values are still verified exact (sf10_values_match).
+ASYMMETRIC_SF10 = {"op_ngram_jaccard"}
 VALUE_CHECK_SF10 = set(SF10_ORACLES) | {"op_hamming_dups"}
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -192,12 +199,14 @@ def duck_timed_capped(
         return round(time.perf_counter() - t0, 3), False, rows, cols
     except duckdb.InterruptException:
         return round(cap, 3), True, None, None
-    except Exception:
-        # a genuine oracle error (bad SQL, missing table) must surface
-        # as an error, not be recorded as a fake upper bound (ADVICE
-        # r12) — unless it arrived at the cap, where some DuckDB builds
-        # wrap the interrupt in a generic Error
-        if time.perf_counter() - t0 >= 0.95 * cap:
+    except Exception as e:
+        # a genuine oracle error (bad SQL, missing table, OOM) must
+        # surface as an error, not be recorded as a fake upper bound
+        # (ADVICE r12/r13) — even when it happens to arrive late in
+        # the run.  Only a wrapped interrupt (some DuckDB builds
+        # surface con.interrupt() as a generic Error whose message
+        # says INTERRUPT) counts as a cap hit.
+        if "interrupt" in str(e).lower():
             return round(cap, 3), True, None, None
         raise
     finally:
@@ -324,7 +333,12 @@ def main() -> int:
                     )
                 else:
                     row["duck_sf10"] = dt
-                    row["ratio_sf10"] = round(
+                    ratio_field = (
+                        "ratio_sf10_vs_inprocess_twin"
+                        if name in ASYMMETRIC_SF10
+                        else "ratio_sf10"
+                    )
+                    row[ratio_field] = round(
                         row["spark_sf10"] / max(dt, 1e-9), 2
                     )
                     if name in VALUE_CHECK_SF10:
