@@ -5012,6 +5012,53 @@ WHERE recall_at_k >= {_IVF_RECALL_BOUND}
 """
 
 
+def _jpeg_dups_oracle() -> str:
+    """Replayed-twin oracle for the JPEG pHash near-dup gate.  Checked
+    independently of the OPERATOR: the twin re-decodes each constant
+    payload sequentially driver-side (JPEG is lossy, so unlike the
+    PNG/AVI twins it cannot hash the synth pixels — decode parity and
+    the entropy layer's bit-exactness are instead pinned by
+    tests/test_jpeg.py) and brute-forces ALL pairs, so the distributed
+    Arrow plumbing and the banded join's losslessness are re-proved on
+    the real output every driver round.  Corpus constant → the VALUES
+    literal is data-independent."""
+    import numpy as np
+
+    from pql_spark.operators._jpeg import decode_jpeg, encode_jpeg
+    from pql_spark.operators.multimodal import (
+        phash_reference,
+        synth_image,
+    )
+
+    hashes: dict[int, list[int]] = {
+        k: phash_reference(
+            decode_jpeg(encode_jpeg(synth_image(k), quality=90))
+        )
+        for k in range(64)
+    }
+    for k in range(6):
+        img = np.clip(
+            synth_image(k).astype(np.int64) + 6, 0, 255
+        ).astype(np.uint8)
+        hashes[100000 + k] = phash_reference(
+            decode_jpeg(encode_jpeg(img, quality=90))
+        )
+    ids = sorted(hashes)
+    pairs = [
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (h := sum(x != y for x, y in zip(hashes[a], hashes[b]))) <= 6
+    ]
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {rows}) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b
+"""
+
+
 def _phash_dups_oracle() -> str:
     """Replayed-twin oracle for pHash image near-dup.  Checked
     INDEPENDENTLY of the operator: (a) the PNG encode→decode
@@ -6625,6 +6672,59 @@ def _q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dup_pairs(media, threshold_bits=6, bands=8)
 
 
+def _q_jpeg_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG image near-dup (r14, the dominant real-world image format
+    via the pure-stdlib baseline codec ``_jpeg.py``): 64 real-JFIF
+    images + 6 planted brightness-shifted clones, pHash over the
+    DECODED pixels, banded-Hamming join at a lossless setting
+    (6 < 8 bands).  Hash-checked: _jpeg_dups_oracle() replays the
+    constant corpus sequentially — re-decoding each payload with the
+    same pure codec driver-side (decode determinism + Arrow plumbing
+    verified; the codec itself carries independent proofs in
+    tests/test_jpeg.py: entropy layer bit-exact vs the numpy
+    quantizer, PSNR floors, Annex-K-style DHT generality) and
+    brute-forcing ALL pairs (banding losslessness re-proved on real
+    output each round)."""
+    import numpy as np
+    import pandas as pd
+
+    from pql_spark.operators._jpeg import encode_jpeg
+    from pql_spark.operators.multimodal import (
+        phash_dup_pairs,
+        synth_image,
+        synthesize_jpeg_media,
+    )
+
+    base = synthesize_jpeg_media(spark, n=64, quality=90)
+
+    def clones(ids):
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                img = np.clip(
+                    synth_image(k).astype(np.int64) + 6, 0, 255
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": 100000 + k,
+                        "kind": "image",
+                        "payload": encode_jpeg(img, quality=90),
+                        "meta": {
+                            "width": 48, "height": 32,
+                            "duration_ms": 0, "codec": "jpeg",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    extra = spark.range(0, 6, 1, 1).mapInPandas(clones, base.schema)
+    media = base.unionByName(extra)
+    return phash_dup_pairs(
+        media, threshold_bits=6, bands=8, decoder="jpeg"
+    )
+
+
 def _q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup (r10): 48 real-WAV two-tone clips +
     6 planted volume-scaled clones; generic banded-Hamming join at a
@@ -6754,10 +6854,10 @@ _CHECK_FIRST = [
     # window — verified by tools/evidence_freshness.py (the full
     # series-function family, the remaining outer/semi joins,
     # graph_match, pivot, top, where_project, scan ops, geo fns, …).
-    # After this window nothing predates r11.  The 2 spare slots go
-    # to the oldest heavy-tier r11 gates (the composed curation
-    # pipeline, skew-salted kNN) to start draining that tier too.
-    # Exactly 50.
+    # After this window nothing predates r11.  The remaining slots go
+    # to the NEW op_jpeg_dups gate (ships with driver evidence) and
+    # the oldest heavy-tier r11 gate (the composed curation pipeline)
+    # to start draining that tier too.  Exactly 50.
     #
     # 1. §2 join surface (r10-stale):
     "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
@@ -6780,8 +6880,9 @@ _CHECK_FIRST = [
     "pql_weighted_aggs", "pql_geo_cell", "pql_geo_center",
     # 4. r10-stale data-pipeline gates:
     "op_ngram_zipf_prefix", "op_profile_grouped",
-    # 5. oldest heavy-tier r11 gates (spare slots):
-    "op_curate_corpus", "op_knn_skew",
+    # 5. new this round (ships with driver evidence) + oldest
+    # heavy-tier r11 gate (spare slot):
+    "op_jpeg_dups", "op_curate_corpus",
 ]
 
 
@@ -6829,6 +6930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_phash_dups": _q_phash_dups,  # hash-checked (replayed twin)
             "op_audio_dups": _q_audio_dups,  # hash-checked (replayed twin)
             "op_video_dups": _q_video_dups,  # hash-checked (replayed twin)
+            "op_jpeg_dups": _q_jpeg_dups,  # hash-checked (replayed twin)
             "op_ngram_zipf_prefix": _q_ngram_zipf,
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
@@ -6912,6 +7014,7 @@ def oracle_sql() -> dict[str, str]:
             "op_semantic_dedup_bare": _semantic_dedup_oracle(bare=True),
             "op_semantic_passes": _semantic_passes_oracle(),
             "op_phash_dups": _phash_dups_oracle(),
+            "op_jpeg_dups": _jpeg_dups_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
             "op_video_dups": _video_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING

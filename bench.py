@@ -149,10 +149,21 @@ def compute_stream_flag(
         times[q] > 2.0 * floors[q] * eff(q) for q in present
     )
     med_raw = _median([raw(q) for q in present]) if present else inflation
+    # proportional tight margin (r14): a flat 0.5 s sat INSIDE the
+    # measured quiet-session spread of the bigger-floor gates — a
+    # quiet-box sf0.001 smoke read interval_join 1.95 s (floor 1.4,
+    # clean sentinels, everything else under floor), and the r13
+    # AM→PM same-code builder sessions read 1.23→3.03 s on that gate.
+    # max(0.5, 0.5×floor) keeps the tier sharp for the 0.9 s gates
+    # while tolerating real spread on the 1.4-2.6 s ones; the 2× hard
+    # bar still owns the big exceedances.
     tight = (
         session_clean
         and med_raw <= _STREAM_TIGHT_MAX_INFLATION
-        and any(d > _STREAM_DELTA_MAX for d in deltas.values())
+        and any(
+            d > max(_STREAM_DELTA_MAX, 0.5 * floors[q])
+            for q, d in deltas.items()
+        )
     )
     return deltas, family, bool(hard or tight)
 

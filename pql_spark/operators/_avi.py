@@ -1,4 +1,4 @@
-"""Pure-stdlib uncompressed-AVI codec (RIFF + 24-bit BI_RGB 'DIB ').
+"""Pure-stdlib AVI codec (RIFF + 24-bit BI_RGB 'DIB ', + MJPG).
 
 The video twin of ``_png.py``/``encode_wav``: a REAL container format
 written and read with ``struct`` + numpy only, so the multimodal video
@@ -6,10 +6,12 @@ tier can decode genuine files without ffmpeg/PyAV.  Scope is the
 classic uncompressed baseline every tool can produce (``ffmpeg -c:v
 rawvideo -pix_fmt bgr24``, VirtualDub "full frames"): RIFF 'AVI ' with
 one 'vids' stream, BITMAPINFOHEADER ``biCompression=0`` (BI_RGB),
-24-bit bottom-up BGR frames in '00db'/'00dc' movi chunks.  Compressed
-codecs (MJPEG/H.264/...) raise NotImplementedError at the exact
-bitstream boundary — the honest-capability rule used for non-PNG
-images and non-PCM audio.
+24-bit bottom-up BGR frames in '00db'/'00dc' movi chunks — plus, since
+r14, Motion-JPEG ('MJPG') streams whose frames are self-contained
+baseline JPEGs decoded by ``_jpeg.py`` (DHT-less legacy MJPEG and
+other codecs — H.264, ... — raise NotImplementedError at the exact
+bitstream boundary, the honest-capability rule used for non-PNG
+images and non-PCM audio).
 
 Layout written by :func:`encode_avi` (and accepted, plus tolerant
 chunk-walking of unknown chunks, by :func:`decode_avi`)::
@@ -32,6 +34,7 @@ import numpy as np
 
 _AVIF_HASINDEX = 0x00000010
 _AVIIF_KEYFRAME = 0x00000010
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
 
 
 def _row_stride(width: int) -> int:
@@ -74,17 +77,33 @@ def _list(fourcc: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", fourcc + payload)
 
 
-def encode_avi(frames, fps: int = 10) -> bytes:
-    """List of HxWx3 uint8 RGB frames → a valid uncompressed-AVI file
-    (BI_RGB 24-bit 'DIB ' stream + idx1 index)."""
+def encode_avi(
+    frames, fps: int = 10, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """List of HxWx3 uint8 RGB frames → a valid AVI file.
+
+    ``codec="DIB"`` (default): uncompressed BI_RGB 24-bit bottom-up
+    frames.  ``codec="MJPG"``: Motion-JPEG — each frame is a complete
+    baseline JFIF JPEG (``_jpeg.py``, tables carried in-stream per
+    frame, so any player and our own decoder can read it without the
+    out-of-band Annex-K-tables convention some legacy MJPEG files
+    rely on)."""
     frames = list(frames)
     if not frames:
         raise ValueError("encode_avi: need at least one frame")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("encode_avi: codec must be 'DIB' or 'MJPG'")
     h, w = np.asarray(frames[0]).shape[:2]
-    dibs = [_frame_to_dib(f) for f in frames]
     if any(np.asarray(f).shape[:2] != (h, w) for f in frames):
         raise ValueError("encode_avi: all frames must share one size")
-    frame_bytes = _row_stride(w) * h
+    if codec == "MJPG":
+        from ._jpeg import encode_jpeg
+
+        dibs = [encode_jpeg(f, quality=quality) for f in frames]
+        frame_bytes = max(len(d) for d in dibs)
+    else:
+        dibs = [_frame_to_dib(f) for f in frames]
+        frame_bytes = _row_stride(w) * h
 
     avih = _chunk(
         b"avih",
@@ -101,9 +120,10 @@ def encode_avi(frames, fps: int = 10) -> bytes:
             w, h, 0, 0, 0, 0,          # width, height, reserved[4]
         ),
     )
+    handler = b"MJPG" if codec == "MJPG" else b"DIB "
     strh = _chunk(
         b"strh",
-        b"vids" + b"DIB "
+        b"vids" + handler
         + struct.pack(
             "<10I4h",
             0, 0, 0,                   # flags, prio/lang, initialFrames
@@ -114,25 +134,28 @@ def encode_avi(frames, fps: int = 10) -> bytes:
             0, 0, w, h,                # rcFrame
         ),
     )
+    compression = _MJPG_FOURCC if codec == "MJPG" else 0
     strf = _chunk(
         b"strf",
         struct.pack(
             "<I2i2H2I2i2I",
             40, w, h, 1, 24,           # biSize..biBitCount
-            0,                         # biCompression = BI_RGB
+            compression,               # biCompression (BI_RGB / MJPG)
             frame_bytes, 0, 0, 0, 0,   # biSizeImage..biClrImportant
         ),
     )
     hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
 
-    movi_payload = b"".join(_chunk(b"00db", d) for d in dibs)
+    # '00db' = uncompressed DIB frame, '00dc' = compressed frame
+    data_fcc = b"00dc" if codec == "MJPG" else b"00db"
+    movi_payload = b"".join(_chunk(data_fcc, d) for d in dibs)
     movi = _list(b"movi", movi_payload)
 
     # idx1 offsets are relative to the start of the 'movi' fourcc
     idx, off = [], 4
     for d in dibs:
         idx.append(
-            b"00db" + struct.pack("<3I", _AVIIF_KEYFRAME, off, len(d))
+            data_fcc + struct.pack("<3I", _AVIIF_KEYFRAME, off, len(d))
         )
         off += 8 + len(d) + (len(d) % 2)
     idx1 = _chunk(b"idx1", b"".join(idx))
@@ -230,13 +253,15 @@ def decode_avi(payload: bytes):
 
     if width is None or height is None:
         raise ValueError("decode_avi: missing avih/strf headers")
-    if compression not in (0, None) or (
-        bitcount is not None and bitcount != 24
+    if compression not in (0, None, _MJPG_FOURCC) or (
+        compression in (0, None)
+        and bitcount is not None
+        and bitcount != 24
     ):
         raise NotImplementedError(
-            "decode_avi: only uncompressed 24-bit BI_RGB streams are"
-            f" supported (got biCompression={compression},"
-            f" biBitCount={bitcount}); compressed codecs need"
+            "decode_avi: only uncompressed 24-bit BI_RGB and MJPG"
+            f" streams are supported (got biCompression={compression},"
+            f" biBitCount={bitcount}); other codecs (H.264, ...) need"
             " ffmpeg/PyAV, unavailable in this environment"
         )
     # keep only the vids stream's data chunks; a headerless file
@@ -246,11 +271,29 @@ def decode_avi(payload: bytes):
     chunks = [(b, s) for st, b, s in frames_raw if st == vids_stream]
     if not chunks:
         raise ValueError("decode_avi: no frame chunks in movi")
-    frames = np.stack(
-        [
-            _dib_to_frame(data[b:b + s], width, height, topdown)
-            for b, s in chunks
-        ]
-    )
+    if compression == _MJPG_FOURCC:
+        from ._jpeg import decode_jpeg
+
+        decoded = []
+        for b, s in chunks:
+            try:
+                decoded.append(decode_jpeg(data[b:b + s]))
+            except ValueError as e:
+                if "DHT" in str(e):
+                    raise NotImplementedError(
+                        "decode_avi: this MJPG stream carries frames"
+                        " without in-stream Huffman tables (the legacy"
+                        " out-of-band Annex-K convention); only"
+                        " self-contained JFIF frames are supported"
+                    ) from e
+                raise
+        frames = np.stack(decoded)
+    else:
+        frames = np.stack(
+            [
+                _dib_to_frame(data[b:b + s], width, height, topdown)
+                for b, s in chunks
+            ]
+        )
     fps = (rate / scale) if rate and scale else 0.0
     return frames, fps

@@ -11,6 +11,13 @@ Decoders:
   grey/RGB/RGBA, all five scanline filters) and featurized as a
   grid-of-block-means intensity vector.  ``synthesize_png_media``
   produces deterministic real PNG payloads to drive it.
+- ``decoder="jpeg"`` — a REAL codec path for the dominant real-world
+  format: baseline sequential JPEG payloads are decoded with the
+  pure-stdlib codec (``operators/_jpeg.py``: generic DHT/DQT parsing,
+  4:4:4/4:2:2/4:2:0 sampling, restart markers; progressive raises at
+  the exact boundary).  ``synthesize_jpeg_media`` emits valid JFIF
+  files; ``decoder="auto"`` sniffs PNG-vs-JPEG magic for mixed
+  corpora.
 - ``decoder="avi"`` — a REAL video container path: uncompressed 24-bit
   BI_RGB AVI payloads are parsed with the pure-stdlib RIFF codec
   (``operators/_avi.py``) and featurized as the block-mean intensity
@@ -19,8 +26,8 @@ Decoders:
 - ``decoder="fake"`` — hash-derived features for arbitrary opaque
   payloads (exercises the plumbing with no format assumptions).
 - ``decoder="real"`` — marks where Pillow/librosa/ffmpeg calls belong
-  for formats beyond PNG/WAV/raw-AVI (JPEG, MP3, H.264/MJPEG, ...);
-  those libraries are NOT in this container, so it raises
+  for formats beyond PNG/JPEG/WAV/raw-AVI (MP3, H.264, ...); those
+  libraries are NOT in this container, so it raises
   NotImplementedError at the exact call site.
 
 Everything Spark-side — schema, batch iteration, partition sizing, UDF
@@ -151,6 +158,77 @@ def synthesize_png_media(
 
     parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
     return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(
+    spark,
+    n: int = 64,
+    width: int = 48,
+    height: int = 32,
+    quality: int = 90,
+    subsample: str = "420",
+) -> DataFrame:
+    """Deterministic REAL-JPEG media table: each payload is a valid
+    baseline JFIF JPEG (pure-stdlib encoder, ``_jpeg.py``) of the same
+    id-seeded pattern as :func:`synthesize_png_media` — decodable by
+    any JPEG library, not just ours."""
+    from ._jpeg import encode_jpeg
+
+    def gen(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                rows.append(
+                    {
+                        "media_id": k,
+                        "kind": "image",
+                        "payload": encode_jpeg(
+                            synth_image(k, width, height),
+                            quality=quality,
+                            subsample=subsample,
+                        ),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": 0,
+                            "codec": "jpeg",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _image_decoder(decoder: str):
+    """Image payload → HxWx3 uint8 decode dispatch: ``"png"``,
+    ``"jpeg"``, or ``"auto"`` (sniff the magic bytes — PNG signature
+    vs JPEG SOI — so mixed-format corpora decode in one pass)."""
+    from ._jpeg import decode_jpeg
+    from ._png import decode_png
+
+    if decoder == "png":
+        return lambda p: decode_png(bytes(p))
+    if decoder == "jpeg":
+        return lambda p: decode_jpeg(bytes(p))
+    if decoder == "auto":
+
+        def sniff(p):
+            b = bytes(p)
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg(b)
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return decode_png(b)
+            raise NotImplementedError(
+                "auto image decode: payload is neither PNG nor JPEG"
+                " (other formats need Pillow, unavailable in this"
+                " environment)"
+            )
+
+        return sniff
+    raise ValueError(f"unknown image decoder {decoder!r}")
 
 
 def synth_audio(k: int, sr: int = 8000, dur_ms: int = 250):
@@ -341,20 +419,21 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract media payloads in Arrow batches.
 
-    ``decoder="png"`` is a real decode (stdlib PNG codec → block-mean
-    intensity feature); ``decoder="real"`` marks where Pillow/librosa/
-    ffmpeg calls belong for other formats — unavailable in this
-    container, so it raises.
+    ``decoder="png"`` / ``"jpeg"`` / ``"auto"`` are real decodes
+    (stdlib PNG/baseline-JPEG codecs → block-mean intensity feature;
+    auto sniffs the magic bytes); ``decoder="real"`` marks where
+    Pillow/librosa/ffmpeg calls belong for other formats —
+    unavailable in this container, so it raises.
     """
-    if decoder not in ("fake", "png", "wav", "avi", "real"):
+    if decoder not in ("fake", "png", "jpeg", "auto", "wav", "avi", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decoder == "png":
-            from ._png import decode_png
+        if decoder in ("png", "jpeg", "auto"):
+            dec = _image_decoder(decoder)
 
             def feat(p) -> list[float]:
-                return image_feature(decode_png(bytes(p)), dim)
+                return image_feature(dec(p), dim)
 
         elif decoder == "wav":
 
@@ -378,10 +457,9 @@ def extract_features(
             if decoder == "real":
                 raise NotImplementedError(
                     "codec libraries (Pillow/librosa/ffmpeg) are not "
-                    "available in this environment; use decoder='png' "
-                    "for PNG payloads, decoder='wav' for WAV, "
-                    "decoder='avi' for uncompressed AVI, or "
-                    "decoder='fake'"
+                    "available in this environment; use decoder='png'/"
+                    "'jpeg'/'auto' for image payloads, decoder='wav' "
+                    "for WAV, decoder='avi' for AVI, or decoder='fake'"
                 )
             yield pd.DataFrame(
                 {
@@ -520,15 +598,17 @@ def image_phash(
     id_col: str = "media_id",
     hash_size: int = 8,
     highfreq_factor: int = 4,
+    decoder: str = "png",
 ) -> DataFrame:
-    """Per-image perceptual hash over REAL PNG payloads:
+    """Per-image perceptual hash over REAL image payloads (``decoder``:
+    "png", "jpeg", or "auto" magic-byte sniffing for mixed corpora):
     ``(id, phash array<int>)`` of hash_size² sign bits (same bit-array
     representation as text SimHash, so Hamming distance is a zip_with
     XOR sum).  Arrow-batched mapInPandas — the iterator form never
     materializes a whole partition of blobs; per-row work is the
     decode + two n×n matmuls (n = hash_size·highfreq_factor), constant
     in image size after the resize chunking."""
-    from ._png import decode_png
+    dec = _image_decoder(decoder)
 
     bits = hash_size * hash_size
     cols = df.columns
@@ -540,8 +620,7 @@ def image_phash(
                     id_col: pdf[id_col].astype("int64"),
                     "phash": pdf[payload_col].map(
                         lambda p: phash_reference(
-                            decode_png(bytes(p)), hash_size,
-                            highfreq_factor,
+                            dec(p), hash_size, highfreq_factor,
                         )
                     ),
                 }
@@ -564,6 +643,7 @@ def phash_dup_pairs(
     bands: int = 8,
     hash_size: int = 8,
     max_bucket: int | None = None,
+    decoder: str = "png",
 ) -> DataFrame:
     """Image near-duplicate pairs by pHash Hamming distance ≤
     ``threshold_bits`` — banded Hamming LSH, never all-pairs.
@@ -582,7 +662,9 @@ def phash_dup_pairs(
     from .dedup import hamming_dup_pairs
 
     return hamming_dup_pairs(
-        image_phash(df, payload_col, id_col, hash_size=hash_size),
+        image_phash(
+            df, payload_col, id_col, hash_size=hash_size, decoder=decoder
+        ),
         "phash", id_col, hash_size * hash_size, threshold_bits, bands,
         max_bucket=max_bucket,
     )

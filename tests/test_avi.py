@@ -53,8 +53,9 @@ def test_container_structure():
 def test_compressed_stream_refused():
     buf = bytearray(encode_avi(synth_video(1, n_frames=1)))
     i = buf.find(b"strf")
-    # biCompression field (offset 16 into BITMAPINFOHEADER) -> 'MJPG'
-    struct.pack_into("<I", buf, i + 8 + 16, 0x47504A4D)
+    # biCompression field (offset 16 into BITMAPINFOHEADER) -> 'H264'
+    # (MJPG decodes for real since r14 — see test_jpeg.py)
+    struct.pack_into("<I", buf, i + 8 + 16, 0x34363248)
     with pytest.raises(NotImplementedError):
         decode_avi(bytes(buf))
 

@@ -416,6 +416,25 @@ def test_replay_r13_builder_pm_phantom_not_comparable():
     assert not ev["stream_perf_flag"]
 
 
+def test_tight_margin_is_proportional_to_floor():
+    # the r14 quiet-box false positive: interval_join 1.95 s (floor
+    # 1.4, +0.55) with clean sentinels and every other gate under
+    # floor — inside measured same-code session spread (r13 AM→PM
+    # read 1.23→3.03 s on this gate), must NOT trip
+    t = _times(op_stream_interval_join=1.95)
+    _, _, flag = compute_stream_flag(
+        t, True, gate_inflations=dict.fromkeys(_STREAM_FLOORS, 1.05)
+    )
+    assert not flag
+    # ...while the same absolute exceedance on the small-floor gate
+    # (windowed 0.9 → 1.55, +72%) still does
+    t = _times(op_stream_windowed=1.55)
+    _, _, flag = compute_stream_flag(
+        t, True, gate_inflations=dict.fromkeys(_STREAM_FLOORS, 1.05)
+    )
+    assert flag
+
+
 def test_bars_cleared_is_ok_even_with_one_noisy_sample():
     # a transient spike in one sentinel window only widens that gate's
     # bar; if the bars still clear, the verdict is "ok" — session-level

@@ -142,8 +142,19 @@ NOTES = {
         " Compare absolute spark_sf1 (the one distributed stage is a"
         " word-frequency groupBy) instead."
     ),
+    "pql_session_count": (
+        "constant-factor row (r13 measured, amortization language"
+        " retired r14): one lag window + one groupBy — the"
+        " asymptotically-right two-shuffle shape — against an"
+        " in-process twin that pays no exchange or py4j collect."
+        " Both engines are linear in events, so the ratio"
+        " (7.54 sf1 -> 5.32 sf10) reflects a constant per-row"
+        " serialization factor, not a floor that amortizes away;"
+        " absolute sf10 cost is seconds for 10 M events."
+    ),
     "pql_sequence_detect": (
-        "floor-dominated row (PERF_NOTES_r12 decomposition, post"
+        "constant-factor row (measured r13; amortization language"
+        " retired r14; formerly PERF_NOTES_r12 decomposition, post"
         " r12 SQL fusion): the plan is the asymptotically-right"
         " one-shuffle shape (scan+pushed filter, ONE hash exchange,"
         " one sort with stacked struct-min windows, output range"
@@ -151,11 +162,13 @@ NOTES = {
         " exchange serialization, no second output exchange, and no"
         " py4j collect of the result rows.  r13 measured the second"
         " decade: both engines scale linearly (spark slope 6.54 vs"
-        " duck 6.94 for 10x data), so the ratio compresses only"
-        " slowly (6.68 sf1 -> 6.30 sf10) - the gap is Spark's"
-        " fixed+per-row serialization overhead, constant per row,"
-        " not a plan defect; absolute sf10 cost is 6.0 s for 10 M"
-        " events."
+        " duck 6.94 for 10x data), so the ratio will NOT compress to"
+        " 1x - the gap is Spark's per-row serialization constant,"
+        " not a plan defect or a floor.  r14 shaved the constant by"
+        " packing the window structs/post-filters as BIGINT micros"
+        " (bare-long min for the last step): measured 6.68 -> 5.58 at"
+        " sf1 and 6.30 -> 5.35 at sf10, values hash-identical;"
+        " absolute sf10 cost 8.2 s for 10 M events end-to-end."
     ),
 }
 
