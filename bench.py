@@ -33,10 +33,11 @@ from pql_spark.sources import build_session  # noqa: E402
 # extra merge-write job + directory swap + parquet read-back on top of
 # the drain, measured 1.05-1.11 s on a quiet session — the old 0.9 s
 # null-drain floor understated the gate shape and made its 2× bar
-# reachable by ordinary session spread.  The target is machine-checked
-# here: per-gate best-of-2 must sit within _STREAM_DELTA_MAX of its
-# floor AND the 8-gate family within _STREAM8_FAMILY_MAX, else the
-# record carries stream_perf_flag=true.
+# reachable by ordinary session spread.  The bars are machine-checked
+# here: no gate may exceed 2× its floor and the 8-gate family must
+# stay within _STREAM8_FAMILY_MAX (both inflation-scaled), else the
+# record carries stream_bars_exceeded=true (flagged as a regression
+# only on a quiet session — compute_stream_verdict).
 _STREAM_FLOORS = {
     "op_stream_windowed": 0.9,
     "op_stream_sink_upsert": 1.1,
@@ -47,7 +48,6 @@ _STREAM_FLOORS = {
     "op_stream_sessionize": 1.4,
     "op_stream_near_dup": 2.6,
 }
-_STREAM_DELTA_MAX = 0.5
 _STREAM8_FAMILY_MAX = 14.0
 # Quiet-session cost of the canonical null drain (_stream_sentinel):
 # median of 3 one-row availableNow memory-sink drains, measured 0.35-
@@ -69,13 +69,13 @@ _STREAM_SENTINEL_REF = 0.37
 # unexplained.  The file drain senses that path directly.
 _STREAM_FILE_SENTINEL_REF = 0.65
 _STREAM_INFLATION_CAP = 3.0
-# the tight (0.5 s-delta) tier only arms when the stream sentinels
-# read quiet: a session whose drains run >15% over the references has
-# a measurably slow micro-batch path, and the batch instruments
-# (pql_count sentinel, loadavg) provably cannot sense that (the r12
-# driver record; re-confirmed by a same-day builder session reading
-# inflation 1.48 with clean batch sentinels)
-_STREAM_TIGHT_MAX_INFLATION = 1.15
+# a session whose drains run >15% over the references has a measurably
+# slow micro-batch path, and the batch instruments (pql_count sentinel,
+# loadavg) provably cannot sense that (the r12 driver record;
+# re-confirmed by the r13-PM builder session reading inflation 1.284
+# with clean batch sentinels and quiet loadavg) — the bar feeds
+# compute_session_clean's stream component
+_STREAM_QUIET_MAX_INFLATION = 1.15
 # beyond this measured inflation (or with any other dirty instrument)
 # the session cannot support streaming perf claims at all: exceedances
 # are reported as "not_comparable", not "regression" (VERDICT r13
@@ -97,9 +97,7 @@ def compute_stream_flag(
     gate_inflations: dict[str, float] | None = None,
 ) -> tuple[dict[str, float], float, bool]:
     """Streaming bars check → (per-gate floor deltas, 8-gate family
-    sum, bars-exceeded).  Two tiers (VERDICT r11 item 6 — the old
-    single 0.5 s per-delta margin also tripped on session spread,
-    training readers to ignore it):
+    sum, bars-exceeded):
 
     * HARD, always on: the 8-gate family sum must stay ≤ 14 s, and no
       gate may exceed 2× its measured startup floor — a real floor
@@ -115,14 +113,23 @@ def compute_stream_flag(
       ≈ Σ floor·inflation under pure contention).  Gates without a
       reading fall back to the scalar ``inflation`` (endpoint max),
       which keeps the pre-r14 behavior.
-    * NOISE-GATED: the tight 0.5 s per-delta margin (vs RAW floors)
-      applies only when the record's own noise instruments are clean —
-      batch (sentinel drift and loadavg, the ``session_clean`` input)
-      AND stream (MEDIAN per-gate inflation ≤ 1.15: the floors are
-      quiet-session numbers, so holding a 0.5 s margin against them is
-      only meaningful when THIS session's micro-batch path measures
-      quiet too; the median — not max — so one noisy sample out of 8
-      cannot disarm the tier on an otherwise-quiet session).
+    * The r11-r13 "tight" noise-gated per-delta tier is REMOVED in
+      v4.1 (r14).  Measured same-code quiet-session evidence killed
+      it: op_stream_dedup reads 1.21-1.89 s (floor 0.9) across quiet
+      builder sessions, interval_join 1.23-3.03 s (floor 1.4) — every
+      sub-2× per-gate margin we tried (flat 0.5 s, then
+      max(0.5, 0.5·floor)) sat INSIDE that spread and fired on quiet
+      boxes (r12 driver, two r14 quiet-box runs) while never catching
+      a true regression in four rounds.  Per-gate deltas below the 2×
+      hard bar are beneath this harness's single-session measurement
+      floor; the honest instrument says so instead of crying wolf.
+      Diffuse small regressions are still caught by the FAMILY bar
+      (14 s = 1.28× headroom over the 10.9 s floor-sum: a +30%
+      across-the-board code change trips it on a quiet session), and
+      per-gate ``stream_floor_deltas`` stay recorded for cross-round
+      trend reading, which is where sub-2× shifts are actually
+      measurable.  ``session_clean`` still gates the VERDICT
+      (regression vs not_comparable), not the bars.
     """
     gi = gate_inflations or {}
 
@@ -148,24 +155,7 @@ def compute_stream_flag(
     hard = family > _STREAM8_FAMILY_MAX * fam_infl or any(
         times[q] > 2.0 * floors[q] * eff(q) for q in present
     )
-    med_raw = _median([raw(q) for q in present]) if present else inflation
-    # proportional tight margin (r14): a flat 0.5 s sat INSIDE the
-    # measured quiet-session spread of the bigger-floor gates — a
-    # quiet-box sf0.001 smoke read interval_join 1.95 s (floor 1.4,
-    # clean sentinels, everything else under floor), and the r13
-    # AM→PM same-code builder sessions read 1.23→3.03 s on that gate.
-    # max(0.5, 0.5×floor) keeps the tier sharp for the 0.9 s gates
-    # while tolerating real spread on the 1.4-2.6 s ones; the 2× hard
-    # bar still owns the big exceedances.
-    tight = (
-        session_clean
-        and med_raw <= _STREAM_TIGHT_MAX_INFLATION
-        and any(
-            d > max(_STREAM_DELTA_MAX, 0.5 * floors[q])
-            for q, d in deltas.items()
-        )
-    )
-    return deltas, family, bool(hard or tight)
+    return deltas, family, bool(hard)
 
 
 def compute_stream_verdict(
@@ -243,10 +233,10 @@ def compute_session_clean(
             reasons.append(
                 f"launch loadavg[{horizon}]={val} > {round(bar, 2)}"
             )
-    if stream_inflation > _STREAM_TIGHT_MAX_INFLATION:
+    if stream_inflation > _STREAM_QUIET_MAX_INFLATION:
         reasons.append(
             f"stream sentinel inflation {stream_inflation} > "
-            f"{_STREAM_TIGHT_MAX_INFLATION}"
+            f"{_STREAM_QUIET_MAX_INFLATION}"
         )
     return (not reasons, reasons)
 
@@ -618,11 +608,20 @@ def main() -> int:
     # stream_family_sec is the WIDER 10-row sum (8 op_stream_* gates
     # plus op_near_dup_incremental and op_curate_stream); the target
     # applies to stream8_family_sec.
-    # per-gate inflation from the interleaved samples; endpoint
-    # inflation (max of first/last combined readings) as the fallback
-    # for anything without its own sample.  Each reading is judged
-    # against BOTH the absolute quiet references and the session's own
-    # fastest reading of each unit (see _sample_inflation).
+    # Two readings per sample, two jobs:
+    # * ABSOLUTE (reading / quiet calibration ref) — the session-level
+    #   instruments: median → session_clean / headline_comparable,
+    #   max → the verdict's not-comparable bar.  Deep-warm quiet
+    #   sessions read ~0.75-0.91 absolute, so these bars keep honest
+    #   headroom.
+    # * RELATIVE (reading / the session's own fastest reading of that
+    #   unit) — ONLY widens the per-gate hard bars: it restores spike
+    #   sensitivity on deep-warm sessions, but its intrinsic best-of-2
+    #   sample spread is ~1.2× on a quiet box (measured twice, r14),
+    #   so feeding it into session_clean or the verdict bar would cry
+    #   wolf exactly the way the retired tight tier did.  Widening a
+    #   hard bar by noise is harmless; dirtying a record by noise is
+    #   not.
     null_base = min(
         [stream_sentinel_first, stream_sentinel_last]
         + [n for n, _ in gate_samples.values()]
@@ -631,11 +630,18 @@ def main() -> int:
         [stream_file_sentinel_first, stream_file_sentinel_last]
         + [f for _, f in gate_samples.values()]
     )
-    gate_inflations = {
+    gate_abs = {
+        q: _sample_inflation(n, f) for q, (n, f) in gate_samples.items()
+    }
+    gate_rel = {
         q: _sample_inflation(n, f, null_base, file_base)
         for q, (n, f) in gate_samples.items()
     }
-    endpoint_inflation = max(
+    endpoint_abs = max(
+        _sample_inflation(stream_sentinel_first, stream_file_sentinel_first),
+        _sample_inflation(stream_sentinel_last, stream_file_sentinel_last),
+    )
+    endpoint_rel = max(
         _sample_inflation(
             stream_sentinel_first, stream_file_sentinel_first,
             null_base, file_base,
@@ -645,13 +651,9 @@ def main() -> int:
             null_base, file_base,
         ),
     )
-    all_inflations = list(gate_inflations.values()) + [endpoint_inflation]
-    stream_inflation_max = round(max(all_inflations), 3)
-    stream_inflation_median = round(_median(all_inflations), 3)
-    # session cleanliness takes the MEDIAN inflation (session-level
-    # state — one noisy sample out of 10 must not dirty the record);
-    # the verdict's not-comparable bar takes the MAX (any window of
-    # heavy contention inside the family sweep poisons comparability)
+    all_abs = list(gate_abs.values()) + [endpoint_abs]
+    stream_inflation_max = round(max(all_abs), 3)
+    stream_inflation_median = round(_median(all_abs), 3)
     session_clean, clean_reasons = compute_session_clean(
         contended,
         sentinel_first,
@@ -663,8 +665,8 @@ def main() -> int:
     stream_deltas, stream8_total, bars_exceeded = compute_stream_flag(
         times,
         session_clean,
-        inflation=endpoint_inflation,
-        gate_inflations=gate_inflations,
+        inflation=endpoint_rel,
+        gate_inflations=gate_rel,
     )
     stream_verdict = compute_stream_verdict(
         bars_exceeded, session_clean, stream_inflation_max
@@ -678,7 +680,10 @@ def main() -> int:
         / _STREAM_SENTINEL_REF,
         3,
     )
-    full_record["stream_gate_inflations"] = gate_inflations
+    # absolute per-gate readings (the cross-record/replay instrument);
+    # the relative bar-scale factors are recorded separately
+    full_record["stream_gate_inflations"] = gate_abs
+    full_record["stream_gate_bar_scales"] = gate_rel
     full_record["stream_inflation_median"] = stream_inflation_median
     full_record["stream_inflation_max"] = stream_inflation_max
     full_record["stream_bars_exceeded"] = bars_exceeded

@@ -1,12 +1,14 @@
-"""Unit tests for bench.py's streaming perf instrumentation (VERDICT
-r11 item 6, r13 item 1): the tight 0.5 s per-delta margin must be
-noise-gated (a slow session can't trip it), a real 2× floor exceedance
-or family-sum overrun must exceed the bars regardless of session
-noise, and — r14 — the PUBLISHED flag must agree with the record's own
-instruments: bars exceeded on a contended session reads
-``not_comparable``, never ``regression``.  The r13 driver session and
-the judge's quiet-box re-measure are both replayed here by their
-recorded numbers.  Synthetic records only — no Spark session."""
+"""Unit tests for bench.py's streaming perf instrumentation (v4.1,
+VERDICT r13 items 1+2+6): a real 2× floor exceedance or family-sum
+overrun exceeds the (inflation-scaled) hard bars regardless of session
+noise; sub-2× per-gate deltas are beneath the harness's measured
+single-session noise floor and never fire; and the PUBLISHED flag must
+agree with the record's own instruments — bars exceeded on a contended
+session reads ``not_comparable``, never ``regression``.  The r13
+driver session and the judge's quiet-box re-measure are both replayed
+here by their recorded numbers, as are the committed r12/r13 records
+through ``evaluate_record``.  Synthetic records only — no Spark
+session."""
 
 from __future__ import annotations
 
@@ -28,6 +30,15 @@ from bench import (  # noqa: E402
     evaluate_record,
 )
 
+# measured same-code QUIET-session per-gate readings that killed the
+# r11-r13 "tight" sub-2x per-delta tier (v4.1): these must all stay
+# green — each was a false positive under some earlier margin
+_QUIET_SPREAD_CASES = [
+    {"op_stream_dedup": 1.508},          # r14 quiet-box full bench
+    {"op_stream_interval_join": 1.95},   # r14 quiet-box sf0.001 smoke
+    {"op_stream_windowed": 1.46},        # within 2x of the 0.9 floor
+]
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -44,20 +55,18 @@ def test_clean_session_at_floor_is_green():
     assert all(abs(d) < 1e-9 for d in deltas.values())
 
 
-def test_clean_session_small_exceedance_trips_tight_check():
-    # one gate 0.8 s over its floor, clean session → tight check fires
-    t = _times(op_stream_windowed=_STREAM_FLOORS["op_stream_windowed"] + 0.8)
+def test_sub_2x_exceedance_below_measurement_floor_is_green():
+    # v4.1: per-gate deltas under the 2x hard bar are beneath the
+    # harness's single-session measurement floor — measured same-code
+    # quiet sessions spread that far (see _QUIET_SPREAD_CASES), so no
+    # sub-2x margin can separate noise from regression
+    for case in _QUIET_SPREAD_CASES:
+        _, _, flag = compute_stream_flag(_times(**case), True)
+        assert not flag, case
+    # ...and a gate just past its 2x bar on a quiet session DOES fire
+    t = _times(op_stream_dedup=2.0 * _STREAM_FLOORS["op_stream_dedup"] + 0.05)
     _, _, flag = compute_stream_flag(t, True)
     assert flag
-
-
-def test_noisy_session_small_exceedance_does_not_trip():
-    # same 0.8 s exceedance (< 2x the 0.9 s floor) but the session's
-    # own noise instruments are dirty → the r11 false-positive case
-    # must stay green
-    t = _times(op_stream_windowed=_STREAM_FLOORS["op_stream_windowed"] + 0.8)
-    _, _, flag = compute_stream_flag(t, False)
-    assert not flag
 
 
 def test_uniform_session_drift_does_not_trip_when_noisy():
@@ -168,21 +177,23 @@ def test_inflation_is_capped_and_floored():
     assert not flag
 
 
-def test_tight_tier_disarmed_by_stream_inflation():
-    # same-day builder evidence: a session can read batch-clean while
-    # its null drain runs 1.48x the quiet reference — the tight 0.5 s
-    # margin against quiet-session floors is meaningless there (two
-    # gates read +1.3 s, no hard bar tripped) and must not fire...
+def test_two_gate_mid_exceedance_stays_green_but_family_bar_holds():
+    # two gates +1.3 s each at the r13 builder-PM session's measured
+    # inflation (1.284): inside the scaled 2x per-gate bars and under
+    # the family bar → green (v4.1: no sub-2x per-delta tier)...
     t = _times(
         op_stream_dedup=_STREAM_FLOORS["op_stream_dedup"] + 1.34,
         op_stream_interval_join=_STREAM_FLOORS["op_stream_interval_join"]
         + 1.29,
     )
-    _, _, flag = compute_stream_flag(t, session_clean=True, inflation=1.48)
+    _, _, flag = compute_stream_flag(t, session_clean=True, inflation=1.284)
     assert not flag
-    # ...while the identical record on a stream-quiet session DOES fire
-    _, _, flag = compute_stream_flag(t, session_clean=True, inflation=1.0)
-    assert flag
+    # ...but a diffuse +30% across the whole family blows the family
+    # bar on a quiet session — the diffuse-regression catcher
+    _, family, flag = compute_stream_flag(
+        _times(scale=1.31), session_clean=True, inflation=1.0
+    )
+    assert family > _STREAM8_FAMILY_MAX and flag
 
 
 # --- r14: per-gate interleaved inflations (VERDICT r13 item 1b)
@@ -219,20 +230,6 @@ def test_family_bar_scales_by_floor_weighted_mean():
         t, False, gate_inflations=dict.fromkeys(_STREAM_FLOORS, 1.0)
     )
     assert flag
-
-
-def test_tight_tier_uses_median_sample_not_max():
-    # one noisy sample out of 8 must not disarm the tight tier on an
-    # otherwise-quiet session
-    t = _times(op_stream_windowed=_STREAM_FLOORS["op_stream_windowed"] + 0.8)
-    gi = dict.fromkeys(_STREAM_FLOORS, 1.02)
-    gi["op_stream_near_dup"] = 1.5  # single outlier reading
-    _, _, flag = compute_stream_flag(t, True, gate_inflations=gi)
-    assert flag  # tight tier armed: median 1.02 ≤ 1.15
-    # ...but a genuinely slow session (median high) disarms it
-    gi_slow = dict.fromkeys(_STREAM_FLOORS, 1.4)
-    _, _, flag = compute_stream_flag(t, True, gate_inflations=gi_slow)
-    assert not flag
 
 
 # --- r14: verdict layer — the flag must agree with the instruments
@@ -414,25 +411,6 @@ def test_replay_r13_builder_pm_phantom_not_comparable():
     ev = evaluate_record(rec)
     assert not ev["headline_comparable"]
     assert not ev["stream_perf_flag"]
-
-
-def test_tight_margin_is_proportional_to_floor():
-    # the r14 quiet-box false positive: interval_join 1.95 s (floor
-    # 1.4, +0.55) with clean sentinels and every other gate under
-    # floor — inside measured same-code session spread (r13 AM→PM
-    # read 1.23→3.03 s on this gate), must NOT trip
-    t = _times(op_stream_interval_join=1.95)
-    _, _, flag = compute_stream_flag(
-        t, True, gate_inflations=dict.fromkeys(_STREAM_FLOORS, 1.05)
-    )
-    assert not flag
-    # ...while the same absolute exceedance on the small-floor gate
-    # (windowed 0.9 → 1.55, +72%) still does
-    t = _times(op_stream_windowed=1.55)
-    _, _, flag = compute_stream_flag(
-        t, True, gate_inflations=dict.fromkeys(_STREAM_FLOORS, 1.05)
-    )
-    assert flag
 
 
 def test_bars_cleared_is_ok_even_with_one_noisy_sample():
