@@ -261,14 +261,24 @@ def evaluate_record(record: dict) -> dict:
         record.get("stream_file_sentinel_last_sec", 0.0)
         / _STREAM_FILE_SENTINEL_REF,
     ] + list(record.get("stream_gate_inflations", {}).values())
-    max_infl = round(max(infls + [1.0]), 3)
+    present = [x for x in infls if x > 0]
+    max_infl = round(max(present + [1.0]), 3)
+    # mirrors the live model: session cleanliness takes the MEDIAN
+    # absolute reading (one shallow-warm endpoint out of 10 must not
+    # dirty the record), the verdict bar takes the max.  Pre-r14
+    # records carry only the two endpoint null drains — there the
+    # median would erase the one slow reading that convicted the
+    # r13-PM phantom, so the pre-r14 max-of-endpoints rule applies.
+    med_infl = (
+        round(_median(present), 3) if len(present) >= 4 else max_infl
+    )
     clean, reasons = compute_session_clean(
         record.get("contended", False),
         sent_first,
         sent_last,
         launch,
         ncpu,
-        stream_inflation=max_infl,
+        stream_inflation=med_infl,
     )
     times = record.get("queries", {})
     gi = record.get("stream_gate_inflations") or None
@@ -724,10 +734,17 @@ def main() -> int:
         full_record["evidence_freshness"] = None
     full_path.write_text(json.dumps(full_record) + "\n")
     digest = dict(full_record)
-    # raw per-gate sentinel readings live in BENCH_FULL.json only; the
-    # digest keeps the derived per-gate inflations (the actionable
-    # instrument) to stay inside the 2000-char capture window
-    digest.pop("stream_sentinel_samples", None)
+    # per-gate sentinel maps live in BENCH_FULL.json (a committed repo
+    # artifact); the digest keeps the scalar instruments (median/max
+    # inflation, verdict, comparability) so the per-query watch rows —
+    # the round-over-round diff surface — survive the 2000-char
+    # capture window
+    for bulky in (
+        "stream_sentinel_samples",
+        "stream_gate_inflations",
+        "stream_gate_bar_scales",
+    ):
+        digest.pop(bulky, None)
     digest["queries"] = digest_q
     digest["n_queries"] = len(times)
     digest["stream_family_sec"] = stream_total

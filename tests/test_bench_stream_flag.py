@@ -440,6 +440,18 @@ def test_sample_inflation_session_relative_term():
     )
 
 
+def test_replay_r14_builder_record_comparable():
+    # the committed v4.1 reference record (quiet box, absolute sentinel
+    # median 0.83, family 11.37 s) must evaluate comparable / ok /
+    # flag-false — the absolute-vs-relative split keeps the ~1.2×
+    # intrinsic relative sample spread out of session cleanliness
+    rec = json.loads((REPO / "BENCH_LOCAL_r14.json").read_text())
+    ev = evaluate_record(rec)
+    assert ev["headline_comparable"], ev["reasons"]
+    assert ev["stream_verdict"] == "ok"
+    assert not ev["stream_perf_flag"]
+
+
 def test_sample_inflation_takes_max_path():
     # I/O-shaped contention: file drain 3× its ref while the null drain
     # reads quiet — the combined reading must sense it

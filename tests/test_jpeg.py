@@ -193,6 +193,49 @@ def test_extract_features_jpeg_and_auto(spark):
         assert np.allclose(rows[3], want, atol=1e-9)
 
 
+def test_entropy_bit_exact_property_fuzz():
+    # hypothesis sweep over sizes / content / quality / subsampling /
+    # restart intervals: the entropy layer must stay bit-exact and the
+    # decode must reconstruct to the right shape for EVERY combination
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        quality=st.integers(1, 100),
+        subsample=st.sampled_from(["444", "420"]),
+        restart=st.sampled_from([0, 1, 2, 7]),
+        grain=st.sampled_from(["smooth", "noise", "flat"]),
+    )
+    def check(h, w, seed, quality, subsample, restart, grain):
+        rng = np.random.default_rng(seed)
+        if grain == "noise":
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif grain == "flat":
+            img = np.full((h, w, 3), rng.integers(0, 256, 3,
+                                                  dtype=np.uint8))
+        else:
+            img = _img(seed % 97, h, w)
+        payload = encode_jpeg(
+            img, quality=quality, subsample=subsample,
+            restart_interval=restart,
+        )
+        got = decode_jpeg_quantized(payload)
+        want, factors, _ = quantized_planes(img, quality, subsample)
+        for cid, coef in zip((1, 2, 3), want):
+            g = got[cid]
+            assert (g == coef.reshape(g.shape)).all()
+        out = decode_jpeg(payload)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        if grain == "flat" and subsample == "444" and quality >= 95:
+            assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+    check()
+
+
 def test_decoder_handles_annexk_standard_tables():
     # real-world encoders ship the Annex K Huffman tables; the decoder
     # must treat them as just another canonical DHT.  Re-emit an
