@@ -3,9 +3,11 @@ with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decoders:
 
-- ``decoder="wav"`` — a REAL audio codec path: PCM16 WAV payloads are
-  decoded with the pure-stdlib ``wave`` module and featurized as
-  block-RMS energies; ``synthesize_wav_media`` emits valid WAVs.
+- ``decoder="wav"`` — a REAL audio codec path: WAV payloads (PCM16,
+  PCM8, and since r14 the G.711 µ-law/A-law telephony encodings, via a
+  direct RIFF parse + vectorized companding) are decoded and featurized
+  as block-RMS energies; ``synthesize_wav_media`` emits valid WAVs and
+  ``encode_wav(codec="ulaw"/"alaw")`` emits valid G.711 files.
 - ``decoder="png"`` — a REAL codec path: payloads are decoded with the
   pure-stdlib PNG codec (``operators/_png.py``, zlib + numpy; 8-bit
   grey/RGB/RGBA, all five scanline filters) and featurized as a
@@ -16,8 +18,12 @@ Decoders:
   pure-stdlib codec (``operators/_jpeg.py``: generic DHT/DQT parsing,
   4:4:4/4:2:2/4:2:0 sampling, restart markers; progressive raises at
   the exact boundary).  ``synthesize_jpeg_media`` emits valid JFIF
-  files; ``decoder="auto"`` sniffs PNG-vs-JPEG magic for mixed
-  corpora.
+  files.
+- ``decoder="gif"`` — a REAL codec path: GIF87a/89a with true
+  variable-width LZW, global/local color tables, interlacing, first
+  frame of animated files (``operators/_gif.py``); ``encode_gif``
+  writes lossless palettized GIF89a.  ``decoder="auto"`` sniffs
+  PNG/JPEG/GIF magic for mixed corpora.
 - ``decoder="avi"`` — a REAL video container path: uncompressed 24-bit
   BI_RGB AVI payloads are parsed with the pure-stdlib RIFF codec
   (``operators/_avi.py``) and featurized as the block-mean intensity
@@ -26,8 +32,8 @@ Decoders:
 - ``decoder="fake"`` — hash-derived features for arbitrary opaque
   payloads (exercises the plumbing with no format assumptions).
 - ``decoder="real"`` — marks where Pillow/librosa/ffmpeg calls belong
-  for formats beyond PNG/JPEG/WAV/raw-AVI (MP3, H.264, ...); those
-  libraries are NOT in this container, so it raises
+  for formats beyond PNG/JPEG/GIF/WAV/AVI (MP3, H.264, WebP, ...);
+  those libraries are NOT in this container, so it raises
   NotImplementedError at the exact call site.
 
 Everything Spark-side — schema, batch iteration, partition sizing, UDF
@@ -204,8 +210,10 @@ def synthesize_jpeg_media(
 
 def _image_decoder(decoder: str):
     """Image payload → HxWx3 uint8 decode dispatch: ``"png"``,
-    ``"jpeg"``, or ``"auto"`` (sniff the magic bytes — PNG signature
-    vs JPEG SOI — so mixed-format corpora decode in one pass)."""
+    ``"jpeg"``, ``"gif"``, or ``"auto"`` (sniff the magic bytes — PNG
+    signature vs JPEG SOI vs GIF87a/89a — so mixed-format corpora
+    decode in one pass)."""
+    from ._gif import decode_gif
     from ._jpeg import decode_jpeg
     from ._png import decode_png
 
@@ -213,6 +221,8 @@ def _image_decoder(decoder: str):
         return lambda p: decode_png(bytes(p))
     if decoder == "jpeg":
         return lambda p: decode_jpeg(bytes(p))
+    if decoder == "gif":
+        return lambda p: decode_gif(bytes(p))
     if decoder == "auto":
 
         def sniff(p):
@@ -221,8 +231,10 @@ def _image_decoder(decoder: str):
                 return decode_jpeg(b)
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 return decode_png(b)
+            if b[:4] == b"GIF8":
+                return decode_gif(b)
             raise NotImplementedError(
-                "auto image decode: payload is neither PNG nor JPEG"
+                "auto image decode: payload is not PNG/JPEG/GIF"
                 " (other formats need Pillow, unavailable in this"
                 " environment)"
             )
@@ -247,41 +259,142 @@ def synth_audio(k: int, sr: int = 8000, dur_ms: int = 250):
     return (sig * env).astype(np.float64)
 
 
-def encode_wav(samples, sr: int = 8000) -> bytes:
-    """PCM16 mono WAV bytes via the pure-stdlib ``wave`` module."""
-    import io
-    import wave
+def _ulaw_encode(pcm):
+    """int16 → G.711 µ-law bytes (standard segment/bias algorithm)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.floor(np.log2(mag)).astype(np.int32) - 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _ulaw_decode(b):
+    """G.711 µ-law bytes → int16 (exact inverse of the segment map)."""
+    import numpy as np
+
+    u = ~np.asarray(b, dtype=np.uint8) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_encode(pcm):
+    """int16 → G.711 A-law bytes (standard segment algorithm)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    ax = np.minimum(np.abs(x), 32767)
+    exp = np.maximum(np.floor(np.log2(np.maximum(ax, 1))).astype(np.int32) - 7, 0)
+    mant = np.where(exp > 0, (ax >> (exp + 3)) & 0x0F, ax >> 4)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def _alaw_decode(b):
+    """G.711 A-law bytes → int16."""
+    import numpy as np
+
+    a = (np.asarray(b, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp > 0,
+        ((mant << 4) + 0x108) << (exp - 1),
+        (mant << 4) + 8,
+    )
+    # sign bit set (after the 0x55 toggle) = POSITIVE in A-law
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def encode_wav(samples, sr: int = 8000, codec: str = "pcm16") -> bytes:
+    """Mono WAV bytes from float samples in [-1, 1].
+
+    ``codec``: ``"pcm16"`` (format 1, the default), ``"ulaw"`` (G.711
+    µ-law, format 7) or ``"alaw"`` (G.711 A-law, format 6) — the
+    telephony-standard companded encodings real speech corpora carry.
+    The RIFF container is assembled directly (the stdlib ``wave``
+    module writes PCM only)."""
+    import struct
 
     import numpy as np
 
     pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype(
         "<i2"
     )
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sr)
-        w.writeframes(pcm.tobytes())
-    return buf.getvalue()
+    if codec == "pcm16":
+        tag, width, data = 1, 2, pcm.tobytes()
+    elif codec == "ulaw":
+        tag, width, data = 7, 1, _ulaw_encode(pcm).tobytes()
+    elif codec == "alaw":
+        tag, width, data = 6, 1, _alaw_encode(pcm).tobytes()
+    else:
+        raise ValueError("encode_wav: codec must be pcm16/ulaw/alaw")
+    fmt = struct.pack("<HHIIHH", tag, 1, sr, sr * width, width, 8 * width)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(payload: bytes):
-    """WAV bytes → (float64 samples in [-1, 1], sample rate) — stdlib
-    ``wave`` reader, PCM16 mono/stereo (stereo averaged to mono)."""
-    import io
-    import wave
+    """WAV bytes → (float64 samples in [-1, 1], sample rate).
+
+    Direct RIFF parse (tolerant chunk walk), formats: PCM16 / PCM8
+    (format 1), G.711 A-law (6) and µ-law (7) — mono or stereo
+    (stereo averaged to mono).  Other format tags (ADPCM, MP3-in-WAV,
+    float) raise NotImplementedError at the exact boundary."""
+    import struct
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError("decode_wav: only PCM16 supported")
-        sr = w.getframerate()
-        raw = w.readframes(w.getnframes())
-        a = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
-        if w.getnchannels() > 1:
-            a = a.reshape(-1, w.getnchannels()).mean(axis=1)
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF WAVE file")
+    pos = 12
+    tag = nch = sr = bits = None
+    frames = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+        if cid == b"fmt ":
+            tag, nch, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            frames = body
+    if tag is None or frames is None:
+        raise ValueError("decode_wav: missing fmt/data chunks")
+    if tag == 1 and bits == 16:
+        a = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32767.0
+    elif tag == 1 and bits == 8:  # unsigned PCM8
+        a = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif tag == 7 and bits == 8:  # G.711 µ-law
+        a = _ulaw_decode(np.frombuffer(frames, dtype=np.uint8)).astype(
+            np.float64
+        ) / 32767.0
+    elif tag == 6 and bits == 8:  # G.711 A-law
+        a = _alaw_decode(np.frombuffer(frames, dtype=np.uint8)).astype(
+            np.float64
+        ) / 32767.0
+    else:
+        raise NotImplementedError(
+            f"decode_wav: WAVE format tag {tag} ({bits}-bit) not"
+            " supported (PCM16/PCM8/G.711 A-law/µ-law are; ADPCM and"
+            " MP3-in-WAV need audio libraries unavailable in this"
+            " environment)"
+        )
+    if nch and nch > 1:
+        a = a[: len(a) - len(a) % nch].reshape(-1, nch).mean(axis=1)
     return a, sr
 
 
@@ -425,11 +538,13 @@ def extract_features(
     Pillow/librosa/ffmpeg calls belong for other formats —
     unavailable in this container, so it raises.
     """
-    if decoder not in ("fake", "png", "jpeg", "auto", "wav", "avi", "real"):
+    if decoder not in (
+        "fake", "png", "jpeg", "gif", "auto", "wav", "avi", "real"
+    ):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decoder in ("png", "jpeg", "auto"):
+        if decoder in ("png", "jpeg", "gif", "auto"):
             dec = _image_decoder(decoder)
 
             def feat(p) -> list[float]:
@@ -458,8 +573,9 @@ def extract_features(
                 raise NotImplementedError(
                     "codec libraries (Pillow/librosa/ffmpeg) are not "
                     "available in this environment; use decoder='png'/"
-                    "'jpeg'/'auto' for image payloads, decoder='wav' "
-                    "for WAV, decoder='avi' for AVI, or decoder='fake'"
+                    "'jpeg'/'gif'/'auto' for image payloads, "
+                    "decoder='wav' for WAV, decoder='avi' for AVI, or "
+                    "decoder='fake'"
                 )
             yield pd.DataFrame(
                 {

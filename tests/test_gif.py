@@ -1,0 +1,174 @@
+"""GIF codec (LZW, palettes, interlace, refusals) and the G.711
+µ-law/A-law WAV paths — the _png.py test precedent for the two r14
+format additions.  Pure numpy except one Spark dispatch test."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pql_spark.operators._gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+from pql_spark.operators.multimodal import (
+    _alaw_decode,
+    _alaw_encode,
+    _ulaw_decode,
+    _ulaw_encode,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _pal_image(seed: int, h: int, w: int, ncolors: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    pal = np.unique(
+        rng.integers(0, 256, (ncolors, 3), dtype=np.uint8), axis=0
+    )
+    return pal[rng.integers(0, pal.shape[0], (h, w))]
+
+
+@pytest.mark.parametrize(
+    "h,w,ncolors", [(1, 1, 1), (8, 8, 2), (33, 47, 64), (50, 61, 256)]
+)
+def test_gif_roundtrip_bit_exact(h, w, ncolors):
+    img = _pal_image(ncolors, h, w, ncolors)
+    out = decode_gif(encode_gif(img))
+    assert out.shape == (h, w, 3) and (out == img).all()
+
+
+def test_gif_lzw_table_reset_path():
+    # enough entropy to fill the 4096-entry LZW table → in-stream
+    # clear-code reset, still bit-exact
+    img = _pal_image(9, 200, 300, 64)
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_grey_and_refusals():
+    g = (np.arange(32 * 48) % 7 * 36).astype(np.uint8).reshape(32, 48)
+    out = decode_gif(encode_gif(g))
+    assert (out[:, :, 0] == g).all() and (out[:, :, 1] == g).all()
+    with pytest.raises(ValueError, match="distinct colors"):
+        encode_gif(
+            np.random.default_rng(0).integers(
+                0, 256, (40, 40, 3), dtype=np.uint8
+            )
+        )
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG definitely not")
+
+
+def test_gif_interlaced_decode():
+    # build an interlaced file: rows pre-permuted into GIF 4-pass
+    # storage order, then the interlace flag set on the descriptor —
+    # decode must reassemble the original
+    img = _pal_image(4, 23, 17, 16)
+    h = img.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    buf = bytearray(encode_gif(img[order]))
+    i = buf.find(b"\x2c")
+    buf[i + 9] |= 0x40  # image-descriptor flags: interlaced
+    out = decode_gif(bytes(buf))
+    assert (out == img).all()
+
+
+def test_gif_animated_yields_first_frame_and_extensions_skipped():
+    a = _pal_image(1, 12, 14, 8)
+    b = _pal_image(2, 12, 14, 8)
+    fa, fb = encode_gif(a), encode_gif(b)
+    # splice: header+LSD+GCT of fa, a NETSCAPE app extension, image A,
+    # image B's image block, trailer
+    i_img_a = fa.find(b"\x2c")
+    i_img_b = fb.find(b"\x2c")
+    ext = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    spliced = (
+        fa[:i_img_a] + ext + fa[i_img_a:-1] + fb[i_img_b:-1] + b"\x3b"
+    )
+    out = decode_gif(spliced)
+    assert (out == a).all()
+
+
+def test_gif_local_color_table():
+    img = _pal_image(7, 9, 11, 4)
+    f = bytearray(encode_gif(img))
+    # move the global color table into a local one: clear the LSD GCT
+    # flag, set the descriptor's LCT flag, relocate the palette bytes
+    flags = f[10]
+    bits = (flags & 0x07) + 1
+    npal = 3 * (1 << bits)
+    pal = bytes(f[13 : 13 + npal])
+    rest = bytes(f[13 + npal :])
+    f2 = bytearray(bytes(f[:10]) + bytes([0x00]) + bytes(f[11:13]) + rest)
+    j = f2.find(b"\x2c")
+    f2[j + 9] |= 0x80 | (bits - 1)
+    f2[j + 10 : j + 10] = pal
+    assert (decode_gif(bytes(f2)) == img).all()
+
+
+def test_lzw_kwk_case():
+    # the classic KwK sequence exercises code == len(table)
+    idx = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1], dtype=np.uint8)
+    assert (
+        _lzw_decode(2, _lzw_encode(2, idx), len(idx))
+        == idx
+    ).all()
+
+
+# --- G.711 -----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "enc,dec,min_snr",
+    [(_ulaw_encode, _ulaw_decode, 35.0), (_alaw_encode, _alaw_decode, 35.0)],
+)
+def test_g711_companding_quality(enc, dec, min_snr):
+    pcm = np.clip(
+        np.linspace(-1, 1, 20001) * 32767, -32768, 32767
+    ).astype(np.int16)
+    y = dec(enc(pcm)).astype(np.float64)
+    err = y - pcm
+    snr = 10 * np.log10(np.mean(pcm.astype(float) ** 2) / np.mean(err**2))
+    assert snr > min_snr  # G.711 textbook SNR ≈ 37-38 dB on a ramp
+    assert bool(np.all(np.diff(y) >= 0))  # monotone transfer curve
+    big = np.abs(pcm) > 64
+    assert np.all(np.sign(y[big]) == np.sign(pcm[big].astype(float)))
+
+
+@pytest.mark.parametrize("codec", ["pcm16", "ulaw", "alaw"])
+def test_wav_container_roundtrip(codec):
+    sig = np.sin(np.arange(2000) / 10) * 0.7
+    out, sr = decode_wav(encode_wav(sig, 8000, codec=codec))
+    assert sr == 8000 and len(out) == 2000
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean((out - sig) ** 2))
+    assert snr > (60.0 if codec == "pcm16" else 30.0)
+
+
+def test_wav_pcm16_still_stdlib_compatible():
+    import io
+    import wave
+
+    sig = np.sin(np.arange(500) / 5) * 0.5
+    w = wave.open(io.BytesIO(encode_wav(sig, 8000)), "rb")
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+        1, 2, 8000,
+    )
+
+
+def test_wav_unknown_format_refused():
+    buf = bytearray(encode_wav(np.zeros(16), 8000))
+    i = buf.find(b"fmt ")
+    struct.pack_into("<H", buf, i + 8, 2)  # ADPCM tag
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(bytes(buf))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"junk")
