@@ -5012,6 +5012,44 @@ WHERE recall_at_k >= {_IVF_RECALL_BOUND}
 """
 
 
+def _gif_dups_oracle() -> str:
+    """Replayed-twin oracle for the GIF pHash near-dup gate — the PNG
+    discipline: GIF is LOSSLESS for palettized content, so the twin
+    hashes the synth pixels directly (never touching the codec) and
+    any LZW/container corruption breaks the match; pairs are
+    brute-forced, re-proving the banded join lossless on real output
+    each round.  Corpus constant → data-independent VALUES literal."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import (
+        phash_reference,
+        synth_image_palettized,
+    )
+
+    hashes: dict[int, list[int]] = {
+        k: phash_reference(synth_image_palettized(k)) for k in range(64)
+    }
+    for k in range(6):
+        img = np.clip(
+            synth_image_palettized(k).astype(np.int64) + 6, 0, 255
+        ).astype(np.uint8)
+        hashes[100000 + k] = phash_reference(img)
+    ids = sorted(hashes)
+    pairs = [
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (h := sum(x != y for x, y in zip(hashes[a], hashes[b]))) <= 6
+    ]
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {rows}) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b
+"""
+
+
 def _jpeg_dups_oracle() -> str:
     """Replayed-twin oracle for the JPEG pHash near-dup gate.  Checked
     independently of the OPERATOR: the twin re-decodes each constant
@@ -6725,6 +6763,55 @@ def _q_jpeg_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gif_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF image near-dup (r14): 64 real-GIF palettized images + 6
+    planted brightness-shifted clones, pHash over the DECODED pixels,
+    banded-Hamming join at a lossless setting (6 < 8 bands).
+    Hash-checked: _gif_dups_oracle() hashes the synth PIXELS directly
+    — GIF is lossless for palettized content, so any corruption in
+    the LZW/container layer breaks the match (the PNG-twin discipline)
+    — and brute-forces ALL pairs, re-proving the banding lossless."""
+    import numpy as np
+    import pandas as pd
+
+    from pql_spark.operators._gif import encode_gif
+    from pql_spark.operators.multimodal import (
+        phash_dup_pairs,
+        synth_image_palettized,
+        synthesize_gif_media,
+    )
+
+    base = synthesize_gif_media(spark, n=64)
+
+    def clones(ids):
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                img = np.clip(
+                    synth_image_palettized(k).astype(np.int64) + 6,
+                    0, 255,
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": 100000 + k,
+                        "kind": "image",
+                        "payload": encode_gif(img),
+                        "meta": {
+                            "width": 48, "height": 32,
+                            "duration_ms": 0, "codec": "gif",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    extra = spark.range(0, 6, 1, 1).mapInPandas(clones, base.schema)
+    media = base.unionByName(extra)
+    return phash_dup_pairs(
+        media, threshold_bits=6, bands=8, decoder="gif"
+    )
+
+
 def _q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup (r10): 48 real-WAV two-tone clips +
     6 planted volume-scaled clones; generic banded-Hamming join at a
@@ -6931,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_audio_dups": _q_audio_dups,  # hash-checked (replayed twin)
             "op_video_dups": _q_video_dups,  # hash-checked (replayed twin)
             "op_jpeg_dups": _q_jpeg_dups,  # hash-checked (replayed twin)
+            "op_gif_dups": _q_gif_dups,  # hash-checked (replayed twin)
             "op_ngram_zipf_prefix": _q_ngram_zipf,
             "op_stream_windowed": _q_stream_windowed,
             "op_stream_sink_upsert": _q_stream_sink_upsert,
@@ -7015,6 +7103,7 @@ def oracle_sql() -> dict[str, str]:
             "op_semantic_passes": _semantic_passes_oracle(),
             "op_phash_dups": _phash_dups_oracle(),
             "op_jpeg_dups": _jpeg_dups_oracle(),
+            "op_gif_dups": _gif_dups_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
             "op_video_dups": _video_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING

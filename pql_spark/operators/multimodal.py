@@ -208,6 +208,62 @@ def synthesize_jpeg_media(
     return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_image_palettized(
+    k: int, width: int = 48, height: int = 32, ncolors: int = 64
+) -> "np.ndarray":
+    """Deterministic id-seeded PALETTIZED test image (≤``ncolors``
+    distinct colors): :func:`synth_image` quantized to a k-seeded
+    palette — GIF-encodable (the full-gradient synth_image has more
+    than 256 distinct colors)."""
+    import numpy as np
+
+    img = synth_image(k, width, height).astype(np.int64)
+    rng = np.random.default_rng(k)
+    pal = np.sort(rng.integers(0, 256, (ncolors, 3)), axis=0).astype(
+        np.int64
+    )
+    # nearest palette entry per pixel (small corpus: exact argmin)
+    flat = img.reshape(-1, 1, 3)
+    d = np.abs(flat - pal.reshape(1, -1, 3)).sum(axis=2)
+    return pal[d.argmin(axis=1)].reshape(height, width, 3).astype(
+        np.uint8
+    )
+
+
+def synthesize_gif_media(
+    spark, n: int = 64, width: int = 48, height: int = 32
+) -> DataFrame:
+    """Deterministic REAL-GIF media table: each payload is a valid
+    GIF89a (pure-stdlib LZW encoder) of an id-seeded palettized
+    pattern — decodable by any GIF library, not just ours."""
+    from ._gif import encode_gif
+
+    def gen(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in ids:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                rows.append(
+                    {
+                        "media_id": k,
+                        "kind": "image",
+                        "payload": encode_gif(
+                            synth_image_palettized(k, width, height)
+                        ),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": 0,
+                            "codec": "gif",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _image_decoder(decoder: str):
     """Image payload → HxWx3 uint8 decode dispatch: ``"png"``,
     ``"jpeg"``, ``"gif"``, or ``"auto"`` (sniff the magic bytes — PNG
