@@ -154,6 +154,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("decode_gif: not a GIF file")
+    if len(data) < 13:
+        raise ValueError("decode_gif: truncated header")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None

@@ -164,8 +164,12 @@ def test_image_decoder_auto_sniffs_magic():
     assert (dec(encode_png(img)) == decode_png(encode_png(img))).all()
     jp = encode_jpeg(img, quality=90)
     assert (dec(jp) == decode_jpeg(jp)).all()
-    with pytest.raises(NotImplementedError, match="neither PNG nor JPEG"):
-        dec(b"GIF89a....")
+    from pql_spark.operators._gif import encode_gif
+
+    pal_img = np.stack([img[:, :, 0]] * 3, axis=-1)  # grey → ≤256 colors
+    assert (dec(encode_gif(pal_img)) == pal_img).all()  # GIF sniffed too
+    with pytest.raises(NotImplementedError, match="not PNG/JPEG/GIF"):
+        dec(b"BM not a supported image")
 
 
 def test_extract_features_jpeg_and_auto(spark):
