@@ -253,22 +253,33 @@ def evaluate_record(record: dict) -> dict:
     ncpu = record.get("cpus", 32)
     sent_first = record.get("sentinel_first_sec", 0.0)
     sent_last = record.get("sentinel_last_sec", 0.0)
-    infls = [
-        record.get("stream_sentinel_first_sec", 0.0) / _STREAM_SENTINEL_REF,
-        record.get("stream_sentinel_last_sec", 0.0) / _STREAM_SENTINEL_REF,
-        record.get("stream_file_sentinel_first_sec", 0.0)
-        / _STREAM_FILE_SENTINEL_REF,
-        record.get("stream_file_sentinel_last_sec", 0.0)
-        / _STREAM_FILE_SENTINEL_REF,
-    ] + list(record.get("stream_gate_inflations", {}).values())
-    present = [x for x in infls if x > 0]
+    ep = [
+        max(
+            record.get("stream_sentinel_first_sec", 0.0)
+            / _STREAM_SENTINEL_REF,
+            record.get("stream_file_sentinel_first_sec", 0.0)
+            / _STREAM_FILE_SENTINEL_REF,
+        ),
+        max(
+            record.get("stream_sentinel_last_sec", 0.0)
+            / _STREAM_SENTINEL_REF,
+            record.get("stream_file_sentinel_last_sec", 0.0)
+            / _STREAM_FILE_SENTINEL_REF,
+        ),
+    ]
+    endpoint_abs = max([x for x in ep if x > 0] + [0.0])
+    gates_abs = [
+        x for x in record.get("stream_gate_inflations", {}).values()
+        if x > 0
+    ]
+    # mirrors the live model exactly: the reading set is the per-gate
+    # absolute readings plus ONE endpoint reading (the max of
+    # first/last combined) — median → cleanliness, max → verdict bar.
+    # Pre-r14 records carry only the two endpoint null drains; there
+    # the max-of-endpoints rule applies (the median would erase the
+    # one slow reading that convicted the r13-PM phantom).
+    present = gates_abs + ([endpoint_abs] if endpoint_abs > 0 else [])
     max_infl = round(max(present + [1.0]), 3)
-    # mirrors the live model: session cleanliness takes the MEDIAN
-    # absolute reading (one shallow-warm endpoint out of 10 must not
-    # dirty the record), the verdict bar takes the max.  Pre-r14
-    # records carry only the two endpoint null drains — there the
-    # median would erase the one slow reading that convicted the
-    # r13-PM phantom, so the pre-r14 max-of-endpoints rule applies.
     med_infl = (
         round(_median(present), 3) if len(present) >= 4 else max_infl
     )
@@ -281,7 +292,14 @@ def evaluate_record(record: dict) -> dict:
         stream_inflation=med_infl,
     )
     times = record.get("queries", {})
-    gi = record.get("stream_gate_inflations") or None
+    # bars use the RELATIVE scale factors when the record carries them
+    # (mirrors the live run exactly); absolute readings are the
+    # fallback for pre-r14 records
+    gi = (
+        record.get("stream_gate_bar_scales")
+        or record.get("stream_gate_inflations")
+        or None
+    )
     _, family, exceeded = compute_stream_flag(
         times, clean, inflation=max_infl, gate_inflations=gi
     )

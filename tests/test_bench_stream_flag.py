@@ -452,6 +452,17 @@ def test_replay_r14_builder_record_comparable():
     assert not ev["stream_perf_flag"]
 
 
+def test_replay_r14_phantom_record_not_comparable():
+    # the THIRD documented phantom instance (launch loadavg 0.02,
+    # micro-batch path 1.22× median absolute): the interleaved
+    # sentinels sense it, the record self-describes — not comparable,
+    # bars scaled and cleared, no flag
+    rec = json.loads((REPO / "BENCH_LOCAL_r14_pm.json").read_text())
+    ev = evaluate_record(rec)
+    assert not ev["headline_comparable"]
+    assert ev["stream_verdict"] == "ok" and not ev["stream_perf_flag"]
+
+
 def test_sample_inflation_takes_max_path():
     # I/O-shaped contention: file drain 3× its ref while the null drain
     # reads quiet — the combined reading must sense it
