@@ -6936,40 +6936,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-14 rotation (VERDICT r13 item 3): the 47 gates whose
-    # latest hash-green was r10 — three rounds old after the r13
-    # window — verified by tools/evidence_freshness.py (the full
-    # series-function family, the remaining outer/semi joins,
-    # graph_match, pivot, top, where_project, scan ops, geo fns, …).
-    # After this window nothing predates r11.  The remaining slots go
-    # to the NEW op_jpeg_dups gate (ships with driver evidence) and
-    # the oldest heavy-tier r11 gate (the composed curation pipeline)
-    # to start draining that tier too.  Exactly 50.
+    # Round-15 rotation (VERDICT r14 item 1): op_gif_dups (registered
+    # late-r14, judge-verified green but NO driver row yet) leads the
+    # window, followed by the 43 gates whose latest hash-green is
+    # r11 — verified by tools/evidence_freshness.py — and the 6
+    # oldest r12 heavy-tier gates to start draining that tier.
+    # After this window nothing predates r12.  Exactly 50.
     #
-    # 1. §2 join surface (r10-stale):
-    "pql_join_rightouter", "pql_join_fullouter", "pql_join_rightsemi",
-    "pql_3way_join", "pql_promo_revenue",
-    # 2. series-function family (r10-stale):
-    "pql_make_series", "pql_series_fns", "pql_series_fill",
-    "pql_series_outliers", "pql_series_decompose",
-    "pql_series_decompose_anomalies", "pql_series_forecast",
-    "pql_series_fft", "pql_series_fir", "pql_series_periods",
-    "pql_series_vector", "pql_series_fit_2lines",
-    # 3. remaining r10-stale PQL operators/functions:
-    "pql_graph_match", "pql_pivot", "pql_top", "pql_where_project",
-    "pql_distinct_op", "pql_union_op", "pql_project_away",
-    "pql_mv_expand", "pql_lookup", "pql_parse_op", "pql_parse_kv",
-    "pql_search_op", "pql_find_op", "pql_reduce_op", "pql_invoke_op",
-    "pql_approx_topk", "pql_funnel_sequence", "pql_new_activity",
-    "pql_session_count", "pql_sliding_window_counts",
-    "pql_rolling_percentile", "pql_rows_near", "pql_scalar_fns2",
-    "pql_timespan_lit", "pql_url_fns", "pql_ipv6_fns",
-    "pql_weighted_aggs", "pql_geo_cell", "pql_geo_center",
-    # 4. r10-stale data-pipeline gates:
-    "op_ngram_zipf_prefix", "op_profile_grouped",
-    # 5. new this round (ships with driver evidence) + oldest
-    # heavy-tier r11 gate (spare slot):
-    "op_jpeg_dups", "op_curate_corpus",
+    # 1. evidence-pending gate (first driver row):
+    "op_gif_dups",
+    # 2. r11-stale data-pipeline gates (8):
+    "op_audio_dups", "op_bpe", "op_bpe_bytes", "op_crossdoc_dedup",
+    "op_curate_qa", "op_knn_skew", "op_multimodal_features",
+    "op_phash_dups",
+    # 3. r11-stale PQL operator/function gates (35):
+    "pql_activity_engagement", "pql_activity_metrics",
+    "pql_agg_family", "pql_arg_agg", "pql_as_selfjoin",
+    "pql_bin_hourly", "pql_datatable", "pql_diffpatterns_text",
+    "pql_extend", "pql_funnel_completion", "pql_getschema",
+    "pql_iff_strcat", "pql_in", "pql_in_family", "pql_index",
+    "pql_json_props", "pql_let_arith", "pql_mv_apply",
+    "pql_null_semantics", "pql_partition_op", "pql_percentiles",
+    "pql_predicates", "pql_print", "pql_project_ops",
+    "pql_range_source", "pql_render", "pql_sample_op",
+    "pql_serialize_window", "pql_series_stats_fit", "pql_sketch_fns",
+    "pql_sourcetext_name", "pql_string_preds", "pql_summarize_by",
+    "pql_top_hitters", "pql_top_nested",
+    # 4. oldest r12 heavy-tier gates (6 spare slots):
+    "op_asof_join", "op_embedding_dups", "op_geo_join_scale",
+    "op_hamming_dups", "op_range_join", "op_simhash",
 ]
 
 

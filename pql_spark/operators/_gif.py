@@ -145,6 +145,16 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+def _need(data: bytes, pos: int, n: int, what: str) -> None:
+    """Bounds-check the next ``n`` bytes, keeping the codec's error
+    contract uniform: every malformed/truncated payload raises a clean
+    ``ValueError`` (the LZW path already did; ADVICE r14 asked the
+    container reads to match instead of leaking struct.error /
+    IndexError)."""
+    if pos + n > len(data):
+        raise ValueError(f"decode_gif: truncated {what}")
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF bytes → (H, W, 3) uint8 RGB (first image of the stream).
 
@@ -161,6 +171,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        _need(data, pos, 3 * n, "global color table")
         gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos)
         gct = gct.reshape(n, 3)
         pos += 3 * n
@@ -171,30 +182,38 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
+            _need(data, pos, 1, "extension block")
             while data[pos]:
                 pos += 1 + data[pos]
+                _need(data, pos, 1, "extension sub-block")
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"decode_gif: unknown block 0x{b:02X}")
+        _need(data, pos + 1, 9, "image descriptor")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
         pos += 10
         ct = gct
         if iflags & 0x80:  # local color table
             n = 2 << (iflags & 0x07)
+            _need(data, pos, 3 * n, "local color table")
             ct = np.frombuffer(
                 data, dtype=np.uint8, count=3 * n, offset=pos
             ).reshape(n, 3)
             pos += 3 * n
         if ct is None:
             raise ValueError("decode_gif: image has no color table")
+        _need(data, pos, 1, "LZW header")
         min_code_size = data[pos]
         pos += 1
         lzw = bytearray()
+        _need(data, pos, 1, "image sub-block")
         while data[pos]:
             ln = data[pos]
+            _need(data, pos + 1, ln, "image sub-block")
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            _need(data, pos, 1, "image sub-block")
         pos += 1
         idx = _lzw_decode(int(min_code_size), bytes(lzw), w * h)
         if idx.max(initial=0) >= ct.shape[0]:

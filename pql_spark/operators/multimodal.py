@@ -316,15 +316,25 @@ def synth_audio(k: int, sr: int = 8000, dur_ms: int = 250):
 
 
 def _ulaw_encode(pcm):
-    """int16 → G.711 µ-law bytes (standard segment/bias algorithm)."""
+    """int16 → G.711 µ-law bytes, bit-exact vs standard encoders.
+
+    Vectorizes the canonical 14-bit-domain algorithm (ITU-T G.711 /
+    CPython audioop ``st_14linear2ulaw``): arithmetic ``>> 2``, then
+    one's-complement-style negative handling (``mag = -s``on the
+    SHIFTED value, which differs from ``|x| >> 2`` by one code at
+    negative segment boundaries — ADVICE r14), CLIP 8159, bias
+    ``0x84 >> 2``, segment search, final bit-invert via the mask.
+    """
     import numpy as np
 
-    x = np.asarray(pcm, dtype=np.int32)
-    sign = np.where(x < 0, 0x80, 0)
-    mag = np.minimum(np.abs(x), 32635) + 0x84
-    exp = np.floor(np.log2(mag)).astype(np.int32) - 7
-    mant = (mag >> (exp + 3)) & 0x0F
-    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+    s = np.asarray(pcm, dtype=np.int16).astype(np.int32) >> 2
+    mask = np.where(s < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.where(s < 0, -s, s), 8159) + 0x21
+    seg = np.floor(np.log2(mag)).astype(np.int32) - 5
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    return ((np.where(seg >= 8, 0x7F, uval) ^ mask) & 0xFF).astype(
+        np.uint8
+    )
 
 
 def _ulaw_decode(b):
@@ -339,15 +349,27 @@ def _ulaw_decode(b):
 
 
 def _alaw_encode(pcm):
-    """int16 → G.711 A-law bytes (standard segment algorithm)."""
+    """int16 → G.711 A-law bytes, bit-exact vs standard encoders.
+
+    Vectorizes the canonical 13-bit-domain algorithm (ITU-T G.711 /
+    CPython audioop ``st_linear2alaw``): arithmetic ``>> 3``, negative
+    magnitude as one's complement ``-s - 1`` (NOT ``|x| >> 3``, which
+    is off by one code at negative segment boundaries — ADVICE r14),
+    segment search over ``seg_aend``, shift ``max(seg, 1)``, final
+    ``^ 0xD5`` (positive) / ``^ 0x55`` (negative).
+    """
     import numpy as np
 
-    x = np.asarray(pcm, dtype=np.int32)
-    sign = np.where(x >= 0, 0x80, 0)
-    ax = np.minimum(np.abs(x), 32767)
-    exp = np.maximum(np.floor(np.log2(np.maximum(ax, 1))).astype(np.int32) - 7, 0)
-    mant = np.where(exp > 0, (ax >> (exp + 3)) & 0x0F, ax >> 4)
-    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+    s = np.asarray(pcm, dtype=np.int16).astype(np.int32) >> 3
+    mask = np.where(s >= 0, 0xD5, 0x55)
+    mag = np.where(s >= 0, s, -s - 1)
+    seg = np.maximum(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 4, 0
+    )
+    aval = (seg << 4) | ((mag >> np.maximum(seg, 1)) & 0x0F)
+    return ((np.where(seg >= 8, 0x7F, aval) ^ mask) & 0xFF).astype(
+        np.uint8
+    )
 
 
 def _alaw_decode(b):

@@ -1858,9 +1858,17 @@ class _SqlEmitter:
             # carry PACKED micros longs (mirrors the DF backend's
             # packed plan — measured 1.43 → 1.10 s at sf1); only the
             # final select converts back with timestamp_micros.
+            # __sq_ts0 carries the ORIGINAL timeline value so the
+            # final select can rebuild each step time as
+            # ts + (__ti - __t0) µs — interval arithmetic preserves
+            # the source type (TIMESTAMP vs TIMESTAMP_NTZ), matching
+            # the DF backend's cast-back-to-ts_type (ADVICE r14; the
+            # emitter has column NAMES only, so a literal CAST to the
+            # source type is not expressible here).
             base = (
                 f"SELECT {ksel}"
-                f" unix_micros({_q(ts)}) AS __sq_tsm, {preds}"
+                f" unix_micros(CAST({_q(ts)} AS TIMESTAMP)) AS __sq_tsm,"
+                f" {_q(ts)} AS __sq_ts0, {preds}"
                 f" FROM {inner}"
             )
             any_p = " OR ".join(
@@ -1892,7 +1900,7 @@ class _SqlEmitter:
                     f" {payload} END) {win} AS __sq_g{j}"
                     f" FROM ({cur})"
                 )
-            tsel = ["__sq_tsm AS __t0"]
+            tsel = ["__sq_ts0", "__sq_tsm AS __t0"]
             path = "__sq_g1"
             for i in range(1, n):
                 tsel.append(
@@ -1912,7 +1920,15 @@ class _SqlEmitter:
                 f" <= __t0 + {op.span_usec}"
             ]
             outs = ", ".join(
-                f"timestamp_micros(__t{i}) AS {_q(f'{names[i]}_{ts}')}"
+                (
+                    "__sq_ts0"
+                    if i == 0
+                    else (
+                        f"__sq_ts0 + (__t{i} - __t0)"
+                        " * INTERVAL '1' MICROSECOND"
+                    )
+                )
+                + f" AS {_q(f'{names[i]}_{ts}')}"
                 for i in range(n)
             )
             return (

@@ -24,10 +24,14 @@ from bench import (  # noqa: E402
     _STREAM_FLOORS,
     _STREAM_SENTINEL_REF,
     _sample_inflation,
+    _BATCH_FLOOR_BAR,
+    clamp_bar_scales,
+    compute_batch_floor_ratio,
     compute_session_clean,
     compute_stream_flag,
     compute_stream_verdict,
     evaluate_record,
+    load_batch_floors,
 )
 
 # measured same-code QUIET-session per-gate readings that killed the
@@ -440,14 +444,21 @@ def test_sample_inflation_session_relative_term():
     )
 
 
-def test_replay_r14_builder_record_comparable():
-    # the committed v4.1 reference record (quiet box, absolute sentinel
-    # median 0.83, family 11.37 s) must evaluate comparable / ok /
-    # flag-false — the absolute-vs-relative split keeps the ~1.2×
-    # intrinsic relative sample spread out of session cleanliness
+def test_replay_r14_builder_record_convicted_by_batch_floor():
+    # VERDICT r14 item 2's done-criterion: BENCH_LOCAL_r14.json passed
+    # every instrument bar (launch loadavg 3.87/3.6 vs 4.8, max stream
+    # inflation 1.538 vs 1.6) yet ran a uniform median 1.43× the r13-AM
+    # record across 186 common gates including untouched TPC-H code —
+    # the committed batch-floor table must now convict it, while its
+    # stream verdict stays ok (bars scaled and cleared) and its
+    # session instruments stay individually green
     rec = json.loads((REPO / "BENCH_LOCAL_r14.json").read_text())
     ev = evaluate_record(rec)
-    assert ev["headline_comparable"], ev["reasons"]
+    assert ev["session_clean"]  # the old instruments still read quiet
+    assert not ev["headline_comparable"]
+    assert ev["batch_floor_ratio_median"] is not None
+    assert ev["batch_floor_ratio_median"] > 1.25
+    assert any("batch floor" in r for r in ev["reasons"])
     assert ev["stream_verdict"] == "ok"
     assert not ev["stream_perf_flag"]
 
@@ -471,3 +482,69 @@ def test_sample_inflation_takes_max_path():
         == 3.0
     )
     assert _sample_inflation(_STREAM_SENTINEL_REF, 0.0) == 1.0
+
+
+# --- r15: batch-floor uniformity instrument (VERDICT r14 item 2) and
+#     the relative bar-scale noise clamp (ADVICE r14)
+
+
+def test_batch_floor_table_is_committed_and_loads():
+    floors = load_batch_floors(0.1)
+    assert floors and len(floors) >= 150
+    assert load_batch_floors(0.01) is None  # wrong scale → no table
+
+
+def test_batch_floor_ratio_median_math():
+    floors = {f"g{i}": 1.0 for i in range(40)}
+    quiet = {f"g{i}": 1.05 for i in range(40)}
+    slow = {f"g{i}": 1.4 for i in range(40)}
+    med, n = compute_batch_floor_ratio(quiet, floors)
+    assert (med, n) == (1.05, 40)
+    med, _ = compute_batch_floor_ratio(slow, floors)
+    assert med == 1.4 > _BATCH_FLOOR_BAR
+    # a single outlier gate cannot move the median
+    one_bad = dict(quiet, g0=50.0)
+    med, _ = compute_batch_floor_ratio(one_bad, floors)
+    assert med == 1.05
+
+
+def test_batch_floor_small_overlap_abstains():
+    floors = {f"g{i}": 1.0 for i in range(40)}
+    few = {f"g{i}": 9.9 for i in range(10)}  # 10 < 30 common gates
+    assert compute_batch_floor_ratio(few, floors) == (None, 10)
+    assert compute_batch_floor_ratio(few, None) == (None, 0)
+
+
+def test_replay_r13_am_record_stays_comparable_under_floor():
+    # the other half of the done-criterion: the genuinely-quiet r13-AM
+    # record reads ~1.0× the floors and must STAY comparable
+    rec = json.loads((REPO / "BENCH_LOCAL_r13.json").read_text())
+    ev = evaluate_record(rec)
+    assert ev["headline_comparable"], ev["reasons"]
+    assert ev["batch_floor_ratio_median"] is not None
+    assert ev["batch_floor_ratio_median"] <= _BATCH_FLOOR_BAR
+
+
+def test_replay_driver_digest_abstains_on_floor():
+    # the driver digest carries only the ~18 watch rows — below the
+    # 30-gate overlap minimum the instrument abstains rather than
+    # reading uniformity off a biased subset (the instruments that DO
+    # convict r14's driver record are its own: contended + sentinels)
+    rec = json.loads((REPO / "BENCH_r14.json").read_text())["parsed"]
+    ev = evaluate_record(rec)
+    assert ev["batch_floor_ratio_median"] is None
+    assert not ev["headline_comparable"]  # convicted by its own flags
+
+
+def test_clamp_bar_scales_bounds_relative_noise():
+    # quiet box: abs ~1.0, rel spread ~1.2 → stays (under the 1.3 cap)
+    assert clamp_bar_scales({"g": 1.2}, {"g": 1.0}) == {"g": 1.2}
+    # noise-only rel spike: bar may widen at most 30% past the
+    # absolute instrument's reading (2.4 would have doubled the bar)
+    assert clamp_bar_scales({"g": 2.4}, {"g": 1.0}) == {"g": 1.3}
+    # genuinely-contended sample: abs carries it, rel passes through
+    assert clamp_bar_scales({"g": 2.4}, {"g": 2.0}) == {"g": 2.4}
+    # abs below 1 (deep-warm session) floors at 1 before the cap
+    assert clamp_bar_scales({"g": 1.5}, {"g": 0.8}) == {"g": 1.3}
+    # missing abs reading behaves like abs=1
+    assert clamp_bar_scales({"g": 2.0}, {}) == {"g": 1.3}

@@ -220,6 +220,28 @@ def test_sequence_detect_sql_backend(spark, tables, engine):
     assert _rows(spark.sql(sql)) == a
 
 
+def test_sequence_detect_sql_backend_ntz_schema(spark, tables):
+    # TIMESTAMP_NTZ timeline: both backends must return step columns
+    # of the ORIGINAL timeline type (ADVICE r14: the SQL twin used to
+    # emit bare timestamp_micros(), silently upcasting ntz → ltz)
+    ntz = tables["E"].selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "etype"
+    )
+    eng = PqlEngine(spark, resolver={"E": ntz})
+    q = (
+        "E | evaluate sequence_detect(ts, 1h, 90m,"
+        ' a = etype == "login", b = etype == "delete" by user_id)'
+    )
+    df_out = eng.query(q)
+    ntz.createOrReplaceTempView("E")
+    sql_out = spark.sql(compile_to_sql(q, lambda n: ["user_id", "ts", "etype"]))
+    assert [f.dataType.simpleString() for f in df_out.schema.fields] == [
+        "bigint", "timestamp_ntz", "timestamp_ntz",
+    ]
+    assert df_out.schema == sql_out.schema
+    assert _rows(df_out) == _rows(sql_out)
+
+
 def test_sequence_detect_sql_backend_no_keys(spark, tables, engine):
     q = (
         "E | where user_id == 1 | evaluate sequence_detect(ts, 1h, 1h,"
