@@ -917,11 +917,14 @@ def embedding_dup_pairs(
 
     Block Gram-matrix design: rows are hashed into ``n_blocks`` blocks;
     every unordered block pair (ba ≤ bb) becomes one task group whose
-    Arrow kernel runs ONE BLAS matmul between the two blocks' matrices
+    Arrow kernel runs BLAS matmuls between the two blocks' matrices
     (upper triangle on the diagonal groups).  Nothing is collected to
-    the driver; per-task memory is bounded by (n/n_blocks)² similarity
-    tiles, and the replication cost is (n_blocks+1)/2 × the input —
-    pick n_blocks ≈ √(cluster cores) so every core gets a tile.  The
+    the driver; the kernel tiles the Gram product over A-side row
+    chunks (r15), so per-task similarity memory is a fixed ≤ ~128 MB
+    regardless of block size — only the (n/n_blocks)-row block
+    matrices themselves scale with data.  The replication cost is
+    (n_blocks+1)/2 × the input — pick n_blocks ≈ √(cluster cores) so
+    every core gets a tile.  The
     total work is inherently O(n²) because the result is exact; for
     corpus-scale near-dup where approximate recall is acceptable, use
     :func:`pql_spark.operators.similarity.lsh_bucket_topk`-style
@@ -966,17 +969,35 @@ def embedding_dup_pairs(
                 [np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]]
             )
             b_n = np.sqrt((b * b).sum(axis=1))
-        sims = (a @ b.T) / np.outer(a_n, b_n)
-        hit = sims >= threshold
-        if ba == bb:
-            # strict upper triangle: no self-pairs, no double count
-            hit &= a_ids[:, None] < b_ids[None, :]
-        # off-diagonal blocks are disjoint id sets — every unordered row
-        # pair appears in exactly one group; normalize to (lo, hi)
-        ii, jj = np.nonzero(hit)
-        lo = np.minimum(a_ids[ii], b_ids[jj])
-        hi = np.maximum(a_ids[ii], b_ids[jj])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]})
+        # r15: tile the Gram product over A-side row chunks so kernel
+        # memory is bounded by the TILE (≤ ~128 MB of float64), not by
+        # (block_rows)² — at 200 k rows / 8 blocks a full 25 k × 25 k
+        # tile is 5 GB of similarities and 32 concurrent workers
+        # OOM-crashed (r15 sf10 sweep).  BLAS throughput is unchanged
+        # (each chunk is still one matmul); only peak memory drops.
+        chunk = max(1, 16_000_000 // max(len(b_ids), 1))
+        outs = []
+        for s in range(0, len(a_ids), chunk):
+            e = s + chunk
+            sims = (a[s:e] @ b.T) / np.outer(a_n[s:e], b_n)
+            hit = sims >= threshold
+            if ba == bb:
+                # strict upper triangle: no self-pairs, no double count
+                hit &= a_ids[s:e, None] < b_ids[None, :]
+            # off-diagonal blocks are disjoint id sets — every
+            # unordered row pair appears in exactly one group;
+            # normalize to (lo, hi)
+            ii, jj = np.nonzero(hit)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a_ids[s + ii], b_ids[jj]),
+                        "id_b": np.maximum(a_ids[s + ii], b_ids[jj]),
+                        "cosine": sims[ii, jj],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         work.groupBy("ba", "bb")

@@ -172,3 +172,134 @@ def test_wav_unknown_format_refused():
         decode_wav(bytes(buf))
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav(b"junk")
+
+
+def test_g711_encoders_bit_exact_vs_reference():
+    # scalar transcription of the public g711.c / audioop algorithm
+    # (one's-complement negative handling) — the r15 encoders must
+    # match it code-for-code (ADVICE r14: |x| magnitude was one code
+    # off at negative segment boundaries)
+    seg_uend = [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
+    seg_aend = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def search(val, table):
+        for i, t in enumerate(table):
+            if val <= t:
+                return i
+        return len(table)
+
+    def ref_ulaw(x):
+        p = x >> 2
+        mask = 0x7F if p < 0 else 0xFF
+        p = min(-p if p < 0 else p, 8159) + (0x84 >> 2)
+        seg = search(p, seg_uend)
+        if seg >= 8:
+            return 0x7F ^ mask
+        return ((seg << 4) | ((p >> (seg + 1)) & 0xF)) ^ mask
+
+    def ref_alaw(x):
+        p = x >> 3
+        if p >= 0:
+            mask = 0xD5
+        else:
+            mask, p = 0x55, -p - 1
+        seg = search(p, seg_aend)
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (p >> 1) & 0xF if seg < 2 else (p >> seg) & 0xF
+        return aval ^ mask
+
+    # every segment boundary ±2 plus a dense lattice
+    edges = []
+    for t in seg_uend + seg_aend:
+        for base in (t << 2, t << 3):
+            edges += [base - 2, base - 1, base, base + 1, base + 2]
+            edges += [-v for v in edges[-5:]]
+    xs = np.unique(
+        np.clip(
+            np.concatenate(
+                [np.arange(-32768, 32768, 7), np.array(edges), [-1, 0, 1, -32768, 32767]]
+            ),
+            -32768,
+            32767,
+        ).astype(np.int16)
+    )
+    assert list(_ulaw_encode(xs)) == [ref_ulaw(int(v)) for v in xs]
+    assert list(_alaw_encode(xs)) == [ref_alaw(int(v)) for v in xs]
+    assert _ulaw_encode(np.array([-1], np.int16))[0] == 0x7E
+
+
+def test_wav_ima_adpcm_roundtrip_and_tail_trim():
+    rng = np.random.default_rng(3)
+    t = np.arange(4000) / 8000.0
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=4000)
+    sig = np.clip(sig, -1, 1)
+    # lengths spanning partial/exact/multi blocks (spb = 505 at
+    # block_align 256): fact-chunk trim must restore every length
+    for n in [1, 2, 7, 504, 505, 506, 1011, 4000]:
+        out, sr = decode_wav(encode_wav(sig[:n], 8000, codec="ima"))
+        assert sr == 8000 and len(out) == n
+    out, _ = decode_wav(encode_wav(sig, 8000, codec="ima"))
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean((out - sig) ** 2))
+    assert snr > 18.0  # 4-bit ADPCM: ~20-26 dB on tonal content
+
+
+def test_wav_ima_adpcm_stereo_refused():
+    buf = bytearray(encode_wav(np.zeros(600), 8000, codec="ima"))
+    i = buf.find(b"fmt ")
+    struct.pack_into("<H", buf, i + 10, 2)  # nChannels = 2
+    with pytest.raises(NotImplementedError, match="stereo"):
+        decode_wav(bytes(buf))
+
+
+def test_gif_every_truncated_prefix_raises_clean_valueerror():
+    # ADVICE r14: the container reads must match the LZW path's error
+    # contract — no struct.error / IndexError leaks on ANY prefix
+    img = _pal_image(5, 9, 13, 8)
+    gif = encode_gif(img)
+    # len-1 cuts only the 0x3B trailer: the first image is complete
+    # and the tolerant first-frame decode legitimately succeeds
+    for k in range(len(gif) - 1):
+        with pytest.raises(ValueError):
+            decode_gif(gif[:k])
+    assert decode_gif(gif[:-1]).shape == (9, 13, 3)
+
+
+# --- MP3 frame-header featurization (r15) ----------------------------
+
+
+def test_mp3_headers_cbr_and_duration():
+    from pql_spark.operators.multimodal import mp3_headers, synth_mp3
+
+    m = mp3_headers(synth_mp3(1, 20))
+    assert m["n_frames"] == 20
+    assert m["sample_rate"] == 44100
+    assert abs(m["duration_sec"] - 20 * 1152 / 44100) < 1e-6
+    assert m["bitrate_kbps_mean"] == 128.0
+    assert not m["vbr"]
+    assert (m["version"], m["layer"], m["channels"]) == ("1", 3, 1)
+
+
+def test_mp3_headers_vbr_id3_and_trailing_garbage():
+    from pql_spark.operators.multimodal import mp3_headers, synth_mp3
+
+    v = mp3_headers(synth_mp3(2, 30, vbr=True))
+    assert v["vbr"] and v["n_frames"] == 30
+    # ID3v2 tag with a syncsafe size is skipped
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+    assert mp3_headers(id3 + synth_mp3(1, 5))["n_frames"] == 5
+    # trailing ID3v1/garbage after the last frame is tolerated
+    assert mp3_headers(synth_mp3(1, 5) + b"TAGjunk")["n_frames"] == 5
+
+
+def test_mp3_headers_refusals():
+    from pql_spark.operators.multimodal import mp3_headers, synth_mp3
+
+    with pytest.raises(ValueError, match="no MPEG audio frame sync"):
+        mp3_headers(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        mp3_headers(b"")
+    # a truncated final frame is dropped, the complete prefix counts
+    full = synth_mp3(1, 4)
+    assert mp3_headers(full[: len(full) - 10])["n_frames"] == 3

@@ -78,6 +78,10 @@ QUERIES = [
 HEAVY = [
     "op_minhash_dups", "op_ngram_jaccard", "op_dedup_clusters",
     "op_hamming_dups", "op_geo_join_scale", "op_curate_corpus",
+    # r15 (VERDICT r14 item 3): the ANN tier's scale story stopped at
+    # sf1 0.46 — the blocked-matmul pair finder gets a measured second
+    # decade (sf10 embeddings materialized via the sign-flip roll)
+    "op_embedding_dups",
 ]
 # floor-dominated rows (VERDICT r12 item 4): their sf1 ratios are
 # sub-1.5 s absolutes over ms-scale oracles, and the "ratio compresses
@@ -86,6 +90,10 @@ HEAVY = [
 FLOOR10 = [
     "pql_sequence_detect", "op_asof_join", "pql_session_count",
     "pql_q1_pricing",
+    # r15 (VERDICT r14 item 3): the one heavy-ish sf1 row over 2×
+    # (2.10, floor-shaped — spark absolute 3.1 s) with no
+    # second-decade evidence that the ratio crosses under the bar
+    "pql_geo_cell",
 ]
 # rows whose sf10 oracle is a cheaper-but-exact scale twin
 # (entrymod.scale_oracle_sql — VERDICT r12 item 5); their values are

@@ -35,7 +35,12 @@ def collect(repo: str = REPO) -> dict:
     ever_red: dict[str, list[int]] = {}
     rows_only: dict[str, int] = {}  # latest round checked without hash
     rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    # r15: the r1-r9 artifact tail lives in archive/ (BENCH_HISTORY.md
+    # indexes it); the cumulative histogram reads both locations
+    paths = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")) + glob.glob(
+        os.path.join(repo, "archive", "CORRECTNESS_r*.json")
+    )
+    for path in sorted(paths, key=os.path.basename):
         rn = int(re.search(r"_r(\d+)\.json$", path).group(1))
         rounds.append(rn)
         with open(path) as f:

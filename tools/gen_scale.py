@@ -20,9 +20,11 @@ k=5).  Near-dup pair count therefore grows LINEARLY with scale (one
 in the replica count — at sf1 (one group) the output is bit-identical
 to the r11 generator.
 Embeddings are rolled by i positions (cosine between replicas of the
-same vector is ~random); sf10 only materializes the heavy-tier tables
-(documents, events) — embeddings roll-by-i is only collision-free for
-i < dim(=64), and no sf10 row reads embeddings or lineitem.
+same vector is ~random); past 64 replicas the roll repeats, so replica
+r additionally sign-flips odd positions when r DIV 64 is odd —
+collision-free at 100 replicas, bit-identical to the old generator at
+≤ 64 (sf10 embeddings joined the set in r15 for the op_embedding_dups
+second-decade row).
 Output: .scratch/<name>/{events,documents,...}.parquet directories
 plus symlinks for the small dimension tables.
 """
@@ -147,20 +149,14 @@ def main(
     replicas: int = 10,
     tables: set[str] | None = None,
 ) -> int:
-    """``tables=None`` → the scale's default set: everything at sf1;
-    the heavy-tier tables (documents, events) plus lineitem at sf10
-    (lineitem joined the sf10 set in r13 for the floor-dominated
-    pql_q1_pricing row; embeddings stay sf1-only — roll-by-i is only
-    collision-free for i < dim(=64), and no sf10 row reads them).
-    Pass an explicit set to (re)materialize just those tables into an
-    existing directory."""
-    heavy_only = replicas > 10
+    """``tables=None`` → the scale's default set: everything at both
+    sf1 and sf10 (lineitem joined the sf10 set in r13 for the
+    floor-dominated pql_q1_pricing row; embeddings joined in r15 for
+    the op_embedding_dups second-decade row, enabled by the
+    sign-flip extension to the roll scheme).  Pass an explicit set to
+    (re)materialize just those tables into an existing directory."""
     if tables is None:
-        tables = (
-            {"events", "documents", "lineitem"}
-            if heavy_only
-            else {"events", "documents", "embeddings", "lineitem"}
-        )
+        tables = {"events", "documents", "embeddings", "lineitem"}
     dst = _SCRATCH / name
     spark = build_session("gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -205,9 +201,22 @@ def main(
         emb = cat("embeddings")
         n_emb = emb.agg(F.max("vec_id")).head()[0] + 1
         dim = emb.select(F.size("embedding")).head()[0]
+        # replica r: roll by r % dim, then sign-flip odd positions for
+        # odd r // dim (r15: roll alone is only collision-free for
+        # r < dim(=64) — at 100 replicas, r and r+64 of one source
+        # vector would be IDENTICAL, planting 36·n_emb spurious exact
+        # dups).  The flip leaves within-replica planted pairs intact
+        # (both members flip the same positions, cosine unchanged) and
+        # makes same-roll cross-group cosine ≈ (Σeven−Σodd)/|v|² ≈ 0.
+        # For replicas ≤ 64 the group index is always 0 and this
+        # reduces bit-exactly to the r3 roll-by-i generator.
         rolled = F.expr(
-            f"concat(slice(embedding, CAST(__r AS INT) + 1, {dim} -"
-            f" CAST(__r AS INT)), slice(embedding, 1, CAST(__r AS INT)))"
+            f"transform(concat("
+            f" slice(embedding, CAST(__r % {dim} AS INT) + 1,"
+            f"       {dim} - CAST(__r % {dim} AS INT)),"
+            f" slice(embedding, 1, CAST(__r % {dim} AS INT))),"
+            f" (x, i) -> IF(__r DIV {dim} % 2 = 1 AND i % 2 = 1,"
+            f"             -x, x))"
         )
         others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
         write(
