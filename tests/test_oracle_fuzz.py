@@ -26,9 +26,13 @@ ordered comparisons, ``/``/``%`` null-on-zero (try_divide/try_mod),
 LEAST/GREATEST, numeric ``bin`` as floor-to-multiple, case-folding
 string predicates with term-split ``has``, literal-list ``in`` (NOT
 null-coalesced), deterministic md5-bucket ``sample by``, key-first
-``summarize`` with null groups, ``top-hitters`` with the key-asc
-tie-break, and KQL null-ordering defaults (asc → nulls first) under
-``sort | serialize | row_number()/prev()``.
+``summarize`` with null groups (one- and two-key forms, HAVING-shaped
+post-aggregate filters, min/max/avg/countif and the distinct family),
+``top-hitters`` with the key-asc tie-break, KQL null-ordering defaults
+(asc → nulls first) under ``sort | serialize | row_number()/prev()``
+and ``sort | take`` over the unique (a, b) key, and ``join
+kind=inner/leftouter`` against an aggregated sub-pipeline (raw-``=``
+null-key semantics, ``$right.<col>`` duplicate naming).
 """
 
 from __future__ import annotations
@@ -183,10 +187,15 @@ class Gen:
             segs.append(f"where {cp}")
             duck = f"SELECT * FROM ({duck}) WHERE {cd}"
         has_e = r.random() < 0.5
+        has_e2 = False
         if has_e:
             ep, ed = self.num()
             segs.append(f"extend e = {ep}")
             duck = f"SELECT *, {ed} AS e FROM ({duck})"
+            if r.random() < 0.25:  # chained extend referencing e
+                has_e2 = True
+                segs.append("extend e2 = (e + a)")
+                duck = f"SELECT *, ((e) + (a)) AS e2 FROM ({duck})"
         if r.random() < 0.3:
             k = r.randint(1, 9)
             rate_k = int((k / 10.0) * float(1 << 32))
@@ -198,7 +207,10 @@ class Gen:
                 " ('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 8))::BIGINT"
                 f" < {rate_k}"
             )
-        shape = r.randint(0, 7 if self.allow_serialize else 6)
+        choices = list(range(9))
+        if not self.allow_serialize:
+            choices.remove(7)  # window order under (a, b) ties
+        shape = r.choice(choices)
         if shape == 0:
             c = r.choice(self.NUM_COLS)
             agg_p, agg_d = r.choice(
@@ -215,16 +227,39 @@ class Gen:
                         f" COALESCE({c} <> 0, FALSE) THEN {c} END)",
                     ),
                     (f"binary_all_or({c})", f"bit_or({c})"),
+                    (f"min({c})", f"min({c})"),
+                    (f"max({c})", f"max({c})"),
+                    (f"avg({c})", f"avg({c})"),
+                    (
+                        f"countif({c} >= 1)",
+                        f"count(CASE WHEN ({c}) >= (1) THEN 1 END)",
+                    ),
                 ]
             )
             hint = r.choice(
                 ["", "hint.shufflekey = s ", "hint.num_partitions = 3 "]
             )
-            segs.append(f"summarize {hint}n = count(), m = {agg_p} by s")
-            duck = (
-                f"SELECT s, count(*) AS n, {agg_d} AS m"
-                f" FROM ({duck}) GROUP BY s"
-            )
+            if r.random() < 0.3:  # two grouping keys, one computed
+                segs.append(
+                    f"summarize {hint}n = count(), m = {agg_p}"
+                    " by s, k2 = bin(a, 2)"
+                )
+                duck = (
+                    "SELECT s, (CAST(floor((a) / 2) AS BIGINT) * 2)"
+                    f" AS k2, count(*) AS n, {agg_d} AS m"
+                    f" FROM ({duck}) GROUP BY s, k2"
+                )
+            else:
+                segs.append(
+                    f"summarize {hint}n = count(), m = {agg_p} by s"
+                )
+                duck = (
+                    f"SELECT s, count(*) AS n, {agg_d} AS m"
+                    f" FROM ({duck}) GROUP BY s"
+                )
+            if r.random() < 0.3:  # HAVING-shaped post-aggregate filter
+                segs.append("where (n >= 2)")
+                duck = f"SELECT * FROM ({duck}) WHERE ((n) >= (2))"
         elif shape == 1:
             vp, vd = self.num()
             segs.append(f"project s, v = {vp}")
@@ -248,13 +283,26 @@ class Gen:
         elif shape == 5:
             vp, vd = self.num()
             segs.append(f"extend v2 = {vp} | project-away a, b")
-            keep = "s, e, v2" if has_e else "s, v2"
+            keep = (
+                "s, e, e2, v2"
+                if has_e2
+                else ("s, e, v2" if has_e else "s, v2")
+            )
             duck = (
                 f"SELECT {keep} FROM"
                 f" (SELECT *, {vd} AS v2 FROM ({duck}))"
             )
         elif shape == 6:
             pass  # leave the row set as-is (columns a, b, s[, e])
+        elif shape == 7 and r.random() < 0.4:
+            # deterministic top-of-order: (a, b) is a unique key on the
+            # synthetic table, so sort|take is a well-defined row set
+            k = r.randint(1, 6)
+            segs.append(f"sort by a asc, b asc | take {k}")
+            duck = (
+                f"SELECT * FROM ({duck}) ORDER BY a ASC NULLS FIRST,"
+                f" b ASC NULLS FIRST LIMIT {k}"
+            )
         elif shape == 7:
             # KQL null-ordering default: asc → nulls FIRST; (a, b)
             # unique on the synthetic table makes the order total
@@ -270,6 +318,22 @@ class Gen:
             duck = (
                 f"SELECT s, row_number() OVER ({w}) AS rn,"
                 f" lag(a) OVER ({w}) AS p FROM ({duck})"
+            )
+        elif shape == 8:
+            # join against an aggregated sub-pipeline of the SOURCE
+            # table: bare `on s` is $left.s == $right.s with RAW = (null
+            # keys match nothing), duplicate right columns are renamed
+            # "$right.<col>" (compiler.py::_join / JoinInner golden)
+            kind = r.choice(["inner", "leftouter"])
+            segs.append(
+                f"join kind={kind}"
+                " (T | summarize cnt = count() by s) on s"
+            )
+            jtype = "LEFT JOIN" if kind == "leftouter" else "JOIN"
+            duck = (
+                f'SELECT l.*, r.s AS "$right.s", r.cnt FROM ({duck}) l'
+                f" {jtype} (SELECT s, count(*) AS cnt FROM"
+                " (SELECT a, b, s FROM T) GROUP BY s) r ON l.s = r.s"
             )
         if r.random() < 0.4:
             segs.append("count")
