@@ -7,11 +7,12 @@ classic uncompressed baseline every tool can produce (``ffmpeg -c:v
 rawvideo -pix_fmt bgr24``, VirtualDub "full frames"): RIFF 'AVI ' with
 one 'vids' stream, BITMAPINFOHEADER ``biCompression=0`` (BI_RGB),
 24-bit bottom-up BGR frames in '00db'/'00dc' movi chunks — plus, since
-r14, Motion-JPEG ('MJPG') streams whose frames are self-contained
-baseline JPEGs decoded by ``_jpeg.py`` (DHT-less legacy MJPEG and
-other codecs — H.264, ... — raise NotImplementedError at the exact
-bitstream boundary, the honest-capability rule used for non-PNG
-images and non-PCM audio).
+r14, Motion-JPEG ('MJPG') streams whose frames are baseline JPEGs
+decoded by ``_jpeg.py`` — both self-contained JFIF frames and, since
+r15, the legacy DHT-less shape that assumes the T.81 Annex K default
+Huffman tables (RFC 2435 Appendix A).  Other codecs — H.264, ... —
+raise NotImplementedError at the exact bitstream boundary, the
+honest-capability rule used for non-PNG images and non-PCM audio.
 
 Layout written by :func:`encode_avi` (and accepted, plus tolerant
 chunk-walking of unknown chunks, by :func:`decode_avi`)::
@@ -78,16 +79,17 @@ def _list(fourcc: bytes, payload: bytes) -> bytes:
 
 
 def encode_avi(
-    frames, fps: int = 10, codec: str = "DIB", quality: int = 90
+    frames, fps: int = 10, codec: str = "DIB", quality: int = 90,
+    mjpeg_dht: bool = True,
 ) -> bytes:
     """List of HxWx3 uint8 RGB frames → a valid AVI file.
 
     ``codec="DIB"`` (default): uncompressed BI_RGB 24-bit bottom-up
     frames.  ``codec="MJPG"``: Motion-JPEG — each frame is a complete
     baseline JFIF JPEG (``_jpeg.py``, tables carried in-stream per
-    frame, so any player and our own decoder can read it without the
-    out-of-band Annex-K-tables convention some legacy MJPEG files
-    rely on)."""
+    frame by default).  ``mjpeg_dht=False`` writes the legacy DHT-less
+    frame shape instead (Annex K tables assumed by the reader, the
+    RFC 2435 convention) — ``decode_avi`` handles both."""
     frames = list(frames)
     if not frames:
         raise ValueError("encode_avi: need at least one frame")
@@ -99,7 +101,12 @@ def encode_avi(
     if codec == "MJPG":
         from ._jpeg import encode_jpeg
 
-        dibs = [encode_jpeg(f, quality=quality) for f in frames]
+        jpeg_opts = (
+            {} if mjpeg_dht else {"tables": "annex_k", "omit_dht": True}
+        )
+        dibs = [
+            encode_jpeg(f, quality=quality, **jpeg_opts) for f in frames
+        ]
         frame_bytes = max(len(d) for d in dibs)
     else:
         dibs = [_frame_to_dib(f) for f in frames]
@@ -274,20 +281,15 @@ def decode_avi(payload: bytes):
     if compression == _MJPG_FOURCC:
         from ._jpeg import decode_jpeg
 
-        decoded = []
-        for b, s in chunks:
-            try:
-                decoded.append(decode_jpeg(data[b:b + s]))
-            except ValueError as e:
-                if "DHT" in str(e):
-                    raise NotImplementedError(
-                        "decode_avi: this MJPG stream carries frames"
-                        " without in-stream Huffman tables (the legacy"
-                        " out-of-band Annex-K convention); only"
-                        " self-contained JFIF frames are supported"
-                    ) from e
-                raise
-        frames = np.stack(decoded)
+        # default_huffman: legacy MJPEG frames may omit DHT entirely
+        # (the out-of-band Annex-K convention, RFC 2435 Appendix A) —
+        # in-stream tables still take precedence when present
+        frames = np.stack(
+            [
+                decode_jpeg(data[b:b + s], default_huffman=True)
+                for b, s in chunks
+            ]
+        )
     else:
         frames = np.stack(
             [

@@ -4,23 +4,33 @@ The image twin of ``_png.py``/``_avi.py``: a REAL compressed bitstream
 format written and read without Pillow/libjpeg, so the multimodal image
 tier covers the dominant real-world format end-to-end.  Scope:
 
-* **decode** — baseline sequential DCT (SOF0): any number of DQT/DHT
+* **decode** — baseline sequential DCT (SOF0/SOF1) AND, since r15,
+  Huffman progressive DCT (SOF2, the full T.81 Annex G repertoire:
+  spectral selection, successive approximation for DC and AC, EOB
+  runs, interleaved/non-interleaved DC scans): any number of DQT/DHT
   tables (8-bit quantizers, arbitrary canonical Huffman tables — the
   Annex K standard tables real encoders emit decode through the same
-  generic DHT path), component sampling factors 1-2 in each axis
-  (4:4:4 / 4:2:2 / 4:2:0), greyscale or YCbCr, restart markers (DRI /
-  RSTn), APPn/COM segments skipped.  Progressive (SOF2), arithmetic
-  coding, 12-bit precision, and 16-bit quantizers raise
-  ``NotImplementedError`` at the exact bitstream boundary — the honest
-  codec rule used for non-PNG images and compressed AVI streams.
+  generic DHT path, and ``default_huffman=True`` supplies them for
+  DHT-less legacy MJPEG frames), component sampling factors 1-2 in
+  each axis (4:4:4 / 4:2:2 / 4:2:0), greyscale or YCbCr, restart
+  markers (DRI / RSTn), APPn/COM segments skipped.  Arithmetic
+  coding, lossless/hierarchical modes, 12-bit precision, and 16-bit
+  quantizers raise ``NotImplementedError`` at the exact bitstream
+  boundary — the honest codec rule used for non-PNG images and
+  compressed AVI streams.
 * **encode** — baseline SOF0 with IJG-style quality scaling of the
   Annex K quantization matrices, 4:4:4 or 4:2:0 chroma subsampling,
-  optional restart intervals.  The entropy tables are simple LEGAL
-  canonical Huffman tables built here (all DC codes 4 bits, all AC
-  codes 9 bits — prefix-free, all-ones codeword unused) rather than a
+  optional restart intervals; ``encode_jpeg_progressive`` emits SOF2
+  scan scripts (per the G.4-G.7 flowcharts, EOB-run + buffered
+  correction bits) whose full decode is bit-identical to the baseline
+  path.  The default entropy tables are simple LEGAL canonical
+  Huffman tables built here (all DC codes 4 bits, all AC codes 9
+  bits — prefix-free, all-ones codeword unused) rather than a
   transcription of the Annex K defaults: any canonical table carried
   in DHT is valid JPEG, the decoder side is fully general either way,
-  and a generated table cannot be mistyped.
+  and a generated table cannot be mistyped.  ``tables="annex_k"``
+  selects the spec's typical tables instead (with ``omit_dht=True``
+  for the DHT-less legacy MJPEG frame shape).
 
 The DCT is an exact 8×8 matrix product (float64), so
 encode→decode loses only quantization: the test suite proves the
@@ -115,6 +125,85 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
         (length, code): sym
         for sym, (code, length) in _canonical_codes(bits, vals).items()
     }
+
+
+# ---------------------------------------------------------------------
+# ITU-T T.81 Annex K "typical" Huffman tables (Tables K.3-K.6), as
+# BITS/HUFFVAL lists straight from the public spec (also reproduced in
+# RFC 2435 Appendix A for RTP/JPEG).  Two uses: (a) the legacy MJPEG
+# convention where AVI frames omit DHT entirely and the decoder is
+# expected to supply these defaults; (b) an encoder table choice that
+# produces interoperable DHT-less frames for that convention.
+
+_K_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_LUM_VALS = list(range(12))
+_K_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_K_DC_CHR_VALS = list(range(12))
+_K_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_K_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_K_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+# the four (BITS, HUFFVAL) pairs keyed like DHT (tc, th): luminance is
+# destination 0, chrominance destination 1 — the assignment every
+# Annex-K-convention encoder (and our SOS emission) uses
+_ANNEX_K_SPECS = {
+    (0, 0): (_K_DC_LUM_BITS, _K_DC_LUM_VALS),
+    (0, 1): (_K_DC_CHR_BITS, _K_DC_CHR_VALS),
+    (1, 0): (_K_AC_LUM_BITS, _K_AC_LUM_VALS),
+    (1, 1): (_K_AC_CHR_BITS, _K_AC_CHR_VALS),
+}
+_ANNEX_K_DEC = {
+    key: _decode_table(bits, vals)
+    for key, (bits, vals) in _ANNEX_K_SPECS.items()
+}
+_ANNEX_K_ENC = {
+    key: _canonical_codes(bits, vals)
+    for key, (bits, vals) in _ANNEX_K_SPECS.items()
+}
 
 
 # encoder-side tables: every DC symbol (category 0..11) gets a 4-bit
@@ -314,8 +403,25 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "420",
     restart_interval: int = 0,
+    tables: str = "fast",
+    omit_dht: bool = False,
 ) -> bytes:
-    """uint8 (H, W) grey or (H, W, 3) RGB → baseline JFIF JPEG bytes."""
+    """uint8 (H, W) grey or (H, W, 3) RGB → baseline JFIF JPEG bytes.
+
+    ``tables="fast"`` (default) entropy-codes with the generated
+    simple tables below; ``tables="annex_k"`` uses the T.81 Annex K
+    typical tables (luminance destination 0, chrominance 1).
+    ``omit_dht=True`` (requires ``tables="annex_k"``) drops the DHT
+    segments entirely — the legacy MJPEG frame shape that
+    ``decode_jpeg(default_huffman=True)`` reads back."""
+    if tables not in ("fast", "annex_k"):
+        raise ValueError(f"encode_jpeg: unknown tables={tables!r}")
+    if omit_dht and tables != "annex_k":
+        raise ValueError(
+            "encode_jpeg: omit_dht requires tables='annex_k' — a"
+            " DHT-less frame is only decodable via the Annex K"
+            " default-table convention"
+        )
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     comps, factors, qts = quantized_planes(img, quality, subsample)
@@ -336,13 +442,29 @@ def encode_jpeg(
     for cid, (fh, fv) in zip((1, 2, 3), factors):
         sof += bytes([cid, (fh << 4) | fv, 0 if cid == 1 else 1])
     out += seg(0xC0, sof)
-    for tc_th, bits, vals in (
-        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
-        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
-        (0x01, _ENC_DC_BITS, _ENC_DC_VALS),
-        (0x11, _ENC_AC_BITS, _ENC_AC_VALS),
-    ):
-        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if tables == "annex_k":
+        dht_specs = [
+            ((tc << 4) | th, bits, vals)
+            for (tc, th), (bits, vals) in sorted(_ANNEX_K_SPECS.items())
+        ]
+        # per-component code dicts follow the SOS destinations below:
+        # cid 1 (luminance) → tables 0, cids 2-3 (chroma) → tables 1
+        comp_codes = [
+            (_ANNEX_K_ENC[(0, 0)], _ANNEX_K_ENC[(1, 0)]),
+            (_ANNEX_K_ENC[(0, 1)], _ANNEX_K_ENC[(1, 1)]),
+            (_ANNEX_K_ENC[(0, 1)], _ANNEX_K_ENC[(1, 1)]),
+        ]
+    else:
+        dht_specs = [
+            (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
+            (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
+            (0x01, _ENC_DC_BITS, _ENC_DC_VALS),
+            (0x11, _ENC_AC_BITS, _ENC_AC_VALS),
+        ]
+        comp_codes = [(_ENC_DC_CODES, _ENC_AC_CODES)] * 3
+    if not omit_dht:
+        for tc_th, bits, vals in dht_specs:
+            out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
@@ -381,8 +503,7 @@ def encode_jpeg(
                         idx = row * widths[ci] + col
                         zz = coef[idx].reshape(-1)[ZIGZAG]
                         preds[ci] = _encode_block(
-                            writer, zz, preds[ci],
-                            _ENC_DC_CODES, _ENC_AC_CODES,
+                            writer, zz, preds[ci], *comp_codes[ci]
                         )
             mcus_done += 1
     writer.flush()
@@ -431,9 +552,18 @@ def decode_jpeg_quantized(payload: bytes) -> dict[int, np.ndarray]:
 
 
 def decode_jpeg(
-    payload: bytes, _return_quantized: bool = False
+    payload: bytes,
+    _return_quantized: bool = False,
+    default_huffman: bool = False,
 ) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (grey replicated)."""
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (grey replicated).
+
+    ``default_huffman=True`` supplies the T.81 Annex K typical tables
+    for any Huffman destination a scan references without a preceding
+    DHT — the legacy MJPEG convention (RFC 2435 Appendix A) where AVI
+    frames ship entropy data only.  Standalone JFIF decoding stays
+    strict (missing DHT is a ``ValueError``) so malformed files are
+    not silently guessed at."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: not a JPEG (no SOI)")
@@ -444,6 +574,8 @@ def decode_jpeg(
     restart_interval = 0
     result_planes: dict[int, np.ndarray] = {}
     comp_scan: list[tuple] = []
+    progressive = False
+    prog_coefs: dict[int, np.ndarray] | None = None
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -478,7 +610,8 @@ def decode_jpeg(
                 vals = list(body[i + 17 : i + 17 + nv])
                 huffs[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / prog
+            progressive = marker == 0xC2
             prec, fh_, fw_, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(
@@ -495,12 +628,13 @@ def decode_jpeg(
                     )
                 comps.append((cid, fh, fv, tq))
             frame = (fh_, fw_, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "decode_jpeg: only baseline sequential DCT (SOF0/SOF1)"
-                f" is supported (got SOF marker 0x{marker:02X} —"
-                " progressive/arithmetic/lossless need libjpeg,"
+                "decode_jpeg: only baseline sequential (SOF0/SOF1) and"
+                " progressive (SOF2) Huffman DCT are supported (got"
+                f" SOF marker 0x{marker:02X} — arithmetic coding,"
+                " lossless, and hierarchical modes need libjpeg,"
                 " unavailable in this environment)"
             )
         elif marker == 0xDD:  # DRI
@@ -518,11 +652,31 @@ def decode_jpeg(
                     (cid, fh, fv, tq, tabs >> 4, tabs & 0xF)
                 )
             segs, pos = _split_scan(data, pos)
-            result_planes = _decode_scan(
-                frame, comp_scan, segs, huffs, restart_interval
-            )
+            if progressive:
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                approx = body[3 + 2 * ns]
+                if prog_coefs is None:
+                    prog_coefs = _init_prog_coefs(frame)
+                _decode_scan_progressive(
+                    frame, comp_scan, segs, huffs, restart_interval,
+                    prog_coefs, ss_, se_, approx >> 4, approx & 0xF,
+                    default_huffman=default_huffman,
+                )
+            else:
+                result_planes = _decode_scan(
+                    frame, comp_scan, segs, huffs, restart_interval,
+                    default_huffman=default_huffman,
+                )
         # all other markers (APPn, COM): skipped via their length
 
+    if progressive and prog_coefs is not None:
+        # all scans accumulated: de-zigzag once into the (rb, cb, 8, 8)
+        # natural-order block grids the shared assembly below expects
+        for cid, zz_grid in prog_coefs.items():
+            nat = np.zeros(zz_grid.shape, dtype=np.int32)
+            nat[..., ZIGZAG] = zz_grid
+            bv, bh = zz_grid.shape[:2]
+            result_planes[cid] = nat.reshape(bv, bh, 8, 8)
     if frame is None or not result_planes:
         raise ValueError("decode_jpeg: no frame decoded")
     H, W, comps = frame
@@ -556,7 +710,10 @@ def decode_jpeg(
     )
 
 
-def _decode_scan(frame, comp_scan, segs, huffs, restart_interval):
+def _decode_scan(
+    frame, comp_scan, segs, huffs, restart_interval,
+    default_huffman=False,
+):
     """→ {component_id: (rows, cols, 8, 8) int32 quantized blocks in
     natural order}.  Dequantization + batched IDCT happen in the
     caller so the quantized coefficients stay observable for the
@@ -589,6 +746,11 @@ def _decode_scan(frame, comp_scan, segs, huffs, restart_interval):
         for cid, fh, fv, _tq, td, ta in comp_scan:
             dc_tab = huffs.get((0, td))
             ac_tab = huffs.get((1, ta))
+            if default_huffman:
+                if dc_tab is None:
+                    dc_tab = _ANNEX_K_DEC.get((0, td))
+                if ac_tab is None:
+                    ac_tab = _ANNEX_K_DEC.get((1, ta))
             if dc_tab is None or ac_tab is None:
                 raise ValueError("decode_jpeg: scan references missing DHT")
             for by in range(fv):
@@ -622,3 +784,473 @@ def _decode_scan(frame, comp_scan, segs, huffs, restart_interval):
                         8, 8
                     )
     return coefs
+
+
+# ---------------------------------------------------------------------
+# progressive mode (SOF2) — ITU-T T.81 Annex G.  Scans accumulate into
+# per-component zigzag-order coefficient grids; dequantization + IDCT
+# run once at EOI through the same assembly path as baseline.
+
+
+def _comp_block_dims(frame, fh: int, fv: int) -> tuple[int, int]:
+    """Used (non-interleaved) block grid of one component: blocks over
+    ceil(W·fh/max_h) × ceil(H·fv/max_v) samples (T.81 A.1.1) — may be
+    smaller than the MCU-padded storage grid."""
+    H, W, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    sw = -(-W * fh // max_h)
+    sh = -(-H * fv // max_v)
+    return -(-sh // 8), -(-sw // 8)
+
+
+def _init_prog_coefs(frame) -> dict[int, np.ndarray]:
+    """{cid: (bv, bh, 64) int32 zigzag-order grids}, MCU-padded."""
+    H, W, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcu_cols = -(-W // (8 * max_h))
+    mcu_rows = -(-H // (8 * max_v))
+    return {
+        cid: np.zeros((mcu_rows * fv, mcu_cols * fh, 64), dtype=np.int32)
+        for cid, fh, fv, _tq in comps
+    }
+
+
+def _refine_nonzero(blk, k: int, reader, p1: int, m1: int) -> None:
+    """One correction bit for an already-nonzero coefficient."""
+    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+        blk[k] += p1 if blk[k] >= 0 else m1
+
+
+def _decode_scan_progressive(
+    frame, comp_scan, segs, huffs, restart_interval,
+    coefs, ss, se, ah, al, default_huffman=False,
+):
+    """One progressive scan, updating ``coefs`` in place.
+
+    Covers the full Annex G Huffman progressive repertoire: DC first
+    pass (interleaved or single-component) and DC successive-
+    approximation refinement (raw bits, no Huffman table), AC first
+    pass with EOB runs and ZRL, AC refinement with interleaved
+    correction bits, restart intervals (predictors and the EOB run
+    reset per T.81 G.1.2.3)."""
+    if ss == 0 and se != 0:
+        raise ValueError("decode_jpeg: progressive DC scan needs Se=0")
+    if ss > 0 and len(comp_scan) != 1:
+        raise ValueError(
+            "decode_jpeg: progressive AC scans are single-component"
+        )
+    if se > 63 or ss > se:
+        raise ValueError("decode_jpeg: bad spectral selection")
+
+    def resolve(tc, th):
+        tab = huffs.get((tc, th))
+        if tab is None and default_huffman:
+            tab = _ANNEX_K_DEC.get((tc, th))
+        if tab is None:
+            raise ValueError("decode_jpeg: scan references missing DHT")
+        return tab
+
+    state = {
+        "seg": 0,
+        "reader": _BitReader(segs[0]),
+        "eobrun": 0,
+        "preds": {cid: 0 for cid, *_ in comp_scan},
+    }
+
+    def restart():
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise ValueError("decode_jpeg: missing restart segment in scan")
+        state["reader"] = _BitReader(segs[state["seg"]])
+        state["eobrun"] = 0
+        for cid in state["preds"]:
+            state["preds"][cid] = 0
+
+    p1, m1 = 1 << al, -(1 << al)
+
+    def dc_first(blk, cid, dc_tab):
+        r = state["reader"]
+        size = r.huff(dc_tab)
+        if size > 11:
+            raise ValueError("decode_jpeg: bad DC category")
+        state["preds"][cid] += _extend(r.receive(size), size)
+        blk[0] = state["preds"][cid] << al
+
+    def dc_refine(blk):
+        if state["reader"].read_bit():
+            blk[0] |= p1
+
+    def ac_first(blk, ac_tab):
+        r_ = state["reader"]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = r_.huff(ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r_.receive(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("decode_jpeg: AC run overflows band")
+            blk[k] = _extend(r_.receive(size), size) << al
+            k += 1
+
+    def ac_refine(blk, ac_tab):
+        r_ = state["reader"]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = r_.huff(ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += r_.receive(run)
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            "decode_jpeg: bad refinement magnitude"
+                        )
+                    val = p1 if r_.read_bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        _refine_nonzero(blk, k, r_, p1, m1)
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError(
+                            "decode_jpeg: refinement run overflows band"
+                        )
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k]:
+                    _refine_nonzero(blk, k, r_, p1, m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:
+        dc_tabs = {
+            cid: (resolve(0, td) if ah == 0 else None)
+            for cid, _fh, _fv, _tq, td, _ta in comp_scan
+        }
+    else:
+        cid0, _fh, _fv, _tq, _td, ta0 = comp_scan[0]
+        ac_tab = resolve(1, ta0)
+
+    if ss == 0 and len(comp_scan) > 1:
+        # interleaved DC scan over the MCU grid
+        H, W, fcomps = frame
+        max_h = max(c[1] for c in fcomps)
+        max_v = max(c[2] for c in fcomps)
+        mcu_cols = -(-W // (8 * max_h))
+        mcu_rows = -(-H // (8 * max_v))
+        for m in range(mcu_cols * mcu_rows):
+            if restart_interval and m and m % restart_interval == 0:
+                restart()
+            my, mx = divmod(m, mcu_cols)
+            for cid, fh, fv, _tq, _td, _ta in comp_scan:
+                for by in range(fv):
+                    for bx in range(fh):
+                        blk = coefs[cid][my * fv + by, mx * fh + bx]
+                        if ah == 0:
+                            dc_first(blk, cid, dc_tabs[cid])
+                        else:
+                            dc_refine(blk)
+    else:
+        # non-interleaved: one component, its used block grid
+        cid, fh, fv, _tq, _td, _ta = comp_scan[0]
+        bh_, bw_ = _comp_block_dims(frame, fh, fv)
+        for u in range(bh_ * bw_):
+            if restart_interval and u and u % restart_interval == 0:
+                restart()
+            by, bx = divmod(u, bw_)
+            blk = coefs[cid][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    dc_first(blk, cid, dc_tabs[cid])
+                else:
+                    dc_refine(blk)
+            elif ah == 0:
+                ac_first(blk, ac_tab)
+            else:
+                ac_refine(blk, ac_tab)
+
+
+# progressive encoder AC table: the baseline 162-symbol alphabet plus
+# the EOBn run symbols (n = 1..14) progressive scans emit; 176 codes
+# of 9 bits — canonical, prefix-free, all-ones codeword unused
+_ENC_AC_PROG_VALS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_ENC_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_PROG_VALS),
+                     0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_PROG_CODES = _canonical_codes(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
+
+
+def _default_prog_scans(ncomp: int) -> list[tuple]:
+    """A libjpeg-style scan script: DC approximation first, split AC
+    bands, successive-approximation refinements down to full
+    precision — so a full decode is bit-identical to baseline."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "420",
+    restart_interval: int = 0,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """uint8 (H, W) grey or (H, W, 3) RGB → progressive (SOF2) JPEG.
+
+    ``scans`` is a list of ``(comp_indices, ss, se, ah, al)`` tuples
+    (T.81 Annex G scan script; component indices are 0-based into the
+    Y/Cb/Cr planes).  The default script takes every coefficient down
+    to approximation 0, so decoding the result is bit-identical to
+    decoding the baseline ``encode_jpeg`` output at the same settings
+    — the roundtrip test exploits exactly that.  Emission mirrors the
+    spec's flowcharts (G.4-G.7): EOB-run accumulation with buffered
+    correction bits, ZRL folding, per-scan restart intervals."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    comps, factors, qts = quantized_planes(img, quality, subsample)
+    if scans is None:
+        scans = _default_prog_scans(3)
+    max_h = max(f[0] for f in factors)
+    max_v = max(f[1] for f in factors)
+    mcu_cols = -(-w // (8 * max_h))
+    mcu_rows = -(-h // (8 * max_v))
+    # zigzag-order coefficient grids, MCU-padded (plane-raster blocks
+    # of the padded plane == the padded MCU grid for 444/420)
+    zz_grids = []
+    for coef, (fh, fv) in zip(comps, factors):
+        bv, bh = mcu_rows * fv, mcu_cols * fh
+        zz_grids.append(
+            coef.reshape(bv * bh, 64)[:, ZIGZAG].reshape(bv, bh, 64)
+        )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qt in enumerate(qts):
+        z = qt.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        out += seg(0xDB, bytes([tid]) + z)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (fh, fv) in zip((1, 2, 3), factors):
+        sof += bytes([cid, (fh << 4) | fv, 0 if cid == 1 else 1])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(
+        0xC4,
+        b"\x10" + bytes(_ENC_AC_PROG_BITS) + bytes(_ENC_AC_PROG_VALS),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    fhv = {ci: factors[ci] for ci in range(3)}
+    used_dims = []
+    for ci in range(3):
+        fh, fv = fhv[ci]
+        sw = -(-w * fh // max_h)
+        sh = -(-h * fv // max_v)
+        used_dims.append((-(-sh // 8), -(-sw // 8)))
+
+    for comp_idx, ss, se, ah, al in scans:
+        ns = len(comp_idx)
+        if ss == 0 and se != 0:
+            raise ValueError("encode_jpeg_progressive: DC scan needs Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError(
+                "encode_jpeg_progressive: AC scans are single-component"
+            )
+        sos = bytes([ns])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+
+        wtr = _BitWriter()
+        ebr = {"n": 0, "bits": []}
+        preds = {ci: 0 for ci in comp_idx}
+        rst = {"i": 0}
+
+        def emit_sym(sym):
+            code, length = _ENC_AC_PROG_CODES[sym]
+            wtr.put(code, length)
+
+        def flush_eobrun():
+            if ebr["n"] > 0:
+                nb = ebr["n"].bit_length() - 1
+                emit_sym(nb << 4)
+                if nb:
+                    wtr.put(ebr["n"] - (1 << nb), nb)
+                for b in ebr["bits"]:
+                    wtr.put(b, 1)
+                ebr["n"] = 0
+                ebr["bits"] = []
+
+        def restart_boundary():
+            nonlocal wtr
+            flush_eobrun()
+            wtr.flush()
+            out.extend(wtr.out)
+            out.extend(bytes([0xFF, 0xD0 + rst["i"]]))
+            rst["i"] = (rst["i"] + 1) % 8
+            wtr = _BitWriter()
+            for ci in preds:
+                preds[ci] = 0
+
+        def enc_dc_first(blkzz, ci):
+            v = int(blkzz[0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _category(diff)
+            code, length = _ENC_DC_CODES[size]
+            wtr.put(code, length)
+            if size:
+                wtr.put(
+                    diff if diff >= 0 else diff + (1 << size) - 1, size
+                )
+
+        def enc_dc_refine(blkzz):
+            wtr.put((int(blkzz[0]) >> al) & 1, 1)
+
+        def enc_ac_first(blkzz):
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(blkzz[k])
+                t = (t >> al) if t >= 0 else -((-t) >> al)
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eobrun()
+                while r > 15:
+                    emit_sym(0xF0)
+                    r -= 16
+                size = _category(t)
+                emit_sym((r << 4) | size)
+                wtr.put(t if t >= 0 else t + (1 << size) - 1, size)
+                r = 0
+            if r > 0:
+                ebr["n"] += 1
+                if ebr["n"] == 0x7FFF:
+                    flush_eobrun()
+
+        def enc_ac_refine(blkzz):
+            absv = [abs(int(blkzz[k])) >> al for k in range(ss, se + 1)]
+            eob_pos = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob_pos = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                temp = absv[k - ss]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    flush_eobrun()
+                    emit_sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                flush_eobrun()
+                emit_sym((r << 4) | 1)
+                r = 0
+                wtr.put(1 if int(blkzz[k]) >= 0 else 0, 1)
+                for b in br:
+                    wtr.put(b, 1)
+                br = []
+            if r > 0 or br:
+                ebr["n"] += 1
+                ebr["bits"].extend(br)
+                if ebr["n"] == 0x7FFF:
+                    flush_eobrun()
+
+        def enc_block(blkzz, ci):
+            if ss == 0:
+                if ah == 0:
+                    enc_dc_first(blkzz, ci)
+                else:
+                    enc_dc_refine(blkzz)
+            elif ah == 0:
+                enc_ac_first(blkzz)
+            else:
+                enc_ac_refine(blkzz)
+
+        if ss == 0 and ns > 1:
+            for m in range(mcu_rows * mcu_cols):
+                if restart_interval and m and m % restart_interval == 0:
+                    restart_boundary()
+                my, mx = divmod(m, mcu_cols)
+                for ci in comp_idx:
+                    fh, fv = fhv[ci]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            enc_block(
+                                zz_grids[ci][my * fv + by, mx * fh + bx],
+                                ci,
+                            )
+        else:
+            ci = comp_idx[0]
+            bh_, bw_ = used_dims[ci]
+            for u in range(bh_ * bw_):
+                if restart_interval and u and u % restart_interval == 0:
+                    restart_boundary()
+                by, bx = divmod(u, bw_)
+                enc_block(zz_grids[ci][by, bx], ci)
+
+        flush_eobrun()
+        wtr.flush()
+        out.extend(wtr.out)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -90,11 +90,23 @@ def test_odd_sizes_and_grey():
     assert _psnr(np.stack([grey] * 3, -1), out) > 30.0
 
 
-def test_progressive_refused():
+def test_mislabeled_progressive_rejected():
+    # a baseline stream whose SOF marker is flipped to SOF2 is
+    # malformed: its single scan covers ss=0..se=63, which progressive
+    # mode forbids (DC scans need Se=0) — clean ValueError, not a
+    # silent mis-decode
     buf = bytearray(encode_jpeg(_img(4), quality=80))
     i = buf.find(b"\xff\xc0")
     buf[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(buf))
+
+
+def test_arithmetic_sof_refused():
+    buf = bytearray(encode_jpeg(_img(4), quality=80))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(buf))
 
 
@@ -135,23 +147,78 @@ def test_mjpeg_avi_roundtrip():
         assert _psnr(frames[i], out[i]) > 30.0
 
 
-def test_mjpeg_dht_less_frames_refused():
-    # legacy MJPEG convention: frames without in-stream Huffman tables
+def test_annex_k_tables_match_spec():
+    # spot-check the generated canonical codewords against the
+    # expanded code tables printed in ITU-T T.81 itself (Annex K) —
+    # independent of our own roundtrip, so a transcription error in
+    # the BITS/HUFFVAL lists cannot self-consistently hide
+    from pql_spark.operators._jpeg import _ANNEX_K_ENC, _ANNEX_K_SPECS
+
+    for (_tc, _th), (bits, vals) in _ANNEX_K_SPECS.items():
+        assert sum(bits) == len(vals)
+    dc_lum = _ANNEX_K_ENC[(0, 0)]
+    assert dc_lum[0] == (0b00, 2)
+    assert dc_lum[5] == (0b110, 3)
+    assert dc_lum[11] == (0b111111110, 9)
+    dc_chr = _ANNEX_K_ENC[(0, 1)]
+    assert dc_chr[0] == (0b00, 2)
+    assert dc_chr[2] == (0b10, 2)
+    assert dc_chr[11] == (0b11111111110, 11)
+    ac_lum = _ANNEX_K_ENC[(1, 0)]
+    assert ac_lum[0x01] == (0b00, 2)
+    assert ac_lum[0x00] == (0b1010, 4)         # EOB
+    assert ac_lum[0x11] == (0b1100, 4)
+    assert ac_lum[0xF0] == (0b11111111001, 11)  # ZRL
+    assert ac_lum[0xFA] == (0xFFFE, 16)
+    ac_chr = _ANNEX_K_ENC[(1, 1)]
+    assert ac_chr[0x00] == (0b00, 2)           # EOB
+    assert ac_chr[0x01] == (0b01, 2)
+    assert ac_chr[0xF0] == (0b1111111010, 10)  # ZRL
+    assert ac_chr[0xFA] == (0xFFFE, 16)
+
+
+def test_jpeg_annex_k_tables_pixel_identical():
+    # same quantized data, different entropy tables → the decoded
+    # pixels must be bit-identical; the DHT-carrying Annex K frame
+    # exercises the generic table parser with the real-world defaults
+    img = _img(3)
+    fast = decode_jpeg(encode_jpeg(img, quality=85))
+    kk = decode_jpeg(encode_jpeg(img, quality=85, tables="annex_k"))
+    assert (fast == kk).all()
+
+
+def test_jpeg_omit_dht_strict_vs_default_huffman():
+    img = _img(6)
+    with_dht = encode_jpeg(img, quality=88, tables="annex_k")
+    bare = encode_jpeg(img, quality=88, tables="annex_k", omit_dht=True)
+    assert b"\xff\xc4" in with_dht and b"\xff\xc4" not in bare
+    # standalone JFIF decoding stays strict: no silent table guessing
+    with pytest.raises(ValueError, match="missing DHT"):
+        decode_jpeg(bare)
+    out = decode_jpeg(bare, default_huffman=True)
+    assert (out == decode_jpeg(with_dht)).all()
+    # omit_dht only makes sense under the Annex K convention
+    with pytest.raises(ValueError, match="annex_k"):
+        encode_jpeg(img, omit_dht=True)
+
+
+def test_mjpeg_dht_less_avi_decodes():
+    # legacy MJPEG convention: frames without in-stream Huffman
+    # tables decode via the Annex K defaults (RFC 2435 Appendix A)
     from pql_spark.operators._avi import decode_avi, encode_avi
 
-    avi = bytearray(encode_avi([_img(1)], codec="MJPG"))
-    # turn every DHT segment of the embedded frame into a COM segment
-    # (same length, so the container sizes stay valid; the decoder
-    # skips COM and then hits the scan with no Huffman tables)
-    i = 0
-    while True:
-        i = avi.find(b"\xff\xc4", i)
-        if i < 0:
-            break
-        avi[i + 1] = 0xFE
-        i += 2
-    with pytest.raises(NotImplementedError, match="Huffman"):
-        decode_avi(bytes(avi))
+    frames = [_img(k, 32, 48) for k in range(3)]
+    avi = encode_avi(frames, fps=10, codec="MJPG", quality=92,
+                     mjpeg_dht=False)
+    assert b"\xff\xc4" not in avi  # truly DHT-less frames
+    out, fps = decode_avi(avi)
+    assert fps == 10.0 and out.shape == (3, 32, 48, 3)
+    carried, _ = decode_avi(
+        encode_avi(frames, fps=10, codec="MJPG", quality=92)
+    )
+    assert (out == carried).all()
+    for i in range(3):
+        assert _psnr(frames[i], out[i]) > 30.0
 
 
 def test_image_decoder_auto_sniffs_magic():
@@ -256,3 +323,108 @@ def test_decoder_handles_annexk_standard_tables():
     j = p.find(b"\xff\xda")
     p2 = bytes(p[:j]) + dht + bytes(p[j:])
     assert (decode_jpeg(p2) == decode_jpeg(bytes(p))).all()
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2)
+
+
+def test_progressive_full_decode_matches_baseline():
+    # the default scan script takes every coefficient to approximation
+    # 0, so the decoded pixels must be BIT-IDENTICAL to the baseline
+    # encoding of the same quantized planes — this exercises DC first/
+    # refine, split AC bands, AC refinement with EOB runs in one shot
+    from pql_spark.operators._jpeg import encode_jpeg_progressive
+
+    for sub in ("444", "420"):
+        img = _img(11, 40, 56)  # 40 px: used grid < padded MCU grid
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        prog_payload = encode_jpeg_progressive(
+            img, quality=85, subsample=sub
+        )
+        assert b"\xff\xc2" in prog_payload
+        prog = decode_jpeg(prog_payload)
+        assert (prog == base).all(), sub
+
+
+def test_progressive_quantized_grids_match_baseline():
+    # stronger than pixels: the accumulated coefficient grids after
+    # all scans equal the single-scan baseline grids exactly
+    from pql_spark.operators._jpeg import (
+        decode_jpeg_quantized,
+        encode_jpeg_progressive,
+    )
+
+    img = _img(12, 32, 48)
+    qb = decode_jpeg_quantized(encode_jpeg(img, quality=80))
+    qp = decode_jpeg_quantized(encode_jpeg_progressive(img, quality=80))
+    assert sorted(qb) == sorted(qp)
+    for cid in qb:
+        assert (qb[cid] == qp[cid]).all(), cid
+
+
+def test_progressive_grey_input_matches_baseline():
+    img = _img(13, 24, 40)[..., 0]  # 2-D grey
+    from pql_spark.operators._jpeg import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert (prog == base).all()
+
+
+def test_progressive_single_component_scan_script():
+    # non-interleaved DC scans + luma-only AC: for grey input the
+    # chroma planes quantize to all-zero blocks, so skipping their AC
+    # scans is lossless and the result still matches baseline
+    from pql_spark.operators._jpeg import (
+        _default_prog_scans,
+        encode_jpeg_progressive,
+    )
+
+    img = _img(14, 16, 24)[..., 1]
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=75, scans=_default_prog_scans(1)
+        )
+    )
+    assert (prog == base).all()
+
+
+def test_progressive_spectral_selection_only():
+    # a no-successive-approximation script (Ah=Al=0 everywhere)
+    from pql_spark.operators._jpeg import encode_jpeg_progressive
+
+    img = _img(15, 32, 32)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 5, 0, 0),
+        ([0], 6, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=92, subsample="444"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=92, subsample="444", scans=scans
+        )
+    )
+    assert (prog == base).all()
+
+
+def test_progressive_restart_intervals():
+    from pql_spark.operators._jpeg import encode_jpeg_progressive
+
+    img = _img(16, 48, 64)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    payload = encode_jpeg_progressive(img, quality=85, restart_interval=2)
+    assert b"\xff\xd0" in payload  # RST0 present
+    assert (decode_jpeg(payload) == base).all()
+
+
+def test_progressive_truncated_raises_clean():
+    from pql_spark.operators._jpeg import encode_jpeg_progressive
+
+    payload = encode_jpeg_progressive(_img(17), quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) * 2 // 3])
