@@ -1,9 +1,14 @@
 """Pure-stdlib GIF codec (struct + numpy): GIF87a/GIF89a decode with
 real variable-width LZW, global/local color tables, interlacing, and
-extension skipping; first frame of animated files.  The encoder writes
-single-frame GIF89a with a true LZW compressor over a ≤256-color
-palette (GIF is lossless for palettized images, so roundtrips are
-bit-exact — the test discipline used for ``_png.py``).
+extension skipping.  :func:`decode_gif` yields the first image (the
+still-image contract); :func:`decode_gif_frames` (r15) composites the
+FULL animation — per-frame disposal methods, transparency indexes,
+sub-rect placement, GCE delays.  The encoders write single-frame
+GIF89a (:func:`encode_gif`) and multi-frame animations with per-frame
+local palettes (:func:`encode_gif_animated`), both with a true LZW
+compressor over ≤256-color palettes (GIF is lossless for palettized
+images, so roundtrips are bit-exact — the test discipline used for
+``_png.py``).
 
 Reference: the public GIF89a specification (W3C/CompuServe) — no
 reference-repo counterpart; the reference engine has no media codecs.
@@ -259,4 +264,215 @@ def encode_gif(arr: np.ndarray) -> bytes:
         chunk = lzw[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# animation (GIF89a): full multi-frame decode with disposal
+# compositing, and a multi-frame encoder for locally produced twins
+
+
+def _parse_image_block(
+    data: bytes, pos: int, gct
+) -> tuple[np.ndarray, int, int, int, int, int]:
+    """One image descriptor + optional LCT + LZW data starting at the
+    0x2C byte → (palette-index rows (h, w) after deinterlacing, left,
+    top, new pos, palette array, n/a) — shared by the still and
+    animated walkers."""
+    _need(data, pos + 1, 9, "image descriptor")
+    left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    ct = gct
+    if iflags & 0x80:  # local color table
+        n = 2 << (iflags & 0x07)
+        _need(data, pos, 3 * n, "local color table")
+        ct = np.frombuffer(
+            data, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("decode_gif: image has no color table")
+    _need(data, pos, 1, "LZW header")
+    min_code_size = data[pos]
+    pos += 1
+    lzw = bytearray()
+    _need(data, pos, 1, "image sub-block")
+    while data[pos]:
+        ln = data[pos]
+        _need(data, pos + 1, ln, "image sub-block")
+        lzw += data[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+        _need(data, pos, 1, "image sub-block")
+    pos += 1
+    idx = _lzw_decode(int(min_code_size), bytes(lzw), w * h).reshape(h, w)
+    if iflags & 0x40:
+        idx = _deinterlace(idx)
+    if idx.max(initial=0) >= ct.shape[0]:
+        raise ValueError("decode_gif: palette index out of range")
+    return idx, left, top, pos, ct, iflags
+
+
+def decode_gif_frames(payload: bytes) -> tuple[np.ndarray, list[float]]:
+    """GIF bytes → ((N, H, W, 3) uint8 composited frames, per-frame
+    delays in seconds).
+
+    Full GIF89a animation semantics: each image block is drawn onto
+    the logical-screen canvas at its (left, top) offset, honoring the
+    Graphic Control Extension's transparency index and disposal
+    method (1 = leave, 2 = restore the rect to the background color,
+    3 = restore the canvas to its pre-frame state).  The canvas
+    starts as the background color (black when there is no global
+    color table).  Still images yield one frame with delay 0."""
+    data = bytes(payload)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("decode_gif: not a GIF file")
+    if len(data) < 13:
+        raise ValueError("decode_gif: truncated header")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        _need(data, pos, 3 * n, "global color table")
+        gct = np.frombuffer(
+            data, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < gct.shape[0]
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list[np.ndarray] = []
+    delays: list[float] = []
+    gce = None  # (disposal, delay_s, transparent_index | None)
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            _need(data, pos, 2, "extension header")
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                _need(data, pos, 1, "GCE block")
+                if data[pos] == 4:
+                    _need(data, pos + 1, 4, "GCE block")
+                    packed = data[pos + 1]
+                    (delay_cs,) = struct.unpack_from("<H", data, pos + 2)
+                    tix = data[pos + 4]
+                    gce = (
+                        (packed >> 2) & 0x7,
+                        delay_cs / 100.0,
+                        tix if packed & 0x1 else None,
+                    )
+            _need(data, pos, 1, "extension block")
+            while data[pos]:
+                pos += 1 + data[pos]
+                _need(data, pos, 1, "extension sub-block")
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"decode_gif: unknown block 0x{b:02X}")
+        idx, left, top, pos, ct, _ifl = _parse_image_block(data, pos, gct)
+        h, w = idx.shape
+        if left + w > sw or top + h > sh:
+            raise ValueError("decode_gif: image exceeds logical screen")
+        disposal, delay_s, tix = gce if gce is not None else (0, 0.0, None)
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = ct[idx]
+        if tix is None:
+            region[:] = rgb
+        else:
+            mask = idx != tix
+            region[mask] = rgb[mask]
+        frames.append(canvas.copy())
+        delays.append(delay_s)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            canvas = saved
+        gce = None
+    if not frames:
+        raise ValueError("decode_gif: no image block found")
+    return np.stack(frames), delays
+
+
+def encode_gif_animated(
+    frames,
+    delays_cs: int | list[int] = 10,
+    disposals: int | list[int] = 1,
+    offsets: list[tuple[int, int]] | None = None,
+    transparent_color=None,
+    loop: bool = True,
+) -> bytes:
+    """Multi-frame GIF89a.  ``frames`` is a list of uint8 (H, W, 3)
+    RGB arrays; the first sets the logical screen, later frames may be
+    smaller sub-rects placed at ``offsets`` (left, top).  Per-frame
+    local color tables (so each frame may use up to 256 distinct
+    colors), NETSCAPE loop extension, per-frame delay (centiseconds)
+    and disposal method.  ``transparent_color`` pixels (an RGB
+    triple) are encoded via the GCE transparency index and left
+    undrawn by decoders."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames or frames[0].ndim != 3 or frames[0].shape[2] != 3:
+        raise ValueError("encode_gif_animated: need (H, W, 3) frames")
+    sh, sw = frames[0].shape[:2]
+    n = len(frames)
+    if isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * n
+    if isinstance(disposals, int):
+        disposals = [disposals] * n
+    if offsets is None:
+        offsets = [(0, 0)] * n
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0, 0, 0)  # no GCT: bg = black
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    tc = (
+        None
+        if transparent_color is None
+        else np.asarray(transparent_color, np.uint8)
+    )
+    for f, delay, disp, (left, top) in zip(
+        frames, delays_cs, disposals, offsets
+    ):
+        h, w = f.shape[:2]
+        if left + w > sw or top + h > sh:
+            raise ValueError("encode_gif_animated: frame exceeds screen")
+        flat = f.reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        tix = None
+        if tc is not None:
+            hit = np.nonzero((colors == tc).all(axis=1))[0]
+            if hit.size:
+                tix = int(hit[0])
+        if colors.shape[0] > 256:
+            raise ValueError(
+                f"encode_gif_animated: {colors.shape[0]} colors > 256"
+            )
+        bits = max(1, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
+        n_pal = 1 << bits
+        pal = np.zeros((n_pal, 3), dtype=np.uint8)
+        pal[: colors.shape[0]] = colors
+        out += b"\x21\xf9\x04"
+        out += bytes(
+            [((disp & 0x7) << 2) | (1 if tix is not None else 0)]
+        )
+        out += struct.pack("<H", int(delay))
+        out += bytes([tix if tix is not None else 0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, w, h, 0x80 | (bits - 1)
+        )
+        out += pal.tobytes()
+        min_code_size = max(2, bits)
+        lzw = _lzw_encode(min_code_size, idx.astype(np.uint8))
+        out += bytes([min_code_size])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

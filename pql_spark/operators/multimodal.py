@@ -1079,6 +1079,30 @@ def synth_video(k: int, n_frames: int = 6, width: int = 48,
     return [np.roll(base, 2 * f, axis=1) for f in range(n_frames)]
 
 
+def decode_video(payload: bytes):
+    """Container-sniffing video decode → (frames (N, H, W, 3) uint8,
+    fps).  RIFF 'AVI ' payloads go through the AVI codec (DIB/MJPG
+    streams); GIF87a/89a payloads decode as fully composited animation
+    frames (disposal + transparency honored, r15), with the frame rate
+    derived from the mean GCE delay (0.0 when no delay is recorded,
+    matching the headerless-AVI convention the samplers fall back on).
+    Every video operator here sniffs through this helper, so animated
+    GIFs participate in the video near-dup tier as first-class clips."""
+    data = bytes(payload)
+    if data[:4] == b"RIFF":
+        from ._avi import decode_avi
+
+        return decode_avi(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ._gif import decode_gif_frames
+
+        frames, delays = decode_gif_frames(data)
+        pos = [d for d in delays if d > 0]
+        fps = (len(pos) / sum(pos)) if pos else 0.0
+        return frames, fps
+    raise ValueError("decode_video: not an AVI or GIF payload")
+
+
 def synthesize_avi_media(
     spark, n: int = 64, n_frames: int = 6, width: int = 48,
     height: int = 32, fps: int = 10,
@@ -1193,10 +1217,9 @@ def extract_features(
                 return audio_feature(samples, sr, dim)
 
         elif decoder == "avi":
-            from ._avi import decode_avi
 
             def feat(p) -> list[float]:
-                frames, _fps = decode_avi(bytes(p))
+                frames, _fps = decode_video(bytes(p))
                 return image_feature(frames.mean(axis=0), dim)
 
         else:
@@ -1267,8 +1290,6 @@ def video_frame_features(
     size times blob size regardless of partition width."""
     import numpy as np
 
-    from ._avi import decode_avi
-
     cols = df.columns
     if payload_col not in cols or id_col not in cols:
         raise ValueError(
@@ -1283,7 +1304,7 @@ def video_frame_features(
         for pdf in batches:
             out_id, out_ts, out_feat = [], [], []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames, fps = decode_avi(bytes(payload))
+                frames, fps = decode_video(bytes(payload))
                 fps = fps or 1000.0 / every_ms  # headerless fallback
                 dur_ms = len(frames) * 1000.0 / fps
                 seen: set[int] = set()
@@ -1500,8 +1521,9 @@ def video_phash(
     hash_size: int = 8,
     highfreq_factor: int = 4,
 ) -> DataFrame:
-    """Per-video perceptual hash over REAL uncompressed-AVI payloads:
-    decode (stdlib RIFF codec), sample ``frames_per_video`` evenly
+    """Per-video perceptual hash over REAL video payloads — AVI
+    (DIB/MJPG) or animated GIF, sniffed per row by :func:`decode_video`:
+    decode, sample ``frames_per_video`` evenly
     spaced frames (always including first and last), pHash each with
     the shared reference math, and concatenate — ``(id, vhash
     array<int>)`` of frames_per_video·hash_size² sign bits.  The
@@ -1513,8 +1535,6 @@ def video_phash(
     in clip length after sampling."""
     import numpy as np
 
-    from ._avi import decode_avi
-
     cols = df.columns
     if payload_col not in cols or id_col not in cols:
         raise ValueError(
@@ -1522,7 +1542,7 @@ def video_phash(
         )
 
     def vhash(payload: bytes) -> list[int]:
-        frames, _fps = decode_avi(bytes(payload))
+        frames, _fps = decode_video(bytes(payload))
         idx = np.linspace(
             0, len(frames) - 1, frames_per_video
         ).astype(int)

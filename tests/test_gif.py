@@ -371,3 +371,163 @@ def test_adpcm_lockstep_matches_scalar_path():
         ref = np.concatenate(chunks)[: len(sig)]
         got = (out * 32767.0).round().astype(np.int16)
         assert (got == ref).all(), codec
+
+
+# ---------------------------------------------------------------------
+# animation (r15): full multi-frame decode with disposal compositing
+
+
+def _frames_rgb(n, h=10, w=14, seed=0):
+    rng = np.random.RandomState(seed)
+    return [
+        (rng.randint(0, 8, size=(h, w, 3)) * 32).astype(np.uint8)
+        for _ in range(n)
+    ]
+
+
+def test_gif_animated_full_frames_roundtrip():
+    from pql_spark.operators._gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    frames = _frames_rgb(4, seed=1)
+    gif = encode_gif_animated(frames, delays_cs=[5, 10, 15, 20])
+    out, delays = decode_gif_frames(gif)
+    assert out.shape == (4, 10, 14, 3)
+    for i, f in enumerate(frames):
+        assert (out[i] == f).all(), i  # full-frame draws are lossless
+    assert delays == [0.05, 0.10, 0.15, 0.20]
+    # the still-image contract still returns exactly the first image
+    assert (decode_gif(gif) == frames[0]).all()
+
+
+def test_gif_animated_subrect_accumulates_disposal1():
+    from pql_spark.operators._gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = _frames_rgb(1, 12, 16, seed=2)[0]
+    patch = _frames_rgb(1, 4, 5, seed=3)[0]
+    gif = encode_gif_animated(
+        [base, patch], disposals=1, offsets=[(0, 0), (6, 3)]
+    )
+    out, _ = decode_gif_frames(gif)
+    assert (out[0] == base).all()
+    want = base.copy()
+    want[3:7, 6:11] = patch
+    assert (out[1] == want).all()
+
+
+def test_gif_animated_disposal2_restores_background():
+    from pql_spark.operators._gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = _frames_rgb(1, 8, 8, seed=4)[0]
+    patch = _frames_rgb(1, 3, 3, seed=5)[0]
+    tail = _frames_rgb(1, 2, 2, seed=6)[0]
+    gif = encode_gif_animated(
+        [base, patch, tail],
+        disposals=[1, 2, 1],
+        offsets=[(0, 0), (2, 2), (6, 6)],
+    )
+    out, _ = decode_gif_frames(gif)
+    f1 = base.copy()
+    f1[2:5, 2:5] = patch
+    assert (out[1] == f1).all()
+    # disposal 2 wiped the patch rect to background (black: no GCT)
+    f2 = base.copy()
+    f2[2:5, 2:5] = 0
+    f2[6:8, 6:8] = tail
+    assert (out[2] == f2).all()
+
+
+def test_gif_animated_disposal3_restores_previous():
+    from pql_spark.operators._gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = _frames_rgb(1, 8, 8, seed=7)[0]
+    patch = _frames_rgb(1, 4, 4, seed=8)[0]
+    tail = _frames_rgb(1, 2, 2, seed=9)[0]
+    gif = encode_gif_animated(
+        [base, patch, tail],
+        disposals=[1, 3, 1],
+        offsets=[(0, 0), (1, 1), (0, 0)],
+    )
+    out, _ = decode_gif_frames(gif)
+    # frame 3 draws on the PRE-patch canvas
+    f2 = base.copy()
+    f2[0:2, 0:2] = tail
+    assert (out[2] == f2).all()
+
+
+def test_gif_animated_transparency_leaves_canvas():
+    from pql_spark.operators._gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = _frames_rgb(1, 6, 6, seed=10)[0]
+    patch = np.zeros((6, 6, 3), np.uint8)
+    patch[:] = (1, 2, 3)            # the transparent key color
+    patch[2:4, 2:4] = (200, 50, 9)  # the only opaque pixels
+    gif = encode_gif_animated(
+        [base, patch], transparent_color=(1, 2, 3)
+    )
+    out, _ = decode_gif_frames(gif)
+    want = base.copy()
+    want[2:4, 2:4] = (200, 50, 9)
+    assert (out[1] == want).all()
+
+
+def test_gif_still_decodes_as_single_frame():
+    from pql_spark.operators._gif import decode_gif_frames, encode_gif
+
+    img = _frames_rgb(1, 9, 7, seed=11)[0]
+    out, delays = decode_gif_frames(encode_gif(img))
+    assert out.shape == (1, 9, 7, 3) and (out[0] == img).all()
+    assert delays == [0.0]
+
+
+def test_decode_video_sniffs_gif_and_avi():
+    from pql_spark.operators._avi import encode_avi
+    from pql_spark.operators._gif import encode_gif_animated
+    from pql_spark.operators.multimodal import decode_video
+
+    frames = _frames_rgb(3, 8, 8, seed=12)
+    g, gfps = decode_video(encode_gif_animated(frames, delays_cs=4))
+    assert g.shape == (3, 8, 8, 3) and gfps == pytest.approx(25.0)
+    for i, f in enumerate(frames):
+        assert (g[i] == f).all()
+    a, afps = decode_video(encode_avi(frames, fps=10))
+    assert a.shape == (3, 8, 8, 3) and afps == 10.0
+    with pytest.raises(ValueError, match="not an AVI or GIF"):
+        decode_video(b"\x00" * 32)
+
+
+def test_video_phash_mixed_avi_gif_corpus(spark):
+    # animated GIFs participate in the video near-dup tier: the same
+    # clip encoded as AVI and as GIF must hash identically (both are
+    # lossless containers for the same frames)
+    from pql_spark.operators._avi import encode_avi
+    from pql_spark.operators._gif import encode_gif_animated
+    from pql_spark.operators.multimodal import synth_video, video_phash
+
+    rows = []
+    for k in range(4):
+        frames = [
+            (f // 64 * 64).astype(np.uint8) for f in synth_video(k)
+        ]  # coarsen to ≤64 distinct colors per frame for GIF
+        rows.append((2 * k, bytearray(encode_avi(frames, fps=10))))
+        rows.append((2 * k + 1, bytearray(encode_gif_animated(frames))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: tuple(r.vhash) for r in video_phash(df).collect()}
+    assert len(got) == 8
+    for k in range(4):
+        assert got[2 * k] == got[2 * k + 1], k
