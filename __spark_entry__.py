@@ -5230,6 +5230,40 @@ def _video_dups_oracle() -> str:
     return _hamming_pairs_values(rows)
 
 
+def _gif_anim_dups_oracle() -> str:
+    """Replayed-twin oracle for the mixed AVI/animated-GIF clip
+    corpus: vhashes come from the coarsened synth frames directly
+    (``_gif_anim_frames`` — neither codec is invoked oracle-side) and
+    all pairs are brute-forced, so both container decode paths and
+    the 16-band losslessness are re-proved on real output each
+    round."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import phash_reference
+
+    def vhash(frames) -> list[int]:
+        idx = np.linspace(0, len(frames) - 1, 4).astype(int)
+        out: list[int] = []
+        for i in idx:
+            out.extend(phash_reference(frames[i]))
+        return out
+
+    hashes: dict[int, list[int]] = {
+        k: vhash(_gif_anim_frames(k)) for k in range(48)
+    }
+    for k in range(6):
+        hashes[100000 + k] = vhash(_gif_anim_frames(k, shift=2))
+    ids = sorted(hashes)
+    pairs = [
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (h := sum(x != y for x, y in zip(hashes[a], hashes[b]))) <= 12
+    ]
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return _hamming_pairs_values(rows)
+
+
 def _hamming_pairs_values(rows: str) -> str:
     """Shared VALUES wrapper for the replayed media-pair twins."""
     return f"""
@@ -6912,6 +6946,82 @@ def _q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gif_anim_frames(k: int, shift: int = 0):
+    """Deterministic GIF-encodable clip: the synth_video panning
+    pattern color-coarsened to 4 levels/channel (≤64 distinct colors
+    per frame, so the lossless palettized GIF encoder accepts it);
+    ``shift`` brightens before coarsening for the planted clones.
+    Shared verbatim by the gate and its replayed-twin oracle."""
+    import numpy as np
+
+    from pql_spark.operators.multimodal import synth_video
+
+    return [
+        (
+            np.clip(f.astype(np.int64) + shift, 0, 255) // 64 * 64
+        ).astype(np.uint8)
+        for f in synth_video(k)
+    ]
+
+
+def _q_gif_anim_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF video near-dup (r15): a MIXED-container corpus —
+    24 uncompressed-AVI clips (even ids) and 24 animated-GIF clips
+    (odd ids) of color-coarsened panning content, plus 6 GIF-encoded
+    brightness-shifted clones of the first clips — through
+    video_dup_pairs, whose per-row container sniff (decode_video)
+    composites GIF89a animations into frames.  Hash-checked:
+    _gif_anim_dups_oracle() hashes the coarsened synth FRAMES directly
+    (never through either codec, so corruption in the AVI parse OR the
+    GIF LZW/animation compositing breaks the match — and clone pairs
+    spanning containers prove both decode to identical pixels) and
+    brute-forces all pairs at the lossless 12 < 16 banding."""
+    import pandas as pd
+
+    from pql_spark.operators._avi import encode_avi
+    from pql_spark.operators._gif import encode_gif_animated
+    from pql_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_dup_pairs,
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for media_id in pdf["id"]:
+                k = int(media_id)
+                if k >= 100000:
+                    frames = _gif_anim_frames(k - 100000, shift=2)
+                    payload = encode_gif_animated(frames, delays_cs=10)
+                    codec = "gif89a-anim"
+                elif k % 2 == 0:
+                    frames = _gif_anim_frames(k)
+                    payload = encode_avi(frames, fps=10)
+                    codec = "rawvideo/bgr24"
+                else:
+                    frames = _gif_anim_frames(k)
+                    payload = encode_gif_animated(frames, delays_cs=10)
+                    codec = "gif89a-anim"
+                rows.append(
+                    {
+                        "media_id": k,
+                        "kind": "video",
+                        "payload": payload,
+                        "meta": {
+                            "width": 48, "height": 32,
+                            "duration_ms": 600, "codec": codec,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = spark.range(0, 48, 1, 4).unionByName(
+        spark.range(100000, 100006, 1, 1)
+    )
+    media = ids.mapInPandas(gen, MEDIA_SCHEMA)
+    return video_dup_pairs(media, threshold_bits=12, bands=16)
+
+
 def _q_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 header featurization (r15): a deterministic corpus of 48
     header-valid MPEG-1 Layer III streams is parsed in Arrow batches
@@ -7043,12 +7153,13 @@ _CHECK_FIRST = [
     "pql_serialize_window", "pql_series_stats_fit", "pql_sketch_fns",
     "pql_sourcetext_name", "pql_string_preds", "pql_summarize_by",
     "pql_top_hitters", "pql_top_nested",
-    # 4. oldest r12 heavy-tier gates (5 spare slots) + the NEW
-    # op_mp3_features gate, which ships WITH driver evidence (the
-    # op_gif_dups lesson: a gate registered outside the frozen window
-    # spends a round evidence-pending):
+    # 4. oldest r12 heavy-tier gates (4 spare slots; op_range_join
+    # yields its slot to the second new gate and stays r12-fresh) +
+    # the NEW op_mp3_features and op_gif_anim_dups gates, which ship
+    # WITH driver evidence (the op_gif_dups lesson: a gate registered
+    # outside the frozen window spends a round evidence-pending):
     "op_asof_join", "op_embedding_dups", "op_geo_join_scale",
-    "op_hamming_dups", "op_range_join", "op_mp3_features",
+    "op_hamming_dups", "op_mp3_features", "op_gif_anim_dups",
 ]
 
 
@@ -7097,6 +7208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_phash_dups": _q_phash_dups,  # hash-checked (replayed twin)
             "op_audio_dups": _q_audio_dups,  # hash-checked (replayed twin)
             "op_video_dups": _q_video_dups,  # hash-checked (replayed twin)
+            "op_gif_anim_dups": _q_gif_anim_dups,  # hash-checked (replayed twin)
             "op_jpeg_dups": _q_jpeg_dups,  # hash-checked (replayed twin)
             "op_gif_dups": _q_gif_dups,  # hash-checked (replayed twin)
             "op_ngram_zipf_prefix": _q_ngram_zipf,
@@ -7187,6 +7299,7 @@ def oracle_sql() -> dict[str, str]:
             "op_mp3_features": _mp3_features_oracle(),
             "op_audio_dups": _audio_dups_oracle(),
             "op_video_dups": _video_dups_oracle(),
+            "op_gif_anim_dups": _gif_anim_dups_oracle(),
             # the multimodal-features gate projects the PLUMBING
             # contract only (id, kind, byte count, feature dim) over
             # the deterministic fake-media table (fixed 1024-byte

@@ -37,3 +37,4 @@ def test_new_gates_ship_inside_the_window():
     # must sit in the window so their first driver row lands this round.
     assert "op_mp3_features" in entrymod._CHECK_FIRST
     assert "op_gif_dups" in entrymod._CHECK_FIRST
+    assert "op_gif_anim_dups" in entrymod._CHECK_FIRST
