@@ -30,9 +30,12 @@ null-coalesced), deterministic md5-bucket ``sample by``, key-first
 post-aggregate filters, min/max/avg/countif and the distinct family),
 ``top-hitters`` with the key-asc tie-break, KQL null-ordering defaults
 (asc → nulls first) under ``sort | serialize | row_number()/prev()``
-and ``sort | take`` over the unique (a, b) key, and ``join
+and ``sort | take`` over the unique (a, b) key, ``join
 kind=inner/leftouter`` against an aggregated sub-pipeline (raw-``=``
-null-key semantics, ``$right.<col>`` duplicate naming).
+null-key semantics, ``$right.<col>`` duplicate naming), the rewritten
+string family (null-propagating ``strcat``, ``tolower``/``toupper``,
+0-based ``substring``, ``strlen``) as both scalar values and COMPUTED
+group keys, and ``distinct`` with null-holding key pairs.
 """
 
 from __future__ import annotations
@@ -88,7 +91,7 @@ class Gen:
                 return c, c
             v = str(r.randint(-3, 3))
             return v, v
-        kind = r.randint(0, 4)
+        kind = r.randint(0, 5)
         if kind == 0:
             cp, cd = self.boolean(2)
             tp, td = self.num(depth + 1)
@@ -99,6 +102,10 @@ class Gen:
                 # SQL CASE (pql.go:979-1004)
                 f"(CASE WHEN {cd} THEN {td} ELSE {fd} END)",
             )
+        if kind == 5:
+            # strlen over a string expr: nulls propagate, '' → 0
+            sp, sd = self.string(depth + 1)
+            return f"strlen({sp})", f"length({sd})"
         if kind == 1:
             fn = r.choice(["min_of", "max_of"])
             ap, ad = self.num(depth + 1)
@@ -121,6 +128,39 @@ class Gen:
         # / and % are null-on-zero in BOTH engines (Spark via
         # try_divide/try_mod, DuckDB natively)
         return f"({lp} {op} {rp})", f"(({ld}) {op} ({rd}))"
+
+    def string(self, depth: int = 0) -> tuple[str, str]:
+        """String-typed expr pair.  The rewritten-function string
+        family: strcat is null-propagating concat (the reference
+        transpiles it to the target SQL concat), tolower/toupper fold
+        case, substring is 0-BASED with clamping (functions.py maps to
+        Spark's 1-based substring; DuckDB substr is 1-based too)."""
+        r = self.rng
+        if depth >= 2 or r.random() < 0.4:
+            return "s", "s"
+        kind = r.randint(0, 3)
+        if kind == 0:
+            lit = r.choice(["q", "X", ""])
+            return f'strcat(s, "{lit}")', f"(s || '{lit}')"
+        if kind == 1:
+            fn = r.choice(["tolower", "toupper"])
+            sp, sd = self.string(depth + 1)
+            return f"{fn}({sp})", f"{'lower' if fn == 'tolower' else 'upper'}({sd})"
+        if kind == 2:
+            start = r.randint(0, 2)
+            ln = r.randint(1, 2)
+            sp, sd = self.string(depth + 1)
+            return (
+                f"substring({sp}, {start}, {ln})",
+                f"substr({sd}, {start + 1}, {ln})",
+            )
+        cp, cd = self.boolean(2)
+        tp, td = self.string(depth + 1)
+        fp, fd = self.string(depth + 1)
+        return (
+            f"iff({cp}, {tp}, {fp})",
+            f"(CASE WHEN {cd} THEN {td} ELSE {fd} END)",
+        )
 
     def boolean(self, depth: int = 0) -> tuple[str, str]:
         r = self.rng
@@ -207,7 +247,7 @@ class Gen:
                 " ('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 8))::BIGINT"
                 f" < {rate_k}"
             )
-        choices = list(range(9))
+        choices = list(range(11))
         if not self.allow_serialize:
             choices.remove(7)  # window order under (a, b) ties
         shape = r.choice(choices)
@@ -334,6 +374,19 @@ class Gen:
                 f'SELECT l.*, r.s AS "$right.s", r.cnt FROM ({duck}) l'
                 f" {jtype} (SELECT s, count(*) AS cnt FROM"
                 " (SELECT a, b, s FROM T) GROUP BY s) r ON l.s = r.s"
+            )
+        elif shape == 9:
+            # distinct over a (possibly null-holding) column pair
+            segs.append("distinct s, a")
+            duck = f"SELECT DISTINCT s, a FROM ({duck})"
+        elif shape == 10:
+            # group by a COMPUTED string key (case-folds + concats
+            # collapse distinct source values into shared groups)
+            sp, sd = self.string()
+            segs.append(f"summarize n = count() by t = {sp}")
+            duck = (
+                f"SELECT {sd} AS t, count(*) AS n"
+                f" FROM ({duck}) GROUP BY t"
             )
         if r.random() < 0.4:
             segs.append("count")
