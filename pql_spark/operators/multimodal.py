@@ -9,12 +9,18 @@ Decoders:
   RIFF parse + vectorized companding / per-block predictors) are
   decoded and featurized as block-RMS energies; ``synthesize_wav_media``
   emits valid WAVs and ``encode_wav(codec=...)`` emits valid G.711/
-  IMA-ADPCM/MS-ADPCM files.
+  IMA-ADPCM/MS-ADPCM files.  ``fLaC`` payloads are sniffed by
+  :func:`decode_audio` into the r15 pure-stdlib FLAC codec
+  (``operators/_flac.py`` — CRC/MD5-verified lossless 16-bit
+  mono/stereo), so mixed WAV/FLAC corpora run through the same
+  fingerprint tier.
 - ``decoder="png"`` — a REAL codec path: payloads are decoded with the
   pure-stdlib PNG codec (``operators/_png.py``, zlib + numpy; 8-bit
   grey/RGB/RGBA, all five scanline filters) and featurized as a
-  grid-of-block-means intensity vector.  ``synthesize_png_media``
-  produces deterministic real PNG payloads to drive it.
+  grid-of-block-means intensity vector (r15: the full static-PNG
+  core — palette/PLTE/tRNS, 1/2/4/8/16-bit depths, Adam7).
+  ``synthesize_png_media`` produces deterministic real PNG payloads
+  to drive it.
 - ``decoder="jpeg"`` — a REAL codec path for the dominant real-world
   format: baseline sequential JPEG payloads are decoded with the
   pure-stdlib codec (``operators/_jpeg.py``: generic DHT/DQT parsing,
@@ -1079,6 +1085,29 @@ def synth_video(k: int, n_frames: int = 6, width: int = 48,
     return [np.roll(base, 2 * f, axis=1) for f in range(n_frames)]
 
 
+def decode_audio(payload: bytes):
+    """Container-sniffing audio decode → (float64 mono samples in
+    [-1, 1], sample rate).  RIFF WAVE payloads go through
+    :func:`decode_wav` (PCM16/PCM8, G.711, IMA/MS ADPCM); ``fLaC``
+    payloads decode through the r15 pure-stdlib FLAC codec
+    (``operators/_flac.py`` — CRC- and MD5-verified lossless 16-bit
+    mono/stereo, stereo averaged to mono like the WAV path).  The
+    audio operators sniff through this helper, so FLAC corpora join
+    the fingerprint/near-dup tier as first-class citizens."""
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:4] == b"fLaC":
+        from ._flac import decode_flac
+
+        samples, sr = decode_flac(data)
+        a = samples.astype(np.float64) / 32767.0
+        if a.ndim == 2:
+            a = a.mean(axis=1)
+        return a, sr
+    return decode_wav(data)
+
+
 def decode_video(payload: bytes):
     """Container-sniffing video decode → (frames (N, H, W, 3) uint8,
     fps).  RIFF 'AVI ' payloads go through the AVI codec (DIB/MJPG
@@ -1213,7 +1242,7 @@ def extract_features(
         elif decoder == "wav":
 
             def feat(p) -> list[float]:
-                samples, sr = decode_wav(bytes(p))
+                samples, sr = decode_audio(bytes(p))
                 return audio_feature(samples, sr, dim)
 
         elif decoder == "avi":
@@ -1467,7 +1496,7 @@ def audio_fingerprint(
         )
 
     def fp(payload: bytes) -> list[int]:
-        samples, _sr = decode_wav(bytes(payload))
+        samples, _sr = decode_audio(bytes(payload))
         out = []
         for blk in np.array_split(samples, n_blocks):
             if blk.size < 2:
