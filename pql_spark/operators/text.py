@@ -1143,3 +1143,89 @@ def bm25_score(
     return joined.select(
         *[F.col(c) for c in out_cols], score.alias("bm25")
     )
+
+
+def decompress_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    encoding: str = "utf-8",
+    errors: str = "strict",
+) -> DataFrame:
+    """Compressed binary document blobs → ``(id, text, codec)``.
+
+    The common training-corpus shape (WARC/WET records, gzipped JSON
+    lines stored as parquet binary columns): each payload decompresses
+    with a stdlib codec — ``gzip`` (1F 8B), ``bz2`` (BZh), ``xz``
+    (FD 37 7A 58 5A), ``zlib`` (78 xx) — and decodes to text.
+    ``codec="auto"`` sniffs magic bytes per payload, so mixed corpora
+    run in one pass; an explicit codec skips the sniff.  Zstandard
+    payloads (28 B5 2F FD) raise ``NotImplementedError`` (no zstd in
+    the stdlib); unknown magic or corrupt streams raise ``ValueError``
+    naming the row id.  Arrow-batched ``mapInPandas`` — decompression
+    is per-row CPU with no shuffle, so a cluster scales it linearly
+    with cores, and the iterator form keeps executor memory bounded by
+    the Arrow batch size regardless of blob size."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+    import zlib as _zlib
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    if payload_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"decompress_text: need columns {id_col!r}, {payload_col!r}"
+        )
+    if codec not in ("auto", "gzip", "bz2", "xz", "zlib"):
+        raise ValueError(f"decompress_text: unknown codec {codec!r}")
+
+    def sniff(b: bytes) -> str:
+        if b[:2] == b"\x1f\x8b":
+            return "gzip"
+        if b[:3] == b"BZh":
+            return "bz2"
+        if b[:6] == b"\xfd7zXZ\x00":
+            return "xz"
+        if b[:4] == b"\x28\xb5\x2f\xfd":
+            raise NotImplementedError(
+                "decompress_text: zstd payloads need the zstandard"
+                " library, unavailable in this environment"
+            )
+        if len(b) >= 2 and b[0] == 0x78 and (b[0] * 256 + b[1]) % 31 == 0:
+            return "zlib"
+        raise ValueError("unrecognized compression magic")
+
+    funcs = {
+        "gzip": _gzip.decompress,
+        "bz2": _bz2.decompress,
+        "xz": _lzma.decompress,
+        "zlib": _zlib.decompress,
+    }
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, codecs = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                try:
+                    c = sniff(b) if codec == "auto" else codec
+                    raw = funcs[c](b)
+                except NotImplementedError:
+                    raise
+                except Exception as e:
+                    raise ValueError(
+                        f"decompress_text: row {id_col}={rid}: {e}"
+                    ) from e
+                ids.append(int(rid))
+                texts.append(raw.decode(encoding, errors))
+                codecs.append(c)
+            yield pd.DataFrame(
+                {id_col: ids, "text": texts, "codec": codecs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, text string, codec string"
+    )

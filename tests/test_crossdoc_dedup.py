@@ -83,3 +83,53 @@ def test_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan  # pure Catalyst: no UDF/Arrow stages
+
+
+def test_decompress_text_mixed_codecs(spark):
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    import pytest
+
+    from pql_spark.operators.text import decompress_text
+
+    docs = {
+        1: ("gzip", gzip.compress("hello gzip é".encode())),
+        2: ("bz2", bz2.compress(b"hello bz2")),
+        3: ("xz", lzma.compress(b"hello xz")),
+        4: ("zlib", zlib.compress(b"hello zlib")),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, (_, v) in docs.items()],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: (r.codec, r.text)
+        for r in decompress_text(df).collect()
+    }
+    assert got[1] == ("gzip", "hello gzip é")
+    assert got[2] == ("bz2", "hello bz2")
+    assert got[3] == ("xz", "hello xz")
+    assert got[4] == ("zlib", "hello zlib")
+
+    # explicit codec skips the sniff
+    one = spark.createDataFrame(
+        [(9, bytearray(gzip.compress(b"x")))], "doc_id long, payload binary"
+    )
+    assert decompress_text(one, codec="gzip").collect()[0].text == "x"
+
+    # zstd magic → honest boundary; garbage → row-named ValueError
+    bad = spark.createDataFrame(
+        [(7, bytearray(b"\x28\xb5\x2f\xfdxxxx"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="zstd"):
+        decompress_text(bad).collect()
+    junk = spark.createDataFrame(
+        [(8, bytearray(b"\x00\x01\x02\x03"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="doc_id=8"):
+        decompress_text(junk).collect()
