@@ -1091,9 +1091,11 @@ def decode_audio(payload: bytes):
     :func:`decode_wav` (PCM16/PCM8, G.711, IMA/MS ADPCM); ``fLaC``
     payloads decode through the r15 pure-stdlib FLAC codec
     (``operators/_flac.py`` — CRC- and MD5-verified lossless 16-bit
-    mono/stereo, stereo averaged to mono like the WAV path).  The
-    audio operators sniff through this helper, so FLAC corpora join
-    the fingerprint/near-dup tier as first-class citizens."""
+    mono/stereo, stereo averaged to mono like the WAV path); AIFF
+    (``FORM``/``AIFF``: big-endian PCM16, 80-bit-extended sample
+    rate) and Sun/NeXT ``.au`` (G.711 µ-law or PCM16 BE) parse
+    directly.  The audio operators sniff through this helper, so
+    mixed WAV/FLAC/AIFF/AU corpora run through one pass."""
     import numpy as np
 
     data = bytes(payload)
@@ -1105,7 +1107,100 @@ def decode_audio(payload: bytes):
         if a.ndim == 2:
             a = a.mean(axis=1)
         return a, sr
+    if data[:4] == b"FORM" and data[8:12] == b"AIFF":
+        return _decode_aiff(data)
+    if data[:4] == b".snd":
+        return _decode_au(data)
     return decode_wav(data)
+
+
+def _read_extended80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF sample-rate field),
+    big-endian: 1 sign + 15 exponent + 64 explicit-integer mantissa."""
+    import struct as _s
+
+    (se,) = _s.unpack(">H", b[:2])
+    (mant,) = _s.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _decode_aiff(data: bytes):
+    """AIFF (the Apple/EA IFF audio container): big-endian PCM16 in
+    SSND, format read from COMM (80-bit extended sample rate).
+    Mono/stereo, stereo averaged — same contract as decode_wav."""
+    import struct as _s
+
+    import numpy as np
+
+    pos = 12
+    nch = nframes = bits = None
+    rate = 0
+    ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = _s.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+        if cid == b"COMM":
+            nch, nframes, bits = _s.unpack_from(">hIh", body, 0)
+            rate = int(round(_read_extended80(body[8:18])))
+        elif cid == b"SSND":
+            (off, _blk) = _s.unpack_from(">II", body, 0)
+            ssnd = body[8 + off:]
+    if nch is None or ssnd is None:
+        raise ValueError("decode_audio: AIFF missing COMM/SSND")
+    if bits != 16:
+        raise NotImplementedError(
+            f"decode_audio: {bits}-bit AIFF not supported (PCM16 core)"
+        )
+    if nch not in (1, 2):
+        raise NotImplementedError(
+            f"decode_audio: {nch}-channel AIFF not supported"
+        )
+    n = min(nframes * nch, len(ssnd) // 2)
+    a = np.frombuffer(ssnd, dtype=">i2", count=n).astype(np.float64)
+    a = a / 32767.0
+    if nch == 2:
+        a = a.reshape(-1, 2).mean(axis=1)
+    return a, rate
+
+
+def _decode_au(data: bytes):
+    """Sun/NeXT .au (.snd): 24-byte big-endian header; encodings 1
+    (G.711 µ-law) and 3 (PCM16 BE).  Mono/stereo, stereo averaged."""
+    import struct as _s
+
+    import numpy as np
+
+    if len(data) < 24:
+        raise ValueError("decode_audio: truncated .au header")
+    _magic, off, dsize, enc, rate, nch = _s.unpack_from(">IIIIII", data, 0)
+    if nch not in (1, 2):
+        raise NotImplementedError(
+            f"decode_audio: {nch}-channel .au not supported"
+        )
+    end = len(data) if dsize == 0xFFFFFFFF else min(len(data), off + dsize)
+    body = data[off:end]
+    if enc == 1:
+        a = _ulaw_decode(np.frombuffer(body, dtype=np.uint8)).astype(
+            np.float64
+        ) / 32767.0
+    elif enc == 3:
+        a = np.frombuffer(
+            body, dtype=">i2", count=len(body) // 2
+        ).astype(np.float64) / 32767.0
+    else:
+        raise NotImplementedError(
+            f"decode_audio: .au encoding {enc} not supported"
+            " (1 = G.711 mu-law, 3 = PCM16)"
+        )
+    if nch == 2:
+        a = a[: a.size // 2 * 2].reshape(-1, 2).mean(axis=1)
+    return a, rate
 
 
 def decode_video(payload: bytes):

@@ -130,3 +130,81 @@ def test_audio_sniffer_flac_equals_wav(spark):
         for r in audio_fingerprint(df).collect()
     }
     assert got[1] == got[2]
+
+
+def _aiff(samples16: np.ndarray, rate: int, nch: int = 1) -> bytes:
+    # hand-packed AIFF: COMM with 80-bit extended rate + SSND
+    import struct
+
+    def ext80(v: float) -> bytes:
+        import math
+
+        if v == 0:
+            return b"\x00" * 10
+        m, e = math.frexp(v)  # v = m * 2^e, m in [0.5, 1)
+        mant = int(m * (1 << 64))
+        return struct.pack(">HQ", 16383 + e - 1, mant)
+
+    pcm = samples16.astype(">i2").tobytes()
+    comm = struct.pack(">hIh", nch, len(samples16) // nch, 16) + ext80(rate)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_matches_wav_path():
+    from pql_spark.operators.multimodal import decode_audio, encode_wav
+
+    a = _mono(3000, seed=5)
+    wav = encode_wav(a.astype(np.float64) / 32767.0, 8000)
+    sw, rw = decode_audio(wav)
+    sa, ra = decode_audio(_aiff(a, 8000))
+    assert ra == rw == 8000
+    assert np.array_equal(sw, sa)
+    # stereo averaged, like the WAV contract
+    st = np.stack([a, (a // 2).astype(np.int16)], axis=1).reshape(-1)
+    ss, _ = decode_audio(_aiff(st, 44100, nch=2))
+    want = (
+        st.reshape(-1, 2).astype(np.float64).mean(axis=1) / 32767.0
+    )
+    assert np.allclose(ss, want)
+    # 24-bit refused honestly
+    bad = bytearray(_aiff(a, 8000))
+    i = bad.find(b"COMM")
+    bad[i + 8 + 6 + 1] = 24  # sampleSize low byte
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_audio(bytes(bad))
+
+
+def test_au_ulaw_and_pcm16():
+    from pql_spark.operators.multimodal import (
+        _ulaw_encode,
+        decode_audio,
+        encode_wav,
+    )
+
+    a = _mono(2000, seed=6)
+    # PCM16 BE .au vs the same samples through AIFF
+    au = struct.pack(
+        ">IIIIII", 0x2E736E64, 24, a.size * 2, 3, 8000, 1
+    ) + a.astype(">i2").tobytes()
+    s1, r1 = decode_audio(au)
+    s2, _ = decode_audio(_aiff(a, 8000))
+    assert r1 == 8000 and np.array_equal(s1, s2)
+    # mu-law .au equals the mu-law WAV path bit-for-bit
+    enc = _ulaw_encode(a.astype(np.float64) / 32767.0 * 32767)
+    au_u = struct.pack(
+        ">IIIIII", 0x2E736E64, 24, enc.size, 1, 8000, 1
+    ) + enc.tobytes()
+    wav_u = encode_wav(a.astype(np.float64) / 32767.0, 8000, codec="ulaw")
+    su, _ = decode_audio(au_u)
+    sw, _ = decode_audio(wav_u)
+    assert np.array_equal(su, sw)
+    # unknown encoding refused
+    bad = struct.pack(">IIIIII", 0x2E736E64, 24, 4, 27, 8000, 1) + b"\0" * 4
+    with pytest.raises(NotImplementedError, match="encoding 27"):
+        decode_audio(bad)
