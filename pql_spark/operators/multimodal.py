@@ -277,19 +277,26 @@ def synthesize_gif_media(
 
 def _image_decoder(decoder: str):
     """Image payload → HxWx3 uint8 decode dispatch: ``"png"``,
-    ``"jpeg"``, ``"gif"``, or ``"auto"`` (sniff the magic bytes — PNG
-    signature vs JPEG SOI vs GIF87a/89a — so mixed-format corpora
-    decode in one pass)."""
+    ``"jpeg"``, ``"gif"``, ``"bmp"``, ``"pnm"``, ``"tiff"``, or
+    ``"auto"`` (sniff the magic bytes — PNG signature, JPEG SOI,
+    GIF87a/89a, BM, P2/P3/P5/P6, II*/MM* — so mixed-format scraped
+    corpora decode in one pass)."""
     from ._gif import decode_gif
+    from ._image_misc import decode_bmp, decode_pnm, decode_tiff
     from ._jpeg import decode_jpeg
     from ._png import decode_png
 
-    if decoder == "png":
-        return lambda p: decode_png(bytes(p))
-    if decoder == "jpeg":
-        return lambda p: decode_jpeg(bytes(p))
-    if decoder == "gif":
-        return lambda p: decode_gif(bytes(p))
+    simple = {
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "gif": decode_gif,
+        "bmp": decode_bmp,
+        "pnm": decode_pnm,
+        "tiff": decode_tiff,
+    }
+    if decoder in simple:
+        fn = simple[decoder]
+        return lambda p: fn(bytes(p))
     if decoder == "auto":
 
         def sniff(p):
@@ -300,10 +307,18 @@ def _image_decoder(decoder: str):
                 return decode_png(b)
             if b[:4] == b"GIF8":
                 return decode_gif(b)
+            if b[:2] == b"BM":
+                return decode_bmp(b)
+            if b[:1] == b"P" and b[1:2] in b"2356":
+                return decode_pnm(b)
+            if b[:2] in (b"II", b"MM") and b[2:4] in (
+                b"\x2a\x00", b"\x00\x2a"
+            ):
+                return decode_tiff(b)
             raise NotImplementedError(
-                "auto image decode: payload is not PNG/JPEG/GIF"
-                " (other formats need Pillow, unavailable in this"
-                " environment)"
+                "auto image decode: payload is not"
+                " PNG/JPEG/GIF/BMP/PNM/TIFF (other formats need"
+                " Pillow, unavailable in this environment)"
             )
 
         return sniff

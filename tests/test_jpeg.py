@@ -235,8 +235,11 @@ def test_image_decoder_auto_sniffs_magic():
 
     pal_img = np.stack([img[:, :, 0]] * 3, axis=-1)  # grey → ≤256 colors
     assert (dec(encode_gif(pal_img)) == pal_img).all()  # GIF sniffed too
-    with pytest.raises(NotImplementedError, match="not PNG/JPEG/GIF"):
+    # BM magic now routes to the BMP decoder (r15) → malformed BMP
+    with pytest.raises(ValueError, match="not a BMP"):
         dec(b"BM not a supported image")
+    with pytest.raises(NotImplementedError, match="not"):
+        dec(b"\x00\x01 definitely not an image")
 
 
 def test_extract_features_jpeg_and_auto(spark):
