@@ -221,6 +221,35 @@ def test_connected_components_long_chain(spark):
     assert comps == {0} and cc.count() == 31
 
 
+def test_connected_components_driver_vs_distributed(spark):
+    """The r15 size-gated driver fast path must return EXACTLY the
+    distributed loop's labels (same min-label + pointer-doubling
+    algorithm, two execution strategies)."""
+    import pql_spark.operators.dedup as D
+
+    # chain + stars + descending-id edges + a self-contained triangle:
+    # exercises multi-round propagation, min-through-doubling, and
+    # edges listed in both (lo, hi) and (hi, lo) order
+    raw = (
+        [(i, i + 1) for i in range(25)]
+        + [(100, 90), (90, 80), (80, 70)]
+        + [(200, 201), (201, 202), (200, 202)]
+        + [(7, 300)]
+    )
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    fast = {(r.id, r.component)
+            for r in D.connected_components(pairs).collect()}
+    dist = {(r.id, r.component)
+            for r in D.connected_components(
+                pairs, driver_pairs_max=0).collect()}
+    assert fast == dist and len(fast) == 26 + 4 + 3 + 1
+    # over-threshold inputs fall through to the distributed loop
+    wide = {(r.id, r.component)
+            for r in D.connected_components(
+                pairs, driver_pairs_max=5).collect()}
+    assert wide == fast
+
+
 def test_dedup_by_pairs_transitive(spark):
     import pql_spark.operators.dedup as D
 

@@ -31,21 +31,35 @@ from pql_spark.sources import build_session  # noqa: E402
 def main() -> int:
     names = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("PROFILE_RUNS", "2"))
     spark = build_session("query-profile")
     spark.sparkContext.setLogLevel("ERROR")
     warm = spark.read.parquet(str(Path(sf_dir) / "region.parquet"))
     warm.groupBy("r_name").count().collect()
     cores = spark.sparkContext.defaultParallelism
-    spark.range(0, cores, 1, cores).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # Python daemon pool warmup sized for PEAK demand, not one stage:
+    # AQE runs independent mapInPandas stages concurrently, so a cold
+    # session can demand 2-3x cores of python workers at once.  On this
+    # sandbox a fork+numpy-import storm runs at ~40% kernel time and
+    # inflated isolated first-runs of the curation pipeline 3-10x
+    # (measured 16.9/14.0/7.2/6.2 s across 4 identical runs).  Two
+    # concurrent wide jobs pre-fork ~2x cores workers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _warm_py(_):
+        spark.range(0, cores, 1, cores).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_warm_py, range(2)))
 
     qs = entrymod.queries()
     tracker = spark.sparkContext.statusTracker()
     for name in names:
         fn = qs[name]
         best = None
-        for run in range(2):
+        for run in range(n_runs):
             jobs0 = set(tracker.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
