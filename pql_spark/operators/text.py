@@ -178,111 +178,98 @@ def repetition_stats(
     join-back of the default shape would recompute the caller's
     lineage twice).  NULL-text rows are dropped in both modes (the
     inner-join contract of the original explode plan).
+
+    Driver-cost note: the fold expressions are built as ONE SQL string
+    per fold (``F.expr``) rather than through the Column API.  The
+    Column-API construction of the same tree cost ~5,500 py4j round
+    trips = 2.6-4.5 s of driver time per call (measured, sf-independent
+    — pure plan construction); the SQL parse is one round trip and the
+    resulting Catalyst tree (and therefore the results) is identical.
     """
     from ._util import rebalance
 
     text = F.col(text_col)
 
-    def gram_array(toks: Column, n: int) -> Column:
-        m = F.size(toks)
-        return F.when(
-            m <= F.lit(n), F.array(F.concat_ws(" ", toks))
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), m - F.lit(n) + F.lit(1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+    def gram_sql(toks: str, n: int) -> str:
+        """SQL twin of the Column-API gram builder: all ``n``-grams of
+        the token array, whole doc when shorter than ``n``."""
+        return (
+            f"CASE WHEN size({toks}) <= {n} "
+            f"THEN array(concat_ws(' ', {toks})) "
+            f"ELSE transform(sequence(1, size({toks}) - {n} + 1), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
         )
 
-    def run_fold(sorted_arr: Column, track_best: bool) -> Column:
+    def run_fold(sorted_sql: str, track_best: bool) -> Column:
         """One pass over a SORTED array accumulating per-run stats:
         dup_cnt/dup_chars (occurrences in runs of length > 1),
         tot_cnt/tot_chars, and (optionally) the ``count|value`` best
         string — exactly the per-group aggregate of the old explode
-        plan, folded per row."""
-        empty = F.struct(
-            F.lit(None).cast("string").alias("cur"),
-            F.lit(0).cast("long").alias("c"),
-            F.lit(0).cast("long").alias("dup_cnt"),
-            F.lit(0).cast("long").alias("dup_chars"),
-            F.lit(0).cast("long").alias("tot_cnt"),
-            F.lit(0).cast("long").alias("tot_chars"),
-            F.lit(None).cast("string").alias("best"),
+        plan, folded per row.  Emitted as a single SQL ``aggregate``
+        expression (see the driver-cost note above)."""
+        # fold the finished run into the dup/best accumulators
+        closed_dup_cnt = (
+            "CASE WHEN acc.c > 1 THEN acc.dup_cnt + acc.c "
+            "ELSE acc.dup_cnt END"
         )
-
-        def close(acc: Column) -> list[Column]:
-            # fold the finished run into the dup/best accumulators
-            ln = F.length(acc["cur"]).cast("long")
-            dup = acc["c"] > 1
-            best = F.concat(
-                F.lpad(acc["c"].cast("string"), 10, "0"),
-                F.lit("|"),
-                acc["cur"],
-            )
-            return [
-                F.when(dup, acc["dup_cnt"] + acc["c"]).otherwise(
-                    acc["dup_cnt"]
-                ),
-                F.when(dup, acc["dup_chars"] + acc["c"] * ln).otherwise(
-                    acc["dup_chars"]
-                ),
-                F.when(
-                    acc["best"].isNull() | (acc["best"] < best), best
-                ).otherwise(acc["best"])
-                if track_best
-                else acc["best"],
-            ]
-
-        def step(acc: Column, x: Column) -> Column:
-            ln = F.length(x).cast("long")
-            same = acc["cur"].isNotNull() & (acc["cur"] == x)
-            closed = close(acc)
-            return F.when(
-                same,
-                F.struct(
-                    acc["cur"].alias("cur"),
-                    (acc["c"] + 1).alias("c"),
-                    acc["dup_cnt"].alias("dup_cnt"),
-                    acc["dup_chars"].alias("dup_chars"),
-                    (acc["tot_cnt"] + 1).alias("tot_cnt"),
-                    (acc["tot_chars"] + ln).alias("tot_chars"),
-                    acc["best"].alias("best"),
-                ),
-            ).otherwise(
-                F.struct(
-                    x.alias("cur"),
-                    F.lit(1).cast("long").alias("c"),
-                    F.when(acc["cur"].isNull(), acc["dup_cnt"])
-                    .otherwise(closed[0])
-                    .alias("dup_cnt"),
-                    F.when(acc["cur"].isNull(), acc["dup_chars"])
-                    .otherwise(closed[1])
-                    .alias("dup_chars"),
-                    (acc["tot_cnt"] + 1).alias("tot_cnt"),
-                    (acc["tot_chars"] + ln).alias("tot_chars"),
-                    F.when(acc["cur"].isNull(), acc["best"])
-                    .otherwise(closed[2])
-                    .alias("best"),
-                )
-            )
-
-        def finish(acc: Column) -> Column:
-            closed = close(acc)
-            return F.struct(
-                F.when(acc["cur"].isNull(), acc["dup_cnt"])
-                .otherwise(closed[0])
-                .alias("dup_cnt"),
-                F.when(acc["cur"].isNull(), acc["dup_chars"])
-                .otherwise(closed[1])
-                .alias("dup_chars"),
-                acc["tot_cnt"].alias("tot_cnt"),
-                acc["tot_chars"].alias("tot_chars"),
-                F.when(acc["cur"].isNull(), acc["best"])
-                .otherwise(closed[2])
-                .alias("best"),
-            )
-
-        return F.aggregate(sorted_arr, empty, step, finish)
+        closed_dup_chars = (
+            "CASE WHEN acc.c > 1 THEN acc.dup_chars + acc.c * "
+            "CAST(length(acc.cur) AS BIGINT) ELSE acc.dup_chars END"
+        )
+        best_new = "concat(lpad(CAST(acc.c AS STRING), 10, '0'), '|', acc.cur)"
+        closed_best = (
+            f"CASE WHEN acc.best IS NULL OR acc.best < {best_new} "
+            f"THEN {best_new} ELSE acc.best END"
+            if track_best
+            else "acc.best"
+        )
+        empty = (
+            "named_struct("
+            "'cur', CAST(NULL AS STRING), "
+            "'c', CAST(0 AS BIGINT), "
+            "'dup_cnt', CAST(0 AS BIGINT), "
+            "'dup_chars', CAST(0 AS BIGINT), "
+            "'tot_cnt', CAST(0 AS BIGINT), "
+            "'tot_chars', CAST(0 AS BIGINT), "
+            "'best', CAST(NULL AS STRING))"
+        )
+        step = (
+            "CASE WHEN acc.cur IS NOT NULL AND acc.cur = x THEN "
+            "named_struct("
+            "'cur', acc.cur, "
+            "'c', acc.c + 1, "
+            "'dup_cnt', acc.dup_cnt, "
+            "'dup_chars', acc.dup_chars, "
+            "'tot_cnt', acc.tot_cnt + 1, "
+            "'tot_chars', acc.tot_chars + CAST(length(x) AS BIGINT), "
+            "'best', acc.best) "
+            "ELSE named_struct("
+            "'cur', x, "
+            "'c', CAST(1 AS BIGINT), "
+            "'dup_cnt', CASE WHEN acc.cur IS NULL THEN acc.dup_cnt "
+            f"ELSE {closed_dup_cnt} END, "
+            "'dup_chars', CASE WHEN acc.cur IS NULL THEN acc.dup_chars "
+            f"ELSE {closed_dup_chars} END, "
+            "'tot_cnt', acc.tot_cnt + 1, "
+            "'tot_chars', acc.tot_chars + CAST(length(x) AS BIGINT), "
+            "'best', CASE WHEN acc.cur IS NULL THEN acc.best "
+            f"ELSE {closed_best} END) END"
+        )
+        finish = (
+            "named_struct("
+            "'dup_cnt', CASE WHEN acc.cur IS NULL THEN acc.dup_cnt "
+            f"ELSE {closed_dup_cnt} END, "
+            "'dup_chars', CASE WHEN acc.cur IS NULL THEN acc.dup_chars "
+            f"ELSE {closed_dup_chars} END, "
+            "'tot_cnt', acc.tot_cnt, "
+            "'tot_chars', acc.tot_chars, "
+            "'best', CASE WHEN acc.cur IS NULL THEN acc.best "
+            f"ELSE {closed_best} END)"
+        )
+        return F.expr(
+            f"aggregate({sorted_sql}, {empty}, (acc, x) -> {step}, "
+            f"acc -> {finish})"
+        )
 
     # materialization barrier: the gram lambdas below must see a token
     # ARRAY column, not the inlined regex tokenization
@@ -302,12 +289,12 @@ def repetition_stats(
         # was inner-join-dropped; keep that contract
         F.col("__lines").isNotNull() & F.col("__toks").isNotNull()
     )
-    lines_fold = run_fold(F.array_sort(F.col("__lines")), False)
+    lines_fold = run_fold("array_sort(__lines)", False)
     top_fold = run_fold(
-        F.array_sort(gram_array(F.col("__toks"), top_n)), True
+        f"array_sort({gram_sql('__toks', top_n)})", True
     )
     dup_fold = run_fold(
-        F.array_sort(gram_array(F.col("__toks"), dup_n)), False
+        f"array_sort({gram_sql('__toks', dup_n)})", False
     )
     folded = tk.select(
         *[F.col(c) for c in base_names],
