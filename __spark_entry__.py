@@ -4580,7 +4580,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cat(spark, sf_dir)("embeddings")
 
 
-def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_minhash(
+    spark: SparkSession, sf_dir: str, sort_pairs: bool = True
+) -> DataFrame:
     base = _docs(spark, sf_dir).select("doc_id", "text")
     # inject deterministic near-duplicates so the detector has real work
     # (offset clears the id range at every scale — see _DUP_OFF)
@@ -4590,7 +4592,7 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return D.minhash_dup_pairs(
         base.unionByName(dups), num_perm=64, bands=16, shingle_k=5,
-        threshold=0.7,
+        threshold=0.7, sort_pairs=sort_pairs,
     )
 
 
@@ -4598,7 +4600,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: minhash pairs → distributed
     min-label connected components (one join+groupBy-min round per
     diameter step, lineage truncated per round)."""
-    pairs = _q_minhash(spark, sf_dir)
+    # pair order is irrelevant to CC — skip the producer's global
+    # sort (guide §2.4); the declared output keeps its own orderBy
+    pairs = _q_minhash(spark, sf_dir, sort_pairs=False)
     return D.connected_components(pairs).orderBy("id")
 
 
@@ -4736,7 +4740,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = semantic_dedup(
         emb, threshold=0.9, n_clusters=8
     ).select("vec_id")
-    pairs = D.embedding_dup_pairs(emb, threshold=0.9)
+    pairs = D.embedding_dup_pairs(emb, threshold=0.9, sort_pairs=False)
     brute_kept = D.dedup_by_pairs(emb, pairs, "vec_id").select("vec_id")
     ids = emb.select("vec_id")
     dropped = ids.join(kept, "vec_id", "left_anti")

@@ -428,7 +428,8 @@ def _bucket_pairs(buckets: DataFrame, cap: int | None) -> DataFrame:
 
 
 def _verify_jaccard(
-    sh: DataFrame, cand: DataFrame, id_col: str, threshold: float
+    sh: DataFrame, cand: DataFrame, id_col: str, threshold: float,
+    sort: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs, rows-based.
 
@@ -452,13 +453,13 @@ def _verify_jaccard(
     jac = F.col("n_inter") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
     )
-    return (
+    out = (
         inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
         .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def band_signature(
@@ -501,8 +502,14 @@ def minhash_dup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    sort_pairs: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
+
+    ``sort_pairs=False`` skips the final global orderBy — for
+    consumers that only feed the pairs into connected components /
+    drop-lists, where the sort is a wasted full exchange+sort of the
+    pair set at any scale (guide §2.4).
 
     signature → ``bands`` bands of ``num_perm/bands`` rows; docs sharing
     any band hash become candidates; candidates are verified with exact
@@ -547,7 +554,7 @@ def minhash_dup_pairs(
         ["id_a", "id_b"]
     )
     sh = shingle_rows(df, text_col, id_col, shingle_k)
-    return _verify_jaccard(sh, cand, id_col, threshold)
+    return _verify_jaccard(sh, cand, id_col, threshold, sort=sort_pairs)
 
 
 def ngram_jaccard_pairs(
@@ -911,9 +918,12 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_blocks: int = 8,
+    sort_pairs: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, exact,
     fully distributed — the default entry point.
+    ``sort_pairs=False`` skips the final global orderBy for
+    connected-components consumers (guide §2.4).
 
     Block Gram-matrix design: rows are hashed into ``n_blocks`` blocks;
     every unordered block pair (ba ≤ bb) becomes one task group whose
@@ -999,11 +1009,10 @@ def embedding_dup_pairs(
             )
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        work.groupBy("ba", "bb")
-        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
-        .orderBy("id_a", "id_b")
+    out = work.groupBy("ba", "bb").applyInPandas(
+        kernel, "id_a long, id_b long, cosine double"
     )
+    return out.orderBy("id_a", "id_b") if sort_pairs else out
 
 
 def embedding_dup_pairs_broadcast(
@@ -1070,6 +1079,7 @@ def semantic_dedup_pairs(
     sample_size: int = 2048,
     iters: int = 10,
     passes: int = 1,
+    sort_pairs: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): coarse k-means cells over the embeddings, exact
@@ -1136,7 +1146,7 @@ def semantic_dedup_pairs(
         )
     if passes > 1:  # same pair found by several passes: identical
         out = out.dropDuplicates(["id_a", "id_b"])  # exact cosines
-    return out.orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b") if sort_pairs else out
 
 
 def semantic_dedup(
@@ -1156,7 +1166,7 @@ def semantic_dedup(
     cross-cell recall passes (see :func:`semantic_dedup_pairs`)."""
     pairs = semantic_dedup_pairs(
         df, vec_col, id_col, threshold, n_clusters, sample_size, iters,
-        passes,
+        passes, sort_pairs=False,  # CC ignores pair order (guide §2.4)
     )
     return dedup_by_pairs(df, pairs, id_col)
 
@@ -1204,12 +1214,19 @@ def connected_components(
         F.col(id_a).cast("long").alias("a"),
         F.col(id_b).cast("long").alias("b"),
     ).localCheckpoint()
-    if driver_pairs_max and base.count() <= driver_pairs_max:
+    pdf = None
+    if driver_pairs_max:
+        # one bounded Arrow collect decides the path AND delivers the
+        # data: ≤ max rows back means we hold the complete pair set
+        # (saves the separate count job the old two-action probe paid)
+        pdf = base.limit(driver_pairs_max + 1).toPandas()
+        if len(pdf) > driver_pairs_max:
+            pdf = None  # over the gate: fall through, distributed loop
+    if pdf is not None:
         import numpy as np
         import pandas as pd
 
         spark = pairs.sparkSession
-        pdf = base.toPandas()
         schema = "id long, component long"
         if not len(pdf):
             return spark.createDataFrame([], schema)

@@ -198,6 +198,7 @@ def curate_corpus(
         kept, text_col=text_col, id_col=id_col,
         num_perm=32, bands=8,
         threshold=near_dup_threshold,
+        sort_pairs=False,  # only the id_b drop-set is used (guide §2.4)
     )
     drops = pairs.select(F.col("id_b").alias(id_col))
     if timing is not None:
