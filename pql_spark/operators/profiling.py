@@ -66,27 +66,43 @@ def profile_columns(
         raise ValueError(f"profile_columns: unknown columns {missing}")
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
-    aggs = [F.count(F.lit(1)).alias("__pf_n")]
+    def _sl(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    # driver-cost note: every aggregate / struct entry is emitted as
+    # SQL text (one F.expr parse each) — the per-column Column-API
+    # build cost ~0.4 s of py4j round trips per call (r15, measured)
+    aggs = [F.expr("count(1)").alias("__pf_n")]
     for i, c in enumerate(names):
-        col = F.col(f"`{c}`")
+        col = f"`{c}`"
         aggs.append(
-            F.sum(col.isNull().cast("long")).alias(f"__pf_nn{i}")
+            F.expr(f"sum(CAST(({col} IS NULL) AS BIGINT))").alias(
+                f"__pf_nn{i}"
+            )
         )
         nd = (
-            F.approx_count_distinct(col, rsd)
+            f"approx_count_distinct({col}, {float(rsd)!r}D)"
             if approx
-            else F.count_distinct(col)
+            else f"count(DISTINCT {col})"
         )
-        aggs.append(nd.alias(f"__pf_nd{i}"))
+        aggs.append(F.expr(nd).alias(f"__pf_nd{i}"))
         if isinstance(dtypes[c], _NUMERIC):
-            aggs.append(F.min(col).cast("double").alias(f"__pf_mn{i}"))
-            aggs.append(F.max(col).cast("double").alias(f"__pf_mx{i}"))
-        else:
             aggs.append(
-                F.lit(None).cast("double").alias(f"__pf_mn{i}")
+                F.expr(f"CAST(min({col}) AS DOUBLE)").alias(
+                    f"__pf_mn{i}"
+                )
             )
             aggs.append(
-                F.lit(None).cast("double").alias(f"__pf_mx{i}")
+                F.expr(f"CAST(max({col}) AS DOUBLE)").alias(
+                    f"__pf_mx{i}"
+                )
+            )
+        else:
+            aggs.append(
+                F.expr("CAST(NULL AS DOUBLE)").alias(f"__pf_mn{i}")
+            )
+            aggs.append(
+                F.expr("CAST(NULL AS DOUBLE)").alias(f"__pf_mx{i}")
             )
     one = (
         df.groupBy(F.col(f"`{group_by}`")).agg(*aggs)
@@ -94,23 +110,20 @@ def profile_columns(
         else df.agg(*aggs)
     )
 
-    entries = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.lit(dtypes[c].simpleString()).alias("dtype"),
-            F.col("__pf_n").alias("n"),
-            F.coalesce(F.col(f"__pf_nn{i}"), F.lit(0)).alias("n_null"),
-            F.coalesce(F.col(f"__pf_nd{i}"), F.lit(0)).alias(
-                "n_distinct"
-            ),
-            F.col(f"__pf_mn{i}").alias("min_num"),
-            F.col(f"__pf_mx{i}").alias("max_num"),
-        )
+    entries = ", ".join(
+        "named_struct("
+        f"'column', {_sl(c)}, "
+        f"'dtype', {_sl(dtypes[c].simpleString())}, "
+        "'n', __pf_n, "
+        f"'n_null', coalesce(__pf_nn{i}, 0), "
+        f"'n_distinct', coalesce(__pf_nd{i}, 0), "
+        f"'min_num', __pf_mn{i}, "
+        f"'max_num', __pf_mx{i})"
         for i, c in enumerate(names)
-    ]
+    )
     lead = [F.col(f"`{group_by}`")] if group_by is not None else []
     return one.select(
-        *lead, F.explode(F.array(*entries)).alias("__pf")
+        *lead, F.expr(f"explode(array({entries}))").alias("__pf")
     ).select(*lead, "__pf.*")
 
 
@@ -136,12 +149,13 @@ def numeric_histogram(
     """
     if bins <= 0:
         raise ValueError("bins must be positive")
-    v = F.col(f"`{col}`").cast("double")
+    v = F.expr(f"CAST(`{col}` AS DOUBLE)")
+    # SQL-text expressions (one F.expr parse each) — see the
+    # profile_columns driver-cost note
     if lo is not None and hi is not None:
         if not lo < hi:
             raise ValueError("need lo < hi")
-        bounds = None
-        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+        lo_s, hi_s = f"{float(lo)!r}D", f"{float(hi)!r}D"
         base = df.select(v.alias("__h_v")).filter(
             F.col("__h_v").isNotNull()
         )
@@ -154,26 +168,26 @@ def numeric_histogram(
             .filter(F.col("__h_v").isNotNull())
             .crossJoin(F.broadcast(bounds))
         )
-        lo_c, hi_c = F.col("__h_lo"), F.col("__h_hi")
-    width = (hi_c - lo_c) / F.lit(float(bins))
-    raw = F.floor((F.col("__h_v") - lo_c) / width).cast("int")
-    bin_ = F.least(
-        F.lit(bins - 1), F.greatest(F.lit(0), raw)
-    )
+        lo_s, hi_s = "__h_lo", "__h_hi"
+    width = f"(({hi_s}) - ({lo_s})) / {float(bins)!r}D"
+    raw = f"CAST(floor((__h_v - ({lo_s})) / ({width})) AS INT)"
     # degenerate single-value range: everything in bin 0
-    bin_ = F.when(width > 0, bin_).otherwise(F.lit(0))
+    bin_ = (
+        f"CASE WHEN ({width}) > 0 "
+        f"THEN least({bins - 1}, greatest(0, {raw})) ELSE 0 END"
+    )
     counts = (
         base.select(
-            bin_.alias("bin"),
-            lo_c.alias("__lo"),
-            width.alias("__w"),
+            F.expr(bin_).alias("bin"),
+            F.expr(lo_s).alias("__lo"),
+            F.expr(width).alias("__w"),
         )
         .groupBy("bin", "__lo", "__w")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.expr("count(1)").alias("n"))
     )
     return counts.select(
         "bin",
-        (F.col("__lo") + F.col("bin") * F.col("__w")).alias("lo"),
-        (F.col("__lo") + (F.col("bin") + 1) * F.col("__w")).alias("hi"),
+        F.expr("__lo + bin * __w").alias("lo"),
+        F.expr("__lo + (bin + 1) * __w").alias("hi"),
         "n",
     ).orderBy("bin")

@@ -34,6 +34,35 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# SQL-text twins of the Column builders above.  Building a dot product
+# through the Column API costs ~40 ms of py4j round trips per call (and
+# ivf_assign pays it once per centroid); one ``F.expr`` parse of the
+# identical tree is a single round trip (guide §5 — the driver should
+# do almost no work).  ``_dlit``/``_alit`` emit exact-roundtrip double
+# literals (shortest-repr decimal + ``D`` suffix parses back to the
+# same IEEE double).
+
+
+def _dlit(x: float) -> str:
+    return f"{float(x)!r}D"
+
+
+def _alit(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -42,9 +71,12 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``."""
-    q = F.lit(query_vec).cast("array<double>")
     qnorm = math.sqrt(sum(x * x for x in query_vec))
-    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    v = f"`{vec_col}`"
+    cos = F.expr(
+        f"{_dot_sql(v, _alit(query_vec))} / "
+        f"({_norm_sql(v)} * {_dlit(qnorm)})"
+    )
     return (
         df.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -336,26 +368,20 @@ def ivf_assign(
     bucketed/partitioned by it, and a query's nprobe cells become
     partition pruning on the scan (see :func:`ivf_topk`).
     """
-    v = F.col(vec_col)
-    nrm = _norm(v)
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(v, F.lit(c).cast("array<double>"))
-                    / (
-                        nrm
-                        * F.lit(
-                            math.sqrt(sum(x * x for x in c)) or 1.0
-                        )
-                    )
-                ).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    v = f"`{vec_col}`"
+    nrm = _norm_sql(v)
+    entries = ", ".join(
+        "named_struct('s', "
+        f"{_dot_sql(v, _alit(c))} / "
+        f"({nrm} * {_dlit(math.sqrt(sum(x * x for x in c)) or 1.0)}), "
+        f"'c', {i})"
+        for i, c in enumerate(centroids)
     )
-    return df.withColumn(cell_col, F.array_max(scored).getField("c"))
+    # ONE SQL parse for the whole scored array — the per-centroid
+    # Column-API build cost ~0.9 s of py4j round trips per call (r15)
+    return df.withColumn(
+        cell_col, F.expr(f"array_max(array({entries})).c")
+    )
 
 
 def ivf_topk(
@@ -506,25 +532,26 @@ def quantized_topk(
     m = max((abs(x) for x in query_vec), default=0.0)
     qs = m / 127.0 if m > 0 else 1.0
     qq = [_q8(x, qs) for x in query_vec]
-    qlit = F.lit(qq).cast("array<long>")
-    dot_int = F.aggregate(
-        F.zip_with(
-            F.col("qvec"), qlit, lambda x, y: x.cast("long") * y
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    qlit = (
+        "CAST(array(" + ", ".join(str(q) for q in qq) + ") "
+        "AS array<bigint>)"
     )
-    self_int = F.aggregate(
-        F.transform(
-            F.col("qvec"), lambda x: x.cast("long") * x.cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    dot_int = (
+        f"aggregate(zip_with(qvec, {qlit}, "
+        "(x, y) -> CAST(x AS BIGINT) * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    # ANSI mode: guard the zero-vector division (NULL sorts last desc)
-    qscore = F.when(
-        self_int > 0,
-        dot_int.cast("double") / F.sqrt(self_int.cast("double")),
+    self_int = (
+        "aggregate(transform(qvec, "
+        "x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    # ANSI mode: guard the zero-vector division (NULL sorts last desc);
+    # one SQL parse — see the _dot_sql driver-cost note
+    qscore = F.expr(
+        f"CASE WHEN {self_int} > 0 THEN "
+        f"CAST({dot_int} AS DOUBLE) / sqrt(CAST({self_int} AS DOUBLE)) "
+        "END"
     )
     cand = (
         df.select(F.col(id_col), F.col(vec_col), qscore.alias("qscore"))
@@ -555,8 +582,21 @@ def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id (long) for a vector against fixed hyperplanes."""
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id (long) for a vector against fixed hyperplanes.
+
+    ``vec`` may be a column NAME (preferred — the expression is then one
+    SQL parse instead of ~planes × dot-product Column-API builds, ~0.9 s
+    of py4j round trips per call measured r15) or any Column (legacy
+    path, same tree)."""
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        terms = " + ".join(
+            f"CASE WHEN {_dot_sql(v, _alit(p))} >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for j, p in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         p = F.lit(plane).cast("array<double>")
@@ -597,6 +637,6 @@ def lsh_bucket_topk(
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), hp).alias("bucket"),
+        lsh_bucket(vec_col, hp).alias("bucket"),
     ).filter(F.col("bucket").isin(probes))
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)

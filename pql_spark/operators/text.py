@@ -57,6 +57,21 @@ def tokens(text: Column) -> Column:
     return F.split(_norm(text), " ")
 
 
+def _slit(s: str) -> str:
+    """SQL string literal (backslash-escaped, default parser mode)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _norm_sql(t: str) -> str:
+    """SQL twin of :func:`_norm` — identical Catalyst tree."""
+    return f"trim(regexp_replace(lower({t}), '\\\\s+', ' '))"
+
+
+def _tokens_sql(t: str) -> str:
+    """SQL twin of :func:`tokens`."""
+    return f"split({_norm_sql(t)}, ' ')"
+
+
 def word_shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-word shingles (array<string>).
 
@@ -347,33 +362,38 @@ def quality_score(
     ``append=True`` keeps every input column and adds the metrics —
     a narrow projection, so pipeline stages CHAIN instead of computing
     (id, metric) then self-joining back (each such join is a full-table
-    shuffle at scale)."""
-    text = F.col(text_col)
-    toks = tokens(text)
-    n_words = F.size(toks)
-    n_chars = F.length(text)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
-    en_stop = F.lit(list(STOPWORDS["en"])).cast("array<string>")
-    stop_ratio = F.size(F.array_intersect(toks, en_stop)) / n_words
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    mean_word_len = (
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-        )
-        / n_words
+    shuffle at scale).
+
+    Driver-cost note: the metric expressions are emitted as ONE SQL
+    string each (``F.expr``) — the Column-API build of the same trees
+    cost ~0.2 s of py4j round trips per call, paid by every curation
+    gate (see the :func:`repetition_stats` note)."""
+    text = f"`{text_col}`"
+    toks = _tokens_sql(text)
+    n_words = f"size({toks})"
+    n_chars = f"length({text})"
+    n_punct = f"size(regexp_extract_all({text}, '[^\\\\w\\\\s]', 0))"
+    en_stop = (
+        "array(" + ", ".join(_slit(s) for s in STOPWORDS["en"]) + ")"
     )
-    length_ok = (n_words >= 10) & (n_words <= 100000)
+    stop_ratio = f"size(array_intersect({toks}, {en_stop})) / {n_words}"
+    punct_ratio = f"{n_punct} / greatest({n_chars}, 1)"
+    mean_word_len = (
+        f"aggregate({toks}, CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + length(t)) / {n_words}"
+    )
     score = (
-        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        f"CASE WHEN {n_words} >= 10 AND {n_words} <= 100000 "
+        "THEN 0.5D ELSE 0.0D END"
+        f" + CASE WHEN {stop_ratio} > 0.01D THEN 0.25D ELSE 0.0D END"
+        f" + CASE WHEN {punct_ratio} < 0.2D THEN 0.25D ELSE 0.0D END"
     )
     cols = [
-        n_words.alias("n_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        mean_word_len.alias("mean_word_len"),
-        score.alias("quality"),
+        F.expr(n_words).alias("n_words"),
+        F.expr(punct_ratio).alias("punct_ratio"),
+        F.expr(stop_ratio).alias("stopword_ratio"),
+        F.expr(mean_word_len).alias("mean_word_len"),
+        F.expr(score).alias("quality"),
     ]
     if append:
         return df.select("*", *cols)
@@ -392,22 +412,36 @@ def language_id(
     via a Pandas UDF; the operator shape (narrow projection, no shuffle)
     stays the same.
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
+    # ONE SQL parse per output column (F.expr) — see the
+    # quality_score driver-cost note
+    toks = f"array_distinct({_tokens_sql(f'`{text_col}`')})"
     scored = []
     for lang in sorted(STOPWORDS):
-        wl = F.lit(list(STOPWORDS[lang])).cast("array<string>")
-        score = F.size(F.array_intersect(toks, wl)) / F.size(
-            F.array_union(toks, wl)
+        wl = (
+            "array("
+            + ", ".join(_slit(s) for s in STOPWORDS[lang])
+            + ")"
+        )
+        score = (
+            f"size(array_intersect({toks}, {wl})) / "
+            f"size(array_union({toks}, {wl}))"
         )
         # fixed-width "score|lang" string: max() over these is argmax by
         # (score, lang) in ANY engine — keeps the SQL oracle byte-identical
         scored.append(
-            F.format_string("%012.6f|%s", F.round(score, 6), F.lit(lang))
+            f"format_string('%012.6f|%s', round({score}, 6), "
+            f"{_slit(lang)})"
         )
-    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    best = (
+        "greatest(" + ", ".join(scored) + ")"
+        if len(scored) > 1
+        else scored[0]
+    )
     cols = [
-        F.substring_index(best, "|", -1).alias("lang_pred"),
-        F.split(best, r"\|")[0].cast("double").alias("lang_score"),
+        F.expr(f"substring_index({best}, '|', -1)").alias("lang_pred"),
+        F.expr(f"CAST(split({best}, '\\\\|')[0] AS DOUBLE)").alias(
+            "lang_score"
+        ),
     ]
     if append:
         return df.select("*", *cols)
@@ -421,11 +455,13 @@ def doc_fingerprint(
     """Deterministic content fingerprints of the normalized text:
     full-text md5 plus a head-shingle key (first 8 words) for
     prefix-duplicate detection."""
-    text = F.col(text_col)
-    toks = tokens(text)
+    text = f"`{text_col}`"
+    toks = _tokens_sql(text)
     cols = [
-        F.md5(_norm(text)).alias("fingerprint"),
-        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("head_key"),
+        F.expr(f"md5({_norm_sql(text)})").alias("fingerprint"),
+        F.expr(f"md5(concat_ws(' ', slice({toks}, 1, 8)))").alias(
+            "head_key"
+        ),
     ]
     if append:
         return df.select("*", *cols)
