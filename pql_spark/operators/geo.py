@@ -25,6 +25,7 @@ produce bit-identical cell ids.
 from __future__ import annotations
 
 import math
+import re
 import warnings
 
 from pyspark.sql import Column, DataFrame
@@ -89,6 +90,63 @@ def _morton(x: Column, y: Column, level: Column) -> Column:
     return F.when(lvl == 0, F.lit(0).cast("long")).otherwise(fold)
 
 
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+#: column references safe to splice into SQL text verbatim: plain or
+#: backticked identifiers and dotted struct-field paths only
+_SIMPLE_COL_SQL = re.compile(r"^[A-Za-z0-9_.`]+$")
+
+
+def _col_sql(c: Column | str) -> str | None:
+    """SQL text of a Column when it is a plain (possibly dotted)
+    column reference — the guard that lets literal-level cell math be
+    emitted as ONE ``F.expr`` parse instead of ~8 py4j round trips
+    per level.  Anything more complex returns None (callers keep the
+    Column-API build, which handles arbitrary expressions)."""
+    if isinstance(c, str):
+        return _sql_ident(c)
+    try:
+        s = c._jc.expr().sql()
+    except Exception:  # noqa: BLE001 — connect/foreign Column: no _jc
+        return None
+    return s if _SIMPLE_COL_SQL.match(s) else None
+
+
+def _bins_sql(lon: str, lat: str, level: int) -> tuple[str, str]:
+    """SQL-text twin of :func:`_bins` for a literal level — same
+    Catalyst tree from ONE parse instead of ~10 py4j round trips.
+    ``lon``/``lat`` are SQL expression strings (already quoted)."""
+    n = float(1 << level)
+    top = (1 << level) - 1
+    x = (
+        f"least(CAST({top} AS BIGINT), floor((CAST({lon} AS DOUBLE)"
+        f" + 180.0D) / 360.0D * {n!r}D))"
+    )
+    y = (
+        f"least(CAST({top} AS BIGINT), floor((CAST({lat} AS DOUBLE)"
+        f" + 90.0D) / 180.0D * {n!r}D))"
+    )
+    return x, y
+
+
+def _morton_sql(x: str, y: str, level: int) -> str:
+    """SQL-text twin of :func:`_morton_unrolled`: the same flat
+    left-associated sum of shift/AND terms, parsed once.  Building
+    this tree through the Column API costs ~8 py4j round trips per
+    level (~1.3 s at level 18 with the ring twin); the text form is
+    one ``F.expr`` parse."""
+    if level == 0:
+        return "CAST(0 AS BIGINT)"
+    parts = [
+        f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i + 1})"
+        f" + shiftleft(shiftright({y}, {i}) & 1, {2 * i}))"
+        for i in range(level)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
 def _morton_unrolled(x: Column, y: Column, level: int) -> Column:
     """Literal-level Morton interleave as a flat sum of native
     shift/AND terms — no sequence/aggregate, no pow(); ~7× cheaper
@@ -117,6 +175,17 @@ def geo_point_to_cell(
     if isinstance(level, int):
         if not 0 <= level <= MAX_LEVEL:
             return F.lit(None).cast("long")
+        lo, la = _col_sql(lon), _col_sql(lat)
+        if lo is not None and la is not None:
+            # plain column refs: same tree, ONE SQL parse
+            xs, ys = _bins_sql(lo, la, level)
+            return F.expr(
+                f"CASE WHEN CAST({lo} AS DOUBLE) >= -180"
+                f" AND CAST({lo} AS DOUBLE) <= 180"
+                f" AND CAST({la} AS DOUBLE) >= -90"
+                f" AND CAST({la} AS DOUBLE) <= 90"
+                f" THEN {_morton_sql(xs, ys, level)} END"
+            )
         x, y = _bins(lon, lat, level)
         return F.when(
             _valid(lon.cast("double"), lat.cast("double")),
@@ -141,6 +210,29 @@ def geo_cell_center(cell: Column, level: Column | int) -> Column:
     if isinstance(level, int):
         if not 0 <= level <= MAX_LEVEL:
             return F.lit(None).cast("struct<lon:double,lat:double>")
+        cs = _col_sql(cell)
+        if cs is not None:
+            # plain column ref: same tree, ONE SQL parse
+            if level == 0:
+                xs = ys = "CAST(0 AS BIGINT)"
+            else:
+                xs = "CAST(" + " + ".join(
+                    f"shiftleft(shiftright({cs}, {2 * i + 1}) & 1, {i})"
+                    for i in range(level)
+                ) + " AS BIGINT)"
+                ys = "CAST(" + " + ".join(
+                    f"shiftleft(shiftright({cs}, {2 * i}) & 1, {i})"
+                    for i in range(level)
+                ) + " AS BIGINT)"
+            w_lon = 360.0 / float(1 << level)
+            w_lat = 180.0 / float(1 << level)
+            return F.expr(
+                f"CASE WHEN {cs} IS NOT NULL THEN struct("
+                f"-180.0D + (CAST({xs} AS DOUBLE) + 0.5D)"
+                f" * {w_lon!r}D AS lon, "
+                f"-90.0D + (CAST({ys} AS DOUBLE) + 0.5D)"
+                f" * {w_lat!r}D AS lat) END"
+            )
         if level == 0:
             x: Column = F.lit(0).cast("long")
             y: Column = F.lit(0).cast("long")
@@ -300,28 +392,33 @@ def geo_radius_join(
 
     a2 = pick(a, sa)
     b2 = pick(b, sb)
-    ax, ay = _bins(F.col(lon_col + sa), F.col(lat_col + sa), level)
-    a2 = a2.withColumn("__cell", _morton_unrolled(ax, ay, level))
-    bx, by = _bins(F.col(lon_col + sb), F.col(lat_col + sb), level)
+    # Cell ids as SQL text, ONE F.expr parse per side: the Column-API
+    # build of the unrolled Morton sum + 3x3 ring ran to ~400 py4j
+    # round trips (~1.3 s of driver time per call at level 18).
+    ax, ay = _bins_sql(
+        _sql_ident(lon_col + sa), _sql_ident(lat_col + sa), level
+    )
+    a2 = a2.withColumn("__cell", F.expr(_morton_sql(ax, ay, level)))
+    bx, by = _bins_sql(
+        _sql_ident(lon_col + sb), _sql_ident(lat_col + sb), level
+    )
     # 3x3 ring from the bins directly (no cell decode): dx wraps the
     # antimeridian, dy clips at the poles; NULL slots filter out
-    ring = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(8)),
-            lambda k: _ring_cell(
-                bx, by, k % 3 - 1, F.floor(k / 3).cast("int") - 1,
-                n_cells, level,
-            ),
-        ),
-        lambda c: c.isNotNull(),
+    xx = f"(({bx} + (k % 3 - 1) + {n_cells}) % {n_cells})"
+    yy = f"({by} + (CAST(floor(k / 3) AS INT) - 1))"
+    ring_sql = (
+        "filter(transform(sequence(0, 8), k -> CASE WHEN"
+        f" {yy} >= 0 AND {yy} <= {n_cells - 1}"
+        f" THEN {_morton_sql(xx, yy, level)} END),"
+        " c -> c IS NOT NULL)"
     )
     if level <= 1:
         # grids with <=2 columns alias ring offsets (dx=-1 wraps onto
         # dx=+1 when n_cells==2; everything collides at level 0), which
         # would duplicate output pairs — dedup the <=9 cells.  At
         # level >= 2 all ring cells are distinct by construction.
-        ring = F.array_distinct(ring)
-    b2 = b2.withColumn("__cell", F.explode(ring))
+        ring_sql = f"array_distinct({ring_sql})"
+    b2 = b2.withColumn("__cell", F.explode(F.expr(ring_sql)))
     dist = haversine_m(
         F.col(lon_col + sa), F.col(lat_col + sa),
         F.col(lon_col + sb), F.col(lat_col + sb),
@@ -344,12 +441,3 @@ def _max_abs_lat(
     return None if row is None else row[0]
 
 
-def _ring_cell(
-    bx: Column, by: Column, dx: Column, dy: Column,
-    n_cells: int, level: int,
-) -> Column:
-    xx = (bx + dx + F.lit(n_cells)) % F.lit(n_cells)
-    yy = by + dy
-    return F.when(
-        yy.between(0, n_cells - 1), _morton_unrolled(xx, yy, level)
-    )
