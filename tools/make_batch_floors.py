@@ -39,10 +39,21 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 DEFAULT_SOURCES = [
+    # pre-r15 era: kept for gates the r15 optimizations did not touch
+    # (min() only keeps them where they are genuinely lower)
     "BENCH_LOCAL_r13.json",
     "BENCH_LOCAL_r13_pm.json",
     "BENCH_LOCAL_r14.json",
     "BENCH_LOCAL_r14_pm.json",
+    # r15 optimization era (re-baselined per the ratchet contract —
+    # a faster code round must regenerate rather than enjoy an easy
+    # bar): round-start baselines, the mid-round record, the fastest
+    # (digest) session, and the final comparable record
+    "BENCH_LOCAL_r15_before_am.json",
+    "BENCH_LOCAL_r15_before.json",
+    "BENCH_LOCAL_r15_midround.json",
+    "BENCH_LOCAL_r15_fastest.json",
+    "BENCH_FULL.json",
 ]
 
 
