@@ -531,3 +531,72 @@ def test_video_phash_mixed_avi_gif_corpus(spark):
     assert len(got) == 8
     for k in range(4):
         assert got[2 * k] == got[2 * k + 1], k
+
+
+# ---------------------------------------------------------------------
+# r15: vectorized LZW decode vs the scalar reference — bit-exact on
+# every input class, including every error path
+
+
+def _check_lzw_pair(mcs: int, data: bytes, n: int) -> None:
+    from pql_spark.operators._gif import _lzw_decode, _lzw_decode_scalar
+
+    try:
+        a, ea = _lzw_decode_scalar(mcs, data, n), None
+    except ValueError as e:
+        a, ea = None, str(e)
+    try:
+        b, eb = _lzw_decode(mcs, data, n), None
+    except ValueError as e:
+        b, eb = None, str(e)
+    assert ea == eb, (mcs, n, ea, eb)
+    if a is not None:
+        assert np.array_equal(a, b), (mcs, n)
+
+
+def test_lzw_vectorized_matches_scalar_roundtrips():
+    from pql_spark.operators._gif import _lzw_encode
+
+    rng = np.random.default_rng(2024)
+    for trial in range(60):
+        mcs = int(rng.integers(2, 9))
+        npx = int(rng.integers(1, 3000))
+        reps = int(rng.integers(1, 20))
+        vals = rng.integers(0, 1 << mcs, npx // reps + 1)
+        idx = np.repeat(vals, reps)[:npx].astype(np.uint8)
+        if idx.size < npx:
+            idx = np.pad(idx, (0, npx - idx.size))
+        data = _lzw_encode(mcs, idx)
+        _check_lzw_pair(mcs, data, npx)
+        # oversized request: stream ends before the image fills
+        _check_lzw_pair(mcs, data, npx + 17)
+
+
+def test_lzw_vectorized_matches_scalar_truncation_every_byte():
+    from pql_spark.operators._gif import _lzw_encode
+
+    rng = np.random.default_rng(7)
+    for mcs in (2, 5, 8):
+        npx = 200
+        idx = rng.integers(0, 1 << mcs, npx).astype(np.uint8)
+        data = _lzw_encode(mcs, idx)
+        for cut in range(len(data)):
+            _check_lzw_pair(mcs, data[:cut], npx)
+
+
+def test_lzw_vectorized_matches_scalar_garbage_and_edges():
+    rng = np.random.default_rng(99)
+    for trial in range(200):
+        mcs = int(rng.integers(0, 9))  # incl. degenerate 0/1
+        npx = int(rng.integers(1, 400))
+        data = bytes(
+            rng.integers(0, 256, int(rng.integers(0, 150))).astype(np.uint8)
+        )
+        _check_lzw_pair(mcs, data, npx)
+    _check_lzw_pair(4, b"", 0)
+    _check_lzw_pair(4, b"", 5)
+    # mcs=1: width bumps right after the segment's first code
+    from pql_spark.operators._gif import _lzw_encode
+
+    idx = rng.integers(0, 2, 300).astype(np.uint8)
+    _check_lzw_pair(2, _lzw_encode(2, idx), 300)
