@@ -288,6 +288,18 @@ def curate_corpus(
         # columns the filter reads, so counting the same predicate
         # over it is row-identical to counting the stage frame while
         # skipping another full run of the annotation lineage.
+        # Fused further (guide §2.3 "aggregate before you shuffle" /
+        # §1.2 don't compute things twice): stages whose counts are
+        # provably identical or derivable share ONE aggregate pass —
+        # `input` + `quality_lang` are one labeled scan with a
+        # conditional count (count(when(cond)) counts exactly the
+        # filter's TRUE rows), and `final` + `near_dup_decontam` are
+        # one pass over the post-anti-join frame because
+        # train_test_split only appends a column (never changes row
+        # count).  Each fused aggregate emits its stage rows via one
+        # explode, so the plan drops two whole aggregate subtrees
+        # while the emitted (stage_idx, stage, rows) values are
+        # unchanged for ANY input.
         def _stage_agg(i: int, name: str, frame: DataFrame) -> DataFrame:
             return frame.agg(F.count(F.lit(1)).alias("rows")).select(
                 F.lit(i).alias("stage_idx"),
@@ -295,12 +307,56 @@ def curate_corpus(
                 "rows",
             )
 
-        count_frames: list[DataFrame] = []
+        def _multi_agg(
+            frame: DataFrame,
+            aggs: list,
+            entries: list[tuple[int, str, str]],
+        ) -> DataFrame:
+            one = frame.agg(*aggs)
+            return one.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("stage_idx"),
+                                F.lit(name).alias("stage"),
+                                F.col(alias).alias("rows"),
+                            )
+                            for i, name, alias in entries
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.stage_idx", "s.stage", "s.rows")
+
+        by_name = {name: i for i, (name, _) in enumerate(stages)}
+        count_frames: list[DataFrame] = [
+            _multi_agg(
+                labeled,
+                [
+                    F.count(F.lit(1)).alias("__n_input"),
+                    F.count(F.when(cond, F.lit(1))).alias("__n_ql"),
+                ],
+                [
+                    (by_name["input"], "input", "__n_input"),
+                    (by_name["quality_lang"], "quality_lang", "__n_ql"),
+                ],
+            )
+        ]
         for i, (name, f) in enumerate(stages):
-            if name == "input":
-                f = labeled
-            elif name == "quality_lang":
-                f = labeled.filter(cond)
+            if name in ("input", "quality_lang", "final"):
+                continue
+            if name == "near_dup_decontam":
+                count_frames.append(
+                    _multi_agg(
+                        f,
+                        [F.count(F.lit(1)).alias("__n")],
+                        [
+                            (i, "near_dup_decontam", "__n"),
+                            (by_name["final"], "final", "__n"),
+                        ],
+                    )
+                )
+                continue
             count_frames.append(_stage_agg(i, name, f))
         qa["stage_counts"] = reduce(
             lambda a, b: a.unionByName(b), count_frames

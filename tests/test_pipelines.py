@@ -225,3 +225,31 @@ def test_curate_corpus_qa_report(spark, raw_docs):
     )
     assert sorted(r.doc_id for r in base.select("doc_id").collect()) == \
         survivors
+
+
+def test_curate_corpus_qa_stage_counts_match_frames(spark, raw_docs):
+    """r15 fused stage counts: each (stage, rows) row must equal the
+    directly-computed count of that stage's frame — exercised WITH the
+    optional repetition stage so the fused pairs (input+quality_lang,
+    near_dup_decontam+final) sit around an unfused middle stage."""
+    qa = {}
+    out = curate_corpus(
+        raw_docs, min_quality=0.5, langs=None,
+        near_dup_threshold=0.5, max_dup_ngram_frac=0.9, qa=qa,
+    )
+    rows = qa["stage_counts"].orderBy("stage_idx").collect()
+    order = [r.stage for r in rows]
+    assert order == [
+        "input", "quality_lang", "repetition", "exact_dedup",
+        "near_dup_decontam", "final",
+    ]
+    assert [r.stage_idx for r in rows] == list(range(6))
+    sc = {r.stage: r.rows for r in rows}
+    # both fused pairs reconcile against independent recomputation
+    assert sc["input"] == raw_docs.count()
+    assert sc["final"] == out.count()
+    assert sc["near_dup_decontam"] == sc["final"]  # split appends only
+    counts = [sc[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert sc["quality_lang"] <= sc["input"]
+    assert sc["exact_dedup"] <= sc["repetition"] <= sc["quality_lang"]
