@@ -247,8 +247,184 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
 
 
+# peek-table machinery (r15, guide §4.2 per-task work): decoding one
+# Huffman symbol with the scalar reader below costs up to 16 read_bit
+# calls plus 16 dict probes; with a 2^16 peek table it is one windowed
+# 16-bit peek plus two list lookups.  Codes are canonical (prefix-free),
+# so every 16-bit word has at most one code as a prefix — the table
+# maps each word to that code's (symbol, length), 0-length = no match.
+# Tables are cached by CONTENT (same DHT bytes across a corpus build
+# the table once per process) and memoized inside the decode dict under
+# a reserved key a (length, code) 2-tuple can never collide with.
+_PEEK_KEY = ("peek16",)
+_PEEK_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _peek_tables(
+    table: dict[tuple[int, int], int],
+) -> tuple[list[int], list[int]]:
+    pk = table.get(_PEEK_KEY)
+    if pk is not None:
+        return pk
+    items = tuple(sorted(
+        (k, v) for k, v in table.items() if k != _PEEK_KEY
+    ))
+    pk = _PEEK_CACHE.get(items)
+    if pk is None:
+        sym_a = np.zeros(65536, dtype=np.int32)
+        len_a = np.zeros(65536, dtype=np.int32)
+        for (length, code), sym in items:
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            sym_a[start : start + span] = sym
+            len_a[start : start + span] = length
+        pk = (sym_a.tolist(), len_a.tolist())
+        if len(_PEEK_CACHE) >= 16:  # bound worker memory on odd corpora
+            _PEEK_CACHE.clear()
+        _PEEK_CACHE[items] = pk
+    table[_PEEK_KEY] = pk  # type: ignore[assignment]
+    return pk
+
+
 class _BitReader:
-    """Reads one entropy-coded segment (already de-stuffed)."""
+    """Reads one entropy-coded segment (already de-stuffed).
+
+    Bit-position cursor over precomputed 32-bit byte windows: any
+    16-bit peek is one list index plus a shift, so `huff` is O(1) per
+    symbol instead of O(code length) read_bit calls.  Behaviour
+    (values, consumed positions, and every ValueError) is bit-exact
+    with `_BitReaderScalar`, the r14 reference kept below — fuzz-proved
+    in tests/test_jpeg.py."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.nbits = 8 * len(data)
+        self.bitpos = 0
+        pad = np.zeros(len(data) + 4, dtype=np.uint8)
+        pad[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+        # w[i] = bytes i..i+3 big-endian (zero-padded tail); exhaustion
+        # checks stop any read before fabricated pad bits are consumed
+        self._w = (
+            (pad[:-3].astype(np.uint32) << 24)
+            | (pad[1:-2].astype(np.uint32) << 16)
+            | (pad[2:-1].astype(np.uint32) << 8)
+            | pad[3:].astype(np.uint32)
+        ).tolist()
+
+    def read_bit(self) -> int:
+        p = self.bitpos
+        if p >= self.nbits:
+            raise ValueError("decode_jpeg: entropy data exhausted")
+        self.bitpos = p + 1
+        return (self._w[p >> 3] >> (31 - (p & 7))) & 1
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if n > 16:  # not reachable from T.81 scans; keep the general path
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+        p = self.bitpos
+        if p + n > self.nbits:
+            raise ValueError("decode_jpeg: entropy data exhausted")
+        self.bitpos = p + n
+        return (
+            (self._w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        ) >> (16 - n)
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        syms, lens = _peek_tables(table)
+        p = self.bitpos
+        pk = (self._w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        ln = lens[pk]
+        if ln and p + ln <= self.nbits:
+            self.bitpos = p + ln
+            return syms[pk]
+        self._huff_fail(ln)
+
+    def _huff_fail(self, ln: int) -> None:
+        # scalar-walk failure modes: no match within 16 REAL bits →
+        # invalid; bits ran out before a match could complete →
+        # exhausted.  (Prefix-freedom: a match of length ≤ remaining
+        # depends only on real bits, so zero padding can neither hide
+        # nor fabricate one.)
+        if ln == 0 and self.nbits - self.bitpos >= 16:
+            raise ValueError("decode_jpeg: invalid Huffman code in scan")
+        raise ValueError("decode_jpeg: entropy data exhausted")
+
+    def decode_block(
+        self,
+        dc_syms: list[int],
+        dc_lens: list[int],
+        ac_syms: list[int],
+        ac_lens: list[int],
+    ) -> tuple[int, list[int]]:
+        """One baseline block's entropy data → (DC diff, 64 zigzag
+        coefficients, zz[0] left 0 for the caller's predictor).  The
+        fused huff+receive+EXTEND loop over local variables replaces
+        ~50 method calls per block; values and error behaviour match
+        the huff/receive composition exactly (same checks, same
+        order, same messages)."""
+        w = self._w
+        nbits = self.nbits
+        p = self.bitpos
+        pk = (w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        ln = dc_lens[pk]
+        if not ln or p + ln > nbits:
+            self.bitpos = p
+            self._huff_fail(ln)
+        p += ln
+        size = dc_syms[pk]
+        if size > 11:
+            self.bitpos = p
+            raise ValueError("decode_jpeg: bad DC category")
+        if size:
+            if p + size > nbits:
+                self.bitpos = p
+                raise ValueError("decode_jpeg: entropy data exhausted")
+            v = ((w[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+            p += size
+            diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        else:
+            diff = 0
+        zz = [0] * 64
+        k = 1
+        while k < 64:
+            pk = (w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            ln = ac_lens[pk]
+            if not ln or p + ln > nbits:
+                self.bitpos = p
+                self._huff_fail(ln)
+            p += ln
+            rs = ac_syms[pk]
+            sz = rs & 0xF
+            if sz == 0:
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += rs >> 4
+            if k > 63:
+                self.bitpos = p
+                raise ValueError("decode_jpeg: AC run overflows block")
+            if p + sz > nbits:
+                self.bitpos = p
+                raise ValueError("decode_jpeg: entropy data exhausted")
+            v = ((w[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - sz)
+            p += sz
+            zz[k] = v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+            k += 1
+        self.bitpos = p
+        return diff, zz
+
+
+class _BitReaderScalar:
+    """Bit-at-a-time reference reader (the r14 implementation) — the
+    behavioural spec for `_BitReader`; the fuzz suite drives both with
+    identical op sequences and asserts identical values, positions,
+    and exceptions."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -473,11 +649,30 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
+    out += _encode_scan(
+        comps, factors, mcu_rows, mcu_cols, comp_codes, restart_interval
+    )
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_scan_scalar(
+    comps: list[np.ndarray],
+    factors: list[tuple[int, int]],
+    mcu_rows: int,
+    mcu_cols: int,
+    comp_codes: list[tuple[dict, dict]],
+    restart_interval: int,
+) -> bytes:
+    """Per-block reference entropy coder (the r14 implementation) —
+    the behavioural spec for the vectorized `_encode_scan`; the fuzz
+    suite asserts byte-identical output over sizes / content /
+    quality / subsampling / restart intervals / table sets."""
     # plane-raster block index → per-MCU interleaved emission: the
     # planes are padded to the MCU multiple, so each plane's block
     # grid is exactly (mcu_rows·fv) × (mcu_cols·fh)
     widths = [mcu_cols * fh for fh, _fv in factors]
-
+    out = bytearray()
     writer = _BitWriter()
     preds = [0, 0, 0]
     mcus_done = 0
@@ -508,7 +703,221 @@ def encode_jpeg(
             mcus_done += 1
     writer.flush()
     out += writer.out
-    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+_CODE_ARR_KEY = ("codearr",)
+_POW2_17 = (1 << np.arange(17)).astype(np.int64)
+
+
+def _code_arrays(codes: dict, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(code, length) dict → dense lookup arrays, memoized inside the
+    dict under a tuple key an int symbol can never collide with (the
+    `_PEEK_KEY` pattern on the decode side)."""
+    pk = codes.get(_CODE_ARR_KEY)
+    if pk is not None:
+        return pk
+    vals = np.zeros(n, dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    for sym, (code, length) in codes.items():
+        if sym == _CODE_ARR_KEY:
+            continue
+        vals[sym] = code
+        lens[sym] = length
+    codes[_CODE_ARR_KEY] = (vals, lens)  # type: ignore[assignment]
+    return vals, lens
+
+
+def _encode_scan(
+    comps: list[np.ndarray],
+    factors: list[tuple[int, int]],
+    mcu_rows: int,
+    mcu_cols: int,
+    comp_codes: list[tuple[dict, dict]],
+    restart_interval: int,
+) -> bytes:
+    """Vectorized baseline entropy coder (r15, guide §4.2 per-task
+    work): the scalar loop above costs ~4 Python calls per nonzero
+    coefficient; here every block's symbols are generated with numpy
+    (runs via nonzero-gap arithmetic, categories via one searchsorted)
+    and the whole scan is bit-packed in one disjoint-bits scatter-add.
+    Output is byte-identical to `_encode_scan_scalar` — same emission
+    order, per-restart-chunk predictor resets, 1-fill padding, byte
+    stuffing, and RSTn rotation (differential fuzz in
+    tests/test_jpeg.py)."""
+    bpm = sum(fh * fv for fh, fv in factors)
+    widths = [mcu_cols * fh for fh, _fv in factors]
+    n_mcus = mcu_rows * mcu_cols
+    ntot = n_mcus * bpm
+    # blocks in emission order: MCU-major, then component, then the
+    # fv×fh raster inside the MCU
+    ZZ = np.empty((ntot, 64), dtype=np.int64)
+    CI = np.empty(ntot, dtype=np.int64)
+    off = 0
+    for ci, (coef, (fh, fv)) in enumerate(zip(comps, factors)):
+        my = np.arange(mcu_rows)[:, None, None, None]
+        mx = np.arange(mcu_cols)[None, :, None, None]
+        by = np.arange(fv)[None, None, :, None]
+        bx = np.arange(fh)[None, None, None, :]
+        e = np.broadcast_to(
+            (my * mcu_cols + mx) * bpm + off + by * fh + bx,
+            (mcu_rows, mcu_cols, fv, fh),
+        ).ravel()
+        src = np.broadcast_to(
+            (my * fv + by) * widths[ci] + (mx * fh + bx),
+            (mcu_rows, mcu_cols, fv, fh),
+        ).ravel()
+        ZZ[e] = coef.reshape(-1, 64)[:, ZIGZAG][src]
+        CI[e] = ci
+        off += fh * fv
+    if restart_interval:
+        chunk = (np.arange(ntot) // bpm) // restart_interval
+        n_chunks = int(chunk[-1]) + 1
+    else:
+        chunk = np.zeros(ntot, dtype=np.int64)
+        n_chunks = 1
+
+    # DC diffs along each (component, restart-chunk) predictor chain
+    dc = ZZ[:, 0]
+    diff = np.empty(ntot, dtype=np.int64)
+    for ci in range(len(comps)):
+        m = CI == ci
+        dci = dc[m]
+        chk = chunk[m]
+        prev = np.concatenate([[0], dci[:-1]])
+        new_chunk = np.concatenate([[True], chk[1:] != chk[:-1]])
+        diff[m] = dci - np.where(new_chunk, 0, prev)
+    dc_size = np.searchsorted(_POW2_17, np.abs(diff), side="right")
+    if int(dc_size.max(initial=0)) > 11:
+        raise ValueError("encode_jpeg: DC difference out of range")
+    dc_mag = np.where(diff >= 0, diff, diff + (1 << dc_size) - 1)
+
+    dcv, dcl, acv, acl = [], [], [], []
+    for dcd, acd in comp_codes:
+        v, ln = _code_arrays(dcd, 16)
+        dcv.append(v)
+        dcl.append(ln)
+        v, ln = _code_arrays(acd, 256)
+        acv.append(v)
+        acl.append(ln)
+    dcv = np.stack(dcv)
+    dcl = np.stack(dcl)
+    acv = np.stack(acv)
+    acl = np.stack(acl)
+
+    # AC runs: gaps between consecutive nonzeros inside a block; a gap
+    # g emits g>>4 ZRLs then symbol ((g&15)<<4)|size — exactly the
+    # scalar `while run > 15` loop
+    acz = ZZ[:, 1:]
+    mask = acz != 0
+    any_nz = mask.any(axis=1)
+    last_nz = np.where(any_nz, 63 - np.argmax(mask[:, ::-1], axis=1), 0)
+    bi, kk = np.nonzero(mask)
+    k = kk + 1
+    if len(bi):
+        first = np.concatenate([[True], bi[1:] != bi[:-1]])
+        prev_k = np.where(first, 0, np.concatenate([[0], k[:-1]]))
+        run = k - prev_k - 1
+        zrl = run >> 4
+        rem = run & 15
+        v = acz[bi, kk]
+        ac_size = np.searchsorted(_POW2_17, np.abs(v), side="right")
+        sym = (rem << 4) | ac_size
+        ci_nz = CI[bi]
+        if (acl[ci_nz, sym] == 0).any():
+            raise ValueError("encode_jpeg: AC (run, size) not in table")
+        ac_mag = np.where(v >= 0, v, v + (1 << ac_size) - 1)
+
+    # emission entries, ordered by key = block·400 + inner position
+    # (inner: DC code 0, DC mag 1, nz at k: ZRLs k·6+j, code k·6+4,
+    # mag k·6+5, EOB 390, per-chunk flush padding 399 on the chunk's
+    # last block) — blocks are chunk-monotone, so ONE stable argsort
+    # yields chunk-major packing order
+    parts_v, parts_l, parts_key = [], [], []
+    e_all = np.arange(ntot, dtype=np.int64)
+    parts_v.append(dcv[CI, dc_size])
+    parts_l.append(dcl[CI, dc_size])
+    parts_key.append(e_all * 400)
+    m = dc_size > 0
+    parts_v.append(dc_mag[m])
+    parts_l.append(dc_size[m])
+    parts_key.append(e_all[m] * 400 + 1)
+    if len(bi):
+        tz = int(zrl.sum())
+        if tz:
+            rep = np.repeat(np.arange(len(bi)), zrl)
+            j = np.arange(tz) - np.repeat(np.cumsum(zrl) - zrl, zrl)
+            parts_v.append(acv[ci_nz[rep], 0xF0])
+            parts_l.append(acl[ci_nz[rep], 0xF0])
+            parts_key.append(bi[rep] * 400 + k[rep] * 6 + j)
+        parts_v.append(acv[ci_nz, sym])
+        parts_l.append(acl[ci_nz, sym])
+        parts_key.append(bi * 400 + k * 6 + 4)
+        parts_v.append(ac_mag)
+        parts_l.append(ac_size)
+        parts_key.append(bi * 400 + k * 6 + 5)
+    meob = last_nz < 63
+    parts_v.append(acv[CI[meob], 0x00])
+    parts_l.append(acl[CI[meob], 0x00])
+    parts_key.append(e_all[meob] * 400 + 390)
+
+    vals = np.concatenate(parts_v)
+    lens = np.concatenate(parts_l)
+    keys = np.concatenate(parts_key)
+    order = np.argsort(keys, kind="stable")
+    vals = vals[order]
+    lens = lens[order]
+    entry_chunk = chunk[keys[order] // 400]
+
+    # per-chunk 1-fill padding to a byte boundary (writer.flush)
+    chunk_bits = np.bincount(
+        entry_chunk, weights=lens, minlength=n_chunks
+    ).astype(np.int64)
+    pad = (-chunk_bits) % 8
+    vals = np.concatenate([vals, (1 << pad) - 1])
+    lens = np.concatenate([lens, pad])
+    entry_chunk = np.concatenate(
+        [entry_chunk, np.arange(n_chunks, dtype=np.int64)]
+    )
+    order2 = np.argsort(entry_chunk, kind="stable")
+    vals = vals[order2]
+    lens = lens[order2]
+    entry_chunk = entry_chunk[order2]
+
+    chunk_bits = chunk_bits + pad
+    chunk_bytes = chunk_bits >> 3
+    chunk_byte_start = np.concatenate([[0], np.cumsum(chunk_bytes)[:-1]])
+    total_bytes = int(chunk_bytes.sum())
+
+    # disjoint-bits scatter-add: each ≤16-bit entry lands in a 32-bit
+    # window at its bit offset; bit positions never overlap, so adds
+    # never carry
+    per_chunk_start = np.concatenate([[0], np.cumsum(chunk_bits)[:-1]])
+    boff = np.cumsum(lens) - lens - per_chunk_start[entry_chunk]
+    bytepos = chunk_byte_start[entry_chunk] + (boff >> 3)
+    w = (vals & ((1 << lens) - 1)) << (32 - lens - (boff & 7))
+    buf = np.zeros(total_bytes + 4, dtype=np.int64)
+    np.add.at(buf, bytepos, (w >> 24) & 0xFF)
+    np.add.at(buf, bytepos + 1, (w >> 16) & 0xFF)
+    np.add.at(buf, bytepos + 2, (w >> 8) & 0xFF)
+    np.add.at(buf, bytepos + 3, w & 0xFF)
+    buf = buf[:total_bytes].astype(np.uint8)
+
+    # byte stuffing (FF → FF 00) per chunk; RSTn between chunks
+    out = bytearray()
+    for c in range(n_chunks):
+        if c:
+            out += bytes([0xFF, 0xD0 + ((c - 1) % 8)])
+        s = buf[chunk_byte_start[c] : chunk_byte_start[c] + chunk_bytes[c]]
+        ff = s == 0xFF
+        if ff.any():
+            counts = 1 + ff.astype(np.int64)
+            pos = np.cumsum(counts) - counts
+            stuffed = np.zeros(int(counts.sum()), dtype=np.uint8)
+            stuffed[pos] = s
+            out += stuffed.tobytes()
+        else:
+            out += s.tobytes()
     return bytes(out)
 
 
@@ -730,7 +1139,30 @@ def _decode_scan(
         )
         for cid, fh, fv, _tq, _td, _ta in comp_scan
     }
+    # r15 (guide §4.2): tables resolved ONCE per scan (not per MCU),
+    # blocks decoded by the reader's fused decode_block, and the
+    # zigzag permutation + placement applied to ALL blocks in one
+    # vectorized pass at the end instead of 3 numpy allocations per
+    # block.  Identical coefficients (entropy bit-exactness suite).
+    comps = []
+    for cid, fh, fv, _tq, td, ta in comp_scan:
+        dc_tab = huffs.get((0, td))
+        ac_tab = huffs.get((1, ta))
+        if default_huffman:
+            if dc_tab is None:
+                dc_tab = _ANNEX_K_DEC.get((0, td))
+            if ac_tab is None:
+                ac_tab = _ANNEX_K_DEC.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("decode_jpeg: scan references missing DHT")
+        dc_syms, dc_lens = _peek_tables(dc_tab)
+        ac_syms, ac_lens = _peek_tables(ac_tab)
+        comps.append((cid, fh, fv, dc_syms, dc_lens, ac_syms, ac_lens))
+
     preds = {cid: 0 for cid, *_ in comp_scan}
+    blocks: dict[int, list[list[int]]] = {cid: [] for cid in preds}
+    rows_ix: dict[int, list[int]] = {cid: [] for cid in preds}
+    cols_ix: dict[int, list[int]] = {cid: [] for cid in preds}
     seg_idx = 0
     reader = _BitReader(segs[0])
     for m in range(n_mcus):
@@ -743,46 +1175,24 @@ def _decode_scan(
             reader = _BitReader(segs[seg_idx])
             preds = {cid: 0 for cid in preds}
         my, mx = divmod(m, mcu_cols)
-        for cid, fh, fv, _tq, td, ta in comp_scan:
-            dc_tab = huffs.get((0, td))
-            ac_tab = huffs.get((1, ta))
-            if default_huffman:
-                if dc_tab is None:
-                    dc_tab = _ANNEX_K_DEC.get((0, td))
-                if ac_tab is None:
-                    ac_tab = _ANNEX_K_DEC.get((1, ta))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("decode_jpeg: scan references missing DHT")
+        for cid, fh, fv, dc_syms, dc_lens, ac_syms, ac_lens in comps:
+            pred = preds[cid]
             for by in range(fv):
                 for bx in range(fh):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = reader.huff(dc_tab)
-                    if size > 11:
-                        raise ValueError("decode_jpeg: bad DC category")
-                    diff = _extend(reader.receive(size), size)
-                    preds[cid] += diff
-                    zz[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huff(ac_tab)
-                        run, sz = rs >> 4, rs & 0xF
-                        if sz == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError(
-                                "decode_jpeg: AC run overflows block"
-                            )
-                        zz[k] = _extend(reader.receive(sz), sz)
-                        k += 1
-                    block = np.zeros(64, dtype=np.int64)
-                    block[ZIGZAG] = zz
-                    coefs[cid][my * fv + by, mx * fh + bx] = block.reshape(
-                        8, 8
+                    diff, zz = reader.decode_block(
+                        dc_syms, dc_lens, ac_syms, ac_lens
                     )
+                    pred += diff
+                    zz[0] = pred
+                    blocks[cid].append(zz)
+                    rows_ix[cid].append(my * fv + by)
+                    cols_ix[cid].append(mx * fh + bx)
+            preds[cid] = pred
+    inv = np.argsort(ZIGZAG)  # natural[j] = zigzag[inv[j]]
+    for cid, blks in blocks.items():
+        if blks:
+            nat = np.asarray(blks, dtype=np.int64)[:, inv]
+            coefs[cid][rows_ix[cid], cols_ix[cid]] = nat.reshape(-1, 8, 8)
     return coefs
 
 

@@ -431,3 +431,190 @@ def test_progressive_truncated_raises_clean():
     payload = encode_jpeg_progressive(_img(17), quality=85)
     with pytest.raises(ValueError):
         decode_jpeg(payload[: len(payload) * 2 // 3])
+
+
+# ---------------------------------------------------------------------
+# differential fuzz: the peek-table reader vs the scalar reference
+
+
+def _random_canonical_table(rng) -> dict:
+    """Random canonical (prefix-free) Huffman table, DHT-style: assign
+    canonical codes to a random ascending list of code lengths."""
+    while True:
+        n = int(rng.integers(1, 9))
+        lengths = sorted(int(rng.integers(1, 12)) for _ in range(n))
+        table, ok = {}, True
+        code, prev_len = 0, lengths[0]
+        for i, ln in enumerate(lengths):
+            if i:
+                code = (code + 1) << (ln - prev_len)
+            if code >= (1 << ln):
+                ok = False
+                break
+            table[(ln, code)] = int(rng.integers(0, 256))
+            prev_len = ln
+        if ok:
+            return table
+
+
+def _scalar_decode_block(ref, dc_tab, ac_tab):
+    """The r14 per-block entropy loop, composed from the scalar
+    reference reader — the behavioural spec for decode_block."""
+    from pql_spark.operators._jpeg import _extend
+
+    size = ref.huff(dc_tab)
+    if size > 11:
+        raise ValueError("decode_jpeg: bad DC category")
+    diff = _extend(ref.receive(size), size)
+    zz = [0] * 64
+    k = 1
+    while k < 64:
+        rs = ref.huff(ac_tab)
+        run, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if run == 15:
+                k += 16
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("decode_jpeg: AC run overflows block")
+        zz[k] = _extend(ref.receive(sz), sz)
+        k += 1
+    return diff, zz
+
+
+def test_bitreader_differential_fuzz():
+    # drive _BitReader and _BitReaderScalar with identical random op
+    # sequences over random data and random canonical tables: values,
+    # consumed bit positions on success, and every ValueError message
+    # must agree (the exact claim in the _BitReader docstring)
+    from pql_spark.operators._jpeg import _BitReader, _BitReaderScalar
+
+    rng = np.random.default_rng(20250817)
+    errors = 0
+    for _trial in range(600):
+        data = rng.integers(
+            0, 256, int(rng.integers(0, 24)), dtype=np.uint8
+        ).tobytes()
+        tables = [_random_canonical_table(rng) for _ in range(2)]
+        fast, ref = _BitReader(data), _BitReaderScalar(data)
+        for _step in range(int(rng.integers(1, 24))):
+            op = int(rng.integers(0, 3))
+            arg = int(rng.integers(0, 17)) if op == 1 else int(
+                rng.integers(0, 2)
+            )
+
+            def run(r):
+                if op == 0:
+                    return r.read_bit()
+                if op == 1:
+                    return r.receive(arg)
+                return r.huff(tables[arg])
+
+            got = want = gerr = werr = None
+            try:
+                got = run(fast)
+            except ValueError as e:
+                gerr = str(e)
+            try:
+                want = run(ref)
+            except ValueError as e:
+                werr = str(e)
+            assert got == want, (data.hex(), op, arg, got, want)
+            assert gerr == werr, (data.hex(), op, arg, gerr, werr)
+            if gerr is not None:
+                errors += 1
+                break  # post-error cursor state is unspecified
+            assert fast.bitpos == 8 * ref.pos + ref.bit
+    assert errors > 50  # the sweep must actually hit error paths
+
+
+def test_decode_block_differential_fuzz():
+    # the fused decode_block against the r14 huff/receive/EXTEND
+    # composition over the scalar reader: identical (diff, zz),
+    # identical cursor on success, identical ValueError on failure
+    from pql_spark.operators._jpeg import (
+        _BitReader,
+        _BitReaderScalar,
+        _peek_tables,
+    )
+
+    rng = np.random.default_rng(1234)
+    errors = 0
+    for _trial in range(600):
+        data = rng.integers(
+            0, 256, int(rng.integers(0, 64)), dtype=np.uint8
+        ).tobytes()
+        dc_tab = _random_canonical_table(rng)
+        ac_tab = _random_canonical_table(rng)
+        dc_syms, dc_lens = _peek_tables(dc_tab)
+        ac_syms, ac_lens = _peek_tables(ac_tab)
+        fast, ref = _BitReader(data), _BitReaderScalar(data)
+        while True:
+            got = want = gerr = werr = None
+            try:
+                got = fast.decode_block(dc_syms, dc_lens, ac_syms, ac_lens)
+            except ValueError as e:
+                gerr = str(e)
+            try:
+                want = _scalar_decode_block(ref, dc_tab, ac_tab)
+            except ValueError as e:
+                werr = str(e)
+            assert got == want, (data.hex(), got, want)
+            assert gerr == werr, (data.hex(), gerr, werr)
+            if gerr is not None:
+                errors += 1
+                break
+            assert fast.bitpos == 8 * ref.pos + ref.bit
+    assert errors > 100  # exhaustion/invalid-code paths must be hit
+
+
+def test_encode_scan_differential_fuzz():
+    # the vectorized scan encoder against the r14 per-block reference
+    # loop: byte-identical entropy sections (incl. RSTn rotation,
+    # per-chunk padding, byte stuffing) over sizes / content / quality
+    # / subsampling / restart intervals / both table sets
+    from pql_spark.operators._jpeg import (
+        _ANNEX_K_ENC,
+        _ENC_AC_CODES,
+        _ENC_DC_CODES,
+        _encode_scan,
+        _encode_scan_scalar,
+        quantized_planes,
+    )
+
+    rng = np.random.default_rng(20250818)
+    for trial in range(60):
+        h = int(rng.integers(1, 41))
+        w = int(rng.integers(1, 41))
+        grain = ["smooth", "noise", "flat"][trial % 3]
+        if grain == "noise":
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif grain == "flat":
+            img = np.full(
+                (h, w, 3), rng.integers(0, 256, 3, dtype=np.uint8)
+            )
+        else:
+            img = _img(trial % 97, h, w)
+        q = int(rng.integers(1, 101))
+        ss = ["444", "420"][trial % 2]
+        rst = [0, 1, 2, 7][trial % 4]
+        comps, factors, _ = quantized_planes(img, q, ss)
+        mh = max(f[0] for f in factors)
+        mv = max(f[1] for f in factors)
+        mcu_cols = -(-w // (8 * mh))
+        mcu_rows = -(-h // (8 * mv))
+        if trial % 5 == 0:
+            cc = [
+                (_ANNEX_K_ENC[(0, 0)], _ANNEX_K_ENC[(1, 0)]),
+                (_ANNEX_K_ENC[(0, 1)], _ANNEX_K_ENC[(1, 1)]),
+                (_ANNEX_K_ENC[(0, 1)], _ANNEX_K_ENC[(1, 1)]),
+            ]
+        else:
+            cc = [(_ENC_DC_CODES, _ENC_AC_CODES)] * 3
+        got = _encode_scan(comps, factors, mcu_rows, mcu_cols, cc, rst)
+        want = _encode_scan_scalar(
+            comps, factors, mcu_rows, mcu_cols, cc, rst
+        )
+        assert got == want, (h, w, q, ss, rst, grain)
