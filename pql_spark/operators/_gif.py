@@ -263,7 +263,77 @@ def _lzw_decode_scalar(
 
 
 def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
-    """Palette indices → GIF LZW bytes (with clear/EOI codes)."""
+    """Palette indices → GIF LZW bytes (with clear/EOI codes).
+
+    The dictionary is keyed by ``(prefix_code << 8) | byte`` ints —
+    every LZW string is (some shorter string already in the table) +
+    one byte, so its code plus the new byte identifies it without ever
+    materializing the bytes (the r14 reference below concatenated a
+    ``bytes`` key per pixel, O(len(prefix)) each).  Single-index
+    strings need no table at all: their code IS the index value.
+    Codes are buffered with the width current at emission time and
+    bit-packed afterwards.  Output is byte-identical to
+    `_lzw_encode_scalar` (differential fuzz in tests/test_gif.py)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    codes: list[int] = []  # interleaved (code, width) pairs
+    put = codes.append
+    code_size = min_code_size + 1
+    table: dict[int, int] = {}
+    get = table.get
+    next_code = eoi + 1
+    put(clear)
+    put(code_size)
+    cur = -1
+    for b in indices.tobytes():
+        if cur >= 0:
+            key = (cur << 8) | b
+            nxt = get(key)
+            if nxt is not None:
+                cur = nxt
+                continue
+            put(cur)
+            put(code_size)
+            table[key] = next_code
+            next_code += 1
+            # GIF increments the code width AFTER the code that fills
+            # the current width's range is assigned
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            if next_code > 4095:  # table full → reset
+                put(clear)
+                put(code_size)
+                table.clear()
+                get = table.get
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+        cur = b
+    if cur >= 0:
+        put(cur)
+        put(code_size)
+    put(eoi)
+    put(code_size)
+    out = bytearray()
+    acc = 0
+    acc_n = 0
+    it = iter(codes)
+    for code in it:
+        acc |= code << acc_n
+        acc_n += next(it)
+        while acc_n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_n -= 8
+    if acc_n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_encode_scalar(min_code_size: int, indices: np.ndarray) -> bytes:
+    """Bytes-keyed reference encoder (the r14 implementation) — the
+    behavioural spec for `_lzw_encode`; the fuzz suite asserts
+    byte-identical output across palette sizes, content shapes, and
+    table-reset boundaries."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()

@@ -600,3 +600,36 @@ def test_lzw_vectorized_matches_scalar_garbage_and_edges():
 
     idx = rng.integers(0, 2, 300).astype(np.uint8)
     _check_lzw_pair(2, _lzw_encode(2, idx), 300)
+
+
+def test_lzw_encode_differential_fuzz():
+    # the int-keyed encoder against the r14 bytes-keyed reference:
+    # byte-identical output across palette sizes, content shapes
+    # (smooth runs → long prefixes, noise → table resets), and sizes
+    # crossing the 4095-code reset boundary; every payload must also
+    # roundtrip through the decoder
+    from pql_spark.operators._gif import (
+        _lzw_decode,
+        _lzw_encode,
+        _lzw_encode_scalar,
+    )
+
+    rng = np.random.default_rng(20250817)
+    for trial in range(120):
+        mcs = int(rng.integers(2, 9))
+        npx = int(rng.integers(1, 12000))
+        kind = trial % 3
+        if kind == 0:  # noise: maximal table churn / resets
+            idx = rng.integers(0, 1 << mcs, npx)
+        elif kind == 1:  # smooth runs: long prefix chains
+            idx = (np.arange(npx) // int(rng.integers(1, 40))) % (1 << mcs)
+        else:  # constant
+            idx = np.full(npx, int(rng.integers(0, 1 << mcs)))
+        idx = idx.astype(np.uint8)
+        got = _lzw_encode(mcs, idx)
+        want = _lzw_encode_scalar(mcs, idx)
+        assert got == want, (mcs, npx, kind)
+        assert (_lzw_decode(mcs, got, npx) == idx).all()
+    # empty input: clear + EOI only
+    empty = np.zeros(0, dtype=np.uint8)
+    assert _lzw_encode(4, empty) == _lzw_encode_scalar(4, empty)
