@@ -193,41 +193,58 @@ def _unfilter(
         raise ValueError("scanline data size mismatch")
     out = np.empty((nrows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    # Average/Paeth are per-byte recurrences (each byte needs the
+    # RECONSTRUCTED left neighbour), so they run as plain-Python list
+    # loops — numpy scalar indexing made the same loops ~4x slower
+    # (r15 measurement in OPTIMIZATION_r15.md).  prev keeps a lazily
+    # materialized list twin so runs of filter-3/4 rows convert once.
+    prev_list: list[int] | None = [0] * stride
     for y in range(nrows):
         f = raw[off]
-        row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
-        if f == 0:
-            pass
-        elif f == 1:  # Sub: modular cumsum per pixel-channel column
-            pad = (-stride) % bpp
-            if pad:
-                row = np.concatenate([row, np.zeros(pad, np.uint8)])
-            row = (
-                np.cumsum(
-                    row.reshape(-1, bpp).astype(np.uint32), axis=0
-                )
-                % 256
-            ).astype(np.uint8).reshape(-1)[:stride]
-        elif f == 2:  # Up: uint8 addition wraps mod 256 natively
-            row += prev
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                row[x] = (int(row[x]) + pred) & 0xFF
+        if f <= 2:
+            row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+            if f == 1:  # Sub: modular cumsum per pixel-channel column
+                pad = (-stride) % bpp
+                if pad:
+                    row = np.concatenate([row, np.zeros(pad, np.uint8)])
+                row = (
+                    np.cumsum(
+                        row.reshape(-1, bpp).astype(np.uint32), axis=0
+                    )
+                    % 256
+                ).astype(np.uint8).reshape(-1)[:stride]
+            elif f == 2:  # Up: uint8 addition wraps mod 256 natively
+                row += prev
+            prev_list = None
+        elif f in (3, 4):
+            if prev_list is None:
+                prev_list = prev.tolist()
+            pl = prev_list
+            rl = list(raw[off + 1 : off + 1 + stride])
+            if f == 3:  # Average
+                for x in range(min(bpp, stride)):
+                    rl[x] = (rl[x] + (pl[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    rl[x] = (rl[x] + ((rl[x - bpp] + pl[x]) >> 1)) & 0xFF
+            else:  # Paeth (a=c=0 for x<bpp reduces the predictor to b)
+                for x in range(min(bpp, stride)):
+                    rl[x] = (rl[x] + pl[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = rl[x - bpp]
+                    b = pl[x]
+                    c = pl[x - bpp]
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - c - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rl[x] = (rl[x] + pred) & 0xFF
+            row = np.frombuffer(bytes(rl), np.uint8)
+            prev_list = rl
         else:
             raise ValueError(f"unknown filter type {f}")
         out[y] = row

@@ -110,3 +110,83 @@ def test_truncated_scanlines_rejected():
     png = encode_png(a)
     with pytest.raises(ValueError):
         decode_png(png[: len(png) // 2])
+
+
+# ---------------------------------------------------------------------
+# differential fuzz: the list-based Average/Paeth unfilter loops vs an
+# independent numpy-vectorized FILTERER (forward direction, built here
+# from the RFC 2083 definitions) — the in-repo encoder only emits
+# filter-0 rows, so this is the only path that exercises decode of
+# filters 1-4 with per-row mixes
+
+
+def _filtered_png(img, filts):
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    bpp = ch
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    zpad = np.zeros(bpp, np.int32)
+    for y in range(h):
+        row = flat[y]
+        filt = filts[y % len(filts)]
+        left = np.concatenate([zpad, row[:-bpp]])
+        cul = np.concatenate([zpad, prev[:-bpp]])
+        if filt == 0:
+            enc = row
+        elif filt == 1:
+            enc = (row - left) % 256
+        elif filt == 2:
+            enc = (row - prev) % 256
+        elif filt == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - cul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - cul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, cul),
+            )
+            enc = (row - pred) % 256
+        raw.append(filt)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
+    def chunk(tag, data):
+        c = tag + data
+        return (
+            struct.pack(">I", len(data)) + c
+            + struct.pack(">I", zlib.crc32(c))
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_unfilter_differential_fuzz_all_filters():
+    rng = np.random.default_rng(20250817)
+    for t in range(80):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        ch = [3, 4][t % 2]
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        filts = rng.integers(0, 5, h).tolist()
+        out = decode_png(_filtered_png(img, filts))
+        assert np.array_equal(out[:, :, :ch], img), (t, h, w, ch)
+
+
+def test_unfilter_paeth_average_long_rows():
+    # multi-byte-per-pixel rows long enough that every left/up/up-left
+    # phase interaction occurs, single filter held across all rows
+    rng = np.random.default_rng(7)
+    for filt in (3, 4):
+        img = rng.integers(0, 256, (23, 201, 3), dtype=np.uint8)
+        out = decode_png(_filtered_png(img, [filt]))
+        assert np.array_equal(out[:, :, :3], img), filt
