@@ -363,6 +363,25 @@ def geo_radius_join(
     like the LSH band join.  A pathologically hot cell (everything at
     one landmark) degrades like any skewed join key and is AQE
     skew-splittable, since the verify filter is per-row.
+
+    Self-join fast path (r15, guide §2.3/§3.3 — an explode before a
+    join multiplies the shuffle): when ``a is b`` (the same DataFrame
+    object — a guaranteed self-join) and ``level ≥ 2``, side B
+    explodes to a HALF ring of 5 cells (center + the 4 offsets with
+    (dy, dx) lexicographically positive) instead of all 9.  Every
+    unordered cross-cell pair then matches in exactly ONE orientation
+    (for distinct cells, exactly one of δ and −δ lies in the half
+    set), so the missing orientation is reconstructed AFTER the
+    haversine verify by mirroring non-same-cell result rows (swap the
+    A/B column groups; ``dist_m`` is orientation-invariant because
+    every haversine intermediate is symmetric under IEEE negation/
+    commutation).  Same-cell matches already produce both orders via
+    the center slot, and (p, p) self-pairs appear exactly once —
+    output rows are identical to the 9-ring path (asserted by
+    tests/test_geo.py); only the exploded/shuffled side shrinks 9→5
+    and the candidate verify halves.  Level ≤ 1 keeps the full ring
+    (ring offsets alias under the 2-cell wrap, breaking the
+    one-orientation argument).
     """
     if level is None:
         level = radius_level(radius_m, max_abs_lat)
@@ -384,6 +403,9 @@ def geo_radius_join(
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     n_cells = 1 << level
     sa, sb = suffixes
+    # `a is b` guarantees a self-join semantically; streaming frames
+    # keep the generic path (no reason to vary plan shape there)
+    self_pair = a is b and level >= 2 and not a.isStreaming
 
     def pick(df: DataFrame, suf: str) -> DataFrame:
         return rebalance(df).select(
@@ -402,6 +424,53 @@ def geo_radius_join(
     bx, by = _bins_sql(
         _sql_ident(lon_col + sb), _sql_ident(lat_col + sb), level
     )
+    dist = haversine_m(
+        F.col(lon_col + sa), F.col(lat_col + sa),
+        F.col(lon_col + sb), F.col(lat_col + sb),
+    )
+    if self_pair:
+        # HALF ring (center first): each unordered cross-cell pair
+        # matches in exactly one orientation; mirrored after verify
+        slots = []
+        for dx, dy in ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)):
+            xx = f"(({bx} + ({dx}) + {n_cells}) % {n_cells})" if dx else bx
+            yy = f"({by} + {dy})" if dy else by
+            s = (
+                f"named_struct('c', {_morton_sql(xx, yy, level)},"
+                f" 'ctr', {'true' if (dx, dy) == (0, 0) else 'false'})"
+            )
+            if dy:  # dy=+1 clips at the top grid row (lat never wraps)
+                s = f"CASE WHEN {yy} <= {n_cells - 1} THEN {s} END"
+            slots.append(s)
+        half_sql = (
+            "filter(array(" + ", ".join(slots) + "), s -> s IS NOT NULL)"
+        )
+        b2 = b2.withColumn("__bk", F.explode(F.expr(half_sql)))
+        joined = (
+            a2.join(b2, F.col("__cell") == F.col("__bk.c"))
+            .withColumn("dist_m", dist)
+            .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        )
+        # self-join: a.columns == b.columns, so the swapped twin maps
+        # each A-suffixed value into the B slot and vice versa; struct
+        # field order (= output column order) matches the generic path
+        orig = F.struct(
+            *[F.col(f"{c}{sa}").alias(f"{c}{sa}") for c in a.columns],
+            *[F.col(f"{c}{sb}").alias(f"{c}{sb}") for c in b.columns],
+            F.col("dist_m").alias("dist_m"),
+        )
+        swap = F.struct(
+            *[F.col(f"{c}{sb}").alias(f"{c}{sa}") for c in a.columns],
+            *[F.col(f"{c}{sa}").alias(f"{c}{sb}") for c in b.columns],
+            F.col("dist_m").alias("dist_m"),
+        )
+        return joined.select(
+            F.explode(
+                F.when(F.col("__bk.ctr"), F.array(orig)).otherwise(
+                    F.array(orig, swap)
+                )
+            ).alias("__p")
+        ).select("__p.*")
     # 3x3 ring from the bins directly (no cell decode): dx wraps the
     # antimeridian, dy clips at the poles; NULL slots filter out
     xx = f"(({bx} + (k % 3 - 1) + {n_cells}) % {n_cells})"
@@ -419,10 +488,6 @@ def geo_radius_join(
         # level >= 2 all ring cells are distinct by construction.
         ring_sql = f"array_distinct({ring_sql})"
     b2 = b2.withColumn("__cell", F.explode(F.expr(ring_sql)))
-    dist = haversine_m(
-        F.col(lon_col + sa), F.col(lat_col + sa),
-        F.col(lon_col + sb), F.col(lat_col + sb),
-    )
     return (
         a2.join(b2, "__cell")
         .withColumn("dist_m", dist)

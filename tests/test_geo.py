@@ -323,3 +323,43 @@ def test_cell_property_matches_python_model(spark, pts, level):
         assert r.c == py_cell(r.lon, r.lat, level)
         assert r.cf == r.c          # fold path == unrolled path
         assert r.rt == r.c          # center re-encodes to the cell
+
+
+def test_radius_join_self_half_ring_matches_generic(spark):
+    """Self-join fast path (``a is b``, level >= 2): the half-ring +
+    mirror plan must emit the EXACT multiset the generic 9-ring path
+    emits — same ordered pairs (both orientations of every cross-cell
+    pair, both orders of same-cell pairs, (p, p) self-pairs once) and
+    bit-identical dist_m."""
+    pts = _pt_grid(spark, 200)
+    twin = _pt_grid(spark, 200)  # distinct object -> generic path
+    for lvl in (2, 8, 14):
+        new = geo_radius_join(pts, pts, radius_m=700.0, level=lvl)
+        old = geo_radius_join(pts, twin, radius_m=700.0, level=lvl)
+        cols = ["id_a", "lon_a", "lat_a", "id_b", "lon_b", "lat_b",
+                "dist_m"]
+        assert new.columns == old.columns
+        n, o = new.select(cols), old.select(cols)
+        assert n.exceptAll(o).count() == 0
+        assert o.exceptAll(n).count() == 0
+        assert n.count() == o.count() > 0
+    # the half-ring explode is 5 slots, the generic one 9
+    plan = geo_radius_join(
+        pts, pts, radius_m=700.0, level=14
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "named_struct(c, " in plan  # struct-slot half ring present
+
+
+def test_radius_join_self_level1_keeps_generic_path(spark):
+    """Level <= 1 aliases ring offsets (d == -d mod 2), so the
+    one-orientation argument breaks — the self-join must fall back to
+    the generic dedup'd ring and still emit each ordered pair once."""
+    a = spark.createDataFrame(
+        [(1, -122.4, 37.7), (2, 151.2, -33.9), (3, -74.0, 40.7)],
+        "id long, lon double, lat double",
+    )
+    for lvl in (0, 1):
+        out = geo_radius_join(a, a, radius_m=2.1e7, level=lvl)
+        got = sorted((r.id_a, r.id_b) for r in out.collect())
+        want = sorted((x, y) for x in (1, 2, 3) for y in (1, 2, 3))
+        assert got == want, lvl
