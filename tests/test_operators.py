@@ -853,6 +853,50 @@ def test_ngram_prefix_auto_decision(spark):
         assert explicit == auto
 
 
+def test_ngram_prefix_auto_decision_memo(spark):
+    """r16 (VERDICT r15 item 3): the auto decision is memoized per
+    (session, input-lineage semantic hash) — a repeated input skips
+    the eager decision scan; ``memo=False`` always re-measures; and
+    distinct lineages never share an entry."""
+    from pql_spark.operators.dedup import (
+        _PREFIX_AUTO_MEMO,
+        _prefix_memo_key,
+        prefix_auto_decision,
+        shingle_rows,
+    )
+
+    hot = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + f"u{i} v{i}")
+         for i in range(400)],
+        "doc_id long, text string",
+    )
+    flat = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    inv_hot = shingle_rows(hot, "text", "doc_id", 2)
+    inv_flat = shingle_rows(flat, "text", "doc_id", 2)
+    key_hot, key_flat = _prefix_memo_key(inv_hot), _prefix_memo_key(inv_flat)
+    assert key_hot is not None and key_flat is not None
+    assert key_hot != key_flat
+    # a REBUILT DataFrame over the same lineage maps to the same key —
+    # the bench's run-2 shape
+    assert _prefix_memo_key(shingle_rows(hot, "text", "doc_id", 2)) == key_hot
+    _PREFIX_AUTO_MEMO.pop(key_hot, None)
+    _PREFIX_AUTO_MEMO.pop(key_flat, None)
+    d1 = prefix_auto_decision(inv_hot)
+    assert d1 is True and _PREFIX_AUTO_MEMO[key_hot] is True
+    assert prefix_auto_decision(inv_flat) is False
+    # the memo (not a re-measure) answers the repeated call …
+    _PREFIX_AUTO_MEMO[key_hot] = False
+    assert prefix_auto_decision(inv_hot) is False
+    # … and memo=False forces the fresh measurement
+    assert prefix_auto_decision(inv_hot, memo=False) is True
+    assert _PREFIX_AUTO_MEMO[key_hot] is True
+    _PREFIX_AUTO_MEMO.pop(key_hot, None)
+    _PREFIX_AUTO_MEMO.pop(key_flat, None)
+
+
 def test_ngram_prefix_filter_float_ceil_boundary(spark):
     """ADVICE r8: prefix length uses ceil on a float product; at
     t=0.07, n=100 the product is 7.000000000000001 so an unguarded
