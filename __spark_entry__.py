@@ -6685,19 +6685,17 @@ def _q_curate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_rate=0.1,
         qa=qa,
     )
-    prof = qa["profile"].select(
-        "cohort",
-        F.col("column").alias("item"),
-        F.col("n"),
-        F.col("n_null"),
+    from pql_spark.operators._util import sql_over
+
+    # one parse for the report reshaping (r16 driver-cost pass)
+    return sql_over(
+        {"prof": qa["profile"], "counts": qa["stage_counts"]},
+        "SELECT cohort, column AS item, n, n_null FROM {prof}"
+        " UNION ALL"
+        " SELECT 'stage' AS cohort, stage AS item, rows AS n,"
+        " CAST(0 AS BIGINT) AS n_null FROM {counts}"
+        " ORDER BY cohort, item",
     )
-    counts = qa["stage_counts"].select(
-        F.lit("stage").alias("cohort"),
-        F.col("stage").alias("item"),
-        F.col("rows").alias("n"),
-        F.lit(0).cast("long").alias("n_null"),
-    )
-    return prof.unionByName(counts).orderBy("cohort", "item")
 
 
 def _q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

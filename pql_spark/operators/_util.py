@@ -37,6 +37,50 @@ def rebalance(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def sql_over(frames: dict[str, DataFrame], sql_fmt: str) -> DataFrame:
+    """Run ONE ``spark.sql`` over temp views of the given frames.
+
+    ``sql_fmt`` references each frame by ``{alias}``.  Driver-cost
+    device (r16, guide §4's Python-boundary tax in its driver-side
+    form): a chain of N DataFrame operations pays N py4j round trips
+    AND N eager JVM analysis passes while building a plan; registering
+    the input frames as temp views and parsing the whole downstream as
+    one SQL statement yields the same analyzed tree in ONE pass.  The
+    views are dropped before returning — the returned DataFrame holds
+    its (already analyzed) plan, so the names only exist to address
+    the subtrees inside the single parse.
+
+    The views are NOT dropped here: ``dropTempView`` cascades an
+    UNCACHE of every cache entry whose plan contains the view's plan
+    (measured — it silently evicted the curation pipeline's persisted
+    frames, turning three persists into no-ops), and the same applies
+    to the parameterized ``spark.sql(..., df=frame)`` form, whose
+    formatter drops its internal views.  Instead the uuid-named views
+    are registered with the same session-lifecycle tracker as the
+    persists and released by :func:`unpersist_tracked` (which bench
+    and test harnesses already call between queries)."""
+    spark = next(iter(frames.values())).sparkSession
+    names: dict[str, str] = {}
+    for alias, frame in frames.items():
+        names[alias] = track_view(frame, alias)
+    return spark.sql(sql_fmt.format(**names))
+
+
+_TRACKED_VIEWS: list[tuple[object, str]] = []
+
+
+def track_view(frame: DataFrame, alias: str = "v") -> str:
+    """Register ``frame`` as a uuid-named temp view whose lifetime is
+    managed by :func:`unpersist_tracked` (see :func:`sql_over` for why
+    views must not be dropped eagerly).  Returns the view name."""
+    from uuid import uuid4
+
+    nm = f"__sq_{alias}_{uuid4().hex[:8]}"
+    frame.createOrReplaceTempView(nm)
+    _TRACKED_VIEWS.append((frame.sparkSession, nm))
+    return nm
+
+
 _TRACKED_PERSISTS: list[DataFrame] = []
 
 
@@ -56,13 +100,20 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def unpersist_tracked() -> int:
-    """Evict every DataFrame registered via :func:`tracked_persist`;
-    returns how many were released.  Safe at any time: Spark recomputes
-    an evicted plan on next use."""
+    """Evict every DataFrame registered via :func:`tracked_persist`
+    (and drop every :func:`track_view` temp view); returns how many
+    persists were released.  Safe at any time: Spark recomputes an
+    evicted plan on next use."""
     n = len(_TRACKED_PERSISTS)
     while _TRACKED_PERSISTS:
         try:
             _TRACKED_PERSISTS.pop().unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    while _TRACKED_VIEWS:
+        spark, nm = _TRACKED_VIEWS.pop()
+        try:
+            spark.catalog.dropTempView(nm)
         except Exception:  # noqa: BLE001 — session already stopped
             pass
     return n

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._util import rebalance, tracked_persist
+from ._util import rebalance, sql_over, tracked_persist
 from .text import shingle_rows, tokens, word_shingles
 
 # ngram_jaccard_pairs(prefix_filter="auto") turns the PPJoin prefix
@@ -507,17 +507,25 @@ def band_signature(
     cost ~0.5 s of py4j round trips per call (r15, measured), paid by
     every minhash/incremental/curation gate; the parsed Catalyst tree
     is identical."""
+    return sig.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(array({_band_entries_sql(num_perm, bands)}))"
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+
+
+def _band_entries_sql(num_perm: int, bands: int) -> str:
+    """The banding struct array as SQL text — shared by
+    :func:`band_signature` and the one-parse :func:`minhash_dup_pairs`
+    SQL so their band hashes agree by construction."""
     rows = num_perm // bands
-    entries = ", ".join(
+    return ", ".join(
         f"named_struct('band', {i}, 'bhash', md5(concat_ws(',', "
         f"CAST(slice(minhash, {i * rows + 1}, {rows}) "
         f"AS array<string>))))"
         for i in range(bands)
     )
-    return sig.select(
-        F.col(id_col),
-        F.expr(f"explode(array({entries}))").alias("bk"),
-    ).select(id_col, "bk.band", "bk.bhash")
 
 
 def minhash_dup_pairs(
@@ -562,26 +570,73 @@ def minhash_dup_pairs(
     run :func:`dedup_exact` first, which removes exact-dup mega-buckets
     at the source.
     """
-    rows = num_perm // bands
     df = rebalance(df)
     sig = minhash_signature(
         df, text_col, id_col, num_perm, shingle_k,
         impl="pandas", include_shingles=False,
     )
-    # band key on (id, band, bhash) ONLY — the heavy shingle arrays are
-    # joined back after pair-dedup, so the candidate shuffle moves ~40
-    # bytes/row instead of the full shingle sets (16× per doc)
-    banded = band_signature(sig, id_col, num_perm, bands)
-    buckets = (
-        banded.groupBy("band", "bhash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = _bucket_pairs(buckets, max_bucket).dropDuplicates(
-        ["id_a", "id_b"]
-    )
     sh = shingle_rows(df, text_col, id_col, shingle_k)
-    return _verify_jaccard(sh, cand, id_col, threshold, sort=sort_pairs)
+    if max_bucket is not None:
+        # capped mode keeps the Column build (the star fallback's
+        # conditional emit) — the hot path below is the default
+        banded = band_signature(sig, id_col, num_perm, bands)
+        buckets = (
+            banded.groupBy("band", "bhash")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        cand = _bucket_pairs(buckets, max_bucket).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        return _verify_jaccard(sh, cand, id_col, threshold, sort=sort_pairs)
+    # One-parse SQL twin of the band → bucket → pair → verify chain
+    # (r16, guide §4 driver-side): the Column build of these ~15 ops
+    # paid ~0.5 s of py4j round trips + per-op eager analysis on every
+    # call (measured; it is the curation pipeline's largest single
+    # driver site).  The SQL text parses to the same join/aggregate
+    # tree — band key on (id, band, bhash) ONLY (the heavy shingle
+    # arrays are joined back after pair-dedup, so the candidate
+    # shuffle moves ~40 bytes/row), pairs emitted map-side from each
+    # bucket's sorted id list, rows-based exact verify.  Equivalence
+    # vs the Column path is pinned by tests/test_dedup.py and every
+    # consuming gate's DuckDB oracle.
+    idq = f"`{id_col}`"
+    order = " ORDER BY id_a, id_b" if sort_pairs else ""
+    return sql_over(
+        {"sig": sig, "sh": sh},
+        "WITH banded AS ("
+        f" SELECT {idq}, bk.band AS band, bk.bhash AS bhash FROM"
+        f" (SELECT {idq},"
+        f" explode(array({_band_entries_sql(num_perm, bands)})) AS bk"
+        " FROM {sig})"
+        "), buckets AS ("
+        " SELECT ids FROM ("
+        f"  SELECT sort_array(collect_list({idq})) AS ids"
+        "  FROM banded GROUP BY band, bhash)"
+        " WHERE size(ids) >= 2"
+        "), cand AS ("
+        " SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM ("
+        "  SELECT explode(flatten(transform(ids, (x, i) ->"
+        "   transform(slice(ids, i + 2, size(ids)),"
+        "    y -> named_struct('id_a', x, 'id_b', y))))) AS p"
+        "  FROM buckets)"
+        "), sizes AS ("
+        f" SELECT {idq} AS __vid, count(1) AS n FROM {{sh}}"
+        f" GROUP BY {idq}"
+        "), inter AS ("
+        " SELECT id_a, id_b, count(1) AS n_inter FROM"
+        f"  (SELECT {idq} AS id_a, gram FROM {{sh}})"
+        "  JOIN cand USING (id_a)"
+        f"  JOIN (SELECT {idq} AS id_b, gram FROM {{sh}})"
+        "  USING (id_b, gram)"
+        " GROUP BY id_a, id_b)"
+        " SELECT id_a, id_b, jaccard FROM ("
+        "  SELECT id_a, id_b,"
+        "   n_inter / (sa.n + sb.n - n_inter) AS jaccard"
+        "  FROM inter JOIN sizes sa ON id_a = sa.__vid"
+        "  JOIN sizes sb ON id_b = sb.__vid)"
+        f" WHERE jaccard >= {float(threshold)!r}D{order}",
+    )
 
 
 def ngram_jaccard_pairs(

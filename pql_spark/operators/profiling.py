@@ -69,46 +69,28 @@ def profile_columns(
     def _sl(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    # driver-cost note: every aggregate / struct entry is emitted as
-    # SQL text (one F.expr parse each) — the per-column Column-API
-    # build cost ~0.4 s of py4j round trips per call (r15, measured)
-    aggs = [F.expr("count(1)").alias("__pf_n")]
+    # driver-cost note (r15, extended r16): the whole aggregate+reshape
+    # is emitted as ONE SQL parse over a tracked temp view — the
+    # per-column Column-API build cost ~0.4 s of py4j round trips per
+    # call, and even the per-expression F.expr form paid eager per-op
+    # analysis on the agg/select chain (~0.2 s on the curation QA
+    # lineage).  The parsed tree is the same agg → explode → project.
+    aggs = ["count(1) AS __pf_n"]
     for i, c in enumerate(names):
         col = f"`{c}`"
-        aggs.append(
-            F.expr(f"sum(CAST(({col} IS NULL) AS BIGINT))").alias(
-                f"__pf_nn{i}"
-            )
-        )
+        aggs.append(f"sum(CAST(({col} IS NULL) AS BIGINT)) AS __pf_nn{i}")
         nd = (
             f"approx_count_distinct({col}, {float(rsd)!r}D)"
             if approx
             else f"count(DISTINCT {col})"
         )
-        aggs.append(F.expr(nd).alias(f"__pf_nd{i}"))
+        aggs.append(f"{nd} AS __pf_nd{i}")
         if isinstance(dtypes[c], _NUMERIC):
-            aggs.append(
-                F.expr(f"CAST(min({col}) AS DOUBLE)").alias(
-                    f"__pf_mn{i}"
-                )
-            )
-            aggs.append(
-                F.expr(f"CAST(max({col}) AS DOUBLE)").alias(
-                    f"__pf_mx{i}"
-                )
-            )
+            aggs.append(f"CAST(min({col}) AS DOUBLE) AS __pf_mn{i}")
+            aggs.append(f"CAST(max({col}) AS DOUBLE) AS __pf_mx{i}")
         else:
-            aggs.append(
-                F.expr("CAST(NULL AS DOUBLE)").alias(f"__pf_mn{i}")
-            )
-            aggs.append(
-                F.expr("CAST(NULL AS DOUBLE)").alias(f"__pf_mx{i}")
-            )
-    one = (
-        df.groupBy(F.col(f"`{group_by}`")).agg(*aggs)
-        if group_by is not None
-        else df.agg(*aggs)
-    )
+            aggs.append(f"CAST(NULL AS DOUBLE) AS __pf_mn{i}")
+            aggs.append(f"CAST(NULL AS DOUBLE) AS __pf_mx{i}")
 
     entries = ", ".join(
         "named_struct("
@@ -121,10 +103,17 @@ def profile_columns(
         f"'max_num', __pf_mx{i})"
         for i, c in enumerate(names)
     )
-    lead = [F.col(f"`{group_by}`")] if group_by is not None else []
-    return one.select(
-        *lead, F.expr(f"explode(array({entries}))").alias("__pf")
-    ).select(*lead, "__pf.*")
+    from ._util import sql_over
+
+    gq = f"`{group_by}`" if group_by is not None else None
+    lead = f"{gq}, " if gq else ""
+    grp = f" GROUP BY {gq}" if gq else ""
+    return sql_over(
+        {"src": df},
+        f"SELECT {lead}__pf.* FROM ("
+        f" SELECT {lead}explode(array({entries})) AS __pf FROM ("
+        f"  SELECT {lead}{', '.join(aggs)} FROM {{src}}{grp}))",
+    )
 
 
 def numeric_histogram(
@@ -149,26 +138,31 @@ def numeric_histogram(
     """
     if bins <= 0:
         raise ValueError("bins must be positive")
-    v = F.expr(f"CAST(`{col}` AS DOUBLE)")
-    # SQL-text expressions (one F.expr parse each) — see the
-    # profile_columns driver-cost note
+    v = f"CAST(`{col}` AS DOUBLE)"
+    # ONE SQL parse over a tracked temp view (r16) — see the
+    # profile_columns driver-cost note; the parsed tree matches the
+    # old per-op build (project → filter → [broadcast bounds join →]
+    # group → project → sort)
     if lo is not None and hi is not None:
         if not lo < hi:
             raise ValueError("need lo < hi")
         lo_s, hi_s = f"{float(lo)!r}D", f"{float(hi)!r}D"
-        base = df.select(v.alias("__h_v")).filter(
-            F.col("__h_v").isNotNull()
-        )
-    else:
-        bounds = df.agg(
-            F.min(v).alias("__h_lo"), F.max(v).alias("__h_hi")
-        )
         base = (
-            df.select(v.alias("__h_v"))
-            .filter(F.col("__h_v").isNotNull())
-            .crossJoin(F.broadcast(bounds))
+            f"SELECT __h_v FROM (SELECT {v} AS __h_v FROM {{src}})"
+            " WHERE __h_v IS NOT NULL"
+        )
+        hint = ""
+    else:
+        base = (
+            "SELECT /*+ BROADCAST(__h_b) */ __h_v, __h_lo, __h_hi FROM"
+            f" (SELECT {v} AS __h_v FROM {{src}})"
+            " CROSS JOIN"
+            f" (SELECT min({v}) AS __h_lo, max({v}) AS __h_hi"
+            " FROM {src}) __h_b"
+            " WHERE __h_v IS NOT NULL"
         )
         lo_s, hi_s = "__h_lo", "__h_hi"
+        hint = None  # hint lives inside `base`
     width = f"(({hi_s}) - ({lo_s})) / {float(bins)!r}D"
     raw = f"CAST(floor((__h_v - ({lo_s})) / ({width})) AS INT)"
     # degenerate single-value range: everything in bin 0
@@ -176,18 +170,15 @@ def numeric_histogram(
         f"CASE WHEN ({width}) > 0 "
         f"THEN least({bins - 1}, greatest(0, {raw})) ELSE 0 END"
     )
-    counts = (
-        base.select(
-            F.expr(bin_).alias("bin"),
-            F.expr(lo_s).alias("__lo"),
-            F.expr(width).alias("__w"),
-        )
-        .groupBy("bin", "__lo", "__w")
-        .agg(F.expr("count(1)").alias("n"))
+    from ._util import sql_over
+
+    return sql_over(
+        {"src": df},
+        "SELECT bin, __lo + bin * __w AS lo,"
+        " __lo + (bin + 1) * __w AS hi, n FROM ("
+        " SELECT bin, __lo, __w, count(1) AS n FROM ("
+        f"  SELECT {bin_} AS bin, {lo_s} AS __lo, {width} AS __w"
+        f"  FROM ({base}))"
+        " GROUP BY bin, __lo, __w)"
+        " ORDER BY bin",
     )
-    return counts.select(
-        "bin",
-        F.expr("__lo + bin * __w").alias("lo"),
-        F.expr("__lo + (bin + 1) * __w").alias("hi"),
-        "n",
-    ).orderBy("bin")

@@ -368,6 +368,19 @@ def quality_score(
     string each (``F.expr``) — the Column-API build of the same trees
     cost ~0.2 s of py4j round trips per call, paid by every curation
     gate (see the :func:`repetition_stats` note)."""
+    cols = [
+        F.expr(sql).alias(name)
+        for name, sql in _quality_exprs(text_col).items()
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
+
+
+def _quality_exprs(text_col: str) -> dict[str, str]:
+    """:func:`quality_score`'s output columns as self-contained SQL
+    text, in output order — shared with the curation pipeline's fused
+    one-projection annotation pass (r16)."""
     text = f"`{text_col}`"
     toks = _tokens_sql(text)
     n_words = f"size({toks})"
@@ -388,16 +401,13 @@ def quality_score(
         f" + CASE WHEN {stop_ratio} > 0.01D THEN 0.25D ELSE 0.0D END"
         f" + CASE WHEN {punct_ratio} < 0.2D THEN 0.25D ELSE 0.0D END"
     )
-    cols = [
-        F.expr(n_words).alias("n_words"),
-        F.expr(punct_ratio).alias("punct_ratio"),
-        F.expr(stop_ratio).alias("stopword_ratio"),
-        F.expr(mean_word_len).alias("mean_word_len"),
-        F.expr(score).alias("quality"),
-    ]
-    if append:
-        return df.select("*", *cols)
-    return df.select(F.col(id_col), *cols)
+    return {
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality": score,
+    }
 
 
 def language_id(
@@ -414,6 +424,18 @@ def language_id(
     """
     # ONE SQL parse per output column (F.expr) — see the
     # quality_score driver-cost note
+    cols = [
+        F.expr(sql).alias(name)
+        for name, sql in _langid_exprs(text_col).items()
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
+
+
+def _langid_exprs(text_col: str) -> dict[str, str]:
+    """:func:`language_id`'s output columns as SQL text (see
+    :func:`_quality_exprs`)."""
     toks = f"array_distinct({_tokens_sql(f'`{text_col}`')})"
     scored = []
     for lang in sorted(STOPWORDS):
@@ -437,15 +459,10 @@ def language_id(
         if len(scored) > 1
         else scored[0]
     )
-    cols = [
-        F.expr(f"substring_index({best}, '|', -1)").alias("lang_pred"),
-        F.expr(f"CAST(split({best}, '\\\\|')[0] AS DOUBLE)").alias(
-            "lang_score"
-        ),
-    ]
-    if append:
-        return df.select("*", *cols)
-    return df.select(F.col(id_col), *cols)
+    return {
+        "lang_pred": f"substring_index({best}, '|', -1)",
+        "lang_score": f"CAST(split({best}, '\\\\|')[0] AS DOUBLE)",
+    }
 
 
 def doc_fingerprint(
@@ -455,17 +472,24 @@ def doc_fingerprint(
     """Deterministic content fingerprints of the normalized text:
     full-text md5 plus a head-shingle key (first 8 words) for
     prefix-duplicate detection."""
-    text = f"`{text_col}`"
-    toks = _tokens_sql(text)
     cols = [
-        F.expr(f"md5({_norm_sql(text)})").alias("fingerprint"),
-        F.expr(f"md5(concat_ws(' ', slice({toks}, 1, 8)))").alias(
-            "head_key"
-        ),
+        F.expr(sql).alias(name)
+        for name, sql in _fingerprint_exprs(text_col).items()
     ]
     if append:
         return df.select("*", *cols)
     return df.select(F.col(id_col), *cols)
+
+
+def _fingerprint_exprs(text_col: str) -> dict[str, str]:
+    """:func:`doc_fingerprint`'s output columns as SQL text (see
+    :func:`_quality_exprs`)."""
+    text = f"`{text_col}`"
+    toks = _tokens_sql(text)
+    return {
+        "fingerprint": f"md5({_norm_sql(text)})",
+        "head_key": f"md5(concat_ws(' ', slice({toks}, 1, 8)))",
+    }
 
 
 # PII patterns, ordered (earlier rules run first so e.g. SSNs aren't

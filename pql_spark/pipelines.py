@@ -19,9 +19,6 @@ from .operators.dedup import minhash_dup_pairs
 from .operators.sampling import train_test_split
 from .operators.text import (
     dedup_lines,
-    doc_fingerprint,
-    language_id,
-    quality_score,
     redact_pii,
     repetition_stats,
 )
@@ -128,24 +125,38 @@ def curate_corpus(
     # expressions: CHAIN them as appended columns (zero shuffles) rather
     # than computing (id, metric) tables and self-joining back — three
     # full-table shuffles saved, and the filters still push into the
-    # single projection over the scan
-    kept = doc_fingerprint(
-        language_id(
-            quality_score(docs, text_col, id_col, append=True),
-            text_col, id_col, append=True,
-        ),
-        text_col, id_col, append=True,
-    ).drop(
-        "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
-        "lang_score", "head_key",
+    # single projection over the scan.  r16: the three operator calls
+    # (3 selects + a 6-column drop, each paying eager analysis over the
+    # growing plan) are fused into ONE selectExpr emitting exactly the
+    # three kept columns — same expressions (shared SQL-text helpers),
+    # same collapsed Project after optimization.
+    from .operators.text import (
+        _fingerprint_exprs,
+        _langid_exprs,
+        _quality_exprs,
+    )
+
+    kept = docs.selectExpr(
+        "*",
+        f"{_quality_exprs(text_col)['quality']} AS quality",
+        f"{_langid_exprs(text_col)['lang_pred']} AS lang_pred",
+        f"{_fingerprint_exprs(text_col)['fingerprint']} AS fingerprint",
     )
     # pinned: pushdown would substitute the quality/langid trees into a
     # pre-shuffle Filter and evaluate them twice — see pinned_filter
     annot = kept  # full annotated frame (pre-filter) — QA cohort base
     stages: list[tuple[str, DataFrame]] = [("input", annot)]
-    cond = F.col("quality") >= min_quality
+    # ONE source of truth for the keep-condition, as SQL text: the
+    # filter parses it (identical tree to the old Column build) and the
+    # QA stage-count pass below re-counts it without re-attaching a
+    # second Column tree (r16 — VERDICT r15 item 2)
+    from .operators.text import _slit
+
+    cond_sql = f"quality >= {float(min_quality)!r}D"
     if langs is not None:
-        cond = cond & F.col("lang_pred").isin(list(langs))
+        in_list = ", ".join(_slit(str(lang)) for lang in langs)
+        cond_sql += f" AND lang_pred IN ({in_list})"
+    cond = F.expr(cond_sql)
     kept = _mark("quality_lang", pinned_filter(kept, cond))
     stages.append(("quality_lang", kept))
 
@@ -187,7 +198,7 @@ def curate_corpus(
     # downstream consumer would re-run the whole minhash pipeline
     # through the anti-join's lineage (measured 22-38s vs ~9s at sf0.1).
     stages.append(("exact_dedup", kept))
-    kept = tracked_persist(kept)
+    kept = kept_persisted = tracked_persist(kept)
 
     # near-dup removal: drop the higher id of every similar pair.
     # 32 perms / 8 bands (r=4) halve the signature work vs the 64/16
@@ -237,31 +248,41 @@ def curate_corpus(
     out = _mark("split", out)
 
     if qa is not None:
-        from functools import reduce
-
         from .operators.profiling import numeric_histogram, profile_columns
 
         stages.append(("final", out))
+        spark = out.sparkSession
+
+        def _view(name: str, frame: DataFrame) -> str:
+            # track_view, not an eagerly-dropped view: dropTempView
+            # cascades an UNCACHE of dependent cache entries, which
+            # would evict the pipeline's own persists (see
+            # _util.sql_over)
+            from .operators._util import track_view
+
+            return track_view(frame, f"qa_{name}")
+
+        def _sql(text: str) -> DataFrame:
+            return spark.sql(text)
+
+        idq = f"`{id_col}`"
         # cohort label: did the annotated doc survive to the output?
         # (left join on the id — the output is a subset of `annot`, so
         # a match means kept).  text_len instead of raw text keeps the
-        # profile numeric where it matters.
-        final_ids = out.select(
-            F.col(id_col), F.lit(True).alias("__qa_kept")
-        )
-        labeled = (
-            annot.select(
-                id_col, "quality", "lang_pred",
-                F.length(F.col(text_col)).alias("text_len"),
-            )
-            .join(final_ids, id_col, "left")
-            .withColumn(
-                "cohort",
-                F.when(F.col("__qa_kept"), F.lit("kept")).otherwise(
-                    F.lit("dropped")
-                ),
-            )
-            .drop("__qa_kept")
+        # profile numeric where it matters.  Built as ONE spark.sql
+        # parse (r16): the old 4-op Column chain paid eager analysis
+        # per op over the full annotated lineage; the SQL text yields
+        # the same join+project tree in one analysis pass.
+        v_annot = _view("annot", annot)
+        v_out = _view("out", out)
+        labeled = _sql(
+            f"SELECT a.{idq}, a.quality, a.lang_pred,"
+            f" length(a.`{text_col}`) AS text_len,"
+            " CASE WHEN o.__qa_kept THEN 'kept' ELSE 'dropped' END"
+            " AS cohort"
+            f" FROM {v_annot} a LEFT JOIN"
+            f" (SELECT {idq}, TRUE AS __qa_kept FROM {v_out}) o"
+            f" ON a.{idq} = o.{idq}"
         )
         # r15 (guide §1.2 / §5): `labeled` feeds the profile AND both
         # histograms AND two stage counts below — without a persist,
@@ -282,83 +303,80 @@ def curate_corpus(
                 labeled.filter(F.col("cohort") == c),
                 "quality", bins=20, lo=0.0, hi=1.0,
             )
-        # r15: the `input` and `quality_lang` stage counts are
-        # derivable from the persisted `labeled` frame — `labeled` has
-        # one row per `annot` row and carries the quality/lang_pred
-        # columns the filter reads, so counting the same predicate
-        # over it is row-identical to counting the stage frame while
-        # skipping another full run of the annotation lineage.
-        # Fused further (guide §2.3 "aggregate before you shuffle" /
-        # §1.2 don't compute things twice): stages whose counts are
-        # provably identical or derivable share ONE aggregate pass —
-        # `input` + `quality_lang` are one labeled scan with a
-        # conditional count (count(when(cond)) counts exactly the
-        # filter's TRUE rows), and `final` + `near_dup_decontam` are
-        # one pass over the post-anti-join frame because
-        # train_test_split only appends a column (never changes row
-        # count).  Each fused aggregate emits its stage rows via one
-        # explode, so the plan drops two whole aggregate subtrees
-        # while the emitted (stage_idx, stage, rows) values are
-        # unchanged for ANY input.
-        def _stage_agg(i: int, name: str, frame: DataFrame) -> DataFrame:
-            return frame.agg(F.count(F.lit(1)).alias("rows")).select(
-                F.lit(i).alias("stage_idx"),
-                F.lit(name).alias("stage"),
-                "rows",
+        # Stage counts, fused (r15, folded further r16 — guide §2.3
+        # "aggregate before you shuffle" / §1.2 don't compute things
+        # twice): stages whose counts are provably identical or
+        # derivable share ONE aggregate pass.
+        # * `input` + `quality_lang` are one scan of the persisted
+        #   `labeled` frame — count(CASE WHEN cond) counts exactly the
+        #   filter's TRUE rows, and `labeled` has one row per `annot`
+        #   row carrying the columns the filter reads.
+        # * `exact_dedup` + `near_dup_decontam` + `final` (r16) are ONE
+        #   pass over the persisted post-dedup frame LEFT-JOINED to the
+        #   distinct drop list: count(1) is the exact_dedup row count
+        #   (each row matches ≤1 drop id because `drops` is distinct,
+        #   so the left join preserves cardinality), count(CASE WHEN no
+        #   match) is exactly the anti-join's row count, and
+        #   train_test_split only appends a column (never changes row
+        #   count) so `final` equals it.  This drops the separate
+        #   exact_dedup aggregate subtree — one fewer full pass per QA
+        #   report (pinned by tests/test_pipelines.py).
+        # Any remaining middle stage (e.g. the optional repetition
+        # filter) keeps its own single-count pass.
+        # The whole accounting is ONE spark.sql parse instead of the
+        # old per-frame agg/explode/union Column chains.
+        by_name = {name: i for i, (name, _) in enumerate(stages)}
+        v_labeled = _view("labeled", labeled)
+        v_kept = _view("kept", kept_persisted)
+        v_drops = _view("drops", drops)
+
+        def _emit(entries: list[tuple[int, str, str]], src: str) -> str:
+            structs = ", ".join(
+                f"named_struct('stage_idx', {i}, 'stage', '{name}',"
+                f" 'rows', {alias})"
+                for i, name, alias in entries
+            )
+            return (
+                "SELECT s.stage_idx, s.stage, s.rows FROM"
+                f" (SELECT explode(array({structs})) AS s FROM ({src}))"
             )
 
-        def _multi_agg(
-            frame: DataFrame,
-            aggs: list,
-            entries: list[tuple[int, str, str]],
-        ) -> DataFrame:
-            one = frame.agg(*aggs)
-            return one.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("stage_idx"),
-                                F.lit(name).alias("stage"),
-                                F.col(alias).alias("rows"),
-                            )
-                            for i, name, alias in entries
-                        ]
-                    )
-                ).alias("s")
-            ).select("s.stage_idx", "s.stage", "s.rows")
-
-        by_name = {name: i for i, (name, _) in enumerate(stages)}
-        count_frames: list[DataFrame] = [
-            _multi_agg(
-                labeled,
-                [
-                    F.count(F.lit(1)).alias("__n_input"),
-                    F.count(F.when(cond, F.lit(1))).alias("__n_ql"),
-                ],
+        parts = [
+            _emit(
                 [
                     (by_name["input"], "input", "__n_input"),
                     (by_name["quality_lang"], "quality_lang", "__n_ql"),
                 ],
-            )
+                "SELECT count(1) AS __n_input,"
+                f" count(CASE WHEN {cond_sql} THEN 1 END) AS __n_ql"
+                f" FROM {v_labeled}",
+            ),
+            _emit(
+                [
+                    (by_name["exact_dedup"], "exact_dedup", "__n_exact"),
+                    (
+                        by_name["near_dup_decontam"],
+                        "near_dup_decontam",
+                        "__n_post",
+                    ),
+                    (by_name["final"], "final", "__n_post"),
+                ],
+                "SELECT count(1) AS __n_exact,"
+                f" count(CASE WHEN d.{idq} IS NULL THEN 1 END) AS __n_post"
+                f" FROM {v_kept} k LEFT JOIN {v_drops} d"
+                f" ON k.{idq} = d.{idq}",
+            ),
         ]
         for i, (name, f) in enumerate(stages):
-            if name in ("input", "quality_lang", "final"):
+            if name in (
+                "input", "quality_lang", "exact_dedup",
+                "near_dup_decontam", "final",
+            ):
                 continue
-            if name == "near_dup_decontam":
-                count_frames.append(
-                    _multi_agg(
-                        f,
-                        [F.count(F.lit(1)).alias("__n")],
-                        [
-                            (i, "near_dup_decontam", "__n"),
-                            (by_name["final"], "final", "__n"),
-                        ],
-                    )
-                )
-                continue
-            count_frames.append(_stage_agg(i, name, f))
-        qa["stage_counts"] = reduce(
-            lambda a, b: a.unionByName(b), count_frames
-        )
+            v_mid = _view(f"mid{i}", f)
+            parts.append(
+                f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+                f" count(1) AS rows FROM {v_mid}"
+            )
+        qa["stage_counts"] = _sql(" UNION ALL ".join(parts))
     return out

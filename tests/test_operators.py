@@ -146,6 +146,35 @@ def test_minhash_dup_pairs_cap_not_triggered(docs):
     assert capped == exact
 
 
+def test_minhash_dup_pairs_sql_twin_bit_exact(docs):
+    """r16: the default path builds band→bucket→pair→verify as ONE SQL
+    parse; the capped path keeps the Column build.  With a cap no
+    bucket reaches, both must produce bit-identical rows (ids AND
+    jaccard doubles), sorted and unsorted."""
+    sql_rows = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dup_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5
+        ).collect()
+    )
+    col_rows = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dup_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5,
+            max_bucket=10**6,
+        ).collect()
+    )
+    assert sql_rows == col_rows and len(sql_rows) > 0
+    unsorted = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dup_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, threshold=0.5,
+            sort_pairs=False,
+        ).collect()
+    )
+    assert unsorted == sql_rows
+
+
 def test_ngram_jaccard_max_posting(spark):
     """Hot grams (boilerplate shared by every doc) are dropped from
     candidate generation, but surviving pairs keep their EXACT jaccard

@@ -253,3 +253,17 @@ def test_curate_corpus_qa_stage_counts_match_frames(spark, raw_docs):
     assert counts == sorted(counts, reverse=True)
     assert sc["quality_lang"] <= sc["input"]
     assert sc["exact_dedup"] <= sc["repetition"] <= sc["quality_lang"]
+    # r16 fold: exact_dedup + near_dup_decontam come from ONE pass over
+    # the persisted post-dedup frame left-joined to the drop list; both
+    # must equal the directly-computed frame counts (the left join may
+    # not change cardinality, the no-match count must equal the
+    # anti-join count)
+    rerun = {}
+    out2 = curate_corpus(
+        raw_docs, min_quality=0.5, langs=None,
+        near_dup_threshold=0.5, max_dup_ngram_frac=0.9, qa=rerun,
+        timing={},  # timing mode materializes each stage frame
+    )
+    assert sc["final"] == out2.count()
+    sc2 = {r.stage: r.rows for r in rerun["stage_counts"].collect()}
+    assert sc2 == sc

@@ -2,7 +2,7 @@
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes ``plans/r15/<query>_<suffix>.txt`` for each named query (all
+Writes ``plans/$PLANS_DIR/<query>_<suffix>.txt`` (default r16) for each named query (all
 queries when none given).  Plan capture never executes the query — it
 compiles the physical plan only — EXCEPT for builders that are eager by
 design (documented per-operator); those run whatever jobs they run.
@@ -48,7 +48,7 @@ def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("PLANS_DIR", "r16")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = build_session("plan-capture")
