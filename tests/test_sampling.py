@@ -250,6 +250,35 @@ def test_connected_components_driver_vs_distributed(spark):
     assert wide == fast
 
 
+def test_connected_components_star_adversarial(spark):
+    """r16 star-alternation distributed path: self-loop-only nodes,
+    duplicate/reversed edges, a long chain (the small-star worst
+    case), and a dense clique must all match the driver union-find
+    exactly."""
+    import pql_spark.operators.dedup as D
+
+    raw = (
+        [(500, 500)]                            # self-loop-only node
+        + [(1, 2), (2, 1), (1, 2)]              # dup + reversed edges
+        + [(i, i + 1) for i in range(100, 160)] # 61-node chain
+        + [(a, b) for a in range(700, 710)      # 10-clique
+           for b in range(a + 1, 710)]
+        + [(600, 600), (600, 601)]              # self-loop + real edge
+    )
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    fast = {(r.id, r.component)
+            for r in D.connected_components(pairs).collect()}
+    dist = {(r.id, r.component)
+            for r in D.connected_components(
+                pairs, driver_pairs_max=0).collect()}
+    assert fast == dist
+    assert (500, 500) in fast and (600, 600) in fast
+    assert {(c, comp) for c, comp in fast if 700 <= c < 710} == {
+        (c, 700) for c in range(700, 710)
+    }
+    assert {comp for c, comp in fast if 100 <= c <= 160} == {100}
+
+
 def test_dedup_by_pairs_transitive(spark):
     import pql_spark.operators.dedup as D
 
