@@ -739,110 +739,106 @@ def ngram_jaccard_pairs(
             persisted = True
             prefix_filter = prefix_auto_decision(inv)
     if max_posting is None and prefix_filter:
-        from pyspark.sql import Window
-
         # reused 3× below (freq, prefix join, verify); registered so a
         # long session can evict it — persisted plans are never
         # auto-released (see _util.unpersist_tracked)
         if not persisted:
             inv = tracked_persist(inv)
-        gfreq = inv.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("__gf")
+        # ONE SQL parse for the whole PPJoin chain (r16 driver-cost
+        # pass — see the minhash_dup_pairs note; the Column build of
+        # these ~20 ops paid per-op py4j + eager analysis on every
+        # call).  Semantics unchanged, comment-for-comment:
+        # * global gram order (doc-frequency asc, gram) — rare grams
+        #   first, so prefixes are maximally selective and hot grams
+        #   never enter one;
+        # * the 1e-9 epsilon guards each float ceil in the SAFE
+        #   direction (longer prefix / lower required overlap — extra
+        #   candidates only, and the verify is exact);
+        # * the PPJoin POSITION filter (r13): a pair sharing prefix
+        #   gram w at 1-based ranks (i, j) has overlap ≤
+        #   min(nx−i, ny−j) + 1, while Jaccard ≥ t needs overlap ≥
+        #   ceil(t/(1+t) · (nx+ny)) — lossless, measured 4.9× fewer
+        #   candidates on the sf10 flat corpus.
+        idq = f"`{id_col}`"
+        t = f"{float(threshold)!r}D"
+        frac = f"{float(threshold / (1.0 + threshold))!r}D"
+        return sql_over(
+            {"inv": inv},
+            "WITH gfreq AS ("
+            " SELECT gram, count(1) AS __gf FROM {inv} GROUP BY gram"
+            "), isz AS ("
+            f" SELECT {idq} AS __sid, count(1) AS n FROM {{inv}}"
+            f" GROUP BY {idq}"
+            "), pref AS ("
+            f" SELECT {idq}, gram, __rn, n FROM ("
+            f"  SELECT i.{idq}, i.gram, isz.n,"
+            f"   row_number() OVER (PARTITION BY i.{idq}"
+            "    ORDER BY g.__gf ASC, i.gram ASC) AS __rn"
+            "  FROM {inv} i JOIN gfreq g ON i.gram = g.gram"
+            f"  JOIN isz ON i.{idq} = isz.__sid)"
+            f" WHERE __rn <= n - ceil({t} * n - 1e-9D) + 1"
+            "), cand AS ("
+            f" SELECT DISTINCT a.{idq} AS id_a, b.{idq} AS id_b"
+            " FROM pref a JOIN pref b ON a.gram = b.gram"
+            f" WHERE a.{idq} < b.{idq}"
+            "  AND least(a.n - a.__rn, b.n - b.__rn) + 1 >="
+            f"  ceil({frac} * (a.n + b.n) - 1e-9D)"
+            "), vsz AS ("
+            f" SELECT {idq} AS __vid, count(1) AS n FROM {{inv}}"
+            f" GROUP BY {idq}"
+            "), inter AS ("
+            " SELECT id_a, id_b, count(1) AS n_inter FROM"
+            f"  (SELECT {idq} AS id_a, gram FROM {{inv}})"
+            "  JOIN cand USING (id_a)"
+            f"  JOIN (SELECT {idq} AS id_b, gram FROM {{inv}})"
+            "  USING (id_b, gram)"
+            " GROUP BY id_a, id_b)"
+            " SELECT id_a, id_b, jaccard FROM ("
+            "  SELECT id_a, id_b,"
+            "   n_inter / (sa.n + sb.n - n_inter) AS jaccard"
+            "  FROM inter JOIN vsz sa ON id_a = sa.__vid"
+            "  JOIN vsz sb ON id_b = sb.__vid)"
+            f" WHERE jaccard >= {t}"
+            " ORDER BY id_a, id_b",
         )
-        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-        # global order: (doc-frequency asc, gram) — rare grams first,
-        # so prefixes are maximally selective and hot grams never
-        # enter one
-        rn = F.row_number().over(
-            Window.partitionBy(id_col).orderBy(
-                F.col("__gf").asc(), F.col("gram").asc()
-            )
-        )
-        # epsilon guards the float ceil in the SAFE direction: when
-        # t*n lands a hair ABOVE an exact integer (t=0.07, n=100 →
-        # 7.000000000000001, ceil 8) the prefix would be one gram too
-        # short and a pair at exactly the threshold could be missed.
-        # ceil(t*n − 1e-9) only ever LENGTHENS the prefix — extra
-        # candidates are re-verified exactly, so losslessness holds.
-        plen = (
-            F.col("n")
-            - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
-            + F.lit(1)
-        )
-        pref = (
-            inv.join(gfreq, "gram")
-            .join(sizes, id_col)
-            .withColumn("__rn", rn)
-            .filter(F.col("__rn") <= plen)
-            .select(id_col, "gram", "__rn", "n")
-        )
-        # candidate gen with the PPJoin POSITION filter (r13): a pair
-        # sharing prefix gram w at 1-based ranks (i, j) has overlap ≤
-        # min(nx−i, ny−j) + 1 (only w and grams ranked after it can be
-        # common), while Jaccard ≥ t needs overlap ≥ ceil(t/(1+t) ·
-        # (nx+ny)).  A true pair's FIRST common gram in the global
-        # order is provably inside both prefixes and satisfies the
-        # bound (all its common grams rank ≥ it), so keeping only
-        # bound-passing rows before the distinct is LOSSLESS — and
-        # cuts the verify's fan-out where it matters: 85.8 M → 17.5 M
-        # candidates (4.9×) on the sf10 flat corpus, turning the
-        # verify shuffle from ~4.5 B rows (measured disk-death on
-        # local[32]) into ~0.9 B.  The ceil epsilon rounds the
-        # REQUIRED overlap down, keeping extra candidates — safe, the
-        # verify is exact.
-        a, b = pref.alias("a"), pref.alias("b")
-        alpha = F.ceil(
-            F.lit(threshold / (1.0 + threshold))
-            * (F.col("a.n") + F.col("b.n"))
-            - F.lit(1e-9)
-        )
-        cand = (
-            a.join(b, F.col("a.gram") == F.col("b.gram"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .filter(
-                F.least(
-                    F.col("a.n") - F.col("a.__rn"),
-                    F.col("b.n") - F.col("b.__rn"),
-                )
-                + F.lit(1)
-                >= alpha
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        return _verify_jaccard(inv, cand, id_col, threshold)
-    postings = inv.groupBy("gram").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    )
     if max_posting is not None:
+        postings = inv.groupBy("gram").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
         capped = postings.filter(F.size("ids").between(2, max_posting))
         cand = _bucket_pairs(capped, None).dropDuplicates(
             ["id_a", "id_b"]
         )
         return _verify_jaccard(inv, cand, id_col, threshold)
-    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # uncapped: each shared gram contributes exactly one pair row, so
-    # the pair multiset count IS |A∩B| — no second pass over the grams
-    inter = _bucket_pairs(postings, None).groupBy("id_a", "id_b").agg(
-        F.count(F.lit(1)).alias("n_inter")
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+    # uncapped naive path, ONE SQL parse (r16 — same device as the
+    # prefix branch): each shared gram contributes exactly one pair
+    # row, so the pair multiset count IS |A∩B| — no second pass over
+    # the grams
+    idq = f"`{id_col}`"
+    t = f"{float(threshold)!r}D"
+    return sql_over(
+        {"inv": inv},
+        "WITH postings AS ("
+        f" SELECT sort_array(collect_list({idq})) AS ids FROM {{inv}}"
+        " GROUP BY gram"
+        "), inter AS ("
+        " SELECT id_a, id_b, count(1) AS n_inter FROM ("
+        "  SELECT p.id_a AS id_a, p.id_b AS id_b FROM ("
+        "   SELECT explode(flatten(transform(ids, (x, i) ->"
+        "    transform(slice(ids, i + 2, size(ids)),"
+        "     y -> named_struct('id_a', x, 'id_b', y))))) AS p"
+        "   FROM postings))"
+        " GROUP BY id_a, id_b"
+        "), isz AS ("
+        f" SELECT {idq} AS __vid, count(1) AS n FROM {{inv}}"
+        f" GROUP BY {idq})"
+        " SELECT id_a, id_b, jaccard FROM ("
+        "  SELECT id_a, id_b,"
+        "   n_inter / (sa.n + sb.n - n_inter) AS jaccard"
+        "  FROM inter JOIN isz sa ON id_a = sa.__vid"
+        "  JOIN isz sb ON id_b = sb.__vid)"
+        f" WHERE jaccard >= {t}"
+        " ORDER BY id_a, id_b",
     )
 
 
