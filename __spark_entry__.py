@@ -7129,39 +7129,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # data-pipeline operators — so both tiers get hash-checked evidence.
 # Everything not listed follows afterwards (bench still runs all).
 _CHECK_FIRST = [
-    # Round-15 rotation (VERDICT r14 item 1): op_gif_dups (registered
-    # late-r14, judge-verified green but NO driver row yet) leads the
-    # window, followed by the 43 gates whose latest hash-green is
-    # r11 — verified by tools/evidence_freshness.py — and the 6
-    # oldest r12 heavy-tier gates to start draining that tier.
-    # After this window nothing predates r12.  Exactly 50.
+    # Round-16 rotation (continuing the VERDICT r14 item 1 policy):
+    # the 41 gates whose latest hash-green is r12 — verified by
+    # tools/evidence_freshness.py — plus the 9 gates whose EXECUTED
+    # code this optimization round changed (one-parse SQL twins,
+    # stage-count fold, json_tuple bag_unpack), so the driver's own
+    # hashes re-pin every touched path.  After this window nothing
+    # predates r13.  Exactly 50.
     #
-    # 1. evidence-pending gate (first driver row):
-    "op_gif_dups",
-    # 2. r11-stale data-pipeline gates (8):
-    "op_audio_dups", "op_bpe", "op_bpe_bytes", "op_crossdoc_dedup",
-    "op_curate_qa", "op_knn_skew", "op_multimodal_features",
-    "op_phash_dups",
-    # 3. r11-stale PQL operator/function gates (35):
-    "pql_activity_engagement", "pql_activity_metrics",
-    "pql_agg_family", "pql_arg_agg", "pql_as_selfjoin",
-    "pql_bin_hourly", "pql_datatable", "pql_diffpatterns_text",
-    "pql_extend", "pql_funnel_completion", "pql_getschema",
-    "pql_iff_strcat", "pql_in", "pql_in_family", "pql_index",
-    "pql_json_props", "pql_let_arith", "pql_mv_apply",
-    "pql_null_semantics", "pql_partition_op", "pql_percentiles",
-    "pql_predicates", "pql_print", "pql_project_ops",
-    "pql_range_source", "pql_render", "pql_sample_op",
-    "pql_serialize_window", "pql_series_stats_fit", "pql_sketch_fns",
-    "pql_sourcetext_name", "pql_string_preds", "pql_summarize_by",
-    "pql_top_hitters", "pql_top_nested",
-    # 4. oldest r12 heavy-tier gates (4 spare slots; op_range_join
-    # yields its slot to the second new gate and stays r12-fresh) +
-    # the NEW op_mp3_features and op_gif_anim_dups gates, which ship
-    # WITH driver evidence (the op_gif_dups lesson: a gate registered
-    # outside the frozen window spends a round evidence-pending):
-    "op_asof_join", "op_embedding_dups", "op_geo_join_scale",
-    "op_hamming_dups", "op_mp3_features", "op_gif_anim_dups",
+    # 1. r12-stale gates (41):
+    "op_bm25", "op_cosine_topk", "op_dedup_exact", "op_geo_join",
+    "op_kmv_distinct", "op_langid", "op_quality", "op_range_join",
+    "op_scrub_crossdoc", "op_simhash", "op_stream_windowed",
+    "op_token_stats", "pql_active_users_count", "pql_array_set_fns",
+    "pql_autocluster", "pql_bag_unpack", "pql_bag_unpack_schema",
+    "pql_binary_fns", "pql_case_fn", "pql_count", "pql_datetime_fns",
+    "pql_diffpatterns", "pql_events_daily", "pql_facet_counts",
+    "pql_facet_main", "pql_fork_hot", "pql_ipv4_fns",
+    "pql_ipv4_lookup", "pql_ipv6_lookup", "pql_let_fn",
+    "pql_mv_itemindex", "pql_narrow", "pql_q1_pricing",
+    "pql_sample_distinct", "pql_scan_funnel", "pql_scan_var_window",
+    "pql_sequence_detect", "pql_string_fns", "pql_tabular_let",
+    "pql_top_nested_others", "pql_union_inner",
+    # 2. gates whose executed code changed this round (9):
+    "op_curate_qa", "op_curate_corpus", "op_minhash_dups",
+    "op_dedup_clusters", "op_ngram_jaccard", "op_ngram_zipf_prefix",
+    "op_histogram", "op_profile", "op_profile_grouped",
 ]
 
 
